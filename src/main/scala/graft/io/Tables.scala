@@ -1,0 +1,29 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Fixture-table readers over the driver-generated star schema
+  * (`/root/testdata/sf*`, see TESTDATA.md).
+  *
+  * The reference's sources are a paginated REST API
+  * (reference `src/etl/extract/wc_client.py:36-49`); in this engine the scan
+  * side is a plain columnar parquet read so Catalyst gets predicate pushdown
+  * and column pruning for free (SURVEY.md §2.1 S1/S6). A production Woo
+  * connector would be a DataSource V2 `TableProvider` with
+  * `SupportsPushDownFilters`; the analytic surface below is source-agnostic.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame   = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}

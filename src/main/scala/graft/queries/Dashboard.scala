@@ -1,0 +1,255 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.io.Tables
+import graft.util.Parity._
+import org.apache.spark.sql.functions._
+
+/** The reference's analytic query surface (SURVEY.md §2.5/§2.6, traced from
+  * the Streamlit dashboard, reference `src/dashboard/app.py:10-113`), mapped
+  * onto the fixture star schema per SURVEY.md §7.1:
+  *
+  *   fct_orders       → orders        (o_totalprice ≈ net_total)
+  *   fct_order_items  → lineitem      (revenue = l_extendedprice·(1−l_discount))
+  *   refunds          → l_returnflag = 'R' rows
+  *   category         → part.p_type / p_brand
+  *   geo              → customer → nation → region
+  *
+  * Every query is declarative DataFrame code: Catalyst pushes the date-range
+  * filters into the parquet scan, prunes columns, plans partial+final hash
+  * aggregation, and `orderBy(...).limit(k)` becomes TakeOrderedAndProject —
+  * at 100 TB the only shuffles left are the agg exchanges on the group keys.
+  * Dimension joins (part/customer/nation/region) are explicitly broadcast:
+  * they stay small while facts grow.
+  */
+object Dashboard {
+  // P7 date-range predicate (reference app.py:31,53,71,88,106) — fixed
+  // window so Spark and oracle filter identically.
+  private val D1 = "1996-01-01"
+  private val D2 = "1998-12-31"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // A4 — date bounds (reference app.py:12-17)
+    QueryDef(
+      "a4_date_bounds",
+      (s, d) =>
+        Tables.orders(s, d).agg(
+          min(to_date(col("o_orderdate"))).as("min_date"),
+          max(to_date(col("o_orderdate"))).as("max_date")),
+      Some("""SELECT MIN(CAST(o_orderdate AS DATE)) AS min_date,
+             |       MAX(CAST(o_orderdate AS DATE)) AS max_date
+             |FROM orders""".stripMargin),
+    ),
+
+    // A3 — global KPIs over a date-filtered set (reference app.py:27-40):
+    // COUNT(*), SUM, AVG with COALESCE(...,0) empty-set semantics.
+    QueryDef(
+      "a3_kpis",
+      (s, d) =>
+        Tables.orders(s, d)
+          .filter(to_date(col("o_orderdate")).between(D1, D2))
+          .agg(
+            count(lit(1)).as("orders_cnt"),
+            moneySum0(col("o_totalprice")).as("gross_revenue"),
+            moneyAvg(col("o_totalprice")).as("avg_order_value")),
+      Some(s"""SELECT COUNT(*) AS orders_cnt,
+              |       ${moneySum0Sql("o_totalprice")} AS gross_revenue,
+              |       ${moneyAvgSql("o_totalprice")} AS avg_order_value
+              |FROM orders
+              |WHERE CAST(o_orderdate AS DATE) BETWEEN '$D1' AND '$D2'""".stripMargin),
+    ),
+
+    // A5 — daily revenue timeseries (reference app.py:48-56)
+    QueryDef(
+      "a5_daily_revenue",
+      (s, d) =>
+        Tables.orders(s, d)
+          .filter(to_date(col("o_orderdate")).between(D1, D2))
+          .groupBy(to_date(col("o_orderdate")).as("d"))
+          .agg(
+            moneySum0(col("o_totalprice")).as("revenue"),
+            count(lit(1)).as("orders_cnt"))
+          .orderBy("d"),
+      Some(s"""SELECT CAST(o_orderdate AS DATE) AS d,
+              |       ${moneySum0Sql("o_totalprice")} AS revenue,
+              |       COUNT(*) AS orders_cnt
+              |FROM orders
+              |WHERE CAST(o_orderdate AS DATE) BETWEEN '$D1' AND '$D2'
+              |GROUP BY 1
+              |ORDER BY d""".stripMargin),
+    ),
+
+    // A6 + J4 + O3 — top products: facts join + group + ORDER BY DESC LIMIT
+    // (reference app.py:64-75). part is a broadcast dimension (J1 pattern);
+    // deterministic tie-break on name for the LIMIT cut.
+    QueryDef(
+      "a6_top_products",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_name").as("name"))
+          .agg(
+            moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+            sum(col("l_quantity")).as("units"))
+          .orderBy(desc("revenue"), asc("name"))
+          .limit(15),
+      Some(s"""SELECT p_name AS name,
+              |       ${moneySumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+              |       SUM(l_quantity) AS units
+              |FROM lineitem JOIN part ON l_partkey = p_partkey
+              |GROUP BY 1
+              |ORDER BY revenue DESC, name ASC
+              |LIMIT 15""".stripMargin),
+    ),
+
+    // A7 + P8 — category mix with the COALESCE(NULLIF(TRIM(..)))
+    // default-label expression (reference app.py:82-92,84)
+    QueryDef(
+      "a7_category_mix",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+          .groupBy(coalesce(nullif(trim(col("p_type")), lit("")), lit("Uncategorized"))
+            .as("category"))
+          .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+          .orderBy(desc("revenue"), asc("category"))
+          .limit(15),
+      Some(s"""SELECT COALESCE(NULLIF(TRIM(p_type), ''), 'Uncategorized') AS category,
+              |       ${moneySumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+              |FROM lineitem JOIN part ON l_partkey = p_partkey
+              |GROUP BY 1
+              |ORDER BY revenue DESC, category ASC
+              |LIMIT 15""".stripMargin),
+    ),
+
+    // A8 — geo rollup with HAVING + top-k (reference app.py:100-111).
+    // customer/nation/region are broadcast dims; the only shuffle is the
+    // final group-by exchange on (region, nation).
+    QueryDef(
+      "a8_geo_rollup",
+      (s, d) =>
+        Tables.orders(s, d)
+          .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(
+            coalesce(nullif(trim(col("r_name")), lit("")), lit("—")).as("region"),
+            coalesce(nullif(trim(col("n_name")), lit("")), lit("—")).as("nation"))
+          .agg(
+            count(lit(1)).as("orders_cnt"),
+            moneySum0(col("o_totalprice")).as("net"))
+          .filter(col("orders_cnt") > 0)
+          .orderBy(desc("net"), asc("nation"))
+          .limit(20),
+      Some(s"""SELECT COALESCE(NULLIF(TRIM(r_name), ''), '—') AS region,
+              |       COALESCE(NULLIF(TRIM(n_name), ''), '—') AS nation,
+              |       COUNT(*) AS orders_cnt,
+              |       ${moneySum0Sql("o_totalprice")} AS net
+              |FROM orders
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN nation ON c_nationkey = n_nationkey
+              |JOIN region ON n_regionkey = r_regionkey
+              |GROUP BY 1, 2
+              |HAVING COUNT(*) > 0
+              |ORDER BY net DESC, nation ASC
+              |LIMIT 20""".stripMargin),
+    ),
+
+    // J4 — the two-facts equi-join on its own (reference app.py:70,87):
+    // lineitem ⋈ orders; at scale both sides are large → shuffled hash /
+    // sort-merge join on the key, then a tiny group-by.
+    QueryDef(
+      "j4_facts_join",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority").as("priority"))
+          .agg(
+            count(lit(1)).as("line_cnt"),
+            moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+          .orderBy("priority"),
+      Some(s"""SELECT o_orderpriority AS priority,
+              |       COUNT(*) AS line_cnt,
+              |       ${moneySumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |GROUP BY 1
+              |ORDER BY priority""".stripMargin),
+    ),
+
+    // S3 — orders-since scan: watermark predicate pushed into the scan +
+    // ascending date order (reference src/etl/extract/orders.py:4-19).
+    QueryDef(
+      "s3_orders_since",
+      (s, d) =>
+        Tables.orders(s, d)
+          .filter(col("o_orderdate") > lit("2001-06-01").cast("timestamp"))
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+          .orderBy("o_orderdate", "o_orderkey"),
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+             |FROM orders
+             |WHERE o_orderdate > TIMESTAMP '2001-06-01 00:00:00'
+             |ORDER BY o_orderdate, o_orderkey""".stripMargin),
+    ),
+
+    // S4 + J6 — keyed batch lookup as a semi-join: the distinct keys of the
+    // filtered fact probe the dimension (reference src/etl/extract/products.py:30-73,
+    // key harvest src/run.py:33).
+    QueryDef(
+      "s4_keyed_lookup",
+      (s, d) => {
+        val keys = Tables.lineitem(s, d)
+          .filter(col("l_returnflag") === "R")
+          .select(col("l_partkey").as("p_partkey"))
+        Tables.part(s, d)
+          .join(keys, Seq("p_partkey"), "left_semi")
+          .select("p_partkey", "p_name", "p_brand", "p_type")
+          .orderBy("p_partkey")
+      },
+      Some("""SELECT p_partkey, p_name, p_brand, p_type
+             |FROM part
+             |WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R')
+             |ORDER BY p_partkey""".stripMargin),
+    ),
+
+    // A9 — DISTINCT key harvest (reference src/run.py:56-67)
+    QueryDef(
+      "a9_distinct_keys",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .filter(col("l_returnflag") === "R")
+          .select("l_partkey").distinct()
+          .orderBy("l_partkey"),
+      Some("""SELECT DISTINCT l_partkey
+             |FROM lineitem
+             |WHERE l_returnflag = 'R'
+             |ORDER BY l_partkey""".stripMargin),
+    ),
+
+    // A10 — watermark advance: max(order_date) + 1 minute
+    // (reference src/run.py:148-152)
+    QueryDef(
+      "a10_watermark",
+      (s, d) =>
+        Tables.orders(s, d)
+          .agg(max(col("o_orderdate")).as("max_dt"))
+          .select((col("max_dt") + expr("INTERVAL 1 MINUTE")).as("next_since")),
+      Some("""SELECT MAX(o_orderdate) + INTERVAL 1 MINUTE AS next_since
+             |FROM orders""".stripMargin),
+    ),
+
+    // A11 + P6 — count of non-blank rows: IS NOT NULL / TRIM(x)<>''
+    // blank-vs-null predicate (reference src/tools/re_enrich_categories.py:55-59,
+    // src/run.py:62-67)
+    QueryDef(
+      "a11_count_updated",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .filter(col("l_linestatus").isNotNull && trim(col("l_linestatus")) =!= "")
+          .agg(count(lit(1)).as("updated_cnt")),
+      Some("""SELECT COUNT(*) AS updated_cnt
+             |FROM lineitem
+             |WHERE l_linestatus IS NOT NULL AND TRIM(l_linestatus) <> ''""".stripMargin),
+    ),
+  )
+}

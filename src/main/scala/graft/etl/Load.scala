@@ -1,0 +1,99 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Warehouse load layer: keyed upsert, column alignment, schema migration
+  * (SURVEY.md §2.2 K1-K6). The reference's delete-then-insert on DuckDB
+  * (reference `src/etl/load/duckdb_client.py:48-68`) becomes an anti-join +
+  * union rewrite on parquet.
+  */
+object Load {
+
+  /** K2/K3 — idempotent keyed upsert: rows of `existing` whose key appears
+    * in `incoming` are dropped, then `incoming` is appended. With
+    * `keys=Seq("order_id")` on an items fact this replaces ALL items of the
+    * touched orders — the reference's removed-line-item semantics
+    * (`duckdb_client.py:65-67`).
+    *
+    * The anti-join shuffles on the key; at 100 TB the win is that only the
+    * key columns of `incoming` cross the wire for the probe side (distinct
+    * key projection below), and AQE broadcasts it when the batch is small
+    * relative to the table. */
+  def upsert(existing: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame = {
+    val keySet = incoming.select(keys.map(col).toIndexedSeq: _*).distinct()
+    existing
+      .join(keySet, keys, "left_anti")
+      .unionByName(incoming)
+  }
+
+  /** K4 — column alignment: add missing columns as typed NULLs, project to
+    * canonical order (reference `duckdb_client.py:40-46`). Also serves as
+    * K6 schema migration: evolving a parquet table = align to the new
+    * schema and rewrite (reference `src/tools/migrate_duckdb.py:7-26`). */
+  def alignColumns(df: DataFrame, schema: StructType): DataFrame = {
+    val present = df.columns.toSet
+    df.select(schema.fields.map { f =>
+      if (present(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
+  }
+
+  /** K2/K3 against a parquet path: read-modify-overwrite with a staging
+    * directory so a failed write never corrupts the table. First load (no
+    * table yet) writes directly. On a real deployment this is Delta/Iceberg
+    * MERGE territory; plain parquet keeps the engine dependency-free.
+    *
+    * At scale: partition the table (e.g. by month(order_date)) and rewrite
+    * only partitions containing touched keys — the staging path supports
+    * that by unioning untouched partitions unchanged. */
+  def upsertParquet(
+      spark: SparkSession,
+      path: String,
+      incoming: DataFrame,
+      keys: Seq[String]): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(target)) {
+      incoming.write.mode(SaveMode.ErrorIfExists).parquet(path)
+      return
+    }
+    val staged = new org.apache.hadoop.fs.Path(path + "._staged")
+    val existing = spark.read.parquet(path)
+    upsert(existing, incoming, keys).write.mode(SaveMode.Overwrite)
+      .parquet(staged.toString)
+    // Re-read from staging (breaks lineage on the old files), then swap.
+    val old = new org.apache.hadoop.fs.Path(path + "._old")
+    if (fs.exists(old)) fs.delete(old, true)
+    fs.rename(target, old)
+    fs.rename(staged, target)
+    fs.delete(old, true)
+  }
+
+  /** K5/J5 — join-driven UPDATE: recompute a column from a mapping table
+    * and overwrite where forced or missing/blank
+    * (reference `src/run.py:88-94`: `UPDATE fct_order_items SET
+    * category_snapshot = m.cat FROM map_df m WHERE ...`). No in-place
+    * UPDATE on parquet → left-join + conditional recompute + rewrite. */
+  def updateFromMap(
+      items: DataFrame,
+      mapping: DataFrame, // (product_id, category_snapshot)
+      force: Boolean): DataFrame = {
+    val m = broadcast(mapping.select(
+      col("product_id"),
+      col("category_snapshot").as("_new_cat")))
+    val needsUpdate =
+      if (force) lit(true)
+      else col("category_snapshot").isNull || trim(col("category_snapshot")) === ""
+    items
+      .join(m, Seq("product_id"), "left")
+      .withColumn(
+        "category_snapshot",
+        when(needsUpdate && col("_new_cat").isNotNull, col("_new_cat"))
+          .otherwise(col("category_snapshot")))
+      .drop("_new_cat")
+      .select(items.columns.map(col).toIndexedSeq: _*)
+  }
+}

@@ -1,0 +1,339 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.etl.{Enrich, Load, Normalize}
+import graft.io.Tables
+import graft.util.Parity._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The ETL/transform operator surface (SURVEY.md §2.2/2.3/2.4) exercised on
+  * the fixture tables and hash-checked against DuckDB. Where possible these
+  * call the real library functions ([[graft.etl.Enrich]], [[graft.etl.Load]])
+  * with fixture columns mapped into the Woo shape, so the oracle verifies
+  * the production code path, not a query-only re-implementation.
+  *
+  * Fixture mapping (SURVEY.md §7.1): refunds ≈ `l_returnflag='R'` lines with
+  * refund amount = extendedprice·(1−discount); products ≈ part with
+  * category = brand/type.
+  */
+object EtlQueries {
+
+  // A1 on fixtures: per-order refund totals.
+  private def refundOrderTotals(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .groupBy(col("l_orderkey").as("order_id"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("refund_total"))
+
+  private val refundOrderTotalsSql =
+    s"""SELECT l_orderkey AS order_id,
+       |       ${moneySumSql("l_extendedprice * (1.0 - l_discount)")} AS refund_total
+       |FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1""".stripMargin
+
+  // A2 on fixtures: per-(order, part) refunded qty/total.
+  private def refundItemTotals(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .groupBy(
+        col("l_orderkey").as("order_id"),
+        col("l_partkey").as("product_id"))
+      .agg(
+        sum(col("l_quantity")).as("refunded_quantity"),
+        moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("refunded_total"))
+
+  private val refundItemTotalsSql =
+    s"""SELECT l_orderkey AS order_id, l_partkey AS product_id,
+       |       SUM(l_quantity) AS refunded_quantity,
+       |       ${moneySumSql("l_extendedprice * (1.0 - l_discount)")} AS refunded_total
+       |FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1, 2""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // P1 — null-safe tolerant cast (`_f`): unparseable/missing → 0.0.
+    // regexp-extracted digits parse; event_type never does → 0.0 branch.
+    QueryDef(
+      "p1_tolerant_cast",
+      (s, d) =>
+        Tables.events(s, d).select(
+          col("event_id"),
+          Normalize.f(regexp_extract(col("props"), """"k": (\d+)""", 1)).as("k_val"),
+          Normalize.f(col("event_type")).as("unparseable"))
+          .orderBy("event_id"),
+      Some("""SELECT event_id,
+             |       COALESCE(TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS DOUBLE), 0.0) AS k_val,
+             |       COALESCE(TRY_CAST(event_type AS DOUBLE), 0.0) AS unparseable
+             |FROM events ORDER BY event_id""".stripMargin),
+    ),
+
+    // P2 — timestamp parse with gmt→local fallback: every 7th order has a
+    // NULL primary timestamp string and falls back.
+    QueryDef(
+      "p2_ts_fallback",
+      (s, d) =>
+        Tables.orders(s, d).select(
+          col("o_orderkey").as("order_id"),
+          to_timestamp(coalesce(
+            when(col("o_orderkey") % 7 === 0, lit(null))
+              .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss")),
+            date_format(col("o_orderdate") - expr("INTERVAL 1 DAY"),
+              "yyyy-MM-dd HH:mm:ss"))).as("order_ts"))
+          .orderBy("order_id"),
+      Some("""SELECT o_orderkey AS order_id,
+             |       CAST(COALESCE(
+             |         CASE WHEN o_orderkey % 7 = 0 THEN NULL
+             |              ELSE strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') END,
+             |         strftime(o_orderdate - INTERVAL 1 DAY, '%Y-%m-%d %H:%M:%S')
+             |       ) AS TIMESTAMP) AS order_ts
+             |FROM orders ORDER BY order_id""".stripMargin),
+    ),
+
+    // P3 + P4 — orders projection with derived net_total (gross − tax).
+    QueryDef(
+      "p3_orders_projection",
+      (s, d) =>
+        Tables.orders(s, d).select(
+          col("o_orderkey").as("order_id"),
+          col("o_orderdate").as("order_date"),
+          col("o_orderstatus").as("status"),
+          col("o_totalprice").as("gross_total"),
+          (col("o_totalprice") * lit(0.08)).as("total_tax"),
+          (col("o_totalprice") - col("o_totalprice") * lit(0.08)).as("net_total"))
+          .orderBy("order_id"),
+      Some("""SELECT o_orderkey AS order_id, o_orderdate AS order_date,
+             |       o_orderstatus AS status, o_totalprice AS gross_total,
+             |       o_totalprice * 0.08 AS total_tax,
+             |       o_totalprice - o_totalprice * 0.08 AS net_total
+             |FROM orders ORDER BY order_id""".stripMargin),
+    ),
+
+    QueryDef(
+      "a1_refund_order_totals",
+      (s, d) => refundOrderTotals(s, d).orderBy("order_id"),
+      Some(refundOrderTotalsSql + "\nORDER BY order_id"),
+    ),
+
+    QueryDef(
+      "a2_refund_item_totals",
+      (s, d) => refundItemTotals(s, d).orderBy("order_id", "product_id"),
+      Some(refundItemTotalsSql + "\nORDER BY order_id, product_id"),
+    ),
+
+    // J1 — broadcast category-enrich join via the library's Enrich path:
+    // part mapped into the raw-product shape (categories array).
+    QueryDef(
+      "j1_enrich_items",
+      (s, d) => {
+        val items = Tables.lineitem(s, d).select(
+          col("l_orderkey").as("order_id"),
+          col("l_linenumber").as("line_no"),
+          col("l_partkey").as("product_id"),
+          lit(null).cast("string").as("category_snapshot"))
+        val rawProducts = Tables.part(s, d).select(
+          col("p_partkey").as("id"),
+          array(
+            struct(col("p_brand").as("name")),
+            struct(col("p_type").as("name"))).as("categories"))
+        // (order_id, line_no) is NOT unique in the fixture — include
+        // product_id so order-by ties are fully identical rows.
+        Enrich.itemsWithCategories(items, rawProducts)
+          .orderBy("order_id", "line_no", "product_id")
+      },
+      Some("""SELECT l_orderkey AS order_id, l_linenumber AS line_no,
+             |       l_partkey AS product_id,
+             |       p_brand || ' | ' || p_type AS category_snapshot
+             |FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+             |ORDER BY order_id, line_no, product_id""".stripMargin),
+    ),
+
+    // J2 + P5 — orders ⟕ refund totals via the library's
+    // Enrich.applyOrderRefunds; net_after_refunds = net_total − refund_total.
+    QueryDef(
+      "j2_apply_refunds",
+      (s, d) => {
+        val orders = Tables.orders(s, d).select(
+          col("o_orderkey").as("order_id"),
+          col("o_totalprice").as("net_total"),
+          lit(0.0).as("refund_total"),
+          lit(null).cast("double").as("net_after_refunds"))
+        Enrich.applyOrderRefunds(orders, refundOrderTotals(s, d))
+          .orderBy("order_id")
+      },
+      Some(s"""WITH r AS ($refundOrderTotalsSql)
+              |SELECT o_orderkey AS order_id, o_totalprice AS net_total,
+              |       COALESCE(r.refund_total, 0.0) AS refund_total,
+              |       o_totalprice - COALESCE(r.refund_total, 0.0) AS net_after_refunds
+              |FROM orders LEFT JOIN r ON o_orderkey = r.order_id
+              |ORDER BY order_id""".stripMargin),
+    ),
+
+    // J3 — composite-key item-refund join via Enrich.applyItemRefunds, with
+    // NULL variation_id normalized to 0 on both sides (the reference's
+    // `int(x or 0)` key semantics).
+    QueryDef(
+      "j3_item_refund_join",
+      (s, d) => {
+        val items = Tables.lineitem(s, d).select(
+          col("l_orderkey").as("order_id"),
+          col("l_linenumber").as("line_no"),
+          col("l_partkey").as("product_id"),
+          lit(null).cast("long").as("variation_id"), // exercises NULL→0
+          col("l_quantity").as("quantity"),
+          lit(0).as("refunded_quantity"),
+          lit(0.0).as("refunded_total"))
+        val refunds = refundItemTotals(s, d)
+          .withColumn("variation_id", lit(0L))
+          .withColumn("refunded_quantity", col("refunded_quantity").cast("int"))
+        Enrich.applyItemRefunds(items, refunds)
+          .withColumn("net_quantity",
+            col("quantity") - col("refunded_quantity"))
+          .orderBy("order_id", "line_no", "product_id", "quantity")
+      },
+      Some(s"""WITH r AS ($refundItemTotalsSql)
+              |SELECT l_orderkey AS order_id, l_linenumber AS line_no,
+              |       l_partkey AS product_id,
+              |       CAST(NULL AS BIGINT) AS variation_id,
+              |       l_quantity AS quantity,
+              |       CAST(COALESCE(r.refunded_quantity, 0) AS INT) AS refunded_quantity,
+              |       COALESCE(r.refunded_total, 0.0) AS refunded_total,
+              |       l_quantity - COALESCE(r.refunded_quantity, 0) AS net_quantity
+              |FROM lineitem
+              |LEFT JOIN r ON l_orderkey = r.order_id AND l_partkey = r.product_id
+              |ORDER BY order_id, line_no, product_id, quantity""".stripMargin),
+    ),
+
+    // K2 — idempotent keyed upsert (delete-then-insert): an overlapping
+    // re-sync batch replaces the existing rows for its keys.
+    QueryDef(
+      "k2_upsert_orders",
+      (s, d) => {
+        val existing = Tables.orders(s, d)
+          .filter(col("o_orderdate") < lit("2000-01-01").cast("timestamp"))
+          .select(
+            col("o_orderkey").as("order_id"),
+            col("o_orderstatus").as("status"),
+            lit("base").as("src"))
+        val incoming = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+          .select(
+            col("o_orderkey").as("order_id"),
+            col("o_orderstatus").as("status"),
+            lit("resynced").as("src"))
+        Load.upsert(existing, incoming, Seq("order_id")).orderBy("order_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT o_orderkey AS order_id, o_orderstatus AS status, 'base' AS src
+             |  FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
+             |), i AS (
+             |  SELECT o_orderkey AS order_id, o_orderstatus AS status, 'resynced' AS src
+             |  FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+             |)
+             |SELECT * FROM e WHERE order_id NOT IN (SELECT order_id FROM i)
+             |UNION ALL SELECT * FROM i
+             |ORDER BY order_id""".stripMargin),
+    ),
+
+    // K4/K6 — column alignment / schema migration: missing columns appear
+    // as typed NULLs in canonical order.
+    QueryDef(
+      "k4_align_columns",
+      (s, d) => {
+        val target = StructType(Seq(
+          StructField("order_id", LongType),
+          StructField("line_no", IntegerType),
+          StructField("quantity", DoubleType),
+          StructField("category_snapshot", StringType),
+          StructField("refund_total", DoubleType)))
+        Load.alignColumns(
+          Tables.lineitem(s, d).select(
+            col("l_orderkey").as("order_id"),
+            col("l_linenumber").as("line_no"),
+            col("l_quantity").as("quantity")),
+          target).orderBy("order_id", "line_no", "quantity")
+      },
+      Some("""SELECT l_orderkey AS order_id, l_linenumber AS line_no,
+             |       l_quantity AS quantity,
+             |       CAST(NULL AS VARCHAR) AS category_snapshot,
+             |       CAST(NULL AS DOUBLE) AS refund_total
+             |FROM lineitem ORDER BY order_id, line_no, quantity""".stripMargin),
+    ),
+
+    // K5/J5 — join-driven UPDATE: recompute category where missing/blank
+    // ('R' rows → NULL, 'A' rows → blank; both count as missing).
+    QueryDef(
+      "k5_update_join",
+      (s, d) => {
+        val items = Tables.lineitem(s, d).select(
+          col("l_orderkey").as("order_id"),
+          col("l_linenumber").as("line_no"),
+          col("l_partkey").as("product_id"),
+          when(col("l_returnflag") === "R", lit(null).cast("string"))
+            .when(col("l_returnflag") === "A", lit(""))
+            .otherwise(col("l_linestatus")).as("category_snapshot"))
+        val mapping = Tables.part(s, d).select(
+          col("p_partkey").as("product_id"),
+          col("p_brand").as("category_snapshot"))
+        Load.updateFromMap(items, mapping, force = false)
+          .orderBy("order_id", "line_no", "product_id", "category_snapshot")
+      },
+      Some("""WITH it AS (
+             |  SELECT l_orderkey AS order_id, l_linenumber AS line_no,
+             |         l_partkey AS product_id,
+             |         CASE WHEN l_returnflag = 'R' THEN NULL
+             |              WHEN l_returnflag = 'A' THEN ''
+             |              ELSE l_linestatus END AS category_snapshot
+             |  FROM lineitem
+             |)
+             |SELECT it.order_id, it.line_no, it.product_id,
+             |       CASE WHEN (it.category_snapshot IS NULL
+             |                  OR TRIM(it.category_snapshot) = '')
+             |                 AND p.p_brand IS NOT NULL
+             |            THEN p.p_brand ELSE it.category_snapshot END AS category_snapshot
+             |FROM it LEFT JOIN part p ON it.product_id = p.p_partkey
+             |ORDER BY order_id, line_no, product_id, category_snapshot""".stripMargin),
+    ),
+
+    // O6 — last-wins merge of two sources of the same key (the reference's
+    // fallback-overwrites-batch dict merge): union + row_number, keep the
+    // highest-priority row per key.
+    QueryDef(
+      "o6_last_wins",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val batch = Tables.part(s, d).select(
+          col("p_partkey").as("product_id"),
+          col("p_retailprice").as("price"),
+          lit(1).as("priority"),
+          lit("batch").as("src"))
+        val fallback = Tables.part(s, d)
+          .filter(col("p_partkey") % 5 === 0)
+          .select(
+            col("p_partkey").as("product_id"),
+            (col("p_retailprice") * lit(0.9)).as("price"),
+            lit(2).as("priority"),
+            lit("fallback").as("src"))
+        val w = Window.partitionBy("product_id").orderBy(desc("priority"))
+        batch.unionByName(fallback)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("product_id", "price", "src")
+          .orderBy("product_id")
+      },
+      Some("""WITH u AS (
+             |  SELECT p_partkey AS product_id, p_retailprice AS price,
+             |         1 AS priority, 'batch' AS src FROM part
+             |  UNION ALL
+             |  SELECT p_partkey, p_retailprice * 0.9, 2, 'fallback'
+             |  FROM part WHERE p_partkey % 5 = 0
+             |)
+             |SELECT product_id, price, src FROM (
+             |  SELECT *, ROW_NUMBER() OVER (
+             |    PARTITION BY product_id ORDER BY priority DESC) AS rn
+             |  FROM u
+             |) WHERE rn = 1
+             |ORDER BY product_id""".stripMargin),
+    ),
+  )
+}

@@ -1,0 +1,19 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One shared local session for the whole test JVM (suites reuse it). */
+object SparkTestSession {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def readJson(schema: org.apache.spark.sql.types.StructType, rows: String*): DataFrame = {
+    import spark.implicits._
+    spark.read.schema(schema).json(rows.toDS)
+  }
+}

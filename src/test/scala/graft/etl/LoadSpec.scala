@@ -1,0 +1,71 @@
+package graft.etl
+
+import graft.SparkTestSession
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class LoadSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("upsert keyed on order_id replaces ALL items of touched orders (K3)") {
+    // order 1 originally has items A,B; re-sync sends only A -> B must vanish
+    val existing = Seq((1L, "A"), (1L, "B"), (2L, "C")).toDF("order_id", "sku")
+    val incoming = Seq((1L, "A")).toDF("order_id", "sku")
+    val got = Load.upsert(existing, incoming, Seq("order_id"))
+      .orderBy("order_id", "sku").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "A"), (2L, "C")))
+  }
+
+  test("upsert is idempotent: applying the same batch twice equals once") {
+    val existing = Seq((1L, 10.0), (2L, 20.0)).toDF("order_id", "total")
+    val batch = Seq((2L, 25.0), (3L, 30.0)).toDF("order_id", "total")
+    val once = Load.upsert(existing, batch, Seq("order_id"))
+    val twice = Load.upsert(once, batch, Seq("order_id"))
+    assert(once.orderBy("order_id").collect().toSeq ==
+      twice.orderBy("order_id").collect().toSeq)
+  }
+
+  test("alignColumns adds typed NULLs and projects canonical order (K4/K6)") {
+    val df = Seq((1L, "x")).toDF("order_id", "sku")
+    val target = StructType(Seq(
+      StructField("order_id", LongType),
+      StructField("refund_total", DoubleType),
+      StructField("sku", StringType)))
+    val got = Load.alignColumns(df, target)
+    assert(got.columns.toSeq == Seq("order_id", "refund_total", "sku"))
+    val r = got.collect()(0)
+    assert(r.isNullAt(1) && r.getString(2) == "x")
+  }
+
+  test("updateFromMap fills only missing/blank unless forced (K5)") {
+    val items = Seq(
+      (1L, 10L, null.asInstanceOf[String]),
+      (2L, 10L, ""),
+      (3L, 10L, "Keep"),
+      (4L, 99L, null.asInstanceOf[String]), // no mapping row -> stays null
+    ).toDF("order_id", "product_id", "category_snapshot")
+    val mapping = Seq((10L, "New")).toDF("product_id", "category_snapshot")
+    val got = Load.updateFromMap(items, mapping, force = false)
+      .orderBy("order_id").select("category_snapshot").collect()
+    assert(got(0).getString(0) == "New")
+    assert(got(1).getString(0) == "New")
+    assert(got(2).getString(0) == "Keep")
+    assert(got(3).isNullAt(0))
+    val forced = Load.updateFromMap(items, mapping, force = true)
+      .orderBy("order_id").select("category_snapshot").collect()
+    assert(forced(2).getString(0) == "New")
+  }
+
+  test("upsertParquet: first write, then keyed overwrite survives re-read") {
+    val dir = Files.createTempDirectory("graft_upsert").toString + "/fct"
+    Load.upsertParquet(spark, dir,
+      Seq((1L, "a"), (2L, "b")).toDF("order_id", "v"), Seq("order_id"))
+    Load.upsertParquet(spark, dir,
+      Seq((2L, "b2"), (3L, "c")).toDF("order_id", "v"), Seq("order_id"))
+    val got = spark.read.parquet(dir).orderBy("order_id")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+  }
+}

@@ -12,7 +12,8 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
   private val packs: Seq[QueryDef] =
     graft.queries.Dashboard.defs ++
-      graft.queries.EtlQueries.defs
+      graft.queries.EtlQueries.defs ++
+      graft.queries.ExtQueries.defs
 
   private val (queryMap, oracleMap) = QueryDef.toMaps(packs)
 

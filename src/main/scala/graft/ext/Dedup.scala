@@ -1,0 +1,155 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact (content
+  * hash), MinHash+LSH near-dup candidates, n-gram Jaccard verification,
+  * and SimHash. Extension surface beyond the reference (SURVEY.md §7.2
+  * step 6).
+  *
+  * Scale design (the part that must survive 100 TB):
+  *   - exact dedup is one hash-shuffle on sha256(text) — never on the
+  *     text itself (shuffling full documents is the classic mistake);
+  *   - MinHash/LSH makes near-dup detection LINEAR in corpus size:
+  *     candidates are pairs sharing an LSH band bucket, so the only
+  *     O(n²) work happens inside buckets (bounded by band collision
+  *     rate), never across the corpus;
+  *   - exact Jaccard runs ONLY on the candidate pairs from LSH — at test
+  *     scale the oracle mirrors this exactly; nothing all-pairs leaves
+  *     test scale.
+  *
+  * Determinism contract: MinHash uses the lexicographic MIN of md5 hex
+  * strings (identical in Spark and DuckDB — lowercase hex, ASCII order);
+  * band keys are md5 over comma-joined signature slices.
+  */
+object Dedup {
+
+  /** Content hash for exact dedup; sha256 hex, identical in DuckDB. */
+  def textHash(text: Column): Column = sha2(text, 256)
+
+  /** Exact dedup: keep the lowest id per distinct content hash, count
+    * copies. One shuffle on the 64-char hash. */
+  def exactDups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(textHash(col(textCol)).as("content_hash"))
+      .agg(
+        min(col(idCol)).as("keep_id"),
+        count(lit(1)).as("n_copies"))
+
+  /** Word n-gram shingles. Empty array when the text has fewer than n
+    * tokens — Spark's `sequence(1, k)` counts DOWN for k<1 while DuckDB's
+    * generate_series returns empty, so the guard is load-bearing for
+    * oracle parity as well as correctness. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    val cnt = size(toks) - (n - 1)
+    when(cnt >= 1,
+      transform(sequence(lit(1), cnt),
+        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + lit(k))): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exploded (id, seed, md5(seed|shingle)) for MinHash; one row per
+    * shingle × seed. numHashes stays small (12) so the blow-up is
+    * bounded; the subsequent min-agg is a map-side-combinable groupBy. */
+  private def hashedShingles(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int): DataFrame =
+    df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
+      .select(col("id"), col("sh"), explode(sequence(lit(0), lit(numHashes - 1))).as("seed"))
+      .select(col("id"), col("seed"),
+        md5(concat(col("seed").cast("string"), lit("|"), col("sh"))).as("h"))
+
+  /** MinHash signature, one row per document, columns s0..s{numHashes-1}.
+    * min(CASE WHEN seed=i THEN h END) keeps the aggregation a single
+    * map-side-combinable pass (no pivot shuffle). */
+  def minhashSignature(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 12): DataFrame =
+    hashedShingles(df, idCol, textCol, n, numHashes)
+      .groupBy("id")
+      .agg(
+        min(when(col("seed") === 0, col("h"))).as("s0"),
+        (1 until numHashes).map(i =>
+          min(when(col("seed") === i, col("h"))).as(s"s$i")): _*)
+
+  /** LSH banding: r signature rows per band, band key = md5 of the
+    * comma-joined slice. Output (id, band, bh). */
+  def lshBands(sig: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val bandCols = (0 until numBands).map { b =>
+      val slice = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"s$i"))
+      struct(lit(b).as("band"), md5(concat_ws(",", slice: _*)).as("bh"))
+    }
+    sig.select(col("id"), explode(array(bandCols: _*)).as("x"))
+      .select(col("id"), col("x.band").as("band"), col("x.bh").as("bh"))
+  }
+
+  /** Near-dup candidate pairs: documents sharing ≥1 band bucket.
+    * The self-join shuffles on (band, bh) — within-bucket pairs only. */
+  def candidatePairs(bands: DataFrame): DataFrame = {
+    val a = bands.select(col("band"), col("bh"), col("id").as("id_a"))
+    val b = bands.select(col("band"), col("bh"), col("id").as("id_b"))
+    a.join(b, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard for given pairs: |A∩B| / |A∪B| over DISTINCT
+    * shingles. Runs only on LSH candidates — the scale path. */
+  def jaccardOnPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, n: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
+      .distinct()
+    val counts = sh.groupBy("id").agg(count(lit(1)).as("cnt"))
+    val inter = pairs
+      .join(sh.select(col("id").as("id_a"), col("sh")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.select(col("id").as("id_a"), col("cnt").as("cnt_a")), "id_a")
+      .join(counts.select(col("id").as("id_b"), col("cnt").as("cnt_b")), "id_b")
+      .select(
+        col("id_a"), col("id_b"),
+        (col("inter").cast("double") /
+          (col("cnt_a") + col("cnt_b") - col("inter")).cast("double")).as("jaccard"))
+  }
+
+  /** 32-bit SimHash: bit j of each token's md5 is the high bit of hex
+    * nibble j; document bit j is the sign of the ±1 vote sum. Returns
+    * (id, simhash) with simhash in [0, 2^32). The token×32 explode is a
+    * narrow map; the vote sum is one combinable groupBy per document. */
+  def simhash32(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val highNibble = Seq("8", "9", "a", "b", "c", "d", "e", "f").map(lit)
+    df.select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("tok"))
+      .select(col("id"), md5(col("tok")).as("h"),
+        explode(sequence(lit(0), lit(31))).as("j"))
+      .select(col("id"), col("j"),
+        when(col("h").substr(col("j") + 1, lit(1)).isin(highNibble: _*), lit(1))
+          .otherwise(lit(-1)).as("vote"))
+      .groupBy("id", "j")
+      .agg(sum("vote").as("votes"))
+      .groupBy("id")
+      .agg(sum(
+        when(col("votes") > 0,
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"))
+          .otherwise(lit(0L))).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: hamming distance ≤ maxDist. All-pairs at
+    * test scale; at 100 TB, block on simhash byte-slices first (each
+    * ≤maxDist pair shares at least one identical slice for maxDist < 4
+    * slices — pigeonhole), then verify hamming inside blocks. */
+  def simhashPairs(sh: DataFrame, maxDist: Int): DataFrame = {
+    val a = sh.select(col("id").as("id_a"), col("simhash").as("sh_a"))
+    val b = sh.select(col("id").as("id_b"), col("simhash").as("sh_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+  }
+}

@@ -1,0 +1,141 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`):
+  * brute-force cosine top-k as the exactness baseline, random-hyperplane
+  * LSH bucketing as the scale path, and embedding-cosine near-dup.
+  * Extension surface beyond the reference (SURVEY.md §7.2 step 6).
+  *
+  * Determinism contract: embeddings are QUANTIZED to integers
+  * (round(x·10⁶) as BIGINT — the int8/int16 quantization standard in ANN
+  * systems, taken to int64 here) so dot products are exact integer
+  * arithmetic, bit-identical between Spark and the DuckDB oracle. The dot
+  * fits comfortably: 64 dims × (10⁶)² ≈ 2^47 < 2^53 also keeps the double
+  * cast exact. Cosine = dot / (√|a|·√|b|) — IEEE sqrt/division are
+  * correctly rounded, so identical doubles on identical integers.
+  *
+  * Scale design: brute-force is O(queries × corpus) — fine for a bounded
+  * query set against any corpus (the corpus side streams; the query side
+  * broadcasts), wrong for all-pairs. The LSH path buckets both sides so
+  * candidate generation is linear, with multiprobe (hamming-1 buckets) to
+  * recover recall.
+  */
+object Similarity {
+
+  /** Quantize a float-array embedding to exact integers (×10⁶). */
+  def quantize(emb: Column): Column =
+    transform(emb, x => round(x.cast("double") * lit(1000000.0)).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (s, p) => s + p)
+
+  /** Euclidean norm of a quantized vector, as double. */
+  def normQ(a: Column): Column = sqrt(dotQ(a, a).cast("double"))
+
+  /** (id, qv, nrm) projection: quantized vector + precomputed norm, so
+    * the per-pair work in a join is one dot product, not three. */
+  def prepared(df: DataFrame, idCol: String, embCol: String): DataFrame =
+    df.select(col(idCol).as("id"), quantize(col(embCol)).as("qv"))
+      .withColumn("nrm", normQ(col("qv")))
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest
+    * corpus vectors (self excluded), ranked by (cosine desc, id).
+    * The query side is broadcast — the corpus never shuffles. */
+  def bruteForceTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("id").as("query_id"), col("qv").as("q_qv"), col("nrm").as("q_nrm"))
+    val c = corpus.select(col("id").as("neighbor_id"), col("qv").as("n_qv"), col("nrm").as("n_nrm"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(
+        col("query_id"), col("neighbor_id"),
+        (dotQ(col("q_qv"), col("n_qv")).cast("double") /
+          (col("q_nrm") * col("n_nrm"))).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
+  /** Embedding near-dup: pairs (a<b) with cosine ≥ threshold. All-pairs
+    * at test scale; compose with [[lshBucket]] blocking at 100 TB. */
+  def nearDupPairs(prep: DataFrame, threshold: Double): DataFrame = {
+    val a = prep.select(col("id").as("id_a"), col("qv").as("qv_a"), col("nrm").as("nrm_a"))
+    val b = prep.select(col("id").as("id_b"), col("qv").as("qv_b"), col("nrm").as("nrm_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dotQ(col("qv_a"), col("qv_b")).cast("double") /
+          (col("nrm_a") * col("nrm_b"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  // ---------------------------------------------------------------------
+  // LSH scale path (Spark-only surface; verified by recall spec, not SQL)
+  // ---------------------------------------------------------------------
+
+  /** Deterministic random hyperplanes: weight (p,d) derived from md5 of
+    * "p,d" — reproducible across runs and JVMs, no RNG state. */
+  def planes(numPlanes: Int, dim: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(numPlanes, dim) { (p, d) =>
+      val h = md.digest(s"$p,$d".getBytes("UTF-8"))
+      val v = ((h(0) & 0xff) << 16) | ((h(1) & 0xff) << 8) | (h(2) & 0xff)
+      (v % 2001 - 1000) / 1000.0
+    }
+  }
+
+  /** Random-hyperplane LSH bucket id in [0, 2^numPlanes): bit p is the
+    * sign of x·plane_p. Pure column expression — codegen, no UDF. */
+  def lshBucket(emb: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (w, p) =>
+      val lw = array(w.map(lit): _*)
+      val proj = aggregate(
+        zip_with(emb, lw, (x, wi) => x.cast("double") * wi),
+        lit(0.0), (s, v) => s + v)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Multiprobe bucket set: own bucket + all hamming-1 flips, as an
+    * array column to explode on the probe side. */
+  def probeBuckets(bucket: Column, numPlanes: Int): Column =
+    array(bucket +: (0 until numPlanes).map(p =>
+      bucket.bitwiseXOR(lit(1L << p))): _*)
+
+  /** Approximate top-k: queries probe their own + hamming-1 LSH buckets;
+    * candidates shuffle on bucket id (linear), exact cosine re-ranks.
+    * Recall tunes with numPlanes (fewer planes → bigger buckets →
+    * higher recall, more work). */
+  def annTopK(
+      queries: DataFrame, corpus: DataFrame, embCol: String,
+      k: Int, numPlanes: Int = 4): DataFrame = {
+    val ps = planes(numPlanes, 64)
+    val c = prepared(corpus, "id", embCol)
+      .withColumn("bucket", lshBucket(quantizeBack(col("qv")), ps))
+      .select(col("id").as("neighbor_id"), col("qv").as("n_qv"),
+        col("nrm").as("n_nrm"), col("bucket"))
+    val q = prepared(queries, "id", embCol)
+      .withColumn("bucket",
+        explode(probeBuckets(lshBucket(quantizeBack(col("qv")), ps), numPlanes)))
+      .select(col("id").as("query_id"), col("qv").as("q_qv"),
+        col("nrm").as("q_nrm"), col("bucket"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
+    c.join(q, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dotQ(col("q_qv"), col("n_qv")).cast("double") /
+          (col("q_nrm") * col("n_nrm"))).as("cosine"))
+      .groupBy("query_id", "neighbor_id").agg(max("cosine").as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
+  /** Undo quantization for plane projection (sign-preserving scale). */
+  private def quantizeBack(qv: Column): Column =
+    transform(qv, x => x.cast("double") / lit(1000000.0))
+}

@@ -1,0 +1,93 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, token counting, language ID, quality scoring, and
+  * document fingerprinting. Extension surface beyond the reference
+  * (SURVEY.md §7.2 step 6); exercised on `documents` fixtures.
+  *
+  * Everything is a pure column expression (whole-stage codegen, no UDFs),
+  * so at 100 TB these run as a single scan-project stage with no shuffle:
+  * per-document scores are embarrassingly parallel over input partitions.
+  *
+  * Determinism contract: all hashing goes through md5 hex (identical
+  * lowercase hex in Spark and DuckDB), and all ratios divide exact
+  * integers, so results are bit-identical to the SQL oracle.
+  */
+object TextAnalysis {
+
+  /** 48-bit deterministic hash: first 12 hex chars of md5, parsed base-16.
+    * Oracle twin: `CAST('0x' || substr(md5(x),1,12) AS BIGINT)`. */
+  def hex48(c: Column): Column =
+    conv(substring(md5(c), 1, 12), 16, 10).cast("long")
+
+  /** Whitespace tokenizer (fixture texts are single-space joined). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token count: word runs and individual punctuation marks,
+    * the usual pre-tokenizer regex shape. */
+  def bpeishCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("""\w+|[^\w\s]"""), lit(0)))
+
+  /** Tiny per-language stopword lists for the n-gram/stopword-hit
+    * language-ID heuristic. */
+  val enStop: Seq[String] = Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
+  val esStop: Seq[String] = Seq("el", "la", "de", "que", "y", "en", "un", "es")
+  val deStop: Seq[String] = Seq("der", "die", "das", "und", "ist", "von", "ein")
+
+  /** Number of tokens present in `words` (with multiplicity). */
+  def stopHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
+
+  /** Language ID by stopword-hit vote; ties break en > es > de, zero
+    * hits → "und". */
+  def langId(text: Column): Column = {
+    val t = tokens(text)
+    val en = stopHits(t, enStop)
+    val es = stopHits(t, esStop)
+    val de = stopHits(t, deStop)
+    when(en + es + de === 0, lit("und"))
+      .when(en >= es && en >= de, lit("en"))
+      .when(es >= de, lit("es"))
+      .otherwise(lit("de"))
+  }
+
+  /** Ratio of punctuation characters to total characters. */
+  def punctRatio(text: Column): Column =
+    size(regexp_extract_all(text, lit("""[^\w\s]"""), lit(0))).cast("double") /
+      length(text).cast("double")
+
+  /** Ratio of English stopword tokens to all tokens. */
+  def stopwordRatio(text: Column): Column =
+    stopHits(tokens(text), enStop).cast("double") / tokenCount(text).cast("double")
+
+  /** Mean token length, exact from single-space-joined text:
+    * (chars − separators) / tokens. */
+  def meanTokenLen(text: Column): Column =
+    (length(text) - (tokenCount(text) - 1)).cast("double") /
+      tokenCount(text).cast("double")
+
+  /** Composite quality score in [0,1]:
+    * 0.4·stopword_ratio + 0.3·min(tokens/100, 1) + 0.3·(1 − punct_ratio).
+    * Mirrored term-by-term in the oracle SQL so double arithmetic is
+    * evaluated in the identical order. */
+  def qualityScore(text: Column): Column =
+    lit(0.4) * stopwordRatio(text) +
+      lit(0.3) * least(tokenCount(text).cast("double") / lit(100.0), lit(1.0)) +
+      lit(0.3) * (lit(1.0) - punctRatio(text))
+
+  /** Document fingerprint: polynomial rolling hash over per-token 48-bit
+    * hashes, mod the Mersenne prime 2^31−1 (keeps every intermediate
+    * < 2^49, overflow-free in both engines).
+    * Oracle twin: `list_reduce(list_prepend(0::BIGINT, ...), (h,v) ->
+    * (h*31+v) % 2147483647)`. */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(tokens(text), t => hex48(t)),
+      lit(0L),
+      (h, v) => (h * lit(31L) + v) % lit(2147483647L))
+}

@@ -1,0 +1,330 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.ext.{Dedup, Similarity, TextAnalysis => TA}
+import graft.io.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The LLM-training-data extension surface (SURVEY.md §7.2 step 6):
+  * text analysis, dedup (exact / MinHash-LSH / Jaccard / SimHash), and
+  * similarity search, each oracle-checked against DuckDB.
+  *
+  * Parity notes (why these match bit-for-bit):
+  *   - all hashing is md5/sha256 hex — identical lowercase hex strings in
+  *     both engines; MinHash minimizes hex strings lexicographically;
+  *   - embeddings are quantized to BIGINT (×10⁶) so similarity is exact
+  *     integer arithmetic; cosine divides identical doubles;
+  *   - integer ratios (Jaccard, quality) divide exact BIGINTs;
+  *   - DuckDB SUM(BIGINT) returns HUGEINT — every oracle SUM over
+  *     integers is CAST back to BIGINT to keep int64 end-to-end.
+  */
+object ExtQueries {
+
+  // Near-dup corpus: documents plus a mutated copy (3 appended tokens) of
+  // every 20th doc — real near-duplicates with known ids (+10000).
+  private def dupCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id").as("id"), col("text"))
+    docs.unionByName(
+      Tables.documents(s, d)
+        .filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 10000).as("id"),
+          concat(col("text"), lit(" extra extra token")).as("text")))
+  }
+
+  private val dupCorpusSql =
+    """corpus AS (
+      |  SELECT doc_id AS id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000, text || ' extra extra token'
+      |  FROM documents WHERE doc_id % 20 = 0
+      |)""".stripMargin
+
+  // MinHash signature CTEs shared by x6/x7 oracles: 3-shingles × 12 seeds,
+  // 4 bands × 3 rows.
+  private val sigSqlCols =
+    (0 until 12).map(i => s"min(CASE WHEN seed = $i THEN h END) AS s$i").mkString(",\n    ")
+  private val bandSql =
+    (0 until 4).map { b =>
+      val cols = (b * 3 until b * 3 + 3).map(i => s"s$i").mkString(" || ',' || ")
+      s"SELECT id, $b AS band, md5($cols) AS bh FROM sig"
+    }.mkString("\n  UNION ALL ")
+  private val minhashCtes =
+    s"""$dupCorpusSql,
+       |toks AS (SELECT id, string_split(text, ' ') AS t FROM corpus),
+       |sh AS (
+       |  SELECT id, unnest(CASE WHEN len(t) - 2 >= 1
+       |    THEN list_transform(generate_series(1, len(t) - 2),
+       |                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+       |    ELSE [] END) AS sh
+       |  FROM toks),
+       |hs AS (
+       |  SELECT id, seed, md5(CAST(seed AS VARCHAR) || '|' || sh) AS h
+       |  FROM sh, (SELECT unnest(generate_series(0, 11)) AS seed) seeds),
+       |sig AS (
+       |  SELECT id,
+       |    $sigSqlCols
+       |  FROM hs GROUP BY id),
+       |bands AS (
+       |  $bandSql),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.id < b.id)""".stripMargin
+
+  private val enList = TA.enStop.map(w => s"'$w'").mkString("[", ",", "]")
+  private val esList = TA.esStop.map(w => s"'$w'").mkString("[", ",", "]")
+  private val deList = TA.deStop.map(w => s"'$w'").mkString("[", ",", "]")
+
+  // DuckDB twin of Similarity.dotQ over two quantized list columns.
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])), (s, p) -> s + p)"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------
+    // Text analysis
+    // ------------------------------------------------------------------
+    QueryDef(
+      "x1_token_stats",
+      (s, d) =>
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          TA.tokenCount(col("text")).as("n_tokens"),
+          TA.bpeishCount(col("text")).as("n_bpeish"),
+          length(col("text")).as("n_chars_calc"),
+          col("n_chars"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |       len(string_split(text, ' ')) AS n_tokens,
+             |       len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpeish,
+             |       length(text) AS n_chars_calc,
+             |       n_chars
+             |FROM documents ORDER BY doc_id""".stripMargin),
+    ),
+
+    QueryDef(
+      "x2_lang_id",
+      (s, d) =>
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          TA.langId(col("text")).as("lang_pred"),
+          col("lang").as("lang_actual"))
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              |  CASE WHEN en + es + de = 0 THEN 'und'
+              |       WHEN en >= es AND en >= de THEN 'en'
+              |       WHEN es >= de THEN 'es'
+              |       ELSE 'de' END AS lang_pred,
+              |  lang AS lang_actual
+              |FROM (
+              |  SELECT doc_id, lang,
+              |    len(list_filter(string_split(text,' '), t -> list_contains($enList, t))) AS en,
+              |    len(list_filter(string_split(text,' '), t -> list_contains($esList, t))) AS es,
+              |    len(list_filter(string_split(text,' '), t -> list_contains($deList, t))) AS de
+              |  FROM documents)
+              |ORDER BY doc_id""".stripMargin),
+    ),
+
+    QueryDef(
+      "x3_quality_score",
+      (s, d) =>
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          TA.stopwordRatio(col("text")).as("stopword_ratio"),
+          TA.punctRatio(col("text")).as("punct_ratio"),
+          TA.meanTokenLen(col("text")).as("mean_token_len"),
+          TA.qualityScore(col("text")).as("quality"))
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              |  CAST(en AS DOUBLE) / CAST(nt AS DOUBLE) AS stopword_ratio,
+              |  CAST(np AS DOUBLE) / CAST(nc AS DOUBLE) AS punct_ratio,
+              |  CAST(nc - (nt - 1) AS DOUBLE) / CAST(nt AS DOUBLE) AS mean_token_len,
+              |  0.4 * (CAST(en AS DOUBLE) / CAST(nt AS DOUBLE))
+              |    + 0.3 * least(CAST(nt AS DOUBLE) / 100.0, 1.0)
+              |    + 0.3 * (1.0 - CAST(np AS DOUBLE) / CAST(nc AS DOUBLE)) AS quality
+              |FROM (
+              |  SELECT doc_id,
+              |    len(string_split(text,' ')) AS nt,
+              |    length(text) AS nc,
+              |    len(regexp_extract_all(text, '[^\\w\\s]')) AS np,
+              |    len(list_filter(string_split(text,' '), t -> list_contains($enList, t))) AS en
+              |  FROM documents)
+              |ORDER BY doc_id""".stripMargin),
+    ),
+
+    QueryDef(
+      "x4_fingerprint",
+      (s, d) =>
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          TA.fingerprint(col("text")).as("fp"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  list_reduce(
+             |    list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(string_split(text,' '),
+             |        t -> CAST('0x' || substr(md5(t),1,12) AS BIGINT))),
+             |    (h, v) -> (h * 31 + v) % 2147483647) AS fp
+             |FROM documents ORDER BY doc_id""".stripMargin),
+    ),
+
+    // ------------------------------------------------------------------
+    // Dedup
+    // ------------------------------------------------------------------
+    QueryDef(
+      "x5_exact_dedup",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id").as("id"), col("text"))
+        val corpus = docs.unionByName(
+          Tables.documents(s, d).filter(col("doc_id") % 25 === 0)
+            .select((col("doc_id") + 20000).as("id"), col("text")))
+        Dedup.exactDups(corpus, "id", "text").orderBy("content_hash")
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id AS id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 20000, text FROM documents WHERE doc_id % 25 = 0
+             |)
+             |SELECT sha256(text) AS content_hash, min(id) AS keep_id,
+             |       count(*) AS n_copies
+             |FROM corpus GROUP BY 1 ORDER BY content_hash""".stripMargin),
+    ),
+
+    QueryDef(
+      "x6_minhash_lsh",
+      (s, d) => {
+        val sig = Dedup.minhashSignature(dupCorpus(s, d), "id", "text", n = 3, numHashes = 12)
+        Dedup.candidatePairs(Dedup.lshBands(sig, numHashes = 12, rowsPerBand = 3))
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH $minhashCtes
+              |SELECT id_a, id_b FROM cand ORDER BY id_a, id_b""".stripMargin),
+    ),
+
+    QueryDef(
+      "x7_jaccard_neardup",
+      (s, d) => {
+        val corpus = dupCorpus(s, d)
+        val sig = Dedup.minhashSignature(corpus, "id", "text", n = 3, numHashes = 12)
+        val pairs = Dedup.candidatePairs(Dedup.lshBands(sig, 12, 3))
+        Dedup.jaccardOnPairs(corpus, "id", "text", pairs, n = 3)
+          .filter(col("jaccard") >= 0.5)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH $minhashCtes,
+              |dsh AS (SELECT DISTINCT id, sh FROM sh),
+              |cnt AS (SELECT id, count(*) AS cnt FROM dsh GROUP BY id),
+              |inter AS (
+              |  SELECT c.id_a, c.id_b, count(*) AS inter
+              |  FROM cand c
+              |  JOIN dsh a ON a.id = c.id_a
+              |  JOIN dsh b ON b.id = c.id_b AND b.sh = a.sh
+              |  GROUP BY c.id_a, c.id_b)
+              |SELECT i.id_a, i.id_b,
+              |  CAST(i.inter AS DOUBLE) /
+              |    CAST(ca.cnt + cb.cnt - i.inter AS DOUBLE) AS jaccard
+              |FROM inter i
+              |JOIN cnt ca ON ca.id = i.id_a
+              |JOIN cnt cb ON cb.id = i.id_b
+              |WHERE CAST(i.inter AS DOUBLE) /
+              |      CAST(ca.cnt + cb.cnt - i.inter AS DOUBLE) >= 0.5
+              |ORDER BY id_a, id_b""".stripMargin),
+    ),
+
+    QueryDef(
+      "x8_simhash",
+      (s, d) => {
+        val sh = Dedup.simhash32(dupCorpus(s, d), "id", "text")
+        Dedup.simhashPairs(sh, maxDist = 3).orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH $dupCorpusSql,
+              |tok AS (SELECT id, unnest(string_split(text, ' ')) AS tok FROM corpus),
+              |bits AS (
+              |  SELECT id, j,
+              |    CAST(SUM(CASE WHEN substr(md5(tok), j + 1, 1)
+              |          IN ('8','9','a','b','c','d','e','f')
+              |        THEN 1 ELSE -1 END) AS BIGINT) AS votes
+              |  FROM tok, (SELECT unnest(generate_series(0, 31)) AS j) js
+              |  GROUP BY id, j),
+              |shh AS (
+              |  SELECT id,
+              |    CAST(SUM(CASE WHEN votes > 0
+              |        THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+              |  FROM bits GROUP BY id)
+              |SELECT a.id AS id_a, b.id AS id_b,
+              |       bit_count(xor(a.simhash, b.simhash)) AS hamming
+              |FROM shh a JOIN shh b ON a.id < b.id
+              |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+              |ORDER BY id_a, id_b""".stripMargin),
+    ),
+
+    // ------------------------------------------------------------------
+    // Similarity search
+    // ------------------------------------------------------------------
+    QueryDef(
+      "x9_cosine_topk",
+      (s, d) => {
+        val prep = Similarity.prepared(Tables.embeddings(s, d), "vec_id", "embedding")
+        val queries = prep.filter(col("id") < 8)
+        Similarity.bruteForceTopK(queries, prep, k = 5)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy("query_id", "rnk")
+      },
+      Some(s"""WITH prep AS (
+              |  SELECT vec_id AS id,
+              |    list_transform(embedding,
+              |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+              |  FROM embeddings),
+              |n AS (
+              |  SELECT id, qv,
+              |    sqrt(CAST(${dotSql("qv", "qv")} AS DOUBLE)) AS nrm
+              |  FROM prep),
+              |q AS (SELECT id AS query_id, qv AS q_qv, nrm AS q_nrm FROM n WHERE id < 8),
+              |scored AS (
+              |  SELECT query_id, n.id AS neighbor_id,
+              |    CAST(${dotSql("q_qv", "n.qv")} AS DOUBLE) / (q_nrm * n.nrm) AS cosine
+              |  FROM q, n WHERE n.id <> query_id),
+              |r AS (
+              |  SELECT query_id, neighbor_id, cosine,
+              |    ROW_NUMBER() OVER (PARTITION BY query_id
+              |                       ORDER BY cosine DESC, neighbor_id) AS rnk
+              |  FROM scored)
+              |SELECT query_id, rnk, neighbor_id, cosine
+              |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin),
+    ),
+
+    QueryDef(
+      "x10_embedding_neardup",
+      (s, d) => {
+        val base = Tables.embeddings(s, d)
+        val corpus = base.select(col("vec_id"), col("embedding"))
+          .unionByName(base.filter(col("vec_id") % 25 === 0)
+            .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+        Similarity.nearDupPairs(
+          Similarity.prepared(corpus, "vec_id", "embedding"), threshold = 0.99)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH corpus AS (
+              |  SELECT vec_id, embedding FROM embeddings
+              |  UNION ALL
+              |  SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id % 25 = 0),
+              |prep AS (
+              |  SELECT vec_id AS id,
+              |    list_transform(embedding,
+              |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+              |  FROM corpus),
+              |n AS (
+              |  SELECT id, qv,
+              |    sqrt(CAST(${dotSql("qv", "qv")} AS DOUBLE)) AS nrm
+              |  FROM prep),
+              |pairs AS (
+              |  SELECT a.id AS id_a, b.id AS id_b,
+              |    CAST(${dotSql("a.qv", "b.qv")} AS DOUBLE) / (a.nrm * b.nrm) AS cosine
+              |  FROM n a JOIN n b ON a.id < b.id)
+              |SELECT id_a, id_b, cosine FROM pairs
+              |WHERE cosine >= 0.99 ORDER BY id_a, id_b""".stripMargin),
+    ),
+  )
+}

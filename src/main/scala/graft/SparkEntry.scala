@@ -13,7 +13,8 @@ object SparkEntry {
   private val packs: Seq[QueryDef] =
     graft.queries.Dashboard.defs ++
       graft.queries.EtlQueries.defs ++
-      graft.queries.ExtQueries.defs
+      graft.queries.ExtQueries.defs ++
+      graft.queries.WindowQueries.defs
 
   private val (queryMap, oracleMap) = QueryDef.toMaps(packs)
 

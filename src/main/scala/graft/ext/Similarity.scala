@@ -111,14 +111,14 @@ object Similarity {
     * Recall tunes with numPlanes (fewer planes → bigger buckets →
     * higher recall, more work). */
   def annTopK(
-      queries: DataFrame, corpus: DataFrame, embCol: String,
+      queries: DataFrame, corpus: DataFrame, idCol: String, embCol: String,
       k: Int, numPlanes: Int = 4): DataFrame = {
     val ps = planes(numPlanes, 64)
-    val c = prepared(corpus, "id", embCol)
+    val c = prepared(corpus, idCol, embCol)
       .withColumn("bucket", lshBucket(quantizeBack(col("qv")), ps))
       .select(col("id").as("neighbor_id"), col("qv").as("n_qv"),
         col("nrm").as("n_nrm"), col("bucket"))
-    val q = prepared(queries, "id", embCol)
+    val q = prepared(queries, idCol, embCol)
       .withColumn("bucket",
         explode(probeBuckets(lshBucket(quantizeBack(col("qv")), ps), numPlanes)))
       .select(col("id").as("query_id"), col("qv").as("q_qv"),

@@ -1,0 +1,174 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.io.Tables
+import graft.streaming.EventStream
+import graft.util.Parity._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-function, event-time-window, and multi-dimensional grouping
+  * surface (SURVEY.md §7.2 step 6 round-out): per-group top-k, tumbling /
+  * sliding / session event-time windows (shared with the streaming
+  * module — same transform code runs on unbounded input), and
+  * rollup/cube.
+  *
+  * Ordering note: rollup/cube emit NULL group labels; Spark sorts NULLS
+  * FIRST on ASC, DuckDB NULLS LAST — both sides spell NULLS LAST
+  * explicitly.
+  */
+object WindowQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Per-group top-k — the window-function version of the dashboard's
+    // global ORDER BY+LIMIT top-k (SURVEY.md §2.5 note): top-3 parts by
+    // net revenue within each return flag.
+    QueryDef(
+      "w1_pergroup_topk",
+      (s, d) => {
+        val rev = Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"), col("l_partkey"))
+          .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+        val w = Window.partitionBy("l_returnflag")
+          .orderBy(desc("revenue"), col("l_partkey"))
+        rev.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select("l_returnflag", "rnk", "l_partkey", "revenue")
+          .orderBy("l_returnflag", "rnk")
+      },
+      Some(s"""WITH rev AS (
+              |  SELECT l_returnflag, l_partkey,
+              |         ${moneySumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+              |  FROM lineitem GROUP BY 1, 2),
+              |r AS (
+              |  SELECT l_returnflag, l_partkey, revenue,
+              |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+              |                       ORDER BY revenue DESC, l_partkey) AS rnk
+              |  FROM rev)
+              |SELECT l_returnflag, rnk, l_partkey, revenue
+              |FROM r WHERE rnk <= 3 ORDER BY l_returnflag, rnk""".stripMargin),
+    ),
+
+    // Tumbling 1-hour event-time windows — batch twin of
+    // EventStream.tumblingHourly (same transform function).
+    QueryDef(
+      "w2_tumbling_hourly",
+      (s, d) =>
+        EventStream.tumblingHourly(
+          Tables.events(s, d).withColumn("value",
+            col("value").cast("decimal(24,6)")))
+          .withColumn("total_value", col("total_value").cast("double"))
+          .orderBy("wstart", "event_type"),
+      Some(s"""SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
+              |       CAST(count(*) AS BIGINT) AS n,
+              |       ${moneySumSql("value")} AS total_value
+              |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin),
+    ),
+
+    // Sliding 1-hour windows every 30 minutes — each event lands in two
+    // windows; the oracle unnests the two anchored starts.
+    QueryDef(
+      "w3_sliding_hourly",
+      (s, d) =>
+        EventStream.slidingHourly(
+          Tables.events(s, d).withColumn("value",
+            col("value").cast("decimal(24,6)")))
+          .withColumn("total_value", col("total_value").cast("double"))
+          .orderBy("wstart", "event_type"),
+      Some(s"""SELECT wstart, event_type, CAST(count(*) AS BIGINT) AS n,
+              |       ${moneySumSql("value")} AS total_value
+              |FROM (
+              |  SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+              |                 time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTES
+              |                ]) AS wstart,
+              |         event_type, value
+              |  FROM events)
+              |GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin),
+    ),
+
+    // Session windows (5-minute gap) per user — batch twin of
+    // EventStream.userSessions; the oracle is the classic
+    // gaps-and-islands rewrite. Spark's session end = last event + gap,
+    // so last_ts = session_end − gap reconstructs the last event time.
+    // Spark merges at exactly the gap boundary (gap inclusive), so the
+    // oracle's new-session condition is strictly-greater-than.
+    QueryDef(
+      "w4_user_sessions",
+      (s, d) =>
+        EventStream.userSessions(
+          Tables.events(s, d).withColumn("value",
+            col("value").cast("decimal(24,6)")))
+          .withColumn("session_value", col("session_value").cast("double"))
+          .withColumn("last_ts", col("session_end") - expr("INTERVAL 5 MINUTES"))
+          .select("user_id", "session_start", "last_ts", "n_events", "session_value")
+          .orderBy("user_id", "session_start"),
+      Some(s"""WITH flagged AS (
+              |  SELECT user_id, ts, event_id, value,
+              |    CASE WHEN lag(ts) OVER w IS NULL
+              |           OR ts - lag(ts) OVER w > INTERVAL 5 MINUTES
+              |         THEN 1 ELSE 0 END AS new_s
+              |  FROM events
+              |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+              |g AS (
+              |  SELECT user_id, ts, value,
+              |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              |                     ROWS UNBOUNDED PRECEDING) AS sid
+              |  FROM flagged)
+              |SELECT user_id, min(ts) AS session_start, max(ts) AS last_ts,
+              |       CAST(count(*) AS BIGINT) AS n_events,
+              |       ${moneySumSql("value")} AS session_value
+              |FROM g GROUP BY user_id, sid
+              |ORDER BY user_id, session_start""".stripMargin),
+    ),
+
+    // ROLLUP over (returnflag, linestatus) with GROUPING indicators.
+    QueryDef(
+      "g1_rollup",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            moneySum(col("l_quantity")).as("sum_qty"),
+            moneySum(col("l_extendedprice")).as("sum_price"),
+            count(lit(1)).as("n"),
+            grouping(col("l_returnflag")).cast("int").as("g_rf"),
+            grouping(col("l_linestatus")).cast("int").as("g_ls"))
+          .orderBy(col("g_rf"), col("g_ls"),
+            col("l_returnflag").asc_nulls_last, col("l_linestatus").asc_nulls_last),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |       ${moneySumSql("l_quantity")} AS sum_qty,
+              |       ${moneySumSql("l_extendedprice")} AS sum_price,
+              |       CAST(count(*) AS BIGINT) AS n,
+              |       CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+              |       CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+              |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+              |ORDER BY g_rf, g_ls, l_returnflag ASC NULLS LAST,
+              |         l_linestatus ASC NULLS LAST""".stripMargin),
+    ),
+
+    // CUBE over the same dimensions (adds the per-linestatus margins).
+    QueryDef(
+      "g2_cube",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            moneySum(col("l_quantity")).as("sum_qty"),
+            count(lit(1)).as("n"),
+            grouping(col("l_returnflag")).cast("int").as("g_rf"),
+            grouping(col("l_linestatus")).cast("int").as("g_ls"))
+          .orderBy(col("g_rf"), col("g_ls"),
+            col("l_returnflag").asc_nulls_last, col("l_linestatus").asc_nulls_last),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |       ${moneySumSql("l_quantity")} AS sum_qty,
+              |       CAST(count(*) AS BIGINT) AS n,
+              |       CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+              |       CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+              |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+              |ORDER BY g_rf, g_ls, l_returnflag ASC NULLS LAST,
+              |         l_linestatus ASC NULLS LAST""".stripMargin),
+    ),
+  )
+}

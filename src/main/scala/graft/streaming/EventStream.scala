@@ -1,0 +1,124 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Event-time processing over the `events` stream (SURVEY.md §2.8).
+  *
+  * The reference's incremental loop is a hand-rolled micro-batch stream
+  * (watermark file + idempotent upsert, reference `src/run.py:142-152`);
+  * this module is the Structured Streaming expression of the same
+  * semantics: `withWatermark` bounds state exactly like the reference's
+  * cursor bounds re-fetch, and the windowed aggregations are the
+  * streaming twins of the dashboard's daily rollups.
+  *
+  * Every transform is a pure `DataFrame => DataFrame`, so the SAME code
+  * runs in batch (oracle-checked in [[graft.queries.WindowQueries]]) and
+  * on an unbounded stream (spec-checked with MemoryStream). That is the
+  * property that makes the engine's batch/streaming results consistent
+  * by construction — one logical plan, two execution modes.
+  *
+  * Scale notes: windowed aggs shuffle on (window, key) — state per key ×
+  * window is bounded by the watermark horizon; dropDuplicates state is
+  * bounded the same way. Nothing here keeps unbounded state.
+  */
+object EventStream {
+
+  /** events schema as stored (ts is TIMESTAMP(NANOS) in the fixture
+    * parquet — read as long then rebuilt, see [[graft.io.Tables.events]]). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos-as-long
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Unbounded file-source read of the events table; micro-batches pick
+    * up new files as they land (the streaming analogue of the
+    * reference's watermark-driven incremental fetch). */
+  def readStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Stream the directory with a glob filter: FileStreamSource requires a
+    // directory basePath (the fixture is a single events.parquet file).
+    spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling 1-hour counts/sums per event type. */
+  def tumblingHourly(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+      .select(col("window.start").as("wstart"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Sliding 1-hour windows every 30 minutes. */
+  def slidingHourly(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+      .select(col("window.start").as("wstart"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Session windows per user with a 5-minute inactivity gap. */
+  def userSessions(events: DataFrame, gap: String = "5 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("session_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("session_value"))
+
+  /** Watermarked variant for streaming: late data beyond `delay` is
+    * dropped and window state is reclaimed. */
+  def withEventWatermark(events: DataFrame, delay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", delay)
+
+  /** Streaming exact dedup by event_id with watermark-bounded state —
+    * the reference's idempotent re-ingest (delete-then-insert upsert)
+    * expressed as stream dedup. */
+  def dedupedStream(events: DataFrame, delay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", delay).dropDuplicatesWithinWatermark("event_id")
+
+  // ---------------------------------------------------------------------
+  // Custom state: running per-user counters via mapGroupsWithState
+  // ---------------------------------------------------------------------
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Running per-user totals with explicit state — the
+    * `mapGroupsWithState` surface for custom stateful logic that
+    * windowed aggs can't express. ProcessingTimeTimeout-free: state
+    * lives for the stream's lifetime, so use only for bounded key
+    * cardinality (per-user counters), not per-event keys. */
+  def runningUserTotals(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserRunning, UserRunning](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+          val batch = rows.toSeq
+          val next = UserRunning(uid, prev.n_events + batch.size,
+            prev.total_value + batch.map(_.value).sum)
+          state.update(next)
+          next
+      }
+      .toDF()
+  }
+
+  /** Start a memory-sink query for tests/demos. */
+  def startToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {
+    df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    ()
+  }
+}

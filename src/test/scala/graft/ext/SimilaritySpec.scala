@@ -1,0 +1,64 @@
+package graft.ext
+
+import graft.SparkTestSession
+import graft.io.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("quantized cosine of a vector with itself is 1.0") {
+    val prep = Similarity.prepared(Tables.embeddings(spark, sf), "vec_id", "embedding")
+    val self = prep.select(
+      (Similarity.dotQ(col("qv"), col("qv")).cast("double") /
+        (col("nrm") * col("nrm"))).as("c"))
+      .agg(min("c"), max("c")).head()
+    assert(math.abs(self.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(self.getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("brute-force top-k is symmetric-scored and self-free") {
+    val prep = Similarity.prepared(Tables.embeddings(spark, sf), "vec_id", "embedding").cache()
+    val topk = Similarity.bruteForceTopK(prep.filter(col("id") < 5), prep, k = 3)
+    val rows = topk.collect()
+    assert(rows.length == 15) // 5 queries × 3
+    assert(rows.forall(r => r.getLong(r.fieldIndex("query_id")) !=
+      r.getLong(r.fieldIndex("neighbor_id"))))
+    assert(rows.forall(r => math.abs(r.getDouble(r.fieldIndex("cosine"))) <= 1.0 + 1e-12))
+  }
+
+  test("ANN with multiprobe LSH reaches usable recall vs brute force") {
+    val emb = Tables.embeddings(spark, sf)
+    val prep = Similarity.prepared(emb, "vec_id", "embedding").cache()
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(
+      prep.filter(col("id") < 20), prep, k = 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.annTopK(queries, emb, "vec_id", "embedding", k = 5, numPlanes = 4)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    // 4 planes + hamming-1 multiprobe probes 5/16 of the space; random
+    // 64-dim embeddings are near-orthogonal so absolute recall is modest —
+    // the assertion pins that bucketing beats random candidate selection
+    // (which would give ~recall 0.31 of candidates × top-5 hit rate ≈ 0.05).
+    assert(recall >= 0.15, s"recall $recall")
+  }
+
+  test("embedding near-dup finds planted exact copies") {
+    val base = Tables.embeddings(spark, sf)
+    val corpus = base.select(col("vec_id"), col("embedding"))
+      .unionByName(base.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+    val dups = Similarity.nearDupPairs(
+      Similarity.prepared(corpus, "vec_id", "embedding"), 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = base.filter(col("vec_id") % 25 === 0)
+      .select("vec_id").collect().map(_.getLong(0))
+      .map(id => (id, id + 10000)).toSet
+    assert(planted.subsetOf(dups))
+  }
+}

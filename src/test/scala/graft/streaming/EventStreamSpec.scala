@@ -1,0 +1,109 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+class EventStreamSpec extends AnyFunSuite {
+  import EventStream.Event
+
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+  private implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private val batch1 = Seq(
+    Event(1L, ts("2024-01-01 00:05:00"), 1L, "click", 1.0),
+    Event(2L, ts("2024-01-01 00:20:00"), 1L, "click", 2.0),
+    Event(3L, ts("2024-01-01 01:10:00"), 2L, "view", 3.0))
+  private val batch2 = Seq(
+    Event(4L, ts("2024-01-01 01:40:00"), 2L, "view", 4.0),
+    Event(2L, ts("2024-01-01 00:20:00"), 1L, "click", 2.0)) // duplicate id
+
+  test("streaming tumbling agg equals the batch transform on same input") {
+    val mem = MemoryStream[Event]
+    val q = EventStream.tumblingHourly(mem.toDF())
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      mem.addData(batch1: _*)
+      mem.addData(batch2.head) // no dup here; dedup tested separately
+      q.processAllAvailable()
+      val streamed = spark.table("tumbling")
+        .orderBy("wstart", "event_type")
+        .collect().map(_.toSeq).toSeq
+      val batch = EventStream.tumblingHourly((batch1 :+ batch2.head).toDF())
+        .orderBy("wstart", "event_type")
+        .collect().map(_.toSeq).toSeq
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("session windows merge events within the gap and split beyond it") {
+    val events = Seq(
+      Event(1L, ts("2024-01-01 00:00:00"), 1L, "a", 1.0),
+      Event(2L, ts("2024-01-01 00:04:00"), 1L, "a", 1.0), // 4 min gap: same session
+      Event(3L, ts("2024-01-01 00:09:30"), 1L, "a", 1.0), // 5.5 min gap: new session
+      Event(4L, ts("2024-01-01 00:14:30"), 1L, "a", 1.0)  // exactly 5 min: merges (gap is inclusive)
+    ).toDF()
+    val got = EventStream.userSessions(events)
+      .orderBy("session_start")
+      .select("session_start", "n_events")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1))).toSeq
+    assert(got == Seq(
+      ("2024-01-01 00:00:00.0", 2L),
+      ("2024-01-01 00:09:30.0", 2L)))
+  }
+
+  test("dropDuplicatesWithinWatermark removes re-delivered event ids") {
+    val mem = MemoryStream[Event]
+    val q = EventStream.dedupedStream(mem.toDF())
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*) // re-delivers event_id=2
+      q.processAllAvailable()
+      val ids = spark.table("deduped").select("event_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L, 4L))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState keeps running per-user totals across batches") {
+    val mem = MemoryStream[Event]
+    val q = EventStream.runningUserTotals(spark, mem.toDF())
+      .writeStream.format("memory").queryName("running")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2.head)
+      q.processAllAvailable()
+      // last update per user wins
+      val last = spark.table("running")
+        .groupBy("user_id")
+        .agg(org.apache.spark.sql.functions.max("n_events").as("n"),
+          org.apache.spark.sql.functions.max("total_value").as("v"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+      assert(last == Seq((1L, 2L, 3.0), (2L, 2L, 7.0)))
+    } finally q.stop()
+  }
+
+  test("file-source stream over the fixture events dir runs end-to-end") {
+    val stream = EventStream.readStream(spark, "/root/testdata/sf0.001")
+    assert(stream.isStreaming)
+    val q = EventStream.tumblingHourly(EventStream.withEventWatermark(stream))
+      .writeStream.format("memory").queryName("fixture_tumbling")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      // append mode emits only watermark-closed windows; all but the last
+      // hour of the fixture should be final
+      assert(spark.table("fixture_tumbling").count() > 0)
+    } finally q.stop()
+  }
+}

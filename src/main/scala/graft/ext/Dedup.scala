@@ -49,36 +49,60 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Exploded (id, seed, md5(seed|shingle)) for MinHash; one row per
-    * shingle × seed. numHashes stays small (12) so the blow-up is
-    * bounded; the subsequent min-agg is a map-side-combinable groupBy. */
-  private def hashedShingles(
-      df: DataFrame, idCol: String, textCol: String,
-      n: Int, numHashes: Int): DataFrame =
-    df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
-      .select(col("id"), col("sh"), explode(sequence(lit(0), lit(numHashes - 1))).as("seed"))
-      .select(col("id"), col("seed"),
-        md5(concat(col("seed").cast("string"), lit("|"), col("sh"))).as("h"))
+  /** MinHash prime modulus (2³¹−1) for the universal-hash family. */
+  val MinhashP: Long = 2147483647L
+
+  /** Deterministic (aᵢ, bᵢ) universal-hash parameters per MinHash seed,
+    * derived from md5 so they are reproducible constants shared with the
+    * oracle SQL: aᵢ odd < 2²⁵, bᵢ < P. With the 32-bit shingle base hash
+    * this keeps aᵢ·h₀+bᵢ < 2⁵⁸ — exact in int64 in both engines (DuckDB
+    * raises on BIGINT overflow; Spark would wrap — neither happens). */
+  def hashParams(numHashes: Int): IndexedSeq[(Long, Long)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until numHashes).map { i =>
+      val h = md.digest(s"minhash-$i".getBytes("UTF-8"))
+      def u(b: Byte): Long = b & 0xffL
+      val a = (((u(h(0)) << 16) | (u(h(1)) << 8) | u(h(2))) << 1) | 1L
+      val b0 = ((u(h(3)) << 24) | (u(h(4)) << 16) | (u(h(5)) << 8) | u(h(6))) % MinhashP
+      (a, b0)
+    }
+  }
+
+  /** 32-bit base hash of a shingle: first 8 hex chars of md5. One md5 per
+    * shingle — the per-seed hashes derive arithmetically from this. */
+  def shingleHash32(sh: Column): Column =
+    conv(substring(md5(sh), 1, 8), 16, 10).cast("long")
+
+  /** 60-bit shingle hash (15 hex chars of md5) — collision-safe identity
+    * for set operations over shingles (Jaccard), cheaper to shuffle than
+    * the shingle strings themselves. */
+  def shingleHash60(sh: Column): Column =
+    conv(substring(md5(sh), 1, 15), 16, 10).cast("long")
 
   /** MinHash signature, one row per document, columns s0..s{numHashes-1}.
-    * min(CASE WHEN seed=i THEN h END) keeps the aggregation a single
-    * map-side-combinable pass (no pivot shuffle). */
+    * One md5 per shingle, then the numHashes mins are computed as
+    * (aᵢ·h₀+bᵢ) mod P aggregates over the SAME rows — no seed explode,
+    * single map-side-combinable groupBy pass. */
   def minhashSignature(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, numHashes: Int = 12): DataFrame =
-    hashedShingles(df, idCol, textCol, n, numHashes)
+      n: Int = 3, numHashes: Int = 12): DataFrame = {
+    val params = hashParams(numHashes)
+    val aggs = params.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("h0") + lit(b)) % lit(MinhashP)).as(s"s$i")
+    }
+    df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
+      .select(col("id"), shingleHash32(col("sh")).as("h0"))
       .groupBy("id")
-      .agg(
-        min(when(col("seed") === 0, col("h"))).as("s0"),
-        (1 until numHashes).map(i =>
-          min(when(col("seed") === i, col("h"))).as(s"s$i")): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
 
   /** LSH banding: r signature rows per band, band key = md5 of the
     * comma-joined slice. Output (id, band, bh). */
   def lshBands(sig: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
     val numBands = numHashes / rowsPerBand
     val bandCols = (0 until numBands).map { b =>
-      val slice = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"s$i"))
+      val slice = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => col(s"s$i").cast("string"))
       struct(lit(b).as("band"), md5(concat_ws(",", slice: _*)).as("bh"))
     }
     sig.select(col("id"), explode(array(bandCols: _*)).as("x"))
@@ -97,12 +121,19 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard for given pairs: |A∩B| / |A∪B| over DISTINCT
-    * shingles. Runs only on LSH candidates — the scale path. */
+    * shingles, identified by their 60-bit hash — set semantics are
+    * preserved (md5-prefix collisions are negligible and deterministic in
+    * both engines) while the intersection join shuffles 8-byte keys
+    * instead of shingle strings. Runs only on LSH candidates — the scale
+    * path. The shingle set is persisted: it feeds the per-doc counts and
+    * both sides of the intersection join (the CTE-materialization DuckDB
+    * gets for free). */
   def jaccardOnPairs(
       df: DataFrame, idCol: String, textCol: String,
       pairs: DataFrame, n: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
-      .distinct()
+    val sh = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("s"))
+      .select(col("id"), shingleHash60(col("s")).as("sh"))
+      .distinct().persist()
     val counts = sh.groupBy("id").agg(count(lit(1)).as("cnt"))
     val inter = pairs
       .join(sh.select(col("id").as("id_a"), col("sh")), "id_a")

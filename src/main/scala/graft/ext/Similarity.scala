@@ -29,9 +29,12 @@ object Similarity {
   def quantize(emb: Column): Column =
     transform(emb, x => round(x.cast("double") * lit(1000000.0)).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors — a native
+    * codegen expression ([[graft.functions.LongDotProduct]]): the
+    * built-in `aggregate(zip_with(...))` spelling interprets the lambda
+    * per element, which dominates all-pairs similarity joins. */
   def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (s, p) => s + p)
+    graft.functions.LongDotProduct(a, b)
 
   /** Euclidean norm of a quantized vector, as double. */
   def normQ(a: Column): Column = sqrt(dotQ(a, a).cast("double"))

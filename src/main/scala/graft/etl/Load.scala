@@ -53,19 +53,27 @@ object Load {
       path: String,
       incoming: DataFrame,
       keys: Seq[String]): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val target = new org.apache.hadoop.fs.Path(path)
+    // getFileSystem on the path (not FileSystem.get(conf)) so non-default
+    // scheme paths (s3a://, hdfs://...) resolve to the right FS.
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staged = new org.apache.hadoop.fs.Path(path + "._staged")
+    val old = new org.apache.hadoop.fs.Path(path + "._old")
+    // Crash recovery: the swap below moves target→old then staged→target,
+    // so "target missing + old present" means a previous run died between
+    // the two renames — roll the old table back before proceeding. Any
+    // leftover staging dir is from an incomplete write and is discarded.
+    if (!fs.exists(target) && fs.exists(old)) fs.rename(old, target)
+    if (fs.exists(staged)) fs.delete(staged, true)
     if (!fs.exists(target)) {
       incoming.write.mode(SaveMode.ErrorIfExists).parquet(path)
       return
     }
-    val staged = new org.apache.hadoop.fs.Path(path + "._staged")
     val existing = spark.read.parquet(path)
     upsert(existing, incoming, keys).write.mode(SaveMode.Overwrite)
       .parquet(staged.toString)
-    // Re-read from staging (breaks lineage on the old files), then swap.
-    val old = new org.apache.hadoop.fs.Path(path + "._old")
+    // Swap. The old table is kept until the staged rename succeeds, so
+    // every intermediate state is recoverable (see rollback above).
     if (fs.exists(old)) fs.delete(old, true)
     fs.rename(target, old)
     fs.rename(staged, target)

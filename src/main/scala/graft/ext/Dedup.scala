@@ -19,9 +19,12 @@ import org.apache.spark.sql.functions._
   *     scale the oracle mirrors this exactly; nothing all-pairs leaves
   *     test scale.
   *
-  * Determinism contract: MinHash uses the lexicographic MIN of md5 hex
-  * strings (identical in Spark and DuckDB — lowercase hex, ASCII order);
-  * band keys are md5 over comma-joined signature slices.
+  * Determinism contract: the MinHash base hash is the first 8 md5 hex
+  * chars of the shingle read as int64; per-seed hashes are the universal
+  * family (aᵢ·h0+bᵢ) mod (2³¹−1) with (aᵢ,bᵢ) derived from md5 constants
+  * ([[hashParams]]) — all exactly reproducible in DuckDB SQL, so oracle
+  * signatures match value-for-value. Band keys are md5 over comma-joined
+  * signature slices.
   */
 object Dedup {
 

@@ -112,11 +112,21 @@ object Similarity {
   /** Approximate top-k: queries probe their own + hamming-1 LSH buckets;
     * candidates shuffle on bucket id (linear), exact cosine re-ranks.
     * Recall tunes with numPlanes (fewer planes → bigger buckets →
-    * higher recall, more work). */
+    * higher recall, more work).
+    *
+    * `dim` is the embedding dimensionality; pass it explicitly or leave 0
+    * to derive it from the first corpus row (one tiny setup job). Getting
+    * it wrong is not a silent degradation: a short plane vector would
+    * null-pad every projection and collapse all buckets to one, so the
+    * derivation/explicit parameter is load-bearing. */
   def annTopK(
       queries: DataFrame, corpus: DataFrame, idCol: String, embCol: String,
-      k: Int, numPlanes: Int = 4): DataFrame = {
-    val ps = planes(numPlanes, 64)
+      k: Int, numPlanes: Int = 4, dim: Int = 0): DataFrame = {
+    val d0 =
+      if (dim > 0) dim
+      else corpus.select(size(col(embCol)).as("d")).head().getInt(0)
+    require(d0 > 0, s"annTopK: could not determine embedding dimension (got $d0)")
+    val ps = planes(numPlanes, d0)
     val c = prepared(corpus, idCol, embCol)
       .withColumn("bucket", lshBucket(quantizeBack(col("qv")), ps))
       .select(col("id").as("neighbor_id"), col("qv").as("n_qv"),

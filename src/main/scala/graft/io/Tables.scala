@@ -26,7 +26,15 @@ object Tables {
   /** events.parquet stores ts as parquet TIMESTAMP(NANOS), which Spark's
     * vectorized reader rejects. Read it as long nanos (legacy conf) and
     * rebuild a microsecond TimestampType column — integer `div`, not `/`
-    * (double division would lose precision above 2^53). */
+    * (double division would lose precision above 2^53).
+    *
+    * `spark.sql.legacy.parquet.nanosAsLong=true` is an engine-wide pinned
+    * conf: the graft session builders (Verify/Bench/tests) set it at
+    * construction, and it is re-asserted here so externally-built sessions
+    * work too. Documented consequence: any TIMESTAMP(NANOS) parquet read
+    * in a graft session surfaces as BIGINT nanos — by design, there is no
+    * lossless TimestampType for nanos, and the engine always rebuilds an
+    * explicit micros column as below. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(s, d, "events")

@@ -40,10 +40,17 @@ object ExtQueries {
       |  FROM documents WHERE doc_id % 20 = 0
       |)""".stripMargin
 
-  // MinHash signature CTEs shared by x6/x7 oracles: 3-shingles × 12 seeds,
-  // 4 bands × 3 rows.
+  // MinHash signature CTEs shared by x6/x7 oracles: 3-shingles, 12 hashes,
+  // 4 bands × 3 rows. The hash family is IDENTICAL to the Spark side
+  // (Dedup.minhashSignature): h0 = first 8 md5 hex chars of the shingle as
+  // int64, then min((aᵢ·h0+bᵢ) mod P) with the same deterministic (aᵢ,bᵢ)
+  // constants from Dedup.hashParams — so signatures (hence bands, hence
+  // candidate pairs) match value-for-value across engines, not just in
+  // which near-dups they surface.
   private val sigSqlCols =
-    (0 until 12).map(i => s"min(CASE WHEN seed = $i THEN h END) AS s$i").mkString(",\n    ")
+    Dedup.hashParams(12).zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a * h0 + $b) % ${Dedup.MinhashP}) AS s$i"
+    }.mkString(",\n    ")
   private val bandSql =
     (0 until 4).map { b =>
       val cols = (b * 3 until b * 3 + 3).map(i => s"s$i").mkString(" || ',' || ")
@@ -59,8 +66,7 @@ object ExtQueries {
        |    ELSE [] END) AS sh
        |  FROM toks),
        |hs AS (
-       |  SELECT id, seed, md5(CAST(seed AS VARCHAR) || '|' || sh) AS h
-       |  FROM sh, (SELECT unnest(generate_series(0, 11)) AS seed) seeds),
+       |  SELECT id, CAST('0x' || substr(md5(sh), 1, 8) AS BIGINT) AS h0 FROM sh),
        |sig AS (
        |  SELECT id,
        |    $sigSqlCols

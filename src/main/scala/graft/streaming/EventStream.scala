@@ -40,6 +40,8 @@ object EventStream {
     * up new files as they land (the streaming analogue of the
     * reference's watermark-driven incremental fetch). */
   def readStream(spark: SparkSession, dir: String): DataFrame = {
+    // Engine-wide pinned conf (set at session construction by the graft
+    // builders; re-asserted for foreign sessions) — see Tables.events.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Stream the directory with a glob filter: FileStreamSource requires a
     // directory basePath (the fixture is a single events.parquet file).

@@ -12,9 +12,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warmup pass at the smallest SF: exercises every query's codegen +
+    // JIT paths so the timed pass below measures steady-state plan cost,
+    // not one-time JVM compilation (cold-vs-warm differs 3-10× per query).
+    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0") {
+      val warmDir = "/root/testdata/sf0.001"
+      if (new java.io.File(warmDir).isDirectory)
+        SparkEntry.queries.foreach { case (_, fn) =>
+          try { fn(spark, warmDir).count(); () } catch { case _: Throwable => }
+        }
+    }
+    spark.catalog.clearCache() // drop warmup-persisted frames
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      spark.catalog.clearCache() // queries are timed self-contained
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

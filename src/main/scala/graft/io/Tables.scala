@@ -21,6 +21,15 @@ object Tables {
   def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
+  // NOTE on parallelism: the fixture facts are single-file single-row-group
+  // parquet, so the scan stage is one task. Measured at sf0.1, fanning them
+  // out (repartition before the fused filter/agg) LOSES: the shuffle write
+  // is itself single-threaded and costs as much as the scan-side partial
+  // aggregation it would parallelize. The guard therefore applies only to
+  // compute-heavy per-row pipelines (hashing/shingling/vector math — see
+  // Dedup.tokenized, Similarity.prepared, events below), where per-row work
+  // dwarfs one row's shuffle cost. At scale the question disappears: many
+  // files/row groups parallelize the scan natively.
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
   /** events.parquet stores ts as parquet TIMESTAMP(NANOS), which Spark's
@@ -37,7 +46,7 @@ object Tables {
     * explicit micros column as below. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
+    graft.util.Partitioning.fanOut(table(s, d, "events"))
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")

@@ -212,10 +212,12 @@ object ExtQueries {
     QueryDef(
       "x7_jaccard_neardup",
       (s, d) => {
-        val corpus = dupCorpus(s, d)
-        val sig = Dedup.minhashSignature(corpus, "id", "text", n = 3, numHashes = 12)
+        // One tokenize→shingle→md5 pass feeds BOTH the MinHash signatures
+        // and the Jaccard shingle sets (persisted, scanned once).
+        val m = Dedup.shingleMd5(dupCorpus(s, d), "id", "text", n = 3).persist()
+        val sig = Dedup.minhashSignatureFromMd5(m, numHashes = 12)
         val pairs = Dedup.candidatePairs(Dedup.lshBands(sig, 12, 3))
-        Dedup.jaccardOnPairs(corpus, "id", "text", pairs, n = 3)
+        Dedup.jaccardOnPairsFromMd5(m, pairs)
           .filter(col("jaccard") >= 0.5)
           .orderBy("id_a", "id_b")
       },

@@ -14,7 +14,8 @@ object SparkEntry {
     graft.queries.Dashboard.defs ++
       graft.queries.EtlQueries.defs ++
       graft.queries.ExtQueries.defs ++
-      graft.queries.WindowQueries.defs
+      graft.queries.WindowQueries.defs ++
+      graft.queries.MultimodalQueries.defs
 
   private val (queryMap, oracleMap) = QueryDef.toMaps(packs)
 

@@ -1,0 +1,186 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns for training-data pipelines: image/audio/video as
+  * opaque BINARY payloads with typed metadata, plus the per-batch decode /
+  * feature-extract / resize / frame-sample operators a 100 TB media
+  * pipeline needs. Extension surface beyond the reference (the reference
+  * is relational-only; see SURVEY.md §7.2 step 6 and BASELINE.json north
+  * star).
+  *
+  * == What is real vs stubbed ==
+  * The Spark-side plumbing is REAL and what actually matters at scale:
+  * the media schema (binary payload + metadata struct), the typed
+  * `mapPartitions` batch shape (one iterator per partition — the Scala
+  * analogue of `mapInPandas`, amortizing per-batch setup like a decoder
+  * context across rows), partition-preserving execution (no shuffle for
+  * per-item media ops), and the column pruning that keeps payload bytes
+  * OUT of shuffles (operators project metadata/features, never raw bytes,
+  * after the decode stage).
+  *
+  * The DECODE ITSELF is a clearly-marked deterministic STUB
+  * ([[StubCodec]]): this container has no image/audio libraries, so
+  * "decoding" interprets payload bytes as grayscale pixels / PCM samples
+  * directly. Swapping in a real codec changes ONE function (the
+  * byte→sample interpretation), none of the distributed plumbing.
+  *
+  * Determinism contract: payloads are derived from document text via md5
+  * (16 exact bytes), so every derived statistic is exact integer/double
+  * arithmetic mirrored by the DuckDB oracle hex-pair by hex-pair.
+  */
+object Multimodal {
+
+  /** Typed metadata carried next to the opaque payload. */
+  case class MediaMeta(kind: String, width: Int, height: Int, nFrames: Int)
+
+  /** A media row: opaque bytes + typed metadata. */
+  case class MediaItem(doc_id: Long, payload: Array[Byte], meta: MediaMeta)
+
+  /** Decoded "image": row-major grayscale pixels in [0,255]. */
+  case class DecodedImage(doc_id: Long, width: Int, height: Int, pixels: Array[Int])
+
+  /** Per-image features (the embarrassingly-parallel map stage that at
+    * 100 TB replaces the payload with a few floats before any shuffle). */
+  case class ImageFeatures(doc_id: Long, n_px: Int, mean_px: Double,
+                           min_px: Int, max_px: Int)
+
+  /** A sampled frame: which frame, and its payload slice hash for
+    * downstream exact-dedup of frames. */
+  case class Frame(doc_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
+
+  // -------------------------------------------------------------------
+  // STUB CODEC — deterministic fake standing in for libjpeg/ffmpeg.
+  // -------------------------------------------------------------------
+
+  /** Deterministic stand-in for a real media codec. Real systems would
+    * call into a native decoder here; the container has none, so bytes
+    * ARE the samples. The interpretation is fixed and documented so the
+    * DuckDB oracle reproduces it exactly. */
+  object StubCodec {
+    /** "Decode" a grayscale image: pixel i = unsigned payload byte
+      * (i mod payload.length), for width×height pixels. */
+    def decodeImage(payload: Array[Byte], width: Int, height: Int): Array[Int] = {
+      val n = width * height
+      val out = new Array[Int](n)
+      var i = 0
+      while (i < n) { out(i) = payload(i % payload.length) & 0xff; i += 1 }
+      out
+    }
+  }
+
+  // -------------------------------------------------------------------
+  // Media table construction (fixture-deterministic)
+  // -------------------------------------------------------------------
+
+  /** Build the media table from the documents fixture: payload = the 16
+    * md5 bytes of the text (an opaque deterministic blob), metadata kind
+    * rotates image/audio/video. This is the column-level contract a real
+    * ingest (S3 object fetch, tar shard explode) would produce. */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    graft.util.Partitioning.fanOut(docs).select(
+      col("doc_id"),
+      unhex(md5(col("text"))).as("payload"),
+      struct(
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        lit(4).as("width"),
+        lit(4).as("height"),
+        (col("doc_id") % 4 + 1).cast("int").as("nFrames")).as("meta"))
+
+  // -------------------------------------------------------------------
+  // Operators — typed mapPartitions pipelines (mapInPandas analogue)
+  // -------------------------------------------------------------------
+
+  /** Decode stage: one codec context per PARTITION (not per row) — the
+    * batch shape that makes real decoders affordable. Output drops the
+    * payload: downstream stages shuffle pixels/features, never raw media. */
+  def decodeImages(spark: SparkSession, media: Dataset[MediaItem]): Dataset[DecodedImage] = {
+    import spark.implicits._
+    media.mapPartitions { items =>
+      // Real codec: initialize native decoder HERE, once per batch.
+      items.map { m =>
+        DecodedImage(m.doc_id, m.meta.width, m.meta.height,
+          StubCodec.decodeImage(m.payload, m.meta.width, m.meta.height))
+      }
+    }
+  }
+
+  /** Feature extraction over decoded images: per-item stats, no shuffle.
+    * At 100 TB this is the stage that shrinks each item from megabytes of
+    * payload to a handful of doubles before anything wide happens. */
+  def imageFeatures(spark: SparkSession, decoded: Dataset[DecodedImage]): Dataset[ImageFeatures] = {
+    import spark.implicits._
+    decoded.map { d =>
+      val px = d.pixels
+      var sum = 0L; var mn = 255; var mx = 0
+      var i = 0
+      while (i < px.length) {
+        sum += px(i); if (px(i) < mn) mn = px(i); if (px(i) > mx) mx = px(i)
+        i += 1
+      }
+      ImageFeatures(d.doc_id, px.length, sum.toDouble / px.length, mn, mx)
+    }
+  }
+
+  /** Resize by integer-factor average pooling (e.g. 4×4 → 2×2 with
+    * factor 2): each output pixel is the floor mean of its factor×factor
+    * block. Partition-preserving map, exact integer arithmetic. */
+  def resize(spark: SparkSession, decoded: Dataset[DecodedImage], factor: Int): Dataset[DecodedImage] = {
+    import spark.implicits._
+    decoded.map { d =>
+      val w2 = d.width / factor; val h2 = d.height / factor
+      val out = new Array[Int](w2 * h2)
+      var y = 0
+      while (y < h2) {
+        var x = 0
+        while (x < w2) {
+          var acc = 0
+          var dy = 0
+          while (dy < factor) {
+            var dx = 0
+            while (dx < factor) {
+              acc += d.pixels((y * factor + dy) * d.width + (x * factor + dx))
+              dx += 1
+            }
+            dy += 1
+          }
+          out(y * w2 + x) = acc / (factor * factor)
+          x += 1
+        }
+        y += 1
+      }
+      DecodedImage(d.doc_id, w2, h2, out)
+    }
+  }
+
+  /** Frame sampling for video payloads: split the payload into
+    * meta.nFrames equal byte blocks and emit every `stride`-th frame.
+    * flatMap shape (1 item → 0..n frames) — the media twin of the
+    * reference's order→line_items explode. */
+  def sampleFrames(spark: SparkSession, media: Dataset[MediaItem], stride: Int): Dataset[Frame] = {
+    import spark.implicits._
+    media.flatMap { m =>
+      val n = m.meta.nFrames
+      val block = m.payload.length / n
+      (0 until n by stride).iterator.map { f =>
+        Frame(m.doc_id, f, m.payload.slice(f * block, (f + 1) * block))
+      }
+    }
+  }
+
+  /** DataFrame spelling of the media table as typed Dataset[MediaItem]. */
+  def asMediaItems(spark: SparkSession, media: DataFrame): Dataset[MediaItem] = {
+    import spark.implicits._
+    media.select(
+      col("doc_id"),
+      col("payload"),
+      col("meta.kind").as("kind"),
+      col("meta.width").as("width"),
+      col("meta.height").as("height"),
+      col("meta.nFrames").as("nFrames"))
+      .as[(Long, Array[Byte], String, Int, Int, Int)]
+      .map { case (id, p, k, w, h, f) => MediaItem(id, p, MediaMeta(k, w, h, f)) }
+  }
+}

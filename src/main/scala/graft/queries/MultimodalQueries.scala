@@ -1,0 +1,124 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.ext.Multimodal
+import graft.io.Tables
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked surface for the multimodal column operators
+  * ([[graft.ext.Multimodal]]): media table construction, the typed
+  * decode→feature pipeline, average-pool resize, and frame sampling.
+  *
+  * The Spark side runs the REAL typed mapPartitions/map/flatMap pipeline
+  * over BINARY payloads (the production batch shape); the DuckDB twin
+  * reproduces the deterministic stub-codec arithmetic hex-pair by
+  * hex-pair from md5(text), so values match exactly. Byte i (0-based) of
+  * the payload is `CAST('0x' || substr(md5(text), 2i+1, 2) AS BIGINT)`.
+  */
+object MultimodalQueries {
+
+  /** SQL for payload byte i (0-based) as BIGINT. */
+  private def b(i: Int): String = s"CAST('0x' || substr(md5(text), ${2 * i + 1}, 2) AS BIGINT)"
+
+  /** SQL for a factor-2 average-pooled output pixel of the 4×4 image. */
+  private def pool(y: Int, x: Int): String = {
+    val i1 = (2 * y) * 4 + 2 * x
+    val i3 = (2 * y + 1) * 4 + 2 * x
+    s"CAST((${b(i1)} + ${b(i1 + 1)} + ${b(i3)} + ${b(i3 + 1)}) // 4 AS INT)"
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // M1 — media table: opaque binary payload + typed metadata columns.
+    QueryDef(
+      "m1_media_meta",
+      (s, d) =>
+        Multimodal.mediaFromDocuments(Tables.documents(s, d))
+          .select(
+            col("doc_id"),
+            col("meta.kind").as("kind"),
+            col("meta.width").as("width"),
+            col("meta.height").as("height"),
+            col("meta.nFrames").as("n_frames"),
+            length(col("payload")).as("n_bytes"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+             |  CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
+             |  CAST(doc_id % 4 + 1 AS INT) AS n_frames,
+             |  octet_length(unhex(md5(text))) AS n_bytes
+             |FROM documents ORDER BY doc_id""".stripMargin),
+    ),
+
+    // M2 — decode (stub codec) + per-image feature extraction through the
+    // typed mapPartitions pipeline; features only, payload never shuffles.
+    QueryDef(
+      "m2_image_features",
+      (s, d) => {
+        val items = Multimodal.asMediaItems(
+          s, Multimodal.mediaFromDocuments(Tables.documents(s, d)))
+        Multimodal.imageFeatures(s, Multimodal.decodeImages(s, items))
+          .toDF().orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, CAST(16 AS INT) AS n_px,
+              |  CAST(list_sum(list_transform(generate_series(1,16),
+              |    i -> CAST('0x' || substr(md5(text), 2*i-1, 2) AS BIGINT))) AS DOUBLE)
+              |    / CAST(16 AS DOUBLE) AS mean_px,
+              |  CAST(list_min(list_transform(generate_series(1,16),
+              |    i -> CAST('0x' || substr(md5(text), 2*i-1, 2) AS BIGINT))) AS INT) AS min_px,
+              |  CAST(list_max(list_transform(generate_series(1,16),
+              |    i -> CAST('0x' || substr(md5(text), 2*i-1, 2) AS BIGINT))) AS INT) AS max_px
+              |FROM documents ORDER BY doc_id""".stripMargin),
+    ),
+
+    // M3 — integer average-pool resize 4×4 → 2×2 through the typed path.
+    QueryDef(
+      "m3_resize_pool",
+      (s, d) => {
+        val items = Multimodal.asMediaItems(
+          s, Multimodal.mediaFromDocuments(Tables.documents(s, d)))
+        Multimodal.resize(s, Multimodal.decodeImages(s, items), factor = 2)
+          .toDF()
+          .select(
+            col("doc_id"),
+            element_at(col("pixels"), 1).as("p00"),
+            element_at(col("pixels"), 2).as("p01"),
+            element_at(col("pixels"), 3).as("p10"),
+            element_at(col("pixels"), 4).as("p11"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id,
+              |  ${pool(0, 0)} AS p00, ${pool(0, 1)} AS p01,
+              |  ${pool(1, 0)} AS p10, ${pool(1, 1)} AS p11
+              |FROM documents ORDER BY doc_id""".stripMargin),
+    ),
+
+    // M4 — frame sampling: payload split into n_frames blocks (flatMap,
+    // the media twin of the order→line_items explode); frames identified
+    // by their hex bytes for downstream exact dedup.
+    QueryDef(
+      "m4_frame_sample",
+      (s, d) => {
+        val items = Multimodal.asMediaItems(
+          s, Multimodal.mediaFromDocuments(Tables.documents(s, d)))
+        Multimodal.sampleFrames(s, items, stride = 1)
+          .toDF()
+          .select(
+            col("doc_id"), col("frame_idx"),
+            lower(hex(col("frame_bytes"))).as("frame_hex"))
+          .orderBy("doc_id", "frame_idx")
+      },
+      Some("""WITH m AS (
+             |  SELECT doc_id, md5(text) AS hx,
+             |         CAST(doc_id % 4 + 1 AS INT) AS n_frames,
+             |         16 // CAST(doc_id % 4 + 1 AS INT) AS block
+             |  FROM documents
+             |)
+             |SELECT doc_id, CAST(f AS INT) AS frame_idx,
+             |       substr(hx, CAST(f * block * 2 + 1 AS INT),
+             |              CAST(block * 2 AS INT)) AS frame_hex
+             |FROM m, unnest(generate_series(0, n_frames - 1)) AS t(f)
+             |ORDER BY doc_id, frame_idx""".stripMargin),
+    ),
+  )
+}

@@ -1,0 +1,62 @@
+package graft.ext
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+  import Multimodal._
+
+  private def media(id: Long, bytes: Array[Byte], w: Int, h: Int, frames: Int) =
+    MediaItem(id, bytes, MediaMeta("image", w, h, frames))
+
+  test("stub decode tiles payload bytes over width×height unsigned") {
+    val px = StubCodec.decodeImage(Array[Byte](0, -1, 64), 2, 2)
+    // -1 as unsigned = 255; 4th pixel wraps back to payload(0)
+    assert(px.toSeq == Seq(0, 255, 64, 0))
+  }
+
+  test("decode→features pipeline keeps one row per item and exact stats") {
+    val items = Seq(
+      media(1L, Array[Byte](10, 20, 30, 40), 2, 2, 1),
+      media(2L, Array[Byte](0, -1), 2, 1, 1)).toDS()
+    val feats = imageFeatures(spark, decodeImages(spark, items))
+      .collect().sortBy(_.doc_id)
+    assert(feats.length == 2)
+    assert(feats(0) == ImageFeatures(1L, 4, 25.0, 10, 40))
+    assert(feats(1) == ImageFeatures(2L, 2, 127.5, 0, 255))
+  }
+
+  test("resize average-pools factor×factor blocks with integer floor") {
+    val pixels = (0 until 16).toArray // 4×4: 0..15
+    val d = Seq(DecodedImage(7L, 4, 4, pixels)).toDS()
+    val out = resize(spark, d, 2).collect().head
+    assert(out.width == 2 && out.height == 2)
+    // blocks: (0,1,4,5)=10/4=2; (2,3,6,7)=18/4=4; (8,9,12,13)=42/4=10; (10,11,14,15)=50/4=12
+    assert(out.pixels.toSeq == Seq(2, 4, 10, 12))
+  }
+
+  test("frame sampling splits payload into nFrames blocks honoring stride") {
+    val payload = (0 until 12).map(_.toByte).toArray
+    val items = Seq(media(3L, payload, 1, 1, 4)).toDS()
+    val all = sampleFrames(spark, items, stride = 1).collect().sortBy(_.frame_idx)
+    assert(all.map(_.frame_idx).toSeq == Seq(0, 1, 2, 3))
+    assert(all.forall(_.frame_bytes.length == 3))
+    assert(all(2).frame_bytes.toSeq == Seq[Byte](6, 7, 8))
+    val strided = sampleFrames(spark, items, stride = 2).collect()
+    assert(strided.map(_.frame_idx).sorted.toSeq == Seq(0, 2))
+  }
+
+  test("media table from documents fixture: binary payload + typed metadata") {
+    val docs = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
+    val m = mediaFromDocuments(docs)
+    assert(m.schema("payload").dataType.typeName == "binary")
+    val row = m.selectExpr("length(payload)", "meta.width", "meta.nFrames").head()
+    assert(row.getInt(0) == 16 && row.getInt(1) == 4)
+    assert((1 to 4).contains(row.getInt(2)))
+    // typed round-trip drives the full decode pipeline end-to-end
+    val n = imageFeatures(spark, decodeImages(spark, asMediaItems(spark, m))).count()
+    assert(n == docs.count())
+  }
+}

@@ -167,9 +167,19 @@ object Dedup {
       pairs: DataFrame, n: Int = 3): DataFrame =
     jaccardOnPairsFromMd5(shingleMd5(df, idCol, textCol, n), pairs)
 
-  /** Jaccard over a (possibly shared/persisted) [[shingleMd5]] frame. */
+  /** Jaccard over a (possibly shared/persisted) [[shingleMd5]] frame.
+    *
+    * The shingle frame is first SEMI-JOINED down to documents that occur
+    * in a candidate pair: verification work is proportional to the
+    * candidate set (LSH keeps it linear), not the corpus — the property
+    * that makes the verify stage survive 100 TB, and measurably faster
+    * at test scale too. */
   def jaccardOnPairsFromMd5(m: DataFrame, pairs: DataFrame): DataFrame = {
+    val ids = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct()
     val sh = m
+      .join(broadcast(ids), Seq("id"), "left_semi")
       .select(col("id"), conv(substring(col("m"), 1, 15), 16, 10).cast("long").as("sh"))
       .distinct().persist()
     val counts = sh.groupBy("id").agg(count(lit(1)).as("cnt"))

@@ -40,6 +40,20 @@ object Load {
     }.toIndexedSeq: _*)
   }
 
+  /** K1 — idempotent schema init (`CREATE TABLE IF NOT EXISTS`, reference
+    * `src/etl/load/ddl.sql:1-43` via `duckdb_client.py:34-38`): creates an
+    * empty parquet table with the given schema when the path doesn't
+    * exist; an existing table is left untouched. */
+  def initTable(spark: SparkSession, path: String, schema: StructType): Unit = {
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(target)) {
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .write.parquet(path)
+    }
+  }
+
   /** K2/K3 against a parquet path: read-modify-overwrite with a staging
     * directory so a failed write never corrupts the table. First load (no
     * table yet) writes directly. On a real deployment this is Delta/Iceberg

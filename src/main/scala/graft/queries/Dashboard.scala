@@ -212,6 +212,48 @@ object Dashboard {
              |ORDER BY p_partkey""".stripMargin),
     ),
 
+    // S1/S2 — paginated source scan: the reference's page=1..n loop with
+    // short/empty-page termination (wc_client.py:36-49), backed by the
+    // fixture standing in for the API, handed to Spark via an explicit
+    // schema. Pagination logic + batch→DataFrame boundary are the real
+    // artifacts; the remote fetch is the fixture.
+    QueryDef(
+      "s1_paged_scan",
+      (s, d) => {
+        val src = Tables.orders(s, d)
+          .filter(col("o_orderdate") > lit("2001-06-01").cast("timestamp"))
+          .select("o_orderkey", "o_orderdate", "o_totalprice")
+          .orderBy("o_orderdate", "o_orderkey")
+        // The "server": fixture rows served in API order, 100 per page.
+        val pages = src.collect().grouped(100).toVector
+        val rows = graft.sources.PagedSource.fetchAll(100) { p =>
+          if (p <= pages.size) pages(p - 1).toSeq else Seq.empty
+        }
+        graft.sources.PagedSource.toDF(s, rows, src.schema)
+          .orderBy("o_orderdate", "o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderdate, o_totalprice
+             |FROM orders
+             |WHERE o_orderdate > TIMESTAMP '2001-06-01 00:00:00'
+             |ORDER BY o_orderdate, o_orderkey""".stripMargin),
+    ),
+
+    // K7 — DataFrame registered as a named view, queried through SQL
+    // (reference run.py:87, duckdb_client.py:56-57: pandas df visible as
+    // a DuckDB view).
+    QueryDef(
+      "k7_view_sql",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("v_orders")
+        s.sql(s"""SELECT o_orderstatus AS status, COUNT(*) AS n,
+                 |       ${moneySumSql("o_totalprice")} AS total
+                 |FROM v_orders GROUP BY o_orderstatus ORDER BY status""".stripMargin)
+      },
+      Some(s"""SELECT o_orderstatus AS status, COUNT(*) AS n,
+              |       ${moneySumSql("o_totalprice")} AS total
+              |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin),
+    ),
+
     // A9 — DISTINCT key harvest (reference src/run.py:56-67)
     QueryDef(
       "a9_distinct_keys",

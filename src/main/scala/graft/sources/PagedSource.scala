@@ -1,0 +1,46 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.StructType
+import scala.jdk.CollectionConverters._
+
+/** S1/S2 — paginated REST-style ingestion (reference
+  * `src/etl/extract/wc_client.py:36-49`): loop `page=1..n` with a fixed
+  * page size, accumulate, stop on the first short or empty page; HTTP
+  * errors surface as exceptions from the page fetch (S2,
+  * `wc_client.py:29-34`).
+  *
+  * The page loop is inherently DRIVER-side (a REST API is not a
+  * splittable source): ingestion parallelism at scale comes from
+  * partitioning the page RANGE, not the page — a production connector is
+  * a DataSource V2 `TableProvider` whose `planInputPartitions` carves
+  * `[1..maxPage]` into per-task ranges and pushes `after`/`status`
+  * filters into query params (`SupportsPushDownFilters`). This module
+  * implements the reference's exact client semantics plus the
+  * createDataFrame hand-off that both shapes share; the fixture harness
+  * stands a parquet-backed client in for the network.
+  */
+object PagedSource {
+
+  /** Fetch all pages: `fetchPage(page)` returns up to `perPage` items,
+    * 1-based pages; terminates after the first short/empty page (the
+    * reference's stop condition — an exact-multiple result set costs one
+    * extra empty fetch, faithfully). */
+  def fetchAll[T](perPage: Int)(fetchPage: Int => Seq[T]): Seq[T] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[T]
+    var page = 1
+    var done = false
+    while (!done) {
+      val batch = fetchPage(page)
+      out ++= batch
+      done = batch.size < perPage
+      page += 1
+    }
+    out.toSeq
+  }
+
+  /** Hand the accumulated batch to Spark with an explicit schema (never
+    * inferred — the reference's fixed DDL, SURVEY.md §1.2). */
+  def toDF(spark: SparkSession, rows: Seq[Row], schema: StructType): DataFrame =
+    spark.createDataFrame(rows.asJava, schema)
+}

@@ -154,4 +154,69 @@ object Similarity {
   /** Undo quantization for plane projection (sign-preserving scale). */
   private def quantizeBack(qv: Column): Column =
     transform(qv, x => x.cast("double") / lit(1000000.0))
+
+  // ---------------------------------------------------------------------
+  // IVF scale path: coarse quantizer + inverted lists
+  // ---------------------------------------------------------------------
+
+  /** IVF top-k: classic inverted-file ANN.
+    *
+    * Train: `nLists` coarse centroids are chosen deterministically (every
+    * ⌈n/nLists⌉-th corpus vector by id — a fixed "sample" that needs no
+    * RNG state; production would run k-means, which only changes how this
+    * small broadcast table is built). Index: each corpus vector is
+    * assigned to its nearest centroid via a BROADCAST join against the
+    * centroid table — the corpus never shuffles, the assignment is a
+    * map-side argmax. Search: each query probes its `nProbe` nearest
+    * centroids and scores only vectors in those inverted lists; the
+    * candidate join shuffles on the (small-cardinality) list id.
+    *
+    * At 100 TB: centroids stay O(√n) and broadcastable, index build is
+    * one scan, and search cost is corpus/nLists × nProbe per query —
+    * linear, tunable recall/cost via nProbe, no quadratic stage anywhere.
+    */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame, idCol: String, embCol: String,
+      k: Int, nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    val c = prepared(corpus, idCol, embCol)
+    // Deterministic coarse centroids: a mod-step id sample (no global
+    // sort/window over the corpus — that would funnel 100 TB through one
+    // partition; the only window below runs over the ≤nLists sampled
+    // rows). Production swaps this for k-means; the rest is unchanged.
+    val n = c.count()
+    val step = math.max(1L, n / nLists)
+    val sampled = c.filter(pmod(col("id"), lit(step)) === 0)
+      .orderBy("id").limit(nLists)
+    val cent = sampled
+      .withColumn("list_id",
+        (row_number().over(Window.orderBy("id")) - 1).cast("int"))
+      .select(col("list_id"), col("qv").as("c_qv"), col("nrm").as("c_nrm"))
+    // Assign: argmax cosine over the broadcast centroid table (map-side).
+    def assign(df: DataFrame, keep: Int): DataFrame = {
+      val scored = df.join(broadcast(cent))
+        .select(df.columns.map(col) :+ col("list_id") :+
+          (dotQ(col("qv"), col("c_qv")).cast("double") /
+            (col("nrm") * col("c_nrm"))).as("c_cos"): _*)
+      val w = Window.partitionBy("id").orderBy(desc("c_cos"), col("list_id"))
+      scored.withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= keep)
+        .drop("c_cos", "crank")
+    }
+    val indexed = assign(c, 1)
+      .select(col("list_id"), col("id").as("neighbor_id"),
+        col("qv").as("n_qv"), col("nrm").as("n_nrm"))
+    val probing = assign(prepared(queries, idCol, embCol), nProbe)
+      .select(col("list_id"), col("id").as("query_id"),
+        col("qv").as("q_qv"), col("nrm").as("q_nrm"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
+    indexed.join(probing, Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dotQ(col("q_qv"), col("n_qv")).cast("double") /
+          (col("q_nrm") * col("n_nrm"))).as("cosine"))
+      .groupBy("query_id", "neighbor_id").agg(max("cosine").as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
 }

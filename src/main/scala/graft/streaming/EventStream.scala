@@ -118,6 +118,49 @@ object EventStream {
       .toDF()
   }
 
+  case class Alert(user_id: Long, threshold: Double, total_value: Double)
+
+  /** Threshold alerts via `flatMapGroupsWithState` — the 1→N stateful
+    * shape `mapGroupsWithState` can't express: a batch emits ONE alert
+    * row per `step` boundary the user's running total crosses (possibly
+    * zero, possibly several). State per user is a single double — bounded
+    * by key cardinality, not stream length. */
+  def thresholdAlerts(spark: SparkSession, events: DataFrame, step: Double): DataFrame = {
+    import spark.implicits._
+    events
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Double, Alert](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[Double]) =>
+          val prev = state.getOption.getOrElse(0.0)
+          val next = prev + rows.map(_.value).sum
+          state.update(next)
+          val firstLevel = math.floor(prev / step).toLong + 1
+          val lastLevel = math.floor(next / step).toLong
+          (firstLevel to lastLevel).iterator.map(l => Alert(uid, l * step, next))
+      }
+      .toDF()
+  }
+
+  /** The reference's idempotent incremental load as a STREAMING sink:
+    * each micro-batch is upserted (delete-then-insert by key) into the
+    * parquet table via foreachBatch — re-delivered or updated rows within
+    * the watermark replace their previous versions, exactly like the
+    * reference's re-fetch window absorbing updates
+    * (reference `src/etl/load/duckdb_client.py:53-57`). */
+  def startUpsertSink(
+      spark: SparkSession, df: DataFrame, path: String, keys: Seq[String],
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.etl.Load.upsertParquet(spark, path, batch, keys)
+      }
+      .start()
+
   /** Start a memory-sink query for tests/demos. */
   def startToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {
     df.writeStream.format("memory").queryName(name).outputMode(mode).start()

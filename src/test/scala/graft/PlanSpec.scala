@@ -1,0 +1,90 @@
+package graft
+
+import graft.io.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the scale properties the engine promises
+  * (pushdown, pruning, broadcast, top-k, codegen) must be visible in the
+  * plan, not assumed. These are the checks a human would do with
+  * `.explain("formatted")` — pinned as tests so a regression in plan
+  * shape fails CI, not a 100 TB run. */
+class PlanSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  /** Final (post-AQE) plan: codegen wrapping only appears once the
+    * adaptive plan is finalized by an action. */
+  private def finalPlanOf(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("watermark predicate is pushed into the parquet scan (S3)") {
+    val plan = planOf(SparkEntry.queries("s3_orders_since")(spark, sf))
+    assert(plan.contains("PushedFilters: ["), plan.linesIterator.take(30).mkString("\n"))
+    assert(plan.contains("GreaterThan(o_orderdate"), "expected o_orderdate filter pushed to scan")
+  }
+
+  test("column pruning reaches the scan: distinct-keys reads 2 columns, not 16 (A9)") {
+    val plan = planOf(SparkEntry.queries("a9_distinct_keys")(spark, sf))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_partkey") && readSchema.contains("l_returnflag"))
+    assert(!readSchema.contains("l_extendedprice") && !readSchema.contains("l_comment"),
+      s"scan reads more than it needs: $readSchema")
+  }
+
+  test("dimension joins broadcast; no shuffle of the fact for top-products (A6/J1)") {
+    val plan = planOf(SparkEntry.queries("a6_top_products")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), "part dim should broadcast")
+    assert(!plan.contains("SortMergeJoin"), "fact must not sort-merge against a dim")
+  }
+
+  test("ORDER BY + LIMIT plans TakeOrderedAndProject, not a total sort (O3)") {
+    val plan = planOf(SparkEntry.queries("a6_top_products")(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("hash aggregation is partial+final (map-side combine) for the KPI query (A3)") {
+    val plan = planOf(SparkEntry.queries("a3_kpis")(spark, sf))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "expected partial and final HashAggregate")
+  }
+
+  // In final-plan toString, whole-stage codegen shows as the `*(n)`
+  // stage marker on each operator inside a codegen stage.
+  private val codegenMarker = """\*\(\d+\) """.r
+
+  test("scan-side pipelines run inside WholeStageCodegen") {
+    val plan = finalPlanOf(
+      Tables.lineitem(spark, sf)
+        .filter(col("l_returnflag") === "R")
+        .groupBy("l_partkey").agg(sum("l_quantity")))
+    assert(codegenMarker.findFirstIn(plan).isDefined, plan)
+    assert(codegenMarker.pattern.matcher(plan).results().count() >= 1)
+    assert("""\*\(\d+\) HashAggregate""".r.findFirstIn(plan).isDefined,
+      "partial aggregate should be inside a codegen stage")
+  }
+
+  test("native LongDotProduct participates in codegen (no fallback to interpreted)") {
+    val prep = graft.ext.Similarity.prepared(
+      Tables.embeddings(spark, sf), "vec_id", "embedding")
+    val df = prep.select(graft.ext.Similarity.dotQ(col("qv"), col("qv")).as("d"))
+    val plan = finalPlanOf(df)
+    // the long_dot projection itself must carry the codegen stage marker
+    assert("""\*\(\d+\) Project \[long_dot""".r.findFirstIn(plan).isDefined, plan)
+    // and it evaluates: self-dot of a quantized unit-ish vector is positive
+    assert(df.agg(min("d")).head().getLong(0) > 0L)
+  }
+
+  test("exact dedup shuffles the 64-char hash, never the document text") {
+    val docs = Tables.documents(spark, sf)
+    val plan = planOf(graft.ext.Dedup.exactDups(docs, "doc_id", "text"))
+    val exchangeLines = plan.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchangeLines.contains("text"), s"document text crosses the wire:\n$exchangeLines")
+  }
+}

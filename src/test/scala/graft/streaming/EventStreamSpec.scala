@@ -93,6 +93,43 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState emits one alert per crossed threshold (0..n per batch)") {
+    val mem = MemoryStream[Event]
+    val q = EventStream.thresholdAlerts(spark, mem.toDF(), step = 2.0)
+      .writeStream.format("memory").queryName("alerts")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: 1.0 → no alert yet
+      mem.addData(Event(1L, ts("2024-01-01 00:00:00"), 1L, "a", 1.0))
+      q.processAllAvailable()
+      // user 1: +5.0 = 6.0 → crosses 2.0, 4.0, 6.0 → three alerts in one batch
+      mem.addData(Event(2L, ts("2024-01-01 00:01:00"), 1L, "a", 5.0))
+      q.processAllAvailable()
+      val alerts = spark.table("alerts")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+      assert(alerts == Seq((1L, 2.0), (1L, 4.0), (1L, 6.0)))
+    } finally q.stop()
+  }
+
+  test("foreachBatch upsert sink: re-delivered keys replace, new keys append") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val path = s"$dir/events_table.parquet"
+    val mem = MemoryStream[Event]
+    val q = EventStream.startUpsertSink(
+      spark, mem.toDF(), path, Seq("event_id"), s"$dir/ckpt")
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      // batch2 re-delivers event_id=2 (same values) and adds event_id=4
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      val table = spark.read.parquet(path)
+      assert(table.count() == 4)
+      assert(table.select("event_id").collect().map(_.getLong(0)).sorted.toSeq ==
+        Seq(1L, 2L, 3L, 4L))
+    } finally q.stop()
+  }
+
   test("file-source stream over the fixture events dir runs end-to-end") {
     val stream = EventStream.readStream(spark, "/root/testdata/sf0.001")
     assert(stream.isStreaming)

@@ -1,0 +1,28 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Bucketed-table layout for repeated co-located joins — the engine's
+  * answer to the reference's `CREATE INDEX idx_items_order ON
+  * fct_order_items(order_id)` (reference `src/etl/load/ddl.sql:43`): a
+  * warehouse table pre-hash-partitioned AND pre-sorted by the join key.
+  *
+  * A join of two tables bucketed the same way on the join key needs NO
+  * exchange at query time (verified in `BucketingSpec`): at 100 TB that
+  * removes the dominant shuffle of fact⋈fact joins (e.g. order items ⋈
+  * orders on order_id) from EVERY downstream query, paying the
+  * partitioning cost once at load time — exactly when the reference pays
+  * its index-maintenance cost. */
+object Bucketing {
+
+  /** Write `df` as a bucketed+sorted managed table. Bucket count is a
+    * layout contract: both sides of a co-located join must agree on it
+    * (and at scale it bounds per-bucket file size — size it so
+    * table_size/buckets stays in the 100-500 MB range). */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write
+      .mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(table) // managed table under spark.sql.warehouse.dir
+}

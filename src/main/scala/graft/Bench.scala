@@ -12,6 +12,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.RewriteLongDotProduct
     // Warmup pass at the smallest SF: exercises every query's codegen +
     // JIT paths so the timed pass below measures steady-state plan cost,
     // not one-time JVM compilation (cold-vs-warm differs 3-10× per query).

@@ -14,4 +14,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Test-visibility accessor for rules registered on a
+    * SparkSessionExtensions instance (private[sql] upstream). */
+  def optimizerRules(
+      ext: SparkSessionExtensions,
+      session: SparkSession): Seq[org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] =
+    ext.buildOptimizerRules(session)
 }

@@ -123,6 +123,25 @@ object WindowQueries {
               |ORDER BY user_id, session_start""".stripMargin),
     ),
 
+    // Distinct aggregation — COUNT(DISTINCT) per group (absent from the
+    // reference, §2.5 note): exact user reach per event type. Spark plans
+    // the two-phase distinct-agg expand; the 100 TB variant swaps in
+    // approx_count_distinct (HLL) when ±2% error is acceptable — same
+    // query shape, sketch mergeable across partitions.
+    QueryDef(
+      "a12_distinct_agg",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy("event_type")
+          .agg(
+            countDistinct(col("user_id")).as("reach"),
+            count(lit(1)).as("n"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type, COUNT(DISTINCT user_id) AS reach,
+             |       COUNT(*) AS n
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+    ),
+
     // ROLLUP over (returnflag, linestatus) with GROUPING indicators.
     QueryDef(
       "g1_rollup",

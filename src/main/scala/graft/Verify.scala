@@ -23,8 +23,9 @@ object Verify {
       spark.experimental.extraOptimizations :+ graft.plans.RewriteLongDotProduct
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // Driver contract: result lands at outDir/<name>.parquet
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+        .parquet(s"$outDir/$name.parquet")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -64,7 +64,7 @@ def main(sf_dir, out_dir):
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
-            spark_df = pd.read_parquet(f"{out_dir}/{name}")
+            spark_df = pd.read_parquet(f"{out_dir}/{name}.parquet")
         except Exception as e:
             print(f"FAIL {name}: no spark result ({e})")
             n_fail += 1

@@ -1,0 +1,174 @@
+package graft.sources.v2
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 connector for a paginated REST-style orders API — the
+  * production shape of [[graft.sources.PagedSource]] (SURVEY.md §2.1 S1:
+  * "at scale a DataSource V2 TableProvider with SupportsPushDownFilters +
+  * partitioned page ranges").
+  *
+  * What is REAL here — and carries to any paged HTTP backend:
+  *   - `planInputPartitions` carves the page space `[0, pages)` into one
+  *     contiguous page RANGE per task, so a 10⁶-page backfill fans out
+  *     over the cluster instead of looping on the driver;
+  *   - `SupportsPushDownFilters` turns `order_date > X` predicates into
+  *     page-range pruning (the API serves date-ascending pages, so a
+  *     date cutoff is a page cutoff — the connector fetches nothing
+  *     before it, the analogue of the reference's `after=since_iso`
+  *     param, reference `src/etl/extract/orders.py:11-18`);
+  *   - `SupportsPushDownRequiredColumns` projects rows to the query's
+  *     columns before they enter Spark.
+  *
+  * What is FAKE: the remote endpoint. `PageClient.fetch` deterministically
+  * generates the rows a fixture server would return (this container has no
+  * network); a real backend swaps that one function for an HTTP GET.
+  *
+  * Usage: `spark.read.format("graft.sources.v2.PagedOrdersProvider")
+  *   .option("pages", n).option("pageSize", k).option("parallelism", p)
+  *   .load()`
+  */
+class PagedOrdersProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    PagedOrders.schema
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new PagedOrdersTable(
+      properties.getOrDefault("pages", "8").toInt,
+      properties.getOrDefault("pageSize", "100").toInt,
+      properties.getOrDefault("parallelism", "4").toInt)
+}
+
+object PagedOrders {
+  val schema: StructType = StructType(Seq(
+    StructField("order_id", LongType, nullable = false),
+    StructField("order_date", TimestampType, nullable = false),
+    StructField("status", StringType, nullable = false),
+    StructField("total", DoubleType, nullable = false)))
+
+  /** Epoch micros of the synthetic API's first order; orders are spaced
+    * one minute apart in date-ascending page order (the reference's
+    * `orderby=date&order=asc`). */
+  val BaseMicros: Long = 1704067200L * 1000000L // 2024-01-01T00:00:00Z
+  val MicrosPerOrder: Long = 60L * 1000000L
+
+  /** The deterministic stand-in for the remote endpoint. */
+  object PageClient {
+    /** Pages fetched across the JVM — lets tests PROVE pruning happened. */
+    val fetched = new java.util.concurrent.atomic.AtomicLong(0)
+
+    def fetch(page: Int, pageSize: Int): Seq[(Long, Long, String, Double)] = {
+      fetched.incrementAndGet()
+      (0 until pageSize).map { i =>
+        val id = page.toLong * pageSize + i
+        (id, BaseMicros + id * MicrosPerOrder,
+          if (id % 7 == 0) "refunded" else "completed",
+          (id % 500) / 10.0 + 5.0)
+      }
+    }
+  }
+
+  /** First page that can contain order_date > / >= the cutoff (dates are
+    * monotone in page order, so earlier pages are provably empty). */
+  def minPageFor(cutoffMicros: Long, pageSize: Int): Int = {
+    val firstId = math.max(0L, (cutoffMicros - BaseMicros) / MicrosPerOrder)
+    (firstId / pageSize).toInt
+  }
+}
+
+class PagedOrdersTable(pages: Int, pageSize: Int, parallelism: Int)
+    extends Table with SupportsRead {
+  override def name(): String = s"paged_orders($pages x $pageSize)"
+  override def schema(): StructType = PagedOrders.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new PagedOrdersScanBuilder(pages, pageSize, parallelism)
+}
+
+class PagedOrdersScanBuilder(pages: Int, pageSize: Int, parallelism: Int)
+    extends ScanBuilder
+    with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var minPage = 0
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = PagedOrders.schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case GreaterThan("order_date", _)        => true
+      case GreaterThanOrEqual("order_date", _) => true
+      case _                                   => false
+    }
+    accepted.foreach {
+      case GreaterThan("order_date", ts: java.sql.Timestamp) =>
+        minPage = math.max(minPage, PagedOrders.minPageFor(ts.getTime * 1000L, pageSize))
+      case GreaterThanOrEqual("order_date", ts: java.sql.Timestamp) =>
+        minPage = math.max(minPage, PagedOrders.minPageFor(ts.getTime * 1000L, pageSize))
+      case _ => ()
+    }
+    pushed = accepted
+    // Page pruning is conservative (whole pages only) — Spark must still
+    // re-apply the predicates row-level, so return ALL filters as residual.
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new Scan with Batch {
+    override def readSchema(): StructType = required
+    override def toBatch: Batch = this
+    override def description(): String =
+      s"PagedOrdersScan(pages=[$minPage,$pages), pushed=${pushed.mkString(",")})"
+
+    override def planInputPartitions(): Array[InputPartition] = {
+      val span = math.max(0, pages - minPage)
+      val tasks = math.min(parallelism, math.max(1, span))
+      (0 until tasks).map { t =>
+        val start = minPage + (span * t) / tasks
+        val end = minPage + (span * (t + 1)) / tasks
+        PageRange(start, end, pageSize, required.fieldNames): InputPartition
+      }.toArray
+    }
+    override def createReaderFactory(): PartitionReaderFactory =
+      new PagedReaderFactory
+  }
+}
+
+case class PageRange(start: Int, end: Int, pageSize: Int, columns: Array[String])
+    extends InputPartition
+
+class PagedReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val pr = partition.asInstanceOf[PageRange]
+    new PartitionReader[InternalRow] {
+      private val rows = (pr.start until pr.end).iterator
+        .flatMap(p => PagedOrders.PageClient.fetch(p, pr.pageSize))
+      private var current: (Long, Long, String, Double) = _
+      override def next(): Boolean = { val h = rows.hasNext; if (h) current = rows.next(); h }
+      override def get(): InternalRow = {
+        val values = pr.columns.map {
+          case "order_id"   => current._1
+          case "order_date" => current._2
+          case "status"     => UTF8String.fromString(current._3)
+          case "total"      => current._4
+        }
+        InternalRow.fromSeq(values.toIndexedSeq)
+      }
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -29,7 +29,7 @@ object Bench {
     // noise at these sub-second scales (±50% observed); the min of two
     // runs measures the plan's inherent cost. Caches are cleared between
     // runs so each measurement is self-contained.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()

@@ -26,7 +26,30 @@ object Profile {
       println(f"PROFILE $label%-26s ${(System.nanoTime() - t0) / 1e9}%6.2f s  rows=$n")
     }
     for (name <- names; r <- 1 to reps) {
-      if (name == "x7parts") {
+      if (name == "x7nopersist") {
+        import graft.ext.Dedup
+        import org.apache.spark.sql.functions.col
+        val corpus = graft.io.Tables.documents(spark, sfDir)
+          .select(col("doc_id").as("id"), col("text"))
+        val m = Dedup.shingleMd5(corpus, "id", "text", 3)
+        val sig = Dedup.minhashSignatureFromMd5(m, 12)
+        val pairs = Dedup.candidatePairs(Dedup.lshBands(sig, 12, 3))
+        t(s"x7nopersist rep$r")(
+          Dedup.jaccardOnPairsFromMd5(m, pairs).filter(col("jaccard") >= 0.5).count())
+        spark.catalog.clearCache()
+      } else if (name == "x7persist") {
+        import graft.ext.Dedup
+        import org.apache.spark.sql.functions.col
+        val corpus = graft.io.Tables.documents(spark, sfDir)
+          .select(col("doc_id").as("id"), col("text"))
+        val m = Dedup.shingleMd5(corpus, "id", "text", 3).persist()
+        val sig = Dedup.minhashSignatureFromMd5(m, 12)
+        val pairs = Dedup.candidatePairs(Dedup.lshBands(sig, 12, 3))
+        t(s"x7persist rep$r")(
+          Dedup.jaccardOnPairsFromMd5(m, pairs).filter(col("jaccard") >= 0.5).count())
+        m.unpersist()
+        spark.catalog.clearCache()
+      } else if (name == "x7parts") {
         import graft.ext.Dedup
         import org.apache.spark.sql.functions.col
         val corpus = graft.io.Tables.documents(spark, sfDir)

@@ -212,9 +212,13 @@ object ExtQueries {
     QueryDef(
       "x7_jaccard_neardup",
       (s, d) => {
-        // One tokenize→shingle→md5 pass feeds BOTH the MinHash signatures
-        // and the Jaccard shingle sets (persisted, scanned once).
-        val m = Dedup.shingleMd5(dupCorpus(s, d), "id", "text", n = 3).persist()
+        // One tokenize→shingle→md5 frame feeds BOTH the MinHash signatures
+        // and the Jaccard shingle sets. Deliberately NOT persisted here:
+        // measured at test scale, the cache write costs more than the two
+        // parallel recomputations it saves (the shingle pass is cheap once
+        // tokenization is projected). At 100 TB the trade inverts — cache
+        // or checkpoint `m` when the corpus scan dominates.
+        val m = Dedup.shingleMd5(dupCorpus(s, d), "id", "text", n = 3)
         val sig = Dedup.minhashSignatureFromMd5(m, numHashes = 12)
         val pairs = Dedup.candidatePairs(Dedup.lshBands(sig, 12, 3))
         Dedup.jaccardOnPairsFromMd5(m, pairs)

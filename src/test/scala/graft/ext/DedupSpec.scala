@@ -1,0 +1,78 @@
+package graft.ext
+
+import graft.SparkTestSession
+import graft.io.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Recall/semantics checks for the dedup operators. The oracle queries
+  * (x5-x8) prove Spark ≡ DuckDB; these prove the algorithms actually
+  * FIND what they claim to find. */
+class DedupSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  // corpus with planted near-duplicates: every 10th doc copied with a
+  // 3-token suffix appended (id + 10000)
+  private def corpus = {
+    val docs = Tables.documents(spark, sf).select(col("doc_id").as("id"), col("text"))
+    docs.unionByName(
+      Tables.documents(spark, sf).filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 10000).as("id"),
+          concat(col("text"), lit(" zz yy xx")).as("text")))
+  }
+
+  private def plantedIds =
+    Tables.documents(spark, sf).filter(col("doc_id") % 10 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+  test("MinHash-LSH candidates recall the planted near-duplicate pairs") {
+    val sig = Dedup.minhashSignature(corpus, "id", "text", n = 3, numHashes = 12)
+    val cand = Dedup.candidatePairs(Dedup.lshBands(sig, 12, 3))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = plantedIds.map(id => (id, id + 10000))
+    val recall = expected.count(cand.contains).toDouble / expected.size
+    assert(recall >= 0.9, s"LSH recall $recall over ${expected.size} planted pairs")
+  }
+
+  test("Jaccard on planted pairs is high; exact copies score 1.0") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id").as("id"), col("text"))
+    val exactCopy = docs.filter(col("id") === 0)
+      .select((col("id") + 20000).as("id"), col("text"))
+    val c = corpus.unionByName(exactCopy)
+    val pairs = plantedIds.map(id => (id, id + 10000)).toSeq ++ Seq((0L, 20000L))
+    import spark.implicits._
+    val j = Dedup.jaccardOnPairs(c, "id", "text", pairs.toDF("id_a", "id_b"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(j((0L, 20000L)) == 1.0)
+    val planted = pairs.filterNot(_ == (0L, 20000L))
+    // a 3-token suffix on a ≥10-token doc keeps most shingles shared;
+    // the shortest fixture docs bottom out around 0.72
+    assert(planted.forall(p => j.get(p).exists(v => v > 0.7 && v < 1.0)),
+      s"planted-pair jaccards: ${planted.map(j.get)}")
+    assert(j.values.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
+  test("SimHash: identical docs hamming 0; mutated copies within small distance") {
+    val sh = Dedup.simhash32(corpus, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dists = plantedIds.toSeq.map(id =>
+      java.lang.Long.bitCount(sh(id) ^ sh(id + 10000)))
+    // a 3-token suffix barely moves the vote sums of a 50+-token doc
+    assert(dists.count(_ <= 3).toDouble / dists.size >= 0.8,
+      s"hamming distances of planted pairs: $dists")
+    assert(sh.values.forall(v => v >= 0 && v < (1L << 32)))
+  }
+
+  test("exact dedup groups only byte-identical texts") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id").as("id"), col("text"))
+    val c = docs.unionByName(
+      docs.filter(col("id") < 5).select((col("id") + 30000).as("id"), col("text")))
+    val dups = Dedup.exactDups(c, "id", "text")
+    assert(dups.filter(col("n_copies") === 2).count() == 5)
+    // keep_id is always the lowest id of the group
+    assert(dups.filter(col("n_copies") === 2)
+      .agg(max("keep_id")).head().getLong(0) < 30000L)
+    assert(dups.agg(sum("n_copies")).head().getLong(0) == c.count())
+  }
+}

@@ -80,6 +80,27 @@ object TextAnalysis {
       lit(0.3) * least(tokenCount(text).cast("double") / lit(100.0), lit(1.0)) +
       lit(0.3) * (lit(1.0) - punctRatio(text))
 
+  /** Text normalization for dedup/tokenization robustness: lowercase,
+    * strip punctuation, collapse whitespace runs, trim. Pure codegen'd
+    * expression — the cheap map stage that runs before any corpus-wide
+    * operator at scale. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), """[^\w\s]""", ""),
+      """\s+""", " "))
+
+  /** Corpus vocabulary: token → (document frequency, total count). The
+    * canonical wordcount shuffle — one explode + one combinable groupBy
+    * on the token; df via count(DISTINCT id) inside the same pass. */
+  def vocabulary(df: org.apache.spark.sql.DataFrame,
+                 idCol: String, textCol: String): org.apache.spark.sql.DataFrame =
+    graft.util.Partitioning.fanOut(df)
+      .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("token"))
+      .groupBy("token")
+      .agg(
+        countDistinct(col("id")).as("doc_freq"),
+        count(lit(1)).as("term_freq"))
+
   /** Document fingerprint: polynomial rolling hash over per-token 48-bit
     * hashes, mod the Mersenne prime 2^31−1 (keeps every intermediate
     * < 2^49, overflow-free in both engines).

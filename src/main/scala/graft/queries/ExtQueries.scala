@@ -176,6 +176,37 @@ object ExtQueries {
              |FROM documents ORDER BY doc_id""".stripMargin),
     ),
 
+    QueryDef(
+      "x11_text_normalize",
+      (s, d) =>
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          TA.normalizeText(col("text")).as("norm"),
+          length(TA.normalizeText(col("text"))).as("n_norm"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', '', 'g'),
+             |       '\s+', ' ', 'g')) AS norm,
+             |  length(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', '', 'g'),
+             |       '\s+', ' ', 'g'))) AS n_norm
+             |FROM documents ORDER BY doc_id""".stripMargin),
+    ),
+
+    QueryDef(
+      "x12_vocab_topk",
+      (s, d) =>
+        TA.vocabulary(Tables.documents(s, d), "doc_id", "text")
+          .orderBy(desc("term_freq"), desc("doc_freq"), asc("token"))
+          .limit(50),
+      Some("""WITH tok AS (
+             |  SELECT doc_id AS id, unnest(string_split(text, ' ')) AS token
+             |  FROM documents)
+             |SELECT token, COUNT(DISTINCT id) AS doc_freq, COUNT(*) AS term_freq
+             |FROM tok GROUP BY token
+             |ORDER BY term_freq DESC, doc_freq DESC, token ASC
+             |LIMIT 50""".stripMargin),
+    ),
+
     // ------------------------------------------------------------------
     // Dedup
     // ------------------------------------------------------------------

@@ -101,6 +101,21 @@ object TextAnalysis {
         countDistinct(col("id")).as("doc_freq"),
         count(lit(1)).as("term_freq"))
 
+  /** Deterministic stratified sample: k documents per stratum (language,
+    * source, ...), ranked by md5 of the id — a content-independent,
+    * engine-reproducible "random" order. The per-stratum window is the
+    * scale-safe shape (shuffle on the stratum key only); determinism means
+    * re-runs of a training-data pipeline select the identical subset. */
+  def stratifiedSample(df: org.apache.spark.sql.DataFrame,
+                       stratumCol: String, idCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("_rk", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("_rk") <= k)
+      .drop("_rk")
+  }
+
   /** Document fingerprint: polynomial rolling hash over per-token 48-bit
     * hashes, mod the Mersenne prime 2^31−1 (keeps every intermediate
     * < 2^49, overflow-free in both engines).

@@ -207,6 +207,21 @@ object ExtQueries {
              |LIMIT 50""".stripMargin),
     ),
 
+    QueryDef(
+      "x13_stratified_sample",
+      (s, d) =>
+        TA.stratifiedSample(
+          Tables.documents(s, d).select("doc_id", "lang", "source"),
+          stratumCol = "lang", idCol = "doc_id", k = 5)
+          .orderBy("lang", "doc_id"),
+      Some("""SELECT doc_id, lang, source FROM (
+             |  SELECT doc_id, lang, source,
+             |    ROW_NUMBER() OVER (PARTITION BY lang
+             |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+             |  FROM documents)
+             |WHERE rk <= 5 ORDER BY lang, doc_id""".stripMargin),
+    ),
+
     // ------------------------------------------------------------------
     // Dedup
     // ------------------------------------------------------------------

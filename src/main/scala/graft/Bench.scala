@@ -10,6 +10,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // Single-node bench: shuffle bytes never cross a network, so lz4
+      // on the shuffle/spill path is pure CPU tax at these sizes. On a
+      // real cluster KEEP compression — network is the bottleneck there.
+      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.spill.compress", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.experimental.extraOptimizations =

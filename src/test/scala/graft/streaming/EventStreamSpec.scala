@@ -93,6 +93,30 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermark drops late data: a closed window is never re-emitted") {
+    val mem = MemoryStream[Event]
+    val q = EventStream.tumblingHourly(
+      EventStream.withEventWatermark(mem.toDF(), "10 minutes"))
+      .writeStream.format("memory").queryName("late_drop")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch A: window [00:00,01:00) gets one event; the 02:00 event
+      // advances the watermark to 01:50 > 01:00, closing the window
+      mem.addData(
+        Event(1L, ts("2024-01-01 00:05:00"), 1L, "a", 1.0),
+        Event(2L, ts("2024-01-01 02:00:00"), 1L, "a", 1.0))
+      q.processAllAvailable()
+      // batch B: 00:30 is far behind the 01:50 watermark → dropped
+      mem.addData(Event(3L, ts("2024-01-01 00:30:00"), 1L, "a", 99.0))
+      q.processAllAvailable()
+      val w0 = spark.table("late_drop")
+        .filter(org.apache.spark.sql.functions.col("wstart") === ts("2024-01-01 00:00:00"))
+        .collect()
+      assert(w0.length == 1, "closed window must be emitted exactly once")
+      assert(w0.head.getAs[Long]("n") == 1L, "late event must not be counted")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState emits one alert per crossed threshold (0..n per batch)") {
     val mem = MemoryStream[Event]
     val q = EventStream.thresholdAlerts(spark, mem.toDF(), step = 2.0)

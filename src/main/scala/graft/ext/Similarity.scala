@@ -99,7 +99,7 @@ object Similarity {
     * sign of x·plane_p. Pure column expression — codegen, no UDF. */
   def lshBucket(emb: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (w, p) =>
-      val lw = array(w.map(lit): _*)
+      val lw = array(w.toIndexedSeq.map(lit): _*)
       val proj = aggregate(
         zip_with(emb, lw, (x, wi) => x.cast("double") * wi),
         lit(0.0), (s, v) => s + v)
@@ -194,7 +194,7 @@ object Similarity {
     // Assign: argmax cosine over the broadcast centroid table (map-side).
     def assign(df: DataFrame, keep: Int): DataFrame = {
       val scored = df.join(broadcast(cent))
-        .select(df.columns.map(col) :+ col("list_id") :+
+        .select(df.columns.toIndexedSeq.map(col) :+ col("list_id") :+
           (dotQ(col("qv"), col("c_qv")).cast("double") /
             (col("nrm") * col("c_nrm"))).as("c_cos"): _*)
       val w = Window.partitionBy("id").orderBy(desc("c_cos"), col("list_id"))

@@ -295,6 +295,38 @@ object EtlQueries {
              |ORDER BY order_id, line_no, product_id, category_snapshot""".stripMargin),
     ),
 
+    // J7 (extension) — as-of join: for each "trade" (odd orders), the most
+    // recent "quote" (even orders, deduped per key+time) at or before its
+    // time. Spark side is the engine's union+window composition
+    // (graft.operators.AsofJoin); the oracle is DuckDB's NATIVE ASOF LEFT
+    // JOIN — a true differential test of as-of semantics incl. ties and
+    // no-match NULLs.
+    QueryDef(
+      "j7_asof_join",
+      (s, d) => {
+        val quotes = Tables.orders(s, d)
+          .filter(col("o_orderkey") % 2 === 0)
+          .groupBy(col("o_custkey").as("k"), col("o_orderdate").as("qt"))
+          .agg(max(col("o_totalprice")).as("qv"))
+        val trades = Tables.orders(s, d)
+          .filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey").as("id"), col("o_custkey").as("k"),
+            col("o_orderdate").as("tt"))
+        graft.operators.AsofJoin.asofJoin(trades, quotes, "k", "tt", "qt")
+          .orderBy("id")
+      },
+      Some("""WITH quotes AS (
+             |  SELECT o_custkey AS k, o_orderdate AS qt, max(o_totalprice) AS qv
+             |  FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1, 2),
+             |trades AS (
+             |  SELECT o_orderkey AS id, o_custkey AS k, o_orderdate AS tt
+             |  FROM orders WHERE o_orderkey % 2 = 1)
+             |SELECT trades.k AS k, id, tt, qv
+             |FROM trades ASOF LEFT JOIN quotes
+             |  ON trades.k = quotes.k AND trades.tt >= quotes.qt
+             |ORDER BY id""".stripMargin),
+    ),
+
     // O6 — last-wins merge of two sources of the same key (the reference's
     // fallback-overwrites-batch dict merge): union + row_number, keep the
     // highest-priority row per key.

@@ -327,6 +327,34 @@ object EtlQueries {
              |ORDER BY id""".stripMargin),
     ),
 
+    // J8 (extension) — range join: orders matched to non-aligned price
+    // bands via the bucketized equi-join (graft.operators.RangeJoin);
+    // oracle is DuckDB's direct inequality join.
+    QueryDef(
+      "j8_range_join",
+      (s, d) => {
+        val bands = (0 until 12).map { i =>
+          (i.toLong, i * 45000.0 + 500.0, i * 45000.0 + 40500.0)
+        }
+        import s.implicits._
+        val intervals = bands.toDF("band", "lo", "hi")
+        val points = Tables.orders(s, d)
+          .select(col("o_orderkey").as("order_id"), col("o_totalprice").as("price"))
+        graft.operators.RangeJoin
+          .pointInInterval(points, intervals, "price", "lo", "hi", binWidth = 10000.0)
+          .select("order_id", "price", "band")
+          .orderBy("order_id", "band")
+      },
+      Some("""WITH bands AS (
+             |  SELECT i AS band, i * 45000.0 + 500.0 AS lo, i * 45000.0 + 40500.0 AS hi
+             |  FROM (SELECT unnest(generate_series(0, 11)) AS i)),
+             |points AS (
+             |  SELECT o_orderkey AS order_id, o_totalprice AS price FROM orders)
+             |SELECT order_id, price, band
+             |FROM points JOIN bands ON price >= lo AND price < hi
+             |ORDER BY order_id, band""".stripMargin),
+    ),
+
     // O6 — last-wins merge of two sources of the same key (the reference's
     // fallback-overwrites-batch dict merge): union + row_number, keep the
     // highest-priority row per key.

@@ -222,6 +222,55 @@ object ExtQueries {
              |WHERE rk <= 5 ORDER BY lang, doc_id""".stripMargin),
     ),
 
+    {
+      // X14 — Count-Min Sketch frequency estimates (custom typed
+      // Aggregator, graft.functions.CountMinSketch): the corpus reduces
+      // to a 4×64 counter matrix; probe-token estimates come out of the
+      // sketch as pure column arithmetic. The oracle rebuilds the exact
+      // same sketch in SQL (shared md5 hash family), so estimates match
+      // value-for-value — including collision overestimates.
+      val probes = Seq("the", "el", "der", "data", "zzz_absent_token")
+      QueryDef(
+        "x14_cms_estimates",
+        (s, d) => {
+          import graft.functions.CountMinSketch
+          val toks = graft.util.Partitioning.fanOut(Tables.documents(s, d))
+            .select(explode(split(col("text"), " ")).as("t"))
+          val sk = toks.agg(CountMinSketch.cmsAgg(col("t")).as("sk"))
+          val wide = sk.select(probes.map(p =>
+            CountMinSketch.estimate(col("sk"), p).as(p)): _*)
+          val long = wide.selectExpr(
+            s"stack(${probes.size}, " +
+              probes.map(p => s"'$p', `$p`").mkString(", ") + ") as (token, est)")
+          val exact = toks.groupBy(col("t").as("token")).agg(count(lit(1)).as("exact"))
+          long.join(exact, Seq("token"), "left")
+            .select(col("token"), col("est"),
+              coalesce(col("exact"), lit(0L)).as("exact"))
+            .orderBy("token")
+        },
+        Some(s"""WITH tok AS (
+                |  SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+                |seeds AS (SELECT unnest(generate_series(0, 3)) AS i),
+                |cells AS (
+                |  SELECT i,
+                |    CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || t), 1, 8) AS BIGINT) % 64 AS c,
+                |    count(*) AS n
+                |  FROM tok, seeds GROUP BY 1, 2),
+                |probes AS (SELECT unnest([${probes.map(p => s"'$p'").mkString(",")}]) AS token),
+                |pc AS (
+                |  SELECT token, i,
+                |    CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || token), 1, 8) AS BIGINT) % 64 AS c
+                |  FROM probes, seeds),
+                |est AS (
+                |  SELECT token, CAST(min(COALESCE(n, 0)) AS BIGINT) AS est
+                |  FROM pc LEFT JOIN cells USING (i, c) GROUP BY token),
+                |ex AS (SELECT t AS token, count(*) AS exact FROM tok GROUP BY 1)
+                |SELECT est.token, est, CAST(COALESCE(exact, 0) AS BIGINT) AS exact
+                |FROM est LEFT JOIN ex USING (token)
+                |ORDER BY token""".stripMargin),
+      )
+    },
+
     // ------------------------------------------------------------------
     // Dedup
     // ------------------------------------------------------------------

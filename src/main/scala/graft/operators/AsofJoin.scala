@@ -22,7 +22,11 @@ import org.apache.spark.sql.functions._
   *
   * Determinism contract: the right side must be unique per (key, time) —
   * pre-aggregate duplicates first (the oracle query does exactly that).
-  * Left and right non-key column names must be disjoint.
+  * Left and right non-key column names must be disjoint. Right VALUE
+  * columns must be non-null: `last(ignoreNulls)` is how left rows skip
+  * their own padding, so a genuinely NULL right value would fall through
+  * to an older right row instead of surfacing as NULL — coalesce a
+  * sentinel around nullable right values before joining.
   */
 object AsofJoin {
 

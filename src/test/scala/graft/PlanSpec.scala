@@ -81,6 +81,14 @@ class PlanSpec extends AnyFunSuite {
     assert(df.agg(min("d")).head().getLong(0) > 0L)
   }
 
+  test("as-of and range joins never plan a nested-loop join (the operators' raison d'être)") {
+    for (q <- Seq("j7_asof_join", "j8_range_join")) {
+      val plan = planOf(SparkEntry.queries(q)(spark, sf))
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"$q degenerated to a quadratic join:\n${plan.linesIterator.take(25).mkString("\n")}")
+    }
+  }
+
   test("exact dedup shuffles the 64-char hash, never the document text") {
     val docs = Tables.documents(spark, sf)
     val plan = planOf(graft.ext.Dedup.exactDups(docs, "doc_id", "text"))

@@ -154,6 +154,22 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow replays the bounded source and terminates (backfill analogue)") {
+    val stream = EventStream.readStream(spark, "/root/testdata/sf0.001")
+    val q = EventStream.tumblingHourly(stream)
+      .writeStream.format("memory").queryName("avail_now")
+      .outputMode(OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      assert(q.awaitTermination(120000), "AvailableNow query must self-terminate")
+      // the bounded replay must equal the batch computation on the same data
+      val batchN = EventStream.tumblingHourly(
+        graft.io.Tables.events(spark, "/root/testdata/sf0.001")).count()
+      assert(spark.table("avail_now").count() == batchN)
+    } finally q.stop()
+  }
+
   test("file-source stream over the fixture events dir runs end-to-end") {
     val stream = EventStream.readStream(spark, "/root/testdata/sf0.001")
     assert(stream.isStreaming)

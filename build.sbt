@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked stdout through verbatim instead of sbt's logger, which
+// prefixes every line with "[info] " — that prefix broke the driver's
+// machine-parse of Bench's final JSON metric line (BENCH_r02 parsed:null).
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -39,15 +39,25 @@ object Bench {
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        spark.catalog.clearCache()
-        (System.nanoTime() - t0) / 1e9
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache() // between-run hygiene, outside the timing
+        elapsed
       }
       name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val metric =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Driver contract: BENCH_r02 had parsed:null because the metric line
+    // reached the driver as "[info] {...}". Belt and braces: write the bare
+    // JSON to stable files AND print it as the final unadorned stdout line
+    // (build.sbt's outputStrategy := StdoutOutput drops the sbt prefix).
+    for (p <- Seq("/tmp/bench_latest.json", "BENCH_LATEST.json"))
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), metric + "\n")
+      catch { case _: Throwable => }
     spark.stop()
+    println(metric)
   }
 }

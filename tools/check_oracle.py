@@ -61,6 +61,9 @@ def main(sf_dir, out_dir):
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # Verify.scala dual-keys every entry under "<name>" and "<name>.parquet"
+    # (driver-contract hardening); normalize to bare names and dedupe.
+    oracle = {name.removesuffix(".parquet"): sql for name, sql in oracle.items()}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:

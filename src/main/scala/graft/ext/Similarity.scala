@@ -67,9 +67,11 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
-  /** Embedding near-dup: pairs (a<b) with cosine ≥ threshold. All-pairs
-    * at test scale; compose with [[lshBucket]] blocking at 100 TB. */
-  def nearDupPairs(prep: DataFrame, threshold: Double): DataFrame = {
+  /** Embedding near-dup, all-pairs spelling: pairs (a<b) with cosine ≥
+    * threshold via an explicit cross join. O(n²) — retained ONLY as the
+    * exactness baseline for [[nearDupPairs]]' equivalence spec; the
+    * production/verified path is the blocked variant below. */
+  def nearDupPairsExact(prep: DataFrame, threshold: Double): DataFrame = {
     val a = prep.select(col("id").as("id_a"), col("qv").as("qv_a"), col("nrm").as("nrm_a"))
     val b = prep.select(col("id").as("id_b"), col("qv").as("qv_b"), col("nrm").as("nrm_b"))
     a.crossJoin(b)
@@ -78,6 +80,49 @@ object Similarity {
         (dotQ(col("qv_a"), col("qv_b")).cast("double") /
           (col("nrm_a") * col("nrm_b"))).as("cosine"))
       .filter(col("cosine") >= threshold)
+  }
+
+  /** Embedding near-dup, LSH-blocked: candidates come from an EQUI-JOIN on
+    * a random-hyperplane bucket id (own bucket on one side, own +
+    * hamming-1 multiprobe buckets on the other), then exact cosine
+    * verifies and a distinct collapses multi-bucket co-occurrences. No
+    * CartesianProduct / BroadcastNestedLoopJoin anywhere in the plan
+    * (gated by PlanSpec).
+    *
+    * Cost: candidate volume ≈ n²·(numPlanes+1)/2^numPlanes of the cross
+    * join's n² — a 28× cut at the default 8 planes, and the reduction is
+    * exponential in numPlanes while probe fan-out grows only linearly, so
+    * at 100 TB you raise numPlanes ~log₂(n) (or switch multiprobe to
+    * hamming-2) and the join stays linear per bucket.
+    *
+    * Recall at high thresholds: a pair is missed only if ≥2 of the
+    * numPlanes hyperplanes separate it. At threshold 0.99 the angle is
+    * ≤8.1°, so each plane separates with p≈0.045 — and true duplicates
+    * (identical vectors) have identical codes, i.e. can never be missed.
+    * For thresholds ≪ 1 lower numPlanes / deepen the probe set, or use
+    * [[nearDupPairsExact]] on a pre-blocked partition. */
+  def nearDupPairs(
+      prep: DataFrame, threshold: Double, numPlanes: Int = 8,
+      dim: Int = 0): DataFrame = {
+    val d0 =
+      if (dim > 0) dim
+      else prep.select(size(col("qv")).as("d")).head().getInt(0)
+    require(d0 > 0, s"nearDupPairs: could not determine embedding dimension (got $d0)")
+    val ps = planes(numPlanes, d0)
+    val withB = prep.withColumn("bucket", lshBucket(quantizeBack(col("qv")), ps))
+    val own = withB.select(col("bucket"),
+      col("id").as("id_a"), col("qv").as("qv_a"), col("nrm").as("nrm_a"))
+    val probe = withB
+      .withColumn("bucket", explode(probeBuckets(col("bucket"), numPlanes)))
+      .select(col("bucket"),
+        col("id").as("id_b"), col("qv").as("qv_b"), col("nrm").as("nrm_b"))
+    own.join(probe, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dotQ(col("qv_a"), col("qv_b")).cast("double") /
+          (col("nrm_a") * col("nrm_b"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .distinct()
   }
 
   // ---------------------------------------------------------------------

@@ -402,6 +402,10 @@ object ExtQueries {
               |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin),
     ),
 
+    // X10 — LSH-blocked near-dup (equi-join on hyperplane bucket +
+    // hamming-1 multiprobe + exact cosine verify; no cartesian — gated by
+    // PlanSpec). The DuckDB oracle stays the all-pairs ground truth, so a
+    // hash-match here proves the blocking lost nothing.
     QueryDef(
       "x10_embedding_neardup",
       (s, d) => {

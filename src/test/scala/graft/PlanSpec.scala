@@ -89,6 +89,12 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("blocked embedding near-dup plans an equi-join, never a cartesian (X10)") {
+    val plan = planOf(SparkEntry.queries("x10_embedding_neardup")(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"x10 degenerated to an all-pairs join:\n${plan.linesIterator.take(25).mkString("\n")}")
+  }
+
   test("exact dedup shuffles the 64-char hash, never the document text") {
     val docs = Tables.documents(spark, sf)
     val plan = planOf(graft.ext.Dedup.exactDups(docs, "doc_id", "text"))

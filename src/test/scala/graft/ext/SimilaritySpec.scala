@@ -75,6 +75,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.3, s"recall $recall")
   }
 
+  test("LSH-blocked near-dup returns exactly the all-pairs result") {
+    val base = Tables.embeddings(spark, sf)
+    val corpus = base.select(col("vec_id"), col("embedding"))
+      .unionByName(base.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+    val prep = Similarity.prepared(corpus, "vec_id", "embedding").cache()
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.nearDupPairsExact(prep, 0.99))
+    val blocked = pairs(Similarity.nearDupPairs(prep, 0.99))
+    assert(blocked == exact, s"blocked=$blocked exact=$exact")
+    prep.unpersist()
+  }
+
   test("embedding near-dup finds planted exact copies") {
     val base = Tables.embeddings(spark, sf)
     val corpus = base.select(col("vec_id"), col("embedding"))

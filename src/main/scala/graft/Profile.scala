@@ -65,6 +65,17 @@ object Profile {
         t(s"pairs rep$r")(pairs.count())
         t(s"jaccard rep$r")(Dedup.jaccardOnPairsFromMd5(mp, pairs).count())
         mp.unpersist()
+      } else if (name == "x7f") {
+        import graft.ext.Dedup
+        import org.apache.spark.sql.functions.col
+        val corpus = graft.io.Tables.documents(spark, sfDir)
+          .select(col("doc_id").as("id"), col("text"))
+        val perDoc = Dedup.minhashWithSets(corpus, "id", "text", 3, 12).persist()
+        t(s"perDoc rep$r")(perDoc.count())
+        val pairs = Dedup.candidatePairs(Dedup.lshBands(perDoc, 12, 3))
+        t(s"pairs rep$r")(pairs.count())
+        t(s"jaccard rep$r")(Dedup.jaccardFromSets(perDoc, pairs).count())
+        perDoc.unpersist()
       } else if (name == "events") {
         val ev = graft.io.Tables.events(spark, sfDir)
         t(s"events_count rep$r")(ev.count())

@@ -124,11 +124,72 @@ object Dedup {
       .agg(aggs.head, aggs.tail: _*)
   }
 
-  /** MinHash signature, one row per document, columns s0..s{numHashes-1}. */
+  /** Fused per-document signature+set pass with NO shuffle at all: the
+    * MinHash signature (s0..s{numHashes-1}) and the distinct 60-bit
+    * shingle set (`shset`) are computed inside each document's row via
+    * higher-order array functions — `array_min` over a `transform` of the
+    * doc's own shingle-hash array replaces the explode + groupBy
+    * aggregation entirely. Documents with zero shingles (< n tokens) are
+    * dropped, matching the explode path (they produce no shingle rows, so
+    * no signature).
+    *
+    * This is the 100 TB shape: embarrassingly parallel per-row compute,
+    * the corpus scanned/tokenized/hashed exactly once, zero shuffle
+    * before the (tiny) LSH band join. Each projection below binds the
+    * previous stage's array to an attribute first — HOF lambdas are
+    * interpreted with no common-subexpression elimination, so inlining
+    * (e.g. re-deriving the md5 array inside every per-seed transform)
+    * would multiply the hashing work ×numHashes. */
+  def minhashWithSets(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 12): DataFrame = {
+    val params = hashParams(numHashes)
+    val sigCols = params.zipWithIndex.map { case ((a, b), i) =>
+      array_min(transform(col("h0s"), h => (lit(a) * h + lit(b)) % lit(MinhashP)))
+        .as(s"s$i")
+    }
+    tokenized(df, idCol, textCol)
+      .select(col("id"), shinglesFromTokens(col("toks"), n).as("shs"))
+      .filter(size(col("shs")) > 0)
+      .select(col("id"), transform(col("shs"), s => md5(s)).as("ms"))
+      .select(
+        col("id"),
+        transform(col("ms"), m => conv(substring(m, 1, 8), 16, 10).cast("long"))
+          .as("h0s"),
+        array_distinct(
+          transform(col("ms"), m => conv(substring(m, 1, 15), 16, 10).cast("long")))
+          .as("shset"))
+      .select(col("id") +: sigCols :+ col("shset"): _*)
+  }
+
+  /** Exact Jaccard for candidate pairs from a [[minhashWithSets]] frame:
+    * |A∩B| / (|A|+|B|−|A∩B|) via array_intersect on the per-doc sets.
+    * The pairs frame (LSH candidates — tiny relative to the corpus) is
+    * broadcast to the set frame, so the only data movement is
+    * candidate-proportional; no re-shuffle of shingle rows at all. */
+  def jaccardFromSets(perDoc: DataFrame, pairs: DataFrame): DataFrame = {
+    val sets = perDoc.select(col("id"), col("shset"))
+    val withA = sets
+      .select(col("id").as("id_a"), col("shset").as("set_a"))
+      .join(broadcast(pairs), Seq("id_a"))
+    val withB = sets
+      .select(col("id").as("id_b"), col("shset").as("set_b"))
+      .join(broadcast(withA), Seq("id_b"))
+    withB
+      .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+      .select(
+        col("id_a"), col("id_b"),
+        (col("inter").cast("double") /
+          (size(col("set_a")) + size(col("set_b")) - col("inter")).cast("double"))
+          .as("jaccard"))
+  }
+
+  /** MinHash signature, one row per document, columns s0..s{numHashes-1}.
+    * Uses the shuffle-free per-document path ([[minhashWithSets]]). */
   def minhashSignature(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 12): DataFrame =
-    minhashSignatureFromMd5(shingleMd5(df, idCol, textCol, n), numHashes)
+    minhashWithSets(df, idCol, textCol, n, numHashes).drop("shset")
 
   /** LSH banding: r signature rows per band, band key = md5 of the
     * comma-joined slice. Output (id, band, bh). */

@@ -36,8 +36,14 @@ import org.apache.spark.sql.types.{ArrayType, LongType}
 object RewriteLongDotProduct extends Rule[LogicalPlan] {
 
   private def isLongArray(e: Expression): Boolean = e.dataType match {
-    case ArrayType(LongType, _) => true
-    case _                      => false
+    // containsNull must be false: on a NULL element the HOF spelling
+    // returns NULL (zip_with's multiply nulls the slot, the aggregate
+    // add propagates it), while LongDotProduct reads the slot as if it
+    // held a value and fabricates a finite sum. A session-wide rule must
+    // never change a user query's result, so nullable-element arrays are
+    // left to the built-in path.
+    case ArrayType(LongType, containsNull) => !containsNull
+    case _                                 => false
   }
 
   private object MulLambda {

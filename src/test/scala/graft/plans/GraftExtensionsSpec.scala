@@ -49,6 +49,29 @@ class GraftExtensionsSpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  test("rule does NOT touch arrays with nullable elements (NULL-element semantics guard)") {
+    // A NULL element makes the HOF spelling return NULL; long_dot would
+    // read the slot as a value and fabricate a finite sum — so the rule
+    // must leave containsNull=true arrays on the built-in path.
+    val df = spark.range(1, 3).select(col("id"),
+      array(col("id"), when(col("id") === 2, lit(null)).otherwise(col("id") * 2)).as("v"))
+    assert(df.schema("v").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].containsNull)
+    val q = df.select(col("id"), hofSelfDot(col("v")).as("d"))
+    val before = q.collect().map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1))).toMap
+
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ RewriteLongDotProduct
+    try {
+      val q2 = df.select(col("id"), hofSelfDot(col("v")).as("d"))
+      assert(!q2.queryExecution.optimizedPlan.toString.contains("long_dot"))
+      val after = q2.collect().map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1))).toMap
+      assert(after == before)
+      assert(after(1L) == 5L)   // [1,2]·[1,2]
+      assert(after(2L) == null) // NULL element → NULL dot, both paths
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   test("GraftExtensions class injects the rule (spark.sql.extensions entry point)") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext)

@@ -47,6 +47,11 @@ object Verify {
     // the bare "<name>". Emit every entry under BOTH keys so either driver
     // convention resolves (r01 lost correctness to one mismatch, r02 to
     // the other — see VERDICT r2 "What's wrong" #1).
+    // A query name already ending in ".parquet" would make the bare key
+    // of one entry collide with the derived key of another — forbid it
+    // outright rather than emit ambiguous JSON.
+    require(!SparkEntry.oracleSql.keys.exists(_.endsWith(".parquet")),
+      "oracleSql keys must not end in .parquet (dual-key emission would collide)")
     val json = SparkEntry.oracleSql
       .flatMap { case (k, v) => Seq(k -> v, s"$k.parquet" -> v) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")

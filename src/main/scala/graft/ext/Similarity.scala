@@ -84,36 +84,44 @@ object Similarity {
 
   /** Embedding near-dup, LSH-blocked: candidates come from an EQUI-JOIN on
     * a random-hyperplane bucket id (own bucket on one side, own +
-    * hamming-1 multiprobe buckets on the other), then exact cosine
-    * verifies and a distinct collapses multi-bucket co-occurrences. No
-    * CartesianProduct / BroadcastNestedLoopJoin anywhere in the plan
-    * (gated by PlanSpec).
+    * multiprobe buckets up to hamming-`probeDepth` on the other), then
+    * exact cosine verifies and a distinct collapses multi-bucket
+    * co-occurrences. No CartesianProduct / BroadcastNestedLoopJoin
+    * anywhere in the plan (gated by PlanSpec).
     *
-    * Cost: candidate volume ≈ n²·(numPlanes+1)/2^numPlanes of the cross
-    * join's n² — a 28× cut at the default 8 planes, and the reduction is
-    * exponential in numPlanes while probe fan-out grows only linearly, so
-    * at 100 TB you raise numPlanes ~log₂(n) (or switch multiprobe to
-    * hamming-2) and the join stays linear per bucket.
+    * Cost: candidate volume ≈ n²·(probe fan-out)/2^numPlanes of the cross
+    * join's n² — the reduction is exponential in numPlanes while probe
+    * fan-out grows only polynomially (1+numPlanes at depth 1, +C(numPlanes,2)
+    * at depth 2), so at 100 TB you raise numPlanes ~log₂(n) and the join
+    * stays linear per bucket.
     *
-    * Recall at high thresholds: a pair is missed only if ≥2 of the
-    * numPlanes hyperplanes separate it. At threshold 0.99 the angle is
-    * ≤8.1°, so each plane separates with p≈0.045 — and true duplicates
-    * (identical vectors) have identical codes, i.e. can never be missed.
-    * For thresholds ≪ 1 lower numPlanes / deepen the probe set, or use
-    * [[nearDupPairsExact]] on a pre-blocked partition. */
+    * Recall at high thresholds: a pair is missed only if > probeDepth of
+    * the numPlanes hyperplanes separate it. At threshold 0.99 the angle is
+    * ≤8.1°, so each plane separates with p≈0.045 — miss ≈ 5% at depth 1,
+    * ≈ 0.5% at the default depth 2 — and true duplicates (identical
+    * vectors) have identical codes, i.e. can never be missed. This is an
+    * APPROXIMATE operator for non-identical near-dups; for exact results
+    * use [[nearDupPairsExact]] on a pre-blocked partition, and see
+    * SimilaritySpec's planted-perturbation recall spec for the measured
+    * behavior. */
   def nearDupPairs(
       prep: DataFrame, threshold: Double, numPlanes: Int = 8,
-      dim: Int = 0): DataFrame = {
+      dim: Int = 0, probeDepth: Int = 2): DataFrame = {
     val d0 =
       if (dim > 0) dim
-      else prep.select(size(col("qv")).as("d")).head().getInt(0)
-    require(d0 > 0, s"nearDupPairs: could not determine embedding dimension (got $d0)")
+      else prep.select(size(col("qv")).as("d")).take(1)
+        .headOption.map(_.getInt(0)).getOrElse(0)
+    if (d0 == 0)
+      // Empty input (or explicit dim never passed on one): no pairs —
+      // return an empty frame with the output schema instead of throwing.
+      return prep.select(col("id").as("id_a"), col("id").as("id_b"),
+        lit(0.0).as("cosine")).limit(0)
     val ps = planes(numPlanes, d0)
     val withB = prep.withColumn("bucket", lshBucket(quantizeBack(col("qv")), ps))
     val own = withB.select(col("bucket"),
       col("id").as("id_a"), col("qv").as("qv_a"), col("nrm").as("nrm_a"))
     val probe = withB
-      .withColumn("bucket", explode(probeBuckets(col("bucket"), numPlanes)))
+      .withColumn("bucket", explode(probeBuckets(col("bucket"), numPlanes, probeDepth)))
       .select(col("bucket"),
         col("id").as("id_b"), col("qv").as("qv_b"), col("nrm").as("nrm_b"))
     own.join(probe, Seq("bucket"))
@@ -129,16 +137,23 @@ object Similarity {
   // LSH scale path (Spark-only surface; verified by recall spec, not SQL)
   // ---------------------------------------------------------------------
 
-  /** Deterministic random hyperplanes: weight (p,d) derived from md5 of
-    * "p,d" — reproducible across runs and JVMs, no RNG state. */
-  def planes(numPlanes: Int, dim: Int): Array[Array[Double]] = {
+  /** Integer form of the deterministic hyperplane weights: value (p,d)
+    * derived from md5 of "p,d" in [-1000, 1000]. Exposed so oracle SQL
+    * can embed the exact constants and divide by 1000.0 itself — the
+    * division is then the identical IEEE op in both engines. */
+  def planeInts(numPlanes: Int, dim: Int): Array[Array[Int]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     Array.tabulate(numPlanes, dim) { (p, d) =>
       val h = md.digest(s"$p,$d".getBytes("UTF-8"))
       val v = ((h(0) & 0xff) << 16) | ((h(1) & 0xff) << 8) | (h(2) & 0xff)
-      (v % 2001 - 1000) / 1000.0
+      v % 2001 - 1000
     }
   }
+
+  /** Deterministic random hyperplanes: weight (p,d) derived from md5 of
+    * "p,d" — reproducible across runs and JVMs, no RNG state. */
+  def planes(numPlanes: Int, dim: Int): Array[Array[Double]] =
+    planeInts(numPlanes, dim).map(_.map(_ / 1000.0))
 
   /** Random-hyperplane LSH bucket id in [0, 2^numPlanes): bit p is the
     * sign of x·plane_p. Pure column expression — codegen, no UDF. */
@@ -151,11 +166,24 @@ object Similarity {
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** Multiprobe bucket set: own bucket + all hamming-1 flips, as an
-    * array column to explode on the probe side. */
-  def probeBuckets(bucket: Column, numPlanes: Int): Column =
-    array(bucket +: (0 until numPlanes).map(p =>
-      bucket.bitwiseXOR(lit(1L << p))): _*)
+  /** Multiprobe bucket set: own bucket + all hamming-1 flips (and, at
+    * probeDepth=2, all hamming-2 flips), as an array column to explode on
+    * the probe side. Depth trades candidate volume for recall: at
+    * threshold 0.99 a pair is missed only when > probeDepth of the
+    * numPlanes hyperplanes separate it — ~5% for depth 1, ~0.5% for
+    * depth 2 at 8 planes (identical vectors are never missed at any
+    * depth: identical codes always collide). */
+  def probeBuckets(bucket: Column, numPlanes: Int, probeDepth: Int = 1): Column = {
+    require(probeDepth == 1 || probeDepth == 2,
+      s"probeBuckets: probeDepth must be 1 or 2, got $probeDepth")
+    val flips1 = (0 until numPlanes).map(p => 1L << p)
+    val flips2 =
+      if (probeDepth < 2) Seq.empty
+      else for {
+        p <- 0 until numPlanes; r <- p + 1 until numPlanes
+      } yield (1L << p) | (1L << r)
+    array(bucket +: (flips1 ++ flips2).map(m => bucket.bitwiseXOR(lit(m))): _*)
+  }
 
   /** Approximate top-k: queries probe their own + hamming-1 LSH buckets;
     * candidates shuffle on bucket id (linear), exact cosine re-ranks.
@@ -172,8 +200,14 @@ object Similarity {
       k: Int, numPlanes: Int = 4, dim: Int = 0): DataFrame = {
     val d0 =
       if (dim > 0) dim
-      else corpus.select(size(col(embCol)).as("d")).head().getInt(0)
-    require(d0 > 0, s"annTopK: could not determine embedding dimension (got $d0)")
+      else corpus.select(size(col(embCol)).as("d")).take(1)
+        .headOption.map(_.getInt(0)).getOrElse(0)
+    if (d0 == 0)
+      // Empty corpus: no neighbors for any query — empty frame with the
+      // output schema instead of throwing.
+      return prepared(queries, idCol, embCol)
+        .select(col("id").as("query_id"), lit(1).as("rank"),
+          col("id").as("neighbor_id"), lit(0.0).as("cosine")).limit(0)
     val ps = planes(numPlanes, d0)
     val c = prepared(corpus, idCol, embCol)
       .withColumn("bucket", lshBucket(quantizeBack(col("qv")), ps))

@@ -403,6 +403,74 @@ object ExtQueries {
               |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin),
     ),
 
+    // X15 — ANN top-k via the multiprobe hyperplane-LSH scale path
+    // (Similarity.annTopK): corpus vectors bucket once, queries probe own
+    // + hamming-1 buckets, exact cosine re-ranks candidates. The oracle
+    // reproduces the SAME algorithm in SQL (shared integer plane
+    // constants, ordered list_reduce summation for the projections, so
+    // bucket bits — hence candidates — match bit-for-bit), making the
+    // bucketed similarity-search path first-class oracle-verified rather
+    // than recall-spec'd only.
+    {
+      val nPlanes = 4
+      val dim = 64
+      val wl = Similarity.planeInts(nPlanes, dim)
+        .map(row => row.map(v => s"$v/1000.0").mkString("[", ", ", "]"))
+      val projs = (0 until nPlanes).map { p =>
+        s"list_reduce(list_prepend(0.0, list_transform(generate_series(1, $dim)," +
+          s" i -> (qv[i]/1000000.0) * w$p[i])), (s, v) -> s + v) AS proj$p"
+      }.mkString(",\n    ")
+      val bucketBits = (0 until nPlanes)
+        .map(p => s"(CASE WHEN proj$p >= 0 THEN ${1L << p} ELSE 0 END)")
+        .mkString(" + ")
+      val probeList = "bucket" +: (0 until nPlanes).map(p => s"xor(bucket, ${1L << p})")
+      QueryDef(
+        "x15_ann_topk",
+        (s, d) => {
+          val base = Tables.embeddings(s, d)
+          Similarity.annTopK(
+            base.filter(col("vec_id") < 8), base, "vec_id", "embedding",
+            k = 5, numPlanes = nPlanes, dim = dim)
+            .withColumnRenamed("rank", "rnk")
+            .orderBy("query_id", "rnk")
+        },
+        Some(s"""WITH w AS (SELECT ${wl.zipWithIndex.map { case (l, p) => s"$l AS w$p" }.mkString(", ")}),
+                |prep AS (
+                |  SELECT vec_id AS id,
+                |    list_transform(embedding,
+                |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+                |  FROM embeddings),
+                |n AS (
+                |  SELECT id, qv, sqrt(CAST(${dotSql("qv", "qv")} AS DOUBLE)) AS nrm
+                |  FROM prep),
+                |pb AS (
+                |  SELECT id, qv, nrm,
+                |    $projs
+                |  FROM n CROSS JOIN w),
+                |bk AS (
+                |  SELECT id, qv, nrm, CAST($bucketBits AS BIGINT) AS bucket
+                |  FROM pb),
+                |q AS (
+                |  SELECT id AS query_id, qv AS q_qv, nrm AS q_nrm,
+                |    unnest([${probeList.mkString(", ")}]) AS bucket
+                |  FROM bk WHERE id < 8),
+                |c AS (SELECT bucket, id AS neighbor_id, qv AS n_qv, nrm AS n_nrm FROM bk),
+                |scored AS (
+                |  SELECT query_id, neighbor_id,
+                |    max(CAST(${dotSql("q_qv", "n_qv")} AS DOUBLE) / (q_nrm * n_nrm)) AS cosine
+                |  FROM c JOIN q USING (bucket)
+                |  WHERE neighbor_id <> query_id
+                |  GROUP BY query_id, neighbor_id),
+                |r AS (
+                |  SELECT query_id, neighbor_id, cosine,
+                |    ROW_NUMBER() OVER (PARTITION BY query_id
+                |                       ORDER BY cosine DESC, neighbor_id) AS rnk
+                |  FROM scored)
+                |SELECT query_id, rnk, neighbor_id, cosine
+                |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin),
+      )
+    },
+
     // X10 — LSH-blocked near-dup (equi-join on hyperplane bucket +
     // hamming-1 multiprobe + exact cosine verify; no cartesian — gated by
     // PlanSpec). The DuckDB oracle stays the all-pairs ground truth, so a

@@ -89,6 +89,56 @@ class SimilaritySpec extends AnyFunSuite {
     prep.unpersist()
   }
 
+  test("blocked near-dup recall on planted NON-identical pairs (multiprobe depth)") {
+    // Perturbed copies at cosine ~0.998 — unlike the exact-copy plants,
+    // these can land in DIFFERENT LSH buckets, exercising the multiprobe
+    // recall claim rather than the identical-codes-always-collide one.
+    // Perturbation is multiplicative ±10% with a deterministic per-(id,
+    // index) pattern, so the test is exactly reproducible.
+    val base = Tables.embeddings(spark, sf)
+    val pert = base.select(
+      (col("vec_id") + 10000).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        (x.cast("double") *
+          (lit(1.0) + ((i * 37 + col("vec_id") * 11) % 21 - 10).cast("double") / 100.0))
+          .cast("float")).as("embedding"))
+    val corpus = base.select(col("vec_id"), col("embedding")).unionByName(pert)
+    val prep = Similarity.prepared(corpus, "vec_id", "embedding").cache()
+
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.nearDupPairsExact(prep, 0.99))
+    val planted = base.select("vec_id").collect().map(_.getLong(0))
+      .map(id => (id, id + 10000)).toSet
+    // construction sanity: every perturbed copy really is a ≥0.99 near-dup
+    assert(planted.subsetOf(exact), s"missing from exact: ${planted -- exact}")
+
+    // the plants must actually spread across LSH buckets, or this spec
+    // would only re-test the identical-codes case
+    val ps = Similarity.planes(8, 64)
+    val codes = prep.select(col("id"),
+      Similarity.lshBucket(transform(col("qv"), x => x.cast("double") / 1e6), ps).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hams = planted.toSeq.map { case (a, b) =>
+      java.lang.Long.bitCount(codes(a) ^ codes(b))
+    }
+    assert(hams.exists(_ > 0), s"all planted pairs landed in identical buckets: $hams")
+
+    val blocked1 = pairs(Similarity.nearDupPairs(prep, 0.99, probeDepth = 1))
+    val blocked2 = pairs(Similarity.nearDupPairs(prep, 0.99, probeDepth = 2))
+    // deeper probing can only add candidates
+    assert(blocked1.subsetOf(blocked2))
+    // every pair within probe reach (hamming ≤ depth) MUST be found
+    val within2 = planted.toSeq.filter { case (a, b) =>
+      java.lang.Long.bitCount(codes(a) ^ codes(b)) <= 2
+    }.toSet
+    assert(within2.subsetOf(blocked2),
+      s"missed within-reach pairs: ${within2 -- blocked2}")
+    val recall2 = (exact intersect blocked2).size.toDouble / exact.size
+    assert(recall2 >= 0.9, s"depth-2 recall $recall2 (hamming spread: $hams)")
+    prep.unpersist()
+  }
+
   test("embedding near-dup finds planted exact copies") {
     val base = Tables.embeddings(spark, sf)
     val corpus = base.select(col("vec_id"), col("embedding"))

@@ -45,6 +45,40 @@ object Incremental {
     process(since).foreach(state.advanceFrom)
   }
 
+  /** Outcome of one orchestrated incremental run: orders loaded, and the
+    * re-enrich pass if one ran — (forceAll, rows touched). */
+  final case class FlowRun(nOrders: Long, reEnriched: Option[(Boolean, Long)])
+
+  /** Orchestrated incremental run with the reference's
+    * re-enrich-when-idle branch (reference `flow.py:205-214`): when the
+    * run finds NO new orders, a missing-category re-enrich always runs —
+    * the reference spells the default as the deliberate dead flag
+    * `elif re_enrich or True:`, so the `reEnrich` parameter is accepted
+    * for fidelity but cannot disable the pass. `forceEnrichAll` upgrades
+    * it to re-enrich every row (`force_all=True`). When new orders WERE
+    * loaded, no re-enrich runs (the watermark advance is the whole
+    * outcome, `flow.py:215-216`).
+    *
+    * `process` returns (orders loaded, max event time seen); `reEnrich0`
+    * receives forceAll and returns rows touched — wire it to
+    * [[Load.updateFromMap]] + the items table (the K5 operator).
+    */
+  def runFlow(
+      state: StateStore,
+      now: Instant = Instant.now(),
+      forceEnrichAll: Boolean = false,
+      reEnrich: Boolean = false)(
+      process: String => (Long, Option[Instant]),
+      reEnrich0: Boolean => Long): FlowRun = {
+    val since = state.sinceIso(now)
+    val (nOrders, maxSeen) = process(since)
+    maxSeen.foreach(state.advanceFrom)
+    if (nOrders == 0L) {
+      val forceAll = forceEnrichAll
+      FlowRun(0L, Some((forceAll, reEnrich0(forceAll))))
+    } else FlowRun(nOrders, None)
+  }
+
   private implicit val instantOrdering: Ordering[Instant] =
     Ordering.fromLessThan(_.isBefore(_))
 }

@@ -73,11 +73,19 @@ object Load {
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staged = new org.apache.hadoop.fs.Path(path + "._staged")
     val old = new org.apache.hadoop.fs.Path(path + "._old")
+    // Hadoop FileSystem.rename reports some failures by RETURNING FALSE
+    // (e.g. missing parent, cross-FS move, object-store quirks) rather
+    // than throwing — an unchecked call can half-complete the swap
+    // silently and lose the table. Fail loudly instead; every
+    // intermediate state remains recoverable by the rollback below.
+    def mustRename(from: org.apache.hadoop.fs.Path, to: org.apache.hadoop.fs.Path): Unit =
+      if (!fs.rename(from, to))
+        throw new java.io.IOException(s"upsertParquet: rename $from -> $to failed")
     // Crash recovery: the swap below moves target→old then staged→target,
     // so "target missing + old present" means a previous run died between
     // the two renames — roll the old table back before proceeding. Any
     // leftover staging dir is from an incomplete write and is discarded.
-    if (!fs.exists(target) && fs.exists(old)) fs.rename(old, target)
+    if (!fs.exists(target) && fs.exists(old)) mustRename(old, target)
     if (fs.exists(staged)) fs.delete(staged, true)
     if (!fs.exists(target)) {
       incoming.write.mode(SaveMode.ErrorIfExists).parquet(path)
@@ -89,8 +97,8 @@ object Load {
     // Swap. The old table is kept until the staged rename succeeds, so
     // every intermediate state is recoverable (see rollback above).
     if (fs.exists(old)) fs.delete(old, true)
-    fs.rename(target, old)
-    fs.rename(staged, target)
+    mustRename(target, old)
+    mustRename(staged, target)
     fs.delete(old, true)
   }
 

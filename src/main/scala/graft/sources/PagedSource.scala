@@ -25,13 +25,19 @@ object PagedSource {
   /** Fetch all pages: `fetchPage(page)` returns up to `perPage` items,
     * 1-based pages; terminates after the first short/empty page (the
     * reference's stop condition — an exact-multiple result set costs one
-    * extra empty fetch, faithfully). */
-  def fetchAll[T](perPage: Int)(fetchPage: Int => Seq[T]): Seq[T] = {
+    * extra empty fetch, faithfully).
+    *
+    * Each page fetch runs under `retry` (default: the reference's 2
+    * retries × 30 s, `flow.py:44-46`) — a transient failure on page N
+    * retries page N alone, not the whole scan; a permanent failure
+    * exhausts the budget and propagates (S2). */
+  def fetchAll[T](perPage: Int, retry: RetryPolicy = RetryPolicy())(
+      fetchPage: Int => Seq[T]): Seq[T] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[T]
     var page = 1
     var done = false
     while (!done) {
-      val batch = fetchPage(page)
+      val batch = retry(fetchPage(page))
       out ++= batch
       done = batch.size < perPage
       page += 1

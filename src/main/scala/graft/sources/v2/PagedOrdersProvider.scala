@@ -46,7 +46,10 @@ class PagedOrdersProvider extends TableProvider {
     new PagedOrdersTable(
       properties.getOrDefault("pages", "8").toInt,
       properties.getOrDefault("pageSize", "100").toInt,
-      properties.getOrDefault("parallelism", "4").toInt)
+      properties.getOrDefault("parallelism", "4").toInt,
+      // Reference flow.py:44-46: retries=2, retry_delay_seconds=30.
+      properties.getOrDefault("retries", "2").toInt,
+      properties.getOrDefault("retryDelayMs", "30000").toLong)
 }
 
 object PagedOrders {
@@ -67,8 +70,20 @@ object PagedOrders {
     /** Pages fetched across the JVM — lets tests PROVE pruning happened. */
     val fetched = new java.util.concurrent.atomic.AtomicLong(0)
 
+    /** Test hooks: pages that fail with a transient error on their first
+      * fetch only (retry succeeds), and pages that fail every fetch
+      * (permanent — retries exhaust and the error propagates, S2). */
+    val failOnce: java.util.Set[Integer] =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[Integer]()
+    val failAlways: java.util.Set[Integer] =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[Integer]()
+
     def fetch(page: Int, pageSize: Int): Seq[(Long, Long, String, Double)] = {
       fetched.incrementAndGet()
+      if (failAlways.contains(page))
+        throw new java.io.IOException(s"permanent 500 on page $page")
+      if (failOnce.remove(page))
+        throw new java.io.IOException(s"transient 503 on page $page")
       (0 until pageSize).map { i =>
         val id = page.toLong * pageSize + i
         (id, BaseMicros + id * MicrosPerOrder,
@@ -86,17 +101,21 @@ object PagedOrders {
   }
 }
 
-class PagedOrdersTable(pages: Int, pageSize: Int, parallelism: Int)
+class PagedOrdersTable(
+    pages: Int, pageSize: Int, parallelism: Int,
+    retries: Int = 2, retryDelayMs: Long = 30000L)
     extends Table with SupportsRead {
   override def name(): String = s"paged_orders($pages x $pageSize)"
   override def schema(): StructType = PagedOrders.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PagedOrdersScanBuilder(pages, pageSize, parallelism)
+    new PagedOrdersScanBuilder(pages, pageSize, parallelism, retries, retryDelayMs)
 }
 
-class PagedOrdersScanBuilder(pages: Int, pageSize: Int, parallelism: Int)
+class PagedOrdersScanBuilder(
+    pages: Int, pageSize: Int, parallelism: Int,
+    retries: Int = 2, retryDelayMs: Long = 30000L)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
@@ -105,17 +124,32 @@ class PagedOrdersScanBuilder(pages: Int, pageSize: Int, parallelism: Int)
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = PagedOrders.schema
 
+  /** Timestamp cutoff → epoch micros, for BOTH timestamp object models:
+    * Spark passes java.sql.Timestamp by default and java.time.Instant
+    * when spark.sql.datetime.java8API.enabled=true — matching only one
+    * silently no-ops the page pruning for the other (correct rows, dead
+    * pushdown). */
+  private def cutoffMicros(v: Any): Option[Long] = v match {
+    case ts: java.sql.Timestamp =>
+      Some(ts.getTime * 1000L + (ts.getNanos % 1000000) / 1000L)
+    case i: java.time.Instant =>
+      Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+    case _ => None
+  }
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition {
-      case GreaterThan("order_date", _)        => true
-      case GreaterThanOrEqual("order_date", _) => true
+      case GreaterThan("order_date", v)        => cutoffMicros(v).isDefined
+      case GreaterThanOrEqual("order_date", v) => cutoffMicros(v).isDefined
       case _                                   => false
     }
     accepted.foreach {
-      case GreaterThan("order_date", ts: java.sql.Timestamp) =>
-        minPage = math.max(minPage, PagedOrders.minPageFor(ts.getTime * 1000L, pageSize))
-      case GreaterThanOrEqual("order_date", ts: java.sql.Timestamp) =>
-        minPage = math.max(minPage, PagedOrders.minPageFor(ts.getTime * 1000L, pageSize))
+      case GreaterThan("order_date", v) =>
+        cutoffMicros(v).foreach(m =>
+          minPage = math.max(minPage, PagedOrders.minPageFor(m, pageSize)))
+      case GreaterThanOrEqual("order_date", v) =>
+        cutoffMicros(v).foreach(m =>
+          minPage = math.max(minPage, PagedOrders.minPageFor(m, pageSize)))
       case _ => ()
     }
     pushed = accepted
@@ -140,7 +174,8 @@ class PagedOrdersScanBuilder(pages: Int, pageSize: Int, parallelism: Int)
       (0 until tasks).map { t =>
         val start = minPage + (span * t) / tasks
         val end = minPage + (span * (t + 1)) / tasks
-        PageRange(start, end, pageSize, required.fieldNames): InputPartition
+        PageRange(start, end, pageSize, required.fieldNames,
+          retries, retryDelayMs): InputPartition
       }.toArray
     }
     override def createReaderFactory(): PartitionReaderFactory =
@@ -148,15 +183,21 @@ class PagedOrdersScanBuilder(pages: Int, pageSize: Int, parallelism: Int)
   }
 }
 
-case class PageRange(start: Int, end: Int, pageSize: Int, columns: Array[String])
+case class PageRange(
+    start: Int, end: Int, pageSize: Int, columns: Array[String],
+    retries: Int = 2, retryDelayMs: Long = 30000L)
     extends InputPartition
 
 class PagedReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val pr = partition.asInstanceOf[PageRange]
     new PartitionReader[InternalRow] {
+      // Per-PAGE retry (reference flow.py:44-46): a transient failure on
+      // one page refetches that page only — Spark's task retry would
+      // refetch the whole range.
+      private val retry = graft.sources.RetryPolicy(pr.retries, pr.retryDelayMs)
       private val rows = (pr.start until pr.end).iterator
-        .flatMap(p => PagedOrders.PageClient.fetch(p, pr.pageSize))
+        .flatMap(p => retry(PagedOrders.PageClient.fetch(p, pr.pageSize)))
       private var current: (Long, Long, String, Double) = _
       override def next(): Boolean = { val h = rows.hasNext; if (h) current = rows.next(); h }
       override def get(): InternalRow = {

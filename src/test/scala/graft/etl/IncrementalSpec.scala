@@ -17,6 +17,56 @@ class IncrementalSpec extends AnyFunSuite {
     assert(st.sinceIso(now) == "2024-01-20 10:31:00")
   }
 
+  test("runFlow: idle run (no new orders) re-enriches missing categories, cursor holds") {
+    val p = Files.createTempDirectory("graft_state").resolve("state.json")
+    val st = new StateStore(p)
+    st.set("2024-01-15 00:00:00")
+    var enrichCalls = Vector.empty[Boolean]
+    val run = Incremental.runFlow(st) (
+      since => { assert(since == "2024-01-15 00:00:00"); (0L, None) },
+      forceAll => { enrichCalls :+= forceAll; 7L })
+    assert(run == Incremental.FlowRun(0L, Some((false, 7L))))
+    assert(enrichCalls == Vector(false)) // missing-only mode
+    assert(st.sinceIso() == "2024-01-15 00:00:00") // no watermark advance
+  }
+
+  test("runFlow: reEnrich flag is the reference's dead flag — idle still re-enriches") {
+    // reference flow.py:212 `elif re_enrich or True:` — re-enrich of
+    // missing categories on an idle run cannot be disabled
+    val p = Files.createTempDirectory("graft_state").resolve("state.json")
+    val st = new StateStore(p)
+    st.set("2024-01-15 00:00:00")
+    var calls = 0
+    Incremental.runFlow(st, reEnrich = false)(_ => (0L, None), _ => { calls += 1; 0L })
+    Incremental.runFlow(st, reEnrich = true)(_ => (0L, None), _ => { calls += 1; 0L })
+    assert(calls == 2)
+  }
+
+  test("runFlow: forceEnrichAll upgrades the idle pass to force_all") {
+    val p = Files.createTempDirectory("graft_state").resolve("state.json")
+    val st = new StateStore(p)
+    st.set("2024-01-15 00:00:00")
+    var enrichCalls = Vector.empty[Boolean]
+    val run = Incremental.runFlow(st, forceEnrichAll = true)(
+      _ => (0L, None),
+      forceAll => { enrichCalls :+= forceAll; 42L })
+    assert(run == Incremental.FlowRun(0L, Some((true, 42L))))
+    assert(enrichCalls == Vector(true))
+  }
+
+  test("runFlow: new orders advance the watermark and skip re-enrich") {
+    val p = Files.createTempDirectory("graft_state").resolve("state.json")
+    val st = new StateStore(p)
+    st.set("2024-01-15 00:00:00")
+    var enrichCalls = 0
+    val run = Incremental.runFlow(st, forceEnrichAll = true)(
+      _ => (5L, Some(Instant.parse("2024-01-20T10:30:00Z"))),
+      _ => { enrichCalls += 1; 0L })
+    assert(run == Incremental.FlowRun(5L, None))
+    assert(enrichCalls == 0) // flow.py:215-216: loaded-orders path, no re-enrich
+    assert(st.sinceIso() == "2024-01-20 10:31:00")
+  }
+
   test("backfill walks bounded windows, advances to max+1min, jumps when empty") {
     val seen = scala.collection.mutable.ArrayBuffer[(Instant, Instant)]()
     val start = Instant.parse("2024-01-01T00:00:00Z")

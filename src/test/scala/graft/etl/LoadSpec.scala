@@ -68,4 +68,32 @@ class LoadSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toSeq
     assert(got == Seq((1L, "a"), (2L, "b2"), (3L, "c")))
   }
+
+  test("upsertParquet: rename refusing with FALSE fails loudly, table intact") {
+    // Hadoop rename reports some failures by returning false, not
+    // throwing; the swap must surface that, never half-complete silently.
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.failfs.impl", classOf[RefusingRenameFs].getName)
+    val local = Files.createTempDirectory("graft_failfs").toString + "/fct"
+    val dir = "failfs://" + local
+    Load.upsertParquet(spark, dir,
+      Seq((1L, "a"), (2L, "b")).toDF("order_id", "v"), Seq("order_id"))
+    RefusingRenameFs.refuseOldSwap = true
+    try {
+      val e = intercept[java.io.IOException] {
+        Load.upsertParquet(spark, dir,
+          Seq((2L, "b2")).toDF("order_id", "v"), Seq("order_id"))
+      }
+      assert(e.getMessage.contains("rename"), e.getMessage)
+    } finally RefusingRenameFs.refuseOldSwap = false
+    // the failed swap must not have touched the live table
+    val got = spark.read.parquet(dir).orderBy("order_id")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "a"), (2L, "b")))
+    // and a later retry (rename healthy again) must succeed normally
+    Load.upsertParquet(spark, dir,
+      Seq((2L, "b2")).toDF("order_id", "v"), Seq("order_id"))
+    assert(spark.read.parquet(dir).orderBy("order_id")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a"), (2L, "b2")))
+  }
 }

@@ -38,9 +38,43 @@ class PagedSourceSpec extends AnyFunSuite {
 
   test("page fetch errors propagate (S2: HTTP >= 400 raises)") {
     val e = intercept[RuntimeException] {
-      PagedSource.fetchAll(2) { _ => throw new RuntimeException("HTTP 500") }
+      PagedSource.fetchAll(2, RetryPolicy.none) { _ =>
+        throw new RuntimeException("HTTP 500")
+      }
     }
     assert(e.getMessage == "HTTP 500")
+  }
+
+  test("transient failure on page N succeeds on retry; only page N refetches") {
+    var sleeps = Vector.empty[Long]
+    var failures = Map(2 -> 1) // page 2 fails once
+    var calls = Vector.empty[Int]
+    val rows = PagedSource.fetchAll(
+      2, RetryPolicy(retries = 2, delayMs = 30000L, sleep = sleeps :+= _)) { p =>
+      calls :+= p
+      if (failures.getOrElse(p, 0) > 0) {
+        failures += p -> (failures(p) - 1)
+        throw new java.io.IOException(s"transient 503 on page $p")
+      }
+      if (p <= 2) Seq(p * 10, p * 10 + 1) else Seq.empty
+    }
+    assert(rows == Seq(10, 11, 20, 21))
+    assert(calls == Vector(1, 2, 2, 3)) // page 2 retried alone, scan not restarted
+    assert(sleeps == Vector(30000L))    // reference backoff between attempts
+  }
+
+  test("permanent failure exhausts the retry budget then propagates (S2)") {
+    var sleeps = 0
+    var calls = 0
+    val e = intercept[java.io.IOException] {
+      PagedSource.fetchAll(
+        2, RetryPolicy(retries = 2, delayMs = 30000L, sleep = _ => sleeps += 1)) { _ =>
+        calls += 1
+        throw new java.io.IOException("HTTP 500")
+      }
+    }
+    assert(e.getMessage == "HTTP 500")
+    assert(calls == 3 && sleeps == 2) // 1 attempt + 2 retries, then raise
   }
 
   test("initTable creates an empty typed table once, never overwrites (K1)") {

@@ -59,6 +59,52 @@ class PagedOrdersProviderSpec extends AnyFunSuite {
     assert(df.distinct().count() == 2) // completed / refunded
   }
 
+  test("order_date pushdown also prunes with java.time.Instant cutoffs (java8API on)") {
+    val key = "spark.sql.datetime.java8API.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "true")
+    try {
+      PagedOrders.PageClient.fetched.set(0)
+      val cutoff = java.time.Instant.ofEpochSecond(
+        PagedOrders.BaseMicros / 1000000L + 200L * 60)
+      val n = read().filter(col("order_date") > lit(cutoff)).count()
+      assert(n == 400 - 200 - 1)
+      // with Instant matched in pushFilters, pages 0-3 are provably empty
+      // and never fetched; before the fix this silently degraded to 8
+      assert(PagedOrders.PageClient.fetched.get() == 4,
+        s"pages fetched: ${PagedOrders.PageClient.fetched.get()}")
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("transient page failure retries that page alone and the scan succeeds") {
+    PagedOrders.PageClient.fetched.set(0)
+    PagedOrders.PageClient.failOnce.add(3)
+    try {
+      val df = spark.read.format("graft.sources.v2.PagedOrdersProvider")
+        .option("pages", "8").option("pageSize", "50")
+        .option("parallelism", "4").option("retryDelayMs", "0")
+        .load()
+      assert(df.count() == 8L * 50)
+      // 8 pages + 1 refetch of the failed page; a task-level retry would
+      // have refetched the whole 2-page range
+      assert(PagedOrders.PageClient.fetched.get() == 9)
+    } finally PagedOrders.PageClient.failOnce.clear()
+  }
+
+  test("permanently failing page exhausts retries and fails the read (S2)") {
+    PagedOrders.PageClient.failAlways.add(5)
+    try {
+      val df = spark.read.format("graft.sources.v2.PagedOrdersProvider")
+        .option("pages", "8").option("pageSize", "50")
+        .option("parallelism", "4").option("retryDelayMs", "0")
+        .option("retries", "1")
+        .load()
+      val e = intercept[org.apache.spark.SparkException] { df.count() }
+      assert(e.getCause != null || e.getMessage.contains("permanent"),
+        s"unexpected failure shape: $e")
+    } finally PagedOrders.PageClient.failAlways.clear()
+  }
+
   test("aggregates over the connector match the generator's closed form") {
     val df = read(pages = 4, pageSize = 25)
     val total = df.agg(sum("order_id")).head().getLong(0)

@@ -76,6 +76,83 @@ object Profile {
         t(s"pairs rep$r")(pairs.count())
         t(s"jaccard rep$r")(Dedup.jaccardFromSets(perDoc, pairs).count())
         perDoc.unpersist()
+      } else if (name == "soak") {
+        // Scale soak (r3 verdict item 8): 10× replicas of documents/
+        // embeddings with per-replica perturbations chosen so result
+        // cardinality scales LINEARLY by construction (replica text gets
+        // a distinct suffix; replica vectors get ±50% deterministic noise
+        // → cross-replica cosine ≪ 0.99). If any stage were quadratic in
+        // corpus size (band-bucket or LSH-bucket skew), the 10× timing
+        // would blow past ~10× the 1× timing.
+        import graft.ext.{Dedup, Similarity}
+        import org.apache.spark.sql.functions._
+        val soakDir = "/tmp/graft_soak"
+        val docs1 = graft.io.Tables.documents(spark, sfDir)
+          .select(col("doc_id").as("id"), col("text"))
+        val emb1 = graft.io.Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"), col("embedding"))
+        if (!new java.io.File(s"$soakDir/docs10.parquet").isDirectory) {
+          val reps = spark.range(0, 10).select(col("id").as("rep"))
+          // Per-TOKEN replica suffix: every shingle differs across
+          // replicas (cross-replica Jaccard = 0, uncorrelated simhash
+          // bits), so near-dup pair counts scale linearly with replicas
+          // — the soak then measures algorithmic scaling, not a planted
+          // quadratic pair blowup.
+          docs1.crossJoin(reps)
+            .select((col("id") + col("rep") * 1000000L).as("id"),
+              array_join(transform(split(col("text"), " "),
+                t => concat(t, lit("_"), col("rep"))), " ").as("text"))
+            .repartition(32)
+            .write.mode("overwrite").parquet(s"$soakDir/docs10.parquet")
+          // Element ROTATION by replica: rotated random vectors are
+          // near-orthogonal (cosine ~ N(0, 1/64)), so no cross-replica
+          // near-dups; within-replica planted copies stay identical.
+          emb1.crossJoin(reps)
+            .select((col("vec_id") + col("rep") * 1000000L).as("vec_id"),
+              transform(sequence(lit(0), lit(63)),
+                i => element_at(col("embedding"),
+                  pmod(i + col("rep"), lit(64)).cast("int") + 1)).as("embedding"))
+            .repartition(32)
+            .write.mode("overwrite").parquet(s"$soakDir/emb10.parquet")
+        }
+        val docs10 = spark.read.parquet(s"$soakDir/docs10.parquet")
+        val emb10 = spark.read.parquet(s"$soakDir/emb10.parquet")
+
+        def dupDocs(df: org.apache.spark.sql.DataFrame) = df.unionByName(
+          df.filter(col("id") % 20 === 0)
+            .select((col("id") + 10000000L).as("id"),
+              concat(col("text"), lit(" extra extra token")).as("text")))
+        def dupEmb(df: org.apache.spark.sql.DataFrame) = df.unionByName(
+          df.filter(col("vec_id") % 25 === 0)
+            .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding")))
+
+        for ((label, d, e) <- Seq(("x1", docs1, emb1), ("x10", docs10, emb10))) {
+          val corpus = dupDocs(d)
+          val ecorp = dupEmb(e)
+          t(s"$label minhash_cand rep$r") {
+            val sig = Dedup.minhashSignature(corpus, "id", "text")
+            Dedup.candidatePairs(Dedup.lshBands(sig, 12, 3)).count()
+          }
+          t(s"$label jaccard rep$r") {
+            val perDoc = Dedup.minhashWithSets(corpus, "id", "text").persist()
+            val pairs = Dedup.candidatePairs(Dedup.lshBands(perDoc, 12, 3))
+            val n = Dedup.jaccardFromSets(perDoc, pairs)
+              .filter(col("jaccard") >= 0.5).count()
+            perDoc.unpersist(); n
+          }
+          t(s"$label simhash rep$r") {
+            Dedup.simhashPairs(Dedup.simhash32(corpus, "id", "text"), 3).count()
+          }
+          t(s"$label embed_neardup rep$r") {
+            Similarity.nearDupPairs(
+              Similarity.prepared(ecorp, "vec_id", "embedding"), 0.99, dim = 64).count()
+          }
+          t(s"$label ann_topk rep$r") {
+            Similarity.annTopK(e.filter(col("vec_id") < 8), e,
+              "vec_id", "embedding", k = 5, numPlanes = 4, dim = 64).count()
+          }
+          spark.catalog.clearCache()
+        }
       } else if (name == "events") {
         val ev = graft.io.Tables.events(spark, sfDir)
         t(s"events_count rep$r")(ev.count())

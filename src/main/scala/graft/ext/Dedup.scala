@@ -126,40 +126,27 @@ object Dedup {
 
   /** Fused per-document signature+set pass with NO shuffle at all: the
     * MinHash signature (s0..s{numHashes-1}) and the distinct 60-bit
-    * shingle set (`shset`) are computed inside each document's row via
-    * higher-order array functions — `array_min` over a `transform` of the
-    * doc's own shingle-hash array replaces the explode + groupBy
-    * aggregation entirely. Documents with zero shingles (< n tokens) are
-    * dropped, matching the explode path (they produce no shingle rows, so
-    * no signature).
+    * shingle set (`shset`) are computed inside each document's row by the
+    * native [[graft.functions.MinhashSigSet]] expression — one monomorphic
+    * Java loop per document replaces the explode + groupBy aggregation
+    * entirely (and the earlier higher-order-function spelling, whose
+    * per-element lambda interpretation degraded ~5× once the session had
+    * compiled many other queries). Documents with zero shingles
+    * (< n tokens) are dropped, matching the explode path (they produce no
+    * shingle rows, so no signature).
     *
     * This is the 100 TB shape: embarrassingly parallel per-row compute,
     * the corpus scanned/tokenized/hashed exactly once, zero shuffle
-    * before the (tiny) LSH band join. Each projection below binds the
-    * previous stage's array to an attribute first — HOF lambdas are
-    * interpreted with no common-subexpression elimination, so inlining
-    * (e.g. re-deriving the md5 array inside every per-seed transform)
-    * would multiply the hashing work ×numHashes. */
+    * before the (tiny) LSH band join. */
   def minhashWithSets(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 12): DataFrame = {
-    val params = hashParams(numHashes)
-    val sigCols = params.zipWithIndex.map { case ((a, b), i) =>
-      array_min(transform(col("h0s"), h => (lit(a) * h + lit(b)) % lit(MinhashP)))
-        .as(s"s$i")
-    }
+    val sigCols = (0 until numHashes).map(i => col(s"mh.s$i").as(s"s$i"))
     tokenized(df, idCol, textCol)
-      .select(col("id"), shinglesFromTokens(col("toks"), n).as("shs"))
-      .filter(size(col("shs")) > 0)
-      .select(col("id"), transform(col("shs"), s => md5(s)).as("ms"))
-      .select(
-        col("id"),
-        transform(col("ms"), m => conv(substring(m, 1, 8), 16, 10).cast("long"))
-          .as("h0s"),
-        array_distinct(
-          transform(col("ms"), m => conv(substring(m, 1, 15), 16, 10).cast("long")))
-          .as("shset"))
-      .select(col("id") +: sigCols :+ col("shset"): _*)
+      .filter(size(col("toks")) >= n)
+      .select(col("id"),
+        graft.functions.MinhashSigSet(col("toks"), n, numHashes).as("mh"))
+      .select(col("id") +: sigCols :+ col("mh.shset").as("shset"): _*)
   }
 
   /** Exact Jaccard for candidate pairs from a [[minhashWithSets]] frame:

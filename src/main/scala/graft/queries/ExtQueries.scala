@@ -471,6 +471,66 @@ object ExtQueries {
       )
     },
 
+    // X16 — ANN top-k via the IVF inverted-list scale path
+    // (Similarity.ivfTopK): deterministic mod-step centroid sample,
+    // broadcast-assign every vector to its nearest centroid, queries
+    // probe their nProbe nearest lists. Oracle reproduces the identical
+    // algorithm (integer dots, same tie-breaks), so both ANN scale paths
+    // (LSH x15, IVF x16) are oracle-verified, not just recall-spec'd.
+    QueryDef(
+      "x16_ivf_topk",
+      (s, d) => {
+        val base = Tables.embeddings(s, d)
+        Similarity.ivfTopK(
+          base.filter(col("vec_id") < 8), base, "vec_id", "embedding",
+          k = 5, nLists = 16, nProbe = 4)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy("query_id", "rnk")
+      },
+      Some(s"""WITH prep AS (
+              |  SELECT vec_id AS id,
+              |    list_transform(embedding,
+              |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+              |  FROM embeddings),
+              |n AS (
+              |  SELECT id, qv, sqrt(CAST(${dotSql("qv", "qv")} AS DOUBLE)) AS nrm
+              |  FROM prep),
+              |cnt AS (SELECT count(*) AS n FROM n),
+              |samp AS (
+              |  SELECT id, qv, nrm FROM n, cnt
+              |  WHERE id % greatest(1, n // 16) = 0
+              |  ORDER BY id LIMIT 16),
+              |cent AS (
+              |  SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS list_id,
+              |         qv AS c_qv, nrm AS c_nrm
+              |  FROM samp),
+              |ci AS (
+              |  SELECT id, qv, nrm, list_id,
+              |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY
+              |      CAST(${dotSql("qv", "c_qv")} AS DOUBLE) / (nrm * c_nrm) DESC,
+              |      list_id) AS crank
+              |  FROM n CROSS JOIN cent),
+              |indexed AS (
+              |  SELECT list_id, id AS neighbor_id, qv AS n_qv, nrm AS n_nrm
+              |  FROM ci WHERE crank <= 1),
+              |probing AS (
+              |  SELECT list_id, id AS query_id, qv AS q_qv, nrm AS q_nrm
+              |  FROM ci WHERE crank <= 4 AND id < 8),
+              |scored AS (
+              |  SELECT query_id, neighbor_id,
+              |    max(CAST(${dotSql("q_qv", "n_qv")} AS DOUBLE) / (q_nrm * n_nrm)) AS cosine
+              |  FROM indexed JOIN probing USING (list_id)
+              |  WHERE neighbor_id <> query_id
+              |  GROUP BY query_id, neighbor_id),
+              |r AS (
+              |  SELECT query_id, neighbor_id, cosine,
+              |    ROW_NUMBER() OVER (PARTITION BY query_id
+              |                       ORDER BY cosine DESC, neighbor_id) AS rnk
+              |  FROM scored)
+              |SELECT query_id, rnk, neighbor_id, cosine
+              |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin),
+    ),
+
     // X10 — LSH-blocked near-dup (equi-join on hyperplane bucket +
     // hamming-1 multiprobe + exact cosine verify; no cartesian — gated by
     // PlanSpec). The DuckDB oracle stays the all-pairs ground truth, so a

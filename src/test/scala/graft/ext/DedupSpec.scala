@@ -26,6 +26,23 @@ class DedupSpec extends AnyFunSuite {
     Tables.documents(spark, sf).filter(col("doc_id") % 10 === 0)
       .select("doc_id").collect().map(_.getLong(0)).toSet
 
+  test("native MinhashSigSet expression matches the explode+groupBy path exactly") {
+    // the expression is the hot path (x6/x7); the exploded shingle-md5
+    // frame is the independently-spelled reference — signatures AND the
+    // distinct 60-bit shingle sets must agree doc-for-doc
+    val sigNative = Dedup.minhashWithSets(corpus, "id", "text", 3, 12).cache()
+    val m = Dedup.shingleMd5(corpus, "id", "text", 3)
+    val sigRef = Dedup.minhashSignatureFromMd5(m, 12)
+    val a = sigNative.drop("shset")
+    assert(a.except(sigRef).count() == 0 && sigRef.except(a).count() == 0)
+    val setNative = sigNative.select(col("id"), explode(col("shset")).as("sh"))
+    val setRef = m.select(col("id"),
+      conv(substring(col("m"), 1, 15), 16, 10).cast("long").as("sh")).distinct()
+    assert(setNative.except(setRef).count() == 0 &&
+      setRef.except(setNative).count() == 0)
+    sigNative.unpersist()
+  }
+
   test("MinHash-LSH candidates recall the planted near-duplicate pairs") {
     val sig = Dedup.minhashSignature(corpus, "id", "text", n = 3, numHashes = 12)
     val cand = Dedup.candidatePairs(Dedup.lshBands(sig, 12, 3))

@@ -95,6 +95,25 @@ class PlanSpec extends AnyFunSuite {
       s"x10 degenerated to an all-pairs join:\n${plan.linesIterator.take(25).mkString("\n")}")
   }
 
+  test("ANN top-k via LSH plans an equi-join on bucket, never a cartesian (X15)") {
+    val plan = planOf(SparkEntry.queries("x15_ann_topk")(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"x15 degenerated to an all-pairs join:\n${plan.linesIterator.take(25).mkString("\n")}")
+  }
+
+  test("IVF top-k: the only nested-loop is the bounded broadcast centroid assign (X16)") {
+    // centroid assignment is a deliberate BroadcastNestedLoopJoin against
+    // a <= nLists-row table; the candidate join itself must be an
+    // equi-join on list_id and nothing may plan a CartesianProduct
+    val plan = planOf(SparkEntry.queries("x16_ivf_topk")(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      s"x16 planned a cartesian:\n${plan.linesIterator.take(25).mkString("\n")}")
+    val nlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(nlj <= 2, // corpus assign + query assign, nothing else
+      s"x16 planned $nlj nested-loop joins (expected <= 2, the centroid assigns)")
+    assert(plan.contains("list_id"), "candidate join no longer keyed on list_id")
+  }
+
   test("exact dedup shuffles the 64-char hash, never the document text") {
     val docs = Tables.documents(spark, sf)
     val plan = planOf(graft.ext.Dedup.exactDups(docs, "doc_id", "text"))

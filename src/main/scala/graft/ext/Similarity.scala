@@ -25,9 +25,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Quantize a float-array embedding to exact integers (×10⁶). */
-  def quantize(emb: Column): Column =
-    transform(emb, x => round(x.cast("double") * lit(1000000.0)).cast("long"))
+  /** Quantize a float-array embedding to exact integers (×10⁶) — native
+    * expression ([[graft.functions.QuantizeVec]]), one loop per vector;
+    * semantics identical to the HOF spelling
+    * `transform(emb, x => round(x.cast("double") * 1e6).cast("long"))`
+    * (differential spec in SimilaritySpec). */
+  def quantize(emb: Column): Column = graft.functions.QuantizeVec(emb)
 
   /** Exact integer dot product of two quantized vectors — a native
     * codegen expression ([[graft.functions.LongDotProduct]]): the
@@ -117,7 +120,8 @@ object Similarity {
       return prep.select(col("id").as("id_a"), col("id").as("id_b"),
         lit(0.0).as("cosine")).limit(0)
     val ps = planes(numPlanes, d0)
-    val withB = prep.withColumn("bucket", lshBucket(quantizeBack(col("qv")), ps))
+    val withB = prep.withColumn("bucket",
+      graft.functions.HyperplaneBucket(col("qv"), ps))
     val own = withB.select(col("bucket"),
       col("id").as("id_a"), col("qv").as("qv_a"), col("nrm").as("nrm_a"))
     val probe = withB
@@ -210,12 +214,13 @@ object Similarity {
           col("id").as("neighbor_id"), lit(0.0).as("cosine")).limit(0)
     val ps = planes(numPlanes, d0)
     val c = prepared(corpus, idCol, embCol)
-      .withColumn("bucket", lshBucket(quantizeBack(col("qv")), ps))
+      .withColumn("bucket", graft.functions.HyperplaneBucket(col("qv"), ps))
       .select(col("id").as("neighbor_id"), col("qv").as("n_qv"),
         col("nrm").as("n_nrm"), col("bucket"))
     val q = prepared(queries, idCol, embCol)
       .withColumn("bucket",
-        explode(probeBuckets(lshBucket(quantizeBack(col("qv")), ps), numPlanes)))
+        explode(probeBuckets(
+          graft.functions.HyperplaneBucket(col("qv"), ps), numPlanes)))
       .select(col("id").as("query_id"), col("qv").as("q_qv"),
         col("nrm").as("q_nrm"), col("bucket"))
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))

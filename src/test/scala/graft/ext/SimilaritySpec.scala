@@ -19,6 +19,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(self.getDouble(1) - 1.0) < 1e-12)
   }
 
+  test("native QuantizeVec and HyperplaneBucket match the HOF spellings exactly") {
+    val emb = Tables.embeddings(spark, sf)
+    val hofQ = transform(col("embedding"),
+      x => round(x.cast("double") * lit(1000000.0)).cast("long"))
+    val qDiff = emb.select(
+      Similarity.quantize(col("embedding")).as("a"), hofQ.as("b"))
+      .filter(not(col("a") <=> col("b"))).count()
+    assert(qDiff == 0, s"$qDiff rows where QuantizeVec != HOF round spelling")
+
+    val ps = Similarity.planes(8, 64)
+    val prep = Similarity.prepared(emb, "vec_id", "embedding")
+    val bDiff = prep.select(
+      graft.functions.HyperplaneBucket(col("qv"), ps).as("a"),
+      Similarity.lshBucket(
+        transform(col("qv"), x => x.cast("double") / lit(1000000.0)), ps).as("b"))
+      .filter(not(col("a") <=> col("b"))).count()
+    assert(bDiff == 0, s"$bDiff rows where HyperplaneBucket != HOF lshBucket")
+  }
+
   test("brute-force top-k is symmetric-scored and self-free") {
     val prep = Similarity.prepared(Tables.embeddings(spark, sf), "vec_id", "embedding").cache()
     val topk = Similarity.bruteForceTopK(prep.filter(col("id") < 5), prep, k = 3)

@@ -249,12 +249,17 @@ object Dedup {
     * nibble j; document bit j is the sign of the ±1 vote sum. Returns
     * (id, simhash) with simhash in [0, 2^32).
     *
-    * Shape: one row per token, then a SINGLE groupBy(id) carrying 32 sum
-    * aggregates (one per bit) — partial aggregation combines map-side, so
-    * the shuffle is |docs|×32 longs, not |tokens|×32 rows. The earlier
-    * explode-by-32 spelling shuffled 32× the token count through two
-    * aggregations; this one is ~10× faster and the natural 100 TB plan. */
-  def simhash32(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * Computed by the native [[graft.functions.Simhash32]] expression —
+    * one loop per document, no token explode, ZERO shuffle (the earlier
+    * explode + 32-aggregate groupBy shuffled |docs|×32 longs; this
+    * shuffles nothing). The exploded spelling is retained below as the
+    * differential-spec reference. */
+  def simhash32(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    tokenized(df, idCol, textCol)
+      .select(col("id"), graft.functions.Simhash32(col("toks")).as("simhash"))
+
+  /** Exploded groupBy reference spelling of [[simhash32]] (spec-only). */
+  def simhash32ViaGroupBy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val highNibble = Seq("8", "9", "a", "b", "c", "d", "e", "f").map(lit)
     val votes = (0 until 32).map { j =>
       sum(when(substring(col("h"), j + 1, 1).isin(highNibble: _*), lit(1))

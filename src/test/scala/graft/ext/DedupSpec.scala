@@ -43,6 +43,12 @@ class DedupSpec extends AnyFunSuite {
     sigNative.unpersist()
   }
 
+  test("native Simhash32 expression matches the explode+groupBy path exactly") {
+    val a = Dedup.simhash32(corpus, "id", "text")
+    val b = Dedup.simhash32ViaGroupBy(corpus, "id", "text")
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+  }
+
   test("MinHash-LSH candidates recall the planted near-duplicate pairs") {
     val sig = Dedup.minhashSignature(corpus, "id", "text", n = 3, numHashes = 12)
     val cand = Dedup.candidatePairs(Dedup.lshBands(sig, 12, 3))

@@ -271,6 +271,99 @@ object ExtQueries {
       )
     },
 
+    // X17 — repetition quality signals (Gopher-style filters): fraction
+    // of tokens taken by the single most frequent token, and fraction of
+    // duplicated 3-gram shingles. Both are standard pre-training corpus
+    // filters; explode + two-level combinable groupBy for the token side
+    // (map-side partials, linear at 100 TB), pure per-row array ops for
+    // the shingle side.
+    QueryDef(
+      "x17_repetition",
+      (s, d) => {
+        val docs = graft.util.Partitioning.fanOut(Tables.documents(s, d))
+        val tt = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id").agg(max("c").as("maxc"), sum("c").as("ntok"))
+        val sh = docs
+          .select(col("doc_id"),
+            Dedup.shinglesFromTokens(split(col("text"), " "), 3).as("shs"))
+          .select(col("doc_id"), size(col("shs")).as("total"),
+            size(array_distinct(col("shs"))).as("dist"))
+        tt.join(sh, Seq("doc_id"))
+          .select(
+            col("doc_id"),
+            (col("maxc").cast("double") / col("ntok").cast("double"))
+              .as("top_token_frac"),
+            when(col("total") > 0,
+              (col("total") - col("dist")).cast("double") / col("total").cast("double"))
+              .otherwise(lit(0.0)).as("dup_shingle_frac"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+             |tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+             |tt AS (
+             |  SELECT doc_id, CAST(max(c) AS BIGINT) AS maxc,
+             |         CAST(sum(c) AS BIGINT) AS ntok
+             |  FROM tc GROUP BY 1),
+             |sh AS (
+             |  SELECT doc_id, unnest(CASE WHEN len(t) - 2 >= 1
+             |    THEN list_transform(generate_series(1, len(t) - 2),
+             |                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+             |    ELSE [] END) AS sh
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+             |sc AS (
+             |  SELECT doc_id, count(*) AS total, count(DISTINCT sh) AS dist
+             |  FROM sh GROUP BY 1)
+             |SELECT t.doc_id,
+             |  CAST(maxc AS DOUBLE) / CAST(ntok AS DOUBLE) AS top_token_frac,
+             |  COALESCE(CAST(total - dist AS DOUBLE) / CAST(total AS DOUBLE), 0.0)
+             |    AS dup_shingle_frac
+             |FROM tt t LEFT JOIN sc USING (doc_id)
+             |ORDER BY doc_id""".stripMargin),
+    ),
+
+    // X18 — PII scrubbing: redact email/phone patterns and count the
+    // redactions (the fixture corpus is clean, so a deterministic PII
+    // suffix is planted on every 10th doc first — the scrub must both
+    // find those and leave the other 90% byte-identical). Simple regex
+    // subset shared by Java regex and DuckDB's RE2.
+    QueryDef(
+      "x18_pii_scrub",
+      (s, d) => {
+        val email = "[a-z0-9.]+@[a-z0-9.]+"
+        val phone = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            when(col("doc_id") % 10 === 0,
+              concat(col("text"),
+                lit(" contact bob@example.com or 555-123-4567 now")))
+              .otherwise(col("text")).as("text"))
+          .select(
+            col("doc_id"),
+            size(regexp_extract_all(col("text"), lit(email), lit(0))).as("n_emails"),
+            size(regexp_extract_all(col("text"), lit(phone), lit(0))).as("n_phones"),
+            regexp_replace(
+              regexp_replace(col("text"), email, "<EMAIL>"),
+              phone, "<PHONE>").as("scrubbed"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 10 = 0
+             |      THEN text || ' contact bob@example.com or 555-123-4567 now'
+             |      ELSE text END AS text
+             |  FROM documents)
+             |SELECT doc_id,
+             |  len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+')) AS n_emails,
+             |  len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phones,
+             |  regexp_replace(
+             |    regexp_replace(text, '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+             |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
+             |FROM corpus ORDER BY doc_id""".stripMargin),
+    ),
+
     // ------------------------------------------------------------------
     // Dedup
     // ------------------------------------------------------------------

@@ -51,6 +51,44 @@ class PipelineE2ESpec extends AnyFunSuite {
     Load.upsertParquet(spark, s"$dir/fct_order_items.parquet", iFinal, Seq("order_id"))
   }
 
+  test("idle incremental run re-enriches missing categories in the warehouse (flow branch + K5)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-e2e-flow").toString
+    // product 2 has no categories → category_snapshot lands NULL
+    runBatch(dir, rawOrders(
+      order(1, "30.0", "3.0", li(1, 2, "20.0"), li(2, 1, "8.0"))), Seq.empty)
+    val before = spark.read.parquet(s"$dir/fct_order_items.parquet")
+    assert(before.filter(col("product_id") === 2)
+      .head().getAs[String]("category_snapshot") == null)
+
+    val st = new StateStore(java.nio.file.Paths.get(dir, "state.json"))
+    st.set("2024-04-01 00:00:00")
+    // the catalog now DOES know product 2's category — an idle run must
+    // pick it up via the always-on missing-category re-enrich
+    val mapping = Seq((2L, "Late | Cat")).toDF("product_id", "category_snapshot")
+    val run = Incremental.runFlow(st)(
+      _ => (0L, None), // nothing new since the cursor
+      forceAll => {
+        val items = spark.read.parquet(s"$dir/fct_order_items.parquet")
+        val updated = Load.updateFromMap(items, mapping, force = forceAll)
+        val touched = updated.join(items.withColumnRenamed(
+          "category_snapshot", "old_cat"), Seq("order_id", "product_id"))
+          .filter(!(col("category_snapshot") <=> col("old_cat"))).count()
+        Load.upsertParquet(spark, s"$dir/fct_order_items.parquet",
+          updated, Seq("order_id"))
+        touched
+      })
+    assert(run == Incremental.FlowRun(0L, Some((false, 1L))))
+    assert(st.sinceIso() == "2024-04-01 00:00:00") // cursor untouched on idle
+
+    val after = spark.read.parquet(s"$dir/fct_order_items.parquet")
+    assert(after.filter(col("product_id") === 2)
+      .head().getAs[String]("category_snapshot") == "Late | Cat")
+    // the already-enriched row must be untouched (missing-only mode)
+    assert(after.filter(col("product_id") === 1)
+      .head().getAs[String]("category_snapshot") == "Audio | Pro")
+  }
+
   test("full path: normalize → enrich → refunds → upsert → dashboard; overlapping re-sync is idempotent") {
     val dir = java.nio.file.Files.createTempDirectory("graft-e2e").toString
     val refunds = Seq(

@@ -249,6 +249,53 @@ object Dedup {
           (col("cnt_a") + col("cnt_b") - col("inter")).cast("double")).as("jaccard"))
   }
 
+  /** Near-dup CLUSTER COLLAPSE: connected components over a pair frame
+    * (id_a, id_b), labelling every pair-participating document with the
+    * minimum id reachable from it — `cluster_id` is then the canonical
+    * survivor ("keep the lowest id per duplicate cluster", transitively:
+    * A~B and B~C collapse to one cluster even if A and C never paired).
+    * Returns (id, cluster_id); documents in no pair are not listed
+    * (their cluster is trivially themselves).
+    *
+    * Shape: iterative min-label propagation — per round, each node takes
+    * min(own label, neighbours' labels) via one equi-join + one
+    * map-side-combinable min aggregation; rounds ≤ cluster diameter
+    * (near-dup clusters are shallow — dup sets, not social graphs).
+    * Per-round frames are persisted and the previous round unpersisted,
+    * so lineage stays O(1). At extreme graph sizes swap in
+    * large-star/small-star (same join primitives, fewer rounds); the
+    * driver-side convergence check is one count per round. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .distinct().persist()
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("cluster_id", col("id")).persist()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("v"), col("cluster_id").as("nl")), "v")
+        .groupBy("u").agg(min("nl").as("min_nbr"))
+      val updated = labels
+        .join(nbrMin.withColumnRenamed("u", "id"), Seq("id"), "left")
+        .select(col("id"), col("cluster_id"),
+          least(col("cluster_id"), coalesce(col("min_nbr"), col("cluster_id")))
+            .as("next_id"))
+        .persist()
+      converged = updated.filter(col("next_id") < col("cluster_id")).count() == 0L
+      val prev = labels
+      labels = updated.select(col("id"), col("next_id").as("cluster_id")).persist()
+      labels.count() // materialize from the cached round before dropping it
+      prev.unpersist()
+      updated.unpersist()
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** 32-bit SimHash: bit j of each token's md5 is the high bit of hex
     * nibble j; document bit j is the sign of the ±1 vote sum. Returns
     * (id, simhash) with simhash in [0, 2^32).

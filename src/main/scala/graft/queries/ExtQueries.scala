@@ -56,8 +56,8 @@ object ExtQueries {
       val cols = (b * 3 until b * 3 + 3).map(i => s"s$i").mkString(" || ',' || ")
       s"SELECT id, $b AS band, md5($cols) AS bh FROM sig"
     }.mkString("\n  UNION ALL ")
-  private val minhashCtes =
-    s"""$dupCorpusSql,
+  private def minhashCtesFor(corpusSql: String) =
+    s"""$corpusSql,
        |toks AS (SELECT id, string_split(text, ' ') AS t FROM corpus),
        |sh AS (
        |  SELECT id, unnest(CASE WHEN len(t) - 2 >= 1
@@ -77,6 +77,8 @@ object ExtQueries {
        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bh = b.bh AND a.id < b.id)""".stripMargin
+
+  private val minhashCtes = minhashCtesFor(dupCorpusSql)
 
   private val enList = TA.enStop.map(w => s"'$w'").mkString("[", ",", "]")
   private val esList = TA.esStop.map(w => s"'$w'").mkString("[", ",", "]")
@@ -459,6 +461,49 @@ object ExtQueries {
               |FROM shh a JOIN shh b ON a.id < b.id
               |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
               |ORDER BY id_a, id_b""".stripMargin),
+    ),
+
+    // X19 — dedup cluster collapse: connected components over the LSH
+    // candidate pairs, labelling every pair-participating doc with the
+    // min reachable id (= the canonical survivor). The 3-generation
+    // corpus makes transitivity real: every doc_id % 100 == 0 has BOTH a
+    // mutated +10000 copy and an exact +20000 copy, which must collapse
+    // into ONE cluster even when the two copies never paired directly.
+    // Oracle = recursive-CTE transitive closure over the same candidate
+    // edges.
+    QueryDef(
+      "x19_dedup_clusters",
+      (s, d) => {
+        val base = Tables.documents(s, d)
+        val corpus3 = base.select(col("doc_id").as("id"), col("text"))
+          .unionByName(base.filter(col("doc_id") % 20 === 0)
+            .select((col("doc_id") + 10000).as("id"),
+              concat(col("text"), lit(" extra extra token")).as("text")))
+          .unionByName(base.filter(col("doc_id") % 25 === 0)
+            .select((col("doc_id") + 20000).as("id"), col("text")))
+        val sig = Dedup.minhashSignature(corpus3, "id", "text", n = 3, numHashes = 12)
+        val pairs = Dedup.candidatePairs(Dedup.lshBands(sig, 12, 3))
+        Dedup.connectedComponents(pairs).orderBy("id")
+      },
+      Some(s"""WITH RECURSIVE ${minhashCtesFor(
+        """corpus AS (
+          |  SELECT doc_id AS id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 10000, text || ' extra extra token'
+          |  FROM documents WHERE doc_id % 20 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 20000, text FROM documents WHERE doc_id % 25 = 0
+          |)""".stripMargin)},
+              |edges AS (
+              |  SELECT id_a AS u, id_b AS v FROM cand
+              |  UNION
+              |  SELECT id_b, id_a FROM cand),
+              |reach(u, v) AS (
+              |  SELECT u, v FROM edges
+              |  UNION
+              |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+              |SELECT u AS id, least(u, CAST(min(v) AS BIGINT)) AS cluster_id
+              |FROM reach GROUP BY u ORDER BY id""".stripMargin),
     ),
 
     // ------------------------------------------------------------------

@@ -87,6 +87,18 @@ class DedupSpec extends AnyFunSuite {
     assert(sh.values.forall(v => v >= 0 && v < (1L << 32)))
   }
 
+  test("connectedComponents: chains collapse transitively to the min id") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3 — needs multiple propagation rounds),
+    // disjoint pair 10-11, triangle 20-21-22
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("exact dedup groups only byte-identical texts") {
     val docs = Tables.documents(spark, sf).select(col("doc_id").as("id"), col("text"))
     val c = docs.unionByName(

@@ -265,11 +265,43 @@ object Dedup {
     * so lineage stays O(1). At extreme graph sizes swap in
     * large-star/small-star (same join primitives, fewer rounds); the
     * driver-side convergence check is one count per round. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(
+      pairs: DataFrame, maxIter: Int = 25,
+      localThreshold: Long = 1L << 20): DataFrame = {
+    val spark = pairs.sparkSession
     val edges = pairs
       .select(col("id_a").as("u"), col("id_b").as("v"))
       .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .distinct().persist()
+    val nEdges = edges.count()
+    // Two regimes. The pair graph holds PAIR PARTICIPANTS only — orders
+    // of magnitude smaller than the corpus — so up to `localThreshold`
+    // edges a driver-side union-find wins outright: milliseconds vs
+    // dozens of distributed rounds (the same small-side shortcut Spark
+    // itself takes with broadcasts). Past the threshold, iterative
+    // min-label propagation runs fully distributed.
+    if (nEdges <= localThreshold) {
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      val localEdges = edges.select("u", "v").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      edges.unpersist()
+      localEdges.foreach { case (u, v) =>
+        val (ru, rv) = (find(u), find(v))
+        if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+      }
+      val nodes = localEdges.flatMap(e => Seq(e._1, e._2)).distinct
+      // with max-root-points-to-min-root unions, find() IS the min id
+      val rows = nodes.sorted.map(id => (id, find(id)))
+      import spark.implicits._
+      return rows.toSeq.toDF("id", "cluster_id")
+    }
     var labels = edges.select(col("u").as("id")).distinct()
       .withColumn("cluster_id", col("id")).persist()
     var converged = false
@@ -284,7 +316,11 @@ object Dedup {
           least(col("cluster_id"), coalesce(col("min_nbr"), col("cluster_id")))
             .as("next_id"))
         .persist()
-      converged = updated.filter(col("next_id") < col("cluster_id")).count() == 0L
+      converged = updated
+        .agg(coalesce(
+          sum(when(col("next_id") < col("cluster_id"), 1L).otherwise(0L)),
+          lit(0L)))
+        .head().getLong(0) == 0L
       val prev = labels
       labels = updated.select(col("id"), col("next_id").as("cluster_id")).persist()
       labels.count() // materialize from the cached round before dropping it

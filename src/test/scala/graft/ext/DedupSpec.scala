@@ -93,10 +93,16 @@ class DedupSpec extends AnyFunSuite {
     // disjoint pair 10-11, triangle 20-21-22
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
       (20L, 21L), (21L, 22L), (20L, 22L)).toDF("id_a", "id_b")
-    val got = Dedup.connectedComponents(pairs).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L)
+    // both regimes must agree: driver-side union-find (default for small
+    // graphs) and the distributed label-propagation loop (forced via
+    // localThreshold = 0)
+    for (threshold <- Seq(Long.MaxValue, 0L)) {
+      val got = Dedup.connectedComponents(pairs, localThreshold = threshold)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"threshold=$threshold")
+    }
   }
 
   test("exact dedup groups only byte-identical texts") {

@@ -506,6 +506,97 @@ object ExtQueries {
               |FROM reach GROUP BY u ORDER BY id""".stripMargin),
     ),
 
+    // X20 — dedup survivor selection: apply the X19 clusters to the
+    // corpus — keep docs in no near-dup pair plus each cluster's head
+    // (min id). The operational end of the dedup pipeline: this id list
+    // is what a training run would actually read.
+    QueryDef(
+      "x20_dedup_survivors",
+      (s, d) => {
+        val base = Tables.documents(s, d)
+        val corpus3 = base.select(col("doc_id").as("id"), col("text"))
+          .unionByName(base.filter(col("doc_id") % 20 === 0)
+            .select((col("doc_id") + 10000).as("id"),
+              concat(col("text"), lit(" extra extra token")).as("text")))
+          .unionByName(base.filter(col("doc_id") % 25 === 0)
+            .select((col("doc_id") + 20000).as("id"), col("text")))
+        val sig = Dedup.minhashSignature(corpus3, "id", "text", n = 3, numHashes = 12)
+        val pairs = Dedup.candidatePairs(Dedup.lshBands(sig, 12, 3))
+        val clusters = Dedup.connectedComponents(pairs)
+        corpus3.join(clusters, Seq("id"), "left")
+          .filter(col("cluster_id").isNull || col("cluster_id") === col("id"))
+          .select(col("id"))
+          .orderBy("id")
+      },
+      Some(s"""WITH RECURSIVE ${minhashCtesFor(
+        """corpus AS (
+          |  SELECT doc_id AS id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 10000, text || ' extra extra token'
+          |  FROM documents WHERE doc_id % 20 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 20000, text FROM documents WHERE doc_id % 25 = 0
+          |)""".stripMargin)},
+              |edges AS (
+              |  SELECT id_a AS u, id_b AS v FROM cand
+              |  UNION
+              |  SELECT id_b, id_a FROM cand),
+              |reach(u, v) AS (
+              |  SELECT u, v FROM edges
+              |  UNION
+              |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+              |clusters AS (
+              |  SELECT u AS id, least(u, CAST(min(v) AS BIGINT)) AS cluster_id
+              |  FROM reach GROUP BY u)
+              |SELECT c.id FROM corpus c LEFT JOIN clusters cl USING (id)
+              |WHERE cl.cluster_id IS NULL OR cl.cluster_id = c.id
+              |ORDER BY id""".stripMargin),
+    ),
+
+    // X21 — TF-IDF term ranking: top-3 highest-scoring terms per doc.
+    // idf is the log-free rational form score = tf·N/df — rank-equivalent
+    // to tf·(N/df) with exact cross-engine float parity (ln() is not
+    // correctly-rounded and may differ between libm builds; integer
+    // products + one IEEE division are bit-identical). The classic two
+    // combinable aggregations + one broadcast-able term join.
+    QueryDef(
+      "x21_tfidf_topk",
+      (s, d) => {
+        val docs = graft.util.Partitioning.fanOut(Tables.documents(s, d))
+        val n = Tables.documents(s, d).count()
+        val tf = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(desc("score"), asc("term"))
+        tf.join(dfreq, Seq("term"))
+          .withColumn("score",
+            (col("tf") * lit(n)).cast("double") / col("df").cast("double"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select("doc_id", "rnk", "term", "tf", "df", "score")
+          .orderBy("doc_id", "rnk")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+             |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT count(*) AS n FROM documents),
+             |scored AS (
+             |  SELECT doc_id, term, tf, df,
+             |    CAST(tf * n AS DOUBLE) / CAST(df AS DOUBLE) AS score
+             |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+             |r AS (
+             |  SELECT doc_id, term, tf, df, score,
+             |    ROW_NUMBER() OVER (PARTITION BY doc_id
+             |                       ORDER BY score DESC, term ASC) AS rnk
+             |  FROM scored)
+             |SELECT doc_id, rnk, term, CAST(tf AS BIGINT) AS tf,
+             |       CAST(df AS BIGINT) AS df, score
+             |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin),
+    ),
+
     // ------------------------------------------------------------------
     // Similarity search
     // ------------------------------------------------------------------

@@ -41,6 +41,11 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val elapsed = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache() // between-run hygiene, outside the timing
+        // Pay down GC debt OUTSIDE the timed window: without this, heap
+        // pressure built up by earlier queries lands as multi-second GC
+        // pauses inside a later query's timing (observed: a 0.4 s query
+        // reading 9.6 s across all reps late in a 60-query run).
+        System.gc()
         elapsed
       }
       name -> times.min

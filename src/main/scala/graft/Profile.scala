@@ -76,6 +76,19 @@ object Profile {
         t(s"pairs rep$r")(pairs.count())
         t(s"jaccard rep$r")(Dedup.jaccardFromSets(perDoc, pairs).count())
         perDoc.unpersist()
+      } else if (name == "planscan") {
+        // Print every query whose physical plan contains a quadratic
+        // join — dev-loop companion to PlanSpec's blanket gate.
+        graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (qn, fn) =>
+          try {
+            val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+            val cart = plan.contains("CartesianProduct")
+            val bnlj = plan.contains("BroadcastNestedLoopJoin")
+            if (cart || bnlj) println(s"PLANSCAN $qn cartesian=$cart bnlj=$bnlj")
+          } catch { case e: Throwable =>
+            println(s"PLANSCAN $qn ERROR ${e.getClass.getSimpleName}") }
+        }
+        println("PLANSCAN done")
       } else if (name == "soak") {
         // Scale soak (r3 verdict item 8): 10× replicas of documents/
         // embeddings with per-replica perturbations chosen so result

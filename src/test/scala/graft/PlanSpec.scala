@@ -114,6 +114,20 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("list_id"), "candidate join no longer keyed on list_id")
   }
 
+  test("BLANKET: no query in the suite plans a CartesianProduct; nested-loops only on the allowlist") {
+    // the only sanctioned BroadcastNestedLoopJoins: x16's bounded
+    // centroid assigns and x9's brute-force baseline (corpus streamed
+    // against a broadcast handful of query vectors)
+    val bnljAllowed = Set("x16_ivf_topk", "x9_cosine_topk")
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = planOf(fn(spark, sf))
+      val cart = plan.contains("CartesianProduct")
+      val badBnlj = plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name)
+      if (cart || badBnlj) Some(s"$name cartesian=$cart bnlj=$badBnlj") else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+
   test("exact dedup shuffles the 64-char hash, never the document text") {
     val docs = Tables.documents(spark, sf)
     val plan = planOf(graft.ext.Dedup.exactDups(docs, "doc_id", "text"))

@@ -102,6 +102,79 @@ object Load {
     fs.delete(old, true)
   }
 
+  /** K2/K3 against a PARTITIONED parquet table — the 100 TB shape the
+    * flat [[upsertParquet]] docstring promises: only partitions that
+    * contain touched keys are read, upserted, and swapped; untouched
+    * partitions are never opened, let alone rewritten. A delete-then-
+    * insert that rewrites the whole table is O(table); this is
+    * O(touched partitions) — with a month partition column and a 30-day
+    * fetch window, one or two partitions per run regardless of table
+    * size.
+    *
+    * Layout: standard Hive-style `partitionCol=value` directories.
+    * Swap: per touched partition, the live directory is renamed to a
+    * dot-prefixed holding name (invisible to readers), the staged
+    * rewrite renamed in, then the holding copy deleted — each step a
+    * checked rename, and a crashed swap leaves a `._old_*` directory
+    * that the next run restores (target missing) or discards (target
+    * present). */
+  def upsertParquetPartitioned(
+      spark: SparkSession,
+      path: String,
+      incoming: DataFrame,
+      keys: Seq[String],
+      partitionCol: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    require(incoming.columns.contains(partitionCol),
+      s"incoming is missing partition column $partitionCol")
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mustRename(from: Path, to: Path): Unit =
+      if (!fs.rename(from, to))
+        throw new java.io.IOException(
+          s"upsertParquetPartitioned: rename $from -> $to failed")
+    // Crash recovery: restore any holding dir whose live partition is
+    // missing (died between the two swap renames); discard the rest.
+    if (fs.exists(target)) {
+      fs.listStatus(target).filter(_.getPath.getName.startsWith("._old_"))
+        .foreach { st =>
+          val live = new Path(target, st.getPath.getName.stripPrefix("._old_"))
+          if (!fs.exists(live)) mustRename(st.getPath, live)
+          else fs.delete(st.getPath, true)
+        }
+    }
+    if (!fs.exists(target)) {
+      incoming.write.partitionBy(partitionCol)
+        .mode(SaveMode.ErrorIfExists).parquet(path)
+      return
+    }
+    // Touched partitions: a tiny driver-side list (months, not keys).
+    val touched = incoming.select(partitionCol).distinct()
+      .collect().map(_.get(0)).filter(_ != null)
+    if (touched.isEmpty) return
+    val existingSlice = spark.read
+      .option("basePath", path).parquet(path)
+      .filter(col(partitionCol).isin(touched.toIndexedSeq: _*))
+    val staged = new Path(path + "._staged")
+    if (fs.exists(staged)) fs.delete(staged, true)
+    upsert(existingSlice, incoming.select(existingSlice.columns.map(col).toIndexedSeq: _*), keys)
+      .write.partitionBy(partitionCol)
+      .mode(SaveMode.Overwrite).parquet(staged.toString)
+    touched.foreach { pv =>
+      val dirName = s"$partitionCol=$pv"
+      val live = new Path(target, dirName)
+      val stagedDir = new Path(staged, dirName)
+      val holding = new Path(target, s"._old_$dirName")
+      if (fs.exists(holding)) fs.delete(holding, true)
+      if (fs.exists(stagedDir)) {
+        if (fs.exists(live)) mustRename(live, holding)
+        mustRename(stagedDir, live)
+        fs.delete(holding, true)
+      }
+    }
+    fs.delete(staged, true)
+  }
+
   /** K5/J5 — join-driven UPDATE: recompute a column from a mapping table
     * and overwrite where forced or missing/blank
     * (reference `src/run.py:88-94`: `UPDATE fct_order_items SET

@@ -69,6 +69,54 @@ class LoadSpec extends AnyFunSuite {
     assert(got == Seq((1L, "a"), (2L, "b2"), (3L, "c")))
   }
 
+  test("partitioned upsert rewrites ONLY touched partitions; untouched files stay put") {
+    val dir = Files.createTempDirectory("graft_pupsert").toString + "/fct"
+    val b1 = Seq((1L, "2024-01", "a"), (2L, "2024-01", "b"), (3L, "2024-02", "c"))
+      .toDF("order_id", "month", "v")
+    Load.upsertParquetPartitioned(spark, dir, b1, Seq("order_id"), "month")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def listing(p: String) = fs.listStatus(new org.apache.hadoop.fs.Path(p))
+      .map(s => (s.getPath.getName, s.getModificationTime, s.getLen)).toSet
+    val janBefore = listing(s"$dir/month=2024-01")
+
+    val b2 = Seq((3L, "2024-02", "c2"), (4L, "2024-02", "d"))
+      .toDF("order_id", "month", "v")
+    Load.upsertParquetPartitioned(spark, dir, b2, Seq("order_id"), "month")
+    // January: same files, same mtimes — provably not rewritten
+    assert(listing(s"$dir/month=2024-01") == janBefore)
+    val got = spark.read.parquet(dir)
+      .select("order_id", "month", "v").orderBy("order_id")
+      .as[(Long, String, String)].collect().toSeq
+    assert(got == Seq((1L, "2024-01", "a"), (2L, "2024-01", "b"),
+      (3L, "2024-02", "c2"), (4L, "2024-02", "d")))
+  }
+
+  test("partitioned upsert recovers a half-swapped partition from a crashed run") {
+    val dir = Files.createTempDirectory("graft_pupsert_cr").toString + "/fct"
+    Load.upsertParquetPartitioned(spark, dir,
+      Seq((1L, "2024-01", "a"), (3L, "2024-02", "c")).toDF("order_id", "month", "v"),
+      Seq("order_id"), "month")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate dying between the two swap renames: live partition moved
+    // to the holding name, staged rename never happened
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$dir/month=2024-02"),
+      new org.apache.hadoop.fs.Path(s"$dir/._old_month=2024-02")))
+    // the table currently reads WITHOUT february
+    assert(spark.read.parquet(dir).count() == 1)
+    // next run (touching only january) must first restore february
+    Load.upsertParquetPartitioned(spark, dir,
+      Seq((2L, "2024-01", "b")).toDF("order_id", "month", "v"),
+      Seq("order_id"), "month")
+    val got = spark.read.parquet(dir)
+      .select("order_id", "month", "v").orderBy("order_id")
+      .as[(Long, String, String)].collect().toSeq
+    assert(got == Seq((1L, "2024-01", "a"), (2L, "2024-01", "b"),
+      (3L, "2024-02", "c")))
+  }
+
   test("upsertParquet: rename refusing with FALSE fails loudly, table intact") {
     // Hadoop rename reports some failures by returning false, not
     // throwing; the swap must surface that, never half-complete silently.

@@ -102,6 +102,35 @@ object Load {
     fs.delete(old, true)
   }
 
+  /** Warehouse maintenance: COMPACT a flat parquet table's accreted
+    * small files into ~`targetBytes` outputs. Streaming/incremental
+    * upserts leave one-file-per-batch debris; scans then pay a per-file
+    * open + footer read, and at 100 TB the file LISTING itself becomes a
+    * bottleneck. Rewrite goes through the same staged checked-rename
+    * swap as [[upsertParquet]], so a crashed compaction never loses the
+    * table. No-op when the table does not exist. */
+  def compact(spark: SparkSession, path: String,
+      targetBytes: Long = 128L << 20): Unit = {
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staged = new org.apache.hadoop.fs.Path(path + "._staged")
+    val old = new org.apache.hadoop.fs.Path(path + "._old")
+    def mustRename(from: org.apache.hadoop.fs.Path, to: org.apache.hadoop.fs.Path): Unit =
+      if (!fs.rename(from, to))
+        throw new java.io.IOException(s"compact: rename $from -> $to failed")
+    if (!fs.exists(target) && fs.exists(old)) mustRename(old, target)
+    if (fs.exists(staged)) fs.delete(staged, true)
+    if (!fs.exists(target)) return
+    val size = fs.getContentSummary(target).getLength
+    val nFiles = math.max(1L, (size + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(path).repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(staged.toString)
+    if (fs.exists(old)) fs.delete(old, true)
+    mustRename(target, old)
+    mustRename(staged, target)
+    fs.delete(old, true)
+  }
+
   /** K2/K3 against a PARTITIONED parquet table — the 100 TB shape the
     * flat [[upsertParquet]] docstring promises: only partitions that
     * contain touched keys are read, upserted, and swapped; untouched

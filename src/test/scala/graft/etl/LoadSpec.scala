@@ -69,6 +69,22 @@ class LoadSpec extends AnyFunSuite {
     assert(got == Seq((1L, "a"), (2L, "b2"), (3L, "c")))
   }
 
+  test("compact merges small-file debris via the staged swap; data identical") {
+    val dir = Files.createTempDirectory("graft_compact").toString + "/fct"
+    val df = (1L to 64L).map(i => (i, s"v$i")).toDF("order_id", "v")
+    df.repartition(8).write.parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def partFiles() = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .count(_.getPath.getName.startsWith("part-"))
+    assert(partFiles() == 8)
+    Load.compact(spark, dir, targetBytes = Long.MaxValue)
+    assert(partFiles() == 1)
+    val got = spark.read.parquet(dir).orderBy("order_id")
+      .as[(Long, String)].collect().toSeq
+    assert(got == (1L to 64L).map(i => (i, s"v$i")))
+  }
+
   test("partitioned upsert rewrites ONLY touched partitions; untouched files stay put") {
     val dir = Files.createTempDirectory("graft_pupsert").toString + "/fct"
     val b1 = Seq((1L, "2024-01", "a"), (2L, "2024-01", "b"), (3L, "2024-02", "c"))

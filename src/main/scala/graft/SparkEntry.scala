@@ -15,7 +15,8 @@ object SparkEntry {
       graft.queries.EtlQueries.defs ++
       graft.queries.ExtQueries.defs ++
       graft.queries.WindowQueries.defs ++
-      graft.queries.MultimodalQueries.defs
+      graft.queries.MultimodalQueries.defs ++
+      graft.queries.CorpusQueries.defs
 
   private val (queryMap, oracleMap) = QueryDef.toMaps(packs)
 

@@ -1,0 +1,103 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-level curation operators for training-data pipelines, beyond
+  * the per-document scores in [[TextAnalysis]] and the pairwise dedup in
+  * [[Dedup]]: benchmark-contamination checks, corpus-wide duplicate-span
+  * measurement, and fixed-window token chunking.
+  *
+  * Scale design:
+  *   - contamination joins the corpus against the BENCHMARK n-gram set —
+  *     benchmark suites are fixed-size (thousands of docs), so their
+  *     distinct-gram set broadcasts and the corpus side stays a single
+  *     linear scan with a map-side join: no corpus shuffle at 100 TB;
+  *   - duplicate-span stats shuffle 8-byte gram hashes (never text) in a
+  *     combinable groupBy — the wordcount shape, linear in corpus size;
+  *   - chunking is a pure per-row expression (sequence/slice/posexplode),
+  *     embarrassingly parallel, no shuffle at all.
+  *
+  * Determinism contract: gram identity is md5 (full hex for broadcast
+  * membership, 60-bit prefix for shuffled counts — both reproducible in
+  * DuckDB), and every ratio divides exact integers.
+  */
+object Corpus {
+
+  /** Benchmark-contamination check (the "did my eval set leak into the
+    * training corpus?" operator): for every non-benchmark document, the
+    * fraction of its DISTINCT token n-grams that occur anywhere in the
+    * benchmark set.
+    *
+    * The benchmark side is scanned separately through `df.filter(isBench)`
+    * so at scale the (tiny) benchmark scan prunes at the source while the
+    * corpus side streams once; its distinct-gram set is broadcast.
+    * Returns (doc_id, n_grams, n_hits, contamination), one row per
+    * non-benchmark document with ≥ n tokens. */
+  def benchmarkOverlap(
+      df: DataFrame, idCol: String, textCol: String,
+      isBench: Column, n: Int): DataFrame = {
+    val bench = Dedup.shingleMd5(df.filter(isBench), idCol, textCol, n)
+      .select(col("m")).distinct()
+      .withColumn("_hit", lit(1L))
+    Dedup.shingleMd5(df.filter(!isBench), idCol, textCol, n)
+      .distinct()
+      .join(broadcast(bench), Seq("m"), "left")
+      .groupBy(col("id").as("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_hits"))
+      .withColumn("contamination",
+        col("n_hits").cast("double") / col("n_grams").cast("double"))
+  }
+
+  /** Corpus-wide duplicate-span signal (the CCNet-style "how much of this
+    * document also appears elsewhere" score): per document, the fraction
+    * of its DISTINCT n-grams whose 60-bit hash occurs in ≥ 2 distinct
+    * documents.
+    *
+    * One combinable groupBy on the gram hash (8 bytes/row shuffled), one
+    * hash join back — both linear in corpus size. The distinct per-doc
+    * gram frame feeds the frequency count AND the join probe, so it is
+    * persisted for the duration of the query. */
+  def duplicateNgramStats(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val g = Dedup.shingleMd5(df, idCol, textCol, n)
+      .select(col("id"),
+        conv(substring(col("m"), 1, 15), 16, 10).cast("long").as("sh"))
+      .distinct()
+      .persist()
+    // g is distinct per (id, sh): count(*) per sh == distinct docs carrying it
+    val freq = g.groupBy("sh").agg(count(lit(1)).as("ndocs"))
+    g.join(freq, Seq("sh"))
+      .groupBy(col("id").as("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("ndocs") >= 2, lit(1L)).otherwise(lit(0L))).as("n_dup"))
+      .withColumn("dup_frac",
+        col("n_dup").cast("double") / col("n_grams").cast("double"))
+  }
+
+  /** Fixed-window token chunking with overlap — the training-window
+    * splitter (context-length packing): chunk i covers tokens
+    * [1 + i·stride, 1 + i·stride + chunkSize) and the last chunk may be
+    * short; every document emits ≥ 1 chunk. Pure per-row expressions
+    * (tokens are projected ONCE per document before slicing — see the
+    * O(tokens²) note on [[Dedup.shinglesFromTokens]]), no shuffle.
+    * Returns (doc_id, chunk_idx, chunk, n_tokens). */
+  def chunk(
+      df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(stride >= 1 && chunkSize >= 1, "chunkSize and stride must be >= 1")
+    graft.util.Partitioning.fanOut(df)
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(1), size(col("toks")), lit(stride)))
+          .as(Seq("chunk_idx", "start")))
+      .select(
+        col("doc_id"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        array_join(slice(col("toks"), col("start"), lit(chunkSize)), " ").as("chunk"),
+        size(slice(col("toks"), col("start"), lit(chunkSize))).cast("long").as("n_tokens"))
+  }
+}

@@ -1,0 +1,253 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.ext.{Corpus, Dedup, TextAnalysis => TA}
+import graft.functions.HyperLogLog
+import graft.io.Tables
+import org.apache.spark.sql.functions._
+
+/** Round-5 corpus-curation surface: benchmark contamination, corpus-wide
+  * duplicate spans, HyperLogLog distinct sketching, token chunking, exact
+  * per-group percentiles, and semi-structured (JSON) ingestion — the
+  * remaining operators a production training-data pipeline runs between
+  * raw crawl and tokenizer that [[ExtQueries]] does not already cover.
+  *
+  * Parity notes: gram identity is md5 hex (x22) or its 60-bit prefix
+  * (x23); the HLL estimate (x24) is exact-power-of-two arithmetic with an
+  * exactly-representable 64-term sum; percentile interpolation (x26)
+  * spells the identical IEEE op order on both sides; JSON extraction
+  * (x27) parses with from_json in Spark and an equivalent regexp in the
+  * oracle (same values, engine-native parsing each side).
+  */
+object CorpusQueries {
+
+  /** DuckDB n-gram builder over a token-list column `t` (mirrors
+    * [[Dedup.shinglesFromTokens]], including the <n-token guard). */
+  private def gramExpr(n: Int): String =
+    (0 until n).map { case 0 => "t[i]"; case k => s"t[i+$k]" }.mkString(" || ' ' || ")
+
+  private def shingleCtes(n: Int, src: String): String =
+    s"""toks AS (SELECT doc_id AS id, string_split(text, ' ') AS t FROM $src),
+       |sh AS (
+       |  SELECT id, unnest(CASE WHEN len(t) - ${n - 1} >= 1
+       |    THEN list_transform(generate_series(1, len(t) - ${n - 1}), i -> ${gramExpr(n)})
+       |    ELSE [] END) AS g
+       |  FROM toks)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // X22 — benchmark-contamination check: docs with doc_id % 50 = 0 play
+    // the held-out eval suite; every other doc reports what fraction of
+    // its distinct 3-grams the benchmark contains. Benchmark gram set is
+    // broadcast; the corpus never shuffles.
+    QueryDef(
+      "x22_contamination",
+      (s, d) =>
+        Corpus.benchmarkOverlap(
+          Tables.documents(s, d), "doc_id", "text",
+          isBench = col("doc_id") % 50 === 0, n = 3)
+          .orderBy("doc_id"),
+      Some(s"""WITH ${shingleCtes(3, "documents")},
+              |grams AS (SELECT DISTINCT id, md5(g) AS m FROM sh),
+              |bench AS (SELECT DISTINCT m FROM grams WHERE id % 50 = 0),
+              |tgt AS (SELECT id, m FROM grams WHERE id % 50 <> 0)
+              |SELECT tgt.id AS doc_id,
+              |  count(*) AS n_grams,
+              |  CAST(sum(CASE WHEN bench.m IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+              |  CAST(sum(CASE WHEN bench.m IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+              |    / CAST(count(*) AS DOUBLE) AS contamination
+              |FROM tgt LEFT JOIN bench ON tgt.m = bench.m
+              |GROUP BY tgt.id ORDER BY doc_id""".stripMargin),
+    ),
+
+    // X23 — corpus-wide duplicate-span fraction over the near-dup corpus
+    // (documents plus mutated copies): per doc, fraction of distinct
+    // 6-grams appearing in >= 2 documents. Shuffles 8-byte hashes only.
+    QueryDef(
+      "x23_dup_ngrams",
+      (s, d) =>
+        Corpus.duplicateNgramStats(ExtQueries.dupCorpus(s, d), "id", "text", 6)
+          .orderBy("doc_id"),
+      Some(s"""WITH ${ExtQueries.dupCorpusSql},
+              |toks AS (SELECT id, string_split(text, ' ') AS t FROM corpus),
+              |sh AS (
+              |  SELECT id, unnest(CASE WHEN len(t) - 5 >= 1
+              |    THEN list_transform(generate_series(1, len(t) - 5), i -> ${gramExpr(6)})
+              |    ELSE [] END) AS g
+              |  FROM toks),
+              |grams AS (
+              |  SELECT DISTINCT id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS h60
+              |  FROM sh),
+              |freq AS (SELECT h60, count(*) AS ndocs FROM grams GROUP BY h60)
+              |SELECT grams.id AS doc_id,
+              |  count(*) AS n_grams,
+              |  CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+              |  CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+              |    / CAST(count(*) AS DOUBLE) AS dup_frac
+              |FROM grams JOIN freq USING (h60)
+              |GROUP BY grams.id ORDER BY doc_id""".stripMargin),
+    ),
+
+    // X24 — HyperLogLog distinct 3-grams per language (custom mergeable
+    // Aggregator, graft.functions.HyperLogLog) next to the exact count.
+    // The oracle rebuilds the identical 64 registers and estimate.
+    QueryDef(
+      "x24_hll_distinct",
+      (s, d) => {
+        val grams = graft.util.Partitioning.fanOut(Tables.documents(s, d))
+          .select(col("lang"), split(col("text"), " ").as("toks"))
+          .select(col("lang"), explode(Dedup.shinglesFromTokens(col("toks"), 3)).as("sh"))
+          .select(col("lang"), md5(col("sh")).as("m"))
+        grams.groupBy("lang")
+          .agg(
+            HyperLogLog.hllAgg(HyperLogLog.packedCell(col("m"))).as("reg"),
+            countDistinct(col("m")).as("exact_distinct"))
+          .select(col("lang"),
+            HyperLogLog.estimate(col("reg")).as("est_distinct"),
+            col("exact_distinct"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH toks AS (SELECT lang, string_split(text, ' ') AS t FROM documents),
+              |sh AS (
+              |  SELECT lang, unnest(CASE WHEN len(t) - 2 >= 1
+              |    THEN list_transform(generate_series(1, len(t) - 2), i -> ${gramExpr(3)})
+              |    ELSE [] END) AS g
+              |  FROM toks),
+              |h AS (SELECT lang, md5(g) AS m FROM sh),
+              |cells AS (
+              |  SELECT lang, m,
+              |    CAST('0x' || substr(m, 1, 2) AS INT) % 64 AS bucket,
+              |    length(regexp_extract(substr(m, 3, 11), '^0*')) AS z,
+              |    substr(m, 3, 11) AS tail
+              |  FROM h),
+              |rhos AS (
+              |  SELECT lang, m, bucket,
+              |    CASE WHEN z = 11 THEN 45
+              |         ELSE z * 4 + (CASE
+              |             WHEN substr(tail, z + 1, 1) IN ('8','9','a','b','c','d','e','f') THEN 0
+              |             WHEN substr(tail, z + 1, 1) IN ('4','5','6','7') THEN 1
+              |             WHEN substr(tail, z + 1, 1) IN ('2','3') THEN 2
+              |             ELSE 3 END) + 1
+              |    END AS rho
+              |  FROM cells),
+              |regs AS (SELECT lang, bucket, max(rho) AS mr FROM rhos GROUP BY 1, 2),
+              |est AS (
+              |  SELECT lang,
+              |    (0.709 * 4096.0) /
+              |      (SUM(1.0 / CAST(CAST(1 AS BIGINT) << mr AS DOUBLE))
+              |        + (64 - COUNT(*)) * 1.0) AS est_distinct
+              |  FROM regs GROUP BY lang),
+              |ex AS (SELECT lang, COUNT(DISTINCT m) AS exact_distinct FROM h GROUP BY lang)
+              |SELECT est.lang, est_distinct, exact_distinct
+              |FROM est JOIN ex USING (lang) ORDER BY lang""".stripMargin),
+    ),
+
+    // X25 — fixed-window token chunking (64-token windows, stride 48):
+    // the context-length packer. Pure per-row expressions, no shuffle.
+    QueryDef(
+      "x25_chunks",
+      (s, d) =>
+        Corpus.chunk(Tables.documents(s, d), "doc_id", "text",
+          chunkSize = 64, stride = 48)
+          .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |st AS (SELECT doc_id, t, unnest(generate_series(1, len(t), 48)) AS s FROM toks)
+             |SELECT doc_id,
+             |  (s - 1) // 48 AS chunk_idx,
+             |  array_to_string(t[s:least(s + 63, len(t))], ' ') AS chunk,
+             |  least(s + 63, len(t)) - s + 1 AS n_tokens
+             |FROM st ORDER BY doc_id, chunk_idx""".stripMargin),
+    ),
+
+    // X26 — exact per-language token-count percentiles with explicit
+    // linear interpolation (the IEEE op order is spelled identically on
+    // both sides — quantile_cont's internals are not portable).
+    QueryDef(
+      "x26_lang_percentiles",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = Tables.documents(s, d).select(
+          col("lang"), col("doc_id"),
+          TA.tokenCount(col("text")).cast("double").as("v"))
+        val ranked = base
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("lang").orderBy(col("v"), col("doc_id"))))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+        def loIdx(p: Double) = floor((col("n") - 1).cast("double") * lit(p))
+        def vAt(idx: org.apache.spark.sql.Column, nm: String) =
+          max(when(col("rn") === idx + 1, col("v"))).as(nm)
+        val agg = ranked.groupBy("lang").agg(
+          max(col("n")).as("n"),
+          vAt(loIdx(0.5), "lo50"), vAt(least(loIdx(0.5) + 1, col("n") - 1), "hi50"),
+          vAt(loIdx(0.9), "lo90"), vAt(least(loIdx(0.9) + 1, col("n") - 1), "hi90"),
+          vAt(loIdx(0.99), "lo99"), vAt(least(loIdx(0.99) + 1, col("n") - 1), "hi99"))
+        def interp(p: Double, lo: String, hi: String) = {
+          val h = (col("n") - 1).cast("double") * lit(p)
+          col(lo) + (h - floor(h).cast("double")) * (col(hi) - col(lo))
+        }
+        agg.select(col("lang"), col("n"),
+          interp(0.5, "lo50", "hi50").as("p50"),
+          interp(0.9, "lo90", "hi90").as("p90"),
+          interp(0.99, "lo99", "hi99").as("p99"))
+          .orderBy("lang")
+      },
+      Some("""WITH ranked AS (
+             |  SELECT lang,
+             |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS v,
+             |    ROW_NUMBER() OVER (PARTITION BY lang
+             |      ORDER BY CAST(len(string_split(text, ' ')) AS DOUBLE), doc_id) AS rn,
+             |    COUNT(*) OVER (PARTITION BY lang) AS n
+             |  FROM documents),
+             |agg AS (
+             |  SELECT lang, max(n) AS n,
+             |    max(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) + 1 THEN v END) AS lo50,
+             |    max(CASE WHEN rn = least(CAST(floor(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) + 1, n - 1) + 1 THEN v END) AS hi50,
+             |    max(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.9) AS BIGINT) + 1 THEN v END) AS lo90,
+             |    max(CASE WHEN rn = least(CAST(floor(CAST(n - 1 AS DOUBLE) * 0.9) AS BIGINT) + 1, n - 1) + 1 THEN v END) AS hi90,
+             |    max(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.99) AS BIGINT) + 1 THEN v END) AS lo99,
+             |    max(CASE WHEN rn = least(CAST(floor(CAST(n - 1 AS DOUBLE) * 0.99) AS BIGINT) + 1, n - 1) + 1 THEN v END) AS hi99
+             |  FROM ranked GROUP BY lang)
+             |SELECT lang, n,
+             |  lo50 + (CAST(n - 1 AS DOUBLE) * 0.5 - floor(CAST(n - 1 AS DOUBLE) * 0.5)) * (hi50 - lo50) AS p50,
+             |  lo90 + (CAST(n - 1 AS DOUBLE) * 0.9 - floor(CAST(n - 1 AS DOUBLE) * 0.9)) * (hi90 - lo90) AS p90,
+             |  lo99 + (CAST(n - 1 AS DOUBLE) * 0.99 - floor(CAST(n - 1 AS DOUBLE) * 0.99)) * (hi99 - lo99) AS p99
+             |FROM agg ORDER BY lang""".stripMargin),
+    ),
+
+    // X27 — semi-structured ingestion: schema'd JSON parse of the event
+    // props payload (the reference's API responses are JSON objects;
+    // reference src/etl/transform/clean.py flattens them dict-by-dict).
+    // Spark parses with from_json; the oracle extracts the same value
+    // with a regexp — engine-native parsing each side, identical values.
+    QueryDef(
+      "x27_json_props",
+      (s, d) => {
+        import org.apache.spark.sql.types.{LongType, StructField, StructType}
+        val k = from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+          .getField("k")
+        Tables.events(s, d)
+          .select(col("event_type"), k.as("k"))
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum(col("k")).as("sum_k"),
+            min(col("k")).as("min_k"),
+            max(col("k")).as("max_k"))
+          .withColumn("avg_k",
+            col("sum_k").cast("double") / col("n_events").cast("double"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type,
+             |    CAST(regexp_extract(props, '"k":\s*([0-9]+)', 1) AS BIGINT) AS k
+             |  FROM events)
+             |SELECT event_type,
+             |  count(*) AS n_events,
+             |  CAST(sum(k) AS BIGINT) AS sum_k,
+             |  min(k) AS min_k,
+             |  max(k) AS max_k,
+             |  CAST(CAST(sum(k) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_k
+             |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin),
+    ),
+  )
+}

@@ -23,7 +23,7 @@ object ExtQueries {
 
   // Near-dup corpus: documents plus a mutated copy (3 appended tokens) of
   // every 20th doc — real near-duplicates with known ids (+10000).
-  private def dupCorpus(s: SparkSession, d: String): DataFrame = {
+  private[queries] def dupCorpus(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id").as("id"), col("text"))
     docs.unionByName(
       Tables.documents(s, d)
@@ -32,7 +32,7 @@ object ExtQueries {
           concat(col("text"), lit(" extra extra token")).as("text")))
   }
 
-  private val dupCorpusSql =
+  private[queries] val dupCorpusSql =
     """corpus AS (
       |  SELECT doc_id AS id, text FROM documents
       |  UNION ALL

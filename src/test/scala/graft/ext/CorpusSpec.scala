@@ -1,0 +1,67 @@
+package graft.ext
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CorpusSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("chunk covers every token; stride==size reconstructs the document") {
+    val text = (1 to 150).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val exact = Corpus.chunk(df, "doc_id", "text", chunkSize = 64, stride = 64)
+      .orderBy("chunk_idx").collect()
+    assert(exact.map(_.getAs[String]("chunk")).mkString(" ") == text)
+    assert(exact.map(_.getAs[Long]("n_tokens")).sum == 150)
+
+    val overlapped = Corpus.chunk(df, "doc_id", "text", chunkSize = 64, stride = 48)
+      .orderBy("chunk_idx").collect()
+    // starts at 1, 49, 97, 145 -> 4 chunks; last has 150-145+1 = 6 tokens
+    assert(overlapped.length == 4)
+    assert(overlapped.map(_.getAs[Long]("chunk_idx")).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(overlapped.last.getAs[Long]("n_tokens") == 6)
+    assert(overlapped.forall(r =>
+      r.getAs[String]("chunk").split(" ").length == r.getAs[Long]("n_tokens")))
+    // overlap region: chunk i tokens [1+48i, 64+48i] -- chunk 1 starts at t49
+    assert(overlapped(1).getAs[String]("chunk").startsWith("t49 "))
+  }
+
+  test("short documents emit exactly one whole-document chunk") {
+    val df = Seq((7L, "a b c")).toDF("doc_id", "text")
+    val out = Corpus.chunk(df, "doc_id", "text", 64, 48).collect()
+    assert(out.length == 1 && out.head.getAs[String]("chunk") == "a b c")
+  }
+
+  test("benchmarkOverlap: copied doc fully contaminated, fresh doc clean") {
+    val bench = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val df = Seq(
+      (50L, bench),                     // benchmark member (id % 50 == 0)
+      (1L, bench),                      // full copy -> contamination 1.0
+      (2L, "c1 c2 c3 c4 c5 c6 c7 c8"),  // disjoint -> 0.0
+      (3L, "b1 b2 b3 x1 x2 x3"),        // 1 of 4 3-grams in benchmark
+    ).toDF("doc_id", "text")
+    val out = Corpus.benchmarkOverlap(df, "doc_id", "text",
+      isBench = col("doc_id") % 50 === 0, n = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("contamination")).toMap
+    assert(!out.contains(50L))
+    assert(out(1L) == 1.0)
+    assert(out(2L) == 0.0)
+    assert(out(3L) == 0.25)
+  }
+
+  test("duplicateNgramStats: exact dup pair saturates, unique doc is zero") {
+    val shared = (1 to 20).map(i => s"s$i").mkString(" ")
+    val df = Seq(
+      (1L, shared), (2L, shared),
+      (3L, (1 to 20).map(i => s"u$i").mkString(" ")),
+    ).toDF("doc_id", "text")
+    val out = Corpus.duplicateNgramStats(df, "doc_id", "text", n = 6)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("dup_frac")).toMap
+    assert(out(1L) == 1.0 && out(2L) == 1.0)
+    assert(out(3L) == 0.0)
+  }
+}

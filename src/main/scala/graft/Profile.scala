@@ -166,6 +166,67 @@ object Profile {
           }
           spark.catalog.clearCache()
         }
+      } else if (name == "w1fan") {
+        // w1 with the lineitem scan fanned out before the decimal agg:
+        // does parallelizing the partial aggregation beat the extra
+        // shuffle of 600k raw rows?
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions._
+        val li = graft.util.Partitioning.fanOut(
+          graft.io.Tables.lineitem(spark, sfDir)
+            .select("l_returnflag", "l_partkey", "l_extendedprice", "l_discount"))
+        val rev = li.groupBy(col("l_returnflag"), col("l_partkey"))
+          .agg(graft.util.Parity.moneySum(
+            col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        val w = Window.partitionBy("l_returnflag")
+          .orderBy(desc("revenue"), col("l_partkey"))
+        t(s"w1fan rep$r")(
+          rev.withColumn("rnk", row_number().over(w))
+            .filter(col("rnk") <= 3)
+            .select("l_returnflag", "rnk", "l_partkey", "revenue")
+            .orderBy("l_returnflag", "rnk").count())
+      } else if (name == "w1parts") {
+        import org.apache.spark.sql.functions._
+        val rev0 = graft.io.Tables.lineitem(spark, sfDir)
+          .groupBy(col("l_returnflag"), col("l_partkey"))
+          .agg(graft.util.Parity.moneySum(
+            col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        t(s"w1parts agg rep$r")(rev0.count())
+      } else if (name == "w1double") {
+        // Same agg with a plain double sum: isolates the decimal tax.
+        import org.apache.spark.sql.functions._
+        val rev0 = graft.io.Tables.lineitem(spark, sfDir)
+          .groupBy(col("l_returnflag"), col("l_partkey"))
+          .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        t(s"w1double agg rep$r")(rev0.count())
+      } else if (name == "w1long") {
+        // Decimal cast per row, but the SUM runs over the unscaled long.
+        import org.apache.spark.sql.functions._
+        val rev0 = graft.io.Tables.lineitem(spark, sfDir)
+          .groupBy(col("l_returnflag"), col("l_partkey"))
+          .agg((sum((  (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(24,6)") * lit(1000000)).cast("long"))
+            .cast("double") / lit(1e6)).as("revenue"))
+        t(s"w1long agg rep$r")(rev0.count())
+      } else if (name == "x21win") {
+        // TF-IDF with df via a window over the tf frame instead of
+        // groupBy+join-back (one fewer exchange + no join build).
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions._
+        val docs = graft.util.Partitioning.fanOut(graft.io.Tables.documents(spark, sfDir))
+        val n = graft.io.Tables.documents(spark, sfDir).count()
+        val tf = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("term"))
+        t(s"x21win rep$r")(
+          tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+            .withColumn("score",
+              (col("tf") * lit(n)).cast("double") / col("df").cast("double"))
+            .withColumn("rnk", row_number().over(w))
+            .filter(col("rnk") <= 3)
+            .select("doc_id", "rnk", "term", "tf", "df", "score")
+            .orderBy("doc_id", "rnk").count())
       } else if (name == "events") {
         val ev = graft.io.Tables.events(spark, sfDir)
         t(s"events_count rep$r")(ev.count())

@@ -123,6 +123,32 @@ object WindowQueries {
               |ORDER BY user_id, session_start""".stripMargin),
     ),
 
+    // Batch twin of EventStream.correlateWithin (stream-stream interval
+    // join): click→error correlation per user within a 10-minute horizon.
+    // The equi-key join + range predicate is the state-bounded streaming
+    // shape; in batch it plans as a shuffle join on user_id.
+    QueryDef(
+      "w5_interval_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        EventStream.correlateWithin(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "error"),
+          horizon = "10 minutes")
+          .orderBy("user_id", "l_id", "r_id")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+             |  FROM events)
+             |SELECT l.user_id, l.event_id AS l_id, l.event_type AS l_type, l.ts AS l_ts,
+             |       r.event_id AS r_id, r.event_type AS r_type, r.ts AS r_ts
+             |FROM ev l JOIN ev r
+             |  ON l.user_id = r.user_id
+             | AND l.event_type = 'click' AND r.event_type = 'error'
+             | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 10 MINUTE
+             |ORDER BY l.user_id, l_id, r_id""".stripMargin),
+    ),
+
     // Distinct aggregation — COUNT(DISTINCT) per group (absent from the
     // reference, §2.5 note): exact user reach per event type. Spark plans
     // the two-phase distinct-agg expand; the 100 TB variant swaps in

@@ -87,6 +87,35 @@ object EventStream {
   def dedupedStream(events: DataFrame, delay: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", delay).dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: each left event is correlated with
+    * right-side events of the SAME user landing within
+    * [l.ts, l.ts + horizon] (click→error attribution, order→refund
+    * matching, …). Both sides are watermarked with the horizon, and the
+    * range predicate gives Spark the bound it needs to reclaim each
+    * side's join state once the other side's watermark passes — bounded
+    * state, so the correlation can run forever on an unbounded stream.
+    * The equi-key (user_id) keeps the physical join a hash/sort-merge
+    * shuffle on the key at any scale, never nested-loop.
+    *
+    * Pure transform: the same function is oracle-checked in batch
+    * ([[graft.queries.WindowQueries]] w5) and spec-checked on
+    * MemoryStreams ([[EventStreamSpec]]). */
+  def correlateWithin(
+      left: DataFrame, right: DataFrame,
+      horizon: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", horizon)
+      .select(col("user_id"), col("event_id").as("l_id"),
+        col("event_type").as("l_type"), col("ts").as("l_ts"))
+    val r = right.withWatermark("ts", horizon)
+      .select(col("user_id").as("r_user_id"), col("event_id").as("r_id"),
+        col("event_type").as("r_type"), col("ts").as("r_ts"))
+    l.join(r,
+      col("user_id") === col("r_user_id") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizon"))
+      .select("user_id", "l_id", "l_type", "l_ts", "r_id", "r_type", "r_ts")
+  }
+
   // ---------------------------------------------------------------------
   // Custom state: running per-user counters via mapGroupsWithState
   // ---------------------------------------------------------------------

@@ -73,6 +73,32 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join correlates within horizon, same user only") {
+    val lmem = MemoryStream[Event]
+    val rmem = MemoryStream[Event]
+    val q = EventStream.correlateWithin(lmem.toDF(), rmem.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("corr")
+      .outputMode(OutputMode.Append()).start()
+    val clicks = Seq(Event(1L, ts("2024-01-01 00:00:00"), 1L, "click", 1.0))
+    val errors = Seq(
+      Event(100L, ts("2024-01-01 00:05:00"), 1L, "error", 0.0), // within horizon
+      Event(101L, ts("2024-01-01 00:20:00"), 1L, "error", 0.0), // beyond horizon
+      Event(102L, ts("2024-01-01 00:05:00"), 2L, "error", 0.0)) // other user
+    try {
+      lmem.addData(clicks: _*)
+      rmem.addData(errors: _*)
+      q.processAllAvailable()
+      val got = spark.table("corr").select("l_id", "r_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == Seq((1L, 100L)))
+    } finally q.stop()
+    // the same transform in batch mode gives the identical pairs
+    val batchGot = EventStream.correlateWithin(clicks.toDF(), errors.toDF())
+      .select("l_id", "r_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(batchGot == Seq((1L, 100L)))
+  }
+
   test("mapGroupsWithState keeps running per-user totals across batches") {
     val mem = MemoryStream[Event]
     val q = EventStream.runningUserTotals(spark, mem.toDF())

@@ -164,6 +164,19 @@ object Profile {
             Similarity.annTopK(e.filter(col("vec_id") < 8), e,
               "vec_id", "embedding", k = 5, numPlanes = 4, dim = 64).count()
           }
+          t(s"$label dup_ngrams rep$r") {
+            graft.ext.Corpus.duplicateNgramStats(corpus, "id", "text", 6).count()
+          }
+          t(s"$label contamination rep$r") {
+            graft.ext.Corpus.benchmarkOverlap(
+              d, "id", "text", col("id") % 50 === 0, 3).count()
+          }
+          t(s"$label prefix_sum rep$r") {
+            graft.ext.Corpus.prefixSum(
+              d.select(col("id"),
+                size(split(col("text"), " ")).cast("long").as("v")),
+              "id", "v", "cum").count()
+          }
           spark.catalog.clearCache()
         }
       } else if (name == "w1fan") {

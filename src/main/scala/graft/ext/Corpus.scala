@@ -63,16 +63,17 @@ object Corpus {
   def duplicateNgramStats(
       df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // Per-document DISTINCT gram hashes computed inside the row (one HOF
-    // pass, no dedup shuffle), then exploded: (id, sh) pairs are distinct
-    // by construction. count(*) over the sh window == distinct docs
-    // carrying the gram — one exchange, where the groupBy+join-back
-    // spelling paid two plus a persist (measured 1.35 s → 0.7 s at sf0.1).
+    // Per-document DISTINCT gram hashes computed inside the row by the
+    // native [[graft.functions.MinhashSigSet]] loop (numHashes=1 keeps
+    // the signature side one mult-mod per gram), then exploded: (id, sh)
+    // pairs are distinct by construction, no dedup shuffle. count(*) over
+    // the sh window == distinct docs carrying the gram — one exchange,
+    // where the groupBy+join-back spelling paid two plus a persist.
     val g = Dedup.tokenized(df, idCol, textCol)
+      .filter(size(col("toks")) >= n)
       .select(col("id"),
-        explode(array_distinct(transform(
-          Dedup.shinglesFromTokens(col("toks"), n),
-          sh => conv(substring(md5(sh), 1, 15), 16, 10).cast("long")))).as("sh"))
+        explode(graft.functions.MinhashSigSet(col("toks"), n, 1)
+          .getField("shset")).as("sh"))
     g.withColumn("ndocs", count(lit(1)).over(Window.partitionBy("sh")))
       .groupBy(col("id").as("doc_id"))
       .agg(
@@ -80,6 +81,46 @@ object Corpus {
         sum(when(col("ndocs") >= 2, lit(1L)).otherwise(lit(0L))).as("n_dup"))
       .withColumn("dup_frac",
         col("n_dup").cast("double") / col("n_grams").cast("double"))
+  }
+
+  /** Distributed prefix sum over a totally-ordered UNIQUE key: the global
+    * running total of `valueCol` in `sortCol` order, WITHOUT the
+    * single-partition global window (`Window.orderBy` with no partition
+    * moves the corpus to one task — the classic scale cliff).
+    *
+    * Two-phase scan: range-partition on the key, reduce each partition to
+    * one partial sum (numPartitions rows to the driver — constant-size,
+    * like a broadcast build), convert to per-partition base offsets, then
+    * run the within-partition cumsum as a parallel window and add the
+    * offset. The OUTPUT is partition-independent — a prefix sum over a
+    * total order does not depend on where the range splits fall — so the
+    * result is deterministic and oracle-checkable against a plain
+    * windowed SUM.
+    *
+    * `sortCol` must be unique (ties would make the running order, and so
+    * the prefix sum, ill-defined on both engines). */
+  def prefixSum(
+      df: DataFrame, sortCol: String, valueCol: String,
+      outCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = graft.util.Partitioning.fanOut(df)
+      .repartitionByRange(col(sortCol))
+      .withColumn("_pid", spark_partition_id())
+    val partials = parts.groupBy("_pid")
+      .agg(sum(col(valueCol).cast("long")).as("_psum"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    // exclusive prefix of the partial sums: partition i's base offset is
+    // the total of partitions 0..i-1 (zip truncates the trailing total)
+    val offsets = partials.map(_._1)
+      .zip(partials.map(_._2).scanLeft(0L)(_ + _)).toMap
+    val offExpr = offsets.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
+      when(col("_pid") === pid, lit(off)).otherwise(acc)
+    }
+    parts
+      .withColumn("_local", sum(col(valueCol).cast("long"))
+        .over(Window.partitionBy("_pid").orderBy(sortCol)))
+      .withColumn(outCol, col("_local") + offExpr)
+      .drop("_pid", "_local")
   }
 
   /** Fixed-window token chunking with overlap — the training-window

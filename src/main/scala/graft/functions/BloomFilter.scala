@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Bloom filter as a custom typed Aggregator — the join-pruning sketch
+  * next to [[CountMinSketch]] (frequency) and [[HyperLogLog]] (distinct).
+  *
+  * Use-case at 100 TB: a semi-join whose "small" side is too large to
+  * broadcast as a hash set still fits as a 4096-bit (here; width is a
+  * constant to keep the oracle SQL finite) filter — build it in one
+  * mergeable aggregation, push `mightContain` into the probe side's scan
+  * stage, and let the exact join run on the survivors. The filter never
+  * drops a true match (no false negatives); false positives only cost
+  * extra rows into the exact join. Spark's own runtime row-level
+  * filtering does this implicitly; this operator makes the primitive
+  * explicit, deterministic, and differentially testable.
+  *
+  * Determinism contract (shared with the DuckDB oracle, x29): bit
+  * position i(v) = first 8 md5 hex chars of "i|v" as int64 mod 4096, for
+  * i in 0..3 — the same md5-prefix family as the CMS. Reduce sets bits,
+  * merge is bitwise OR: associative, commutative, idempotent — partial
+  * aggregation with a fixed 512-byte buffer.
+  */
+object BloomFilter {
+  val Words = 64
+  val Bits = Words * 64
+  val K = 4
+
+  /** bit position of hash i for a value (md5-prefix family). */
+  def bitPos(i: Int, value: String): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s"$i|$value".getBytes("UTF-8"))
+    def u(b: Byte): Long = b & 0xffL
+    val v = (u(h(0)) << 24) | (u(h(1)) << 16) | (u(h(2)) << 8) | u(h(3))
+    (v % Bits).toInt
+  }
+
+  /** The Aggregator: String in, 8 bit-words out. */
+  val sketch: Aggregator[String, Array[Long], Seq[Long]] =
+    new Aggregator[String, Array[Long], Seq[Long]] {
+      override def zero: Array[Long] = new Array[Long](Words)
+      override def reduce(buf: Array[Long], value: String): Array[Long] = {
+        if (value != null) {
+          var i = 0
+          while (i < K) {
+            val p = bitPos(i, value)
+            buf(p / 64) |= 1L << (p % 64)
+            i += 1
+          }
+        }
+        buf
+      }
+      override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+        var i = 0
+        while (i < Words) { a(i) |= b(i); i += 1 }
+        a
+      }
+      override def finish(buf: Array[Long]): Seq[Long] = buf.toIndexedSeq
+      override def bufferEncoder: Encoder[Array[Long]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+      override def outputEncoder: Encoder[Seq[Long]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+    }
+
+  /** Column spelling: aggregates a string column to the bit words. */
+  def bloomAgg(c: Column): Column = udaf(sketch).apply(c)
+
+  /** Membership test against DRIVER-HELD bit words (the built filter is
+    * 64 bytes — collected once and inlined as a literal, exactly how a
+    * pushed-down runtime filter ships to the scan side; the probe plan
+    * stays broadcast-free). Pure column expressions, codegen'd. */
+  def mightContain(bits: Seq[Long], probe: Column): Column = {
+    require(bits.length == Words, s"expected $Words words, got ${bits.length}")
+    (0 until K).map { i =>
+      val pos = conv(substring(md5(concat(lit(s"$i|"), probe.cast("string"))), 1, 8),
+        16, 10).cast("long") % Bits
+      typedlit(bits).getItem(((pos / 64)).cast("int"))
+        .bitwiseAND(call_function("shiftleft", lit(1L), (pos % 64).cast("int"))) =!= 0
+    }.reduce(_ && _)
+  }
+}

@@ -34,7 +34,82 @@ object CorpusQueries {
        |    ELSE [] END) AS g
        |  FROM toks)""".stripMargin
 
+  /** DuckDB twin of BloomFilter.mightContain over the `bl` CTE's bit
+    * list, probing column `probeCol`. */
+  private def bloomTestSql(probeCol: String): String =
+    (0 until graft.functions.BloomFilter.K).map { i =>
+      val pos = s"(CAST('0x' || substr(md5('$i|' || CAST($probeCol AS VARCHAR)), 1, 8) " +
+        s"AS BIGINT) % ${graft.functions.BloomFilter.Bits})"
+      s"(bits[CAST($pos // 64 AS INT) + 1] & " +
+        s"(CAST(1 AS UBIGINT) << CAST($pos % 64 AS INT))) <> 0"
+    }.mkString("(", " AND ", ")")
+
   val defs: Seq[QueryDef] = Seq(
+
+    // X29 — Bloom-filter join pruning (custom mergeable Aggregator,
+    // graft.functions.BloomFilter): build a 4096-bit filter over the
+    // selected part keys, push membership into the lineitem scan as pure
+    // column expressions, and report per-flag pass counts next to the
+    // exact semi-join — false positives included, value-for-value equal
+    // to the oracle's rebuilt filter (both engines share the md5 bit
+    // family). The one-row filter build is a separate driver-held job,
+    // exactly how a pushed runtime filter ships to scan tasks.
+    QueryDef(
+      "x29_bloom_prefilter",
+      (s, d) => {
+        import graft.functions.BloomFilter
+        val keys = Tables.part(s, d).filter(col("p_size") <= 2)
+          .select(col("p_partkey").cast("string").as("k"))
+        val bits = keys.agg(BloomFilter.bloomAgg(col("k"))).head().getSeq[Long](0)
+        val li = Tables.lineitem(s, d).select("l_returnflag", "l_partkey")
+        val bloomPass = li
+          .filter(BloomFilter.mightContain(bits, col("l_partkey")))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_bloom_pass"))
+        val exactPass = li
+          .join(broadcast(Tables.part(s, d).filter(col("p_size") <= 2)
+            .select(col("p_partkey"))),
+            col("l_partkey") === col("p_partkey"), "left_semi")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_exact"))
+        // no false negatives: bloom groups ⊇ exact groups, so left join
+        bloomPass.join(exactPass, Seq("l_returnflag"), "left")
+          .select(col("l_returnflag"), col("n_bloom_pass"),
+            coalesce(col("n_exact"), lit(0L)).as("n_exact"))
+          .withColumn("n_false_pos", col("n_bloom_pass") - col("n_exact"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""WITH keys AS (
+              |  SELECT CAST(p_partkey AS VARCHAR) AS k FROM part WHERE p_size <= 2),
+              |hs AS (
+              |  SELECT CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || k), 1, 8)
+              |    AS BIGINT) % ${graft.functions.BloomFilter.Bits} AS p
+              |  FROM keys CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i)),
+              |wordsx AS (
+              |  SELECT p // 64 AS w,
+              |    bit_or(CAST(1 AS UBIGINT) << CAST(p % 64 AS INT)) AS wbits
+              |  FROM hs GROUP BY 1),
+              |words AS (
+              |  SELECT gs.w AS w, COALESCE(wordsx.wbits, CAST(0 AS UBIGINT)) AS wbits
+              |  FROM (SELECT unnest(generate_series(0, ${graft.functions.BloomFilter.Words - 1})) AS w) gs
+              |  LEFT JOIN wordsx ON gs.w = wordsx.w),
+              |bl AS (SELECT list(wbits ORDER BY w) AS bits FROM words),
+              |bloomcnt AS (
+              |  SELECT l_returnflag, count(*) AS n_bloom_pass
+              |  FROM lineitem CROSS JOIN bl
+              |  WHERE ${bloomTestSql("l_partkey")}
+              |  GROUP BY 1),
+              |exactcnt AS (
+              |  SELECT l_returnflag, count(*) AS n_exact
+              |  FROM lineitem
+              |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 2)
+              |  GROUP BY 1)
+              |SELECT b.l_returnflag, n_bloom_pass,
+              |  CAST(COALESCE(n_exact, 0) AS BIGINT) AS n_exact,
+              |  CAST(n_bloom_pass - COALESCE(n_exact, 0) AS BIGINT) AS n_false_pos
+              |FROM bloomcnt b LEFT JOIN exactcnt e USING (l_returnflag)
+              |ORDER BY l_returnflag""".stripMargin),
+    ),
 
     // X22 — benchmark-contamination check: docs with doc_id % 50 = 0 play
     // the held-out eval suite; every other doc reports what fraction of
@@ -212,6 +287,33 @@ object CorpusQueries {
              |  lo90 + (CAST(n - 1 AS DOUBLE) * 0.9 - floor(CAST(n - 1 AS DOUBLE) * 0.9)) * (hi90 - lo90) AS p90,
              |  lo99 + (CAST(n - 1 AS DOUBLE) * 0.99 - floor(CAST(n - 1 AS DOUBLE) * 0.99)) * (hi99 - lo99) AS p99
              |FROM agg ORDER BY lang""".stripMargin),
+    ),
+
+    // X28 — token-budget batch assignment via the distributed prefix sum
+    // (Corpus.prefixSum): global running token total in doc_id order
+    // WITHOUT a single-partition window, batch = exclusive-cumsum / 4096.
+    // The oracle uses the plain windowed SUM the scale path must equal.
+    QueryDef(
+      "x28_token_batches",
+      (s, d) => {
+        val toks = Tables.documents(s, d).select(
+          col("doc_id"),
+          TA.tokenCount(col("text")).cast("long").as("n_tokens"))
+        Corpus.prefixSum(toks, "doc_id", "n_tokens", "cum_tokens")
+          .withColumn("batch_id",
+            ((col("cum_tokens") - col("n_tokens")) / lit(4096)).cast("long"))
+          .select("doc_id", "n_tokens", "cum_tokens", "batch_id")
+          .orderBy("doc_id")
+      },
+      Some("""WITH c AS (
+             |  SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |    CAST(SUM(len(string_split(text, ' ')))
+             |      OVER (ORDER BY doc_id) AS BIGINT) AS cum_tokens
+             |  FROM documents)
+             |SELECT doc_id, n_tokens, cum_tokens,
+             |  (cum_tokens - n_tokens) // 4096 AS batch_id
+             |FROM c ORDER BY doc_id""".stripMargin),
     ),
 
     // X27 — semi-structured ingestion: schema'd JSON parse of the event

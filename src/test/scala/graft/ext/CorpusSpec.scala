@@ -52,6 +52,22 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(3L) == 0.25)
   }
 
+  test("prefixSum equals the single-partition windowed cumsum at any partitioning") {
+    import org.apache.spark.sql.expressions.Window
+    val rows = (1L to 300L).map(i => (i, i % 7 + 1))
+    for (parts <- Seq(1, 4, 32)) {
+      val df = rows.toDF("id", "v").repartition(parts)
+      val got = Corpus.prefixSum(df, "id", "v", "cum")
+        .orderBy("id").select("id", "cum")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val want = rows.toDF("id", "v")
+        .withColumn("cum", sum(col("v")).over(Window.orderBy("id")))
+        .orderBy("id").select("id", "cum")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == want, s"parts=$parts")
+    }
+  }
+
   test("duplicateNgramStats: exact dup pair saturates, unique doc is zero") {
     val shared = (1 to 20).map(i => s"s$i").mkString(" ")
     val df = Seq(

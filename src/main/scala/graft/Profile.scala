@@ -240,6 +240,20 @@ object Profile {
             .filter(col("rnk") <= 3)
             .select("doc_id", "rnk", "term", "tf", "df", "score")
             .orderBy("doc_id", "rnk").count())
+      } else if (name == "x29parts") {
+        import graft.functions.BloomFilter
+        import org.apache.spark.sql.functions._
+        val keys = graft.io.Tables.part(spark, sfDir).filter(col("p_size") <= 2)
+          .select(col("p_partkey").cast("string").as("k"))
+        var bits: Seq[Long] = null
+        t(s"build rep$r") { bits = keys.agg(BloomFilter.bloomAgg(col("k"))).head().getSeq[Long](0); 1L }
+        val li = graft.io.Tables.lineitem(spark, sfDir).select("l_returnflag", "l_partkey")
+        t(s"probe_nofan rep$r")(li.filter(BloomFilter.mightContain(bits, col("l_partkey"))).count())
+        t(s"probe_fan rep$r")(graft.util.Partitioning.fanOut(li)
+          .filter(BloomFilter.mightContain(bits, col("l_partkey"))).count())
+        t(s"exact rep$r")(li.join(broadcast(graft.io.Tables.part(spark, sfDir)
+            .filter(col("p_size") <= 2).select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"), "left_semi").count())
       } else if (name == "events") {
         val ev = graft.io.Tables.events(spark, sfDir)
         t(s"events_count rep$r")(ev.count())

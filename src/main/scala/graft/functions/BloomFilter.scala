@@ -17,24 +17,28 @@ import org.apache.spark.sql.functions._
   * filtering does this implicitly; this operator makes the primitive
   * explicit, deterministic, and differentially testable.
   *
-  * Determinism contract (shared with the DuckDB oracle, x29): bit
-  * position i(v) = first 8 md5 hex chars of "i|v" as int64 mod 4096, for
-  * i in 0..3 — the same md5-prefix family as the CMS. Reduce sets bits,
-  * merge is bitwise OR: associative, commutative, idempotent — partial
-  * aggregation with a fixed 512-byte buffer.
+  * Determinism contract (shared with the DuckDB oracle, x29): ONE md5
+  * per value, Kirsch–Mitzenmacher double hashing — h1 = first 8 hex
+  * chars as int64, h2 = next 8, bit position i = (h1 + i·h2) mod 4096
+  * for i in 0..3 (exact int64 arithmetic: h1 + 3·h2 < 2³⁴). One digest
+  * per probe row instead of K keeps the membership test a cheap scan
+  * predicate. Reduce sets bits, merge is bitwise OR: associative,
+  * commutative, idempotent — partial aggregation with a fixed 512-byte
+  * buffer.
   */
 object BloomFilter {
   val Words = 64
   val Bits = Words * 64
   val K = 4
 
-  /** bit position of hash i for a value (md5-prefix family). */
+  /** bit position of hash i for a value (double-hash family). */
   def bitPos(i: Int, value: String): Int = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val h = md.digest(s"$i|$value".getBytes("UTF-8"))
+    val h = md.digest(value.getBytes("UTF-8"))
     def u(b: Byte): Long = b & 0xffL
-    val v = (u(h(0)) << 24) | (u(h(1)) << 16) | (u(h(2)) << 8) | u(h(3))
-    (v % Bits).toInt
+    val h1 = (u(h(0)) << 24) | (u(h(1)) << 16) | (u(h(2)) << 8) | u(h(3))
+    val h2 = (u(h(4)) << 24) | (u(h(5)) << 16) | (u(h(6)) << 8) | u(h(7))
+    ((h1 + i * h2) % Bits).toInt
   }
 
   /** The Aggregator: String in, 8 bit-words out. */
@@ -43,9 +47,14 @@ object BloomFilter {
       override def zero: Array[Long] = new Array[Long](Words)
       override def reduce(buf: Array[Long], value: String): Array[Long] = {
         if (value != null) {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val h = md.digest(value.getBytes("UTF-8"))
+          def u(b: Byte): Long = b & 0xffL
+          val h1 = (u(h(0)) << 24) | (u(h(1)) << 16) | (u(h(2)) << 8) | u(h(3))
+          val h2 = (u(h(4)) << 24) | (u(h(5)) << 16) | (u(h(6)) << 8) | u(h(7))
           var i = 0
           while (i < K) {
-            val p = bitPos(i, value)
+            val p = ((h1 + i * h2) % Bits).toInt
             buf(p / 64) |= 1L << (p % 64)
             i += 1
           }
@@ -67,17 +76,35 @@ object BloomFilter {
   /** Column spelling: aggregates a string column to the bit words. */
   def bloomAgg(c: Column): Column = udaf(sketch).apply(c)
 
-  /** Membership test against DRIVER-HELD bit words (the built filter is
-    * 64 bytes — collected once and inlined as a literal, exactly how a
-    * pushed-down runtime filter ships to the scan side; the probe plan
-    * stays broadcast-free). Pure column expressions, codegen'd. */
-  def mightContain(bits: Seq[Long], probe: Column): Column = {
+  /** h1/h2 double-hash projections of a probe column. PROJECT these to
+    * real columns before filtering: a filter predicate that inlines them
+    * re-evaluates the md5 once per reference (up to 2K times per row —
+    * measured 5 s vs 0.5 s at 600k rows), while a projection boundary
+    * evaluates each hash exactly once. */
+  def probeHashes(probe: Column): (Column, Column) = {
+    val h = md5(probe.cast("string"))
+    (conv(substring(h, 1, 8), 16, 10).cast("long"),
+      conv(substring(h, 9, 8), 16, 10).cast("long"))
+  }
+
+  /** Membership test over PRE-PROJECTED hash columns against DRIVER-HELD
+    * bit words (the built filter is 512 bytes — collected once and
+    * inlined as a literal, exactly how a pushed-down runtime filter ships
+    * to the scan side; the probe plan stays broadcast-free). Pure column
+    * arithmetic, codegen'd. */
+  def mightContainHashes(bits: Seq[Long], h1: Column, h2: Column): Column = {
     require(bits.length == Words, s"expected $Words words, got ${bits.length}")
     (0 until K).map { i =>
-      val pos = conv(substring(md5(concat(lit(s"$i|"), probe.cast("string"))), 1, 8),
-        16, 10).cast("long") % Bits
+      val pos = (h1 + lit(i.toLong) * h2) % Bits
       typedlit(bits).getItem(((pos / 64)).cast("int"))
         .bitwiseAND(call_function("shiftleft", lit(1L), (pos % 64).cast("int"))) =!= 0
     }.reduce(_ && _)
+  }
+
+  /** Convenience inline spelling for small frames; hot paths should
+    * project [[probeHashes]] first (see note there). */
+  def mightContain(bits: Seq[Long], probe: Column): Column = {
+    val (h1, h2) = probeHashes(probe)
+    mightContainHashes(bits, h1, h2)
   }
 }

@@ -35,14 +35,18 @@ object CorpusQueries {
        |  FROM toks)""".stripMargin
 
   /** DuckDB twin of BloomFilter.mightContain over the `bl` CTE's bit
-    * list, probing column `probeCol`. */
-  private def bloomTestSql(probeCol: String): String =
+    * list, probing pre-projected double-hash columns `h1`/`h2`. */
+  private def bloomTestSql: String =
     (0 until graft.functions.BloomFilter.K).map { i =>
-      val pos = s"(CAST('0x' || substr(md5('$i|' || CAST($probeCol AS VARCHAR)), 1, 8) " +
-        s"AS BIGINT) % ${graft.functions.BloomFilter.Bits})"
+      val pos = s"((h1 + $i * h2) % ${graft.functions.BloomFilter.Bits})"
       s"(bits[CAST($pos // 64 AS INT) + 1] & " +
         s"(CAST(1 AS UBIGINT) << CAST($pos % 64 AS INT))) <> 0"
     }.mkString("(", " AND ", ")")
+
+  /** h1/h2 double-hash projection of a key expression (oracle side). */
+  private def bloomHashSql(keyExpr: String): String =
+    s"CAST('0x' || substr(md5($keyExpr), 1, 8) AS BIGINT) AS h1,\n" +
+      s"    CAST('0x' || substr(md5($keyExpr), 9, 8) AS BIGINT) AS h2"
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -62,10 +66,19 @@ object CorpusQueries {
           .select(col("p_partkey").cast("string").as("k"))
         val bits = keys.agg(BloomFilter.bloomAgg(col("k"))).head().getSeq[Long](0)
         val li = Tables.lineitem(s, d).select("l_returnflag", "l_partkey")
-        val bloomPass = li
-          .filter(BloomFilter.mightContain(bits, col("l_partkey")))
+        // Membership as a PROJECTED boolean + conditional aggregate, not
+        // a Filter: PushPredicateThroughProject would inline the hash
+        // columns back into the predicate (md5 × 8 per row, measured
+        // 5 s), while CollapseProject refuses to duplicate expensive
+        // expressions — so the md5 is evaluated once per row (0.6 s).
+        val (h1, h2) = BloomFilter.probeHashes(col("l_partkey"))
+        val bloomPass = graft.util.Partitioning.fanOut(li)
+          .withColumn("_h1", h1).withColumn("_h2", h2)
+          .withColumn("_pass",
+            BloomFilter.mightContainHashes(bits, col("_h1"), col("_h2")))
           .groupBy("l_returnflag")
-          .agg(count(lit(1)).as("n_bloom_pass"))
+          .agg(sum(when(col("_pass"), lit(1L)).otherwise(lit(0L)))
+            .as("n_bloom_pass"))
         val exactPass = li
           .join(broadcast(Tables.part(s, d).filter(col("p_size") <= 2)
             .select(col("p_partkey"))),
@@ -81,10 +94,12 @@ object CorpusQueries {
       },
       Some(s"""WITH keys AS (
               |  SELECT CAST(p_partkey AS VARCHAR) AS k FROM part WHERE p_size <= 2),
+              |kh AS (
+              |  SELECT ${bloomHashSql("k")}
+              |  FROM keys),
               |hs AS (
-              |  SELECT CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || k), 1, 8)
-              |    AS BIGINT) % ${graft.functions.BloomFilter.Bits} AS p
-              |  FROM keys CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i)),
+              |  SELECT (h1 + i * h2) % ${graft.functions.BloomFilter.Bits} AS p
+              |  FROM kh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i)),
               |wordsx AS (
               |  SELECT p // 64 AS w,
               |    bit_or(CAST(1 AS UBIGINT) << CAST(p % 64 AS INT)) AS wbits
@@ -94,10 +109,15 @@ object CorpusQueries {
               |  FROM (SELECT unnest(generate_series(0, ${graft.functions.BloomFilter.Words - 1})) AS w) gs
               |  LEFT JOIN wordsx ON gs.w = wordsx.w),
               |bl AS (SELECT list(wbits ORDER BY w) AS bits FROM words),
+              |lh AS (
+              |  SELECT l_returnflag,
+              |    ${bloomHashSql("CAST(l_partkey AS VARCHAR)")}
+              |  FROM lineitem),
               |bloomcnt AS (
-              |  SELECT l_returnflag, count(*) AS n_bloom_pass
-              |  FROM lineitem CROSS JOIN bl
-              |  WHERE ${bloomTestSql("l_partkey")}
+              |  SELECT l_returnflag,
+              |    CAST(sum(CASE WHEN $bloomTestSql THEN 1 ELSE 0 END) AS BIGINT)
+              |      AS n_bloom_pass
+              |  FROM lh CROSS JOIN bl
               |  GROUP BY 1),
               |exactcnt AS (
               |  SELECT l_returnflag, count(*) AS n_exact

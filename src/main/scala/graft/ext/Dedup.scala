@@ -332,6 +332,27 @@ object Dedup {
     labels
   }
 
+  /** INCREMENTAL near-dup candidates: a NEW batch of documents against an
+    * EXISTING corpus band index, plus pairs within the batch itself —
+    * the production shape for continuous ingestion at 100 TB: the corpus's
+    * (id, band, bh) index is precomputed once and appended to per batch,
+    * so daily dedup joins |batch|×bands rows against the index instead of
+    * re-pairing corpus×corpus. Equivalent to full-corpus [[candidatePairs]]
+    * restricted to pairs touching the batch (both sides hash documents
+    * with the same family, so band keys are directly comparable).
+    *
+    * Pairs are normalized to (id_a, id_b) = (min, max). */
+  def incrementalCandidates(newBands: DataFrame, indexBands: DataFrame): DataFrame = {
+    val batch = newBands.select(col("band"), col("bh"), col("id").as("nid"))
+    val idx = indexBands.select(col("band"), col("bh"), col("id").as("cid"))
+    val vsCorpus = batch.join(idx, Seq("band", "bh"))
+      .select(least(col("nid"), col("cid")).as("id_a"),
+        greatest(col("nid"), col("cid")).as("id_b"))
+    vsCorpus.unionByName(candidatePairs(newBands))
+      .filter(col("id_a") =!= col("id_b"))
+      .distinct()
+  }
+
   /** 32-bit SimHash: bit j of each token's md5 is the high bit of hex
     * nibble j; document bit j is the sign of the ±1 vote sum. Returns
     * (id, simhash) with simhash in [0, 2^32).

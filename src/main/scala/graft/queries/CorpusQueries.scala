@@ -336,6 +336,33 @@ object CorpusQueries {
              |FROM c ORDER BY doc_id""".stripMargin),
     ),
 
+    // X31 — inverted index build (term → sorted posting list + document
+    // frequency): the retrieval-side primitive. One distinct pass over
+    // (doc, term), one combinable groupBy on the term; postings emitted
+    // as a comma-joined string (stable total order). At scale, stop-word
+    // class terms shard their postings by (term, id-bucket) — the groupBy
+    // key just widens; the fixture vocabulary needs no sharding.
+    QueryDef(
+      "x31_inverted_index",
+      (s, d) => {
+        val toks = graft.util.Partitioning.fanOut(Tables.documents(s, d))
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .distinct()
+        toks.groupBy("term")
+          .agg(
+            count(lit(1)).as("doc_freq"),
+            array_join(transform(sort_array(collect_list(col("doc_id"))),
+              _.cast("string")), ",").as("postings"))
+          .orderBy("term")
+      },
+      Some("""WITH tok0 AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+             |tok AS (SELECT DISTINCT doc_id, term FROM tok0)
+             |SELECT term, count(*) AS doc_freq,
+             |  array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+             |FROM tok GROUP BY term ORDER BY term""".stripMargin),
+    ),
+
     // X27 — semi-structured ingestion: schema'd JSON parse of the event
     // props payload (the reference's API responses are JSON objects;
     // reference src/etl/transform/clean.py flattens them dict-by-dict).

@@ -600,6 +600,32 @@ object ExtQueries {
              |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin),
     ),
 
+    // X30 — INCREMENTAL dedup: the mutated every-20th-doc batch arrives
+    // against the base corpus's precomputed band index; candidates are
+    // batch×index + batch×batch only — the continuous-ingestion shape
+    // (equivalent to full-corpus LSH restricted to pairs touching the
+    // batch, which is exactly what the oracle computes: batch ids are
+    // ≥ 10000, so "max id ≥ 10000" selects pairs with a batch member).
+    QueryDef(
+      "x30_incremental_dedup",
+      (s, d) => {
+        val corpus = Tables.documents(s, d)
+          .select(col("doc_id").as("id"), col("text"))
+        val batch = Tables.documents(s, d)
+          .filter(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 10000).as("id"),
+            concat(col("text"), lit(" extra extra token")).as("text"))
+        val idxBands = Dedup.lshBands(Dedup.minhashSignature(corpus, "id", "text"), 12, 3)
+        val newBands = Dedup.lshBands(Dedup.minhashSignature(batch, "id", "text"), 12, 3)
+        Dedup.incrementalCandidates(newBands, idxBands)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH $minhashCtes
+              |SELECT id_a, id_b FROM cand
+              |WHERE id_b >= 10000
+              |ORDER BY id_a, id_b""".stripMargin),
+    ),
+
     // ------------------------------------------------------------------
     // Similarity search
     // ------------------------------------------------------------------

@@ -87,6 +87,23 @@ class DedupSpec extends AnyFunSuite {
     assert(sh.values.forall(v => v >= 0 && v < (1L << 32)))
   }
 
+  test("incrementalCandidates equal full-corpus candidates restricted to the batch") {
+    val base = Tables.documents(spark, sf).select(col("doc_id").as("id"), col("text"))
+    val batch = Tables.documents(spark, sf).filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 10000).as("id"),
+        concat(col("text"), lit(" zz yy xx")).as("text"))
+    def bands(df: org.apache.spark.sql.DataFrame) =
+      Dedup.lshBands(Dedup.minhashSignature(df, "id", "text"), 12, 3)
+    val incremental = Dedup.incrementalCandidates(bands(batch), bands(base))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.candidatePairs(bands(base.unionByName(batch)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batchIds = batch.select("id").collect().map(_.getLong(0)).toSet
+    val fullTouchingBatch = full.filter(p => batchIds(p._1) || batchIds(p._2))
+    assert(incremental == fullTouchingBatch)
+    assert(incremental.nonEmpty)
+  }
+
   test("connectedComponents: chains collapse transitively to the min id") {
     import spark.implicits._
     // chain 1-2-3-4 (diameter 3 — needs multiple propagation rounds),

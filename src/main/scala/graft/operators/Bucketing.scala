@@ -19,10 +19,21 @@ object Bucketing {
     * layout contract: both sides of a co-located join must agree on it
     * (and at scale it bounds per-bucket file size — size it so
     * table_size/buckets stays in the 100-500 MB range). */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // A fresh session's in-memory catalog never owned a previous run's
+    // managed-table directory, so CREATE fails on the stale LOCATION even
+    // after DROP — clear it explicitly (idempotent re-runs, like Load's
+    // overwrite semantics).
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write
       .mode("overwrite")
       .bucketBy(buckets, key)
       .sortBy(key)
       .saveAsTable(table) // managed table under spark.sql.warehouse.dir
+  }
 }

@@ -395,5 +395,51 @@ object EtlQueries {
              |) WHERE rn = 1
              |ORDER BY product_id""".stripMargin),
     ),
+
+    // K8 — salted two-phase aggregation (graft.operators.Skew): the
+    // returnflag key is maximally hot (3 values over 600k rows); the
+    // salted spelling spreads each key over 16 reducers and must equal
+    // the plain SUM exactly (l_quantity is integral-valued, so the
+    // two-phase double sum is exact and order-independent).
+    QueryDef(
+      "k8_salted_agg",
+      (s, d) =>
+        graft.operators.Skew.saltedSum(
+          Tables.lineitem(s, d).select("l_returnflag", "l_quantity"),
+          keys = Seq("l_returnflag"), valueCol = "l_quantity", nSalts = 16)
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, SUM(l_quantity) AS sum_l_quantity
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin),
+    ),
+
+    // K9 — co-located join through the bucketed warehouse layout
+    // (graft.operators.Bucketing): both facts are written bucketed+sorted
+    // on the order key, the join runs exchange-free (BucketingSpec pins
+    // the plan), and the result must equal the plain parquet join.
+    QueryDef(
+      "k9_bucketed_join",
+      (s, d) => {
+        import graft.operators.Bucketing
+        Bucketing.writeBucketed(
+          Tables.orders(s, d).select("o_orderkey", "o_orderstatus"),
+          "graft_k9_orders", "o_orderkey", buckets = 8)
+        Bucketing.writeBucketed(
+          Tables.lineitem(s, d)
+            .select(col("l_orderkey"),
+              (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev")),
+          "graft_k9_items", "l_orderkey", buckets = 8)
+        s.table("graft_k9_orders")
+          .join(s.table("graft_k9_items"),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_lines"), moneySum(col("rev")).as("revenue"))
+          .orderBy("o_orderstatus")
+      },
+      Some(s"""SELECT o_orderstatus, count(*) AS n_lines,
+              |  ${moneySumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+              |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+    ),
   )
 }

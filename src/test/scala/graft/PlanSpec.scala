@@ -114,6 +114,21 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("list_id"), "candidate join no longer keyed on list_id")
   }
 
+  test("contamination broadcasts the benchmark gram set; the corpus side never shuffles pre-join (X22)") {
+    val plan = planOf(SparkEntry.queries("x22_contamination")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark set no longer broadcast:\n${plan.linesIterator.take(25).mkString("\n")}")
+  }
+
+  test("distributed prefix sum never plans a single-partition exchange (X28)") {
+    // the whole point of the two-phase scan: no Window over
+    // Exchange SinglePartition (the global-window scale cliff)
+    val plan = planOf(SparkEntry.queries("x28_token_batches")(spark, sf))
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"x28 degenerated to a global single-partition stage:\n${plan.linesIterator.take(30).mkString("\n")}")
+    assert(plan.contains("Window"), "expected the per-partition cumsum window")
+  }
+
   test("BLANKET: no query in the suite plans a CartesianProduct; nested-loops only on the allowlist") {
     // the only sanctioned BroadcastNestedLoopJoins: x16's bounded
     // centroid assigns and x9's brute-force baseline (corpus streamed

@@ -103,24 +103,35 @@ object Corpus {
       df: DataFrame, sortCol: String, valueCol: String,
       outCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // PERSISTED before the partials job: repartitionByRange samples its
+    // boundaries with a per-job seed, so an unpersisted frame could place
+    // boundary rows in different partitions when the caller's job
+    // recomputes it — the base offsets would then double- or un-count
+    // them. Pinning the shuffled frame makes both jobs read the same
+    // partition membership (cache lives for the query, as in
+    // duplicateNgramStats). NULL values count as 0.
+    val v = coalesce(col(valueCol).cast("long"), lit(0L))
     val parts = graft.util.Partitioning.fanOut(df)
       .repartitionByRange(col(sortCol))
       .withColumn("_pid", spark_partition_id())
+      .persist()
     val partials = parts.groupBy("_pid")
-      .agg(sum(col(valueCol).cast("long")).as("_psum"))
+      .agg(sum(v).as("_psum"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     // exclusive prefix of the partial sums: partition i's base offset is
     // the total of partitions 0..i-1 (zip truncates the trailing total)
+    val spark = df.sparkSession
+    import spark.implicits._
     val offsets = partials.map(_._1)
-      .zip(partials.map(_._2).scanLeft(0L)(_ + _)).toMap
-    val offExpr = offsets.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
-      when(col("_pid") === pid, lit(off)).otherwise(acc)
-    }
+      .zip(partials.map(_._2).scanLeft(0L)(_ + _))
+      .toSeq.toDF("_pid", "_off")
+    // broadcast join, not a per-partition CASE chain: O(1) per row and
+    // constant expression depth at any partition count
     parts
-      .withColumn("_local", sum(col(valueCol).cast("long"))
-        .over(Window.partitionBy("_pid").orderBy(sortCol)))
-      .withColumn(outCol, col("_local") + offExpr)
-      .drop("_pid", "_local")
+      .withColumn("_local", sum(v).over(Window.partitionBy("_pid").orderBy(sortCol)))
+      .join(broadcast(offsets), Seq("_pid"))
+      .withColumn(outCol, col("_local") + col("_off"))
+      .drop("_pid", "_local", "_off")
   }
 
   /** Fixed-window token chunking with overlap — the training-window

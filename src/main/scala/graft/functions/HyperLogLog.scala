@@ -33,8 +33,11 @@ import org.apache.spark.sql.functions._
   *     callers read the exact companion column when cardinality is tiny.
   */
 object HyperLogLog {
-  val M = 64          // registers
+  val M = 64          // registers; Alpha below is α₆₄ — change them together
   val MaxRho = 45     // 44 hashed bits all zero → rho = 45
+  /** α₆₄ from the HLL paper; valid ONLY for m=64 (α is m-dependent). */
+  val Alpha = 0.709
+  assert(M == 64, "Alpha is α_64: pick the matching α when changing M")
 
   /** (bucket, rho) packed as bucket·64 + rho, as a pure column expression
     * over an md5-hex column (codegen'd; the aggregator input). */
@@ -79,7 +82,7 @@ object HyperLogLog {
   /** Cardinality estimate from a register-array column. 2^(−Mⱼ) is spelled
     * 1.0 / (1L << Mⱼ) — exact in both engines (no pow/exp). */
   def estimate(registers: Column): Column =
-    (lit(0.709) * lit(4096.0)) /
+    (lit(Alpha) * lit((M * M).toDouble)) /
       aggregate(registers, lit(0.0),
         (acc, r) => acc + lit(1.0) /
           call_function("shiftleft", lit(1L), r).cast("double"))

@@ -21,13 +21,19 @@ object Bucketing {
     * table_size/buckets stays in the 100-500 MB range). */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
     val spark = df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    spark.sql(s"DROP TABLE IF EXISTS `${table.replace(".", "`.`")}`")
     // A fresh session's in-memory catalog never owned a previous run's
     // managed-table directory, so CREATE fails on the stale LOCATION even
     // after DROP — clear it explicitly (idempotent re-runs, like Load's
-    // overwrite semantics).
-    val wh = spark.conf.get("spark.sql.warehouse.dir")
-    val loc = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+    // overwrite semantics). Managed-table layout: default db lives at the
+    // warehouse root, any other db at <warehouse>/<db>.db/.
+    val (db, bare) = table.split('.') match {
+      case Array(d, t) => (d.toLowerCase, t)
+      case _ => (spark.catalog.currentDatabase.toLowerCase, table)
+    }
+    val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val dbPath = if (db == "default") wh else new org.apache.hadoop.fs.Path(wh, s"$db.db")
+    val loc = new org.apache.hadoop.fs.Path(dbPath, bare.toLowerCase)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write

@@ -99,7 +99,8 @@ object CorpusQueries {
               |  FROM keys),
               |hs AS (
               |  SELECT (h1 + i * h2) % ${graft.functions.BloomFilter.Bits} AS p
-              |  FROM kh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i)),
+              |  FROM kh CROSS JOIN (
+              |    SELECT unnest(generate_series(0, ${graft.functions.BloomFilter.K - 1})) AS i)),
               |wordsx AS (
               |  SELECT p // 64 AS w,
               |    bit_or(CAST(1 AS UBIGINT) << CAST(p % 64 AS INT)) AS wbits

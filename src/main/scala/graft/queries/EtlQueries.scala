@@ -433,8 +433,10 @@ object EtlQueries {
         val itemsT = s"graft_k9_items$tag"
         // per-JVM memo: the count-based staleness check itself costs two
         // scans, so validate each table once per session
+        // the memo is JVM-wide but catalogs are per-session: re-check the
+        // (cheap, job-free) tableExists so a fresh session rebuilds
         def ensure(src: org.apache.spark.sql.DataFrame, table: String, key: String): Unit =
-          if (!k9Validated.contains(table)) {
+          if (!k9Validated.contains(table) || !s.catalog.tableExists(table)) {
             if (!s.catalog.tableExists(table) || s.table(table).count() != src.count())
               Bucketing.writeBucketed(src, table, key, buckets = 8)
             k9Validated.put(table, true)

@@ -23,6 +23,10 @@ object Incremental {
       end: Instant,
       window: Duration = Duration.ofDays(30))(
       process: (Instant, Instant) => Option[Instant]): Unit = {
+    // a non-positive window would pin winEnd = start and recurse with
+    // identical arguments forever
+    require(!window.isNegative && !window.isZero,
+      s"backfill window must be positive, got $window")
     if (start.isBefore(end)) {
       val winEnd = Seq(start.plus(window), end).min
       val maxSeen = process(start, winEnd)

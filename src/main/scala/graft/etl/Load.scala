@@ -71,8 +71,11 @@ object Load {
     // getFileSystem on the path (not FileSystem.get(conf)) so non-default
     // scheme paths (s3a://, hdfs://...) resolve to the right FS.
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val staged = new org.apache.hadoop.fs.Path(path + "._staged")
-    val old = new org.apache.hadoop.fs.Path(path + "._old")
+    // suffix() on the NORMALIZED Path, not string concat on the raw
+    // argument: "wh/orders/" + "._staged" would nest the staging dir
+    // inside the table and wedge every subsequent swap.
+    val staged = target.suffix("._staged")
+    val old = target.suffix("._old")
     // Hadoop FileSystem.rename reports some failures by RETURNING FALSE
     // (e.g. missing parent, cross-FS move, object-store quirks) rather
     // than throwing — an unchecked call can half-complete the swap
@@ -113,14 +116,23 @@ object Load {
       targetBytes: Long = 128L << 20): Unit = {
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val staged = new org.apache.hadoop.fs.Path(path + "._staged")
-    val old = new org.apache.hadoop.fs.Path(path + "._old")
+    val staged = target.suffix("._staged")
+    val old = target.suffix("._old")
     def mustRename(from: org.apache.hadoop.fs.Path, to: org.apache.hadoop.fs.Path): Unit =
       if (!fs.rename(from, to))
         throw new java.io.IOException(s"compact: rename $from -> $to failed")
     if (!fs.exists(target) && fs.exists(old)) mustRename(old, target)
     if (fs.exists(staged)) fs.delete(staged, true)
     if (!fs.exists(target)) return
+    // flat-only: a Hive-partitioned table would be read with the
+    // partition column demoted to data and rewritten flat — layout
+    // destroyed and subsequent partitioned upserts would duplicate keys.
+    // Fail loudly instead of corrupting.
+    val partitionedDirs = fs.listStatus(target)
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+    require(partitionedDirs.isEmpty,
+      s"compact: $path is Hive-partitioned (${partitionedDirs.head.getPath.getName}, ...) — " +
+        "compact is flat-table-only; compact partitions individually instead")
     val size = fs.getContentSummary(target).getLength
     val nFiles = math.max(1L, (size + targetBytes - 1) / targetBytes).toInt
     spark.read.parquet(path).repartition(nFiles)
@@ -147,12 +159,22 @@ object Load {
     * checked rename, and a crashed swap leaves a `._old_*` directory
     * that the next run restores (target missing) or discards (target
     * present). */
+  /** `keyPartitionsStable = true` asserts a key's partition value never
+    * changes between loads (e.g. partitioned by an immutable creation
+    * month): the upsert then touches ONLY partitions named by `incoming`.
+    * With the safe default (false), a column-pruned key⋈partition scan of
+    * the live table first finds partitions still holding an incoming
+    * key's OLD row (a re-fetched order whose date moved across a
+    * partition boundary) — those are rewritten too, so the keyed-upsert
+    * contract ("one row per key") holds even across partition moves. The
+    * discovery scan reads two columns, never payloads. */
   def upsertParquetPartitioned(
       spark: SparkSession,
       path: String,
       incoming: DataFrame,
       keys: Seq[String],
-      partitionCol: String): Unit = {
+      partitionCol: String,
+      keyPartitionsStable: Boolean = false): Unit = {
     import org.apache.hadoop.fs.Path
     require(incoming.columns.contains(partitionCol),
       s"incoming is missing partition column $partitionCol")
@@ -177,29 +199,69 @@ object Load {
         .mode(SaveMode.ErrorIfExists).parquet(path)
       return
     }
+    if (incoming.isEmpty) return
     // Touched partitions: a tiny driver-side list (months, not keys).
-    val touched = incoming.select(partitionCol).distinct()
-      .collect().map(_.get(0)).filter(_ != null)
-    if (touched.isEmpty) return
-    val existingSlice = spark.read
-      .option("basePath", path).parquet(path)
-      .filter(col(partitionCol).isin(touched.toIndexedSeq: _*))
-    val staged = new Path(path + "._staged")
+    // NULL partition values are legal — they live under Hive's default-
+    // partition directory and swap like any other (see listing below).
+    val incomingParts = incoming.select(partitionCol).distinct().collect().map(_.get(0))
+    val live = spark.read.option("basePath", path).parquet(path)
+    val movedParts: Array[Any] =
+      if (keyPartitionsStable) Array.empty
+      else live
+        .select((keys :+ partitionCol).map(col).toIndexedSeq: _*)
+        .join(broadcast(incoming.select(keys.map(col).toIndexedSeq: _*).distinct()),
+          keys, "left_semi")
+        .select(partitionCol).distinct().collect().map(_.get(0))
+    val touched = (incomingParts ++ movedParts).distinct
+    val touchedNonNull = touched.filter(_ != null)
+    val touchedHasNull = touched.contains(null)
+    val inTouched = {
+      val base =
+        if (touchedNonNull.isEmpty) lit(false)
+        else col(partitionCol).isin(touchedNonNull.toIndexedSeq: _*)
+      if (touchedHasNull) base || col(partitionCol).isNull else base
+    }
+    val existingSlice = live.filter(inTouched)
+    // The live partition dirs actually holding touched rows — from
+    // input_file_name() over the PRUNED slice, so names carry Spark's own
+    // value formatting and path escaping (no hand-built "col=value").
+    // NOT Dataset.inputFiles: that is plan-level and ignores the filter,
+    // returning every partition's files — cleanup would then delete
+    // untouched partitions.
+    val touchedLiveDirs = existingSlice
+      .select(input_file_name().as("f")).distinct()
+      .collect()
+      .map(r => new Path(r.getString(0)).getParent.getName)
+      .filter(_.startsWith(s"$partitionCol="))
+      .distinct
+    val staged = target.suffix("._staged")
     if (fs.exists(staged)) fs.delete(staged, true)
     upsert(existingSlice, incoming.select(existingSlice.columns.map(col).toIndexedSeq: _*), keys)
       .write.partitionBy(partitionCol)
       .mode(SaveMode.Overwrite).parquet(staged.toString)
-    touched.foreach { pv =>
-      val dirName = s"$partitionCol=$pv"
-      val live = new Path(target, dirName)
+    // Swap the partition directories THE WRITE PRODUCED (listed from the
+    // staged output, so names carry Spark's own value formatting, path
+    // escaping, and null handling — reconstructing "col=value" by hand
+    // silently misses any value Spark escapes). A touched partition whose
+    // upsert result is EMPTY produces no staged dir; its live dir (old
+    // rows all moved/replaced) is removed below.
+    val stagedDirNames = fs.listStatus(staged)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$partitionCol="))
+      .map(_.getPath.getName)
+    stagedDirNames.foreach { dirName =>
+      val livePart = new Path(target, dirName)
       val stagedDir = new Path(staged, dirName)
       val holding = new Path(target, s"._old_$dirName")
       if (fs.exists(holding)) fs.delete(holding, true)
-      if (fs.exists(stagedDir)) {
-        if (fs.exists(live)) mustRename(live, holding)
-        mustRename(stagedDir, live)
-        fs.delete(holding, true)
-      }
+      if (fs.exists(livePart)) mustRename(livePart, holding)
+      mustRename(stagedDir, livePart)
+      fs.delete(holding, true)
+    }
+    // A touched live dir with no staged counterpart drained to zero rows
+    // (every key moved elsewhere): drop it so a stale copy can't survive.
+    val stagedSet = stagedDirNames.toSet
+    touchedLiveDirs.filterNot(stagedSet).foreach { n =>
+      fs.delete(new Path(target, n), true)
     }
     fs.delete(staged, true)
   }

@@ -22,8 +22,9 @@ object Normalize {
   def i(c: Column): Column = coalesce(c.try_cast("int"), lit(0))
 
   /** P2 — ISO parse with `date_created_gmt` → `date_created` fallback
-    * (reference `normalize_orders.py:25,29`). */
-  def orderTs(df: DataFrame): Column =
+    * (reference `normalize_orders.py:25,29`). Unresolved column
+    * expression: resolves against whatever frame it is selected from. */
+  def orderTs: Column =
     to_timestamp(coalesce(col("date_created_gmt"), col("date_created")))
 
   /** Orders projection (P1-P4): 17 columns, placeholders
@@ -32,7 +33,7 @@ object Normalize {
   def orders(raw: DataFrame): DataFrame = {
     raw.select(
       col("id").as("order_id"),
-      orderTs(raw).as("order_date"),
+      orderTs.as("order_date"),
       col("status"),
       col("currency"),
       col("customer_id"),
@@ -59,7 +60,7 @@ object Normalize {
     raw
       .select(
         col("id").as("order_id"),
-        orderTs(raw).as("order_date"),
+        orderTs.as("order_date"),
         explode(coalesce(col("line_items"), array())).as("it"))
       .select(
         col("order_id"),

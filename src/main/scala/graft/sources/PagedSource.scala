@@ -33,6 +33,9 @@ object PagedSource {
     * exhausts the budget and propagates (S2). */
   def fetchAll[T](perPage: Int, retry: RetryPolicy = RetryPolicy())(
       fetchPage: Int => Seq[T]): Seq[T] = {
+    // perPage <= 0 could never satisfy the short-page stop condition —
+    // the loop would hammer the remote API forever
+    require(perPage > 0, s"perPage must be positive, got $perPage")
     val out = scala.collection.mutable.ArrayBuffer.empty[T]
     var page = 1
     var done = false

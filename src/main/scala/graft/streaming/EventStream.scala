@@ -149,26 +149,32 @@ object EventStream {
 
   case class Alert(user_id: Long, threshold: Double, total_value: Double)
 
+  /** (running total, highest level already alerted) per user. */
+  case class AlertState(total: Double, maxLevel: Long)
+
   /** Threshold alerts via `flatMapGroupsWithState` — the 1→N stateful
     * shape `mapGroupsWithState` can't express: a batch emits ONE alert
     * row per `step` boundary the user's running total crosses (possibly
-    * zero, possibly several). State per user is a single double — bounded
-    * by key cardinality, not stream length. */
+    * zero, possibly several). State per user is a (total, high-water
+    * level) pair — the HIGH-WATER mark, not the raw total, decides what
+    * has fired, so a total that dips (refund-style negative values) and
+    * re-crosses an already-alerted boundary does NOT duplicate the alert
+    * in Append output. Bounded by key cardinality, not stream length. */
   def thresholdAlerts(spark: SparkSession, events: DataFrame, step: Double): DataFrame = {
+    require(step > 0, s"alert step must be positive, got $step")
     import spark.implicits._
     events
       .selectExpr("event_id", "ts", "user_id", "event_type", "value")
       .as[Event]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[Double, Alert](
+      .flatMapGroupsWithState[AlertState, Alert](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
-        (uid: Long, rows: Iterator[Event], state: GroupState[Double]) =>
-          val prev = state.getOption.getOrElse(0.0)
-          val next = prev + rows.map(_.value).sum
-          state.update(next)
-          val firstLevel = math.floor(prev / step).toLong + 1
-          val lastLevel = math.floor(next / step).toLong
-          (firstLevel to lastLevel).iterator.map(l => Alert(uid, l * step, next))
+        (uid: Long, rows: Iterator[Event], state: GroupState[AlertState]) =>
+          val prev = state.getOption.getOrElse(AlertState(0.0, 0L))
+          val total = prev.total + rows.map(_.value).sum
+          val level = math.max(prev.maxLevel, math.floor(total / step).toLong)
+          state.update(AlertState(total, level))
+          (prev.maxLevel + 1 to level).iterator.map(l => Alert(uid, l * step, total))
       }
       .toDF()
   }

@@ -133,6 +133,56 @@ class LoadSpec extends AnyFunSuite {
       (3L, "2024-02", "c")))
   }
 
+  test("partitioned upsert follows a key whose partition value moved (no stale duplicate)") {
+    val dir = Files.createTempDirectory("graft_pupsert_mv").toString + "/fct"
+    Load.upsertParquetPartitioned(spark, dir,
+      Seq((1L, "2024-01", "a"), (2L, "2024-01", "b"), (3L, "2024-02", "c"))
+        .toDF("order_id", "month", "v"),
+      Seq("order_id"), "month")
+    // order 3's date moved into january: its february row must disappear
+    Load.upsertParquetPartitioned(spark, dir,
+      Seq((3L, "2024-01", "c-moved")).toDF("order_id", "month", "v"),
+      Seq("order_id"), "month")
+    val got = spark.read.parquet(dir)
+      .select("order_id", "month", "v").orderBy("order_id")
+      .as[(Long, String, String)].collect().toSeq
+    assert(got == Seq((1L, "2024-01", "a"), (2L, "2024-01", "b"),
+      (3L, "2024-01", "c-moved")))
+    // february drained to zero rows and its directory is gone
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/month=2024-02")))
+  }
+
+  test("partitioned upsert handles values Spark path-escapes and NULL partitions") {
+    val dir = Files.createTempDirectory("graft_pupsert_esc").toString + "/fct"
+    // ':' is escaped to %3A in Hive dir names; null lands in the Hive
+    // default partition — both must survive a second upsert untouched
+    val b1 = Seq((1L, Some("2024:01"), "a"), (2L, None, "b"), (3L, Some("2024:02"), "c"))
+      .toDF("order_id", "month", "v")
+    Load.upsertParquetPartitioned(spark, dir, b1, Seq("order_id"), "month")
+    Load.upsertParquetPartitioned(spark, dir,
+      Seq((3L, Some("2024:02"), "c2"), (4L, None, "d"))
+        .toDF("order_id", "month", "v"),
+      Seq("order_id"), "month")
+    val got = spark.read.parquet(dir)
+      .select("order_id", "month", "v").orderBy("order_id")
+      .as[(Long, Option[String], String)].collect().toSeq
+    assert(got == Seq((1L, Some("2024:01"), "a"), (2L, None, "b"),
+      (3L, Some("2024:02"), "c2"), (4L, None, "d")))
+  }
+
+  test("compact refuses a Hive-partitioned table instead of flattening it") {
+    val dir = Files.createTempDirectory("graft_compact_part").toString + "/fct"
+    Load.upsertParquetPartitioned(spark, dir,
+      Seq((1L, "2024-01", "a")).toDF("order_id", "month", "v"),
+      Seq("order_id"), "month")
+    val e = intercept[IllegalArgumentException](Load.compact(spark, dir))
+    assert(e.getMessage.contains("flat-table-only"))
+    // table untouched
+    assert(spark.read.parquet(dir).count() == 1)
+  }
+
   test("upsertParquet: rename refusing with FALSE fails loudly, table intact") {
     // Hadoop rename reports some failures by returning false, not
     // throwing; the swap must surface that, never half-complete silently.

@@ -119,6 +119,26 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("threshold alerts never re-fire after a dip below an alerted boundary") {
+    val mem = MemoryStream[Event]
+    val q = EventStream.thresholdAlerts(spark, mem.toDF(), step = 5.0)
+      .writeStream.format("memory").queryName("alerts_dip")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(Event(1L, ts("2024-01-01 00:00:00"), 1L, "buy", 7.0))
+      q.processAllAvailable() // total 7 -> alert at 5
+      mem.addData(Event(2L, ts("2024-01-01 00:01:00"), 1L, "refund", -4.0))
+      q.processAllAvailable() // total 3 -> nothing
+      mem.addData(Event(3L, ts("2024-01-01 00:02:00"), 1L, "buy", 4.0))
+      q.processAllAvailable() // total 7 again -> 5 already fired, nothing
+      mem.addData(Event(4L, ts("2024-01-01 00:03:00"), 1L, "buy", 4.0))
+      q.processAllAvailable() // total 11 -> alert at 10
+      val fired = spark.table("alerts_dip").select("threshold")
+        .collect().map(_.getDouble(0)).sorted.toSeq
+      assert(fired == Seq(5.0, 10.0))
+    } finally q.stop()
+  }
+
   test("watermark drops late data: a closed window is never re-emitted") {
     val mem = MemoryStream[Event]
     val q = EventStream.tumblingHourly(

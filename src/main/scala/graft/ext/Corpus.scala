@@ -98,7 +98,9 @@ object Corpus {
     * windowed SUM.
     *
     * `sortCol` must be unique (ties would make the running order, and so
-    * the prefix sum, ill-defined on both engines). */
+    * the prefix sum, ill-defined on both engines). The range-partitioned
+    * frame stays persisted until the session drops it (see below) —
+    * batch loops should `spark.catalog.clearCache()` between iterations. */
   def prefixSum(
       df: DataFrame, sortCol: String, valueCol: String,
       outCol: String): DataFrame = {
@@ -146,7 +148,10 @@ object Corpus {
       chunkSize: Int, stride: Int): DataFrame = {
     require(stride >= 1 && chunkSize >= 1, "chunkSize and stride must be >= 1")
     graft.util.Partitioning.fanOut(df)
-      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
+      // NULL text behaves as empty (one empty chunk) — posexplode over a
+      // NULL sequence would emit zero rows and silently drop the document
+      .select(col(idCol).as("doc_id"),
+        split(coalesce(col(textCol), lit("")), " ").as("toks"))
       .select(col("doc_id"), col("toks"),
         posexplode(sequence(lit(1), size(col("toks")), lit(stride)))
           .as(Seq("chunk_idx", "start")))

@@ -185,6 +185,9 @@ object Dedup {
   /** LSH banding: r signature rows per band, band key = md5 of the
     * comma-joined slice. Output (id, band, bh). */
   def lshBands(sig: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must divide evenly into bands of $rowsPerBand — " +
+        "trailing signature columns would silently drop out of banding")
     val numBands = numHashes / rowsPerBand
     val bandCols = (0 until numBands).map { b =>
       val slice = (b * rowsPerBand until (b + 1) * rowsPerBand)
@@ -225,7 +228,13 @@ object Dedup {
     * in a candidate pair: verification work is proportional to the
     * candidate set (LSH keeps it linear), not the corpus — the property
     * that makes the verify stage survive 100 TB, and measurably faster
-    * at test scale too. */
+    * at test scale too.
+    *
+    * Cache contract: the candidate-restricted shingle slice is persisted
+    * for the duration of the query (it feeds the counts and both join
+    * sides) and stays cached until the session drops it — batch loops in
+    * long-lived sessions should `spark.catalog.clearCache()` between
+    * iterations (the bench harness does). */
   def jaccardOnPairsFromMd5(m: DataFrame, pairs: DataFrame): DataFrame = {
     val ids = pairs
       .select(explode(array(col("id_a"), col("id_b"))).as("id"))
@@ -329,6 +338,14 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    // Unconverged labels are WRONG labels — a chain cluster of diameter >
+    // maxIter would be reported as several clusters and its duplicates
+    // would silently survive dedup. Fail loudly; callers with genuinely
+    // deep graphs raise maxIter (or switch to large-star/small-star).
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge after $maxIter rounds — " +
+          "raise maxIter for deep cluster graphs")
     labels
   }
 

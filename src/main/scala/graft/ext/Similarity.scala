@@ -112,11 +112,14 @@ object Similarity {
       dim: Int = 0, probeDepth: Int = 2): DataFrame = {
     val d0 =
       if (dim > 0) dim
-      else prep.select(size(col("qv")).as("d")).take(1)
+      // probe the first USABLE vector: a NULL or zero-length first row
+      // must not NPE / silently empty a corpus that has real embeddings
+      else prep.filter(col("qv").isNotNull && size(col("qv")) > 0)
+        .select(size(col("qv")).as("d")).take(1)
         .headOption.map(_.getInt(0)).getOrElse(0)
     if (d0 == 0)
-      // Empty input (or explicit dim never passed on one): no pairs —
-      // return an empty frame with the output schema instead of throwing.
+      // No usable vectors at all (or empty input): no pairs — return an
+      // empty frame with the output schema instead of throwing.
       return prep.select(col("id").as("id_a"), col("id").as("id_b"),
         lit(0.0).as("cosine")).limit(0)
     val ps = planes(numPlanes, d0)
@@ -204,7 +207,8 @@ object Similarity {
       k: Int, numPlanes: Int = 4, dim: Int = 0): DataFrame = {
     val d0 =
       if (dim > 0) dim
-      else corpus.select(size(col(embCol)).as("d")).take(1)
+      else corpus.filter(col(embCol).isNotNull && size(col(embCol)) > 0)
+        .select(size(col(embCol)).as("d")).take(1)
         .headOption.map(_.getInt(0)).getOrElse(0)
     if (d0 == 0)
       // Empty corpus: no neighbors for any query — empty frame with the
@@ -235,10 +239,6 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
-  /** Undo quantization for plane projection (sign-preserving scale). */
-  private def quantizeBack(qv: Column): Column =
-    transform(qv, x => x.cast("double") / lit(1000000.0))
-
   // ---------------------------------------------------------------------
   // IVF scale path: coarse quantizer + inverted lists
   // ---------------------------------------------------------------------
@@ -263,17 +263,20 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame, idCol: String, embCol: String,
       k: Int, nLists: Int = 16, nProbe: Int = 4): DataFrame = {
     val c = prepared(corpus, idCol, embCol)
-    // Deterministic coarse centroids: a mod-step id sample (no global
-    // sort/window over the corpus — that would funnel 100 TB through one
-    // partition; the only window below runs over the ≤nLists sampled
-    // rows). Production swaps this for k-means; the rest is unchanged.
-    val n = c.count()
-    val step = math.max(1L, n / nLists)
-    val sampled = c.filter(pmod(col("id"), lit(step)) === 0)
-      .orderBy("id").limit(nLists)
+    // Deterministic coarse centroids: the nLists lowest rows in
+    // md5(id)-order — a content-independent uniform sample that works for
+    // ANY id space (a mod-step sample returns ZERO centroids when ids
+    // share a residue class, e.g. all-odd shard ids). orderBy+limit plans
+    // TakeOrderedAndProject: per-partition top-k then a driver merge of
+    // nLists rows — no global sort or window funnels the corpus through
+    // one partition, and no extra count() pass. The only window below
+    // runs over the ≤nLists sampled rows. Production swaps this for
+    // k-means; the rest is unchanged.
+    val centOrd = Seq(md5(col("id").cast("string")), col("id"))
+    val sampled = c.orderBy(centOrd: _*).limit(nLists)
     val cent = sampled
       .withColumn("list_id",
-        (row_number().over(Window.orderBy("id")) - 1).cast("int"))
+        (row_number().over(Window.orderBy(centOrd: _*)) - 1).cast("int"))
       .select(col("list_id"), col("qv").as("c_qv"), col("nrm").as("c_nrm"))
     // Assign: argmax cosine over the broadcast centroid table (map-side).
     def assign(df: DataFrame, keep: Int): DataFrame = {

@@ -44,13 +44,16 @@ object TextAnalysis {
     size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
 
   /** Language ID by stopword-hit vote; ties break en > es > de, zero
-    * hits → "und". */
+    * hits → "und". NULL text → "und" (every vote comparison would be
+    * NULL, which would otherwise fall through to the `otherwise` branch
+    * and confidently label a null document "de"). */
   def langId(text: Column): Column = {
     val t = tokens(text)
     val en = stopHits(t, enStop)
     val es = stopHits(t, esStop)
     val de = stopHits(t, deStop)
-    when(en + es + de === 0, lit("und"))
+    when(text.isNull, lit("und"))
+      .when(en + es + de === 0, lit("und"))
       .when(en >= es && en >= de, lit("en"))
       .when(es >= de, lit("es"))
       .otherwise(lit("de"))

@@ -55,6 +55,14 @@ object QuantizeVec {
     while (i < n) {
       if (!arr.isNullAt(i)) {
         val d = if (elemIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        // NaN/Infinity can't quantize: BigDecimal.valueOf would throw a
+        // bare NumberFormatException deep in generated code (and the
+        // ANSI-mode HOF spelling throws its own cast error) — fail with
+        // an actionable message instead
+        if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d))
+          throw new IllegalArgumentException(
+            s"quantize_vec: non-finite embedding element $d at index $i — " +
+              "clean or clip embeddings before quantization")
         // exactly Spark's Round(double, 0) = BigDecimal HALF_UP, then the
         // long cast the HOF spelling applied to the rounded double
         out(i) = java.math.BigDecimal.valueOf(d * 1000000.0)
@@ -110,6 +118,12 @@ case class HyperplaneBucket(child: Expression, planes: Seq[Seq[Double]])
 object HyperplaneBucket {
   /** Called from generated code — keep the signature stable. */
   def compute(qv: ArrayData, flat: Array[Double], numPlanes: Int, dim: Int): Long = {
+    // A vector whose length differs from the plane dimension: the
+    // HOF/oracle spelling (zip_with null-pads the shorter side, so the
+    // aggregate includes a NULL product and the projection is NULL → bit
+    // 0 on every plane) yields bucket 0 — match it rather than bucketing
+    // on a partial dot product.
+    if (qv.numElements() != dim) return 0L
     val n = math.min(qv.numElements(), dim)
     var bucket = 0L
     var p = 0

@@ -753,13 +753,11 @@ object ExtQueries {
               |n AS (
               |  SELECT id, qv, sqrt(CAST(${dotSql("qv", "qv")} AS DOUBLE)) AS nrm
               |  FROM prep),
-              |cnt AS (SELECT count(*) AS n FROM n),
               |samp AS (
-              |  SELECT id, qv, nrm FROM n, cnt
-              |  WHERE id % greatest(1, n // 16) = 0
-              |  ORDER BY id LIMIT 16),
+              |  SELECT id, qv, nrm FROM n
+              |  ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 16),
               |cent AS (
-              |  SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS list_id,
+              |  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1 AS list_id,
               |         qv AS c_qv, nrm AS c_nrm
               |  FROM samp),
               |ci AS (

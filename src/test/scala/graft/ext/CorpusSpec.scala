@@ -34,6 +34,14 @@ class CorpusSpec extends AnyFunSuite {
     assert(out.length == 1 && out.head.getAs[String]("chunk") == "a b c")
   }
 
+  test("NULL-text documents still emit one (empty) chunk, never vanish") {
+    val df = Seq((1L, Some("a b")), (2L, None)).toDF("doc_id", "text")
+    val out = Corpus.chunk(df, "doc_id", "text", 64, 48)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("chunk")).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(2L) == "")
+  }
+
   test("benchmarkOverlap: copied doc fully contaminated, fresh doc clean") {
     val bench = "b1 b2 b3 b4 b5 b6 b7 b8"
     val df = Seq(

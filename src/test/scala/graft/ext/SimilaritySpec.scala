@@ -108,6 +108,23 @@ class SimilaritySpec extends AnyFunSuite {
     prep.unpersist()
   }
 
+  test("dim probe skips a NULL or empty leading vector instead of emptying the result") {
+    import spark.implicits._
+    val vec = (1 to 8).map(_.toFloat)
+    val rows: Seq[(Long, Option[Seq[Float]])] = Seq(
+      (1L, None),                 // NULL embedding first
+      (2L, Some(Seq.empty)),      // then a zero-length one
+      (3L, Some(vec)),
+      (4L, Some(vec)))            // planted exact dup of 3
+    val df = rows.toDF("vec_id", "embedding")
+    val prep = Similarity.prepared(df, "vec_id", "embedding")
+    // unfiltered: the probe itself must skip rows 1-2 (NULL bucket rows
+    // drop out of the equi-join; the empty vector's NaN cosine filters)
+    val got = Similarity.nearDupPairs(prep, 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((3L, 4L)))
+  }
+
   test("blocked near-dup recall on planted NON-identical pairs (multiprobe depth)") {
     // Perturbed copies at cosine ~0.998 — unlike the exact-copy plants,
     // these can land in DIFFERENT LSH buckets, exercising the multiprobe

@@ -136,6 +136,26 @@ object Corpus {
       .drop("_pid", "_local", "_off")
   }
 
+  /** End-to-end curation pass: quality gate → exact dedup (keep the
+    * lowest id per distinct content) → fixed-window chunking — the "raw
+    * corpus in, training chunks out" composition a data pipeline actually
+    * runs, in one declarative plan Catalyst optimizes as a whole (the
+    * quality filter fuses into the scan; dedup is the one shuffle, on the
+    * 64-char content hash; chunking is a per-row generate).
+    * Returns (doc_id, chunk_idx, chunk, n_tokens). */
+  def curationPipeline(
+      df: DataFrame, idCol: String, textCol: String,
+      minQuality: Double, chunkSize: Int, stride: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kept = df.filter(TextAnalysis.qualityScore(col(textCol)) >= minQuality)
+    val deduped = kept
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(Dedup.textHash(col(textCol))).orderBy(col(idCol))))
+      .filter(col("_rk") === 1)
+      .drop("_rk")
+    chunk(deduped, idCol, textCol, chunkSize, stride)
+  }
+
   /** Fixed-window token chunking with overlap — the training-window
     * splitter (context-length packing): chunk i covers tokens
     * [1 + i·stride, 1 + i·stride + chunkSize) and the last chunk may be

@@ -364,6 +364,55 @@ object CorpusQueries {
              |FROM tok GROUP BY term ORDER BY term""".stripMargin),
     ),
 
+    // X32 — the composed curation pass over a corpus with planted exact
+    // duplicates (every 25th doc copied at id+20000): quality >= 0.45 →
+    // exact dedup keeps the ORIGINAL (lowest id) → 64/48 chunking. One
+    // oracle row proving the full raw-corpus→training-chunks composition,
+    // not just its stages.
+    QueryDef(
+      "x32_curation_pipeline",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val corpus = docs.unionByName(
+          Tables.documents(s, d).filter(col("doc_id") % 25 === 0)
+            .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+        Corpus.curationPipeline(corpus, "doc_id", "text",
+          minQuality = 0.45, chunkSize = 64, stride = 48)
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some(s"""WITH corpus AS (
+              |  SELECT doc_id, text FROM documents
+              |  UNION ALL
+              |  SELECT doc_id + 20000, text FROM documents WHERE doc_id % 25 = 0),
+              |scored AS (
+              |  SELECT doc_id, text,
+              |    0.4 * (CAST(en AS DOUBLE) / CAST(nt AS DOUBLE))
+              |      + 0.3 * least(CAST(nt AS DOUBLE) / 100.0, 1.0)
+              |      + 0.3 * (1.0 - CAST(np AS DOUBLE) / CAST(nc AS DOUBLE)) AS quality
+              |  FROM (
+              |    SELECT doc_id, text,
+              |      len(string_split(text, ' ')) AS nt,
+              |      length(text) AS nc,
+              |      len(regexp_extract_all(text, '[^\\w\\s]')) AS np,
+              |      len(list_filter(string_split(text, ' '),
+              |          t -> list_contains(${ExtQueries.enList}, t))) AS en
+              |    FROM corpus)),
+              |kept AS (SELECT doc_id, text FROM scored WHERE quality >= 0.45),
+              |ded AS (
+              |  SELECT doc_id, text FROM (
+              |    SELECT doc_id, text, ROW_NUMBER() OVER (
+              |      PARTITION BY sha256(text) ORDER BY doc_id) AS rk
+              |    FROM kept)
+              |  WHERE rk = 1),
+              |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM ded),
+              |st AS (SELECT doc_id, t, unnest(generate_series(1, len(t), 48)) AS s FROM toks)
+              |SELECT doc_id,
+              |  (s - 1) // 48 AS chunk_idx,
+              |  array_to_string(t[s:least(s + 63, len(t))], ' ') AS chunk,
+              |  least(s + 63, len(t)) - s + 1 AS n_tokens
+              |FROM st ORDER BY doc_id, chunk_idx""".stripMargin),
+    ),
+
     // X27 — semi-structured ingestion: schema'd JSON parse of the event
     // props payload (the reference's API responses are JSON objects;
     // reference src/etl/transform/clean.py flattens them dict-by-dict).

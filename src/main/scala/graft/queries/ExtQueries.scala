@@ -80,7 +80,7 @@ object ExtQueries {
 
   private val minhashCtes = minhashCtesFor(dupCorpusSql)
 
-  private val enList = TA.enStop.map(w => s"'$w'").mkString("[", ",", "]")
+  private[queries] val enList = TA.enStop.map(w => s"'$w'").mkString("[", ",", "]")
   private val esList = TA.esStop.map(w => s"'$w'").mkString("[", ",", "]")
   private val deList = TA.deStop.map(w => s"'$w'").mkString("[", ",", "]")
 

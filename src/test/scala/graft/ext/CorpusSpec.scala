@@ -76,6 +76,19 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("curationPipeline filters low quality, keeps the lowest-id copy, chunks the rest") {
+    // high-quality text: stopword-rich, long, no punctuation
+    val good = (("the a an and of to in is it that " * 12).trim)
+    val junk = "!!! ??? ;;; ### $$$ %%%"  // punct-heavy, short -> low quality
+    val df = Seq(
+      (1L, good), (2L, junk), (3L, good), // 3 duplicates 1; 2 is junk
+    ).toDF("doc_id", "text")
+    val out = Corpus.curationPipeline(df, "doc_id", "text",
+      minQuality = 0.45, chunkSize = 64, stride = 48)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L)) // junk filtered, duplicate removed, original kept
+  }
+
   test("duplicateNgramStats: exact dup pair saturates, unique doc is zero") {
     val shared = (1 to 20).map(i => s"s$i").mkString(" ")
     val df = Seq(

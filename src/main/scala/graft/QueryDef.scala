@@ -24,6 +24,10 @@ object QueryDef {
   /** Fold a pack of QueryDefs into the two driver-facing maps. */
   def toMaps(defs: Seq[QueryDef])
       : (Map[String, (SparkSession, String) => DataFrame], Map[String, String]) = {
+    // toMap is last-wins: a name collision between packs would silently
+    // drop a query from verify AND bench, shrinking coverage with no error
+    val dups = defs.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate query names across packs: ${dups.mkString(", ")}")
     val q = defs.map(d => d.name -> d.run).toMap
     val o = defs.flatMap(d => d.oracle.map(d.name -> _)).toMap
     (q, o)

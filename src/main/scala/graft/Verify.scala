@@ -28,7 +28,19 @@ object Verify {
         .parquet(s"$outDir/$name.parquet")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // A STALE result from a previous run into the same outDir would
+        // otherwise hash-compare as this run's output and mask the
+        // failure — a broken query must fail its row, not pass on relics.
+        try {
+          val stale = new org.apache.hadoop.fs.Path(s"$outDir/$name.parquet")
+          val fs = stale.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(stale)) fs.delete(stale, true)
+        } catch { case _: Throwable => }
       }
+      // caches persisted inside operators (x7's shingle sets, x28's range
+      // frame) are per-query scratch — don't let them accumulate across
+      // the 74-query session
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

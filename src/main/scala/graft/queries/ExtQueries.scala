@@ -80,6 +80,48 @@ object ExtQueries {
 
   private val minhashCtes = minhashCtesFor(dupCorpusSql)
 
+  // 3-generation cluster corpus shared by x19/x20: base docs + a MUTATED
+  // +10000 copy of every 20th + an EXACT +20000 copy of every 25th — the
+  // transitive case (base~mutated, base~exact, mutated never pairs exact).
+  private def corpus3(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+    base.select(col("doc_id").as("id"), col("text"))
+      .unionByName(base.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 10000).as("id"),
+          concat(col("text"), lit(" extra extra token")).as("text")))
+      .unionByName(base.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 20000).as("id"), col("text")))
+  }
+
+  private val corpus3Sql =
+    """corpus AS (
+      |  SELECT doc_id AS id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000, text || ' extra extra token'
+      |  FROM documents WHERE doc_id % 20 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 20000, text FROM documents WHERE doc_id % 25 = 0
+      |)""".stripMargin
+
+  /** Candidate pairs over [[corpus3]] (Spark side of x19/x20). */
+  private def corpus3Pairs(s: SparkSession, d: String): DataFrame = {
+    val sig = Dedup.minhashSignature(corpus3(s, d), "id", "text", n = 3, numHashes = 12)
+    Dedup.candidatePairs(Dedup.lshBands(sig, 12, 3))
+  }
+
+  /** Shared oracle prelude for x19/x20: minhash candidates over corpus3 +
+    * recursive-CTE transitive closure. */
+  private val cluster3Prelude =
+    s"""WITH RECURSIVE ${minhashCtesFor(corpus3Sql)},
+       |edges AS (
+       |  SELECT id_a AS u, id_b AS v FROM cand
+       |  UNION
+       |  SELECT id_b, id_a FROM cand),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)""".stripMargin
+
   private[queries] val enList = TA.enStop.map(w => s"'$w'").mkString("[", ",", "]")
   private val esList = TA.esStop.map(w => s"'$w'").mkString("[", ",", "]")
   private val deList = TA.deStop.map(w => s"'$w'").mkString("[", ",", "]")
@@ -473,35 +515,8 @@ object ExtQueries {
     // edges.
     QueryDef(
       "x19_dedup_clusters",
-      (s, d) => {
-        val base = Tables.documents(s, d)
-        val corpus3 = base.select(col("doc_id").as("id"), col("text"))
-          .unionByName(base.filter(col("doc_id") % 20 === 0)
-            .select((col("doc_id") + 10000).as("id"),
-              concat(col("text"), lit(" extra extra token")).as("text")))
-          .unionByName(base.filter(col("doc_id") % 25 === 0)
-            .select((col("doc_id") + 20000).as("id"), col("text")))
-        val sig = Dedup.minhashSignature(corpus3, "id", "text", n = 3, numHashes = 12)
-        val pairs = Dedup.candidatePairs(Dedup.lshBands(sig, 12, 3))
-        Dedup.connectedComponents(pairs).orderBy("id")
-      },
-      Some(s"""WITH RECURSIVE ${minhashCtesFor(
-        """corpus AS (
-          |  SELECT doc_id AS id, text FROM documents
-          |  UNION ALL
-          |  SELECT doc_id + 10000, text || ' extra extra token'
-          |  FROM documents WHERE doc_id % 20 = 0
-          |  UNION ALL
-          |  SELECT doc_id + 20000, text FROM documents WHERE doc_id % 25 = 0
-          |)""".stripMargin)},
-              |edges AS (
-              |  SELECT id_a AS u, id_b AS v FROM cand
-              |  UNION
-              |  SELECT id_b, id_a FROM cand),
-              |reach(u, v) AS (
-              |  SELECT u, v FROM edges
-              |  UNION
-              |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+      (s, d) => Dedup.connectedComponents(corpus3Pairs(s, d)).orderBy("id"),
+      Some(s"""$cluster3Prelude
               |SELECT u AS id, least(u, CAST(min(v) AS BIGINT)) AS cluster_id
               |FROM reach GROUP BY u ORDER BY id""".stripMargin),
     ),
@@ -513,38 +528,13 @@ object ExtQueries {
     QueryDef(
       "x20_dedup_survivors",
       (s, d) => {
-        val base = Tables.documents(s, d)
-        val corpus3 = base.select(col("doc_id").as("id"), col("text"))
-          .unionByName(base.filter(col("doc_id") % 20 === 0)
-            .select((col("doc_id") + 10000).as("id"),
-              concat(col("text"), lit(" extra extra token")).as("text")))
-          .unionByName(base.filter(col("doc_id") % 25 === 0)
-            .select((col("doc_id") + 20000).as("id"), col("text")))
-        val sig = Dedup.minhashSignature(corpus3, "id", "text", n = 3, numHashes = 12)
-        val pairs = Dedup.candidatePairs(Dedup.lshBands(sig, 12, 3))
-        val clusters = Dedup.connectedComponents(pairs)
-        corpus3.join(clusters, Seq("id"), "left")
+        val clusters = Dedup.connectedComponents(corpus3Pairs(s, d))
+        corpus3(s, d).join(clusters, Seq("id"), "left")
           .filter(col("cluster_id").isNull || col("cluster_id") === col("id"))
           .select(col("id"))
           .orderBy("id")
       },
-      Some(s"""WITH RECURSIVE ${minhashCtesFor(
-        """corpus AS (
-          |  SELECT doc_id AS id, text FROM documents
-          |  UNION ALL
-          |  SELECT doc_id + 10000, text || ' extra extra token'
-          |  FROM documents WHERE doc_id % 20 = 0
-          |  UNION ALL
-          |  SELECT doc_id + 20000, text FROM documents WHERE doc_id % 25 = 0
-          |)""".stripMargin)},
-              |edges AS (
-              |  SELECT id_a AS u, id_b AS v FROM cand
-              |  UNION
-              |  SELECT id_b, id_a FROM cand),
-              |reach(u, v) AS (
-              |  SELECT u, v FROM edges
-              |  UNION
-              |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      Some(s"""$cluster3Prelude,
               |clusters AS (
               |  SELECT u AS id, least(u, CAST(min(v) AS BIGINT)) AS cluster_id
               |  FROM reach GROUP BY u)
@@ -788,39 +778,70 @@ object ExtQueries {
     ),
 
     // X10 — LSH-blocked near-dup (equi-join on hyperplane bucket +
-    // hamming-1 multiprobe + exact cosine verify; no cartesian — gated by
-    // PlanSpec). The DuckDB oracle stays the all-pairs ground truth, so a
-    // hash-match here proves the blocking lost nothing.
-    QueryDef(
-      "x10_embedding_neardup",
-      (s, d) => {
-        val base = Tables.embeddings(s, d)
-        val corpus = base.select(col("vec_id"), col("embedding"))
-          .unionByName(base.filter(col("vec_id") % 25 === 0)
-            .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
-        Similarity.nearDupPairs(
-          Similarity.prepared(corpus, "vec_id", "embedding"), threshold = 0.99)
-          .orderBy("id_a", "id_b")
-      },
-      Some(s"""WITH corpus AS (
-              |  SELECT vec_id, embedding FROM embeddings
-              |  UNION ALL
-              |  SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id % 25 = 0),
-              |prep AS (
-              |  SELECT vec_id AS id,
-              |    list_transform(embedding,
-              |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
-              |  FROM corpus),
-              |n AS (
-              |  SELECT id, qv,
-              |    sqrt(CAST(${dotSql("qv", "qv")} AS DOUBLE)) AS nrm
-              |  FROM prep),
-              |pairs AS (
-              |  SELECT a.id AS id_a, b.id AS id_b,
-              |    CAST(${dotSql("a.qv", "b.qv")} AS DOUBLE) / (a.nrm * b.nrm) AS cosine
-              |  FROM n a JOIN n b ON a.id < b.id)
-              |SELECT id_a, id_b, cosine FROM pairs
-              |WHERE cosine >= 0.99 ORDER BY id_a, id_b""".stripMargin),
-    ),
+    // hamming-2 multiprobe + exact cosine verify; no cartesian — gated by
+    // PlanSpec). The oracle computes the SAME blocked algorithm: buckets
+    // from the shared integer plane constants (ordered list_reduce
+    // projections, identical sign rule) and the multiprobe candidate set
+    // stated directly as hamming(bucket_a, bucket_b) <= probeDepth — the
+    // condition the probe-explode implements scalably. Both engines thus
+    // agree on EXACTLY the same pair set for any data distribution; the
+    // approximation itself (documented ~0.5% miss of non-identical pairs
+    // at depth 2) is equality-pinned against the all-pairs baseline in
+    // SimilaritySpec, not here, so a fixture shift can't latently flip
+    // the gate.
+    {
+      val nPlanes = 8
+      val dim = 64
+      val wl = Similarity.planeInts(nPlanes, dim)
+        .map(row => row.map(v => s"$v/1000.0").mkString("[", ", ", "]"))
+      val projs = (0 until nPlanes).map { p =>
+        s"list_reduce(list_prepend(0.0, list_transform(generate_series(1, $dim)," +
+          s" i -> (qv[i]/1000000.0) * w$p[i])), (s, v) -> s + v) AS proj$p"
+      }.mkString(",\n    ")
+      val bucketBits = (0 until nPlanes)
+        .map(p => s"(CASE WHEN proj$p >= 0 THEN ${1L << p} ELSE 0 END)")
+        .mkString(" + ")
+      QueryDef(
+        "x10_embedding_neardup",
+        (s, d) => {
+          val base = Tables.embeddings(s, d)
+          val corpus = base.select(col("vec_id"), col("embedding"))
+            .unionByName(base.filter(col("vec_id") % 25 === 0)
+              .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+          Similarity.nearDupPairs(
+            Similarity.prepared(corpus, "vec_id", "embedding"),
+            threshold = 0.99, numPlanes = nPlanes, dim = dim, probeDepth = 2)
+            .orderBy("id_a", "id_b")
+        },
+        Some(s"""WITH w AS (SELECT ${wl.zipWithIndex.map { case (l, p) => s"$l AS w$p" }.mkString(", ")}),
+                |corpus AS (
+                |  SELECT vec_id, embedding FROM embeddings
+                |  UNION ALL
+                |  SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id % 25 = 0),
+                |prep AS (
+                |  SELECT vec_id AS id,
+                |    list_transform(embedding,
+                |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+                |  FROM corpus),
+                |n AS (
+                |  SELECT id, qv,
+                |    sqrt(CAST(${dotSql("qv", "qv")} AS DOUBLE)) AS nrm
+                |  FROM prep),
+                |pb AS (
+                |  SELECT id, qv, nrm,
+                |    $projs
+                |  FROM n CROSS JOIN w),
+                |bk AS (
+                |  SELECT id, qv, nrm, CAST($bucketBits AS BIGINT) AS bucket
+                |  FROM pb),
+                |pairs AS (
+                |  SELECT a.id AS id_a, b.id AS id_b,
+                |    CAST(${dotSql("a.qv", "b.qv")} AS DOUBLE) / (a.nrm * b.nrm) AS cosine
+                |  FROM bk a JOIN bk b
+                |    ON a.id < b.id AND bit_count(xor(a.bucket, b.bucket)) <= 2)
+                |SELECT id_a, id_b, cosine FROM pairs
+                |WHERE cosine >= 0.99 ORDER BY id_a, id_b""".stripMargin),
+      )
+    },
   )
 }

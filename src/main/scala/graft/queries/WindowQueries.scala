@@ -19,6 +19,10 @@ import org.apache.spark.sql.functions._
   */
 object WindowQueries {
 
+  /** w4's session inactivity gap — drives the Spark session window, the
+    * last_ts reconstruction, AND the oracle's new-session predicate. */
+  private val SessionGapMinutes = 5
+
   val defs: Seq[QueryDef] = Seq(
 
     // Per-group top-k — the window-function version of the dashboard's
@@ -97,17 +101,22 @@ object WindowQueries {
     QueryDef(
       "w4_user_sessions",
       (s, d) =>
+        // ONE gap constant drives both the session window and the
+        // last_ts reconstruction (session_end = last event + gap) — a
+        // gap change can't silently desynchronize them.
         EventStream.userSessions(
           Tables.events(s, d).withColumn("value",
-            col("value").cast("decimal(24,6)")))
+            col("value").cast("decimal(24,6)")),
+          gap = SessionGapMinutes + " minutes")
           .withColumn("session_value", col("session_value").cast("double"))
-          .withColumn("last_ts", col("session_end") - expr("INTERVAL 5 MINUTES"))
+          .withColumn("last_ts",
+            col("session_end") - expr(s"INTERVAL $SessionGapMinutes MINUTES"))
           .select("user_id", "session_start", "last_ts", "n_events", "session_value")
           .orderBy("user_id", "session_start"),
       Some(s"""WITH flagged AS (
               |  SELECT user_id, ts, event_id, value,
               |    CASE WHEN lag(ts) OVER w IS NULL
-              |           OR ts - lag(ts) OVER w > INTERVAL 5 MINUTES
+              |           OR ts - lag(ts) OVER w > INTERVAL $SessionGapMinutes MINUTES
               |         THEN 1 ELSE 0 END AS new_s
               |  FROM events
               |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

@@ -2,7 +2,7 @@ package graft.util
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** Bit-exact float parity between Spark and the DuckDB oracle.
   *
@@ -29,8 +29,25 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
 object Parity {
   private val Money = DecimalType(24, 6)
 
-  /** Exact order-independent sum of a money-like double column. */
-  def moneySum(c: Column): Column = sum(c.cast(Money)).cast(DoubleType)
+  /** Exact order-independent sum of a money-like double column.
+    *
+    * Spelled as a sum over the UNSCALED long (value×10⁶, exact after the
+    * decimal cast) rather than `sum(decimal)`: the per-row rounding is
+    * the identical DECIMAL(24,6) cast, but the accumulator adds run on
+    * primitive longs (codegen) instead of Spark's >18-precision
+    * BigDecimal slow path — measurably faster on wide aggregations
+    * (rollup/cube money sums) with the same result. The final value is
+    * reconstructed EXACTLY (decimal × 10⁻⁶ — both operands exact, one
+    * terminal rounding to double), matching the oracle's
+    * `CAST(SUM(DECIMAL) AS DOUBLE)` single rounding; a direct
+    * long→double cast would add a second rounding once the unscaled sum
+    * passes 2⁵³. Range: |Σ| < 2⁶³ micro-units ≈ $9.2×10¹² — ANSI mode
+    * throws on overflow rather than wrapping (the DECIMAL(24,6) spelling
+    * extends the range to 10¹⁸ if a deployment ever needs it). */
+  def moneySum(c: Column): Column =
+    (sum((c.cast(Money) * lit(1000000)).cast(LongType))
+      .cast(DecimalType(38, 0)) * lit(new java.math.BigDecimal("0.000001")))
+      .cast(DoubleType)
 
   /** moneySum with empty-set → 0.0, as the reference's dashboards do with
     * COALESCE(SUM(...), 0) (reference `src/dashboard/app.py:35-38`). */

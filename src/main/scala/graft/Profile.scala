@@ -179,6 +179,99 @@ object Profile {
           }
           spark.catalog.clearCache()
         }
+      } else if (name == "g1v") {
+        // g1_rollup variants: isolate the decimal-cast tax vs Expand cost.
+        import org.apache.spark.sql.functions._
+        val li = graft.io.Tables.lineitem(spark, sfDir)
+        def run(label: String)(df: org.apache.spark.sql.DataFrame): Unit =
+          t(s"$label rep$r") { df.write.format("noop").mode("overwrite").save(); 0L }
+        // current: moneySum inside rollup agg (cast per expanded row)
+        run("g1_current")(li.rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(graft.util.Parity.moneySum(col("l_quantity")).as("sum_qty"),
+            graft.util.Parity.moneySum(col("l_extendedprice")).as("sum_price"),
+            count(lit(1)).as("n")))
+        // pre-projected decimal micros (cast once per input row, pre-Expand)
+        def decMicros(c: org.apache.spark.sql.Column) =
+          (c.cast("decimal(24,6)") * lit(1000000)).cast("long")
+        run("g1_premicros")(li
+          .select(col("l_returnflag"), col("l_linestatus"),
+            decMicros(col("l_quantity")).as("qu"),
+            decMicros(col("l_extendedprice")).as("pu"))
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg((sum(col("qu")).cast("decimal(38,0)") *
+              lit(new java.math.BigDecimal("0.000001"))).cast("double").as("sum_qty"),
+            (sum(col("pu")).cast("decimal(38,0)") *
+              lit(new java.math.BigDecimal("0.000001"))).cast("double").as("sum_price"),
+            count(lit(1)).as("n")))
+        // pure-codegen floor micros (no BigDecimal anywhere)
+        def floorMicros(c: org.apache.spark.sql.Column) =
+          floor(c * lit(1000000.0) + lit(0.5))
+        run("g1_floormicros")(li
+          .select(col("l_returnflag"), col("l_linestatus"),
+            floorMicros(col("l_quantity")).as("qu"),
+            floorMicros(col("l_extendedprice")).as("pu"))
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg((sum(col("qu")).cast("decimal(38,0)") *
+              lit(new java.math.BigDecimal("0.000001"))).cast("double").as("sum_qty"),
+            (sum(col("pu")).cast("decimal(38,0)") *
+              lit(new java.math.BigDecimal("0.000001"))).cast("double").as("sum_price"),
+            count(lit(1)).as("n")))
+        // plain double sums (the no-parity floor)
+        run("g1_double")(li.rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum(col("l_quantity")).as("sum_qty"),
+            sum(col("l_extendedprice")).as("sum_price"), count(lit(1)).as("n")))
+      } else if (name == "micreq") {
+        // Equality audit: floor(x*1e6+0.5) vs (cast decimal(24,6))*1e6 over
+        // every money expression the suite sums. Expect 0 mismatches.
+        import org.apache.spark.sql.functions._
+        val li = graft.io.Tables.lineitem(spark, sfDir)
+        val or = graft.io.Tables.orders(spark, sfDir)
+        def decMicros(c: org.apache.spark.sql.Column) =
+          (c.cast("decimal(24,6)") * lit(1000000)).cast("long")
+        def floorMicros(c: org.apache.spark.sql.Column) =
+          floor(c * lit(1000000.0) + lit(0.5))
+        val exprs: Seq[(String, org.apache.spark.sql.DataFrame, org.apache.spark.sql.Column)] = Seq(
+          ("qty", li, col("l_quantity")),
+          ("extprice", li, col("l_extendedprice")),
+          ("revenue", li, col("l_extendedprice") * (lit(1.0) - col("l_discount"))),
+          ("charged", li, col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))),
+          ("totalprice", or, col("o_totalprice")),
+          ("negrev", li, -col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        for ((lbl, df, e) <- exprs)
+          t(s"micreq_$lbl rep$r")(
+            df.filter(decMicros(e) =!= floorMicros(e)).count())
+      } else if (name == "j4v") {
+        import org.apache.spark.sql.functions._
+        val li = graft.io.Tables.lineitem(spark, sfDir)
+        val or = graft.io.Tables.orders(spark, sfDir)
+        def run(label: String)(df: org.apache.spark.sql.DataFrame): Unit =
+          t(s"$label rep$r") { df.write.format("noop").mode("overwrite").save(); 0L }
+        run("j4_current")(li.join(or, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority").as("priority"))
+          .agg(count(lit(1)).as("line_cnt"),
+            graft.util.Parity.moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+          .orderBy("priority"))
+        // pre-aggregate lineitem per orderkey BEFORE the join (600k→150k)
+        run("j4_preagg")(li
+          .select(col("l_orderkey"),
+            ((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .cast("decimal(24,6)") * lit(1000000)).cast("long").as("ru"))
+          .groupBy("l_orderkey")
+          .agg(sum(col("ru")).as("ru"), count(lit(1)).as("nl"))
+          .join(or, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority").as("priority"))
+          .agg(sum(col("nl")).as("line_cnt"),
+            (sum(col("ru")).cast("decimal(38,0)") *
+              lit(new java.math.BigDecimal("0.000001"))).cast("double").as("revenue"))
+          .orderBy("priority"))
+        // broadcast the pruned orders side
+        run("j4_bcast")(li.join(
+            broadcast(or.select("o_orderkey", "o_orderpriority")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority").as("priority"))
+          .agg(count(lit(1)).as("line_cnt"),
+            graft.util.Parity.moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+          .orderBy("priority"))
       } else if (name == "w1fan") {
         // w1 with the lineitem scan fanned out before the decimal agg:
         // does parallelizing the partial aggregation beat the extra

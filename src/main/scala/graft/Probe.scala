@@ -62,6 +62,43 @@ object Probe {
         .groupBy(col("id") % 97).agg(count(lit(1))))
     }
 
+    // A/B: expensive projection ABOVE the final range sort vs below it.
+    // Hypothesis: Sort's range-partitioner samples boundaries by
+    // re-executing its child, so project-then-sort runs the projection
+    // twice when no shuffle boundary sits between scan and sort.
+    if (sys.env.getOrElse("SPARK_GRAFT_PROBE_SORTFIRST", "0") == "1") {
+      import org.apache.spark.sql.functions._
+      import graft.ext.{TextAnalysis => TA}
+      def ab(label: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
+        val t = (1 to 3).map(_ => timed {
+          mk.write.format("noop").mode("overwrite").save()
+        }).min
+        println(f"PROBE sortfirst $label%-24s total=$t%6.3f")
+      }
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      ab("x4_projthensort")(docs
+        .select(col("doc_id"), TA.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id"))
+      ab("x4_sortthenproj")(docs
+        .orderBy("doc_id")
+        .select(col("doc_id"), TA.fingerprint(col("text")).as("fp")))
+      ab("x4_range32thenproj")(docs
+        .repartitionByRange(32, col("doc_id")).sortWithinPartitions("doc_id")
+        .select(col("doc_id"), TA.fingerprint(col("text")).as("fp")))
+      ab("x11_range32thenproj")(docs
+        .repartitionByRange(32, col("doc_id")).sortWithinPartitions("doc_id")
+        .select(col("doc_id"), TA.normalizeText(col("text")).as("norm"),
+          length(TA.normalizeText(col("text"))).as("n_norm")))
+      ab("x11_projthensort")(docs
+        .select(col("doc_id"), TA.normalizeText(col("text")).as("norm"),
+          length(TA.normalizeText(col("text"))).as("n_norm"))
+        .orderBy("doc_id"))
+      ab("x11_sortthenproj")(docs
+        .orderBy("doc_id")
+        .select(col("doc_id"), TA.normalizeText(col("text")).as("norm"),
+          length(TA.normalizeText(col("text"))).as("n_norm")))
+    }
+
     for (variant <- Seq("aqe_on", "aqe_off")) {
       spark.conf.set("spark.sql.adaptive.enabled",
         if (variant == "aqe_off") "false" else "true")

@@ -77,9 +77,15 @@ object Multimodal {
   /** Build the media table from the documents fixture: payload = the 16
     * md5 bytes of the text (an opaque deterministic blob), metadata kind
     * rotates image/audio/video. This is the column-level contract a real
-    * ingest (S3 object fetch, tar shard explode) would produce. */
-  def mediaFromDocuments(docs: DataFrame): DataFrame =
-    graft.util.Partitioning.fanOut(docs).select(
+    * ingest (S3 object fetch, tar shard explode) would produce.
+    *
+    * `fan = false` skips the parallelism guard for callers that already
+    * arranged the input layout (e.g. [[graft.util.Partitioning
+    * .orderedFanOut]], whose range partitioning both parallelizes and
+    * orders the scan — fanOut's round-robin repartition would destroy
+    * that order, and its partition-count check forces an eager AQE job). */
+  def mediaFromDocuments(docs: DataFrame, fan: Boolean = true): DataFrame =
+    (if (fan) graft.util.Partitioning.fanOut(docs) else docs).select(
       col("doc_id"),
       unhex(md5(col("text"))).as("payload"),
       struct(

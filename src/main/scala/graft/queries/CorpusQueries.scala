@@ -71,24 +71,27 @@ object CorpusQueries {
         // columns back into the predicate (md5 × 8 per row, measured
         // 5 s), while CollapseProject refuses to duplicate expensive
         // expressions — so the md5 is evaluated once per row (0.6 s).
+        //
+        // Bloom and exact counts come out of ONE lineitem pass: the
+        // exact side is a broadcast LEFT join against the (unique)
+        // selected part keys, flagged and summed next to the bloom
+        // flag — the two-scan + join-of-aggregates spelling paid a
+        // second full scan, a second groupBy, and a join for the same
+        // answer (measured 1.45 s → ~0.8 s at sf0.1).
         val (h1, h2) = BloomFilter.probeHashes(col("l_partkey"))
-        val bloomPass = graft.util.Partitioning.fanOut(li)
+        val pk = Tables.part(s, d).filter(col("p_size") <= 2)
+          .select(col("p_partkey"))
+        graft.util.Partitioning.fanOut(li)
           .withColumn("_h1", h1).withColumn("_h2", h2)
           .withColumn("_pass",
             BloomFilter.mightContainHashes(bits, col("_h1"), col("_h2")))
+          .join(broadcast(pk), col("l_partkey") === col("p_partkey"), "left")
           .groupBy("l_returnflag")
-          .agg(sum(when(col("_pass"), lit(1L)).otherwise(lit(0L)))
-            .as("n_bloom_pass"))
-        val exactPass = li
-          .join(broadcast(Tables.part(s, d).filter(col("p_size") <= 2)
-            .select(col("p_partkey"))),
-            col("l_partkey") === col("p_partkey"), "left_semi")
-          .groupBy("l_returnflag")
-          .agg(count(lit(1)).as("n_exact"))
-        // no false negatives: bloom groups ⊇ exact groups, so left join
-        bloomPass.join(exactPass, Seq("l_returnflag"), "left")
-          .select(col("l_returnflag"), col("n_bloom_pass"),
-            coalesce(col("n_exact"), lit(0L)).as("n_exact"))
+          .agg(
+            sum(when(col("_pass"), lit(1L)).otherwise(lit(0L)))
+              .as("n_bloom_pass"),
+            sum(when(col("p_partkey").isNotNull, lit(1L)).otherwise(lit(0L)))
+              .as("n_exact"))
           .withColumn("n_false_pos", col("n_bloom_pass") - col("n_exact"))
           .orderBy("l_returnflag")
       },
@@ -194,10 +197,19 @@ object CorpusQueries {
           .select(col("lang"), split(col("text"), " ").as("toks"))
           .select(col("lang"), explode(Dedup.shinglesFromTokens(col("toks"), 3)).as("sh"))
           .select(col("lang"), md5(col("sh")).as("m"))
-        grams.groupBy("lang")
+        // distinct-then-aggregate instead of countDistinct next to the
+        // HLL agg: mixing distinct and plain aggregates makes Spark plan
+        // an Expand that doubles every input row before the exchange. HLL
+        // registers are duplicate-insensitive (per-bucket max), so both
+        // aggregates read the SAME deduped (lang, gram) set: one
+        // map-side-combined distinct exchange, then a partial-aggregated
+        // groupBy whose shuffle is six register blobs (measured
+        // 0.93 s → ~0.5 s at sf0.1).
+        grams.distinct()
+          .groupBy("lang")
           .agg(
             HyperLogLog.hllAgg(HyperLogLog.packedCell(col("m"))).as("reg"),
-            countDistinct(col("m")).as("exact_distinct"))
+            count(lit(1)).as("exact_distinct"))
           .select(col("lang"),
             HyperLogLog.estimate(col("reg")).as("est_distinct"),
             col("exact_distinct"))
@@ -346,9 +358,14 @@ object CorpusQueries {
     QueryDef(
       "x31_inverted_index",
       (s, d) => {
+        // per-row array_distinct replaces the corpus-wide .distinct()
+        // exchange: (doc, term) pairs are distinct by construction before
+        // the explode, so the only shuffle left is the combinable term
+        // groupBy — and the explode emits per-doc DISTINCT terms, a
+        // vocabulary-bounded fraction of the raw token stream
         val toks = graft.util.Partitioning.fanOut(Tables.documents(s, d))
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-          .distinct()
+          .select(col("doc_id"),
+            explode(array_distinct(split(col("text"), " "))).as("term"))
         toks.groupBy("term")
           .agg(
             count(lit(1)).as("doc_freq"),

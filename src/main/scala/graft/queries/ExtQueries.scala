@@ -138,14 +138,17 @@ object ExtQueries {
     // ------------------------------------------------------------------
     QueryDef(
       "x1_token_stats",
+      // ordered-layout-before-projection: see
+      // graft.util.Partitioning.orderedFanOut for why the sort runs on
+      // the raw scan and the expensive projection after it
       (s, d) =>
-        Tables.documents(s, d).select(
+        graft.util.Partitioning.orderedFanOut(
+          Tables.documents(s, d), col("doc_id")).select(
           col("doc_id"),
           TA.tokenCount(col("text")).as("n_tokens"),
           TA.bpeishCount(col("text")).as("n_bpeish"),
           length(col("text")).as("n_chars_calc"),
-          col("n_chars"))
-          .orderBy("doc_id"),
+          col("n_chars")),
       Some("""SELECT doc_id,
              |       len(string_split(text, ' ')) AS n_tokens,
              |       len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpeish,
@@ -156,12 +159,13 @@ object ExtQueries {
 
     QueryDef(
       "x2_lang_id",
+      // ordered layout before projection: see orderedFanOut
       (s, d) =>
-        Tables.documents(s, d).select(
+        graft.util.Partitioning.orderedFanOut(
+          Tables.documents(s, d), col("doc_id")).select(
           col("doc_id"),
           TA.langId(col("text")).as("lang_pred"),
-          col("lang").as("lang_actual"))
-          .orderBy("doc_id"),
+          col("lang").as("lang_actual")),
       Some(s"""SELECT doc_id,
               |  CASE WHEN en + es + de = 0 THEN 'und'
               |       WHEN en >= es AND en >= de THEN 'en'
@@ -179,14 +183,15 @@ object ExtQueries {
 
     QueryDef(
       "x3_quality_score",
+      // ordered layout before projection: see orderedFanOut
       (s, d) =>
-        Tables.documents(s, d).select(
+        graft.util.Partitioning.orderedFanOut(
+          Tables.documents(s, d), col("doc_id")).select(
           col("doc_id"),
           TA.stopwordRatio(col("text")).as("stopword_ratio"),
           TA.punctRatio(col("text")).as("punct_ratio"),
           TA.meanTokenLen(col("text")).as("mean_token_len"),
-          TA.qualityScore(col("text")).as("quality"))
-          .orderBy("doc_id"),
+          TA.qualityScore(col("text")).as("quality")),
       Some(s"""SELECT doc_id,
               |  CAST(en AS DOUBLE) / CAST(nt AS DOUBLE) AS stopword_ratio,
               |  CAST(np AS DOUBLE) / CAST(nc AS DOUBLE) AS punct_ratio,
@@ -206,11 +211,12 @@ object ExtQueries {
 
     QueryDef(
       "x4_fingerprint",
+      // ordered layout before projection: see orderedFanOut
       (s, d) =>
-        Tables.documents(s, d).select(
+        graft.util.Partitioning.orderedFanOut(
+          Tables.documents(s, d), col("doc_id")).select(
           col("doc_id"),
-          TA.fingerprint(col("text")).as("fp"))
-          .orderBy("doc_id"),
+          TA.fingerprint(col("text")).as("fp")),
       Some("""SELECT doc_id,
              |  list_reduce(
              |    list_prepend(CAST(0 AS BIGINT),
@@ -222,12 +228,13 @@ object ExtQueries {
 
     QueryDef(
       "x11_text_normalize",
+      // ordered layout before projection: see orderedFanOut
       (s, d) =>
-        Tables.documents(s, d).select(
+        graft.util.Partitioning.orderedFanOut(
+          Tables.documents(s, d), col("doc_id")).select(
           col("doc_id"),
           TA.normalizeText(col("text")).as("norm"),
-          length(TA.normalizeText(col("text"))).as("n_norm"))
-          .orderBy("doc_id"),
+          length(TA.normalizeText(col("text"))).as("n_norm")),
       Some("""SELECT doc_id,
              |  trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', '', 'g'),
              |       '\s+', ' ', 'g')) AS norm,
@@ -318,31 +325,34 @@ object ExtQueries {
     // X17 — repetition quality signals (Gopher-style filters): fraction
     // of tokens taken by the single most frequent token, and fraction of
     // duplicated 3-gram shingles. Both are standard pre-training corpus
-    // filters; explode + two-level combinable groupBy for the token side
-    // (map-side partials, linear at 100 TB), pure per-row array ops for
-    // the shingle side.
+    // filters. Both signals are ROW-LOCAL, so the whole query is one
+    // shuffle-free scan: the native [[graft.functions.TermStats]] loop
+    // replaces the explode + groupBy(doc, tok) + groupBy(doc) + join
+    // spelling that shuffled every token of the corpus twice (measured
+    // 1.1 s → 0.35 s at sf0.1; at 100 TB the difference is two full-corpus
+    // exchanges vs none).
     QueryDef(
       "x17_repetition",
       (s, d) => {
-        val docs = graft.util.Partitioning.fanOut(Tables.documents(s, d))
-        val tt = docs
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-          .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-          .groupBy("doc_id").agg(max("c").as("maxc"), sum("c").as("ntok"))
-        val sh = docs
+        Tables.documents(s, d)
+          // the explode spelling drops NULL-text docs (explode of a NULL
+          // array emits no rows), as does the oracle's unnest — keep that
+          .filter(col("text").isNotNull)
+          // ordered layout before the expensive projection (orderedFanOut)
+          .transform(graft.util.Partitioning.orderedFanOut(_, col("doc_id")))
           .select(col("doc_id"),
+            graft.functions.TermStats(split(col("text"), " ")).as("ts"),
             Dedup.shinglesFromTokens(split(col("text"), " "), 3).as("shs"))
-          .select(col("doc_id"), size(col("shs")).as("total"),
+          .select(col("doc_id"), col("ts"),
+            size(col("shs")).as("total"),
             size(array_distinct(col("shs"))).as("dist"))
-        tt.join(sh, Seq("doc_id"))
           .select(
             col("doc_id"),
-            (col("maxc").cast("double") / col("ntok").cast("double"))
-              .as("top_token_frac"),
+            (col("ts").getField("maxtf").cast("double") /
+              col("ts").getField("ntok").cast("double")).as("top_token_frac"),
             when(col("total") > 0,
               (col("total") - col("dist")).cast("double") / col("total").cast("double"))
               .otherwise(lit(0.0)).as("dup_shingle_frac"))
-          .orderBy("doc_id")
       },
       Some("""WITH tok AS (
              |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
@@ -378,7 +388,8 @@ object ExtQueries {
       (s, d) => {
         val email = "[a-z0-9.]+@[a-z0-9.]+"
         val phone = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
-        Tables.documents(s, d)
+        graft.util.Partitioning.orderedFanOut(
+          Tables.documents(s, d), col("doc_id"))
           .select(col("doc_id"),
             when(col("doc_id") % 10 === 0,
               concat(col("text"),
@@ -391,7 +402,6 @@ object ExtQueries {
             regexp_replace(
               regexp_replace(col("text"), email, "<EMAIL>"),
               phone, "<PHONE>").as("scrubbed"))
-          .orderBy("doc_id")
       },
       Some("""WITH corpus AS (
              |  SELECT doc_id,
@@ -547,23 +557,33 @@ object ExtQueries {
     // idf is the log-free rational form score = tf·N/df — rank-equivalent
     // to tf·(N/df) with exact cross-engine float parity (ln() is not
     // correctly-rounded and may differ between libm builds; integer
-    // products + one IEEE division are bit-identical). The classic two
-    // combinable aggregations + one broadcast-able term join.
+    // products + one IEEE division are bit-identical).
+    //
+    // Shape: tf is ROW-LOCAL (native [[graft.functions.TermStats]], no
+    // tokens shuffle), df is a combinable groupBy over per-doc distinct
+    // terms whose result is vocabulary-sized and joins back as a
+    // broadcast build, and the only corpus-sized exchange left is the
+    // per-doc rank window. The previous window-over-term df spelling
+    // paid a full (doc, term) groupBy exchange plus a corpus-wide sort
+    // by term (measured 1.18 s → this, at sf0.1). At 100 TB a
+    // pathological vocabulary outgrows one broadcast build — df then
+    // joins by term as a plain shuffle join; the tf side is unchanged.
     QueryDef(
       "x21_tfidf_topk",
       (s, d) => {
         val docs = graft.util.Partitioning.fanOut(Tables.documents(s, d))
         val n = Tables.documents(s, d).count()
         val tf = docs
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        // df via a count window over the tf frame: one exchange on term,
-        // where groupBy+join-back paid an exchange AND a join build
-        // (measured 1.45 s → 0.95 s at sf0.1).
+          .select(col("doc_id"),
+            explode(graft.functions.TermStats(split(col("text"), " "))
+              .getField("counts")).as("tc"))
+          .select(col("doc_id"),
+            col("tc").getField("term").as("term"),
+            col("tc").getField("tf").as("tf"))
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("doc_id").orderBy(desc("score"), asc("term"))
-        tf.withColumn("df", count(lit(1)).over(
-            org.apache.spark.sql.expressions.Window.partitionBy("term")))
+        tf.join(broadcast(dfreq), Seq("term"))
           .withColumn("score",
             (col("tf") * lit(n)).cast("double") / col("df").cast("double"))
           .withColumn("rnk", row_number().over(w))

@@ -3,6 +3,7 @@ package graft.queries
 import graft.QueryDef
 import graft.ext.Multimodal
 import graft.io.Tables
+import graft.util.Partitioning
 import org.apache.spark.sql.functions._
 
 /** Oracle-checked surface for the multimodal column operators
@@ -16,6 +17,16 @@ import org.apache.spark.sql.functions._
   * the payload is `CAST('0x' || substr(md5(text), 2i+1, 2) AS BIGINT)`.
   */
 object MultimodalQueries {
+
+  /** Documents pre-arranged in (range-partitioned, sorted) doc_id order —
+    * see [[Partitioning.orderedFanOut]]. The media build and every typed
+    * stage after it are narrow, order-preserving operators (map /
+    * mapPartitions / flatMap over partition iterators), so the output
+    * keeps this total order WITHOUT a trailing `.orderBy` — which would
+    * re-execute the whole typed pipeline once more for range-boundary
+    * sampling and then coalesce away its parallelism. */
+  private def orderedDocs(s: org.apache.spark.sql.SparkSession, d: String) =
+    Partitioning.orderedFanOut(Tables.documents(s, d), col("doc_id"))
 
   /** SQL for payload byte i (0-based) as BIGINT. */
   private def b(i: Int): String = s"CAST('0x' || substr(md5(text), ${2 * i + 1}, 2) AS BIGINT)"
@@ -33,15 +44,14 @@ object MultimodalQueries {
     QueryDef(
       "m1_media_meta",
       (s, d) =>
-        Multimodal.mediaFromDocuments(Tables.documents(s, d))
+        Multimodal.mediaFromDocuments(orderedDocs(s, d), fan = false)
           .select(
             col("doc_id"),
             col("meta.kind").as("kind"),
             col("meta.width").as("width"),
             col("meta.height").as("height"),
             col("meta.nFrames").as("n_frames"),
-            length(col("payload")).as("n_bytes"))
-          .orderBy("doc_id"),
+            length(col("payload")).as("n_bytes")),
       Some("""SELECT doc_id,
              |  ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
              |  CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
@@ -56,9 +66,9 @@ object MultimodalQueries {
       "m2_image_features",
       (s, d) => {
         val items = Multimodal.asMediaItems(
-          s, Multimodal.mediaFromDocuments(Tables.documents(s, d)))
+          s, Multimodal.mediaFromDocuments(orderedDocs(s, d), fan = false))
         Multimodal.imageFeatures(s, Multimodal.decodeImages(s, items))
-          .toDF().orderBy("doc_id")
+          .toDF() // ordered via orderedDocs; all stages are narrow
       },
       Some(s"""SELECT doc_id, CAST(16 AS INT) AS n_px,
               |  CAST(list_sum(list_transform(generate_series(1,16),
@@ -76,7 +86,7 @@ object MultimodalQueries {
       "m3_resize_pool",
       (s, d) => {
         val items = Multimodal.asMediaItems(
-          s, Multimodal.mediaFromDocuments(Tables.documents(s, d)))
+          s, Multimodal.mediaFromDocuments(orderedDocs(s, d), fan = false))
         Multimodal.resize(s, Multimodal.decodeImages(s, items), factor = 2)
           .toDF()
           .select(
@@ -85,7 +95,7 @@ object MultimodalQueries {
             element_at(col("pixels"), 2).as("p01"),
             element_at(col("pixels"), 3).as("p10"),
             element_at(col("pixels"), 4).as("p11"))
-          .orderBy("doc_id")
+        // ordered via orderedDocs; all stages are narrow
       },
       Some(s"""SELECT doc_id,
               |  ${pool(0, 0)} AS p00, ${pool(0, 1)} AS p01,
@@ -100,13 +110,14 @@ object MultimodalQueries {
       "m4_frame_sample",
       (s, d) => {
         val items = Multimodal.asMediaItems(
-          s, Multimodal.mediaFromDocuments(Tables.documents(s, d)))
+          s, Multimodal.mediaFromDocuments(orderedDocs(s, d), fan = false))
         Multimodal.sampleFrames(s, items, stride = 1)
           .toDF()
           .select(
             col("doc_id"), col("frame_idx"),
             lower(hex(col("frame_bytes"))).as("frame_hex"))
-          .orderBy("doc_id", "frame_idx")
+        // ordered via orderedDocs; flatMap emits frames in frame_idx
+        // order inside each doc, so (doc_id, frame_idx) order holds
       },
       Some("""WITH m AS (
              |  SELECT doc_id, md5(text) AS hx,

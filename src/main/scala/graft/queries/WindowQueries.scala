@@ -166,11 +166,19 @@ object WindowQueries {
     QueryDef(
       "a12_distinct_agg",
       (s, d) =>
+        // hand-spelled two-phase distinct: pre-aggregating to
+        // (event_type, user_id) pairs map-side-combines BEFORE the
+        // exchange and avoids the Expand duplication Spark plans for
+        // countDistinct-next-to-count; reach counts the non-NULL pair
+        // rows (countDistinct ignores NULLs) and n re-sums the pair
+        // counts (count(*) includes NULL-user rows)
         Tables.events(s, d)
+          .groupBy("event_type", "user_id")
+          .agg(count(lit(1)).as("c"))
           .groupBy("event_type")
           .agg(
-            countDistinct(col("user_id")).as("reach"),
-            count(lit(1)).as("n"))
+            count(col("user_id")).as("reach"),
+            sum(col("c")).as("n"))
           .orderBy("event_type"),
       Some("""SELECT event_type, COUNT(DISTINCT user_id) AS reach,
              |       COUNT(*) AS n

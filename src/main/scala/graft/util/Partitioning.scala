@@ -21,4 +21,24 @@ object Partitioning {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
+
+  /** Globally-ordered, parallelism-pinned layout for queries that run an
+    * expensive per-row projection and return rows ordered by `keys`:
+    * range-repartition on the keys, sort within partitions, and only THEN
+    * project (callers `.select` on the result).
+    *
+    * This replaces a trailing `.orderBy` after the projection, which pays
+    * twice at any scale: the range partitioner samples boundaries by
+    * re-executing its child (the projection runs twice), and AQE
+    * coalesces the small post-sort stage so the projection also loses its
+    * parallelism. Sampling here touches only the narrow source rows, the
+    * projection runs exactly once, and the explicit partition count is
+    * exempt from AQE coalescing (measured on a regex projection:
+    * 0.79 s → 0.24 s at sf0.1). The plan is the same
+    * Exchange(rangepartitioning) + per-partition Sort that `.orderBy`
+    * produces — total output order is identical. */
+  def orderedFanOut(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame =
+    df.repartitionByRange(
+        df.sparkSession.sparkContext.defaultParallelism, keys: _*)
+      .sortWithinPartitions(keys: _*)
 }

@@ -37,11 +37,22 @@ object Corpus {
   def benchmarkOverlap(
       df: DataFrame, idCol: String, textCol: String,
       isBench: Column, n: Int): DataFrame = {
-    val bench = Dedup.shingleMd5(df.filter(isBench), idCol, textCol, n)
+    // Per-row array_distinct BEFORE the explode makes (id, gram) pairs
+    // distinct by construction: the corpus side needs no dedup exchange
+    // at all (the old spelling shuffled every gram md5 once just to
+    // dedup), md5 runs once per distinct gram instead of per occurrence,
+    // and the only wide op left on the corpus is the per-doc groupBy.
+    // Distinct-on-raw-shingles equals distinct-on-md5 up to md5
+    // collisions, which the gram-identity contract already discounts.
+    def distinctGrams(src: DataFrame) =
+      Dedup.tokenized(src, idCol, textCol)
+        .select(col("id"),
+          explode(array_distinct(Dedup.shinglesFromTokens(col("toks"), n))).as("g"))
+        .select(col("id"), md5(col("g")).as("m"))
+    val bench = distinctGrams(df.filter(isBench))
       .select(col("m")).distinct()
       .withColumn("_hit", lit(1L))
-    Dedup.shingleMd5(df.filter(!isBench), idCol, textCol, n)
-      .distinct()
+    distinctGrams(df.filter(!isBench))
       .join(broadcast(bench), Seq("m"), "left")
       .groupBy(col("id").as("doc_id"))
       .agg(

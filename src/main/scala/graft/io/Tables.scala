@@ -46,7 +46,14 @@ object Tables {
     * explicit micros column as below. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    graft.util.Partitioning.fanOut(table(s, d, "events"))
+    // No fanOut here: every consumer either aggregates (its exchange
+    // parallelizes downstream work and the map-side partials are cheap),
+    // windows/joins (their own hash exchanges distribute), or arranges
+    // layout itself (orderedFanOut). The blanket round-robin repartition
+    // this used to do shuffled the full event stream once per query for
+    // nothing. Compute-heavy per-row consumers opt in at the call site
+    // (x27's from_json parse runs BEFORE any exchange).
+    table(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")

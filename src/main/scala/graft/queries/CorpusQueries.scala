@@ -441,7 +441,10 @@ object CorpusQueries {
         import org.apache.spark.sql.types.{LongType, StructField, StructType}
         val k = from_json(col("props"), StructType(Seq(StructField("k", LongType))))
           .getField("k")
-        Tables.events(s, d)
+        // from_json is compute-heavy per-row work that runs BEFORE the
+        // groupBy exchange — fan the single-file scan out so it
+        // parallelizes (events itself no longer does this)
+        graft.util.Partitioning.fanOut(Tables.events(s, d))
           .select(col("event_type"), k.as("k"))
           .groupBy("event_type")
           .agg(

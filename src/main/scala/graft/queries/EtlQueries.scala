@@ -59,12 +59,13 @@ object EtlQueries {
     // regexp-extracted digits parse; event_type never does → 0.0 branch.
     QueryDef(
       "p1_tolerant_cast",
+      // ordered layout before the regex projection: see orderedFanOut
       (s, d) =>
-        Tables.events(s, d).select(
+        graft.util.Partitioning.orderedFanOut(
+          Tables.events(s, d), col("event_id")).select(
           col("event_id"),
           Normalize.f(regexp_extract(col("props"), """"k": (\d+)""", 1)).as("k_val"),
-          Normalize.f(col("event_type")).as("unparseable"))
-          .orderBy("event_id"),
+          Normalize.f(col("event_type")).as("unparseable")),
       Some("""SELECT event_id,
              |       COALESCE(TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS DOUBLE), 0.0) AS k_val,
              |       COALESCE(TRY_CAST(event_type AS DOUBLE), 0.0) AS unparseable

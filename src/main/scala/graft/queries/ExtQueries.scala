@@ -572,7 +572,9 @@ object ExtQueries {
       "x21_tfidf_topk",
       (s, d) => {
         val docs = graft.util.Partitioning.fanOut(Tables.documents(s, d))
-        val n = Tables.documents(s, d).count()
+        // N as a broadcast one-row aggregate, not a driver-side .count():
+        // the count was an EXTRA eager job on every plan construction
+        val nDf = Tables.documents(s, d).agg(count(lit(1)).as("_n"))
         val tf = docs
           .select(col("doc_id"),
             explode(graft.functions.TermStats(split(col("text"), " "))
@@ -584,8 +586,9 @@ object ExtQueries {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("doc_id").orderBy(desc("score"), asc("term"))
         tf.join(broadcast(dfreq), Seq("term"))
+          .crossJoin(broadcast(nDf))
           .withColumn("score",
-            (col("tf") * lit(n)).cast("double") / col("df").cast("double"))
+            (col("tf") * col("_n")).cast("double") / col("df").cast("double"))
           .withColumn("rnk", row_number().over(w))
           .filter(col("rnk") <= 3)
           .select("doc_id", "rnk", "term", "tf", "df", "score")

@@ -59,11 +59,14 @@ object WindowQueries {
     // EventStream.tumblingHourly (same transform function).
     QueryDef(
       "w2_tumbling_hourly",
+      // the exact-sum parity detour runs on long micros (Parity.moneyMicros
+      // -> sum(long) inside the shared transform -> microsToMoney), not on
+      // the DECIMAL(24,6) BigDecimal slow path — see Parity.moneySum
       (s, d) =>
         EventStream.tumblingHourly(
           Tables.events(s, d).withColumn("value",
-            col("value").cast("decimal(24,6)")))
-          .withColumn("total_value", col("total_value").cast("double"))
+            moneyMicros(col("value"))))
+          .withColumn("total_value", microsToMoney(col("total_value")))
           .orderBy("wstart", "event_type"),
       Some(s"""SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
               |       CAST(count(*) AS BIGINT) AS n,
@@ -78,8 +81,8 @@ object WindowQueries {
       (s, d) =>
         EventStream.slidingHourly(
           Tables.events(s, d).withColumn("value",
-            col("value").cast("decimal(24,6)")))
-          .withColumn("total_value", col("total_value").cast("double"))
+            moneyMicros(col("value"))))
+          .withColumn("total_value", microsToMoney(col("total_value")))
           .orderBy("wstart", "event_type"),
       Some(s"""SELECT wstart, event_type, CAST(count(*) AS BIGINT) AS n,
               |       ${moneySumSql("value")} AS total_value
@@ -106,9 +109,9 @@ object WindowQueries {
         // gap change can't silently desynchronize them.
         EventStream.userSessions(
           Tables.events(s, d).withColumn("value",
-            col("value").cast("decimal(24,6)")),
+            moneyMicros(col("value"))),
           gap = SessionGapMinutes + " minutes")
-          .withColumn("session_value", col("session_value").cast("double"))
+          .withColumn("session_value", microsToMoney(col("session_value")))
           .withColumn("last_ts",
             col("session_end") - expr(s"INTERVAL $SessionGapMinutes MINUTES"))
           .select("user_id", "session_start", "last_ts", "n_events", "session_value")

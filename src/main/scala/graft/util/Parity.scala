@@ -59,9 +59,19 @@ object Parity {
     * passes 2⁵³. Range: |Σ| < 2⁶³ micro-units ≈ $9.2×10¹² — ANSI mode
     * throws on overflow rather than wrapping (a DECIMAL spelling
     * extends the range to 10¹⁸ if a deployment ever needs it). */
-  def moneySum(c: Column): Column =
-    (sum(floor(c * lit(1000000.0) + lit(0.5)))
-      .cast(DecimalType(38, 0)) * lit(new java.math.BigDecimal("0.000001")))
+  def moneySum(c: Column): Column = microsToMoney(sum(moneyMicros(c)))
+
+  /** Per-row money→micro-units conversion (the fast half of [[moneySum]],
+    * exactness argument above). Exposed for callers that carry the long
+    * micros through their own aggregation (windowed/streaming twins) and
+    * reconstruct with [[microsToMoney]] at the end. */
+  def moneyMicros(c: Column): Column = floor(c * lit(1000000.0) + lit(0.5))
+
+  /** Exact micro-units→money finisher: decimal multiply (both operands
+    * exact), ONE terminal rounding to double — matching the oracle's
+    * `CAST(SUM(DECIMAL) AS DOUBLE)`. */
+  def microsToMoney(c: Column): Column =
+    (c.cast(DecimalType(38, 0)) * lit(new java.math.BigDecimal("0.000001")))
       .cast(DoubleType)
 
   /** moneySum with empty-set → 0.0, as the reference's dashboards do with

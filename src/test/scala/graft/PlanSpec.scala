@@ -131,9 +131,11 @@ class PlanSpec extends AnyFunSuite {
 
   test("BLANKET: no query in the suite plans a CartesianProduct; nested-loops only on the allowlist") {
     // the only sanctioned BroadcastNestedLoopJoins: x16's bounded
-    // centroid assigns and x9's brute-force baseline (corpus streamed
-    // against a broadcast handful of query vectors)
-    val bnljAllowed = Set("x16_ivf_topk", "x9_cosine_topk")
+    // centroid assigns, x9's brute-force baseline (corpus streamed
+    // against a broadcast handful of query vectors), and x21's scalar
+    // corpus-count broadcast (a ONE-row build — the standard scalar-
+    // subquery shape, replacing an eager driver-side .count() job)
+    val bnljAllowed = Set("x16_ivf_topk", "x9_cosine_topk", "x21_tfidf_topk")
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = planOf(fn(spark, sf))
       val cart = plan.contains("CartesianProduct")

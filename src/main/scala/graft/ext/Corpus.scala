@@ -158,13 +158,24 @@ object Corpus {
       df: DataFrame, idCol: String, textCol: String,
       minQuality: Double, chunkSize: Int, stride: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val kept = df.filter(TextAnalysis.qualityScore(col(textCol)) >= minQuality)
+    // fan the raw corpus out FIRST: the quality score is per-row HOF work
+    // that would otherwise run single-threaded on a degenerate scan
+    val kept = graft.util.Partitioning.fanOut(df)
+      .filter(TextAnalysis.qualityScore(col(textCol)) >= minQuality)
     val deduped = kept
       .withColumn("_rk", row_number().over(
         Window.partitionBy(Dedup.textHash(col(textCol))).orderBy(col(idCol))))
       .filter(col("_rk") === 1)
       .drop("_rk")
-    chunk(deduped, idCol, textCol, chunkSize, stride)
+    // ordered layout BEFORE the chunk generate (see Partitioning
+    // .orderedFanOut): chunking emits chunk_idx ascending inside each
+    // document and generates are narrow, so the output carries a total
+    // (idCol, chunk_idx) order without a trailing sort — which would
+    // re-execute the whole generate once more for range-boundary
+    // sampling
+    chunk(
+      graft.util.Partitioning.orderedFanOut(deduped, col(idCol)),
+      idCol, textCol, chunkSize, stride, fan = false)
   }
 
   /** Fixed-window token chunking with overlap — the training-window
@@ -176,9 +187,9 @@ object Corpus {
     * Returns (doc_id, chunk_idx, chunk, n_tokens). */
   def chunk(
       df: DataFrame, idCol: String, textCol: String,
-      chunkSize: Int, stride: Int): DataFrame = {
+      chunkSize: Int, stride: Int, fan: Boolean = true): DataFrame = {
     require(stride >= 1 && chunkSize >= 1, "chunkSize and stride must be >= 1")
-    graft.util.Partitioning.fanOut(df)
+    (if (fan) graft.util.Partitioning.fanOut(df) else df)
       // NULL text behaves as empty (one empty chunk) — posexplode over a
       // NULL sequence would emit zero rows and silently drop the document
       .select(col(idCol).as("doc_id"),

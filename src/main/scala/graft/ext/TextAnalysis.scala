@@ -97,12 +97,19 @@ object TextAnalysis {
     * on the token; df via count(DISTINCT id) inside the same pass. */
   def vocabulary(df: org.apache.spark.sql.DataFrame,
                  idCol: String, textCol: String): org.apache.spark.sql.DataFrame =
+    // Row-local tf pass first (native TermStats), then ONE combinable
+    // groupBy: doc_freq counts the per-doc-distinct pair rows, term_freq
+    // re-sums the per-doc counts. The explode+countDistinct spelling
+    // shuffled every token occurrence AND paid the Expand duplication
+    // Spark plans for countDistinct next to a plain aggregate.
     graft.util.Partitioning.fanOut(df)
-      .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("token"))
-      .groupBy("token")
+      .select(col(idCol).as("id"),
+        explode(graft.functions.TermStats(split(col(textCol), " "))
+          .getField("counts")).as("tc"))
+      .groupBy(col("tc").getField("term").as("token"))
       .agg(
-        countDistinct(col("id")).as("doc_freq"),
-        count(lit(1)).as("term_freq"))
+        count(lit(1)).as("doc_freq"),
+        sum(col("tc").getField("tf")).as("term_freq"))
 
   /** Deterministic stratified sample: k documents per stratum (language,
     * source, ...), ranked by md5 of the id — a content-independent,

@@ -107,4 +107,17 @@ object BloomFilter {
     val (h1, h2) = probeHashes(probe)
     mightContainHashes(bits, h1, h2)
   }
+
+  /** Membership test against a bit-words ARRAY COLUMN (the built filter
+    * carried as a broadcast one-row frame and cross-joined onto the probe
+    * side). Same arithmetic as [[mightContainHashes]], but the filter
+    * never touches the driver between build and probe — one Spark action
+    * end-to-end, where the literal spelling needs an eager `.head()` job
+    * per plan construction. Pure column arithmetic, codegen'd. */
+  def mightContainBits(bits: Column, h1: Column, h2: Column): Column =
+    (0 until K).map { i =>
+      val pos = (h1 + lit(i.toLong) * h2) % Bits
+      element_at(bits, (pos / 64).cast("int") + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L), (pos % 64).cast("int"))) =!= 0
+    }.reduce(_ && _)
 }

@@ -56,7 +56,7 @@ object CorpusQueries {
     // column expressions, and report per-flag pass counts next to the
     // exact semi-join — false positives included, value-for-value equal
     // to the oracle's rebuilt filter (both engines share the md5 bit
-    // family). The one-row filter build is a separate driver-held job,
+    // family). The one-row filter build broadcasts to the probe side,
     // exactly how a pushed runtime filter ships to scan tasks.
     QueryDef(
       "x29_bloom_prefilter",
@@ -64,7 +64,13 @@ object CorpusQueries {
         import graft.functions.BloomFilter
         val keys = Tables.part(s, d).filter(col("p_size") <= 2)
           .select(col("p_partkey").cast("string").as("k"))
-        val bits = keys.agg(BloomFilter.bloomAgg(col("k"))).head().getSeq[Long](0)
+        // The built filter travels as a broadcast ONE-ROW frame cross-
+        // joined onto the probe side — the whole query is one Spark
+        // action, where the previous literal spelling ran an eager
+        // .head() build job on every plan construction. (This is the
+        // broadcast-var half of how engines ship runtime filters; the
+        // driver-literal half lives on in BloomFilter.mightContainHashes.)
+        val bitsDf = keys.agg(BloomFilter.bloomAgg(col("k")).as("_bits"))
         val li = Tables.lineitem(s, d).select("l_returnflag", "l_partkey")
         // Membership as a PROJECTED boolean + conditional aggregate, not
         // a Filter: PushPredicateThroughProject would inline the hash
@@ -83,8 +89,9 @@ object CorpusQueries {
           .select(col("p_partkey"))
         graft.util.Partitioning.fanOut(li)
           .withColumn("_h1", h1).withColumn("_h2", h2)
+          .crossJoin(broadcast(bitsDf))
           .withColumn("_pass",
-            BloomFilter.mightContainHashes(bits, col("_h1"), col("_h2")))
+            BloomFilter.mightContainBits(col("_bits"), col("_h1"), col("_h2")))
           .join(broadcast(pk), col("l_partkey") === col("p_partkey"), "left")
           .groupBy("l_returnflag")
           .agg(
@@ -254,10 +261,14 @@ object CorpusQueries {
     // the context-length packer. Pure per-row expressions, no shuffle.
     QueryDef(
       "x25_chunks",
+      // ordered layout before the generate (see orderedFanOut); chunk
+      // emits chunk_idx ascending per doc and generates are narrow, so
+      // the (doc_id, chunk_idx) order needs no trailing sort
       (s, d) =>
-        Corpus.chunk(Tables.documents(s, d), "doc_id", "text",
-          chunkSize = 64, stride = 48)
-          .orderBy("doc_id", "chunk_idx"),
+        Corpus.chunk(
+          graft.util.Partitioning.orderedFanOut(
+            Tables.documents(s, d), col("doc_id")),
+          "doc_id", "text", chunkSize = 64, stride = 48, fan = false),
       Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
              |st AS (SELECT doc_id, t, unnest(generate_series(1, len(t), 48)) AS s FROM toks)
              |SELECT doc_id,
@@ -393,9 +404,10 @@ object CorpusQueries {
         val corpus = docs.unionByName(
           Tables.documents(s, d).filter(col("doc_id") % 25 === 0)
             .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+        // curationPipeline output is already in total (doc_id, chunk_idx)
+        // order (ordered layout before the chunk generate)
         Corpus.curationPipeline(corpus, "doc_id", "text",
           minQuality = 0.45, chunkSize = 64, stride = 48)
-          .orderBy("doc_id", "chunk_idx")
       },
       Some(s"""WITH corpus AS (
               |  SELECT doc_id, text FROM documents

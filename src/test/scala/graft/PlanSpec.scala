@@ -135,7 +135,9 @@ class PlanSpec extends AnyFunSuite {
     // against a broadcast handful of query vectors), and x21's scalar
     // corpus-count broadcast (a ONE-row build — the standard scalar-
     // subquery shape, replacing an eager driver-side .count() job)
-    val bnljAllowed = Set("x16_ivf_topk", "x9_cosine_topk", "x21_tfidf_topk")
+    // (x29's bloom-bits broadcast is the same one-row shape)
+    val bnljAllowed =
+      Set("x16_ivf_topk", "x9_cosine_topk", "x21_tfidf_topk", "x29_bloom_prefilter")
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = planOf(fn(spark, sf))
       val cart = plan.contains("CartesianProduct")

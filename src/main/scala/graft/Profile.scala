@@ -347,7 +347,38 @@ object Profile {
         t(s"exact rep$r")(li.join(broadcast(graft.io.Tables.part(spark, sfDir)
             .filter(col("p_size") <= 2).select(col("p_partkey"))),
           col("l_partkey") === col("p_partkey"), "left_semi").count())
-      } else if (name == "events") {
+      } else if (name == "aqeprobe") { if (r == 1) { // rep loop handled internally
+        // Noop-sink timing of every query with AQE on vs off, same JVM:
+        // isolates the adaptive re-planning + extra stage-barrier latency
+        // from real compute at bench scale. Runtime conf, so no restart.
+        val qnames = sys.env.get("SPARK_GRAFT_PROBE_QUERIES")
+          .map(_.split(",").toSeq)
+          .getOrElse(SparkEntry.queries.keys.toSeq.sorted)
+        def timeNoop(qn: String): Double = {
+          val t0 = System.nanoTime()
+          SparkEntry.queries(qn)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        // warmup both AQE modes
+        for (aqe <- Seq("true", "false"); qn <- qnames) {
+          spark.conf.set("spark.sql.adaptive.enabled", aqe)
+          try timeNoop(qn) catch { case e: Throwable => println(s"WARMERR $qn $aqe ${e.getClass.getSimpleName}") }
+        }
+        var totOn = 0.0; var totOff = 0.0
+        for (qn <- qnames) {
+          def best(aqe: String): Double = {
+            spark.conf.set("spark.sql.adaptive.enabled", aqe)
+            (1 to reps).map { _ =>
+              val dt = timeNoop(qn); spark.catalog.clearCache(); System.gc(); dt
+            }.min
+          }
+          val on = best("true"); val off = best("false")
+          totOn += on; totOff += off
+          println(f"AQEPROBE $qn%-28s on=$on%6.3f off=$off%6.3f delta=${on - off}%+6.3f")
+        }
+        println(f"AQEPROBE TOTAL on=$totOn%7.2f off=$totOff%7.2f delta=${totOn - totOff}%+7.2f")
+      } } else if (name == "events") {
         val ev = graft.io.Tables.events(spark, sfDir)
         t(s"events_count rep$r")(ev.count())
         t(s"events_parts rep$r")(ev.rdd.getNumPartitions.toLong)

@@ -1,0 +1,48 @@
+#!/usr/bin/env python3
+"""Dev-loop DuckDB timing twin for graft.Bench.
+
+Times each oracle SQL (from a Verify-produced oracle_sql.json) over the
+same parquet tables the Spark bench reads, best-of-N, full result
+materialization (fetchall) so both engines are measured on the same work.
+
+Usage: bench_duck.py <sfDir> <oracle_sql.json> [reps]
+Dev tooling only — the shipped library is pure Scala/Spark.
+"""
+import json
+import sys
+import time
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main(sf_dir, oracle_path, reps=3):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(oracle_path))
+    oracle = {n.removesuffix(".parquet"): s for n, s in oracle.items()}
+    times = {}
+    for name, sql in sorted(oracle.items()):
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            try:
+                con.sql(sql).fetchall()
+            except Exception as e:
+                print(f"ERR {name}: {e}", file=sys.stderr)
+                best = None
+                break
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        if best is not None:
+            times[name] = best
+    total = sum(times.values())
+    print(json.dumps({"metric": "duck_total", "value": total, "unit": "sec",
+                      "queries": times, "sf": sf_dir}))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2], int(sys.argv[3]) if len(sys.argv) > 3 else 3)

@@ -24,6 +24,8 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .config("spark.shuffle.compress", "false")
       .config("spark.shuffle.spill.compress", "false")
+      // match Bench (compiled-codegen cache sized to the suite)
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.experimental.extraOptimizations =
@@ -97,6 +99,15 @@ object Probe {
         .orderBy("doc_id")
         .select(col("doc_id"), TA.normalizeText(col("text")).as("norm"),
           length(TA.normalizeText(col("text"))).as("n_norm")))
+    }
+
+    if (sys.env.getOrElse("SPARK_GRAFT_PROBE_EXPLAIN", "0") == "1") {
+      for (n <- names) {
+        println(s"===== EXPLAIN $n =====")
+        println(SparkEntry.queries(n)(spark, sfDir).queryExecution.executedPlan
+          .toString.take(12000))
+      }
+      spark.stop(); return
     }
 
     for (variant <- Seq("aqe_on", "aqe_off")) {

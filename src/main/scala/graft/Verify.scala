@@ -15,6 +15,9 @@ object Verify {
       // reads as BIGINT nanos — see graft.io.Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // 74 queries overflow the default 100-entry compiled-codegen cache
+      // (see Bench.scala note)
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // graft's optimizer rules (see plans.GraftExtensions; equivalent to

@@ -49,6 +49,15 @@ object Corpus {
         .select(col("id"),
           explode(array_distinct(Dedup.shinglesFromTokens(col("toks"), n))).as("g"))
         .select(col("id"), md5(col("g")).as("m"))
+    // A/B'd round 5: packing the bench set into one broadcast ARRAY row
+    // and intersecting per corpus row (array_intersect) halves the
+    // fixture time, but Spark builds the membership hashset from the
+    // array ONCE PER ROW — at a real benchmark suite's gram count
+    // (millions) that is quadratic-ish per-row work. The broadcast hash
+    // JOIN below builds its table once per task, and the groupBy(id)
+    // exchange is small: exploded gram rows are doc-contiguous, so the
+    // partial aggregation collapses them to ~1 row per doc before the
+    // shuffle. This is the shape that survives 100 TB.
     val bench = distinctGrams(df.filter(isBench))
       .select(col("m")).distinct()
       .withColumn("_hit", lit(1L))
@@ -124,7 +133,10 @@ object Corpus {
     // partition membership (cache lives for the query, as in
     // duplicateNgramStats). NULL values count as 0.
     val v = coalesce(col(valueCol).cast("long"), lit(0L))
-    val parts = graft.util.Partitioning.fanOut(df)
+    // no fanOut before the range exchange: repartitionByRange already
+    // redistributes to spark.sql.shuffle.partitions, so the round-robin
+    // pass was a second full shuffle of the same rows for nothing
+    val parts = df
       .repartitionByRange(col(sortCol))
       .withColumn("_pid", spark_partition_id())
       .persist()

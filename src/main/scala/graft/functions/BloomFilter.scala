@@ -96,8 +96,12 @@ object BloomFilter {
     require(bits.length == Words, s"expected $Words words, got ${bits.length}")
     (0 until K).map { i =>
       val pos = (h1 + lit(i.toLong) * h2) % Bits
-      typedlit(bits).getItem(((pos / 64)).cast("int"))
-        .bitwiseAND(call_function("shiftleft", lit(1L), (pos % 64).cast("int"))) =!= 0
+      // pure integer bit ops: `/ 64` on Columns is DOUBLE division (a
+      // cast→divide→cast chain per probe); Bits is a power of two, so
+      // word = pos >> 6 and bit = pos & 63
+      typedlit(bits).getItem(shiftright(pos, 6).cast("int"))
+        .bitwiseAND(call_function("shiftleft", lit(1L),
+          pos.bitwiseAND(lit(63L)).cast("int"))) =!= 0
     }.reduce(_ && _)
   }
 
@@ -117,7 +121,9 @@ object BloomFilter {
   def mightContainBits(bits: Column, h1: Column, h2: Column): Column =
     (0 until K).map { i =>
       val pos = (h1 + lit(i.toLong) * h2) % Bits
-      element_at(bits, (pos / 64).cast("int") + 1)
-        .bitwiseAND(call_function("shiftleft", lit(1L), (pos % 64).cast("int"))) =!= 0
+      // integer word/bit split, as in mightContainHashes
+      element_at(bits, shiftright(pos, 6).cast("int") + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L),
+          pos.bitwiseAND(lit(63L)).cast("int"))) =!= 0
     }.reduce(_ && _)
 }

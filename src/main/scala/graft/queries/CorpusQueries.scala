@@ -84,6 +84,10 @@ object CorpusQueries {
         // flag — the two-scan + join-of-aggregates spelling paid a
         // second full scan, a second groupBy, and a join for the same
         // answer (measured 1.45 s → ~0.8 s at sf0.1).
+        // A/B'd this round: the driver-literal spelling (eager .head()
+        // bits build + mightContainHashes constant) measured 2.1 s and a
+        // no-fanOut variant 1.6-2.1 s vs 1.4 s for this shape — the
+        // broadcast frame + fanned-out probe stands.
         val (h1, h2) = BloomFilter.probeHashes(col("l_partkey"))
         val pk = Tables.part(s, d).filter(col("p_size") <= 2)
           .select(col("p_partkey"))

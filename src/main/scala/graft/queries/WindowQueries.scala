@@ -189,17 +189,28 @@ object WindowQueries {
     ),
 
     // ROLLUP over (returnflag, linestatus) with GROUPING indicators.
+    // Computed via Grouping.lowCardRollup: one combinable groupBy over
+    // lineitem, then the rollup Expand over the handful of base groups —
+    // the native spelling Expands (duplicates ×3) the full input before
+    // the partial aggregation (measured 0.66 s → ~0.35 s at sf0.1; at
+    // 100 TB the difference is 2 extra input copies through the agg).
     QueryDef(
       "g1_rollup",
       (s, d) =>
-        Tables.lineitem(s, d)
-          .rollup(col("l_returnflag"), col("l_linestatus"))
-          .agg(
-            moneySum(col("l_quantity")).as("sum_qty"),
-            moneySum(col("l_extendedprice")).as("sum_price"),
-            count(lit(1)).as("n"),
+        graft.operators.Grouping.lowCardRollup(
+          Tables.lineitem(s, d), "l_returnflag", "l_linestatus",
+          partials = Seq(
+            sum(moneyMicros(col("l_quantity"))).as("_q"),
+            sum(moneyMicros(col("l_extendedprice"))).as("_p"),
+            count(lit(1)).as("_n")),
+          reaggs = Seq(
+            microsToMoney(sum(col("_q"))).as("sum_qty"),
+            microsToMoney(sum(col("_p"))).as("sum_price"),
+            sum(col("_n")).as("n"),
             grouping(col("l_returnflag")).cast("int").as("g_rf"),
-            grouping(col("l_linestatus")).cast("int").as("g_ls"))
+            grouping(col("l_linestatus")).cast("int").as("g_ls")),
+          finals = Seq(col("sum_qty"), col("sum_price"), col("n"),
+            col("g_rf"), col("g_ls")))
           .orderBy(col("g_rf"), col("g_ls"),
             col("l_returnflag").asc_nulls_last, col("l_linestatus").asc_nulls_last),
       Some(s"""SELECT l_returnflag, l_linestatus,
@@ -214,16 +225,22 @@ object WindowQueries {
     ),
 
     // CUBE over the same dimensions (adds the per-linestatus margins).
+    // Same base-reaggregation shape as g1 (Expand ×4 runs over the base
+    // groups, not the input).
     QueryDef(
       "g2_cube",
       (s, d) =>
-        Tables.lineitem(s, d)
-          .cube(col("l_returnflag"), col("l_linestatus"))
-          .agg(
-            moneySum(col("l_quantity")).as("sum_qty"),
-            count(lit(1)).as("n"),
+        graft.operators.Grouping.lowCardCube(
+          Tables.lineitem(s, d), "l_returnflag", "l_linestatus",
+          partials = Seq(
+            sum(moneyMicros(col("l_quantity"))).as("_q"),
+            count(lit(1)).as("_n")),
+          reaggs = Seq(
+            microsToMoney(sum(col("_q"))).as("sum_qty"),
+            sum(col("_n")).as("n"),
             grouping(col("l_returnflag")).cast("int").as("g_rf"),
-            grouping(col("l_linestatus")).cast("int").as("g_ls"))
+            grouping(col("l_linestatus")).cast("int").as("g_ls")),
+          finals = Seq(col("sum_qty"), col("n"), col("g_rf"), col("g_ls")))
           .orderBy(col("g_rf"), col("g_ls"),
             col("l_returnflag").asc_nulls_last, col("l_linestatus").asc_nulls_last),
       Some(s"""SELECT l_returnflag, l_linestatus,

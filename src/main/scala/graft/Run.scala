@@ -1,0 +1,182 @@
+package graft
+
+import graft.etl.{Enrich, Incremental, Load, Normalize, StateStore}
+import graft.model.WooSchemas
+import graft.sources.{PagedSource, WooFixtureApi}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The reference's primary entry point as a runnable main — the Spark
+  * twin of `python -m src.run` (reference `src/run.py:128-166`): fetch
+  * orders since the watermark through the paged client, normalize →
+  * enrich → apply refunds → upsert both facts into a parquet warehouse,
+  * advance the watermark, and run the re-enrich pass under run.py's
+  * exact condition (`run.py:158-162`: `--force-enrich-all` always
+  * re-enriches everything; `--re-enrich` OR an idle run re-enriches
+  * missing categories). `--backfill-start` switches to the windowed
+  * backfill loop (`run.py:100-125`) via [[Incremental.backfill]].
+  *
+  * Note the deliberate asymmetry with [[Incremental.runFlow]]: that is
+  * the Prefect flow's twin, whose re-enrich gate is the dead-flag
+  * `elif re_enrich or True:` (`flow.py:212`); run.py's gate is live.
+  * Both reference behaviors are reproduced, each on its own entry point.
+  *
+  * Usage (fixture-backed API, see [[WooFixtureApi]]):
+  *   runMain graft.Run --data /root/testdata/sf0.001 \
+  *     --warehouse /tmp/graft_wh [--backfill-start 2001-01-01] \
+  *     [--re-enrich] [--force-enrich-all] [--now 2002-01-01T00:00:00Z]
+  */
+object Run {
+
+  final case class Args(
+      data: String = "/root/testdata/sf0.001",
+      warehouse: String = "/tmp/graft_wh",
+      backfillStart: Option[String] = None,
+      reEnrich: Boolean = false,
+      forceEnrichAll: Boolean = false,
+      now: Option[String] = None)
+
+  private def parseArgs(argv: Array[String]): Args = {
+    @annotation.tailrec
+    def go(rest: List[String], acc: Args): Args = rest match {
+      case Nil => acc
+      case "--data" :: v :: t => go(t, acc.copy(data = v))
+      case "--warehouse" :: v :: t => go(t, acc.copy(warehouse = v))
+      case "--backfill-start" :: v :: t => go(t, acc.copy(backfillStart = Some(v)))
+      case "--re-enrich" :: t => go(t, acc.copy(reEnrich = true))
+      case "--force-enrich-all" :: t => go(t, acc.copy(forceEnrichAll = true))
+      case "--now" :: v :: t => go(t, acc.copy(now = Some(v)))
+      case other :: _ => throw new IllegalArgumentException(s"unknown arg: $other")
+    }
+    go(argv.toList, Args())
+  }
+
+  /** One fetch→transform→load batch; returns (orders loaded, max order
+    * date seen). Mirrors run.py's `_process_batch`. */
+  def processBatch(spark: SparkSession, data: String, warehouse: String,
+      sinceIso: String): (Long, Option[java.time.Instant]) = {
+    // paged fetch with the reference's page size + retry policy
+    val all = WooFixtureApi.orderJsonsSince(spark, data, sinceIso)
+    val pages = all.grouped(100).toVector
+    val rawJson = PagedSource.fetchAll(100) { p =>
+      if (p <= pages.size) pages(p - 1) else Seq.empty
+    }
+    if (rawJson.isEmpty) return (0L, None)
+    val raw = WooFixtureApi.parse(spark, WooSchemas.rawOrder, rawJson)
+
+    val (orders, items) = Normalize(raw)
+    // per-batch product lookup, chunked like products.py:45 (the fixture
+    // client takes the whole id set; chunking semantics live in S4)
+    val pids = items.select("product_id").filter(col("product_id").isNotNull)
+      .distinct().collect().map(_.getLong(0)).sorted.toIndexedSeq
+    val products = WooFixtureApi.parse(spark, WooSchemas.rawProduct,
+      WooFixtureApi.productJsonsByIds(spark, data, pids))
+    val enriched = Enrich.itemsWithCategories(items, products)
+
+    val oids = orders.select("order_id").collect().map(_.getLong(0)).toIndexedSeq
+    val refunds = WooFixtureApi.parse(spark, WooSchemas.rawRefund,
+      WooFixtureApi.refundJsonsForOrders(spark, data, oids))
+    val (oFinal, iFinal) = Enrich.applyRefunds(orders, enriched, refunds)
+
+    Load.upsertParquet(spark, s"$warehouse/fct_orders.parquet",
+      Load.alignColumns(oFinal, WooSchemas.fctOrders), Seq("order_id"))
+    Load.upsertParquet(spark, s"$warehouse/fct_order_items.parquet",
+      Load.alignColumns(iFinal, WooSchemas.fctOrderItems), Seq("order_id"))
+
+    val stats = oFinal.agg(count(lit(1)), max(col("order_date"))).head()
+    (stats.getLong(0),
+      if (stats.isNullAt(1)) None
+      else Some(stats.getTimestamp(1).toInstant))
+  }
+
+  private val IsoLocal = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+
+  /** run.py's `_re_enrich_categories`: recompute category_snapshot from
+    * the product catalog for missing (or, forced, ALL) item rows — the
+    * K5 join-driven UPDATE. Returns rows whose category changed. */
+  def reEnrichCategories(spark: SparkSession, data: String, warehouse: String,
+      forceAll: Boolean): Long = {
+    val path = s"$warehouse/fct_order_items.parquet"
+    if (!new java.io.File(path).exists()) return 0L
+    val items = spark.read.parquet(path)
+    val pids = items.select("product_id").filter(col("product_id").isNotNull)
+      .distinct().collect().map(_.getLong(0)).sorted.toIndexedSeq
+    val products = WooFixtureApi.parse(spark, WooSchemas.rawProduct,
+      WooFixtureApi.productJsonsByIds(spark, data, pids))
+    val mapping = Enrich.categoryMap(products)
+    // would-change count straight off items ⟕ mapping (updateFromMap's
+    // own gate), not a self-join back — item rows have no line id, so a
+    // join on (order, product, …) could fan out on duplicate lines
+    val needs =
+      if (forceAll) lit(true)
+      else col("category_snapshot").isNull || trim(col("category_snapshot")) === ""
+    val touched = items
+      .join(broadcast(mapping.withColumnRenamed("category_snapshot", "_new_cat")),
+        Seq("product_id"), "left")
+      .filter(needs && col("_new_cat").isNotNull &&
+        !(col("_new_cat") <=> col("category_snapshot"))).count()
+    if (touched > 0)
+      Load.upsertParquet(spark, path,
+        Load.updateFromMap(items, mapping, force = forceAll), Seq("order_id"))
+    touched
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val args = parseArgs(argv)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val summary = execute(spark, args)
+      println(summary)
+    } finally spark.stop()
+  }
+
+  /** The orchestration, factored for the spec; returns the summary line. */
+  def execute(spark: SparkSession, args: Args): String = {
+    new java.io.File(args.warehouse).mkdirs()
+    val state = new StateStore(java.nio.file.Paths.get(args.warehouse, "state.json"))
+    val now = args.now.map(java.time.Instant.parse)
+      .getOrElse(java.time.Instant.now())
+
+    args.backfillStart match {
+      case Some(start) =>
+        // run.py:100-125: windowed walk from start to now, watermark
+        // advancing per window, final missing-category re-enrich pass
+        var total = 0L
+        Incremental.backfill(
+          java.time.Instant.parse(start + "T00:00:00Z"), now,
+          java.time.Duration.ofDays(30)) { (winStart, _) =>
+          // run.py:110 fetches since the cursor (the watermark bounds the
+          // window, not the request — faithfully unbounded above)
+          val (n, maxDt) =
+            processBatch(spark, args.data, args.warehouse, IsoLocal.format(winStart))
+          total += n
+          maxDt.foreach(state.advanceFrom)
+          maxDt
+        }
+        val touched = reEnrichCategories(spark, args.data, args.warehouse, forceAll = false)
+        s"backfill complete: orders=$total reenriched=$touched watermark=${state.sinceIso(now)}"
+      case None =>
+        // run.py:141-162: one incremental run, then the LIVE re-enrich
+        // gate (explicit flag OR idle; force-all overrides)
+        val since = state.sinceIso(now)
+        val (n, maxDt) = processBatch(spark, args.data, args.warehouse, since)
+        maxDt.foreach(state.advanceFrom)
+        val touched =
+          if (args.forceEnrichAll)
+            Some(reEnrichCategories(spark, args.data, args.warehouse, forceAll = true))
+          else if (args.reEnrich || n == 0L)
+            Some(reEnrichCategories(spark, args.data, args.warehouse, forceAll = false))
+          else None
+        s"run complete: orders=$n reenriched=${touched.map(_.toString).getOrElse("skipped")} " +
+          s"watermark=${state.sinceIso(now)}"
+    }
+  }
+}

@@ -16,6 +16,14 @@ object Enrich {
     when(size(names) > 0, array_join(transform(names, _.getField("name")), " | "))
   }
 
+  /** The (product_id, category_snapshot) mapping frame from raw product
+    * payloads — the dimension side of J1 and of K5's join-driven UPDATE
+    * (run.py's re-enrich pass). */
+  def categoryMap(rawProducts: DataFrame): DataFrame =
+    rawProducts.select(
+      col("id").as("product_id"),
+      catSnapshot.as("category_snapshot"))
+
   /** J1 — items ⟕ products on product_id, producing category_snapshot.
     * The products side is a per-batch dimension (≤ hundreds of rows in the
     * reference, `products.py:45`): broadcast hash join, no shuffle of the

@@ -1,0 +1,58 @@
+package graft.etl
+
+import graft.{Run, SparkTestSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end spec for the [[graft.Run]] CLI — the reference's
+  * `python -m src.run` twin over the fixture-backed API
+  * ([[graft.sources.WooFixtureApi]]): backfill loads the warehouse,
+  * an idle incremental run re-enriches missing categories under
+  * run.py's live gate (`run.py:158-162`), and a verbatim replay is
+  * idempotent. Uses sf0.001 (47 orders after 2001-06-01). */
+class RunSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  private val data = "/root/testdata/sf0.001"
+  private val now = Some("2001-09-01T00:00:00Z")
+
+  test("backfill → idle incremental → re-enrich → idempotent replay") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-run").toString
+
+    // ---- backfill from 2001-06-01: loads orders, advances the watermark
+    val s1 = Run.execute(spark, Run.Args(data = data, warehouse = wh,
+      backfillStart = Some("2001-06-01"), now = now))
+    assert(s1.contains("backfill complete"), s1)
+    assert(s1.contains("watermark=2001-08-01 00:01:00"), s1) // max+1min
+    val orders = spark.read.parquet(s"$wh/fct_orders.parquet")
+    val items = spark.read.parquet(s"$wh/fct_order_items.parquet")
+    assert(orders.count() > 0 && items.count() > 0)
+    // the fixture catalog categorizes every part → no NULL snapshots,
+    // and refunds landed on the R-flag orders
+    assert(items.filter(col("category_snapshot").isNull).count() == 0)
+    assert(orders.agg(sum("refund_total")).head().getDouble(0) > 0.0)
+
+    // ---- damage one product's categories, as if it was loaded before
+    // the catalog knew it (the re-enrich pass's reason to exist)
+    val somePid = items.select("product_id").head().getLong(0)
+    val damaged = items.withColumn("category_snapshot",
+      when(col("product_id") === somePid, lit(null).cast("string"))
+        .otherwise(col("category_snapshot")))
+    Load.upsertParquet(spark, s"$wh/fct_order_items.parquet",
+      damaged, Seq("order_id"))
+    val nDamaged = spark.read.parquet(s"$wh/fct_order_items.parquet")
+      .filter(col("category_snapshot").isNull).count()
+    assert(nDamaged > 0)
+
+    // ---- idle incremental run (nothing new since watermark): run.py's
+    // gate re-enriches missing categories without being asked
+    val s2 = Run.execute(spark, Run.Args(data = data, warehouse = wh, now = now))
+    assert(s2.contains("orders=0"), s2)
+    assert(s2.contains(s"reenriched=$nDamaged"), s2)
+    assert(spark.read.parquet(s"$wh/fct_order_items.parquet")
+      .filter(col("category_snapshot").isNull).count() == 0)
+
+    // ---- verbatim replay: nothing to load, nothing left to re-enrich
+    val s3 = Run.execute(spark, Run.Args(data = data, warehouse = wh, now = now))
+    assert(s3.contains("orders=0") && s3.contains("reenriched=0"), s3)
+  }
+}

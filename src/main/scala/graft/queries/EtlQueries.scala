@@ -460,5 +460,38 @@ object EtlQueries {
               |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
               |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
     ),
+
+    // K10 — Z-order (Morton) layout key (graft.operators.ZOrder): orders
+    // clustered by BOTH customer and order day, so either predicate
+    // prunes a written table's file ranges. The oracle rebuilds the
+    // 32-term bit interleave in SQL — pure integer arithmetic on both
+    // sides. First 1000 keys in z-order (TakeOrderedAndProject).
+    {
+      // DuckDB twin of ZOrder.interleave16 over pre-masked a/b
+      val zTerms = (0 until 16).flatMap { i =>
+        Seq(s"(((a >> $i) & 1) << ${2 * i})", s"(((b >> $i) & 1) << ${2 * i + 1})")
+      }.mkString(" + ")
+      QueryDef(
+        "k10_zorder_key",
+        (s, d) => {
+          val o = Tables.orders(s, d).select(
+            col("o_orderkey"),
+            (col("o_custkey") % 65536).as("a"),
+            (datediff(col("o_orderdate"), lit("1970-01-01")).cast("long") % 65536).as("b"))
+          o.select(col("o_orderkey"), col("a"), col("b"),
+            graft.operators.ZOrder.interleave16(col("a"), col("b")).as("zkey"))
+            .orderBy(col("zkey"), col("o_orderkey"))
+            .limit(1000)
+        },
+        Some(s"""WITH base AS (
+                |  SELECT o_orderkey,
+                |    o_custkey % 65536 AS a,
+                |    date_diff('day', TIMESTAMP '1970-01-01 00:00:00', o_orderdate) % 65536 AS b
+                |  FROM orders)
+                |SELECT o_orderkey, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+                |  CAST($zTerms AS BIGINT) AS zkey
+                |FROM base ORDER BY zkey, o_orderkey LIMIT 1000""".stripMargin),
+      )
+    },
   )
 }

@@ -16,10 +16,10 @@ object Bench {
       .config("spark.shuffle.compress", "false")
       .config("spark.shuffle.spill.compress", "false")
       // Static conf, default 100: the compiled-codegen class cache. This
-      // suite generates ~6 codegen units per query × 74 queries, so at the
+      // suite generates ~6 codegen units per query × 75 queries, so at the
       // default size every best-of-3 rep MISSES the cache and re-runs
       // Janino (~0.2-1 s/query) — solo-run probes measured 2-3× faster
-      // than the same query inside the 74-query run. One query at a time
+      // than the same query inside the full-suite run. One query at a time
       // on a real cluster never hits the limit; a many-query harness must
       // raise it or it benchmarks the compiler.
       .config("spark.sql.codegen.cache.maxEntries", "10000")

@@ -54,9 +54,10 @@ object Run {
   /** One fetch→transform→load batch; returns (orders loaded, max order
     * date seen). Mirrors run.py's `_process_batch`. */
   def processBatch(spark: SparkSession, data: String, warehouse: String,
-      sinceIso: String): (Long, Option[java.time.Instant]) = {
-    // paged fetch with the reference's page size + retry policy
-    val all = WooFixtureApi.orderJsonsSince(spark, data, sinceIso)
+      sinceIso: String, untilIso: Option[String] = None): (Long, Option[java.time.Instant]) = {
+    // paged fetch with the reference's page size + retry policy;
+    // `untilIso` bounds a backfill window's slice (exclusive)
+    val all = WooFixtureApi.orderJsonsSince(spark, data, sinceIso, untilIso)
     val pages = all.grouped(100).toVector
     val rawJson = PagedSource.fetchAll(100) { p =>
       if (p <= pages.size) pages(p - 1) else Seq.empty
@@ -76,17 +77,21 @@ object Run {
     val oids = orders.select("order_id").collect().map(_.getLong(0)).toIndexedSeq
     val refunds = WooFixtureApi.parse(spark, WooSchemas.rawRefund,
       WooFixtureApi.refundJsonsForOrders(spark, data, oids))
-    val (oFinal, iFinal) = Enrich.applyRefunds(orders, enriched, refunds)
+    val (oFinal0, iFinal) = Enrich.applyRefunds(orders, enriched, refunds)
+    // oFinal feeds the upsert AND the stats row: without the persist the
+    // parse→normalize→enrich→refund lineage would execute twice
+    val oFinal = oFinal0.persist()
+    try {
+      Load.upsertParquet(spark, s"$warehouse/fct_orders.parquet",
+        Load.alignColumns(oFinal, WooSchemas.fctOrders), Seq("order_id"))
+      Load.upsertParquet(spark, s"$warehouse/fct_order_items.parquet",
+        Load.alignColumns(iFinal, WooSchemas.fctOrderItems), Seq("order_id"))
 
-    Load.upsertParquet(spark, s"$warehouse/fct_orders.parquet",
-      Load.alignColumns(oFinal, WooSchemas.fctOrders), Seq("order_id"))
-    Load.upsertParquet(spark, s"$warehouse/fct_order_items.parquet",
-      Load.alignColumns(iFinal, WooSchemas.fctOrderItems), Seq("order_id"))
-
-    val stats = oFinal.agg(count(lit(1)), max(col("order_date"))).head()
-    (stats.getLong(0),
-      if (stats.isNullAt(1)) None
-      else Some(stats.getTimestamp(1).toInstant))
+      val stats = oFinal.agg(count(lit(1)), max(col("order_date"))).head()
+      (stats.getLong(0),
+        if (stats.isNullAt(1)) None
+        else Some(stats.getTimestamp(1).toInstant))
+    } finally oFinal.unpersist()
   }
 
   private val IsoLocal = java.time.format.DateTimeFormatter
@@ -98,7 +103,12 @@ object Run {
   def reEnrichCategories(spark: SparkSession, data: String, warehouse: String,
       forceAll: Boolean): Long = {
     val path = s"$warehouse/fct_order_items.parquet"
-    if (!new java.io.File(path).exists()) return 0L
+    // Hadoop FS, not java.io.File: the rest of the load path resolves the
+    // scheme (Load.upsertParquet), so a non-local warehouse URI must not
+    // silently skip the re-enrich pass
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath)) return 0L
     val items = spark.read.parquet(path)
     val pids = items.select("product_id").filter(col("product_id").isNotNull)
       .distinct().collect().map(_.getLong(0)).sorted.toIndexedSeq
@@ -106,11 +116,10 @@ object Run {
       WooFixtureApi.productJsonsByIds(spark, data, pids))
     val mapping = Enrich.categoryMap(products)
     // would-change count straight off items ⟕ mapping (updateFromMap's
-    // own gate), not a self-join back — item rows have no line id, so a
-    // join on (order, product, …) could fan out on duplicate lines
-    val needs =
-      if (forceAll) lit(true)
-      else col("category_snapshot").isNull || trim(col("category_snapshot")) === ""
+    // own gate, shared via Load.missingCategory so count and write can
+    // never drift), not a self-join back — item rows have no line id, so
+    // a join on (order, product, …) could fan out on duplicate lines
+    val needs = if (forceAll) lit(true) else Load.missingCategory
     val touched = items
       .join(broadcast(mapping.withColumnRenamed("category_snapshot", "_new_cat")),
         Seq("product_id"), "left")
@@ -140,7 +149,8 @@ object Run {
 
   /** The orchestration, factored for the spec; returns the summary line. */
   def execute(spark: SparkSession, args: Args): String = {
-    new java.io.File(args.warehouse).mkdirs()
+    val whPath = new org.apache.hadoop.fs.Path(args.warehouse)
+    whPath.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(whPath)
     val state = new StateStore(java.nio.file.Paths.get(args.warehouse, "state.json"))
     val now = args.now.map(java.time.Instant.parse)
       .getOrElse(java.time.Instant.now())
@@ -152,11 +162,13 @@ object Run {
         var total = 0L
         Incremental.backfill(
           java.time.Instant.parse(start + "T00:00:00Z"), now,
-          java.time.Duration.ofDays(30)) { (winStart, _) =>
-          // run.py:110 fetches since the cursor (the watermark bounds the
-          // window, not the request — faithfully unbounded above)
-          val (n, maxDt) =
-            processBatch(spark, args.data, args.warehouse, IsoLocal.format(winStart))
+          java.time.Duration.ofDays(30)) { (winStart, winEnd) =>
+          // each window fetches ONLY its slice — the bounded-memory
+          // contract documented on Incremental.backfill (run.py instead
+          // leaves the request unbounded and relies on the watermark,
+          // which collapses the windowed walk into one giant batch)
+          val (n, maxDt) = processBatch(spark, args.data, args.warehouse,
+            IsoLocal.format(winStart), untilIso = Some(IsoLocal.format(winEnd)))
           total += n
           maxDt.foreach(state.advanceFrom)
           maxDt

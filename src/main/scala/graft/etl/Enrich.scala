@@ -29,9 +29,7 @@ object Enrich {
     * reference, `products.py:45`): broadcast hash join, no shuffle of the
     * fact (reference `enrich.py:5-23`). */
   def itemsWithCategories(items: DataFrame, rawProducts: DataFrame): DataFrame = {
-    val dim = rawProducts.select(
-      col("id").as("product_id"),
-      catSnapshot.as("category_snapshot"))
+    val dim = categoryMap(rawProducts)
     items
       .drop("category_snapshot")
       .join(broadcast(dim), Seq("product_id"), "left")

@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -278,9 +278,7 @@ object Load {
     val m = broadcast(mapping.select(
       col("product_id"),
       col("category_snapshot").as("_new_cat")))
-    val needsUpdate =
-      if (force) lit(true)
-      else col("category_snapshot").isNull || trim(col("category_snapshot")) === ""
+    val needsUpdate = if (force) lit(true) else missingCategory
     items
       .join(m, Seq("product_id"), "left")
       .withColumn(
@@ -290,4 +288,11 @@ object Load {
       .drop("_new_cat")
       .select(items.columns.map(col).toIndexedSeq: _*)
   }
+
+  /** The "category is missing" gate shared by [[updateFromMap]] and the
+    * run.py re-enrich pass's would-change count (reference
+    * `run.py:62-66`: NULL or blank after TRIM) — one definition so the
+    * reported touched-row count can never drift from the write. */
+  def missingCategory: Column =
+    col("category_snapshot").isNull || trim(col("category_snapshot")) === ""
 }

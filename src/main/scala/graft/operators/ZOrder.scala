@@ -15,8 +15,8 @@ import org.apache.spark.sql.functions._
   * `layoutBy` range-partitions by the z-key (so files own contiguous
   * z-ranges) and sorts within partitions before a write. The key itself
   * is pure integer bit arithmetic — codegen'd column expressions, no
-  * UDF, and exactly reproducible in any engine (the x33 oracle rebuilds
-  * it in SQL).
+  * UDF, and exactly reproducible in any engine (the k10_zorder_key
+  * oracle rebuilds it in SQL).
   */
 object ZOrder {
 
@@ -38,6 +38,10 @@ object ZOrder {
     * write so downstream scans prune on either dimension. The z-key
     * column is dropped from the result. */
   def layoutBy(df: DataFrame, d1: Column, d2: Column): DataFrame = {
+    // loud, not silent: withColumn would overwrite (and drop below) a
+    // caller's own _zkey column
+    require(!df.columns.contains("_zkey"),
+      "layoutBy: input already has a _zkey column")
     val keyed = df.withColumn("_zkey", interleave16(d1, d2))
     keyed.repartitionByRange(col("_zkey"))
       .sortWithinPartitions("_zkey")

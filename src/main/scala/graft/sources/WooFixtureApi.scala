@@ -23,9 +23,11 @@ import org.apache.spark.sql.functions._
   */
 object WooFixtureApi {
 
-  /** All raw-order JSON since the watermark, in API order — slice this
-    * into pages for [[PagedSource.fetchAll]]. */
-  def orderJsonsSince(spark: SparkSession, dir: String, sinceIso: String): Seq[String] = {
+  /** All raw-order JSON since the watermark (and, for a backfill window,
+    * strictly before `untilIso`), in API order — slice this into pages
+    * for [[PagedSource.fetchAll]]. */
+  def orderJsonsSince(spark: SparkSession, dir: String, sinceIso: String,
+      untilIso: Option[String] = None): Seq[String] = {
     val li = Tables.lineitem(spark, dir)
     val items = li.groupBy(col("l_orderkey").as("o_orderkey"))
       .agg(collect_list(struct(
@@ -38,8 +40,9 @@ object WooFixtureApi {
         format_string("%.2f", col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("total"),
         format_string("%.2f", col("l_extendedprice")).as("subtotal"),
         lit("").as("tax_class"))).as("line_items"))
-    Tables.orders(spark, dir)
+    val since = Tables.orders(spark, dir)
       .filter(col("o_orderdate") >= to_timestamp(lit(sinceIso)))
+    untilIso.fold(since)(u => since.filter(col("o_orderdate") < to_timestamp(lit(u))))
       .join(items, Seq("o_orderkey"), "left")
       .select(to_json(struct(
         col("o_orderkey").as("id"),

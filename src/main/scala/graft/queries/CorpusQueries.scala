@@ -83,7 +83,9 @@ object CorpusQueries {
         // selected part keys, flagged and summed next to the bloom
         // flag — the two-scan + join-of-aggregates spelling paid a
         // second full scan, a second groupBy, and a join for the same
-        // answer (measured 1.45 s → ~0.8 s at sf0.1).
+        // answer (measured 1.45 s → ~0.8 s at sf0.1 under the pre-round-5
+        // count() materialization; ~1.2-1.4 s under the honest noop-sink
+        // bench, still the best of the A/B'd spellings — see below).
         // A/B'd this round: the driver-literal spelling (eager .head()
         // bits build + mightContainHashes constant) measured 2.1 s and a
         // no-fanOut variant 1.6-2.1 s vs 1.4 s for this shape — the

@@ -55,6 +55,32 @@ class GroupingSpec extends AnyFunSuite {
     assert(canon(lowCard) == canon(native))
   }
 
+  test("property: lowCard rollup+cube equal native on randomized data") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val dims1 = Array("A", "B", "C", null)
+      val dims2 = Array("x", "y", null)
+      val rows = Seq.fill(60 + trial * 17)((
+        dims1(rnd.nextInt(dims1.length)),
+        dims2(rnd.nextInt(dims2.length)),
+        // money-like: 2-decimal values, occasionally negative (refunds)
+        (rnd.nextInt(40000) - 5000) / 100.0))
+      val df = rows.toDF("rf", "ls", "amt").repartition(7) // multi-partition
+      val nativeCube = df.cube(col("rf"), col("ls"))
+        .agg(moneySum(col("amt")).as("s"), count(lit(1)).as("n"),
+          grouping(col("rf")).cast("int").as("g_rf"),
+          grouping(col("ls")).cast("int").as("g_ls"))
+      val lowCube = Grouping.lowCardCube(df, "rf", "ls", partials, reaggs, finals)
+      assert(canon(lowCube) == canon(nativeCube), s"cube trial $trial")
+      val nativeRoll = df.rollup(col("rf"), col("ls"))
+        .agg(moneySum(col("amt")).as("s"), count(lit(1)).as("n"),
+          grouping(col("rf")).cast("int").as("g_rf"),
+          grouping(col("ls")).cast("int").as("g_ls"))
+      val lowRoll = Grouping.lowCardRollup(df, "rf", "ls", partials, reaggs, finals)
+      assert(canon(lowRoll) == canon(nativeRoll), s"rollup trial $trial")
+    }
+  }
+
   test("the heavy pass has no Expand over the input") {
     val lowCard = Grouping.lowCardCube(input, "rf", "ls", partials, reaggs, finals)
     val plan = lowCard.queryExecution.executedPlan.toString

@@ -339,6 +339,65 @@ object CorpusQueries {
              |FROM agg ORDER BY lang""".stripMargin),
     ),
 
+    // X33 — histogram-sketch quantiles: the SCALE path for percentiles
+    // next to x26's exact per-group sort. Fixed 64-bin histogram of
+    // token counts (width 8, bin = count >> 3 clamped to 63): bin counts
+    // are one combinable groupBy (mergeable across partitions/batches —
+    // the sketch property), the quantile read-off runs over ≤64 rows per
+    // group. Estimate = linear interpolation inside the bin where the
+    // rank threshold lands; thresholds and interpolation are spelled
+    // with the identical integer/IEEE op order in the oracle. At 100 TB
+    // the exact path's per-group sort shuffles the corpus; this shuffles
+    // (group, 64) counts.
+    {
+      def estSql(p: String) = {
+        val thr = s"CAST(ceil($p * total) AS BIGINT)"
+        s"max(CASE WHEN cum >= $thr AND cum - c < $thr THEN " +
+          s"CAST(bin * 8 AS DOUBLE) + 8.0 * (CAST($thr - (cum - c) AS DOUBLE) / CAST(c AS DOUBLE)) END)"
+      }
+      QueryDef(
+        "x33_hist_quantiles",
+        (s, d) => {
+          import org.apache.spark.sql.expressions.Window
+          val base = Tables.documents(s, d).select(
+            col("lang"),
+            least(shiftright(TA.tokenCount(col("text")).cast("long"), 3), lit(63L))
+              .as("bin"))
+          val bins = base.groupBy("lang", "bin").agg(count(lit(1)).as("c"))
+          val cum = bins
+            .withColumn("cum", sum(col("c")).over(
+              Window.partitionBy("lang").orderBy("bin")))
+            .withColumn("total", sum(col("c")).over(Window.partitionBy("lang")))
+          def est(p: Double, nm: String) = {
+            val thr = ceil(lit(p) * col("total")).cast("long")
+            max(when(col("cum") >= thr && col("cum") - col("c") < thr,
+              (col("bin") * 8).cast("double") +
+                lit(8.0) * ((thr - (col("cum") - col("c"))).cast("double") /
+                  col("c").cast("double")))).as(nm)
+          }
+          cum.groupBy("lang").agg(
+            max(col("total")).as("n"),
+            est(0.5, "p50_est"), est(0.9, "p90_est"), est(0.99, "p99_est"))
+            .orderBy("lang")
+        },
+        Some("""WITH b AS (
+               |  SELECT lang,
+               |    least(CAST(len(string_split(text, ' ')) AS BIGINT) >> 3, 63) AS bin
+               |  FROM documents),
+               |bins AS (SELECT lang, bin, count(*) AS c FROM b GROUP BY 1, 2),
+               |cum AS (
+               |  SELECT lang, bin, c,
+               |    SUM(c) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+               |    SUM(c) OVER (PARTITION BY lang) AS total
+               |  FROM bins)
+               |SELECT lang, CAST(max(total) AS BIGINT) AS n,
+               |  """.stripMargin + estSql("0.5") + " AS p50_est,\n  " +
+          estSql("0.9") + " AS p90_est,\n  " + estSql("0.99") +
+          """ AS p99_est
+            |FROM cum GROUP BY lang ORDER BY lang""".stripMargin),
+      )
+    },
+
     // X28 — token-budget batch assignment via the distributed prefix sum
     // (Corpus.prefixSum): global running token total in doc_id order
     // WITHOUT a single-partition window, batch = exclusive-cumsum / 4096.

@@ -1,6 +1,18 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** RAM-backed scratch dir when the host offers one, else Spark's
+    * default /tmp. SPARK_LOCAL_DIRS (Spark's own env) overrides both. */
+  private[graft] def localDir: String =
+    sys.env.getOrElse("SPARK_LOCAL_DIRS", {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite) {
+        val d = new java.io.File(shm, "spark-graft-local")
+        d.mkdirs()
+        d.getAbsolutePath
+      } else System.getProperty("java.io.tmpdir", "/tmp")
+    })
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -15,6 +27,13 @@ object Bench {
       // real cluster KEEP compression — network is the bottleneck there.
       .config("spark.shuffle.compress", "false")
       .config("spark.shuffle.spill.compress", "false")
+      // Shuffle/spill files on RAM-backed storage when the host has it:
+      // this box's /tmp is ext4, so every shuffle paid disk-write latency
+      // that the in-process comparison engine never pays (measured: a
+      // 1M-row shuffle+agg 0.56 s → 0.36 s). A real cluster provisions
+      // local NVMe for exactly this role (spark.local.dir is THE knob);
+      // tmpfs is the single-node stand-in, not a semantics change.
+      .config("spark.local.dir", Bench.localDir)
       // Static conf, default 100: the compiled-codegen class cache. This
       // suite generates ~6 codegen units per query × 75 queries, so at the
       // default size every best-of-3 rep MISSES the cache and re-runs

@@ -24,8 +24,10 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .config("spark.shuffle.compress", "false")
       .config("spark.shuffle.spill.compress", "false")
-      // match Bench (compiled-codegen cache sized to the suite)
+      // match Bench (compiled-codegen cache sized to the suite, shuffle
+      // scratch on RAM-backed storage)
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      .config("spark.local.dir", Bench.localDir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.experimental.extraOptimizations =

@@ -34,21 +34,50 @@ object Corpus {
     * corpus side streams once; its distinct-gram set is broadcast.
     * Returns (doc_id, n_grams, n_hits, contamination), one row per
     * non-benchmark document with ≥ n tokens. */
+  // Per-row array_distinct BEFORE the explode makes (id, gram) pairs
+  // distinct by construction: the corpus side needs no dedup exchange
+  // at all (the old spelling shuffled every gram md5 once just to
+  // dedup), md5 runs once per distinct gram instead of per occurrence,
+  // and the only wide op left on the corpus is the per-doc groupBy.
+  // Distinct-on-raw-shingles equals distinct-on-md5 up to md5
+  // collisions, which the gram-identity contract already discounts.
+  private def distinctGrams(
+      src: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    Dedup.tokenized(src, idCol, textCol)
+      .select(col("id"),
+        explode(array_distinct(Dedup.shinglesFromTokens(col("toks"), n))).as("g"))
+      .select(col("id"), md5(col("g")).as("m"))
+
+  /** The benchmark suite's distinct n-gram md5 set, collected to the
+    * driver — the precomputable half of [[benchmarkOverlap]]. Benchmark
+    * suites are FIXED artifacts (thousands of docs, extracted once,
+    * checked against every ingest batch), so extract this once per suite
+    * (cache via [[graft.io.ArtifactCache]]) and pass it to
+    * [[benchmarkOverlapIndexed]]. */
+  def benchmarkGramSet(
+      df: DataFrame, idCol: String, textCol: String,
+      isBench: Column, n: Int): Seq[String] =
+    distinctGrams(df.filter(isBench), idCol, textCol, n)
+      .select(col("m")).distinct()
+      .collect().map(_.getString(0)).toIndexedSeq
+
+  /** [[benchmarkOverlap]] against a PRE-EXTRACTED benchmark gram set:
+    * the set ships as a local-relation broadcast build (no benchmark
+    * re-scan per query), the corpus side is unchanged — one linear scan,
+    * map-side join, small per-doc groupBy. */
+  def benchmarkOverlapIndexed(
+      df: DataFrame, idCol: String, textCol: String,
+      isBench: Column, n: Int, benchGrams: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    joinOverlap(
+      distinctGrams(df.filter(!isBench), idCol, textCol, n),
+      benchGrams.toDF("m"))
+  }
+
   def benchmarkOverlap(
       df: DataFrame, idCol: String, textCol: String,
       isBench: Column, n: Int): DataFrame = {
-    // Per-row array_distinct BEFORE the explode makes (id, gram) pairs
-    // distinct by construction: the corpus side needs no dedup exchange
-    // at all (the old spelling shuffled every gram md5 once just to
-    // dedup), md5 runs once per distinct gram instead of per occurrence,
-    // and the only wide op left on the corpus is the per-doc groupBy.
-    // Distinct-on-raw-shingles equals distinct-on-md5 up to md5
-    // collisions, which the gram-identity contract already discounts.
-    def distinctGrams(src: DataFrame) =
-      Dedup.tokenized(src, idCol, textCol)
-        .select(col("id"),
-          explode(array_distinct(Dedup.shinglesFromTokens(col("toks"), n))).as("g"))
-        .select(col("id"), md5(col("g")).as("m"))
     // A/B'd round 5: packing the bench set into one broadcast ARRAY row
     // and intersecting per corpus row (array_intersect) halves the
     // fixture time, but Spark builds the membership hashset from the
@@ -58,18 +87,24 @@ object Corpus {
     // exchange is small: exploded gram rows are doc-contiguous, so the
     // partial aggregation collapses them to ~1 row per doc before the
     // shuffle. This is the shape that survives 100 TB.
-    val bench = distinctGrams(df.filter(isBench))
-      .select(col("m")).distinct()
-      .withColumn("_hit", lit(1L))
-    distinctGrams(df.filter(!isBench))
-      .join(broadcast(bench), Seq("m"), "left")
+    joinOverlap(
+      distinctGrams(df.filter(!isBench), idCol, textCol, n),
+      distinctGrams(df.filter(isBench), idCol, textCol, n)
+        .select(col("m")).distinct())
+  }
+
+  /** Shared tail of the two overlap spellings: left-join the corpus
+    * gram stream against the (broadcast) benchmark gram frame, roll up
+    * per document. */
+  private def joinOverlap(corpusGrams: DataFrame, benchFrame: DataFrame): DataFrame =
+    corpusGrams
+      .join(broadcast(benchFrame.withColumn("_hit", lit(1L))), Seq("m"), "left")
       .groupBy(col("id").as("doc_id"))
       .agg(
         count(lit(1)).as("n_grams"),
         sum(coalesce(col("_hit"), lit(0L))).as("n_hits"))
       .withColumn("contamination",
         col("n_hits").cast("double") / col("n_grams").cast("double"))
-  }
 
   /** Corpus-wide duplicate-span signal (the CCNet-style "how much of this
     * document also appears elsewhere" score): per document, the fraction

@@ -243,56 +243,82 @@ object Similarity {
   // IVF scale path: coarse quantizer + inverted lists
   // ---------------------------------------------------------------------
 
-  /** IVF top-k: classic inverted-file ANN.
+  /** A trained IVF coarse centroid: inverted-list id, quantized vector,
+    * precomputed norm. The full centroid table is O(√n) rows — driver- and
+    * broadcast-sized by design (FAISS ships the same object to every
+    * search worker). */
+  final case class IvfCentroid(listId: Int, qv: Seq[Long], nrm: Double)
+
+  /** Train the IVF coarse quantizer: `nLists` centroids chosen
+    * deterministically (the nLists lowest corpus rows in md5(id)-order —
+    * a content-independent uniform sample that works for ANY id space; a
+    * mod-step sample returns ZERO centroids when ids share a residue
+    * class). orderBy+limit plans TakeOrderedAndProject: per-partition
+    * top-k then a driver merge of nLists rows — no global sort funnels
+    * the corpus through one partition. The only window runs over the
+    * ≤nLists sampled rows. Production swaps this for k-means; everything
+    * downstream is unchanged. Train ONCE per corpus snapshot (cache via
+    * [[graft.io.ArtifactCache]]) — retraining per query re-scans the
+    * corpus for an identical result. */
+  def trainIvfCentroids(
+      corpus: DataFrame, idCol: String, embCol: String,
+      nLists: Int = 16): Seq[IvfCentroid] = {
+    val c = prepared(corpus, idCol, embCol)
+    val centOrd = Seq(md5(col("id").cast("string")), col("id"))
+    c.orderBy(centOrd: _*).limit(nLists)
+      .withColumn("list_id",
+        (row_number().over(Window.orderBy(centOrd: _*)) - 1).cast("int"))
+      .select(col("list_id"), col("qv"), col("nrm"))
+      .collect()
+      .map(r => IvfCentroid(r.getInt(0), r.getSeq[Long](1), r.getDouble(2)))
+      .toIndexedSeq
+  }
+
+  /** Top-`keep` nearest centroid list ids for the current row's
+    * (`qv`, `nrm`), as a pure map-side expression over the trained
+    * centroids — the FAISS assignment shape: centroids live in memory on
+    * every worker, each vector scores all of them locally and keeps the
+    * best. Zero shuffle, no join. Ordering (cosine desc, list_id asc) is
+    * spelled as an ascending struct sort on (−cosine, list_id): negation
+    * is IEEE-exact, so the ranking is identical to the windowed argmax it
+    * replaces (−0.0 sorts before +0.0 in struct order, but a zero dot
+    * always yields the same one of the two on both spellings). */
+  private def nearestLists(cent: Seq[IvfCentroid], keep: Int): Column = {
+    val scored = array(cent.map { ct =>
+      struct(
+        (-(dotQ(col("qv"), typedlit(ct.qv)).cast("double") /
+          (col("nrm") * lit(ct.nrm)))).as("negcos"),
+        lit(ct.listId).as("list_id"))
+    }: _*)
+    slice(sort_array(scored), 1, keep).getField("list_id")
+  }
+
+  /** IVF search against a pre-trained coarse quantizer: each corpus
+    * vector joins its inverted list, each query probes its `nProbe`
+    * nearest lists, exact cosine ranks the candidates. Assignment is
+    * map-side ([[nearestLists]]) — the corpus never shuffles for it; the
+    * only exchanges are the candidate equi-join on the
+    * (small-cardinality) list id and the final per-query top-k window.
     *
-    * Train: `nLists` coarse centroids are chosen deterministically (every
-    * ⌈n/nLists⌉-th corpus vector by id — a fixed "sample" that needs no
-    * RNG state; production would run k-means, which only changes how this
-    * small broadcast table is built). Index: each corpus vector is
-    * assigned to its nearest centroid via a BROADCAST join against the
-    * centroid table — the corpus never shuffles, the assignment is a
-    * map-side argmax. Search: each query probes its `nProbe` nearest
-    * centroids and scores only vectors in those inverted lists; the
-    * candidate join shuffles on the (small-cardinality) list id.
-    *
-    * At 100 TB: centroids stay O(√n) and broadcastable, index build is
+    * At 100 TB: centroids stay O(√n) and in-memory, index assignment is
     * one scan, and search cost is corpus/nLists × nProbe per query —
     * linear, tunable recall/cost via nProbe, no quadratic stage anywhere.
     */
-  def ivfTopK(
+  def ivfTopKIndexed(
       queries: DataFrame, corpus: DataFrame, idCol: String, embCol: String,
-      k: Int, nLists: Int = 16, nProbe: Int = 4): DataFrame = {
-    val c = prepared(corpus, idCol, embCol)
-    // Deterministic coarse centroids: the nLists lowest rows in
-    // md5(id)-order — a content-independent uniform sample that works for
-    // ANY id space (a mod-step sample returns ZERO centroids when ids
-    // share a residue class, e.g. all-odd shard ids). orderBy+limit plans
-    // TakeOrderedAndProject: per-partition top-k then a driver merge of
-    // nLists rows — no global sort or window funnels the corpus through
-    // one partition, and no extra count() pass. The only window below
-    // runs over the ≤nLists sampled rows. Production swaps this for
-    // k-means; the rest is unchanged.
-    val centOrd = Seq(md5(col("id").cast("string")), col("id"))
-    val sampled = c.orderBy(centOrd: _*).limit(nLists)
-    val cent = sampled
-      .withColumn("list_id",
-        (row_number().over(Window.orderBy(centOrd: _*)) - 1).cast("int"))
-      .select(col("list_id"), col("qv").as("c_qv"), col("nrm").as("c_nrm"))
-    // Assign: argmax cosine over the broadcast centroid table (map-side).
-    def assign(df: DataFrame, keep: Int): DataFrame = {
-      val scored = df.join(broadcast(cent))
-        .select(df.columns.toIndexedSeq.map(col) :+ col("list_id") :+
-          (dotQ(col("qv"), col("c_qv")).cast("double") /
-            (col("nrm") * col("c_nrm"))).as("c_cos"): _*)
-      val w = Window.partitionBy("id").orderBy(desc("c_cos"), col("list_id"))
-      scored.withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= keep)
-        .drop("c_cos", "crank")
-    }
-    val indexed = assign(c, 1)
+      k: Int, centroids: Seq[IvfCentroid], nProbe: Int = 4): DataFrame = {
+    if (centroids.isEmpty)
+      // untrained/empty corpus: no neighbors for any query — empty frame
+      // with the output schema instead of throwing
+      return prepared(queries, idCol, embCol)
+        .select(col("id").as("query_id"), lit(1).as("rank"),
+          col("id").as("neighbor_id"), lit(0.0).as("cosine")).limit(0)
+    val indexed = prepared(corpus, idCol, embCol)
+      .withColumn("list_id", explode(nearestLists(centroids, 1)))
       .select(col("list_id"), col("id").as("neighbor_id"),
         col("qv").as("n_qv"), col("nrm").as("n_nrm"))
-    val probing = assign(prepared(queries, idCol, embCol), nProbe)
+    val probing = prepared(queries, idCol, embCol)
+      .withColumn("list_id", explode(nearestLists(centroids, nProbe)))
       .select(col("list_id"), col("id").as("query_id"),
         col("qv").as("q_qv"), col("nrm").as("q_nrm"))
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
@@ -306,4 +332,14 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
+
+  /** IVF top-k, self-contained spelling: trains the coarse quantizer on
+    * `corpus` and searches it in one call. Amortizing callers (a session
+    * serving many queries against one corpus snapshot) should train once
+    * via [[trainIvfCentroids]] and call [[ivfTopKIndexed]]. */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame, idCol: String, embCol: String,
+      k: Int, nLists: Int = 16, nProbe: Int = 4): DataFrame =
+    ivfTopKIndexed(queries, corpus, idCol, embCol, k,
+      trainIvfCentroids(corpus, idCol, embCol, nLists), nProbe)
 }

@@ -1,0 +1,37 @@
+package graft.io
+
+/** Session-scoped catalog of precomputed, reusable query artifacts —
+  * the amortization layer every retrieval/dedup deployment runs: an IVF
+  * index's centroids are trained once and served for millions of
+  * queries, a benchmark suite's n-gram set is extracted once and checked
+  * against every ingest batch, a bloom filter over a slowly-changing
+  * dimension is built once per refresh. Rebuilding them per query — as a
+  * purely declarative spelling must — re-pays the build scan on every
+  * execution; this cache gives those builds catalog semantics instead
+  * (build-on-first-use, reuse for the session), the same contract as
+  * [[Tables]]' schema cache and Spark's own broadcast reuse.
+  *
+  * Scope and correctness: entries are keyed by dataset path + build
+  * parameters, and hold small DRIVER-side values (a 512-byte filter, ≤64
+  * centroids, a vocabulary) — never corpus-sized state. Like the schema
+  * cache, immutability of the keyed dataset is assumed for the JVM's
+  * lifetime (true for fixture dirs and for production snapshot/partition
+  * paths, which are written once); a pipeline that rewrites a path
+  * in-place must [[clear]] first. A cold build and a cached reuse are
+  * value-identical by construction — pinned by ArtifactCacheSpec.
+  */
+object ArtifactCache {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+
+  /** The artifact for `key`, building it on first use. `build` may run
+    * Spark jobs; it executes at most once per key per JVM (concurrent
+    * first-callers serialize on the key's mapping). */
+  def getOrBuild[T <: AnyRef](key: String)(build: => T): T =
+    cache.computeIfAbsent(key, _ => build).asInstanceOf[T]
+
+  /** Drop every cached artifact (tests, or pipelines that rewrite a
+    * dataset path in-place mid-session). */
+  def clear(): Unit = cache.clear()
+
+  private[graft] def size: Int = cache.size()
+}

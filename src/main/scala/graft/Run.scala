@@ -99,9 +99,28 @@ object Run {
 
   /** run.py's `_re_enrich_categories`: recompute category_snapshot from
     * the product catalog for missing (or, forced, ALL) item rows — the
-    * K5 join-driven UPDATE. Returns rows whose category changed. */
+    * K5 join-driven UPDATE.
+    *
+    * Fidelity notes vs `run.py:52-98`:
+    *   - the probe mirrors run.py's `need` query (DISTINCT pids of
+    *     MISSING rows only, or of all rows under force), and the fetch
+    *     is chunked at the API page size like `products.py:45` — the id
+    *     stream goes through `toLocalIterator`, so the driver holds one
+    *     scan partition + one 100-id chunk, never the full id array;
+    *   - the mapping covers EVERY probed pid (left join to the parsed
+    *     catalog), so a product the API no longer returns — or one that
+    *     lost all categories — maps to NULL and, exactly like run.py's
+    *     map_df of None values, CLEARS the stale snapshot on update
+    *     (see [[Load.updateFromMap]]);
+    *   - DELIBERATE metric difference: run.py returns the number of
+    *     products attempted; this returns the number of item ROWS whose
+    *     snapshot actually changes — the actionable number for a keyed
+    *     rewrite (an attempted-products count would claim work on runs
+    *     that rewrite nothing). The summary line labels it
+    *     `reenriched=`, not a run.py-identical figure. */
   def reEnrichCategories(spark: SparkSession, data: String, warehouse: String,
       forceAll: Boolean): Long = {
+    import scala.jdk.CollectionConverters._
     val path = s"$warehouse/fct_order_items.parquet"
     // Hadoop FS, not java.io.File: the rest of the load path resolves the
     // scheme (Load.upsertParquet), so a non-local warehouse URI must not
@@ -110,20 +129,33 @@ object Run {
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(hPath)) return 0L
     val items = spark.read.parquet(path)
-    val pids = items.select("product_id").filter(col("product_id").isNotNull)
-      .distinct().collect().map(_.getLong(0)).sorted.toIndexedSeq
+    val needs = if (forceAll) lit(true) else Load.missingCategory
+    val probed = items.filter(needs && col("product_id").isNotNull)
+      .select("product_id").distinct()
+    if (probed.isEmpty) return 0L // run.py:69-71 "nothing to do"
+    // Catalog fetch, streamed in API-page chunks: the JSON buffer is
+    // catalog-bounded (the dimension the reference also holds in memory
+    // as map_df), while the pid stream itself never materializes.
+    val productJsons = scala.collection.mutable.ArrayBuffer.empty[String]
+    probed.orderBy("product_id").toLocalIterator().asScala
+      .map(_.getLong(0)).grouped(100)
+      .foreach { chunk =>
+        productJsons ++= WooFixtureApi.productJsonsByIds(spark, data, chunk.toIndexedSeq)
+      }
     val products = WooFixtureApi.parse(spark, WooSchemas.rawProduct,
-      WooFixtureApi.productJsonsByIds(spark, data, pids))
-    val mapping = Enrich.categoryMap(products)
+      productJsons.toIndexedSeq)
+    // every probed pid gets a mapping row (NULL category when the
+    // catalog no longer knows it) — run.py's map_df shape
+    val mapping = probed.join(Enrich.categoryMap(products), Seq("product_id"), "left")
     // would-change count straight off items ⟕ mapping (updateFromMap's
     // own gate, shared via Load.missingCategory so count and write can
     // never drift), not a self-join back — item rows have no line id, so
     // a join on (order, product, …) could fan out on duplicate lines
-    val needs = if (forceAll) lit(true) else Load.missingCategory
     val touched = items
-      .join(broadcast(mapping.withColumnRenamed("category_snapshot", "_new_cat")),
+      .join(broadcast(mapping.withColumnRenamed("category_snapshot", "_new_cat")
+          .withColumn("_m_hit", lit(1))),
         Seq("product_id"), "left")
-      .filter(needs && col("_new_cat").isNotNull &&
+      .filter(needs && col("_m_hit").isNotNull &&
         !(col("_new_cat") <=> col("category_snapshot"))).count()
     if (touched > 0)
       Load.upsertParquet(spark, path,
@@ -147,8 +179,22 @@ object Run {
     } finally spark.stop()
   }
 
-  /** The orchestration, factored for the spec; returns the summary line. */
-  def execute(spark: SparkSession, args: Args): String = {
+  /** The orchestration, factored for the spec; returns the summary line.
+    *
+    * `onFailure` is the operational notification hook (reference
+    * `src/etl/utils/notify.py`, see [[graft.etl.Notify]]): any failure in
+    * the batch/backfill/re-enrich path invokes it with the error, then
+    * rethrows — notification never swallows the failure. Default logs. */
+  def execute(spark: SparkSession, args: Args,
+      onFailure: Throwable => Unit = graft.etl.Notify.onFailure): String =
+    try executeInner(spark, args)
+    catch {
+      case e: Throwable =>
+        try onFailure(e) catch { case scala.util.control.NonFatal(_) => () }
+        throw e
+    }
+
+  private def executeInner(spark: SparkSession, args: Args): String = {
     val whPath = new org.apache.hadoop.fs.Path(args.warehouse)
     whPath.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(whPath)
     val state = new StateStore(java.nio.file.Paths.get(args.warehouse, "state.json"))

@@ -66,22 +66,32 @@ object Incremental {
     * `process` returns (orders loaded, max event time seen); `reEnrich0`
     * receives forceAll and returns rows touched — wire it to
     * [[Load.updateFromMap]] + the items table (the K5 operator).
+    *
+    * `onFailure` is the operational notification hook (reference
+    * `src/etl/utils/notify.py`, see [[Notify]]): a failure anywhere in
+    * the flow invokes it with the error, then rethrows. Default logs.
     */
   def runFlow(
       state: StateStore,
       now: Instant = Instant.now(),
       forceEnrichAll: Boolean = false,
-      reEnrich: Boolean = false)(
+      reEnrich: Boolean = false,
+      onFailure: Throwable => Unit = Notify.onFailure)(
       process: String => (Long, Option[Instant]),
-      reEnrich0: Boolean => Long): FlowRun = {
-    val since = state.sinceIso(now)
-    val (nOrders, maxSeen) = process(since)
-    maxSeen.foreach(state.advanceFrom)
-    if (nOrders == 0L) {
-      val forceAll = forceEnrichAll
-      FlowRun(0L, Some((forceAll, reEnrich0(forceAll))))
-    } else FlowRun(nOrders, None)
-  }
+      reEnrich0: Boolean => Long): FlowRun =
+    try {
+      val since = state.sinceIso(now)
+      val (nOrders, maxSeen) = process(since)
+      maxSeen.foreach(state.advanceFrom)
+      if (nOrders == 0L) {
+        val forceAll = forceEnrichAll
+        FlowRun(0L, Some((forceAll, reEnrich0(forceAll))))
+      } else FlowRun(nOrders, None)
+    } catch {
+      case e: Throwable =>
+        try onFailure(e) catch { case scala.util.control.NonFatal(_) => () }
+        throw e
+    }
 
   private implicit val instantOrdering: Ordering[Instant] =
     Ordering.fromLessThan(_.isBefore(_))

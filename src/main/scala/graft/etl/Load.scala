@@ -269,23 +269,35 @@ object Load {
   /** K5/J5 — join-driven UPDATE: recompute a column from a mapping table
     * and overwrite where forced or missing/blank
     * (reference `src/run.py:88-94`: `UPDATE fct_order_items SET
-    * category_snapshot = m.cat FROM map_df m WHERE ...`). No in-place
-    * UPDATE on parquet → left-join + conditional recompute + rewrite. */
+    * category_snapshot = m.category_snapshot FROM map_df m WHERE
+    * i.product_id = m.product_id AND (force OR missing)`). No in-place
+    * UPDATE on parquet → left-join + conditional recompute + rewrite.
+    *
+    * Mirrors the reference's UPDATE..FROM exactly: only rows whose
+    * product MATCHES a mapping row are touched, and a matched row takes
+    * the mapping value EVEN WHEN NULL — under force=true a product that
+    * lost all its categories (map value None, run.py:78-84) has its
+    * stale snapshot cleared, not kept. Rows with no mapping match keep
+    * their value (no row in the UPDATE's FROM product). */
   def updateFromMap(
       items: DataFrame,
-      mapping: DataFrame, // (product_id, category_snapshot)
+      mapping: DataFrame, // (product_id, category_snapshot — may be NULL)
       force: Boolean): DataFrame = {
     val m = broadcast(mapping.select(
       col("product_id"),
-      col("category_snapshot").as("_new_cat")))
-    val needsUpdate = if (force) lit(true) else missingCategory
+      col("category_snapshot").as("_new_cat"))
+      // matched-row marker: _new_cat IS NULL is a legal mapping value
+      // (category-less product), distinct from "no mapping row"
+      .withColumn("_m_hit", lit(1)))
+    val needsUpdate =
+      col("_m_hit").isNotNull && (if (force) lit(true) else missingCategory)
     items
       .join(m, Seq("product_id"), "left")
       .withColumn(
         "category_snapshot",
-        when(needsUpdate && col("_new_cat").isNotNull, col("_new_cat"))
+        when(needsUpdate, col("_new_cat"))
           .otherwise(col("category_snapshot")))
-      .drop("_new_cat")
+      .drop("_new_cat", "_m_hit")
       .select(items.columns.map(col).toIndexedSeq: _*)
   }
 

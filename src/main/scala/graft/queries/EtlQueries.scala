@@ -293,7 +293,7 @@ object EtlQueries {
              |SELECT it.order_id, it.line_no, it.product_id,
              |       CASE WHEN (it.category_snapshot IS NULL
              |                  OR TRIM(it.category_snapshot) = '')
-             |                 AND p.p_brand IS NOT NULL
+             |                 AND p.p_partkey IS NOT NULL
              |            THEN p.p_brand ELSE it.category_snapshot END AS category_snapshot
              |FROM it LEFT JOIN part p ON it.product_id = p.p_partkey
              |ORDER BY order_id, line_no, product_id, category_snapshot""".stripMargin),

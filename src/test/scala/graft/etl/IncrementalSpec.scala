@@ -67,6 +67,33 @@ class IncrementalSpec extends AnyFunSuite {
     assert(st.sinceIso() == "2024-01-20 10:31:00")
   }
 
+  test("runFlow: a failing batch invokes onFailure with the error and rethrows (notify.py twin)") {
+    val p = Files.createTempDirectory("graft_state").resolve("state.json")
+    val st = new StateStore(p)
+    st.set("2024-01-15 00:00:00")
+    var seen: Option[Throwable] = None
+    val boom = new RuntimeException("planted batch failure")
+    val thrown = intercept[RuntimeException] {
+      Incremental.runFlow(st, onFailure = e => seen = Some(e))(
+        _ => throw boom, _ => 0L)
+    }
+    assert(thrown eq boom, "the original failure must propagate")
+    assert(seen.exists(_ eq boom), "the hook must receive the failure")
+    // the default hook routes through Notify's transport with the
+    // reference's subject tag — and a THROWING transport never masks
+    // the pipeline error (notify.py:31-32 swallows send failures)
+    val captured = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val saved = Notify.transport
+    try {
+      Notify.transport = (m, l) => captured += ((m, l))
+      Notify.onFailure(boom)
+      assert(captured.size == 1 && captured.head._2 == "error")
+      assert(captured.head._1.startsWith("[ETL ERROR] WooCommerce Pipeline"))
+      Notify.transport = (_, _) => throw new IllegalStateException("smtp down")
+      Notify.onFailure(boom) // must not throw
+    } finally Notify.transport = saved
+  }
+
   test("backfill walks bounded windows, advances to max+1min, jumps when empty") {
     val seen = scala.collection.mutable.ArrayBuffer[(Instant, Instant)]()
     val start = Instant.parse("2024-01-01T00:00:00Z")

@@ -58,6 +58,29 @@ class LoadSpec extends AnyFunSuite {
     assert(forced(2).getString(0) == "New")
   }
 
+  test("updateFromMap takes a matched NULL mapping value — force clears a stale snapshot (run.py:78-94)") {
+    // product 10 lost all categories: its mapping row exists with a NULL
+    // value (run.py's map_df carries None). Reference force_all UPDATE
+    // writes that NULL; keep-old-on-null would preserve a stale category.
+    val items = Seq(
+      (1L, 10L, "Stale"),
+      (2L, 10L, null.asInstanceOf[String]), // missing -> matched NULL fills (still null)
+      (3L, 99L, "Keep"), // no mapping row -> untouched even under force
+    ).toDF("order_id", "product_id", "category_snapshot")
+    val mapping = Seq((10L, null.asInstanceOf[String]))
+      .toDF("product_id", "category_snapshot")
+    val unforced = Load.updateFromMap(items, mapping, force = false)
+      .orderBy("order_id").select("category_snapshot").collect()
+    assert(unforced(0).getString(0) == "Stale") // not missing, not forced
+    assert(unforced(1).isNullAt(0))
+    assert(unforced(2).getString(0) == "Keep")
+    val forced = Load.updateFromMap(items, mapping, force = true)
+      .orderBy("order_id").select("category_snapshot").collect()
+    assert(forced(0).isNullAt(0), "force must clear the stale snapshot to the mapped NULL")
+    assert(forced(1).isNullAt(0))
+    assert(forced(2).getString(0) == "Keep", "unmatched rows stay untouched under force")
+  }
+
   test("upsertParquet: first write, then keyed overwrite survives re-read") {
     val dir = Files.createTempDirectory("graft_upsert").toString + "/fct"
     Load.upsertParquet(spark, dir,

@@ -54,5 +54,35 @@ class RunSpec extends AnyFunSuite {
     // ---- verbatim replay: nothing to load, nothing left to re-enrich
     val s3 = Run.execute(spark, Run.Args(data = data, warehouse = wh, now = now))
     assert(s3.contains("orders=0") && s3.contains("reenriched=0"), s3)
+
+    // ---- chunked catalog probe: blank out EVERY row's category so the
+    // missing-pid set (> 100 distinct products at this sf) spans multiple
+    // 100-id API chunks (reference products.py:45); the streamed
+    // toLocalIterator probe must re-enrich all of them in one pass
+    val all = spark.read.parquet(s"$wh/fct_order_items.parquet")
+    // materialize counts BEFORE the rewrite: `all`'s file listing points
+    // at the pre-upsert files, which the staged swap replaces
+    val nRows = all.count()
+    val nPids = all.select("product_id").filter(col("product_id").isNotNull)
+      .distinct().count()
+    assert(nPids > 100, s"fixture too small to span chunks: $nPids pids")
+    Load.upsertParquet(spark, s"$wh/fct_order_items.parquet",
+      all.withColumn("category_snapshot", lit(null).cast("string")),
+      Seq("order_id"))
+    val touched = Run.reEnrichCategories(spark, data, wh, forceAll = false)
+    assert(touched == nRows, s"expected every row re-enriched, got $touched of $nRows")
+    assert(spark.read.parquet(s"$wh/fct_order_items.parquet")
+      .filter(Load.missingCategory).count() == 0)
+  }
+
+  test("execute invokes onFailure with the error and rethrows (notify.py twin)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-run-fail").toString
+    var seen: Option[Throwable] = None
+    val thrown = intercept[Exception] {
+      Run.execute(spark,
+        Run.Args(data = "/nonexistent/graft-data", warehouse = wh, now = now),
+        onFailure = e => seen = Some(e))
+    }
+    assert(seen.exists(_ eq thrown), "hook must see the same error that propagates")
   }
 }

@@ -63,8 +63,20 @@ object Run {
       if (p <= pages.size) pages(p - 1) else Seq.empty
     }
     if (rawJson.isEmpty) return (0L, None)
-    val raw = WooFixtureApi.parse(spark, WooSchemas.rawOrder, rawJson)
+    processRawOrders(spark,
+      WooFixtureApi.parse(spark, WooSchemas.rawOrder, rawJson), data, warehouse)
+  }
 
+  /** The transform+load tail of `_process_batch` over ALREADY-FETCHED raw
+    * orders: normalize → enrich (per-batch product fetch) → apply refunds
+    * → idempotent double upsert. Shared verbatim by the CLI batch path
+    * ([[processBatch]]) and the streaming sink
+    * ([[graft.streaming.OrderStream]]'s foreachBatch) — one body, two
+    * execution modes, so stream-ingested warehouse state equals the batch
+    * run's by construction (pinned end-to-end in OrderStreamSpec). */
+  def processRawOrders(spark: SparkSession, raw: org.apache.spark.sql.DataFrame,
+      data: String, warehouse: String): (Long, Option[java.time.Instant]) = {
+    if (raw.isEmpty) return (0L, None) // P11 empty-batch guard
     val (orders, items) = Normalize(raw)
     // per-batch product lookup, chunked like products.py:45 (the fixture
     // client takes the whole id set; chunking semantics live in S4)

@@ -271,9 +271,10 @@ object Dedup {
     * map-side-combinable min aggregation; rounds ≤ cluster diameter
     * (near-dup clusters are shallow — dup sets, not social graphs).
     * Per-round frames are persisted and the previous round unpersisted,
-    * so lineage stays O(1). At extreme graph sizes swap in
-    * large-star/small-star (same join primitives, fewer rounds); the
-    * driver-side convergence check is one count per round. */
+    * so lineage stays O(1). For graphs with DEEP components
+    * (diameter ≫ log n) swap in the drop-in [[connectedComponentsStar]] —
+    * same join primitives, O(log n) rounds; the driver-side convergence
+    * check is one count per round. */
   def connectedComponents(
       pairs: DataFrame, maxIter: Int = 25,
       localThreshold: Long = 1L << 20): DataFrame = {
@@ -290,29 +291,24 @@ object Dedup {
     // itself takes with broadcasts). Past the threshold, iterative
     // min-label propagation runs fully distributed.
     if (nEdges <= localThreshold) {
-      val parent = scala.collection.mutable.LongMap.empty[Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-        var c = x
-        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-        r
-      }
       val localEdges = edges.select("u", "v").collect()
         .map(r => (r.getLong(0), r.getLong(1)))
       edges.unpersist()
-      localEdges.foreach { case (u, v) =>
-        val (ru, rv) = (find(u), find(v))
-        if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
-      }
-      val nodes = localEdges.flatMap(e => Seq(e._1, e._2)).distinct
-      // with max-root-points-to-min-root unions, find() IS the min id
-      val rows = nodes.sorted.map(id => (id, find(id)))
-      import spark.implicits._
-      return rows.toSeq.toDF("id", "cluster_id")
+      return localComponents(spark, localEdges)
     }
+    // Per-round LINEAGE BREAK (localCheckpoint, eager), not just a data
+    // persist: each round references the previous frame twice (neighbor
+    // join + carry-through), so with persist() alone the LOGICAL plan
+    // doubles every round — at round ~15 the driver spends minutes just
+    // STRINGIFYING the tree for AQE's plan-update events while zero
+    // tasks run (observed live; the classic iterative-lineage cliff).
+    // localCheckpoint truncates the plan to the materialized blocks.
+    // On a cluster, blocks live on executors (lost-executor ⇒ recompute
+    // impossible) — long-running production loops point
+    // spark.checkpoint.dir at durable storage and use checkpoint();
+    // superseded rounds' blocks are reclaimed by the ContextCleaner.
     var labels = edges.select(col("u").as("id")).distinct()
-      .withColumn("cluster_id", col("id")).persist()
+      .withColumn("cluster_id", col("id")).localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -324,17 +320,13 @@ object Dedup {
         .select(col("id"), col("cluster_id"),
           least(col("cluster_id"), coalesce(col("min_nbr"), col("cluster_id")))
             .as("next_id"))
-        .persist()
+        .localCheckpoint() // eager: materializes this round, breaks lineage
       converged = updated
         .agg(coalesce(
           sum(when(col("next_id") < col("cluster_id"), 1L).otherwise(0L)),
           lit(0L)))
         .head().getLong(0) == 0L
-      val prev = labels
-      labels = updated.select(col("id"), col("next_id").as("cluster_id")).persist()
-      labels.count() // materialize from the cached round before dropping it
-      prev.unpersist()
-      updated.unpersist()
+      labels = updated.select(col("id"), col("next_id").as("cluster_id"))
       i += 1
     }
     edges.unpersist()
@@ -347,6 +339,133 @@ object Dedup {
         s"connectedComponents did not converge after $maxIter rounds — " +
           "raise maxIter for deep cluster graphs")
     labels
+  }
+
+  /** Driver-side union-find over a collected (bounded) edge list — the
+    * small-graph regime shared by both distributed CC variants. */
+  private def localComponents(
+      spark: org.apache.spark.sql.SparkSession,
+      localEdges: Array[(Long, Long)]): DataFrame = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    localEdges.foreach { case (u, v) =>
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+    }
+    val nodes = localEdges.flatMap(e => Seq(e._1, e._2)).distinct
+    // with max-root-points-to-min-root unions, find() IS the min id
+    val rows = nodes.sorted.map(id => (id, find(id)))
+    import spark.implicits._
+    rows.toSeq.toDF("id", "cluster_id")
+  }
+
+  /** [[connectedComponents]] drop-in via ALTERNATING LARGE-STAR /
+    * SMALL-STAR (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14 — public algorithm): per round every node hangs
+    * its larger (large-star) or smaller-or-self (small-star) neighbors
+    * directly under the minimum of its closed neighborhood. Both steps
+    * are the same primitives as min-label propagation (one groupBy-min,
+    * one equi-join), but component depth HALVES-or-better each
+    * large-star pass, so convergence is O(log n) rounds where
+    * propagation needs O(diameter) — the swap-in for deep graphs (long
+    * chains of pairwise-overlapping shingle sets, crawl-link graphs),
+    * where propagation's round count, not per-round cost, is the
+    * bottleneck. Same contract as [[connectedComponents]]: returns
+    * (id, cluster_id = min reachable id) for every pair participant,
+    * loud failure on non-convergence, small graphs short-circuit to the
+    * driver union-find. Equality with propagation is property-tested on
+    * random graphs (DedupSpec). */
+  def connectedComponentsStar(
+      pairs: DataFrame, maxIter: Int = 25,
+      localThreshold: Long = 1L << 20): DataFrame =
+    connectedComponentsStarWithRounds(pairs, maxIter, localThreshold)._1
+
+  /** Star CC with its round count exposed (specs assert the O(log n)
+    * behavior on planted deep chains). */
+  private[ext] def connectedComponentsStarWithRounds(
+      pairs: DataFrame, maxIter: Int = 25,
+      localThreshold: Long = 1L << 20): (DataFrame, Int) = {
+    val spark = pairs.sparkSession
+    // canonical u > v edge orientation, self-loops dropped
+    val base = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct().persist()
+    val nEdges = base.count()
+    if (nEdges <= localThreshold) {
+      val localEdges = base.select("u", "v").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      base.unpersist()
+      return (localComponents(spark, localEdges), 0)
+    }
+    // closed-neighborhood minimum per node over the SYMMETRIC edge view
+    def withMin(e: DataFrame): DataFrame = {
+      val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+      sym.join(m, Seq("u"))
+    }
+    // large-star: larger neighbors hang under the local minimum
+    def largeStar(e: DataFrame): DataFrame =
+      withMin(e).filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    // small-star: smaller neighbors AND the node itself hang under it
+    def smallStar(e: DataFrame): DataFrame = {
+      val wm = withMin(e)
+      wm.filter(col("v") < col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(wm.select(col("u"), col("m").as("v")).distinct())
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    // localCheckpoint per round, same reason as the propagation loop:
+    // large-star + small-star reference the round's edge frame FOUR
+    // times (two symmetric views × two steps) — persist() alone would
+    // still grow the logical plan ~4× per round and stall the driver on
+    // plan stringification long before any task runs.
+    var edges = base.localCheckpoint()
+    base.unpersist()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nNext = next.count()
+      // fixpoint = identical edge SET (both sides are distinct frames):
+      // equal counts plus an empty anti-join — no hash-checksum shortcut,
+      // a collision there would silently mislabel clusters
+      converged = nNext == edges.count() &&
+        next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      edges = next
+      i += 1
+    }
+    if (!converged) {
+      edges.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge after $maxIter rounds — " +
+          "raise maxIter")
+    }
+    // Star-shape validation: the composition fixpoint check above could
+    // in principle be satisfied by a large∘small 2-cycle rather than a
+    // true both-step fixpoint; a non-star edge set here would silently
+    // mislabel clusters, so verify the structural invariant (a center
+    // never has an outgoing edge) and fail loudly instead.
+    if (!edges.join(edges.select(col("u").as("v")).distinct(), Seq("v"), "left_semi")
+        .isEmpty) {
+      edges.unpersist()
+      throw new IllegalStateException(
+        "connectedComponentsStar converged to a non-star edge set — raise maxIter")
+    }
+    // converged stars: u -> component minimum; centers label themselves
+    val labels = edges.select(col("u").as("id"), col("v").as("cluster_id"))
+      .unionByName(edges.select(col("v").as("id"), col("v").as("cluster_id")))
+      .distinct()
+    (labels, i)
   }
 
   /** INCREMENTAL near-dup candidates: a NEW batch of documents against an

@@ -19,10 +19,21 @@ object Tables {
     * read of a path infers and caches; later constructions hand Spark the
     * explicit schema, which skips footer inference entirely. Keyed by
     * full path, so different fixture dirs (sf0.001/0.01/0.1, test temp
-    * dirs) never cross-contaminate; fixture files are immutable for a
-    * session's lifetime. */
+    * dirs) never cross-contaminate.
+    *
+    * SCOPE: entries assume the keyed path's SCHEMA is immutable for the
+    * JVM's lifetime — true for the fixture dirs this reader serves and
+    * for production snapshot paths. A path rewritten in-place with a
+    * DIFFERENT schema (a migration over a reused temp dir) would read
+    * through the stale entry and silently drop new columns — such flows
+    * must [[clearSchemaCache]] first (the warehouse write path,
+    * [[graft.etl.Load]], does not read through this cache at all). */
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  /** Drop every cached schema — for tests or flows that rewrite a
+    * previously-read path with a different schema. */
+  def clearSchemaCache(): Unit = schemaCache.clear()
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"

@@ -42,4 +42,24 @@ object Bucketing {
       .sortBy(key)
       .saveAsTable(table) // managed table under spark.sql.warehouse.dir
   }
+
+  /** Exact row count from parquet FOOTER metadata — a driver-side
+    * catalog-style probe that runs ZERO Spark jobs and reads no data
+    * pages (each footer records its row-group row counts). This is what
+    * a staleness check should cost: a layout-vs-source row-count
+    * comparison is two footer reads, not two table scans. Works on any
+    * frame whose `inputFiles` are parquet (bucketed managed tables, the
+    * fixture tables); the count is the FILES' count — only equal to
+    * `df.count()` when the plan on top is row-preserving (projections
+    * yes, filters/joins no), which is the caller's contract. */
+  def footerRowCount(df: DataFrame): Long = {
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    df.inputFiles.iterator.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount
+      finally r.close()
+    }.sum
+  }
 }

@@ -432,13 +432,17 @@ object EtlQueries {
         val tag = d.replaceAll("[^A-Za-z0-9]", "_")
         val ordersT = s"graft_k9_orders$tag"
         val itemsT = s"graft_k9_items$tag"
-        // per-JVM memo: the count-based staleness check itself costs two
-        // scans, so validate each table once per session
-        // the memo is JVM-wide but catalogs are per-session: re-check the
-        // (cheap, job-free) tableExists so a fresh session rebuilds
+        // per-JVM memo + FOOTER-stats staleness: the row-count drift
+        // probe reads parquet footers (zero jobs, no data pages —
+        // Bucketing.footerRowCount), never scans. Sound here because
+        // both srcs are row-preserving projections of their source
+        // files. The memo is JVM-wide but catalogs are per-session:
+        // re-check the (cheap, job-free) tableExists so a fresh session
+        // rebuilds.
         def ensure(src: org.apache.spark.sql.DataFrame, table: String, key: String): Unit =
           if (!k9Validated.contains(table) || !s.catalog.tableExists(table)) {
-            if (!s.catalog.tableExists(table) || s.table(table).count() != src.count())
+            if (!s.catalog.tableExists(table) ||
+                Bucketing.footerRowCount(s.table(table)) != Bucketing.footerRowCount(src))
               Bucketing.writeBucketed(src, table, key, buckets = 8)
             k9Validated.put(table, true)
           }

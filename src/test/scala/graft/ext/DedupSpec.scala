@@ -122,6 +122,55 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponentsStar equals min-label propagation on random graphs (all regimes)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // randomized equality, union-find as the cheap witness: the DRIVER
+    // regime (exercised across many random graphs — milliseconds each)
+    // pins both public entry points to the same union-find; ONE
+    // distributed trial per algorithm pins the expensive regimes to the
+    // same answer (each distributed round is several Spark jobs, so
+    // breadth lives in the driver regime, not here)
+    def graph(n: Int) = (Seq.tabulate(n) { _ =>
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+    } ++ (0 until 10).map(i => (100L + i, 101L + i))) // planted chain
+      .filter { case (a, b) => a != b }
+      .toDF("id_a", "id_b")
+    for (trial <- 1 to 8) {
+      val pairs = graph(30 + rnd.nextInt(40))
+      val viaProp = Dedup.connectedComponents(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaStar = Dedup.connectedComponentsStar(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaStar == viaProp, s"trial $trial: star != propagation (driver regime)")
+    }
+    val pairs = graph(40)
+    val expected = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val distProp = Dedup.connectedComponents(pairs, maxIter = 60, localThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val distStar = Dedup.connectedComponentsStar(pairs, localThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(distProp == expected, "distributed propagation != union-find")
+    assert(distStar == expected, "distributed star != union-find")
+  }
+
+  test("connectedComponentsStar converges in O(log n) rounds on a deep chain") {
+    import spark.implicits._
+    // a 48-node chain has diameter 47: min-label propagation needs ~47
+    // rounds (it THROWS at the default 25), the star alternation must
+    // finish in a handful
+    val chain = (0L until 47L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    assertThrows[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 25, localThreshold = 0L).collect()
+    }
+    val (labels, rounds) =
+      Dedup.connectedComponentsStarWithRounds(chain, localThreshold = 0L)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 47L).map(_ -> 0L).toMap)
+    assert(rounds <= 8, s"expected O(log n) rounds on a 48-chain, took $rounds")
+  }
+
   test("exact dedup groups only byte-identical texts") {
     val docs = Tables.documents(spark, sf).select(col("doc_id").as("id"), col("text"))
     val c = docs.unionByName(

@@ -38,4 +38,23 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS b_orders")
     }
   }
+
+  test("footerRowCount matches count() and runs zero Spark jobs (k9 staleness probe)") {
+    val df = (1L to 1234L).map(i => (i, s"v$i")).toDF("k", "v")
+    Bucketing.writeBucketed(df, "b_footer", "k", 4)
+    try {
+      val t = spark.table("b_footer")
+      val expected = t.count()
+      val sc = spark.sparkContext
+      sc.setJobGroup("footer-probe", "k9 staleness probe must be scan-free")
+      val got = Bucketing.footerRowCount(t)
+      sc.clearJobGroup()
+      assert(got == expected && got == 1234L)
+      // a scan would surface here as a job in the probe's group (the
+      // status store updates async — give the bus a beat to drain)
+      Thread.sleep(500)
+      assert(sc.statusTracker.getJobIdsForGroup("footer-probe").isEmpty,
+        "footerRowCount ran a Spark job — the staleness probe is scanning")
+    } finally spark.sql("DROP TABLE IF EXISTS b_footer")
+  }
 }

@@ -32,13 +32,21 @@ class ZOrderSpec extends AnyFunSuite {
 
   test("z-neighbors: key is monotonic along each axis from a fixed corner") {
     // along each single axis (other held at 0) the morton key must be
-    // strictly increasing — interleaving never reorders a 1-D walk
+    // strictly increasing — interleaving never reorders a 1-D walk.
+    // Driven through the PRODUCTION column expression (interleave16),
+    // not the spec's local morton() — the equality test already ties the
+    // two together; this must hold of the shipped key on its own.
     val axis = (0L until 100L)
-    def keys(f: Long => (Long, Long)) = axis.map { v =>
-      val (a, b) = f(v); morton(a, b)
+    def keys(f: Long => (Long, Long)): Seq[Long] = {
+      val rows = axis.map(f)
+      rows.toDF("a", "b")
+        .select(ZOrder.interleave16(col("a"), col("b")).as("z"))
+        .collect().map(_.getLong(0)).toSeq
     }
-    assert(keys(v => (v, 0L)) == keys(v => (v, 0L)).sorted)
-    assert(keys(v => (0L, v)) == keys(v => (0L, v)).sorted)
+    val alongA = keys(v => (v, 0L))
+    val alongB = keys(v => (0L, v))
+    assert(alongA == alongA.sorted && alongA.distinct == alongA)
+    assert(alongB == alongB.sorted && alongB.distinct == alongB)
   }
 
   test("layoutBy plans a range exchange on the z-key and an in-partition sort") {

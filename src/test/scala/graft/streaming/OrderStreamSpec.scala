@@ -1,0 +1,58 @@
+package graft.streaming
+
+import graft.{Run, SparkTestSession}
+import graft.sources.WooFixtureApi
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+/** End-to-end: the streaming ETL (file-source order JSON → foreachBatch
+  * normalize/enrich/upsert) must produce a warehouse EQUAL to the batch
+  * CLI twin fed the same orders, and absorb a replayed (re-delivered)
+  * file without changing state — §2.8's "foreachBatch + idempotent
+  * overwrite" row proven with executed code, not doc claims. */
+class OrderStreamSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  private val data = "/root/testdata/sf0.001"
+
+  private def tableRows(path: String): Seq[String] = {
+    val df = spark.read.parquet(path)
+    df.select(df.columns.sorted.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+      .collect().map(_.toString).toSeq.sorted
+  }
+
+  test("stream-ingested warehouse equals the batch run's; a replayed file is absorbed") {
+    // same order set for both paths: everything since 2001-06-01
+    val jsons = WooFixtureApi.orderJsonsSince(spark, data, "2001-06-01 00:00:00")
+    assert(jsons.nonEmpty)
+
+    // ---- batch reference warehouse, via the CLI twin's own pipeline
+    val whBatch = Files.createTempDirectory("graft-wh-batch").toString
+    val (nBatch, _) = Run.processBatch(spark, data, whBatch, "2001-06-01 00:00:00")
+    assert(nBatch == jsons.size)
+
+    // ---- streaming warehouse: land the SAME jsons as two files, stream
+    val landing = Files.createTempDirectory("graft-landing").toString
+    val whStream = Files.createTempDirectory("graft-wh-stream").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val (a, b) = jsons.splitAt(jsons.size / 2)
+    Files.write(Paths.get(landing, "part1.json"), a.mkString("\n").getBytes("UTF-8"))
+    Files.write(Paths.get(landing, "part2.json"), b.mkString("\n").getBytes("UTF-8"))
+    val q = OrderStream.startEtlStream(spark, landing, data, whStream, ckpt)
+    try {
+      q.processAllAvailable()
+      for (t <- Seq("fct_orders.parquet", "fct_order_items.parquet"))
+        assert(tableRows(s"$whStream/$t") == tableRows(s"$whBatch/$t"),
+          s"stream-ingested $t differs from the batch run")
+
+      // ---- replay: re-deliver the first half as a NEW file; the keyed
+      // upsert must absorb it (same rows, no duplicates)
+      val before = tableRows(s"$whStream/fct_orders.parquet")
+      Files.write(Paths.get(landing, "replay.json"), a.mkString("\n").getBytes("UTF-8"))
+      q.processAllAvailable()
+      assert(tableRows(s"$whStream/fct_orders.parquet") == before,
+        "replayed delivery changed warehouse state")
+      assert(tableRows(s"$whStream/fct_order_items.parquet") ==
+        tableRows(s"$whBatch/fct_order_items.parquet"))
+    } finally q.stop()
+  }
+}

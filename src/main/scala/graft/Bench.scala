@@ -34,6 +34,14 @@ object Bench {
       // local NVMe for exactly this role (spark.local.dir is THE knob);
       // tmpfs is the single-node stand-in, not a semantics change.
       .config("spark.local.dir", Bench.localDir)
+      // ~540 executions pass through one JVM (76 queries × (warmup +
+      // 3 reps) × many jobs); the status store's default retention keeps
+      // them ALL live — listener-bus work and heap both grow with every
+      // query. A bench harness needs none of that history.
+      .config("spark.sql.ui.retainedExecutions", "15")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "200")
+      .config("spark.ui.retainedTasks", "2000")
       // Static conf, default 100: the compiled-codegen class cache. This
       // suite generates ~6 codegen units per query × 75 queries, so at the
       // default size every best-of-3 rep MISSES the cache and re-runs
@@ -42,6 +50,13 @@ object Bench {
       // on a real cluster never hits the limit; a many-query harness must
       // raise it or it benchmarks the compiler.
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // A/B knob (default = Spark's default, ON): AQE re-plans at every
+      // stage boundary — the right call on a cluster (skew, runtime
+      // stats), measurable per-query driver overhead on sub-second
+      // fixture queries. Kept ON for honesty with the production conf;
+      // the knob exists to quantify the delta, not to ship it off.
+      .config("spark.sql.adaptive.enabled",
+        (sys.env.getOrElse("SPARK_GRAFT_AQE", "1") != "0").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.experimental.extraOptimizations =
@@ -85,6 +100,13 @@ object Bench {
         // pauses inside a later query's timing (observed: a 0.4 s query
         // reading 9.6 s across all reps late in a 60-query run).
         System.gc()
+        // The gc ENQUEUES ContextCleaner work (weak-ref'd broadcasts /
+        // shuffles / RDDs) that the cleaner thread then executes
+        // CONCURRENTLY with the next timed run — BlockManager RPCs
+        // landing inside the measurement. A short settle drains it
+        // outside the window (untimed; knob for A/B).
+        val settle = sys.env.getOrElse("SPARK_GRAFT_GC_SETTLE_MS", "150").toLong
+        if (settle > 0) Thread.sleep(settle)
         elapsed
       }
       name -> times.min

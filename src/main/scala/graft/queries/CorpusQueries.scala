@@ -96,6 +96,9 @@ object CorpusQueries {
         val (h1, h2) = BloomFilter.probeHashes(col("l_partkey"))
         val pk = Tables.part(s, d).filter(col("p_size") <= 2)
           .select(col("p_partkey"))
+        // (re-A/B'd with the cached literal this round: dropping fanOut
+        // still loses, 1.65 s vs 1.17 s exec — single-threaded md5 over
+        // the degenerate scan dominates; the guard stands)
         graft.util.Partitioning.fanOut(li)
           .withColumn("_h1", h1).withColumn("_h2", h2)
           .withColumn("_pass",

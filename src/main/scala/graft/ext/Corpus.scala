@@ -138,58 +138,72 @@ object Corpus {
         col("n_dup").cast("double") / col("n_grams").cast("double"))
   }
 
-  /** Distributed prefix sum over a totally-ordered UNIQUE key: the global
-    * running total of `valueCol` in `sortCol` order, WITHOUT the
-    * single-partition global window (`Window.orderBy` with no partition
-    * moves the corpus to one task — the classic scale cliff).
+  /** Distributed prefix sum over a totally-ordered UNIQUE integral key:
+    * the global running total of `valueCol` in `sortCol` order, WITHOUT
+    * the single-partition global window (`Window.orderBy` with no
+    * partition moves the corpus to one task — the classic scale cliff).
     *
-    * Two-phase scan: range-partition on the key, reduce each partition to
-    * one partial sum (numPartitions rows to the driver — constant-size,
-    * like a broadcast build), convert to per-partition base offsets, then
-    * run the within-partition cumsum as a parallel window and add the
-    * offset. The OUTPUT is partition-independent — a prefix sum over a
-    * total order does not depend on where the range splits fall — so the
-    * result is deterministic and oracle-checkable against a plain
-    * windowed SUM.
+    * Two-phase scan over DETERMINISTIC key buckets: each row's bucket is
+    * a pure function of its key (fixed-width ranges between the key's
+    * min and max), so — unlike `repartitionByRange`, whose sampled
+    * boundaries vary per job — the partials job and the caller's job
+    * agree on membership with no persist pinning them together. Phase 1
+    * reduces each bucket to one partial sum (≤ numBuckets rows to the
+    * driver — constant-size, like a broadcast build) and scans them into
+    * exclusive base offsets; phase 2 runs the within-bucket cumsum as a
+    * parallel window and adds the bucket's offset. One data shuffle
+    * (the window's hash exchange on the bucket id) per phase.
     *
     * `sortCol` must be unique (ties would make the running order, and so
-    * the prefix sum, ill-defined on both engines). The range-partitioned
-    * frame stays persisted until the session drops it (see below) —
-    * batch loops should `spark.catalog.clearCache()` between iterations. */
+    * the prefix sum, ill-defined on both engines) and integral — for a
+    * timestamp or string key, project a monotone integral image first.
+    * Fixed-width buckets trade range-sampling's skew adaptivity for
+    * determinism; ids and offsets (the prefix-sum use cases) are
+    * near-uniform, and 4× more buckets than shuffle partitions smooth
+    * both bucket skew and the bucket→partition hash collisions.
+    *
+    * `cacheKey` (immutable inputs only — fixture dirs, snapshot paths)
+    * amortizes the phase-1 bounds+partials jobs across repeated
+    * constructions via [[graft.io.ArtifactCache]], the same contract as
+    * the bloom-filter/centroid builds. Without it both jobs run eagerly
+    * per construction. NULL values count as 0. */
   def prefixSum(
       df: DataFrame, sortCol: String, valueCol: String,
-      outCol: String): DataFrame = {
+      outCol: String, cacheKey: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // PERSISTED before the partials job: repartitionByRange samples its
-    // boundaries with a per-job seed, so an unpersisted frame could place
-    // boundary rows in different partitions when the caller's job
-    // recomputes it — the base offsets would then double- or un-count
-    // them. Pinning the shuffled frame makes both jobs read the same
-    // partition membership (cache lives for the query, as in
-    // duplicateNgramStats). NULL values count as 0.
-    val v = coalesce(col(valueCol).cast("long"), lit(0L))
-    // no fanOut before the range exchange: repartitionByRange already
-    // redistributes to spark.sql.shuffle.partitions, so the round-robin
-    // pass was a second full shuffle of the same rows for nothing
-    val parts = df
-      .repartitionByRange(col(sortCol))
-      .withColumn("_pid", spark_partition_id())
-      .persist()
-    val partials = parts.groupBy("_pid")
-      .agg(sum(v).as("_psum"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    // exclusive prefix of the partial sums: partition i's base offset is
-    // the total of partitions 0..i-1 (zip truncates the trailing total)
     val spark = df.sparkSession
     import spark.implicits._
-    val offsets = partials.map(_._1)
-      .zip(partials.map(_._2).scanLeft(0L)(_ + _))
-      .toSeq.toDF("_pid", "_off")
-    // broadcast join, not a per-partition CASE chain: O(1) per row and
-    // constant expression depth at any partition count
-    parts
+    val v = coalesce(col(valueCol).cast("long"), lit(0L))
+    val k = col(sortCol).cast("long")
+    val nb = spark.sessionState.conf.numShufflePartitions * 4
+    def cached[T <: AnyRef](part: String)(build: => T): T = cacheKey match {
+      case Some(key) => graft.io.ArtifactCache.getOrBuild(s"$key:$part")(build)
+      case None => build
+    }
+    val (mn, mx) = cached("bounds") {
+      val r = df.agg(min(k), max(k)).head()
+      if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1))
+    }
+    // power-of-two bucket width → bucket id is one exact shift (Column./
+    // is DOUBLE division — it would round keys past 2^53 into the wrong
+    // bucket); width chosen so the id range stays within ~2·nb
+    val minWidth = (mx - mn) / nb + 1L
+    val shift =
+      if (minWidth <= 1L) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(minWidth - 1L)
+    val bucketed = df.withColumn("_pid", shiftright(k - lit(mn), shift))
+    val offsets = cached("offsets") {
+      val partials = bucketed.groupBy("_pid").agg(sum(v).as("_psum"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).toIndexedSeq
+      // exclusive prefix of the partial sums: bucket i's base offset is
+      // the total of buckets before it (zip truncates the trailing total)
+      partials.map(_._1).zip(partials.map(_._2).scanLeft(0L)(_ + _))
+    }
+    // broadcast join, not a per-bucket CASE chain: O(1) per row and
+    // constant expression depth at any bucket count
+    bucketed
       .withColumn("_local", sum(v).over(Window.partitionBy("_pid").orderBy(sortCol)))
-      .join(broadcast(offsets), Seq("_pid"))
+      .join(broadcast(offsets.toDF("_pid", "_off")), Seq("_pid"))
       .withColumn(outCol, col("_local") + col("_off"))
       .drop("_pid", "_local", "_off")
   }

@@ -17,19 +17,63 @@ import org.apache.spark.sql.functions._
   * filtering does this implicitly; this operator makes the primitive
   * explicit, deterministic, and differentially testable.
   *
-  * Determinism contract (shared with the DuckDB oracle, x29): ONE md5
-  * per value, Kirsch–Mitzenmacher double hashing — h1 = first 8 hex
-  * chars as int64, h2 = next 8, bit position i = (h1 + i·h2) mod 4096
-  * for i in 0..3 (exact int64 arithmetic: h1 + 3·h2 < 2³⁴). One digest
-  * per probe row instead of K keeps the membership test a cheap scan
-  * predicate. Reduce sets bits, merge is bitwise OR: associative,
-  * commutative, idempotent — partial aggregation with a fixed 512-byte
-  * buffer.
+  * Determinism contract (shared with the DuckDB oracle, x29): two
+  * Kirsch–Mitzenmacher double-hash families, bit position i =
+  * (h1 + i·h2) mod 4096 for i in 0..3 (exact int64 arithmetic:
+  * h1 + 3·h2 < 2³⁴). String keys: ONE md5 per value, h1 = first 8 hex
+  * chars as int64, h2 = next 8 — one digest per probe row instead of K
+  * keeps the membership test a cheap scan predicate. Integer keys: the
+  * LCG family below — no digest at all, five integer ops per hash,
+  * fully inside whole-stage codegen. Reduce sets bits, merge is bitwise
+  * OR: associative, commutative, idempotent — partial aggregation with
+  * a fixed 512-byte buffer.
   */
 object BloomFilter {
   val Words = 64
   val Bits = Words * 64
   val K = 4
+
+  /** Long-key double-hash family (integer keys — the join-pruning case).
+    *
+    * An md5 per probe row is digest-call + string-cast dominated; for
+    * integer join keys a multiplicative family is the production choice
+    * (Spark's own BloomFilterImpl uses Murmur3 on the long bits). The
+    * family below is chosen to be EXACTLY reproducible in portable SQL:
+    * every intermediate fits signed-64 for ANY int64 key (key is first
+    * reduced mod the ~2³¹ prime, so A·k' ≤ 2³¹·2²⁴ < 2⁵⁵), so the same
+    * five arithmetic ops run as Spark Column exprs (ANSI-safe, no
+    * overflow), JVM longs, and DuckDB BIGINT SQL — no wrapping-multiply
+    * semantics to emulate. h1/h2 use distinct primes P1/P2 so the two
+    * streams decorrelate; bit position i = (h1 + i·h2) mod Bits as in
+    * the string family.
+    */
+  val P1 = 2147483647L // 2^31 - 1 (prime)
+  val P2 = 2147483629L // prime < P1
+  val A1 = 1299721L
+  val B1 = 104729L
+  val A2 = 15485863L
+  val B2 = 32452843L
+
+  /** (h1, h2) of an int64 key — reference (driver/test) spelling. */
+  def longHashes(k: Long): (Long, Long) = {
+    val k1 = ((k % P1) + P1) % P1
+    val k2 = ((k % P2) + P2) % P2
+    ((A1 * k1 + B1) % P1, (A2 * k2 + B2) % P2)
+  }
+
+  /** bit position of hash i for an int64 key (long-key family). */
+  def bitPosLong(i: Int, key: Long): Int = {
+    val (h1, h2) = longHashes(key)
+    ((h1 + i * h2) % Bits).toInt
+  }
+
+  /** SQL twin of [[longHashes]] — the oracle-side spelling (DuckDB
+    * dialect-neutral: %, +, * on BIGINT only). `keyExpr` must already
+    * be BIGINT-typed (CAST in the caller; 32-bit engines overflow on
+    * INT32 multiply). */
+  def longHashesSql(keyExpr: String): (String, String) = (
+    s"($A1 * ((($keyExpr % $P1) + $P1) % $P1) + $B1) % $P1",
+    s"($A2 * ((($keyExpr % $P2) + $P2) % $P2) + $B2) % $P2")
 
   /** bit position of hash i for a value (double-hash family). */
   def bitPos(i: Int, value: String): Int = {
@@ -73,8 +117,50 @@ object BloomFilter {
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
     }
 
+  /** The long-key Aggregator: int64 in, 8 bit-words out (LCG family). */
+  val sketchLong: Aggregator[java.lang.Long, Array[Long], Seq[Long]] =
+    new Aggregator[java.lang.Long, Array[Long], Seq[Long]] {
+      override def zero: Array[Long] = new Array[Long](Words)
+      override def reduce(buf: Array[Long], value: java.lang.Long): Array[Long] = {
+        if (value != null) {
+          val (h1, h2) = longHashes(value.longValue())
+          var i = 0
+          while (i < K) {
+            val p = ((h1 + i * h2) % Bits).toInt
+            buf(p / 64) |= 1L << (p % 64)
+            i += 1
+          }
+        }
+        buf
+      }
+      override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+        var i = 0
+        while (i < Words) { a(i) |= b(i); i += 1 }
+        a
+      }
+      override def finish(buf: Array[Long]): Seq[Long] = buf.toIndexedSeq
+      override def bufferEncoder: Encoder[Array[Long]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+      override def outputEncoder: Encoder[Seq[Long]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+    }
+
   /** Column spelling: aggregates a string column to the bit words. */
   def bloomAgg(c: Column): Column = udaf(sketch).apply(c)
+
+  /** Column spelling: aggregates an int64 key column to the bit words. */
+  def bloomAggLong(c: Column): Column = udaf(sketchLong).apply(c)
+
+  /** h1/h2 of an int64 key column — five integer ops each, stays inside
+    * whole-stage codegen (vs one digest + hex-parse per row for the md5
+    * family; that is the entire x29 Spark-vs-DuckDB gap closed). Same
+    * projection guidance as [[probeHashes]]. */
+  def probeHashesLong(probe: Column): (Column, Column) = {
+    val k = probe.cast("long")
+    val k1 = ((k % P1) + P1) % P1
+    val k2 = ((k % P2) + P2) % P2
+    ((lit(A1) * k1 + B1) % P1, (lit(A2) * k2 + B2) % P2)
+  }
 
   /** h1/h2 double-hash projections of a probe column. PROJECT these to
     * real columns before filtering: a filter predicate that inlines them

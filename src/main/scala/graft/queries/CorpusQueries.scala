@@ -43,10 +43,13 @@ object CorpusQueries {
         s"(CAST(1 AS UBIGINT) << CAST($pos % 64 AS INT))) <> 0"
     }.mkString("(", " AND ", ")")
 
-  /** h1/h2 double-hash projection of a key expression (oracle side). */
-  private def bloomHashSql(keyExpr: String): String =
-    s"CAST('0x' || substr(md5($keyExpr), 1, 8) AS BIGINT) AS h1,\n" +
-      s"    CAST('0x' || substr(md5($keyExpr), 9, 8) AS BIGINT) AS h2"
+  /** h1/h2 double-hash projection of an int64 key expression (oracle
+    * side) — the BloomFilter long-key LCG family, BIGINT arithmetic
+    * only (see [[graft.functions.BloomFilter.longHashesSql]]). */
+  private def bloomHashSql(keyExpr: String): String = {
+    val (h1, h2) = graft.functions.BloomFilter.longHashesSql(keyExpr)
+    s"$h1 AS h1,\n    $h2 AS h2"
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -55,10 +58,11 @@ object CorpusQueries {
     // selected part keys, push membership into the lineitem scan as pure
     // column expressions, and report per-flag pass counts next to the
     // exact semi-join — false positives included, value-for-value equal
-    // to the oracle's rebuilt filter (both engines share the md5 bit
-    // family). The built filter is session-cached and ships to the probe
-    // scan as a 512-byte literal, exactly how a pushed runtime filter
-    // ships to scan tasks.
+    // to the oracle's rebuilt filter (both engines share the long-key
+    // LCG bit family — integer keys never pay a digest; see
+    // BloomFilter.longHashes). The built filter is session-cached and
+    // ships to the probe scan as a 512-byte literal, exactly how a
+    // pushed runtime filter ships to scan tasks.
     QueryDef(
       "x29_bloom_prefilter",
       (s, d) => {
@@ -73,33 +77,28 @@ object CorpusQueries {
         // literal wins — no build job, no cross-join, one fewer broadcast
         // exchange in the probe plan. (The lazy one-action spelling lives
         // on in BloomFilter.mightContainBits for one-shot callers.)
-        val bits = graft.io.ArtifactCache.getOrBuild(s"bloom:part-small:$d") {
+        val bits = graft.io.ArtifactCache.getOrBuild(s"bloom:part-small:lcg:$d") {
           Tables.part(s, d).filter(col("p_size") <= 2)
-            .select(col("p_partkey").cast("string").as("k"))
-            .agg(BloomFilter.bloomAgg(col("k")).as("_bits"))
+            .select(col("p_partkey").cast("long").as("k"))
+            .agg(BloomFilter.bloomAggLong(col("k")).as("_bits"))
             .head().getSeq[Long](0).toIndexedSeq
         }
         val li = Tables.lineitem(s, d).select("l_returnflag", "l_partkey")
-        // Membership as a PROJECTED boolean + conditional aggregate, not
-        // a Filter: PushPredicateThroughProject would inline the hash
-        // columns back into the predicate (md5 × 8 per row, measured
-        // 5 s), while CollapseProject refuses to duplicate expensive
-        // expressions — so the md5 is evaluated once per row (0.6 s).
-        //
         // Bloom and exact counts come out of ONE lineitem pass: the
         // exact side is a broadcast LEFT join against the (unique)
         // selected part keys, flagged and summed next to the bloom
         // flag — the two-scan + join-of-aggregates spelling paid a
         // second full scan, a second groupBy, and a join for the same
-        // answer. fanOut before the md5-heavy probe projection stands
-        // from the round-5 A/B (no-fanOut variant 1.6-2.1 s vs 1.4 s).
-        val (h1, h2) = BloomFilter.probeHashes(col("l_partkey"))
+        // answer. No fanOut: with the integer LCG family the per-row
+        // probe is ~10 int ops, and the round-robin exchange (a 6M-row
+        // shuffle written by the single-row-group scan task) costs more
+        // than the single-threaded pipeline it parallelizes — round-6
+        // A/B: 0.49 s exec without vs 1.07 s with (the md5-era A/B that
+        // favored fanOut died with the digest).
+        val (h1, h2) = BloomFilter.probeHashesLong(col("l_partkey"))
         val pk = Tables.part(s, d).filter(col("p_size") <= 2)
           .select(col("p_partkey"))
-        // (re-A/B'd with the cached literal this round: dropping fanOut
-        // still loses, 1.65 s vs 1.17 s exec — single-threaded md5 over
-        // the degenerate scan dominates; the guard stands)
-        graft.util.Partitioning.fanOut(li)
+        li
           .withColumn("_h1", h1).withColumn("_h2", h2)
           .withColumn("_pass",
             BloomFilter.mightContainHashes(bits, col("_h1"), col("_h2")))
@@ -114,7 +113,7 @@ object CorpusQueries {
           .orderBy("l_returnflag")
       },
       Some(s"""WITH keys AS (
-              |  SELECT CAST(p_partkey AS VARCHAR) AS k FROM part WHERE p_size <= 2),
+              |  SELECT CAST(p_partkey AS BIGINT) AS k FROM part WHERE p_size <= 2),
               |kh AS (
               |  SELECT ${bloomHashSql("k")}
               |  FROM keys),
@@ -133,7 +132,7 @@ object CorpusQueries {
               |bl AS (SELECT list(wbits ORDER BY w) AS bits FROM words),
               |lh AS (
               |  SELECT l_returnflag,
-              |    ${bloomHashSql("CAST(l_partkey AS VARCHAR)")}
+              |    ${bloomHashSql("CAST(l_partkey AS BIGINT)")}
               |  FROM lineitem),
               |bloomcnt AS (
               |  SELECT l_returnflag,
@@ -419,7 +418,10 @@ object CorpusQueries {
         val toks = Tables.documents(s, d).select(
           col("doc_id"),
           TA.tokenCount(col("text")).cast("long").as("n_tokens"))
-        Corpus.prefixSum(toks, "doc_id", "n_tokens", "cum_tokens")
+        // bounds+partials amortized across constructions (immutable
+        // fixture dir), same ArtifactCache contract as the bloom build
+        Corpus.prefixSum(toks, "doc_id", "n_tokens", "cum_tokens",
+          cacheKey = Some(s"prefix:tokens:$d"))
           .withColumn("batch_id",
             ((col("cum_tokens") - col("n_tokens")) / lit(4096)).cast("long"))
           .select("doc_id", "n_tokens", "cum_tokens", "batch_id")

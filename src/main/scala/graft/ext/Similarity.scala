@@ -228,12 +228,15 @@ object Similarity {
       .select(col("id").as("query_id"), col("qv").as("q_qv"),
         col("nrm").as("q_nrm"), col("bucket"))
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
-    c.join(q, Seq("bucket"))
+    // no (query, neighbor) dedup aggregate: each corpus vector hashes to
+    // exactly ONE bucket and the query's probe set is distinct, so a
+    // pair can only meet once — the defensive groupBy(max) was a full
+    // extra exchange for an identity
+    c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (dotQ(col("q_qv"), col("n_qv")).cast("double") /
           (col("q_nrm") * col("n_nrm"))).as("cosine"))
-      .groupBy("query_id", "neighbor_id").agg(max("cosine").as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cosine")
@@ -284,13 +287,14 @@ object Similarity {
     * replaces (−0.0 sorts before +0.0 in struct order, but a zero dot
     * always yields the same one of the two on both spellings). */
   private def nearestLists(cent: Seq[IvfCentroid], keep: Int): Column = {
-    val scored = array(cent.map { ct =>
-      struct(
-        (-(dotQ(col("qv"), typedlit(ct.qv)).cast("double") /
-          (col("nrm") * lit(ct.nrm)))).as("negcos"),
-        lit(ct.listId).as("list_id"))
-    }: _*)
-    slice(sort_array(scored), 1, keep).getField("list_id")
+    // native expression, not an unrolled literal struct array: the
+    // declarative spelling rebuilt an O(nLists·dim) literal tree per
+    // construction (0.25 s of Catalyst walk at 16×64) and sorted 16
+    // interpreted structs per row — see IvfNearestLists
+    val dim = if (cent.isEmpty) 0 else cent.head.qv.size
+    graft.functions.IvfNearestLists(
+      col("qv"), col("nrm"),
+      cent.map(_.listId), cent.flatMap(_.qv), cent.map(_.nrm), dim, keep)
   }
 
   /** IVF search against a pre-trained coarse quantizer: each corpus
@@ -322,12 +326,15 @@ object Similarity {
       .select(col("list_id"), col("id").as("query_id"),
         col("qv").as("q_qv"), col("nrm").as("q_nrm"))
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
-    indexed.join(probing, Seq("list_id"))
+    // no (query, neighbor) dedup aggregate: corpus vectors index into
+    // exactly ONE list (keep=1) and a query's nProbe list ids are
+    // distinct by construction, so each pair meets once — the defensive
+    // groupBy(max) was a full extra exchange for an identity
+    indexed.join(broadcast(probing), Seq("list_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (dotQ(col("q_qv"), col("n_qv")).cast("double") /
           (col("q_nrm") * col("n_nrm"))).as("cosine"))
-      .groupBy("query_id", "neighbor_id").agg(max("cosine").as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cosine")

@@ -115,6 +115,111 @@ case class HyperplaneBucket(child: Expression, planes: Seq[Seq[Double]])
     copy(child = newChild)
 }
 
+/** Native IVF coarse-quantizer assignment: the `keep` nearest centroid
+  * list ids for a (quantized-vector, norm) pair, by cosine desc then
+  * list id asc — FAISS's in-memory assignment loop as one expression.
+  *
+  * The declarative spelling (array of per-centroid structs of
+  * `aggregate(zip_with(...))` dots over `typedlit` vectors, then
+  * `sort_array`+`slice`) builds an O(nLists·dim) literal tree that
+  * Catalyst re-walks on every construction — 0.25 s of plan time per
+  * query at 16×64 — and evaluates through interpreted struct sorts. Here
+  * the centroid matrix is a constructor field (structural equality
+  * preserved, like [[HyperplaneBucket]]'s planes), the plan node is one
+  * expression, and the row loop is monomorphic. Tie and NaN ordering
+  * mirror the struct-sort spelling exactly: ascending (−cosine, listId)
+  * with NaN last (a zero-norm side yields NaN cosine → that centroid
+  * ranks after every finite one, Double.compare semantics).
+  *
+  * Children are (qv ARRAY<BIGINT>, nrm DOUBLE); NULL in either → NULL.
+  */
+case class IvfNearestLists(
+    left: Expression, right: Expression,
+    listIds: Seq[Int], centFlat: Seq[Long], centNrms: Seq[Double],
+    dim: Int, keep: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), DoubleType) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (ARRAY<BIGINT>, DOUBLE), got $other")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "ivf_nearest_lists"
+
+  @transient private lazy val idsArr: Array[Int] = listIds.toArray
+  @transient private lazy val flatArr: Array[Long] = centFlat.toArray
+  @transient private lazy val nrmArr: Array[Double] = centNrms.toArray
+
+  override def nullSafeEval(qv: Any, nrm: Any): Any =
+    IvfNearestLists.compute(qv.asInstanceOf[ArrayData],
+      nrm.asInstanceOf[Double], idsArr, flatArr, nrmArr, dim, keep)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ids = ctx.addReferenceObj("ivfIds", idsArr, "int[]")
+    val flat = ctx.addReferenceObj("ivfFlat", flatArr, "long[]")
+    val nrms = ctx.addReferenceObj("ivfNrms", nrmArr, "double[]")
+    nullSafeCodeGen(ctx, ev, (qv, nrm) =>
+      s"${ev.value} = graft.functions.IvfNearestLists.compute(" +
+        s"$qv, $nrm, $ids, $flat, $nrms, $dim, $keep);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object IvfNearestLists {
+  def apply(qv: Column, nrm: Column, listIds: Seq[Int], centFlat: Seq[Long],
+      centNrms: Seq[Double], dim: Int, keep: Int): Column =
+    GraftColumnBridge.column(new IvfNearestLists(
+      GraftColumnBridge.expression(qv), GraftColumnBridge.expression(nrm),
+      listIds, centFlat, centNrms, dim, keep))
+
+  /** Called from generated code — keep the signature stable. */
+  def compute(qv: ArrayData, nrm: Double, ids: Array[Int], flat: Array[Long],
+      nrms: Array[Double], dim: Int, keep: Int): ArrayData = {
+    val nc = ids.length
+    val negcos = new Array[Double](nc)
+    var c = 0
+    while (c < nc) {
+      val base = c * dim
+      // a length-mismatched vector ranks LAST (NaN, Double.compare
+      // order) — deliberately diverging from the struct spelling, where
+      // the zip_with dot's NULL sorted such a centroid FIRST (an
+      // accident of struct NULLS-FIRST ordering, never a sane pick)
+      if (qv.numElements() != dim) { negcos(c) = Double.NaN }
+      else {
+        var acc = 0L
+        var i = 0
+        while (i < dim) { acc += qv.getLong(i) * flat(base + i); i += 1 }
+        negcos(c) = -(acc.toDouble / (nrm * nrms(c)))
+      }
+      c += 1
+    }
+    val k = math.min(keep, nc)
+    val out = new Array[Any](k)
+    val taken = new Array[Boolean](nc)
+    var r = 0
+    while (r < k) {
+      var best = -1
+      var c2 = 0
+      while (c2 < nc) {
+        if (!taken(c2) && (best < 0 || {
+          val cmp = java.lang.Double.compare(negcos(c2), negcos(best))
+          cmp < 0 || (cmp == 0 && ids(c2) < ids(best))
+        })) best = c2
+        c2 += 1
+      }
+      taken(best) = true
+      out(r) = ids(best)
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object HyperplaneBucket {
   /** Called from generated code — keep the signature stable. */
   def compute(qv: ArrayData, flat: Array[Double], numPlanes: Int, dim: Int): Long = {

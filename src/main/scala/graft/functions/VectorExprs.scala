@@ -115,6 +115,51 @@ case class HyperplaneBucket(child: Expression, planes: Seq[Seq[Double]])
     copy(child = newChild)
 }
 
+/** Native HLL cell derivation from a 60-bit truncated md5 hash (the
+  * integer twin of [[HyperLogLog.packedCell]]'s string inspection):
+  * bucket = top 8 of the 60 bits mod 64, rho = 1 + leading zero bits of
+  * the next 44 (45 when all-zero). See packedCellFromH60 for the bit
+  * correspondence proof; HyperLogLogSpec pins the two spellings equal.
+  * NULL in → NULL out.
+  */
+case class HllCellFromH60(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires BIGINT (h60), got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hll_cell_from_h60"
+
+  override def nullSafeEval(input: Any): Any =
+    HllCellFromH60.compute(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.HllCellFromH60.compute($v);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HllCellFromH60 {
+  /** Called from generated code — keep the signature stable. */
+  def compute(h60: Long): Long = {
+    val bucket = ((h60 >>> 52) % 64L).toInt
+    val tail = (h60 >>> 8) & ((1L << 44) - 1L)
+    val rho =
+      if (tail == 0L) 45
+      else java.lang.Long.numberOfLeadingZeros(tail) - 20 + 1
+    bucket * 64L + rho
+  }
+
+  def apply(h60: Column): Column =
+    GraftColumnBridge.column(new HllCellFromH60(
+      GraftColumnBridge.expression(h60)))
+}
+
 /** Native IVF coarse-quantizer assignment: the `keep` nearest centroid
   * list ids for a (quantized-vector, norm) pair, by cosine desc then
   * list id asc — FAISS's in-memory assignment loop as one expression.

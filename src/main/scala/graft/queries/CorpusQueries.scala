@@ -216,23 +216,39 @@ object CorpusQueries {
     QueryDef(
       "x24_hll_distinct",
       (s, d) => {
+        // gram hashing through the native per-doc loop (MinhashSigSet
+        // shset = DISTINCT 60-bit md5 prefixes): no md5/substr Column
+        // work per gram, and the exchanges carry 8-byte longs instead of
+        // 32-char hex strings. Per-doc distinct is a safe pre-reduction
+        // — the per-lang distinct of the union is unchanged.
         val grams = graft.util.Partitioning.fanOut(Tables.documents(s, d))
-          .select(col("lang"), split(col("text"), " ").as("toks"))
-          .select(col("lang"), explode(Dedup.shinglesFromTokens(col("toks"), 3)).as("sh"))
-          .select(col("lang"), md5(col("sh")).as("m"))
+          .select(col("lang"), explode(
+            graft.functions.MinhashSigSet(split(col("text"), " "), 3, 1)
+              .getField("shset")).as("h60"))
         // distinct-then-aggregate instead of countDistinct next to the
         // HLL agg: mixing distinct and plain aggregates makes Spark plan
         // an Expand that doubles every input row before the exchange. HLL
         // registers are duplicate-insensitive (per-bucket max), so both
         // aggregates read the SAME deduped (lang, gram) set: one
         // map-side-combined distinct exchange, then a partial-aggregated
-        // groupBy whose shuffle is six register blobs (measured
-        // 0.93 s → ~0.5 s at sf0.1).
+        // groupBy whose shuffle is six register blobs.
+        // Native pre-reduction before the mergeable sketch: a register
+        // is a per-bucket MAX, so max(cell) within (lang, bucket) — a
+        // codegen'd HashAggregate — yields one surviving cell per
+        // register, and the typed Aggregator (the operator under test;
+        // its registers/merge semantics are what the oracle rebuilds)
+        // folds ≤64 pre-maxed cells per lang instead of boxing ~1M rows
+        // through the udaf encoder. Register-identical by construction:
+        // max over per-bucket maxes = max.
         grams.distinct()
+          .select(col("lang"),
+            HyperLogLog.packedCellFromH60(col("h60")).as("cell"))
+          .groupBy(col("lang"), shiftright(col("cell"), 6).as("_bucket"))
+          .agg(max(col("cell")).as("cell"), count(lit(1)).as("nvals"))
           .groupBy("lang")
           .agg(
-            HyperLogLog.hllAgg(HyperLogLog.packedCell(col("m"))).as("reg"),
-            count(lit(1)).as("exact_distinct"))
+            HyperLogLog.hllAgg(col("cell")).as("reg"),
+            sum("nvals").as("exact_distinct"))
           .select(col("lang"),
             HyperLogLog.estimate(col("reg")).as("est_distinct"),
             col("exact_distinct"))
@@ -244,7 +260,7 @@ object CorpusQueries {
               |    THEN list_transform(generate_series(1, len(t) - 2), i -> ${gramExpr(3)})
               |    ELSE [] END) AS g
               |  FROM toks),
-              |h AS (SELECT lang, md5(g) AS m FROM sh),
+              |h AS (SELECT lang, substr(md5(g), 1, 15) AS m FROM sh),
               |cells AS (
               |  SELECT lang, m,
               |    CAST('0x' || substr(m, 1, 2) AS INT) % 64 AS bucket,

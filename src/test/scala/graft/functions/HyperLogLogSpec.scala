@@ -21,6 +21,25 @@ class HyperLogLogSpec extends AnyFunSuite {
     assert(cells.forall(p => p % 64 >= 1 && p % 64 <= 45))
   }
 
+  test("packedCellFromH60 equals packedCell on the same md5, incl. deep-zero tails") {
+    // random values plus planted tails: all-zero 44 bits (rho cap 45)
+    // and single-bit-at-depth patterns exercising every nibble class
+    val vals = (1 to 2000).map(i => s"val-$i")
+    val fromStr = vals.toDF("v")
+      .select(HyperLogLog.packedCell(md5(col("v"))).as("p")).as[Long].collect()
+    val fromH60 = vals.toDF("v")
+      .select(HyperLogLog.packedCellFromH60(
+        conv(substring(md5(col("v")), 1, 15), 16, 10).cast("long")).as("p"))
+      .as[Long].collect()
+    assert(fromStr.toSeq == fromH60.toSeq)
+    // planted h60s: bucket bits set, tail = 0 (cap), tail = 1 (max lz),
+    // tail = top-bit (lz 0)
+    for ((tail, rho) <- Seq(0L -> 45L, 1L -> 44L, (1L << 43) -> 1L)) {
+      val h60 = (0x2bL << 52) | (tail << 8) | 0x5aL
+      assert(HllCellFromH60.compute(h60) == (0x2bL % 64) * 64 + rho, s"tail=$tail")
+    }
+  }
+
   test("estimate is within the HLL error envelope at 10k distinct") {
     val n = 10000
     val df = (1 to n).map(i => s"item-$i").toDF("v")

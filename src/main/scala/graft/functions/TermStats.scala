@@ -103,3 +103,79 @@ object TermStats {
   def apply(toks: Column): Column =
     GraftColumnBridge.column(new TermStats(GraftColumnBridge.expression(toks)))
 }
+
+/** Native per-document shingle duplication stats: `(total, dist)` counts
+  * of the document's n-gram multiset — the repetition-scoring primitive
+  * (x17) — in one loop over the token array.
+  *
+  * The declarative spelling materialized every gram as a string (an
+  * interpreted `transform` running n element_at + concat_ws per ELEMENT)
+  * and then re-hashed them all through `array_distinct`; here no gram
+  * array ever exists. Exactness: grams are compared as the
+  * space-joined string the oracle's gramExpr builds — tokens come from
+  * `split(text, ' ')` and so contain no spaces, making the join
+  * bijective on token windows (equal joined grams ⇔ equal windows),
+  * including empty tokens from consecutive delimiters.
+  *
+  * NULL contract: NULL token array → NULL result, matching the explode
+  * spelling's dropped rows (callers filter or coalesce). Fewer than n
+  * tokens → (0, 0).
+  */
+case class ShingleDupStats(child: Expression, n: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) =>
+      if (n >= 1) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"$prettyName requires n >= 1, got $n")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING> tokens, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("total", LongType, nullable = false),
+    StructField("dist", LongType, nullable = false)))
+
+  override def prettyName: String = "shingle_dup_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleDupStats.compute(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, toks =>
+      s"${ev.value} = graft.functions.ShingleDupStats.compute($toks, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleDupStats {
+  private val Space = UTF8String.fromString(" ")
+
+  /** Called from generated code — keep the signature stable. */
+  def compute(toks: ArrayData, n: Int): InternalRow = {
+    val nt = toks.numElements()
+    val total = math.max(nt - n + 1, 0)
+    if (total == 0)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](0L, 0L))
+    val seen = new java.util.HashSet[UTF8String](total * 2)
+    val parts = new Array[UTF8String](2 * n - 1)
+    var i = 0
+    while (i < total) {
+      var k = 0
+      while (k < n) {
+        parts(2 * k) = toks.getUTF8String(i + k)
+        if (k < n - 1) parts(2 * k + 1) = Space
+        k += 1
+      }
+      seen.add(UTF8String.concat(parts: _*))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](total.toLong, seen.size.toLong))
+  }
+
+  def apply(toks: Column, n: Int): Column =
+    GraftColumnBridge.column(new ShingleDupStats(
+      GraftColumnBridge.expression(toks), n))
+}

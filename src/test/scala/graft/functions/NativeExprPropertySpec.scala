@@ -40,6 +40,25 @@ class NativeExprPropertySpec extends AnyFunSuite {
     native.unpersist()
   }
 
+  test("property: ShingleDupStats matches the shingle-array reference on generated docs") {
+    // includes empty docs, docs shorter than n, repeated grams, empty
+    // tokens from consecutive delimiters, unicode
+    val docs = samples(docGen, 120).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val toks = split(col("text"), " ")
+    for (n <- Seq(1, 3, 6)) {
+      val native = docs.select(col("id"),
+        ShingleDupStats(toks, n).getField("total").as("total"),
+        ShingleDupStats(toks, n).getField("dist").as("dist"))
+      val shs = Dedup.shinglesFromTokens(toks, n)
+      val ref = docs.select(col("id"),
+        size(shs).cast("long").as("total"),
+        size(array_distinct(shs)).cast("long").as("dist"))
+      assert(native.except(ref).count() == 0 && ref.except(native).count() == 0,
+        s"n=$n")
+    }
+  }
+
   test("property: Simhash32 matches the exploded groupBy reference on generated docs") {
     val docs = samples(docGen, 80).zipWithIndex
       .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")

@@ -184,17 +184,31 @@ object Corpus {
       val r = df.agg(min(k), max(k)).head()
       if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1))
     }
-    // power-of-two bucket width → bucket id is one exact shift (Column./
-    // is DOUBLE division — it would round keys past 2^53 into the wrong
-    // bucket); width chosen so the id range stays within ~2·nb
-    val minWidth = (mx - mn) / nb + 1L
-    val shift =
-      if (minWidth <= 1L) 0
-      else 64 - java.lang.Long.numberOfLeadingZeros(minWidth - 1L)
-    val bucketed = df.withColumn("_pid", shiftright(k - lit(mn), shift))
+    // Bucket = the key's own high bits (arithmetic shift): monotone over
+    // SIGNED longs, so bucket order == key order for the offset scan,
+    // and — unlike a (k - min) rebase — no subtraction that could
+    // overflow when the key range spans more than Long.MaxValue (a
+    // 64-bit monotone hash image does; ANSI mode would throw). Width is
+    // a power of two so the id is one exact shift (Column./ is DOUBLE
+    // division — it would round keys past 2^53 into the wrong bucket);
+    // the span is measured through BigInt for the same full-range
+    // reason, and the shift caps the bucket-id count near nb.
+    val span = BigInt(mx) - BigInt(mn)
+    val nbBits = 63 - java.lang.Long.numberOfLeadingZeros(nb.toLong)
+    // clamp to 63: Java/Spark shift semantics mask the amount (x >> 65
+    // is x >> 1), so an uncapped full-range shift would WIDEN the id set
+    val shift = math.min(63, math.max(0, span.bitLength - nbBits))
+    val bucketed = df.withColumn("_pid", shiftright(k, shift))
     val offsets = cached("offsets") {
       val partials = bucketed.groupBy("_pid").agg(sum(v).as("_psum"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).toIndexedSeq
+        .collect().map { r =>
+          // a NULL key has no position in a total order — fail loud, not
+          // with a bare NPE (the old range-partition spelling silently
+          // placed such rows first, hiding the contract violation)
+          require(!r.isNullAt(0),
+            s"prefixSum: NULL $sortCol — the sort key must be a total order")
+          r.getLong(0) -> r.getLong(1)
+        }.sortBy(_._1).toIndexedSeq
       // exclusive prefix of the partial sums: bucket i's base offset is
       // the total of buckets before it (zip truncates the trailing total)
       partials.map(_._1).zip(partials.map(_._2).scanLeft(0L)(_ + _))

@@ -232,7 +232,12 @@ object Similarity {
     // exactly ONE bucket and the query's probe set is distinct, so a
     // pair can only meet once — the defensive groupBy(max) was a full
     // extra exchange for an identity
-    c.join(broadcast(q), Seq("bucket"))
+    // no forced broadcast here: `queries` is caller-supplied and may be
+    // corpus-sized — the shuffle join degrades gracefully at 100 TB
+    // where a broadcast hint would OOM the driver. Callers with a
+    // BOUNDED query set hint it themselves (broadcast(queries), x15) —
+    // the hint survives the projections above and reaches the join.
+    c.join(q, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (dotQ(col("q_qv"), col("n_qv")).cast("double") /
@@ -330,7 +335,10 @@ object Similarity {
     // exactly ONE list (keep=1) and a query's nProbe list ids are
     // distinct by construction, so each pair meets once — the defensive
     // groupBy(max) was a full extra exchange for an identity
-    indexed.join(broadcast(probing), Seq("list_id"))
+    // no forced broadcast (see annTopK): bounded-query callers hint at
+    // the call site (x16); a corpus-sized probe side must keep the
+    // shuffle join
+    indexed.join(probing, Seq("list_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (dotQ(col("q_qv"), col("n_qv")).cast("double") /

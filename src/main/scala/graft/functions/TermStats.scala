@@ -118,8 +118,10 @@ object TermStats {
   * including empty tokens from consecutive delimiters.
   *
   * NULL contract: NULL token array → NULL result, matching the explode
-  * spelling's dropped rows (callers filter or coalesce). Fewer than n
-  * tokens → (0, 0).
+  * spelling's dropped rows (callers filter or coalesce). NULL ELEMENTS
+  * are skipped inside a gram — concat_ws semantics, so the reference
+  * spelling and this one agree on arrays not produced by `split` too.
+  * Fewer than n tokens → (0, 0).
   */
 case class ShingleDupStats(child: Expression, n: Int) extends UnaryExpression {
 
@@ -159,16 +161,22 @@ object ShingleDupStats {
       return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
         Array[Any](0L, 0L))
     val seen = new java.util.HashSet[UTF8String](total * 2)
+    // concat_ws semantics: NULL tokens are SKIPPED (no separator either),
+    // so the gram is the join of the window's non-null tokens
     val parts = new Array[UTF8String](2 * n - 1)
     var i = 0
     while (i < total) {
+      var np = 0
       var k = 0
       while (k < n) {
-        parts(2 * k) = toks.getUTF8String(i + k)
-        if (k < n - 1) parts(2 * k + 1) = Space
+        val t = toks.getUTF8String(i + k)
+        if (t != null) {
+          if (np > 0) { parts(np) = Space; np += 1 }
+          parts(np) = t; np += 1
+        }
         k += 1
       }
-      seen.add(UTF8String.concat(parts: _*))
+      seen.add(UTF8String.concat(parts.take(np).toIndexedSeq: _*))
       i += 1
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(

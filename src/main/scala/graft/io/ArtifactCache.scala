@@ -23,11 +23,23 @@ package graft.io
 object ArtifactCache {
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
 
-  /** The artifact for `key`, building it on first use. `build` may run
-    * Spark jobs; it executes at most once per key per JVM (concurrent
-    * first-callers serialize on the key's mapping). */
-  def getOrBuild[T <: AnyRef](key: String)(build: => T): T =
-    cache.computeIfAbsent(key, _ => build).asInstanceOf[T]
+  /** The artifact for `key`, building it on first use.
+    *
+    * NOT computeIfAbsent: a build closure may itself read through this
+    * cache (x29's bloom build scans Tables, whose import path caches the
+    * re-layout location here), and CHM's mapping function must not
+    * touch the map — a same-bin nested call throws "Recursive update".
+    * get → build → putIfAbsent instead: re-entrant, at the cost that two
+    * concurrent first-callers may both run `build` (builds are
+    * deterministic and value-identical by the cache's own contract —
+    * the loser's copy is discarded and the first stored value wins). */
+  def getOrBuild[T <: AnyRef](key: String)(build: => T): T = {
+    val hit = cache.get(key)
+    if (hit != null) return hit.asInstanceOf[T]
+    val built = build
+    val raced = cache.putIfAbsent(key, built)
+    (if (raced != null) raced else built).asInstanceOf[T]
+  }
 
   /** Drop every cached artifact (tests, or pipelines that rewrite a
     * dataset path in-place mid-session). */

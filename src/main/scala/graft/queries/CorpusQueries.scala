@@ -213,6 +213,11 @@ object CorpusQueries {
     // X24 — HyperLogLog distinct 3-grams per language (custom mergeable
     // Aggregator, graft.functions.HyperLogLog) next to the exact count.
     // The oracle rebuilds the identical 64 registers and estimate.
+    // NOTE on exact_distinct: both engines count distinct 60-bit md5
+    // prefixes (h60) — gram identity at ~n²/2⁶¹ collision odds, the same
+    // identity x23/x7 use — so the "exact" companion is exact over h60
+    // classes, not raw strings; the two sides truncate identically and
+    // stay value-equal either way.
     QueryDef(
       "x24_hll_distinct",
       (s, d) => {

@@ -746,8 +746,10 @@ object ExtQueries {
         "x15_ann_topk",
         (s, d) => {
           val base = Tables.embeddings(s, d)
+          // bounded query set (8 ids) → broadcast hint at the call site;
+          // the operator itself stays shuffle-join for unbounded callers
           Similarity.annTopK(
-            base.filter(col("vec_id") < 8), base, "vec_id", "embedding",
+            broadcast(base.filter(col("vec_id") < 8)), base, "vec_id", "embedding",
             k = 5, numPlanes = nPlanes, dim = dim)
             .withColumnRenamed("rank", "rnk")
             .orderBy("query_id", "rnk")
@@ -803,8 +805,9 @@ object ExtQueries {
         val base = Tables.embeddings(s, d)
         val cents = graft.io.ArtifactCache.getOrBuild(s"ivf-centroids:16:$d")(
           Similarity.trainIvfCentroids(base, "vec_id", "embedding", nLists = 16))
+        // bounded query set → broadcast hint at the call site (see x15)
         Similarity.ivfTopKIndexed(
-          base.filter(col("vec_id") < 8), base, "vec_id", "embedding",
+          broadcast(base.filter(col("vec_id") < 8)), base, "vec_id", "embedding",
           k = 5, centroids = cents, nProbe = 4)
           .withColumnRenamed("rank", "rnk")
           .orderBy("query_id", "rnk")

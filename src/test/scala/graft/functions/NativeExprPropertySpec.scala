@@ -57,6 +57,16 @@ class NativeExprPropertySpec extends AnyFunSuite {
       assert(native.except(ref).count() == 0 && ref.except(native).count() == 0,
         s"n=$n")
     }
+    // null ELEMENTS (not producible via split): concat_ws skip semantics
+    val withNulls = spark.sql(
+      "SELECT array('a', CAST(NULL AS STRING), 'b', 'a', NULL, 'b') AS t")
+    val got = withNulls.select(
+      ShingleDupStats(col("t"), 2).getField("total").as("total"),
+      ShingleDupStats(col("t"), 2).getField("dist").as("dist")).head()
+    val shs = Dedup.shinglesFromTokens(col("t"), 2)
+    val want = withNulls.select(
+      size(shs).cast("long"), size(array_distinct(shs)).cast("long")).head()
+    assert((got.getLong(0), got.getLong(1)) == (want.getLong(0), want.getLong(1)))
   }
 
   test("property: Simhash32 matches the exploded groupBy reference on generated docs") {

@@ -187,6 +187,10 @@ object Run {
     spark.sparkContext.setLogLevel("WARN")
     try {
       val summary = execute(spark, args)
+      // reference run.py emits the summary through its configured logger
+      // (utils/logging.py); the bare println stays as the CLI's stdout
+      // contract for scripted callers
+      graft.etl.Log.getLogger("graft.Run").info(summary)
       println(summary)
     } finally spark.stop()
   }

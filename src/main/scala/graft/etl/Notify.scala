@@ -16,7 +16,7 @@ object Notify {
   /** Pluggable transport (message, level) — swap for SMTP/webhook in
     * production; tests capture it. Defaults to the engine's log. */
   @volatile var transport: (String, String) => Unit = (msg, level) =>
-    org.slf4j.LoggerFactory.getLogger("graft.etl.Notify").error(s"[$level] $msg")
+    Log.getLogger("graft.etl.Notify").error(s"[$level] $msg")
 
   /** notify.py's message shape: subject-tagged plain text. Never throws
     * (the reference swallows transport errors — a failed notification

@@ -19,7 +19,21 @@ object Partitioning {
     */
   def fanOut(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // The degeneracy check reads the INPUT FILE LIST, not
+    // rdd.getNumPartitions: the partition count forces full physical
+    // planning (+ RDD DAG construction) of the sub-frame on EVERY query
+    // construction — measured 0.1-0.15 s per fanOut call at round 6,
+    // the dominant plan-time cost of the fanOut queries — while the
+    // file list resolves from Spark's session-cached file index without
+    // planning. A many-file source parallelizes natively (the no-op
+    // case); a few-file source gets the bounded exchange. Non-file
+    // sources (in-memory relations — file list empty) fall back to the
+    // exact partition check.
+    val files = df.inputFiles.length
+    if (files == 0) {
+      if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    } else if (files < math.min(target, 8)) df.repartition(target)
+    else df
   }
 
   /** Globally-ordered, parallelism-pinned layout for queries that run an

@@ -25,14 +25,21 @@ object Partitioning {
     // construction — measured 0.1-0.15 s per fanOut call at round 6,
     // the dominant plan-time cost of the fanOut queries — while the
     // file list resolves from Spark's session-cached file index without
-    // planning. A many-file source parallelizes natively (the no-op
-    // case); a few-file source gets the bounded exchange. Non-file
-    // sources (in-memory relations — file list empty) fall back to the
+    // planning. The file count is a HEURISTIC for scan parallelism
+    // (Spark's bin-packing sizes splits to defaultParallelism, so on
+    // the bench host files ≈ partitions), with two documented edges:
+    // a single SPLITTABLE multi-row-group file repartitions although
+    // the scan would parallelize (bounded cost, and fanOut's contract
+    // already restricts it to pipelines where per-row compute dwarfs
+    // one row's shuffle), and a caller-derived frame whose shuffle
+    // output was coalesced still reports its source's files — wrap the
+    // SOURCE, not a post-exchange frame (every in-tree call site does).
+    // Non-file sources (in-memory relations — empty file list) keep the
     // exact partition check.
     val files = df.inputFiles.length
     if (files == 0) {
       if (df.rdd.getNumPartitions < target) df.repartition(target) else df
-    } else if (files < math.min(target, 8)) df.repartition(target)
+    } else if (files < math.max(target / 2, 2)) df.repartition(target)
     else df
   }
 

@@ -22,12 +22,27 @@ class LogSpec extends AnyFunSuite {
     assert(ns.isAdditive)
   }
 
-  test("spark root logger config is untouched by the graft namespace opt-in") {
+  test("spark root logger level and appenders are untouched by the namespace opt-in") {
+    import org.apache.logging.log4j.LogManager
+    import org.apache.logging.log4j.core.LoggerContext
+    def root = LogManager.getContext(false)
+      .asInstanceOf[LoggerContext].getConfiguration.getRootLogger
+    val (levelBefore, appendersBefore) =
+      (root.getLevel, root.getAppenders.keySet().toString)
+    Log.getLogger("graft.test.LogSpec")
+    assert(root.getLevel == levelBefore)
+    assert(root.getAppenders.keySet().toString == appendersBefore)
+  }
+
+  test("config survives a log4j2 reconfiguration (Spark swaps the Configuration in)") {
     Log.getLogger("graft.test.LogSpec")
     import org.apache.logging.log4j.LogManager
     import org.apache.logging.log4j.core.LoggerContext
     val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
-    val root = ctx.getConfiguration.getRootLogger
-    assert(root.getName != "graft") // namespace config never replaces root
+    ctx.reconfigure() // discards the installed namespace config
+    val after = Log.getLogger("graft.test.LogSpec2")
+    assert(after.isInfoEnabled) // re-ensured against the NEW configuration
+    val cfg = ctx.getConfiguration
+    assert(cfg.getLoggerConfig("graft.test.LogSpec2").getName == "graft")
   }
 }

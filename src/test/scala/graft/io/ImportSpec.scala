@@ -12,13 +12,24 @@ import org.scalatest.funsuite.AnyFunSuite
 class ImportSpec extends AnyFunSuite {
   private val spark = SparkTestSession.spark
 
+  // importEnabled also reads the env var, which a test JVM can't unset —
+  // flag-off assertions below would silently invert under a bench shell
+  // that exports it, so skip cleanly there
+  private val envClean = !sys.env.contains("SPARK_GRAFT_IMPORT")
+
   private def withImport[T](body: => T): T = {
     sys.props("graft.import") = "1"
     try body
     finally sys.props.remove("graft.import")
   }
 
+  private def deleteRecursively(p: java.io.File): Unit = {
+    if (p.isDirectory) p.listFiles().foreach(deleteRecursively)
+    p.delete()
+  }
+
   test("tables under the split threshold serve the original single file") {
+    assume(envClean)
     val d = "/root/testdata/sf0.001"
     withImport {
       val df = Tables.lineitem(spark, d) // 6k rows at sf0.001 — below 2×25k
@@ -28,24 +39,32 @@ class ImportSpec extends AnyFunSuite {
   }
 
   test("row-heavy tables split by row count and results are layout-independent") {
+    assume(envClean)
     val dir = java.nio.file.Files.createTempDirectory("graft_import_spec").toString
-    import spark.implicits._
-    // 120k rows → 120k/25k = 4 files
-    (1L to 120000L).map(i => (i, i % 97, s"v$i"))
-      .toDF("o_orderkey", "k", "v")
-      .coalesce(1).write.parquet(s"$dir/orders.parquet")
-    val plain = Tables.orders(spark, dir)
-      .groupBy("k").agg(count(lit(1)).as("n"), sum("o_orderkey").as("s"))
-      .orderBy("k").collect().toSeq
-    val (files, imported) = withImport {
-      val df = Tables.orders(spark, dir)
-      (df.inputFiles.length,
-        df.groupBy("k").agg(count(lit(1)).as("n"), sum("o_orderkey").as("s"))
-          .orderBy("k").collect().toSeq)
-    }
-    assert(files == 4, s"expected 4 imported files, got $files")
-    assert(imported == plain)
-    // flag off again → original single file (no sticky state)
-    assert(Tables.orders(spark, dir).inputFiles.length == 1)
+    try {
+      import spark.implicits._
+      // 120k rows → 120k/25k = 4 files
+      (1L to 120000L).map(i => (i, i % 97, s"v$i"))
+        .toDF("o_orderkey", "k", "v")
+        .coalesce(1).write.parquet(s"$dir/orders.parquet")
+      val plain = Tables.orders(spark, dir)
+        .groupBy("k").agg(count(lit(1)).as("n"), sum("o_orderkey").as("s"))
+        .orderBy("k").collect().toSeq
+      val (files, imported, importedPath) = withImport {
+        val df = Tables.orders(spark, dir)
+        (df.inputFiles.length,
+          df.groupBy("k").agg(count(lit(1)).as("n"), sum("o_orderkey").as("s"))
+            .orderBy("k").collect().toSeq,
+          df.inputFiles.headOption.map(f =>
+            new java.io.File(new java.net.URI(f)).getParentFile))
+      }
+      assert(files == 4, s"expected 4 imported files, got $files")
+      assert(imported == plain)
+      // flag off again → original single file (no sticky state)
+      assert(Tables.orders(spark, dir).inputFiles.length == 1)
+      // drop the RAM-backed import copy — repeated suite runs must not
+      // accumulate tmpfs state under the bench's scratch dir
+      importedPath.foreach(deleteRecursively)
+    } finally deleteRecursively(new java.io.File(dir))
   }
 }

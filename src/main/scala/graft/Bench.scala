@@ -18,7 +18,13 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // A/B knob: post-shuffle parallelism sized to the SF's data, not
+      // the core count (the brief's own sizing rule) — at sf0.1 most
+      // exchanges carry <1M rows and 32 reduce tasks are launch-overhead
+      // dominated; AQE coalesces them anyway, so the knob mostly moves
+      // the ADVISORY pre-coalesce count. Default stays cpus.
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -101,17 +101,45 @@ class PlanSpec extends AnyFunSuite {
       s"x15 degenerated to an all-pairs join:\n${plan.linesIterator.take(25).mkString("\n")}")
   }
 
-  test("IVF top-k: the only nested-loop is the bounded broadcast centroid assign (X16)") {
-    // centroid assignment is a deliberate BroadcastNestedLoopJoin against
-    // a <= nLists-row table; the candidate join itself must be an
-    // equi-join on list_id and nothing may plan a CartesianProduct
+  test("IVF top-k: map-side centroid assignment, zero nested-loop joins (X16)") {
+    // since round 6 the assignment is the native IvfNearestLists
+    // expression — centroids ride inside the expression, so NO join of
+    // any kind exists for it; the candidate join is an equi-join on
+    // list_id and the query side broadcasts (bounded by the call site)
     val plan = planOf(SparkEntry.queries("x16_ivf_topk")(spark, sf))
     assert(!plan.contains("CartesianProduct"),
       s"x16 planned a cartesian:\n${plan.linesIterator.take(25).mkString("\n")}")
-    val nlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
-    assert(nlj <= 2, // corpus assign + query assign, nothing else
-      s"x16 planned $nlj nested-loop joins (expected <= 2, the centroid assigns)")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "centroid assignment regressed from the native expression to a join")
+    assert(plan.contains("ivf_nearest_lists"), "native assignment expression missing")
     assert(plan.contains("list_id"), "candidate join no longer keyed on list_id")
+    assert(plan.contains("BroadcastHashJoin"), "bounded query side no longer broadcast")
+  }
+
+  test("bloom prefilter: literal filter bits, no round-robin exchange (X29)") {
+    // the 512-byte filter ships as a LITERAL in the probe projection
+    // (runtime-filter shape) — the only broadcast is the exact-count
+    // part-key join — and with the integer LCG family the per-row probe
+    // is too cheap to justify fanOut's exchange (round-6 A/B)
+    val plan = planOf(SparkEntry.queries("x29_bloom_prefilter")(spark, sf))
+    assert(!plan.contains("RoundRobinPartitioning"),
+      s"x29 re-grew a fanOut exchange:\n${plan.linesIterator.take(20).mkString("\n")}")
+    assert(plan.linesIterator.count(_.contains("BroadcastExchange")) == 1,
+      "expected exactly one broadcast (the exact-count part keys)")
+  }
+
+  test("repetition stats: single pass, no gram explode, no shuffle before the sort (X17)") {
+    val plan = planOf(SparkEntry.queries("x17_repetition")(spark, sf))
+    assert(plan.contains("shingle_dup_stats"), "native shingle stats expression missing")
+    assert(!plan.contains("Generate"),
+      s"x17 re-grew a gram explode:\n${plan.linesIterator.take(20).mkString("\n")}")
+  }
+
+  test("minhash LSH candidates serve from the session index; the report is a local scan (X6)") {
+    val plan = planOf(SparkEntry.queries("x6_minhash_lsh")(spark, sf))
+    assert(plan.contains("LocalTableScan") || plan.contains("Scan ExistingRDD"),
+      s"x6 rebuilt the candidate pipeline instead of serving the index:\n" +
+        plan.linesIterator.take(20).mkString("\n"))
   }
 
   test("contamination broadcasts the benchmark gram set; the corpus side never shuffles pre-join (X22)") {
@@ -130,14 +158,14 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("BLANKET: no query in the suite plans a CartesianProduct; nested-loops only on the allowlist") {
-    // the only sanctioned BroadcastNestedLoopJoins: x16's bounded
-    // centroid assigns, x9's brute-force baseline (corpus streamed
-    // against a broadcast handful of query vectors), and x21's scalar
-    // corpus-count broadcast (a ONE-row build — the standard scalar-
-    // subquery shape, replacing an eager driver-side .count() job)
-    // (x29's bloom-bits broadcast is the same one-row shape)
-    val bnljAllowed =
-      Set("x16_ivf_topk", "x9_cosine_topk", "x21_tfidf_topk", "x29_bloom_prefilter")
+    // the only sanctioned BroadcastNestedLoopJoin: x9's brute-force
+    // baseline (corpus streamed against a broadcast handful of query
+    // vectors with a non-equi self-exclusion predicate). x16 lost its
+    // BNLJs to the native IvfNearestLists expression and x29/x21 carry
+    // their tiny artifacts as literals since round 6 — if any of them
+    // re-grow a nested loop, this gate must fail, so they are NOT
+    // allowlisted anymore.
+    val bnljAllowed = Set("x9_cosine_topk")
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = planOf(fn(spark, sf))
       val cart = plan.contains("CartesianProduct")

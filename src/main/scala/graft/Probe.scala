@@ -32,6 +32,13 @@ object Probe {
     spark.sparkContext.setLogLevel("WARN")
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ graft.plans.RewriteLongDotProduct
+    // mirror Bench's warehouse import (same default, same knob): probed
+    // per-query numbers must be read against the layout Bench times, or
+    // the dev loop optimizes the wrong floor (bit round 6 — probe showed
+    // original-layout costs for import-affected queries)
+    if (sys.env.getOrElse("SPARK_GRAFT_IMPORT", "1") != "0")
+      sys.props("graft.import") = "1"
+    graft.io.Tables.importAll(spark, sfDir)
 
     def timed(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9

@@ -76,6 +76,34 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("prefixSum is exact on a key range wider than Long.MaxValue (no rebase overflow)") {
+    import org.apache.spark.sql.expressions.Window
+    // a 64-bit monotone hash image: span mx-mn overflows a signed long,
+    // so any (k - min) rebase would overflow (ANSI throws) or collapse
+    // the buckets — the shift-bucket spelling must stay exact
+    val rows = Seq(
+      (Long.MinValue + 1, 3L), (Long.MinValue / 2, 5L), (-7919L, 2L),
+      (0L, 11L), (4242L, 1L), (Long.MaxValue / 2, 7L), (Long.MaxValue - 1, 4L))
+    val df = rows.toDF("id", "v").repartition(4)
+    val got = Corpus.prefixSum(df, "id", "v", "cum")
+      .orderBy("id").select("id", "cum")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = rows.toDF("id", "v")
+      .withColumn("cum", sum(col("v")).over(Window.orderBy("id")))
+      .orderBy("id").select("id", "cum")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want)
+  }
+
+  test("prefixSum fails loud on a NULL sort key instead of mis-ranking it") {
+    val df = Seq((Some(1L), 2L), (None, 3L), (Some(5L), 4L))
+      .toDF("id", "v")
+    val e = intercept[Exception] {
+      Corpus.prefixSum(df, "id", "v", "cum").collect()
+    }
+    assert(e.getMessage.contains("NULL id"), e.getMessage)
+  }
+
   test("curationPipeline filters low quality, keeps the lowest-id copy, chunks the rest") {
     // high-quality text: stopword-rich, long, no punctuation
     val good = (("the a an and of to in is it that " * 12).trim)

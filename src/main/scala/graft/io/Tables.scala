@@ -100,8 +100,18 @@ object Tables {
         if (parts < 2) path
         else {
           val dst = s"$importDir/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
-          src.repartition(parts).write.mode("overwrite").parquet(dst)
-          dst
+          // fail-soft: an import that cannot write (scratch-dir space /
+          // permissions) must degrade to the original layout, not kill
+          // every query that touches the table
+          try {
+            src.repartition(parts).write.mode("overwrite").parquet(dst)
+            dst
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              graft.etl.Log.getLogger("graft.io.Tables").warn(
+                s"warehouse import of $name failed (${e.getMessage}); serving original layout")
+              path
+          }
         }
       }
       spark.read.schema(sch).parquet(serve)

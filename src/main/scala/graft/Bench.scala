@@ -89,8 +89,14 @@ object Bench {
     spark.catalog.clearCache() // drop warmup-persisted frames
     // Best-of-N (default 3) per query: one timed run is dominated by
     // GC/scheduling noise at these sub-second scales (±50% observed); the
-    // min of the runs measures the plan's inherent cost. Caches are
-    // cleared between runs so each measurement is self-contained.
+    // min of the runs measures the plan's inherent cost. Between runs BOTH
+    // cache layers are dropped — spark.catalog AND the ArtifactCache's
+    // per-query artifacts (bloom bits, centroids, dedup indexes) — so
+    // every rep pays its own builds, exactly like the DuckDB side
+    // re-executing the full oracle SQL each rep. The only entries kept
+    // are the `import:` re-layout paths: that one-time ingest cost is
+    // reported separately (import_sec) and rebuilding it mid-run would
+    // rewrite files in-flight queries are reading.
     //
     // Materialization is a NOOP-SINK WRITE, not count(): under
     // Aggregate(count(1)) Catalyst prunes every projected column and
@@ -106,7 +112,9 @@ object Bench {
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => failed += name }
         val elapsed = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache() // between-run hygiene, outside the timing
+        // between-run hygiene, outside the timing: both cache layers
+        spark.catalog.clearCache()
+        graft.io.ArtifactCache.retainOnly(_.startsWith("import:"))
         // Pay down GC debt OUTSIDE the timed window: without this, heap
         // pressure built up by earlier queries lands as multi-second GC
         // pauses inside a later query's timing (observed: a 0.4 s query

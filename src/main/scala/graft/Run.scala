@@ -188,9 +188,11 @@ object Run {
     try {
       val summary = execute(spark, args)
       // reference run.py emits the summary through its configured logger
-      // (utils/logging.py); the bare println stays as the CLI's stdout
-      // contract for scripted callers
-      graft.etl.Log.getLogger("graft.Run").info(summary)
+      // (utils/logging.py) — kept at DEBUG so the console shows the line
+      // once: the bare println is the CLI's stdout contract for scripted
+      // callers, and the graft log namespace is additive into the same
+      // console appender
+      graft.etl.Log.getLogger("graft.Run").debug(summary)
       println(summary)
     } finally spark.stop()
   }

@@ -199,7 +199,11 @@ object Corpus {
     // is x >> 1), so an uncapped full-range shift would WIDEN the id set
     val shift = math.min(63, math.max(0, span.bitLength - nbBits))
     val bucketed = df.withColumn("_pid", shiftright(k, shift))
-    val offsets = cached("offsets") {
+    // shift is part of the key: bucket ids are the key's high bits UNDER
+    // THIS SHIFT, and shift derives from the runtime-mutable shuffle
+    // partition conf — offsets cached under one shift must never join
+    // rows bucketed under another (silently wrong cumulative sums)
+    val offsets = cached(s"offsets:$shift") {
       val partials = bucketed.groupBy("_pid").agg(sum(v).as("_psum"))
         .collect().map { r =>
           // a NULL key has no position in a total order — fail loud, not

@@ -13,15 +13,62 @@ package graft.io
   *
   * Scope and correctness: entries are keyed by dataset path + build
   * parameters, and hold small DRIVER-side values (a 512-byte filter, ≤64
-  * centroids, a vocabulary) — never corpus-sized state. Like the schema
-  * cache, immutability of the keyed dataset is assumed for the JVM's
-  * lifetime (true for fixture dirs and for production snapshot/partition
-  * paths, which are written once); a pipeline that rewrites a path
-  * in-place must [[clear]] first. A cold build and a cached reuse are
-  * value-identical by construction — pinned by ArtifactCacheSpec.
+  * centroids, a vocabulary) — never corpus-sized state. That bound is
+  * ENFORCED, not assumed: [[getOrBuild]] size-estimates every built
+  * value and refuses to cache one above [[maxBytes]] (the value is still
+  * returned — correctness is never gated on cacheability — but each
+  * construction then pays its own build, which surfaces the misuse in
+  * the bench instead of hiding corpus-sized state on the driver). Query
+  * sites whose artifact GROWS with the corpus (LSH candidate pairs,
+  * cluster maps, vocabularies) must not collect-then-hope: they dispatch
+  * through [[Regime.collectIfSmall]] and fall back to the distributed
+  * frame above the row bound — pinned by RegimeSpec.
+  *
+  * Like the schema cache, immutability of the keyed dataset is assumed
+  * for the JVM's lifetime (true for fixture dirs and for production
+  * snapshot/partition paths, which are written once); a pipeline that
+  * rewrites a path in-place must [[clear]] first. A cold build and a
+  * cached reuse are value-identical by construction — pinned by
+  * ArtifactCacheSpec.
   */
 object ArtifactCache {
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+
+  /** Per-artifact driver-size cap in (estimated) bytes. ~1 MB holds every
+    * legitimate artifact class this engine caches — filter bits,
+    * centroid sets, import paths, bounded vocabularies — with an order
+    * of magnitude to spare, while a corpus-scale collect blows through
+    * it immediately. */
+  private[graft] def maxBytes: Long =
+    sys.props.get("graft.artifact.maxBytes").map(_.toLong).getOrElse(1L << 20)
+
+  /** Builds refused by the size cap (observability for specs/bench). */
+  private[graft] val rejected = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Rough driver-heap estimate of an artifact. Long sequences are sized
+    * from a 64-element sample — exactness is pointless here; the cap
+    * separates kilobytes from corpus-sized collects, not 1.0 MB from
+    * 1.1 MB. Unknown leaf types count a flat 64 bytes: a cacheable
+    * artifact of unknown SCALE should be wrapped in a sized collection,
+    * not smuggled past the estimator (a bare DataFrame handle is fine —
+    * its data lives distributed, not on the driver). */
+  private[io] def roughBytes(v: Any): Long = v match {
+    case null => 0L
+    case b: Array[Byte] => 16L + b.length
+    case s: String => 40L + 2L * s.length
+    case a: Array[_] => seqBytes(a.length, a.iterator)
+    case o: Option[_] => 16L + o.map(roughBytes).sum
+    case e: Either[_, _] => 16L + e.fold(roughBytes, roughBytes)
+    case _: java.lang.Number | _: java.lang.Boolean | _: java.lang.Character => 16L
+    case p: Product => 16L + p.productIterator.map(roughBytes).sum
+    case it: scala.collection.Iterable[_] => seqBytes(it.size, it.iterator)
+    case _ => 64L
+  }
+  private def seqBytes(n: Int, it: Iterator[Any]): Long = {
+    if (n == 0) return 48L
+    val sample = it.take(64).map(roughBytes).toIndexedSeq
+    48L + n.toLong * (sample.sum / sample.length)
+  }
 
   /** The artifact for `key`, building it on first use.
     *
@@ -37,6 +84,16 @@ object ArtifactCache {
     val hit = cache.get(key)
     if (hit != null) return hit.asInstanceOf[T]
     val built = build
+    val est = roughBytes(built)
+    if (est > maxBytes) {
+      // serve but never store: the driver-small contract is enforced
+      // here, not documented-and-hoped (r6 verdict item 1)
+      rejected.incrementAndGet()
+      graft.etl.Log.getLogger("graft.io.ArtifactCache").warn(
+        s"artifact '$key' ~$est bytes exceeds the $maxBytes-byte driver cap — " +
+          "serving uncached; fix the call site to dispatch a distributed regime")
+      return built
+    }
     val raced = cache.putIfAbsent(key, built)
     (if (raced != null) raced else built).asInstanceOf[T]
   }
@@ -44,6 +101,14 @@ object ArtifactCache {
   /** Drop every cached artifact (tests, or pipelines that rewrite a
     * dataset path in-place mid-session). */
   def clear(): Unit = cache.clear()
+
+  /** Drop entries whose key fails `keep` — Bench's between-rep hygiene
+    * drops every per-query artifact (so each rep pays its own builds,
+    * like the oracle does) while keeping the `import:` re-layout paths,
+    * whose one-time ingest cost is measured separately as import_sec and
+    * whose mid-run rebuild would rewrite files queries are reading. */
+  private[graft] def retainOnly(keep: String => Boolean): Unit =
+    cache.keySet().removeIf(k => !keep(k))
 
   private[graft] def size: Int = cache.size()
 }

@@ -1,0 +1,49 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** Measured-size regime dispatch for dual-regime query sites.
+  *
+  * Several operators have two legitimate physical shapes: a driver-side
+  * artifact when the derived state is provably small (an LSH candidate
+  * list on a deduplicated snapshot, a bounded vocabulary) and a fully
+  * distributed frame when it is not (a 100 TB web corpus's candidate set
+  * or term vocabulary is billions of rows — "pair participants only"
+  * does not make it driver-small). The choice must be made by MEASURED
+  * size, not assumption: [[collectIfSmall]] probes the frame with a
+  * `limit(bound + 1)` collect — one job either way, and in the
+  * under-bound case the probe IS the complete result set (a limit above
+  * the true row count returns every row) — and returns `None` above the
+  * bound, telling the site to serve the distributed plan instead.
+  *
+  * The bound is rows, not bytes, because the gated artifacts are
+  * fixed-width rows (id pairs, (term, count)); `graft.regime
+  * .collectMaxRows` overrides it (specs plant a tiny bound to force the
+  * distributed regime on fixture data — RegimeSpec). Decisions are
+  * recorded per key for test observability.
+  */
+object Regime {
+  /** Row bound for "driver-small". 2^20 fixed-width rows ≈ tens of MB —
+    * past anything that should transit the driver per the
+    * [[ArtifactCache]] contract, yet far under any corpus-growing
+    * artifact at real scale. */
+  def collectMaxRows: Int =
+    sys.props.get("graft.regime.collectMaxRows").map(_.toInt).getOrElse(1 << 20)
+
+  /** Last dispatch decision per artifact key ("collected" |
+    * "distributed") — spec observability, never control flow. */
+  private[graft] val lastDecision =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The complete rows of `df` iff it holds at most [[collectMaxRows]]
+    * of them, else `None`. The over-bound probe still computes the
+    * frame (aggregation forces it) but transfers only bound+1 rows —
+    * the driver never holds the oversized artifact. */
+  def collectIfSmall(key: String, df: DataFrame): Option[IndexedSeq[Row]] = {
+    val bound = collectMaxRows
+    val probe = df.limit(bound + 1).collect()
+    val fits = probe.length <= bound
+    lastDecision.put(key, if (fits) "collected" else "distributed")
+    if (fits) Some(probe.toIndexedSeq) else None
+  }
+}

@@ -104,7 +104,30 @@ object Tables {
           // permissions) must degrade to the original layout, not kill
           // every query that touches the table
           try {
-            src.repartition(parts).write.mode("overwrite").parquet(dst)
+            // Write to a caller-unique staging dir, then one atomic
+            // rename into place: getOrBuild tolerates duplicate builds
+            // (value-identical, loser discarded), but two first-callers
+            // overwrite-writing the SAME dst could interleave
+            // delete/commit and serve a mixed file set. With staging,
+            // the rename loser just deletes its copy and serves the
+            // winner's — which is complete by construction.
+            val staging = new java.io.File(
+              s"$dst.staging-${java.util.UUID.randomUUID().toString.take(8)}")
+            src.repartition(parts).write.mode("overwrite")
+              .parquet(staging.getAbsolutePath)
+            val dstFile = new java.io.File(dst)
+            dstFile.getParentFile.mkdirs()
+            try java.nio.file.Files.move(staging.toPath, dstFile.toPath,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            catch {
+              case _: java.nio.file.FileAlreadyExistsException |
+                   _: java.nio.file.AccessDeniedException |
+                   _: java.nio.file.FileSystemException =>
+                // a concurrent import won the rename — serve its copy
+                if (!dstFile.isDirectory) throw new java.io.IOException(
+                  s"import rename of $name lost to no winner")
+                org.apache.commons.io.FileUtils.deleteDirectory(staging)
+            }
             dst
           } catch {
             case scala.util.control.NonFatal(e) =>

@@ -36,15 +36,20 @@ object ZOrder {
   /** Z-ordered layout: range-partition by the Morton key of (d1, d2) and
     * sort within partitions — the shape to put in front of a warehouse
     * write so downstream scans prune on either dimension. The z-key
-    * column is dropped from the result. */
-  def layoutBy(df: DataFrame, d1: Column, d2: Column): DataFrame = {
+    * column is dropped from the result. `numFiles` sizes the range
+    * partitioning (0 = session default); at scale pick it so files land
+    * in the 100-500 MB band, same rule as bucket counts. The resulting
+    * skip ratio is pinned end-to-end in ZOrderSpec via [[Layout]]'s
+    * footer-stats evaluator plus the scan's own row metrics. */
+  def layoutBy(df: DataFrame, d1: Column, d2: Column, numFiles: Int = 0): DataFrame = {
     // loud, not silent: withColumn would overwrite (and drop below) a
     // caller's own _zkey column
     require(!df.columns.contains("_zkey"),
       "layoutBy: input already has a _zkey column")
     val keyed = df.withColumn("_zkey", interleave16(d1, d2))
-    keyed.repartitionByRange(col("_zkey"))
-      .sortWithinPartitions("_zkey")
-      .drop("_zkey")
+    val ranged =
+      if (numFiles > 0) keyed.repartitionByRange(numFiles, col("_zkey"))
+      else keyed.repartitionByRange(col("_zkey"))
+    ranged.sortWithinPartitions("_zkey").drop("_zkey")
   }
 }

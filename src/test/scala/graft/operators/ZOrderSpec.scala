@@ -49,6 +49,60 @@ class ZOrderSpec extends AnyFunSuite {
     assert(alongB == alongB.sorted && alongB.distinct == alongB)
   }
 
+  test("z-ordered files prune on BOTH dimensions: footer stats skip most files, the scan reads fewer rows") {
+    // The end-to-end "layout pays" proof (r6 verdict item 3): write
+    // orders-shaped rows z-ordered by (custkey, orderday), read back
+    // with a single-customer predicate, and demonstrate skipping at two
+    // levels — (a) footer min/max: a file-stats reader skips most files
+    // on EITHER dimension (a plain sort gives that for its leading
+    // column only); (b) Spark's own parquet row-group pruning: the
+    // scan's numOutputRows collapses vs the same data in a hash layout.
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(200000)(
+      (rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong, rnd.nextLong()))
+    val df = rows.toDF("custkey", "orderday", "pay")
+    val dir = java.nio.file.Files.createTempDirectory("zorder-prune").toString
+    ZOrder.layoutBy(df, col("custkey"), col("orderday"), numFiles = 16)
+      .write.parquet(s"$dir/z")
+    df.repartition(16).write.parquet(s"$dir/hash")
+    val z = spark.read.parquet(s"$dir/z")
+    val hash = spark.read.parquet(s"$dir/hash")
+    val nZ = z.inputFiles.length
+    val nH = hash.inputFiles.length
+    // (a) footer-stats file skipping, on each dimension independently
+    val zCust = Layout.scannedFileCount(z, "custkey", 7, 7)
+    val zDay = Layout.scannedFileCount(z, "orderday", 7, 7)
+    val hCust = Layout.scannedFileCount(hash, "custkey", 7, 7)
+    assert(zCust * 2 <= nZ,
+      s"custkey predicate should skip ≥half the z files (scans $zCust of $nZ)")
+    assert(zDay * 2 <= nZ,
+      s"orderday predicate should skip ≥half the z files (scans $zDay of $nZ)")
+    assert(hCust == nH, "hash layout must have nothing to skip (control)")
+    info(s"footer skip ratio: custkey ${nZ - zCust}/$nZ, orderday ${nZ - zDay}/$nZ, hash 0/$nH")
+    // (b) realized in the engine: executed-scan output rows (post
+    // row-group pruning, pre exact filter) collapse under the z layout
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def scannedRows(src: org.apache.spark.sql.DataFrame): Long = {
+        val q = src.filter(col("custkey") === 7)
+        q.collect()
+        q.queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+        }.head.metrics("numOutputRows").value
+      }
+      val zRows = scannedRows(z)
+      val hRows = scannedRows(hash)
+      assert(hRows == 200000L, "hash layout scan should read every row (control)")
+      assert(zRows * 2 <= hRows,
+        s"z layout should halve scanned rows at least (z=$zRows hash=$hRows)")
+      info(s"scan rows: z=$zRows hash=$hRows of 200000")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    // both layouts agree on the answer, of course
+    assert(z.filter(col("custkey") === 7).count() ==
+      hash.filter(col("custkey") === 7).count())
+  }
+
   test("layoutBy plans a range exchange on the z-key and an in-partition sort") {
     val df = (1L to 1000L).map(i => (i, i % 37, i % 11)).toDF("id", "d1", "d2")
     val plan = ZOrder.layoutBy(df, col("d1"), col("d2"))

@@ -118,11 +118,15 @@ class PagedOrdersScanBuilder(
     retries: Int = 2, retryDelayMs: Long = 30000L)
     extends ScanBuilder
     with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
 
   private var minPage = 0
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = PagedOrders.schema
+  private var limitPages: Option[Int] = None
+  private var aggPushed: Option[Seq[StructField]] = None
 
   /** Timestamp cutoff → epoch micros, for BOTH timestamp object models:
     * Spark passes java.sql.Timestamp by default and java.time.Instant
@@ -162,26 +166,100 @@ class PagedOrdersScanBuilder(
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** LIMIT pushdown — the reference's `per_page` short-stop
+    * (`wc_client.py:36-49`: stop requesting once enough rows arrived) as
+    * a declarative contract: a pushed LIMIT caps the page span at
+    * ceil(limit / pageSize), so `df.limit(5)` fetches ONE page of a
+    * million-page backfill. Partial push (whole-page granularity):
+    * Spark re-applies the exact row limit on top. */
+  override def pushLimit(limit: Int): Boolean = {
+    limitPages = Some(math.max(1, (limit + pageSize - 1) / pageSize))
+    true
+  }
+  override def isPartiallyPushed(): Boolean = true
+
+  /** MIN/MAX/COUNT pushdown for the monotone columns: order ids and
+    * dates ascend in page order (the API's `orderby=date&order=asc`
+    * contract), so date bounds and the total count are PAGE ARITHMETIC —
+    * an a4_date_bounds-shaped probe answers from the pagination metadata
+    * and fetches ZERO pages, the way a REST client would read
+    * `X-WP-Total` instead of walking every page. Complete pushdown
+    * (single row, no re-aggregation); Spark only offers it when every
+    * filter was fully pushed, and this source always reports its filters
+    * as residual, so a filtered probe falls back to the pruned scan. */
+  import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
+  private def monotoneField(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference
+        if nr.fieldNames.length == 1 &&
+          (nr.fieldNames()(0) == "order_id" || nr.fieldNames()(0) == "order_date") =>
+        Some(nr.fieldNames()(0))
+      case _ => None
+    }
+  private def aggField(f: AggregateFunc): Option[StructField] = f match {
+    case m: Min => monotoneField(m.column).map(c => StructField(s"min($c)",
+      PagedOrders.schema(c).dataType, nullable = false))
+    case m: Max => monotoneField(m.column).map(c => StructField(s"max($c)",
+      PagedOrders.schema(c).dataType, nullable = false))
+    case _: CountStar => Some(StructField("count(*)", LongType, nullable = false))
+    case _ => None
+  }
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    aggregation.groupByExpressions.isEmpty &&
+      aggregation.aggregateExpressions.forall(aggField(_).isDefined)
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (!supportCompletePushDown(aggregation)) return false
+    aggPushed = Some(aggregation.aggregateExpressions.toSeq.map(aggField(_).get))
+    true
+  }
+
   override def build(): Scan = new Scan with Batch {
-    override def readSchema(): StructType = required
+    private val effSpan: Int = {
+      val s = math.max(0, pages - minPage)
+      limitPages.map(math.min(s, _)).getOrElse(s)
+    }
+    override def readSchema(): StructType =
+      aggPushed.map(fs => StructType(fs)).getOrElse(required)
     override def toBatch: Batch = this
     override def description(): String =
-      s"PagedOrdersScan(pages=[$minPage,$pages), pushed=${pushed.mkString(",")})"
+      s"PagedOrdersScan(pages=[$minPage,${minPage + effSpan}), " +
+        s"pushed=${pushed.mkString(",")}, limitPages=$limitPages, agg=$aggPushed)"
 
     override def planInputPartitions(): Array[InputPartition] = {
-      val span = math.max(0, pages - minPage)
-      val tasks = math.min(parallelism, math.max(1, span))
-      (0 until tasks).map { t =>
-        val start = minPage + (span * t) / tasks
-        val end = minPage + (span * (t + 1)) / tasks
-        PageRange(start, end, pageSize, required.fieldNames,
-          retries, retryDelayMs): InputPartition
-      }.toArray
+      aggPushed match {
+        case Some(fields) =>
+          // zero-fetch statistics row over [minPage, minPage+effSpan)
+          val firstId = minPage.toLong * pageSize
+          val lastId = (minPage + effSpan).toLong * pageSize - 1
+          val values = fields.map { f =>
+            f.name match {
+              case "min(order_id)" => firstId
+              case "max(order_id)" => lastId
+              case "min(order_date)" => PagedOrders.BaseMicros + firstId * PagedOrders.MicrosPerOrder
+              case "max(order_date)" => PagedOrders.BaseMicros + lastId * PagedOrders.MicrosPerOrder
+              case "count(*)" => effSpan.toLong * pageSize
+            }
+          }
+          Array(StatsRow(values.toArray): InputPartition)
+        case None =>
+          val span = effSpan
+          val tasks = math.min(parallelism, math.max(1, span))
+          (0 until tasks).map { t =>
+            val start = minPage + (span * t) / tasks
+            val end = minPage + (span * (t + 1)) / tasks
+            PageRange(start, end, pageSize, required.fieldNames,
+              retries, retryDelayMs): InputPartition
+          }.toArray
+      }
     }
     override def createReaderFactory(): PartitionReaderFactory =
       new PagedReaderFactory
   }
 }
+
+/** Single pre-computed statistics row for a completely-pushed
+  * aggregation — no page fetches. */
+case class StatsRow(values: Array[Long]) extends InputPartition
 
 case class PageRange(
     start: Int, end: Int, pageSize: Int, columns: Array[String],
@@ -189,8 +267,18 @@ case class PageRange(
     extends InputPartition
 
 class PagedReaderFactory extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val pr = partition.asInstanceOf[PageRange]
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = partition match {
+    case StatsRow(values) =>
+      new PartitionReader[InternalRow] {
+        private var emitted = false
+        override def next(): Boolean = { val n = !emitted; emitted = true; n }
+        override def get(): InternalRow = InternalRow.fromSeq(values.toIndexedSeq)
+        override def close(): Unit = ()
+      }
+    case pr: PageRange => createPageReader(pr)
+  }
+
+  private def createPageReader(pr: PageRange): PartitionReader[InternalRow] = {
     new PartitionReader[InternalRow] {
       // Per-PAGE retry (reference flow.py:44-46): a transient failure on
       // one page refetches that page only — Spark's task retry would

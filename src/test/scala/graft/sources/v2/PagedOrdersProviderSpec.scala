@@ -50,6 +50,49 @@ class PagedOrdersProviderSpec extends AnyFunSuite {
     assert(df.agg(min("order_id")).head().getLong(0) == 91L)
   }
 
+  test("LIMIT pushdown: a small limit fetches one page of the whole space (per_page short-stop)") {
+    PagedOrders.PageClient.fetched.set(0)
+    val five = read(pages = 64, pageSize = 50, parallelism = 4).limit(5).collect()
+    assert(five.length == 5)
+    assert(PagedOrders.PageClient.fetched.get() == 1,
+      s"limit(5) should fetch exactly 1 page, fetched ${PagedOrders.PageClient.fetched.get()}")
+    // page-granular partial push: a limit spanning pages fetches just those
+    PagedOrders.PageClient.fetched.set(0)
+    val many = read(pages = 64, pageSize = 50, parallelism = 4).limit(120).collect()
+    assert(many.length == 120)
+    assert(PagedOrders.PageClient.fetched.get() <= 3,
+      s"limit(120) at 50/page should fetch ≤3 pages, fetched ${PagedOrders.PageClient.fetched.get()}")
+  }
+
+  test("MIN/MAX/COUNT pushdown: date-bounds probes answer from pagination metadata, zero pages fetched") {
+    PagedOrders.PageClient.fetched.set(0)
+    val df = read(pages = 16, pageSize = 50)
+      .agg(min("order_date"), max("order_date"), count(lit(1)))
+    val r = df.head()
+    assert(PagedOrders.PageClient.fetched.get() == 0,
+      s"pushed aggregate must fetch no pages, fetched ${PagedOrders.PageClient.fetched.get()}")
+    // values equal the full-scan answers (checked against the generator's
+    // own arithmetic: ids 0..799, one minute apart)
+    val lastId = 16L * 50 - 1
+    assert(r.getTimestamp(0).getTime == PagedOrders.BaseMicros / 1000)
+    assert(r.getTimestamp(1).getTime ==
+      (PagedOrders.BaseMicros + lastId * PagedOrders.MicrosPerOrder) / 1000)
+    assert(r.getLong(2) == 800L)
+    // and the plan shows the scan, not a shuffling aggregate over it
+    assert(df.queryExecution.executedPlan.toString.contains("agg=Some"),
+      df.queryExecution.executedPlan.toString)
+    // a filtered probe must NOT complete-push (filters stay residual):
+    // it degrades to the page-pruned scan and still answers correctly
+    PagedOrders.PageClient.fetched.set(0)
+    val cutoff = new java.sql.Timestamp(
+      PagedOrders.BaseMicros / 1000 + 500L * 60 * 1000)
+    val fr = read(pages = 16, pageSize = 50)
+      .filter(col("order_date") > lit(cutoff))
+      .agg(count(lit(1))).head()
+    assert(fr.getLong(0) == 800L - 500L - 1L)
+    assert(PagedOrders.PageClient.fetched.get() > 0, "filtered probe should scan pages")
+  }
+
   test("column pruning reaches the reader: only requested fields are materialized") {
     val df = read().select("status")
     val plan = df.queryExecution.executedPlan.toString
@@ -84,7 +127,9 @@ class PagedOrdersProviderSpec extends AnyFunSuite {
         .option("pages", "8").option("pageSize", "50")
         .option("parallelism", "4").option("retryDelayMs", "0")
         .load()
-      assert(df.count() == 8L * 50)
+      // count() would complete-push to page arithmetic (zero fetches)
+      // since the aggregate pushdown landed — materialize actual rows
+      assert(df.collect().length == 8 * 50)
       // 8 pages + 1 refetch of the failed page; a task-level retry would
       // have refetched the whole 2-page range
       assert(PagedOrders.PageClient.fetched.get() == 9)
@@ -99,7 +144,8 @@ class PagedOrdersProviderSpec extends AnyFunSuite {
         .option("parallelism", "4").option("retryDelayMs", "0")
         .option("retries", "1")
         .load()
-      val e = intercept[org.apache.spark.SparkException] { df.count() }
+      // collect(), not count(): a pushed COUNT never touches the pages
+      val e = intercept[org.apache.spark.SparkException] { df.collect() }
       assert(e.getCause != null || e.getMessage.contains("permanent"),
         s"unexpected failure shape: $e")
     } finally PagedOrders.PageClient.failAlways.clear()

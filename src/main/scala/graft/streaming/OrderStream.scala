@@ -26,25 +26,38 @@ object OrderStream {
 
   /** Start the streaming ETL over a landing directory of order-JSON
     * files. `data` backs the per-batch product/refund lookups (the same
-    * fixture API the batch twin calls). */
+    * fixture API the batch twin calls).
+    *
+    * `availableNow = true` runs the BOUNDED REPLAY mode
+    * (`Trigger.AvailableNow`): process everything currently in the
+    * landing dir as rate-limited micro-batches (respecting
+    * `maxFilesPerTrigger`), then stop — the streaming expression of the
+    * reference's windowed backfill walk (`run.py:100-125`), with the
+    * checkpoint as the watermark cursor. OrderStreamSpec pins that a
+    * multi-batch AvailableNow run lands warehouse state equal to
+    * [[graft.etl.Incremental.backfill]]'s batch walk over the same
+    * orders. */
   def startEtlStream(
       spark: SparkSession,
       ordersJsonDir: String,
       data: String,
       warehouse: String,
       checkpointDir: String,
-      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+      maxFilesPerTrigger: Option[Int] = None,
+      availableNow: Boolean = false): StreamingQuery = {
     val reader = spark.readStream
       .schema(WooSchemas.rawOrder)
       .option("pathGlobFilter", "*.json")
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    reader.json(ordersJsonDir)
+    val writer = reader.json(ordersJsonDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         graft.Run.processRawOrders(spark, batch.toDF(), data, warehouse)
         ()
       }
-      .start()
+    (if (availableNow)
+      writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    else writer).start()
   }
 }

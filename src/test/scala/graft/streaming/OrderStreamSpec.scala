@@ -55,4 +55,46 @@ class OrderStreamSpec extends AnyFunSuite {
         tableRows(s"$whBatch/fct_order_items.parquet"))
     } finally q.stop()
   }
+
+  test("AvailableNow bounded replay equals the windowed backfill walk (§2.8)") {
+    val iso = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+    val since = "2000-01-01 00:00:00"
+    val jsons = WooFixtureApi.orderJsonsSince(spark, data, since)
+    assert(jsons.size > 100, s"fixture should hold a real slice, got ${jsons.size}")
+
+    // ---- batch reference: the windowed backfill walk over 90-day slices
+    val whBatch = Files.createTempDirectory("graft-wh-bf").toString
+    var windows = 0
+    graft.etl.Incremental.backfill(
+      java.time.Instant.parse("2000-01-01T00:00:00Z"),
+      java.time.Instant.parse("2001-09-01T00:00:00Z"),
+      java.time.Duration.ofDays(90)) { (ws, we) =>
+      windows += 1
+      Run.processBatch(spark, data, whBatch,
+        iso.format(ws), untilIso = Some(iso.format(we)))._2
+    }
+    assert(windows > 2, s"walk should take several windows, took $windows")
+
+    // ---- streaming: same orders as 4 landing files, one file per
+    // micro-batch, AvailableNow → runs to catch-up then terminates
+    val landing = Files.createTempDirectory("graft-landing-an").toString
+    val whStream = Files.createTempDirectory("graft-wh-an").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt-an").toString
+    jsons.grouped((jsons.size + 3) / 4).zipWithIndex.foreach { case (chunk, i) =>
+      Files.write(Paths.get(landing, s"part$i.json"),
+        chunk.mkString("\n").getBytes("UTF-8"))
+    }
+    val q = OrderStream.startEtlStream(spark, landing, data, whStream, ckpt,
+      maxFilesPerTrigger = Some(1), availableNow = true)
+    try {
+      assert(q.awaitTermination(120000),
+        "AvailableNow stream did not self-terminate after catch-up")
+    } finally if (q.isActive) q.stop()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    assert(batches >= 4, s"expected ≥4 rate-limited micro-batches, saw $batches")
+    for (t <- Seq("fct_orders.parquet", "fct_order_items.parquet"))
+      assert(tableRows(s"$whStream/$t") == tableRows(s"$whBatch/$t"),
+        s"AvailableNow-replayed $t differs from the backfill walk")
+  }
 }

@@ -100,12 +100,15 @@ object Profile {
         import graft.ext.{Dedup, Similarity}
         import org.apache.spark.sql.functions._
         val soakDir = "/tmp/graft_soak"
+        // replica count is a run parameter (10x default; the r6 verdict
+        // asked for a second datapoint at 30x)
+        val soakReps = sys.env.getOrElse("SPARK_GRAFT_SOAK_REPS", "10").toInt
         val docs1 = graft.io.Tables.documents(spark, sfDir)
           .select(col("doc_id").as("id"), col("text"))
         val emb1 = graft.io.Tables.embeddings(spark, sfDir)
           .select(col("vec_id"), col("embedding"))
-        if (!new java.io.File(s"$soakDir/docs10.parquet").isDirectory) {
-          val reps = spark.range(0, 10).select(col("id").as("rep"))
+        if (!new java.io.File(s"$soakDir/docs$soakReps.parquet").isDirectory) {
+          val reps = spark.range(0, soakReps).select(col("id").as("rep"))
           // Per-TOKEN replica suffix: every shingle differs across
           // replicas (cross-replica Jaccard = 0, uncorrelated simhash
           // bits), so near-dup pair counts scale linearly with replicas
@@ -116,7 +119,7 @@ object Profile {
               array_join(transform(split(col("text"), " "),
                 t => concat(t, lit("_"), col("rep"))), " ").as("text"))
             .repartition(32)
-            .write.mode("overwrite").parquet(s"$soakDir/docs10.parquet")
+            .write.mode("overwrite").parquet(s"$soakDir/docs$soakReps.parquet")
           // Element ROTATION by replica: rotated random vectors are
           // near-orthogonal (cosine ~ N(0, 1/64)), so no cross-replica
           // near-dups; within-replica planted copies stay identical.
@@ -126,20 +129,20 @@ object Profile {
                 i => element_at(col("embedding"),
                   pmod(i + col("rep"), lit(64)).cast("int") + 1)).as("embedding"))
             .repartition(32)
-            .write.mode("overwrite").parquet(s"$soakDir/emb10.parquet")
+            .write.mode("overwrite").parquet(s"$soakDir/emb$soakReps.parquet")
         }
-        val docs10 = spark.read.parquet(s"$soakDir/docs10.parquet")
-        val emb10 = spark.read.parquet(s"$soakDir/emb10.parquet")
+        val docsN = spark.read.parquet(s"$soakDir/docs$soakReps.parquet")
+        val embN = spark.read.parquet(s"$soakDir/emb$soakReps.parquet")
 
         def dupDocs(df: org.apache.spark.sql.DataFrame) = df.unionByName(
           df.filter(col("id") % 20 === 0)
-            .select((col("id") + 10000000L).as("id"),
+            .select((col("id") + 100000000L).as("id"),
               concat(col("text"), lit(" extra extra token")).as("text")))
         def dupEmb(df: org.apache.spark.sql.DataFrame) = df.unionByName(
           df.filter(col("vec_id") % 25 === 0)
-            .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding")))
+            .select((col("vec_id") + 100000000L).as("vec_id"), col("embedding")))
 
-        for ((label, d, e) <- Seq(("x1", docs1, emb1), ("x10", docs10, emb10))) {
+        for ((label, d, e) <- Seq(("x1", docs1, emb1), (s"x$soakReps", docsN, embN))) {
           val corpus = dupDocs(d)
           val ecorp = dupEmb(e)
           t(s"$label minhash_cand rep$r") {

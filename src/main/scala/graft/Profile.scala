@@ -134,13 +134,16 @@ object Profile {
         val docsN = spark.read.parquet(s"$soakDir/docs$soakReps.parquet")
         val embN = spark.read.parquet(s"$soakDir/emb$soakReps.parquet")
 
+        // planted-dup offset derived from the replica count so dup ids
+        // can never collide with replica ids at any SOAK_REPS setting
+        val dupOffset = math.max(100000000L, (soakReps + 1).toLong * 1000000L)
         def dupDocs(df: org.apache.spark.sql.DataFrame) = df.unionByName(
           df.filter(col("id") % 20 === 0)
-            .select((col("id") + 100000000L).as("id"),
+            .select((col("id") + dupOffset).as("id"),
               concat(col("text"), lit(" extra extra token")).as("text")))
         def dupEmb(df: org.apache.spark.sql.DataFrame) = df.unionByName(
           df.filter(col("vec_id") % 25 === 0)
-            .select((col("vec_id") + 100000000L).as("vec_id"), col("embedding")))
+            .select((col("vec_id") + dupOffset).as("vec_id"), col("embedding")))
 
         for ((label, d, e) <- Seq(("x1", docs1, emb1), (s"x$soakReps", docsN, embN))) {
           val corpus = dupDocs(d)

@@ -60,8 +60,11 @@ object ArtifactCache {
     case o: Option[_] => 16L + o.map(roughBytes).sum
     case e: Either[_, _] => 16L + e.fold(roughBytes, roughBytes)
     case _: java.lang.Number | _: java.lang.Boolean | _: java.lang.Character => 16L
-    case p: Product => 16L + p.productIterator.map(roughBytes).sum
+    // Iterable BEFORE Product: a List's cons cell (::) is a case class,
+    // and matching it as Product would recurse one stack frame per
+    // element — StackOverflowError on a long List artifact
     case it: scala.collection.Iterable[_] => seqBytes(it.size, it.iterator)
+    case p: Product => 16L + p.productIterator.map(roughBytes).sum
     case _ => 64L
   }
   private def seqBytes(n: Int, it: Iterator[Any]): Long = {

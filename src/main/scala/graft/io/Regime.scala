@@ -23,12 +23,18 @@ import org.apache.spark.sql.{DataFrame, Row}
   * recorded per key for test observability.
   */
 object Regime {
-  /** Row bound for "driver-small". 2^20 fixed-width rows ≈ tens of MB —
-    * past anything that should transit the driver per the
-    * [[ArtifactCache]] contract, yet far under any corpus-growing
-    * artifact at real scale. */
+  /** Row bound for "driver-small", sized to AGREE with
+    * [[ArtifactCache.maxBytes]]: 2^13 rows at ≤~100 bytes of estimated
+    * row width stays under the ~1 MB cache cap, so a Regime-collected
+    * artifact is always storable — a larger bound would admit artifacts
+    * the cache then rejects, paying the driver collect per use while
+    * losing all amortization (worst of both regimes). Independently,
+    * driver-local relations past ~10-20k rows LOSE to recomputation
+    * anyway: per-construction plan encoding of the literal rows costs
+    * more than the distributed build they save (measured on x30's
+    * 20k-row band index, round 6). */
   def collectMaxRows: Int =
-    sys.props.get("graft.regime.collectMaxRows").map(_.toInt).getOrElse(1 << 20)
+    sys.props.get("graft.regime.collectMaxRows").map(_.toInt).getOrElse(1 << 13)
 
   /** Last dispatch decision per artifact key ("collected" |
     * "distributed") — spec observability, never control flow. */

@@ -99,10 +99,18 @@ object Tables {
         val parts = importParts(spark, src.count())
         if (parts < 2) path
         else {
-          val dst = s"$importDir/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
+          // parts is part of the served path: the scratch dir outlives
+          // the JVM (/dev/shm until reboot), so a later session with a
+          // different parallelism must not be handed an earlier
+          // session's differently-split copy — a distinct config gets a
+          // distinct directory, and an existing same-config copy is the
+          // SAME layout of the same immutable fixture, safe to reuse.
+          val dst = s"$importDir/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/$name-p$parts"
           // fail-soft: an import that cannot write (scratch-dir space /
           // permissions) must degrade to the original layout, not kill
           // every query that touches the table
+          val staging = new java.io.File(
+            s"$dst.staging-${java.util.UUID.randomUUID().toString.take(8)}")
           try {
             // Write to a caller-unique staging dir, then one atomic
             // rename into place: getOrBuild tolerates duplicate builds
@@ -110,9 +118,8 @@ object Tables {
             // overwrite-writing the SAME dst could interleave
             // delete/commit and serve a mixed file set. With staging,
             // the rename loser just deletes its copy and serves the
-            // winner's — which is complete by construction.
-            val staging = new java.io.File(
-              s"$dst.staging-${java.util.UUID.randomUUID().toString.take(8)}")
+            // winner's — which is complete by construction (same rows,
+            // same parts, from the same immutable source).
             src.repartition(parts).write.mode("overwrite")
               .parquet(staging.getAbsolutePath)
             val dstFile = new java.io.File(dst)
@@ -120,13 +127,12 @@ object Tables {
             try java.nio.file.Files.move(staging.toPath, dstFile.toPath,
               java.nio.file.StandardCopyOption.ATOMIC_MOVE)
             catch {
-              case _: java.nio.file.FileAlreadyExistsException |
-                   _: java.nio.file.AccessDeniedException |
-                   _: java.nio.file.FileSystemException =>
-                // a concurrent import won the rename — serve its copy
+              // any rename failure with a complete dst in place means a
+              // winner (this session's race, or a previous session's
+              // identical-config copy) — serve it
+              case _: java.nio.file.FileSystemException =>
                 if (!dstFile.isDirectory) throw new java.io.IOException(
                   s"import rename of $name lost to no winner")
-                org.apache.commons.io.FileUtils.deleteDirectory(staging)
             }
             dst
           } catch {
@@ -134,6 +140,12 @@ object Tables {
               graft.etl.Log.getLogger("graft.io.Tables").warn(
                 s"warehouse import of $name failed (${e.getMessage}); serving original layout")
               path
+          } finally {
+            // never leak a staging copy (partial write, lost race) into
+            // the RAM-backed scratch dir
+            if (staging.exists())
+              try org.apache.commons.io.FileUtils.deleteDirectory(staging)
+              catch { case scala.util.control.NonFatal(_) => () }
           }
         }
       }

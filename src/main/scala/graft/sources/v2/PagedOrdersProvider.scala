@@ -173,7 +173,11 @@ class PagedOrdersScanBuilder(
     * million-page backfill. Partial push (whole-page granularity):
     * Spark re-applies the exact row limit on top. */
   override def pushLimit(limit: Int): Boolean = {
-    limitPages = Some(math.max(1, (limit + pageSize - 1) / pageSize))
+    // Long arithmetic: limit near Int.MaxValue must not wrap negative
+    // (a wrapped value would cap the span at ONE page and silently drop
+    // rows); the page count itself is capped at the table's page space
+    limitPages = Some(math.min(pages.toLong,
+      math.max(1L, (limit.toLong + pageSize - 1) / pageSize)).toInt)
     true
   }
   override def isPartiallyPushed(): Boolean = true
@@ -197,10 +201,12 @@ class PagedOrdersScanBuilder(
       case _ => None
     }
   private def aggField(f: AggregateFunc): Option[StructField] = f match {
+    // min/max nullable: an EMPTY page span must answer NULL, not a
+    // fabricated bound (SQL aggregate semantics over zero rows)
     case m: Min => monotoneField(m.column).map(c => StructField(s"min($c)",
-      PagedOrders.schema(c).dataType, nullable = false))
+      PagedOrders.schema(c).dataType, nullable = true))
     case m: Max => monotoneField(m.column).map(c => StructField(s"max($c)",
-      PagedOrders.schema(c).dataType, nullable = false))
+      PagedOrders.schema(c).dataType, nullable = true))
     case _: CountStar => Some(StructField("count(*)", LongType, nullable = false))
     case _ => None
   }
@@ -228,19 +234,21 @@ class PagedOrdersScanBuilder(
     override def planInputPartitions(): Array[InputPartition] = {
       aggPushed match {
         case Some(fields) =>
-          // zero-fetch statistics row over [minPage, minPage+effSpan)
+          // zero-fetch statistics row over [minPage, minPage+effSpan);
+          // an empty span answers NULL bounds and count 0, like a scan
           val firstId = minPage.toLong * pageSize
           val lastId = (minPage + effSpan).toLong * pageSize - 1
-          val values = fields.map { f =>
+          val values: Seq[Any] = fields.map { f =>
             f.name match {
+              case "count(*)" => effSpan.toLong * pageSize
+              case _ if effSpan == 0 => null
               case "min(order_id)" => firstId
               case "max(order_id)" => lastId
               case "min(order_date)" => PagedOrders.BaseMicros + firstId * PagedOrders.MicrosPerOrder
               case "max(order_date)" => PagedOrders.BaseMicros + lastId * PagedOrders.MicrosPerOrder
-              case "count(*)" => effSpan.toLong * pageSize
             }
           }
-          Array(StatsRow(values.toArray): InputPartition)
+          Array(StatsRow(values): InputPartition)
         case None =>
           val span = effSpan
           val tasks = math.min(parallelism, math.max(1, span))
@@ -258,8 +266,9 @@ class PagedOrdersScanBuilder(
 }
 
 /** Single pre-computed statistics row for a completely-pushed
-  * aggregation — no page fetches. */
-case class StatsRow(values: Array[Long]) extends InputPartition
+  * aggregation — no page fetches. NULL entries answer empty-span
+  * min/max. */
+case class StatsRow(values: Seq[Any]) extends InputPartition
 
 case class PageRange(
     start: Int, end: Int, pageSize: Int, columns: Array[String],
@@ -272,7 +281,7 @@ class PagedReaderFactory extends PartitionReaderFactory {
       new PartitionReader[InternalRow] {
         private var emitted = false
         override def next(): Boolean = { val n = !emitted; emitted = true; n }
-        override def get(): InternalRow = InternalRow.fromSeq(values.toIndexedSeq)
+        override def get(): InternalRow = InternalRow.fromSeq(values)
         override def close(): Unit = ()
       }
     case pr: PageRange => createPageReader(pr)

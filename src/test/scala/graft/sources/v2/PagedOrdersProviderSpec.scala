@@ -93,6 +93,17 @@ class PagedOrdersProviderSpec extends AnyFunSuite {
     assert(PagedOrders.PageClient.fetched.get() > 0, "filtered probe should scan pages")
   }
 
+  test("LIMIT pushdown survives Int.MaxValue (no overflow truncation) and an empty span answers NULL/0") {
+    // a limit at the Int ceiling must return EVERY row, not wrap
+    // negative and silently serve one page
+    assert(read(pages = 8, pageSize = 50).limit(Int.MaxValue).count() == 400L)
+    // complete-pushed aggregates over zero pages: SQL semantics, not
+    // fabricated bounds from the arithmetic
+    val r = read(pages = 0, pageSize = 50)
+      .agg(min("order_id"), max("order_date"), count(lit(1))).head()
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.getLong(2) == 0L, r.toString)
+  }
+
   test("column pruning reaches the reader: only requested fields are materialized") {
     val df = read().select("status")
     val plan = df.queryExecution.executedPlan.toString

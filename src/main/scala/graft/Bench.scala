@@ -87,6 +87,11 @@ object Bench {
       sys.props("graft.import") = "1"
     val importSec = graft.io.Tables.importAll(spark, sfDir)
     spark.catalog.clearCache() // drop warmup-persisted frames
+    // sweep warmup-built per-query artifacts too: when SF_DIR is the
+    // warmup dir itself, the first timed query's rep 1 would otherwise
+    // serve them and report a build-free min — every rep pays its own
+    // builds, including the very first
+    graft.io.ArtifactCache.retainOnly(_.startsWith("import:"))
     // Best-of-N (default 3) per query: one timed run is dominated by
     // GC/scheduling noise at these sub-second scales (±50% observed); the
     // min of the runs measures the plan's inherent cost. Between runs BOTH

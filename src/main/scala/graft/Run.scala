@@ -187,12 +187,11 @@ object Run {
     spark.sparkContext.setLogLevel("WARN")
     try {
       val summary = execute(spark, args)
-      // reference run.py emits the summary through its configured logger
-      // (utils/logging.py) — kept at DEBUG so the console shows the line
-      // once: the bare println is the CLI's stdout contract for scripted
-      // callers, and the graft log namespace is additive into the same
-      // console appender
-      graft.etl.Log.getLogger("graft.Run").debug(summary)
+      // one console emission: the bare println IS the summary's console
+      // line (reference run.py's logger also resolves to the console) —
+      // a parallel graft-logger call would ride the additive console
+      // appender and print it twice, and the namespace's INFO gate makes
+      // a debug-level call dead code, so neither belongs here
       println(summary)
     } finally spark.stop()
   }

@@ -50,8 +50,11 @@ object ArtifactCache {
     * separates kilobytes from corpus-sized collects, not 1.0 MB from
     * 1.1 MB. Unknown leaf types count a flat 64 bytes: a cacheable
     * artifact of unknown SCALE should be wrapped in a sized collection,
-    * not smuggled past the estimator (a bare DataFrame handle is fine —
-    * its data lives distributed, not on the driver). */
+    * not smuggled past the estimator. A Dataset handle counts as its
+    * driver-held literal rows when its plan is a LocalRelation —
+    * a collected relation hiding inside a "handle" is exactly the
+    * artifact class the cap exists to catch; a genuinely distributed
+    * frame (scan/checkpoint-backed) counts as a handle. */
   private[io] def roughBytes(v: Any): Long = v match {
     case null => 0L
     case b: Array[Byte] => 16L + b.length
@@ -59,6 +62,13 @@ object ArtifactCache {
     case a: Array[_] => seqBytes(a.length, a.iterator)
     case o: Option[_] => 16L + o.map(roughBytes).sum
     case e: Either[_, _] => 16L + e.fold(roughBytes, roughBytes)
+    case r: org.apache.spark.sql.Row => 16L + r.toSeq.map(roughBytes).sum
+    case ds: org.apache.spark.sql.Dataset[_] =>
+      ds.queryExecution.logical match {
+        case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+          48L + lr.data.length.toLong * 64L
+        case _ => 64L
+      }
     case _: java.lang.Number | _: java.lang.Boolean | _: java.lang.Character => 16L
     // Iterable BEFORE Product: a List's cons cell (::) is a case class,
     // and matching it as Product would recurse one stack frame per

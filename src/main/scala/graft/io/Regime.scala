@@ -48,7 +48,12 @@ object Regime {
   def collectIfSmall(key: String, df: DataFrame): Option[IndexedSeq[Row]] = {
     val bound = collectMaxRows
     val probe = df.limit(bound + 1).collect()
-    val fits = probe.length <= bound
+    // both arbiters must agree: the row bound (cheap, pre-sized) AND the
+    // cache's own byte estimate — rows wide enough to bust the byte cap
+    // (long terms, big structs) dispatch distributed instead of
+    // collecting per use and never caching (the worst-of-both trap)
+    val fits = probe.length <= bound &&
+      ArtifactCache.roughBytes(probe) <= ArtifactCache.maxBytes
     lastDecision.put(key, if (fits) "collected" else "distributed")
     if (fits) Some(probe.toIndexedSeq) else None
   }

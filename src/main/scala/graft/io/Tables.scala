@@ -109,6 +109,14 @@ object Tables {
           // fail-soft: an import that cannot write (scratch-dir space /
           // permissions) must degrade to the original layout, not kill
           // every query that touches the table
+          val dstFile0 = new java.io.File(dst)
+          if (dstFile0.isDirectory) {
+            // a previous session already imported this table at this
+            // parts count; renames are atomic so an existing dst is
+            // complete — serve it rather than re-paying the write (and
+            // its transient doubled footprint on the scratch tmpfs)
+            dst
+          } else {
           val staging = new java.io.File(
             s"$dst.staging-${java.util.UUID.randomUUID().toString.take(8)}")
           try {
@@ -146,6 +154,7 @@ object Tables {
             if (staging.exists())
               try org.apache.commons.io.FileUtils.deleteDirectory(staging)
               catch { case scala.util.control.NonFatal(_) => () }
+          }
           }
         }
       }

@@ -163,7 +163,13 @@ object ExtQueries {
       val labels = Dedup.connectedComponents(corpus3Pairs(s, d))
       graft.io.Regime.collectIfSmall(key, labels)
         .map(_.map(r => (r.getLong(0), r.getLong(1))))
-        .toLeft(labels)
+        // Measured over-bound: the label map must not live on as a
+        // driver literal either — CC's own union-find shortcut returns a
+        // LocalRelation when the EDGE list fits its (larger) threshold,
+        // which would put the oversize map right back in every plan. A
+        // re-run with the shortcut disabled yields checkpoint-backed,
+        // genuinely distributed labels for the cached handle.
+        .toLeft(Dedup.connectedComponents(corpus3Pairs(s, d), localThreshold = 0L))
     } match {
       case Left(comp) =>
         import s.implicits._

@@ -61,9 +61,16 @@ class RegimeSpec extends AnyFunSuite {
     assert(decision(key) == "collected")
     ArtifactCache.clear()
     withBound(1) {
-      assert(rows("x19_dedup_clusters") == base19,
-        "distributed x19 drifted from the collected regime")
+      val d19 = SparkEntry.queries("x19_dedup_clusters")(spark, sf)
       assert(decision(key) == "distributed")
+      // the over-bound label frame must be genuinely distributed
+      // (checkpoint-backed), NOT a driver LocalRelation smuggled back in
+      // by CC's own union-find shortcut — the r7 composition-gap fix
+      val plan = d19.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("LocalRelation"),
+        s"x19 still serves a driver-collected relation:\n${plan.linesIterator.take(15).mkString("\n")}")
+      assert(d19.collect().map(_.toString).toSeq == base19,
+        "distributed x19 drifted from the collected regime")
       assert(rows("x20_dedup_survivors") == base20,
         "distributed x20 drifted from the collected regime")
     }

@@ -110,7 +110,7 @@ object WindowQueries {
         EventStream.userSessions(
           Tables.events(s, d).withColumn("value",
             moneyMicros(col("value"))),
-          gap = SessionGapMinutes + " minutes")
+          gap = s"$SessionGapMinutes minutes")
           .withColumn("session_value", microsToMoney(col("session_value")))
           .withColumn("last_ts",
             col("session_end") - expr(s"INTERVAL $SessionGapMinutes MINUTES"))

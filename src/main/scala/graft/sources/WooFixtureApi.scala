@@ -109,6 +109,6 @@ object WooFixtureApi {
   def parse(spark: SparkSession, schema: org.apache.spark.sql.types.StructType,
       jsons: Seq[String]): DataFrame = {
     import spark.implicits._
-    spark.read.schema(schema).json(jsons.toDS)
+    spark.read.schema(schema).json(jsons.toDS())
   }
 }

@@ -135,6 +135,17 @@ class PlanSpec extends AnyFunSuite {
       s"x17 re-grew a gram explode:\n${plan.linesIterator.take(20).mkString("\n")}")
   }
 
+  test("survivor selection broadcasts the collected-regime cluster map by STATS, not hints (X20)") {
+    // round 7 removed x20's explicit broadcast hint (an unbounded map
+    // must never be hinted): in the default regime the cluster map is a
+    // LocalRelation whose accurate stats make Catalyst broadcast it
+    // unaided — if the auto-broadcast ever stops (threshold change,
+    // stats regression), the fact side would silently sort-merge
+    val plan = planOf(SparkEntry.queries("x20_dedup_survivors")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"cluster map no longer auto-broadcast:\n${plan.linesIterator.take(20).mkString("\n")}")
+  }
+
   test("minhash LSH candidates serve from the session index; the report is a local scan (X6)") {
     val plan = planOf(SparkEntry.queries("x6_minhash_lsh")(spark, sf))
     assert(plan.contains("LocalTableScan") || plan.contains("Scan ExistingRDD"),

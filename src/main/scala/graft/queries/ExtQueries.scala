@@ -118,11 +118,14 @@ object ExtQueries {
     * ([[graft.io.Regime.collectIfSmall]], r6 verdict item 1): a
     * deduplicated snapshot's pair list is driver-small and caches as a
     * local artifact; past the bound (a raw web corpus's candidate set
-    * grows with the data) the banded pipeline is served as the
-    * distributed frame it already is — every consumer then pays the
-    * banding plan, exactly what a 1000-executor run would do. The
-    * over-bound decision itself is cached (`None`), so later consumers
-    * skip the probe. RegimeSpec pins value-identity across regimes. */
+    * grows with the data) the cached artifact is the CHECKPOINTED
+    * candidate frame's handle — the banding pipeline still executes
+    * once per snapshot, its result materialized as distributed blocks,
+    * and every consumer (x6 report, x7 verify, survivor selection)
+    * reads the blocks instead of re-running the banding — the same
+    * built-once-served-many index contract in both regimes, with the
+    * index living where its size demands. RegimeSpec pins
+    * value-identity across regimes. */
   private def dupCorpusCandidates(s: SparkSession, d: String): DataFrame = {
     def pipeline: DataFrame = {
       val sig = Dedup.minhashSignature(dupCorpus(s, d), "id", "text", n = 3, numHashes = 12)
@@ -132,11 +135,12 @@ object ExtQueries {
     graft.io.ArtifactCache.getOrBuild(key) {
       graft.io.Regime.collectIfSmall(key, pipeline)
         .map(_.map(r => (r.getLong(0), r.getLong(1))))
+        .toLeft(pipeline.localCheckpoint())
     } match {
-      case Some(pairs) =>
+      case Left(pairs) =>
         import s.implicits._
         pairs.toDF("id_a", "id_b")
-      case None => pipeline
+      case Right(frame) => frame
     }
   }
 
@@ -644,9 +648,11 @@ object ExtQueries {
     //
     // The 100 TB regime is WIRED, not described (r6 verdict item 2):
     // Regime.collectIfSmall measures the vocabulary, and past the bound
-    // df lives as a frame — recomputed per scoring pass like the tf
-    // side — and joins by term as a plain shuffle join (no broadcast
-    // hint; a billion-term vocabulary must never transit the driver).
+    // df LIVES AS A TABLE — the checkpointed frame's handle is the
+    // cached artifact, so the vocabulary groupBy runs once per corpus
+    // snapshot and every scoring pass joins it by term as a plain
+    // shuffle join off the materialized blocks (no broadcast hint; a
+    // billion-term vocabulary must never transit the driver).
     // RegimeSpec forces the bound down and pins hash-parity of the two
     // spellings against the same oracle fixture.
     QueryDef(
@@ -663,15 +669,16 @@ object ExtQueries {
           tfOf(graft.util.Partitioning.fanOut(Tables.documents(s, d)))
             .groupBy("term").agg(count(lit(1)).as("df"))
         val key = s"tfidf-df:documents:$d"
-        val (nDocs, dfRows) = graft.io.ArtifactCache.getOrBuild(key) {
+        val (nDocs, dfArtifact) = graft.io.ArtifactCache.getOrBuild(key) {
           val collected = graft.io.Regime.collectIfSmall(key, dfreqOf)
             .map(_.map(r => (r.getString(0), r.getLong(1))))
-          (Tables.documents(s, d).count(), collected)
+          (Tables.documents(s, d).count(),
+            collected.toLeft(dfreqOf.localCheckpoint()))
         }
         import s.implicits._
-        val dfreq = dfRows match {
-          case Some(rows) => broadcast(rows.toDF("term", "df"))
-          case None => dfreqOf // vocabulary-as-table: shuffle join by term
+        val dfreq = dfArtifact match {
+          case Left(rows) => broadcast(rows.toDF("term", "df"))
+          case Right(frame) => frame // vocabulary-as-table: shuffle join
         }
         val tf = tfOf(graft.util.Partitioning.fanOut(Tables.documents(s, d)))
         val w = org.apache.spark.sql.expressions.Window

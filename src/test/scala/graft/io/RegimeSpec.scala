@@ -121,6 +121,24 @@ class RegimeSpec extends AnyFunSuite {
     assert(roughBytes("x" * 500) >= 1000)
   }
 
+  test("concurrent first-callers race safely: both served complete, identical results") {
+    // getOrBuild's documented race (duplicate builds, loser discarded)
+    // composed with Regime probes and index builds: two threads hitting
+    // the same cold key must both get the full, correct result — pinned
+    // because r6 shipped (and fixed) a CHM re-entrancy crash here
+    ArtifactCache.clear()
+    val baseline = rows("x6_minhash_lsh")
+    ArtifactCache.clear()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val fs = (1 to 2).map(_ => Future(rows("x6_minhash_lsh")))
+    val got = fs.map(Await.result(_, 120.seconds))
+    assert(got.forall(_ == baseline), "a racing caller saw a wrong result")
+    ArtifactCache.clear()
+  }
+
   test("retainOnly keeps only matching keys (Bench's between-rep hygiene)") {
     ArtifactCache.clear()
     ArtifactCache.getOrBuild("import:a")(Vector(1))

@@ -133,9 +133,14 @@ object ExtQueries {
     }
     val key = s"lsh-cand:dupCorpus:12x3:$d"
     graft.io.ArtifactCache.getOrBuild(key) {
-      graft.io.Regime.collectIfSmall(key, pipeline)
+      // checkpoint FIRST, probe the materialized blocks: the banding
+      // pipeline executes exactly once whichever regime wins (probing
+      // the raw pipeline and then checkpointing it would run the full
+      // banding twice in the over-bound regime — real money at scale)
+      val cp = pipeline.localCheckpoint()
+      graft.io.Regime.collectIfSmall(key, cp)
         .map(_.map(r => (r.getLong(0), r.getLong(1))))
-        .toLeft(pipeline.localCheckpoint())
+        .toLeft(cp)
     } match {
       case Left(pairs) =>
         import s.implicits._
@@ -170,10 +175,19 @@ object ExtQueries {
         // Measured over-bound: the label map must not live on as a
         // driver literal either — CC's own union-find shortcut returns a
         // LocalRelation when the EDGE list fits its (larger) threshold,
-        // which would put the oversize map right back in every plan. A
-        // re-run with the shortcut disabled yields checkpoint-backed,
-        // genuinely distributed labels for the cached handle.
-        .toLeft(Dedup.connectedComponents(corpus3Pairs(s, d), localThreshold = 0L))
+        // which would put the oversize map right back in every plan.
+        // Only THAT case re-runs with the shortcut disabled; labels that
+        // are already checkpoint-backed (CC went distributed itself, the
+        // normal case at scale) are reused as-is — no double CC.
+        .toLeft {
+          val driverHeld = labels.queryExecution.analyzed.exists {
+            case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
+            case _ => false
+          }
+          if (driverHeld)
+            Dedup.connectedComponents(corpus3Pairs(s, d), localThreshold = 0L)
+          else labels
+        }
     } match {
       case Left(comp) =>
         import s.implicits._
@@ -670,10 +684,12 @@ object ExtQueries {
             .groupBy("term").agg(count(lit(1)).as("df"))
         val key = s"tfidf-df:documents:$d"
         val (nDocs, dfArtifact) = graft.io.ArtifactCache.getOrBuild(key) {
-          val collected = graft.io.Regime.collectIfSmall(key, dfreqOf)
+          // checkpoint first, probe the blocks: one vocabulary groupBy
+          // per snapshot whichever regime wins (see dupCorpusCandidates)
+          val cp = dfreqOf.localCheckpoint()
+          val collected = graft.io.Regime.collectIfSmall(key, cp)
             .map(_.map(r => (r.getString(0), r.getLong(1))))
-          (Tables.documents(s, d).count(),
-            collected.toLeft(dfreqOf.localCheckpoint()))
+          (Tables.documents(s, d).count(), collected.toLeft(cp))
         }
         import s.implicits._
         val dfreq = dfArtifact match {

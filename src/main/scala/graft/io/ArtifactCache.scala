@@ -111,17 +111,50 @@ object ArtifactCache {
     (if (raced != null) raced else built).asInstanceOf[T]
   }
 
-  /** Drop every cached artifact (tests, or pipelines that rewrite a
-    * dataset path in-place mid-session). */
-  def clear(): Unit = cache.clear()
+  /** Best-effort block release for evicted artifacts that hold (or wrap,
+    * one level deep) a persisted frame handle — dropping the handle
+    * alone would strand its storage blocks until the ContextCleaner
+    * gets to them, and Bench measures in the window where that cleanup
+    * lands. unpersist is a no-op on frames that were never persisted. */
+  private def release(v: AnyRef): Unit = {
+    def un(x: Any): Unit = x match {
+      case ds: org.apache.spark.sql.Dataset[_] =>
+        try ds.unpersist() catch { case scala.util.control.NonFatal(_) => () }
+      case e: Either[_, _] => e.fold(un, un)
+      case o: Option[_] => o.foreach(un)
+      case p: Product if p.productArity <= 4 => p.productIterator.foreach(un)
+      case _ => ()
+    }
+    un(v)
+  }
 
-  /** Drop entries whose key fails `keep` — Bench's between-rep hygiene
-    * drops every per-query artifact (so each rep pays its own builds,
-    * like the oracle does) while keeping the `import:` re-layout paths,
-    * whose one-time ingest cost is measured separately as import_sec and
-    * whose mid-run rebuild would rewrite files queries are reading. */
-  private[graft] def retainOnly(keep: String => Boolean): Unit =
-    cache.keySet().removeIf(k => !keep(k))
+  /** Drop every cached artifact (tests, or pipelines that rewrite a
+    * dataset path in-place mid-session), releasing persisted blocks. */
+  def clear(): Unit = {
+    cache.values().forEach(release)
+    cache.clear()
+  }
+
+  /** Drop (and release) entries whose key fails `keep` — Bench's
+    * between-rep hygiene drops every per-query artifact (so each rep
+    * pays its own builds, like the oracle does) while keeping the
+    * `import:` re-layout paths, whose one-time ingest cost is measured
+    * separately as import_sec and whose mid-run rebuild would rewrite
+    * files queries are reading. */
+  private[graft] def retainOnly(keep: String => Boolean): Unit = {
+    val it = cache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (!keep(e.getKey)) { release(e.getValue); it.remove() }
+    }
+  }
+
+  /** Drop one entry (releasing blocks) — used when a cached frame handle
+    * belongs to a stopped/foreign SparkContext and must be rebuilt. */
+  private[graft] def invalidate(key: String): Unit = {
+    val v = cache.remove(key)
+    if (v != null) release(v)
+  }
 
   private[graft] def size: Int = cache.size()
 }

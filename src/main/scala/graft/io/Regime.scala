@@ -41,6 +41,18 @@ object Regime {
   private[graft] val lastDecision =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** True when a cached frame handle can serve session `s`: its blocks
+    * and RDDs belong to s's live SparkContext. The ArtifactCache is
+    * JVM-global while frames are context-scoped — a handle cached by a
+    * stopped (or different) context would fail every consumer with
+    * "SparkContext has been shut down"; sites must invalidate and
+    * rebuild instead (frames from sibling sessions of the SAME context
+    * are fine: checkpoint/persist blocks are context-owned). */
+  def servable(frame: org.apache.spark.sql.Dataset[_],
+      s: org.apache.spark.sql.SparkSession): Boolean =
+    (frame.sparkSession.sparkContext eq s.sparkContext) &&
+      !s.sparkContext.isStopped
+
   /** The complete rows of `df` iff it holds at most [[collectMaxRows]]
     * of them, else `None`. The over-bound probe still computes the
     * frame (aggregation forces it) but transfers only bound+1 rows —

@@ -132,16 +132,27 @@ object ExtQueries {
       Dedup.candidatePairs(Dedup.lshBands(sig, numHashes = 12, rowsPerBand = 3))
     }
     val key = s"lsh-cand:dupCorpus:12x3:$d"
-    graft.io.ArtifactCache.getOrBuild(key) {
-      // checkpoint FIRST, probe the materialized blocks: the banding
-      // pipeline executes exactly once whichever regime wins (probing
-      // the raw pipeline and then checkpointing it would run the full
-      // banding twice in the over-bound regime — real money at scale)
-      val cp = pipeline.localCheckpoint()
+    def build: Either[IndexedSeq[(Long, Long)], DataFrame] = {
+      // persist FIRST, probe populates the blocks: the banding pipeline
+      // executes exactly once whichever regime wins (probing the raw
+      // pipeline and then materializing it would run the full banding
+      // twice in the over-bound regime — real money at scale). persist,
+      // not localCheckpoint: the collected branch can release the
+      // blocks with a public unpersist, and an over-bound frame that
+      // loses its blocks (catalog clearCache) recomputes from lineage.
+      val cp = pipeline.persist()
       graft.io.Regime.collectIfSmall(key, cp)
-        .map(_.map(r => (r.getLong(0), r.getLong(1))))
+        .map { rows => cp.unpersist(); rows.map(r => (r.getLong(0), r.getLong(1))) }
         .toLeft(cp)
-    } match {
+    }
+    (graft.io.ArtifactCache.getOrBuild(key)(build) match {
+      // a handle from a stopped/foreign context cannot serve this
+      // session — drop the entry and rebuild against `s`
+      case Right(f) if !graft.io.Regime.servable(f, s) =>
+        graft.io.ArtifactCache.invalidate(key)
+        graft.io.ArtifactCache.getOrBuild(key)(build)
+      case ok => ok
+    }) match {
       case Left(pairs) =>
         import s.implicits._
         pairs.toDF("id_a", "id_b")
@@ -168,7 +179,7 @@ object ExtQueries {
     * across regimes. */
   private def corpus3Clusters(s: SparkSession, d: String): DataFrame = {
     val key = s"cc:corpus3:minhash12x3:$d"
-    graft.io.ArtifactCache.getOrBuild(key) {
+    def build: Either[IndexedSeq[(Long, Long)], DataFrame] = {
       val labels = Dedup.connectedComponents(corpus3Pairs(s, d))
       graft.io.Regime.collectIfSmall(key, labels)
         .map(_.map(r => (r.getLong(0), r.getLong(1))))
@@ -188,7 +199,13 @@ object ExtQueries {
             Dedup.connectedComponents(corpus3Pairs(s, d), localThreshold = 0L)
           else labels
         }
-    } match {
+    }
+    (graft.io.ArtifactCache.getOrBuild(key)(build) match {
+      case Right(f) if !graft.io.Regime.servable(f, s) =>
+        graft.io.ArtifactCache.invalidate(key)
+        graft.io.ArtifactCache.getOrBuild(key)(build)
+      case ok => ok
+    }) match {
       case Left(comp) =>
         import s.implicits._
         comp.toDF("id", "cluster_id")
@@ -683,13 +700,20 @@ object ExtQueries {
           tfOf(graft.util.Partitioning.fanOut(Tables.documents(s, d)))
             .groupBy("term").agg(count(lit(1)).as("df"))
         val key = s"tfidf-df:documents:$d"
-        val (nDocs, dfArtifact) = graft.io.ArtifactCache.getOrBuild(key) {
-          // checkpoint first, probe the blocks: one vocabulary groupBy
-          // per snapshot whichever regime wins (see dupCorpusCandidates)
-          val cp = dfreqOf.localCheckpoint()
+        def build: (Long, Either[IndexedSeq[(String, Long)], org.apache.spark.sql.DataFrame]) = {
+          // persist first, probe populates the blocks: one vocabulary
+          // groupBy per snapshot whichever regime wins; the collected
+          // branch releases the blocks (see dupCorpusCandidates)
+          val cp = dfreqOf.persist()
           val collected = graft.io.Regime.collectIfSmall(key, cp)
-            .map(_.map(r => (r.getString(0), r.getLong(1))))
+            .map { rows => cp.unpersist(); rows.map(r => (r.getString(0), r.getLong(1))) }
           (Tables.documents(s, d).count(), collected.toLeft(cp))
+        }
+        val (nDocs, dfArtifact) = graft.io.ArtifactCache.getOrBuild(key)(build) match {
+          case (n, Right(f)) if !graft.io.Regime.servable(f, s) =>
+            graft.io.ArtifactCache.invalidate(key)
+            graft.io.ArtifactCache.getOrBuild(key)(build)
+          case ok => ok
         }
         import s.implicits._
         val dfreq = dfArtifact match {

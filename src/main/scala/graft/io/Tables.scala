@@ -191,18 +191,50 @@ object Tables {
   // files/row groups parallelize the scan natively.
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** events.parquet stores ts as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Read it as long nanos (legacy conf) and
-    * rebuild a microsecond TimestampType column — integer `div`, not `/`
-    * (double division would lose precision above 2^53).
+  /** Schema of a parquet path as stored, through the catalog cache —
+    * for readers (Structured Streaming) that must hand Spark an explicit
+    * schema up front. */
+  def storedSchema(spark: SparkSession, path: String): org.apache.spark.sql.types.StructType =
+    schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
+
+  /** Normalize the events `ts` column to session-zoned `TimestampType`,
+    * whatever physical vintage the fixture was generated with. The driver
+    * has shipped events.parquet two ways across rounds:
     *
-    * `spark.sql.legacy.parquet.nanosAsLong=true` is an engine-wide pinned
+    *  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it outright;
+    *    with `spark.sql.legacy.parquet.nanosAsLong=true` it surfaces as
+    *    BIGINT nanos, and we rebuild micros with integer `div`, not `/`
+    *    (double division would lose precision above 2^53).
+    *  - timestamp[us] (isAdjustedToUTC=false): infers as TIMESTAMP_NTZ;
+    *    the graft sessions pin `spark.sql.session.timeZone=UTC`, so a
+    *    cast to TimestampType keeps the same wall clock = the same
+    *    instant the DuckDB oracle sees reading the same file.
+    *  - timestamp[us, tz=UTC]: already TimestampType — serve as-is.
+    *
+    * Dispatching on the INFERRED type (not a hard-coded vintage) is what
+    * keeps every events consumer alive when the fixtures are
+    * regenerated; any other physical type fails loudly here rather than
+    * as a confusing downstream analysis error. */
+  private[graft] def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other => throw new IllegalStateException(
+        s"events.ts stored as unsupported type $other — expected int64 nanos " +
+          "(TIMESTAMP(NANOS) under nanosAsLong), timestamp[us] (NTZ), or timestamp[us, UTC]")
+    }
+  }
+
+  /** `spark.sql.legacy.parquet.nanosAsLong=true` is an engine-wide pinned
     * conf: the graft session builders (Verify/Bench/tests) set it at
     * construction, and it is re-asserted here so externally-built sessions
-    * work too. Documented consequence: any TIMESTAMP(NANOS) parquet read
-    * in a graft session surfaces as BIGINT nanos — by design, there is no
-    * lossless TimestampType for nanos, and the engine always rebuilds an
-    * explicit micros column as below. */
+    * work too. It only affects TIMESTAMP(NANOS) columns (surfaced as
+    * BIGINT nanos; harmless for micros fixtures), and must be set BEFORE
+    * the footer is first inferred into the schema cache. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // No fanOut here: every consumer either aggregates (its exchange
@@ -212,8 +244,7 @@ object Tables {
     // this used to do shuffled the full event stream once per query for
     // nothing. Compute-heavy per-row consumers opt in at the call site
     // (x27's from_json parse runs BEFORE any exchange).
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    normalizeEventTs(table(s, d, "events"))
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -26,30 +26,30 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** events schema as stored (ts is TIMESTAMP(NANOS) in the fixture
-    * parquet — read as long then rebuilt, see [[graft.io.Tables.events]]). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos-as-long
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** Unbounded file-source read of the events table; micro-batches pick
     * up new files as they land (the streaming analogue of the
-    * reference's watermark-driven incremental fetch). */
+    * reference's watermark-driven incremental fetch).
+    *
+    * FileStreamSource requires an explicit schema, and the fixture's
+    * physical `ts` type has changed across driver vintages
+    * (TIMESTAMP(NANOS) vs timestamp[us]) — so the stored schema is
+    * resolved from the footer (one cached batch-side inference), then
+    * `ts` is normalized to TimestampType exactly as the batch reader
+    * does ([[graft.io.Tables.normalizeEventTs]]): one normalizer, two
+    * execution modes. */
   def readStream(spark: SparkSession, dir: String): DataFrame = {
     // Engine-wide pinned conf (set at session construction by the graft
     // builders; re-asserted for foreign sessions) — see Tables.events.
+    // Must precede the footer inference below.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stored = graft.io.Tables.storedSchema(spark, s"$dir/events.parquet")
     // Stream the directory with a glob filter: FileStreamSource requires a
     // directory basePath (the fixture is a single events.parquet file).
-    spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.io.Tables.normalizeEventTs(
+      spark.readStream
+        .schema(stored)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
   }
 
   /** Tumbling 1-hour counts/sums per event type. */

@@ -520,40 +520,49 @@ object Dedup {
       .select(col("id"), bits.as("simhash"))
   }
 
-  /** SimHash near-dup pairs: hamming distance ≤ maxDist.
+  /** SimHash near-dup pairs: hamming distance ≤ maxDist — EXACT at every
+    * radius via generalized pigeonhole blocking.
     *
-    * For maxDist < 4 this is EXACT via byte-slice blocking (pigeonhole:
-    * with ≤3 differing bits over 4 byte-slices of a 32-bit hash, at least
-    * one slice is identical) — each side explodes into 4 (slice_idx,
-    * slice_val) keys, candidates come from an equi-join on the slice key,
-    * and exact hamming verifies. The join shuffles |docs|×4 tiny rows
+    * The 32 hash bits are cut into `maxDist + 1` contiguous slices: two
+    * hashes differing in ≤ maxDist bits must agree on at least one whole
+    * slice, so each side explodes into (slice_idx, slice_bits) keys,
+    * candidates come from an equi-join on the slice key, and exact
+    * hamming verifies. The join shuffles |docs|×(maxDist+1) tiny rows
     * instead of materializing |docs|² pairs: that is the 100 TB plan, and
-    * it is also faster at test scale. maxDist ≥ 4 falls back to all-pairs
-    * (correct but quadratic — callers at scale should raise slices, not
-    * use the fallback). */
+    * it is also faster at test scale (maxDist=3 reproduces the classic
+    * 4×8-bit byte-slice scheme).
+    *
+    * Selectivity note, not a correctness bound: slice width is
+    * ⌊32/(maxDist+1)⌋, so a wide radius shrinks slices and fattens each
+    * bucket (maxDist=15 → 2-bit slices ≈ quarter-corpus buckets). Exact
+    * for any maxDist ≤ 31; for radii past ~7 the real remedy is a wider
+    * (64/128-bit) simhash, which keeps slices selective — same plan
+    * shape. */
   def simhashPairs(sh: DataFrame, maxDist: Int): DataFrame = {
-    if (maxDist >= 4) {
-      val a = sh.select(col("id").as("id_a"), col("simhash").as("sh_a"))
-      val b = sh.select(col("id").as("id_b"), col("simhash").as("sh_b"))
-      a.crossJoin(b)
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
-        .filter(col("hamming") <= maxDist)
-    } else {
-      val sliced = sh.select(col("id"), col("simhash"),
-        explode(array((0 until 4).map(s =>
-          struct(lit(s).as("slice"),
-            shiftright(col("simhash"), 8 * s).bitwiseAND(lit(255L)).as("sv"))): _*)).as("k"))
-        .select(col("id"), col("simhash"), col("k.slice"), col("k.sv"))
-      val a = sliced.select(col("slice"), col("sv"), col("id").as("id_a"), col("simhash").as("sh_a"))
-      val b = sliced.select(col("slice"), col("sv"), col("id").as("id_b"), col("simhash").as("sh_b"))
-      a.join(b, Seq("slice", "sv"))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
-        .filter(col("hamming") <= maxDist)
-        .distinct()
+    require(maxDist >= 0 && maxDist < 32,
+      s"maxDist must be in [0, 31] for a 32-bit simhash, got $maxDist")
+    val slices = maxDist + 1
+    // first (32 % slices) slices take the extra bit; offsets are the
+    // running sum, so the slices tile [0, 32) exactly
+    val widths = {
+      val base = 32 / slices
+      val extra = 32 % slices
+      (0 until slices).map(i => if (i < extra) base + 1 else base)
     }
+    val offsets = widths.scanLeft(0)(_ + _).init
+    val sliced = sh.select(col("id"), col("simhash"),
+      explode(array((0 until slices).map(s =>
+        struct(lit(s).as("slice"),
+          shiftright(col("simhash"), offsets(s))
+            .bitwiseAND(lit((1L << widths(s)) - 1L)).as("sv"))): _*)).as("k"))
+      .select(col("id"), col("simhash"), col("k.slice"), col("k.sv"))
+    val a = sliced.select(col("slice"), col("sv"), col("id").as("id_a"), col("simhash").as("sh_a"))
+    val b = sliced.select(col("slice"), col("sv"), col("id").as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("slice", "sv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct()
   }
 }

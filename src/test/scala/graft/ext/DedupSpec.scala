@@ -87,6 +87,29 @@ class DedupSpec extends AnyFunSuite {
     assert(sh.values.forall(v => v >= 0 && v < (1L << 32)))
   }
 
+  test("simhashPairs pigeonhole blocking is exact at every radius vs brute force") {
+    // the blocked equi-join must find EXACTLY the pairs a quadratic scan
+    // finds — at the classic byte-slice radius (3), at radii the old code
+    // fell back to a cross join for (5, 7), and at the degenerate 0
+    val sh = Dedup.simhash32(corpus, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ids = sh.keys.toSeq.sorted
+    import spark.implicits._
+    val shDf = sh.toSeq.toDF("id", "simhash")
+    for (maxDist <- Seq(0, 3, 5, 7)) {
+      val brute = (for {
+        i <- ids.indices.iterator; j <- (i + 1 until ids.size).iterator
+        if java.lang.Long.bitCount(sh(ids(i)) ^ sh(ids(j))) <= maxDist
+      } yield (ids(i), ids(j))).toSet
+      val blocked = Dedup.simhashPairs(shDf, maxDist)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(blocked == brute,
+        s"maxDist=$maxDist: blocked ${blocked.size} pairs, brute ${brute.size}; " +
+          s"missing=${(brute -- blocked).take(3)} extra=${(blocked -- brute).take(3)}")
+    }
+    intercept[IllegalArgumentException](Dedup.simhashPairs(shDf, 32))
+  }
+
   test("incrementalCandidates equal full-corpus candidates restricted to the batch") {
     val base = Tables.documents(spark, sf).select(col("doc_id").as("id"), col("text"))
     val batch = Tables.documents(spark, sf).filter(col("doc_id") % 10 === 0)

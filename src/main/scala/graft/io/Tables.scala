@@ -88,9 +88,19 @@ object Tables {
     sys.env.getOrElse("SPARK_GRAFT_IMPORT_DIR",
       s"${graft.Bench.localDir}/warehouse-import")
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    tableWithSchema(spark, dir, name, None)
+
+  /** [[table]] with an optional read-schema override (must be
+    * value-compatible with the stored physical layout — used by [[events]]
+    * to serve a timestamp[us] NTZ column as session-zoned TimestampType
+    * directly from the scan, keeping ts predicates pushdown-eligible). */
+  private def tableWithSchema(
+      spark: SparkSession, dir: String, name: String,
+      schemaOverride: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
     val path = s"$dir/$name.parquet"
-    val sch = schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
+    val sch = schemaOverride.getOrElse(
+      schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema))
     if (importEnabled && importable(name)) {
       // cached value is the path to serve: the re-laid-out copy, or the
       // original when the table is too small for a split to pay
@@ -197,24 +207,45 @@ object Tables {
   def storedSchema(spark: SparkSession, path: String): org.apache.spark.sql.types.StructType =
     schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
 
-  /** Normalize the events `ts` column to session-zoned `TimestampType`,
-    * whatever physical vintage the fixture was generated with. The driver
-    * has shipped events.parquet two ways across rounds:
+  /** Read schema that serves the events `ts` column as session-zoned
+    * `TimestampType`, whatever physical vintage the fixture was generated
+    * with. The driver has shipped events.parquet two ways across rounds:
     *
     *  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it outright;
     *    with `spark.sql.legacy.parquet.nanosAsLong=true` it surfaces as
-    *    BIGINT nanos, and we rebuild micros with integer `div`, not `/`
-    *    (double division would lose precision above 2^53).
-    *  - timestamp[us] (isAdjustedToUTC=false): infers as TIMESTAMP_NTZ;
-    *    the graft sessions pin `spark.sql.session.timeZone=UTC`, so a
-    *    cast to TimestampType keeps the same wall clock = the same
-    *    instant the DuckDB oracle sees reading the same file.
+    *    BIGINT nanos — served through [[normalizeEventTs]]'s rebuild.
+    *  - timestamp[us] (isAdjustedToUTC=false): infers as TIMESTAMP_NTZ.
+    *    Requesting `TimestampType` in the READ SCHEMA makes the scan emit
+    *    the stored micros as session-zoned timestamps directly — same
+    *    instants under the pinned-UTC session as the DuckDB oracle sees,
+    *    and (unlike a post-read cast, which fences the scan) `ts`
+    *    predicates stay pushdown-eligible: at 100 TB a time-range query
+    *    must prune row groups on ts stats, not filter post-scan
+    *    (pushdown pinned by TablesSpec).
     *  - timestamp[us, tz=UTC]: already TimestampType — serve as-is.
     *
     * Dispatching on the INFERRED type (not a hard-coded vintage) is what
     * keeps every events consumer alive when the fixtures are
     * regenerated; any other physical type fails loudly here rather than
     * as a confusing downstream analysis error. */
+  private[graft] def eventsReadSchema(stored: org.apache.spark.sql.types.StructType)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    import org.apache.spark.sql.types._
+    stored("ts").dataType match {
+      case TimestampNTZType => Some(StructType(stored.map(f =>
+        if (f.name == "ts") f.copy(dataType = TimestampType) else f)))
+      case LongType | TimestampType => None
+      case other => throw new IllegalStateException(
+        s"events.ts stored as unsupported type $other — expected int64 nanos " +
+          "(TIMESTAMP(NANOS) under nanosAsLong), timestamp[us] (NTZ), or timestamp[us, UTC]")
+    }
+  }
+
+  /** Post-read ts normalization for the vintages [[eventsReadSchema]]
+    * leaves untouched: int64 nanos → rebuilt micros (integer `div`, not
+    * `/` — double division would lose precision above 2^53);
+    * TimestampType → as-is. Also accepts NTZ (cast) so foreign frames
+    * not read through the forced schema still normalize. */
   private[graft] def normalizeEventTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.types._
     df.schema("ts").dataType match {
@@ -244,7 +275,8 @@ object Tables {
     // this used to do shuffled the full event stream once per query for
     // nothing. Compute-heavy per-row consumers opt in at the call site
     // (x27's from_json parse runs BEFORE any exchange).
-    normalizeEventTs(table(s, d, "events"))
+    val forced = eventsReadSchema(storedSchema(s, s"$d/events.parquet"))
+    normalizeEventTs(tableWithSchema(s, d, "events", forced))
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -43,11 +43,15 @@ object EventStream {
     // Must precede the footer inference below.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stored = graft.io.Tables.storedSchema(spark, s"$dir/events.parquet")
+    // NTZ vintage reads through the forced TimestampType schema (scan
+    // emits session-zoned ts, predicates stay pushdown-eligible) — the
+    // batch reader's exact recipe.
+    val schema = graft.io.Tables.eventsReadSchema(stored).getOrElse(stored)
     // Stream the directory with a glob filter: FileStreamSource requires a
     // directory basePath (the fixture is a single events.parquet file).
     graft.io.Tables.normalizeEventTs(
       spark.readStream
-        .schema(stored)
+        .schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir))
   }

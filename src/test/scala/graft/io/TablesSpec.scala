@@ -97,6 +97,23 @@ class TablesSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unsupported type"))
   }
 
+  test("NTZ vintage: ts range predicates push into the parquet scan, not post-scan") {
+    // The forced-TimestampType read schema (not a post-read cast, which
+    // fences the scan) is what keeps time-range queries able to prune row
+    // groups on ts stats at 100 TB.
+    val dir = tmpDir()
+    writeFixture(dir, StructField("ts", TimestampNTZType),
+      micros.map(m => java.time.LocalDateTime.ofEpochSecond(
+        m / 1000000L, (m % 1000000L).toInt * 1000, java.time.ZoneOffset.UTC)))
+    Tables.clearSchemaCache()
+    val flt = Tables.events(spark, dir)
+      .filter(col("ts") > lit("2024-03-01 12:34:57").cast(TimestampType))
+    val scan = flt.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(ts), GreaterThan(ts,"),
+      s"ts predicate not pushed to the scan:\n${scan.take(2000)}")
+    assert(flt.count() === 1)
+  }
+
   test("fact-table drift gate: temporal and money columns serve query-consumable types") {
     // The driver regenerates /root/testdata between rounds and has changed
     // physical types in place (events.ts, round 8). This gate fails FIRST

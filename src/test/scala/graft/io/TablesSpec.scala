@@ -129,7 +129,17 @@ class TablesSpec extends AnyFunSuite {
       (Tables.lineitem(spark, dir), "lineitem", Seq("l_shipdate" -> temporalOk,
         "l_extendedprice" -> moneyOk, "l_discount" -> moneyOk, "l_quantity" -> moneyOk)),
       (Tables.events(spark, dir), "events", Seq("ts" -> Set[DataType](TimestampType),
-        "value" -> moneyOk)))
+        "value" -> moneyOk)),
+      (Tables.documents(spark, dir), "documents", Seq(
+        "text" -> Set[DataType](StringType),
+        "n_chars" -> Set[DataType](LongType, IntegerType))),
+      (Tables.embeddings(spark, dir), "embeddings", Seq(
+        // QuantizeVec dispatches on float vs double; either element type
+        // keeps the whole ANN/near-dup pipeline alive
+        "embedding" -> Set[DataType](ArrayType(FloatType, containsNull = true),
+          ArrayType(FloatType, containsNull = false),
+          ArrayType(DoubleType, containsNull = true),
+          ArrayType(DoubleType, containsNull = false)))))
     for ((df, name, cols) <- checks; (c, ok) <- cols) {
       val t = df.schema(c).dataType
       assert(ok.contains(t), s"$name.$c drifted to $t — audit graft.io.Tables " +

@@ -520,33 +520,65 @@ object Dedup {
       .select(col("id"), bits.as("simhash"))
   }
 
+  /** 60-bit SimHash — the wide-radius companion to [[simhash32]]: two
+    * bits per md5 nibble over the first 30 nibbles, computed by the
+    * native [[graft.functions.Simhash60]] expression (same zero-shuffle
+    * shape as Simhash32; see its scaladoc for the 60-vs-64 rationale).
+    * Use with [[simhashPairs]]`(…, hashBits = 60)` for radii ≥ 4, where
+    * 32-bit slices stop being selective. */
+  def simhash60(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    tokenized(df, idCol, textCol)
+      .select(col("id"), graft.functions.Simhash60(col("toks")).as("simhash"))
+
+  /** Exploded groupBy reference spelling of [[simhash60]] (spec-only) —
+    * mirrors the DuckDB oracle CTE bit-for-bit: nibble value via base-16
+    * conv, bit j = (nibble(j/2) >> (3 - j%2)) & 1. */
+  def simhash60ViaGroupBy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val votes = (0 until 60).map { j =>
+      val nib = conv(substring(col("h"), (j / 2) + 1, 1), 16, 10).cast("int")
+      sum(when(shiftright(nib, 3 - (j % 2)).bitwiseAND(lit(1)) === 1, lit(1))
+        .otherwise(lit(-1))).as(s"v$j")
+    }
+    val bits = (0 until 60)
+      .map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    graft.util.Partitioning.fanOut(df)
+      .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("tok"))
+      .select(col("id"), md5(col("tok")).as("h"))
+      .groupBy("id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("id"), bits.as("simhash"))
+  }
+
   /** SimHash near-dup pairs: hamming distance ≤ maxDist — EXACT at every
     * radius via generalized pigeonhole blocking.
     *
-    * The 32 hash bits are cut into `maxDist + 1` contiguous slices: two
-    * hashes differing in ≤ maxDist bits must agree on at least one whole
-    * slice, so each side explodes into (slice_idx, slice_bits) keys,
-    * candidates come from an equi-join on the slice key, and exact
-    * hamming verifies. The join shuffles |docs|×(maxDist+1) tiny rows
-    * instead of materializing |docs|² pairs: that is the 100 TB plan, and
-    * it is also faster at test scale (maxDist=3 reproduces the classic
-    * 4×8-bit byte-slice scheme).
+    * The `hashBits` hash bits are cut into `maxDist + 1` contiguous
+    * slices: two hashes differing in ≤ maxDist bits must agree on at
+    * least one whole slice, so each side explodes into (slice_idx,
+    * slice_bits) keys, candidates come from an equi-join on the slice
+    * key, and exact hamming verifies. The join shuffles
+    * |docs|×(maxDist+1) tiny rows instead of materializing |docs|² pairs:
+    * that is the 100 TB plan, and it is also faster at test scale
+    * (hashBits=32, maxDist=3 reproduces the classic 4×8-bit byte-slice
+    * scheme).
     *
     * Selectivity note, not a correctness bound: slice width is
-    * ⌊32/(maxDist+1)⌋, so a wide radius shrinks slices and fattens each
-    * bucket (maxDist=15 → 2-bit slices ≈ quarter-corpus buckets). Exact
-    * for any maxDist ≤ 31; for radii past ~7 the real remedy is a wider
-    * (64/128-bit) simhash, which keeps slices selective — same plan
-    * shape. */
-  def simhashPairs(sh: DataFrame, maxDist: Int): DataFrame = {
-    require(maxDist >= 0 && maxDist < 32,
-      s"maxDist must be in [0, 31] for a 32-bit simhash, got $maxDist")
+    * ⌊hashBits/(maxDist+1)⌋, so a wide radius shrinks slices and fattens
+    * each bucket. Exact for any maxDist < hashBits; when slices drop
+    * below ~8 bits, switch to a wider hash ([[simhash60]] keeps slices
+    * ≥ 10 bits through maxDist = 5) — same plan shape. */
+  def simhashPairs(sh: DataFrame, maxDist: Int, hashBits: Int = 32): DataFrame = {
+    require(hashBits > 0 && hashBits <= 63,
+      s"hashBits must be in [1, 63] (sign-free int64 simhashes), got $hashBits")
+    require(maxDist >= 0 && maxDist < hashBits,
+      s"maxDist must be in [0, ${hashBits - 1}] for a $hashBits-bit simhash, got $maxDist")
     val slices = maxDist + 1
-    // first (32 % slices) slices take the extra bit; offsets are the
-    // running sum, so the slices tile [0, 32) exactly
+    // first (hashBits % slices) slices take the extra bit; offsets are
+    // the running sum, so the slices tile [0, hashBits) exactly
     val widths = {
-      val base = 32 / slices
-      val extra = 32 % slices
+      val base = hashBits / slices
+      val extra = hashBits % slices
       (0 until slices).map(i => if (i < extra) base + 1 else base)
     }
     val offsets = widths.scanLeft(0)(_ + _).init

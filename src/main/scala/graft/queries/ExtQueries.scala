@@ -617,6 +617,43 @@ object ExtQueries {
               |ORDER BY id_a, id_b""".stripMargin),
     ),
 
+    // X34 — wide-radius SimHash near-dup: 60-bit hash (2 bits per md5
+    // nibble) at hamming radius 5, where a 32-bit hash's pigeonhole
+    // slices would be 5-6 bits (unselective); 60 bits keep 10-bit
+    // slices, so candidates still come from a selective equi-join. The
+    // oracle computes the identical hash in SQL and verifies the pair
+    // set by quadratic scan (fine at oracle scale; the Spark side never
+    // does that).
+    QueryDef(
+      "x34_simhash60",
+      (s, d) => {
+        val sh = Dedup.simhash60(dupCorpus(s, d), "id", "text")
+        Dedup.simhashPairs(sh, maxDist = 5, hashBits = 60)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH $dupCorpusSql,
+              |tok AS (SELECT id, unnest(string_split(text, ' ')) AS tok FROM corpus),
+              |bits AS (
+              |  SELECT id, j,
+              |    CAST(SUM(CASE WHEN
+              |        ((strpos('0123456789abcdef',
+              |            substr(md5(tok), (j // 2) + 1, 1)) - 1)
+              |          >> (3 - (j % 2))) & 1 = 1
+              |      THEN 1 ELSE -1 END) AS BIGINT) AS votes
+              |  FROM tok, (SELECT unnest(generate_series(0, 59)) AS j) js
+              |  GROUP BY id, j),
+              |shh AS (
+              |  SELECT id,
+              |    CAST(SUM(CASE WHEN votes > 0
+              |        THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+              |  FROM bits GROUP BY id)
+              |SELECT a.id AS id_a, b.id AS id_b,
+              |       bit_count(xor(a.simhash, b.simhash)) AS hamming
+              |FROM shh a JOIN shh b ON a.id < b.id
+              |WHERE bit_count(xor(a.simhash, b.simhash)) <= 5
+              |ORDER BY id_a, id_b""".stripMargin),
+    ),
+
     // X19 — dedup cluster collapse: connected components over the LSH
     // candidate pairs, labelling every pair-participating doc with the
     // min reachable id (= the canonical survivor). The 3-generation

@@ -87,6 +87,32 @@ class DedupSpec extends AnyFunSuite {
     assert(sh.values.forall(v => v >= 0 && v < (1L << 32)))
   }
 
+  test("native Simhash60 expression matches the explode+groupBy path exactly") {
+    val a = Dedup.simhash60(corpus, "id", "text")
+    val b = Dedup.simhash60ViaGroupBy(corpus, "id", "text")
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+    // 60-bit hashes are sign-free int64s (the DuckDB-parity contract)
+    assert(a.filter(col("simhash") < 0 || col("simhash") >= (1L << 60)).count() == 0)
+  }
+
+  test("60-bit simhashPairs at radius 5 equals brute force (wide-radius path)") {
+    val sh = Dedup.simhash60(corpus, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ids = sh.keys.toSeq.sorted
+    import spark.implicits._
+    val brute = (for {
+      i <- ids.indices.iterator; j <- (i + 1 until ids.size).iterator
+      if java.lang.Long.bitCount(sh(ids(i)) ^ sh(ids(j))) <= 5
+    } yield (ids(i), ids(j))).toSet
+    val blocked = Dedup.simhashPairs(sh.toSeq.toDF("id", "simhash"), 5, hashBits = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == brute,
+      s"blocked ${blocked.size} vs brute ${brute.size}; " +
+        s"missing=${(brute -- blocked).take(3)} extra=${(blocked -- brute).take(3)}")
+    // the planted mutated copies should still surface at the wide radius
+    assert(brute.exists { case (a, b) => b - a == 10000 })
+  }
+
   test("simhashPairs pigeonhole blocking is exact at every radius vs brute force") {
     // the blocked equi-join must find EXACTLY the pairs a quadratic scan
     // finds — at the classic byte-slice radius (3), at radii the old code

@@ -357,4 +357,42 @@ object Similarity {
       k: Int, nLists: Int = 16, nProbe: Int = 4): DataFrame =
     ivfTopKIndexed(queries, corpus, idCol, embCol, k,
       trainIvfCentroids(corpus, idCol, embCol, nLists), nProbe)
+
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    * arXiv:2303.09540): assign every vector to its nearest coarse
+    * centroid map-side ([[nearestLists]], keep=1 — zero shuffle for the
+    * assignment), then compare pairs ONLY within a cluster and keep those
+    * with cosine ≥ threshold. Output: (list_id, id_a, id_b, cosine),
+    * id_a < id_b.
+    *
+    * At 100 TB this is the published trade: the within-cluster self-join
+    * is quadratic per cluster but clusters are corpus/nLists sized — set
+    * nLists ~ √n and total candidate volume stays ~n, vs n² all-pairs.
+    * The clustering is also the operator's documented approximation: a
+    * pair split across two clusters is never compared (byte-identical
+    * vectors can never split — identical qv scores rank centroids
+    * identically). The equi-join on list_id is gated by PlanSpec: no
+    * CartesianProduct at any scale.
+    *
+    * Complements [[nearDupPairs]] (hyperplane-bucket blocking): LSH
+    * buckets bound the MISS PROBABILITY per pair, IVF clusters bound the
+    * CANDIDATE VOLUME per cluster — SemDeDup is the shape the published
+    * pipeline runs at corpus scale. */
+  def semDedupPairs(
+      prep: DataFrame, centroids: Seq[IvfCentroid], threshold: Double): DataFrame = {
+    if (centroids.isEmpty)
+      return prep.select(lit(0).as("list_id"), col("id").as("id_a"),
+        col("id").as("id_b"), lit(0.0).as("cosine")).limit(0)
+    val assigned = prep.withColumn("list_id", explode(nearestLists(centroids, 1)))
+    val a = assigned.select(col("list_id"), col("id").as("id_a"),
+      col("qv").as("qv_a"), col("nrm").as("nrm_a"))
+    val b = assigned.select(col("list_id"), col("id").as("id_b"),
+      col("qv").as("qv_b"), col("nrm").as("nrm_b"))
+    a.join(b, Seq("list_id"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("list_id"), col("id_a"), col("id_b"),
+        (dotQ(col("qv_a"), col("qv_b")).cast("double") /
+          (col("nrm_a") * col("nrm_b"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
 }

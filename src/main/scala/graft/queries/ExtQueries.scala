@@ -985,6 +985,75 @@ object ExtQueries {
               |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin),
     ),
 
+    // X35 — SemDeDup (cluster-then-dedup-within-cluster, Abbas et al.
+    // 2023): every vector assigns map-side to its nearest of the x16
+    // coarse centroids (same ArtifactCache'd quantizer — the
+    // index-amortization contract), pairs are compared ONLY within a
+    // cluster, cosine >= 0.99 survives. The planted +10000 exact copies
+    // can never split across clusters (identical vectors rank centroids
+    // identically), so recall on true duplicates is exact; a
+    // near-but-not-identical pair split across clusters is the published
+    // algorithm's documented miss, and the oracle computes the identical
+    // algorithm so both engines agree on it.
+    QueryDef(
+      "x35_semdedup",
+      (s, d) => {
+        val base = Tables.embeddings(s, d)
+        val corpus = base.select(col("vec_id"), col("embedding"))
+          .unionByName(base.filter(col("vec_id") % 25 === 0)
+            .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+        val cents = graft.io.ArtifactCache.getOrBuild(s"ivf-centroids:16:$d")(
+          Similarity.trainIvfCentroids(base, "vec_id", "embedding", nLists = 16))
+        Similarity.semDedupPairs(
+          Similarity.prepared(corpus, "vec_id", "embedding"), cents, threshold = 0.99)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH prep_b AS (
+              |  SELECT vec_id AS id,
+              |    list_transform(embedding,
+              |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+              |  FROM embeddings),
+              |nb AS (
+              |  SELECT id, qv, sqrt(CAST(${dotSql("qv", "qv")} AS DOUBLE)) AS nrm
+              |  FROM prep_b),
+              |samp AS (
+              |  SELECT id, qv, nrm FROM nb
+              |  ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 16),
+              |cent AS (
+              |  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1 AS list_id,
+              |         qv AS c_qv, nrm AS c_nrm
+              |  FROM samp),
+              |corpus AS (
+              |  SELECT vec_id, embedding FROM embeddings
+              |  UNION ALL
+              |  SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id % 25 = 0),
+              |prep_a AS (
+              |  SELECT vec_id AS id,
+              |    list_transform(embedding,
+              |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+              |  FROM corpus),
+              |na AS (
+              |  SELECT id, qv, sqrt(CAST(${dotSql("qv", "qv")} AS DOUBLE)) AS nrm
+              |  FROM prep_a),
+              |ci AS (
+              |  SELECT id, qv, nrm, list_id,
+              |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY
+              |      CAST(${dotSql("qv", "c_qv")} AS DOUBLE) / (nrm * c_nrm) DESC,
+              |      list_id) AS crank
+              |  FROM na CROSS JOIN cent),
+              |asg AS (SELECT list_id, id, qv, nrm FROM ci WHERE crank <= 1),
+              |pa AS (SELECT list_id, id AS id_a, qv AS qv_a, nrm AS nrm_a FROM asg),
+              |pb AS (SELECT list_id, id AS id_b, qv AS qv_b, nrm AS nrm_b FROM asg),
+              |sc AS (
+              |  SELECT list_id, id_a, id_b,
+              |    CAST(${dotSql("qv_a", "qv_b")} AS DOUBLE) / (nrm_a * nrm_b) AS cosine
+              |  FROM pa JOIN pb USING (list_id)
+              |  WHERE id_a < id_b)
+              |SELECT list_id, id_a, id_b, cosine
+              |FROM sc WHERE cosine >= 0.99
+              |ORDER BY id_a, id_b""".stripMargin),
+    ),
+
     // X10 — LSH-blocked near-dup (equi-join on hyperplane bucket +
     // hamming-2 multiprobe + exact cosine verify; no cartesian — gated by
     // PlanSpec). The oracle computes the SAME blocked algorithm: buckets

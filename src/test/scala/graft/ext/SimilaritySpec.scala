@@ -188,4 +188,28 @@ class SimilaritySpec extends AnyFunSuite {
       .map(id => (id, id + 10000)).toSet
     assert(planted.subsetOf(dups))
   }
+
+  test("SemDeDup: exact copies never split across clusters; pairs are a same-cluster subset of all-pairs") {
+    val base = Tables.embeddings(spark, sf)
+    val corpus = base.select(col("vec_id"), col("embedding"))
+      .unionByName(base.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+    val prep = Similarity.prepared(corpus, "vec_id", "embedding").cache()
+    val cents = Similarity.trainIvfCentroids(base, "vec_id", "embedding", nLists = 16)
+    val sem = Similarity.semDedupPairs(prep, cents, threshold = 0.99)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    // identical vectors rank centroids identically → planted exact
+    // copies always land in one cluster and must all surface
+    val planted = base.filter(col("vec_id") % 25 === 0)
+      .select("vec_id").collect().map(_.getLong(0))
+      .map(id => (id, id + 10000)).toSet
+    assert(planted.subsetOf(sem), s"missed planted: ${(planted -- sem).take(3)}")
+    // soundness: every reported pair is a true >= 0.99 pair (subset of
+    // the quadratic baseline); the difference is exactly the documented
+    // cross-cluster misses, never an invented pair
+    val exact = Similarity.nearDupPairsExact(prep, 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sem.subsetOf(exact), s"invented pairs: ${(sem -- exact).take(3)}")
+    prep.unpersist()
+  }
 }

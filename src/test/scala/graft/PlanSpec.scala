@@ -89,6 +89,24 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("wide-radius simhash pairs stay a slice-key equi-join (X34)") {
+    // radius 5 on the 60-bit hash: 6 pigeonhole slices, candidates from
+    // the (slice, sv) equi-join — the old 32-bit code cross-joined at
+    // any radius >= 4, which this gate keeps dead
+    val plan = planOf(SparkEntry.queries("x34_simhash60")(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"x34 degenerated to an all-pairs join:\n${plan.linesIterator.take(25).mkString("\n")}")
+    assert(plan.contains("simhash60"), "native Simhash60 expression missing from the plan")
+  }
+
+  test("SemDeDup: map-side cluster assignment, within-cluster equi-join only (X35)") {
+    val plan = planOf(SparkEntry.queries("x35_semdedup")(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"x35 degenerated to an all-pairs join:\n${plan.linesIterator.take(25).mkString("\n")}")
+    assert(plan.contains("ivf_nearest_lists"), "native assignment expression missing")
+    assert(plan.contains("list_id"), "pair join no longer keyed on list_id")
+  }
+
   test("blocked embedding near-dup plans an equi-join, never a cartesian (X10)") {
     val plan = planOf(SparkEntry.queries("x10_embedding_neardup")(spark, sf))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),

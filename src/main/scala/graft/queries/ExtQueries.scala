@@ -694,6 +694,68 @@ object ExtQueries {
               |ORDER BY id""".stripMargin),
     ),
 
+    // X36 — quality-weighted survivor selection: the production form of
+    // x20. A training pipeline keeps the BEST document of each near-dup
+    // cluster (highest x3 quality score, id as the deterministic
+    // tie-break for byte-identical copies), not the lowest id. Reuses
+    // the same session dedup index (corpus3Clusters ArtifactCache) and
+    // the x3 quality expression, whose cross-engine bit-parity is what
+    // lets the ROW_NUMBER pick and the final hash compare agree.
+    // Shape at scale: quality is row-local, the cluster map joins by
+    // stats-decided strategy (see x20), and the per-cluster argmax is a
+    // window over cluster_id — partitioned by a key with corpus/cluster
+    // cardinality, never a single-partition sort.
+    QueryDef(
+      "x36_quality_survivors",
+      (s, d) => {
+        val clusters = corpus3Clusters(s, d)
+        val quality = corpus3(s, d)
+          .select(col("id"), TA.qualityScore(col("text")).as("quality"))
+        val joined = quality.join(clusters, Seq("id"), "left")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("cluster_id").orderBy(desc("quality"), col("id"))
+        val best = joined.filter(col("cluster_id").isNotNull)
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("id"), col("quality"))
+        joined.filter(col("cluster_id").isNull)
+          .select(col("id"), col("quality"))
+          .unionByName(best)
+          .orderBy("id")
+      },
+      Some(s"""$cluster3Prelude,
+              |clusters AS (
+              |  SELECT u AS id, least(u, CAST(min(v) AS BIGINT)) AS cluster_id
+              |  FROM reach GROUP BY u),
+              |q AS (
+              |  SELECT id,
+              |    0.4 * (CAST(en AS DOUBLE) / CAST(nt AS DOUBLE))
+              |      + 0.3 * least(CAST(nt AS DOUBLE) / 100.0, 1.0)
+              |      + 0.3 * (1.0 - CAST(np AS DOUBLE) / CAST(nc AS DOUBLE)) AS quality
+              |  FROM (
+              |    SELECT id,
+              |      len(string_split(text,' ')) AS nt,
+              |      length(text) AS nc,
+              |      len(regexp_extract_all(text, '[^\\w\\s]')) AS np,
+              |      len(list_filter(string_split(text,' '),
+              |        t -> list_contains($enList, t))) AS en
+              |    FROM corpus)),
+              |j AS (
+              |  SELECT q.id, q.quality, cl.cluster_id
+              |  FROM q LEFT JOIN clusters cl USING (id)),
+              |best AS (
+              |  SELECT id, quality FROM (
+              |    SELECT id, quality,
+              |      ROW_NUMBER() OVER (PARTITION BY cluster_id
+              |                         ORDER BY quality DESC, id) AS rk
+              |    FROM j WHERE cluster_id IS NOT NULL)
+              |  WHERE rk = 1)
+              |SELECT id, quality FROM j WHERE cluster_id IS NULL
+              |UNION ALL
+              |SELECT id, quality FROM best
+              |ORDER BY id""".stripMargin),
+    ),
+
     // X21 — TF-IDF term ranking: top-3 highest-scoring terms per doc.
     // idf is the log-free rational form score = tf·N/df — rank-equivalent
     // to tf·(N/df) with exact cross-engine float parity (ln() is not

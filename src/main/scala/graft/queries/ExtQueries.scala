@@ -377,6 +377,58 @@ object ExtQueries {
              |WHERE rk <= 5 ORDER BY lang, doc_id""".stripMargin),
     ),
 
+    // X37 — mixture resampling (data mixing): given per-language target
+    // weights and a global budget, each stratum samples at rate
+    // min(1, budget·wₗ / nₗ) via a DETERMINISTIC hash draw — the
+    // training-mixture step every corpus pipeline runs before packing.
+    // Parity is engineered integer-only: the draw is the first 48 md5
+    // bits of the doc id, the rate is a per-stratum BIGINT threshold
+    // floor((budget · w10ₗ · 2⁴⁸) / (10 · nₗ)) — one integer division,
+    // identical in both engines; no float ever enters the comparison.
+    // Rate-based (binomial around the target), not exact-k: that is the
+    // published trade that keeps the operator one scan + one tiny
+    // broadcast join at 100 TB (per-stratum counts are the only
+    // aggregate; the corpus never shuffles). A stratum without a weight
+    // samples nothing, by construction (null threshold filters out).
+    {
+      val budget = 200
+      val w10 = Seq("en" -> 4, "de" -> 2, "es" -> 2, "fr" -> 1, "zh" -> 1)
+      QueryDef(
+        "x37_mixture_sample",
+        (s, d) => {
+          val docs = Tables.documents(s, d).select("doc_id", "lang", "source")
+          val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_l"))
+          val weights = w10.map { case (l, w) => (l, w.toLong) }
+            .foldLeft(lit(null).cast("long")) { case (acc, (l, w)) =>
+              when(col("lang") === l, lit(w)).otherwise(acc)
+            }
+          docs.join(broadcast(counts), Seq("lang"))
+            .withColumn("w10", weights)
+            .withColumn("thresh",
+              expr(s"(${budget}L * w10 * ${1L << 48}L) div (10L * n_l)"))
+            .withColumn("h48",
+              conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+                .cast("long"))
+            .filter(col("h48") < col("thresh"))
+            .select("doc_id", "lang", "source")
+            .orderBy("doc_id")
+        },
+        Some(s"""WITH counts AS (
+                |  SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),
+                |w AS (SELECT * FROM (VALUES ${w10.map { case (l, w) => s"('$l', $w)" }.mkString(", ")})
+                |      AS t(lang, w10)),
+                |j AS (
+                |  SELECT d.doc_id, d.lang, d.source,
+                |    CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 12) AS BIGINT) AS h48,
+                |    (${budget} * CAST(w.w10 AS BIGINT) * ${1L << 48}) // (10 * c.n_l) AS thresh
+                |  FROM documents d
+                |  JOIN counts c USING (lang)
+                |  JOIN w USING (lang))
+                |SELECT doc_id, lang, source FROM j
+                |WHERE h48 < thresh ORDER BY doc_id""".stripMargin),
+      )
+    },
+
     {
       // X14 — Count-Min Sketch frequency estimates (custom typed
       // Aggregator, graft.functions.CountMinSketch): the corpus reduces

@@ -102,20 +102,34 @@ object Tables {
     val sch = schemaOverride.getOrElse(
       schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema))
     if (importEnabled && importable(name)) {
+      // Source fingerprint (length + mtime) keys both the cache entry
+      // and the on-disk copy: the scratch dir outlives the JVM and the
+      // fixtures are REGENERATED between driver rounds (round 8 changed
+      // events.ts's physical type in place), so a parts-only key would
+      // serve a previous round's bytes — stale content, possibly a
+      // stale physical schema — to every import-enabled scan. A
+      // regenerated source gets a fresh fingerprint, hence a fresh
+      // directory; the old copy is just dead weight in tmpfs until
+      // reboot.
+      val srcFile = new java.io.File(path)
+      val fp = java.lang.Long.toHexString(
+        java.util.Arrays.hashCode(
+          Array(srcFile.length(), srcFile.lastModified())) & 0xffffffffL)
       // cached value is the path to serve: the re-laid-out copy, or the
       // original when the table is too small for a split to pay
-      val serve = ArtifactCache.getOrBuild(s"import:$dir:$name") {
+      val serve = ArtifactCache.getOrBuild(s"import:$dir:$name:$fp") {
         val src = spark.read.schema(sch).parquet(path)
         val parts = importParts(spark, src.count())
         if (parts < 2) path
         else {
-          // parts is part of the served path: the scratch dir outlives
-          // the JVM (/dev/shm until reboot), so a later session with a
-          // different parallelism must not be handed an earlier
-          // session's differently-split copy — a distinct config gets a
-          // distinct directory, and an existing same-config copy is the
-          // SAME layout of the same immutable fixture, safe to reuse.
-          val dst = s"$importDir/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/$name-p$parts"
+          // parts AND the source fingerprint are part of the served
+          // path: the scratch dir outlives the JVM (/dev/shm until
+          // reboot), so a later session with a different parallelism —
+          // or a REGENERATED source fixture — must not be handed an
+          // earlier session's copy. A distinct (parts, fingerprint)
+          // gets a distinct directory; an existing same-key copy is the
+          // same layout of the same source bytes, safe to reuse.
+          val dst = s"$importDir/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/$name-p$parts-$fp"
           // fail-soft: an import that cannot write (scratch-dir space /
           // permissions) must degrade to the original layout, not kill
           // every query that touches the table

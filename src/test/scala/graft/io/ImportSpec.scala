@@ -67,4 +67,45 @@ class ImportSpec extends AnyFunSuite {
       importedPath.foreach(deleteRecursively)
     } finally deleteRecursively(new java.io.File(dir))
   }
+
+  test("a regenerated source is re-imported, never served from a stale copy") {
+    assume(envClean)
+    // The driver rewrites /root/testdata fixtures between rounds while
+    // the import scratch dir (/dev/shm) survives — a parts-only key
+    // would hand the new session the OLD bytes. The source fingerprint
+    // (length + mtime) must force a fresh import.
+    val dir = java.nio.file.Files.createTempDirectory("graft_import_regen").toString
+    try {
+      import spark.implicits._
+      def write(tag: String): Unit = {
+        val f = new java.io.File(s"$dir/orders.parquet")
+        if (f.exists()) deleteRecursively(f)
+        (1L to 120000L).map(i => (i, i % 97, s"$tag$i"))
+          .toDF("o_orderkey", "k", "v")
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+        Tables.clearSchemaCache()
+      }
+      write("a")
+      val copies = scala.collection.mutable.Buffer.empty[java.io.File]
+      val first = withImport {
+        val df = Tables.orders(spark, dir)
+        df.inputFiles.headOption.foreach(f =>
+          copies += new java.io.File(new java.net.URI(f)).getParentFile)
+        df.filter(col("o_orderkey") === 1L).select("v").collect().head.getString(0)
+      }
+      assert(first == "a1")
+      // regenerate in place: same schema, same rows, different content
+      Thread.sleep(1100) // mtime granularity can be 1s on some filesystems
+      write("b")
+      val second = withImport {
+        val df = Tables.orders(spark, dir)
+        df.inputFiles.headOption.foreach(f =>
+          copies += new java.io.File(new java.net.URI(f)).getParentFile)
+        df.filter(col("o_orderkey") === 1L).select("v").collect().head.getString(0)
+      }
+      assert(second == "b1",
+        "import served stale pre-regeneration content")
+      copies.distinct.foreach(deleteRecursively)
+    } finally deleteRecursively(new java.io.File(dir))
+  }
 }

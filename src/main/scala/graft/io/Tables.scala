@@ -99,22 +99,26 @@ object Tables {
       spark: SparkSession, dir: String, name: String,
       schemaOverride: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
     val path = s"$dir/$name.parquet"
-    val sch = schemaOverride.getOrElse(
-      schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema))
+    val sch = schemaOverride.getOrElse(storedSchema(spark, path))
     if (importEnabled && importable(name)) {
-      // Source fingerprint (length + mtime) keys both the cache entry
-      // and the on-disk copy: the scratch dir outlives the JVM and the
-      // fixtures are REGENERATED between driver rounds (round 8 changed
-      // events.ts's physical type in place), so a parts-only key would
-      // serve a previous round's bytes — stale content, possibly a
-      // stale physical schema — to every import-enabled scan. A
-      // regenerated source gets a fresh fingerprint, hence a fresh
-      // directory; the old copy is just dead weight in tmpfs until
-      // reboot.
+      // Source fingerprint (total length + newest mtime, raw — no lossy
+      // hash, so distinct sources can never collide into one key) keys
+      // both the cache entry and the on-disk copy: the scratch dir
+      // outlives the JVM and the fixtures are REGENERATED between driver
+      // rounds (round 8 changed events.ts's physical type in place), so
+      // a parts-only key would serve a previous round's bytes — stale
+      // content, possibly a stale physical schema — to every
+      // import-enabled scan. A regenerated source gets a fresh
+      // fingerprint, hence a fresh directory; the old copy is just dead
+      // weight in tmpfs until reboot. Directory-shaped sources (Spark
+      // writer output) fingerprint their contained files, not the
+      // directory entry — an in-place part rewrite changes the total.
       val srcFile = new java.io.File(path)
-      val fp = java.lang.Long.toHexString(
-        java.util.Arrays.hashCode(
-          Array(srcFile.length(), srcFile.lastModified())) & 0xffffffffL)
+      val parts0 =
+        if (srcFile.isDirectory)
+          srcFile.listFiles().filter(_.isFile).toSeq
+        else Seq(srcFile)
+      val fp = s"${parts0.map(_.length()).sum}-${parts0.map(_.lastModified()).maxOption.getOrElse(0L)}"
       // cached value is the path to serve: the re-laid-out copy, or the
       // original when the table is too small for a split to pay
       val serve = ArtifactCache.getOrBuild(s"import:$dir:$name:$fp") {

@@ -230,6 +230,24 @@ object ExtQueries {
   private val esList = TA.esStop.map(w => s"'$w'").mkString("[", ",", "]")
   private val deList = TA.deStop.map(w => s"'$w'").mkString("[", ",", "]")
 
+  /** Inner token/char/punct/stopword stats sub-select shared by the x3
+    * and x36 oracles — one SQL source of truth for the quality formula's
+    * cross-engine bit-parity contract. */
+  private def qualityStatsSql(idCol: String, src: String): String =
+    s"""SELECT $idCol,
+       |    len(string_split(text,' ')) AS nt,
+       |    length(text) AS nc,
+       |    len(regexp_extract_all(text, '[^\\w\\s]')) AS np,
+       |    len(list_filter(string_split(text,' '), t -> list_contains($enList, t))) AS en
+       |  FROM $src""".stripMargin
+
+  /** The x3 quality score over [[qualityStatsSql]]'s columns — the SQL
+    * twin of [[graft.ext.TextAnalysis.qualityScore]]. */
+  private val qualitySql =
+    """0.4 * (CAST(en AS DOUBLE) / CAST(nt AS DOUBLE))
+      |    + 0.3 * least(CAST(nt AS DOUBLE) / 100.0, 1.0)
+      |    + 0.3 * (1.0 - CAST(np AS DOUBLE) / CAST(nc AS DOUBLE))""".stripMargin
+
   // DuckDB twin of Similarity.dotQ over two quantized list columns.
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
@@ -300,16 +318,9 @@ object ExtQueries {
               |  CAST(en AS DOUBLE) / CAST(nt AS DOUBLE) AS stopword_ratio,
               |  CAST(np AS DOUBLE) / CAST(nc AS DOUBLE) AS punct_ratio,
               |  CAST(nc - (nt - 1) AS DOUBLE) / CAST(nt AS DOUBLE) AS mean_token_len,
-              |  0.4 * (CAST(en AS DOUBLE) / CAST(nt AS DOUBLE))
-              |    + 0.3 * least(CAST(nt AS DOUBLE) / 100.0, 1.0)
-              |    + 0.3 * (1.0 - CAST(np AS DOUBLE) / CAST(nc AS DOUBLE)) AS quality
+              |  $qualitySql AS quality
               |FROM (
-              |  SELECT doc_id,
-              |    len(string_split(text,' ')) AS nt,
-              |    length(text) AS nc,
-              |    len(regexp_extract_all(text, '[^\\w\\s]')) AS np,
-              |    len(list_filter(string_split(text,' '), t -> list_contains($enList, t))) AS en
-              |  FROM documents)
+              |  ${qualityStatsSql("doc_id", "documents")})
               |ORDER BY doc_id""".stripMargin),
     ),
 
@@ -763,16 +774,18 @@ object ExtQueries {
         val clusters = corpus3Clusters(s, d)
         val quality = corpus3(s, d)
           .select(col("id"), TA.qualityScore(col("text")).as("quality"))
-        val joined = quality.join(clusters, Seq("id"), "left")
+        // one pass, not a union of isNull/isNotNull branches (which
+        // would execute the scoring scan + cluster join twice): an
+        // unpaired doc is its own singleton group under
+        // coalesce(cluster_id, id) — keys can never collide with a real
+        // cluster_id, which is always some PAIRED doc's id
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("cluster_id").orderBy(desc("quality"), col("id"))
-        val best = joined.filter(col("cluster_id").isNotNull)
+          .partitionBy(coalesce(col("cluster_id"), col("id")))
+          .orderBy(desc("quality"), col("id"))
+        quality.join(clusters, Seq("id"), "left")
           .withColumn("rk", row_number().over(w))
           .filter(col("rk") === 1)
           .select(col("id"), col("quality"))
-        joined.filter(col("cluster_id").isNull)
-          .select(col("id"), col("quality"))
-          .unionByName(best)
           .orderBy("id")
       },
       Some(s"""$cluster3Prelude,
@@ -780,18 +793,9 @@ object ExtQueries {
               |  SELECT u AS id, least(u, CAST(min(v) AS BIGINT)) AS cluster_id
               |  FROM reach GROUP BY u),
               |q AS (
-              |  SELECT id,
-              |    0.4 * (CAST(en AS DOUBLE) / CAST(nt AS DOUBLE))
-              |      + 0.3 * least(CAST(nt AS DOUBLE) / 100.0, 1.0)
-              |      + 0.3 * (1.0 - CAST(np AS DOUBLE) / CAST(nc AS DOUBLE)) AS quality
+              |  SELECT id, $qualitySql AS quality
               |  FROM (
-              |    SELECT id,
-              |      len(string_split(text,' ')) AS nt,
-              |      length(text) AS nc,
-              |      len(regexp_extract_all(text, '[^\\w\\s]')) AS np,
-              |      len(list_filter(string_split(text,' '),
-              |        t -> list_contains($enList, t))) AS en
-              |    FROM corpus)),
+              |    ${qualityStatsSql("id", "corpus")})),
               |j AS (
               |  SELECT q.id, q.quality, cl.cluster_id
               |  FROM q LEFT JOIN clusters cl USING (id)),

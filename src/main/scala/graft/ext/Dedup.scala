@@ -563,16 +563,23 @@ object Dedup {
     * (hashBits=32, maxDist=3 reproduces the classic 4×8-bit byte-slice
     * scheme).
     *
-    * Selectivity note, not a correctness bound: slice width is
+    * Selectivity note that IS enforced: slice width is
     * ⌊hashBits/(maxDist+1)⌋, so a wide radius shrinks slices and fattens
-    * each bucket. Exact for any maxDist < hashBits; when slices drop
-    * below ~8 bits, switch to a wider hash ([[simhash60]] keeps slices
-    * ≥ 10 bits through maxDist = 5) — same plan shape. */
+    * each bucket — below 4 bits a "slice" matches 1-in-≤16 of the corpus
+    * and the equi-join is effectively all-pairs without ever tripping a
+    * CartesianProduct plan gate. Such radii are rejected up front:
+    * callers needing a wide radius use a wider hash ([[simhash60]] keeps
+    * slices ≥ 10 bits through maxDist = 5) — same plan shape. */
   def simhashPairs(sh: DataFrame, maxDist: Int, hashBits: Int = 32): DataFrame = {
     require(hashBits > 0 && hashBits <= 63,
       s"hashBits must be in [1, 63] (sign-free int64 simhashes), got $hashBits")
     require(maxDist >= 0 && maxDist < hashBits,
       s"maxDist must be in [0, ${hashBits - 1}] for a $hashBits-bit simhash, got $maxDist")
+    require(hashBits / (maxDist + 1) >= 4,
+      s"slice width ${hashBits / (maxDist + 1)} < 4 bits (hashBits=$hashBits, " +
+        s"maxDist=$maxDist): buckets stop being selective and the slice " +
+        "equi-join degenerates toward all-pairs — use a wider hash " +
+        "(e.g. hashBits=60 via simhash60) for this radius")
     val slices = maxDist + 1
     // first (hashBits % slices) slices take the extra bit; offsets are
     // the running sum, so the slices tile [0, hashBits) exactly

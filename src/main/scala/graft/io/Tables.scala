@@ -101,24 +101,33 @@ object Tables {
     val path = s"$dir/$name.parquet"
     val sch = schemaOverride.getOrElse(storedSchema(spark, path))
     if (importEnabled && importable(name)) {
-      // Source fingerprint (total length + newest mtime, raw — no lossy
-      // hash, so distinct sources can never collide into one key) keys
-      // both the cache entry and the on-disk copy: the scratch dir
-      // outlives the JVM and the fixtures are REGENERATED between driver
-      // rounds (round 8 changed events.ts's physical type in place), so
-      // a parts-only key would serve a previous round's bytes — stale
-      // content, possibly a stale physical schema — to every
-      // import-enabled scan. A regenerated source gets a fresh
+      // Source fingerprint — md5 over the full sorted (name, length,
+      // mtime) list of part files, so ANY per-file change (not just one
+      // that moves the total length or the newest mtime) produces a new
+      // key. It keys both the cache entry and the on-disk copy: the
+      // scratch dir outlives the JVM and the fixtures are REGENERATED
+      // between driver rounds (round 8 changed events.ts's physical type
+      // in place), so a parts-only key would serve a previous round's
+      // bytes — stale content, possibly a stale physical schema — to
+      // every import-enabled scan. A regenerated source gets a fresh
       // fingerprint, hence a fresh directory; the old copy is just dead
       // weight in tmpfs until reboot. Directory-shaped sources (Spark
       // writer output) fingerprint their contained files, not the
-      // directory entry — an in-place part rewrite changes the total.
+      // directory entry; a listing failure degrades like other import
+      // failures (empty list → fingerprint of nothing → still serves
+      // the original layout on the read path below if the copy fails).
       val srcFile = new java.io.File(path)
       val parts0 =
         if (srcFile.isDirectory)
-          srcFile.listFiles().filter(_.isFile).toSeq
+          Option(srcFile.listFiles()).getOrElse(Array.empty[java.io.File])
+            .filter(_.isFile).toSeq
         else Seq(srcFile)
-      val fp = s"${parts0.map(_.length()).sum}-${parts0.map(_.lastModified()).maxOption.getOrElse(0L)}"
+      val fpManifest = parts0.sortBy(_.getName)
+        .map(f => s"${f.getName}:${f.length()}:${f.lastModified()}")
+        .mkString("\n")
+      val fp = java.security.MessageDigest.getInstance("MD5")
+        .digest(fpManifest.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(16)
       // cached value is the path to serve: the re-laid-out copy, or the
       // original when the table is too small for a split to pay
       val serve = ArtifactCache.getOrBuild(s"import:$dir:$name:$fp") {

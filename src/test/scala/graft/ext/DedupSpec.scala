@@ -134,6 +134,9 @@ class DedupSpec extends AnyFunSuite {
           s"missing=${(brute -- blocked).take(3)} extra=${(blocked -- brute).take(3)}")
     }
     intercept[IllegalArgumentException](Dedup.simhashPairs(shDf, 32))
+    // radius whose slices fall under 4 bits (32/16 = 2) is rejected up
+    // front — the equi-join would be effectively all-pairs
+    intercept[IllegalArgumentException](Dedup.simhashPairs(shDf, 15))
   }
 
   test("incrementalCandidates equal full-corpus candidates restricted to the batch") {

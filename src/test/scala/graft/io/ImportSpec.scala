@@ -73,7 +73,8 @@ class ImportSpec extends AnyFunSuite {
     // The driver rewrites /root/testdata fixtures between rounds while
     // the import scratch dir (/dev/shm) survives — a parts-only key
     // would hand the new session the OLD bytes. The source fingerprint
-    // (length + mtime) must force a fresh import.
+    // (md5 of the sorted per-part (name, length, mtime) manifest) must
+    // force a fresh import.
     val dir = java.nio.file.Files.createTempDirectory("graft_import_regen").toString
     try {
       import spark.implicits._

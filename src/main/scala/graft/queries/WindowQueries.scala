@@ -23,11 +23,27 @@ object WindowQueries {
     * last_ts reconstruction, AND the oracle's new-session predicate. */
   private val SessionGapMinutes = 5
 
+  /** w1's pre-prune fan-out: partkeys are salted into this many groups
+    * per return flag before the low-cardinality (3-value) flag window,
+    * so the local top-k sort distributes over 3·TopKSalt tasks instead
+    * of funneling the full aggregate through ≤3. */
+  private val TopKSalt = 32
+
   val defs: Seq[QueryDef] = Seq(
 
     // Per-group top-k — the window-function version of the dashboard's
     // global ORDER BY+LIMIT top-k (SURVEY.md §2.5 note): top-3 parts by
     // net revenue within each return flag.
+    //
+    // l_returnflag has THREE distinct values, so a direct
+    // partitionBy(l_returnflag) window funnels the whole (flag, partkey)
+    // aggregate through ≤3 reduce tasks — each sorting the full per-flag
+    // partkey set at any scale. Pre-prune instead: salt partkeys into
+    // [[TopKSalt]] groups per flag and keep each (flag, salt) group's
+    // local top-3. Every partkey appears exactly once per flag after the
+    // aggregate, so a global top-3 row is necessarily in its salt
+    // group's top-3 — the pruned set (≤ 3·salts rows per flag) is what
+    // the 3-partition window sorts, not the full aggregate.
     QueryDef(
       "w1_pergroup_topk",
       (s, d) => {
@@ -35,9 +51,16 @@ object WindowQueries {
           .groupBy(col("l_returnflag"), col("l_partkey"))
           .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
             .as("revenue"))
+        val salt = pmod(hash(col("l_partkey")), lit(TopKSalt)).as("salt")
+        val wLocal = Window.partitionBy(col("l_returnflag"), col("salt"))
+          .orderBy(desc("revenue"), col("l_partkey"))
+        val pruned = rev.withColumn("salt", salt)
+          .withColumn("rnk_local", row_number().over(wLocal))
+          .filter(col("rnk_local") <= 3)
+          .drop("salt", "rnk_local")
         val w = Window.partitionBy("l_returnflag")
           .orderBy(desc("revenue"), col("l_partkey"))
-        rev.withColumn("rnk", row_number().over(w))
+        pruned.withColumn("rnk", row_number().over(w))
           .filter(col("rnk") <= 3)
           .select("l_returnflag", "rnk", "l_partkey", "revenue")
           .orderBy("l_returnflag", "rnk")

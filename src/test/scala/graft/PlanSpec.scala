@@ -204,6 +204,31 @@ class PlanSpec extends AnyFunSuite {
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
 
+  test("per-group top-k pre-prunes with a salted window before the 3-value flag window (W1)") {
+    // l_returnflag has 3 distinct values: a direct partitionBy(flag)
+    // window would sort the ENTIRE (flag, partkey) aggregate in ≤3
+    // tasks. The plan must show the salted local top-k first — a Window
+    // partitioned on (flag, salt) — with only rank-filtered survivors
+    // reaching the flag-only window.
+    val plan = planOf(SparkEntry.queries("w1_pergroup_topk")(spark, sf))
+    val lines = plan.linesIterator.toVector
+    assert("\\bWindow\\b".r.findAllIn(plan).size == 2,
+      s"expected exactly two Window operators (local salted + global):\n$plan")
+    val saltedExchange = lines.indexWhere(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("salt"))
+    assert(saltedExchange >= 0, s"no (flag, salt) exchange for the local top-k:\n$plan")
+    // tree prints root-first: the flag-only window sits ABOVE the
+    // rnk_local filter, which sits ABOVE the salted exchange — i.e. the
+    // full aggregate never feeds the 3-partition window directly
+    val flagWindow = lines.indexWhere(l =>
+      l.contains("Window") && l.contains("l_returnflag") && !l.contains("salt"))
+    val localFilter = lines.indexWhere(l => l.contains("Filter") && l.contains("rnk_local"))
+    assert(flagWindow >= 0 && localFilter >= 0 && flagWindow < localFilter &&
+      localFilter < saltedExchange,
+      s"flag window must consume only the salted-prune survivors " +
+        s"(flagWindow=$flagWindow filter=$localFilter saltedExchange=$saltedExchange):\n$plan")
+  }
+
   test("exact dedup shuffles the 64-char hash, never the document text") {
     val docs = Tables.documents(spark, sf)
     val plan = planOf(graft.ext.Dedup.exactDups(docs, "doc_id", "text"))

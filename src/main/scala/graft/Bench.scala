@@ -119,6 +119,11 @@ object Bench {
       case Some(names) => SparkEntry.queries.view.filterKeys(names).toMap
       case None        => SparkEntry.queries
     }
+    // Artifact-backed queries (x6/x7's shingle index, x21's vocabulary,
+    // x22's benchmark grams, x16/x35's centroids, …) are detected by the
+    // non-`import:` keys they leave behind — they get a second, warm-serve
+    // timing facet below.
+    val artifactBacked = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = timedQueries.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
@@ -126,6 +131,8 @@ object Bench {
         catch { case _: Throwable => failed += name }
         val elapsed = (System.nanoTime() - t0) / 1e9
         // between-run hygiene, outside the timing: both cache layers
+        if (graft.io.ArtifactCache.keys.exists(!_.startsWith("import:")))
+          artifactBacked += name
         spark.catalog.clearCache()
         graft.io.ArtifactCache.retainOnly(_.startsWith("import:"))
         // Pay down GC debt OUTSIDE the timed window: without this, heap
@@ -147,11 +154,53 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // Warm-serve facet: the cold loop above clears per-query artifacts
+    // between reps, so every rep pays the full index/vocabulary/centroid
+    // build — the honest apples-to-apples against DuckDB re-running the
+    // whole oracle SQL, and the number `queries`/`value` keep reporting.
+    // But the PRODUCTION shape of an artifact is build-once serve-many
+    // (that is what ArtifactCache exists for), so the same queries are
+    // re-timed here with artifacts retained: one untimed priming run
+    // builds them, then each rep serves. `warm` carries only the
+    // artifact-backed queries; `total_warm` is the suite total with warm
+    // times substituted — the steady-state serving number.
+    val warmResults = artifactBacked.toSeq.flatMap { name =>
+      timedQueries.get(name).map { fn =>
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save() // prime
+        catch { case _: Throwable => }
+        val times = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => failed += name }
+          val elapsed = (System.nanoTime() - t0) / 1e9
+          // same hygiene as the cold loop MINUS the artifact sweep:
+          // Spark's block cache still drops (persisted frames are part
+          // of a single execution, not the artifact), the session
+          // artifacts stay
+          spark.catalog.clearCache()
+          System.gc()
+          val settle = sys.env.getOrElse("SPARK_GRAFT_GC_SETTLE_MS", "150").toLong
+          if (settle > 0) Thread.sleep(settle)
+          elapsed
+        }
+        name -> times.min
+      }
+    }
+    // post-facet hygiene: leave no artifact state behind for anything
+    // that runs after the bench in the same JVM
+    graft.io.ArtifactCache.retainOnly(_.startsWith("import:"))
+    val warmMap = warmResults.toMap
+    val warmJson = warmResults.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val totalWarm =
+      if (results.nonEmpty)
+        results.map { case (k, v) => warmMap.getOrElse(k, v) }.sum
+      else 0.0
     // A throwing query must be VISIBLE in the metric, not a fast "win":
     // its time-to-exception would otherwise shrink the total silently.
     val errs = failed.map(n => s"\"$n\"").mkString("[", ",", "]")
     val metric =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"import_sec":$importSec,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warm":$warmJson,"total_warm":$totalWarm,"errors":$errs,"import_sec":$importSec,"sf":"$sfDir"}"""
     // Driver contract: BENCH_r02 had parsed:null because the metric line
     // reached the driver as "[info] {...}". Belt and braces: write the bare
     // JSON to stable files AND print it as the final unadorned stdout line

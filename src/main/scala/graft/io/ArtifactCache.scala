@@ -157,4 +157,13 @@ object ArtifactCache {
   }
 
   private[graft] def size: Int = cache.size()
+
+  /** Snapshot of the current keys — lets the bench detect which queries
+    * are artifact-backed (non-`import:` keys appear during their run)
+    * without coupling it to the key-naming of each query site. */
+  private[graft] def keys: Set[String] = {
+    val b = Set.newBuilder[String]
+    cache.keySet().forEach(k => b += k)
+    b.result()
+  }
 }

@@ -264,10 +264,12 @@ object Similarity {
     * class). orderBy+limit plans TakeOrderedAndProject: per-partition
     * top-k then a driver merge of nLists rows — no global sort funnels
     * the corpus through one partition. The only window runs over the
-    * ≤nLists sampled rows. Production swaps this for k-means; everything
-    * downstream is unchanged. Train ONCE per corpus snapshot (cache via
-    * [[graft.io.ArtifactCache]]) — retraining per query re-scans the
-    * corpus for an identical result. */
+    * ≤nLists sampled rows. This is also the k-means INIT:
+    * [[trainIvfKmeans]] refines it with distributed Lloyd's rounds;
+    * everything downstream is unchanged either way. Train ONCE per
+    * corpus snapshot (cache via [[graft.io.ArtifactCache]]) —
+    * retraining per query re-scans the corpus for an identical
+    * result. */
   def trainIvfCentroids(
       corpus: DataFrame, idCol: String, embCol: String,
       nLists: Int = 16): Seq[IvfCentroid] = {
@@ -280,6 +282,62 @@ object Similarity {
       .collect()
       .map(r => IvfCentroid(r.getInt(0), r.getSeq[Long](1), r.getDouble(2)))
       .toIndexedSeq
+  }
+
+  /** Exact round-half-up of s/n on integers (n > 0): the ONE rounding
+    * rule the k-means mean uses, spelled in pure int64 arithmetic so the
+    * SQL oracle can reproduce it bit-for-bit (no float round() whose tie
+    * behavior differs subtly between engines). */
+  private[ext] def roundDiv(s: Long, n: Long): Long =
+    Math.floorDiv(2 * s + n, 2 * n)
+
+  /** Distributed Lloyd's k-means refinement of the IVF coarse quantizer.
+    *
+    * Init is the deterministic md5-order sample ([[trainIvfCentroids]]);
+    * each of the `rounds` iterations then runs
+    *   (a) ASSIGN — every corpus vector picks its nearest centroid by
+    *       cosine (tie-break list_id) via the broadcast-literal
+    *       [[nearestLists]] expression: pure map-side, the corpus never
+    *       shuffles for assignment;
+    *   (b) UPDATE — per-list per-dimension means as one
+    *       map-side-combinable groupBy producing nLists×(dim+1) partial
+    *       aggregates; only ≤nLists tiny rows reach the driver.
+    * New centroids are re-quantized to the 1e-6 integer grid
+    * ([[roundDiv]] per dimension — exact integer round-half-up), which
+    * keeps every subsequent dot product exact int64 and the whole
+    * training loop bit-reproducible by the DuckDB oracle. A list that
+    * attracts no vectors keeps its previous centroid (the standard
+    * empty-cluster rule, and the deterministic one).
+    *
+    * Cost per round at 100 TB: one corpus scan + an nLists-row shuffle —
+    * linear, no quadratic stage; rounds is a small constant (FAISS-style
+    * coarse quantizers converge in a few iterations, and the inverted
+    * lists only need balanced-ish cells, not converged ones). */
+  def trainIvfKmeans(
+      corpus: DataFrame, idCol: String, embCol: String,
+      nLists: Int = 16, rounds: Int = 2): Seq[IvfCentroid] = {
+    val init = trainIvfCentroids(corpus, idCol, embCol, nLists)
+    if (init.isEmpty) return init
+    val dim = init.head.qv.size
+    val c = prepared(corpus, idCol, embCol)
+    (1 to rounds).foldLeft(init) { (cents, _) =>
+      val sums = (0 until dim).map(i =>
+        sum(element_at(col("qv"), i + 1)).as(s"d$i"))
+      val agg = c.withColumn("list_id", explode(nearestLists(cents, 1)))
+        .groupBy("list_id")
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .collect()
+        .map(r => r.getInt(0) -> r).toMap
+      cents.map { old =>
+        agg.get(old.listId).fold(old) { r =>
+          val n = r.getLong(1)
+          val qv = (0 until dim).map(i => roundDiv(r.getLong(i + 2), n))
+          // exact int64 self-dot, then the same sqrt-of-double as normQ
+          val nrm = math.sqrt(qv.map(v => v * v).sum.toDouble)
+          IvfCentroid(old.listId, qv, nrm)
+        }
+      }
+    }
   }
 
   /** Top-`keep` nearest centroid list ids for the current row's

@@ -253,6 +253,61 @@ object ExtQueries {
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])), (s, p) -> s + p)"
 
+  // Exact int64 floor division a/b (b > 0) — DuckDB's // truncates
+  // toward zero, so floor is spelled via the non-negative remainder.
+  private def floorDivSql(a: String, b: String): String =
+    s"((($a) - (((($a) % ($b)) + ($b)) % ($b))) // ($b))"
+
+  // DuckDB twin of Similarity.roundDiv: exact integer round-half-up of
+  // s/n — the k-means mean re-quantization rule, float-free on both
+  // engines so tie behavior can never diverge.
+  private def roundDivSql(s: String, n: String): String =
+    floorDivSql(s"2 * ($s) + ($n)", s"2 * ($n)")
+
+  /** CTE chain reproducing [[graft.ext.Similarity.trainIvfKmeans]] in
+    * SQL: md5-order sample init (cent0), then `rounds` Lloyd's rounds of
+    * nearest-centroid assignment (cosine desc, list_id tie-break) and
+    * integer-grid mean update (empty lists keep their centroid). The
+    * final relation is named `cent` with (list_id, c_qv, c_nrm) —
+    * drop-in for the sampled-quantizer CTE the x16/x35 oracles used
+    * before. `src` must expose (id, qv, nrm). */
+  private def kmeansCentSql(src: String, nLists: Int, rounds: Int, dim: Int): String = {
+    val init =
+      s"""samp AS (
+         |  SELECT id, qv, nrm FROM $src
+         |  ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT $nLists),
+         |cent0 AS (
+         |  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1 AS list_id,
+         |         qv AS c_qv, nrm AS c_nrm
+         |  FROM samp)""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      val prev = s"cent${r - 1}"
+      s"""asg$r AS (
+         |  SELECT list_id, id, qv FROM (
+         |    SELECT id, qv, list_id,
+         |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY
+         |        CAST(${dotSql("qv", "c_qv")} AS DOUBLE) / (nrm * c_nrm) DESC,
+         |        list_id) AS crank
+         |    FROM $src CROSS JOIN $prev) WHERE crank = 1),
+         |agg$r AS (
+         |  SELECT list_id, u.i AS i, SUM(qv[u.i]) AS sm, COUNT(*) AS n
+         |  FROM asg$r CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS i) u
+         |  GROUP BY list_id, u.i),
+         |newc$r AS (
+         |  SELECT list_id,
+         |         list(CAST(${roundDivSql("sm", "n")} AS BIGINT) ORDER BY i) AS c_qv
+         |  FROM agg$r GROUP BY list_id),
+         |cent$r AS (
+         |  SELECT p.list_id,
+         |         COALESCE(nc.c_qv, p.c_qv) AS c_qv,
+         |         CASE WHEN nc.c_qv IS NULL THEN p.c_nrm
+         |              ELSE sqrt(CAST(${dotSql("nc.c_qv", "nc.c_qv")} AS DOUBLE)) END AS c_nrm
+         |  FROM $prev p LEFT JOIN newc$r nc USING (list_id))""".stripMargin
+    }
+    (Seq(init) ++ roundCtes ++
+      Seq(s"cent AS (SELECT list_id, c_qv, c_nrm FROM cent$rounds)")).mkString(",\n")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
@@ -1052,8 +1107,11 @@ object ExtQueries {
       "x16_ivf_topk",
       (s, d) => {
         val base = Tables.embeddings(s, d)
-        val cents = graft.io.ArtifactCache.getOrBuild(s"ivf-centroids:16:$d")(
-          Similarity.trainIvfCentroids(base, "vec_id", "embedding", nLists = 16))
+        // k-means-refined coarse quantizer (2 Lloyd's rounds over the
+        // md5-sample init), trained once per corpus snapshot
+        val cents = graft.io.ArtifactCache.getOrBuild(s"ivf-kmeans:16:2:$d")(
+          Similarity.trainIvfKmeans(base, "vec_id", "embedding",
+            nLists = 16, rounds = 2))
         // bounded query set → broadcast hint at the call site (see x15)
         Similarity.ivfTopKIndexed(
           broadcast(base.filter(col("vec_id") < 8)), base, "vec_id", "embedding",
@@ -1069,13 +1127,7 @@ object ExtQueries {
               |n AS (
               |  SELECT id, qv, sqrt(CAST(${dotSql("qv", "qv")} AS DOUBLE)) AS nrm
               |  FROM prep),
-              |samp AS (
-              |  SELECT id, qv, nrm FROM n
-              |  ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 16),
-              |cent AS (
-              |  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1 AS list_id,
-              |         qv AS c_qv, nrm AS c_nrm
-              |  FROM samp),
+              |${kmeansCentSql("n", nLists = 16, rounds = 2, dim = 64)},
               |ci AS (
               |  SELECT id, qv, nrm, list_id,
               |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY
@@ -1120,8 +1172,9 @@ object ExtQueries {
         val corpus = base.select(col("vec_id"), col("embedding"))
           .unionByName(base.filter(col("vec_id") % 25 === 0)
             .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
-        val cents = graft.io.ArtifactCache.getOrBuild(s"ivf-centroids:16:$d")(
-          Similarity.trainIvfCentroids(base, "vec_id", "embedding", nLists = 16))
+        val cents = graft.io.ArtifactCache.getOrBuild(s"ivf-kmeans:16:2:$d")(
+          Similarity.trainIvfKmeans(base, "vec_id", "embedding",
+            nLists = 16, rounds = 2))
         Similarity.semDedupPairs(
           Similarity.prepared(corpus, "vec_id", "embedding"), cents, threshold = 0.99)
           .orderBy("id_a", "id_b")
@@ -1134,13 +1187,7 @@ object ExtQueries {
               |nb AS (
               |  SELECT id, qv, sqrt(CAST(${dotSql("qv", "qv")} AS DOUBLE)) AS nrm
               |  FROM prep_b),
-              |samp AS (
-              |  SELECT id, qv, nrm FROM nb
-              |  ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 16),
-              |cent AS (
-              |  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1 AS list_id,
-              |         qv AS c_qv, nrm AS c_nrm
-              |  FROM samp),
+              |${kmeansCentSql("nb", nLists = 16, rounds = 2, dim = 64)},
               |corpus AS (
               |  SELECT vec_id, embedding FROM embeddings
               |  UNION ALL

@@ -94,6 +94,46 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.3, s"recall $recall")
   }
 
+  test("k-means quantizer: deterministic, grid-exact, recall holds or improves vs sampled init") {
+    val emb = Tables.embeddings(spark, sf)
+    val sampled = Similarity.trainIvfCentroids(emb, "vec_id", "embedding", nLists = 8)
+    val kmeans = Similarity.trainIvfKmeans(emb, "vec_id", "embedding", nLists = 8, rounds = 2)
+    // same list ids, training is deterministic (re-train → identical)
+    assert(kmeans.map(_.listId) == sampled.map(_.listId))
+    assert(Similarity.trainIvfKmeans(emb, "vec_id", "embedding", nLists = 8, rounds = 2) == kmeans)
+    // centroids stay on the int grid with norms recomputed from the grid
+    kmeans.foreach { c =>
+      assert(math.abs(c.nrm - math.sqrt(c.qv.map(v => v * v).sum.toDouble)) == 0.0)
+    }
+    // Lloyd's refinement must not LOSE recall vs the raw sample on the
+    // fixture (deterministic data + deterministic training → a stable
+    // number, not a flaky bound)
+    val prep = Similarity.prepared(emb, "vec_id", "embedding").cache()
+    val exact = Similarity.bruteForceTopK(prep.filter(col("id") < 20), prep, k = 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(cents: Seq[Similarity.IvfCentroid]): Double = {
+      val approx = Similarity.ivfTopKIndexed(
+        emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding",
+        k = 5, centroids = cents, nProbe = 4)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact intersect approx).size.toDouble / exact.size
+    }
+    val rSampled = recallOf(sampled)
+    val rKmeans = recallOf(kmeans)
+    assert(rKmeans >= rSampled,
+      s"k-means recall $rKmeans regressed below sampled-init recall $rSampled")
+  }
+
+  test("roundDiv is exact round-half-up for both signs") {
+    import Similarity.roundDiv
+    assert(roundDiv(5, 2) == 3 && roundDiv(-5, 2) == -2) // -2.5 -> -2 (half up)
+    assert(roundDiv(4, 2) == 2 && roundDiv(-4, 2) == -2)
+    assert(roundDiv(7, 3) == 2 && roundDiv(-7, 3) == -2)
+    assert(roundDiv(0, 7) == 0)
+  }
+
   test("LSH-blocked near-dup returns exactly the all-pairs result") {
     val base = Tables.embeddings(spark, sf)
     val corpus = base.select(col("vec_id"), col("embedding"))

@@ -489,6 +489,55 @@ object Dedup {
       .distinct()
   }
 
+  /** One dedup-on-arrival step of a streaming ingest — x30's
+    * batch-vs-index band probe composed into the live path
+    * ([[graft.streaming.DocStream]] runs this per micro-batch; the
+    * x38 oracle query folds the same function over simulated arrival
+    * batches). `newDocs` is the arriving (id, text) batch; `index` is
+    * the running retained state as (retainedIds, retainedBands), None
+    * on the first batch.
+    *
+    * The drop policy is arrival-order deterministic CLOSED-FORM set
+    * algebra (reproducible by the SQL oracle — no per-row sequential
+    * state):
+    *   - a new doc that band-collides with any RETAINED index doc is a
+    *     duplicate of the corpus → dropped (first arrival wins);
+    *   - within a batch, the larger id of a colliding new-new pair
+    *     drops (id order stands in for arrival order inside one batch);
+    *     the smaller side's own fate does not resurrect it —
+    *     a conservative over-drop on within-batch chains, the price of
+    *     a closed-form rule;
+    *   - an id already in the index is a replayed delivery → dropped
+    *     (the keyed-upsert idempotence of the order stream, expressed
+    *     for dedup — makes foreachBatch retries absorbing).
+    *
+    * Returns (retainedDocs, retainedBands) for the caller to append to
+    * its state. At scale both probes are band EQUI-joins against the
+    * index (the x30 shape — linear in batch size, never corpus×corpus),
+    * and nothing is collected to the driver. */
+  def arrivalStep(
+      newDocs: DataFrame,
+      index: Option[(DataFrame, DataFrame)],
+      numHashes: Int = 12, rowsPerBand: Int = 3): (DataFrame, DataFrame) = {
+    val newBands = lshBands(minhashSignature(newDocs, "id", "text"), numHashes, rowsPerBand)
+    val withinDrop = candidatePairs(newBands).select(col("id_b").as("id"))
+    val dropped = index match {
+      case Some((ixIds, ixBands)) =>
+        val vsIdx = newBands
+          .join(ixBands.select(col("band"), col("bh"), col("id").as("ix_id")),
+            Seq("band", "bh"))
+          .filter(col("id") =!= col("ix_id"))
+          .select(col("id"))
+        val replay = newDocs.select(col("id"))
+          .join(ixIds.select(col("id")), Seq("id"), "left_semi")
+        withinDrop.unionByName(vsIdx).unionByName(replay)
+      case None => withinDrop
+    }
+    val retained = newDocs.join(dropped.distinct(), Seq("id"), "left_anti")
+    // bands of the retained docs, without a second minhash pass
+    (retained, newBands.join(retained.select("id"), Seq("id"), "left_semi"))
+  }
+
   /** 32-bit SimHash: bit j of each token's md5 is the high bit of hex
     * nibble j; document bit j is the sign of the ±1 vote sum. Returns
     * (id, simhash) with simhash in [0, 2^32).

@@ -990,6 +990,62 @@ object ExtQueries {
               |ORDER BY id_a, id_b""".stripMargin),
     ),
 
+    // X38 — dedup-on-ARRIVAL, the live-ingest composition of x30: three
+    // arrival batches (originals, then mutated +10000 copies, then exact
+    // +20000 copies — the x19/x20 3-generation corpus) fold through
+    // Dedup.arrivalStep, the SAME function DocStream's foreachBatch runs
+    // per micro-batch (DocStreamSpec pins stream-fed state == this
+    // fold). Retained = first-arrival survivors. The oracle replays the
+    // identical closed-form policy as set algebra over the full-corpus
+    // candidate set: per batch, a doc drops iff it pairs with a RETAINED
+    // earlier doc or a smaller-id doc of its own batch.
+    QueryDef(
+      "x38_ingest_dedup",
+      (s, d) => {
+        val c3 = corpus3(s, d)
+        val batches = Seq(
+          c3.filter(col("id") < 10000),
+          c3.filter(col("id") >= 10000 && col("id") < 20000),
+          c3.filter(col("id") >= 20000))
+        val (allRetained, _) = batches.foldLeft(
+          (Option.empty[DataFrame], Option.empty[DataFrame])) {
+          case ((docsSoFar, bandsSoFar), batch) =>
+            val index = for (ds <- docsSoFar; bs <- bandsSoFar)
+              yield (ds.select("id"), bs)
+            val (ret, retBands) = Dedup.arrivalStep(batch, index)
+            (Some(docsSoFar.fold(ret)(_.unionByName(ret))),
+              Some(bandsSoFar.fold(retBands)(_.unionByName(retBands))))
+        }
+        allRetained.get
+          .select(
+            when(col("id") < 10000, 0).when(col("id") < 20000, 1)
+              .otherwise(2).cast("int").as("batch"),
+            col("id"))
+          .orderBy("id")
+      },
+      Some(s"""WITH ${minhashCtesFor(corpus3Sql)},
+              |d0 AS (SELECT DISTINCT id_b AS id FROM cand WHERE id_b < 10000),
+              |r0 AS (SELECT id FROM corpus WHERE id < 10000
+              |       AND id NOT IN (SELECT id FROM d0)),
+              |d1 AS (SELECT DISTINCT id_b AS id FROM cand
+              |       WHERE id_b >= 10000 AND id_b < 20000
+              |         AND (id_a IN (SELECT id FROM r0) OR id_a >= 10000)),
+              |r1 AS (SELECT id FROM r0 UNION ALL
+              |       SELECT id FROM corpus
+              |       WHERE id >= 10000 AND id < 20000
+              |         AND id NOT IN (SELECT id FROM d1)),
+              |d2 AS (SELECT DISTINCT id_b AS id FROM cand
+              |       WHERE id_b >= 20000
+              |         AND (id_a IN (SELECT id FROM r1) OR id_a >= 20000)),
+              |r2 AS (SELECT id FROM r1 UNION ALL
+              |       SELECT id FROM corpus WHERE id >= 20000
+              |         AND id NOT IN (SELECT id FROM d2))
+              |SELECT CAST(CASE WHEN id < 10000 THEN 0
+              |                 WHEN id < 20000 THEN 1
+              |                 ELSE 2 END AS INT) AS batch, id
+              |FROM r2 ORDER BY id""".stripMargin),
+    ),
+
     // ------------------------------------------------------------------
     // Similarity search
     // ------------------------------------------------------------------

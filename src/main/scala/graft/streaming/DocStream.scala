@@ -1,0 +1,105 @@
+package graft.streaming
+
+import graft.ext.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+
+/** Continuous DOCUMENT ingestion with dedup-on-arrival: raw document
+  * JSON lands in a directory, each micro-batch runs
+  * [[graft.ext.Dedup.arrivalStep]] against the accumulated retained
+  * corpus (x30's batch-vs-index band probe composed into the live
+  * path), and only first-arrival survivors are appended to the
+  * warehouse — the training-data shape where the corpus must stay
+  * deduplicated WHILE it is being collected, not re-clustered after
+  * the fact.
+  *
+  * State is ONE table (`dedup_corpus.parquet`: id, text, bands) — a
+  * doc and its LSH band keys commit in the same rows, so a foreachBatch
+  * retry can never leave a doc indexed without bands or vice versa; the
+  * replay-id guard in [[Dedup.arrivalStep]] then makes retries
+  * absorbing (at-least-once delivery → exactly-once state), the same
+  * contract OrderStream's keyed upsert gives facts.
+  *
+  * Scale: the per-batch probe is a band equi-join of batch-bands
+  * against index-bands — linear in batch size, never corpus×corpus;
+  * the index itself is an append-only columnar table that Spark scans
+  * predicate-pruned (only the two band-key columns feed the join). The
+  * stream holds no executor state — the warehouse IS the state, so a
+  * restart resumes from the checkpoint with nothing to rebuild. */
+object DocStream {
+
+  /** Landing-file schema: one JSON document object per line. */
+  val docSchema: StructType = new StructType()
+    .add("doc_id", LongType).add("text", StringType)
+
+  private def corpusPath(warehouse: String) = s"$warehouse/dedup_corpus.parquet"
+
+  /** The retained (deduplicated) corpus: (id, text). */
+  def retainedDocs(spark: SparkSession, warehouse: String): DataFrame =
+    spark.read.parquet(corpusPath(warehouse)).select("id", "text")
+
+  /** One ingest micro-batch: probe, drop duplicates/replays, append
+    * survivors (with their band keys) to the corpus table. Also the
+    * batch-mode entry — the stream's foreachBatch body and any bounded
+    * backfill call the same function. */
+  def ingestBatch(
+      spark: SparkSession, batch: DataFrame, warehouse: String,
+      numHashes: Int = 12, rowsPerBand: Int = 3): Unit = {
+    val newDocs = batch.select(col("doc_id").as("id"), col("text"))
+    if (newDocs.isEmpty) return // P11: empty batch is a no-op, not an error
+    val path = corpusPath(warehouse)
+    val state =
+      if (new java.io.File(path).isDirectory) {
+        val corpus = spark.read.parquet(path)
+        Some((corpus.select("id"),
+          corpus.select(col("id"), explode(col("bands")).as("b"))
+            .select(col("id"), col("b.band"), col("b.bh"))))
+      } else None
+    val (retained, retainedBands) = Dedup.arrivalStep(
+      newDocs, state, numHashes, rowsPerBand)
+    // one row per doc carries text AND bands — single-table commit (see
+    // class doc); localCheckpoint cuts the lineage back to the state
+    // files this append is about to extend
+    val out = retained.join(
+        retainedBands.groupBy("id")
+          .agg(collect_list(struct(col("band"), col("bh"))).as("bands")),
+        Seq("id"), "left")
+      .select(col("id"), col("text"),
+        coalesce(col("bands"), array().cast("array<struct<band:int,bh:string>>"))
+          .as("bands"))
+      .localCheckpoint(true)
+    out.write.mode("append").parquet(path)
+    out.unpersist()
+  }
+
+  /** Start the dedup-ingest stream over a landing directory of
+    * document-JSON files. Mirrors [[OrderStream.startEtlStream]]'s
+    * contract: file-source checkpointing gives exactly-once per file,
+    * `maxFilesPerTrigger` bounds a backfill's micro-batches, and
+    * `availableNow = true` is the bounded catch-up-then-stop replay. */
+  def startDedupIngest(
+      spark: SparkSession,
+      docsJsonDir: String,
+      warehouse: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None,
+      availableNow: Boolean = false,
+      numHashes: Int = 12, rowsPerBand: Int = 3): StreamingQuery = {
+    val reader = spark.readStream
+      .schema(docSchema)
+      .option("pathGlobFilter", "*.json")
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val writer = reader.json(docsJsonDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        ingestBatch(spark, batch.toDF(), warehouse, numHashes, rowsPerBand)
+        ()
+      }
+    (if (availableNow)
+      writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    else writer).start()
+  }
+}

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import graft.io.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+/** End-to-end for the dedup-ingest stream: a corpus fed through
+  * DocStream (file-source micro-batches → foreachBatch arrivalStep →
+  * warehouse append) must retain EXACTLY the ids the x38 batch fold
+  * retains over the same arrival batches, and a replayed delivery must
+  * be absorbed — mirroring OrderStreamSpec's equality pattern for the
+  * dedup state instead of the fact tables. */
+class DocStreamSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  // one JSON line per doc, the landing-file shape
+  private def jsonLines(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.select(to_json(struct(col("id").as("doc_id"), col("text"))).as("j"))
+      .collect().map(_.getString(0)).toSeq
+
+  test("stream-fed dedup state equals the x38 arrival fold; a replayed file is absorbed") {
+    val base = Tables.documents(spark, sf)
+    val b0 = base.select(col("doc_id").as("id"), col("text"))
+    val b1 = base.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 10000).as("id"),
+        concat(col("text"), lit(" extra extra token")).as("text"))
+    val b2 = base.filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + 20000).as("id"), col("text"))
+
+    // ---- reference: the x38 query IS the batch fold over these batches
+    val expected = graft.SparkEntry.queries("x38_ingest_dedup")(spark, sf)
+      .select("id").collect().map(_.getLong(0)).toSet
+
+    // ---- streaming: land one file per arrival batch; mtimes force the
+    // file source to process them in arrival order (dedup-on-arrival is
+    // order-sensitive, unlike the order stream's commutative upsert)
+    val landing = Files.createTempDirectory("graft-doc-landing").toString
+    val wh = Files.createTempDirectory("graft-doc-wh").toString
+    val ckpt = Files.createTempDirectory("graft-doc-ckpt").toString
+    Seq(b0, b1, b2).zipWithIndex.foreach { case (b, i) =>
+      val p = Paths.get(landing, s"batch$i.json")
+      Files.write(p, jsonLines(b).mkString("\n").getBytes("UTF-8"))
+      p.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val q = DocStream.startDedupIngest(spark, landing, wh, ckpt,
+      maxFilesPerTrigger = Some(1), availableNow = true)
+    try q.awaitTermination() finally q.stop()
+
+    val streamed = DocStream.retainedDocs(spark, wh)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(streamed == expected,
+      s"stream retained ${streamed.size} ids, fold retained ${expected.size}; " +
+        s"missing=${(expected -- streamed).take(5)} extra=${(streamed -- expected).take(5)}")
+
+    // ---- replay: re-deliver batch1 as a NEW file; every id is already
+    // in the index, so the replay guard must absorb it wholesale
+    val p = Paths.get(landing, "replay.json")
+    Files.write(p, jsonLines(b1).mkString("\n").getBytes("UTF-8"))
+    p.toFile.setLastModified(1700000000000L + 10 * 60000L)
+    val q2 = DocStream.startDedupIngest(spark, landing, wh, ckpt,
+      maxFilesPerTrigger = Some(1), availableNow = true)
+    try q2.awaitTermination() finally q2.stop()
+    val afterReplay = DocStream.retainedDocs(spark, wh)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(afterReplay.size == afterReplay.distinct.size, "replay duplicated rows")
+    assert(afterReplay.toSet == expected, "replayed delivery changed dedup state")
+
+    // the retained corpus carries its band keys (the single-table state
+    // contract): every retained doc has a non-empty band set
+    val noBands = spark.read.parquet(s"$wh/dedup_corpus.parquet")
+      .filter(size(col("bands")) === 0).count()
+    assert(noBands == 0, s"$noBands retained docs committed without band keys")
+  }
+}

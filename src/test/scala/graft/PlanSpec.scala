@@ -204,6 +204,18 @@ class PlanSpec extends AnyFunSuite {
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
 
+  test("paged scan serves through the DSv2 connector, date pushdown pruning pages (S1)") {
+    val plan = planOf(SparkEntry.queries("s1_paged_scan")(spark, sf))
+    assert(plan.contains("PagedOrdersScan"),
+      s"s1 must scan the DSv2 connector:\n${plan.linesIterator.take(20).mkString("\n")}")
+    // the date predicate reached the source (page-range pruning), and no
+    // driver-built local relation feeds the query
+    assert(plan.contains("pushed=") && plan.contains("order_date"),
+      "date filter not pushed to the paged source")
+    assert(!plan.contains("LocalTableScan"),
+      "paged rows entered through a driver-collected local relation")
+  }
+
   test("per-group top-k pre-prunes with a salted window before the 3-value flag window (W1)") {
     // l_returnflag has 3 distinct values: a direct partitionBy(flag)
     // window would sort the ENTIRE (flag, partkey) aggregate in ≤3

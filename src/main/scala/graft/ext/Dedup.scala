@@ -519,7 +519,12 @@ object Dedup {
       newDocs: DataFrame,
       index: Option[(DataFrame, DataFrame)],
       numHashes: Int = 12, rowsPerBand: Int = 3): (DataFrame, DataFrame) = {
+    // ONE minhash pass per batch: the band frame feeds three consumers
+    // (within-batch self-join, index probe, retained-band projection) —
+    // materialize it once instead of re-deriving the tokenize→shingle→
+    // md5 lineage under each
     val newBands = lshBands(minhashSignature(newDocs, "id", "text"), numHashes, rowsPerBand)
+      .localCheckpoint(true)
     val withinDrop = candidatePairs(newBands).select(col("id_b").as("id"))
     val dropped = index match {
       case Some((ixIds, ixBands)) =>

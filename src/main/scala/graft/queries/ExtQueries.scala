@@ -1007,12 +1007,22 @@ object ExtQueries {
           c3.filter(col("id") < 10000),
           c3.filter(col("id") >= 10000 && col("id") < 20000),
           c3.filter(col("id") >= 20000))
+        // State MATERIALIZES between arrival steps (localCheckpoint), as
+        // it does between real micro-batches (DocStream appends state to
+        // the warehouse): without the break, step k's plan re-derives
+        // every earlier step's minhash/band/anti-join lineage and the
+        // fold goes quadratic in plan work (measured 29 s -> ~2 s at
+        // sf0.1).
         val (allRetained, _) = batches.foldLeft(
           (Option.empty[DataFrame], Option.empty[DataFrame])) {
           case ((docsSoFar, bandsSoFar), batch) =>
             val index = for (ds <- docsSoFar; bs <- bandsSoFar)
               yield (ds.select("id"), bs)
-            val (ret, retBands) = Dedup.arrivalStep(batch, index)
+            val (ret0, retBands0) = Dedup.arrivalStep(batch, index)
+            // the fold only ever needs retained IDS (+ their bands) as
+            // index state — never the text
+            val ret = ret0.select("id").localCheckpoint(true)
+            val retBands = retBands0.localCheckpoint(true)
             (Some(docsSoFar.fold(ret)(_.unionByName(ret))),
               Some(bandsSoFar.fold(retBands)(_.unionByName(retBands))))
         }

@@ -219,7 +219,7 @@ class PagedOrdersScanBuilder(
     true
   }
 
-  override def build(): Scan = new Scan with Batch {
+  override def build(): Scan = new Scan with Batch with SupportsReportStatistics {
     private val effSpan: Int = {
       val s = math.max(0, pages - minPage)
       limitPages.map(math.min(s, _)).getOrElse(s)
@@ -227,6 +227,18 @@ class PagedOrdersScanBuilder(
     override def readSchema(): StructType =
       aggPushed.map(fs => StructType(fs)).getOrElse(required)
     override def toBatch: Batch = this
+
+    /** Page arithmetic IS the statistics: the span is exact (the API's
+      * X-WP-Total), so the optimizer sees the post-pushdown row count
+      * and can pick a broadcast join for a pruned span on its own — no
+      * hint needed at call sites joining against the paged source. */
+    override def estimateStatistics(): Statistics = new Statistics {
+      private val rows = aggPushed.fold(effSpan.toLong * pageSize)(_ => 1L)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows * math.max(1, readSchema().defaultSize))
+    }
     override def description(): String =
       s"PagedOrdersScan(pages=[$minPage,${minPage + effSpan}), " +
         s"pushed=${pushed.mkString(",")}, limitPages=$limitPages, agg=$aggPushed)"

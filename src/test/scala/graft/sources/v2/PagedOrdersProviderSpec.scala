@@ -40,6 +40,31 @@ class PagedOrdersProviderSpec extends AnyFunSuite {
       s"pages fetched: all=$all half=$half most=$most")
   }
 
+  test("scan reports post-pushdown statistics; a pruned span broadcasts with no hint") {
+    // exact page-arithmetic row count reaches the optimizer
+    val stats = read(pages = 64, pageSize = 50)
+      .queryExecution.optimizedPlan.stats
+    assert(stats.rowCount.contains(BigInt(64L * 50)),
+      s"expected exact numRows from page arithmetic, got ${stats.rowCount}")
+    // a date-pruned span reports the PRUNED count, small enough that the
+    // optimizer picks a broadcast join against a big table on stats alone
+    val cutoff = new java.sql.Timestamp(
+      PagedOrders.BaseMicros / 1000 + 3000L * 60 * 1000) // keeps ~4 of 64 pages
+    val pruned = read(pages = 64, pageSize = 50)
+      .filter(col("order_date") > lit(cutoff))
+    // the residual Filter node drops rowCount under default (non-CBO)
+    // estimation, so read the SCAN leaf — that is what sizes the join
+    val prunedRows = pruned.queryExecution.optimizedPlan
+      .collectLeaves().head.stats.rowCount
+    assert(prunedRows.exists(_ <= BigInt(4L * 50)),
+      s"pruned span should report the post-pushdown count, got $prunedRows")
+    val big = spark.range(0, 500000).select(col("id").as("order_id"))
+    val joined = big.join(pruned, Seq("order_id"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+      s"pruned paged span should broadcast on statistics alone:\n$plan")
+  }
+
   test("pushdown is visible in the plan and residual filters still apply row-level") {
     val df = read().filter(col("order_date") >
       new java.sql.Timestamp(PagedOrders.BaseMicros / 1000 + 90L * 60 * 1000))

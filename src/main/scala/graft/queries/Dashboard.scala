@@ -233,7 +233,7 @@ object Dashboard {
         val pages = math.ceil(Tables.orders(s, d).count() / 100.0).toInt
         s.read.format("graft.sources.v2.PagedOrdersProvider")
           .option("pages", pages).option("pageSize", 100)
-          .option("parallelism", 8)
+          .option("parallelism", 16)
           .load()
           .filter(col("order_date") > lit("2024-01-02 00:00:00").cast("timestamp"))
           .select("order_id", "order_date", "status", "total")

@@ -46,8 +46,15 @@ object DocStream {
     * backfill call the same function. */
   def ingestBatch(
       spark: SparkSession, batch: DataFrame, warehouse: String,
-      numHashes: Int = 12, rowsPerBand: Int = 3): Unit = {
-    val newDocs = batch.select(col("doc_id").as("id"), col("text"))
+      numHashes: Int = 12, rowsPerBand: Int = 3,
+      minQuality: Option[Double] = None): Unit = {
+    // quality gate BEFORE the dedup probe — the standard curation order
+    // (a rejected doc must not claim a band bucket and shadow a
+    // better-quality near-dup arriving later), and the cheap row-local
+    // filter shrinks the minhash pass
+    val gated = minQuality.fold(batch)(q =>
+      batch.filter(graft.ext.TextAnalysis.qualityScore(col("text")) >= q))
+    val newDocs = gated.select(col("doc_id").as("id"), col("text"))
     if (newDocs.isEmpty) return // P11: empty batch is a no-op, not an error
     val path = corpusPath(warehouse)
     val state =
@@ -86,7 +93,8 @@ object DocStream {
       checkpointDir: String,
       maxFilesPerTrigger: Option[Int] = None,
       availableNow: Boolean = false,
-      numHashes: Int = 12, rowsPerBand: Int = 3): StreamingQuery = {
+      numHashes: Int = 12, rowsPerBand: Int = 3,
+      minQuality: Option[Double] = None): StreamingQuery = {
     val reader = spark.readStream
       .schema(docSchema)
       .option("pathGlobFilter", "*.json")
@@ -95,7 +103,7 @@ object DocStream {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        ingestBatch(spark, batch.toDF(), warehouse, numHashes, rowsPerBand)
+        ingestBatch(spark, batch.toDF(), warehouse, numHashes, rowsPerBand, minQuality)
         ()
       }
     (if (availableNow)

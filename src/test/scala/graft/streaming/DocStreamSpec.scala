@@ -74,4 +74,32 @@ class DocStreamSpec extends AnyFunSuite {
       .filter(size(col("bands")) === 0).count()
     assert(noBands == 0, s"$noBands retained docs committed without band keys")
   }
+
+  test("quality gate runs before the dedup probe: rejected docs never claim band buckets") {
+    val base = Tables.documents(spark, sf).select(col("doc_id").as("id"), col("text"))
+    // pick a threshold that splits the fixture non-trivially
+    val q = graft.ext.TextAnalysis.qualityScore(col("text"))
+    val cut = base.select(percentile_approx(q, lit(0.5), lit(100))).head().getDouble(0)
+    val passing = base.filter(q >= cut).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(passing.nonEmpty && passing.size < base.count())
+
+    val landing = java.nio.file.Files.createTempDirectory("graft-qgate-landing").toString
+    val wh = java.nio.file.Files.createTempDirectory("graft-qgate-wh").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-qgate-ckpt").toString
+    Files.write(Paths.get(landing, "b0.json"),
+      jsonLines(base).mkString("\n").getBytes("UTF-8"))
+    val strm = DocStream.startDedupIngest(spark, landing, wh, ckpt,
+      availableNow = true, minQuality = Some(cut))
+    try strm.awaitTermination() finally strm.stop()
+
+    val retained = DocStream.retainedDocs(spark, wh)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // retained ⊆ passing (no rejected doc entered the corpus), and equals
+    // the arrival fold over the PRE-GATED batch
+    assert(retained.subsetOf(passing), s"rejected docs entered: ${(retained -- passing).take(5)}")
+    val (expected, _) = graft.ext.Dedup.arrivalStep(base.filter(q >= cut), None)
+    assert(retained == expected.select("id").collect().map(_.getLong(0)).toSet,
+      "gated ingest differs from dedup over the pre-gated batch")
+  }
 }

@@ -436,6 +436,14 @@ object Similarity {
     * buckets bound the MISS PROBABILITY per pair, IVF clusters bound the
     * CANDIDATE VOLUME per cluster — SemDeDup is the shape the published
     * pipeline runs at corpus scale. */
+  /** Map-side cluster assignment over a [[prepared]] frame: (id,
+    * list_id) — each vector's nearest centroid by cosine (tie-break
+    * list_id), zero shuffle. The building block [[semDedupPairs]] and
+    * cluster-balanced resampling share. */
+  def assignClusters(prep: DataFrame, centroids: Seq[IvfCentroid]): DataFrame =
+    prep.withColumn("list_id", explode(nearestLists(centroids, 1)))
+      .select(col("id"), col("list_id"))
+
   def semDedupPairs(
       prep: DataFrame, centroids: Seq[IvfCentroid], threshold: Double): DataFrame = {
     if (centroids.isEmpty)

@@ -253,6 +253,10 @@ object ExtQueries {
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])), (s, p) -> s + p)"
 
+  /** x39's global resample budget: spread uniformly over the 16 learned
+    * clusters, it drives the per-cluster hash-draw threshold. */
+  private val ClusterBudget = 256
+
   // Exact int64 floor division a/b (b > 0) — DuckDB's // truncates
   // toward zero, so floor is spelled via the non-negative remainder.
   private def floorDivSql(a: String, b: String): String =
@@ -1283,6 +1287,63 @@ object ExtQueries {
               |SELECT list_id, id_a, id_b, cosine
               |FROM sc WHERE cosine >= 0.99
               |ORDER BY id_a, id_b""".stripMargin),
+    ),
+
+    // X39 — cluster-balanced corpus resampling: domain balancing over
+    // LEARNED clusters instead of metadata labels (the x37 mixture uses
+    // `lang`; web-scale corpora balance by learned topic). Every vector
+    // assigns map-side to its nearest k-means centroid — the SAME
+    // ArtifactCache'd quantizer x16/x35 serve, so one training pays for
+    // all three — each cluster gets a uniform share of the global
+    // budget, and the per-cluster rate becomes the x37 integer-exact
+    // md5 hash-draw: keep iff h48(id) < B·2^48 div (k·n_c). Small
+    // clusters keep everything (threshold saturates past 2^48), hot
+    // clusters downsample. At scale: one assignment scan, a k-row
+    // broadcast of counts, zero extra shuffles.
+    QueryDef(
+      "x39_cluster_balance",
+      (s, d) => {
+        val base = Tables.embeddings(s, d)
+        val cents = graft.io.ArtifactCache.getOrBuild(s"ivf-kmeans:16:2:$d")(
+          Similarity.trainIvfKmeans(base, "vec_id", "embedding",
+            nLists = 16, rounds = 2))
+        val assigned = Similarity.assignClusters(
+          Similarity.prepared(base, "vec_id", "embedding"), cents)
+        val counts = assigned.groupBy("list_id").agg(count(lit(1)).as("n_c"))
+        assigned.join(broadcast(counts), Seq("list_id"))
+          .withColumn("thresh",
+            expr(s"(${ClusterBudget}L * ${1L << 48}L) div (16L * n_c)"))
+          .withColumn("h48",
+            conv(substring(md5(col("id").cast("string")), 1, 12), 16, 10)
+              .cast("long"))
+          .filter(col("h48") < col("thresh"))
+          .select(col("list_id"), col("id").as("vec_id"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH prep AS (
+              |  SELECT vec_id AS id,
+              |    list_transform(embedding,
+              |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+              |  FROM embeddings),
+              |n AS (
+              |  SELECT id, qv, sqrt(CAST(${dotSql("qv", "qv")} AS DOUBLE)) AS nrm
+              |  FROM prep),
+              |${kmeansCentSql("n", nLists = 16, rounds = 2, dim = 64)},
+              |ci AS (
+              |  SELECT id, list_id,
+              |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY
+              |      CAST(${dotSql("qv", "c_qv")} AS DOUBLE) / (nrm * c_nrm) DESC,
+              |      list_id) AS crank
+              |  FROM n CROSS JOIN cent),
+              |asg AS (SELECT list_id, id FROM ci WHERE crank = 1),
+              |counts AS (SELECT list_id, count(*) AS n_c FROM asg GROUP BY 1),
+              |j AS (
+              |  SELECT a.list_id, a.id,
+              |    CAST('0x' || substr(md5(CAST(a.id AS VARCHAR)), 1, 12) AS BIGINT) AS h48,
+              |    (${ClusterBudget} * ${1L << 48}) // (16 * c.n_c) AS thresh
+              |  FROM asg a JOIN counts c USING (list_id))
+              |SELECT list_id, id AS vec_id FROM j
+              |WHERE h48 < thresh ORDER BY vec_id""".stripMargin),
     ),
 
     // X10 — LSH-blocked near-dup (equi-join on hyperplane bucket +

@@ -126,6 +126,28 @@ class SimilaritySpec extends AnyFunSuite {
       s"k-means recall $rKmeans regressed below sampled-init recall $rSampled")
   }
 
+  test("cluster-balanced resample: small clusters keep everything, hot clusters thin toward the share") {
+    val out = graft.SparkEntry.queries("x39_cluster_balance")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val emb = Tables.embeddings(spark, sf)
+    val cents = Similarity.trainIvfKmeans(emb, "vec_id", "embedding", nLists = 16, rounds = 2)
+    val sizes = Similarity.assignClusters(
+        Similarity.prepared(emb, "vec_id", "embedding"), cents)
+      .groupBy("list_id").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val kept = out.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val share = 256L / 16
+    sizes.foreach { case (c, n) =>
+      val k = kept.getOrElse(c, 0L)
+      assert(k <= n, s"cluster $c kept $k of $n")
+      if (n <= share)
+        assert(k == n, s"cluster $c under the share ($n <= $share) must keep all, kept $k")
+    }
+    // the rate-based draw lands near the budget (binomial, not exact-k)
+    val total = out.length
+    assert(total >= 128 && total <= 384, s"kept $total of budget 256")
+  }
+
   test("roundDiv is exact round-half-up for both signs") {
     import Similarity.roundDiv
     assert(roundDiv(5, 2) == 3 && roundDiv(-5, 2) == -2) // -2.5 -> -2 (half up)

@@ -1,0 +1,238 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+/** Minimal log-structured table format — the transaction-log shape the
+  * K2/K3 keyed upsert needs once CONCURRENT writers exist (the r9
+  * verdict's one remaining production gap: "at 100 TB concurrent
+  * writers need a log, not a rename"). Public-knowledge design (the
+  * Delta/Iceberg papers' core, at engine-appropriate scale): an
+  * append-only commit log of JSON manifests names the live data-file
+  * set; readers fold the log, writers commit OPTIMISTICALLY by
+  * atomically creating the next version file.
+  *
+  * Layout:
+  * {{{
+  *   <table>/_log/v00000001.json    one immutable manifest per version
+  *   <table>/data/<uuid>.parquet    immutable data files
+  * }}}
+  *
+  * Manifest: `{"version":n,"adds":[{"file":f,"minKey":a,"maxKey":b,"rows":r}],
+  * "removes":[f...]}`. Key stats over the table's primary-key column
+  * ride in the manifest, so a keyed upsert REWRITES ONLY the files
+  * whose [minKey, maxKey] intersects the incoming batch's key range —
+  * at 100 TB the nightly delta touches a handful of files, never the
+  * table (the same pruning contract as `Load.upsertParquetPartitioned`,
+  * obtained from stats instead of directory layout).
+  *
+  * Concurrency: `Files.createFile` on the next version path is atomic
+  * on a POSIX filesystem and fails if the file exists — that failure IS
+  * the optimistic lock. A loser re-reads the log; if its removal set is
+  * still live it simply re-commits at the new version, otherwise a
+  * concurrent writer rewrote the same files and the whole upsert
+  * re-runs against the fresh snapshot. (An object store deployment
+  * swaps this one primitive for its conditional-put, exactly as Delta
+  * does.)
+  *
+  * Crash safety: data files land BEFORE the manifest that references
+  * them, and the log is never rewritten — a writer that dies mid-flight
+  * leaves orphan data files no manifest names (invisible to every
+  * reader, GC-able by listing data/ minus live files) and at worst a
+  * fully-written manifest. Readers see version k or version k+1, never
+  * a torn state.
+  *
+  * Time travel falls out of the fold: [[readVersion]] folds manifests
+  * `<= v` — an audit reads yesterday's snapshot while today's upserts
+  * land.
+  */
+object LogTable {
+
+  final case class FileEntry(file: String, minKey: Long, maxKey: Long, rows: Long)
+  final case class Manifest(version: Long, adds: Seq[FileEntry], removes: Seq[String])
+
+  private def logDir(table: String): Path = Paths.get(table, "_log")
+  private def dataDir(table: String): Path = Paths.get(table, "data")
+  private def versionPath(table: String, v: Long): Path =
+    logDir(table).resolve(f"v$v%08d.json")
+
+  // ---- manifest (de)serialization: flat JSON, no library dependency ----
+
+  private def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  private def render(m: Manifest): String = {
+    val adds = m.adds.map(a =>
+      s"""{"file":"${esc(a.file)}","minKey":${a.minKey},"maxKey":${a.maxKey},"rows":${a.rows}}""")
+      .mkString("[", ",", "]")
+    val removes = m.removes.map(f => s""""${esc(f)}"""").mkString("[", ",", "]")
+    s"""{"version":${m.version},"adds":$adds,"removes":$removes}"""
+  }
+
+  private def parse(json: String): Manifest = {
+    // the engine writes every manifest it reads (strings are uuid file
+    // names — no embedded quotes), so a field-regex parse is exact here
+    def longField(o: String, k: String): Long =
+      s""""$k":(-?\\d+)""".r.findFirstMatchIn(o).get.group(1).toLong
+    val version = longField(json, "version")
+    val addsBlock = """"adds":\[(.*?)\],"removes"""".r
+      .findFirstMatchIn(json).get.group(1)
+    val adds = """\{[^{}]*\}""".r.findAllIn(addsBlock).map { o =>
+      FileEntry(""""file":"([^"]*)"""".r.findFirstMatchIn(o).get.group(1),
+        longField(o, "minKey"), longField(o, "maxKey"), longField(o, "rows"))
+    }.toSeq
+    val removesBlock = """"removes":\[(.*?)\]""".r
+      .findFirstMatchIn(json).get.group(1)
+    val removes = """"([^"]*)"""".r.findAllMatchIn(removesBlock).map(_.group(1)).toSeq
+    Manifest(version, adds, removes)
+  }
+
+  private def manifests(table: String): Seq[Manifest] = {
+    val dir = logDir(table)
+    if (!Files.isDirectory(dir)) return Seq.empty
+    val it = Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      it.iterator().asScala
+        .filter(p => p.getFileName.toString.matches("v\\d{8}\\.json"))
+        .toSeq.sortBy(_.getFileName.toString)
+        .map(p => parse(Files.readString(p)))
+    } finally it.close()
+  }
+
+  /** Live file entries at `asOf` (or the head when None): fold the log. */
+  private def live(table: String, asOf: Option[Long]): Seq[FileEntry] = {
+    val folded = scala.collection.mutable.LinkedHashMap.empty[String, FileEntry]
+    manifests(table).filter(m => asOf.forall(m.version <= _)).foreach { m =>
+      m.removes.foreach(folded.remove)
+      m.adds.foreach(a => folded(a.file) = a)
+    }
+    folded.values.toSeq
+  }
+
+  /** Current committed version, 0 for an empty/absent table. */
+  def version(table: String): Long =
+    manifests(table).lastOption.map(_.version).getOrElse(0L)
+
+  /** Snapshot read at the head version. */
+  def read(spark: SparkSession, table: String): DataFrame =
+    readFiles(spark, table, live(table, None))
+
+  /** Snapshot read AS OF a committed version (time travel). */
+  def readVersion(spark: SparkSession, table: String, v: Long): DataFrame =
+    readFiles(spark, table, live(table, Some(v)))
+
+  private def readFiles(spark: SparkSession, table: String, fs: Seq[FileEntry]): DataFrame = {
+    if (fs.isEmpty)
+      // empty snapshot: schema-less — callers create before they read;
+      // an empty table with a schema needs a v1 create commit
+      return spark.emptyDataFrame
+    spark.read.parquet(fs.map(f => dataDir(table).resolve(f.file).toString): _*)
+  }
+
+  /** Create the table with an initial data set (v1). */
+  def create(spark: SparkSession, table: String, df: DataFrame, keyCol: String): Unit = {
+    Files.createDirectories(logDir(table))
+    Files.createDirectories(dataDir(table))
+    val adds = writeData(spark, table, df, keyCol)
+    commit(table, adds, removes = Seq.empty, reRun = () =>
+      throw new IllegalStateException(s"create($table) raced another writer"))
+  }
+
+  /** Keyed upsert (the reference's delete-then-insert, K2/K3): rows of
+    * `incoming` replace same-key rows. Only data files whose key range
+    * intersects the incoming batch's are read and rewritten — manifest
+    * stats make the nightly delta O(touched files), not O(table). Safe
+    * under concurrent upserts: commit-time validation re-runs the
+    * upsert against the fresh snapshot when a racer rewrote the same
+    * files, and simply re-versions when it didn't. */
+  def upsert(spark: SparkSession, table: String, incoming: DataFrame, keyCol: String): Unit = {
+    val inc = incoming.localCheckpoint(true) // one materialization; re-used on conflict re-runs
+    def attempt(): Unit = {
+      val bounds = inc.agg(min(col(keyCol)), max(col(keyCol))).head()
+      if (bounds.isNullAt(0)) return // empty batch: no-op (P11)
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val snapshot = live(table, None)
+      val touched = snapshot.filter(f => f.minKey <= hi && f.maxKey >= lo)
+      val survivors =
+        if (touched.isEmpty) inc.limit(0)
+        else readFiles2(spark, table, touched)
+          .join(inc.select(col(keyCol)), Seq(keyCol), "left_anti")
+      val adds = writeData(spark, table, survivors.unionByName(inc), keyCol)
+      commit(table, adds, removes = touched.map(_.file), reRun = () => attempt())
+    }
+    attempt()
+  }
+
+  private def readFiles2(spark: SparkSession, table: String, fs: Seq[FileEntry]): DataFrame =
+    spark.read.parquet(fs.map(f => dataDir(table).resolve(f.file).toString): _*)
+
+  /** Write `df` as fresh immutable data files; returns their entries
+    * with key stats. Stats come from ONE grouped pass over the staged
+    * files (input_file_name), not a per-file re-read. */
+  private def writeData(
+      spark: SparkSession, table: String, df: DataFrame, keyCol: String): Seq[FileEntry] = {
+    val staging = Files.createTempDirectory(dataDir(table), ".staging-")
+    try {
+      df.write.mode("overwrite").parquet(staging.toString)
+      val stats = spark.read.parquet(staging.toString)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col(keyCol)).as("lo"), max(col(keyCol)).as("hi"),
+          count(lit(1)).as("n"))
+        .collect()
+      stats.toSeq.map { r =>
+        val src = Paths.get(new java.net.URI(r.getString(0)))
+        val name = s"${java.util.UUID.randomUUID().toString}.parquet"
+        Files.move(src, dataDir(table).resolve(name), StandardCopyOption.ATOMIC_MOVE)
+        FileEntry(name, r.getLong(1), r.getLong(2), r.getLong(3))
+      }
+    } finally {
+      // drop staging leftovers (_SUCCESS, crc files, any unmoved parts)
+      import scala.jdk.CollectionConverters._
+      val it = Files.list(staging)
+      try it.iterator().asScala.foreach(Files.deleteIfExists) finally it.close()
+      Files.deleteIfExists(staging)
+    }
+  }
+
+  /** Optimistic commit: atomically create the next version file. On a
+    * lost race: if none of our removed files was removed by the racer,
+    * re-commit at the new head; otherwise the snapshot we computed from
+    * is stale — run `reRun` (the caller's full retry against the fresh
+    * snapshot). Bounded so a pathological storm fails loudly. */
+  private def commit(
+      table: String, adds: Seq[FileEntry], removes: Seq[String],
+      reRun: () => Unit, attempts: Int = 50): Unit = {
+    var tries = attempts
+    while (tries > 0) {
+      tries -= 1
+      val v = version(table) + 1
+      val m = Manifest(v, adds, removes)
+      // Publish atomically: fully write the manifest to a hidden temp
+      // name (readers only match v########.json), then HARD-LINK it to
+      // the version path — link(2) both fails-if-exists (the optimistic
+      // claim) and exposes complete content in one atomic step, so no
+      // reader can observe a torn manifest. rename(2) is NOT usable
+      // here: it silently replaces an existing winner.
+      val tmp = logDir(table).resolve(s".tmp-${java.util.UUID.randomUUID()}")
+      Files.writeString(tmp, render(m))
+      try {
+        Files.createLink(versionPath(table, v), tmp)
+        Files.deleteIfExists(tmp)
+        return
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp)
+          val liveNow = live(table, None).map(_.file).toSet
+          if (!removes.forall(liveNow)) {
+            // racer rewrote files we based our delta on — recompute
+            reRun()
+            return
+          }
+        // else: independent commit landed first; loop re-versions ours
+      }
+    }
+    throw new IllegalStateException(
+      s"LogTable commit on $table lost ${attempts} straight races — aborting loudly")
+  }
+}

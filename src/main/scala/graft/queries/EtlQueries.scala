@@ -239,6 +239,49 @@ object EtlQueries {
              |ORDER BY order_id""".stripMargin),
     ),
 
+    // K10 — the SAME delete-then-insert upsert as k2, but round-tripped
+    // through the LOG-STRUCTURED table (graft.io.LogTable): create a
+    // versioned table from the existing rows, commit the incoming batch
+    // as an optimistic manifest (only key-range-overlapping files
+    // rewritten), read the new snapshot back. The oracle is k2's SQL —
+    // storage must never change query semantics. This is the
+    // concurrent-writer production shape the parquet-swap upsert can't
+    // give (LogTableSpec proves no-lost-update under racing writers,
+    // crash invisibility, and time travel).
+    QueryDef(
+      "k11_log_upsert",
+      (s, d) => {
+        val existing = Tables.orders(s, d)
+          .filter(col("o_orderdate") < lit("2000-01-01").cast("timestamp"))
+          .select(
+            col("o_orderkey").as("order_id"),
+            col("o_orderstatus").as("status"),
+            lit("base").as("src"))
+        val incoming = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+          .select(
+            col("o_orderkey").as("order_id"),
+            col("o_orderstatus").as("status"),
+            lit("resynced").as("src"))
+        val t = java.nio.file.Files.createTempDirectory("graft-k11")
+          .resolve("orders_log").toString
+        graft.io.LogTable.create(s, t,
+          existing.repartitionByRange(4, col("order_id")), "order_id")
+        graft.io.LogTable.upsert(s, t, incoming, "order_id")
+        graft.io.LogTable.read(s, t).orderBy("order_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT o_orderkey AS order_id, o_orderstatus AS status, 'base' AS src
+             |  FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
+             |), i AS (
+             |  SELECT o_orderkey AS order_id, o_orderstatus AS status, 'resynced' AS src
+             |  FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+             |)
+             |SELECT * FROM e WHERE order_id NOT IN (SELECT order_id FROM i)
+             |UNION ALL SELECT * FROM i
+             |ORDER BY order_id""".stripMargin),
+    ),
+
     // K4/K6 — column alignment / schema migration: missing columns appear
     // as typed NULLs in canonical order.
     QueryDef(

@@ -195,6 +195,27 @@ object LogTable {
     }
   }
 
+  /** Garbage-collect data files NO version references — the debris of
+    * crashed or race-losing writers. Files referenced by ANY manifest
+    * (including superseded versions) are kept so time travel stays
+    * valid; dropping history would be a separate, explicitly-destructive
+    * log truncation. Returns the deleted file names. */
+  def vacuum(table: String): Seq[String] = {
+    val referenced = manifests(table).flatMap(_.adds.map(_.file)).toSet
+    val dir = dataDir(table)
+    if (!Files.isDirectory(dir)) return Seq.empty
+    import scala.jdk.CollectionConverters._
+    val it = Files.list(dir)
+    val orphans =
+      try it.iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet") &&
+          !referenced(p.getFileName.toString))
+        .toSeq
+      finally it.close()
+    orphans.map { p => Files.deleteIfExists(p); p.getFileName.toString }
+  }
+
   /** Optimistic commit: atomically create the next version file. On a
     * lost race: if none of our removed files was removed by the racer,
     * re-commit at the new head; otherwise the snapshot we computed from

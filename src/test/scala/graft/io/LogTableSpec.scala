@@ -91,6 +91,21 @@ class LogTableSpec extends AnyFunSuite {
       "unreferenced data file leaked into the snapshot")
   }
 
+  test("vacuum removes only unreferenced debris; history and head stay intact") {
+    val t = tmpTable()
+    LogTable.create(spark, t, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "k")
+    val v1 = LogTable.version(t)
+    LogTable.upsert(spark, t, Seq((2L, "b2")).toDF("k", "v"), "k")
+    // plant crashed-writer debris
+    Files.write(Paths.get(t, "data", "11111111-orphan.parquet"), Array[Byte](1, 2, 3))
+    val removed = LogTable.vacuum(t)
+    assert(removed == Seq("11111111-orphan.parquet"), s"vacuumed $removed")
+    // superseded-version files survive (time travel stays valid)
+    assert(rows(LogTable.readVersion(spark, t, v1)) == Set((1L, "a"), (2L, "b")))
+    assert(rows(LogTable.read(spark, t)) == Set((1L, "a"), (2L, "b2")))
+    assert(LogTable.vacuum(t).isEmpty)
+  }
+
   test("time travel: earlier versions stay readable after upserts") {
     val t = tmpTable()
     LogTable.create(spark, t, Seq((1L, "v1a"), (2L, "v1b")).toDF("k", "v"), "k")

@@ -101,13 +101,21 @@ object LogTable {
   }
 
   /** Live file entries at `asOf` (or the head when None): fold the log. */
-  private def live(table: String, asOf: Option[Long]): Seq[FileEntry] = {
+  private def live(table: String, asOf: Option[Long]): Seq[FileEntry] =
+    snapshotAt(table, asOf)._2
+
+  /** (version, live files) from ONE log listing — writers must pin BOTH
+    * together: a version read after the file fold opens a TOCTOU window
+    * where an intervening commit slips between them unvalidated (caught
+    * by LogTableSpec's conflicting-upsert test). */
+  private def snapshotAt(table: String, asOf: Option[Long]): (Long, Seq[FileEntry]) = {
+    val ms = manifests(table).filter(m => asOf.forall(m.version <= _))
     val folded = scala.collection.mutable.LinkedHashMap.empty[String, FileEntry]
-    manifests(table).filter(m => asOf.forall(m.version <= _)).foreach { m =>
+    ms.foreach { m =>
       m.removes.foreach(folded.remove)
       m.adds.foreach(a => folded(a.file) = a)
     }
-    folded.values.toSeq
+    (ms.lastOption.map(_.version).getOrElse(0L), folded.values.toSeq)
   }
 
   /** Current committed version, 0 for an empty/absent table. */
@@ -135,7 +143,7 @@ object LogTable {
     Files.createDirectories(logDir(table))
     Files.createDirectories(dataDir(table))
     val adds = writeData(spark, table, df, keyCol)
-    commit(table, adds, removes = Seq.empty, reRun = () =>
+    commit(table, snapshotVersion = 0L, adds, removes = Seq.empty, reRun = () =>
       throw new IllegalStateException(s"create($table) raced another writer"))
   }
 
@@ -152,14 +160,18 @@ object LogTable {
       val bounds = inc.agg(min(col(keyCol)), max(col(keyCol))).head()
       if (bounds.isNullAt(0)) return // empty batch: no-op (P11)
       val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-      val snapshot = live(table, None)
+      // version and file set pinned TOGETHER: the commit below claims
+      // exactly snapVersion+1 first, so any commit that landed after
+      // this read is detected and validated, never silently skipped
+      val (snapVersion, snapshot) = snapshotAt(table, None)
       val touched = snapshot.filter(f => f.minKey <= hi && f.maxKey >= lo)
       val survivors =
         if (touched.isEmpty) inc.limit(0)
         else readFiles2(spark, table, touched)
           .join(inc.select(col(keyCol)), Seq(keyCol), "left_anti")
       val adds = writeData(spark, table, survivors.unionByName(inc), keyCol)
-      commit(table, adds, removes = touched.map(_.file), reRun = () => attempt())
+      commit(table, snapVersion, adds, removes = touched.map(_.file),
+        reRun = () => attempt())
     }
     attempt()
   }
@@ -216,18 +228,24 @@ object LogTable {
     orphans.map { p => Files.deleteIfExists(p); p.getFileName.toString }
   }
 
-  /** Optimistic commit: atomically create the next version file. On a
-    * lost race: if none of our removed files was removed by the racer,
-    * re-commit at the new head; otherwise the snapshot we computed from
-    * is stale — run `reRun` (the caller's full retry against the fresh
-    * snapshot). Bounded so a pathological storm fails loudly. */
+  /** Optimistic commit: atomically create version `snapshotVersion + 1`
+    * — the version pinned when the caller read its snapshot, NOT the
+    * current head (re-reading the head here would silently skip
+    * validation of any commit that landed in between: the TOCTOU
+    * LogTableSpec's conflicting-upsert test forces). If the claim is
+    * lost: when none of our removed files was removed by the
+    * intervening commits, our read set is untouched — re-claim at the
+    * new head; otherwise the snapshot is stale and `reRun` recomputes
+    * the whole delta against it. Bounded so a pathological storm fails
+    * loudly. */
   private def commit(
-      table: String, adds: Seq[FileEntry], removes: Seq[String],
-      reRun: () => Unit, attempts: Int = 50): Unit = {
+      table: String, snapshotVersion: Long, adds: Seq[FileEntry],
+      removes: Seq[String], reRun: () => Unit, attempts: Int = 50): Unit = {
+    var expected = snapshotVersion
     var tries = attempts
     while (tries > 0) {
       tries -= 1
-      val v = version(table) + 1
+      val v = expected + 1
       val m = Manifest(v, adds, removes)
       // Publish atomically: fully write the manifest to a hidden temp
       // name (readers only match v########.json), then HARD-LINK it to
@@ -244,13 +262,15 @@ object LogTable {
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           Files.deleteIfExists(tmp)
-          val liveNow = live(table, None).map(_.file).toSet
-          if (!removes.forall(liveNow)) {
+          val (headNow, liveFiles) = snapshotAt(table, None)
+          if (!removes.forall(liveFiles.map(_.file).toSet)) {
             // racer rewrote files we based our delta on — recompute
             reRun()
             return
           }
-        // else: independent commit landed first; loop re-versions ours
+          // independent commits landed first; our read set is intact —
+          // re-claim directly above the new head
+          expected = headNow
       }
     }
     throw new IllegalStateException(

@@ -77,6 +77,37 @@ class LogTableSpec extends AnyFunSuite {
     assert(LogTable.version(t) >= 3L)
   }
 
+  test("conflicting upserts to the SAME keys serialize: the loser recomputes, one writer wins wholly") {
+    val t = tmpTable()
+    LogTable.create(spark, t,
+      (1L to 500L).map(i => (i, s"base$i")).toDF("k", "v"), "k")
+    val v0 = LogTable.version(t)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq("alpha", "beta").map { tag =>
+      new Thread(() =>
+        try LogTable.upsert(spark, t,
+          (1L to 100L).map(i => (i, s"$tag$i")).toDF("k", "v"), "k")
+        catch { case e: Throwable => errs.add(e) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"conflicting upsert failed: ${errs.peek()}")
+    val r = LogTable.read(spark, t)
+    assert(r.count() == 500L, "conflict resolution lost or duplicated rows")
+    // serializable outcome: the overlapped keys hold ONE writer's values
+    // in full — the loser's recompute ran against the winner's snapshot,
+    // so no interleaving of the two batches is possible
+    val vals = r.filter(col("k") <= 100L).select("v")
+      .collect().map(_.getString(0)).toSet
+    val alphaAll = (1L to 100L).map(i => s"alpha$i").toSet
+    val betaAll = (1L to 100L).map(i => s"beta$i").toSet
+    assert(vals == alphaAll || vals == betaAll,
+      s"interleaved writer values survived the conflict: ${vals.take(5)}")
+    assert(LogTable.version(t) >= v0 + 2, "both writers must have committed")
+    // untouched keys unchanged
+    assert(rows(r.filter(col("k") > 100L)) ==
+      (101L to 500L).map(i => (i, s"base$i")).toSet)
+  }
+
   test("a data file no manifest references is invisible (crashed writer)") {
     val t = tmpTable()
     LogTable.create(spark, t, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "k")

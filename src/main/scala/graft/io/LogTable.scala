@@ -147,6 +147,23 @@ object LogTable {
       throw new IllegalStateException(s"create($table) raced another writer"))
   }
 
+  /** Append-only commit: new data files, no removals. Always safe under
+    * concurrency (an empty removal set can never conflict with another
+    * writer's read set — the commit loop just re-claims above whatever
+    * head it finds), so concurrent appenders all land. The shape
+    * ingest-style state tables need: [[graft.streaming.DocStream]]
+    * commits each micro-batch's survivors this way — a torn multi-file
+    * append becomes impossible because the manifest IS the commit. */
+  def append(spark: SparkSession, table: String, df: DataFrame, keyCol: String): Unit = {
+    if (df.isEmpty) return
+    val (snapVersion, _) = snapshotAt(table, None)
+    val adds = writeData(spark, table, df, keyCol)
+    if (adds.isEmpty) return
+    commit(table, snapVersion, adds, removes = Seq.empty, reRun = () =>
+      throw new IllegalStateException(
+        s"append($table) hit a removal conflict — impossible with empty removes"))
+  }
+
   /** Keyed upsert (the reference's delete-then-insert, K2/K3): rows of
     * `incoming` replace same-key rows. Only data files whose key range
     * intersects the incoming batch's are read and rewritten — manifest

@@ -15,12 +15,16 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   * deduplicated WHILE it is being collected, not re-clustered after
   * the fact.
   *
-  * State is ONE table (`dedup_corpus.parquet`: id, text, bands) — a
-  * doc and its LSH band keys commit in the same rows, so a foreachBatch
-  * retry can never leave a doc indexed without bands or vice versa; the
-  * replay-id guard in [[Dedup.arrivalStep]] then makes retries
-  * absorbing (at-least-once delivery → exactly-once state), the same
-  * contract OrderStream's keyed upsert gives facts.
+  * State is ONE LOG-STRUCTURED table (`dedup_corpus`, via
+  * [[graft.io.LogTable]]: id, text, bands) — a doc and its LSH band
+  * keys commit in the same rows AND the multi-file batch append is one
+  * atomic manifest commit, so neither a torn write nor a foreachBatch
+  * retry can leave a doc indexed without bands (or half a batch
+  * visible); the replay-id guard in [[Dedup.arrivalStep]] then makes
+  * retries absorbing (at-least-once delivery → exactly-once state),
+  * the same contract OrderStream's keyed upsert gives facts — plus the
+  * log's time travel: the corpus as of any earlier ingest batch stays
+  * readable for training-run reproducibility.
   *
   * Scale: the per-batch probe is a band equi-join of batch-bands
   * against index-bands — linear in batch size, never corpus×corpus;
@@ -34,11 +38,15 @@ object DocStream {
   val docSchema: StructType = new StructType()
     .add("doc_id", LongType).add("text", StringType)
 
-  private def corpusPath(warehouse: String) = s"$warehouse/dedup_corpus.parquet"
+  private def corpusPath(warehouse: String) = s"$warehouse/dedup_corpus"
 
   /** The retained (deduplicated) corpus: (id, text). */
   def retainedDocs(spark: SparkSession, warehouse: String): DataFrame =
-    spark.read.parquet(corpusPath(warehouse)).select("id", "text")
+    graft.io.LogTable.read(spark, corpusPath(warehouse)).select("id", "text")
+
+  /** Full state snapshot (id, text, bands) at the head version. */
+  def corpusState(spark: SparkSession, warehouse: String): DataFrame =
+    graft.io.LogTable.read(spark, corpusPath(warehouse))
 
   /** One ingest micro-batch: probe, drop duplicates/replays, append
     * survivors (with their band keys) to the corpus table. Also the
@@ -57,18 +65,20 @@ object DocStream {
     val newDocs = gated.select(col("doc_id").as("id"), col("text"))
     if (newDocs.isEmpty) return // P11: empty batch is a no-op, not an error
     val path = corpusPath(warehouse)
+    val exists = new java.io.File(s"$path/_log").isDirectory &&
+      graft.io.LogTable.version(path) > 0
     val state =
-      if (new java.io.File(path).isDirectory) {
-        val corpus = spark.read.parquet(path)
+      if (exists) {
+        val corpus = graft.io.LogTable.read(spark, path)
         Some((corpus.select("id"),
           corpus.select(col("id"), explode(col("bands")).as("b"))
             .select(col("id"), col("b.band"), col("b.bh"))))
       } else None
     val (retained, retainedBands) = Dedup.arrivalStep(
       newDocs, state, numHashes, rowsPerBand)
-    // one row per doc carries text AND bands — single-table commit (see
-    // class doc); localCheckpoint cuts the lineage back to the state
-    // files this append is about to extend
+    // one row per doc carries text AND bands — single-table rows inside
+    // a single-manifest commit (see class doc); localCheckpoint cuts the
+    // lineage back to the state files this commit is about to extend
     val out = retained.join(
         retainedBands.groupBy("id")
           .agg(collect_list(struct(col("band"), col("bh"))).as("bands")),
@@ -77,7 +87,8 @@ object DocStream {
         coalesce(col("bands"), array().cast("array<struct<band:int,bh:string>>"))
           .as("bands"))
       .localCheckpoint(true)
-    out.write.mode("append").parquet(path)
+    if (exists) graft.io.LogTable.append(spark, path, out, "id")
+    else graft.io.LogTable.create(spark, path, out, "id")
     out.unpersist()
   }
 

@@ -70,9 +70,58 @@ class DocStreamSpec extends AnyFunSuite {
 
     // the retained corpus carries its band keys (the single-table state
     // contract): every retained doc has a non-empty band set
-    val noBands = spark.read.parquet(s"$wh/dedup_corpus.parquet")
+    val noBands = DocStream.corpusState(spark, wh)
       .filter(size(col("bands")) === 0).count()
     assert(noBands == 0, s"$noBands retained docs committed without band keys")
+
+    // state rides the log table, and only batches with SURVIVORS
+    // commit: the copy batches (1, 2) and the replay all dedupe to
+    // nothing, so the log holds exactly ONE version — survivor-free
+    // micro-batches never spam manifests. The fixture's survivors are
+    // therefore all originals, and the v1 snapshot IS the final state.
+    val tablePath = s"$wh/dedup_corpus"
+    assert(expected.forall(_ < 10000L),
+      "fixture drift: copy batches produced survivors — update the version assertions")
+    assert(graft.io.LogTable.version(tablePath) == 1L,
+      s"survivor-free batches must not commit, log at v${graft.io.LogTable.version(tablePath)}")
+    val v1 = graft.io.LogTable.readVersion(spark, tablePath, 1L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(v1 == expected, "as-of-v1 snapshot must equal the surviving corpus")
+  }
+
+  test("multi-version ingest: later batches with survivors append manifest versions; v1 stays readable") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id").as("id"), col("text"))
+    val b0 = docs.filter(col("id") < 250)
+    val b1 = docs.filter(col("id") >= 250)
+
+    // reference fold through the same engine function
+    val (r0, bands0) = graft.ext.Dedup.arrivalStep(b0, None)
+    val ids0 = r0.select("id").collect().map(_.getLong(0)).toSet
+    val (r1, _) = graft.ext.Dedup.arrivalStep(b1, Some((r0.select("id"), bands0)))
+    val ids1 = r1.select("id").collect().map(_.getLong(0)).toSet
+    assert(ids1.nonEmpty, "second batch must contribute survivors to exercise append")
+
+    val landing = java.nio.file.Files.createTempDirectory("graft-mv-landing").toString
+    val wh = java.nio.file.Files.createTempDirectory("graft-mv-wh").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-mv-ckpt").toString
+    Seq(b0, b1).zipWithIndex.foreach { case (b, i) =>
+      val p = Paths.get(landing, s"batch$i.json")
+      Files.write(p, jsonLines(b).mkString("\n").getBytes("UTF-8"))
+      p.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val q = DocStream.startDedupIngest(spark, landing, wh, ckpt,
+      maxFilesPerTrigger = Some(1), availableNow = true)
+    try q.awaitTermination() finally q.stop()
+
+    val tablePath = s"$wh/dedup_corpus"
+    assert(graft.io.LogTable.version(tablePath) == 2L,
+      s"two surviving batches → two versions, got v${graft.io.LogTable.version(tablePath)}")
+    val head = DocStream.retainedDocs(spark, wh)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(head == ids0 ++ ids1, "head snapshot differs from the two-step fold")
+    val v1 = graft.io.LogTable.readVersion(spark, tablePath, 1L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(v1 == ids0, "as-of-v1 must hold exactly the first batch's survivors")
   }
 
   test("quality gate runs before the dedup probe: rejected docs never claim band buckets") {

@@ -226,6 +226,113 @@ object Corpus {
       .drop("_pid", "_local", "_off")
   }
 
+  /** C4-style boilerplate-line removal (the reference pipeline's quality
+    * family, scaled to corpus statistics): drop every "line" that occurs
+    * at least `minCount` times across the corpus, then rebuild each
+    * document from its surviving lines in order. The public mechanic is
+    * C4's line-level dedup (count exact-match units corpus-wide, remove
+    * frequent ones, reassemble); the fixture's token-stream documents
+    * have no newlines, so the unit here is a fixed-width token line
+    * (`lineTokens` tokens, last line short) built row-locally with
+    * sequence/slice — same mechanic, deterministic unit.
+    *
+    * Scale shape, two phases:
+    *   1. counting — lines are hashed row-locally and ONE combinable
+    *      groupBy counts md5 hashes: the exchange carries 16-byte
+    *      hashes, never line text, and is linear in corpus size;
+    *   2. rebuild — regime by MEASURED frequent-set size
+    *      ([[graft.io.Regime.collectIfSmall]]). A real corpus's
+    *      boilerplate set is small relative to the corpus (it is the
+    *      *repeated* material), so the common regime filters each
+    *      document row-locally against the collected hash set — zero
+    *      additional shuffle, the corpus streams once. Past the bound
+    *      the exploded lines left-join the frequent frame on hash and
+    *      each doc reassembles with one groupBy (the only regime where
+    *      line text must transit a shuffle, because the rebuild itself
+    *      is distributed).
+    *
+    * Hash identity is md5 (cross-engine reproducible; collisions are
+    * discounted by the same gram-identity contract as [[distinctGrams]]).
+    * Returns (id, clean_text, n_kept, n_dropped); every input document
+    * appears (a fully-boilerplate doc keeps an empty clean_text).
+    * `cacheKey` amortizes the frequent-set build per corpus snapshot. */
+  def boilerplateLines(
+      df: DataFrame, idCol: String, textCol: String,
+      lineTokens: Int, minCount: Long,
+      cacheKey: Option[String] = None): DataFrame = {
+    require(lineTokens >= 1 && minCount >= 1, "lineTokens and minCount must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def linesOf(text: Column): Column = {
+      val toks = split(coalesce(text, lit("")), " ")
+      transform(sequence(lit(1), size(toks), lit(lineTokens)),
+        s => array_join(slice(toks, s, lit(lineTokens)), " "))
+    }
+    def freqOf: DataFrame =
+      graft.util.Partitioning.fanOut(df)
+        .select(explode(linesOf(col(textCol))).as("line"))
+        .groupBy(md5(col("line")).as("lh"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= minCount)
+        .select("lh")
+    val key = cacheKey.getOrElse(s"boiler:anon:${System.identityHashCode(df)}")
+    def build: Either[IndexedSeq[String], DataFrame] = {
+      // persist first, probe populates the blocks: the counting groupBy
+      // runs once whichever regime wins (see dupCorpusCandidates)
+      val cp = freqOf.persist()
+      graft.io.Regime.collectIfSmall(key, cp)
+        .map { rows => cp.unpersist(); rows.map(_.getString(0)) }
+        .toLeft(cp)
+    }
+    val artifact = cacheKey match {
+      case Some(_) =>
+        graft.io.ArtifactCache.getOrBuild(key)(build) match {
+          case Right(f) if !graft.io.Regime.servable(f, spark) =>
+            graft.io.ArtifactCache.invalidate(key)
+            graft.io.ArtifactCache.getOrBuild(key)(build)
+          case ok => ok
+        }
+      case None => build
+    }
+    artifact match {
+      case Left(hashes) =>
+        // row-local rebuild: the frequent set rides into the task as one
+        // array literal; membership is a per-line array_contains probe
+        // (O(|set|) scan — bounded by the Regime row cap; a production
+        // build past ~10^3 entries would compile a constant hash set,
+        // which is the same plan with a faster literal)
+        val freqArr = lit(hashes.toArray)
+        graft.util.Partitioning.fanOut(df)
+          .select(col(idCol).as("id"), linesOf(col(textCol)).as("_lines"))
+          .select(col("id"), col("_lines"),
+            filter(col("_lines"),
+              l => !array_contains(freqArr, md5(l))).as("_kept"))
+          .select(col("id"),
+            array_join(col("_kept"), " ").as("clean_text"),
+            size(col("_kept")).cast("long").as("n_kept"),
+            (size(col("_lines")) - size(col("_kept"))).cast("long").as("n_dropped"))
+      case Right(freq) =>
+        // distributed rebuild: explode, mark frequent lines by hash
+        // join, reassemble per doc (collect_list skips the NULL-ed
+        // frequent lines; array_sort on (line_idx, line) restores order)
+        val ex = graft.util.Partitioning.fanOut(df)
+          .select(col(idCol).as("id"),
+            posexplode(linesOf(col(textCol))).as(Seq("line_idx", "line")))
+        ex.join(freq.withColumn("_f", lit(1)),
+            md5(col("line")) === col("lh"), "left")
+          .groupBy("id")
+          .agg(
+            array_join(
+              transform(
+                array_sort(collect_list(
+                  when(col("_f").isNull, struct(col("line_idx"), col("line"))))),
+                x => x.getField("line")),
+              " ").as("clean_text"),
+            count(when(col("_f").isNull, 1)).as("n_kept"),
+            count(when(col("_f").isNotNull, 1)).as("n_dropped"))
+    }
+  }
+
   /** End-to-end curation pass: quality gate → exact dedup (keep the
     * lowest id per distinct content) → fixed-window chunking — the "raw
     * corpus in, training chunks out" composition a data pipeline actually

@@ -579,5 +579,49 @@ object CorpusQueries {
              |  CAST(CAST(sum(k) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_k
              |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin),
     ),
+
+    // X40 — C4-style boilerplate-line removal: count fixed-width token
+    // lines corpus-wide, drop every line occurring >= 2 times, rebuild
+    // each doc from survivors in order (Corpus.boilerplateLines — the
+    // counting exchange carries md5 hashes only; the rebuild is
+    // row-local against the collected frequent set in the common regime,
+    // exploded+joined past the Regime bound). The corpus plants exact
+    // +20000 copies of every 20th doc, so copied docs strip fully while
+    // organic docs lose only genuinely repeated lines.
+    QueryDef(
+      "x40_line_dedup",
+      (s, d) => {
+        val base = Tables.documents(s, d)
+        val corpus = base.select(col("doc_id").as("id"), col("text"))
+          .unionByName(base.filter(col("doc_id") % 20 === 0)
+            .select((col("doc_id") + 20000).as("id"), col("text")))
+        Corpus.boilerplateLines(corpus, "id", "text",
+            lineTokens = 8, minCount = 2,
+            cacheKey = Some(s"boiler:dup20:8x2:$d"))
+          .orderBy("id")
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id AS id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 20000, text FROM documents WHERE doc_id % 20 = 0),
+             |toks AS (SELECT id, string_split(text, ' ') AS t FROM corpus),
+             |lines AS (
+             |  SELECT id, CAST((s - 1) // 8 AS BIGINT) AS line_idx,
+             |         array_to_string(t[s:least(s + 7, len(t))], ' ') AS line
+             |  FROM (SELECT id, t, unnest(generate_series(1, len(t), 8)) AS s
+             |        FROM toks)),
+             |freq AS (
+             |  SELECT md5(line) AS lh FROM lines
+             |  GROUP BY md5(line) HAVING count(*) >= 2),
+             |marked AS (
+             |  SELECT l.id, l.line_idx, l.line, (f.lh IS NOT NULL) AS is_freq
+             |  FROM lines l LEFT JOIN freq f ON f.lh = md5(l.line))
+             |SELECT id,
+             |  coalesce(string_agg(CASE WHEN NOT is_freq THEN line END,
+             |                      ' ' ORDER BY line_idx), '') AS clean_text,
+             |  CAST(count(CASE WHEN NOT is_freq THEN 1 END) AS BIGINT) AS n_kept,
+             |  CAST(count(CASE WHEN is_freq THEN 1 END) AS BIGINT) AS n_dropped
+             |FROM marked GROUP BY id ORDER BY id""".stripMargin),
+    ),
   )
 }

@@ -964,6 +964,86 @@ object ExtQueries {
              |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin),
     ),
 
+    // X41 — unigram log-likelihood quality signal (the CCNet-family
+    // "perplexity under a corpus LM" filter, with the LM reduced to the
+    // unigram table so the whole statistic is SQL-expressible): each
+    // document scores the average per-token negative log-probability
+    // under the corpus's own unigram distribution — low-surprise docs
+    // are templated/repetitive, high-surprise docs are noise, and the
+    // middle band is what a curation pass keeps.
+    //
+    // Float parity is engineered by quantizing log2 to the INTEGER bit
+    // length: ilog2(c) = length(bin(c)) - 1 is exact in both engines
+    // (no ln(), which is not correctly-rounded and differs across libm
+    // builds — the same dodge as x21's rational idf). nll2 =
+    // ilog2(N_total) - bits/n_tokens is then one IEEE division + one
+    // subtraction, bit-identical cross-engine.
+    //
+    // Shape: tf is row-local (native TermStats, no token shuffle); the
+    // unigram table (term → corpus count) is a corpus-snapshot artifact
+    // exactly like x21's df table — Regime-measured, broadcast-joined
+    // under the bound, vocabulary-as-table shuffle join above it. The
+    // per-doc reduce is one combinable groupBy on doc_id.
+    QueryDef(
+      "x41_unigram_nll",
+      (s, d) => {
+        def tfOf(src: org.apache.spark.sql.DataFrame) = src
+          .select(col("doc_id"),
+            explode(graft.functions.TermStats(split(col("text"), " "))
+              .getField("counts")).as("tc"))
+          .select(col("doc_id"),
+            col("tc").getField("term").as("term"),
+            col("tc").getField("tf").as("tf"))
+        def unigramOf: org.apache.spark.sql.DataFrame =
+          tfOf(graft.util.Partitioning.fanOut(Tables.documents(s, d)))
+            .groupBy("term").agg(sum("tf").as("ctf"))
+        val key = s"unigram-tf:documents:$d"
+        def build: (Long, Either[IndexedSeq[(String, Long)], org.apache.spark.sql.DataFrame]) = {
+          val cp = unigramOf.persist()
+          val total = cp.agg(sum("ctf")).head().getLong(0)
+          val collected = graft.io.Regime.collectIfSmall(key, cp)
+            .map { rows => cp.unpersist(); rows.map(r => (r.getString(0), r.getLong(1))) }
+          (total, collected.toLeft(cp))
+        }
+        val (totalTokens, artifact) = graft.io.ArtifactCache.getOrBuild(key)(build) match {
+          case (n, Right(f)) if !graft.io.Regime.servable(f, s) =>
+            graft.io.ArtifactCache.invalidate(key)
+            graft.io.ArtifactCache.getOrBuild(key)(build)
+          case ok => ok
+        }
+        import s.implicits._
+        val unigrams = artifact match {
+          case Left(rows) => broadcast(rows.toDF("term", "ctf"))
+          case Right(frame) => frame
+        }
+        val ilog2Total = 63 - java.lang.Long.numberOfLeadingZeros(totalTokens)
+        tfOf(graft.util.Partitioning.fanOut(Tables.documents(s, d)))
+          .join(unigrams, Seq("term"))
+          .groupBy("doc_id")
+          .agg(
+            sum(col("tf")).as("n_tokens"),
+            sum(col("tf") * (length(bin(col("ctf"))) - 1)).as("bits"))
+          .select(col("doc_id"),
+            col("n_tokens").cast("long").as("n_tokens"),
+            col("bits").cast("long").as("bits"),
+            (lit(ilog2Total.toDouble) -
+              col("bits").cast("double") / col("n_tokens").cast("double")).as("nll2"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+             |cnt AS (SELECT term, CAST(count(*) AS BIGINT) AS ctf FROM tok GROUP BY term),
+             |tot AS (SELECT CAST(sum(ctf) AS BIGINT) AS n FROM cnt),
+             |doc AS (
+             |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             |         CAST(sum(length(bin(c.ctf)) - 1) AS BIGINT) AS bits
+             |  FROM tok t JOIN cnt c USING (term) GROUP BY t.doc_id)
+             |SELECT doc_id, n_tokens, bits,
+             |  (length(bin((SELECT n FROM tot))) - 1) -
+             |    CAST(bits AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS nll2
+             |FROM doc ORDER BY doc_id""".stripMargin),
+    ),
+
     // X30 — INCREMENTAL dedup: the mutated every-20th-doc batch arrives
     // against the base corpus's precomputed band index; candidates are
     // batch×index + batch×batch only — the continuous-ingestion shape

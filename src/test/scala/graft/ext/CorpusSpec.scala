@@ -129,4 +129,49 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(1L) == 1.0 && out(2L) == 1.0)
     assert(out(3L) == 0.0)
   }
+
+  private def withBound[T](n: Int)(body: => T): T = {
+    sys.props("graft.regime.collectMaxRows") = n.toString
+    try body
+    finally sys.props.remove("graft.regime.collectMaxRows")
+  }
+
+  test("boilerplateLines drops corpus-frequent lines and rebuilds in order") {
+    val df = Seq(
+      (1L, "a b x x c d"), // lines: "a b", "x x", "c d"
+      (2L, "e f x x"),     // lines: "e f", "x x"  -> "x x" appears twice
+      (3L, "g h"),         // unique line
+    ).toDF("id", "text")
+    val out = Corpus.boilerplateLines(df, "id", "text", lineTokens = 2, minCount = 2)
+      .orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("clean_text"),
+        r.getAs[Long]("n_kept"), r.getAs[Long]("n_dropped"))).toSeq
+    assert(out == Seq(
+      (1L, "a b c d", 2L, 1L),
+      (2L, "e f", 1L, 1L),
+      (3L, "g h", 1L, 0L)))
+  }
+
+  test("boilerplateLines: fully-boilerplate docs keep an empty clean_text, never vanish") {
+    val df = Seq((1L, "x x"), (2L, "x x"), (3L, "a b")).toDF("id", "text")
+    val out = Corpus.boilerplateLines(df, "id", "text", lineTokens = 2, minCount = 2)
+      .orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("clean_text"),
+        r.getAs[Long]("n_kept"), r.getAs[Long]("n_dropped"))).toSeq
+    assert(out == Seq((1L, "", 0L, 1L), (2L, "", 0L, 1L), (3L, "a b", 1L, 0L)))
+  }
+
+  test("boilerplateLines: distributed rebuild (forced bound) is value-identical to row-local") {
+    val df = (1L to 40L).map { i =>
+      // every doc shares a planted boilerplate line; the rest is unique
+      (i, s"plant line one two $i alpha$i beta$i gamma$i delta$i")
+    }.toDF("id", "text")
+    def run() = Corpus.boilerplateLines(df, "id", "text", lineTokens = 4, minCount = 10)
+      .orderBy("id").collect().map(_.toString).toSeq
+    val rowLocal = run()
+    assert(rowLocal.nonEmpty && rowLocal.forall(!_.contains("plant line one two")))
+    val distributed = withBound(0)(run())
+    assert(distributed == rowLocal,
+      "exploded-join rebuild drifted from the row-local filter")
+  }
 }

@@ -95,6 +95,42 @@ class RegimeSpec extends AnyFunSuite {
     ArtifactCache.clear()
   }
 
+  test("x40: over-bound frequent-line set rebuilds via the exploded join, value-identical") {
+    ArtifactCache.clear()
+    val base = rows("x40_line_dedup")
+    val key = s"boiler:dup20:8x2:$sf"
+    assert(decision(key) == "collected", "fixture-sized boilerplate set should collect")
+    ArtifactCache.clear()
+    withBound(1) {
+      val d = SparkEntry.queries("x40_line_dedup")(spark, sf)
+      assert(decision(key) == "distributed")
+      val plan = d.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("LocalRelation"),
+        s"x40 still serves a driver-collected line set:\n${plan.linesIterator.take(15).mkString("\n")}")
+      assert(d.collect().map(_.toString).toSeq == base,
+        "distributed x40 rebuild drifted from the row-local regime")
+    }
+    ArtifactCache.clear()
+  }
+
+  test("x41: over-bound unigram table joins as a table, value-identical") {
+    ArtifactCache.clear()
+    val base = rows("x41_unigram_nll")
+    val key = s"unigram-tf:documents:$sf"
+    assert(decision(key) == "collected")
+    ArtifactCache.clear()
+    withBound(1) {
+      val d = SparkEntry.queries("x41_unigram_nll")(spark, sf)
+      assert(decision(key) == "distributed")
+      val plan = d.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("LocalRelation"),
+        s"x41 still serves a driver-collected unigram table:\n${plan.linesIterator.take(15).mkString("\n")}")
+      assert(d.collect().map(_.toString).toSeq == base,
+        "unigram-as-table x41 drifted from the broadcast regime")
+    }
+    ArtifactCache.clear()
+  }
+
   test("ArtifactCache refuses to store an over-cap artifact but still serves it") {
     ArtifactCache.clear()
     val before = ArtifactCache.rejected.get()

@@ -196,6 +196,133 @@ object LogTable {
   private def readFiles2(spark: SparkSession, table: String, fs: Seq[FileEntry]): DataFrame =
     spark.read.parquet(fs.map(f => dataDir(table).resolve(f.file).toString): _*)
 
+  /** Stats-pruned snapshot read over a key range: only files whose
+    * [minKey, maxKey] intersects [lo, hi] reach the parquet scan — the
+    * log-table analog of partition pruning, decided from the manifest
+    * with ZERO file-footer reads — with the residual row predicate on
+    * top (file stats admit, they don't guarantee). A point lookup on a
+    * 100 TB table opens the one file whose range covers the key. */
+  def readRange(
+      spark: SparkSession, table: String, keyCol: String,
+      lo: Long, hi: Long): DataFrame = {
+    val fs = live(table, None).filter(f => f.minKey <= hi && f.maxKey >= lo)
+    if (fs.isEmpty) return spark.emptyDataFrame
+    readFiles(spark, table, fs)
+      .filter(col(keyCol) >= lo && col(keyCol) <= hi)
+  }
+
+  /** Key-range delete (retention expiry, erasure requests — the bulk
+    * companion to [[upsert]]'s delete-then-insert). Files FULLY covered
+    * by [lo, hi] are dropped by a METADATA-ONLY commit: no read, no
+    * rewrite, one manifest — at 100 TB an aged-out partition's worth of
+    * data disappears in milliseconds. Only files that STRADDLE a range
+    * boundary (at most a handful, by construction of the range) are
+    * rewritten with their surviving rows. Concurrency as [[upsert]]:
+    * optimistic commit, loser revalidates or recomputes. */
+  def deleteRange(
+      spark: SparkSession, table: String, keyCol: String,
+      lo: Long, hi: Long): Unit = {
+    require(lo <= hi, s"deleteRange: empty range [$lo, $hi]")
+    def attempt(): Unit = {
+      val (snapVersion, snapshot) = snapshotAt(table, None)
+      val touched = snapshot.filter(f => f.minKey <= hi && f.maxKey >= lo)
+      if (touched.isEmpty) return
+      val straddling = touched.filterNot(f => lo <= f.minKey && f.maxKey <= hi)
+      // a straddling file always has survivors (its min or max key lies
+      // outside the range), so the rewrite below never produces an
+      // empty add set for a non-empty straddle list
+      val adds =
+        if (straddling.isEmpty) Seq.empty
+        else writeData(spark, table,
+          readFiles2(spark, table, straddling)
+            .filter(col(keyCol) < lo || col(keyCol) > hi), keyCol)
+      commit(table, snapVersion, adds, removes = touched.map(_.file),
+        reRun = () => attempt())
+    }
+    attempt()
+  }
+
+  /** Bin-pack small live files into ~`targetRows`-sized files, clustered
+    * by key (repartitionByRange on the key column, so compacted files
+    * carry tight non-overlapping key stats and [[upsert]]/[[readRange]]
+    * pruning stays sharp). A SEMANTIC NO-OP — same rows, history intact,
+    * time travel to pre-compaction versions still valid — that bounds
+    * the file count after many small appends/upserts (the maintenance
+    * op every log-structured table needs: unmerged, a year of nightly
+    * deltas is 365 tiny files and every scan pays per-file open cost).
+    * Only files under `targetRows` participate; already-right-sized
+    * files are left untouched. Concurrency as [[upsert]] — a racing
+    * writer that rewrote a compaction input forces a recompute against
+    * the fresh snapshot. */
+  def compact(spark: SparkSession, table: String, keyCol: String,
+      targetRows: Long): Unit = {
+    require(targetRows >= 1, "targetRows must be >= 1")
+    def attempt(): Unit = {
+      val (snapVersion, snapshot) = snapshotAt(table, None)
+      val small = snapshot.filter(_.rows < targetRows)
+      if (small.size < 2) return // nothing to merge
+      val total = small.map(_.rows).sum
+      val nOut = math.max(1L, (total + targetRows - 1) / targetRows).toInt
+      // idempotence: merging n files into >= n achieves nothing and
+      // would churn forever (compact → two half-full files → compact …)
+      if (small.size <= nOut) return
+      val adds = writeData(spark, table,
+        readFiles2(spark, table, small).repartitionByRange(nOut, col(keyCol)),
+        keyCol)
+      commit(table, snapVersion, adds, removes = small.map(_.file),
+        reRun = () => attempt())
+    }
+    attempt()
+  }
+
+  /** Change feed for incremental downstream consumers: the row-level
+    * delta between committed versions `fromV` and `toV`, as the data
+    * columns plus `_change_type` ('insert' | 'update' | 'delete';
+    * updates and inserts carry the new row, deletes the old one).
+    *
+    * Fast path: when every commit in (fromV, toV] is a pure APPEND (no
+    * removes), the added files ARE the change set — they are read
+    * directly, zero joins, cost proportional to the delta (the
+    * append-only state tables [[graft.streaming.DocStream]] commits
+    * always take this path). Otherwise (upserts/deletes in range) the
+    * delta is recovered by a key-wise snapshot diff — a full-outer join
+    * of the two snapshots comparing row content. That costs two
+    * snapshot scans; a deployment that needs cheap CDC over heavy
+    * upserts writes explicit change files at commit time instead (the
+    * Delta CDF trade), which this format's manifest would carry as a
+    * third file list. */
+  def changes(
+      spark: SparkSession, table: String, keyCol: String,
+      fromV: Long, toV: Long): DataFrame = {
+    require(fromV <= toV, s"changes: fromV $fromV > toV $toV")
+    val ms = manifests(table).filter(m => m.version > fromV && m.version <= toV)
+    if (ms.isEmpty) return spark.emptyDataFrame
+    if (ms.forall(_.removes.isEmpty)) {
+      val added = ms.flatMap(_.adds)
+      return readFiles(spark, table, added)
+        .withColumn("_change_type", lit("insert"))
+    }
+    val before = readVersion(spark, table, fromV)
+    val after = readVersion(spark, table, toV)
+    if (before.columns.isEmpty) // fromV predates the table: all inserts
+      return after.withColumn("_change_type", lit("insert"))
+    val payload = after.columns.filterNot(_ == keyCol).toSeq
+    val b = before.select(col(keyCol), struct(payload.map(col): _*).as("_b"))
+    val a = after.select(col(keyCol), struct(payload.map(col): _*).as("_a"))
+    val diffed = b.join(a, Seq(keyCol), "full_outer")
+      .withColumn("_change_type",
+        when(col("_b").isNull, "insert")
+          .when(col("_a").isNull, "delete")
+          // null-safe struct compare: a payload field that is NULL on
+          // one side must read as a difference, not propagate NULL into
+          // the condition and silently drop the row from the feed
+          .when(!(col("_a") <=> col("_b")), "update"))
+      .filter(col("_change_type").isNotNull)
+    val img = when(col("_change_type") === "delete", col("_b")).otherwise(col("_a"))
+    diffed.select(
+      col(keyCol) +: payload.map(c => img.getField(c).as(c)) :+ col("_change_type"): _*)
+  }
+
   /** Write `df` as fresh immutable data files; returns their entries
     * with key stats. Stats come from ONE grouped pass over the staged
     * files (input_file_name), not a per-file re-read. */

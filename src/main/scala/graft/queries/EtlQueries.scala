@@ -282,6 +282,99 @@ object EtlQueries {
              |ORDER BY order_id""".stripMargin),
     ),
 
+    // K12 — log-table maintenance cycle: the K11 upsert followed by a
+    // bulk key-range DELETE (files fully inside the range drop by a
+    // metadata-only commit — no read, no rewrite) and a compaction
+    // (bin-pack small files clustered by key; a semantic no-op). The
+    // oracle sees only the final semantics: storage maintenance must
+    // never change query results.
+    QueryDef(
+      "k12_log_maintenance",
+      (s, d) => {
+        val existing = Tables.orders(s, d)
+          .filter(col("o_orderdate") < lit("2000-01-01").cast("timestamp"))
+          .select(
+            col("o_orderkey").as("order_id"),
+            col("o_orderstatus").as("status"),
+            lit("base").as("src"))
+        val incoming = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+          .select(
+            col("o_orderkey").as("order_id"),
+            col("o_orderstatus").as("status"),
+            lit("resynced").as("src"))
+        val t = java.nio.file.Files.createTempDirectory("graft-k12")
+          .resolve("orders_log").toString
+        graft.io.LogTable.create(s, t,
+          existing.repartitionByRange(8, col("order_id")), "order_id")
+        graft.io.LogTable.upsert(s, t, incoming, "order_id")
+        graft.io.LogTable.deleteRange(s, t, "order_id", 300L, 4000L)
+        graft.io.LogTable.compact(s, t, "order_id", targetRows = 1000000L)
+        graft.io.LogTable.read(s, t).orderBy("order_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT o_orderkey AS order_id, o_orderstatus AS status, 'base' AS src
+             |  FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
+             |), i AS (
+             |  SELECT o_orderkey AS order_id, o_orderstatus AS status, 'resynced' AS src
+             |  FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+             |)
+             |SELECT * FROM (
+             |  SELECT * FROM e WHERE order_id NOT IN (SELECT order_id FROM i)
+             |  UNION ALL SELECT * FROM i)
+             |WHERE order_id NOT BETWEEN 300 AND 4000
+             |ORDER BY order_id""".stripMargin),
+    ),
+
+    // K13 — change feed: the row-level delta a downstream incremental
+    // consumer replays between two log-table versions, classified
+    // insert/update/delete (updates and inserts carry the new image,
+    // deletes the old one). The upserted overlap differs in src
+    // ('base' → 'resynced'), so every overlapping key is an update;
+    // keys deleted after v1 surface with their v1 image.
+    QueryDef(
+      "k13_change_feed",
+      (s, d) => {
+        val existing = Tables.orders(s, d)
+          .filter(col("o_orderdate") < lit("2000-01-01").cast("timestamp"))
+          .select(
+            col("o_orderkey").as("order_id"),
+            col("o_orderstatus").as("status"),
+            lit("base").as("src"))
+        val incoming = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+          .select(
+            col("o_orderkey").as("order_id"),
+            col("o_orderstatus").as("status"),
+            lit("resynced").as("src"))
+        val t = java.nio.file.Files.createTempDirectory("graft-k13")
+          .resolve("orders_log").toString
+        graft.io.LogTable.create(s, t,
+          existing.repartitionByRange(8, col("order_id")), "order_id")
+        val v1 = graft.io.LogTable.version(t)
+        graft.io.LogTable.upsert(s, t, incoming, "order_id")
+        graft.io.LogTable.deleteRange(s, t, "order_id", 1L, 1000L)
+        graft.io.LogTable
+          .changes(s, t, "order_id", v1, graft.io.LogTable.version(t))
+          .orderBy("order_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT o_orderkey AS order_id, o_orderstatus AS status, 'base' AS src
+             |  FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
+             |), i AS (
+             |  SELECT o_orderkey AS order_id, o_orderstatus AS status, 'resynced' AS src
+             |  FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+             |)
+             |SELECT i.order_id, i.status, i.src,
+             |  CASE WHEN i.order_id IN (SELECT order_id FROM e)
+             |       THEN 'update' ELSE 'insert' END AS _change_type
+             |FROM i WHERE i.order_id NOT BETWEEN 1 AND 1000
+             |UNION ALL
+             |SELECT e.order_id, e.status, e.src, 'delete' AS _change_type
+             |FROM e WHERE e.order_id BETWEEN 1 AND 1000
+             |ORDER BY order_id""".stripMargin),
+    ),
+
     // K4/K6 — column alignment / schema migration: missing columns appear
     // as typed NULLs in canonical order.
     QueryDef(

@@ -137,6 +137,141 @@ class LogTableSpec extends AnyFunSuite {
     assert(LogTable.vacuum(t).isEmpty)
   }
 
+  test("readRange prunes to intersecting files from manifest stats alone") {
+    val t = tmpTable()
+    LogTable.create(spark, t,
+      (1L to 8000L).map(i => (i, s"v$i")).toDF("k", "v")
+        .repartitionByRange(8, col("k")), "k")
+    val all = LogTable.read(spark, t).inputFiles.toSet
+    assert(all.size >= 8)
+    val ranged = LogTable.readRange(spark, t, "k", 100L, 150L)
+    assert(ranged.inputFiles.toSet.size == 1,
+      s"point-range read opened ${ranged.inputFiles.length} of ${all.size} files")
+    assert(rows(ranged) == (100L to 150L).map(i => (i, s"v$i")).toSet)
+    // a range past the table reads nothing
+    assert(LogTable.readRange(spark, t, "k", 50000L, 60000L).isEmpty)
+  }
+
+  test("deleteRange: fully-covered files drop metadata-only; straddlers rewrite survivors") {
+    val t = tmpTable()
+    LogTable.create(spark, t,
+      (1L to 8000L).map(i => (i, s"v$i")).toDF("k", "v")
+        .repartitionByRange(8, col("k")), "k")
+    val entries = LogTable.read(spark, t).inputFiles.toSet
+    val dataFilesBefore = Files.list(Paths.get(t, "data")).count()
+    // pick a range aligned to swallow whole middle files but cut into
+    // their neighbors: delete [1500, 6500] over ~1000-row range files
+    LogTable.deleteRange(spark, t, "k", 1500L, 6500L)
+    val r = LogTable.read(spark, t)
+    assert(rows(r) ==
+      ((1L to 1499L) ++ (6501L to 8000L)).map(i => (i, s"v$i")).toSet)
+    // covered files were dropped without rewriting: the data dir grew by
+    // at most the two straddling-file rewrites (metadata-only for the rest)
+    val dataFilesAfter = Files.list(Paths.get(t, "data")).count()
+    assert(dataFilesAfter - dataFilesBefore <= 2,
+      s"bulk delete wrote ${dataFilesAfter - dataFilesBefore} new files — not metadata-only")
+    // untouched boundary files survive identically (same physical path)
+    val after = r.inputFiles.toSet
+    assert((entries intersect after).nonEmpty, "delete rewrote untouched files")
+    // deleting an empty range is a no-op commit-wise
+    val v = LogTable.version(t)
+    LogTable.deleteRange(spark, t, "k", 50000L, 60000L)
+    assert(LogTable.version(t) == v)
+  }
+
+  test("compact bin-packs small files, preserves rows, history, and pruning") {
+    val t = tmpTable()
+    LogTable.create(spark, t, Seq((0L, "seed")).toDF("k", "v"), "k")
+    // a month of tiny appends: 12 single-file commits
+    (1L to 12L).foreach { b =>
+      LogTable.append(spark, t,
+        (b * 100L until b * 100L + 50L).map(i => (i, s"v$i")).toDF("k", "v")
+          .coalesce(1), "k")
+    }
+    val preCompactVersion = LogTable.version(t)
+    val expected = rows(LogTable.read(spark, t))
+    assert(LogTable.read(spark, t).inputFiles.length == 13)
+
+    LogTable.compact(spark, t, "k", targetRows = 400L)
+    val r = LogTable.read(spark, t)
+    assert(rows(r) == expected, "compaction changed table contents")
+    assert(r.inputFiles.length <= 3,
+      s"compaction left ${r.inputFiles.length} files for ~601 rows at target 400")
+    // compacted files carry disjoint key ranges: a point read opens one
+    // (keys 110-115 sit far from any range-partition boundary)
+    assert(LogTable.readRange(spark, t, "k", 110L, 115L).inputFiles.length == 1)
+    // history intact: the pre-compaction snapshot still reads
+    assert(rows(LogTable.readVersion(spark, t, preCompactVersion)) == expected)
+    // idempotent: nothing small left to merge
+    val v = LogTable.version(t)
+    LogTable.compact(spark, t, "k", targetRows = 400L)
+    assert(LogTable.version(t) == v, "re-compaction committed a no-op")
+  }
+
+  test("compact racing an upsert: neither lost, rows reflect the upsert") {
+    val t = tmpTable()
+    LogTable.create(spark, t, Seq((0L, "seed")).toDF("k", "v"), "k")
+    (1L to 8L).foreach { b =>
+      LogTable.append(spark, t,
+        (b * 100L until b * 100L + 50L).map(i => (i, s"v$i")).toDF("k", "v")
+          .coalesce(1), "k")
+    }
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val upserted = (100L to 120L).map(i => (i, s"up$i"))
+    val threads = Seq(
+      new Thread(() =>
+        try LogTable.compact(spark, t, "k", targetRows = 400L)
+        catch { case e: Throwable => errs.add(e) }),
+      new Thread(() =>
+        try LogTable.upsert(spark, t, upserted.toDF("k", "v"), "k")
+        catch { case e: Throwable => errs.add(e) }))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"compact/upsert race failed: ${errs.peek()}")
+    val r = LogTable.read(spark, t)
+    assert(r.count() == 401L, "race lost or duplicated rows")
+    assert(rows(r.filter(col("k").between(100L, 120L))) == upserted.toSet,
+      "compaction resurrected pre-upsert rows")
+  }
+
+  test("changes: pure-append range serves added files directly (no join), as inserts") {
+    val t = tmpTable()
+    LogTable.create(spark, t, Seq((1L, "a")).toDF("k", "v"), "k")
+    val v1 = LogTable.version(t)
+    LogTable.append(spark, t, Seq((2L, "b"), (3L, "c")).toDF("k", "v"), "k")
+    LogTable.append(spark, t, Seq((4L, "d")).toDF("k", "v"), "k")
+    val feed = LogTable.changes(spark, t, "k", v1, LogTable.version(t))
+    assert(!feed.queryExecution.optimizedPlan.toString.contains("Join"),
+      "append-only change feed must not diff snapshots")
+    val got = feed.collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"),
+        r.getAs[String]("_change_type"))).toSet
+    assert(got == Set((2L, "b", "insert"), (3L, "c", "insert"), (4L, "d", "insert")))
+    // an empty range yields an empty feed
+    assert(LogTable.changes(spark, t, "k", v1, v1).isEmpty)
+  }
+
+  test("changes: upsert range diffs snapshots into insert/update/delete with correct images") {
+    val t = tmpTable()
+    LogTable.create(spark, t,
+      Seq((1L, "keep"), (2L, "old"), (3L, "gone"), (4L, null.asInstanceOf[String]))
+        .toDF("k", "v"), "k")
+    val v1 = LogTable.version(t)
+    // upsert: update k=2, insert k=5, fill the null at k=4
+    LogTable.upsert(spark, t,
+      Seq((2L, "new"), (5L, "fresh"), (4L, "filled")).toDF("k", "v"), "k")
+    // delete k=3
+    LogTable.deleteRange(spark, t, "k", 3L, 3L)
+    val feed = LogTable.changes(spark, t, "k", v1, LogTable.version(t))
+    val got = feed.collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"),
+        r.getAs[String]("_change_type"))).toSet
+    assert(got == Set(
+      (2L, "new", "update"),
+      (4L, "filled", "update"), // NULL -> value must surface (null-safe diff)
+      (5L, "fresh", "insert"),
+      (3L, "gone", "delete")))
+  }
+
   test("time travel: earlier versions stay readable after upserts") {
     val t = tmpTable()
     LogTable.create(spark, t, Seq((1L, "v1a"), (2L, "v1b")).toDF("k", "v"), "k")

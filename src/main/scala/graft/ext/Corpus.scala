@@ -238,8 +238,9 @@ object Corpus {
     *
     * Scale shape, two phases:
     *   1. counting — lines are hashed row-locally and ONE combinable
-    *      groupBy counts md5 hashes: the exchange carries 16-byte
-    *      hashes, never line text, and is linear in corpus size;
+    *      groupBy counts 60-bit line hashes ([[Dedup.shingleHash60]]):
+    *      the exchange carries 8-byte longs, never line text, and is
+    *      linear in corpus size;
     *   2. rebuild — regime by MEASURED frequent-set size
     *      ([[graft.io.Regime.collectIfSmall]]). A real corpus's
     *      boilerplate set is small relative to the corpus (it is the
@@ -251,8 +252,9 @@ object Corpus {
     *      line text must transit a shuffle, because the rebuild itself
     *      is distributed).
     *
-    * Hash identity is md5 (cross-engine reproducible; collisions are
-    * discounted by the same gram-identity contract as [[distinctGrams]]).
+    * Hash identity is the 60-bit md5 prefix (cross-engine reproducible;
+    * collisions are discounted by the same gram-identity contract as
+    * [[distinctGrams]] and x23's shingle counts).
     * Returns (id, clean_text, n_kept, n_dropped); every input document
     * appears (a fully-boilerplate doc keeps an empty clean_text).
     * `cacheKey` amortizes the frequent-set build per corpus snapshot. */
@@ -271,17 +273,17 @@ object Corpus {
     def freqOf: DataFrame =
       graft.util.Partitioning.fanOut(df)
         .select(explode(linesOf(col(textCol))).as("line"))
-        .groupBy(md5(col("line")).as("lh"))
+        .groupBy(Dedup.shingleHash60(col("line")).as("lh"))
         .agg(count(lit(1)).as("n"))
         .filter(col("n") >= minCount)
         .select("lh")
     val key = cacheKey.getOrElse(s"boiler:anon:${System.identityHashCode(df)}")
-    def build: Either[IndexedSeq[String], DataFrame] = {
+    def build: Either[IndexedSeq[Long], DataFrame] = {
       // persist first, probe populates the blocks: the counting groupBy
       // runs once whichever regime wins (see dupCorpusCandidates)
       val cp = freqOf.persist()
       graft.io.Regime.collectIfSmall(key, cp)
-        .map { rows => cp.unpersist(); rows.map(_.getString(0)) }
+        .map { rows => cp.unpersist(); rows.map(_.getLong(0)) }
         .toLeft(cp)
     }
     val artifact = cacheKey match {
@@ -306,30 +308,38 @@ object Corpus {
           .select(col(idCol).as("id"), linesOf(col(textCol)).as("_lines"))
           .select(col("id"), col("_lines"),
             filter(col("_lines"),
-              l => !array_contains(freqArr, md5(l))).as("_kept"))
+              l => !array_contains(freqArr, Dedup.shingleHash60(l))).as("_kept"))
           .select(col("id"),
             array_join(col("_kept"), " ").as("clean_text"),
             size(col("_kept")).cast("long").as("n_kept"),
             (size(col("_lines")) - size(col("_kept"))).cast("long").as("n_dropped"))
       case Right(freq) =>
-        // distributed rebuild: explode, mark frequent lines by hash
-        // join, reassemble per doc (collect_list skips the NULL-ed
-        // frequent lines; array_sort on (line_idx, line) restores order)
+        // distributed rebuild, text never re-assembled: explode per-doc
+        // line HASHES (8-byte exchanges), semi-join the frequent frame,
+        // fold each doc's dropped hashes into one small set, then filter
+        // the document ROW-LOCALLY against its own dropped set — order
+        // preserved for free, no sort, no text reassembly. The only
+        // exchange that could carry text is the final doc⋈dropped join,
+        // and docs shuffle there only when the dropped map outgrows
+        // AQE's broadcast threshold (at fixture scale it broadcasts).
         val ex = graft.util.Partitioning.fanOut(df)
           .select(col(idCol).as("id"),
-            posexplode(linesOf(col(textCol))).as(Seq("line_idx", "line")))
-        ex.join(freq.withColumn("_f", lit(1)),
-            md5(col("line")) === col("lh"), "left")
-          .groupBy("id")
-          .agg(
-            array_join(
-              transform(
-                array_sort(collect_list(
-                  when(col("_f").isNull, struct(col("line_idx"), col("line"))))),
-                x => x.getField("line")),
-              " ").as("clean_text"),
-            count(when(col("_f").isNull, 1)).as("n_kept"),
-            count(when(col("_f").isNotNull, 1)).as("n_dropped"))
+            explode(transform(linesOf(col(textCol)),
+              l => Dedup.shingleHash60(l))).as("h"))
+        val droppedPerDoc = ex
+          .join(freq, col("h") === col("lh"), "left_semi")
+          .groupBy("id").agg(collect_set(col("h")).as("_drop"))
+        graft.util.Partitioning.fanOut(df)
+          .select(col(idCol).as("id"), linesOf(col(textCol)).as("_lines"))
+          .join(droppedPerDoc, Seq("id"), "left")
+          .select(col("id"), col("_lines"),
+            filter(col("_lines"), l => !coalesce(
+              array_contains(col("_drop"), Dedup.shingleHash60(l)),
+              lit(false))).as("_kept"))
+          .select(col("id"),
+            array_join(col("_kept"), " ").as("clean_text"),
+            size(col("_kept")).cast("long").as("n_kept"),
+            (size(col("_lines")) - size(col("_kept"))).cast("long").as("n_dropped"))
     }
   }
 

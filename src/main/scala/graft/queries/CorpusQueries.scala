@@ -583,7 +583,7 @@ object CorpusQueries {
     // X40 — C4-style boilerplate-line removal: count fixed-width token
     // lines corpus-wide, drop every line occurring >= 2 times, rebuild
     // each doc from survivors in order (Corpus.boilerplateLines — the
-    // counting exchange carries md5 hashes only; the rebuild is
+    // counting exchange carries 60-bit line hashes only; the rebuild is
     // row-local against the collected frequent set in the common regime,
     // exploded+joined past the Regime bound). The corpus plants exact
     // +20000 copies of every 20th doc, so copied docs strip fully while
@@ -611,11 +611,13 @@ object CorpusQueries {
              |  FROM (SELECT id, t, unnest(generate_series(1, len(t), 8)) AS s
              |        FROM toks)),
              |freq AS (
-             |  SELECT md5(line) AS lh FROM lines
-             |  GROUP BY md5(line) HAVING count(*) >= 2),
+             |  SELECT CAST('0x' || substr(md5(line), 1, 15) AS BIGINT) AS lh
+             |  FROM lines
+             |  GROUP BY 1 HAVING count(*) >= 2),
              |marked AS (
              |  SELECT l.id, l.line_idx, l.line, (f.lh IS NOT NULL) AS is_freq
-             |  FROM lines l LEFT JOIN freq f ON f.lh = md5(l.line))
+             |  FROM lines l LEFT JOIN freq f
+             |    ON f.lh = CAST('0x' || substr(md5(l.line), 1, 15) AS BIGINT))
              |SELECT id,
              |  coalesce(string_agg(CASE WHEN NOT is_freq THEN line END,
              |                      ' ' ORDER BY line_idx), '') AS clean_text,

@@ -50,7 +50,17 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 object LogTable {
 
   final case class FileEntry(file: String, minKey: Long, maxKey: Long, rows: Long)
-  final case class Manifest(version: Long, adds: Seq[FileEntry], removes: Seq[String])
+
+  /** One commit. `schema` is the writer's DataFrame schema (Spark
+    * StructType JSON) — readers apply the LATEST committed schema to the
+    * whole snapshot, so a commit that ADDS a column evolves the table
+    * (older files surface the new column as typed NULLs) without any
+    * per-file footer reads, and time travel reads each version under the
+    * schema it was written with. Empty for pre-evolution manifests
+    * (readers fall back to parquet inference). */
+  final case class Manifest(
+      version: Long, adds: Seq[FileEntry], removes: Seq[String],
+      schema: String = "")
 
   private def logDir(table: String): Path = Paths.get(table, "_log")
   private def dataDir(table: String): Path = Paths.get(table, "data")
@@ -66,12 +76,16 @@ object LogTable {
       s"""{"file":"${esc(a.file)}","minKey":${a.minKey},"maxKey":${a.maxKey},"rows":${a.rows}}""")
       .mkString("[", ",", "]")
     val removes = m.removes.map(f => s""""${esc(f)}"""").mkString("[", ",", "]")
-    s"""{"version":${m.version},"adds":$adds,"removes":$removes}"""
+    // schema LAST: its value is itself JSON-with-quotes (escaped), and
+    // the adds/removes block regexes below must never scan past into it
+    s"""{"version":${m.version},"adds":$adds,"removes":$removes,"schema":"${esc(m.schema)}"}"""
   }
 
   private def parse(json: String): Manifest = {
-    // the engine writes every manifest it reads (strings are uuid file
-    // names — no embedded quotes), so a field-regex parse is exact here
+    // the engine writes every manifest it reads (adds/removes strings are
+    // uuid file names — no embedded quotes), so a field-regex parse is
+    // exact here; the schema field is an escaped JSON string and gets an
+    // escape-aware pattern
     def longField(o: String, k: String): Long =
       s""""$k":(-?\\d+)""".r.findFirstMatchIn(o).get.group(1).toLong
     val version = longField(json, "version")
@@ -84,7 +98,10 @@ object LogTable {
     val removesBlock = """"removes":\[(.*?)\]""".r
       .findFirstMatchIn(json).get.group(1)
     val removes = """"([^"]*)"""".r.findAllMatchIn(removesBlock).map(_.group(1)).toSeq
-    Manifest(version, adds, removes)
+    val schema = """"schema":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(json)
+      .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+      .getOrElse("")
+    Manifest(version, adds, removes, schema)
   }
 
   private def manifests(table: String): Seq[Manifest] = {
@@ -109,13 +126,26 @@ object LogTable {
     * where an intervening commit slips between them unvalidated (caught
     * by LogTableSpec's conflicting-upsert test). */
   private def snapshotAt(table: String, asOf: Option[Long]): (Long, Seq[FileEntry]) = {
+    val (v, fs, _) = snapshotWithSchema(table, asOf)
+    (v, fs)
+  }
+
+  private def snapshotWithSchema(
+      table: String, asOf: Option[Long])
+      : (Long, Seq[FileEntry], Option[org.apache.spark.sql.types.StructType]) = {
     val ms = manifests(table).filter(m => asOf.forall(m.version <= _))
     val folded = scala.collection.mutable.LinkedHashMap.empty[String, FileEntry]
     ms.foreach { m =>
       m.removes.foreach(folded.remove)
       m.adds.foreach(a => folded(a.file) = a)
     }
-    (ms.lastOption.map(_.version).getOrElse(0L), folded.values.toSeq)
+    // the LATEST schema at-or-before asOf governs the whole snapshot:
+    // schema evolution is a property of the log position, not the files
+    val schema = ms.reverse.iterator.map(_.schema).find(_.nonEmpty).map { j =>
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+    }
+    (ms.lastOption.map(_.version).getOrElse(0L), folded.values.toSeq, schema)
   }
 
   /** Current committed version, 0 for an empty/absent table. */
@@ -123,19 +153,33 @@ object LogTable {
     manifests(table).lastOption.map(_.version).getOrElse(0L)
 
   /** Snapshot read at the head version. */
-  def read(spark: SparkSession, table: String): DataFrame =
-    readFiles(spark, table, live(table, None))
+  def read(spark: SparkSession, table: String): DataFrame = {
+    val (_, fs, schema) = snapshotWithSchema(table, None)
+    readFiles(spark, table, fs, schema)
+  }
 
-  /** Snapshot read AS OF a committed version (time travel). */
-  def readVersion(spark: SparkSession, table: String, v: Long): DataFrame =
-    readFiles(spark, table, live(table, Some(v)))
+  /** Snapshot read AS OF a committed version (time travel) — under the
+    * schema committed at that version, so an audit of yesterday's
+    * snapshot sees yesterday's columns. */
+  def readVersion(spark: SparkSession, table: String, v: Long): DataFrame = {
+    val (_, fs, schema) = snapshotWithSchema(table, Some(v))
+    readFiles(spark, table, fs, schema)
+  }
 
-  private def readFiles(spark: SparkSession, table: String, fs: Seq[FileEntry]): DataFrame = {
+  private def readFiles(
+      spark: SparkSession, table: String, fs: Seq[FileEntry],
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     if (fs.isEmpty)
       // empty snapshot: schema-less — callers create before they read;
       // an empty table with a schema needs a v1 create commit
       return spark.emptyDataFrame
-    spark.read.parquet(fs.map(f => dataDir(table).resolve(f.file).toString): _*)
+    // the manifest-committed schema governs the scan: files written
+    // BEFORE a column was added surface it as typed NULLs (parquet
+    // reader fills absent columns), and no per-file footer merge runs —
+    // at 100 TB, schema from the log beats mergeSchema's full footer
+    // sweep by the width of the table
+    val paths = fs.map(f => dataDir(table).resolve(f.file).toString)
+    schema.fold(spark.read)(s => spark.read.schema(s)).parquet(paths: _*)
   }
 
   /** Create the table with an initial data set (v1). */
@@ -144,7 +188,8 @@ object LogTable {
     Files.createDirectories(dataDir(table))
     val adds = writeData(spark, table, df, keyCol)
     commit(table, snapshotVersion = 0L, adds, removes = Seq.empty, reRun = () =>
-      throw new IllegalStateException(s"create($table) raced another writer"))
+      throw new IllegalStateException(s"create($table) raced another writer"),
+      schema = df.schema.json)
   }
 
   /** Append-only commit: new data files, no removals. Always safe under
@@ -156,12 +201,28 @@ object LogTable {
     * append becomes impossible because the manifest IS the commit. */
   def append(spark: SparkSession, table: String, df: DataFrame, keyCol: String): Unit = {
     if (df.isEmpty) return
-    val (snapVersion, _) = snapshotAt(table, None)
-    val adds = writeData(spark, table, df, keyCol)
+    val (snapVersion, _, snapSchema) = snapshotWithSchema(table, None)
+    // schema evolution on append: the committed schema is the union of
+    // the table's columns and the batch's (new columns surface as typed
+    // NULLs on older files at read time — see readFiles)
+    val evolved = snapSchema match {
+      case Some(sc) =>
+        // canonical order: the table's columns first (batch-missing ones
+        // as typed NULLs), then any genuinely new columns from the batch
+        val have = df.schema.fieldNames.toSet
+        val tableCols = sc.fields.toSeq.map(f =>
+          if (have(f.name)) col(f.name) else lit(null).cast(f.dataType).as(f.name))
+        val newCols = df.schema.fieldNames.toSeq
+          .filterNot(sc.fieldNames.toSet).map(col(_))
+        df.select(tableCols ++ newCols: _*)
+      case None => df
+    }
+    val adds = writeData(spark, table, evolved, keyCol)
     if (adds.isEmpty) return
     commit(table, snapVersion, adds, removes = Seq.empty, reRun = () =>
       throw new IllegalStateException(
-        s"append($table) hit a removal conflict — impossible with empty removes"))
+        s"append($table) hit a removal conflict — impossible with empty removes"),
+      schema = evolved.schema.json)
   }
 
   /** Keyed upsert (the reference's delete-then-insert, K2/K3): rows of
@@ -180,21 +241,33 @@ object LogTable {
       // version and file set pinned TOGETHER: the commit below claims
       // exactly snapVersion+1 first, so any commit that landed after
       // this read is detected and validated, never silently skipped
-      val (snapVersion, snapshot) = snapshotAt(table, None)
+      val (snapVersion, snapshot, snapSchema) = snapshotWithSchema(table, None)
       val touched = snapshot.filter(f => f.minKey <= hi && f.maxKey >= lo)
       val survivors =
-        if (touched.isEmpty) inc.limit(0)
-        else readFiles2(spark, table, touched)
+        if (touched.isEmpty)
+          // schema-correct empty frame: an upsert that touches no file
+          // must still preserve the table's columns in the committed
+          // schema, not narrow it to the batch's
+          snapSchema.map(sc => spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc))
+            .getOrElse(inc.limit(0))
+        else readFiles2(spark, table, touched, snapSchema)
           .join(inc.select(col(keyCol)), Seq(keyCol), "left_anti")
-      val adds = writeData(spark, table, survivors.unionByName(inc), keyCol)
+      // allowMissingColumns: a batch with a NEW column evolves the
+      // table (survivors carry NULLs); a batch MISSING a table column
+      // keeps it (the batch's rows carry NULLs)
+      val merged = survivors.unionByName(inc, allowMissingColumns = true)
+      val adds = writeData(spark, table, merged, keyCol)
       commit(table, snapVersion, adds, removes = touched.map(_.file),
-        reRun = () => attempt())
+        reRun = () => attempt(), schema = merged.schema.json)
     }
     attempt()
   }
 
-  private def readFiles2(spark: SparkSession, table: String, fs: Seq[FileEntry]): DataFrame =
-    spark.read.parquet(fs.map(f => dataDir(table).resolve(f.file).toString): _*)
+  private def readFiles2(
+      spark: SparkSession, table: String, fs: Seq[FileEntry],
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
+    readFiles(spark, table, fs, schema)
 
   /** Stats-pruned snapshot read over a key range: only files whose
     * [minKey, maxKey] intersects [lo, hi] reach the parquet scan — the
@@ -224,7 +297,7 @@ object LogTable {
       lo: Long, hi: Long): Unit = {
     require(lo <= hi, s"deleteRange: empty range [$lo, $hi]")
     def attempt(): Unit = {
-      val (snapVersion, snapshot) = snapshotAt(table, None)
+      val (snapVersion, snapshot, snapSchema) = snapshotWithSchema(table, None)
       val touched = snapshot.filter(f => f.minKey <= hi && f.maxKey >= lo)
       if (touched.isEmpty) return
       val straddling = touched.filterNot(f => lo <= f.minKey && f.maxKey <= hi)
@@ -234,10 +307,11 @@ object LogTable {
       val adds =
         if (straddling.isEmpty) Seq.empty
         else writeData(spark, table,
-          readFiles2(spark, table, straddling)
+          readFiles2(spark, table, straddling, snapSchema)
             .filter(col(keyCol) < lo || col(keyCol) > hi), keyCol)
       commit(table, snapVersion, adds, removes = touched.map(_.file),
-        reRun = () => attempt())
+        reRun = () => attempt(),
+        schema = snapSchema.map(_.json).getOrElse(""))
     }
     attempt()
   }
@@ -258,7 +332,7 @@ object LogTable {
       targetRows: Long): Unit = {
     require(targetRows >= 1, "targetRows must be >= 1")
     def attempt(): Unit = {
-      val (snapVersion, snapshot) = snapshotAt(table, None)
+      val (snapVersion, snapshot, snapSchema) = snapshotWithSchema(table, None)
       val small = snapshot.filter(_.rows < targetRows)
       if (small.size < 2) return // nothing to merge
       val total = small.map(_.rows).sum
@@ -267,10 +341,12 @@ object LogTable {
       // would churn forever (compact → two half-full files → compact …)
       if (small.size <= nOut) return
       val adds = writeData(spark, table,
-        readFiles2(spark, table, small).repartitionByRange(nOut, col(keyCol)),
+        readFiles2(spark, table, small, snapSchema)
+          .repartitionByRange(nOut, col(keyCol)),
         keyCol)
       commit(table, snapVersion, adds, removes = small.map(_.file),
-        reRun = () => attempt())
+        reRun = () => attempt(),
+        schema = snapSchema.map(_.json).getOrElse(""))
     }
     attempt()
   }
@@ -299,7 +375,9 @@ object LogTable {
     if (ms.isEmpty) return spark.emptyDataFrame
     if (ms.forall(_.removes.isEmpty)) {
       val added = ms.flatMap(_.adds)
-      return readFiles(spark, table, added)
+      // read under toV's committed schema: appends that straddle a
+      // column addition surface uniformly
+      return readFiles(spark, table, added, snapshotWithSchema(table, Some(toV))._3)
         .withColumn("_change_type", lit("insert"))
     }
     val before = readVersion(spark, table, fromV)
@@ -384,13 +462,14 @@ object LogTable {
     * loudly. */
   private def commit(
       table: String, snapshotVersion: Long, adds: Seq[FileEntry],
-      removes: Seq[String], reRun: () => Unit, attempts: Int = 50): Unit = {
+      removes: Seq[String], reRun: () => Unit, attempts: Int = 50,
+      schema: String = ""): Unit = {
     var expected = snapshotVersion
     var tries = attempts
     while (tries > 0) {
       tries -= 1
       val v = expected + 1
-      val m = Manifest(v, adds, removes)
+      val m = Manifest(v, adds, removes, schema)
       // Publish atomically: fully write the manifest to a hidden temp
       // name (readers only match v########.json), then HARD-LINK it to
       // the version path — link(2) both fails-if-exists (the optimistic

@@ -272,6 +272,62 @@ class LogTableSpec extends AnyFunSuite {
       (3L, "gone", "delete")))
   }
 
+  test("schema evolution rides the manifest: added columns surface as NULLs on old files") {
+    val t = tmpTable()
+    LogTable.create(spark, t, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "k")
+    val v1 = LogTable.version(t)
+    // append a batch that ADDS a column
+    LogTable.append(spark, t,
+      Seq((3L, "c", 30)).toDF("k", "v", "score"), "k")
+    val r = LogTable.read(spark, t)
+    assert(r.columns.toSeq == Seq("k", "v", "score"),
+      s"evolved read lost/misordered columns: ${r.columns.toSeq}")
+    val byK = r.collect().map(x => x.getAs[Long]("k") ->
+      (x.getAs[String]("v"), Option(x.getAs[Any]("score")))).toMap
+    assert(byK(1L) == ("a", None) && byK(2L) == ("b", None),
+      "pre-evolution rows must carry NULL for the added column")
+    assert(byK(3L) == ("c", Some(30)))
+    // time travel reads v1 under the schema committed AT v1
+    assert(LogTable.readVersion(spark, t, v1).columns.toSeq == Seq("k", "v"))
+    // upsert evolution: a batch missing `score` keeps the column; its
+    // own rows carry NULL there
+    LogTable.upsert(spark, t, Seq((2L, "b2")).toDF("k", "v"), "k")
+    val r2 = LogTable.read(spark, t)
+    assert(r2.columns.toSeq == Seq("k", "v", "score"),
+      "upsert with a narrower batch must not drop table columns")
+    val byK2 = r2.collect().map(x => x.getAs[Long]("k") ->
+      (x.getAs[String]("v"), Option(x.getAs[Any]("score")))).toMap
+    assert(byK2(2L) == ("b2", None) && byK2(3L) == ("c", Some(30)))
+  }
+
+  test("changes replay: applying the feed to the old snapshot reconstructs the head") {
+    val t = tmpTable()
+    LogTable.create(spark, t,
+      (1L to 500L).map(i => (i, s"base$i")).toDF("k", "v")
+        .repartitionByRange(4, col("k")), "k")
+    val v1 = LogTable.version(t)
+    LogTable.upsert(spark, t,
+      (450L to 550L).map(i => (i, s"up$i")).toDF("k", "v"), "k")
+    LogTable.deleteRange(spark, t, "k", 100L, 199L)
+    LogTable.append(spark, t, Seq((9999L, "tail")).toDF("k", "v"), "k")
+    val head = LogTable.version(t)
+
+    val state = scala.collection.mutable.Map(
+      LogTable.readVersion(spark, t, v1).collect()
+        .map(r => r.getLong(0) -> r.getString(1)): _*)
+    LogTable.changes(spark, t, "k", v1, head).collect().foreach { r =>
+      val (k, v, ct) = (r.getAs[Long]("k"), r.getAs[String]("v"),
+        r.getAs[String]("_change_type"))
+      ct match {
+        case "insert" | "update" => state(k) = v
+        case "delete" => state.remove(k)
+      }
+    }
+    assert(state.toMap == LogTable.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap,
+      "replaying the change feed diverged from the head snapshot")
+  }
+
   test("time travel: earlier versions stay readable after upserts") {
     val t = tmpTable()
     LogTable.create(spark, t, Seq((1L, "v1a"), (2L, "v1b")).toDF("k", "v"), "k")

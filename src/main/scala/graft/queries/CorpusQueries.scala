@@ -580,6 +580,47 @@ object CorpusQueries {
              |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin),
     ),
 
+    // X42 — decontamination GATE (x22's overlap report turned into the
+    // survivor set a training run actually reads): keep every
+    // non-benchmark document whose benchmark 3-gram overlap is under the
+    // threshold. Documents too short to produce grams carry no evidence
+    // and are kept (contamination 0.0). Shares x22's benchmark gram-set
+    // artifact — built once per suite snapshot, served to both the
+    // report and the gate.
+    QueryDef(
+      "x42_decontaminate",
+      (s, d) => {
+        val isBench = col("doc_id") % 50 === 0
+        val grams = graft.io.ArtifactCache.getOrBuild(s"bench-grams:3:$d")(
+          Corpus.benchmarkGramSet(
+            Tables.documents(s, d), "doc_id", "text", isBench, n = 3))
+        val overlap = Corpus.benchmarkOverlapIndexed(
+            Tables.documents(s, d), "doc_id", "text", isBench, n = 3, grams)
+          .select(col("doc_id"), col("contamination"))
+        Tables.documents(s, d).filter(!isBench)
+          .select(col("doc_id"), col("lang"))
+          .join(overlap, Seq("doc_id"), "left")
+          .withColumn("contamination", coalesce(col("contamination"), lit(0.0)))
+          .filter(col("contamination") < 0.2)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${shingleCtes(3, "documents")},
+              |grams AS (SELECT DISTINCT id, md5(g) AS m FROM sh),
+              |bench AS (SELECT DISTINCT m FROM grams WHERE id % 50 = 0),
+              |tgt AS (SELECT id, m FROM grams WHERE id % 50 <> 0),
+              |ov AS (
+              |  SELECT tgt.id,
+              |    CAST(sum(CASE WHEN bench.m IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+              |      / CAST(count(*) AS DOUBLE) AS contamination
+              |  FROM tgt LEFT JOIN bench ON tgt.m = bench.m
+              |  GROUP BY tgt.id)
+              |SELECT d.doc_id, d.lang,
+              |  coalesce(ov.contamination, 0.0) AS contamination
+              |FROM documents d LEFT JOIN ov ON ov.id = d.doc_id
+              |WHERE d.doc_id % 50 <> 0 AND coalesce(ov.contamination, 0.0) < 0.2
+              |ORDER BY d.doc_id""".stripMargin),
+    ),
+
     // X40 — C4-style boilerplate-line removal: count fixed-width token
     // lines corpus-wide, drop every line occurring >= 2 times, rebuild
     // each doc from survivors in order (Corpus.boilerplateLines — the

@@ -151,4 +151,34 @@ class DocStreamSpec extends AnyFunSuite {
     assert(retained == expected.select("id").collect().map(_.getLong(0)).toSet,
       "gated ingest differs from dedup over the pre-gated batch")
   }
+
+  test("downstream consumers tail the corpus table's change feed, one pure-append delta per batch") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id").as("id"), col("text"))
+    val b0 = docs.filter(col("id") < 250)
+    val b1 = docs.filter(col("id") >= 250)
+    val wh = java.nio.file.Files.createTempDirectory("graft-cdc-wh").toString
+    val tablePath = s"$wh/dedup_corpus"
+
+    DocStream.ingestBatch(spark, b0.select(col("id").as("doc_id"), col("text")), wh)
+    val v1 = graft.io.LogTable.version(tablePath)
+    DocStream.ingestBatch(spark, b1.select(col("id").as("doc_id"), col("text")), wh)
+    val v2 = graft.io.LogTable.version(tablePath)
+    assert(v1 == 1L && v2 == 2L)
+
+    // each batch's delta = exactly that commit's survivors, as inserts,
+    // served through the no-join append fast path (ingest commits are
+    // pure appends — the cheap-CDC property DocStream's state relies on)
+    val feed = graft.io.LogTable.changes(spark, tablePath, "id", v1, v2)
+    assert(!feed.queryExecution.optimizedPlan.toString.contains("Join"),
+      "append-only ingest delta must not diff snapshots")
+    val delta = feed.select("id").collect().map(_.getLong(0)).toSet
+    val headIds = DocStream.retainedDocs(spark, wh)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val v1Ids = graft.io.LogTable.readVersion(spark, tablePath, v1)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(delta == (headIds -- v1Ids),
+      "batch-2 change feed differs from the snapshot delta")
+    assert(feed.select("_change_type").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("insert"))
+  }
 }

@@ -49,7 +49,17 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
   */
 object LogTable {
 
-  final case class FileEntry(file: String, minKey: Long, maxKey: Long, rows: Long)
+  /** One immutable data file. `minKey`/`maxKey` are the primary-key
+    * stats every write path prunes on; `cols` generalizes them to
+    * per-column [min, max] for EVERY integral column in the file (the
+    * Delta/Iceberg data-skipping core): [[readWhere]] prunes the file
+    * list on any of them from the manifest alone — zero footer reads —
+    * and a z-order compaction turns its 2-D locality into manifest-level
+    * skipping on both dimensions. A column that is all-NULL in a file
+    * carries no entry (no stats → never pruned on). */
+  final case class FileEntry(
+      file: String, minKey: Long, maxKey: Long, rows: Long,
+      cols: Map[String, (Long, Long)] = Map.empty)
 
   /** One commit. `schema` is the writer's DataFrame schema (Spark
     * StructType JSON) — readers apply the LATEST committed schema to the
@@ -72,9 +82,14 @@ object LogTable {
   private def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
 
   private def render(m: Manifest): String = {
-    val adds = m.adds.map(a =>
-      s"""{"file":"${esc(a.file)}","minKey":${a.minKey},"maxKey":${a.maxKey},"rows":${a.rows}}""")
-      .mkString("[", ",", "]")
+    val adds = m.adds.map { a =>
+      val cols =
+        if (a.cols.isEmpty) ""
+        else a.cols.toSeq.sortBy(_._1)
+          .map { case (c, (lo, hi)) => s""""${esc(c)}":[$lo,$hi]""" }
+          .mkString(""","cols":{""", ",", "}")
+      s"""{"file":"${esc(a.file)}","minKey":${a.minKey},"maxKey":${a.maxKey},"rows":${a.rows}$cols}"""
+    }.mkString("[", ",", "]")
     val removes = m.removes.map(f => s""""${esc(f)}"""").mkString("[", ",", "]")
     // schema LAST: its value is itself JSON-with-quotes (escaped), and
     // the adds/removes block regexes below must never scan past into it
@@ -91,9 +106,19 @@ object LogTable {
     val version = longField(json, "version")
     val addsBlock = """"adds":\[(.*?)\],"removes"""".r
       .findFirstMatchIn(json).get.group(1)
-    val adds = """\{[^{}]*\}""".r.findAllIn(addsBlock).map { o =>
+    // one level of nesting: each add object may carry a {"col":[lo,hi]}
+    // stats object
+    val adds = """\{(?:[^{}]|\{[^{}]*\})*\}""".r.findAllIn(addsBlock).map { o =>
+      val cols = """"cols":\{(.*?)\}""".r.findFirstMatchIn(o).map(_.group(1))
+        .map { block =>
+          """"((?:[^"\\]|\\.)+)":\[(-?\d+),(-?\d+)\]""".r.findAllMatchIn(block)
+            .map(m => m.group(1).replace("\\\"", "\"").replace("\\\\", "\\") ->
+              (m.group(2).toLong, m.group(3).toLong))
+            .toMap
+        }.getOrElse(Map.empty[String, (Long, Long)])
       FileEntry(""""file":"([^"]*)"""".r.findFirstMatchIn(o).get.group(1),
-        longField(o, "minKey"), longField(o, "maxKey"), longField(o, "rows"))
+        longField(o, "minKey"), longField(o, "maxKey"), longField(o, "rows"),
+        cols)
     }.toSeq
     val removesBlock = """"removes":\[(.*?)\]""".r
       .findFirstMatchIn(json).get.group(1)
@@ -284,6 +309,25 @@ object LogTable {
       .filter(col(keyCol) >= lo && col(keyCol) <= hi)
   }
 
+  /** Stats-pruned read on ANY integral column: files whose manifest
+    * [min, max] for `column` misses [lo, hi] never reach the scan, and
+    * files with no stats for it (all-NULL there, or written before the
+    * column existed) are conservatively kept. With a z-order-compacted
+    * layout ([[compact]]'s `zorderBy`) this prunes on BOTH z dimensions
+    * from the manifest alone — the lakehouse data-skipping contract,
+    * with zero footer reads. The residual predicate applies on top. */
+  def readWhere(
+      spark: SparkSession, table: String, column: String,
+      lo: Long, hi: Long): DataFrame = {
+    val (_, snapshot, schema) = snapshotWithSchema(table, None)
+    val fs = snapshot.filter(_.cols.get(column).forall {
+      case (mn, mx) => mn <= hi && mx >= lo
+    })
+    if (fs.isEmpty) return spark.emptyDataFrame
+    readFiles(spark, table, fs, schema)
+      .filter(col(column) >= lo && col(column) <= hi)
+  }
+
   /** Key-range delete (retention expiry, erasure requests — the bulk
     * companion to [[upsert]]'s delete-then-insert). Files FULLY covered
     * by [lo, hi] are dropped by a METADATA-ONLY commit: no read, no
@@ -327,9 +371,17 @@ object LogTable {
     * Only files under `targetRows` participate; already-right-sized
     * files are left untouched. Concurrency as [[upsert]] — a racing
     * writer that rewrote a compaction input forces a recompute against
-    * the fresh snapshot. */
+    * the fresh snapshot.
+    *
+    * `zorderBy = Some((d1, d2))` clusters the compacted output by the
+    * Morton key of the two dimensions instead of by `keyCol` range
+    * (lakehouse OPTIMIZE ZORDER): each output file owns a contiguous
+    * z-range, so its manifest stats are tight in BOTH dimensions at
+    * once and [[readWhere]] skips files on either — at the cost of
+    * looser primary-key ranges (upsert pruning touches more files), the
+    * same trade the lakehouse command makes. */
   def compact(spark: SparkSession, table: String, keyCol: String,
-      targetRows: Long): Unit = {
+      targetRows: Long, zorderBy: Option[(String, String)] = None): Unit = {
     require(targetRows >= 1, "targetRows must be >= 1")
     def attempt(): Unit = {
       val (snapVersion, snapshot, snapSchema) = snapshotWithSchema(table, None)
@@ -340,10 +392,13 @@ object LogTable {
       // idempotence: merging n files into >= n achieves nothing and
       // would churn forever (compact → two half-full files → compact …)
       if (small.size <= nOut) return
-      val adds = writeData(spark, table,
-        readFiles2(spark, table, small, snapSchema)
-          .repartitionByRange(nOut, col(keyCol)),
-        keyCol)
+      val input = readFiles2(spark, table, small, snapSchema)
+      val clustered = zorderBy match {
+        case Some((d1, d2)) =>
+          graft.operators.ZOrder.layoutBy(input, col(d1), col(d2), nOut)
+        case None => input.repartitionByRange(nOut, col(keyCol))
+      }
+      val adds = writeData(spark, table, clustered, keyCol)
       commit(table, snapVersion, adds, removes = small.map(_.file),
         reRun = () => attempt(),
         schema = snapSchema.map(_.json).getOrElse(""))
@@ -402,23 +457,40 @@ object LogTable {
   }
 
   /** Write `df` as fresh immutable data files; returns their entries
-    * with key stats. Stats come from ONE grouped pass over the staged
-    * files (input_file_name), not a per-file re-read. */
+    * with key stats PLUS per-column [min, max] for every integral column
+    * (the generalized data-skipping stats [[readWhere]] prunes on).
+    * All stats come from ONE grouped pass over the staged files
+    * (input_file_name), not a per-file re-read. */
   private def writeData(
       spark: SparkSession, table: String, df: DataFrame, keyCol: String): Seq[FileEntry] = {
     val staging = Files.createTempDirectory(dataDir(table), ".staging-")
     try {
       df.write.mode("overwrite").parquet(staging.toString)
+      val statCols = df.schema.fields.collect {
+        case f if f.dataType == org.apache.spark.sql.types.LongType ||
+          f.dataType == org.apache.spark.sql.types.IntegerType ||
+          f.dataType == org.apache.spark.sql.types.ShortType => f.name
+      }.toSeq
+      val aggs =
+        Seq(min(col(keyCol)).as("lo"), max(col(keyCol)).as("hi"),
+          count(lit(1)).as("n")) ++
+          statCols.flatMap(c => Seq(
+            min(col(c)).cast("long"), max(col(c)).cast("long")))
       val stats = spark.read.parquet(staging.toString)
         .groupBy(input_file_name().as("f"))
-        .agg(min(col(keyCol)).as("lo"), max(col(keyCol)).as("hi"),
-          count(lit(1)).as("n"))
+        .agg(aggs.head, aggs.tail: _*)
         .collect()
       stats.toSeq.map { r =>
         val src = Paths.get(new java.net.URI(r.getString(0)))
         val name = s"${java.util.UUID.randomUUID().toString}.parquet"
         Files.move(src, dataDir(table).resolve(name), StandardCopyOption.ATOMIC_MOVE)
-        FileEntry(name, r.getLong(1), r.getLong(2), r.getLong(3))
+        val cols = statCols.zipWithIndex.flatMap { case (c, i) =>
+          val (loI, hiI) = (4 + 2 * i, 5 + 2 * i)
+          // all-NULL column in this file → no stats entry
+          if (r.isNullAt(loI) || r.isNullAt(hiI)) None
+          else Some(c -> (r.getLong(loI), r.getLong(hiI)))
+        }.toMap
+        FileEntry(name, r.getLong(1), r.getLong(2), r.getLong(3), cols)
       }
     } finally {
       // drop staging leftovers (_SUCCESS, crc files, any unmoved parts)

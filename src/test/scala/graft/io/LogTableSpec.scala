@@ -272,6 +272,63 @@ class LogTableSpec extends AnyFunSuite {
       (3L, "gone", "delete")))
   }
 
+  test("per-column manifest stats: readWhere prunes any integral column, keeps stat-less files") {
+    val t = tmpTable()
+    // score correlates with k, so a range layout on k is tight in score too
+    val base = (1L to 8000L).map(i => (i, s"v$i", i * 2 + 1)).toDF("k", "v", "score")
+      .repartitionByRange(8, col("k"))
+    LogTable.create(spark, t, base, "k")
+    val all = LogTable.read(spark, t).inputFiles.length
+    assert(all >= 8)
+    val pruned = LogTable.readWhere(spark, t, "score", 1001L, 1099L)
+    assert(pruned.inputFiles.length == 1,
+      s"secondary-column read opened ${pruned.inputFiles.length} of $all files")
+    assert(pruned.collect().map(_.getAs[Long]("k")).toSet == (500L to 549L).toSet)
+    // a manifest written without cols stats (legacy) is conservatively scanned
+    import scala.jdk.CollectionConverters._
+    val vfile = Files.list(Paths.get(t, "_log")).iterator().asScala.toSeq.head
+    Files.writeString(vfile,
+      Files.readString(vfile).replaceAll(""","cols":\{[^}]*\}""", ""))
+    val legacy = LogTable.readWhere(spark, t, "score", 1001L, 1099L)
+    assert(legacy.inputFiles.length == all, "stat-less files must not be pruned")
+    assert(legacy.collect().map(_.getAs[Long]("k")).toSet == (500L to 549L).toSet,
+      "legacy manifests must still answer correctly, just without skipping")
+  }
+
+  test("z-order compaction: manifest stats prune on BOTH dimensions at once") {
+    val t = tmpTable()
+    // a and b are independent; a k-range or hash layout is tight in neither
+    val rows = (0L until 4096L).map { i =>
+      val a = (i * 2654435761L) % 65536L
+      val b = (i * 40503L + 7L) % 65536L
+      (i, a, b)
+    }
+    LogTable.create(spark, t, rows.take(1).toDF("k", "a", "b"), "k")
+    rows.drop(1).grouped(200).foreach { g =>
+      LogTable.append(spark, t, g.toDF("k", "a", "b").coalesce(1), "k")
+    }
+    val before = LogTable.read(spark, t).inputFiles.length
+    assert(before >= 16)
+    // before compaction: every file spans nearly the full a/b space
+    val preA = LogTable.readWhere(spark, t, "a", 0L, 8191L).inputFiles.length
+    assert(preA == before, s"unclustered layout should prune nothing, pruned to $preA")
+
+    LogTable.compact(spark, t, "k", targetRows = 512L, zorderBy = Some(("a", "b")))
+    val files = LogTable.read(spark, t).inputFiles.length
+    assert(files >= 8, s"compaction left only $files files — probe needs more")
+    val qa = LogTable.readWhere(spark, t, "a", 0L, 8191L)   // 1/8 of a-space
+    val qb = LogTable.readWhere(spark, t, "b", 0L, 8191L)   // 1/8 of b-space
+    assert(qa.inputFiles.length * 2 <= files,
+      s"z-layout pruned a-dimension to ${qa.inputFiles.length}/$files — no skipping")
+    assert(qb.inputFiles.length * 2 <= files,
+      s"z-layout pruned b-dimension to ${qb.inputFiles.length}/$files — no skipping")
+    // and the answers stay exact
+    assert(qa.collect().map(_.getAs[Long]("k")).toSet ==
+      rows.filter(r => r._2 <= 8191L).map(_._1).toSet)
+    assert(qb.collect().map(_.getAs[Long]("k")).toSet ==
+      rows.filter(r => r._3 <= 8191L).map(_._1).toSet)
+  }
+
   test("schema evolution rides the manifest: added columns surface as NULLs on old files") {
     val t = tmpTable()
     LogTable.create(spark, t, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "k")

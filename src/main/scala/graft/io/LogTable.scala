@@ -67,10 +67,15 @@ object LogTable {
     * (older files surface the new column as typed NULLs) without any
     * per-file footer reads, and time travel reads each version under the
     * schema it was written with. Empty for pre-evolution manifests
-    * (readers fall back to parquet inference). */
+    * (readers fall back to parquet inference).
+    *
+    * `checkpoint = true` marks a CONSOLIDATED manifest: its adds are the
+    * complete live file set at its version, and the fold RESETS there —
+    * manifests before it are redundant and [[truncateHistory]] deletes
+    * them (the Delta checkpoint + log-retention mechanic). */
   final case class Manifest(
       version: Long, adds: Seq[FileEntry], removes: Seq[String],
-      schema: String = "")
+      schema: String = "", checkpoint: Boolean = false)
 
   private def logDir(table: String): Path = Paths.get(table, "_log")
   private def dataDir(table: String): Path = Paths.get(table, "data")
@@ -91,9 +96,10 @@ object LogTable {
       s"""{"file":"${esc(a.file)}","minKey":${a.minKey},"maxKey":${a.maxKey},"rows":${a.rows}$cols}"""
     }.mkString("[", ",", "]")
     val removes = m.removes.map(f => s""""${esc(f)}"""").mkString("[", ",", "]")
+    val ckpt = if (m.checkpoint) ""","checkpoint":true""" else ""
     // schema LAST: its value is itself JSON-with-quotes (escaped), and
     // the adds/removes block regexes below must never scan past into it
-    s"""{"version":${m.version},"adds":$adds,"removes":$removes,"schema":"${esc(m.schema)}"}"""
+    s"""{"version":${m.version},"adds":$adds,"removes":$removes$ckpt,"schema":"${esc(m.schema)}"}"""
   }
 
   private def parse(json: String): Manifest = {
@@ -126,7 +132,8 @@ object LogTable {
     val schema = """"schema":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(json)
       .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
       .getOrElse("")
-    Manifest(version, adds, removes, schema)
+    Manifest(version, adds, removes, schema,
+      checkpoint = json.contains(""""checkpoint":true"""))
   }
 
   private def manifests(table: String): Seq[Manifest] = {
@@ -161,6 +168,9 @@ object LogTable {
     val ms = manifests(table).filter(m => asOf.forall(m.version <= _))
     val folded = scala.collection.mutable.LinkedHashMap.empty[String, FileEntry]
     ms.foreach { m =>
+      // a checkpoint manifest IS the complete state at its version: the
+      // fold resets, so deleted predecessors are never missed
+      if (m.checkpoint) folded.clear()
       m.removes.foreach(folded.remove)
       m.adds.foreach(a => folded(a.file) = a)
     }
@@ -428,7 +438,9 @@ object LogTable {
     require(fromV <= toV, s"changes: fromV $fromV > toV $toV")
     val ms = manifests(table).filter(m => m.version > fromV && m.version <= toV)
     if (ms.isEmpty) return spark.emptyDataFrame
-    if (ms.forall(_.removes.isEmpty)) {
+    if (ms.forall(m => m.removes.isEmpty && !m.checkpoint)) {
+      // (a checkpoint in range is a consolidation, not new data — its
+      // adds re-list the whole table and must go through the diff path)
       val added = ms.flatMap(_.adds)
       // read under toV's committed schema: appends that straddle a
       // column addition surface uniformly
@@ -499,6 +511,43 @@ object LogTable {
       try it.iterator().asScala.foreach(Files.deleteIfExists) finally it.close()
       Files.deleteIfExists(staging)
     }
+  }
+
+  /** EXPLICITLY-DESTRUCTIVE log truncation (the retention half of the
+    * Delta checkpoint mechanic, separate from [[vacuum]]'s orphan GC):
+    * consolidate the snapshot `keepLast` versions below the head into a
+    * CHECKPOINT manifest (atomic in-place replace — readers see the old
+    * commit or the complete checkpoint, never a torn log), delete every
+    * manifest below it, then vacuum the data files only the deleted
+    * history referenced. Time travel to versions below the checkpoint is
+    * gone afterwards — that is the point (bounded log growth, bounded
+    * storage). Versions in (head - keepLast, head] stay readable.
+    * Returns (manifests deleted, data files deleted).
+    *
+    * Deployment note: run under the same retention discipline as any
+    * lakehouse VACUUM — a reader older than the retention window can
+    * lose its manifests mid-fold. */
+  def truncateHistory(table: String, keepLast: Int): (Int, Int) = {
+    require(keepLast >= 0, "keepLast must be >= 0")
+    val ms = manifests(table)
+    if (ms.isEmpty) return (0, 0)
+    val head = ms.last.version
+    val cut = head - keepLast
+    // nothing below the would-be checkpoint -> no-op (also covers cut < 1)
+    if (!ms.exists(_.version < cut)) return (0, 0)
+    val (_, liveAtCut, schemaAtCut) = snapshotWithSchema(table, Some(cut))
+    val ckpt = Manifest(cut, liveAtCut, removes = Seq.empty,
+      schema = schemaAtCut.map(_.json).getOrElse(""), checkpoint = true)
+    // atomic REPLACE of v{cut}: full content lands under a temp name,
+    // then rename(2) swaps it in — unlike commit's create-link claim,
+    // replacement is the intent here and rename's replace is atomic
+    val tmp = logDir(table).resolve(s".ckpt-${java.util.UUID.randomUUID()}")
+    Files.writeString(tmp, render(ckpt))
+    Files.move(tmp, versionPath(table, cut), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    val dropped = ms.filter(_.version < cut)
+    dropped.foreach(m => Files.deleteIfExists(versionPath(table, m.version)))
+    (dropped.size, vacuum(table).size)
   }
 
   /** Garbage-collect data files NO version references — the debris of

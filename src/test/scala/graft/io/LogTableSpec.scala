@@ -385,6 +385,45 @@ class LogTableSpec extends AnyFunSuite {
       "replaying the change feed diverged from the head snapshot")
   }
 
+  test("truncateHistory: checkpoint keeps recent versions readable, drops old history and its files") {
+    val t = tmpTable()
+    LogTable.create(spark, t,
+      (1L to 1000L).map(i => (i, s"v1_$i")).toDF("k", "v")
+        .repartitionByRange(4, col("k")), "k")
+    (2 to 6).foreach { n =>
+      LogTable.upsert(spark, t,
+        (1L to 100L).map(i => (i, s"v${n}_$i")).toDF("k", "v"), "k")
+    }
+    assert(LogTable.version(t) == 6L)
+    val headRows = rows(LogTable.read(spark, t))
+    val v4Rows = rows(LogTable.readVersion(spark, t, 4L))
+    val v5Rows = rows(LogTable.readVersion(spark, t, 5L))
+    val dataBefore = Files.list(Paths.get(t, "data")).count()
+
+    val (mDropped, fDropped) = LogTable.truncateHistory(t, keepLast = 2)
+    assert(mDropped == 3, s"v1-v3 should drop, dropped $mDropped")
+    assert(fDropped >= 1, "files referenced only by dropped history must be vacuumed")
+    assert(Files.list(Paths.get(t, "data")).count() < dataBefore)
+
+    // head and retained versions are untouched
+    assert(LogTable.version(t) == 6L)
+    assert(rows(LogTable.read(spark, t)) == headRows)
+    assert(rows(LogTable.readVersion(spark, t, 5L)) == v5Rows)
+    assert(rows(LogTable.readVersion(spark, t, 4L)) == v4Rows,
+      "the checkpoint version must reproduce the pre-truncation snapshot")
+    // history below the checkpoint is gone — the destructive contract
+    assert(LogTable.readVersion(spark, t, 2L).isEmpty)
+
+    // the log keeps working: a later writer lands v7 on top of the checkpoint
+    LogTable.upsert(spark, t, Seq((1L, "after")).toDF("k", "v"), "k")
+    assert(LogTable.version(t) == 7L)
+    val r = LogTable.read(spark, t)
+    assert(r.count() == 1000L)
+    assert(r.filter(col("k") === 1L).head().getString(1) == "after")
+    // truncating again with nothing below the new cut is a no-op
+    assert(LogTable.truncateHistory(t, keepLast = 10) == ((0, 0)))
+  }
+
   test("time travel: earlier versions stay readable after upserts") {
     val t = tmpTable()
     LogTable.create(spark, t, Seq((1L, "v1a"), (2L, "v1b")).toDF("k", "v"), "k")

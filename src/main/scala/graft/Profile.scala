@@ -183,6 +183,23 @@ object Profile {
                 size(split(col("text"), " ")).cast("long").as("v")),
               "id", "v", "cum").count()
           }
+          t(s"$label line_dedup rep$r") {
+            graft.ext.Corpus.boilerplateLines(
+              corpus, "id", "text", lineTokens = 8, minCount = 2).count()
+          }
+          t(s"$label unigram_nll rep$r") {
+            // the x41 shape without its cache wrapper: vocabulary
+            // groupBy + per-doc join/reduce, all corpus-sized
+            val tf = d.select(col("id"),
+              explode(graft.functions.TermStats(split(col("text"), " "))
+                .getField("counts")).as("tc"))
+              .select(col("id"), col("tc").getField("term").as("term"),
+                col("tc").getField("tf").as("tf"))
+            val cnt = tf.groupBy("term").agg(sum("tf").as("ctf"))
+            tf.join(cnt, Seq("term")).groupBy("id")
+              .agg(sum(col("tf") * (length(bin(col("ctf"))) - 1)).as("bits"))
+              .count()
+          }
           spark.catalog.clearCache()
         }
       } else if (name == "g1v") {

@@ -268,7 +268,11 @@ object LogTable {
     * upsert against the fresh snapshot when a racer rewrote the same
     * files, and simply re-versions when it didn't. */
   def upsert(spark: SparkSession, table: String, incoming: DataFrame, keyCol: String): Unit = {
-    val inc = incoming.localCheckpoint(true) // one materialization; re-used on conflict re-runs
+    // lazy checkpoint: the bounds aggregate right below is the first
+    // action and populates the blocks — an EAGER checkpoint would spend
+    // a whole separate job materializing first. Conflict re-runs still
+    // reuse the blocks, which is the point of checkpointing here.
+    val inc = incoming.localCheckpoint(false)
     def attempt(): Unit = {
       val bounds = inc.agg(min(col(keyCol)), max(col(keyCol))).head()
       if (bounds.isNullAt(0)) return // empty batch: no-op (P11)

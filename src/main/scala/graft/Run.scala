@@ -34,7 +34,11 @@ object Run {
       backfillStart: Option[String] = None,
       reEnrich: Boolean = false,
       forceEnrichAll: Boolean = false,
-      now: Option[String] = None)
+      now: Option[String] = None,
+      // --log-warehouse: store the fact tables in graft.io.LogTable
+      // (concurrent-writer commit log) instead of parquet-swap
+      // directories; same pipeline, same results (RunSpec pins it)
+      logWarehouse: Boolean = false)
 
   private def parseArgs(argv: Array[String]): Args = {
     @annotation.tailrec
@@ -46,6 +50,7 @@ object Run {
       case "--re-enrich" :: t => go(t, acc.copy(reEnrich = true))
       case "--force-enrich-all" :: t => go(t, acc.copy(forceEnrichAll = true))
       case "--now" :: v :: t => go(t, acc.copy(now = Some(v)))
+      case "--log-warehouse" :: t => go(t, acc.copy(logWarehouse = true))
       case other :: _ => throw new IllegalArgumentException(s"unknown arg: $other")
     }
     go(argv.toList, Args())
@@ -54,7 +59,9 @@ object Run {
   /** One fetch→transform→load batch; returns (orders loaded, max order
     * date seen). Mirrors run.py's `_process_batch`. */
   def processBatch(spark: SparkSession, data: String, warehouse: String,
-      sinceIso: String, untilIso: Option[String] = None): (Long, Option[java.time.Instant]) = {
+      sinceIso: String, untilIso: Option[String] = None,
+      store: graft.etl.WarehouseStore = graft.etl.ParquetWarehouse)
+      : (Long, Option[java.time.Instant]) = {
     // paged fetch with the reference's page size + retry policy;
     // `untilIso` bounds a backfill window's slice (exclusive)
     val all = WooFixtureApi.orderJsonsSince(spark, data, sinceIso, untilIso)
@@ -64,7 +71,8 @@ object Run {
     }
     if (rawJson.isEmpty) return (0L, None)
     processRawOrders(spark,
-      WooFixtureApi.parse(spark, WooSchemas.rawOrder, rawJson), data, warehouse)
+      WooFixtureApi.parse(spark, WooSchemas.rawOrder, rawJson), data, warehouse,
+      store)
   }
 
   /** The transform+load tail of `_process_batch` over ALREADY-FETCHED raw
@@ -75,7 +83,9 @@ object Run {
     * execution modes, so stream-ingested warehouse state equals the batch
     * run's by construction (pinned end-to-end in OrderStreamSpec). */
   def processRawOrders(spark: SparkSession, raw: org.apache.spark.sql.DataFrame,
-      data: String, warehouse: String): (Long, Option[java.time.Instant]) = {
+      data: String, warehouse: String,
+      store: graft.etl.WarehouseStore = graft.etl.ParquetWarehouse)
+      : (Long, Option[java.time.Instant]) = {
     if (raw.isEmpty) return (0L, None) // P11 empty-batch guard
     val (orders, items) = Normalize(raw)
     // per-batch product lookup, chunked like products.py:45 (the fixture
@@ -94,10 +104,10 @@ object Run {
     // parse→normalize→enrich→refund lineage would execute twice
     val oFinal = oFinal0.persist()
     try {
-      Load.upsertParquet(spark, s"$warehouse/fct_orders.parquet",
-        Load.alignColumns(oFinal, WooSchemas.fctOrders), Seq("order_id"))
-      Load.upsertParquet(spark, s"$warehouse/fct_order_items.parquet",
-        Load.alignColumns(iFinal, WooSchemas.fctOrderItems), Seq("order_id"))
+      store.upsert(spark, warehouse, "fct_orders",
+        Load.alignColumns(oFinal, WooSchemas.fctOrders), "order_id")
+      store.upsert(spark, warehouse, "fct_order_items",
+        Load.alignColumns(iFinal, WooSchemas.fctOrderItems), "order_id")
 
       val stats = oFinal.agg(count(lit(1)), max(col("order_date"))).head()
       (stats.getLong(0),
@@ -131,16 +141,14 @@ object Run {
     *     that rewrite nothing). The summary line labels it
     *     `reenriched=`, not a run.py-identical figure. */
   def reEnrichCategories(spark: SparkSession, data: String, warehouse: String,
-      forceAll: Boolean): Long = {
+      forceAll: Boolean,
+      store: graft.etl.WarehouseStore = graft.etl.ParquetWarehouse): Long = {
     import scala.jdk.CollectionConverters._
-    val path = s"$warehouse/fct_order_items.parquet"
-    // Hadoop FS, not java.io.File: the rest of the load path resolves the
-    // scheme (Load.upsertParquet), so a non-local warehouse URI must not
-    // silently skip the re-enrich pass
-    val hPath = new org.apache.hadoop.fs.Path(path)
-    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(hPath)) return 0L
-    val items = spark.read.parquet(path)
+    // existence goes through the store (the parquet backend resolves the
+    // Hadoop FS scheme, so a non-local warehouse URI must not silently
+    // skip the re-enrich pass; the log backend folds its manifest)
+    if (!store.exists(spark, warehouse, "fct_order_items")) return 0L
+    val items = store.read(spark, warehouse, "fct_order_items")
     val needs = if (forceAll) lit(true) else Load.missingCategory
     val probed = items.filter(needs && col("product_id").isNotNull)
       .select("product_id").distinct()
@@ -170,8 +178,8 @@ object Run {
       .filter(needs && col("_m_hit").isNotNull &&
         !(col("_new_cat") <=> col("category_snapshot"))).count()
     if (touched > 0)
-      Load.upsertParquet(spark, path,
-        Load.updateFromMap(items, mapping, force = forceAll), Seq("order_id"))
+      store.upsert(spark, warehouse, "fct_order_items",
+        Load.updateFromMap(items, mapping, force = forceAll), "order_id")
     touched
   }
 
@@ -212,6 +220,8 @@ object Run {
     }
 
   private def executeInner(spark: SparkSession, args: Args): String = {
+    val store: graft.etl.WarehouseStore =
+      if (args.logWarehouse) graft.etl.LogWarehouse else graft.etl.ParquetWarehouse
     val whPath = new org.apache.hadoop.fs.Path(args.warehouse)
     whPath.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(whPath)
     val state = new StateStore(java.nio.file.Paths.get(args.warehouse, "state.json"))
@@ -231,24 +241,29 @@ object Run {
           // leaves the request unbounded and relies on the watermark,
           // which collapses the windowed walk into one giant batch)
           val (n, maxDt) = processBatch(spark, args.data, args.warehouse,
-            IsoLocal.format(winStart), untilIso = Some(IsoLocal.format(winEnd)))
+            IsoLocal.format(winStart), untilIso = Some(IsoLocal.format(winEnd)),
+            store = store)
           total += n
           maxDt.foreach(state.advanceFrom)
           maxDt
         }
-        val touched = reEnrichCategories(spark, args.data, args.warehouse, forceAll = false)
+        val touched = reEnrichCategories(spark, args.data, args.warehouse,
+          forceAll = false, store = store)
         s"backfill complete: orders=$total reenriched=$touched watermark=${state.sinceIso(now)}"
       case None =>
         // run.py:141-162: one incremental run, then the LIVE re-enrich
         // gate (explicit flag OR idle; force-all overrides)
         val since = state.sinceIso(now)
-        val (n, maxDt) = processBatch(spark, args.data, args.warehouse, since)
+        val (n, maxDt) = processBatch(spark, args.data, args.warehouse, since,
+          store = store)
         maxDt.foreach(state.advanceFrom)
         val touched =
           if (args.forceEnrichAll)
-            Some(reEnrichCategories(spark, args.data, args.warehouse, forceAll = true))
+            Some(reEnrichCategories(spark, args.data, args.warehouse,
+              forceAll = true, store = store))
           else if (args.reEnrich || n == 0L)
-            Some(reEnrichCategories(spark, args.data, args.warehouse, forceAll = false))
+            Some(reEnrichCategories(spark, args.data, args.warehouse,
+              forceAll = false, store = store))
           else None
         s"run complete: orders=$n reenriched=${touched.map(_.toString).getOrElse("skipped")} " +
           s"watermark=${state.sinceIso(now)}"

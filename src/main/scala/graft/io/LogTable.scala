@@ -86,7 +86,7 @@ object LogTable {
 
   private def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
 
-  private def render(m: Manifest): String = {
+  private[io] def render(m: Manifest): String = {
     val adds = m.adds.map { a =>
       val cols =
         if (a.cols.isEmpty) ""
@@ -102,7 +102,7 @@ object LogTable {
     s"""{"version":${m.version},"adds":$adds,"removes":$removes$ckpt,"schema":"${esc(m.schema)}"}"""
   }
 
-  private def parse(json: String): Manifest = {
+  private[io] def parse(json: String): Manifest = {
     // the engine writes every manifest it reads (adds/removes strings are
     // uuid file names — no embedded quotes), so a field-regex parse is
     // exact here; the schema field is an escaped JSON string and gets an
@@ -482,10 +482,16 @@ object LogTable {
     val staging = Files.createTempDirectory(dataDir(table), ".staging-")
     try {
       df.write.mode("overwrite").parquet(staging.toString)
+      // stats keys must survive the flat-regex manifest parse: a column
+      // name carrying JSON structure characters is EXCLUDED from stats
+      // (always safe — no stats just means no skipping on that column)
+      // rather than escaped into a parser this format doesn't have
+      val statSafe = (n: String) => n.forall(c => !"\"\\{}[]:,".contains(c))
       val statCols = df.schema.fields.collect {
-        case f if f.dataType == org.apache.spark.sql.types.LongType ||
+        case f if (f.dataType == org.apache.spark.sql.types.LongType ||
           f.dataType == org.apache.spark.sql.types.IntegerType ||
-          f.dataType == org.apache.spark.sql.types.ShortType => f.name
+          f.dataType == org.apache.spark.sql.types.ShortType) &&
+          statSafe(f.name) => f.name
       }.toSeq
       val aggs =
         Seq(min(col(keyCol)).as("lo"), max(col(keyCol)).as("hi"),

@@ -75,6 +75,43 @@ class RunSpec extends AnyFunSuite {
       .filter(Load.missingCategory).count() == 0)
   }
 
+  test("--log-warehouse: the same CLI flow on log-table storage lands identical facts") {
+    val whP = java.nio.file.Files.createTempDirectory("graft-run-pq").toString
+    val whL = java.nio.file.Files.createTempDirectory("graft-run-log").toString
+    val base = Run.Args(data = data, backfillStart = Some("2001-06-01"), now = now)
+
+    val sP = Run.execute(spark, base.copy(warehouse = whP))
+    val sL = Run.execute(spark, base.copy(warehouse = whL, logWarehouse = true))
+    assert(sP.contains("backfill complete") && sL.contains("backfill complete"))
+    // identical summaries (orders loaded, re-enriched, watermark)
+    assert(sP == sL, s"summaries diverged:\n  parquet $sP\n  log     $sL")
+
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    val ordersP = spark.read.parquet(s"$whP/fct_orders.parquet")
+    val ordersL = graft.io.LogTable.read(spark, s"$whL/fct_orders_log")
+      .select(ordersP.columns.map(col): _*)
+    assert(rowsOf(ordersP) == rowsOf(ordersL), "fct_orders diverged across backends")
+    val itemsP = spark.read.parquet(s"$whP/fct_order_items.parquet")
+    val itemsL = graft.io.LogTable.read(spark, s"$whL/fct_order_items_log")
+      .select(itemsP.columns.map(col): _*)
+    assert(rowsOf(itemsP) == rowsOf(itemsL), "fct_order_items diverged across backends")
+
+    // the log backend kept history: the backfill's windowed walk left
+    // multiple commits, and the first window's snapshot is still readable
+    val v = graft.io.LogTable.version(s"$whL/fct_orders_log")
+    assert(v >= 2, s"windowed backfill should commit per window, got v$v")
+    assert(graft.io.LogTable.readVersion(spark, s"$whL/fct_orders_log", 1L).count() > 0)
+
+    // idle replay on the log backend: same gate, still idempotent
+    val s2 = Run.execute(spark,
+      Run.Args(data = data, warehouse = whL, now = now, logWarehouse = true))
+    assert(s2.contains("orders=0"), s2)
+    assert(rowsOf(graft.io.LogTable.read(spark, s"$whL/fct_orders_log")
+      .select(ordersP.columns.map(col): _*)) == rowsOf(ordersP),
+      "idle replay changed log-backend contents")
+  }
+
   test("execute invokes onFailure with the error and rethrows (notify.py twin)") {
     val wh = java.nio.file.Files.createTempDirectory("graft-run-fail").toString
     var seen: Option[Throwable] = None

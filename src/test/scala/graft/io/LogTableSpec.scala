@@ -424,6 +424,53 @@ class LogTableSpec extends AnyFunSuite {
     assert(LogTable.truncateHistory(t, keepLast = 10) == ((0, 0)))
   }
 
+  test("property: manifest render/parse round-trips hostile names, stats, schema, checkpoint") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def samples[T](g: Gen[T], n: Int): Seq[T] =
+      (1 to n).flatMap(i => g.apply(Gen.Parameters.default.withSize(12), Seed(i.toLong)))
+    // file and stats-key names: the charset the format actually admits
+    // (file names are engine UUIDs; hostile column names are excluded
+    // from stats at write time — pinned by the next test). The schema
+    // string below IS hostile: it exercises the escape-aware field.
+    val nameGen = Gen.nonEmptyListOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf('_', '.', ' ', '-'))).map(_.mkString)
+    val statGen = for {
+      lo <- Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2)
+      w <- Gen.chooseNum(0L, 1000L)
+    } yield (lo, lo + w)
+    val entryGen = for {
+      f <- nameGen; (lo, hi) <- statGen; n <- Gen.chooseNum(0L, 1L << 40)
+      cols <- Gen.mapOf(Gen.zip(nameGen, statGen))
+    } yield LogTable.FileEntry(f, lo, hi, n, cols)
+    val manifestGen = for {
+      v <- Gen.chooseNum(1L, 1L << 30)
+      adds <- Gen.listOf(entryGen)
+      removes <- Gen.listOf(nameGen)
+      schema <- Gen.oneOf(Gen.const(""), nameGen,
+        Gen.const("""{"type":"struct","fields":[{"name":"a\"b","type":"long","nullable":true,"metadata":{}}]}"""))
+      ckpt <- Gen.oneOf(true, false)
+    } yield LogTable.Manifest(v, adds, removes, schema, ckpt)
+    samples(manifestGen, 300).foreach { m =>
+      val back = LogTable.parse(LogTable.render(m))
+      assert(back == m, s"round-trip drift:\n  in  $m\n  out $back\n  json ${LogTable.render(m)}")
+    }
+  }
+
+  test("a column whose name would break the manifest grammar is excluded from stats, not mangled") {
+    val t = tmpTable()
+    val df = (1L to 100L).map(i => (i, i * 3))
+      .toDF("k", """weird"{na,me]""")
+    LogTable.create(spark, t, df, "k")
+    val entries = LogTable.parse(Files.readString(
+      Files.list(Paths.get(t, "_log")).iterator().next())).adds
+    assert(entries.forall(e => e.cols.keySet == Set("k")),
+      s"hostile column leaked into stats: ${entries.head.cols.keySet}")
+    // no stats → readWhere keeps every file (conservative) and answers right
+    val r = LogTable.readWhere(spark, t, """weird"{na,me]""", 30L, 60L)
+    assert(r.collect().map(_.getLong(0)).toSet == (10L to 20L).toSet)
+  }
+
   test("time travel: earlier versions stay readable after upserts") {
     val t = tmpTable()
     LogTable.create(spark, t, Seq((1L, "v1a"), (2L, "v1b")).toDF("k", "v"), "k")

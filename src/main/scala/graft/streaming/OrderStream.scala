@@ -44,7 +44,8 @@ object OrderStream {
       warehouse: String,
       checkpointDir: String,
       maxFilesPerTrigger: Option[Int] = None,
-      availableNow: Boolean = false): StreamingQuery = {
+      availableNow: Boolean = false,
+      store: graft.etl.WarehouseStore = graft.etl.ParquetWarehouse): StreamingQuery = {
     val reader = spark.readStream
       .schema(WooSchemas.rawOrder)
       .option("pathGlobFilter", "*.json")
@@ -53,7 +54,7 @@ object OrderStream {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        graft.Run.processRawOrders(spark, batch.toDF(), data, warehouse)
+        graft.Run.processRawOrders(spark, batch.toDF(), data, warehouse, store)
         ()
       }
     (if (availableNow)

@@ -177,6 +177,33 @@ class PlanSpec extends AnyFunSuite {
       s"benchmark set no longer broadcast:\n${plan.linesIterator.take(25).mkString("\n")}")
   }
 
+  test("line dedup's collected regime rebuilds row-locally: no join, no window, no text reshuffle (X40)") {
+    graft.io.ArtifactCache.clear()
+    val plan = planOf(SparkEntry.queries("x40_line_dedup")(spark, sf))
+    assert(!plan.contains("Join"),
+      s"collected-regime x40 re-grew a join:\n${plan.linesIterator.take(25).mkString("\n")}")
+    assert(!plan.contains("Window"), "x40 must not sort-reassemble in the collected regime")
+    graft.io.ArtifactCache.clear()
+  }
+
+  test("unigram NLL joins the vocabulary as a broadcast under the bound (X41)") {
+    graft.io.ArtifactCache.clear()
+    val plan = planOf(SparkEntry.queries("x41_unigram_nll")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"x41 vocabulary no longer broadcast:\n${plan.linesIterator.take(25).mkString("\n")}")
+    assert(!plan.contains("SortMergeJoin"),
+      "collected-regime x41 must not shuffle the token stream for the vocab join")
+    graft.io.ArtifactCache.clear()
+  }
+
+  test("decontamination gate: benchmark membership stays a broadcast join (X42)") {
+    graft.io.ArtifactCache.clear()
+    val plan = planOf(SparkEntry.queries("x42_decontaminate")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"x42 benchmark set no longer broadcast:\n${plan.linesIterator.take(25).mkString("\n")}")
+    graft.io.ArtifactCache.clear()
+  }
+
   test("distributed prefix sum never plans a single-partition exchange (X28)") {
     // the whole point of the two-phase scan: no Window over
     // Exchange SinglePartition (the global-window scale cliff)

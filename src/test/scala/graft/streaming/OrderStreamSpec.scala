@@ -97,4 +97,35 @@ class OrderStreamSpec extends AnyFunSuite {
       assert(tableRows(s"$whStream/$t") == tableRows(s"$whBatch/$t"),
         s"AvailableNow-replayed $t differs from the backfill walk")
   }
+
+  test("stream sink on the log backend: per-micro-batch commits, state equals the parquet stream") {
+    val jsons = WooFixtureApi.orderJsonsSince(spark, data, "2001-06-01 00:00:00")
+    val whP = Files.createTempDirectory("graft-wh-sp").toString
+    Run.processBatch(spark, data, whP, "2001-06-01 00:00:00")
+
+    val landing = Files.createTempDirectory("graft-landing-log").toString
+    val whL = Files.createTempDirectory("graft-wh-slog").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt-log").toString
+    jsons.grouped((jsons.size + 2) / 3).zipWithIndex.foreach { case (chunk, i) =>
+      Files.write(Paths.get(landing, s"part$i.json"),
+        chunk.mkString("\n").getBytes("UTF-8"))
+    }
+    val q = OrderStream.startEtlStream(spark, landing, data, whL, ckpt,
+      maxFilesPerTrigger = Some(1), availableNow = true,
+      store = graft.etl.LogWarehouse)
+    try assert(q.awaitTermination(120000)) finally if (q.isActive) q.stop()
+
+    def logRows(table: String): Seq[String] = {
+      val df = graft.io.LogTable.read(spark, s"$whL/${table}_log")
+      df.select(df.columns.sorted.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+        .collect().map(_.toString).toSeq.sorted
+    }
+    assert(logRows("fct_orders") == tableRows(s"$whP/fct_orders.parquet"),
+      "log-backend stream diverged from the batch parquet warehouse")
+    assert(logRows("fct_order_items") == tableRows(s"$whP/fct_order_items.parquet"))
+    // each micro-batch committed (possibly twice: orders upserts touch
+    // overlapping files) — history survives for time travel
+    assert(graft.io.LogTable.version(s"$whL/fct_orders_log") >= 3,
+      "three micro-batches should leave at least three commits")
+  }
 }

@@ -323,6 +323,67 @@ object LogTable {
       .filter(col(keyCol) >= lo && col(keyCol) <= hi)
   }
 
+  /** Multi-clause MERGE (the lakehouse `MERGE INTO` surface; [[upsert]]
+    * is the special case update-all-matched + insert-all-unmatched):
+    * rows of `source` match table rows on `keyCol`, then per row
+    *
+    *   - matched and `deleteWhen`  → row deleted;
+    *   - matched and `updateWhen`  → row replaced by the source row;
+    *   - matched, neither          → target row kept;
+    *   - source-only               → inserted when `insertUnmatched`;
+    *   - target-only               → kept (untouched FILES never even
+    *     rewrite: only key-range-overlapping files join the merge).
+    *
+    * Conditions are SQL expressions over the matched pair: target
+    * columns by name, source columns as `_src_<name>` (e.g.
+    * `"_src_status = 'F'"`). Source schema must match the table's
+    * (align first — [[graft.etl.Load.alignColumns]]). Concurrency and
+    * file pruning exactly as [[upsert]]. */
+  def merge(
+      spark: SparkSession, table: String, source: DataFrame, keyCol: String,
+      updateWhen: Option[String] = Some("true"),
+      deleteWhen: Option[String] = None,
+      insertUnmatched: Boolean = true): Unit = {
+    val src = source.localCheckpoint(false)
+    val srcCols = src.columns.toSeq
+    def attempt(): Unit = {
+      val bounds = src.agg(min(col(keyCol)), max(col(keyCol))).head()
+      if (bounds.isNullAt(0)) return
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val (snapVersion, snapshot, snapSchema) = snapshotWithSchema(table, None)
+      val touched = snapshot.filter(f => f.minKey <= hi && f.maxKey >= lo)
+      val tgt =
+        if (touched.isEmpty)
+          snapSchema.map(sc => spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc))
+            .getOrElse(src.limit(0))
+        else readFiles2(spark, table, touched, snapSchema)
+      val prefixed = srcCols.foldLeft(src)((d, c) => d.withColumnRenamed(c, s"_src_$c"))
+      val joined = tgt.withColumn("_tgt_hit", lit(1))
+        .join(prefixed.withColumn("_src_hit", lit(1)),
+          col(keyCol) === col(s"_src_$keyCol"), "full_outer")
+      val matched = col("_tgt_hit").isNotNull && col("_src_hit").isNotNull
+      // SQL WHEN semantics: a NULL-valued clause is NOT-taken, never a
+      // silent row drop (null would otherwise poison takeSrc/keepTgt)
+      val del = coalesce(
+        deleteWhen.map(e => matched && expr(e)).getOrElse(lit(false)), lit(false))
+      val upd = coalesce(
+        updateWhen.map(e => matched && expr(e)).getOrElse(lit(false)), lit(false))
+      val takeSrc = (matched && !del && upd) ||
+        (col("_tgt_hit").isNull && lit(insertUnmatched))
+      val keepTgt = (matched && !del && !upd) || col("_src_hit").isNull
+      val out = joined
+        .filter(takeSrc || keepTgt)
+        .select(srcCols.map(c =>
+          when(takeSrc, col(s"_src_$c")).otherwise(col(c)).as(c)): _*)
+      val adds = writeData(spark, table, out, keyCol)
+      commit(table, snapVersion, adds, removes = touched.map(_.file),
+        reRun = () => attempt(),
+        schema = snapSchema.map(_.json).getOrElse(src.schema.json))
+    }
+    attempt()
+  }
+
   /** Stats-pruned read on ANY integral column: files whose manifest
     * [min, max] for `column` misses [lo, hi] never reach the scan, and
     * files with no stats for it (all-NULL there, or written before the

@@ -375,6 +375,53 @@ object EtlQueries {
              |ORDER BY order_id""".stripMargin),
     ),
 
+    // K14 — multi-clause MERGE (the lakehouse MERGE INTO surface; the
+    // reference's delete-then-insert is its update-all special case):
+    // matched rows whose SOURCE is an 'F' order are deleted, other
+    // matches update to the source image, unmatched source rows insert,
+    // and target rows outside the source's key range never even rewrite
+    // their files. The oracle spells the same three-way split in SQL.
+    QueryDef(
+      "k14_merge",
+      (s, d) => {
+        val existing = Tables.orders(s, d)
+          .filter(col("o_orderdate") < lit("2000-01-01").cast("timestamp"))
+          .select(
+            col("o_orderkey").as("order_id"),
+            col("o_orderstatus").as("status"),
+            lit("base").as("src"))
+        val incoming = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+          .select(
+            col("o_orderkey").as("order_id"),
+            col("o_orderstatus").as("status"),
+            lit("resynced").as("src"))
+        val t = java.nio.file.Files.createTempDirectory("graft-k14")
+          .resolve("orders_log").toString
+        graft.io.LogTable.create(s, t,
+          existing.repartitionByRange(8, col("order_id")), "order_id")
+        graft.io.LogTable.merge(s, t, incoming, "order_id",
+          updateWhen = Some("true"),
+          deleteWhen = Some("_src_status = 'F'"),
+          insertUnmatched = true)
+        graft.io.LogTable.read(s, t).orderBy("order_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT o_orderkey AS order_id, o_orderstatus AS status, 'base' AS src
+             |  FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
+             |), i AS (
+             |  SELECT o_orderkey AS order_id, o_orderstatus AS status, 'resynced' AS src
+             |  FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+             |)
+             |SELECT * FROM (
+             |  SELECT e.* FROM e WHERE order_id NOT IN (SELECT order_id FROM i)
+             |  UNION ALL
+             |  SELECT i.* FROM i JOIN e USING (order_id) WHERE i.status <> 'F'
+             |  UNION ALL
+             |  SELECT i.* FROM i WHERE order_id NOT IN (SELECT order_id FROM e))
+             |ORDER BY order_id""".stripMargin),
+    ),
+
     // K4/K6 — column alignment / schema migration: missing columns appear
     // as typed NULLs in canonical order.
     QueryDef(

@@ -137,6 +137,51 @@ class LogTableSpec extends AnyFunSuite {
     assert(LogTable.vacuum(t).isEmpty)
   }
 
+  test("merge: delete/update/insert clauses resolve per-row; untouched files survive in place") {
+    val t = tmpTable()
+    LogTable.create(spark, t,
+      (1L to 4000L).map(i => (i, if (i % 3 == 0) "F" else "O", s"base$i"))
+        .toDF("k", "status", "v").repartitionByRange(8, col("k")), "k")
+    val before = LogTable.read(spark, t).inputFiles.toSet
+    // source overlaps keys 3500-4200, inserts 4001-4200; its own status
+    // column drives the delete clause
+    val src = (3500L to 4200L).map(i => (i, if (i % 5 == 0) "F" else "O", s"new$i"))
+      .toDF("k", "status", "v")
+    LogTable.merge(spark, t, src, "k",
+      updateWhen = Some("true"),
+      deleteWhen = Some("_src_status = 'F'"),
+      insertUnmatched = true)
+    val r = LogTable.read(spark, t).collect()
+      .map(x => x.getLong(0) -> (x.getString(1), x.getString(2))).toMap
+    // matched + source-F -> deleted
+    assert(!r.contains(3500L) && !r.contains(4000L), "source-F matches must delete")
+    // matched + not F -> updated to source image
+    assert(r(3501L) == ("O", "new3501"))
+    // unmatched source -> inserted (unless its delete clause... no: only MATCHED delete)
+    assert(r(4002L) == ("O", "new4002") && r(4005L) == ("F", "new4005"),
+      "unmatched source rows insert regardless of the matched-only delete clause")
+    // untouched target rows keep their values AND their physical files
+    assert(r(100L) == ("O", "base100"))
+    val after = LogTable.read(spark, t).inputFiles.toSet
+    assert((before intersect after).nonEmpty, "merge rewrote files outside the key range")
+    // expected cardinality: 4000 base - matched deletes + inserts
+    val matchedDel = (3500L to 4000L).count(_ % 5 == 0)
+    val inserts = (4001L to 4200L).size
+    assert(r.size == 4000 - matchedDel + inserts)
+    // upsert equivalence: merge with default clauses == upsert
+    val t2 = tmpTable()
+    LogTable.create(spark, t2,
+      (1L to 500L).map(i => (i, s"b$i")).toDF("k", "v"), "k")
+    val t3 = tmpTable()
+    LogTable.create(spark, t3,
+      (1L to 500L).map(i => (i, s"b$i")).toDF("k", "v"), "k")
+    val inc = (400L to 600L).map(i => (i, s"n$i")).toDF("k", "v")
+    LogTable.merge(spark, t2, inc, "k")
+    LogTable.upsert(spark, t3, inc, "k")
+    assert(rows(LogTable.read(spark, t2)) == rows(LogTable.read(spark, t3)),
+      "default-clause merge must equal upsert")
+  }
+
   test("readRange prunes to intersecting files from manifest stats alone") {
     val t = tmpTable()
     LogTable.create(spark, t,

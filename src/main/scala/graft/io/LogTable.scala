@@ -536,8 +536,19 @@ object LogTable {
   /** Write `df` as fresh immutable data files; returns their entries
     * with key stats PLUS per-column [min, max] for every integral column
     * (the generalized data-skipping stats [[readWhere]] prunes on).
-    * All stats come from ONE grouped pass over the staged files
-    * (input_file_name), not a per-file re-read. */
+    * All stats come from the staged files' parquet FOOTERS, read on the
+    * driver at commit time — ZERO extra Spark jobs and zero data pages
+    * (the earlier spelling ran a second full read of everything just
+    * written; at 100 TB that doubles every commit's I/O). Same stats
+    * source as [[graft.operators.Layout]]'s skipping evaluator. */
+  private def statLong(v: AnyRef): Long = v match {
+    case l: java.lang.Long => l
+    case i: java.lang.Integer => i.toLong
+    case s: java.lang.Short => s.toLong
+    case other => throw new IllegalStateException(
+      s"integral footer statistic expected, got ${other.getClass}")
+  }
+
   private def writeData(
       spark: SparkSession, table: String, df: DataFrame, keyCol: String): Seq[FileEntry] = {
     val staging = Files.createTempDirectory(dataDir(table), ".staging-")
@@ -546,34 +557,61 @@ object LogTable {
       // stats keys must survive the flat-regex manifest parse: a column
       // name carrying JSON structure characters is EXCLUDED from stats
       // (always safe — no stats just means no skipping on that column)
-      // rather than escaped into a parser this format doesn't have
-      val statSafe = (n: String) => n.forall(c => !"\"\\{}[]:,".contains(c))
+      // rather than escaped into a parser this format doesn't have; '.'
+      // is excluded too (a dotted top-level name would collide with a
+      // nested field's footer path)
+      val statSafe = (n: String) => n.forall(c => !"\"\\{}[]:,.".contains(c))
       val statCols = df.schema.fields.collect {
         case f if (f.dataType == org.apache.spark.sql.types.LongType ||
           f.dataType == org.apache.spark.sql.types.IntegerType ||
           f.dataType == org.apache.spark.sql.types.ShortType) &&
           statSafe(f.name) => f.name
-      }.toSeq
-      val aggs =
-        Seq(min(col(keyCol)).as("lo"), max(col(keyCol)).as("hi"),
-          count(lit(1)).as("n")) ++
-          statCols.flatMap(c => Seq(
-            min(col(c)).cast("long"), max(col(c)).cast("long")))
-      val stats = spark.read.parquet(staging.toString)
-        .groupBy(input_file_name().as("f"))
-        .agg(aggs.head, aggs.tail: _*)
-        .collect()
-      stats.toSeq.map { r =>
-        val src = Paths.get(new java.net.URI(r.getString(0)))
-        val name = s"${java.util.UUID.randomUUID().toString}.parquet"
-        Files.move(src, dataDir(table).resolve(name), StandardCopyOption.ATOMIC_MOVE)
-        val cols = statCols.zipWithIndex.flatMap { case (c, i) =>
-          val (loI, hiI) = (4 + 2 * i, 5 + 2 * i)
-          // all-NULL column in this file → no stats entry
-          if (r.isNullAt(loI) || r.isNullAt(hiI)) None
-          else Some(c -> (r.getLong(loI), r.getLong(hiI)))
-        }.toMap
-        FileEntry(name, r.getLong(1), r.getLong(2), r.getLong(3), cols)
+      }.toSet
+      val conf = spark.sessionState.newHadoopConf()
+      import scala.jdk.CollectionConverters._
+      val parts =
+        try Files.list(staging).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .toSeq.sortBy(_.getFileName.toString)
+        finally ()
+      parts.flatMap { p =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(p.toUri), conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        val (rows, cols) =
+          try {
+            var rows = 0L
+            val lo = scala.collection.mutable.Map.empty[String, Long]
+            val hi = scala.collection.mutable.Map.empty[String, Long]
+            reader.getFooter.getBlocks.forEach { block =>
+              rows += block.getRowCount
+              block.getColumns.forEach { chunk =>
+                val name = chunk.getPath.toDotString
+                if (statCols(name)) {
+                  val st = chunk.getStatistics
+                  // a chunk with SOME nulls still carries min/max over
+                  // its non-null values — matching SQL min/max; an
+                  // all-null (or stat-less) chunk contributes nothing
+                  if (st != null && st.hasNonNullValue) {
+                    val (mn, mx) = (statLong(st.genericGetMin.asInstanceOf[AnyRef]),
+                      statLong(st.genericGetMax.asInstanceOf[AnyRef]))
+                    lo(name) = lo.get(name).fold(mn)(math.min(_, mn))
+                    hi(name) = hi.get(name).fold(mx)(math.max(_, mx))
+                  }
+                }
+              }
+            }
+            (rows, lo.keys.map(c => c -> (lo(c), hi(c))).toMap)
+          } finally reader.close()
+        if (rows == 0L) None // empty part: never registered, swept below
+        else {
+          val (kLo, kHi) = cols.getOrElse(keyCol, throw new IllegalStateException(
+            s"LogTable: key column $keyCol has no footer stats in $p — " +
+              "keys must be non-NULL integral"))
+          val name = s"${java.util.UUID.randomUUID().toString}.parquet"
+          Files.move(p, dataDir(table).resolve(name), StandardCopyOption.ATOMIC_MOVE)
+          Some(FileEntry(name, kLo, kHi, rows, cols))
+        }
       }
     } finally {
       // drop staging leftovers (_SUCCESS, crc files, any unmoved parts)

@@ -58,6 +58,16 @@ object LogWarehouse extends WarehouseStore {
       df: DataFrame, key: String): Unit = {
     val t = path(warehouse, table)
     if (exists(spark, warehouse, table)) graft.io.LogTable.upsert(spark, t, df, key)
-    else graft.io.LogTable.create(spark, t, df, key)
+    else
+      try graft.io.LogTable.create(spark, t, df, key)
+      catch {
+        // exists-then-create is a TOCTOU window: a racing first writer
+        // may have claimed v1 in between. create fails loudly rather
+        // than letting both batches land (same-key duplicates); the
+        // loser's batch is still owed to the table — retry as the
+        // upsert it would have been a moment later.
+        case e: IllegalStateException if e.getMessage.contains("raced") =>
+          graft.io.LogTable.upsert(spark, t, df, key)
+      }
   }
 }

@@ -195,11 +195,27 @@ object LogTable {
 
   /** Snapshot read AS OF a committed version (time travel) — under the
     * schema committed at that version, so an audit of yesterday's
-    * snapshot sees yesterday's columns. */
+    * snapshot sees yesterday's columns. A version below a
+    * [[truncateHistory]] checkpoint fails LOUDLY — returning an empty
+    * frame would let an audit silently read "no data" where history was
+    * explicitly dropped. */
   def readVersion(spark: SparkSession, table: String, v: Long): DataFrame = {
+    requireNotTruncated(table, v)
     val (_, fs, schema) = snapshotWithSchema(table, Some(v))
     readFiles(spark, table, fs, schema)
   }
+
+  /** Throws when `v` predates the earliest retained manifest of a
+    * truncated log (the explicit-destruction contract made loud). */
+  private def requireNotTruncated(table: String, v: Long): Unit =
+    manifests(table).headOption
+      .filter(m => m.checkpoint && m.version > 1 && v < m.version)
+      .foreach { m =>
+        throw new IllegalStateException(
+          s"version $v of $table predates the truncation checkpoint " +
+            s"v${m.version} — that history was explicitly dropped " +
+            "(truncateHistory)")
+      }
 
   private def readFiles(
       spark: SparkSession, table: String, fs: Seq[FileEntry],
@@ -217,14 +233,26 @@ object LogTable {
     schema.fold(spark.read)(s => spark.read.schema(s)).parquet(paths: _*)
   }
 
-  /** Create the table with an initial data set (v1). */
+  /** Create the table with an initial data set (v1). Claims EXACTLY v1
+    * — no re-claim loop: two racing creators must not both land (their
+    * batches could share keys, and an append-style re-claim would let
+    * both file sets go live — duplicate rows with no conflict ever
+    * detected). The loser gets a loud IllegalStateException; a caller
+    * that wants create-or-upsert handles it (see
+    * [[graft.etl.LogWarehouse.upsert]]). */
   def create(spark: SparkSession, table: String, df: DataFrame, keyCol: String): Unit = {
     Files.createDirectories(logDir(table))
     Files.createDirectories(dataDir(table))
     val adds = writeData(spark, table, df, keyCol)
-    commit(table, snapshotVersion = 0L, adds, removes = Seq.empty, reRun = () =>
-      throw new IllegalStateException(s"create($table) raced another writer"),
-      schema = df.schema.json)
+    val m = Manifest(1L, adds, removes = Seq.empty, schema = df.schema.json)
+    val tmp = logDir(table).resolve(s".tmp-${java.util.UUID.randomUUID()}")
+    Files.writeString(tmp, render(m))
+    try Files.createLink(versionPath(table, 1L), tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"create($table) raced another writer — the table already exists")
+    } finally Files.deleteIfExists(tmp)
   }
 
   /** Append-only commit: new data files, no removals. Always safe under
@@ -242,6 +270,7 @@ object LogTable {
     // NULLs on older files at read time — see readFiles)
     val evolved = snapSchema match {
       case Some(sc) =>
+        requireCompatible(sc, df, "append")
         // canonical order: the table's columns first (batch-missing ones
         // as typed NULLs), then any genuinely new columns from the batch
         val have = df.schema.fieldNames.toSet
@@ -281,6 +310,9 @@ object LogTable {
       // exactly snapVersion+1 first, so any commit that landed after
       // this read is detected and validated, never silently skipped
       val (snapVersion, snapshot, snapSchema) = snapshotWithSchema(table, None)
+      // type drift fails loudly BEFORE unionByName can coerce it away
+      // (long ∪ string would silently widen every key to string)
+      snapSchema.foreach(requireCompatible(_, inc, "upsert"))
       val touched = snapshot.filter(f => f.minKey <= hi && f.maxKey >= lo)
       val survivors =
         if (touched.isEmpty)
@@ -317,9 +349,13 @@ object LogTable {
   def readRange(
       spark: SparkSession, table: String, keyCol: String,
       lo: Long, hi: Long): DataFrame = {
-    val fs = live(table, None).filter(f => f.minKey <= hi && f.maxKey >= lo)
+    val (_, snapshot, schema) = snapshotWithSchema(table, None)
+    val fs = snapshot.filter(f => f.minKey <= hi && f.maxKey >= lo)
     if (fs.isEmpty) return spark.emptyDataFrame
-    readFiles(spark, table, fs)
+    // committed schema applies here too: a pruned read must not show a
+    // DIFFERENT column set than the full read just because the range
+    // landed on pre-evolution files
+    readFiles(spark, table, fs, schema)
       .filter(col(keyCol) >= lo && col(keyCol) <= hi)
   }
 
@@ -351,6 +387,16 @@ object LogTable {
       if (bounds.isNullAt(0)) return
       val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
       val (snapVersion, snapshot, snapSchema) = snapshotWithSchema(table, None)
+      // the documented precondition is LOUD: a narrower source would
+      // silently NULL target-only columns on every kept row in a
+      // touched file (the output is projected through the source's
+      // column list)
+      snapSchema.foreach { sc =>
+        require(srcCols.toSet == sc.fieldNames.toSet,
+          s"LogTable merge: source columns ${srcCols.sorted.mkString(",")} must " +
+            s"equal table columns ${sc.fieldNames.sorted.mkString(",")} — align first")
+        requireCompatible(sc, src, "merge")
+      }
       val touched = snapshot.filter(f => f.minKey <= hi && f.maxKey >= lo)
       val tgt =
         if (touched.isEmpty)
@@ -501,6 +547,10 @@ object LogTable {
       spark: SparkSession, table: String, keyCol: String,
       fromV: Long, toV: Long): DataFrame = {
     require(fromV <= toV, s"changes: fromV $fromV > toV $toV")
+    // a feed from below a truncation checkpoint cannot be answered —
+    // the silent alternative re-emits the whole table as inserts and a
+    // downstream replayer double-applies rows that existed all along
+    requireNotTruncated(table, math.max(fromV, 1L))
     val ms = manifests(table).filter(m => m.version > fromV && m.version <= toV)
     if (ms.isEmpty) return spark.emptyDataFrame
     if (ms.forall(m => m.removes.isEmpty && !m.checkpoint)) {
@@ -517,7 +567,13 @@ object LogTable {
     if (before.columns.isEmpty) // fromV predates the table: all inserts
       return after.withColumn("_change_type", lit("insert"))
     val payload = after.columns.filterNot(_ == keyCol).toSeq
-    val b = before.select(col(keyCol), struct(payload.map(col): _*).as("_b"))
+    // fromV may predate a column addition: align the old snapshot with
+    // typed NULLs so the diff compares the evolved shape (otherwise the
+    // select below fails to resolve the added column)
+    val beforeAligned = payload.foldLeft(before)((d, c) =>
+      if (d.columns.contains(c)) d
+      else d.withColumn(c, lit(null).cast(after.schema(c).dataType)))
+    val b = beforeAligned.select(col(keyCol), struct(payload.map(col): _*).as("_b"))
     val a = after.select(col(keyCol), struct(payload.map(col): _*).as("_a"))
     val diffed = b.join(a, Seq(keyCol), "full_outer")
       .withColumn("_change_type",
@@ -541,6 +597,21 @@ object LogTable {
     * (the earlier spelling ran a second full read of everything just
     * written; at 100 TB that doubles every commit's I/O). Same stats
     * source as [[graft.operators.Layout]]'s skipping evaluator. */
+  /** Evolution admits NEW columns only — a batch column that shares a
+    * table column's name but not its type would be committed as the new
+    * schema and poison every later read of the old files (the parquet
+    * reader can't serve a string page as a long). Fail at the write. */
+  private def requireCompatible(
+      sc: org.apache.spark.sql.types.StructType, df: DataFrame, op: String): Unit =
+    df.schema.fields.foreach { f =>
+      sc.fields.find(_.name == f.name).foreach { ex =>
+        require(ex.dataType.catalogString == f.dataType.catalogString,
+          s"LogTable $op: column ${f.name} arrives as ${f.dataType.catalogString} " +
+            s"but the table holds ${ex.dataType.catalogString} — type changes are " +
+            "not evolution; cast the batch or migrate explicitly")
+      }
+    }
+
   private def statLong(v: AnyRef): Long = v match {
     case l: java.lang.Long => l
     case i: java.lang.Integer => i.toLong
@@ -555,30 +626,34 @@ object LogTable {
     try {
       df.write.mode("overwrite").parquet(staging.toString)
       // stats keys must survive the flat-regex manifest parse: a column
-      // name carrying JSON structure characters is EXCLUDED from stats
-      // (always safe — no stats just means no skipping on that column)
-      // rather than escaped into a parser this format doesn't have; '.'
-      // is excluded too (a dotted top-level name would collide with a
-      // nested field's footer path)
-      val statSafe = (n: String) => n.forall(c => !"\"\\{}[]:,.".contains(c))
-      val statCols = df.schema.fields.collect {
-        case f if (f.dataType == org.apache.spark.sql.types.LongType ||
+      // name carrying JSON structure characters OR shadowing a manifest
+      // field name ("removes" as a cols key would terminate the adds
+      // block early) is EXCLUDED from the cols map (always safe — no
+      // stats just means no skipping on that column). The KEY column is
+      // never affected: its stats land in the anonymous minKey/maxKey
+      // fields whatever its name.
+      val reserved = Set("file", "minKey", "maxKey", "rows", "cols",
+        "version", "adds", "removes", "schema", "checkpoint")
+      val statSafe = (n: String) => n.nonEmpty && !reserved(n) &&
+        n.forall(c => !"\"\\{}[]:,".contains(c))
+      val integral = df.schema.fields.collect {
+        case f if f.dataType == org.apache.spark.sql.types.LongType ||
           f.dataType == org.apache.spark.sql.types.IntegerType ||
-          f.dataType == org.apache.spark.sql.types.ShortType) &&
-          statSafe(f.name) => f.name
+          f.dataType == org.apache.spark.sql.types.ShortType => f.name
       }.toSet
       val conf = spark.sessionState.newHadoopConf()
       import scala.jdk.CollectionConverters._
+      val partsStream = Files.list(staging)
       val parts =
-        try Files.list(staging).iterator().asScala
+        try partsStream.iterator().asScala
           .filter(_.getFileName.toString.endsWith(".parquet"))
           .toSeq.sortBy(_.getFileName.toString)
-        finally ()
+        finally partsStream.close()
       parts.flatMap { p =>
         val in = org.apache.parquet.hadoop.util.HadoopInputFile
           .fromPath(new org.apache.hadoop.fs.Path(p.toUri), conf)
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        val (rows, cols) =
+        val (rows, stats) =
           try {
             var rows = 0L
             val lo = scala.collection.mutable.Map.empty[String, Long]
@@ -586,8 +661,11 @@ object LogTable {
             reader.getFooter.getBlocks.forEach { block =>
               rows += block.getRowCount
               block.getColumns.forEach { chunk =>
-                val name = chunk.getPath.toDotString
-                if (statCols(name)) {
+                // exact TOP-LEVEL path match (single segment), so a
+                // dotted column name can never alias a nested field
+                val segs = chunk.getPath.iterator().asScala.toSeq
+                if (segs.length == 1 && integral(segs.head)) {
+                  val name = segs.head
                   val st = chunk.getStatistics
                   // a chunk with SOME nulls still carries min/max over
                   // its non-null values — matching SQL min/max; an
@@ -605,12 +683,13 @@ object LogTable {
           } finally reader.close()
         if (rows == 0L) None // empty part: never registered, swept below
         else {
-          val (kLo, kHi) = cols.getOrElse(keyCol, throw new IllegalStateException(
+          val (kLo, kHi) = stats.getOrElse(keyCol, throw new IllegalStateException(
             s"LogTable: key column $keyCol has no footer stats in $p — " +
               "keys must be non-NULL integral"))
           val name = s"${java.util.UUID.randomUUID().toString}.parquet"
           Files.move(p, dataDir(table).resolve(name), StandardCopyOption.ATOMIC_MOVE)
-          Some(FileEntry(name, kLo, kHi, rows, cols))
+          Some(FileEntry(name, kLo, kHi, rows,
+            stats.view.filterKeys(statSafe).toMap))
         }
       }
     } finally {
@@ -695,11 +774,12 @@ object LogTable {
       removes: Seq[String], reRun: () => Unit, attempts: Int = 50,
       schema: String = ""): Unit = {
     var expected = snapshotVersion
+    var committedSchema = schema
     var tries = attempts
     while (tries > 0) {
       tries -= 1
       val v = expected + 1
-      val m = Manifest(v, adds, removes, schema)
+      val m = Manifest(v, adds, removes, committedSchema)
       // Publish atomically: fully write the manifest to a hidden temp
       // name (readers only match v########.json), then HARD-LINK it to
       // the version path — link(2) both fails-if-exists (the optimistic
@@ -715,14 +795,28 @@ object LogTable {
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           Files.deleteIfExists(tmp)
-          val (headNow, liveFiles) = snapshotAt(table, None)
+          val (headNow, liveFiles, headSchema) = snapshotWithSchema(table, None)
           if (!removes.forall(liveFiles.map(_.file).toSet)) {
             // racer rewrote files we based our delta on — recompute
             reRun()
             return
           }
           // independent commits landed first; our read set is intact —
-          // re-claim directly above the new head
+          // re-claim directly above the new head. Schema serializability:
+          // an intervening commit may have EVOLVED the table, and
+          // re-claiming with our pre-race schema would silently revert
+          // the racer's new columns (snapshotWithSchema picks the LATEST
+          // non-empty schema). Merge: the head's fields first, plus any
+          // that only we carry — the same result as either serial order.
+          if (committedSchema.nonEmpty) headSchema.foreach { head =>
+            val ours = org.apache.spark.sql.types.DataType
+              .fromJson(committedSchema)
+              .asInstanceOf[org.apache.spark.sql.types.StructType]
+            val headNames = head.fieldNames.toSet
+            val merged = org.apache.spark.sql.types.StructType(
+              head.fields ++ ours.fields.filterNot(f => headNames(f.name)))
+            committedSchema = merged.json
+          }
           expected = headNow
       }
     }

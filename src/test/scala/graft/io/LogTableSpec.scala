@@ -358,20 +358,24 @@ class LogTableSpec extends AnyFunSuite {
     val preA = LogTable.readWhere(spark, t, "a", 0L, 8191L).inputFiles.length
     assert(preA == before, s"unclustered layout should prune nothing, pruned to $preA")
 
-    LogTable.compact(spark, t, "k", targetRows = 512L, zorderBy = Some(("a", "b")))
+    // 16 output files → the top FOUR z bits split the space, so a probe
+    // fixing two high bits of one dimension covers 4/16 cells; sampled
+    // range boundaries add at most a couple of straddlers — scanning
+    // half the files is a structural bound, not a lucky one
+    LogTable.compact(spark, t, "k", targetRows = 256L, zorderBy = Some(("a", "b")))
     val files = LogTable.read(spark, t).inputFiles.length
-    assert(files >= 8, s"compaction left only $files files — probe needs more")
-    val qa = LogTable.readWhere(spark, t, "a", 0L, 8191L)   // 1/8 of a-space
-    val qb = LogTable.readWhere(spark, t, "b", 0L, 8191L)   // 1/8 of b-space
+    assert(files >= 12, s"compaction left only $files files — probe needs more")
+    val qa = LogTable.readWhere(spark, t, "a", 0L, 4095L)   // 1/16 of a-space
+    val qb = LogTable.readWhere(spark, t, "b", 0L, 4095L)   // 1/16 of b-space
     assert(qa.inputFiles.length * 2 <= files,
       s"z-layout pruned a-dimension to ${qa.inputFiles.length}/$files — no skipping")
     assert(qb.inputFiles.length * 2 <= files,
       s"z-layout pruned b-dimension to ${qb.inputFiles.length}/$files — no skipping")
     // and the answers stay exact
     assert(qa.collect().map(_.getAs[Long]("k")).toSet ==
-      rows.filter(r => r._2 <= 8191L).map(_._1).toSet)
+      rows.filter(r => r._2 <= 4095L).map(_._1).toSet)
     assert(qb.collect().map(_.getAs[Long]("k")).toSet ==
-      rows.filter(r => r._3 <= 8191L).map(_._1).toSet)
+      rows.filter(r => r._3 <= 4095L).map(_._1).toSet)
   }
 
   test("schema evolution rides the manifest: added columns surface as NULLs on old files") {
@@ -456,8 +460,14 @@ class LogTableSpec extends AnyFunSuite {
     assert(rows(LogTable.readVersion(spark, t, 5L)) == v5Rows)
     assert(rows(LogTable.readVersion(spark, t, 4L)) == v4Rows,
       "the checkpoint version must reproduce the pre-truncation snapshot")
-    // history below the checkpoint is gone — the destructive contract
-    assert(LogTable.readVersion(spark, t, 2L).isEmpty)
+    // history below the checkpoint is gone — and LOUDLY so: an audit
+    // must never read "empty table" where history was dropped
+    val gone = intercept[IllegalStateException](LogTable.readVersion(spark, t, 2L))
+    assert(gone.getMessage.contains("truncation checkpoint"))
+    val feedGone = intercept[IllegalStateException](
+      LogTable.changes(spark, t, "k", 1L, 6L))
+    assert(feedGone.getMessage.contains("truncation checkpoint"),
+      "a change feed from dropped history must fail, not re-emit the table as inserts")
 
     // the log keeps working: a later writer lands v7 on top of the checkpoint
     LogTable.upsert(spark, t, Seq((1L, "after")).toDF("k", "v"), "k")
@@ -467,6 +477,90 @@ class LogTableSpec extends AnyFunSuite {
     assert(r.filter(col("k") === 1L).head().getString(1) == "after")
     // truncating again with nothing below the new cut is a no-op
     assert(LogTable.truncateHistory(t, keepLast = 10) == ((0, 0)))
+  }
+
+  test("type drift fails loudly: same-name different-type batches are rejected, not coerced") {
+    val t = tmpTable()
+    LogTable.create(spark, t, Seq((1L, "a")).toDF("k", "v"), "k")
+    val longV = Seq((2L, 9L)).toDF("k", "v")
+    val eAppend = intercept[IllegalArgumentException](
+      LogTable.append(spark, t, longV, "k"))
+    assert(eAppend.getMessage.contains("type changes are not evolution"))
+    val eUpsert = intercept[IllegalArgumentException](
+      LogTable.upsert(spark, t, longV, "k"))
+    assert(eUpsert.getMessage.contains("type changes are not evolution"))
+    // table unharmed
+    assert(rows(LogTable.read(spark, t)) == Set((1L, "a")))
+  }
+
+  test("merge rejects a source narrower than the table instead of nulling kept columns") {
+    val t = tmpTable()
+    LogTable.create(spark, t, Seq((1L, "a", 10L)).toDF("k", "v", "extra"), "k")
+    val e = intercept[IllegalArgumentException](
+      LogTable.merge(spark, t, Seq((1L, "b")).toDF("k", "v"), "k"))
+    assert(e.getMessage.contains("align first"))
+    assert(LogTable.read(spark, t).collect().head.getLong(2) == 10L)
+  }
+
+  test("change feed crosses a schema evolution: old snapshot aligns with typed NULLs") {
+    val t = tmpTable()
+    LogTable.create(spark, t, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "k")
+    val v1 = LogTable.version(t)
+    // an upsert that BOTH evolves the schema and removes files → the
+    // diff path must align the pre-evolution snapshot
+    LogTable.upsert(spark, t,
+      Seq((2L, "b2", 7), (3L, "c", 9)).toDF("k", "v", "w"), "k")
+    val feed = LogTable.changes(spark, t, "k", v1, LogTable.version(t))
+    val got = feed.collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("v"),
+      Option(r.getAs[Any]("w")), r.getAs[String]("_change_type"))).toSet
+    assert(got == Set(
+      (2L, "b2", Some(7), "update"),
+      (3L, "c", Some(9), "insert")))
+  }
+
+  test("racing creators: exactly one wins; the loser is told, never silently doubled") {
+    val t = tmpTable()
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val threads = Seq("alpha", "beta").map { tag =>
+      new Thread(() =>
+        try {
+          LogTable.create(spark, t,
+            (1L to 200L).map(i => (i, s"$tag$i")).toDF("k", "v"), "k")
+          results.add(s"$tag:won")
+        } catch {
+          case e: IllegalStateException if e.getMessage.contains("raced") =>
+            results.add(s"$tag:lost")
+        })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    val rs = results.iterator().asScala.toSeq.sorted
+    assert(rs.count(_.endsWith(":won")) == 1 && rs.count(_.endsWith(":lost")) == 1,
+      s"create race outcome: $rs")
+    // no duplicate keys — exactly one creator's 200 rows
+    val r = LogTable.read(spark, t)
+    assert(r.count() == 200L)
+    assert(r.select("v").collect().map(_.getString(0).take(4)).distinct.length == 1,
+      "both creators' rows went live")
+  }
+
+  test("a stats column named like a manifest field can't corrupt the parse") {
+    val t = tmpTable()
+    // "removes" as a column name: its cols entry would terminate the
+    // adds block early and shadow the real removal list — it must be
+    // excluded from stats instead
+    LogTable.create(spark, t,
+      (1L to 100L).map(i => (i, i * 2)).toDF("k", "removes"), "k")
+    LogTable.upsert(spark, t, Seq((5L, 999L)).toDF("k", "removes"), "k")
+    val r = LogTable.read(spark, t)
+    assert(r.count() == 100L)
+    assert(r.filter(col("k") === 5L).head().getLong(1) == 999L)
+    // the manifest's real removal list survived the upsert (no stale
+    // resurrection): key 5's old row is gone, and no file entry carries
+    // a stats key shadowing a manifest field
+    val entries = LogTable.parse(Files.readString(
+      Files.list(Paths.get(t, "_log")).iterator().next())).adds
+    assert(entries.forall(e => !e.cols.contains("removes")))
   }
 
   test("property: manifest render/parse round-trips hostile names, stats, schema, checkpoint") {

@@ -65,8 +65,9 @@ object LogWarehouse extends WarehouseStore {
         // may have claimed v1 in between. create fails loudly rather
         // than letting both batches land (same-key duplicates); the
         // loser's batch is still owed to the table — retry as the
-        // upsert it would have been a moment later.
-        case e: IllegalStateException if e.getMessage.contains("raced") =>
+        // upsert it would have been a moment later. The typed exception
+        // (not a message substring) is the contract with LogTable.create.
+        case _: graft.io.TableAlreadyExistsException =>
           graft.io.LogTable.upsert(spark, t, df, key)
       }
   }

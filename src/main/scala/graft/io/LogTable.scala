@@ -4,6 +4,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
+/** Thrown by [[LogTable.create]] when another writer claimed v1 first —
+  * a dedicated type so create-or-upsert callers (e.g.
+  * [[graft.etl.LogWarehouse.upsert]]) catch the RACE, not a message
+  * substring that a rewording would silently break. Extends
+  * IllegalStateException so pre-existing handlers keep working. */
+final class TableAlreadyExistsException(table: String)
+  extends IllegalStateException(
+    s"create($table) raced another writer — the table already exists")
+
 /** Minimal log-structured table format — the transaction-log shape the
   * K2/K3 keyed upsert needs once CONCURRENT writers exist (the r9
   * verdict's one remaining production gap: "at 100 TB concurrent
@@ -51,15 +60,23 @@ object LogTable {
 
   /** One immutable data file. `minKey`/`maxKey` are the primary-key
     * stats every write path prunes on; `cols` generalizes them to
-    * per-column [min, max] for EVERY integral column in the file (the
-    * Delta/Iceberg data-skipping core): [[readWhere]] prunes the file
-    * list on any of them from the manifest alone — zero footer reads —
-    * and a z-order compaction turns its 2-D locality into manifest-level
-    * skipping on both dimensions. A column that is all-NULL in a file
-    * carries no entry (no stats → never pruned on). */
+    * per-column [min, max] for every LONG-ENCODABLE column in the file
+    * (the Delta/Iceberg data-skipping core): integral columns as their
+    * values, TIMESTAMP as epoch micros, DATE as epoch days — the
+    * parquet footer already carries all three in those encodings.
+    * `colsD` carries DOUBLE/FLOAT bounds and `colsS` truncated STRING
+    * bounds (ASCII-safe, see the bound policy in [[writeData]]).
+    * [[readWhere]] prunes the file list on any of them from the
+    * manifest alone — zero footer reads — and a z-order compaction
+    * turns its 2-D locality into manifest-level skipping on both
+    * dimensions. A column that is all-NULL in a file (or whose bounds
+    * fail the safety policy) carries no entry (no stats → never pruned
+    * on — stats ADMIT, they never guarantee). */
   final case class FileEntry(
       file: String, minKey: Long, maxKey: Long, rows: Long,
-      cols: Map[String, (Long, Long)] = Map.empty)
+      cols: Map[String, (Long, Long)] = Map.empty,
+      colsD: Map[String, (Double, Double)] = Map.empty,
+      colsS: Map[String, (String, String)] = Map.empty)
 
   /** One commit. `schema` is the writer's DataFrame schema (Spark
     * StructType JSON) — readers apply the LATEST committed schema to the
@@ -78,7 +95,7 @@ object LogTable {
       schema: String = "", checkpoint: Boolean = false)
 
   private def logDir(table: String): Path = Paths.get(table, "_log")
-  private def dataDir(table: String): Path = Paths.get(table, "data")
+  private[graft] def dataDir(table: String): Path = Paths.get(table, "data")
   private def versionPath(table: String, v: Long): Path =
     logDir(table).resolve(f"v$v%08d.json")
 
@@ -93,7 +110,23 @@ object LogTable {
         else a.cols.toSeq.sortBy(_._1)
           .map { case (c, (lo, hi)) => s""""${esc(c)}":[$lo,$hi]""" }
           .mkString(""","cols":{""", ",", "}")
-      s"""{"file":"${esc(a.file)}","minKey":${a.minKey},"maxKey":${a.maxKey},"rows":${a.rows}$cols}"""
+      // Double.toString round-trips exactly through parseDouble; writeData
+      // never admits NaN/Infinity, so the rendered token is always a legal
+      // JSON number
+      val colsD =
+        if (a.colsD.isEmpty) ""
+        else a.colsD.toSeq.sortBy(_._1)
+          .map { case (c, (lo, hi)) => s""""${esc(c)}":[$lo,$hi]""" }
+          .mkString(""","colsD":{""", ",", "}")
+      // string bounds are ASCII-printable with JSON/regex-structural
+      // characters excluded at the source (writeData's bound policy), so
+      // esc() is belt-and-braces, not load-bearing
+      val colsS =
+        if (a.colsS.isEmpty) ""
+        else a.colsS.toSeq.sortBy(_._1)
+          .map { case (c, (lo, hi)) => s""""${esc(c)}":["${esc(lo)}","${esc(hi)}"]""" }
+          .mkString(""","colsS":{""", ",", "}")
+      s"""{"file":"${esc(a.file)}","minKey":${a.minKey},"maxKey":${a.maxKey},"rows":${a.rows}$cols$colsD$colsS}"""
     }.mkString("[", ",", "]")
     val removes = m.removes.map(f => s""""${esc(f)}"""").mkString("[", ",", "]")
     val ckpt = if (m.checkpoint) ""","checkpoint":true""" else ""
@@ -112,19 +145,33 @@ object LogTable {
     val version = longField(json, "version")
     val addsBlock = """"adds":\[(.*?)\],"removes"""".r
       .findFirstMatchIn(json).get.group(1)
-    // one level of nesting: each add object may carry a {"col":[lo,hi]}
-    // stats object
+    // one level of nesting: each add object may carry flat {"col":[lo,hi]}
+    // stats objects (cols / colsD / colsS)
+    def unesc(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\")
     val adds = """\{(?:[^{}]|\{[^{}]*\})*\}""".r.findAllIn(addsBlock).map { o =>
       val cols = """"cols":\{(.*?)\}""".r.findFirstMatchIn(o).map(_.group(1))
         .map { block =>
           """"((?:[^"\\]|\\.)+)":\[(-?\d+),(-?\d+)\]""".r.findAllMatchIn(block)
-            .map(m => m.group(1).replace("\\\"", "\"").replace("\\\\", "\\") ->
-              (m.group(2).toLong, m.group(3).toLong))
+            .map(m => unesc(m.group(1)) -> (m.group(2).toLong, m.group(3).toLong))
             .toMap
         }.getOrElse(Map.empty[String, (Long, Long)])
+      val colsD = """"colsD":\{(.*?)\}""".r.findFirstMatchIn(o).map(_.group(1))
+        .map { block =>
+          """"((?:[^"\\]|\\.)+)":\[([^,\]]+),([^,\]]+)\]""".r.findAllMatchIn(block)
+            .map(m => unesc(m.group(1)) ->
+              (m.group(2).toDouble, m.group(3).toDouble))
+            .toMap
+        }.getOrElse(Map.empty[String, (Double, Double)])
+      val colsS = """"colsS":\{(.*?)\}""".r.findFirstMatchIn(o).map(_.group(1))
+        .map { block =>
+          """"((?:[^"\\]|\\.)+)":\["((?:[^"\\]|\\.)*)","((?:[^"\\]|\\.)*)"\]""".r
+            .findAllMatchIn(block)
+            .map(m => unesc(m.group(1)) -> (unesc(m.group(2)), unesc(m.group(3))))
+            .toMap
+        }.getOrElse(Map.empty[String, (String, String)])
       FileEntry(""""file":"([^"]*)"""".r.findFirstMatchIn(o).get.group(1),
         longField(o, "minKey"), longField(o, "maxKey"), longField(o, "rows"),
-        cols)
+        cols, colsD, colsS)
     }.toSeq
     val removesBlock = """"removes":\[(.*?)\]""".r
       .findFirstMatchIn(json).get.group(1)
@@ -162,7 +209,7 @@ object LogTable {
     (v, fs)
   }
 
-  private def snapshotWithSchema(
+  private[graft] def snapshotWithSchema(
       table: String, asOf: Option[Long])
       : (Long, Seq[FileEntry], Option[org.apache.spark.sql.types.StructType]) = {
     val ms = manifests(table).filter(m => asOf.forall(m.version <= _))
@@ -250,8 +297,7 @@ object LogTable {
     try Files.createLink(versionPath(table, 1L), tmp)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
-        throw new IllegalStateException(
-          s"create($table) raced another writer — the table already exists")
+        throw new TableAlreadyExistsException(table)
     } finally Files.deleteIfExists(tmp)
   }
 
@@ -264,7 +310,22 @@ object LogTable {
     * append becomes impossible because the manifest IS the commit. */
   def append(spark: SparkSession, table: String, df: DataFrame, keyCol: String): Unit = {
     if (df.isEmpty) return
-    val (snapVersion, _, snapSchema) = snapshotWithSchema(table, None)
+    val (snapVersion, liveNow, committedSchema) = snapshotWithSchema(table, None)
+    // A PRE-EVOLUTION table (every manifest carries an empty schema) has
+    // live files whose shape the log doesn't know — but line "schema ="
+    // below COMMITS the batch's schema as the table's, and readers apply
+    // the latest committed schema to the whole snapshot. Skipping the
+    // compatibility/union step here would let a narrower batch
+    // permanently hide the legacy files' missing columns (and a same-name
+    // different-type batch poison every later read). Infer the legacy
+    // shape from the live files' parquet footers (one footer read, once
+    // per legacy table — every commit after this carries a schema) and
+    // run the SAME evolution logic.
+    val snapSchema = committedSchema.orElse {
+      if (liveNow.isEmpty) None
+      else Some(spark.read.parquet(
+        liveNow.map(f => dataDir(table).resolve(f.file).toString): _*).schema)
+    }
     // schema evolution on append: the committed schema is the union of
     // the table's columns and the batch's (new columns surface as typed
     // NULLs on older files at read time — see readFiles)
@@ -330,7 +391,8 @@ object LogTable {
       val merged = survivors.unionByName(inc, allowMissingColumns = true)
       val adds = writeData(spark, table, merged, keyCol)
       commit(table, snapVersion, adds, removes = touched.map(_.file),
-        reRun = () => attempt(), schema = merged.schema.json)
+        reRun = () => attempt(), schema = merged.schema.json,
+        keyRange = Some((lo, hi)))
     }
     attempt()
   }
@@ -425,29 +487,104 @@ object LogTable {
       val adds = writeData(spark, table, out, keyCol)
       commit(table, snapVersion, adds, removes = touched.map(_.file),
         reRun = () => attempt(),
-        schema = snapSchema.map(_.json).getOrElse(src.schema.json))
+        schema = snapSchema.map(_.json).getOrElse(src.schema.json),
+        keyRange = Some((lo, hi)))
     }
     attempt()
   }
 
-  /** Stats-pruned read on ANY integral column: files whose manifest
+  // ---- stats-pruned reads on ANY stats-bearing column ----
+
+  /** A typed [lo, hi] window against one manifest stats family. */
+  private[graft] sealed trait StatBound
+  private[graft] final case class LongBound(lo: Long, hi: Long) extends StatBound
+  private[graft] final case class DblBound(lo: Double, hi: Double) extends StatBound
+  private[graft] final case class StrBound(lo: String, hi: String) extends StatBound
+
+  /** File-level admission: a file with no stats for the column (all-NULL
+    * there, or written before the column existed, or bounds dropped by a
+    * safety policy) is conservatively KEPT. */
+  private[graft] def admits(f: FileEntry, column: String, b: StatBound): Boolean =
+    b match {
+      case LongBound(lo, hi) =>
+        f.cols.get(column).forall { case (mn, mx) => mn <= hi && mx >= lo }
+      case DblBound(lo, hi) =>
+        f.colsD.get(column).forall { case (mn, mx) => mn <= hi && mx >= lo }
+      case StrBound(lo, hi) =>
+        f.colsS.get(column).forall { case (mn, mx) =>
+          mn.compareTo(hi) <= 0 && mx.compareTo(lo) >= 0 }
+    }
+
+  /** (files admitted, live files) for the last [[readWhere]] — spec/bench
+    * observability of manifest pruning, mirroring PagedOrders' fetched
+    * counter; never control flow. */
+  private[graft] val lastWherePlanned = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[graft] val lastWhereTotal = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def readWhereBound(
+      spark: SparkSession, table: String, column: String,
+      b: StatBound, residual: org.apache.spark.sql.Column): DataFrame = {
+    val (_, snapshot, schema) = snapshotWithSchema(table, None)
+    val fs = snapshot.filter(admits(_, column, b))
+    lastWhereTotal.set(snapshot.size)
+    lastWherePlanned.set(fs.size)
+    if (fs.isEmpty) return spark.emptyDataFrame
+    readFiles(spark, table, fs, schema).filter(residual)
+  }
+
+  /** Stats-pruned read on an INTEGRAL column: files whose manifest
     * [min, max] for `column` misses [lo, hi] never reach the scan, and
-    * files with no stats for it (all-NULL there, or written before the
-    * column existed) are conservatively kept. With a z-order-compacted
-    * layout ([[compact]]'s `zorderBy`) this prunes on BOTH z dimensions
-    * from the manifest alone — the lakehouse data-skipping contract,
-    * with zero footer reads. The residual predicate applies on top. */
+    * files with no stats for it are conservatively kept. With a
+    * z-order-compacted layout ([[compact]]'s `zorderBy`) this prunes on
+    * BOTH z dimensions from the manifest alone — the lakehouse
+    * data-skipping contract, with zero footer reads. The residual
+    * predicate applies on top (stats admit, they don't guarantee). */
   def readWhere(
       spark: SparkSession, table: String, column: String,
-      lo: Long, hi: Long): DataFrame = {
-    val (_, snapshot, schema) = snapshotWithSchema(table, None)
-    val fs = snapshot.filter(_.cols.get(column).forall {
-      case (mn, mx) => mn <= hi && mx >= lo
-    })
-    if (fs.isEmpty) return spark.emptyDataFrame
-    readFiles(spark, table, fs, schema)
-      .filter(col(column) >= lo && col(column) <= hi)
+      lo: Long, hi: Long): DataFrame =
+    readWhereBound(spark, table, column, LongBound(lo, hi),
+      col(column) >= lo && col(column) <= hi)
+
+  /** Stats-pruned read on a TIMESTAMP column: the manifest carries epoch
+    * micros (the INT64 footer value), so a watermark window — the
+    * reference's hottest predicate, `order_date > since` — skips files
+    * from the manifest alone. At 100 TB the nightly incremental read
+    * opens the day's files, never the table. */
+  def readWhere(
+      spark: SparkSession, table: String, column: String,
+      lo: java.time.Instant, hi: java.time.Instant): DataFrame = {
+    def micros(i: java.time.Instant): Long =
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    readWhereBound(spark, table, column, LongBound(micros(lo), micros(hi)),
+      col(column) >= lit(java.sql.Timestamp.from(lo)) &&
+        col(column) <= lit(java.sql.Timestamp.from(hi)))
   }
+
+  /** Stats-pruned read on a DATE column (manifest bounds in epoch days —
+    * the INT32 footer value). */
+  def readWhere(
+      spark: SparkSession, table: String, column: String,
+      lo: java.time.LocalDate, hi: java.time.LocalDate): DataFrame =
+    readWhereBound(spark, table, column, LongBound(lo.toEpochDay, hi.toEpochDay),
+      col(column) >= to_date(lit(lo.toString)) &&
+        col(column) <= to_date(lit(hi.toString)))
+
+  /** Stats-pruned read on a DOUBLE/FLOAT column. */
+  def readWhere(
+      spark: SparkSession, table: String, column: String,
+      lo: Double, hi: Double): DataFrame =
+    readWhereBound(spark, table, column, DblBound(lo, hi),
+      col(column) >= lo && col(column) <= hi)
+
+  /** Stats-pruned read on a STRING column. Manifest bounds are truncated
+    * ASCII (see [[writeData]]'s bound policy) whose ordering agrees with
+    * Spark's UTF8String byte comparison, so admission is conservative
+    * for any query bound. */
+  def readWhere(
+      spark: SparkSession, table: String, column: String,
+      lo: String, hi: String): DataFrame =
+    readWhereBound(spark, table, column, StrBound(lo, hi),
+      col(column) >= lo && col(column) <= hi)
 
   /** Key-range delete (retention expiry, erasure requests — the bulk
     * companion to [[upsert]]'s delete-then-insert). Files FULLY covered
@@ -476,7 +613,8 @@ object LogTable {
             .filter(col(keyCol) < lo || col(keyCol) > hi), keyCol)
       commit(table, snapVersion, adds, removes = touched.map(_.file),
         reRun = () => attempt(),
-        schema = snapSchema.map(_.json).getOrElse(""))
+        schema = snapSchema.map(_.json).getOrElse(""),
+        keyRange = Some((lo, hi)))
     }
     attempt()
   }
@@ -620,11 +758,61 @@ object LogTable {
       s"integral footer statistic expected, got ${other.getClass}")
   }
 
+  // ---- string bound policy (Iceberg-style truncate + successor) ----
+  //
+  // Manifest string bounds must (a) be cheap — truncated, not full
+  // values; (b) survive the flat-regex manifest parse — so only
+  // printable ASCII with JSON/regex-structural characters excluded; and
+  // (c) order consistently with BOTH parquet's unsigned-byte stats order
+  // and Spark's UTF8String comparison — guaranteed for ASCII, so a file
+  // whose footer bounds contain any non-ASCII char carries no string
+  // stats at all (admit-only: no stats just means no skipping).
+
+  private val StrBoundMax = 24
+  private def strBoundSafe(c: Char): Boolean =
+    c >= 0x20 && c <= 0x7e && !"{}[]\"\\".contains(c)
+
+  /** Longest renderable prefix — always a valid LOWER bound (a prefix
+    * compares <= the full value; possibly empty, which admits all). */
+  private def strLowerBound(s: String): String =
+    s.takeWhile(strBoundSafe).take(StrBoundMax)
+
+  /** The value itself when short and fully renderable, else the smallest
+    * renderable SUCCESSOR of the safe prefix (bump the rightmost char
+    * that has a safe successor, drop the tail — every value with that
+    * prefix compares strictly below it), else None → stats dropped. */
+  private def strUpperBound(s: String): Option[String] = {
+    val p = s.takeWhile(strBoundSafe).take(StrBoundMax)
+    if (p == s) Some(s)
+    else {
+      val i = p.lastIndexWhere(c =>
+        ((c + 1) to 0x7e).exists(x => strBoundSafe(x.toChar)))
+      if (i < 0) None
+      else {
+        val next = ((p(i) + 1) to 0x7e).find(x => strBoundSafe(x.toChar)).get
+        Some(p.take(i) + next.toChar)
+      }
+    }
+  }
+
   private def writeData(
       spark: SparkSession, table: String, df: DataFrame, keyCol: String): Seq[FileEntry] = {
     val staging = Files.createTempDirectory(dataDir(table), ".staging-")
     try {
-      df.write.mode("overwrite").parquet(staging.toString)
+      // Timestamps land as INT64 micros, not Spark's default INT96:
+      // parquet writes NO footer statistics for INT96, so the default
+      // would silently disable all timestamp skipping (and the manifest's
+      // micros encoding is exactly the INT64 physical value). Session
+      // conf is saved/restored — the library must not leak a conf change
+      // into the caller's session.
+      val tsKey = "spark.sql.parquet.outputTimestampType"
+      val prevTs = spark.conf.getOption(tsKey)
+      spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+      try df.write.mode("overwrite").parquet(staging.toString)
+      finally prevTs match {
+        case Some(v) => spark.conf.set(tsKey, v)
+        case None => spark.conf.unset(tsKey)
+      }
       // stats keys must survive the flat-regex manifest parse: a column
       // name carrying JSON structure characters OR shadowing a manifest
       // field name ("removes" as a cols key would terminate the adds
@@ -633,13 +821,24 @@ object LogTable {
       // never affected: its stats land in the anonymous minKey/maxKey
       // fields whatever its name.
       val reserved = Set("file", "minKey", "maxKey", "rows", "cols",
-        "version", "adds", "removes", "schema", "checkpoint")
+        "colsD", "colsS", "version", "adds", "removes", "schema", "checkpoint")
       val statSafe = (n: String) => n.nonEmpty && !reserved(n) &&
         n.forall(c => !"\"\\{}[]:,".contains(c))
-      val integral = df.schema.fields.collect {
-        case f if f.dataType == org.apache.spark.sql.types.LongType ||
-          f.dataType == org.apache.spark.sql.types.IntegerType ||
-          f.dataType == org.apache.spark.sql.types.ShortType => f.name
+      import org.apache.spark.sql.types._
+      // long-encodable columns: integrals as themselves, TIMESTAMP as
+      // epoch micros (INT64 physical value under TIMESTAMP_MICROS), DATE
+      // as epoch days (INT32 physical value) — all three arrive from the
+      // footer already in the manifest encoding
+      val longEnc = df.schema.fields.collect {
+        case f if f.dataType == LongType || f.dataType == IntegerType ||
+          f.dataType == ShortType || f.dataType == DateType ||
+          f.dataType == TimestampType => f.name
+      }.toSet
+      val dblEnc = df.schema.fields.collect {
+        case f if f.dataType == DoubleType || f.dataType == FloatType => f.name
+      }.toSet
+      val strEnc = df.schema.fields.collect {
+        case f if f.dataType == StringType => f.name
       }.toSet
       val conf = spark.sessionState.newHadoopConf()
       import scala.jdk.CollectionConverters._
@@ -653,33 +852,83 @@ object LogTable {
         val in = org.apache.parquet.hadoop.util.HadoopInputFile
           .fromPath(new org.apache.hadoop.fs.Path(p.toUri), conf)
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        val (rows, stats) =
+        val (rows, stats, statsD, statsS) =
           try {
             var rows = 0L
             val lo = scala.collection.mutable.Map.empty[String, Long]
             val hi = scala.collection.mutable.Map.empty[String, Long]
+            val loD = scala.collection.mutable.Map.empty[String, Double]
+            val hiD = scala.collection.mutable.Map.empty[String, Double]
+            val loS = scala.collection.mutable.Map.empty[String, String]
+            val hiS = scala.collection.mutable.Map.empty[String, String]
+            // columns whose footer bounds fail a safety policy (NaN/Inf
+            // doubles, non-ASCII strings) drop out of the file's stats
+            // entirely — a partial bound would prune wrongly
+            val unsafe = scala.collection.mutable.Set.empty[String]
             reader.getFooter.getBlocks.forEach { block =>
               rows += block.getRowCount
               block.getColumns.forEach { chunk =>
                 // exact TOP-LEVEL path match (single segment), so a
                 // dotted column name can never alias a nested field
                 val segs = chunk.getPath.iterator().asScala.toSeq
-                if (segs.length == 1 && integral(segs.head)) {
+                val st = chunk.getStatistics
+                // a chunk with SOME nulls still carries min/max over
+                // its non-null values — matching SQL min/max; an
+                // all-null (or stat-less) chunk contributes nothing
+                if (segs.length == 1 && st != null && st.hasNonNullValue) {
                   val name = segs.head
-                  val st = chunk.getStatistics
-                  // a chunk with SOME nulls still carries min/max over
-                  // its non-null values — matching SQL min/max; an
-                  // all-null (or stat-less) chunk contributes nothing
-                  if (st != null && st.hasNonNullValue) {
+                  if (longEnc(name)) {
                     val (mn, mx) = (statLong(st.genericGetMin.asInstanceOf[AnyRef]),
                       statLong(st.genericGetMax.asInstanceOf[AnyRef]))
                     lo(name) = lo.get(name).fold(mn)(math.min(_, mn))
                     hi(name) = hi.get(name).fold(mx)(math.max(_, mx))
+                  } else if (dblEnc(name)) {
+                    def d(v: AnyRef): Double = v match {
+                      case x: java.lang.Double => x
+                      case x: java.lang.Float => x.toDouble
+                      case other => throw new IllegalStateException(
+                        s"floating footer statistic expected, got ${other.getClass}")
+                    }
+                    val (mn, mx) = (d(st.genericGetMin.asInstanceOf[AnyRef]),
+                      d(st.genericGetMax.asInstanceOf[AnyRef]))
+                    // NaN poisons ordering and ±Inf isn't a JSON number;
+                    // parquet's own NaN handling is unreliable — drop
+                    if (mn.isNaN || mx.isNaN || mn.isInfinite || mx.isInfinite)
+                      unsafe += name
+                    else {
+                      loD(name) = loD.get(name).fold(mn)(math.min(_, mn))
+                      hiD(name) = hiD.get(name).fold(mx)(math.max(_, mx))
+                    }
+                  } else if (strEnc(name)) {
+                    def s(v: AnyRef): String = v match {
+                      case b: org.apache.parquet.io.api.Binary =>
+                        new String(b.getBytes, java.nio.charset.StandardCharsets.UTF_8)
+                      case other => throw new IllegalStateException(
+                        s"binary footer statistic expected, got ${other.getClass}")
+                    }
+                    val (mn, mx) = (s(st.genericGetMin.asInstanceOf[AnyRef]),
+                      s(st.genericGetMax.asInstanceOf[AnyRef]))
+                    // Java's UTF-16 compare and parquet/UTF8String byte
+                    // order agree only on ASCII — a non-ASCII bound
+                    // could mis-merge across row groups AND mis-compare
+                    // against query bounds: drop the column's stats
+                    if (mn.exists(_ >= 0x80) || mx.exists(_ >= 0x80))
+                      unsafe += name
+                    else {
+                      loS(name) = loS.get(name).fold(mn)(o => if (mn < o) mn else o)
+                      hiS(name) = hiS.get(name).fold(mx)(o => if (mx > o) mx else o)
+                    }
                   }
                 }
               }
             }
-            (rows, lo.keys.map(c => c -> (lo(c), hi(c))).toMap)
+            val strBounds = loS.keys.filterNot(unsafe).flatMap { c =>
+              strUpperBound(hiS(c)).map(ub => c -> (strLowerBound(loS(c)), ub))
+            }.toMap
+            (rows,
+              lo.keys.map(c => c -> (lo(c), hi(c))).toMap,
+              loD.keys.filterNot(unsafe).map(c => c -> (loD(c), hiD(c))).toMap,
+              strBounds)
           } finally reader.close()
         if (rows == 0L) None // empty part: never registered, swept below
         else {
@@ -689,7 +938,9 @@ object LogTable {
           val name = s"${java.util.UUID.randomUUID().toString}.parquet"
           Files.move(p, dataDir(table).resolve(name), StandardCopyOption.ATOMIC_MOVE)
           Some(FileEntry(name, kLo, kHi, rows,
-            stats.view.filterKeys(statSafe).toMap))
+            stats.view.filterKeys(statSafe).toMap,
+            statsD.view.filterKeys(statSafe).toMap,
+            statsS.view.filterKeys(statSafe).toMap))
         }
       }
     } finally {
@@ -714,8 +965,12 @@ object LogTable {
     *
     * Deployment note: run under the same retention discipline as any
     * lakehouse VACUUM — a reader older than the retention window can
-    * lose its manifests mid-fold. */
-  def truncateHistory(table: String, keepLast: Int): (Int, Int) = {
+    * lose its manifests mid-fold, and `vacuumGraceMillis` (see
+    * [[vacuum]]) must exceed the longest writer stage-to-commit latency
+    * so the trailing GC never deletes a file an in-flight writer staged
+    * but has not yet referenced. */
+  def truncateHistory(
+      table: String, keepLast: Int, vacuumGraceMillis: Long = 0L): (Int, Int) = {
     require(keepLast >= 0, "keepLast must be >= 0")
     val ms = manifests(table)
     if (ms.isEmpty) return (0, 0)
@@ -735,49 +990,79 @@ object LogTable {
       StandardCopyOption.REPLACE_EXISTING)
     val dropped = ms.filter(_.version < cut)
     dropped.foreach(m => Files.deleteIfExists(versionPath(table, m.version)))
-    (dropped.size, vacuum(table).size)
+    (dropped.size, vacuum(table, vacuumGraceMillis).size)
   }
 
   /** Garbage-collect data files NO version references — the debris of
     * crashed or race-losing writers. Files referenced by ANY manifest
     * (including superseded versions) are kept so time travel stays
     * valid; dropping history would be a separate, explicitly-destructive
-    * log truncation. Returns the deleted file names. */
-  def vacuum(table: String): Seq[String] = {
+    * log truncation. Returns the deleted file names.
+    *
+    * `graceMillis` is the standard lakehouse VACUUM guard against a
+    * maintenance-vs-writer race: [[writeData]] moves staged part files
+    * into `data/` BEFORE the commit manifest lands, so a file younger
+    * than the grace window may belong to an in-flight writer about to
+    * reference it — deleting it would commit a manifest pointing at
+    * nothing. The default 0 is the single-writer/test convenience;
+    * PRODUCTION deployments with concurrent writers must set it above
+    * the longest write-stage-to-commit latency (minutes are plenty —
+    * the stage-to-commit window is one footer pass + one file link). */
+  def vacuum(table: String, graceMillis: Long = 0L): Seq[String] = {
     val referenced = manifests(table).flatMap(_.adds.map(_.file)).toSet
     val dir = dataDir(table)
     if (!Files.isDirectory(dir)) return Seq.empty
+    val cutoff = System.currentTimeMillis() - graceMillis
     import scala.jdk.CollectionConverters._
     val it = Files.list(dir)
     val orphans =
       try it.iterator().asScala
         .filter(p => Files.isRegularFile(p) &&
           p.getFileName.toString.endsWith(".parquet") &&
-          !referenced(p.getFileName.toString))
+          !referenced(p.getFileName.toString) &&
+          (graceMillis <= 0L ||
+            Files.getLastModifiedTime(p).toMillis <= cutoff))
         .toSeq
       finally it.close()
     orphans.map { p => Files.deleteIfExists(p); p.getFileName.toString }
   }
+
+  /** Test seam: invoked once at the top of every [[commit]] attempt —
+    * lets a spec deterministically land a racing commit INSIDE another
+    * writer's read-compute-commit window (the race is otherwise a
+    * nondeterministic thread interleaving). Production value is a no-op;
+    * never control flow. */
+  private[io] var onCommitAttempt: () => Unit = () => ()
 
   /** Optimistic commit: atomically create version `snapshotVersion + 1`
     * — the version pinned when the caller read its snapshot, NOT the
     * current head (re-reading the head here would silently skip
     * validation of any commit that landed in between: the TOCTOU
     * LogTableSpec's conflicting-upsert test forces). If the claim is
-    * lost: when none of our removed files was removed by the
-    * intervening commits, our read set is untouched — re-claim at the
-    * new head; otherwise the snapshot is stale and `reRun` recomputes
-    * the whole delta against it. Bounded so a pathological storm fails
-    * loudly. */
+    * lost, the conflict check is two-sided, the WriteSerializable core:
+    *
+    *   - REMOVED files: when an intervening commit removed a file we
+    *     based our delta on, the snapshot is stale — `reRun` recomputes;
+    *   - ADDED files: when an intervening commit ADDED a file whose key
+    *     range intersects this operation's `keyRange`, re-claiming would
+    *     produce a state no serial order allows (two upserts of a key no
+    *     existing file covered would BOTH land — duplicate keys; an
+    *     append into a just-deleted range would survive the later
+    *     delete) — `reRun` recomputes against the racer's rows. The
+    *     check is manifest arithmetic (minKey/maxKey), zero file reads.
+    *
+    * Otherwise the read set is untouched and disjoint — re-claim at the
+    * new head. Bounded so a pathological storm fails loudly. */
   private def commit(
       table: String, snapshotVersion: Long, adds: Seq[FileEntry],
       removes: Seq[String], reRun: () => Unit, attempts: Int = 50,
-      schema: String = ""): Unit = {
+      schema: String = "", keyRange: Option[(Long, Long)] = None): Unit = {
     var expected = snapshotVersion
     var committedSchema = schema
     var tries = attempts
     while (tries > 0) {
       tries -= 1
+      onCommitAttempt()
       val v = expected + 1
       val m = Manifest(v, adds, removes, committedSchema)
       // Publish atomically: fully write the manifest to a hidden temp
@@ -796,8 +1081,17 @@ object LogTable {
         case _: java.nio.file.FileAlreadyExistsException =>
           Files.deleteIfExists(tmp)
           val (headNow, liveFiles, headSchema) = snapshotWithSchema(table, None)
-          if (!removes.forall(liveFiles.map(_.file).toSet)) {
-            // racer rewrote files we based our delta on — recompute
+          // added-file conflict: every manifest above the ORIGINAL
+          // snapshot is a racer's (ours never landed); a checkpoint
+          // manifest in range re-lists old files and may force a
+          // spurious reRun — safe, merely conservative
+          val addedConflict = keyRange.exists { case (lo, hi) =>
+            manifests(table).filter(_.version > snapshotVersion)
+              .exists(_.adds.exists(a => a.minKey <= hi && a.maxKey >= lo))
+          }
+          if (!removes.forall(liveFiles.map(_.file).toSet) || addedConflict) {
+            // racer rewrote files we based our delta on, or landed rows
+            // inside our key range — recompute
             reRun()
             return
           }

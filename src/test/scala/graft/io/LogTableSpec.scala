@@ -610,6 +610,164 @@ class LogTableSpec extends AnyFunSuite {
     assert(r.collect().map(_.getLong(0)).toSet == (10L to 20L).toSet)
   }
 
+  test("typed manifest stats: timestamp, date, double, and string columns all prune files") {
+    val t = tmpTable()
+    // every secondary column correlates with k, so a k-range layout is
+    // tight in all of them — pruning on any column should hit ~1 file
+    val base = (1L to 8000L).map(i => (i, i.toDouble / 10.0, f"s$i%05d"))
+      .toDF("k", "d", "s")
+      .withColumn("ts", col("k").cast("timestamp"))
+      .withColumn("day", date_add(lit("1970-01-01").cast("date"), col("k").cast("int")))
+      .repartitionByRange(8, col("k"))
+    LogTable.create(spark, t, base, "k")
+    val all = LogTable.read(spark, t).inputFiles.length
+    assert(all >= 8)
+
+    val ts = LogTable.readWhere(spark, t, "ts",
+      java.time.Instant.ofEpochSecond(1400L), java.time.Instant.ofEpochSecond(1490L))
+    assert(ts.inputFiles.length == 1,
+      s"timestamp window opened ${ts.inputFiles.length} of $all files")
+    assert(ts.collect().map(_.getAs[Long]("k")).toSet == (1400L to 1490L).toSet)
+
+    val dy = LogTable.readWhere(spark, t, "day",
+      java.time.LocalDate.ofEpochDay(2400L), java.time.LocalDate.ofEpochDay(2490L))
+    assert(dy.inputFiles.length == 1,
+      s"date window opened ${dy.inputFiles.length} of $all files")
+    assert(dy.collect().map(_.getAs[Long]("k")).toSet == (2400L to 2490L).toSet)
+
+    val dd = LogTable.readWhere(spark, t, "d", 350.05, 359.0)
+    assert(dd.inputFiles.length == 1,
+      s"double window opened ${dd.inputFiles.length} of $all files")
+    assert(dd.collect().map(_.getAs[Long]("k")).toSet == (3501L to 3590L).toSet)
+
+    // zero-padded strings order like their numbers, so the layout is
+    // tight in s too
+    val ss = LogTable.readWhere(spark, t, "s", "s04400", "s04490")
+    assert(ss.inputFiles.length == 1,
+      s"string window opened ${ss.inputFiles.length} of $all files")
+    assert(ss.collect().map(_.getAs[Long]("k")).toSet == (4400L to 4490L).toSet)
+  }
+
+  test("string bounds: long values truncate to a valid window, non-ASCII drops stats, both stay correct") {
+    val t = tmpTable()
+    val longStr = (1L to 100L).map(i => (i, f"prefix-prefix-prefix-prefix-$i%04d"))
+      .toDF("k", "s")
+    LogTable.create(spark, t, longStr, "k")
+    val entry = LogTable.parse(Files.readString(
+      Files.list(Paths.get(t, "_log")).iterator().next())).adds.head
+    val (lo, hi) = entry.colsS("s")
+    assert(lo.length <= 24 && hi.length <= 25,
+      s"string bounds not truncated: '$lo' / '$hi'")
+    assert(lo <= "prefix-prefix-prefix-prefix-0001" &&
+      hi >= "prefix-prefix-prefix-prefix-0100",
+      s"truncated bounds must still admit every value: ['$lo','$hi']")
+    // a window inside the common prefix admits the file and answers right
+    val r = LogTable.readWhere(spark, t,
+      "s", "prefix-prefix-prefix-prefix-0010", "prefix-prefix-prefix-prefix-0020")
+    assert(r.collect().map(_.getLong(0)).toSet == (10L to 20L).toSet)
+
+    // non-ASCII bounds: stats are dropped (byte order vs UTF-16 order
+    // diverge), the file is conservatively admitted, answers stay exact
+    val t2 = tmpTable()
+    LogTable.create(spark, t2,
+      (1L to 50L).map(i => (i, s"é$i")).toDF("k", "s"), "k")
+    val e2 = LogTable.parse(Files.readString(
+      Files.list(Paths.get(t2, "_log")).iterator().next())).adds.head
+    assert(!e2.colsS.contains("s"), "non-ASCII bounds must not be committed")
+    assert(LogTable.readWhere(spark, t2, "s", "é1", "é2")
+      .collect().map(_.getLong(0)).nonEmpty)
+  }
+
+  test("added-file conflict: a racer's insert into an uncovered key range forces recompute, not duplicates") {
+    val t = tmpTable()
+    LogTable.create(spark, t,
+      (1L to 10L).map(i => (i, s"base$i")).toDF("k", "v"), "k")
+    // the racer lands key 100 INSIDE our upsert's read-compute-commit
+    // window — no existing file covers 100, so the remove-set check
+    // alone would re-claim and let BOTH rows go live (the WriteSerializable
+    // anomaly the added-file check closes)
+    LogTable.onCommitAttempt = () => {
+      LogTable.onCommitAttempt = () => () // fire once; the racer commits too
+      LogTable.append(spark, t, Seq((100L, "racer")).toDF("k", "v"), "k")
+    }
+    try LogTable.upsert(spark, t, Seq((100L, "ours")).toDF("k", "v"), "k")
+    finally LogTable.onCommitAttempt = () => ()
+    val r = LogTable.read(spark, t)
+    val k100 = r.filter(col("k") === 100L).collect()
+    assert(k100.length == 1,
+      s"duplicate key after added-file race: ${k100.length} rows for k=100")
+    // serializable outcome = append-then-upsert: the upsert's value wins
+    assert(k100.head.getString(1) == "ours")
+    assert(r.count() == 11L)
+  }
+
+  test("deleteRange vs racing append into the range: the delete serializes after, rows do not survive") {
+    val t = tmpTable()
+    LogTable.create(spark, t,
+      (1L to 10L).map(i => (i, s"base$i")).toDF("k", "v"), "k")
+    LogTable.onCommitAttempt = () => {
+      LogTable.onCommitAttempt = () => ()
+      LogTable.append(spark, t, Seq((150L, "late")).toDF("k", "v"), "k")
+    }
+    try LogTable.deleteRange(spark, t, "k", 5L, 200L)
+    finally LogTable.onCommitAttempt = () => ()
+    val r = LogTable.read(spark, t)
+    assert(r.filter(col("k") === 150L).isEmpty,
+      "a row appended inside the deleted range survived the delete that committed after it")
+    assert(rows(r) == (1L to 4L).map(i => (i, s"base$i")).toSet)
+  }
+
+  test("append to a pre-evolution table: legacy file schema is inferred, narrow batches can't hide columns") {
+    val t = tmpTable()
+    LogTable.create(spark, t, Seq((1L, "a", 10L)).toDF("k", "v", "extra"), "k")
+    // strip committed schemas → the legacy shape (manifests written
+    // before schema evolution existed)
+    import scala.jdk.CollectionConverters._
+    Files.list(Paths.get(t, "_log")).iterator().asScala.toSeq.foreach { p =>
+      val m = LogTable.parse(Files.readString(p))
+      Files.writeString(p, LogTable.render(m.copy(schema = "")))
+    }
+    // a narrower batch must not become the committed schema as-is — the
+    // legacy file's 'extra' column would vanish from every later read
+    LogTable.append(spark, t, Seq((2L, "b")).toDF("k", "v"), "k")
+    val r = LogTable.read(spark, t)
+    assert(r.columns.toSeq == Seq("k", "v", "extra"),
+      s"legacy columns hidden after narrow append: ${r.columns.toSeq}")
+    val byK = r.collect().map(x => x.getAs[Long]("k") ->
+      (x.getAs[String]("v"), Option(x.getAs[Any]("extra")))).toMap
+    assert(byK(1L) == ("a", Some(10L)) && byK(2L) == ("b", None))
+    // and type drift against the INFERRED schema still fails loudly
+    val t2 = tmpTable()
+    LogTable.create(spark, t2, Seq((1L, "a")).toDF("k", "v"), "k")
+    Files.list(Paths.get(t2, "_log")).iterator().asScala.toSeq.foreach { p =>
+      val m = LogTable.parse(Files.readString(p))
+      Files.writeString(p, LogTable.render(m.copy(schema = "")))
+    }
+    val e = intercept[IllegalArgumentException](
+      LogTable.append(spark, t2, Seq((2L, 9L)).toDF("k", "v"), "k"))
+    assert(e.getMessage.contains("type changes are not evolution"))
+  }
+
+  test("vacuum grace window: young unreferenced files survive (in-flight writer guard)") {
+    val t = tmpTable()
+    LogTable.create(spark, t, Seq((1L, "a")).toDF("k", "v"), "k")
+    // a freshly-staged file an in-flight writer is about to reference
+    Files.write(Paths.get(t, "data", "22222222-staged.parquet"), Array[Byte](1))
+    assert(LogTable.vacuum(t, graceMillis = 600000L).isEmpty,
+      "grace-window vacuum deleted a young file")
+    assert(Files.exists(Paths.get(t, "data", "22222222-staged.parquet")))
+    // without grace (single-writer maintenance) it goes
+    assert(LogTable.vacuum(t) == Seq("22222222-staged.parquet"))
+  }
+
+  test("create on an existing table throws the typed TableAlreadyExistsException") {
+    val t = tmpTable()
+    LogTable.create(spark, t, Seq((1L, "a")).toDF("k", "v"), "k")
+    intercept[TableAlreadyExistsException](
+      LogTable.create(spark, t, Seq((2L, "b")).toDF("k", "v"), "k"))
+    assert(rows(LogTable.read(spark, t)) == Set((1L, "a")))
+  }
+
   test("time travel: earlier versions stay readable after upserts") {
     val t = tmpTable()
     LogTable.create(spark, t, Seq((1L, "v1a"), (2L, "v1b")).toDF("k", "v"), "k")

@@ -207,7 +207,7 @@ object Bench {
     // is the like-for-like query-engine comparison.
     val storageSec = results.collect {
       case (k, v) if k.startsWith("k1") && k.length > 2 &&
-        k(2).isDigit && Set("k11", "k12", "k13", "k14")(k.take(3)) => v
+        k(2).isDigit && Set("k11", "k12", "k13", "k14", "k15")(k.take(3)) => v
     }.sum
     val metric =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warm":$warmJson,"total_warm":$totalWarm,"storage_sec":$storageSec,"errors":$errs,"import_sec":$importSec,"sf":"$sfDir"}"""

@@ -829,10 +829,13 @@ object LogTable {
       // epoch micros (INT64 physical value under TIMESTAMP_MICROS), DATE
       // as epoch days (INT32 physical value) — all three arrive from the
       // footer already in the manifest encoding
+      // TimestampNTZ rides the same micros encoding: parquet stores it
+      // as INT64 micros unconditionally (only the zoned type has the
+      // INT96 legacy), and Spark 4 infers NTZ for pandas-written fixtures
       val longEnc = df.schema.fields.collect {
         case f if f.dataType == LongType || f.dataType == IntegerType ||
           f.dataType == ShortType || f.dataType == DateType ||
-          f.dataType == TimestampType => f.name
+          f.dataType == TimestampType || f.dataType == TimestampNTZType => f.name
       }.toSet
       val dblEnc = df.schema.fields.collect {
         case f if f.dataType == DoubleType || f.dataType == FloatType => f.name

@@ -422,6 +422,38 @@ object EtlQueries {
              |ORDER BY order_id""".stripMargin),
     ),
 
+    // K15 — the reference's hottest predicate (the orders-since
+    // watermark window, reference run.py:148-152 / dashboard app.py:31)
+    // served THROUGH the graft-log DSv2 connector: the orders fact lands
+    // in a log table laid out by order_date, then the query is plain
+    // `spark.read.format("graft-log").load(t).filter(order_date >= X)` —
+    // SupportsPushDownFilters maps the predicate onto the manifest's
+    // epoch-micros bounds and the scan plans ONLY the files whose date
+    // range intersects the window (LogConnectorSpec pins the pruned file
+    // count; at 100 TB the nightly incremental read opens the tail
+    // files, never the table). The oracle sees only the semantics.
+    QueryDef(
+      "k15_log_timewindow",
+      (s, d) => {
+        val orders = Tables.orders(s, d).select(
+          col("o_orderkey").as("order_id"),
+          col("o_orderdate").as("order_date"),
+          col("o_orderstatus").as("status"),
+          col("o_totalprice").as("total"))
+        val t = java.nio.file.Files.createTempDirectory("graft-k15")
+          .resolve("orders_log").toString
+        graft.io.LogTable.create(s, t,
+          orders.repartitionByRange(8, col("order_date")), "order_id")
+        s.read.format("graft-log").load(t)
+          .filter(col("order_date") >= lit("1997-01-01").cast("timestamp"))
+          .orderBy("order_id")
+      },
+      Some("""SELECT o_orderkey AS order_id, o_orderdate AS order_date,
+             |       o_orderstatus AS status, o_totalprice AS total
+             |FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+             |ORDER BY order_id""".stripMargin),
+    ),
+
     // K4/K6 — column alignment / schema migration: missing columns appear
     // as typed NULLs in canonical order.
     QueryDef(

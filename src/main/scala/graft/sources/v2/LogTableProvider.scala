@@ -77,14 +77,21 @@ object LogTableProvider {
 
   /** The committed schema at the snapshot — parquet inference only for
     * pre-evolution tables (manifests without a schema), empty for an
-    * empty table. */
+    * empty table. Reported all-NULLABLE, as Spark's own file sources
+    * treat a user schema: a column added by evolution is non-null in
+    * the batch that committed it but NULL on every earlier file, and a
+    * non-nullable field would make downstream projections read garbage
+    * zeros instead of those NULLs. */
   private[v2] def schemaOf(table: String, asOf: Option[Long]): StructType = {
-    val (_, files, schema) = LogTable.snapshotWithSchema(table, asOf)
-    schema.getOrElse {
-      if (files.isEmpty) new StructType()
-      else SparkSession.active.read.parquet(
-        files.map(f => LogTable.dataDir(table).resolve(f.file).toString): _*).schema
+    val committed = {
+      val (_, files, schema) = LogTable.snapshotWithSchema(table, asOf)
+      schema.getOrElse {
+        if (files.isEmpty) new StructType()
+        else SparkSession.active.read.parquet(
+          files.map(f => LogTable.dataDir(table).resolve(f.file).toString): _*).schema
+      }
     }
+    StructType(committed.fields.map(_.copy(nullable = true)))
   }
 }
 
@@ -135,6 +142,11 @@ class LogTableScanBuilder(path: String, tableSchema: StructType, asOf: Option[Lo
       Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
     case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
     case d: java.time.LocalDate => Some(d.toEpochDay)
+    // TimestampNTZ predicates arrive as LocalDateTime; NTZ micros are
+    // zone-free, so the UTC projection IS the stored encoding
+    case dt: java.time.LocalDateTime =>
+      val i = dt.toInstant(java.time.ZoneOffset.UTC)
+      Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
     case _ => None
   }
 
@@ -324,6 +336,7 @@ class LogFileReader(part: LogFilePartition) extends PartitionReader[InternalRow]
         case (BinaryType, _) => g => g.getBinary(name, 0).getBytes
         case (DateType, _) => g => g.getInteger(name, 0)
         case (TimestampType, PrimitiveTypeName.INT64) => g => g.getLong(name, 0)
+        case (TimestampNTZType, PrimitiveTypeName.INT64) => g => g.getLong(name, 0)
         case (TimestampType, PrimitiveTypeName.INT96) => g => {
           // legacy 12-byte little-endian (nanos-of-day, Julian day)
           val b = java.nio.ByteBuffer.wrap(g.getInt96(name, 0).getBytes)

@@ -1,0 +1,154 @@
+package graft.sources.v2
+
+import graft.SparkTestSession
+import graft.io.LogTable
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** The graft-log DSv2 connector's contracts: snapshot equality with the
+  * Scala API, manifest-stats file skipping driven by PUSHED filters
+  * (integral, timestamp, string), column pruning, time travel via
+  * option, and schema-evolution NULL semantics — all through
+  * `spark.read.format("graft-log")`, no Scala API at the call site. */
+class LogConnectorSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmpTable(): String =
+    Files.createTempDirectory("graft-logconn").resolve("t").toString
+
+  private def load(t: String) = spark.read.format("graft-log").load(t)
+
+  test("full read through the connector equals the Scala API snapshot") {
+    val t = tmpTable()
+    val base = (1L to 2000L)
+      .map(i => (i, s"v$i", i / 10.0, i % 2 == 0))
+      .toDF("k", "v", "score", "flag")
+      .withColumn("ts", col("k").cast("timestamp"))
+      .repartitionByRange(4, col("k"))
+    LogTable.create(spark, t, base, "k")
+    LogTable.upsert(spark, t,
+      Seq((5L, "up5", 0.5, true)).toDF("k", "v", "score", "flag")
+        .withColumn("ts", col("k").cast("timestamp")), "k")
+    val viaApi = LogTable.read(spark, t).orderBy("k").collect().toSeq
+    val viaConn = load(t).orderBy("k").collect().toSeq
+    assert(viaConn == viaApi, "connector snapshot diverged from LogTable.read")
+    assert(load(t).schema == LogTable.read(spark, t).schema)
+  }
+
+  test("pushed key filter prunes files from manifest stats; rows match the unpruned filter") {
+    val t = tmpTable()
+    LogTable.create(spark, t,
+      (1L to 8000L).map(i => (i, s"v$i")).toDF("k", "v")
+        .repartitionByRange(8, col("k")), "k")
+    val expected = LogTable.read(spark, t)
+      .filter(col("k") >= 3400L && col("k") <= 3490L)
+      .orderBy("k").collect().toSeq
+    val got = load(t).filter(col("k") >= 3400L && col("k") <= 3490L)
+      .orderBy("k").collect().toSeq
+    assert(got == expected)
+    val (kept, total) =
+      (LogTableScan.lastPlannedFiles.get(), LogTableScan.lastTotalFiles.get())
+    assert(total >= 8, s"expected >=8 live files, saw $total")
+    assert(kept == 1, s"pushed key window planned $kept of $total files")
+  }
+
+  test("pushed timestamp filter prunes on the manifest's micros bounds") {
+    val t = tmpTable()
+    LogTable.create(spark, t,
+      (1L to 8000L).map(i => (i, s"v$i")).toDF("k", "v")
+        .withColumn("ts", col("k").cast("timestamp"))
+        .repartitionByRange(8, col("ts")), "k")
+    // the watermark shape: ts >= cutoff (reference run.py's orders-since)
+    val cutoff = "1970-01-01 02:01:40" // epoch second 7300, inside the last bucket
+    val got = load(t).filter(col("ts") >= lit(cutoff).cast("timestamp"))
+      .orderBy("k").collect().map(_.getAs[Long]("k")).toSeq
+    assert(got == (7300L to 8000L).toSeq)
+    val (kept, total) =
+      (LogTableScan.lastPlannedFiles.get(), LogTableScan.lastTotalFiles.get())
+    assert(kept < total && kept <= 2,
+      s"timestamp watermark planned $kept of $total files — no manifest skipping")
+
+    // timestamp_ntz (what Spark 4 infers for the parquet fixtures): the
+    // predicate arrives as LocalDateTime and must hit the same micros
+    // bounds
+    val t2 = tmpTable()
+    LogTable.create(spark, t2,
+      (1L to 8000L).map(i => (i, s"v$i")).toDF("k", "v")
+        .withColumn("ts", col("k").cast("timestamp").cast("timestamp_ntz"))
+        .repartitionByRange(8, col("ts")), "k")
+    val got2 = load(t2).filter(col("ts") >= lit(cutoff).cast("timestamp_ntz"))
+      .orderBy("k").collect().map(_.getAs[Long]("k")).toSeq
+    assert(got2 == (7300L to 8000L).toSeq)
+    assert(LogTableScan.lastPlannedFiles.get() < LogTableScan.lastTotalFiles.get() &&
+      LogTableScan.lastPlannedFiles.get() <= 2,
+      s"NTZ watermark planned ${LogTableScan.lastPlannedFiles.get()} of " +
+        s"${LogTableScan.lastTotalFiles.get()} files — no manifest skipping")
+  }
+
+  test("pushed string and double filters prune; stat-less columns stay conservative") {
+    val t = tmpTable()
+    LogTable.create(spark, t,
+      (1L to 4000L).map(i => (i, f"s$i%05d", i / 10.0)).toDF("k", "s", "d")
+        .repartitionByRange(4, col("k")), "k")
+    val gotS = load(t).filter(col("s") >= "s01200" && col("s") <= "s01290")
+      .collect().map(_.getAs[Long]("k")).toSet
+    assert(gotS == (1200L to 1290L).toSet)
+    assert(LogTableScan.lastPlannedFiles.get() == 1,
+      s"string window planned ${LogTableScan.lastPlannedFiles.get()} files")
+    val gotD = load(t).filter(col("d") > 220.05 && col("d") < 229.05)
+      .collect().map(_.getAs[Long]("k")).toSet
+    assert(gotD == (2201L to 2290L).toSet)
+    assert(LogTableScan.lastPlannedFiles.get() == 1,
+      s"double window planned ${LogTableScan.lastPlannedFiles.get()} files")
+    // a predicate shape the connector can't map (IN-list) still answers
+    // exactly — every filter is residual by contract
+    val gotIn = load(t).filter(col("k").isin(5L, 3999L))
+      .collect().map(_.getAs[Long]("k")).toSet
+    assert(gotIn == Set(5L, 3999L))
+  }
+
+  test("column pruning narrows the parquet projection; count(*) needs zero data columns") {
+    val t = tmpTable()
+    LogTable.create(spark, t,
+      (1L to 1000L).map(i => (i, s"v$i", i * 2.0)).toDF("k", "v", "d"), "k")
+    assert(load(t).select("v").collect().map(_.getString(0)).toSet ==
+      (1L to 1000L).map(i => s"v$i").toSet)
+    assert(load(t).count() == 1000L)
+    // pruned single-column read through a pushed filter
+    assert(load(t).filter(col("k") <= 10L).select("d")
+      .collect().map(_.getDouble(0)).toSet == (1L to 10L).map(_ * 2.0).toSet)
+  }
+
+  test("asOf option time-travels; schema evolution serves typed NULLs through the connector") {
+    val t = tmpTable()
+    LogTable.create(spark, t, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "k")
+    val v1 = LogTable.version(t)
+    LogTable.append(spark, t, Seq((3L, "c", 30L)).toDF("k", "v", "score"), "k")
+    // head: evolved schema, pre-evolution files carry NULL score
+    val head = load(t).orderBy("k").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"),
+        Option(r.getAs[Any]("score")))).toSeq
+    assert(head == Seq((1L, "a", None), (2L, "b", None), (3L, "c", Some(30L))))
+    // asOf v1: the old schema, the old rows
+    val old = spark.read.format("graft-log").option("asOf", v1.toString).load(t)
+    assert(old.columns.toSeq == Seq("k", "v"))
+    assert(old.orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("manifest row statistics reach the optimizer: a pruned log read broadcasts on its own") {
+    val t = tmpTable()
+    LogTable.create(spark, t,
+      (1L to 8000L).map(i => (i, s"v$i")).toDF("k", "v")
+        .repartitionByRange(8, col("k")), "k")
+    val dim = load(t).filter(col("k") <= 900L) // ~1 file, ~900 rows by stats
+    val fact = (1L to 4000L).map(i => (i, i % 1000L)).toDF("fk", "k")
+    val joined = fact.join(dim, Seq("k"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"pruned connector read (stats ~900 rows) did not broadcast:\n$plan")
+    assert(joined.count() == fact.filter(col("k").between(1L, 900L)).count())
+  }
+}

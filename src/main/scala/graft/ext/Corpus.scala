@@ -48,31 +48,51 @@ object Corpus {
         explode(array_distinct(Dedup.shinglesFromTokens(col("toks"), n))).as("g"))
       .select(col("id"), md5(col("g")).as("m"))
 
-  /** The benchmark suite's distinct n-gram md5 set, collected to the
-    * driver — the precomputable half of [[benchmarkOverlap]]. Benchmark
-    * suites are FIXED artifacts (thousands of docs, extracted once,
-    * checked against every ingest batch), so extract this once per suite
-    * (cache via [[graft.io.ArtifactCache]]) and pass it to
-    * [[benchmarkOverlapIndexed]]. */
-  def benchmarkGramSet(
+  /** The benchmark suite's distinct n-gram md5 set, REGIME-DISPATCHED
+    * by measured size ([[graft.io.Regime.collectIfSmall]]) — the
+    * precomputable half of [[benchmarkOverlap]]. Benchmark suites are
+    * FIXED artifacts (thousands of docs, extracted once, checked against
+    * every ingest batch), so extract this once per suite (cache via
+    * [[graft.io.ArtifactCache]]) and pass it to
+    * [[benchmarkOverlapIndexed]].
+    *
+    * Left(collected grams) when provably driver-small — the real
+    * eval-suite case, served as a local-relation broadcast build.
+    * Right(persisted distributed frame) past the bound: a benchmark set
+    * scaled like a corpus (billions of grams) must NEVER transit the
+    * driver — it stays a frame and the overlap join runs un-hinted (AQE
+    * picks broadcast iff runtime size allows). Both regimes are
+    * value-identical (CorpusSpec pins it under a forced bound). */
+  def benchmarkGramIndex(
       df: DataFrame, idCol: String, textCol: String,
-      isBench: Column, n: Int): Seq[String] =
-    distinctGrams(df.filter(isBench), idCol, textCol, n)
-      .select(col("m")).distinct()
-      .collect().map(_.getString(0)).toIndexedSeq
+      isBench: Column, n: Int, key: String): Either[IndexedSeq[String], DataFrame] = {
+    // persist first: the Regime probe's limit-collect materializes the
+    // blocks, so an over-bound dispatch serves the SAME computed frame
+    // to the join instead of re-deriving the benchmark scan
+    val cp = distinctGrams(df.filter(isBench), idCol, textCol, n)
+      .select(col("m")).distinct().persist()
+    graft.io.Regime.collectIfSmall(key, cp)
+      .map { rows => cp.unpersist(); rows.map(_.getString(0)): IndexedSeq[String] }
+      .toLeft(cp)
+  }
 
-  /** [[benchmarkOverlap]] against a PRE-EXTRACTED benchmark gram set:
-    * the set ships as a local-relation broadcast build (no benchmark
-    * re-scan per query), the corpus side is unchanged — one linear scan,
-    * map-side join, small per-doc groupBy. */
+  /** [[benchmarkOverlap]] against a PRE-EXTRACTED benchmark gram index:
+    * the collected regime ships the set as a local-relation broadcast
+    * build (no benchmark re-scan per query); the distributed regime
+    * joins the persisted gram frame with no hint. The corpus side is
+    * identical in both — one linear scan, map-side-combinable per-doc
+    * groupBy. */
   def benchmarkOverlapIndexed(
       df: DataFrame, idCol: String, textCol: String,
-      isBench: Column, n: Int, benchGrams: Seq[String]): DataFrame = {
+      isBench: Column, n: Int,
+      index: Either[IndexedSeq[String], DataFrame]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    joinOverlap(
-      distinctGrams(df.filter(!isBench), idCol, textCol, n),
-      benchGrams.toDF("m"))
+    val corpusGrams = distinctGrams(df.filter(!isBench), idCol, textCol, n)
+    index match {
+      case Left(grams) => joinOverlap(corpusGrams, grams.toDF("m"))
+      case Right(frame) => joinOverlap(corpusGrams, frame, hintBroadcast = false)
+    }
   }
 
   def benchmarkOverlap(
@@ -93,12 +113,18 @@ object Corpus {
         .select(col("m")).distinct())
   }
 
-  /** Shared tail of the two overlap spellings: left-join the corpus
-    * gram stream against the (broadcast) benchmark gram frame, roll up
-    * per document. */
-  private def joinOverlap(corpusGrams: DataFrame, benchFrame: DataFrame): DataFrame =
+  /** Shared tail of the overlap spellings: left-join the corpus gram
+    * stream against the benchmark gram frame (broadcast-hinted only when
+    * the caller PROVED the frame small — a measured-big frame joins
+    * un-hinted and AQE decides), roll up per document. */
+  private def joinOverlap(
+      corpusGrams: DataFrame, benchFrame: DataFrame,
+      hintBroadcast: Boolean = true): DataFrame =
     corpusGrams
-      .join(broadcast(benchFrame.withColumn("_hit", lit(1L))), Seq("m"), "left")
+      .join({
+        val marked = benchFrame.withColumn("_hit", lit(1L))
+        if (hintBroadcast) broadcast(marked) else marked
+      }, Seq("m"), "left")
       .groupBy(col("id").as("doc_id"))
       .agg(
         count(lit(1)).as("n_grams"),
@@ -270,14 +296,30 @@ object Corpus {
       transform(sequence(lit(1), size(toks), lit(lineTokens)),
         s => array_join(slice(toks, s, lit(lineTokens)), " "))
     }
+    // ONE tokenize pass for the whole operator: counting, the
+    // distributed hash-explode, and the rebuild all consume the same
+    // projected lines frame. A lazy local checkpoint materializes it as
+    // a side effect of the FIRST consumer's job (no separate barrier
+    // job) and later consumers read the stored blocks — the raw corpus
+    // is scanned and tokenized once, where the r10 spelling paid a full
+    // re-tokenizing scan per phase (three at worst). The trade is one
+    // corpus-sized copy on executor-local storage for the operator's
+    // duration — the role cluster NVMe is provisioned for, and strictly
+    // less I/O than the extra scans it replaces.
+    val linesRaw = graft.util.Partitioning.fanOut(df)
+      .select(col(idCol).as("id"), linesOf(col(textCol)).as("_lines"))
+    lazy val linesCp = linesRaw.localCheckpoint(false)
     def freqOf: DataFrame =
-      graft.util.Partitioning.fanOut(df)
-        .select(explode(linesOf(col(textCol))).as("line"))
+      linesCp.select(explode(col("_lines")).as("line"))
         .groupBy(Dedup.shingleHash60(col("line")).as("lh"))
         .agg(count(lit(1)).as("n"))
         .filter(col("n") >= minCount)
         .select("lh")
     val key = cacheKey.getOrElse(s"boiler:anon:${System.identityHashCode(df)}")
+    // warm-serve fast path: with the frequent set already cached, the
+    // collected regime makes exactly ONE pass over the corpus — then
+    // checkpoint storage would cost more than it saves, so skip it
+    val cachedAlready = cacheKey.isDefined && graft.io.ArtifactCache.keys.contains(key)
     def build: Either[IndexedSeq[Long], DataFrame] = {
       // persist first, probe populates the blocks: the counting groupBy
       // runs once whichever regime wins (see dupCorpusCandidates)
@@ -302,10 +344,12 @@ object Corpus {
         // array literal; membership is a per-line array_contains probe
         // (O(|set|) scan — bounded by the Regime row cap; a production
         // build past ~10^3 entries would compile a constant hash set,
-        // which is the same plan with a faster literal)
+        // which is the same plan with a faster literal). Warm serve
+        // (artifact cached) reads the raw projection — one pass, no
+        // checkpoint; a cold build reads the blocks the counting pass
+        // just materialized.
         val freqArr = lit(hashes.toArray)
-        graft.util.Partitioning.fanOut(df)
-          .select(col(idCol).as("id"), linesOf(col(textCol)).as("_lines"))
+        (if (cachedAlready) linesRaw else linesCp)
           .select(col("id"), col("_lines"),
             filter(col("_lines"),
               l => !array_contains(freqArr, Dedup.shingleHash60(l))).as("_kept"))
@@ -314,23 +358,23 @@ object Corpus {
             size(col("_kept")).cast("long").as("n_kept"),
             (size(col("_lines")) - size(col("_kept"))).cast("long").as("n_dropped"))
       case Right(freq) =>
-        // distributed rebuild, text never re-assembled: explode per-doc
-        // line HASHES (8-byte exchanges), semi-join the frequent frame,
-        // fold each doc's dropped hashes into one small set, then filter
-        // the document ROW-LOCALLY against its own dropped set — order
+        // distributed rebuild, text never re-tokenized OR re-assembled:
+        // per-doc line hashes derive from the checkpointed _lines
+        // (8-byte exchanges), semi-join the frequent frame, fold each
+        // doc's dropped hashes into one small set, then filter the
+        // document ROW-LOCALLY against its own dropped set — order
         // preserved for free, no sort, no text reassembly. The only
         // exchange that could carry text is the final doc⋈dropped join,
         // and docs shuffle there only when the dropped map outgrows
         // AQE's broadcast threshold (at fixture scale it broadcasts).
-        val ex = graft.util.Partitioning.fanOut(df)
-          .select(col(idCol).as("id"),
-            explode(transform(linesOf(col(textCol)),
+        val ex = linesCp
+          .select(col("id"),
+            explode(transform(col("_lines"),
               l => Dedup.shingleHash60(l))).as("h"))
         val droppedPerDoc = ex
           .join(freq, col("h") === col("lh"), "left_semi")
           .groupBy("id").agg(collect_set(col("h")).as("_drop"))
-        graft.util.Partitioning.fanOut(df)
-          .select(col(idCol).as("id"), linesOf(col(textCol)).as("_lines"))
+        linesCp
           .join(droppedPerDoc, Seq("id"), "left")
           .select(col("id"), col("_lines"),
             filter(col("_lines"), l => !coalesce(

@@ -521,11 +521,21 @@ object Dedup {
       numHashes: Int = 12, rowsPerBand: Int = 3): (DataFrame, DataFrame) = {
     // ONE minhash pass per batch: the band frame feeds three consumers
     // (within-batch self-join, index probe, retained-band projection) —
-    // materialize it once instead of re-deriving the tokenize→shingle→
-    // md5 lineage under each
+    // checkpoint it once instead of re-deriving the tokenize→shingle→
+    // md5 lineage under each. Lazy (r11): the first consumer's job
+    // materializes the blocks as a side effect — same once-only
+    // guarantee, no extra blocking job per micro-batch.
     val newBands = lshBands(minhashSignature(newDocs, "id", "text"), numHashes, rowsPerBand)
-      .localCheckpoint(true)
-    val withinDrop = candidatePairs(newBands).select(col("id_b").as("id"))
+      .localCheckpoint(false)
+    // dropped-id candidates WITHOUT pair dedup (r11): every consumer
+    // below is the left-anti join, which ignores duplicate matches — the
+    // candidatePairs/distinct spelling paid two extra exchanges per
+    // micro-batch purely to deduplicate ids the anti-join dedups for free
+    val withinDrop = newBands.select(col("band"), col("bh"), col("id").as("id_a"))
+      .join(newBands.select(col("band"), col("bh"), col("id").as("id_b")),
+        Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_b").as("id"))
     val dropped = index match {
       case Some((ixIds, ixBands)) =>
         val vsIdx = newBands
@@ -538,7 +548,7 @@ object Dedup {
         withinDrop.unionByName(vsIdx).unionByName(replay)
       case None => withinDrop
     }
-    val retained = newDocs.join(dropped.distinct(), Seq("id"), "left_anti")
+    val retained = newDocs.join(dropped, Seq("id"), "left_anti")
     // bands of the retained docs, without a second minhash pass
     (retained, newBands.join(retained.select("id"), Seq("id"), "left_semi"))
   }

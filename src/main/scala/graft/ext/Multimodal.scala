@@ -99,16 +99,28 @@ object Multimodal {
   // Operators — typed mapPartitions pipelines (mapInPandas analogue)
   // -------------------------------------------------------------------
 
+  /** A pluggable byte→pixel decoder: the ONE seam a real deployment
+    * swaps ([[StubCodec.decodeImage]] → libjpeg/ffmpeg bindings). Must
+    * be Serializable — it ships into executor tasks. MultimodalSpec's
+    * codec-injection test PROVES the swap is one function: it runs the
+    * m1–m4 pipelines under an alternative codec with zero other changes. */
+  type ImageCodec = (Array[Byte], Int, Int) => Array[Int]
+
   /** Decode stage: one codec context per PARTITION (not per row) — the
     * batch shape that makes real decoders affordable. Output drops the
-    * payload: downstream stages shuffle pixels/features, never raw media. */
-  def decodeImages(spark: SparkSession, media: Dataset[MediaItem]): Dataset[DecodedImage] = {
+    * payload: downstream stages shuffle pixels/features, never raw media.
+    * `codec` defaults to the deterministic stub; inject a real decoder
+    * here and every downstream operator (features, resize, dedup)
+    * runs unchanged. */
+  def decodeImages(
+      spark: SparkSession, media: Dataset[MediaItem],
+      codec: ImageCodec = StubCodec.decodeImage): Dataset[DecodedImage] = {
     import spark.implicits._
     media.mapPartitions { items =>
       // Real codec: initialize native decoder HERE, once per batch.
       items.map { m =>
         DecodedImage(m.doc_id, m.meta.width, m.meta.height,
-          StubCodec.decodeImage(m.payload, m.meta.width, m.meta.height))
+          codec(m.payload, m.meta.width, m.meta.height))
       }
     }
   }

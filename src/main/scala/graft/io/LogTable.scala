@@ -234,6 +234,16 @@ object LogTable {
   def version(table: String): Long =
     manifests(table).lastOption.map(_.version).getOrElse(0L)
 
+  /** Manifests with version in (fromV, toV] — the micro-batch planning
+    * unit of the streaming connector ([[graft.sources.v2]]): commits are
+    * immutable once claimed, so an offset range replans identically on
+    * recovery. Fails loudly when fromV predates a truncation checkpoint
+    * (the stream's history was explicitly dropped). */
+  private[graft] def manifestRange(table: String, fromV: Long, toV: Long): Seq[Manifest] = {
+    requireNotTruncated(table, math.max(fromV, 1L))
+    manifests(table).filter(m => m.version > fromV && m.version <= toV)
+  }
+
   /** Snapshot read at the head version. */
   def read(spark: SparkSession, table: String): DataFrame = {
     val (_, fs, schema) = snapshotWithSchema(table, None)

@@ -21,6 +21,28 @@ import org.apache.spark.sql.functions._
   */
 object CorpusQueries {
 
+  /** The x22/x42 shared benchmark 3-gram index: regime-dispatched by
+    * measured size ([[Corpus.benchmarkGramIndex]]) and cached per suite
+    * snapshot — eval suites are fixed artifacts checked against every
+    * ingest batch, so the report (x22) and the gate (x42) serve the same
+    * build. A cached distributed-regime frame from a dead SparkContext
+    * is invalidated and rebuilt (the [[graft.io.Regime.servable]]
+    * contract, same as x40's frequent-line artifact). */
+  private def benchGramIndex(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      isBench: org.apache.spark.sql.Column)
+      : Either[IndexedSeq[String], org.apache.spark.sql.DataFrame] = {
+    val key = s"bench-grams:3:$d"
+    def build = Corpus.benchmarkGramIndex(
+      Tables.documents(s, d), "doc_id", "text", isBench, n = 3, key)
+    graft.io.ArtifactCache.getOrBuild(key)(build) match {
+      case Right(f) if !graft.io.Regime.servable(f, s) =>
+        graft.io.ArtifactCache.invalidate(key)
+        graft.io.ArtifactCache.getOrBuild(key)(build)
+      case ok => ok
+    }
+  }
+
   /** DuckDB n-gram builder over a token-list column `t` (mirrors
     * [[Dedup.shinglesFromTokens]], including the <n-token guard). */
   private def gramExpr(n: Int): String =
@@ -162,11 +184,9 @@ object CorpusQueries {
       "x22_contamination",
       (s, d) => {
         val isBench = col("doc_id") % 50 === 0
-        val grams = graft.io.ArtifactCache.getOrBuild(s"bench-grams:3:$d")(
-          Corpus.benchmarkGramSet(
-            Tables.documents(s, d), "doc_id", "text", isBench, n = 3))
         Corpus.benchmarkOverlapIndexed(
-          Tables.documents(s, d), "doc_id", "text", isBench, n = 3, grams)
+          Tables.documents(s, d), "doc_id", "text", isBench, n = 3,
+          benchGramIndex(s, d, isBench))
           .orderBy("doc_id")
       },
       Some(s"""WITH ${shingleCtes(3, "documents")},
@@ -591,11 +611,9 @@ object CorpusQueries {
       "x42_decontaminate",
       (s, d) => {
         val isBench = col("doc_id") % 50 === 0
-        val grams = graft.io.ArtifactCache.getOrBuild(s"bench-grams:3:$d")(
-          Corpus.benchmarkGramSet(
-            Tables.documents(s, d), "doc_id", "text", isBench, n = 3))
         val overlap = Corpus.benchmarkOverlapIndexed(
-            Tables.documents(s, d), "doc_id", "text", isBench, n = 3, grams)
+            Tables.documents(s, d), "doc_id", "text", isBench, n = 3,
+            benchGramIndex(s, d, isBench))
           .select(col("doc_id"), col("contamination"))
         Tables.documents(s, d).filter(!isBench)
           .select(col("doc_id"), col("lang"))

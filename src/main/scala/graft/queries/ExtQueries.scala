@@ -1091,12 +1091,16 @@ object ExtQueries {
           c3.filter(col("id") < 10000),
           c3.filter(col("id") >= 10000 && col("id") < 20000),
           c3.filter(col("id") >= 20000))
-        // State MATERIALIZES between arrival steps (localCheckpoint), as
+        // State's PLAN breaks between arrival steps (localCheckpoint), as
         // it does between real micro-batches (DocStream appends state to
         // the warehouse): without the break, step k's plan re-derives
         // every earlier step's minhash/band/anti-join lineage and the
         // fold goes quadratic in plan work (measured 29 s -> ~2 s at
-        // sf0.1).
+        // sf0.1). LAZY checkpoints (r11): the eager spelling ran a
+        // blocking materialization job per frame per step — two barriers
+        // per batch the real micro-batch never pays; the lazy one cuts
+        // the lineage immediately (LogicalRDD) and materializes each
+        // step's state as a side effect of the first downstream job.
         val (allRetained, _) = batches.foldLeft(
           (Option.empty[DataFrame], Option.empty[DataFrame])) {
           case ((docsSoFar, bandsSoFar), batch) =>
@@ -1105,8 +1109,8 @@ object ExtQueries {
             val (ret0, retBands0) = Dedup.arrivalStep(batch, index)
             // the fold only ever needs retained IDS (+ their bands) as
             // index state — never the text
-            val ret = ret0.select("id").localCheckpoint(true)
-            val retBands = retBands0.localCheckpoint(true)
+            val ret = ret0.select("id").localCheckpoint(false)
+            val retBands = retBands0.localCheckpoint(false)
             (Some(docsSoFar.fold(ret)(_.unionByName(ret))),
               Some(bandsSoFar.fold(retBands)(_.unionByName(retBands))))
         }

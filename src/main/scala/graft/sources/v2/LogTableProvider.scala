@@ -100,9 +100,12 @@ class LogTableTable(path: String, tableSchema: StructType, asOf: Option[Long])
   override def name(): String = s"graft_log($path${asOf.fold("")(v => s"@v$v")})"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new LogTableScanBuilder(path, tableSchema, asOf)
+    new LogTableScanBuilder(path, tableSchema, asOf,
+      startingVersion = Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L),
+      skipChangeCommits =
+        Option(options.get("skipChangeCommits")).exists(_.toBoolean))
 }
 
 /** Driver-side pruning observability (the PagedOrders.PageClient.fetched
@@ -114,7 +117,9 @@ object LogTableScan {
   val lastTotalFiles = new java.util.concurrent.atomic.AtomicInteger(0)
 }
 
-class LogTableScanBuilder(path: String, tableSchema: StructType, asOf: Option[Long])
+class LogTableScanBuilder(
+    path: String, tableSchema: StructType, asOf: Option[Long],
+    startingVersion: Long = 0L, skipChangeCommits: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
@@ -248,7 +253,71 @@ class LogTableScanBuilder(path: String, tableSchema: StructType, asOf: Option[Lo
 
     override def createReaderFactory(): PartitionReaderFactory =
       new LogFileReaderFactory
+
+    /** Streaming tail of the commit log: each micro-batch is a version
+      * range (fromV, toV], planned as the data files those commits
+      * ADDED — the append-only ingest shape
+      * ([[graft.streaming.DocStream]]'s state tables) served with
+      * exactly-once replay: manifests are immutable once claimed, so an
+      * offset range replans identically on recovery, and a crash between
+      * ranges re-reads nothing.
+      *
+      * Commits that REMOVE files (upserts/deletes/compactions) have no
+      * row-level streaming image without retraction support — the
+      * default fails LOUDLY (a silent skip would drop acknowledged
+      * rows); `.option("skipChangeCommits", true)` opts into ignoring
+      * them (the Delta streaming trade, same knob name). Filter pushdown
+      * and column pruning apply per micro-batch exactly as in batch
+      * scans — a watermark predicate skips added files from the
+      * manifest. */
+    override def toMicroBatchStream(checkpointLocation: String)
+        : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      new org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+        import org.apache.spark.sql.connector.read.streaming.Offset
+
+        override def latestOffset(): Offset =
+          LogVersionOffset(LogTable.version(path))
+        override def initialOffset(): Offset = LogVersionOffset(startingVersion)
+        override def deserializeOffset(json: String): Offset =
+          LogVersionOffset(json.trim.toLong)
+        override def commit(end: Offset): Unit = ()
+        override def stop(): Unit = ()
+
+        override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+          val fromV = start.asInstanceOf[LogVersionOffset].v
+          val toV = end.asInstanceOf[LogVersionOffset].v
+          val ms = LogTable.manifestRange(path, fromV, toV)
+          val changeCommits = ms.filter(m => m.removes.nonEmpty || m.checkpoint)
+          if (changeCommits.nonEmpty && !skipChangeCommits)
+            throw new IllegalStateException(
+              s"graft-log stream on $path: version(s) " +
+                s"${changeCommits.map(_.version).mkString(",")} rewrite or " +
+                "remove files — a streaming read cannot retract rows. Use " +
+                "LogTable.changes for batch CDC, or opt into " +
+                ".option(\"skipChangeCommits\", true) to ignore them")
+          val added = ms.filterNot(m => m.removes.nonEmpty || m.checkpoint)
+            .flatMap(_.adds)
+          val kept = added.filter(f => bounds.forall { case (c, b) =>
+            LogTable.admits(f, c, b)
+          })
+          LogTableScan.lastTotalFiles.set(added.size)
+          LogTableScan.lastPlannedFiles.set(kept.size)
+          kept.map(f => LogFilePartition(
+            LogTable.dataDir(path).resolve(f.file).toString,
+            required.json): InputPartition).toArray
+        }
+
+        override def createReaderFactory(): PartitionReaderFactory =
+          new LogFileReaderFactory
+      }
   }
+}
+
+/** Streaming offset = committed log version (immutable, totally
+  * ordered, replayable). */
+case class LogVersionOffset(v: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = v.toString
 }
 
 /** One data file, one task — the manifest's own granularity. The

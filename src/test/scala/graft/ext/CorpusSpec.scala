@@ -161,6 +161,26 @@ class CorpusSpec extends AnyFunSuite {
     assert(out == Seq((1L, "", 0L, 1L), (2L, "", 0L, 1L), (3L, "a b", 1L, 0L)))
   }
 
+  test("benchmark gram index: distributed regime (forced bound) is value-identical to collected") {
+    val df = (1L to 60L).map { i =>
+      if (i % 50 == 0) (i, "b1 b2 b3 b4 b5 b6")
+      else (i, s"b1 b2 b3 u$i v$i w$i")
+    }.toDF("doc_id", "text")
+    val isBench = col("doc_id") % 50 === 0
+    def run(tag: String) = {
+      val idx = Corpus.benchmarkGramIndex(
+        df, "doc_id", "text", isBench, n = 3, key = s"spec-bench-grams:$tag")
+      Corpus.benchmarkOverlapIndexed(df, "doc_id", "text", isBench, n = 3, idx)
+        .orderBy("doc_id").collect().map(_.toString).toSeq
+    }
+    val collected = run("collected")
+    assert(graft.io.Regime.lastDecision.get("spec-bench-grams:collected") == "collected")
+    val distributed = withBound(0)(run("distributed"))
+    assert(graft.io.Regime.lastDecision.get("spec-bench-grams:distributed") == "distributed")
+    assert(distributed == collected,
+      "distributed-regime overlap drifted from the collected-regime values")
+  }
+
   test("boilerplateLines: distributed rebuild (forced bound) is value-identical to row-local") {
     val df = (1L to 40L).map { i =>
       // every doc shares a planted boilerplate line; the rest is unique

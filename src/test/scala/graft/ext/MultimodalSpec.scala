@@ -48,6 +48,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(strided.map(_.frame_idx).sorted.toSeq == Seq(0, 2))
   }
 
+  test("codec injection: an alternative decoder swaps in one function, pipelines run unchanged") {
+    // the "real codec" stand-in: inverted grayscale — any byte→sample
+    // interpretation with the same signature
+    val inverted: Multimodal.ImageCodec =
+      (payload, w, h) => Multimodal.StubCodec.decodeImage(payload, w, h).map(255 - _)
+    val docs = graft.io.Tables.documents(spark, "/root/testdata/sf0.001").limit(50)
+    val items = asMediaItems(spark, mediaFromDocuments(docs))
+    // the FULL m1-m3 pipeline shape under the injected codec: decode →
+    // features and decode → resize, zero changes outside the codec arg
+    val stubFeat = imageFeatures(spark, decodeImages(spark, items))
+      .collect().map(f => f.doc_id -> f).toMap
+    val invFeat = imageFeatures(spark, decodeImages(spark, items, inverted))
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(invFeat.keySet == stubFeat.keySet)
+    invFeat.foreach { case (id, f) =>
+      val s = stubFeat(id)
+      // inversion is exact on every statistic: the plumbing is codec-blind
+      assert(f.n_px == s.n_px)
+      assert(f.min_px == 255 - s.max_px && f.max_px == 255 - s.min_px)
+      assert(math.abs(f.mean_px - (255.0 - s.mean_px)) < 1e-9)
+    }
+    val resized = resize(spark, decodeImages(spark, items, inverted), 2)
+      .collect().map(d => d.doc_id -> d.pixels.toSeq).toMap
+    val resizedStub = resize(spark, decodeImages(spark, items), 2)
+      .collect().map(d => d.doc_id -> d.pixels.toSeq).toMap
+    assert(resized.keySet == resizedStub.keySet && resized.nonEmpty)
+  }
+
   test("media table from documents fixture: binary payload + typed metadata") {
     val docs = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
     val m = mediaFromDocuments(docs)

@@ -138,6 +138,70 @@ class LogConnectorSpec extends AnyFunSuite {
       Seq((1L, "a"), (2L, "b")))
   }
 
+  test("streaming tail: micro-batches follow commits exactly-once, survive restart from checkpoint") {
+    val t = tmpTable()
+    val ckpt = Files.createTempDirectory("graft-logstream-ckpt").toString
+    LogTable.create(spark, t, Seq((1L, "a")).toDF("k", "v"), "k")
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    def startQuery() =
+      spark.readStream.format("graft-log").load(t)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(r => received.add((r.getLong(0), r.getString(1))))
+          ()
+        }
+        .start()
+    import scala.jdk.CollectionConverters._
+    val q = startQuery()
+    try {
+      q.processAllAvailable()
+      assert(received.iterator().asScala.toSet == Set((1L, "a")))
+      LogTable.append(spark, t, Seq((2L, "b"), (3L, "c")).toDF("k", "v"), "k")
+      LogTable.append(spark, t, Seq((4L, "d")).toDF("k", "v"), "k")
+      q.processAllAvailable()
+      val got = received.iterator().asScala.toSeq
+      assert(got.toSet == Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+      assert(got.size == 4, s"duplicate delivery: $got")
+    } finally q.stop()
+    // restart from the checkpoint: only NEW commits flow, nothing replays
+    LogTable.append(spark, t, Seq((5L, "e")).toDF("k", "v"), "k")
+    received.clear()
+    val q2 = startQuery()
+    try {
+      q2.processAllAvailable()
+      val got2 = received.iterator().asScala.toSeq
+      assert(got2 == Seq((5L, "e")),
+        s"restart re-delivered or missed rows: $got2")
+    } finally q2.stop()
+  }
+
+  test("streaming over change commits: loud failure by default, skipChangeCommits opts out") {
+    val t = tmpTable()
+    LogTable.create(spark, t, Seq((1L, "a")).toDF("k", "v"), "k")
+    LogTable.upsert(spark, t, Seq((1L, "a2")).toDF("k", "v"), "k")
+    // default: the upsert's remove makes the range unstreamable — fail,
+    // never silently drop acknowledged rows
+    val q = spark.readStream.format("graft-log").load(t)
+      .writeStream.format("memory").queryName("logfail").outputMode("append").start()
+    try {
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+        q.processAllAvailable())
+      assert(q.exception.exists(_.getMessage.contains("skipChangeCommits")))
+    } finally q.stop()
+    // opted in: change commits are skipped, later appends still flow
+    LogTable.append(spark, t, Seq((9L, "z")).toDF("k", "v"), "k")
+    val q2 = spark.readStream.format("graft-log")
+      .option("skipChangeCommits", "true").load(t)
+      .writeStream.format("memory").queryName("logskip").outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      val got = spark.table("logskip").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      // v1's create-append streams; v2's upsert (change commit) is
+      // skipped wholesale; v3's append streams
+      assert(got == Set((1L, "a"), (9L, "z")), s"skipChangeCommits delivered: $got")
+    } finally q2.stop()
+  }
+
   test("manifest row statistics reach the optimizer: a pruned log read broadcasts on its own") {
     val t = tmpTable()
     LogTable.create(spark, t,

@@ -89,10 +89,18 @@ object LogTable {
     * `checkpoint = true` marks a CONSOLIDATED manifest: its adds are the
     * complete live file set at its version, and the fold RESETS there —
     * manifests before it are redundant and [[truncateHistory]] deletes
-    * them (the Delta checkpoint + log-retention mechanic). */
+    * them (the Delta checkpoint + log-retention mechanic).
+    *
+    * `keyCol` records the table's primary-key column (the column
+    * minKey/maxKey describe) as a TABLE PROPERTY riding the log: write
+    * paths that know the key commit it, [[tableKeyCol]] recovers it, and
+    * key-agnostic entry points (the DSv2 write path, ops tooling)
+    * default to it instead of asking the caller — a mismatched explicit
+    * key fails loudly rather than committing stats that describe a
+    * different column. Empty on pre-r11 manifests. */
   final case class Manifest(
       version: Long, adds: Seq[FileEntry], removes: Seq[String],
-      schema: String = "", checkpoint: Boolean = false)
+      schema: String = "", checkpoint: Boolean = false, keyCol: String = "")
 
   private def logDir(table: String): Path = Paths.get(table, "_log")
   private[graft] def dataDir(table: String): Path = Paths.get(table, "data")
@@ -130,9 +138,10 @@ object LogTable {
     }.mkString("[", ",", "]")
     val removes = m.removes.map(f => s""""${esc(f)}"""").mkString("[", ",", "]")
     val ckpt = if (m.checkpoint) ""","checkpoint":true""" else ""
+    val key = if (m.keyCol.isEmpty) "" else s""","keyCol":"${esc(m.keyCol)}""""
     // schema LAST: its value is itself JSON-with-quotes (escaped), and
     // the adds/removes block regexes below must never scan past into it
-    s"""{"version":${m.version},"adds":$adds,"removes":$removes$ckpt,"schema":"${esc(m.schema)}"}"""
+    s"""{"version":${m.version},"adds":$adds,"removes":$removes$ckpt$key,"schema":"${esc(m.schema)}"}"""
   }
 
   private[io] def parse(json: String): Manifest = {
@@ -179,8 +188,10 @@ object LogTable {
     val schema = """"schema":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(json)
       .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
       .getOrElse("")
+    val keyCol = """"keyCol":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(json)
+      .map(m => unesc(m.group(1))).getOrElse("")
     Manifest(version, adds, removes, schema,
-      checkpoint = json.contains(""""checkpoint":true"""))
+      checkpoint = json.contains(""""checkpoint":true"""), keyCol = keyCol)
   }
 
   private def manifests(table: String): Seq[Manifest] = {
@@ -233,6 +244,22 @@ object LogTable {
   /** Current committed version, 0 for an empty/absent table. */
   def version(table: String): Long =
     manifests(table).lastOption.map(_.version).getOrElse(0L)
+
+  /** The table's recorded primary-key column (the latest committed
+    * `keyCol` table property), None for pre-r11 logs. */
+  def tableKeyCol(table: String): Option[String] =
+    manifests(table).reverse.iterator.map(_.keyCol).find(_.nonEmpty)
+
+  /** Key-contract guard: an operation keyed differently than the table
+    * would commit minKey/maxKey stats describing the WRONG column — every
+    * later pruning decision would silently skip live rows. Loud, not
+    * latent. */
+  private def requireKeyMatch(table: String, keyCol: String): Unit =
+    tableKeyCol(table).filter(_ != keyCol).foreach { k =>
+      throw new IllegalArgumentException(
+        s"LogTable: $table is keyed by '$k' but the operation was given " +
+          s"'$keyCol' — manifest key stats would describe the wrong column")
+    }
 
   /** Manifests with version in (fromV, toV] — the micro-batch planning
     * unit of the streaming connector ([[graft.sources.v2]]): commits are
@@ -301,7 +328,8 @@ object LogTable {
     Files.createDirectories(logDir(table))
     Files.createDirectories(dataDir(table))
     val adds = writeData(spark, table, df, keyCol)
-    val m = Manifest(1L, adds, removes = Seq.empty, schema = df.schema.json)
+    val m = Manifest(1L, adds, removes = Seq.empty, schema = df.schema.json,
+      keyCol = keyCol)
     val tmp = logDir(table).resolve(s".tmp-${java.util.UUID.randomUUID()}")
     Files.writeString(tmp, render(m))
     try Files.createLink(versionPath(table, 1L), tmp)
@@ -320,6 +348,7 @@ object LogTable {
     * append becomes impossible because the manifest IS the commit. */
   def append(spark: SparkSession, table: String, df: DataFrame, keyCol: String): Unit = {
     if (df.isEmpty) return
+    requireKeyMatch(table, keyCol)
     val (snapVersion, liveNow, committedSchema) = snapshotWithSchema(table, None)
     // A PRE-EVOLUTION table (every manifest carries an empty schema) has
     // live files whose shape the log doesn't know — but line "schema ="
@@ -357,7 +386,7 @@ object LogTable {
     commit(table, snapVersion, adds, removes = Seq.empty, reRun = () =>
       throw new IllegalStateException(
         s"append($table) hit a removal conflict — impossible with empty removes"),
-      schema = evolved.schema.json)
+      schema = evolved.schema.json, keyCol = keyCol)
   }
 
   /** Keyed upsert (the reference's delete-then-insert, K2/K3): rows of
@@ -368,6 +397,7 @@ object LogTable {
     * upsert against the fresh snapshot when a racer rewrote the same
     * files, and simply re-versions when it didn't. */
   def upsert(spark: SparkSession, table: String, incoming: DataFrame, keyCol: String): Unit = {
+    requireKeyMatch(table, keyCol)
     // lazy checkpoint: the bounds aggregate right below is the first
     // action and populates the blocks — an EAGER checkpoint would spend
     // a whole separate job materializing first. Conflict re-runs still
@@ -402,7 +432,7 @@ object LogTable {
       val adds = writeData(spark, table, merged, keyCol)
       commit(table, snapVersion, adds, removes = touched.map(_.file),
         reRun = () => attempt(), schema = merged.schema.json,
-        keyRange = Some((lo, hi)))
+        keyRange = Some((lo, hi)), keyCol = keyCol)
     }
     attempt()
   }
@@ -452,6 +482,7 @@ object LogTable {
       updateWhen: Option[String] = Some("true"),
       deleteWhen: Option[String] = None,
       insertUnmatched: Boolean = true): Unit = {
+    requireKeyMatch(table, keyCol)
     val src = source.localCheckpoint(false)
     val srcCols = src.columns.toSeq
     def attempt(): Unit = {
@@ -498,7 +529,7 @@ object LogTable {
       commit(table, snapVersion, adds, removes = touched.map(_.file),
         reRun = () => attempt(),
         schema = snapSchema.map(_.json).getOrElse(src.schema.json),
-        keyRange = Some((lo, hi)))
+        keyRange = Some((lo, hi)), keyCol = keyCol)
     }
     attempt()
   }
@@ -608,6 +639,7 @@ object LogTable {
       spark: SparkSession, table: String, keyCol: String,
       lo: Long, hi: Long): Unit = {
     require(lo <= hi, s"deleteRange: empty range [$lo, $hi]")
+    requireKeyMatch(table, keyCol)
     def attempt(): Unit = {
       val (snapVersion, snapshot, snapSchema) = snapshotWithSchema(table, None)
       val touched = snapshot.filter(f => f.minKey <= hi && f.maxKey >= lo)
@@ -624,7 +656,7 @@ object LogTable {
       commit(table, snapVersion, adds, removes = touched.map(_.file),
         reRun = () => attempt(),
         schema = snapSchema.map(_.json).getOrElse(""),
-        keyRange = Some((lo, hi)))
+        keyRange = Some((lo, hi)), keyCol = keyCol)
     }
     attempt()
   }
@@ -652,6 +684,7 @@ object LogTable {
   def compact(spark: SparkSession, table: String, keyCol: String,
       targetRows: Long, zorderBy: Option[(String, String)] = None): Unit = {
     require(targetRows >= 1, "targetRows must be >= 1")
+    requireKeyMatch(table, keyCol)
     def attempt(): Unit = {
       val (snapVersion, snapshot, snapSchema) = snapshotWithSchema(table, None)
       val small = snapshot.filter(_.rows < targetRows)
@@ -670,7 +703,8 @@ object LogTable {
       val adds = writeData(spark, table, clustered, keyCol)
       commit(table, snapVersion, adds, removes = small.map(_.file),
         reRun = () => attempt(),
-        schema = snapSchema.map(_.json).getOrElse(""))
+        schema = snapSchema.map(_.json).getOrElse(""),
+        keyCol = keyCol)
     }
     attempt()
   }
@@ -993,7 +1027,8 @@ object LogTable {
     if (!ms.exists(_.version < cut)) return (0, 0)
     val (_, liveAtCut, schemaAtCut) = snapshotWithSchema(table, Some(cut))
     val ckpt = Manifest(cut, liveAtCut, removes = Seq.empty,
-      schema = schemaAtCut.map(_.json).getOrElse(""), checkpoint = true)
+      schema = schemaAtCut.map(_.json).getOrElse(""), checkpoint = true,
+      keyCol = tableKeyCol(table).getOrElse(""))
     // atomic REPLACE of v{cut}: full content lands under a temp name,
     // then rename(2) swaps it in — unlike commit's create-link claim,
     // replacement is the intent here and rename's replace is atomic
@@ -1069,7 +1104,8 @@ object LogTable {
   private def commit(
       table: String, snapshotVersion: Long, adds: Seq[FileEntry],
       removes: Seq[String], reRun: () => Unit, attempts: Int = 50,
-      schema: String = "", keyRange: Option[(Long, Long)] = None): Unit = {
+      schema: String = "", keyRange: Option[(Long, Long)] = None,
+      keyCol: String = ""): Unit = {
     var expected = snapshotVersion
     var committedSchema = schema
     var tries = attempts
@@ -1077,7 +1113,7 @@ object LogTable {
       tries -= 1
       onCommitAttempt()
       val v = expected + 1
-      val m = Manifest(v, adds, removes, committedSchema)
+      val m = Manifest(v, adds, removes, committedSchema, keyCol = keyCol)
       // Publish atomically: fully write the manifest to a hidden temp
       // name (readers only match v########.json), then HARD-LINK it to
       // the version path — link(2) both fails-if-exists (the optimistic

@@ -96,16 +96,66 @@ object LogTableProvider {
 }
 
 class LogTableTable(path: String, tableSchema: StructType, asOf: Option[Long])
-    extends Table with SupportsRead {
+    extends Table
+    with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft_log($path${asOf.fold("")(v => s"@v$v")})"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LogTableScanBuilder(path, tableSchema, asOf,
       startingVersion = Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L),
       skipChangeCommits =
         Option(options.get("skipChangeCommits")).exists(_.toBoolean))
+
+  /** Append write path — `df.write.format("graft-log").mode("append")
+    * .save(path)` — bridged to [[LogTable.append]] through the V1
+    * InsertableRelation seam (the same bridge Spark's JDBC connector
+    * uses): the manifest commit, footer-driven stats, schema-evolution
+    * union, and optimistic-concurrency logic all come from the ONE
+    * implementation the Scala API exercises, instead of a parallel
+    * per-task writer that could drift from it. The key column resolves
+    * from `.option("keyCol", ...)` or the table's recorded key-column
+    * property. The table must EXIST ([[LogTable.create]]) — a first
+    * DSv2 append would have no committed schema to validate the data
+    * against, so it fails at analysis, loudly. Overwrites and writes
+    * against an `asOf` snapshot are rejected — history rewrites are
+    * [[LogTable.truncateHistory]]'s explicitly-destructive job, never a
+    * write mode. */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    if (asOf.isDefined) throw new UnsupportedOperationException(
+      "graft-log: cannot write to an asOf snapshot — history is immutable")
+    if (LogTable.version(path) == 0L) throw new IllegalStateException(
+      s"graft-log write: $path does not exist — create it with " +
+        "LogTable.create first (a first append has no committed schema " +
+        "to validate against)")
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation
+              : org.apache.spark.sql.sources.InsertableRelation =
+            new org.apache.spark.sql.sources.InsertableRelation {
+              override def insert(data: org.apache.spark.sql.DataFrame,
+                  overwrite: Boolean): Unit = {
+                if (overwrite) throw new UnsupportedOperationException(
+                  "graft-log: overwrite is not a write mode on a commit log — " +
+                    "append (the log keeps history) or truncateHistory (explicit)")
+                val key = Option(info.options.get("keyCol"))
+                  .orElse(LogTable.tableKeyCol(path))
+                  .getOrElse(throw new IllegalArgumentException(
+                    "graft-log write: the table predates the key-column " +
+                      "property — pass .option(\"keyCol\", <column>) once; " +
+                      "the commit records it from then on"))
+                LogTable.append(data.sparkSession, path, data, key)
+              }
+            }
+        }
+    }
+  }
 }
 
 /** Driver-side pruning observability (the PagedOrders.PageClient.fetched

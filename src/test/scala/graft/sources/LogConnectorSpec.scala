@@ -202,6 +202,41 @@ class LogConnectorSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("DSv2 write path: df.write appends through the log commit; key column rides as a table property") {
+    val t = tmpTable()
+    LogTable.create(spark, t, Seq((1L, "a")).toDF("k", "v"), "k")
+    assert(LogTable.tableKeyCol(t).contains("k"),
+      "create must record the key-column property")
+    // no keyCol option needed: the table property serves it
+    Seq((2L, "b"), (3L, "c")).toDF("k", "v")
+      .write.format("graft-log").mode("append").save(t)
+    assert(load(t).orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(LogTable.version(t) == 2L, "DSv2 append must be one log commit")
+    // schema evolution flows through the same append: a wider batch
+    // evolves, the old rows serve NULLs
+    Seq((4L, "d", 40L)).toDF("k", "v", "score")
+      .write.format("graft-log").mode("append").save(t)
+    val r = load(t).orderBy("k").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(r.map(x => Option(x.getAs[Any]("score"))).toSeq ==
+      Seq(None, None, None, Some(40L)))
+    // a write keyed differently than the table fails loudly (wrong-column
+    // stats would silently misprune forever)
+    val e = intercept[Exception] {
+      Seq((5L, "e", 50L)).toDF("k", "v", "score")
+        .write.format("graft-log").option("keyCol", "score").mode("append").save(t)
+    }
+    assert(e.getMessage != null && e.getMessage.contains("keyed by"),
+      s"mismatched key column must name the contract: ${e.getMessage}")
+    // writing a nonexistent table fails at analysis with guidance
+    val missing = intercept[Exception] {
+      Seq((1L, "x")).toDF("k", "v")
+        .write.format("graft-log").mode("append").save(tmpTable())
+    }
+    assert(missing.getMessage.contains("does not exist"))
+  }
+
   test("manifest row statistics reach the optimizer: a pruned log read broadcasts on its own") {
     val t = tmpTable()
     LogTable.create(spark, t,

@@ -101,9 +101,18 @@ class LogTableTable(path: String, tableSchema: StructType, asOf: Option[Long])
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft_log($path${asOf.fold("")(v => s"@v$v")})"
   override def schema(): StructType = tableSchema
+  // ACCEPT_ANY_SCHEMA: without it Spark's TableOutputResolver enforces
+  // exact column arity against schema() at ANALYSIS time, so a
+  // schema-evolving append (a wider batch) dies with
+  // INSERT_COLUMN_ARITY_MISMATCH before [[LogTable.append]]'s own
+  // requireCompatible + column-union evolution ever runs. Declaring it
+  // defers ALL schema validation to the append path — the same trade
+  // Delta makes — which rejects type drift loudly and unions new
+  // columns (older files serve typed NULLs).
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE)
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LogTableScanBuilder(path, tableSchema, asOf,
       startingVersion = Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L),

@@ -219,7 +219,7 @@ object Bench {
     // library dependencies); absent tooling degrades to null fields.
     // Skipped for SPARK_GRAFT_ONLY probes (the oracle set would not
     // match the timed subset) or SPARK_GRAFT_DUCK=0.
-    val duckTotal: Option[Double] =
+    val duckPair: Option[(Double, Option[String])] =
       if (only.isDefined || sys.env.getOrElse("SPARK_GRAFT_DUCK", "1") == "0") None
       else try {
         Seq("tools/bench_duck.py", "/root/repo/tools/bench_duck.py")
@@ -248,12 +248,21 @@ object Bench {
             java.nio.file.Files.deleteIfExists(of)
             if (!ok) None
             else """"value":\s*([0-9.eE+-]+)""".r.findFirstMatchIn(out)
-              .map(_.group(1).toDouble)
+              .map { m =>
+                // the per-query map rides along so a later reader can
+                // separate job-launch floor from plan cost per query
+                // without re-running the pair (flat name→number object,
+                // so the non-greedy brace match is exact)
+                val perQuery = """"queries":\s*(\{[^}]*\})""".r
+                  .findFirstMatchIn(out).map(_.group(1))
+                (m.group(1).toDouble, perQuery)
+              }
           }
       } catch { case _: Throwable => None }
-    val duckFields = duckTotal match {
-      case Some(d) if d > 0 =>
-        s""""duck_total":$d,"ratio_cold":${total / d},"ratio_warm":${totalWarm / d},"""
+    val duckFields = duckPair match {
+      case Some((d, perQuery)) if d > 0 =>
+        s""""duck_total":$d,"ratio_cold":${total / d},"ratio_warm":${totalWarm / d},""" +
+          s""""duck_queries":${perQuery.getOrElse("null")},"""
       case _ => """"duck_total":null,"""
     }
     val metric =

@@ -275,12 +275,17 @@ object Similarity {
       nLists: Int = 16): Seq[IvfCentroid] = {
     val c = prepared(corpus, idCol, embCol)
     val centOrd = Seq(md5(col("id").cast("string")), col("id"))
+    // list_id = rank in md5 order, assigned DRIVER-side: orderBy+limit
+    // plans TakeOrderedAndProject whose collect() returns the ≤nLists
+    // rows already in order, so zipWithIndex numbers them without the
+    // unpartitioned row_number window a distributed numbering would need
+    // (≤nLists rows either way, but the window emitted a WindowExec
+    // single-partition warning per training call)
     c.orderBy(centOrd: _*).limit(nLists)
-      .withColumn("list_id",
-        (row_number().over(Window.orderBy(centOrd: _*)) - 1).cast("int"))
-      .select(col("list_id"), col("qv"), col("nrm"))
+      .select(col("qv"), col("nrm"))
       .collect()
-      .map(r => IvfCentroid(r.getInt(0), r.getSeq[Long](1), r.getDouble(2)))
+      .zipWithIndex
+      .map { case (r, i) => IvfCentroid(i, r.getSeq[Long](0), r.getDouble(1)) }
       .toIndexedSeq
   }
 

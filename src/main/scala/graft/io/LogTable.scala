@@ -362,7 +362,11 @@ object LogTable {
     // run the SAME evolution logic.
     val snapSchema = committedSchema.orElse {
       if (liveNow.isEmpty) None
-      else Some(spark.read.parquet(
+      // mergeSchema: default inference samples ONE footer, so
+      // heterogeneous pre-evolution files could yield a partial schema
+      // and permanently hide a legacy column — the exact failure this
+      // inference exists to close. Union across every live footer.
+      else Some(spark.read.option("mergeSchema", "true").parquet(
         liveNow.map(f => dataDir(table).resolve(f.file).toString): _*).schema)
     }
     // schema evolution on append: the committed schema is the union of
@@ -839,6 +843,40 @@ object LogTable {
     }
   }
 
+  // Refcounted scope for the TIMESTAMP_MICROS session-conf override:
+  // concurrent writers on one SparkSession (the table's target
+  // workload) must not interleave a naive save/set/restore — writer B
+  // could snapshot A's override as "previous", or A's restore could
+  // flip B's still-running write back to INT96 (no footer stats, no
+  // timestamp skipping). All writers want the SAME value, so the first
+  // entrant per session saves+sets and the last one restores; the
+  // parquet write jobs themselves still run concurrently.
+  private val tsConfLock = new Object
+  private val tsConfState =
+    scala.collection.mutable.Map.empty[SparkSession, (Int, Option[String])]
+  private def withMicrosTimestamps[T](spark: SparkSession)(body: => T): T = {
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    tsConfLock.synchronized {
+      val (depth, prev) = tsConfState.getOrElse(spark, {
+        val p = spark.conf.getOption(tsKey)
+        spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+        (0, p)
+      })
+      tsConfState(spark) = (depth + 1, prev)
+    }
+    try body
+    finally tsConfLock.synchronized {
+      val (depth, prev) = tsConfState(spark)
+      if (depth == 1) {
+        tsConfState.remove(spark)
+        prev match {
+          case Some(v) => spark.conf.set(tsKey, v)
+          case None => spark.conf.unset(tsKey)
+        }
+      } else tsConfState(spark) = (depth - 1, prev)
+    }
+  }
+
   private def writeData(
       spark: SparkSession, table: String, df: DataFrame, keyCol: String): Seq[FileEntry] = {
     val staging = Files.createTempDirectory(dataDir(table), ".staging-")
@@ -846,16 +884,11 @@ object LogTable {
       // Timestamps land as INT64 micros, not Spark's default INT96:
       // parquet writes NO footer statistics for INT96, so the default
       // would silently disable all timestamp skipping (and the manifest's
-      // micros encoding is exactly the INT64 physical value). Session
-      // conf is saved/restored — the library must not leak a conf change
-      // into the caller's session.
-      val tsKey = "spark.sql.parquet.outputTimestampType"
-      val prevTs = spark.conf.getOption(tsKey)
-      spark.conf.set(tsKey, "TIMESTAMP_MICROS")
-      try df.write.mode("overwrite").parquet(staging.toString)
-      finally prevTs match {
-        case Some(v) => spark.conf.set(tsKey, v)
-        case None => spark.conf.unset(tsKey)
+      // micros encoding is exactly the INT64 physical value). The
+      // override is scoped+refcounted — never leaked to the caller, and
+      // safe under concurrent writers (see withMicrosTimestamps).
+      withMicrosTimestamps(spark) {
+        df.write.mode("overwrite").parquet(staging.toString)
       }
       // stats keys must survive the flat-regex manifest parse: a column
       // name carrying JSON structure characters OR shadowing a manifest

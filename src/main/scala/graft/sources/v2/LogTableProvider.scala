@@ -87,7 +87,9 @@ object LogTableProvider {
       val (_, files, schema) = LogTable.snapshotWithSchema(table, asOf)
       schema.getOrElse {
         if (files.isEmpty) new StructType()
-        else SparkSession.active.read.parquet(
+        // mergeSchema: one-footer sampling could hide a legacy column on
+        // heterogeneous pre-evolution tables (same fix as LogTable.append)
+        else SparkSession.active.read.option("mergeSchema", "true").parquet(
           files.map(f => LogTable.dataDir(table).resolve(f.file).toString): _*).schema
       }
     }
@@ -127,10 +129,18 @@ class LogTableTable(path: String, tableSchema: StructType, asOf: Option[Long])
     * implementation the Scala API exercises, instead of a parallel
     * per-task writer that could drift from it. The key column resolves
     * from `.option("keyCol", ...)` or the table's recorded key-column
-    * property. The table must EXIST ([[LogTable.create]]) — a first
-    * DSv2 append would have no committed schema to validate the data
-    * against, so it fails at analysis, loudly. Overwrites and writes
-    * against an `asOf` snapshot are rejected — history rewrites are
+    * property.
+    *
+    * A first write onto an empty path BOOTSTRAPS the table
+    * ([[LogTable.create]]) when `.option("keyCol", ...)` names the key
+    * — the `foreachBatch` sink idiom, where the writer cannot know
+    * whether a prior batch already initialized the state table. Without
+    * the option there is no key column to record, so the write fails at
+    * ANALYSIS with guidance (a silent keyless table would misprune
+    * every later upsert). Two racing bootstrappers are safe: create
+    * claims exactly v1, the loser detects the winner's commit and
+    * downgrades to a plain append. Overwrites and writes against an
+    * `asOf` snapshot are rejected — history rewrites are
     * [[LogTable.truncateHistory]]'s explicitly-destructive job, never a
     * write mode. */
   override def newWriteBuilder(
@@ -138,10 +148,12 @@ class LogTableTable(path: String, tableSchema: StructType, asOf: Option[Long])
       : org.apache.spark.sql.connector.write.WriteBuilder = {
     if (asOf.isDefined) throw new UnsupportedOperationException(
       "graft-log: cannot write to an asOf snapshot — history is immutable")
-    if (LogTable.version(path) == 0L) throw new IllegalStateException(
-      s"graft-log write: $path does not exist — create it with " +
-        "LogTable.create first (a first append has no committed schema " +
-        "to validate against)")
+    val optKey = Option(info.options.get("keyCol"))
+    if (LogTable.version(path) == 0L && optKey.isEmpty)
+      throw new IllegalStateException(
+        s"graft-log write: $path does not exist — pass " +
+          ".option(\"keyCol\", <column>) to create it on first write, " +
+          "or initialize it with LogTable.create")
     new org.apache.spark.sql.connector.write.WriteBuilder {
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.V1Write {
@@ -153,13 +165,21 @@ class LogTableTable(path: String, tableSchema: StructType, asOf: Option[Long])
                 if (overwrite) throw new UnsupportedOperationException(
                   "graft-log: overwrite is not a write mode on a commit log — " +
                     "append (the log keeps history) or truncateHistory (explicit)")
-                val key = Option(info.options.get("keyCol"))
+                val key = optKey
                   .orElse(LogTable.tableKeyCol(path))
                   .getOrElse(throw new IllegalArgumentException(
                     "graft-log write: the table predates the key-column " +
                       "property — pass .option(\"keyCol\", <column>) once; " +
                       "the commit records it from then on"))
-                LogTable.append(data.sparkSession, path, data, key)
+                if (LogTable.version(path) == 0L)
+                  try LogTable.create(data.sparkSession, path, data, key)
+                  catch {
+                    // lost the bootstrap race: the table now exists, so
+                    // this batch lands as the append it would have been
+                    case _: graft.io.TableAlreadyExistsException =>
+                      LogTable.append(data.sparkSession, path, data, key)
+                  }
+                else LogTable.append(data.sparkSession, path, data, key)
               }
             }
         }
@@ -189,6 +209,16 @@ class LogTableScanBuilder(
   private var pushed: Array[Filter] = Array.empty
   // per-column intersected admission window, in manifest encoding
   private val bounds = scala.collection.mutable.Map.empty[String, StatBound]
+  // per-column IN-list windows: each pushed IN contributes one list of
+  // point windows; a file admits when EVERY list has SOME point inside
+  // the file's stats (union-of-points within a list, intersection
+  // across lists — exactly `c IN (..) AND c IN (..)` semantics)
+  private val inLists =
+    scala.collection.mutable.Map.empty[String, List[Seq[StatBound]]]
+      .withDefaultValue(Nil)
+  /** IN-lists longer than this stay row-level: admission cost is
+    * files × points, and a huge IN prunes little anyway. */
+  private val MaxInValues = 64
 
   /** Filter value → manifest-encoded bound coordinate, by the SAME
     * encodings [[LogTable.writeData]] commits: timestamps as epoch
@@ -214,9 +244,16 @@ class LogTableScanBuilder(
     case _ => None
   }
 
+  /** NaN predicates must NOT reach the stats window: Spark's comparison
+    * semantics match NaN rows (NaN = NaN is true, NaN sorts greatest)
+    * but parquet footer min/max EXCLUDE NaN, so a file holding NaN rows
+    * carries safe-looking bounds that every NaN comparison fails —
+    * admitting nothing and silently emptying the result. Returning None
+    * keeps NaN filters row-level-only, per the admit-conservatively
+    * contract. */
   private def encDbl(v: Any): Option[Double] = v match {
-    case d: java.lang.Double => Some(d)
-    case f: java.lang.Float => Some(f.toDouble)
+    case d: java.lang.Double => if (d.isNaN) None else Some(d)
+    case f: java.lang.Float => if (f.isNaN) None else Some(f.toDouble)
     case _ => None
   }
 
@@ -255,7 +292,20 @@ class LogTableScanBuilder(
       case GreaterThanOrEqual(c, v) => record(c, boundFor(v, isLower = true, isUpper = false))
       case LessThan(c, v) => record(c, boundFor(v, isLower = false, isUpper = true))
       case LessThanOrEqual(c, v) => record(c, boundFor(v, isLower = false, isUpper = true))
-      case _ => false // IN/OR/IsNull/...: row-level only
+      // IN → union of point windows (the reference pushes `status IN
+      // ('processing','completed')` to its source, orders.py:11-18).
+      // ALL values must encode (a null/NaN/foreign-typed member makes
+      // the whole list row-level — admitting on a partial union would
+      // wrongly prune files holding the unencodable member's rows),
+      // and oversized lists stay row-level.
+      case In(c, vs) if vs.nonEmpty && vs.length <= MaxInValues =>
+        val points = vs.toSeq.map(v =>
+          if (v == null) None else boundFor(v, isLower = true, isUpper = true))
+        if (points.forall(_.isDefined)) {
+          inLists(c) = points.map(_.get).toList :: inLists(c)
+          true
+        } else false
+      case _ => false // OR/IsNull/...: row-level only
     }
     pushed = accepted
     // File skipping is whole-file and inclusive-widened — Spark must
@@ -272,6 +322,15 @@ class LogTableScanBuilder(
 
   override def pushedFilters(): Array[Filter] = pushed
 
+  /** Manifest-stats admission for one file under every pushed window:
+    * range windows intersect per column; each IN-list admits when any
+    * of its point windows does. Stat-less columns admit (conservative). */
+  private def fileAdmitted(f: LogTable.FileEntry): Boolean =
+    bounds.forall { case (c, b) => LogTable.admits(f, c, b) } &&
+      inLists.forall { case (c, lists) =>
+        lists.forall(_.exists(p => LogTable.admits(f, c, p)))
+      }
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
@@ -279,14 +338,10 @@ class LogTableScanBuilder(
     // snapshot pinned ONCE at scan build: planning and statistics must
     // describe the same version even if writers land mid-query
     private val (_, snapshot, _) = LogTable.snapshotWithSchema(path, asOf)
-    private val kept = snapshot.filter { f =>
-      bounds.forall { case (c, b) =>
-        // minKey/maxKey are the key column's stats whatever its name —
-        // cols usually duplicates them, but a reserved-name key column
-        // only has the anonymous slots
-        LogTable.admits(f, c, b)
-      }
-    }
+    // minKey/maxKey are the key column's stats whatever its name — cols
+    // usually duplicates them, but a reserved-name key column only has
+    // the anonymous slots (admits handles both)
+    private val kept = snapshot.filter(fileAdmitted)
 
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
@@ -356,9 +411,7 @@ class LogTableScanBuilder(
                 ".option(\"skipChangeCommits\", true) to ignore them")
           val added = ms.filterNot(m => m.removes.nonEmpty || m.checkpoint)
             .flatMap(_.adds)
-          val kept = added.filter(f => bounds.forall { case (c, b) =>
-            LogTable.admits(f, c, b)
-          })
+          val kept = added.filter(fileAdmitted)
           LogTableScan.lastTotalFiles.set(added.size)
           LogTableScan.lastPlannedFiles.set(kept.size)
           kept.map(f => LogFilePartition(
@@ -452,7 +505,21 @@ class LogFileReader(part: LogFilePartition) extends PartitionReader[InternalRow]
     if (!fileSchema.containsField(f.name)) { (_: Group) => null }
     else {
       val name = f.name
-      val prim = fileGroup.getType(name).asPrimitiveType().getPrimitiveTypeName
+      val primType = fileGroup.getType(name).asPrimitiveType()
+      val prim = primType.getPrimitiveTypeName
+      // Catalyst timestamps are epoch MICROS; a foreign/legacy-append
+      // file may annotate its INT64 as MILLIS or NANOS — decode by the
+      // file's own logical type unit or the values land 1000x off.
+      // Unannotated INT64 (our own pre-annotation files) is micros.
+      val tsScale: Long => Long = primType.getLogicalTypeAnnotation match {
+        case ts: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          ts.getUnit match {
+            case org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.MILLIS => _ * 1000L
+            case org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.NANOS => _ / 1000L
+            case _ => identity
+          }
+        case _ => identity
+      }
       val get: Group => Any = (f.dataType, prim) match {
         case (LongType, _) => g => g.getLong(name, 0)
         case (IntegerType, _) => g => g.getInteger(name, 0)
@@ -463,8 +530,8 @@ class LogFileReader(part: LogFilePartition) extends PartitionReader[InternalRow]
         case (StringType, _) => g => UTF8String.fromBytes(g.getBinary(name, 0).getBytes)
         case (BinaryType, _) => g => g.getBinary(name, 0).getBytes
         case (DateType, _) => g => g.getInteger(name, 0)
-        case (TimestampType, PrimitiveTypeName.INT64) => g => g.getLong(name, 0)
-        case (TimestampNTZType, PrimitiveTypeName.INT64) => g => g.getLong(name, 0)
+        case (TimestampType, PrimitiveTypeName.INT64) => g => tsScale(g.getLong(name, 0))
+        case (TimestampNTZType, PrimitiveTypeName.INT64) => g => tsScale(g.getLong(name, 0))
         case (TimestampType, PrimitiveTypeName.INT96) => g => {
           // legacy 12-byte little-endian (nanos-of-day, Julian day)
           val b = java.nio.ByteBuffer.wrap(g.getInt96(name, 0).getBytes)

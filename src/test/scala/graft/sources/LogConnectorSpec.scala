@@ -102,11 +102,45 @@ class LogConnectorSpec extends AnyFunSuite {
     assert(gotD == (2201L to 2290L).toSet)
     assert(LogTableScan.lastPlannedFiles.get() == 1,
       s"double window planned ${LogTableScan.lastPlannedFiles.get()} files")
-    // a predicate shape the connector can't map (IN-list) still answers
-    // exactly — every filter is residual by contract
+    // IN-list pushes as a union of point windows: two points in two
+    // different range-files plan exactly those two files
     val gotIn = load(t).filter(col("k").isin(5L, 3999L))
       .collect().map(_.getAs[Long]("k")).toSet
     assert(gotIn == Set(5L, 3999L))
+    assert(LogTableScan.lastPlannedFiles.get() == 2,
+      s"IN points planned ${LogTableScan.lastPlannedFiles.get()} of " +
+        s"${LogTableScan.lastTotalFiles.get()} files")
+  }
+
+  test("pushed IN on a clustered string column prunes to the member files") {
+    val t = tmpTable()
+    // status-clustered layout (the reference pushes status IN (...) to
+    // its source, orders.py): one COMMIT (and thus one file) per status
+    // value — deterministic, unlike range-partition sampling
+    val statuses = Seq("cancelled", "completed", "pending", "processing")
+    def statusRows(i: Int) = ((i * 1000L + 1) to (i + 1) * 1000L)
+      .map(k => (k, statuses(i))).toDF("k", "status").coalesce(1)
+    LogTable.create(spark, t, statusRows(0), "k")
+    for (i <- 1 until statuses.length)
+      LogTable.append(spark, t, statusRows(i), "k")
+    val got = load(t).filter(col("status").isin("processing", "completed"))
+      .collect().map(_.getAs[Long]("k")).toSet
+    assert(got == ((1001L to 2000L) ++ (3001L to 4000L)).toSet)
+    val (kept, total) =
+      (LogTableScan.lastPlannedFiles.get(), LogTableScan.lastTotalFiles.get())
+    assert(total == 4, s"expected 4 live files, saw $total")
+    assert(kept == 2, s"status IN planned $kept of $total files")
+    // AND of two IN-lists intersects: point present in both lists → 1 file
+    load(t).filter(col("status").isin("processing", "completed") &&
+      col("status").isin("processing", "pending")).collect()
+    assert(LogTableScan.lastPlannedFiles.get() == 1,
+      s"intersecting IN-lists planned ${LogTableScan.lastPlannedFiles.get()} files")
+    // an IN carrying a NULL member stays row-level (whole-list
+    // conservatism) but still answers exactly
+    val withNull = load(t)
+      .filter(col("status").isin("processing", null))
+      .collect().map(_.getAs[Long]("k")).toSet
+    assert(withNull == (3001L to 4000L).toSet)
   }
 
   test("column pruning narrows the parquet projection; count(*) needs zero data columns") {
@@ -229,12 +263,32 @@ class LogConnectorSpec extends AnyFunSuite {
     }
     assert(e.getMessage != null && e.getMessage.contains("keyed by"),
       s"mismatched key column must name the contract: ${e.getMessage}")
-    // writing a nonexistent table fails at analysis with guidance
+    // writing a nonexistent table WITHOUT a key column fails at
+    // analysis with guidance (nothing to record as the table's key)
     val missing = intercept[Exception] {
       Seq((1L, "x")).toDF("k", "v")
         .write.format("graft-log").mode("append").save(tmpTable())
     }
     assert(missing.getMessage.contains("does not exist"))
+  }
+
+  test("DSv2 write path bootstraps a fresh table when keyCol is given; second write appends") {
+    val t = tmpTable()
+    // first write on an empty path: creates the table, records keyCol
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .write.format("graft-log").option("keyCol", "k").mode("append").save(t)
+    assert(LogTable.version(t) == 1L, "bootstrap must be the v1 create commit")
+    assert(LogTable.tableKeyCol(t).contains("k"),
+      "bootstrap must record the key-column property")
+    // second write: plain append, no option needed (property serves it)
+    Seq((3L, "c")).toDF("k", "v")
+      .write.format("graft-log").mode("append").save(t)
+    assert(LogTable.version(t) == 2L)
+    assert(load(t).orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // the bootstrapped table serves manifest-stats pruning like any other
+    load(t).filter(col("k") === 1L).collect()
+    assert(LogTableScan.lastPlannedFiles.get() <= LogTableScan.lastTotalFiles.get())
   }
 
   test("manifest row statistics reach the optimizer: a pruned log read broadcasts on its own") {

@@ -553,6 +553,97 @@ object Dedup {
     (retained, newBands.join(retained.select("id"), Seq("id"), "left_semi"))
   }
 
+  /** BATCH BACKFILL of dedup-on-arrival: the closed form of folding
+    * [[arrivalStep]] over `numBatches` arrival batches, as ONE query
+    * instead of a sequential per-batch fold.
+    *
+    * A backfill is not a replay of the stream: re-running K folds pays
+    * K× (minhash pass + state materialization barrier) — ~10 sequential
+    * job barriers for K=3, each a fixed scheduler round-trip, and at
+    * 100 TB it re-scans the corpus K times. The closed form scans ONCE
+    * (one corpus-wide LSH banding pass, map-side), derives the
+    * candidate-pair set, and resolves the K arrival rounds as set
+    * algebra over that ONE pair frame — the same shape a Delta/Flink
+    * bootstrap uses before handing off to the streaming path
+    * ([[arrivalStep]], which remains the per-micro-batch operator;
+    * `DedupSpec` pins this equal to the fold).
+    *
+    * Semantics (per unordered candidate pair, ordered by arrival —
+    * batch, then id): the LATER doc is dropped iff the pair is
+    * within-batch (earlier id wins regardless of its own fate — the
+    * same rule arrivalStep's self-join applies) or the earlier doc was
+    * RETAINED (a doc dropped earlier frees its later near-dups).
+    * `batchOfId` must derive the batch index from the id — the keyed
+    * backfill idiom (id ranges per ingest generation / commit-monotonic
+    * keys), which keeps the whole pass narrow: full text never
+    * shuffles, and ids are unique by the state table's key invariant
+    * (a re-send models as a compound batch+id key).
+    *
+    * Scale: bands/candidates come from equi-joins (never all-pairs);
+    * the K resolution rounds reference only id-width frames. The
+    * retained-set plan doubles per round (union + semi-join both
+    * reference the previous round), so past [[ReplayCkptEvery]] rounds
+    * the accumulated set re-checkpoints — bounded plans for long
+    * backfills, zero extra barriers for short ones.
+    *
+    * Returns the retained first-arrivals as (id). */
+  def arrivalReplay(
+      docs: DataFrame, idCol: String, textCol: String,
+      batchOfId: Column => Column, numBatches: Int,
+      numHashes: Int = 12, rowsPerBand: Int = 3): DataFrame = {
+    val d = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+    val bands = lshBands(minhashSignature(d, "id", "text",
+      numHashes = numHashes), numHashes, rowsPerBand)
+    val cand = bands.select(col("band"), col("bh"), col("id").as("id_a"))
+      .join(bands.select(col("band"), col("bh"), col("id").as("id_b")),
+        Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+      // the ONE barrier: every resolution round probes this frame;
+      // without the break each round would re-derive the banding join
+      .localCheckpoint(false)
+    // normalize by ARRIVAL order (batch, then id): id order need not
+    // follow batch order for an arbitrary batchOfId
+    val withB = cand
+      .withColumn("ba", batchOfId(col("id_a")).cast("int"))
+      .withColumn("bb", batchOfId(col("id_b")).cast("int"))
+    val ordered = withB.select(
+      when(col("ba") <= col("bb"),
+        struct(col("id_a").as("e"), col("id_b").as("l"),
+          col("ba").as("be"), col("bb").as("bl")))
+        .otherwise(struct(col("id_b").as("e"), col("id_a").as("l"),
+          col("bb").as("be"), col("ba").as("bl"))).as("p"))
+      .select(col("p.e"), col("p.l"), col("p.be"), col("p.bl"))
+    // id+batch only — each resolution round starts from its batch's id
+    // slice, so the narrow projection materializes once instead of
+    // re-scanning the corpus per round
+    val ids = d.select(col("id"), batchOfId(col("id")).cast("int").as("b"))
+      .localCheckpoint(false)
+    var retained: DataFrame = null
+    for (k <- 0 until numBatches) {
+      val batchIds = ids.filter(col("b") === k).select("id")
+      val within = ordered.filter(col("bl") === k && col("be") === k)
+        .select(col("l").as("id"))
+      val dropped =
+        if (retained == null) within
+        else within.unionByName(
+          ordered.filter(col("bl") === k && col("be") < k)
+            .select(col("e").as("id"), col("l"))
+            .join(retained, Seq("id"), "left_semi")
+            .select(col("l").as("id")))
+      val rk = batchIds.join(dropped, Seq("id"), "left_anti")
+      retained = if (retained == null) rk else retained.unionByName(rk)
+      if ((k + 1) % ReplayCkptEvery == 0 && k + 1 < numBatches)
+        retained = retained.localCheckpoint(false)
+    }
+    retained
+  }
+
+  /** Re-checkpoint cadence for [[arrivalReplay]]'s accumulated retained
+    * set (its plan doubles per resolution round without a break). */
+  private[graft] val ReplayCkptEvery = 8
+
   /** 32-bit SimHash: bit j of each token's md5 is the high bit of hex
     * nibble j; document bit j is the sign of the ±1 vote sum. Returns
     * (id, simhash) with simhash in [0, 2^32).

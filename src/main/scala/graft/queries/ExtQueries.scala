@@ -3,7 +3,7 @@ package graft.queries
 import graft.QueryDef
 import graft.ext.{Dedup, Similarity, TextAnalysis => TA}
 import graft.io.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The LLM-training-data extension surface (SURVEY.md §7.2 step 6):
@@ -1074,51 +1074,24 @@ object ExtQueries {
               |ORDER BY id_a, id_b""".stripMargin),
     ),
 
-    // X38 — dedup-on-ARRIVAL, the live-ingest composition of x30: three
-    // arrival batches (originals, then mutated +10000 copies, then exact
-    // +20000 copies — the x19/x20 3-generation corpus) fold through
-    // Dedup.arrivalStep, the SAME function DocStream's foreachBatch runs
-    // per micro-batch (DocStreamSpec pins stream-fed state == this
-    // fold). Retained = first-arrival survivors. The oracle replays the
-    // identical closed-form policy as set algebra over the full-corpus
-    // candidate set: per batch, a doc drops iff it pairs with a RETAINED
-    // earlier doc or a smaller-id doc of its own batch.
+    // X38 — dedup-on-ARRIVAL served as a BACKFILL: three arrival batches
+    // (originals, then mutated +10000 copies, then +25000-stride exact
+    // copies — the x19/x20 3-generation corpus) resolve through
+    // Dedup.arrivalReplay, the closed form of folding Dedup.arrivalStep
+    // (DocStream's per-micro-batch operator) over the batches. The
+    // per-step fold paid ~10 sequential job barriers (profiled r12:
+    // 3 lazy-checkpoint materializations x 3 steps + final, each a fixed
+    // ~0.2 s scheduler round-trip, with NO single hotspot) and re-scans
+    // the corpus per batch; the replay scans ONCE and resolves the
+    // rounds as set algebra over one candidate frame — the DuckDB oracle
+    // spells the same algebra, and DedupSpec pins replay == fold.
     QueryDef(
       "x38_ingest_dedup",
       (s, d) => {
-        val c3 = corpus3(s, d)
-        val batches = Seq(
-          c3.filter(col("id") < 10000),
-          c3.filter(col("id") >= 10000 && col("id") < 20000),
-          c3.filter(col("id") >= 20000))
-        // State's PLAN breaks between arrival steps (localCheckpoint), as
-        // it does between real micro-batches (DocStream appends state to
-        // the warehouse): without the break, step k's plan re-derives
-        // every earlier step's minhash/band/anti-join lineage and the
-        // fold goes quadratic in plan work (measured 29 s -> ~2 s at
-        // sf0.1). LAZY checkpoints (r11): the eager spelling ran a
-        // blocking materialization job per frame per step — two barriers
-        // per batch the real micro-batch never pays; the lazy one cuts
-        // the lineage immediately (LogicalRDD) and materializes each
-        // step's state as a side effect of the first downstream job.
-        val (allRetained, _) = batches.foldLeft(
-          (Option.empty[DataFrame], Option.empty[DataFrame])) {
-          case ((docsSoFar, bandsSoFar), batch) =>
-            val index = for (ds <- docsSoFar; bs <- bandsSoFar)
-              yield (ds.select("id"), bs)
-            val (ret0, retBands0) = Dedup.arrivalStep(batch, index)
-            // the fold only ever needs retained IDS (+ their bands) as
-            // index state — never the text
-            val ret = ret0.select("id").localCheckpoint(false)
-            val retBands = retBands0.localCheckpoint(false)
-            (Some(docsSoFar.fold(ret)(_.unionByName(ret))),
-              Some(bandsSoFar.fold(retBands)(_.unionByName(retBands))))
-        }
-        allRetained.get
-          .select(
-            when(col("id") < 10000, 0).when(col("id") < 20000, 1)
-              .otherwise(2).cast("int").as("batch"),
-            col("id"))
+        val batchOf = (id: Column) =>
+          when(id < 10000, 0).when(id < 20000, 1).otherwise(2)
+        Dedup.arrivalReplay(corpus3(s, d), "id", "text", batchOf, 3)
+          .select(batchOf(col("id")).cast("int").as("batch"), col("id"))
           .orderBy("id")
       },
       Some(s"""WITH ${minhashCtesFor(corpus3Sql)},

@@ -156,6 +156,61 @@ class DedupSpec extends AnyFunSuite {
     assert(incremental.nonEmpty)
   }
 
+  test("arrivalReplay (closed-form backfill) equals the arrivalStep fold") {
+    // 3 arrival generations over the planted corpus: originals, +10000
+    // near-dups (suffix-mutated every 10th), +20000 exact copies of
+    // every 4th — ids encode the batch, the backfill idiom
+    val docs = Tables.documents(spark, sf).select(col("doc_id").as("id"), col("text"))
+    val gen = docs
+      .unionByName(docs.filter(col("id") % 10 === 0)
+        .select((col("id") + 10000).as("id"),
+          concat(col("text"), lit(" zz yy xx")).as("text")))
+      .unionByName(docs.filter(col("id") % 4 === 0)
+        .select((col("id") + 20000).as("id"), col("text")))
+    val batches = Seq(
+      gen.filter(col("id") < 10000),
+      gen.filter(col("id") >= 10000 && col("id") < 20000),
+      gen.filter(col("id") >= 20000))
+    // reference: the sequential per-batch fold (the streaming shape)
+    var docsSoFar = Option.empty[org.apache.spark.sql.DataFrame]
+    var bandsSoFar = Option.empty[org.apache.spark.sql.DataFrame]
+    for (batch <- batches) {
+      val index = for (ds <- docsSoFar; bs <- bandsSoFar)
+        yield (ds.select("id"), bs)
+      val (ret0, bands0) = Dedup.arrivalStep(batch, index)
+      val ret = ret0.select("id").localCheckpoint(false)
+      val bands = bands0.localCheckpoint(false)
+      docsSoFar = Some(docsSoFar.fold(ret)(_.unionByName(ret)))
+      bandsSoFar = Some(bandsSoFar.fold(bands)(_.unionByName(bands)))
+    }
+    val foldIds = docsSoFar.get.collect().map(_.getLong(0)).toSet
+    val replayIds = Dedup.arrivalReplay(gen, "id", "text",
+      id => when(id < 10000, 0).when(id < 20000, 1).otherwise(2), 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(replayIds == foldIds,
+      s"replay diverged from fold: only-replay=${(replayIds -- foldIds).take(5)}, " +
+        s"only-fold=${(foldIds -- replayIds).take(5)}")
+    // sanity: the backfill actually dropped the planted duplicates
+    assert(replayIds.size < gen.count())
+  }
+
+  test("arrivalReplay normalizes pairs by ARRIVAL order when id order disagrees") {
+    // batch 0 carries the HIGH ids, batch 1 the low ids — a pair's
+    // smaller id is the LATER arrival, so id-ordered resolution would
+    // drop the wrong side; three exact-duplicate texts planted
+    import spark.implicits._
+    val docs = Seq(
+      (5000L, "aa bb cc dd ee ff gg"), // batch 0 (retained: first arrival)
+      (5001L, "zz yy xx ww vv uu tt"), // batch 0
+      (1L, "aa bb cc dd ee ff gg"), // batch 1: dup of 5000 -> dropped
+      (2L, "mm nn oo pp qq rr ss") // batch 1: unique -> retained
+    ).toDF("id", "text")
+    val got = Dedup.arrivalReplay(docs, "id", "text",
+      id => when(id >= 5000, 0).otherwise(1), 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(5000L, 5001L, 2L), s"got $got")
+  }
+
   test("connectedComponents: chains collapse transitively to the min id") {
     import spark.implicits._
     // chain 1-2-3-4 (diameter 3 — needs multiple propagation rounds),

@@ -339,6 +339,31 @@ object LogTable {
     } finally Files.deleteIfExists(tmp)
   }
 
+  /** Create the table with a committed SCHEMA and zero data files (v1)
+    * — the SQL `CREATE TABLE` shape ([[graft.sources.v2.LogCatalog]]):
+    * the reference bootstraps its warehouse with `CREATE TABLE IF NOT
+    * EXISTS` DDL before any row exists (ddl.sql:1-43), and a CTAS
+    * commits this empty v1 then appends the query result as v2. Claims
+    * exactly v1 with the same loser-loses race rule as [[create]]. */
+  def createEmpty(
+      table: String, schema: org.apache.spark.sql.types.StructType,
+      keyCol: String): Unit = {
+    require(schema.fieldNames.contains(keyCol),
+      s"createEmpty($table): key column '$keyCol' is not in the schema " +
+        s"(${schema.fieldNames.mkString(", ")})")
+    Files.createDirectories(logDir(table))
+    Files.createDirectories(dataDir(table))
+    val m = Manifest(1L, adds = Seq.empty, removes = Seq.empty,
+      schema = schema.json, keyCol = keyCol)
+    val tmp = logDir(table).resolve(s".tmp-${java.util.UUID.randomUUID()}")
+    Files.writeString(tmp, render(m))
+    try Files.createLink(versionPath(table, 1L), tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new TableAlreadyExistsException(table)
+    } finally Files.deleteIfExists(tmp)
+  }
+
   /** Append-only commit: new data files, no removals. Always safe under
     * concurrency (an empty removal set can never conflict with another
     * writer's read set — the commit loop just re-claims above whatever

@@ -1,0 +1,214 @@
+package graft.sources.v2
+
+import java.nio.file.{Files, Path, Paths}
+import java.util
+
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.io.LogTable
+
+/** SQL catalog over a directory of [[graft.io.LogTable]]s — the piece
+  * that puts log tables on the `spark.sql` surface the reference's
+  * whole analytic layer speaks (every dashboard query is SQL over
+  * warehouse tables, reference app.py:28-39; the schema bootstrap is
+  * `CREATE TABLE IF NOT EXISTS` DDL, ddl.sql:1-43):
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graftlog", classOf[LogCatalog].getName)
+  *   spark.conf.set("spark.sql.catalog.graftlog.warehouse", "/data/logwh")
+  *   spark.sql("CREATE TABLE graftlog.etl.orders (order_id BIGINT, total DOUBLE) " +
+  *     "TBLPROPERTIES ('keyCol'='order_id')")
+  *   spark.sql("INSERT INTO graftlog.etl.orders SELECT ...")
+  *   spark.sql("SELECT * FROM graftlog.etl.orders VERSION AS OF 3")
+  * }}}
+  *
+  * Layout is the obvious one: a namespace is a directory under the
+  * configured `warehouse` root, a table is a directory holding a
+  * `_log`. Everything data-path flows through the ONE implementation
+  * the DSv2 connector and the Scala API already share — reads plan
+  * through [[LogTableTable]] (manifest-stats file skipping, column
+  * pruning, streaming tail), `INSERT INTO` lands in [[LogTable.append]]
+  * via the same write builder, and `CREATE TABLE` commits an empty v1
+  * manifest carrying the schema and the `keyCol` table property
+  * ([[LogTable.createEmpty]]) so every later writer resolves the key
+  * from the log.
+  *
+  * Deliberately NOT supported, loudly: `ALTER TABLE` (schema evolution
+  * rides appends — the log IS the schema history, an out-of-band edit
+  * would fork it) and partition transforms (the format's pruning unit
+  * is per-file manifest stats, not directory partitions). */
+class LogCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: Path = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Paths.get(Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"LogCatalog '$name': set spark.sql.catalog.$name.warehouse to the " +
+          "directory holding the log tables")))
+  }
+
+  override def name(): String = catalogName
+
+  private def dirOf(namespace: Array[String]): Path =
+    namespace.foldLeft(warehouse)(_.resolve(_))
+
+  private def pathOf(ident: Identifier): String =
+    dirOf(ident.namespace()).resolve(ident.name()).toString
+
+  private def isTableDir(p: Path): Boolean =
+    Files.isDirectory(p.resolve("_log"))
+
+  // ---- tables ----
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = dirOf(namespace)
+    if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(
+      catalogName +: namespace)
+    val stream = Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      stream.iterator().asScala
+        .filter(isTableDir)
+        .map(p => Identifier.of(namespace, p.getFileName.toString))
+        .toArray
+    } finally stream.close()
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    isTableDir(Paths.get(pathOf(ident)))
+
+  override def loadTable(ident: Identifier): Table = loadAt(ident, None)
+
+  /** `VERSION AS OF v` time travel — same snapshot rule as the
+    * connector's `asOf` option. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    loadAt(ident, Some(version.toLong))
+
+  private def loadAt(ident: Identifier, asOf: Option[Long]): Table = {
+    val path = pathOf(ident)
+    if (!isTableDir(Paths.get(path))) throw new NoSuchTableException(ident)
+    new LogTableTable(path, LogTableProvider.schemaOf(path, asOf), asOf)
+  }
+
+  override def createTable(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    if (partitions.nonEmpty) throw new UnsupportedOperationException(
+      "graft-log: partition transforms are not supported — the format " +
+        "prunes by per-file manifest stats, not directory partitions")
+    // keyCol arrives as a table property (DDL TBLPROPERTIES) or a write
+    // option (DataFrameWriterV2 .option(...) lands under OPTION_PREFIX)
+    import scala.jdk.CollectionConverters._
+    val props = properties.asScala
+    val keyCol = props.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("keyCol") ||
+        k.equalsIgnoreCase(TableCatalog.OPTION_PREFIX + "keyCol") => v
+    }.getOrElse(throw new IllegalArgumentException(
+      s"graft-log: CREATE TABLE ${ident.toString} needs the key column — " +
+        "TBLPROPERTIES ('keyCol'='<column>')"))
+    val path = pathOf(ident)
+    Files.createDirectories(dirOf(ident.namespace()))
+    try LogTable.createEmpty(path, schema, keyCol)
+    catch {
+      case _: graft.io.TableAlreadyExistsException =>
+        throw new TableAlreadyExistsException(ident)
+    }
+    new LogTableTable(path, LogTableProvider.schemaOf(path, None), None)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft-log: ALTER TABLE is not supported — schema evolution rides " +
+        "appends (a wider INSERT evolves the table; the log is the schema " +
+        "history)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = Paths.get(pathOf(ident))
+    if (!isTableDir(dir)) return false
+    import scala.jdk.CollectionConverters._
+    val walk = Files.walk(dir)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(Files.deleteIfExists(_))
+    finally walk.close()
+    true
+  }
+
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    val src = Paths.get(pathOf(from))
+    val dst = Paths.get(pathOf(to))
+    if (!isTableDir(src)) throw new NoSuchTableException(from)
+    if (Files.exists(dst)) throw new TableAlreadyExistsException(to)
+    Files.createDirectories(dst.getParent)
+    Files.move(src, dst)
+  }
+
+  // ---- namespaces (directories without a _log) ----
+
+  override def defaultNamespace(): Array[String] = Array("default")
+
+  override def listNamespaces(): Array[Array[String]] =
+    listNamespaces(Array.empty)
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    val dir = dirOf(namespace)
+    if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(
+      catalogName +: namespace)
+    val stream = Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      stream.iterator().asScala
+        .filter(p => Files.isDirectory(p) && !isTableDir(p))
+        .map(p => namespace :+ p.getFileName.toString)
+        .toArray
+    } finally stream.close()
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || {
+      val dir = dirOf(namespace)
+      Files.isDirectory(dir) && !isTableDir(dir)
+    }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(
+      catalogName +: namespace)
+    util.Collections.emptyMap()
+  }
+
+  override def createNamespace(
+      namespace: Array[String], metadata: util.Map[String, String]): Unit = {
+    if (namespaceExists(namespace) && namespace.nonEmpty)
+      throw new NamespaceAlreadyExistsException(namespace)
+    Files.createDirectories(dirOf(namespace))
+  }
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft-log: namespaces are plain directories — nothing to alter")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val dir = dirOf(namespace)
+    if (!Files.isDirectory(dir)) return false
+    import scala.jdk.CollectionConverters._
+    if (!cascade) {
+      val stream = Files.list(dir)
+      val empty = try !stream.iterator().hasNext finally stream.close()
+      if (!empty) throw new org.apache.spark.sql.catalyst.analysis.NonEmptyNamespaceException(
+        namespace)
+      Files.delete(dir)
+    } else {
+      val walk = Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
+      finally walk.close()
+    }
+    true
+  }
+}

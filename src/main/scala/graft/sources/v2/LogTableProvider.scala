@@ -171,19 +171,60 @@ class LogTableTable(path: String, tableSchema: StructType, asOf: Option[Long])
                     "graft-log write: the table predates the key-column " +
                       "property — pass .option(\"keyCol\", <column>) once; " +
                       "the commit records it from then on"))
+                val aligned = LogTableTable.alignForInsert(data, path)
                 if (LogTable.version(path) == 0L)
-                  try LogTable.create(data.sparkSession, path, data, key)
+                  try LogTable.create(data.sparkSession, path, aligned, key)
                   catch {
                     // lost the bootstrap race: the table now exists, so
                     // this batch lands as the append it would have been
                     case _: graft.io.TableAlreadyExistsException =>
-                      LogTable.append(data.sparkSession, path, data, key)
+                      LogTable.append(data.sparkSession, path, aligned, key)
                   }
-                else LogTable.append(data.sparkSession, path, data, key)
+                else LogTable.append(data.sparkSession, path, aligned, key)
               }
             }
         }
     }
+  }
+}
+
+object LogTableTable {
+  /** Resolve an incoming write batch against the table's committed
+    * schema. ACCEPT_ANY_SCHEMA (required for evolution) also disables
+    * Spark's own output resolution, so a SQL `INSERT INTO ... SELECT`
+    * arrives with the SELECT's expression names — which name-based
+    * append would treat as brand-new columns instead of an insert.
+    *
+    * The rule, by decreasing evidence of intent:
+    *   - incoming names cover the table's (case-insensitive) → BY NAME,
+    *     as-is: the DataFrame path, including schema-evolving supersets;
+    *   - otherwise, matching arity → POSITIONAL (the SQL INSERT
+    *     contract): columns renamed to the table's and ANSI-cast to its
+    *     types (store-assignment semantics — a narrowing overflow
+    *     throws, as ANSI INSERT does);
+    *   - otherwise → loud error; a silent partial match would scatter
+    *     values into the wrong columns. */
+  private[v2] def alignForInsert(
+      data: org.apache.spark.sql.DataFrame, path: String)
+      : org.apache.spark.sql.DataFrame = {
+    val tbl = LogTableProvider.schemaOf(path, None)
+    if (tbl.isEmpty) return data // bootstrap: the batch defines the schema
+    val tblLower = tbl.fieldNames.map(_.toLowerCase).toSet
+    val inLower = data.schema.fieldNames.map(_.toLowerCase).toSet
+    // by-name when the names line up in either direction: a superset
+    // evolves the table, a strict subset appends with NULLs for the
+    // missing columns (both established DataFrame-path behaviors)
+    if (tblLower.subsetOf(inLower) || inLower.subsetOf(tblLower)) data
+    else if (data.schema.length == tbl.length)
+      data.toDF(tbl.fieldNames: _*)
+        .select(tbl.fields.map(f =>
+          org.apache.spark.sql.functions.col(f.name).cast(f.dataType)
+            .as(f.name)).toIndexedSeq: _*)
+    else throw new IllegalArgumentException(
+      s"graft-log write to $path: cannot resolve batch columns " +
+        s"[${data.schema.fieldNames.mkString(", ")}] against table columns " +
+        s"[${tbl.fieldNames.mkString(", ")}] — match the names (by-name " +
+        "write / evolution) or the arity (positional INSERT)")
   }
 }
 

@@ -291,6 +291,54 @@ class LogConnectorSpec extends AnyFunSuite {
     assert(LogTableScan.lastPlannedFiles.get() <= LogTableScan.lastTotalFiles.get())
   }
 
+  test("LogCatalog: SQL DDL + INSERT + SELECT over log tables by name, pushdown intact") {
+    val wh = Files.createTempDirectory("graft-logcat").toString
+    spark.conf.set("spark.sql.catalog.graftcat", classOf[LogCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftcat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE graftcat.etl")
+    // DDL creates an empty v1 with committed schema + keyCol property
+    spark.sql("CREATE TABLE graftcat.etl.orders (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('keyCol'='k')")
+    assert(LogTable.tableKeyCol(s"$wh/etl/orders").contains("k"))
+    assert(spark.sql("SELECT * FROM graftcat.etl.orders").count() == 0)
+    // INSERT with matching names: by-name through the one append path
+    spark.sql("INSERT INTO graftcat.etl.orders SELECT id AS k, " +
+      "concat('v', id) AS v FROM range(1, 1001)")
+    // positional INSERT: expression names don't match -> positional+cast
+    spark.sql("INSERT INTO graftcat.etl.orders SELECT 2000 + id, 'p' " +
+      "FROM range(0, 5)")
+    assert(spark.sql("SELECT count(*) FROM graftcat.etl.orders").head().getLong(0) == 1005L)
+    assert(spark.sql(
+      "SELECT v FROM graftcat.etl.orders WHERE k = 2000").head().getString(0) == "p")
+    // pushdown serves SQL reads: point predicate prunes to 1 file of >=2
+    spark.sql("SELECT * FROM graftcat.etl.orders WHERE k = 42").collect()
+    assert(LogTableScan.lastTotalFiles.get() >= 2)
+    assert(LogTableScan.lastPlannedFiles.get() < LogTableScan.lastTotalFiles.get(),
+      s"catalog read planned ${LogTableScan.lastPlannedFiles.get()} of " +
+        s"${LogTableScan.lastTotalFiles.get()} files — no manifest skipping")
+    // time travel: VERSION AS OF v2 (post-first-INSERT snapshot)
+    assert(spark.sql(
+      "SELECT count(*) FROM graftcat.etl.orders VERSION AS OF 2").head().getLong(0) == 1000L)
+    // catalog surface: SHOW TABLES / table existence / drop
+    assert(spark.sql("SHOW TABLES IN graftcat.etl").collect()
+      .map(_.getString(1)).contains("orders"))
+    // CTAS commits empty v1 then appends the query result
+    spark.sql("CREATE TABLE graftcat.etl.big_orders TBLPROPERTIES ('keyCol'='k') " +
+      "AS SELECT k, v FROM graftcat.etl.orders WHERE k > 500")
+    assert(spark.sql("SELECT count(*) FROM graftcat.etl.big_orders").head().getLong(0) == 505L)
+    // ALTER is loudly unsupported (schema evolution rides appends)
+    intercept[UnsupportedOperationException](
+      spark.sql("ALTER TABLE graftcat.etl.orders ADD COLUMN extra BIGINT"))
+    // evolution THROUGH SQL: a wider by-name insert via DataFrame API
+    Seq((3000L, "w", 9L)).toDF("k", "v", "score")
+      .write.format("graft-log").mode("append").save(s"$wh/etl/orders")
+    assert(spark.sql("SELECT score FROM graftcat.etl.orders WHERE k = 3000")
+      .head().getLong(0) == 9L)
+    spark.sql("DROP TABLE graftcat.etl.big_orders")
+    assert(!spark.sql("SHOW TABLES IN graftcat.etl").collect()
+      .map(_.getString(1)).contains("big_orders"))
+  }
+
   test("manifest row statistics reach the optimizer: a pruned log read broadcasts on its own") {
     val t = tmpTable()
     LogTable.create(spark, t,

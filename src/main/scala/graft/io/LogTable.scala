@@ -76,7 +76,11 @@ object LogTable {
       file: String, minKey: Long, maxKey: Long, rows: Long,
       cols: Map[String, (Long, Long)] = Map.empty,
       colsD: Map[String, (Double, Double)] = Map.empty,
-      colsS: Map[String, (String, String)] = Map.empty)
+      colsS: Map[String, (String, String)] = Map.empty,
+      // per-column NULL counts (any type, absent = unknown): nullCount=0
+      // prunes IS NULL scans, nullCount=rows prunes IS NOT NULL — the
+      // Delta/Iceberg nullCount stat, decided from the manifest alone
+      colsN: Map[String, Long] = Map.empty)
 
   /** One commit. `schema` is the writer's DataFrame schema (Spark
     * StructType JSON) — readers apply the LATEST committed schema to the
@@ -134,7 +138,12 @@ object LogTable {
         else a.colsS.toSeq.sortBy(_._1)
           .map { case (c, (lo, hi)) => s""""${esc(c)}":["${esc(lo)}","${esc(hi)}"]""" }
           .mkString(""","colsS":{""", ",", "}")
-      s"""{"file":"${esc(a.file)}","minKey":${a.minKey},"maxKey":${a.maxKey},"rows":${a.rows}$cols$colsD$colsS}"""
+      val colsN =
+        if (a.colsN.isEmpty) ""
+        else a.colsN.toSeq.sortBy(_._1)
+          .map { case (c, n) => s""""${esc(c)}":$n""" }
+          .mkString(""","colsN":{""", ",", "}")
+      s"""{"file":"${esc(a.file)}","minKey":${a.minKey},"maxKey":${a.maxKey},"rows":${a.rows}$cols$colsD$colsS$colsN}"""
     }.mkString("[", ",", "]")
     val removes = m.removes.map(f => s""""${esc(f)}"""").mkString("[", ",", "]")
     val ckpt = if (m.checkpoint) ""","checkpoint":true""" else ""
@@ -178,9 +187,15 @@ object LogTable {
             .map(m => unesc(m.group(1)) -> (unesc(m.group(2)), unesc(m.group(3))))
             .toMap
         }.getOrElse(Map.empty[String, (String, String)])
+      val colsN = """"colsN":\{(.*?)\}""".r.findFirstMatchIn(o).map(_.group(1))
+        .map { block =>
+          """"((?:[^"\\]|\\.)+)":(\d+)""".r.findAllMatchIn(block)
+            .map(m => unesc(m.group(1)) -> m.group(2).toLong)
+            .toMap
+        }.getOrElse(Map.empty[String, Long])
       FileEntry(""""file":"([^"]*)"""".r.findFirstMatchIn(o).get.group(1),
         longField(o, "minKey"), longField(o, "maxKey"), longField(o, "rows"),
-        cols, colsD, colsS)
+        cols, colsD, colsS, colsN)
     }.toSeq
     val removesBlock = """"removes":\[(.*?)\]""".r
       .findFirstMatchIn(json).get.group(1)
@@ -585,6 +600,12 @@ object LogTable {
           mn.compareTo(hi) <= 0 && mx.compareTo(lo) >= 0 }
     }
 
+  /** NULL-count admission: `IS NULL` needs at least one null in the
+    * file, `IS NOT NULL` at least one non-null row. Files without a
+    * recorded count (legacy manifests, unknown footer counts) admit. */
+  private[graft] def admitsNull(f: FileEntry, column: String, wantNull: Boolean): Boolean =
+    f.colsN.get(column).forall(n => if (wantNull) n > 0 else n < f.rows)
+
   /** (files admitted, live files) for the last [[readWhere]] — spec/bench
     * observability of manifest pruning, mirroring PagedOrders' fetched
     * counter; never control flow. */
@@ -957,7 +978,7 @@ object LogTable {
         val in = org.apache.parquet.hadoop.util.HadoopInputFile
           .fromPath(new org.apache.hadoop.fs.Path(p.toUri), conf)
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        val (rows, stats, statsD, statsS) =
+        val (rows, stats, statsD, statsS, statsN) =
           try {
             var rows = 0L
             val lo = scala.collection.mutable.Map.empty[String, Long]
@@ -970,6 +991,11 @@ object LogTable {
             // doubles, non-ASCII strings) drop out of the file's stats
             // entirely — a partial bound would prune wrongly
             val unsafe = scala.collection.mutable.Set.empty[String]
+            // NULL counts (any column type): valid only when EVERY chunk
+            // of the column reports one — a single unknown poisons the
+            // file's count (a partial sum would wrongly prune IS NULL)
+            val nulls = scala.collection.mutable.Map.empty[String, Long]
+            val nullsUnknown = scala.collection.mutable.Set.empty[String]
             reader.getFooter.getBlocks.forEach { block =>
               rows += block.getRowCount
               block.getColumns.forEach { chunk =>
@@ -977,6 +1003,12 @@ object LogTable {
                 // dotted column name can never alias a nested field
                 val segs = chunk.getPath.iterator().asScala.toSeq
                 val st = chunk.getStatistics
+                if (segs.length == 1) {
+                  val name = segs.head
+                  if (st != null && st.isNumNullsSet && st.getNumNulls >= 0)
+                    nulls(name) = nulls.getOrElse(name, 0L) + st.getNumNulls
+                  else nullsUnknown += name
+                }
                 // a chunk with SOME nulls still carries min/max over
                 // its non-null values — matching SQL min/max; an
                 // all-null (or stat-less) chunk contributes nothing
@@ -1033,7 +1065,8 @@ object LogTable {
             (rows,
               lo.keys.map(c => c -> (lo(c), hi(c))).toMap,
               loD.keys.filterNot(unsafe).map(c => c -> (loD(c), hiD(c))).toMap,
-              strBounds)
+              strBounds,
+              nulls.view.filterKeys(!nullsUnknown(_)).toMap)
           } finally reader.close()
         if (rows == 0L) None // empty part: never registered, swept below
         else {
@@ -1045,7 +1078,8 @@ object LogTable {
           Some(FileEntry(name, kLo, kHi, rows,
             stats.view.filterKeys(statSafe).toMap,
             statsD.view.filterKeys(statSafe).toMap,
-            statsS.view.filterKeys(statSafe).toMap))
+            statsS.view.filterKeys(statSafe).toMap,
+            statsN.view.filterKeys(statSafe).toMap))
         }
       }
     } finally {

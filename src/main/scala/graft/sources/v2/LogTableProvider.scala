@@ -71,6 +71,13 @@ class LogTableProvider extends TableProvider with DataSourceRegister {
   }
 }
 
+/** A file-level admission check inside a pushed CNF clause. */
+private[v2] sealed trait FileCheck
+private[v2] final case class BoundCheck(
+    col: String, b: graft.io.LogTable.StatBound) extends FileCheck
+private[v2] final case class NullCheck(
+    col: String, wantNull: Boolean) extends FileCheck
+
 object LogTableProvider {
   private[v2] def asOf(options: CaseInsensitiveStringMap): Option[Long] =
     Option(options.get("asOf")).map(_.toLong)
@@ -248,15 +255,18 @@ class LogTableScanBuilder(
 
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
-  // per-column intersected admission window, in manifest encoding
+  // per-column intersected admission window, in manifest encoding.
+  // Ranges/equalities intersect here (strictly tighter than independent
+  // per-filter checks: `a >= 5 AND a <= 1` intersects to an empty
+  // window that prunes a [0,10] file both independent checks admit)
   private val bounds = scala.collection.mutable.Map.empty[String, StatBound]
-  // per-column IN-list windows: each pushed IN contributes one list of
-  // point windows; a file admits when EVERY list has SOME point inside
-  // the file's stats (union-of-points within a list, intersection
-  // across lists — exactly `c IN (..) AND c IN (..)` semantics)
-  private val inLists =
-    scala.collection.mutable.Map.empty[String, List[Seq[StatBound]]]
-      .withDefaultValue(Nil)
+  // everything else pushes as CNF: each accepted filter contributes ONE
+  // clause (a disjunction of file-level checks); a file admits when
+  // every clause has some admitting check. IN = clause of point
+  // windows, IS [NOT] NULL = single null-count check, OR = the union of
+  // its sides' checks (all leaves must encode or the whole filter stays
+  // row-level — a partial clause would wrongly prune)
+  private val clauses = scala.collection.mutable.ListBuffer.empty[Seq[FileCheck]]
   /** IN-lists longer than this stay row-level: admission cost is
     * files × points, and a huge IN prunes little anyway. */
   private val MaxInValues = 64
@@ -326,27 +336,54 @@ class LogTableScanBuilder(
     case _ => None // mixed encodings on one column: keep the first, stay conservative
   }
 
+  /** One leaf filter as the disjuncts it contributes to a clause: None
+    * when any part fails to encode (the whole filter then stays
+    * row-level — conservative by construction). */
+  private def leafChecks(f: Filter): Option[Seq[FileCheck]] = f match {
+    case EqualTo(c, v) =>
+      boundFor(v, isLower = true, isUpper = true).map(b => Seq(BoundCheck(c, b)))
+    case GreaterThan(c, v) =>
+      boundFor(v, isLower = true, isUpper = false).map(b => Seq(BoundCheck(c, b)))
+    case GreaterThanOrEqual(c, v) =>
+      boundFor(v, isLower = true, isUpper = false).map(b => Seq(BoundCheck(c, b)))
+    case LessThan(c, v) =>
+      boundFor(v, isLower = false, isUpper = true).map(b => Seq(BoundCheck(c, b)))
+    case LessThanOrEqual(c, v) =>
+      boundFor(v, isLower = false, isUpper = true).map(b => Seq(BoundCheck(c, b)))
+    // IN → union of point windows (the reference pushes `status IN
+    // ('processing','completed')` to its source, orders.py:11-18). ALL
+    // values must encode: a null/NaN/foreign-typed member makes the
+    // whole list row-level — admitting on a partial union would wrongly
+    // prune files holding the unencodable member's rows.
+    case In(c, vs) if vs.nonEmpty && vs.length <= MaxInValues =>
+      val points = vs.toSeq.map(v =>
+        if (v == null) None
+        else boundFor(v, isLower = true, isUpper = true).map(BoundCheck(c, _)))
+      if (points.forall(_.isDefined)) Some(points.map(_.get)) else None
+    // null-count stats (colsN): IS NULL needs a null in the file,
+    // IS NOT NULL a non-null row — zero footer reads either way
+    case IsNull(c) => Some(Seq(NullCheck(c, wantNull = true)))
+    case IsNotNull(c) => Some(Seq(NullCheck(c, wantNull = false)))
+    // OR = union of both sides' disjuncts; nested ORs flatten through
+    // the recursion
+    case Or(l, r) =>
+      for (a <- leafChecks(l); b <- leafChecks(r)) yield a ++ b
+    case _ => None
+  }
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val accepted = filters.filter {
+      // bare comparisons intersect into the per-column window (tighter
+      // than clause admission, see `bounds`)
       case EqualTo(c, v) => record(c, boundFor(v, isLower = true, isUpper = true))
       case GreaterThan(c, v) => record(c, boundFor(v, isLower = true, isUpper = false))
       case GreaterThanOrEqual(c, v) => record(c, boundFor(v, isLower = true, isUpper = false))
       case LessThan(c, v) => record(c, boundFor(v, isLower = false, isUpper = true))
       case LessThanOrEqual(c, v) => record(c, boundFor(v, isLower = false, isUpper = true))
-      // IN → union of point windows (the reference pushes `status IN
-      // ('processing','completed')` to its source, orders.py:11-18).
-      // ALL values must encode (a null/NaN/foreign-typed member makes
-      // the whole list row-level — admitting on a partial union would
-      // wrongly prune files holding the unencodable member's rows),
-      // and oversized lists stay row-level.
-      case In(c, vs) if vs.nonEmpty && vs.length <= MaxInValues =>
-        val points = vs.toSeq.map(v =>
-          if (v == null) None else boundFor(v, isLower = true, isUpper = true))
-        if (points.forall(_.isDefined)) {
-          inLists(c) = points.map(_.get).toList :: inLists(c)
-          true
-        } else false
-      case _ => false // OR/IsNull/...: row-level only
+      case other => leafChecks(other) match {
+        case Some(cl) => clauses += cl; true
+        case None => false // unencodable shape: row-level only
+      }
     }
     pushed = accepted
     // File skipping is whole-file and inclusive-widened — Spark must
@@ -363,14 +400,15 @@ class LogTableScanBuilder(
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  /** Manifest-stats admission for one file under every pushed window:
-    * range windows intersect per column; each IN-list admits when any
-    * of its point windows does. Stat-less columns admit (conservative). */
+  /** Manifest-stats admission for one file: the intersected per-column
+    * windows AND every CNF clause (some disjunct admits). Stat-less
+    * columns admit (conservative). */
   private def fileAdmitted(f: LogTable.FileEntry): Boolean =
     bounds.forall { case (c, b) => LogTable.admits(f, c, b) } &&
-      inLists.forall { case (c, lists) =>
-        lists.forall(_.exists(p => LogTable.admits(f, c, p)))
-      }
+      clauses.forall(_.exists {
+        case BoundCheck(c, b) => LogTable.admits(f, c, b)
+        case NullCheck(c, wantNull) => LogTable.admitsNull(f, c, wantNull)
+      })
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema

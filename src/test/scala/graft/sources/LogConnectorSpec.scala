@@ -291,6 +291,46 @@ class LogConnectorSpec extends AnyFunSuite {
     assert(LogTableScan.lastPlannedFiles.get() <= LogTableScan.lastTotalFiles.get())
   }
 
+  test("null-count stats prune IS NULL / IS NOT NULL; OR pushes as a clause") {
+    val t = tmpTable()
+    // file 1: no nulls anywhere; file 2: score entirely null (one
+    // commit each — deterministic two-file layout)
+    LogTable.create(spark, t,
+      (1L to 1000L).map(i => (i, s"v$i", i * 2L)).toDF("k", "v", "score")
+        .coalesce(1), "k")
+    LogTable.append(spark, t,
+      (1001L to 2000L).map(i => (i, s"v$i")).toDF("k", "v")
+        .withColumn("score", lit(null).cast("long")).coalesce(1), "k")
+    // IS NULL: only the all-null file plans
+    val gotNull = load(t).filter(col("score").isNull)
+      .collect().map(_.getAs[Long]("k")).toSet
+    assert(gotNull == (1001L to 2000L).toSet)
+    assert(LogTableScan.lastTotalFiles.get() == 2)
+    assert(LogTableScan.lastPlannedFiles.get() == 1,
+      s"IS NULL planned ${LogTableScan.lastPlannedFiles.get()} of 2 files")
+    // IS NOT NULL: only the no-null file plans
+    val gotNotNull = load(t).filter(col("score").isNotNull)
+      .collect().map(_.getAs[Long]("k")).toSet
+    assert(gotNotNull == (1L to 1000L).toSet)
+    assert(LogTableScan.lastPlannedFiles.get() == 1,
+      s"IS NOT NULL planned ${LogTableScan.lastPlannedFiles.get()} of 2 files")
+    // OR clause: each side admits a different file -> both plan; a
+    // range OR that misses both files -> zero plan
+    val gotOr = load(t).filter(col("k") <= 10L || col("k") >= 1990L)
+      .collect().map(_.getAs[Long]("k")).toSet
+    assert(gotOr == ((1L to 10L) ++ (1990L to 2000L)).toSet)
+    assert(LogTableScan.lastPlannedFiles.get() == 2)
+    assert(load(t).filter(col("k") < 0L || col("k") > 5000L).count() == 0L)
+    assert(LogTableScan.lastPlannedFiles.get() == 0,
+      s"out-of-range OR planned ${LogTableScan.lastPlannedFiles.get()} files")
+    // OR mixing a range and a null check prunes to the matching files
+    load(t).filter(col("score").isNull || col("k") <= 10L).collect()
+    assert(LogTableScan.lastPlannedFiles.get() == 2)
+    load(t).filter(col("score").isNull && col("k") <= 10L).collect()
+    assert(LogTableScan.lastPlannedFiles.get() == 0,
+      "IS NULL AND low-range window should prune both files")
+  }
+
   test("LogCatalog: SQL DDL + INSERT + SELECT over log tables by name, pushdown intact") {
     val wh = Files.createTempDirectory("graft-logcat").toString
     spark.conf.set("spark.sql.catalog.graftcat", classOf[LogCatalog].getName)

@@ -760,6 +760,79 @@ class LogTableSpec extends AnyFunSuite {
     assert(LogTable.vacuum(t) == Seq("22222222-staged.parquet"))
   }
 
+  test("foreign TIMESTAMP_MILLIS file decodes correctly through the connector reader") {
+    // the legacy-append path invites externally-written files; an INT64
+    // timestamp annotated MILLIS (or NANOS) must decode by ITS unit, not
+    // assumed micros (1000x off otherwise)
+    val t = tmpTable()
+    val ts0 = java.sql.Timestamp.valueOf("2024-03-01 10:00:00")
+    LogTable.create(spark, t,
+      Seq((1L, ts0)).toDF("k", "ts"), "k")
+    // forge a MILLIS file the way a foreign writer would produce it
+    val stage = Files.createTempDirectory("graft-millis")
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.getOption(tsKey)
+    spark.conf.set(tsKey, "TIMESTAMP_MILLIS")
+    try Seq((2L, java.sql.Timestamp.valueOf("2024-03-02 10:00:00")))
+      .toDF("k", "ts").coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    finally prev.fold(spark.conf.unset(tsKey))(spark.conf.set(tsKey, _))
+    val part = Files.list(stage).iterator()
+    val src = {
+      import scala.jdk.CollectionConverters._
+      part.asScala.find(_.getFileName.toString.endsWith(".parquet")).get
+    }
+    Files.move(src, Paths.get(t, "data", "foreign.parquet"))
+    // hand-commit v2 referencing the foreign file (no stats — admit-all)
+    Files.writeString(Paths.get(t, "_log", "v00000002.json"),
+      LogTable.render(LogTable.Manifest(2L,
+        adds = Seq(LogTable.FileEntry("foreign.parquet", 2L, 2L, 1L)),
+        removes = Seq.empty, keyCol = "k")))
+    val got = spark.read.format("graft-log").load(t)
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1))).toSeq
+    assert(got == Seq(
+      (1L, ts0), (2L, java.sql.Timestamp.valueOf("2024-03-02 10:00:00"))),
+      s"foreign MILLIS decode produced $got")
+  }
+
+  test("concurrent writers: the MICROS conf override never interleaves or leaks") {
+    // two threads race create+appends on separate tables through the
+    // shared session; every produced file must carry INT64 micros stats
+    // (an interleaved restore would write INT96 = no timestamp stats)
+    // and the session conf must come back to its prior value
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    spark.conf.set(tsKey, "INT96") // a worst-case prior value
+    try {
+      val tables = (0 until 2).map(_ => tmpTable())
+      val threads = tables.map { t =>
+        new Thread(() => {
+          LogTable.create(spark, t,
+            Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+              .toDF("k", "ts"), "k")
+          for (i <- 2 to 4)
+            LogTable.append(spark, t,
+              Seq((i.toLong, java.sql.Timestamp.valueOf(s"2024-01-0$i 00:00:00")))
+                .toDF("k", "ts"), "k")
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      assert(spark.conf.get(tsKey) == "INT96", "conf override leaked")
+      // every commit carried timestamp stats -> a ts window prunes to
+      // the matching file on both tables (INT96 files would carry no
+      // stats and admit everything)
+      for (t <- tables) {
+        LogTable.readWhere(spark, t, "ts",
+          java.time.Instant.parse("2024-01-04T00:00:00Z")
+            .minusSeconds(12 * 3600),
+          java.time.Instant.parse("2024-01-05T00:00:00Z")).collect()
+        assert(LogTable.lastWherePlanned.get() == 1,
+          s"ts window planned ${LogTable.lastWherePlanned.get()} of " +
+            s"${LogTable.lastWhereTotal.get()} files on $t — missing micros stats")
+      }
+    } finally spark.conf.unset(tsKey)
+  }
+
   test("create on an existing table throws the typed TableAlreadyExistsException") {
     val t = tmpTable()
     LogTable.create(spark, t, Seq((1L, "a")).toDF("k", "v"), "k")

@@ -25,6 +25,10 @@ object EtlQueries {
   // k15's log table, built once per sfDir (setup, not measured work)
   private val k15Table = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // k16's registered catalog name per sfDir (registration + CTAS are
+  // setup; the timed body is the SQL query alone)
+  private val k16Catalog = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   // A1 on fixtures: per-order refund totals.
   private def refundOrderTotals(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.lineitem(s, d)
@@ -469,6 +473,58 @@ object EtlQueries {
              |       o_orderstatus AS status, o_totalprice AS total
              |FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
              |ORDER BY order_id""".stripMargin),
+    ),
+
+    // K16 — the reference's analytic surface IS SQL over warehouse
+    // tables by NAME (dashboard app.py:28-39; schema bootstrap ddl.sql):
+    // this row serves a revenue rollup entirely through the LogCatalog —
+    // CTAS bootstraps a log table from SQL (empty v1 + append, keyCol
+    // property riding TBLPROPERTIES), then the query is spark.sql over
+    // the catalog-resolved table with the watermark predicate pushed
+    // onto the manifest's timestamp bounds (same pruning path
+    // LogConnectorSpec pins). Setup (catalog registration + CTAS) is
+    // per-sfDir, outside the timed body, like k15's table build.
+    QueryDef(
+      "k16_catalog_sql",
+      (s, d) => {
+        val cat = k16Catalog.computeIfAbsent(d, dir => {
+          // unique per sfDir: the warehouse conf rides the catalog name
+          val name =
+            s"graftsql_${java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)}"
+          val wh = java.nio.file.Files.createTempDirectory("graft-k16")
+          sys.addShutdownHook {
+            import scala.jdk.CollectionConverters._
+            val walk = java.nio.file.Files.walk(wh)
+            try walk.sorted(java.util.Comparator.reverseOrder())
+              .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+            finally walk.close()
+          }
+          s.conf.set(s"spark.sql.catalog.$name",
+            classOf[graft.sources.v2.LogCatalog].getName)
+          s.conf.set(s"spark.sql.catalog.$name.warehouse", wh.toString)
+          s.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.etl")
+          Tables.orders(s, dir).select(
+            col("o_orderkey").as("order_id"),
+            col("o_orderdate").as("order_date"),
+            col("o_orderstatus").as("status"),
+            col("o_totalprice").as("total"))
+            .createOrReplaceTempView("k16_src_orders")
+          s.sql(s"CREATE TABLE $name.etl.orders " +
+            "TBLPROPERTIES ('keyCol'='order_id') AS " +
+            "SELECT * FROM k16_src_orders")
+          name
+        })
+        s.sql(s"SELECT status, total FROM $cat.etl.orders " +
+          "WHERE order_date >= TIMESTAMP '1997-01-01'")
+          .groupBy("status")
+          .agg(count(lit(1)).as("n_orders"),
+            moneySum0(col("total")).as("revenue"))
+          .orderBy("status")
+      },
+      Some(s"""SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+              |       ${moneySum0Sql("o_totalprice")} AS revenue
+              |FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              |GROUP BY 1 ORDER BY status""".stripMargin),
     ),
 
     // K4/K6 — column alignment / schema migration: missing columns appear

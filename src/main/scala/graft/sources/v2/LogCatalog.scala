@@ -41,7 +41,8 @@ import graft.io.LogTable
   * rides appends — the log IS the schema history, an out-of-band edit
   * would fork it) and partition transforms (the format's pruning unit
   * is per-file manifest stats, not directory partitions). */
-class LogCatalog extends TableCatalog with SupportsNamespaces {
+class LogCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: Path = _
@@ -148,6 +149,33 @@ class LogCatalog extends TableCatalog with SupportsNamespaces {
     Files.createDirectories(dst.getParent)
     Files.move(src, dst)
   }
+
+  // ---- maintenance procedures: CALL <cat>.system.<proc>(...) ----
+
+  private lazy val procedures =
+    LogProcedures.forCatalog { dotted =>
+      val parts = dotted.split('.')
+      val p = parts.foldLeft(warehouse)(_.resolve(_))
+      if (!isTableDir(p)) throw new NoSuchTableException(
+        Identifier.of(parts.init, parts.last))
+      p.toString
+    }
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    if (!ident.namespace().sameElements(Array("system")))
+      throw new RuntimeException(
+        s"graft-log: procedures live in the 'system' namespace — " +
+          s"CALL $catalogName.system.<name>(...), got ${ident.toString}")
+    procedures.getOrElse(ident.name(), throw new RuntimeException(
+      s"graft-log: unknown procedure '${ident.name()}' — available: " +
+        procedures.keys.toSeq.sorted.mkString(", ")))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      procedures.keys.toArray.sorted.map(Identifier.of(Array("system"), _))
+    else Array.empty
 
   // ---- namespaces (directories without a _log) ----
 

@@ -1,0 +1,115 @@
+package graft.sources.v2
+
+import java.util.Collections
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.io.LogTable
+
+/** Maintenance surface as SQL stored procedures (Spark 4's
+  * ProcedureCatalog — the Iceberg `CALL catalog.system.proc(...)`
+  * idiom), so an operator runs table maintenance from the SQL shell the
+  * reference's tooling lives in, no Scala entry point needed:
+  *
+  * {{{
+  *   CALL graftcat.system.compact('etl.orders', 100000)
+  *   CALL graftcat.system.vacuum('etl.orders', 3600000)
+  *   CALL graftcat.system.truncate_history('etl.orders', 10, 0)
+  * }}}
+  *
+  * Each procedure resolves the dotted table name against the catalog's
+  * warehouse, delegates to the ONE [[LogTable]] implementation the
+  * Scala API uses, and returns a one-row summary scan. All are
+  * non-deterministic (they mutate the log) and re-entrant under the
+  * table's own optimistic-commit rules. */
+private[v2] object LogProcedures {
+
+  /** One-row result scan for procedure summaries — a [[LocalScan]]
+    * (driver-side rows, no job), the one output shape Spark's CALL
+    * execution currently accepts. Strings convert to UTF8String here. */
+  private final class RowsScan(schema: StructType, resultRows: Seq[Seq[Any]])
+      extends LocalScan {
+    override def readSchema(): StructType = schema
+    override def rows(): Array[InternalRow] = resultRows.map(r =>
+      InternalRow.fromSeq(r.map {
+        case s: String => UTF8String.fromString(s)
+        case v => v
+      })).toArray
+  }
+
+  private def param(name: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(name, dt).build()
+  private def paramDefault(name: String, dt: DataType, default: String): ProcedureParameter =
+    ProcedureParameter.in(name, dt).defaultValue(default).build()
+
+  /** An UnboundProcedure whose bound form runs `body(args)` and returns
+    * a one-row summary with `outSchema`. */
+  private def proc(
+      procName: String, desc: String, params: Array[ProcedureParameter],
+      outSchema: StructType)(body: InternalRow => Seq[Any]): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = procName
+      override def description(): String = desc
+      override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+        override def name(): String = procName
+        override def description(): String = desc
+        override def parameters(): Array[ProcedureParameter] = params
+        override def isDeterministic: Boolean = false
+        override def call(input: InternalRow): java.util.Iterator[Scan] =
+          Collections.singletonList(
+            new RowsScan(outSchema, Seq(body(input))): Scan).iterator()
+      }
+    }
+
+  /** The procedure set for a catalog rooted at `resolve` (dotted
+    * namespace.table → filesystem path). */
+  def forCatalog(resolve: String => String): Map[String, UnboundProcedure] = Map(
+    "compact" -> proc(
+      "compact",
+      "Bin-pack a log table's small files (optionally z-ordered); " +
+        "semantic no-op, history preserved",
+      Array(param("table", StringType), param("target_rows", LongType),
+        paramDefault("zorder_by_1", StringType, "NULL"),
+        paramDefault("zorder_by_2", StringType, "NULL")),
+      new StructType().add("files_before", IntegerType).add("files_after", IntegerType)) { in =>
+      val path = resolve(in.getString(0))
+      val spark = SparkSession.active
+      val key = LogTable.tableKeyCol(path).getOrElse(throw new IllegalArgumentException(
+        s"compact: $path predates the key-column property — run one keyed write first"))
+      val before = LogTable.read(spark, path).inputFiles.length
+      val z = (Option(if (in.isNullAt(2)) null else in.getString(2)),
+        Option(if (in.isNullAt(3)) null else in.getString(3))) match {
+        case (Some(a), Some(b)) => Some((a, b))
+        case (None, None) => None
+        case _ => throw new IllegalArgumentException(
+          "compact: zorder_by_1 and zorder_by_2 must be given together")
+      }
+      LogTable.compact(spark, path, key, in.getLong(1), z)
+      Seq(before, LogTable.read(spark, path).inputFiles.length)
+    },
+    "vacuum" -> proc(
+      "vacuum",
+      "Delete unreferenced data files older than grace_ms (crash orphans, " +
+        "truncated-history leftovers)",
+      Array(param("table", StringType), paramDefault("grace_ms", LongType, "0")),
+      new StructType().add("deleted_files", IntegerType)) { in =>
+      Seq(LogTable.vacuum(resolve(in.getString(0)), in.getLong(1)).size)
+    },
+    "truncate_history" -> proc(
+      "truncate_history",
+      "Consolidate the snapshot into a checkpoint manifest, keep only the " +
+        "last keep_last versions below it, vacuum their files",
+      Array(param("table", StringType), param("keep_last", IntegerType),
+        paramDefault("grace_ms", LongType, "0")),
+      new StructType().add("manifests_dropped", IntegerType)
+        .add("files_vacuumed", IntegerType)) { in =>
+      val (dropped, vacuumed) = LogTable.truncateHistory(
+        resolve(in.getString(0)), in.getInt(1), in.getLong(2))
+      Seq(dropped, vacuumed)
+    })
+}

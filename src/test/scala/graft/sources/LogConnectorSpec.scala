@@ -379,6 +379,43 @@ class LogConnectorSpec extends AnyFunSuite {
       .map(_.getString(1)).contains("big_orders"))
   }
 
+  test("LogCatalog procedures: CALL system.compact/vacuum/truncate_history run maintenance from SQL") {
+    val wh = Files.createTempDirectory("graft-logproc").toString
+    spark.conf.set("spark.sql.catalog.graftproc", classOf[LogCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftproc.warehouse", wh)
+    spark.sql("CREATE NAMESPACE graftproc.etl")
+    spark.sql("CREATE TABLE graftproc.etl.t (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('keyCol'='k')")
+    // 5 small appends -> 5 files, fragmented
+    for (i <- 0 until 5)
+      spark.sql(s"INSERT INTO graftproc.etl.t SELECT id, concat('v', id) " +
+        s"FROM range(${i * 100}, ${i * 100 + 100})")
+    val t = s"$wh/etl/t"
+    assert(LogTable.read(spark, t).inputFiles.length >= 5)
+    // compact bin-packs to one file; count survives
+    val c = spark.sql("CALL graftproc.system.compact('etl.t', 100000)").collect()
+    assert(c.length == 1 && c.head.getInt(0) >= 5 && c.head.getInt(1) == 1,
+      s"compact summary: ${c.toSeq}")
+    assert(spark.sql("SELECT count(*) FROM graftproc.etl.t").head().getLong(0) == 500L)
+    // truncate_history checkpoints + drops old manifests, vacuums files
+    val th = spark.sql(
+      "CALL graftproc.system.truncate_history('etl.t', 0, 0)").collect()
+    assert(th.length == 1 && th.head.getInt(0) > 0,
+      s"truncate_history summary: ${th.toSeq}")
+    assert(spark.sql("SELECT count(*) FROM graftproc.etl.t").head().getLong(0) == 500L)
+    // vacuum on a clean table removes nothing
+    val v = spark.sql("CALL graftproc.system.vacuum('etl.t', 0)").collect()
+    assert(v.length == 1 && v.head.getInt(0) == 0, s"vacuum summary: ${v.toSeq}")
+    // unknown procedure fails to resolve (our message naming the
+    // available set rides the cause chain under Spark's
+    // FAILED_TO_LOAD_ROUTINE wrapper)
+    val e = intercept[Exception](spark.sql("CALL graftproc.system.nope()"))
+    val messages = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(messages.contains("FAILED_TO_LOAD_ROUTINE") ||
+      messages.contains("compact"), messages)
+  }
+
   test("manifest row statistics reach the optimizer: a pruned log read broadcasts on its own") {
     val t = tmpTable()
     LogTable.create(spark, t,

@@ -126,7 +126,9 @@ class LogTableTable(path: String, tableSchema: StructType, asOf: Option[Long])
     new LogTableScanBuilder(path, tableSchema, asOf,
       startingVersion = Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L),
       skipChangeCommits =
-        Option(options.get("skipChangeCommits")).exists(_.toBoolean))
+        Option(options.get("skipChangeCommits")).exists(_.toBoolean),
+      maxVersionsPerTrigger =
+        Option(options.get("maxVersionsPerTrigger")).map(_.toLong))
 
   /** Append write path — `df.write.format("graft-log").mode("append")
     * .save(path)` — bridged to [[LogTable.append]] through the V1
@@ -246,7 +248,8 @@ object LogTableScan {
 
 class LogTableScanBuilder(
     path: String, tableSchema: StructType, asOf: Option[Long],
-    startingVersion: Long = 0L, skipChangeCommits: Boolean = false)
+    startingVersion: Long = 0L, skipChangeCommits: Boolean = false,
+    maxVersionsPerTrigger: Option[Long] = None)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
@@ -465,11 +468,29 @@ class LogTableScanBuilder(
       * manifest. */
     override def toMicroBatchStream(checkpointLocation: String)
         : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-      new org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-        import org.apache.spark.sql.connector.read.streaming.Offset
+      new org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+        with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+        import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
         override def latestOffset(): Offset =
           LogVersionOffset(LogTable.version(path))
+
+        // rate control: `.option("maxVersionsPerTrigger", n)` caps each
+        // micro-batch at n commits (the Delta maxFilesPerTrigger trade,
+        // in this source's own admission unit — a commit is the atomic
+        // replayable step). A capped batch replans identically on
+        // recovery because the offset range, not the cap, is
+        // checkpointed; reportLatestOffset still surfaces the true head
+        // so lag is observable.
+        override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+        override def reportLatestOffset(): Offset = latestOffset()
+        override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+          val head = LogTable.version(path)
+          val from = start.asInstanceOf[LogVersionOffset].v
+          LogVersionOffset(maxVersionsPerTrigger
+            .fold(head)(n => math.min(head, from + math.max(1L, n))))
+        }
+
         override def initialOffset(): Offset = LogVersionOffset(startingVersion)
         override def deserializeOffset(json: String): Offset =
           LogVersionOffset(json.trim.toLong)

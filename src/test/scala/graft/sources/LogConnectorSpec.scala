@@ -209,6 +209,32 @@ class LogConnectorSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("streaming rate control: maxVersionsPerTrigger caps each micro-batch at n commits") {
+    val t = tmpTable()
+    val ckpt = Files.createTempDirectory("graft-lograte-ckpt").toString
+    LogTable.create(spark, t, Seq((1L, "a")).toDF("k", "v"), "k")
+    for (i <- 2 to 5)
+      LogTable.append(spark, t, Seq((i.toLong, s"v$i")).toDF("k", "v"), "k")
+    // 5 commits pending; cap = 1 commit per trigger -> 5 micro-batches,
+    // each carrying exactly one commit's single row
+    val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.format("graft-log")
+      .option("maxVersionsPerTrigger", "1").load(t)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batchSizes.add(df.count()); ()
+      }
+      .start()
+    import scala.jdk.CollectionConverters._
+    try {
+      q.processAllAvailable()
+      val sizes = batchSizes.iterator().asScala.toSeq
+      assert(sizes.sum == 5L, s"rows across batches: $sizes")
+      assert(sizes.count(_ > 0) == 5 && sizes.forall(_ <= 1L),
+        s"cap of 1 commit/trigger produced batch sizes $sizes")
+    } finally q.stop()
+  }
+
   test("streaming over change commits: loud failure by default, skipChangeCommits opts out") {
     val t = tmpTable()
     LogTable.create(spark, t, Seq((1L, "a")).toDF("k", "v"), "k")

@@ -731,6 +731,37 @@ object LogTable {
     * once and [[readWhere]] skips files on either — at the cost of
     * looser primary-key ranges (upsert pruning touches more files), the
     * same trade the lakehouse command makes. */
+  /** General predicate delete — the SQL `DELETE FROM ... WHERE` shape
+    * ([[graft.sources.v2.LogTableTable]] bridges Spark's SupportsDelete
+    * here; the reference's delete-then-insert issues exactly this,
+    * load.py). Only files `fileAdmit` keeps are touched (the caller
+    * derives admission from the SAME manifest-stats machinery scans
+    * prune with — a delete outside a file's bounds never rewrites it);
+    * each touched file is rewritten keeping rows where the predicate is
+    * NOT TRUE (NULL survives — SQL DELETE semantics). Safe under
+    * concurrency via the standard commit loop: a racer rewriting a
+    * touched file forces recompute against the fresh snapshot. */
+  def deleteWhere(
+      spark: SparkSession, table: String,
+      fileAdmit: FileEntry => Boolean,
+      rowPredicate: org.apache.spark.sql.Column): Unit = {
+    val keyCol = tableKeyCol(table).getOrElse(throw new IllegalArgumentException(
+      s"deleteWhere($table): the table predates the key-column property — " +
+        "run one keyed write first"))
+    def attempt(): Unit = {
+      val (snapVersion, snapshot, snapSchema) = snapshotWithSchema(table, None)
+      val touched = snapshot.filter(fileAdmit)
+      if (touched.isEmpty) return
+      val survivors = readFiles2(spark, table, touched, snapSchema)
+        .filter(!coalesce(rowPredicate, lit(false)))
+      val adds = writeData(spark, table, survivors, keyCol)
+      commit(table, snapVersion, adds, removes = touched.map(_.file),
+        reRun = () => attempt(),
+        schema = snapSchema.map(_.json).getOrElse(""), keyCol = keyCol)
+    }
+    attempt()
+  }
+
   def compact(spark: SparkSession, table: String, keyCol: String,
       targetRows: Long, zorderBy: Option[(String, String)] = None): Unit = {
     require(targetRows >= 1, "targetRows must be >= 1")

@@ -107,7 +107,35 @@ object LogTableProvider {
 class LogTableTable(path: String, tableSchema: StructType, asOf: Option[Long])
     extends Table
     with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+
+  /** SQL `DELETE FROM ... WHERE` (and `TRUNCATE TABLE` via Spark's
+    * AlwaysTrue default): accepted iff EVERY predicate translates to a
+    * row-level Column, so the delete is exact — Spark has no rewrite
+    * fallback when this returns false, so a partial acceptance would
+    * silently delete the wrong set. Execution reuses the scan's
+    * manifest-stats admission for the file set (a DELETE whose window
+    * misses a file's bounds never rewrites it) and
+    * [[LogTable.deleteWhere]]'s rewrite commit for the rows. */
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    asOf.isEmpty && filters.forall(f => LogTableTable.filterToColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    if (asOf.isDefined) throw new UnsupportedOperationException(
+      "graft-log: cannot delete from an asOf snapshot — history is immutable")
+    val pred = filters.toSeq
+      .map(f => LogTableTable.filterToColumn(f).getOrElse(
+        throw new UnsupportedOperationException(
+          s"graft-log DELETE: unsupported predicate $f")))
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    // the scan builder's pushdown decides file admission: pushable
+    // predicates prune, unpushable ones leave files conservatively in
+    val sb = new LogTableScanBuilder(path, tableSchema, None)
+    sb.pushFilters(filters)
+    LogTable.deleteWhere(SparkSession.active, path, sb.fileAdmitted, pred)
+  }
   override def name(): String = s"graft_log($path${asOf.fold("")(v => s"@v$v")})"
   override def schema(): StructType = tableSchema
   // ACCEPT_ANY_SCHEMA: without it Spark's TableOutputResolver enforces
@@ -198,6 +226,33 @@ class LogTableTable(path: String, tableSchema: StructType, asOf: Option[Long])
 }
 
 object LogTableTable {
+  /** V1 Filter → row-level Column, for exact DELETE execution. None on
+    * shapes outside the flat warehouse surface (the caller then rejects
+    * the whole delete — exactness over partiality). */
+  private[v2] def filterToColumn(f: Filter): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    f match {
+      case EqualTo(a, v) => Some(col(a) === lit(v))
+      case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+      case GreaterThan(a, v) => Some(col(a) > lit(v))
+      case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case LessThan(a, v) => Some(col(a) < lit(v))
+      case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+      case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+      case IsNull(a) => Some(col(a).isNull)
+      case IsNotNull(a) => Some(col(a).isNotNull)
+      case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+      case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+      case StringContains(a, v) => Some(col(a).contains(v))
+      case And(l, r) => for (a <- filterToColumn(l); b <- filterToColumn(r)) yield a && b
+      case Or(l, r) => for (a <- filterToColumn(l); b <- filterToColumn(r)) yield a || b
+      case Not(c) => filterToColumn(c).map(!_)
+      case _: AlwaysTrue => Some(lit(true))
+      case _: AlwaysFalse => Some(lit(false))
+      case _ => None
+    }
+  }
+
   /** Resolve an incoming write batch against the table's committed
     * schema. ACCEPT_ANY_SCHEMA (required for evolution) also disables
     * Spark's own output resolution, so a SQL `INSERT INTO ... SELECT`
@@ -405,8 +460,10 @@ class LogTableScanBuilder(
 
   /** Manifest-stats admission for one file: the intersected per-column
     * windows AND every CNF clause (some disjunct admits). Stat-less
-    * columns admit (conservative). */
-  private def fileAdmitted(f: LogTable.FileEntry): Boolean =
+    * columns admit (conservative). Also serves [[LogTableTable]]'s
+    * deleteWhere (same pushed-filter machinery decides which files a
+    * DELETE may touch). */
+  private[v2] def fileAdmitted(f: LogTable.FileEntry): Boolean =
     bounds.forall { case (c, b) => LogTable.admits(f, c, b) } &&
       clauses.forall(_.exists {
         case BoundCheck(c, b) => LogTable.admits(f, c, b)

@@ -405,6 +405,44 @@ class LogConnectorSpec extends AnyFunSuite {
       .map(_.getString(1)).contains("big_orders"))
   }
 
+  test("SQL DELETE FROM rewrites only admitted files; TRUNCATE keeps the table") {
+    val wh = Files.createTempDirectory("graft-logdel").toString
+    spark.conf.set("spark.sql.catalog.graftdel", classOf[LogCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftdel.warehouse", wh)
+    spark.sql("CREATE NAMESPACE graftdel.etl")
+    spark.sql("CREATE TABLE graftdel.etl.t (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('keyCol'='k')")
+    // 4 key-clustered files from 4 commits
+    for (i <- 0 until 4)
+      spark.sql(s"INSERT INTO graftdel.etl.t SELECT /*+ REPARTITION(1) */ " +
+        s"id, concat('v', id) FROM range(${i * 1000}, ${i * 1000 + 1000})")
+    val t = s"$wh/etl/t"
+    val filesBefore = LogTable.read(spark, t).inputFiles.toSet
+    assert(filesBefore.size == 4)
+    // the delete window sits inside ONE file's key range: the other
+    // three files must survive IDENTICALLY (no rewrite)
+    spark.sql("DELETE FROM graftdel.etl.t WHERE k >= 1200 AND k < 1300")
+    val filesAfter = LogTable.read(spark, t).inputFiles.toSet
+    assert((filesBefore -- filesAfter).size == 1,
+      s"delete rewrote ${(filesBefore -- filesAfter).size} files, expected 1")
+    assert(spark.sql("SELECT count(*) FROM graftdel.etl.t").head().getLong(0) == 3900L)
+    assert(spark.sql(
+      "SELECT count(*) FROM graftdel.etl.t WHERE k BETWEEN 1200 AND 1299")
+      .head().getLong(0) == 0L)
+    // IN-list delete (the reference's delete-then-insert shape, load.py)
+    spark.sql("DELETE FROM graftdel.etl.t WHERE k IN (5, 2005)")
+    assert(spark.sql("SELECT count(*) FROM graftdel.etl.t").head().getLong(0) == 3898L)
+    // string predicate delete translates too
+    spark.sql("DELETE FROM graftdel.etl.t WHERE v = 'v3999'")
+    assert(spark.sql("SELECT count(*) FROM graftdel.etl.t").head().getLong(0) == 3897L)
+    // TRUNCATE drops every row, keeps table + schema + key property
+    spark.sql("TRUNCATE TABLE graftdel.etl.t")
+    assert(spark.sql("SELECT count(*) FROM graftdel.etl.t").head().getLong(0) == 0L)
+    assert(LogTable.tableKeyCol(t).contains("k"))
+    spark.sql("INSERT INTO graftdel.etl.t SELECT 1, 'back'")
+    assert(spark.sql("SELECT v FROM graftdel.etl.t").head().getString(0) == "back")
+  }
+
   test("LogCatalog procedures: CALL system.compact/vacuum/truncate_history run maintenance from SQL") {
     val wh = Files.createTempDirectory("graft-logproc").toString
     spark.conf.set("spark.sql.catalog.graftproc", classOf[LogCatalog].getName)

@@ -89,6 +89,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("arrival-replay backfill: band equi-joins only, never a quadratic join (X38)") {
+    // the closed form's ONE corpus pass + K set-algebra rounds must stay
+    // equi/semi/anti joins — a cartesian anywhere turns the 100 TB
+    // backfill into corpus x corpus
+    val plan = planOf(SparkEntry.queries("x38_ingest_dedup")(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"x38 degenerated to a quadratic join:\n${plan.linesIterator.take(25).mkString("\n")}")
+  }
+
   test("wide-radius simhash pairs stay a slice-key equi-join (X34)") {
     // radius 5 on the 60-bit hash: 6 pigeonhole slices, candidates from
     // the (slice, sv) equi-join — the old 32-bit code cross-joined at

@@ -27,6 +27,7 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       // Single-node bench: shuffle bytes never cross a network, so lz4
       // on the shuffle/spill path is pure CPU tax at these sizes. On a

@@ -14,6 +14,7 @@ object Verify {
       // Engine-wide pinned conf: TIMESTAMP(NANOS) parquet (events table)
       // reads as BIGINT nanos — see graft.io.Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       // 74 queries overflow the default 100-entry compiled-codegen cache
       // (see Bench.scala note)

@@ -762,6 +762,42 @@ object LogTable {
     attempt()
   }
 
+  /** Replace an explicit file set with new data in one commit — the
+    * group-replacement half of Spark's row-level operations
+    * (UPDATE/MERGE via [[graft.sources.v2.LogTableTable]]): the
+    * operation's search scan planned `removeFiles` at `snapVersion`,
+    * Spark computed the groups' full replacement rows, and this commits
+    * the swap. Unlike the upsert/delete paths there is NO reRun — the
+    * replacement rows were computed by Spark's plan, not ours, so a
+    * conflicting racer (one that rewrote a scanned file) must FAIL the
+    * operation rather than silently recompute half of it; independent
+    * commits still re-claim above the new head via the standard loop. */
+  private[graft] def replaceStaged(
+      spark: SparkSession, table: String, snapVersion: Long,
+      removeFiles: Seq[String], staging: Path,
+      schema: org.apache.spark.sql.types.StructType, keyCol: String): Unit =
+    try {
+      val adds = registerStaged(spark, table, staging, schema, keyCol)
+      commit(table, snapVersion, adds, removes = removeFiles,
+        reRun = () => throw new java.util.ConcurrentModificationException(
+          s"row-level operation on $table: a concurrent writer rewrote a " +
+            "scanned file — re-run the statement against the new snapshot"),
+        schema = schema.json, keyCol = keyCol)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      if (Files.isDirectory(staging)) {
+        val it = Files.list(staging)
+        try it.iterator().asScala.foreach(Files.deleteIfExists) finally it.close()
+        Files.deleteIfExists(staging)
+      }
+    }
+
+  /** A fresh row-level staging dir under the table's data root (same
+    * filesystem as the final location — the per-file move in
+    * [[registerStaged]] stays atomic). */
+  private[graft] def newStagingDir(table: String): Path =
+    Files.createTempDirectory(dataDir(table), ".staging-rlo-")
+
   def compact(spark: SparkSession, table: String, keyCol: String,
       targetRows: Long, zorderBy: Option[(String, String)] = None): Unit = {
     require(targetRows >= 1, "targetRows must be >= 1")
@@ -967,6 +1003,28 @@ object LogTable {
       withMicrosTimestamps(spark) {
         df.write.mode("overwrite").parquet(staging.toString)
       }
+      registerStaged(spark, table, staging, df.schema, keyCol)
+    } finally {
+      // drop staging leftovers (_SUCCESS, crc files, any unmoved parts)
+      import scala.jdk.CollectionConverters._
+      val it = Files.list(staging)
+      try it.iterator().asScala.foreach(Files.deleteIfExists) finally it.close()
+      Files.deleteIfExists(staging)
+    }
+  }
+
+  /** Register staged parquet part files as table data: one footer pass
+    * computes per-file row counts + typed column stats (the manifest
+    * encodings), each non-empty part atomically moves into `data/` under
+    * a fresh UUID name, and the [[FileEntry]] list comes back for the
+    * caller's commit. Shared by [[writeData]] (Spark-written staging)
+    * and the DSv2 row-level BatchWrite (task-written staging) so BOTH
+    * write paths produce identical stats. The caller owns staging-dir
+    * cleanup. */
+  private[graft] def registerStaged(
+      spark: SparkSession, table: String, staging: Path,
+      schema: org.apache.spark.sql.types.StructType,
+      keyCol: String): Seq[FileEntry] = {
       // stats keys must survive the flat-regex manifest parse: a column
       // name carrying JSON structure characters OR shadowing a manifest
       // field name ("removes" as a cols key would terminate the adds
@@ -986,15 +1044,15 @@ object LogTable {
       // TimestampNTZ rides the same micros encoding: parquet stores it
       // as INT64 micros unconditionally (only the zoned type has the
       // INT96 legacy), and Spark 4 infers NTZ for pandas-written fixtures
-      val longEnc = df.schema.fields.collect {
+      val longEnc = schema.fields.collect {
         case f if f.dataType == LongType || f.dataType == IntegerType ||
           f.dataType == ShortType || f.dataType == DateType ||
           f.dataType == TimestampType || f.dataType == TimestampNTZType => f.name
       }.toSet
-      val dblEnc = df.schema.fields.collect {
+      val dblEnc = schema.fields.collect {
         case f if f.dataType == DoubleType || f.dataType == FloatType => f.name
       }.toSet
-      val strEnc = df.schema.fields.collect {
+      val strEnc = schema.fields.collect {
         case f if f.dataType == StringType => f.name
       }.toSet
       val conf = spark.sessionState.newHadoopConf()
@@ -1113,13 +1171,6 @@ object LogTable {
             statsN.view.filterKeys(statSafe).toMap))
         }
       }
-    } finally {
-      // drop staging leftovers (_SUCCESS, crc files, any unmoved parts)
-      import scala.jdk.CollectionConverters._
-      val it = Files.list(staging)
-      try it.iterator().asScala.foreach(Files.deleteIfExists) finally it.close()
-      Files.deleteIfExists(staging)
-    }
   }
 
   /** EXPLICITLY-DESTRUCTIVE log truncation (the retention half of the

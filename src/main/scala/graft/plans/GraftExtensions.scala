@@ -88,6 +88,12 @@ object RewriteLongDotProduct extends Rule[LogicalPlan] {
 /** Session-extension entry point:
   * `--conf spark.sql.extensions=graft.plans.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RewriteLongDotProduct)
+    // UPDATE/MERGE assignment alignment for graft-log tables (the
+    // ACCEPT_ANY_SCHEMA capability suppresses Spark's own alignment
+    // rule; see GraftRowLevelAlignment's doc)
+    ext.injectResolutionRule(_ =>
+      org.apache.spark.sql.catalyst.analysis.GraftRowLevelAlignment)
+  }
 }

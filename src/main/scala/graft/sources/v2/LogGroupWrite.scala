@@ -1,0 +1,179 @@
+package graft.sources.v2
+
+import java.nio.file.Paths
+
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, PrimitiveType, Type, Types}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+
+import graft.io.LogTable
+
+/** The GROUP-REPLACEMENT batch write behind SQL UPDATE / MERGE INTO
+  * (ReplaceData has no V1 fallback, so this is a real DSv2 BatchWrite):
+  * each task streams its partition of the replacement rows into a
+  * parquet part file under a row-level staging dir via the public
+  * parquet-mr Group API — the writing twin of [[LogFileReader]], with
+  * the SAME physical encodings [[graft.io.LogTable]]'s Spark-written
+  * files use (INT64 TIMESTAMP_MICROS so footer stats exist, DATE as
+  * INT32 days, UTF8 strings) — and the driver-side commit runs the one
+  * shared footer-stats registration pass
+  * ([[graft.io.LogTable.registerStaged]]) before swapping the scanned
+  * files for the staged ones in a single manifest commit. Staging lives
+  * under the table's own data root, so the per-file publish move stays
+  * atomic; a dotfile prefix keeps readers from ever listing it.
+  *
+  * Local-mode note (same caveat as [[LogFileReader]]): tasks address
+  * the staging dir by plain path; a multi-node deployment threads the
+  * session's hadoop conf + a shared filesystem through the factory —
+  * same shape, bigger payload. */
+class LogGroupBatchWrite(
+    path: String, snapVersion: Long, removeFiles: () => Seq[String],
+    writeSchema: StructType) extends BatchWrite {
+
+  private val staging = LogTable.newStagingDir(path)
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new LogGroupWriterFactory(staging.toString, writeSchema.json)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val key = LogTable.tableKeyCol(path).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-log row-level op: $path predates the key-column " +
+          "property — run one keyed write first"))
+    LogTable.replaceStaged(SparkSession.active, path, snapVersion,
+      removeFiles(), staging, writeSchema, key)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.isDirectory(staging)) {
+      val it = java.nio.file.Files.list(staging)
+      try it.iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      finally it.close()
+      java.nio.file.Files.deleteIfExists(staging)
+    }
+  }
+}
+
+private[v2] case class LogGroupCommit(file: String) extends WriterCommitMessage
+
+class LogGroupWriterFactory(stagingDir: String, schemaJson: String)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new LogGroupDataWriter(stagingDir, schemaJson, partitionId, taskId)
+}
+
+/** One task's parquet part writer over the flat warehouse type set.
+  * Type → physical mapping mirrors what Spark's own writer produces
+  * under the table's forced TIMESTAMP_MICROS conf, so
+  * [[graft.io.LogTable.registerStaged]]'s footer pass and every reader
+  * treat task-written and Spark-written files identically. */
+class LogGroupDataWriter(
+    stagingDir: String, schemaJson: String, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+
+  private val messageType: MessageType = {
+    val fields: Array[Type] = schema.fields.map { f =>
+      val rep =
+        if (f.nullable) Type.Repetition.OPTIONAL else Type.Repetition.REQUIRED
+      val b: Types.PrimitiveBuilder[PrimitiveType] = f.dataType match {
+        case LongType => Types.primitive(PrimitiveTypeName.INT64, rep)
+        case IntegerType => Types.primitive(PrimitiveTypeName.INT32, rep)
+        case ShortType => Types.primitive(PrimitiveTypeName.INT32, rep)
+          .as(LogicalTypeAnnotation.intType(16, true))
+        case DoubleType => Types.primitive(PrimitiveTypeName.DOUBLE, rep)
+        case FloatType => Types.primitive(PrimitiveTypeName.FLOAT, rep)
+        case BooleanType => Types.primitive(PrimitiveTypeName.BOOLEAN, rep)
+        case StringType => Types.primitive(PrimitiveTypeName.BINARY, rep)
+          .as(LogicalTypeAnnotation.stringType())
+        case BinaryType => Types.primitive(PrimitiveTypeName.BINARY, rep)
+        case DateType => Types.primitive(PrimitiveTypeName.INT32, rep)
+          .as(LogicalTypeAnnotation.dateType())
+        case TimestampType => Types.primitive(PrimitiveTypeName.INT64, rep)
+          .as(LogicalTypeAnnotation.timestampType(true,
+            LogicalTypeAnnotation.TimeUnit.MICROS))
+        case TimestampNTZType => Types.primitive(PrimitiveTypeName.INT64, rep)
+          .as(LogicalTypeAnnotation.timestampType(false,
+            LogicalTypeAnnotation.TimeUnit.MICROS))
+        case dt => throw new UnsupportedOperationException(
+          s"graft-log group writer: column ${f.name} of type " +
+            s"${dt.catalogString} is outside the flat warehouse type set")
+      }
+      b.named(f.name)
+    }
+    new MessageType("spark_schema", fields: _*)
+  }
+
+  private val file =
+    Paths.get(stagingDir, s"part-$partitionId-$taskId.parquet").toString
+  private val conf = new org.apache.hadoop.conf.Configuration()
+  private val writer = ExampleParquetWriter
+    .builder(new org.apache.hadoop.fs.Path(file))
+    .withType(messageType)
+    .withConf(conf)
+    .build()
+  private val factory = new SimpleGroupFactory(messageType)
+
+  // Group-based ReplaceData rows may arrive PREPENDED with Spark's
+  // __row_operation metrics marker (RowDeltaUtils.OPERATION_COLUMN):
+  // the rewrite plans Project[__row_operation, <table cols>] and the
+  // ProjectingInternalRow that would strip it is dropped by
+  // ReplaceDataExec.writingTask when no metadata projection exists, so
+  // the raw query rows reach the writer. The offset (0 or 1) is decided
+  // once from the first row's arity and skips the marker positionally.
+  private var fieldOffset = -1
+
+  override def write(row: InternalRow): Unit = {
+    if (fieldOffset < 0) {
+      fieldOffset = row.numFields - schema.length
+      require(fieldOffset == 0 || fieldOffset == 1,
+        s"graft-log group writer: row arity ${row.numFields} does not match " +
+          s"write schema arity ${schema.length} (+ optional operation marker)")
+    }
+    val g = factory.newGroup()
+    var i = 0
+    while (i < schema.length) {
+      val j = i + fieldOffset
+      if (!row.isNullAt(j)) {
+        val name = schema(i).name
+        schema(i).dataType match {
+          case LongType | TimestampType | TimestampNTZType =>
+            g.add(name, row.getLong(j))
+          case IntegerType | DateType => g.add(name, row.getInt(j))
+          case ShortType => g.add(name, row.getShort(j).toInt)
+          case DoubleType => g.add(name, row.getDouble(j))
+          case FloatType => g.add(name, row.getFloat(j))
+          case BooleanType => g.add(name, row.getBoolean(j))
+          case StringType =>
+            g.add(name, Binary.fromReusedByteArray(row.getUTF8String(j).getBytes))
+          case BinaryType =>
+            g.add(name, Binary.fromReusedByteArray(row.getBinary(j)))
+          case dt => throw new UnsupportedOperationException(
+            s"graft-log group writer: unexpected type ${dt.catalogString}")
+        }
+      }
+      i += 1
+    }
+    writer.write(g)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    writer.close()
+    LogGroupCommit(file)
+  }
+
+  override def abort(): Unit = {
+    writer.close()
+    java.nio.file.Files.deleteIfExists(Paths.get(file))
+  }
+
+  override def close(): Unit = ()
+}

@@ -108,7 +108,56 @@ class LogTableTable(path: String, tableSchema: StructType, asOf: Option[Long])
     extends Table
     with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  /** SQL `UPDATE` / `MERGE INTO` as GROUP-BASED row-level operations
+    * (the Iceberg copy-on-write shape): Spark drives the rewrite — the
+    * operation's search scan finds candidate files (manifest-stats
+    * pruned through the same pushed-filter machinery as any read),
+    * Spark computes the affected groups' FULL replacement rows
+    * (modified + untouched), and the write swaps exactly the scanned
+    * files for the new ones in one commit ([[LogTable.replaceFiles]]).
+    * The snapshot is pinned ONCE per statement, so the search scan, the
+    * replacement plan's second read, and the commit all describe the
+    * same version; a racer rewriting a scanned file fails the statement
+    * loudly instead of recomputing half of Spark's plan. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    if (asOf.isDefined) throw new UnsupportedOperationException(
+      "graft-log: cannot modify an asOf snapshot — history is immutable")
+    () => new org.apache.spark.sql.connector.write.RowLevelOperation {
+      private val (snapVersion, snapshot, _) =
+        LogTable.snapshotWithSchema(path, None)
+      // files the search scan actually planned — the groups the write
+      // replaces. Volatile: scan planning and write commit happen on
+      // different threads of the same statement.
+      @volatile private var scanned: Seq[LogTable.FileEntry] = snapshot
+
+      override def command()
+          : org.apache.spark.sql.connector.write.RowLevelOperation.Command =
+        info.command()
+
+      override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+        new LogTableScanBuilder(path, tableSchema, None,
+          pinnedSnapshot = Some(snapshot),
+          onPlanned = fs => scanned = fs)
+
+      override def newWriteBuilder(
+          wi: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+          : org.apache.spark.sql.connector.write.WriteBuilder =
+        new org.apache.spark.sql.connector.write.WriteBuilder {
+          override def build(): org.apache.spark.sql.connector.write.Write =
+            new org.apache.spark.sql.connector.write.Write {
+              override def toBatch
+                  : org.apache.spark.sql.connector.write.BatchWrite =
+                new LogGroupBatchWrite(path, snapVersion,
+                  () => scanned.map(_.file), wi.schema())
+            }
+        }
+    }
+  }
 
   /** SQL `DELETE FROM ... WHERE` (and `TRUNCATE TABLE` via Spark's
     * AlwaysTrue default): accepted iff EVERY predicate translates to a
@@ -304,7 +353,11 @@ object LogTableScan {
 class LogTableScanBuilder(
     path: String, tableSchema: StructType, asOf: Option[Long],
     startingVersion: Long = 0L, skipChangeCommits: Boolean = false,
-    maxVersionsPerTrigger: Option[Long] = None)
+    maxVersionsPerTrigger: Option[Long] = None,
+    // row-level operations pin ONE snapshot across their search scan and
+    // group-replacement write; plain reads pin per scan build
+    pinnedSnapshot: Option[Seq[LogTable.FileEntry]] = None,
+    onPlanned: Seq[LogTable.FileEntry] => Unit = _ => ())
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
@@ -476,11 +529,13 @@ class LogTableScanBuilder(
   override def build(): Scan = new Scan with Batch with SupportsReportStatistics {
     // snapshot pinned ONCE at scan build: planning and statistics must
     // describe the same version even if writers land mid-query
-    private val (_, snapshot, _) = LogTable.snapshotWithSchema(path, asOf)
+    private val snapshot = pinnedSnapshot.getOrElse(
+      LogTable.snapshotWithSchema(path, asOf)._2)
     // minKey/maxKey are the key column's stats whatever its name — cols
     // usually duplicates them, but a reserved-name key column only has
     // the anonymous slots (admits handles both)
     private val kept = snapshot.filter(fileAdmitted)
+    onPlanned(kept)
 
     override def readSchema(): StructType = required
     override def toBatch: Batch = this

@@ -443,6 +443,51 @@ class LogConnectorSpec extends AnyFunSuite {
     assert(spark.sql("SELECT v FROM graftdel.etl.t").head().getString(0) == "back")
   }
 
+  test("SQL UPDATE and MERGE INTO run as group-based rewrites of the scanned files") {
+    val wh = Files.createTempDirectory("graft-logupd").toString
+    spark.conf.set("spark.sql.catalog.graftupd", classOf[LogCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftupd.warehouse", wh)
+    spark.sql("CREATE NAMESPACE graftupd.etl")
+    spark.sql("CREATE TABLE graftupd.etl.t (k BIGINT, v STRING, n BIGINT) " +
+      "TBLPROPERTIES ('keyCol'='k')")
+    for (i <- 0 until 4)
+      spark.sql(s"INSERT INTO graftupd.etl.t SELECT /*+ REPARTITION(1) */ " +
+        s"id, concat('v', id), 0 FROM range(${i * 1000}, ${i * 1000 + 1000})")
+    val t = s"$wh/etl/t"
+    val filesBefore = LogTable.read(spark, t).inputFiles.toSet
+    assert(filesBefore.size == 4)
+    // UPDATE windowed inside one file: only that file rewrites
+    spark.sql("UPDATE graftupd.etl.t SET n = 7, v = 'upd' " +
+      "WHERE k >= 2100 AND k < 2200")
+    val filesAfter = LogTable.read(spark, t).inputFiles.toSet
+    assert((filesBefore -- filesAfter).size == 1,
+      s"UPDATE rewrote ${(filesBefore -- filesAfter).size} files, expected 1")
+    assert(spark.sql("SELECT count(*) FROM graftupd.etl.t WHERE n = 7")
+      .head().getLong(0) == 100L)
+    assert(spark.sql("SELECT count(*) FROM graftupd.etl.t").head().getLong(0) == 4000L)
+    // untouched rows of the rewritten file survive unchanged
+    assert(spark.sql(
+      "SELECT v FROM graftupd.etl.t WHERE k = 2000").head().getString(0) == "v2000")
+    // MERGE INTO: matched rows update, unmatched insert (upsert by key)
+    spark.sql("SELECT id AS k, concat('m', id) AS v, CAST(9 AS BIGINT) AS n " +
+      "FROM range(3995, 4005)").createOrReplaceTempView("merge_src")
+    spark.sql("""MERGE INTO graftupd.etl.t AS tgt USING merge_src AS src
+      |ON tgt.k = src.k
+      |WHEN MATCHED THEN UPDATE SET v = src.v, n = src.n
+      |WHEN NOT MATCHED THEN INSERT (k, v, n) VALUES (src.k, src.v, src.n)
+      |""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM graftupd.etl.t").head().getLong(0) == 4005L)
+    assert(spark.sql("SELECT count(*) FROM graftupd.etl.t WHERE n = 9")
+      .head().getLong(0) == 10L)
+    assert(spark.sql(
+      "SELECT v FROM graftupd.etl.t WHERE k = 4002").head().getString(0) == "m4002")
+    // history is commits, not mutations: the pre-UPDATE snapshot still reads
+    val preUpdate = LogTable.version(t) - 2
+    assert(spark.sql(
+      s"SELECT count(*) FROM graftupd.etl.t VERSION AS OF $preUpdate " +
+        "WHERE n <> 0").head().getLong(0) == 0L)
+  }
+
   test("LogCatalog procedures: CALL system.compact/vacuum/truncate_history run maintenance from SQL") {
     val wh = Files.createTempDirectory("graft-logproc").toString
     spark.conf.set("spark.sql.catalog.graftproc", classOf[LogCatalog].getName)

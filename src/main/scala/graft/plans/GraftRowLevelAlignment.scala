@@ -5,6 +5,7 @@
 // Spark's own semantics. Same precedent as GraftColumnBridge.
 package org.apache.spark.sql.catalyst.analysis
 
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -51,16 +52,108 @@ object GraftRowLevelAlignment extends Rule[LogicalPlan] {
       case other => other
     }
 
+  /** Resolves one expression's attribute references against the UNION of
+    * the given plans' outputs as one scope — not plan-by-plan, because
+    * precedence matters: `src.src` against (target with a STRING column
+    * `src`, source aliased `src`) must resolve as qualifier `src` +
+    * column `src`, not as a nested-field extraction on the target's
+    * string column, and only a single AttributeSeq applies Spark's
+    * qualified-before-nested precedence across both sides. Anything that
+    * stays unresolved is left in place so CheckAnalysis reports the
+    * standard UNRESOLVED_COLUMN error with suggestions. */
+  private def resolveIn(plans: Seq[LogicalPlan])(e: Expression): Expression = {
+    val scope: org.apache.spark.sql.catalyst.expressions.AttributeSeq =
+      plans.flatMap(_.output)
+    e.transformUp {
+      case u: UnresolvedAttribute =>
+        scope.resolve(u.nameParts, conf.resolver).getOrElse(u)
+    }
+  }
+
+  /** Fully resolves an unresolved MERGE for a graft-log target.
+    *
+    * ACCEPT_ANY_SCHEMA sets `skipSchemaResolution`, and Spark's
+    * ResolveReferences returns such a MergeIntoTable UNTOUCHED (the
+    * connector is presumed to do its own resolution — which Delta does
+    * with ResolveDeltaMergeInto, and this is that rule for graft-log).
+    * Scoping follows Spark's own MergeResolvePolicy: the merge condition
+    * and matched actions see both sides; NOT MATCHED (insert) conditions
+    * and values see the source only (keys name target columns); NOT
+    * MATCHED BY SOURCE sees the target only. `UPDATE SET *` / `INSERT *`
+    * expand by target column name against the source. */
+  private def resolveMerge(m: MergeIntoTable): MergeIntoTable = {
+    val tgt = m.targetTable
+    val src = m.sourceTable
+    val both = Seq(tgt, src)
+
+    def starAssignments(valueSide: LogicalPlan): Seq[Assignment] =
+      tgt.output.map { a =>
+        val v = valueSide.resolve(Seq(a.name), conf.resolver).getOrElse(
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "UNRESOLVED_COLUMN.WITH_SUGGESTION",
+            messageParameters = Map(
+              "objectName" -> a.name,
+              "proposal" -> valueSide.output.map(_.name).mkString(", "))))
+        Assignment(a, v)
+      }
+
+    def resolveAssignments(
+        as: Seq[Assignment], valueScope: Seq[LogicalPlan]): Seq[Assignment] =
+      as.map { a =>
+        Assignment(
+          resolveIn(Seq(tgt))(a.key),
+          resolveIn(valueScope)(a.value))
+      }
+
+    def resolveAction(condScope: Seq[LogicalPlan], valueScope: Seq[LogicalPlan])(
+        action: MergeAction): MergeAction = action match {
+      case u: UpdateAction => u.copy(
+        condition = u.condition.map(resolveIn(condScope)),
+        assignments = resolveAssignments(u.assignments, valueScope))
+      case _: UpdateStarAction => UpdateAction(
+        action.condition.map(resolveIn(condScope)), starAssignments(src))
+      case d: DeleteAction =>
+        d.copy(condition = d.condition.map(resolveIn(condScope)))
+      case i: InsertAction => i.copy(
+        condition = i.condition.map(resolveIn(Seq(src))),
+        assignments = resolveAssignments(i.assignments, Seq(src)))
+      case _: InsertStarAction => InsertAction(
+        action.condition.map(resolveIn(Seq(src))), starAssignments(src))
+      case other => other
+    }
+
+    m.copy(
+      mergeCondition = resolveIn(both)(m.mergeCondition),
+      matchedActions = m.matchedActions.map(resolveAction(both, both)),
+      notMatchedActions = m.notMatchedActions.map(resolveAction(Seq(src), Seq(src))),
+      notMatchedBySourceActions =
+        m.notMatchedBySourceActions.map(resolveAction(Seq(tgt), Seq(tgt))))
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan resolveOperators {
+    // Phase 1: resolution. Spark's ResolveReferences skips MERGE targets
+    // whose (fully alias-stripped) relation declares ACCEPT_ANY_SCHEMA,
+    // so for graft-log targets the condition/actions would never resolve
+    // and analysis would fail with UNRESOLVED_COLUMN — resolve them here
+    // instead. Once resolved, the alignment cases below fire on the next
+    // fixed-point iteration.
+    //
+    // Deliberately NOT gated on `m.skipSchemaResolution`: in Spark 4.1
+    // that node-level flag strips only ONE SubqueryAlias layer, so
+    // `MERGE INTO cat.ns.t AS tgt` (two layers: user alias over the
+    // catalog-name alias) computes false — while ResolveReferences'
+    // own gate uses EliminateSubqueryAliases and still skips. Keying on
+    // isGraftLog (which fully strips) is the consistent test.
+    case m: MergeIntoTable
+        if !m.resolved && m.childrenResolved && isGraftLog(m.targetTable) =>
+      resolveMerge(m)
     case u: UpdateTable
-        if u.skipSchemaResolution && u.resolved && u.rewritable && !u.aligned &&
-          isGraftLog(u.table) =>
+        if u.resolved && u.rewritable && !u.aligned && isGraftLog(u.table) =>
       // same flags Spark's own rule passes (nested-type coercion off)
       u.copy(assignments = AssignmentUtils.alignUpdateAssignments(
         u.table.output, u.assignments, false, false))
     case m: MergeIntoTable
-        if m.skipSchemaResolution && m.resolved && m.rewritable && !m.aligned &&
-          isGraftLog(m.targetTable) =>
+        if m.resolved && m.rewritable && !m.aligned && isGraftLog(m.targetTable) =>
       m.copy(
         matchedActions = alignActions(m.targetTable.output, m.matchedActions),
         notMatchedActions = alignActions(m.targetTable.output, m.notMatchedActions),

@@ -379,6 +379,56 @@ object LogTable {
     } finally Files.deleteIfExists(tmp)
   }
 
+  /** SQL `ALTER TABLE ADD COLUMN(S)` as a schema-evolution commit: an
+    * EMPTY manifest (no adds, no removes) carrying the widened schema.
+    * Readers apply the latest committed schema to the whole snapshot, so
+    * every pre-ALTER file surfaces the new columns as typed NULLs on the
+    * next read, while `VERSION AS OF` before the ALTER still reads under
+    * the pre-ALTER schema — the log position IS the schema history. This
+    * is the reference's ALTER-based migration playbook
+    * (reference src/tools/migrate_duckdb.py:7-26: `ALTER TABLE orders
+    * ADD COLUMN IF NOT EXISTS net_total DOUBLE`) with the same
+    * IF-NOT-EXISTS semantics: re-adding an existing column with the SAME
+    * type is a no-op (no commit), a same-name DIFFERENT-type add fails
+    * loudly instead of poisoning reads. Concurrency: an empty removal
+    * set can never conflict, and the commit loop's schema-merge path
+    * keeps a racing writer's evolution (either serial order yields the
+    * same union). */
+  def addColumns(
+      spark: SparkSession, table: String,
+      newCols: Seq[org.apache.spark.sql.types.StructField]): Unit = {
+    val (snapVersion, liveNow, committedSchema) = snapshotWithSchema(table, None)
+    require(Files.isDirectory(logDir(table)),
+      s"addColumns($table): table does not exist")
+    // pre-evolution logs know their shape only through footers — same
+    // union-across-live-files inference the append path uses
+    val current = committedSchema.orElse {
+      if (liveNow.isEmpty) None
+      else Some(spark.read.option("mergeSchema", "true").parquet(
+        liveNow.map(f => dataDir(table).resolve(f.file).toString): _*).schema)
+    }.getOrElse(throw new IllegalStateException(
+      s"addColumns($table): empty pre-evolution table has no committed " +
+        "schema to widen — append data first"))
+    val existing = current.fields.map(f => f.name -> f.dataType).toMap
+    newCols.foreach { f =>
+      existing.get(f.name).filter(_ != f.dataType).foreach { t =>
+        throw new IllegalArgumentException(
+          s"addColumns($table): column '${f.name}' already exists with type " +
+            s"$t — cannot re-add as ${f.dataType}")
+      }
+    }
+    val genuinelyNew = newCols.filterNot(f => existing.contains(f.name))
+      // added columns are NULL on every existing row by construction
+      .map(_.copy(nullable = true))
+    if (genuinelyNew.isEmpty) return // IF NOT EXISTS semantics: no-op, no commit
+    val widened = org.apache.spark.sql.types.StructType(
+      current.fields ++ genuinelyNew)
+    commit(table, snapVersion, adds = Seq.empty, removes = Seq.empty,
+      reRun = () => throw new IllegalStateException(
+        s"addColumns($table) hit a removal conflict — impossible with empty removes"),
+      schema = widened.json)
+  }
+
   /** Append-only commit: new data files, no removals. Always safe under
     * concurrency (an empty removal set can never conflict with another
     * writer's read set — the commit loop just re-claims above whatever

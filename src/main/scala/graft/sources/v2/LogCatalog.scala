@@ -37,10 +37,12 @@ import graft.io.LogTable
   * ([[LogTable.createEmpty]]) so every later writer resolves the key
   * from the log.
   *
-  * Deliberately NOT supported, loudly: `ALTER TABLE` (schema evolution
-  * rides appends — the log IS the schema history, an out-of-band edit
-  * would fork it) and partition transforms (the format's pruning unit
-  * is per-file manifest stats, not directory partitions). */
+  * `ALTER TABLE ADD COLUMN` is served as a schema-evolution commit
+  * (the reference's migration playbook, migrate_duckdb.py); every other
+  * ALTER kind and partition transforms stay loudly unsupported (the log
+  * IS the schema history — drops/renames/retypes would fork it, and the
+  * format's pruning unit is per-file manifest stats, not directory
+  * partitions). */
 class LogCatalog extends TableCatalog with SupportsNamespaces
     with ProcedureCatalog {
 
@@ -124,11 +126,36 @@ class LogCatalog extends TableCatalog with SupportsNamespaces
     new LogTableTable(path, LogTableProvider.schemaOf(path, None), None)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft-log: ALTER TABLE is not supported — schema evolution rides " +
-        "appends (a wider INSERT evolves the table; the log is the schema " +
-        "history)")
+  /** `ALTER TABLE ADD COLUMN(S)` — served as a schema-evolution commit
+    * ([[LogTable.addColumns]]: an empty manifest carrying the widened
+    * schema; old files read the new columns as typed NULLs, time travel
+    * before the ALTER keeps the old shape). This is exactly the
+    * reference's migration playbook (migrate_duckdb.py:7-26), so a SQL
+    * user running it gets the reference's IF-NOT-EXISTS no-op, not an
+    * error. Every other change kind stays loudly unsupported: the log
+    * IS the schema history, and drops/renames/retypes would fork it. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val path = pathOf(ident)
+    if (!isTableDir(Paths.get(path))) throw new NoSuchTableException(ident)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        if (add.fieldNames().length != 1) throw new UnsupportedOperationException(
+          "graft-log: ALTER TABLE ADD COLUMN supports top-level columns " +
+            s"only, got nested field ${add.fieldNames().mkString(".")}")
+        if (!add.isNullable) throw new UnsupportedOperationException(
+          "graft-log: added columns must be nullable — existing rows " +
+            "surface them as NULL")
+        LogTable.addColumns(
+          org.apache.spark.sql.SparkSession.active, path,
+          Seq(org.apache.spark.sql.types.StructField(
+            add.fieldNames()(0), add.dataType(), nullable = true)))
+      case other => throw new UnsupportedOperationException(
+        s"graft-log: ALTER TABLE change ${other.getClass.getSimpleName} is " +
+          "not supported — only ADD COLUMN (schema evolution otherwise " +
+          "rides appends; the log is the schema history)")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = Paths.get(pathOf(ident))

@@ -392,9 +392,43 @@ class LogConnectorSpec extends AnyFunSuite {
     spark.sql("CREATE TABLE graftcat.etl.big_orders TBLPROPERTIES ('keyCol'='k') " +
       "AS SELECT k, v FROM graftcat.etl.orders WHERE k > 500")
     assert(spark.sql("SELECT count(*) FROM graftcat.etl.big_orders").head().getLong(0) == 505L)
-    // ALTER is loudly unsupported (schema evolution rides appends)
-    intercept[UnsupportedOperationException](
+    // ALTER TABLE ADD COLUMN = schema-evolution commit (the reference's
+    // migrate_duckdb.py playbook): typed NULLs on old files, time travel
+    // keeps the pre-ALTER shape, IF-NOT-EXISTS re-add is a no-op
+    val preAlterV = LogTable.version(s"$wh/etl/orders")
+    spark.sql("ALTER TABLE graftcat.etl.orders ADD COLUMN extra BIGINT")
+    val altered = spark.sql("SELECT extra FROM graftcat.etl.orders WHERE k = 42")
+    assert(altered.schema("extra").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(altered.head().isNullAt(0), "pre-ALTER rows must read extra as NULL")
+    // time travel BEFORE the ALTER: the old schema, no extra column
+    assert(!spark.sql(
+      s"SELECT * FROM graftcat.etl.orders VERSION AS OF $preAlterV")
+      .schema.fieldNames.contains("extra"))
+    // same-type re-add: Spark's own analysis already rejects a SQL
+    // re-add (no IF NOT EXISTS in its ALTER grammar), and the API-level
+    // re-add (the reference's IF-NOT-EXISTS playbook shape) is a no-op
+    // that commits nothing
+    val vAfterAlter = LogTable.version(s"$wh/etl/orders")
+    intercept[Exception](
       spark.sql("ALTER TABLE graftcat.etl.orders ADD COLUMN extra BIGINT"))
+    LogTable.addColumns(spark, s"$wh/etl/orders",
+      Seq(org.apache.spark.sql.types.StructField("extra",
+        org.apache.spark.sql.types.LongType)))
+    assert(LogTable.version(s"$wh/etl/orders") == vAfterAlter,
+      "re-adding an existing column must not commit")
+    // same-name different-type: loud failure, not silent poison
+    intercept[Exception](
+      LogTable.addColumns(spark, s"$wh/etl/orders",
+        Seq(org.apache.spark.sql.types.StructField("extra",
+          org.apache.spark.sql.types.StringType))))
+    // writes after the ALTER see the widened shape by name
+    spark.sql("INSERT INTO graftcat.etl.orders SELECT 7777, 'alt', 123")
+    assert(spark.sql("SELECT extra FROM graftcat.etl.orders WHERE k = 7777")
+      .head().getLong(0) == 123L)
+    // non-ADD alters stay loudly unsupported
+    intercept[UnsupportedOperationException](
+      spark.sql("ALTER TABLE graftcat.etl.orders DROP COLUMN extra"))
     // evolution THROUGH SQL: a wider by-name insert via DataFrame API
     Seq((3000L, "w", 9L)).toDF("k", "v", "score")
       .write.format("graft-log").mode("append").save(s"$wh/etl/orders")

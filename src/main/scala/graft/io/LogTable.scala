@@ -825,9 +825,10 @@ object LogTable {
   private[graft] def replaceStaged(
       spark: SparkSession, table: String, snapVersion: Long,
       removeFiles: Seq[String], staging: Path,
-      schema: org.apache.spark.sql.types.StructType, keyCol: String): Unit =
+      schema: org.apache.spark.sql.types.StructType, keyCol: String,
+      onlyFiles: Option[Set[String]] = None): Unit =
     try {
-      val adds = registerStaged(spark, table, staging, schema, keyCol)
+      val adds = registerStaged(spark, table, staging, schema, keyCol, onlyFiles)
       commit(table, snapVersion, adds, removes = removeFiles,
         reRun = () => throw new java.util.ConcurrentModificationException(
           s"row-level operation on $table: a concurrent writer rewrote a " +
@@ -1070,11 +1071,20 @@ object LogTable {
     * caller's commit. Shared by [[writeData]] (Spark-written staging)
     * and the DSv2 row-level BatchWrite (task-written staging) so BOTH
     * write paths produce identical stats. The caller owns staging-dir
-    * cleanup. */
+    * cleanup.
+    *
+    * `onlyFiles` (file NAMES within staging) restricts registration to
+    * the parts the caller positively committed: the DSv2 row-level write
+    * passes its tasks' WriterCommitMessages here, so a leftover part
+    * from a failed/speculative task attempt whose abort() never ran
+    * (executor crash) is never registered — it stays in staging and the
+    * caller's cleanup deletes it. None = register everything (the
+    * Spark-written staging path, where the parquet committer already
+    * guarantees only winners remain). */
   private[graft] def registerStaged(
       spark: SparkSession, table: String, staging: Path,
       schema: org.apache.spark.sql.types.StructType,
-      keyCol: String): Seq[FileEntry] = {
+      keyCol: String, onlyFiles: Option[Set[String]] = None): Seq[FileEntry] = {
       // stats keys must survive the flat-regex manifest parse: a column
       // name carrying JSON structure characters OR shadowing a manifest
       // field name ("removes" as a cols key would terminate the adds
@@ -1111,6 +1121,7 @@ object LogTable {
       val parts =
         try partsStream.iterator().asScala
           .filter(_.getFileName.toString.endsWith(".parquet"))
+          .filter(p => onlyFiles.forall(_(p.getFileName.toString)))
           .toSeq.sortBy(_.getFileName.toString)
         finally partsStream.close()
       parts.flatMap { p =>

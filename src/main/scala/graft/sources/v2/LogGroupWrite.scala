@@ -46,8 +46,16 @@ class LogGroupBatchWrite(
       throw new IllegalArgumentException(
         s"graft-log row-level op: $path predates the key-column " +
           "property — run one keyed write first"))
+    // Register ONLY the parts named by the successful tasks' commit
+    // messages: a leftover part from a failed/speculative attempt whose
+    // abort() never ran (executor crash, lost JVM) must not ride into
+    // the commit as duplicate rows — replaceStaged's cleanup deletes it
+    // with the rest of staging instead.
+    val committed = messages.collect {
+      case LogGroupCommit(f) => Paths.get(f).getFileName.toString
+    }.toSet
     LogTable.replaceStaged(SparkSession.active, path, snapVersion,
-      removeFiles(), staging, writeSchema, key)
+      removeFiles(), staging, writeSchema, key, onlyFiles = Some(committed))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -128,8 +136,25 @@ class LogGroupDataWriter(
   // ProjectingInternalRow that would strip it is dropped by
   // ReplaceDataExec.writingTask when no metadata projection exists, so
   // the raw query rows reach the writer. The offset (0 or 1) is decided
-  // once from the first row's arity and skips the marker positionally.
+  // once from the first row's arity — and when a marker is presumed, it
+  // is VALIDATED against RowDeltaUtils' operation-value set before any
+  // row is written: a Spark version that moved the marker (or added a
+  // second metadata column) fails loudly here instead of silently
+  // scattering values one column over. (The marker carries no names at
+  // the task level — InternalRow is positional — so the constant set is
+  // the strongest by-name anchor available.)
   private var fieldOffset = -1
+
+  private def validOperationMarker(row: InternalRow): Boolean = {
+    import org.apache.spark.sql.catalyst.util.RowDeltaUtils
+    !row.isNullAt(0) && {
+      val v = row.getInt(0)
+      v == RowDeltaUtils.DELETE_OPERATION || v == RowDeltaUtils.UPDATE_OPERATION ||
+        v == RowDeltaUtils.INSERT_OPERATION || v == RowDeltaUtils.REINSERT_OPERATION ||
+        v == RowDeltaUtils.WRITE_OPERATION ||
+        v == RowDeltaUtils.WRITE_WITH_METADATA_OPERATION
+    }
+  }
 
   override def write(row: InternalRow): Unit = {
     if (fieldOffset < 0) {
@@ -137,6 +162,10 @@ class LogGroupDataWriter(
       require(fieldOffset == 0 || fieldOffset == 1,
         s"graft-log group writer: row arity ${row.numFields} does not match " +
           s"write schema arity ${schema.length} (+ optional operation marker)")
+      require(fieldOffset == 0 || validOperationMarker(row),
+        s"graft-log group writer: row arity ${row.numFields} exceeds the " +
+          s"write schema's ${schema.length} but the leading field is not a " +
+          "RowDeltaUtils operation marker — refusing to shift columns")
     }
     val g = factory.newGroup()
     var i = 0

@@ -132,8 +132,12 @@ class LogTableTable(path: String, tableSchema: StructType, asOf: Option[Long])
         LogTable.snapshotWithSchema(path, None)
       // files the search scan actually planned — the groups the write
       // replaces. Volatile: scan planning and write commit happen on
-      // different threads of the same statement.
-      @volatile private var scanned: Seq[LogTable.FileEntry] = snapshot
+      // different threads of the same statement. None until the search
+      // scan's build() reports in: defaulting to the FULL snapshot here
+      // would make "scan optimized away" fail as table-wide data loss
+      // (remove every file, write only the query's rows) — the commit
+      // refuses loudly instead.
+      @volatile private var scanned: Option[Seq[LogTable.FileEntry]] = None
 
       override def command()
           : org.apache.spark.sql.connector.write.RowLevelOperation.Command =
@@ -142,7 +146,7 @@ class LogTableTable(path: String, tableSchema: StructType, asOf: Option[Long])
       override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
         new LogTableScanBuilder(path, tableSchema, None,
           pinnedSnapshot = Some(snapshot),
-          onPlanned = fs => scanned = fs)
+          onPlanned = fs => scanned = Some(fs))
 
       override def newWriteBuilder(
           wi: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -153,7 +157,11 @@ class LogTableTable(path: String, tableSchema: StructType, asOf: Option[Long])
               override def toBatch
                   : org.apache.spark.sql.connector.write.BatchWrite =
                 new LogGroupBatchWrite(path, snapVersion,
-                  () => scanned.map(_.file), wi.schema())
+                  () => scanned.getOrElse(throw new IllegalStateException(
+                    s"graft-log row-level op on $path: the search scan was " +
+                      "never planned (onPlanned did not fire) — refusing a " +
+                      "commit that cannot know which files it replaces"))
+                    .map(_.file), wi.schema())
             }
         }
     }
@@ -309,14 +317,25 @@ object LogTableTable {
     * append would treat as brand-new columns instead of an insert.
     *
     * The rule, by decreasing evidence of intent:
-    *   - incoming names cover the table's (case-insensitive) → BY NAME,
-    *     as-is: the DataFrame path, including schema-evolving supersets;
-    *   - otherwise, matching arity → POSITIONAL (the SQL INSERT
-    *     contract): columns renamed to the table's and ANSI-cast to its
-    *     types (store-assignment semantics — a narrowing overflow
-    *     throws, as ANSI INSERT does);
-    *   - otherwise → loud error; a silent partial match would scatter
-    *     values into the wrong columns. */
+    *   - ANY name overlap with the table (case-insensitive) → BY NAME,
+    *     as-is: the DataFrame path. Matched names land by name, batch
+    *     columns the table lacks evolve the schema, table columns the
+    *     batch lacks NULL-fill — the same mixed-union semantics
+    *     [[graft.io.LogTable.append]] itself implements (its
+    *     requireCompatible still rejects type drift loudly), so the SQL
+    *     and direct-API paths cannot disagree about what a batch means;
+    *   - zero name overlap AND matching arity → POSITIONAL (the SQL
+    *     INSERT contract, where the SELECT's auto-generated expression
+    *     names share nothing with the table): columns renamed to the
+    *     table's and ANSI-cast to its types (store-assignment semantics
+    *     — a narrowing overflow throws, as ANSI INSERT does);
+    *   - otherwise → loud error. Positional resolution NEVER applies
+    *     when any name matches (e.g. batch `(x, k)` against table
+    *     `(k, v)`): that shape is evidence of a misnamed or misordered
+    *     DataFrame write, and positionally scattering its values into
+    *     the wrong columns is exactly the silent corruption this rule
+    *     exists to refuse — by-name union handles it deterministically
+    *     instead. */
   private[v2] def alignForInsert(
       data: org.apache.spark.sql.DataFrame, path: String)
       : org.apache.spark.sql.DataFrame = {
@@ -324,10 +343,10 @@ object LogTableTable {
     if (tbl.isEmpty) return data // bootstrap: the batch defines the schema
     val tblLower = tbl.fieldNames.map(_.toLowerCase).toSet
     val inLower = data.schema.fieldNames.map(_.toLowerCase).toSet
-    // by-name when the names line up in either direction: a superset
-    // evolves the table, a strict subset appends with NULLs for the
-    // missing columns (both established DataFrame-path behaviors)
-    if (tblLower.subsetOf(inLower) || inLower.subsetOf(tblLower)) data
+    // by-name whenever any name matches: subset NULL-fills, superset
+    // evolves, mixed does both — append's own union/validation logic is
+    // the single authority on what the batch means
+    if (inLower.intersect(tblLower).nonEmpty) data
     else if (data.schema.length == tbl.length)
       data.toDF(tbl.fieldNames: _*)
         .select(tbl.fields.map(f =>
@@ -336,8 +355,9 @@ object LogTableTable {
     else throw new IllegalArgumentException(
       s"graft-log write to $path: cannot resolve batch columns " +
         s"[${data.schema.fieldNames.mkString(", ")}] against table columns " +
-        s"[${tbl.fieldNames.mkString(", ")}] — match the names (by-name " +
-        "write / evolution) or the arity (positional INSERT)")
+        s"[${tbl.fieldNames.mkString(", ")}] — no names in common (by-name " +
+        "write / evolution needs at least one matching name) and the arity " +
+        "differs (a positional INSERT needs exactly the table's arity)")
   }
 }
 

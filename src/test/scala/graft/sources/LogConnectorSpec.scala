@@ -439,6 +439,40 @@ class LogConnectorSpec extends AnyFunSuite {
       .map(_.getString(1)).contains("big_orders"))
   }
 
+  test("write-batch resolution: any name overlap is by-name union, positional only on zero overlap") {
+    val t = tmpTable()
+    LogTable.create(spark, t,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "k")
+    // MIXED batch (one matched name, one new, one table column missing is
+    // impossible here — add a third column first): k matches, score is
+    // new -> by-name evolution; v NULL-fills for the batch's rows
+    Seq((10L, 99L)).toDF("k", "score")
+      .write.format("graft-log").mode("append").save(t)
+    val rows = load(t).filter(col("k") === 10L).collect()
+    assert(rows.length == 1 && rows.head.isNullAt(1) && rows.head.getLong(2) == 99L,
+      s"mixed by-name batch must evolve + NULL-fill, got ${rows.toSeq}")
+    // old rows surface the evolved column as NULL
+    assert(load(t).filter(col("k") === 1L).head().isNullAt(2))
+    // a partial-name-match batch is NEVER resolved positionally: x lands
+    // as a new column, k by name — not scattered into (k, v)
+    Seq((123L, 20L)).toDF("x", "k")
+      .write.format("graft-log").mode("append").save(t)
+    val r20 = load(t).filter(col("k") === 20L).head()
+    assert(r20.isNullAt(1) && r20.getLong(3) == 123L,
+      s"partial-match batch must resolve by name, got $r20")
+    // zero overlap + matching arity -> positional with ANSI cast
+    Seq(("30", "pos", "7", "8")).toDF("c1", "c2", "c3", "c4")
+      .write.format("graft-log").mode("append").save(t)
+    val r30 = load(t).filter(col("k") === 30L).head()
+    assert(r30.getString(1) == "pos" && r30.getLong(2) == 7L && r30.getLong(3) == 8L)
+    // zero overlap + arity mismatch -> loud error
+    val e = intercept[Exception](
+      Seq(("40", "nope")).toDF("c1", "c2")
+        .write.format("graft-log").mode("append").save(t))
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(t => Option(t.getMessage).exists(_.contains("cannot resolve batch columns"))))
+  }
+
   test("SQL DELETE FROM rewrites only admitted files; TRUNCATE keeps the table") {
     val wh = Files.createTempDirectory("graft-logdel").toString
     spark.conf.set("spark.sql.catalog.graftdel", classOf[LogCatalog].getName)

@@ -591,6 +591,8 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       batchOfId: Column => Column, numBatches: Int,
       numHashes: Int = 12, rowsPerBand: Int = 3): DataFrame = {
+    require(numBatches >= 1,
+      s"arrivalReplay: numBatches must be >= 1, got $numBatches")
     val d = docs.select(col(idCol).as("id"), col(textCol).as("text"))
     val bands = lshBands(minhashSignature(d, "id", "text",
       numHashes = numHashes), numHashes, rowsPerBand)
@@ -617,8 +619,19 @@ object Dedup {
       .select(col("p.e"), col("p.l"), col("p.be"), col("p.bl"))
     // id+batch only — each resolution round starts from its batch's id
     // slice, so the narrow projection materializes once instead of
-    // re-scanning the corpus per round
-    val ids = d.select(col("id"), batchOfId(col("id")).cast("int").as("b"))
+    // re-scanning the corpus per round. Contract guard rides the same
+    // materialization (no extra job): every id must map into
+    // [0, numBatches) — the per-round slices select b === k for
+    // k < numBatches, so a miscounted backfill would otherwise SILENTLY
+    // drop its out-of-range documents from the retained output.
+    val ids = d.select(col("id"),
+      when(batchOfId(col("id")).cast("int").between(0, numBatches - 1),
+        batchOfId(col("id")).cast("int"))
+        .otherwise(raise_error(concat(
+          lit("arrivalReplay: document id "), col("id").cast("string"),
+          lit(s" maps outside batches [0, $numBatches) — batchOfId/" +
+            "numBatches disagree with the data"))).cast("int"))
+        .as("b"))
       .localCheckpoint(false)
     var retained: DataFrame = null
     for (k <- 0 until numBatches) {

@@ -16,6 +16,24 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Idle-host gate (round-12 verdict item 6): three rounds of driver-
+    // window benches raced the round's own test runs and overstated the
+    // ratio ~0.6× vs idle re-measurement. Wait (bounded) for the 1-min
+    // load average to drop before timing anything; record what we saw so
+    // the artifact is auditable either way. Both knobs are env-tunable;
+    // SPARK_GRAFT_LOADGATE_SEC=0 disables the wait entirely.
+    def loadAvg1(): Double =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val gateLimit = sys.env.getOrElse("SPARK_GRAFT_LOADGATE_SEC", "900").toLong
+    val gateBelow = sys.env.getOrElse("SPARK_GRAFT_LOADGATE", "4.0").toDouble
+    val loadStart = loadAvg1()
+    var gateWaited = 0L
+    while (gateWaited < gateLimit && loadAvg1() > gateBelow) {
+      Thread.sleep(10000); gateWaited += 10
+    }
+    val loadAtRun = loadAvg1()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       // A/B knob: post-shuffle parallelism sized to the SF's data, not
@@ -201,14 +219,16 @@ object Bench {
     // its time-to-exception would otherwise shrink the total silently.
     val errs = failed.map(n => s"\"$n\"").mkString("[", ",", "]")
     // Storage-maintenance subtotal, reported as its own facet: the
-    // k11-k14 rows run real multi-commit table operations (create,
-    // upsert, range-delete, compact, merge, CDC diff) where the DuckDB
-    // oracle replays ONE SQL statement — their cost is commit/job
-    // orchestration, not query-plan time, and total minus storage_sec
-    // is the like-for-like query-engine comparison.
+    // k11-k14 + k17 rows run real multi-commit table operations (create,
+    // upsert, range-delete, compact, merge, CDC diff, SQL MERGE) where
+    // the DuckDB oracle replays ONE SQL statement — their cost is
+    // commit/job orchestration, not query-plan time, and total minus
+    // storage_sec is the like-for-like query-engine comparison. (k15/k16
+    // are NOT in the set: their table builds moved to untimed setup, so
+    // their timed bodies are plain pruned reads — comparable.)
+    val storageOps = Set("k11", "k12", "k13", "k14", "k17")
     val storageSec = results.collect {
-      case (k, v) if k.startsWith("k1") && k.length > 2 &&
-        k(2).isDigit && Set("k11", "k12", "k13", "k14", "k15")(k.take(3)) => v
+      case (k, v) if k.length > 2 && storageOps(k.take(3)) => v
     }.sum
     // Paired DuckDB twin IN THE SAME WINDOW (the r10 verdict's
     // measurement caveat made auditable): host load moves absolute
@@ -262,12 +282,33 @@ object Bench {
       } catch { case _: Throwable => None }
     val duckFields = duckPair match {
       case Some((d, perQuery)) if d > 0 =>
+        // The comparable facet (round-12 verdict item): both totals
+        // minus the storage-op rows, so the headline contract ratio is
+        // like-for-like (multi-commit writes vs a replayed SELECT was
+        // the per-round footnote; now it's a field). Warm substitution
+        // never covers the storage rows (they are not artifact-backed),
+        // so totalWarm - storageSec is exact, not approximate.
+        val duckQ: Map[String, Double] = perQuery.map { pq =>
+          """"([^"]+)":\s*([0-9.eE+-]+)""".r.findAllMatchIn(pq)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }.getOrElse(Map.empty)
+        val duckStorage = duckQ.collect {
+          case (k, v) if k.length > 2 && storageOps(k.take(3)) => v
+        }.sum
+        val comparable =
+          if (duckQ.nonEmpty && d - duckStorage > 0) {
+            val dc = d - duckStorage
+            s""""duck_comparable_total":$dc,""" +
+              s""""ratio_comparable_cold":${(total - storageSec) / dc},""" +
+              s""""ratio_comparable_warm":${(totalWarm - storageSec) / dc},"""
+          } else ""
         s""""duck_total":$d,"ratio_cold":${total / d},"ratio_warm":${totalWarm / d},""" +
+          comparable +
           s""""duck_queries":${perQuery.getOrElse("null")},"""
       case _ => """"duck_total":null,"""
     }
     val metric =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warm":$warmJson,"total_warm":$totalWarm,"storage_sec":$storageSec,$duckFields"errors":$errs,"import_sec":$importSec,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warm":$warmJson,"total_warm":$totalWarm,"storage_sec":$storageSec,$duckFields"errors":$errs,"import_sec":$importSec,"load_gate":{"load_start":$loadStart,"waited_sec":$gateWaited,"load_at_run":$loadAtRun},"sf":"$sfDir"}"""
     // Driver contract: BENCH_r02 had parsed:null because the metric line
     // reached the driver as "[info] {...}". Belt and braces: write the bare
     // JSON to stable files AND print it as the final unadorned stdout line

@@ -29,6 +29,10 @@ object EtlQueries {
   // setup; the timed body is the SQL query alone)
   private val k16Catalog = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // k17's registered catalog name per sfDir (registration + CTAS of the
+  // pre-sync snapshot are setup; the timed body is MERGE + read-back)
+  private val k17Catalog = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   // A1 on fixtures: per-order refund totals.
   private def refundOrderTotals(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.lineitem(s, d)
@@ -525,6 +529,77 @@ object EtlQueries {
               |       ${moneySum0Sql("o_totalprice")} AS revenue
               |FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
               |GROUP BY 1 ORDER BY status""".stripMargin),
+    ),
+
+    // K17 — the reference's WHOLE idempotent load (delete-then-insert,
+    // duckdb_client.py:48-68) as ONE SQL `MERGE INTO` through the
+    // LogCatalog: matched keys update to the incoming image, unmatched
+    // keys insert — exactly the semantics the reference spells as
+    // DELETE WHERE id IN (...) + INSERT. The oracle is k2's SQL (the
+    // DataFrame upsert of the same batch): API surface and storage must
+    // never change the semantics. MERGE here is idempotent (re-running
+    // the same source image yields the same table), so bench reps
+    // re-merge safely; the timed body includes the MERGE commit, which
+    // is why k17 joins k11-k14 in the storage_sec facet. At 100 TB the
+    // rewrite touches only files whose key range overlaps the batch
+    // (manifest-stats group pruning — LogConnectorSpec pins the file
+    // counts); the watermark predicate on the source keeps the shuffled
+    // side to the nightly window.
+    QueryDef(
+      "k17_catalog_merge",
+      (s, d) => {
+        val cat = k17Catalog.computeIfAbsent(d, dir => {
+          val name =
+            s"graftmrg_${java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)}"
+          val wh = java.nio.file.Files.createTempDirectory("graft-k17")
+          sys.addShutdownHook {
+            import scala.jdk.CollectionConverters._
+            val walk = java.nio.file.Files.walk(wh)
+            try walk.sorted(java.util.Comparator.reverseOrder())
+              .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+            finally walk.close()
+          }
+          s.conf.set(s"spark.sql.catalog.$name",
+            classOf[graft.sources.v2.LogCatalog].getName)
+          s.conf.set(s"spark.sql.catalog.$name.warehouse", wh.toString)
+          s.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.etl")
+          Tables.orders(s, dir)
+            .filter(col("o_orderdate") < lit("2000-01-01").cast("timestamp"))
+            .select(
+              col("o_orderkey").as("order_id"),
+              col("o_orderstatus").as("status"),
+              lit("base").as("src"))
+            .repartitionByRange(8, col("order_id"))
+            .createOrReplaceTempView("k17_src_existing")
+          s.sql(s"CREATE TABLE $name.etl.orders " +
+            "TBLPROPERTIES ('keyCol'='order_id') AS " +
+            "SELECT * FROM k17_src_existing")
+          name
+        })
+        Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+          .select(
+            col("o_orderkey").as("order_id"),
+            col("o_orderstatus").as("status"),
+            lit("resynced").as("src"))
+          .createOrReplaceTempView("k17_incoming")
+        s.sql(s"""MERGE INTO $cat.etl.orders AS tgt USING k17_incoming AS src
+                 |ON tgt.order_id = src.order_id
+                 |WHEN MATCHED THEN UPDATE SET status = src.status, src = src.src
+                 |WHEN NOT MATCHED THEN INSERT (order_id, status, src)
+                 |  VALUES (src.order_id, src.status, src.src)""".stripMargin)
+        s.sql(s"SELECT * FROM $cat.etl.orders").orderBy("order_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT o_orderkey AS order_id, o_orderstatus AS status, 'base' AS src
+             |  FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
+             |), i AS (
+             |  SELECT o_orderkey AS order_id, o_orderstatus AS status, 'resynced' AS src
+             |  FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+             |)
+             |SELECT * FROM e WHERE order_id NOT IN (SELECT order_id FROM i)
+             |UNION ALL SELECT * FROM i
+             |ORDER BY order_id""".stripMargin),
     ),
 
     // K4/K6 — column alignment / schema migration: missing columns appear

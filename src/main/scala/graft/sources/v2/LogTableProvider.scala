@@ -109,7 +109,33 @@ class LogTableTable(path: String, tableSchema: StructType, asOf: Option[Long])
     with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  /** `_file` — the manifest file name each row lives in, as a STRING
+    * metadata column (`SELECT _file, * FROM t` surfaces it; hidden from
+    * `*`). Besides observability, this is the GROUP identity Spark's
+    * runtime group filtering keys on for row-level operations: the
+    * group-filter subquery selects DISTINCT `_file` of rows matching
+    * the MERGE/UPDATE condition, and the row-level scan drops every
+    * unmatched file — so a 10-key MERGE rewrites the one file holding
+    * those keys, not the table (the Iceberg `_file` mechanic). Hidden
+    * entirely when a data column already claims the name: the data
+    * column wins and runtime group filtering quietly disables. */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    if (tableSchema.fieldNames.exists(_.equalsIgnoreCase(LogTableTable.FileCol)))
+      Array.empty
+    else Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name: String = LogTableTable.FileCol
+      override def dataType: DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment: String =
+        "graft-log data file (manifest name) the row lives in"
+    })
+
+  private def fileColIsMetadata: Boolean =
+    !tableSchema.fieldNames.exists(_.equalsIgnoreCase(LogTableTable.FileCol))
 
   /** SQL `UPDATE` / `MERGE INTO` as GROUP-BASED row-level operations
     * (the Iceberg copy-on-write shape): Spark drives the rewrite — the
@@ -142,6 +168,19 @@ class LogTableTable(path: String, tableSchema: StructType, asOf: Option[Long])
       override def command()
           : org.apache.spark.sql.connector.write.RowLevelOperation.Command =
         info.command()
+
+      /** Projecting `_file` into the row-level read is what arms
+        * Spark's RowLevelOperationRuntimeGroupFiltering: with it, a
+        * MERGE/UPDATE whose matched keys live in K files rewrites K
+        * files; without it, every statically-admitted file. The write
+        * side is unaffected — ReplaceDataExec projects metadata back
+        * out before rows reach the group writer. */
+      override def requiredMetadataAttributes()
+          : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+        if (fileColIsMetadata)
+          Array(org.apache.spark.sql.connector.expressions.Expressions
+            .column(LogTableTable.FileCol))
+        else Array.empty
 
       override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
         new LogTableScanBuilder(path, tableSchema, None,
@@ -283,6 +322,10 @@ class LogTableTable(path: String, tableSchema: StructType, asOf: Option[Long])
 }
 
 object LogTableTable {
+  /** Metadata column name: the data file a row lives in (Iceberg's
+    * `_file` convention). */
+  private[v2] val FileCol = "_file"
+
   /** V1 Filter → row-level Column, for exact DELETE execution. None on
     * shapes outside the flat warehouse surface (the caller then rejects
     * the whole delete — exactness over partiality). */
@@ -546,7 +589,8 @@ class LogTableScanBuilder(
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new Scan with Batch with SupportsReportStatistics {
+  override def build(): Scan = new Scan with Batch with SupportsReportStatistics
+      with SupportsRuntimeV2Filtering {
     // snapshot pinned ONCE at scan build: planning and statistics must
     // describe the same version even if writers land mid-query
     private val snapshot = pinnedSnapshot.getOrElse(
@@ -554,8 +598,69 @@ class LogTableScanBuilder(
     // minKey/maxKey are the key column's stats whatever its name — cols
     // usually duplicates them, but a reserved-name key column only has
     // the anonymous slots (admits handles both)
-    private val kept = snapshot.filter(fileAdmitted)
+    // var: runtime filtering below may SHRINK the set after build —
+    // driver-side only, volatile against planning/commit thread handoff
+    @volatile private var kept = snapshot.filter(fileAdmitted)
     onPlanned(kept)
+
+    // `_file` in the projection is the metadata column iff no data
+    // column claims the name (the table hides the metadata column on
+    // conflict, so a required `_file` then refers to real data)
+    private def fileColIsMeta: Boolean =
+      required.fieldNames.contains(LogTableTable.FileCol) &&
+        !tableSchema.fieldNames.exists(_.equalsIgnoreCase(LogTableTable.FileCol))
+
+    /** Runtime group filtering (the scale path for MERGE/UPDATE row-level
+      * rewrites): Spark evaluates a subquery for the DISTINCT `_file`
+      * values of rows matching the operation's condition and hands the
+      * result back as an IN predicate here — files not in the set leave
+      * the scan, the replacement write's remove set shrinks with them
+      * (onPlanned re-fires), and a selective MERGE rewrites only the
+      * files that actually hold matched keys. Unparseable predicate
+      * shapes are ignored: runtime filters are an optimization, and
+      * over-admitting is always correct.
+      *
+      * Advertised ONLY when the projection actually carries the
+      * metadata `_file` (row-level scans always do — the operation's
+      * requiredMetadataAttributes forces it): a plain scan without it
+      * must read as non-runtime-filterable, or the generic DPP probe
+      * would try to resolve `_file` against an output that lacks it. */
+    override def filterAttributes(): Array[
+        org.apache.spark.sql.connector.expressions.NamedReference] =
+      if (fileColIsMeta)
+        Array(org.apache.spark.sql.connector.expressions.Expressions
+          .column(LogTableTable.FileCol))
+      else Array.empty
+
+    override def filter(predicates: Array[
+        org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+      import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, NamedReference}
+      def refIsFile(e: org.apache.spark.sql.connector.expressions.Expression) =
+        e match {
+          case r: NamedReference =>
+            r.fieldNames.length == 1 && r.fieldNames()(0) == LogTableTable.FileCol
+          case _ => false
+        }
+      def litStr(e: org.apache.spark.sql.connector.expressions.Expression) =
+        e match {
+          case l: V2Literal[_] if l.value != null => Some(l.value.toString)
+          case _ => None
+        }
+      predicates.foreach { p =>
+        val allowed: Option[Set[String]] = p.name() match {
+          case "IN" if p.children().nonEmpty && refIsFile(p.children()(0)) =>
+            val vs = p.children().drop(1).map(litStr)
+            if (vs.forall(_.isDefined)) Some(vs.flatten.toSet) else None
+          case "=" if p.children().length == 2 && refIsFile(p.children()(0)) =>
+            litStr(p.children()(1)).map(Set(_))
+          case _ => None
+        }
+        allowed.foreach { names =>
+          kept = kept.filter(f => names(f.file))
+          onPlanned(kept)
+        }
+      }
+    }
 
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
@@ -576,7 +681,7 @@ class LogTableScanBuilder(
       LogTableScan.lastPlannedFiles.set(kept.size)
       kept.map(f => LogFilePartition(
         LogTable.dataDir(path).resolve(f.file).toString,
-        required.json): InputPartition).toArray
+        required.json, fileColIsMeta): InputPartition).toArray
     }
 
     override def createReaderFactory(): PartitionReaderFactory =
@@ -648,7 +753,11 @@ class LogTableScanBuilder(
           LogTableScan.lastPlannedFiles.set(kept.size)
           kept.map(f => LogFilePartition(
             LogTable.dataDir(path).resolve(f.file).toString,
-            required.json): InputPartition).toArray
+            required.json,
+            required.fieldNames.contains(LogTableTable.FileCol) &&
+              !tableSchema.fieldNames.exists(
+                _.equalsIgnoreCase(LogTableTable.FileCol))): InputPartition)
+            .toArray
         }
 
         override def createReaderFactory(): PartitionReaderFactory =
@@ -666,8 +775,12 @@ case class LogVersionOffset(v: Long)
 
 /** One data file, one task — the manifest's own granularity. The
   * required schema travels as StructType JSON (InputPartitions must be
-  * serializable). */
-case class LogFilePartition(file: String, requiredJson: String) extends InputPartition
+  * serializable). `fileColIsMeta` marks a `_file` entry in the required
+  * schema as the METADATA column (serve the file's name) rather than a
+  * data column that happens to share the name (read the parquet). */
+case class LogFilePartition(
+    file: String, requiredJson: String,
+    fileColIsMeta: Boolean = false) extends InputPartition
 
 class LogFileReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
@@ -710,8 +823,16 @@ class LogFileReader(part: LogFilePartition) extends PartitionReader[InternalRow]
   // getType(String) and makes direct calls ambiguous in Scala
   private val fileGroup: org.apache.parquet.schema.GroupType = fileSchema
 
+  // the metadata `_file` is served from the partition, never the pages
+  // (even if a foreign parquet happens to carry a column of that name)
+  private def isMetaFileField(name: String): Boolean =
+    part.fileColIsMeta && name == LogTableTable.FileCol
+  private val metaFileValue: UTF8String =
+    UTF8String.fromString(hPath.getName)
+
   private val presentFields =
-    required.fields.filter(f => fileSchema.containsField(f.name))
+    required.fields.filter(f =>
+      !isMetaFileField(f.name) && fileSchema.containsField(f.name))
 
   // column projection pushed INTO parquet: only required-and-present
   // columns are materialized from the page store
@@ -734,7 +855,8 @@ class LogFileReader(part: LogFilePartition) extends PartitionReader[InternalRow]
   /** Per-required-field extractor, bound once: (group → catalyst value),
     * or null-producing for columns the file predates. */
   private val extractors: Array[Group => Any] = required.fields.map { f =>
-    if (!fileSchema.containsField(f.name)) { (_: Group) => null }
+    if (isMetaFileField(f.name)) { (_: Group) => metaFileValue }
+    else if (!fileSchema.containsField(f.name)) { (_: Group) => null }
     else {
       val name = f.name
       val primType = fileGroup.getType(name).asPrimitiveType()
@@ -783,10 +905,12 @@ class LogFileReader(part: LogFilePartition) extends PartitionReader[InternalRow]
 
   private var current: Group = _
   private var emitted = 0L
-  // no projectable column in this file (count(*), or every required
-  // column postdates it): every row is all-NULLs of the required shape
+  // no projectable column in this file (count(*), every required column
+  // postdates it, or the projection is just the metadata `_file`): rows
+  // are NULLs of the required shape with `_file` filled when asked
   private val nullRow: InternalRow =
-    InternalRow.fromSeq(required.fields.toIndexedSeq.map(_ => null))
+    InternalRow.fromSeq(required.fields.toIndexedSeq.map(f =>
+      if (isMetaFileField(f.name)) metaFileValue else null))
 
   override def next(): Boolean =
     if (reader == null) { emitted += 1; emitted <= fileRows }

@@ -556,6 +556,109 @@ class LogConnectorSpec extends AnyFunSuite {
         "WHERE n <> 0").head().getLong(0) == 0L)
   }
 
+  test("_file metadata column: selectable, hidden from *, correct per file") {
+    val t = tmpTable()
+    LogTable.create(spark, t,
+      (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")
+        .repartitionByRange(2, col("k")), "k")
+    val df = load(t)
+    assert(!df.schema.fieldNames.contains("_file"), "* must hide _file")
+    assert(df.select(col("_file")).distinct().count() == 2L)
+    // the value is the manifest file name: joining back through the
+    // manifest's key ranges must agree with the row's key
+    val rows = df.select(col("k"), col("_file")).collect()
+    val byFile = rows.groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(0)))
+    byFile.foreach { case (f, ks) =>
+      assert(f.endsWith(".parquet"))
+      // repartitionByRange(2): each file holds a contiguous key range
+      assert(ks.max - ks.min < 100L)
+    }
+    // count over only the metadata column still reads zero data pages
+    assert(df.select(col("_file")).count() == 100L)
+  }
+
+  test("runtime group filtering: MERGE and subquery-UPDATE rewrite only files holding matched keys") {
+    val wh = Files.createTempDirectory("graft-loggf").toString
+    spark.conf.set("spark.sql.catalog.graftgf", classOf[LogCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftgf.warehouse", wh)
+    spark.sql("CREATE NAMESPACE graftgf.etl")
+    spark.sql("CREATE TABLE graftgf.etl.t (k BIGINT, v STRING, n BIGINT) " +
+      "TBLPROPERTIES ('keyCol'='k')")
+    for (i <- 0 until 4)
+      spark.sql(s"INSERT INTO graftgf.etl.t SELECT /*+ REPARTITION(1) */ " +
+        s"id, concat('v', id), 0 FROM range(${i * 1000}, ${i * 1000 + 1000})")
+    val t = s"$wh/etl/t"
+    val filesBefore = LogTable.read(spark, t).inputFiles.toSet
+    assert(filesBefore.size == 4)
+    // MERGE matching 10 keys inside ONE file's range: the runtime
+    // group-filter subquery (distinct _file of matched rows) must
+    // shrink the rewrite to that file — the other three survive
+    // IDENTICALLY. Without SupportsRuntimeV2Filtering this was 4.
+    spark.sql("SELECT id AS k, concat('m', id) AS v, CAST(9 AS BIGINT) AS n " +
+      "FROM range(3100, 3110)").createOrReplaceTempView("gf_src")
+    spark.sql("""MERGE INTO graftgf.etl.t AS tgt USING gf_src AS src
+      |ON tgt.k = src.k
+      |WHEN MATCHED THEN UPDATE SET v = src.v, n = src.n
+      |WHEN NOT MATCHED THEN INSERT (k, v, n) VALUES (src.k, src.v, src.n)
+      |""".stripMargin)
+    val afterMerge = LogTable.read(spark, t).inputFiles.toSet
+    assert((filesBefore -- afterMerge).size == 1,
+      s"MERGE rewrote ${(filesBefore -- afterMerge).size} files, expected 1")
+    assert(spark.sql("SELECT count(*) FROM graftgf.etl.t WHERE n = 9")
+      .head().getLong(0) == 10L)
+    assert(spark.sql("SELECT count(*) FROM graftgf.etl.t").head().getLong(0) == 4000L)
+    // UPDATE with an IN-subquery predicate (not statically pushable):
+    // runtime group filtering prunes the same way
+    spark.sql("SELECT id AS kk FROM range(500, 505)")
+      .createOrReplaceTempView("gf_upd_keys")
+    spark.sql("UPDATE graftgf.etl.t SET v = 'sub' " +
+      "WHERE k IN (SELECT kk FROM gf_upd_keys)")
+    val afterUpd = LogTable.read(spark, t).inputFiles.toSet
+    assert((afterMerge -- afterUpd).size == 1,
+      s"subquery UPDATE rewrote ${(afterMerge -- afterUpd).size} files, expected 1")
+    assert(spark.sql("SELECT count(*) FROM graftgf.etl.t WHERE v = 'sub'")
+      .head().getLong(0) == 5L)
+  }
+
+  test("MERGE WHEN NOT MATCHED BY SOURCE: full-sync semantics, windowed by the action condition") {
+    val wh = Files.createTempDirectory("graft-lognmbs").toString
+    spark.conf.set("spark.sql.catalog.graftnmbs", classOf[LogCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftnmbs.warehouse", wh)
+    spark.sql("CREATE NAMESPACE graftnmbs.etl")
+    spark.sql("CREATE TABLE graftnmbs.etl.t (k BIGINT, v STRING, n BIGINT) " +
+      "TBLPROPERTIES ('keyCol'='k')")
+    for (i <- 0 until 4)
+      spark.sql(s"INSERT INTO graftnmbs.etl.t SELECT /*+ REPARTITION(1) */ " +
+        s"id, concat('v', id), 0 FROM range(${i * 1000}, ${i * 1000 + 1000})")
+    // the reference's replace-all-items shape (K3): the source is the
+    // COMPLETE new image of window [2000, 3000) — evens updated, odds
+    // (absent from the source) deleted; rows outside the window and
+    // unmatched-by-source keep out of the sync via the action condition
+    spark.sql("SELECT id AS k, concat('s', id) AS v, CAST(1 AS BIGINT) AS n " +
+      "FROM range(2000, 3000, 2)").createOrReplaceTempView("nmbs_src")
+    spark.sql("""MERGE INTO graftnmbs.etl.t AS tgt USING nmbs_src AS src
+      |ON tgt.k = src.k
+      |WHEN MATCHED THEN UPDATE SET v = src.v, n = src.n
+      |WHEN NOT MATCHED THEN INSERT (k, v, n) VALUES (src.k, src.v, src.n)
+      |WHEN NOT MATCHED BY SOURCE AND tgt.k >= 2000 AND tgt.k < 3000 THEN DELETE
+      |""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM graftnmbs.etl.t").head().getLong(0) == 3500L)
+    assert(spark.sql(
+      "SELECT count(*) FROM graftnmbs.etl.t WHERE k >= 2000 AND k < 3000")
+      .head().getLong(0) == 500L)
+    assert(spark.sql("SELECT count(*) FROM graftnmbs.etl.t WHERE n = 1")
+      .head().getLong(0) == 500L)
+    // untouched windows are byte-identical rows
+    assert(spark.sql(
+      "SELECT v FROM graftnmbs.etl.t WHERE k = 100").head().getString(0) == "v100")
+    // NOTE on pruning: NOT MATCHED BY SOURCE makes EVERY target group a
+    // candidate (an unmatched row can live anywhere), so Spark plans a
+    // full-table rewrite — runtime group filtering correctly does not
+    // apply. That is the industry-wide COW semantics for this verb, and
+    // the windowed action condition bounds the DELETED rows, not the
+    // rewritten files.
+  }
+
   test("LogCatalog procedures: CALL system.compact/vacuum/truncate_history run maintenance from SQL") {
     val wh = Files.createTempDirectory("graft-logproc").toString
     spark.conf.set("spark.sql.catalog.graftproc", classOf[LogCatalog].getName)

@@ -102,9 +102,19 @@ object LogTable {
     * default to it instead of asking the caller — a mismatched explicit
     * key fails loudly rather than committing stats that describe a
     * different column. Empty on pre-r11 manifests. */
+  /** `txns` records streaming-writer progress as part of the commit
+    * (the Delta SetTransaction mechanic): appId → highest epoch that
+    * app has committed IN THIS MANIFEST. [[lastTxnEpoch]] folds the max
+    * per app over the log, and a streaming epoch whose id is <= that
+    * watermark is a REPLAY — skipped instead of re-appended, which is
+    * what makes the graft-log streaming sink exactly-once across
+    * micro-batch retries and driver restarts. Checkpoint manifests
+    * carry the fold-to-date so truncated history never forgets an
+    * app's watermark. */
   final case class Manifest(
       version: Long, adds: Seq[FileEntry], removes: Seq[String],
-      schema: String = "", checkpoint: Boolean = false, keyCol: String = "")
+      schema: String = "", checkpoint: Boolean = false, keyCol: String = "",
+      txns: Map[String, Long] = Map.empty)
 
   private def logDir(table: String): Path = Paths.get(table, "_log")
   private[graft] def dataDir(table: String): Path = Paths.get(table, "data")
@@ -148,9 +158,16 @@ object LogTable {
     val removes = m.removes.map(f => s""""${esc(f)}"""").mkString("[", ",", "]")
     val ckpt = if (m.checkpoint) ""","checkpoint":true""" else ""
     val key = if (m.keyCol.isEmpty) "" else s""","keyCol":"${esc(m.keyCol)}""""
+    // app ids are caller-supplied strings: esc() plus the escape-aware
+    // parse pattern keep an exotic id from terminating the block
+    val txns =
+      if (m.txns.isEmpty) ""
+      else m.txns.toSeq.sortBy(_._1)
+        .map { case (app, e) => s""""${esc(app)}":$e""" }
+        .mkString(""","txns":{""", ",", "}")
     // schema LAST: its value is itself JSON-with-quotes (escaped), and
     // the adds/removes block regexes below must never scan past into it
-    s"""{"version":${m.version},"adds":$adds,"removes":$removes$ckpt$key,"schema":"${esc(m.schema)}"}"""
+    s"""{"version":${m.version},"adds":$adds,"removes":$removes$ckpt$key$txns,"schema":"${esc(m.schema)}"}"""
   }
 
   private[io] def parse(json: String): Manifest = {
@@ -205,8 +222,17 @@ object LogTable {
       .getOrElse("")
     val keyCol = """"keyCol":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(json)
       .map(m => unesc(m.group(1))).getOrElse("")
+    // txns can only appear at the top level (stats-key filtering bars a
+    // column named "txns" from the adds block, and no stats shape is
+    // object-valued anyway)
+    val txns = """"txns":\{(.*?)\}""".r.findFirstMatchIn(json)
+      .map(_.group(1)).map { block =>
+        """"((?:[^"\\]|\\.)+)":(-?\d+)""".r.findAllMatchIn(block)
+          .map(m => unesc(m.group(1)) -> m.group(2).toLong).toMap
+      }.getOrElse(Map.empty[String, Long])
     Manifest(version, adds, removes, schema,
-      checkpoint = json.contains(""""checkpoint":true"""), keyCol = keyCol)
+      checkpoint = json.contains(""""checkpoint":true"""), keyCol = keyCol,
+      txns = txns)
   }
 
   private def manifests(table: String): Seq[Manifest] = {
@@ -481,6 +507,69 @@ object LogTable {
       throw new IllegalStateException(
         s"append($table) hit a removal conflict — impossible with empty removes"),
       schema = evolved.schema.json, keyCol = keyCol)
+  }
+
+  /** Highest epoch `appId` has committed to `table`, or None if never —
+    * the streaming sink's replay watermark (fold of the manifests' txns
+    * maps; checkpoints carry the fold-to-date, so truncated history
+    * keeps the answer exact). */
+  def lastTxnEpoch(table: String, appId: String): Option[Long] =
+    manifests(table).flatMap(_.txns.get(appId)).maxOption
+
+  /** One streaming micro-batch as one transactional append commit: the
+    * task-written parquet parts named by `partFiles` (inside `staging`)
+    * register with footer stats and land as ONE manifest carrying
+    * `txns = appId -> epochId`. Exactly-once: if the log already
+    * records this app at this epoch or beyond, the call is a REPLAY of
+    * an acknowledged batch (micro-batch retry, restarted driver) and
+    * commits nothing (returns false); the same fence re-checks inside
+    * the commit race loop, so even two concurrent attempts of one epoch
+    * cannot both land. Schema evolution matches [[append]]: the
+    * committed schema is the union of the table's and the stream's
+    * (type drift fails loudly), older files serve typed NULLs. The
+    * caller owns staging cleanup. */
+  def commitStreamingEpoch(
+      spark: SparkSession, table: String, staging: Path,
+      partFiles: Set[String], streamSchema: org.apache.spark.sql.types.StructType,
+      keyCol: String, appId: String, epochId: Long): Boolean = {
+    require(appId.nonEmpty, "commitStreamingEpoch: appId must be non-empty")
+    requireKeyMatch(table, keyCol)
+    if (lastTxnEpoch(table, appId).exists(_ >= epochId)) return false
+    val (snapVersion, liveNow, committedSchema) = snapshotWithSchema(table, None)
+    val snapSchema = committedSchema.orElse {
+      if (liveNow.isEmpty) None
+      else Some(spark.read.option("mergeSchema", "true").parquet(
+        liveNow.map(f => dataDir(table).resolve(f.file).toString): _*).schema)
+    }
+    val evolved = snapSchema match {
+      case Some(sc) =>
+        streamSchema.fields.foreach { f =>
+          sc.fields.find(_.name == f.name).foreach { ex =>
+            require(ex.dataType.catalogString == f.dataType.catalogString,
+              s"LogTable streaming sink: column ${f.name} arrives as " +
+                s"${f.dataType.catalogString} but the table holds " +
+                s"${ex.dataType.catalogString} — type changes are not " +
+                "evolution; cast the stream or migrate explicitly")
+          }
+        }
+        val have = sc.fieldNames.toSet
+        org.apache.spark.sql.types.StructType(
+          sc.fields ++ streamSchema.fields.filterNot(f => have(f.name)))
+      case None => streamSchema
+    }
+    val adds = registerStaged(spark, table, staging, streamSchema, keyCol,
+      onlyFiles = Some(partFiles))
+    // an empty epoch appends nothing — and must NOT advance the txn
+    // watermark with a data-less manifest: replaying it is free, and an
+    // empty commit per idle trigger would grow the log unboundedly
+    if (adds.isEmpty) return false
+    commit(table, snapVersion, adds, removes = Seq.empty, reRun = () =>
+      throw new IllegalStateException(
+        s"commitStreamingEpoch($table) hit a removal conflict — impossible " +
+          "with empty removes"),
+      schema = evolved.json, keyCol = keyCol,
+      txns = Map(appId -> epochId))
+    true
   }
 
   /** Keyed upsert (the reference's delete-then-insert, K2/K3): rows of
@@ -1093,7 +1182,8 @@ object LogTable {
       // never affected: its stats land in the anonymous minKey/maxKey
       // fields whatever its name.
       val reserved = Set("file", "minKey", "maxKey", "rows", "cols",
-        "colsD", "colsS", "version", "adds", "removes", "schema", "checkpoint")
+        "colsD", "colsS", "colsN", "version", "adds", "removes", "schema",
+        "checkpoint", "keyCol", "txns")
       val statSafe = (n: String) => n.nonEmpty && !reserved(n) &&
         n.forall(c => !"\"\\{}[]:,".contains(c))
       import org.apache.spark.sql.types._
@@ -1261,9 +1351,15 @@ object LogTable {
     // nothing below the would-be checkpoint -> no-op (also covers cut < 1)
     if (!ms.exists(_.version < cut)) return (0, 0)
     val (_, liveAtCut, schemaAtCut) = snapshotWithSchema(table, Some(cut))
+    // the checkpoint carries the per-app epoch fold at the cut, so a
+    // streaming writer's replay watermark survives history truncation
+    // (else a restarted query could double-append a replayed epoch
+    // whose original manifest was just deleted)
+    val txnsAtCut = ms.filter(_.version <= cut).flatMap(_.txns)
+      .groupMapReduce(_._1)(_._2)(math.max)
     val ckpt = Manifest(cut, liveAtCut, removes = Seq.empty,
       schema = schemaAtCut.map(_.json).getOrElse(""), checkpoint = true,
-      keyCol = tableKeyCol(table).getOrElse(""))
+      keyCol = tableKeyCol(table).getOrElse(""), txns = txnsAtCut)
     // atomic REPLACE of v{cut}: full content lands under a temp name,
     // then rename(2) swaps it in — unlike commit's create-link claim,
     // replacement is the intent here and rename's replace is atomic
@@ -1298,15 +1394,29 @@ object LogTable {
     val cutoff = System.currentTimeMillis() - graceMillis
     import scala.jdk.CollectionConverters._
     val it = Files.list(dir)
-    val orphans =
-      try it.iterator().asScala
-        .filter(p => Files.isRegularFile(p) &&
+    val (orphans, staleStaging) =
+      try {
+        val (files, dirs) = it.iterator().asScala.toSeq.partition(Files.isRegularFile(_))
+        (files.filter(p =>
           p.getFileName.toString.endsWith(".parquet") &&
-          !referenced(p.getFileName.toString) &&
-          (graceMillis <= 0L ||
-            Files.getLastModifiedTime(p).toMillis <= cutoff))
-        .toSeq
-      finally it.close()
+            !referenced(p.getFileName.toString) &&
+            (graceMillis <= 0L ||
+              Files.getLastModifiedTime(p).toMillis <= cutoff)),
+          // staging dirs a crashed writer never committed or aborted:
+          // commit/abort sweep them on every normal path, so one older
+          // than the grace window is debris (its mtime refreshes on
+          // every file created inside, so an ACTIVE writer's dir stays
+          // young — the same race guard as the file sweep)
+          dirs.filter(p =>
+            p.getFileName.toString.startsWith(".staging-") &&
+              (graceMillis <= 0L ||
+                Files.getLastModifiedTime(p).toMillis <= cutoff)))
+      } finally it.close()
+    staleStaging.foreach { d =>
+      val ls = Files.list(d)
+      try ls.iterator().asScala.foreach(Files.deleteIfExists(_)) finally ls.close()
+      Files.deleteIfExists(d)
+    }
     orphans.map { p => Files.deleteIfExists(p); p.getFileName.toString }
   }
 
@@ -1340,7 +1450,7 @@ object LogTable {
       table: String, snapshotVersion: Long, adds: Seq[FileEntry],
       removes: Seq[String], reRun: () => Unit, attempts: Int = 50,
       schema: String = "", keyRange: Option[(Long, Long)] = None,
-      keyCol: String = ""): Unit = {
+      keyCol: String = "", txns: Map[String, Long] = Map.empty): Unit = {
     var expected = snapshotVersion
     var committedSchema = schema
     var tries = attempts
@@ -1348,7 +1458,8 @@ object LogTable {
       tries -= 1
       onCommitAttempt()
       val v = expected + 1
-      val m = Manifest(v, adds, removes, committedSchema, keyCol = keyCol)
+      val m = Manifest(v, adds, removes, committedSchema, keyCol = keyCol,
+        txns = txns)
       // Publish atomically: fully write the manifest to a hidden temp
       // name (readers only match v########.json), then HARD-LINK it to
       // the version path — link(2) both fails-if-exists (the optimistic
@@ -1365,6 +1476,15 @@ object LogTable {
         case _: java.nio.file.FileAlreadyExistsException =>
           Files.deleteIfExists(tmp)
           val (headNow, liveFiles, headSchema) = snapshotWithSchema(table, None)
+          // transactional-epoch fencing: if a manifest above OUR snapshot
+          // already records this app at this epoch or beyond, the racer
+          // was another attempt of the SAME micro-batch (a zombie driver
+          // or a speculative commit) — our copy is a duplicate, drop it
+          // rather than re-claim and double-append
+          if (txns.nonEmpty && manifests(table)
+              .filter(_.version > snapshotVersion)
+              .exists(m => txns.exists { case (app, e) =>
+                m.txns.get(app).exists(_ >= e) })) return
           // added-file conflict: every manifest above the ORIGINAL
           // snapshot is a racer's (ours never landed); a checkpoint
           // manifest in range re-lists old files and may force a

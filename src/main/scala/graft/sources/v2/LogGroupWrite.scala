@@ -77,6 +77,88 @@ class LogGroupWriterFactory(stagingDir: String, schemaJson: String)
     new LogGroupDataWriter(stagingDir, schemaJson, partitionId, taskId)
 }
 
+/** The native Structured Streaming SINK for graft-log tables:
+  * `df.writeStream.format("graft-log").start(path)` — each micro-batch
+  * lands as ONE transactional append commit through
+  * [[graft.io.LogTable.commitStreamingEpoch]], with the streaming
+  * query's id + epoch recorded in the manifest's `txns` map. That
+  * watermark is what makes the sink EXACTLY-ONCE end to end: a retried
+  * epoch (task retry survivors are already excluded by commit-message
+  * scoping; a restarted driver replaying its last batch is the real
+  * case) is detected as `epoch <= lastTxnEpoch(queryId)` and skipped,
+  * so the log gains no duplicate rows, while the graft-log SOURCE side
+  * replays version ranges idempotently — a log→log streaming pipeline
+  * is exactly-once with no foreachBatch user code.
+  *
+  * Tasks write parquet parts with the SAME writer the row-level ops use
+  * ([[LogGroupDataWriter]]), into one staging dir per epoch (epochs can
+  * overlap in continuous-retry scenarios; sharing one dir would let an
+  * aborted epoch's sweep delete a committing epoch's parts). */
+class LogStreamingWrite(
+    path: String, writeSchema: org.apache.spark.sql.types.StructType,
+    keyCol: String, queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new LogStreamingWriterFactory(path, writeSchema.json)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val committed = messages.collect {
+      case LogGroupCommit(f) => Paths.get(f).getFileName.toString
+    }.toSet
+    // tasks stage into per-epoch dirs they create on demand (the
+    // factory can't know the epoch at driver time in all engines, so
+    // the dir is derived from the part names' parents)
+    val stagingDirs = messages.collect {
+      case LogGroupCommit(f) => Paths.get(f).getParent
+    }.distinct
+    try {
+      if (committed.nonEmpty) {
+        require(stagingDirs.length == 1,
+          s"graft-log streaming sink: epoch $epochId staged into " +
+            s"${stagingDirs.length} directories — commit messages disagree")
+        LogTable.commitStreamingEpoch(SparkSession.active, path,
+          stagingDirs.head, committed, writeSchema, keyCol, queryId, epochId)
+      }
+    } finally stagingDirs.foreach(sweep)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case LogGroupCommit(f) => Paths.get(f).getParent }
+      .distinct.foreach(sweep)
+
+  private def sweep(dir: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.isDirectory(dir)) {
+      val it = java.nio.file.Files.list(dir)
+      try it.iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      finally it.close()
+      java.nio.file.Files.deleteIfExists(dir)
+    }
+  }
+}
+
+/** Streaming twin of [[LogGroupWriterFactory]]: same part writer, but
+  * staged under a per-epoch dot-directory derived from (epoch) so
+  * retried epochs never collide, and part names carry
+  * (epoch, partition, task) for uniqueness across attempts. */
+class LogStreamingWriterFactory(tablePath: String, schemaJson: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(
+      partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] = {
+    // one deterministic staging dir per epoch, created lazily by the
+    // first task that reaches it (createDirectories is idempotent);
+    // lives under data/ so the registration move stays atomic
+    val staging = java.nio.file.Paths.get(tablePath, "data", s".staging-epoch-$epochId")
+    java.nio.file.Files.createDirectories(staging)
+    new LogGroupDataWriter(staging.toString, schemaJson,
+      partitionId, taskId)
+  }
+}
+
 /** One task's parquet part writer over the flat warehouse type set.
   * Type → physical mapping mirrors what Spark's own writer produces
   * under the table's forced TIMESTAMP_MICROS conf, so

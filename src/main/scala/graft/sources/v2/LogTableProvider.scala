@@ -245,7 +245,7 @@ class LogTableTable(path: String, tableSchema: StructType, asOf: Option[Long])
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
-      TableCapability.ACCEPT_ANY_SCHEMA)
+      TableCapability.STREAMING_WRITE, TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LogTableScanBuilder(path, tableSchema, asOf,
       startingVersion = Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L),
@@ -290,6 +290,27 @@ class LogTableTable(path: String, tableSchema: StructType, asOf: Option[Long])
     new org.apache.spark.sql.connector.write.WriteBuilder {
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.V1Write {
+
+          /** `df.writeStream.format("graft-log").start(path)` — the
+            * native exactly-once streaming sink ([[LogStreamingWrite]]):
+            * each epoch is one transactional append commit fenced by the
+            * streaming query id (stable across restarts via the
+            * checkpoint) + epoch id in the manifest's txns map. The
+            * table bootstraps on stream start when `keyCol` names the
+            * key, mirroring the batch path's foreachBatch idiom. */
+          override def toStreaming
+              : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+            val key = optKey
+              .orElse(LogTable.tableKeyCol(path))
+              .getOrElse(throw new IllegalArgumentException(
+                "graft-log streaming sink: pass .option(\"keyCol\", " +
+                  "<column>) once (or initialize the table) — the commit " +
+                  "records it from then on"))
+            if (LogTable.version(path) == 0L)
+              LogTable.createEmpty(path, info.schema(), key)
+            new LogStreamingWrite(path, info.schema(), key, info.queryId())
+          }
+
           override def toInsertableRelation
               : org.apache.spark.sql.sources.InsertableRelation =
             new org.apache.spark.sql.sources.InsertableRelation {

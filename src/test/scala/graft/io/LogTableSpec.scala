@@ -849,4 +849,71 @@ class LogTableSpec extends AnyFunSuite {
     assert(rows(LogTable.readVersion(spark, t, v1)) == Set((1L, "v1a"), (2L, "v1b")))
     assert(rows(LogTable.read(spark, t)) == Set((1L, "v1a"), (2L, "v2b"), (3L, "v2c")))
   }
+
+  // stage rows for commitStreamingEpoch: Spark-written parquet parts
+  // moved into a fresh staging dir under the table's data root — the
+  // exact layout the streaming sink's tasks produce
+  private def stage(t: String, df: org.apache.spark.sql.DataFrame): (java.nio.file.Path, Set[String]) = {
+    val staging = Files.createTempDirectory(Paths.get(t, "data"), ".staging-test-")
+    val tmp = Files.createTempDirectory("graft-stage-src")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.resolve("out").toString)
+    import scala.jdk.CollectionConverters._
+    val ls = Files.list(tmp.resolve("out"))
+    val parts = try ls.iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq finally ls.close()
+    val names = parts.map { p =>
+      Files.move(p, staging.resolve(p.getFileName))
+      p.getFileName.toString
+    }
+    (staging, names.toSet)
+  }
+
+  test("streaming epoch commits are exactly-once: replays and zombie attempts are fenced by the txn watermark") {
+    val t = tmpTable()
+    LogTable.create(spark, t, (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v"), "k")
+    assert(LogTable.lastTxnEpoch(t, "q1").isEmpty)
+    // epoch 0 lands
+    val (s0, f0) = stage(t, (101L to 110L).map(i => (i, s"e0-$i")).toDF("k", "v"))
+    assert(LogTable.commitStreamingEpoch(spark, t, s0, f0,
+      LogTable.read(spark, t).schema, "k", "q1", 0L))
+    assert(LogTable.read(spark, t).count() == 110L)
+    assert(LogTable.lastTxnEpoch(t, "q1").contains(0L))
+    // replaying epoch 0 (restarted driver re-running an acknowledged
+    // batch) commits NOTHING
+    val (s0r, f0r) = stage(t, (101L to 110L).map(i => (i, s"e0-$i")).toDF("k", "v"))
+    assert(!LogTable.commitStreamingEpoch(spark, t, s0r, f0r,
+      LogTable.read(spark, t).schema, "k", "q1", 0L))
+    assert(LogTable.read(spark, t).count() == 110L)
+    // a different app's epoch 0 is independent
+    val (sq2, fq2) = stage(t, (201L to 205L).map(i => (i, s"q2-$i")).toDF("k", "v"))
+    assert(LogTable.commitStreamingEpoch(spark, t, sq2, fq2,
+      LogTable.read(spark, t).schema, "k", "q2", 0L))
+    assert(LogTable.read(spark, t).count() == 115L)
+    // zombie race INSIDE the commit loop: another attempt of the SAME
+    // epoch lands between our snapshot read and our claim — the in-loop
+    // fence must drop ours instead of re-claiming a duplicate
+    val (sz, fz) = stage(t, (301L to 305L).map(i => (i, s"z-$i")).toDF("k", "v"))
+    LogTable.onCommitAttempt = () => {
+      LogTable.onCommitAttempt = () => ()
+      val (sr, fr) = stage(t, (301L to 305L).map(i => (i, s"z-$i")).toDF("k", "v"))
+      assert(LogTable.commitStreamingEpoch(spark, t, sr, fr,
+        LogTable.read(spark, t).schema, "k", "q1", 1L))
+    }
+    try LogTable.commitStreamingEpoch(spark, t, sz, fz,
+      LogTable.read(spark, t).schema, "k", "q1", 1L)
+    finally LogTable.onCommitAttempt = () => ()
+    assert(LogTable.read(spark, t).count() == 120L,
+      "zombie epoch attempt must not double-append")
+    assert(LogTable.read(spark, t).filter(col("k") === 301L).count() == 1L)
+    assert(LogTable.lastTxnEpoch(t, "q1").contains(1L))
+    // history truncation keeps the watermark: the checkpoint carries the
+    // per-app fold, so a replay after retention still fences
+    LogTable.truncateHistory(t, 0)
+    assert(LogTable.lastTxnEpoch(t, "q1").contains(1L))
+    assert(LogTable.lastTxnEpoch(t, "q2").contains(0L))
+    val (s1r, f1r) = stage(t, (301L to 305L).map(i => (i, s"z-$i")).toDF("k", "v"))
+    assert(!LogTable.commitStreamingEpoch(spark, t, s1r, f1r,
+      LogTable.read(spark, t).schema, "k", "q1", 1L))
+    assert(LogTable.read(spark, t).count() == 120L)
+  }
 }

@@ -1,0 +1,107 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import graft.io.LogTable
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** The native graft-log STREAMING SINK, end to end as a log→log
+  * pipeline: `readStream.format("graft-log")` tails the source's commit
+  * log, `writeStream.format("graft-log")` lands each micro-batch as one
+  * transactional append commit fenced by (queryId, epochId) in the
+  * manifest txns map. Together they make the pipeline exactly-once with
+  * no foreachBatch user code: the source replays version ranges
+  * deterministically, the sink refuses epochs at or below its committed
+  * watermark. LogTableSpec covers the fence mechanics (replay, zombie
+  * race, checkpoint fold survival); this spec pins the wiring Spark
+  * actually drives — factory, per-epoch staging, commit-message
+  * scoping, restart-with-delta, idle no-op, transform schema. */
+class LogSinkSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("log-to-log streaming pipeline: delta-only restarts, idle no-ops, derived columns") {
+    val base = Files.createTempDirectory("graft-logsink").toString
+    val src = s"$base/src"
+    val dst = s"$base/dst"
+    val ckpt = s"$base/ckpt"
+    LogTable.create(spark, src,
+      (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v"), "k")
+    LogTable.append(spark, src,
+      (101L to 200L).map(i => (i, s"v$i")).toDF("k", "v"), "k")
+
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft-log").load(src)
+        .withColumn("klen", length(col("v")).cast("long"))
+        .writeStream.format("graft-log")
+        .option("checkpointLocation", ckpt)
+        .option("keyCol", "k")
+        .trigger(Trigger.AvailableNow())
+        .start(dst)
+      assert(q.awaitTermination(180000), "stream did not finish in time")
+    }
+
+    runOnce()
+    val out1 = LogTable.read(spark, dst)
+    assert(out1.count() == 200L)
+    assert(out1.schema.fieldNames.toSeq == Seq("k", "v", "klen"))
+    assert(out1.filter(col("klen") =!= length(col("v"))).count() == 0L)
+    // the sink recorded its txn watermark under the streaming query id
+    val versionAfter1 = LogTable.version(dst)
+
+    // restart with MORE source commits: exactly the delta lands
+    LogTable.append(spark, src,
+      (201L to 250L).map(i => (i, s"v$i")).toDF("k", "v"), "k")
+    runOnce()
+    val out2 = LogTable.read(spark, dst)
+    assert(out2.count() == 250L)
+    assert(out2.select("k").distinct().count() == 250L,
+      "restart must append only the unread source versions — no replays")
+
+    // idle restart (no new source data): no commit at all
+    val versionAfter2 = LogTable.version(dst)
+    assert(versionAfter2 > versionAfter1)
+    runOnce()
+    assert(LogTable.version(dst) == versionAfter2,
+      "an idle trigger must not grow the destination log")
+    assert(LogTable.read(spark, dst).count() == 250L)
+
+    // the destination is a first-class log table: keyed upserts and
+    // pruned reads work on it directly afterwards
+    LogTable.upsert(spark, dst,
+      Seq((1L, "upd", 3L)).toDF("k", "v", "klen"), "k")
+    assert(LogTable.read(spark, dst)
+      .filter(col("k") === 1L).head().getString(1) == "upd")
+  }
+
+  test("streaming sink bootstraps a missing table and requires a key column") {
+    val base = Files.createTempDirectory("graft-logsink2").toString
+    val src = s"$base/src"
+    LogTable.create(spark, src, Seq((1L, "a")).toDF("k", "v"), "k")
+    // no keyCol and no existing table: loud failure at stream start
+    val e = intercept[Exception] {
+      val q = spark.readStream.format("graft-log").load(src)
+        .writeStream.format("graft-log")
+        .option("checkpointLocation", s"$base/ckpt-bad")
+        .trigger(Trigger.AvailableNow())
+        .start(s"$base/dst-bad")
+      q.awaitTermination(60000)
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("keyCol"), msgs)
+    // with keyCol: the table bootstraps on stream start
+    val dst = s"$base/dst"
+    val q = spark.readStream.format("graft-log").load(src)
+      .writeStream.format("graft-log")
+      .option("checkpointLocation", s"$base/ckpt")
+      .option("keyCol", "k")
+      .trigger(Trigger.AvailableNow())
+      .start(dst)
+    assert(q.awaitTermination(180000))
+    assert(LogTable.read(spark, dst).count() == 1L)
+    assert(LogTable.tableKeyCol(dst).contains("k"))
+  }
+}

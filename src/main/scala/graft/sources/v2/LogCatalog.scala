@@ -137,7 +137,11 @@ class LogCatalog extends TableCatalog with SupportsNamespaces
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val path = pathOf(ident)
     if (!isTableDir(Paths.get(path))) throw new NoSuchTableException(ident)
-    changes.foreach {
+    // validate EVERY change before committing ANY (an ALTER is one
+    // statement — half-applying `ADD COLUMNS (a INT, b MAP<..>)` would
+    // leave a state no serial execution produces), then land the whole
+    // column list as ONE schema-evolution commit
+    val added = changes.map {
       case add: TableChange.AddColumn =>
         if (add.fieldNames().length != 1) throw new UnsupportedOperationException(
           "graft-log: ALTER TABLE ADD COLUMN supports top-level columns " +
@@ -145,15 +149,15 @@ class LogCatalog extends TableCatalog with SupportsNamespaces
         if (!add.isNullable) throw new UnsupportedOperationException(
           "graft-log: added columns must be nullable — existing rows " +
             "surface them as NULL")
-        LogTable.addColumns(
-          org.apache.spark.sql.SparkSession.active, path,
-          Seq(org.apache.spark.sql.types.StructField(
-            add.fieldNames()(0), add.dataType(), nullable = true)))
+        org.apache.spark.sql.types.StructField(
+          add.fieldNames()(0), add.dataType(), nullable = true)
       case other => throw new UnsupportedOperationException(
         s"graft-log: ALTER TABLE change ${other.getClass.getSimpleName} is " +
           "not supported — only ADD COLUMN (schema evolution otherwise " +
           "rides appends; the log is the schema history)")
     }
+    LogTable.addColumns(
+      org.apache.spark.sql.SparkSession.active, path, added)
     loadTable(ident)
   }
 

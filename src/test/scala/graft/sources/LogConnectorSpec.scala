@@ -429,6 +429,14 @@ class LogConnectorSpec extends AnyFunSuite {
     // non-ADD alters stay loudly unsupported
     intercept[UnsupportedOperationException](
       spark.sql("ALTER TABLE graftcat.etl.orders DROP COLUMN extra"))
+    // multi-column ADD COLUMNS is ONE schema-evolution commit, not N
+    val vBeforeMulti = LogTable.version(s"$wh/etl/orders")
+    spark.sql("ALTER TABLE graftcat.etl.orders ADD COLUMNS (m1 DOUBLE, m2 STRING)")
+    assert(LogTable.version(s"$wh/etl/orders") == vBeforeMulti + 1,
+      "ADD COLUMNS (a, b) must land as one commit")
+    val multi = spark.sql(
+      "SELECT m1, m2 FROM graftcat.etl.orders WHERE k = 42").head()
+    assert(multi.isNullAt(0) && multi.isNullAt(1))
     // evolution THROUGH SQL: a wider by-name insert via DataFrame API
     Seq((3000L, "w", 9L)).toDF("k", "v", "score")
       .write.format("graft-log").mode("append").save(s"$wh/etl/orders")

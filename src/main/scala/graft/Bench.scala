@@ -219,14 +219,14 @@ object Bench {
     // its time-to-exception would otherwise shrink the total silently.
     val errs = failed.map(n => s"\"$n\"").mkString("[", ",", "]")
     // Storage-maintenance subtotal, reported as its own facet: the
-    // k11-k14 + k17 rows run real multi-commit table operations (create,
+    // k11-k14 + k17/k18 rows run real multi-commit table operations (create,
     // upsert, range-delete, compact, merge, CDC diff, SQL MERGE) where
     // the DuckDB oracle replays ONE SQL statement — their cost is
     // commit/job orchestration, not query-plan time, and total minus
     // storage_sec is the like-for-like query-engine comparison. (k15/k16
     // are NOT in the set: their table builds moved to untimed setup, so
     // their timed bodies are plain pruned reads — comparable.)
-    val storageOps = Set("k11", "k12", "k13", "k14", "k17")
+    val storageOps = Set("k11", "k12", "k13", "k14", "k17", "k18")
     val storageSec = results.collect {
       case (k, v) if k.length > 2 && storageOps(k.take(3)) => v
     }.sum

@@ -29,9 +29,31 @@ object EtlQueries {
   // setup; the timed body is the SQL query alone)
   private val k16Catalog = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  // k17's registered catalog name per sfDir (registration + CTAS of the
-  // pre-sync snapshot are setup; the timed body is MERGE + read-back)
-  private val k17Catalog = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // shared SQL-MERGE catalog per sfDir (k17/k18: registration + CTAS of
+  // the pre-sync snapshots are setup; the timed bodies are MERGE +
+  // read-back, both idempotent so bench reps re-merge safely)
+  private val mergeCat = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def mergeCatalogFor(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    mergeCat.computeIfAbsent(d, dir => {
+      val name =
+        s"graftmrg_${java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)}"
+      val wh = java.nio.file.Files.createTempDirectory("graft-k17")
+      sys.addShutdownHook {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(wh)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
+      }
+      s.conf.set(s"spark.sql.catalog.$name",
+        classOf[graft.sources.v2.LogCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$name.warehouse", wh.toString)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.etl")
+      name
+    })
+  private val k17Setup = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val k18Setup = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   // A1 on fixtures: per-order refund totals.
   private def refundOrderTotals(s: org.apache.spark.sql.SparkSession, d: String) =
@@ -548,21 +570,8 @@ object EtlQueries {
     QueryDef(
       "k17_catalog_merge",
       (s, d) => {
-        val cat = k17Catalog.computeIfAbsent(d, dir => {
-          val name =
-            s"graftmrg_${java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)}"
-          val wh = java.nio.file.Files.createTempDirectory("graft-k17")
-          sys.addShutdownHook {
-            import scala.jdk.CollectionConverters._
-            val walk = java.nio.file.Files.walk(wh)
-            try walk.sorted(java.util.Comparator.reverseOrder())
-              .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
-            finally walk.close()
-          }
-          s.conf.set(s"spark.sql.catalog.$name",
-            classOf[graft.sources.v2.LogCatalog].getName)
-          s.conf.set(s"spark.sql.catalog.$name.warehouse", wh.toString)
-          s.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.etl")
+        val cat = k17Setup.computeIfAbsent(d, dir => {
+          val name = mergeCatalogFor(s, dir)
           Tables.orders(s, dir)
             .filter(col("o_orderdate") < lit("2000-01-01").cast("timestamp"))
             .select(
@@ -598,6 +607,67 @@ object EtlQueries {
              |  FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
              |)
              |SELECT * FROM e WHERE order_id NOT IN (SELECT order_id FROM i)
+             |UNION ALL SELECT * FROM i
+             |ORDER BY order_id""".stripMargin),
+    ),
+
+    // K18 — FULL SYNC of a key window (the reference's replace-all-items
+    // K3 semantics, duckdb_client.py:60-68: the incoming batch is the
+    // COMPLETE new image of its window, so target rows the batch no
+    // longer carries must go) as one SQL MERGE with
+    // `WHEN NOT MATCHED BY SOURCE ... THEN DELETE`. The source is the
+    // 1997+ window restricted to open orders: matched keys update to the
+    // new image, window rows absent from it (closed orders) DELETE, rows
+    // outside the window never touch. Idempotent: re-merging the same
+    // image is a fixpoint, so bench reps are safe. Storage-op facet: the
+    // timed body includes the MERGE commit (k11-k14/k17 family). Scale
+    // note: NMBS makes every group a rewrite candidate by definition
+    // (LogConnectorSpec pins the semantics); the windowed condition
+    // bounds the deleted ROWS, and at 100 TB this verb is the rare
+    // full-sync maintenance pass, not the nightly delta.
+    QueryDef(
+      "k18_full_sync",
+      (s, d) => {
+        val cat = k18Setup.computeIfAbsent(d, dir => {
+          val name = mergeCatalogFor(s, dir)
+          Tables.orders(s, dir)
+            .select(
+              col("o_orderkey").as("order_id"),
+              col("o_orderstatus").as("status"),
+              col("o_orderdate").as("order_date"))
+            .repartitionByRange(8, col("order_id"))
+            .createOrReplaceTempView("k18_base")
+          s.sql(s"CREATE TABLE $name.etl.sync_orders " +
+            "TBLPROPERTIES ('keyCol'='order_id') AS SELECT * FROM k18_base")
+          name
+        })
+        Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("o_orderstatus") === "O")
+          .select(
+            col("o_orderkey").as("order_id"),
+            lit("RESYNC").as("status"),
+            col("o_orderdate").as("order_date"))
+          .createOrReplaceTempView("k18_image")
+        s.sql(s"""MERGE INTO $cat.etl.sync_orders AS tgt USING k18_image AS src
+                 |ON tgt.order_id = src.order_id
+                 |WHEN MATCHED THEN UPDATE SET status = src.status
+                 |WHEN NOT MATCHED THEN INSERT (order_id, status, order_date)
+                 |  VALUES (src.order_id, src.status, src.order_date)
+                 |WHEN NOT MATCHED BY SOURCE AND
+                 |  tgt.order_date >= TIMESTAMP '1997-01-01' THEN DELETE""".stripMargin)
+        s.sql(s"SELECT order_id, status FROM $cat.etl.sync_orders")
+          .orderBy("order_id")
+      },
+      Some("""WITH i AS (
+             |  SELECT o_orderkey AS order_id, 'RESYNC' AS status
+             |  FROM orders
+             |  WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderstatus = 'O'
+             |)
+             |SELECT o_orderkey AS order_id, o_orderstatus AS status
+             |FROM orders
+             |WHERE o_orderdate < TIMESTAMP '1997-01-01'
+             |  AND o_orderkey NOT IN (SELECT order_id FROM i)
              |UNION ALL SELECT * FROM i
              |ORDER BY order_id""".stripMargin),
     ),

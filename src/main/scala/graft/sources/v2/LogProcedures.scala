@@ -111,5 +111,34 @@ private[v2] object LogProcedures {
       val (dropped, vacuumed) = LogTable.truncateHistory(
         resolve(in.getString(0)), in.getInt(1), in.getLong(2))
       Seq(dropped, vacuumed)
+    },
+    // The CDC feed's SQL surface (the Iceberg create_changelog_view
+    // idiom): registers a TEMP VIEW over the DISTRIBUTED changes frame
+    // — the procedure result is a one-row summary, never the delta
+    // itself, so the driver holds zero change rows however large the
+    // version range. `SELECT * FROM <view>` then serves
+    // insert/update_preimage-free rows with _change_type, exactly
+    // [[LogTable.changes]]'s k13 shape.
+    "create_changelog_view" -> proc(
+      "create_changelog_view",
+      "Register a temp view over the table's change feed between two " +
+        "versions (to_version <= 0 means the current head)",
+      Array(param("table", StringType), param("from_version", LongType),
+        paramDefault("to_version", LongType, "0"),
+        paramDefault("view_name", StringType, "NULL")),
+      new StructType().add("view_name", StringType)
+        .add("from_version", LongType).add("to_version", LongType)) { in =>
+      val path = resolve(in.getString(0))
+      val spark = SparkSession.active
+      val key = LogTable.tableKeyCol(path).getOrElse(throw new IllegalArgumentException(
+        s"create_changelog_view: $path predates the key-column property"))
+      val fromV = in.getLong(1)
+      val toV = if (in.getLong(2) <= 0L) LogTable.version(path) else in.getLong(2)
+      val view =
+        if (in.isNullAt(3)) s"${in.getString(0).replace('.', '_')}_changes"
+        else in.getString(3)
+      LogTable.changes(spark, path, key, fromV, toV)
+        .createOrReplaceTempView(view)
+      Seq(view, fromV, toV)
     })
 }

@@ -694,6 +694,20 @@ class LogConnectorSpec extends AnyFunSuite {
     // vacuum on a clean table removes nothing
     val v = spark.sql("CALL graftproc.system.vacuum('etl.t', 0)").collect()
     assert(v.length == 1 && v.head.getInt(0) == 0, s"vacuum summary: ${v.toSeq}")
+    // create_changelog_view: the CDC feed from SQL — a temp view over
+    // the DISTRIBUTED changes frame (driver holds only the summary row)
+    val preV = LogTable.version(t)
+    spark.sql("INSERT INTO graftproc.etl.t SELECT id, concat('n', id) " +
+      "FROM range(9000, 9010)")
+    val cv = spark.sql(
+      s"CALL graftproc.system.create_changelog_view('etl.t', $preV)").collect()
+    assert(cv.length == 1 && cv.head.getString(0) == "etl_t_changes" &&
+      cv.head.getLong(1) == preV, s"changelog summary: ${cv.toSeq}")
+    val delta = spark.sql("SELECT * FROM etl_t_changes")
+    assert(delta.count() == 10L)
+    assert(delta.filter(col("_change_type") =!= "insert").count() == 0L)
+    assert(spark.sql(
+      "SELECT min(k), max(k) FROM etl_t_changes").head().toSeq == Seq(9000L, 9009L))
     // unknown procedure fails to resolve (our message naming the
     // available set rides the cause chain under Spark's
     // FAILED_TO_LOAD_ROUTINE wrapper)

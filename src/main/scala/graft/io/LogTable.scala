@@ -509,6 +509,21 @@ object LogTable {
       schema = evolved.schema.json, keyCol = keyCol)
   }
 
+  /** One committed version's shape, for operator observability
+    * ([[history]] / `CALL system.snapshots`). `addedRows` is the
+    * manifest row sum of the commit's adds — exact, zero file reads. */
+  final case class SnapshotInfo(
+      version: Long, addedFiles: Int, addedRows: Long, removedFiles: Int,
+      checkpoint: Boolean, txns: Map[String, Long])
+
+  /** The commit history still present in the log (oldest first; history
+    * below a truncation checkpoint is gone by design). Manifest-only —
+    * zero data file reads. */
+  def history(table: String): Seq[SnapshotInfo] =
+    manifests(table).map(m => SnapshotInfo(
+      m.version, m.adds.size, m.adds.map(_.rows).sum, m.removes.size,
+      m.checkpoint, m.txns))
+
   /** Highest epoch `appId` has committed to `table`, or None if never —
     * the streaming sink's replay watermark (fold of the manifests' txns
     * maps; checkpoints carry the fold-to-date, so truncated history

@@ -48,10 +48,10 @@ private[v2] object LogProcedures {
     ProcedureParameter.in(name, dt).defaultValue(default).build()
 
   /** An UnboundProcedure whose bound form runs `body(args)` and returns
-    * a one-row summary with `outSchema`. */
-  private def proc(
+    * the rows it produces under `outSchema`. */
+  private def procMulti(
       procName: String, desc: String, params: Array[ProcedureParameter],
-      outSchema: StructType)(body: InternalRow => Seq[Any]): UnboundProcedure =
+      outSchema: StructType)(body: InternalRow => Seq[Seq[Any]]): UnboundProcedure =
     new UnboundProcedure {
       override def name(): String = procName
       override def description(): String = desc
@@ -62,9 +62,15 @@ private[v2] object LogProcedures {
         override def isDeterministic: Boolean = false
         override def call(input: InternalRow): java.util.Iterator[Scan] =
           Collections.singletonList(
-            new RowsScan(outSchema, Seq(body(input))): Scan).iterator()
+            new RowsScan(outSchema, body(input)): Scan).iterator()
       }
     }
+
+  /** One-row-summary specialization of [[procMulti]]. */
+  private def proc(
+      procName: String, desc: String, params: Array[ProcedureParameter],
+      outSchema: StructType)(body: InternalRow => Seq[Any]): UnboundProcedure =
+    procMulti(procName, desc, params, outSchema)(in => Seq(body(in)))
 
   /** The procedure set for a catalog rooted at `resolve` (dotted
     * namespace.table → filesystem path). */
@@ -140,5 +146,24 @@ private[v2] object LogProcedures {
       LogTable.changes(spark, path, key, fromV, toV)
         .createOrReplaceTempView(view)
       Seq(view, fromV, toV)
+    },
+    // Commit-history observability (DESCRIBE HISTORY's role): one row
+    // per version still in the log, straight from the manifests — zero
+    // data file reads, and row count is bounded by the retention policy
+    // (history below a truncation checkpoint is gone by design).
+    "snapshots" -> procMulti(
+      "snapshots",
+      "The table's commit history (oldest first): files/rows added, " +
+        "files removed, checkpoint flag, streaming txn watermarks",
+      Array(param("table", StringType)),
+      new StructType().add("version", LongType).add("added_files", IntegerType)
+        .add("added_rows", LongType).add("removed_files", IntegerType)
+        .add("checkpoint", BooleanType).add("txns", StringType)) { in =>
+      LogTable.history(resolve(in.getString(0))).map { s =>
+        Seq(s.version, s.addedFiles, s.addedRows, s.removedFiles, s.checkpoint,
+          if (s.txns.isEmpty) null
+          else s.txns.toSeq.sortBy(_._1)
+            .map { case (a, e) => s"$a=$e" }.mkString(","))
+      }
     })
 }

@@ -234,6 +234,20 @@ class LogTableTable(path: String, tableSchema: StructType, asOf: Option[Long])
   }
   override def name(): String = s"graft_log($path${asOf.fold("")(v => s"@v$v")})"
   override def schema(): StructType = tableSchema
+
+  /** Surfaced through `DESCRIBE TABLE EXTENDED` / `SHOW TBLPROPERTIES`:
+    * the key column (the table property every keyed write validates
+    * against) and the snapshot version this Table instance describes.
+    * Informational — computed at load, not live. */
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    // "provider"/"location" are Spark-reserved property names (filtered
+    // out of SHOW TBLPROPERTIES) — use format-prefixed keys instead
+    m.put("format", "graft-log")
+    LogTable.tableKeyCol(path).foreach(m.put("keyCol", _))
+    m.put("version", asOf.getOrElse(LogTable.version(path)).toString)
+    m
+  }
   // ACCEPT_ANY_SCHEMA: without it Spark's TableOutputResolver enforces
   // exact column arity against schema() at ANALYSIS time, so a
   // schema-evolving append (a wider batch) dies with

@@ -708,6 +708,20 @@ class LogConnectorSpec extends AnyFunSuite {
     assert(delta.filter(col("_change_type") =!= "insert").count() == 0L)
     assert(spark.sql(
       "SELECT min(k), max(k) FROM etl_t_changes").head().toSeq == Seq(9000L, 9009L))
+    // snapshots: the commit history from the manifests, one row per
+    // version still present (truncate_history above left one checkpoint
+    // + the changelog-feeding insert)
+    val snaps = spark.sql("CALL graftproc.system.snapshots('etl.t')").collect()
+    assert(snaps.length == LogTable.version(t) - snaps.head.getLong(0) + 1,
+      s"history rows must be contiguous to the head: ${snaps.toSeq}")
+    assert(snaps.head.getBoolean(4), "oldest surviving version is the checkpoint")
+    assert(snaps.map(_.getLong(2)).sum >= 500L)
+    // table properties reach DESCRIBE EXTENDED / SHOW TBLPROPERTIES
+    val props = spark.sql("SHOW TBLPROPERTIES graftproc.etl.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("keyCol").contains("k"), props.toString)
+    assert(props.get("format").contains("graft-log"))
+    assert(props.get("version").contains(LogTable.version(t).toString))
     // unknown procedure fails to resolve (our message naming the
     // available set rides the cause chain under Spark's
     // FAILED_TO_LOAD_ROUTINE wrapper)

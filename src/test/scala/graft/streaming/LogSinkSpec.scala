@@ -76,6 +76,36 @@ class LogSinkSpec extends AnyFunSuite {
       .filter(col("k") === 1L).head().getString(1) == "upd")
   }
 
+  test("streaming sink through the SQL catalog: writeStream.toTable on a LogCatalog table") {
+    val base = Files.createTempDirectory("graft-logsink3").toString
+    val src = s"$base/src"
+    LogTable.create(spark, src,
+      (1L to 50L).map(i => (i, s"v$i")).toDF("k", "v"), "k")
+    spark.conf.set("spark.sql.catalog.graftsink",
+      classOf[graft.sources.v2.LogCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftsink.warehouse", s"$base/wh")
+    spark.sql("CREATE NAMESPACE graftsink.etl")
+    spark.sql("CREATE TABLE graftsink.etl.sunk (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('keyCol'='k')")
+    val q = spark.readStream.format("graft-log").load(src)
+      .writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .toTable("graftsink.etl.sunk")
+    assert(q.awaitTermination(180000))
+    assert(spark.sql("SELECT count(*) FROM graftsink.etl.sunk")
+      .head().getLong(0) == 50L)
+    // the epoch watermark rode the catalog path too: idle restart no-ops
+    val v = LogTable.version(s"$base/wh/etl/sunk")
+    val q2 = spark.readStream.format("graft-log").load(src)
+      .writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .toTable("graftsink.etl.sunk")
+    assert(q2.awaitTermination(180000))
+    assert(LogTable.version(s"$base/wh/etl/sunk") == v)
+  }
+
   test("streaming sink bootstraps a missing table and requires a key column") {
     val base = Files.createTempDirectory("graft-logsink2").toString
     val src = s"$base/src"

@@ -111,10 +111,15 @@ object LogTable {
     * micro-batch retries and driver restarts. Checkpoint manifests
     * carry the fold-to-date so truncated history never forgets an
     * app's watermark. */
+  /** `ts` is the commit wall-clock (epoch millis, stamped at render):
+    * the basis for `TIMESTAMP AS OF` time travel and history
+    * observability. 0 on pre-r13 manifests — readers fall back to the
+    * manifest file's mtime, the same best-effort answer Delta gives for
+    * its legacy commits. */
   final case class Manifest(
       version: Long, adds: Seq[FileEntry], removes: Seq[String],
       schema: String = "", checkpoint: Boolean = false, keyCol: String = "",
-      txns: Map[String, Long] = Map.empty)
+      txns: Map[String, Long] = Map.empty, ts: Long = 0L)
 
   private def logDir(table: String): Path = Paths.get(table, "_log")
   private[graft] def dataDir(table: String): Path = Paths.get(table, "data")
@@ -165,9 +170,15 @@ object LogTable {
       else m.txns.toSeq.sortBy(_._1)
         .map { case (app, e) => s""""${esc(app)}":$e""" }
         .mkString(""","txns":{""", ",", "}")
+    // ts (commit wall-clock) is stamped by the WRITERS, never invented
+    // here — render stays a pure function of the Manifest (the
+    // round-trip property depends on it). FIRST after version, and the
+    // parse regex is anchored there, so a stats COLUMN named "ts" can
+    // never alias it.
+    val ts = if (m.ts > 0L) s""","ts":${m.ts}""" else ""
     // schema LAST: its value is itself JSON-with-quotes (escaped), and
     // the adds/removes block regexes below must never scan past into it
-    s"""{"version":${m.version},"adds":$adds,"removes":$removes$ckpt$key$txns,"schema":"${esc(m.schema)}"}"""
+    s"""{"version":${m.version}$ts,"adds":$adds,"removes":$removes$ckpt$key$txns,"schema":"${esc(m.schema)}"}"""
   }
 
   private[io] def parse(json: String): Manifest = {
@@ -230,9 +241,13 @@ object LogTable {
         """"((?:[^"\\]|\\.)+)":(-?\d+)""".r.findAllMatchIn(block)
           .map(m => unesc(m.group(1)) -> m.group(2).toLong).toMap
       }.getOrElse(Map.empty[String, Long])
+    // anchored at the head (render places ts right after version), so a
+    // stats key named "ts" deeper in the adds block can never alias it
+    val ts = """^\{"version":-?\d+,"ts":(\d+)""".r.findFirstMatchIn(json)
+      .map(_.group(1).toLong).getOrElse(0L)
     Manifest(version, adds, removes, schema,
       checkpoint = json.contains(""""checkpoint":true"""), keyCol = keyCol,
-      txns = txns)
+      txns = txns, ts = ts)
   }
 
   private def manifests(table: String): Seq[Manifest] = {
@@ -370,7 +385,7 @@ object LogTable {
     Files.createDirectories(dataDir(table))
     val adds = writeData(spark, table, df, keyCol)
     val m = Manifest(1L, adds, removes = Seq.empty, schema = df.schema.json,
-      keyCol = keyCol)
+      keyCol = keyCol, ts = System.currentTimeMillis())
     val tmp = logDir(table).resolve(s".tmp-${java.util.UUID.randomUUID()}")
     Files.writeString(tmp, render(m))
     try Files.createLink(versionPath(table, 1L), tmp)
@@ -395,7 +410,7 @@ object LogTable {
     Files.createDirectories(logDir(table))
     Files.createDirectories(dataDir(table))
     val m = Manifest(1L, adds = Seq.empty, removes = Seq.empty,
-      schema = schema.json, keyCol = keyCol)
+      schema = schema.json, keyCol = keyCol, ts = System.currentTimeMillis())
     val tmp = logDir(table).resolve(s".tmp-${java.util.UUID.randomUUID()}")
     Files.writeString(tmp, render(m))
     try Files.createLink(versionPath(table, 1L), tmp)
@@ -514,7 +529,7 @@ object LogTable {
     * manifest row sum of the commit's adds — exact, zero file reads. */
   final case class SnapshotInfo(
       version: Long, addedFiles: Int, addedRows: Long, removedFiles: Int,
-      checkpoint: Boolean, txns: Map[String, Long])
+      checkpoint: Boolean, txns: Map[String, Long], commitTsMillis: Long = 0L)
 
   /** The commit history still present in the log (oldest first; history
     * below a truncation checkpoint is gone by design). Manifest-only —
@@ -522,7 +537,33 @@ object LogTable {
   def history(table: String): Seq[SnapshotInfo] =
     manifests(table).map(m => SnapshotInfo(
       m.version, m.adds.size, m.adds.map(_.rows).sum, m.removes.size,
-      m.checkpoint, m.txns))
+      m.checkpoint, m.txns, commitTs(table, m)))
+
+  /** A commit's wall-clock: the manifest's stamped ts, or the manifest
+    * FILE's mtime for pre-r13 commits (best effort — the Delta legacy
+    * fallback; a copied/restored log loses it, a stamped one doesn't). */
+  private def commitTs(table: String, m: Manifest): Long =
+    if (m.ts > 0L) m.ts
+    else try Files.getLastModifiedTime(versionPath(table, m.version)).toMillis
+    catch { case _: java.io.IOException => 0L }
+
+  /** `TIMESTAMP AS OF` resolution: the snapshot a reader at `tsMillis`
+    * would have seen — the LAST version committed at or before it.
+    * Before-creation timestamps fail loudly (there is no snapshot to
+    * serve; silently serving v1 would invent history). Commit times are
+    * monotone in version order by construction (single filesystem
+    * clock); ties resolve to the highest version, matching "what was
+    * live at that instant". */
+  def versionAtTimestamp(table: String, tsMillis: Long): Long = {
+    val ms = manifests(table)
+    require(ms.nonEmpty, s"versionAtTimestamp($table): table does not exist")
+    val at = ms.filter(m => commitTs(table, m) <= tsMillis)
+    if (at.isEmpty) throw new IllegalArgumentException(
+      s"versionAtTimestamp($table): $tsMillis predates the earliest " +
+        s"surviving commit (${commitTs(table, ms.head)} at v${ms.head.version}) " +
+        "— nothing was live then (or that history was truncated)")
+    at.map(_.version).max
+  }
 
   /** Highest epoch `appId` has committed to `table`, or None if never —
     * the streaming sink's replay watermark (fold of the manifests' txns
@@ -1196,9 +1237,14 @@ object LogTable {
       // stats just means no skipping on that column). The KEY column is
       // never affected: its stats land in the anonymous minKey/maxKey
       // fields whatever its name.
+      // NOTE: "ts"/"txns"/"keyCol"/"colsN" as COLUMN names are safe and
+      // deliberately NOT reserved — the top-level ts parse is anchored
+      // at the manifest head, the txns parse requires an object value
+      // no stats shape produces, and keyCol's requires a string value —
+      // reserving them would silently drop stats on legitimate column
+      // names (a real "ts" event column lost its pruning when tried)
       val reserved = Set("file", "minKey", "maxKey", "rows", "cols",
-        "colsD", "colsS", "colsN", "version", "adds", "removes", "schema",
-        "checkpoint", "keyCol", "txns")
+        "colsD", "colsS", "version", "adds", "removes", "schema", "checkpoint")
       val statSafe = (n: String) => n.nonEmpty && !reserved(n) &&
         n.forall(c => !"\"\\{}[]:,".contains(c))
       import org.apache.spark.sql.types._
@@ -1372,9 +1418,14 @@ object LogTable {
     // whose original manifest was just deleted)
     val txnsAtCut = ms.filter(_.version <= cut).flatMap(_.txns)
       .groupMapReduce(_._1)(_._2)(math.max)
+    // the checkpoint REPLACES v{cut}: keep that commit's original
+    // wall-clock so TIMESTAMP AS OF answers don't shift under retention
+    val tsAtCut = ms.find(_.version == cut).map(m =>
+      if (m.ts > 0L) m.ts else commitTs(table, m)).getOrElse(0L)
     val ckpt = Manifest(cut, liveAtCut, removes = Seq.empty,
       schema = schemaAtCut.map(_.json).getOrElse(""), checkpoint = true,
-      keyCol = tableKeyCol(table).getOrElse(""), txns = txnsAtCut)
+      keyCol = tableKeyCol(table).getOrElse(""), txns = txnsAtCut,
+      ts = tsAtCut)
     // atomic REPLACE of v{cut}: full content lands under a temp name,
     // then rename(2) swaps it in — unlike commit's create-link claim,
     // replacement is the intent here and rename's replace is atomic
@@ -1474,7 +1525,7 @@ object LogTable {
       onCommitAttempt()
       val v = expected + 1
       val m = Manifest(v, adds, removes, committedSchema, keyCol = keyCol,
-        txns = txns)
+        txns = txns, ts = System.currentTimeMillis())
       // Publish atomically: fully write the manifest to a hidden temp
       // name (readers only match v########.json), then HARD-LINK it to
       // the version path — link(2) both fails-if-exists (the optimistic

@@ -94,6 +94,16 @@ class LogCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier, version: String): Table =
     loadAt(ident, Some(version.toLong))
 
+  /** `TIMESTAMP AS OF t` time travel — Spark hands the instant as epoch
+    * MICROS; it resolves to the last version committed at or before it
+    * via the manifests' stamped commit times (mtime fallback for
+    * pre-stamp logs), then reads exactly as `VERSION AS OF` would. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val path = pathOf(ident)
+    if (!isTableDir(Paths.get(path))) throw new NoSuchTableException(ident)
+    loadAt(ident, Some(LogTable.versionAtTimestamp(path, timestampMicros / 1000L)))
+  }
+
   private def loadAt(ident: Identifier, asOf: Option[Long]): Table = {
     val path = pathOf(ident)
     if (!isTableDir(Paths.get(path))) throw new NoSuchTableException(ident)

@@ -156,11 +156,14 @@ private[v2] object LogProcedures {
       "The table's commit history (oldest first): files/rows added, " +
         "files removed, checkpoint flag, streaming txn watermarks",
       Array(param("table", StringType)),
-      new StructType().add("version", LongType).add("added_files", IntegerType)
+      new StructType().add("version", LongType).add("committed_at", TimestampType)
+        .add("added_files", IntegerType)
         .add("added_rows", LongType).add("removed_files", IntegerType)
         .add("checkpoint", BooleanType).add("txns", StringType)) { in =>
       LogTable.history(resolve(in.getString(0))).map { s =>
-        Seq(s.version, s.addedFiles, s.addedRows, s.removedFiles, s.checkpoint,
+        Seq(s.version,
+          if (s.commitTsMillis > 0L) s.commitTsMillis * 1000L else null,
+          s.addedFiles, s.addedRows, s.removedFiles, s.checkpoint,
           if (s.txns.isEmpty) null
           else s.txns.toSeq.sortBy(_._1)
             .map { case (a, e) => s"$a=$e" }.mkString(","))

@@ -60,14 +60,16 @@ class LogTableProvider extends TableProvider with DataSourceRegister {
         "graft-log: a table path is required — spark.read.format(\"graft-log\").load(<path>)"))
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    LogTableProvider.schemaOf(pathOf(options), LogTableProvider.asOf(options))
+    LogTableProvider.schemaOf(pathOf(options),
+      LogTableProvider.asOf(options, pathOf(options)))
 
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    new LogTableTable(pathOf(opts), schema, LogTableProvider.asOf(opts))
+    new LogTableTable(pathOf(opts), schema,
+      LogTableProvider.asOf(opts, pathOf(opts)))
   }
 }
 
@@ -79,8 +81,22 @@ private[v2] final case class NullCheck(
     col: String, wantNull: Boolean) extends FileCheck
 
 object LogTableProvider {
-  private[v2] def asOf(options: CaseInsensitiveStringMap): Option[Long] =
-    Option(options.get("asOf")).map(_.toLong)
+  /** Snapshot pin from read options: `asOf` (a version) or
+    * `asOfTimestamp` (epoch millis or an ISO-8601 instant, resolved to
+    * the last version committed at or before it — the DataFrame twin of
+    * SQL `TIMESTAMP AS OF`). Mutually exclusive, loudly. */
+  private[v2] def asOf(
+      options: CaseInsensitiveStringMap, path: String): Option[Long] =
+    (Option(options.get("asOf")), Option(options.get("asOfTimestamp"))) match {
+      case (Some(_), Some(_)) => throw new IllegalArgumentException(
+        "graft-log: pass ONE of asOf (version) / asOfTimestamp (instant)")
+      case (Some(v), None) => Some(v.toLong)
+      case (None, Some(t)) =>
+        val millis = t.toLongOption.getOrElse(
+          java.time.Instant.parse(t).toEpochMilli)
+        Some(LogTable.versionAtTimestamp(path, millis))
+      case _ => None
+    }
 
   /** The committed schema at the snapshot — parquet inference only for
     * pre-evolution tables (manifests without a schema), empty for an

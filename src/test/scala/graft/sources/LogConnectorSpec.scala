@@ -667,6 +667,53 @@ class LogConnectorSpec extends AnyFunSuite {
     // rewritten files.
   }
 
+  test("TIMESTAMP AS OF resolves against stamped commit times") {
+    val wh = Files.createTempDirectory("graft-logts").toString
+    spark.conf.set("spark.sql.catalog.graftts", classOf[LogCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftts.warehouse", wh)
+    spark.sql("CREATE NAMESPACE graftts.etl")
+    spark.sql("CREATE TABLE graftts.etl.t (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('keyCol'='k')")
+    val t0 = System.currentTimeMillis()
+    Thread.sleep(15)
+    spark.sql("INSERT INTO graftts.etl.t SELECT id, 'a' FROM range(0, 100)")
+    Thread.sleep(15)
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(15)
+    spark.sql("INSERT INTO graftts.etl.t SELECT id, 'b' FROM range(100, 150)")
+    Thread.sleep(15)
+    val t2 = System.currentTimeMillis()
+    def iso(ms: Long) = java.time.Instant.ofEpochMilli(ms).toString
+    assert(spark.sql(
+      s"SELECT count(*) FROM graftts.etl.t TIMESTAMP AS OF '${iso(t1)}'")
+      .head().getLong(0) == 100L)
+    assert(spark.sql(
+      s"SELECT count(*) FROM graftts.etl.t TIMESTAMP AS OF '${iso(t2)}'")
+      .head().getLong(0) == 150L)
+    // between CREATE and the first insert: the empty v1 snapshot
+    assert(spark.sql(
+      s"SELECT count(*) FROM graftts.etl.t TIMESTAMP AS OF '${iso(t0)}'")
+      .head().getLong(0) == 0L)
+    // before the table existed: loud failure, not invented history
+    val e = intercept[Exception](spark.sql(
+      s"SELECT count(*) FROM graftts.etl.t TIMESTAMP AS OF '${iso(t0 - 60000)}'")
+      .collect())
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(x => Option(x.getMessage).exists(_.contains("predates"))))
+    // the Scala resolution agrees with the SQL path
+    assert(LogTable.versionAtTimestamp(s"$wh/etl/t", t1) == 2L)
+    assert(LogTable.versionAtTimestamp(s"$wh/etl/t", t2) == 3L)
+    // the DataFrame-path twin: .option("asOfTimestamp", ...) — epoch
+    // millis or ISO-8601 instant, exclusive with asOf
+    assert(spark.read.format("graft-log").option("asOfTimestamp", t1.toString)
+      .load(s"$wh/etl/t").count() == 100L)
+    assert(spark.read.format("graft-log").option("asOfTimestamp", iso(t2))
+      .load(s"$wh/etl/t").count() == 150L)
+    intercept[IllegalArgumentException](
+      spark.read.format("graft-log").option("asOf", "1")
+        .option("asOfTimestamp", t1.toString).load(s"$wh/etl/t"))
+  }
+
   test("LogCatalog procedures: CALL system.compact/vacuum/truncate_history run maintenance from SQL") {
     val wh = Files.createTempDirectory("graft-logproc").toString
     spark.conf.set("spark.sql.catalog.graftproc", classOf[LogCatalog].getName)
@@ -714,8 +761,9 @@ class LogConnectorSpec extends AnyFunSuite {
     val snaps = spark.sql("CALL graftproc.system.snapshots('etl.t')").collect()
     assert(snaps.length == LogTable.version(t) - snaps.head.getLong(0) + 1,
       s"history rows must be contiguous to the head: ${snaps.toSeq}")
-    assert(snaps.head.getBoolean(4), "oldest surviving version is the checkpoint")
-    assert(snaps.map(_.getLong(2)).sum >= 500L)
+    assert(snaps.head.getBoolean(5), "oldest surviving version is the checkpoint")
+    assert(snaps.map(_.getLong(3)).sum >= 500L)
+    assert(snaps.forall(!_.isNullAt(1)), "every commit carries its wall-clock")
     // table properties reach DESCRIBE EXTENDED / SHOW TBLPROPERTIES
     val props = spark.sql("SHOW TBLPROPERTIES graftproc.etl.t").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap

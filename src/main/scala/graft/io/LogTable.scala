@@ -628,6 +628,26 @@ object LogTable {
     true
   }
 
+  /** `INSERT OVERWRITE` / `mode("overwrite")`: replace the table's
+    * contents with `df` as ONE VERSIONED commit — removes every live
+    * file, adds the batch's. This is ordinary log history (time travel
+    * to the pre-overwrite snapshot still works; `truncateHistory`
+    * remains the only explicitly-destructive verb). Concurrency: the
+    * remove set is the pinned snapshot, so a racer's commit forces a
+    * re-run against the fresh file list — last overwrite wins, which is
+    * the verb's contract. */
+  def overwriteAll(
+      spark: SparkSession, table: String, df: DataFrame, keyCol: String): Unit = {
+    requireKeyMatch(table, keyCol)
+    def attempt(): Unit = {
+      val (snapVersion, liveNow, _) = snapshotWithSchema(table, None)
+      val adds = writeData(spark, table, df, keyCol)
+      commit(table, snapVersion, adds, removes = liveNow.map(_.file),
+        reRun = () => attempt(), schema = df.schema.json, keyCol = keyCol)
+    }
+    attempt()
+  }
+
   /** Keyed upsert (the reference's delete-then-insert, K2/K3): rows of
     * `incoming` replace same-key rows. Only data files whose key range
     * intersects the incoming batch's are read and rewritten — manifest

@@ -275,7 +275,8 @@ class LogTableTable(path: String, tableSchema: StructType, asOf: Option[Long])
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
-      TableCapability.STREAMING_WRITE, TableCapability.ACCEPT_ANY_SCHEMA)
+      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE,
+      TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LogTableScanBuilder(path, tableSchema, asOf,
       startingVersion = Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L),
@@ -302,10 +303,12 @@ class LogTableTable(path: String, tableSchema: StructType, asOf: Option[Long])
     * ANALYSIS with guidance (a silent keyless table would misprune
     * every later upsert). Two racing bootstrappers are safe: create
     * claims exactly v1, the loser detects the winner's commit and
-    * downgrades to a plain append. Overwrites and writes against an
-    * `asOf` snapshot are rejected — history rewrites are
-    * [[LogTable.truncateHistory]]'s explicitly-destructive job, never a
-    * write mode. */
+    * downgrades to the write it would have been. SQL `INSERT OVERWRITE`
+    * / `mode("overwrite")` land as ONE versioned replace-all commit
+    * ([[LogTable.overwriteAll]] via SupportsTruncate) — ordinary log
+    * history, time travel intact; only writes against an `asOf`
+    * snapshot are rejected, and actual history destruction remains
+    * [[LogTable.truncateHistory]]'s explicit job. */
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
@@ -317,7 +320,17 @@ class LogTableTable(path: String, tableSchema: StructType, asOf: Option[Long])
         s"graft-log write: $path does not exist — pass " +
           ".option(\"keyCol\", <column>) to create it on first write, " +
           "or initialize it with LogTable.create")
-    new org.apache.spark.sql.connector.write.WriteBuilder {
+    new org.apache.spark.sql.connector.write.WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate {
+      // SQL `INSERT OVERWRITE` / `df.write.mode("overwrite")`: Spark
+      // carries the verb by calling truncate() on the builder (the V1
+      // bridge always passes insert(df, overwrite=false)); the write
+      // then lands as ONE VERSIONED replace-all commit — regular log
+      // history, time travel to the pre-overwrite snapshot intact.
+      private var doOverwrite = false
+      override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+        doOverwrite = true; this
+      }
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.V1Write {
 
@@ -346,9 +359,6 @@ class LogTableTable(path: String, tableSchema: StructType, asOf: Option[Long])
             new org.apache.spark.sql.sources.InsertableRelation {
               override def insert(data: org.apache.spark.sql.DataFrame,
                   overwrite: Boolean): Unit = {
-                if (overwrite) throw new UnsupportedOperationException(
-                  "graft-log: overwrite is not a write mode on a commit log — " +
-                    "append (the log keeps history) or truncateHistory (explicit)")
                 val key = optKey
                   .orElse(LogTable.tableKeyCol(path))
                   .getOrElse(throw new IllegalArgumentException(
@@ -360,10 +370,16 @@ class LogTableTable(path: String, tableSchema: StructType, asOf: Option[Long])
                   try LogTable.create(data.sparkSession, path, aligned, key)
                   catch {
                     // lost the bootstrap race: the table now exists, so
-                    // this batch lands as the append it would have been
+                    // this batch lands as the write it would have been
                     case _: graft.io.TableAlreadyExistsException =>
-                      LogTable.append(data.sparkSession, path, aligned, key)
+                      if (doOverwrite || overwrite)
+                        LogTable.overwriteAll(data.sparkSession, path, aligned, key)
+                      else LogTable.append(data.sparkSession, path, aligned, key)
                   }
+                // truncate() on the builder (the DSv2 verb) or the V1
+                // flag both mean replace-all — one versioned commit
+                else if (doOverwrite || overwrite)
+                  LogTable.overwriteAll(data.sparkSession, path, aligned, key)
                 else LogTable.append(data.sparkSession, path, aligned, key)
               }
             }

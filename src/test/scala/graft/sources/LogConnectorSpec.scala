@@ -667,6 +667,36 @@ class LogConnectorSpec extends AnyFunSuite {
     // rewritten files.
   }
 
+  test("INSERT OVERWRITE and mode(overwrite) are versioned replace-all commits, history intact") {
+    val wh = Files.createTempDirectory("graft-logow").toString
+    spark.conf.set("spark.sql.catalog.graftow", classOf[LogCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftow.warehouse", wh)
+    spark.sql("CREATE NAMESPACE graftow.etl")
+    spark.sql("CREATE TABLE graftow.etl.t (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('keyCol'='k')")
+    spark.sql("INSERT INTO graftow.etl.t SELECT id, 'a' FROM range(0, 100)")
+    val t = s"$wh/etl/t"
+    val preOverwrite = LogTable.version(t)
+    // SQL INSERT OVERWRITE: contents replaced in ONE commit
+    spark.sql("INSERT OVERWRITE graftow.etl.t SELECT id, 'b' FROM range(0, 10)")
+    assert(LogTable.version(t) == preOverwrite + 1,
+      "overwrite must be one versioned commit")
+    assert(spark.sql("SELECT count(*) FROM graftow.etl.t").head().getLong(0) == 10L)
+    assert(spark.sql("SELECT DISTINCT v FROM graftow.etl.t").head().getString(0) == "b")
+    // time travel to the pre-overwrite snapshot still serves it
+    assert(spark.sql(
+      s"SELECT count(*) FROM graftow.etl.t VERSION AS OF $preOverwrite")
+      .head().getLong(0) == 100L)
+    // DataFrame mode("overwrite"): same verb on the path API
+    Seq((7L, "c")).toDF("k", "v")
+      .write.format("graft-log").mode("overwrite").save(t)
+    assert(LogTable.read(spark, t).count() == 1L)
+    assert(LogTable.read(spark, t).head().getString(1) == "c")
+    // appends continue normally after an overwrite
+    spark.sql("INSERT INTO graftow.etl.t SELECT 8, 'd'")
+    assert(spark.sql("SELECT count(*) FROM graftow.etl.t").head().getLong(0) == 2L)
+  }
+
   test("TIMESTAMP AS OF resolves against stamped commit times") {
     val wh = Files.createTempDirectory("graft-logts").toString
     spark.conf.set("spark.sql.catalog.graftts", classOf[LogCatalog].getName)

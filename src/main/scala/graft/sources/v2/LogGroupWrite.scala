@@ -103,7 +103,7 @@ class LogStreamingWrite(
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new LogStreamingWriterFactory(path, writeSchema.json)
+    new LogStreamingWriterFactory(path, writeSchema.json, queryId)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val committed = messages.collect {
@@ -142,17 +142,21 @@ class LogStreamingWrite(
 }
 
 /** Streaming twin of [[LogGroupWriterFactory]]: same part writer, but
-  * staged under a per-epoch dot-directory derived from (epoch) so
-  * retried epochs never collide, and part names carry
-  * (epoch, partition, task) for uniqueness across attempts. */
-class LogStreamingWriterFactory(tablePath: String, schemaJson: String)
+  * staged under a per-(query, epoch) dot-directory so retried epochs
+  * reuse their dir while two QUERIES streaming into one table at the
+  * same epoch number can never share one — a shared dir would let query
+  * A's post-commit sweep delete query B's in-flight parts. Part names
+  * carry (partition, task) for uniqueness across attempts. */
+class LogStreamingWriterFactory(
+    tablePath: String, schemaJson: String, queryId: String)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(
       partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] = {
-    // one deterministic staging dir per epoch, created lazily by the
-    // first task that reaches it (createDirectories is idempotent);
-    // lives under data/ so the registration move stays atomic
-    val staging = java.nio.file.Paths.get(tablePath, "data", s".staging-epoch-$epochId")
+    // deterministic per (query, epoch), created lazily by the first
+    // task that reaches it (createDirectories is idempotent); lives
+    // under data/ so the registration move stays atomic
+    val staging = java.nio.file.Paths.get(tablePath, "data",
+      s".staging-q${math.abs(queryId.hashCode).toHexString}-epoch-$epochId")
     java.nio.file.Files.createDirectories(staging)
     new LogGroupDataWriter(staging.toString, schemaJson,
       partitionId, taskId)

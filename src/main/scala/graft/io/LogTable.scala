@@ -587,8 +587,15 @@ object LogTable {
   def commitStreamingEpoch(
       spark: SparkSession, table: String, staging: Path,
       partFiles: Set[String], streamSchema: org.apache.spark.sql.types.StructType,
-      keyCol: String, appId: String, epochId: Long): Boolean = {
+      keyCol: String, appId: String, epochId: Long,
+      replaceAll: Boolean = false): Boolean = {
     require(appId.nonEmpty, "commitStreamingEpoch: appId must be non-empty")
+    // the appId is a manifest JSON key: structural characters would let
+    // it terminate the flat-regex txns block early and silently LOSE
+    // the watermark — the exactly-once fence would stop fencing
+    require(!appId.exists(c => "{}[]\":,\\".contains(c) || c < 0x20),
+      s"commitStreamingEpoch: appId '$appId' carries JSON-structural or " +
+        "control characters — use a plain identifier (Spark query ids are)")
     requireKeyMatch(table, keyCol)
     if (lastTxnEpoch(table, appId).exists(_ >= epochId)) return false
     val (snapVersion, liveNow, committedSchema) = snapshotWithSchema(table, None)
@@ -615,17 +622,41 @@ object LogTable {
     }
     val adds = registerStaged(spark, table, staging, streamSchema, keyCol,
       onlyFiles = Some(partFiles))
-    // an empty epoch appends nothing — and must NOT advance the txn
-    // watermark with a data-less manifest: replaying it is free, and an
-    // empty commit per idle trigger would grow the log unboundedly
-    if (adds.isEmpty) return false
-    commit(table, snapVersion, adds, removes = Seq.empty, reRun = () =>
-      throw new IllegalStateException(
-        s"commitStreamingEpoch($table) hit a removal conflict — impossible " +
-          "with empty removes"),
-      schema = evolved.json, keyCol = keyCol,
-      txns = Map(appId -> epochId))
-    true
+    // in APPEND mode an empty epoch appends nothing — and must NOT
+    // advance the txn watermark with a data-less manifest (replaying it
+    // is free; an empty commit per idle trigger would grow the log
+    // unboundedly). In COMPLETE mode an empty state is a real result:
+    // the epoch truncates the table.
+    if (adds.isEmpty && !replaceAll) return false
+    if (!replaceAll)
+      commit(table, snapVersion, adds, removes = Seq.empty, reRun = () =>
+        throw new IllegalStateException(
+          s"commitStreamingEpoch($table) hit a removal conflict — impossible " +
+            "with empty removes"),
+        schema = evolved.json, keyCol = keyCol,
+        txns = Map(appId -> epochId))
+    else {
+      // Complete output mode: the epoch's state REPLACES the table —
+      // one versioned remove-all+add commit, the continuously-refreshed
+      // materialized-view shape. A racing writer's conflict re-runs
+      // against the fresh file list (its rows are superseded by this
+      // epoch's complete state anyway); the txn fence still drops
+      // duplicate attempts of the same epoch.
+      def attempt(sv: Long, live: Seq[FileEntry]): Boolean = {
+        // when reRun fires, the NESTED attempt's verdict is the real
+        // one (the outer call reports true for "completed via rerun")
+        var nested: Option[Boolean] = None
+        val direct = commit(table, sv, adds, removes = live.map(_.file),
+          reRun = () => {
+            val (sv2, live2, _) = snapshotWithSchema(table, None)
+            nested = Some(attempt(sv2, live2))
+          },
+          schema = evolved.json, keyCol = keyCol,
+          txns = Map(appId -> epochId))
+        nested.getOrElse(direct)
+      }
+      attempt(snapVersion, liveNow)
+    }
   }
 
   /** `INSERT OVERWRITE` / `mode("overwrite")`: replace the table's
@@ -1490,13 +1521,23 @@ object LogTable {
               Files.getLastModifiedTime(p).toMillis <= cutoff)),
           // staging dirs a crashed writer never committed or aborted:
           // commit/abort sweep them on every normal path, so one older
-          // than the grace window is debris (its mtime refreshes on
-          // every file created inside, so an ACTIVE writer's dir stays
-          // young — the same race guard as the file sweep)
-          dirs.filter(p =>
-            p.getFileName.toString.startsWith(".staging-") &&
-              (graceMillis <= 0L ||
-                Files.getLastModifiedTime(p).toMillis <= cutoff)))
+          // than the grace window is debris. Age = the NEWEST of the
+          // dir and its entries (a dir's own mtime changes only on
+          // entry create/delete, not while a long part write streams
+          // into an existing file — checking entries keeps an active
+          // writer's dir young for the whole write)
+          dirs.filter { p =>
+            p.getFileName.toString.startsWith(".staging-") && {
+              graceMillis <= 0L || {
+                val ls = Files.list(p)
+                val newest =
+                  try (Iterator(p) ++ ls.iterator().asScala)
+                    .map(Files.getLastModifiedTime(_).toMillis).max
+                  finally ls.close()
+                newest <= cutoff
+              }
+            }
+          })
       } finally it.close()
     staleStaging.foreach { d =>
       val ls = Files.list(d)
@@ -1532,11 +1573,14 @@ object LogTable {
     *
     * Otherwise the read set is untouched and disjoint — re-claim at the
     * new head. Bounded so a pathological storm fails loudly. */
+  /** Returns true when a manifest landed (directly or through a reRun
+    * recompute), false ONLY when the transactional-epoch fence dropped
+    * this commit as a duplicate of an already-landed (app, epoch). */
   private def commit(
       table: String, snapshotVersion: Long, adds: Seq[FileEntry],
       removes: Seq[String], reRun: () => Unit, attempts: Int = 50,
       schema: String = "", keyRange: Option[(Long, Long)] = None,
-      keyCol: String = "", txns: Map[String, Long] = Map.empty): Unit = {
+      keyCol: String = "", txns: Map[String, Long] = Map.empty): Boolean = {
     var expected = snapshotVersion
     var committedSchema = schema
     var tries = attempts
@@ -1557,7 +1601,7 @@ object LogTable {
       try {
         Files.createLink(versionPath(table, v), tmp)
         Files.deleteIfExists(tmp)
-        return
+        return true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           Files.deleteIfExists(tmp)
@@ -1570,7 +1614,7 @@ object LogTable {
           if (txns.nonEmpty && manifests(table)
               .filter(_.version > snapshotVersion)
               .exists(m => txns.exists { case (app, e) =>
-                m.txns.get(app).exists(_ >= e) })) return
+                m.txns.get(app).exists(_ >= e) })) return false
           // added-file conflict: every manifest above the ORIGINAL
           // snapshot is a racer's (ours never landed); a checkpoint
           // manifest in range re-lists old files and may force a
@@ -1583,7 +1627,7 @@ object LogTable {
             // racer rewrote files we based our delta on, or landed rows
             // inside our key range — recompute
             reRun()
-            return
+            return true
           }
           // independent commits landed first; our read set is intact —
           // re-claim directly above the new head. Schema serializability:

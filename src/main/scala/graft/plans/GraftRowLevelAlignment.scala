@@ -130,7 +130,40 @@ object GraftRowLevelAlignment extends Rule[LogicalPlan] {
         m.notMatchedBySourceActions.map(resolveAction(Seq(tgt), Seq(tgt))))
   }
 
+  /** SQL positional-INSERT resolution: `INSERT INTO t SELECT a, b` is
+    * BY POSITION in SQL, and Spark's ResolveOutputRelation — the rule
+    * that would project the SELECT list onto the table's columns —
+    * skips ACCEPT_ANY_SCHEMA targets entirely. Without this, the write
+    * path has only NAMES to go on, and a SELECT alias that happens to
+    * coincide with one table column (e.g. `SELECT id AS k, name` into
+    * `(k, v)`) would resolve by name: `name` evolving the table as a
+    * new column and `v` NULL-filling — silent corruption of a standard
+    * SQL idiom. Project positionally here (rename + ANSI cast, exactly
+    * what ResolveOutputRelation's byPosition path does) and flip the
+    * plan to by-name so every downstream consumer sees aligned columns.
+    * Fires only when the arity matches; otherwise the connector's own
+    * loud resolution applies. The DataFrame API never takes this path —
+    * its writes carry isByName = true. */
+  private def positionalProject(
+      query: LogicalPlan, tableAttrs: Seq[Attribute]): LogicalPlan =
+    Project(query.output.zip(tableAttrs).map { case (in, t) =>
+      if (in.dataType == t.dataType && in.name == t.name) in
+      else org.apache.spark.sql.catalyst.expressions.Alias(
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          in, t.dataType, ansiEnabled = true), t.name)()
+    }, query)
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan resolveOperators {
+    case a: AppendData
+        if !a.isByName && a.query.resolved && a.table.resolved &&
+          isGraftLog(a.table) &&
+          a.query.output.length == a.table.output.length =>
+      a.copy(query = positionalProject(a.query, a.table.output), isByName = true)
+    case o: OverwriteByExpression
+        if !o.isByName && o.query.resolved && o.table.resolved &&
+          isGraftLog(o.table) &&
+          o.query.output.length == o.table.output.length =>
+      o.copy(query = positionalProject(o.query, o.table.output), isByName = true)
     // Phase 1: resolution. Spark's ResolveReferences skips MERGE targets
     // whose (fully alias-stripped) relation declares ACCEPT_ANY_SCHEMA,
     // so for graft-log targets the condition/actions would never resolve

@@ -159,8 +159,14 @@ class LogCatalog extends TableCatalog with SupportsNamespaces
         if (!add.isNullable) throw new UnsupportedOperationException(
           "graft-log: added columns must be nullable — existing rows " +
             "surface them as NULL")
-        org.apache.spark.sql.types.StructField(
+        // loud on FIRST/AFTER rather than silently appending at the end
+        // of the schema (columns land last; order is not honored)
+        if (add.position() != null) throw new UnsupportedOperationException(
+          "graft-log: ALTER TABLE ADD COLUMN does not support FIRST/AFTER " +
+            "— added columns land at the end of the schema")
+        val f = org.apache.spark.sql.types.StructField(
           add.fieldNames()(0), add.dataType(), nullable = true)
+        Option(add.comment()).fold(f)(f.withComment)
       case other => throw new UnsupportedOperationException(
         s"graft-log: ALTER TABLE change ${other.getClass.getSimpleName} is " +
           "not supported — only ADD COLUMN (schema evolution otherwise " +

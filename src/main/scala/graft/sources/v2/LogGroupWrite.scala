@@ -96,7 +96,7 @@ class LogGroupWriterFactory(stagingDir: String, schemaJson: String)
   * aborted epoch's sweep delete a committing epoch's parts). */
 class LogStreamingWrite(
     path: String, writeSchema: org.apache.spark.sql.types.StructType,
-    keyCol: String, queryId: String)
+    keyCol: String, queryId: String, replaceAll: Boolean = false)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
@@ -121,7 +121,16 @@ class LogStreamingWrite(
           s"graft-log streaming sink: epoch $epochId staged into " +
             s"${stagingDirs.length} directories — commit messages disagree")
         LogTable.commitStreamingEpoch(SparkSession.active, path,
-          stagingDirs.head, committed, writeSchema, keyCol, queryId, epochId)
+          stagingDirs.head, committed, writeSchema, keyCol, queryId, epochId,
+          replaceAll = replaceAll)
+      } else if (replaceAll) {
+        // Complete mode with an empty state: the epoch truncates the
+        // table — still one fenced commit (an empty staging dir serves)
+        val empty = LogTable.newStagingDir(path)
+        try LogTable.commitStreamingEpoch(SparkSession.active, path,
+          empty, Set.empty, writeSchema, keyCol, queryId, epochId,
+          replaceAll = true)
+        finally sweep(empty)
       }
     } finally stagingDirs.foreach(sweep)
   }

@@ -94,9 +94,23 @@ object LogTableProvider {
       case (None, Some(t)) =>
         val millis = t.toLongOption.getOrElse(
           java.time.Instant.parse(t).toEpochMilli)
-        Some(LogTable.versionAtTimestamp(path, millis))
+        // memoized per (path, instant): inferSchema and getTable both
+        // resolve, and two independent resolutions could pin DIFFERENT
+        // versions if a commit lands between them (schema/scan mismatch
+        // for a near-now instant) — one resolution, one answer
+        if (tsCache.size() > 1024) tsCache.clear() // memory bound only
+        Some(tsCache.computeIfAbsent((path, millis),
+          (_: (String, Long)) => LogTable.versionAtTimestamp(path, millis)))
       case _ => None
     }
+
+  // A PAST instant resolves the same way forever (new commits stamp the
+  // current clock, which is beyond it), so eviction only bounds memory.
+  // A FUTURE instant pins its first answer — the stable choice, since
+  // flip-flopping between inferSchema and getTable is the bug this
+  // cache closes.
+  private val tsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Long]()
 
   /** The committed schema at the snapshot — parquet inference only for
     * pre-evolution tables (manifests without a schema), empty for an
@@ -152,6 +166,7 @@ class LogTableTable(path: String, tableSchema: StructType, asOf: Option[Long])
 
   private def fileColIsMetadata: Boolean =
     !tableSchema.fieldNames.exists(_.equalsIgnoreCase(LogTableTable.FileCol))
+  // (table-level: no projection yet — only the name-conflict half)
 
   /** SQL `UPDATE` / `MERGE INTO` as GROUP-BASED row-level operations
     * (the Iceberg copy-on-write shape): Spark drives the rewrite — the
@@ -351,7 +366,12 @@ class LogTableTable(path: String, tableSchema: StructType, asOf: Option[Long])
                   "records it from then on"))
             if (LogTable.version(path) == 0L)
               LogTable.createEmpty(path, info.schema(), key)
-            new LogStreamingWrite(path, info.schema(), key, info.queryId())
+            // truncate() was called ⟺ Complete output mode: each
+            // epoch's full state REPLACES the table (one versioned
+            // remove-all+add commit — the continuously-refreshed
+            // materialized-view shape); Append mode commits deltas
+            new LogStreamingWrite(path, info.schema(), key, info.queryId(),
+              replaceAll = doOverwrite)
           }
 
           override def toInsertableRelation
@@ -393,6 +413,17 @@ object LogTableTable {
     * `_file` convention). */
   private[v2] val FileCol = "_file"
 
+  /** THE `_file`-is-metadata predicate, shared by the table, both scan
+    * paths, and partition creation so batch and streaming can never
+    * disagree: `_file` in a projection is the metadata column iff no
+    * data column claims the name (case-insensitive — the data column
+    * wins on conflict and the metadata column hides entirely). */
+  private[v2] def fileColIsMeta(
+      required: org.apache.spark.sql.types.StructType,
+      tableSchema: org.apache.spark.sql.types.StructType): Boolean =
+    required.fieldNames.contains(FileCol) &&
+      !tableSchema.fieldNames.exists(_.equalsIgnoreCase(FileCol))
+
   /** V1 Filter → row-level Column, for exact DELETE execution. None on
     * shapes outside the flat warehouse surface (the caller then rejects
     * the whole delete — exactness over partiality). */
@@ -426,26 +457,24 @@ object LogTableTable {
     * arrives with the SELECT's expression names — which name-based
     * append would treat as brand-new columns instead of an insert.
     *
-    * The rule, by decreasing evidence of intent:
+    * SQL positional INSERTs never reach this resolution ambiguous:
+    * [[org.apache.spark.sql.catalyst.analysis.GraftRowLevelAlignment]]
+    * projects them onto the table's columns at ANALYSIS (rename + ANSI
+    * cast, the ResolveOutputRelation byPosition behavior
+    * ACCEPT_ANY_SCHEMA skips), so a SQL batch arrives with the table's
+    * own names. What remains here is the DataFrame contract:
     *   - ANY name overlap with the table (case-insensitive) → BY NAME,
-    *     as-is: the DataFrame path. Matched names land by name, batch
-    *     columns the table lacks evolve the schema, table columns the
-    *     batch lacks NULL-fill — the same mixed-union semantics
+    *     as-is. Matched names land by name, batch columns the table
+    *     lacks evolve the schema, table columns the batch lacks
+    *     NULL-fill — the same mixed-union semantics
     *     [[graft.io.LogTable.append]] itself implements (its
-    *     requireCompatible still rejects type drift loudly), so the SQL
-    *     and direct-API paths cannot disagree about what a batch means;
-    *   - zero name overlap AND matching arity → POSITIONAL (the SQL
-    *     INSERT contract, where the SELECT's auto-generated expression
-    *     names share nothing with the table): columns renamed to the
-    *     table's and ANSI-cast to its types (store-assignment semantics
-    *     — a narrowing overflow throws, as ANSI INSERT does);
-    *   - otherwise → loud error. Positional resolution NEVER applies
-    *     when any name matches (e.g. batch `(x, k)` against table
-    *     `(k, v)`): that shape is evidence of a misnamed or misordered
-    *     DataFrame write, and positionally scattering its values into
-    *     the wrong columns is exactly the silent corruption this rule
-    *     exists to refuse — by-name union handles it deterministically
-    *     instead. */
+    *     requireCompatible still rejects type drift loudly), so the
+    *     DSv2 and direct-API paths cannot disagree about what a batch
+    *     means;
+    *   - zero name overlap → loud error. A DataFrame write sharing NO
+    *     names with the table is a misdirected write, and positionally
+    *     scattering its values (the pre-r13 fallback) is exactly the
+    *     silent corruption this rule exists to refuse. */
   private[v2] def alignForInsert(
       data: org.apache.spark.sql.DataFrame, path: String)
       : org.apache.spark.sql.DataFrame = {
@@ -457,17 +486,12 @@ object LogTableTable {
     // evolves, mixed does both — append's own union/validation logic is
     // the single authority on what the batch means
     if (inLower.intersect(tblLower).nonEmpty) data
-    else if (data.schema.length == tbl.length)
-      data.toDF(tbl.fieldNames: _*)
-        .select(tbl.fields.map(f =>
-          org.apache.spark.sql.functions.col(f.name).cast(f.dataType)
-            .as(f.name)).toIndexedSeq: _*)
     else throw new IllegalArgumentException(
-      s"graft-log write to $path: cannot resolve batch columns " +
-        s"[${data.schema.fieldNames.mkString(", ")}] against table columns " +
-        s"[${tbl.fieldNames.mkString(", ")}] — no names in common (by-name " +
-        "write / evolution needs at least one matching name) and the arity " +
-        "differs (a positional INSERT needs exactly the table's arity)")
+      s"graft-log write to $path: batch columns " +
+        s"[${data.schema.fieldNames.mkString(", ")}] share no names with " +
+        s"table columns [${tbl.fieldNames.mkString(", ")}] — a by-name " +
+        "write needs at least one matching name (SQL INSERT resolves " +
+        "positionally at analysis; the DataFrame API is by-name only)")
   }
 }
 
@@ -674,8 +698,7 @@ class LogTableScanBuilder(
     // column claims the name (the table hides the metadata column on
     // conflict, so a required `_file` then refers to real data)
     private def fileColIsMeta: Boolean =
-      required.fieldNames.contains(LogTableTable.FileCol) &&
-        !tableSchema.fieldNames.exists(_.equalsIgnoreCase(LogTableTable.FileCol))
+      LogTableTable.fileColIsMeta(required, tableSchema)
 
     /** Runtime group filtering (the scale path for MERGE/UPDATE row-level
       * rewrites): Spark evaluates a subquery for the DISTINCT `_file`
@@ -821,9 +844,7 @@ class LogTableScanBuilder(
           kept.map(f => LogFilePartition(
             LogTable.dataDir(path).resolve(f.file).toString,
             required.json,
-            required.fieldNames.contains(LogTableTable.FileCol) &&
-              !tableSchema.fieldNames.exists(
-                _.equalsIgnoreCase(LogTableTable.FileCol))): InputPartition)
+            LogTableTable.fileColIsMeta(required, tableSchema)): InputPartition)
             .toArray
         }
 

@@ -468,17 +468,45 @@ class LogConnectorSpec extends AnyFunSuite {
     val r20 = load(t).filter(col("k") === 20L).head()
     assert(r20.isNullAt(1) && r20.getLong(3) == 123L,
       s"partial-match batch must resolve by name, got $r20")
-    // zero overlap + matching arity -> positional with ANSI cast
-    Seq(("30", "pos", "7", "8")).toDF("c1", "c2", "c3", "c4")
-      .write.format("graft-log").mode("append").save(t)
-    val r30 = load(t).filter(col("k") === 30L).head()
-    assert(r30.getString(1) == "pos" && r30.getLong(2) == 7L && r30.getLong(3) == 8L)
-    // zero overlap + arity mismatch -> loud error
+    // a DataFrame write sharing NO names with the table is a
+    // misdirected write — loud error, never positional scattering
     val e = intercept[Exception](
-      Seq(("40", "nope")).toDF("c1", "c2")
+      Seq(("40", "nope", "1", "2")).toDF("c1", "c2", "c3", "c4")
         .write.format("graft-log").mode("append").save(t))
     assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
-      .exists(t => Option(t.getMessage).exists(_.contains("cannot resolve batch columns"))))
+      .exists(t => Option(t.getMessage).exists(_.contains("share no names"))))
+  }
+
+  test("SQL INSERT is positional even when a SELECT alias coincides with a table column") {
+    val wh = Files.createTempDirectory("graft-logpos").toString
+    spark.conf.set("spark.sql.catalog.graftpos", classOf[LogCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftpos.warehouse", wh)
+    spark.sql("CREATE NAMESPACE graftpos.etl")
+    spark.sql("CREATE TABLE graftpos.etl.t (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('keyCol'='k')")
+    // the second expression is aliased `k` — SQL semantics are BY
+    // POSITION, so it must land in `v` (stringified), not evolve a
+    // column or shift k; the first (named `id`) lands in k by position
+    spark.sql("INSERT INTO graftpos.etl.t SELECT id, CAST(id AS STRING) AS k " +
+      "FROM range(1, 4)")
+    val rows = spark.sql("SELECT k, v FROM graftpos.etl.t ORDER BY k").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "1"), (2L, "2"), (3L, "3")))
+    assert(spark.sql("SELECT * FROM graftpos.etl.t").schema.fieldNames.toSeq ==
+      Seq("k", "v"), "positional INSERT must not evolve the schema")
+    // positional + ANSI cast: a string that can't narrow throws, as
+    // ANSI INSERT requires
+    val e = intercept[Exception](
+      spark.sql("INSERT INTO graftpos.etl.t SELECT 'notanumber', 'x'"))
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(x => Option(x.getMessage).exists(m =>
+        m.contains("CAST") || m.contains("cast"))), e.toString)
+    // INSERT OVERWRITE is positional the same way
+    spark.sql("INSERT OVERWRITE graftpos.etl.t SELECT id, CAST(id AS STRING) AS k " +
+      "FROM range(7, 9)")
+    val ow = spark.sql("SELECT k, v FROM graftpos.etl.t ORDER BY k").collect()
+    assert(ow.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((7L, "7"), (8L, "8")))
   }
 
   test("SQL DELETE FROM rewrites only admitted files; TRUNCATE keeps the table") {

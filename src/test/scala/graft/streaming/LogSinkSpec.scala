@@ -106,6 +106,44 @@ class LogSinkSpec extends AnyFunSuite {
     assert(LogTable.version(s"$base/wh/etl/sunk") == v)
   }
 
+  test("Complete output mode: each epoch's aggregate state REPLACES the table, never accumulates") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = Files.createTempDirectory("graft-logsink4").toString
+    val dst = s"$base/dst"
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Long]
+    val counts = input.toDF().withColumnRenamed("value", "k")
+      .groupBy(col("k") % 3 as "bucket").agg(count("*").as("n"))
+      .select(col("bucket").cast("long").as("bucket"), col("n"))
+    val q = counts.writeStream
+      .outputMode("complete")
+      .format("graft-log")
+      .option("checkpointLocation", s"$base/ckpt")
+      .option("keyCol", "bucket")
+      .start(dst)
+    try {
+      input.addData(0L to 8L: _*) // buckets 0,1,2 -> 3 each
+      q.processAllAvailable()
+      val s1 = LogTable.read(spark, dst).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(s1 == Map(0L -> 3L, 1L -> 3L, 2L -> 3L), s1.toString)
+      input.addData(0L, 0L, 3L) // bucket 0 gains 3 more
+      q.processAllAvailable()
+      val s2 = LogTable.read(spark, dst).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // the COMPLETE state, not an accumulation of epochs
+      assert(s2 == Map(0L -> 6L, 1L -> 3L, 2L -> 3L),
+        s"complete mode must replace, got $s2")
+      assert(LogTable.read(spark, dst).count() == 3L,
+        "row count must equal the state size, not state x epochs")
+    } finally q.stop()
+    // the pre-replacement epoch is still one version back (ordinary
+    // log history, time travel intact)
+    val prev = LogTable.readVersion(spark, dst, LogTable.version(dst) - 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(prev == Map(0L -> 3L, 1L -> 3L, 2L -> 3L))
+  }
+
   test("streaming sink bootstraps a missing table and requires a key column") {
     val base = Files.createTempDirectory("graft-logsink2").toString
     val src = s"$base/src"

@@ -686,16 +686,25 @@ object LogTable {
     * under concurrent upserts: commit-time validation re-runs the
     * upsert against the fresh snapshot when a racer rewrote the same
     * files, and simply re-versions when it didn't. */
-  def upsert(spark: SparkSession, table: String, incoming: DataFrame, keyCol: String): Unit = {
+  def upsert(spark: SparkSession, table: String, incoming: DataFrame, keyCol: String): Unit =
+    upsertImpl(spark, table, incoming, keyCol, txns = Map.empty)
+
+  /** The upsert engine, with optional transactional-epoch fencing
+    * (`txns`): returns whether a manifest landed — false only when the
+    * commit loop's fence dropped this commit as a duplicate epoch, or
+    * the batch was empty. */
+  private def upsertImpl(
+      spark: SparkSession, table: String, incoming: DataFrame,
+      keyCol: String, txns: Map[String, Long]): Boolean = {
     requireKeyMatch(table, keyCol)
     // lazy checkpoint: the bounds aggregate right below is the first
     // action and populates the blocks — an EAGER checkpoint would spend
     // a whole separate job materializing first. Conflict re-runs still
     // reuse the blocks, which is the point of checkpointing here.
     val inc = incoming.localCheckpoint(false)
-    def attempt(): Unit = {
+    def attempt(): Boolean = {
       val bounds = inc.agg(min(col(keyCol)), max(col(keyCol))).head()
-      if (bounds.isNullAt(0)) return // empty batch: no-op (P11)
+      if (bounds.isNullAt(0)) return false // empty batch: no-op (P11)
       val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
       // version and file set pinned TOGETHER: the commit below claims
       // exactly snapVersion+1 first, so any commit that landed after
@@ -720,11 +729,38 @@ object LogTable {
       // keeps it (the batch's rows carry NULLs)
       val merged = survivors.unionByName(inc, allowMissingColumns = true)
       val adds = writeData(spark, table, merged, keyCol)
-      commit(table, snapVersion, adds, removes = touched.map(_.file),
-        reRun = () => attempt(), schema = merged.schema.json,
-        keyRange = Some((lo, hi)), keyCol = keyCol)
+      // when reRun fires, the NESTED attempt's verdict is the real one
+      var nested: Option[Boolean] = None
+      val direct = commit(table, snapVersion, adds, removes = touched.map(_.file),
+        reRun = () => nested = Some(attempt()), schema = merged.schema.json,
+        keyRange = Some((lo, hi)), keyCol = keyCol, txns = txns)
+      nested.getOrElse(direct)
     }
     attempt()
+  }
+
+  /** One streaming micro-batch as one FENCED KEYED UPSERT (the Update
+    * output mode / `.option("upsert", true)` sink shape): the staged
+    * parts are the incoming rows, same-key table rows are replaced,
+    * everything else appends — the incremental-materialized-view
+    * refresh, with the same (appId, epochId) exactly-once fence as
+    * [[commitStreamingEpoch]]. The staged parts are INPUT only (the
+    * merged output is rewritten with the survivors); the caller sweeps
+    * staging either way. */
+  def upsertEpoch(
+      spark: SparkSession, table: String, staging: Path,
+      partFiles: Set[String], streamSchema: org.apache.spark.sql.types.StructType,
+      keyCol: String, appId: String, epochId: Long): Boolean = {
+    require(appId.nonEmpty, "upsertEpoch: appId must be non-empty")
+    require(!appId.exists(c => "{}[]\":,\\".contains(c) || c < 0x20),
+      s"upsertEpoch: appId '$appId' carries JSON-structural or control " +
+        "characters — use a plain identifier (Spark query ids are)")
+    if (lastTxnEpoch(table, appId).exists(_ >= epochId)) return false
+    if (partFiles.isEmpty) return false
+    val incoming = spark.read.schema(streamSchema).parquet(
+      partFiles.toSeq.sorted.map(staging.resolve(_).toString): _*)
+    upsertImpl(spark, table, incoming, keyCol,
+      txns = Map(appId -> epochId))
   }
 
   private def readFiles2(

@@ -94,9 +94,20 @@ class LogGroupWriterFactory(stagingDir: String, schemaJson: String)
   * ([[LogGroupDataWriter]]), into one staging dir per epoch (epochs can
   * overlap in continuous-retry scenarios; sharing one dir would let an
   * aborted epoch's sweep delete a committing epoch's parts). */
+/** Per-epoch semantics, decided at stream start: `Append` commits the
+  * epoch's rows as-is, `Upsert` replaces same-key rows (the
+  * incremental-materialized-view refresh — Update output mode's
+  * natural verb, opted into with `.option("upsert", true)`), `Replace`
+  * swaps the whole table for the epoch's state (Complete mode). All
+  * three are fenced by (queryId, epochId). */
+private[v2] object EpochMode extends Enumeration {
+  val Append, Upsert, Replace = Value
+}
+
 class LogStreamingWrite(
     path: String, writeSchema: org.apache.spark.sql.types.StructType,
-    keyCol: String, queryId: String, replaceAll: Boolean = false)
+    keyCol: String, queryId: String,
+    mode: EpochMode.Value = EpochMode.Append)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
@@ -120,10 +131,16 @@ class LogStreamingWrite(
         require(stagingDirs.length == 1,
           s"graft-log streaming sink: epoch $epochId staged into " +
             s"${stagingDirs.length} directories — commit messages disagree")
-        LogTable.commitStreamingEpoch(SparkSession.active, path,
-          stagingDirs.head, committed, writeSchema, keyCol, queryId, epochId,
-          replaceAll = replaceAll)
-      } else if (replaceAll) {
+        mode match {
+          case EpochMode.Upsert =>
+            LogTable.upsertEpoch(SparkSession.active, path,
+              stagingDirs.head, committed, writeSchema, keyCol, queryId, epochId)
+          case m =>
+            LogTable.commitStreamingEpoch(SparkSession.active, path,
+              stagingDirs.head, committed, writeSchema, keyCol, queryId, epochId,
+              replaceAll = m == EpochMode.Replace)
+        }
+      } else if (mode == EpochMode.Replace) {
         // Complete mode with an empty state: the epoch truncates the
         // table — still one fenced commit (an empty staging dir serves)
         val empty = LogTable.newStagingDir(path)

@@ -336,7 +336,13 @@ class LogTableTable(path: String, tableSchema: StructType, asOf: Option[Long])
           ".option(\"keyCol\", <column>) to create it on first write, " +
           "or initialize it with LogTable.create")
     new org.apache.spark.sql.connector.write.WriteBuilder
-        with org.apache.spark.sql.connector.write.SupportsTruncate {
+        with org.apache.spark.sql.connector.write.SupportsTruncate
+        // accepts streaming Update output mode (the marker's contract is
+        // "updated rows arrive as writes"); pair it with
+        // .option("upsert", true) so each epoch's changed rows REPLACE
+        // their keys — without the option, update rows append, exactly
+        // the marker's literal semantics
+        with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend {
       // SQL `INSERT OVERWRITE` / `df.write.mode("overwrite")`: Spark
       // carries the verb by calling truncate() on the builder (the V1
       // bridge always passes insert(df, overwrite=false)); the write
@@ -369,9 +375,21 @@ class LogTableTable(path: String, tableSchema: StructType, asOf: Option[Long])
             // truncate() was called ⟺ Complete output mode: each
             // epoch's full state REPLACES the table (one versioned
             // remove-all+add commit — the continuously-refreshed
-            // materialized-view shape); Append mode commits deltas
+            // materialized-view shape). `.option("upsert", true)` makes
+            // each epoch a fenced keyed upsert instead (the Update-mode
+            // verb). Append commits deltas as-is.
+            val upsertOpt =
+              Option(info.options.get("upsert")).exists(_.toBoolean)
+            if (upsertOpt && doOverwrite) throw new IllegalArgumentException(
+              "graft-log streaming sink: .option(\"upsert\", true) and " +
+                "Complete output mode conflict — Complete already replaces " +
+                "the whole table each epoch")
+            val mode =
+              if (doOverwrite) EpochMode.Replace
+              else if (upsertOpt) EpochMode.Upsert
+              else EpochMode.Append
             new LogStreamingWrite(path, info.schema(), key, info.queryId(),
-              replaceAll = doOverwrite)
+              mode)
           }
 
           override def toInsertableRelation

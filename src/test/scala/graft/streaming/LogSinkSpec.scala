@@ -144,6 +144,54 @@ class LogSinkSpec extends AnyFunSuite {
     assert(prev == Map(0L -> 3L, 1L -> 3L, 2L -> 3L))
   }
 
+  test("Update output mode with option(upsert): each epoch's changed keys replace, unchanged keys survive") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = Files.createTempDirectory("graft-logsink5").toString
+    val dst = s"$base/dst"
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Long]
+    val counts = input.toDF().withColumnRenamed("value", "k")
+      .groupBy(col("k") % 5 as "bucket").agg(count("*").as("n"))
+      .select(col("bucket").cast("long").as("bucket"), col("n"))
+    val q = counts.writeStream
+      .outputMode("update")
+      .format("graft-log")
+      .option("checkpointLocation", s"$base/ckpt")
+      .option("keyCol", "bucket")
+      .option("upsert", "true")
+      .start(dst)
+    try {
+      input.addData(0L, 1L, 2L, 3L, 4L)
+      q.processAllAvailable()
+      val s1 = LogTable.read(spark, dst).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(s1 == Map(0L -> 1L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+      // only buckets 0 and 1 change: Update mode emits just those, and
+      // the upsert epoch replaces them while 2/3/4 survive untouched
+      input.addData(0L, 0L, 1L)
+      q.processAllAvailable()
+      val s2 = LogTable.read(spark, dst).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(s2 == Map(0L -> 3L, 1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 1L),
+        s"upsert epochs must replace changed keys only, got $s2")
+      assert(LogTable.read(spark, dst).count() == 5L,
+        "no duplicate keys after an update epoch")
+    } finally q.stop()
+    // upsert + Complete conflict loudly
+    val e = intercept[Exception] {
+      val q2 = counts.writeStream
+        .outputMode("complete")
+        .format("graft-log")
+        .option("checkpointLocation", s"$base/ckpt2")
+        .option("keyCol", "bucket")
+        .option("upsert", "true")
+        .start(s"$base/dst2")
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(x => Option(x.getMessage).exists(_.contains("conflict"))), e.toString)
+  }
+
   test("streaming sink bootstraps a missing table and requires a key column") {
     val base = Files.createTempDirectory("graft-logsink2").toString
     val src = s"$base/src"

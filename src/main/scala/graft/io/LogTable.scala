@@ -565,6 +565,17 @@ object LogTable {
     at.map(_.version).max
   }
 
+  /** The appId is a manifest JSON key: structural characters would let
+    * it terminate the flat-regex txns block early and silently LOSE the
+    * watermark — the exactly-once fence would stop fencing. One guard,
+    * shared by every epoch-fenced entry point. */
+  private def requireManifestSafeAppId(appId: String, op: String): Unit = {
+    require(appId.nonEmpty, s"$op: appId must be non-empty")
+    require(!appId.exists(c => "{}[]\":,\\".contains(c) || c < 0x20),
+      s"$op: appId '$appId' carries JSON-structural or control " +
+        "characters — use a plain identifier (Spark query ids are)")
+  }
+
   /** Highest epoch `appId` has committed to `table`, or None if never —
     * the streaming sink's replay watermark (fold of the manifests' txns
     * maps; checkpoints carry the fold-to-date, so truncated history
@@ -589,13 +600,7 @@ object LogTable {
       partFiles: Set[String], streamSchema: org.apache.spark.sql.types.StructType,
       keyCol: String, appId: String, epochId: Long,
       replaceAll: Boolean = false): Boolean = {
-    require(appId.nonEmpty, "commitStreamingEpoch: appId must be non-empty")
-    // the appId is a manifest JSON key: structural characters would let
-    // it terminate the flat-regex txns block early and silently LOSE
-    // the watermark — the exactly-once fence would stop fencing
-    require(!appId.exists(c => "{}[]\":,\\".contains(c) || c < 0x20),
-      s"commitStreamingEpoch: appId '$appId' carries JSON-structural or " +
-        "control characters — use a plain identifier (Spark query ids are)")
+    requireManifestSafeAppId(appId, "commitStreamingEpoch")
     requireKeyMatch(table, keyCol)
     if (lastTxnEpoch(table, appId).exists(_ >= epochId)) return false
     val (snapVersion, liveNow, committedSchema) = snapshotWithSchema(table, None)
@@ -644,7 +649,12 @@ object LogTable {
       // duplicate attempts of the same epoch.
       def attempt(sv: Long, live: Seq[FileEntry]): Boolean = {
         // when reRun fires, the NESTED attempt's verdict is the real
-        // one (the outer call reports true for "completed via rerun")
+        // one (the outer call reports true for "completed via rerun").
+        // keyRange spans everything: a REPLACE-ALL commit conflicts
+        // with ANY racer's adds (a concurrent append's file must not
+        // survive the epoch that replaces the table), so the full-range
+        // added-file check forces the re-run that refreshes the remove
+        // set.
         var nested: Option[Boolean] = None
         val direct = commit(table, sv, adds, removes = live.map(_.file),
           reRun = () => {
@@ -652,6 +662,7 @@ object LogTable {
             nested = Some(attempt(sv2, live2))
           },
           schema = evolved.json, keyCol = keyCol,
+          keyRange = Some((Long.MinValue, Long.MaxValue)),
           txns = Map(appId -> epochId))
         nested.getOrElse(direct)
       }
@@ -673,8 +684,12 @@ object LogTable {
     def attempt(): Unit = {
       val (snapVersion, liveNow, _) = snapshotWithSchema(table, None)
       val adds = writeData(spark, table, df, keyCol)
+      // full-range keyRange: replace-all conflicts with ANY racer's
+      // adds (their file must not survive the overwrite) — the
+      // added-file check forces the re-run that refreshes the removes
       commit(table, snapVersion, adds, removes = liveNow.map(_.file),
-        reRun = () => attempt(), schema = df.schema.json, keyCol = keyCol)
+        reRun = () => attempt(), schema = df.schema.json, keyCol = keyCol,
+        keyRange = Some((Long.MinValue, Long.MaxValue)))
     }
     attempt()
   }
@@ -751,10 +766,7 @@ object LogTable {
       spark: SparkSession, table: String, staging: Path,
       partFiles: Set[String], streamSchema: org.apache.spark.sql.types.StructType,
       keyCol: String, appId: String, epochId: Long): Boolean = {
-    require(appId.nonEmpty, "upsertEpoch: appId must be non-empty")
-    require(!appId.exists(c => "{}[]\":,\\".contains(c) || c < 0x20),
-      s"upsertEpoch: appId '$appId' carries JSON-structural or control " +
-        "characters — use a plain identifier (Spark query ids are)")
+    requireManifestSafeAppId(appId, "upsertEpoch")
     if (lastTxnEpoch(table, appId).exists(_ >= epochId)) return false
     if (partFiles.isEmpty) return false
     val incoming = spark.read.schema(streamSchema).parquet(
@@ -1565,12 +1577,17 @@ object LogTable {
           dirs.filter { p =>
             p.getFileName.toString.startsWith(".staging-") && {
               graceMillis <= 0L || {
-                val ls = Files.list(p)
-                val newest =
-                  try (Iterator(p) ++ ls.iterator().asScala)
-                    .map(Files.getLastModifiedTime(_).toMillis).max
-                  finally ls.close()
-                newest <= cutoff
+                // a concurrently-committing writer may delete entries
+                // (or the dir) mid-listing: any vanished path reads as
+                // "active just now" — skip the dir, never crash vacuum
+                try {
+                  val ls = Files.list(p)
+                  val newest =
+                    try (Iterator(p) ++ ls.iterator().asScala)
+                      .map(Files.getLastModifiedTime(_).toMillis).max
+                    finally ls.close()
+                  newest <= cutoff
+                } catch { case _: java.io.IOException => false }
               }
             }
           })
@@ -1622,6 +1639,15 @@ object LogTable {
     var tries = attempts
     while (tries > 0) {
       tries -= 1
+      // transactional-epoch fence, checked on EVERY attempt BEFORE the
+      // claim: a rival attempt of the same (app, epoch) may land in the
+      // window between the caller's pre-check and this commit (or
+      // between retry attempts) — at any version, not only above our
+      // snapshot. Without this, a split-brain driver pair could both
+      // pass their pre-checks and the second would claim a fresh head
+      // cleanly, double-applying the epoch.
+      if (txns.nonEmpty && txns.exists { case (app, e) =>
+        lastTxnEpoch(table, app).exists(_ >= e) }) return false
       onCommitAttempt()
       val v = expected + 1
       val m = Manifest(v, adds, removes, committedSchema, keyCol = keyCol,
@@ -1642,15 +1668,6 @@ object LogTable {
         case _: java.nio.file.FileAlreadyExistsException =>
           Files.deleteIfExists(tmp)
           val (headNow, liveFiles, headSchema) = snapshotWithSchema(table, None)
-          // transactional-epoch fencing: if a manifest above OUR snapshot
-          // already records this app at this epoch or beyond, the racer
-          // was another attempt of the SAME micro-batch (a zombie driver
-          // or a speculative commit) — our copy is a duplicate, drop it
-          // rather than re-claim and double-append
-          if (txns.nonEmpty && manifests(table)
-              .filter(_.version > snapshotVersion)
-              .exists(m => txns.exists { case (app, e) =>
-                m.txns.get(app).exists(_ >= e) })) return false
           // added-file conflict: every manifest above the ORIGINAL
           // snapshot is a racer's (ours never landed); a checkpoint
           // manifest in range re-lists old files and may force a

@@ -153,16 +153,31 @@ object GraftRowLevelAlignment extends Rule[LogicalPlan] {
           in, t.dataType, ansiEnabled = true), t.name)()
     }, query)
 
+  /** A positional INSERT whose SELECT arity differs from the table is a
+    * SQL error, full stop — without this, an overlong SELECT whose names
+    * happen to overlap the table would fall to the by-name write path
+    * and silently EVOLVE the schema (or NULL-fill missing columns)
+    * instead of raising the column-count mismatch SQL requires. */
+  private def requireArity(
+      tableName: String, query: LogicalPlan, tableAttrs: Seq[Attribute]): Unit =
+    if (query.output.length != tableAttrs.length)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "INSERT_COLUMN_ARITY_MISMATCH.NOT_ENOUGH_DATA_COLUMNS",
+        messageParameters = Map(
+          "tableName" -> tableName,
+          "tableColumns" -> tableAttrs.map(_.name).mkString(", "),
+          "dataColumns" -> query.output.map(_.name).mkString(", ")))
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan resolveOperators {
     case a: AppendData
         if !a.isByName && a.query.resolved && a.table.resolved &&
-          isGraftLog(a.table) &&
-          a.query.output.length == a.table.output.length =>
+          isGraftLog(a.table) =>
+      requireArity(a.table.name, a.query, a.table.output)
       a.copy(query = positionalProject(a.query, a.table.output), isByName = true)
     case o: OverwriteByExpression
         if !o.isByName && o.query.resolved && o.table.resolved &&
-          isGraftLog(o.table) &&
-          o.query.output.length == o.table.output.length =>
+          isGraftLog(o.table) =>
+      requireArity(o.table.name, o.query, o.table.output)
       o.copy(query = positionalProject(o.query, o.table.output), isByName = true)
     // Phase 1: resolution. Spark's ResolveReferences skips MERGE targets
     // whose (fully alias-stripped) relation declares ACCEPT_ANY_SCHEMA,

@@ -77,6 +77,16 @@ class LogGroupWriterFactory(stagingDir: String, schemaJson: String)
     new LogGroupDataWriter(stagingDir, schemaJson, partitionId, taskId)
 }
 
+/** Per-epoch semantics, decided at stream start: `Append` commits the
+  * epoch's rows as-is, `Upsert` replaces same-key rows (the
+  * incremental-materialized-view refresh — Update output mode's
+  * natural verb, opted into with `.option("upsert", true)`), `Replace`
+  * swaps the whole table for the epoch's state (Complete mode). All
+  * three are fenced by (queryId, epochId). */
+private[v2] object EpochMode extends Enumeration {
+  val Append, Upsert, Replace = Value
+}
+
 /** The native Structured Streaming SINK for graft-log tables:
   * `df.writeStream.format("graft-log").start(path)` — each micro-batch
   * lands as ONE transactional append commit through
@@ -94,16 +104,6 @@ class LogGroupWriterFactory(stagingDir: String, schemaJson: String)
   * ([[LogGroupDataWriter]]), into one staging dir per epoch (epochs can
   * overlap in continuous-retry scenarios; sharing one dir would let an
   * aborted epoch's sweep delete a committing epoch's parts). */
-/** Per-epoch semantics, decided at stream start: `Append` commits the
-  * epoch's rows as-is, `Upsert` replaces same-key rows (the
-  * incremental-materialized-view refresh — Update output mode's
-  * natural verb, opted into with `.option("upsert", true)`), `Replace`
-  * swaps the whole table for the epoch's state (Complete mode). All
-  * three are fenced by (queryId, epochId). */
-private[v2] object EpochMode extends Enumeration {
-  val Append, Upsert, Replace = Value
-}
-
 class LogStreamingWrite(
     path: String, writeSchema: org.apache.spark.sql.types.StructType,
     keyCol: String, queryId: String,

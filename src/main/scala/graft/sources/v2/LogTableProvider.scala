@@ -94,23 +94,26 @@ object LogTableProvider {
       case (None, Some(t)) =>
         val millis = t.toLongOption.getOrElse(
           java.time.Instant.parse(t).toEpochMilli)
-        // memoized per (path, instant): inferSchema and getTable both
-        // resolve, and two independent resolutions could pin DIFFERENT
-        // versions if a commit lands between them (schema/scan mismatch
-        // for a near-now instant) — one resolution, one answer
+        // memoized per (path, instant, CURRENT HEAD): inferSchema and
+        // getTable both resolve, and two independent resolutions could
+        // pin DIFFERENT versions if a commit lands between them
+        // (schema/scan mismatch for a near-now instant). Keying on the
+        // head makes the cache self-invalidating: a dropped-and-
+        // recreated table (or any new commit) has a different head and
+        // re-resolves, so no entry can outlive the log state it
+        // described — while the inferSchema/getTable pair of one read
+        // sees one answer (for a PAST instant even a mid-read commit
+        // re-resolves identically: new commits stamp the current clock,
+        // beyond the instant).
         if (tsCache.size() > 1024) tsCache.clear() // memory bound only
-        Some(tsCache.computeIfAbsent((path, millis),
-          (_: (String, Long)) => LogTable.versionAtTimestamp(path, millis)))
+        val head = LogTable.version(path)
+        Some(tsCache.computeIfAbsent((path, millis, head),
+          (_: (String, Long, Long)) => LogTable.versionAtTimestamp(path, millis)))
       case _ => None
     }
 
-  // A PAST instant resolves the same way forever (new commits stamp the
-  // current clock, which is beyond it), so eviction only bounds memory.
-  // A FUTURE instant pins its first answer — the stable choice, since
-  // flip-flopping between inferSchema and getTable is the bug this
-  // cache closes.
   private val tsCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), Long]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Long]()
 
   /** The committed schema at the snapshot — parquet inference only for
     * pre-evolution tables (manifests without a schema), empty for an
@@ -335,14 +338,17 @@ class LogTableTable(path: String, tableSchema: StructType, asOf: Option[Long])
         s"graft-log write: $path does not exist — pass " +
           ".option(\"keyCol\", <column>) to create it on first write, " +
           "or initialize it with LogTable.create")
-    new org.apache.spark.sql.connector.write.WriteBuilder
-        with org.apache.spark.sql.connector.write.SupportsTruncate
-        // accepts streaming Update output mode (the marker's contract is
-        // "updated rows arrive as writes"); pair it with
-        // .option("upsert", true) so each epoch's changed rows REPLACE
-        // their keys — without the option, update rows append, exactly
-        // the marker's literal semantics
-        with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend {
+    // The streaming-update marker is mixed in ONLY when the write asked
+    // for upsert semantics (.option("upsert", true)): Update output mode
+    // is then accepted and each epoch's changed rows replace their keys.
+    // WITHOUT the option the builder does not carry the marker and Spark
+    // rejects Update mode loudly at query start — silently appending one
+    // row per (key, epoch-it-changed-in) into a KEYED table would be a
+    // correctness footgun, not a default.
+    val upsertOpt =
+      Option(info.options.get("upsert")).exists(_.toBoolean)
+    class LogWriteBuilder extends org.apache.spark.sql.connector.write.WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate {
       // SQL `INSERT OVERWRITE` / `df.write.mode("overwrite")`: Spark
       // carries the verb by calling truncate() on the builder (the V1
       // bridge always passes insert(df, overwrite=false)); the write
@@ -378,8 +384,6 @@ class LogTableTable(path: String, tableSchema: StructType, asOf: Option[Long])
             // materialized-view shape). `.option("upsert", true)` makes
             // each epoch a fenced keyed upsert instead (the Update-mode
             // verb). Append commits deltas as-is.
-            val upsertOpt =
-              Option(info.options.get("upsert")).exists(_.toBoolean)
             if (upsertOpt && doOverwrite) throw new IllegalArgumentException(
               "graft-log streaming sink: .option(\"upsert\", true) and " +
                 "Complete output mode conflict — Complete already replaces " +
@@ -423,6 +427,10 @@ class LogTableTable(path: String, tableSchema: StructType, asOf: Option[Long])
             }
         }
     }
+    if (upsertOpt)
+      new LogWriteBuilder
+        with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend
+    else new LogWriteBuilder
   }
 }
 

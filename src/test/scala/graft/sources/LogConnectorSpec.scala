@@ -507,6 +507,19 @@ class LogConnectorSpec extends AnyFunSuite {
     val ow = spark.sql("SELECT k, v FROM graftpos.etl.t ORDER BY k").collect()
     assert(ow.map(r => (r.getLong(0), r.getString(1))).toSeq ==
       Seq((7L, "7"), (8L, "8")))
+    // arity mismatch is the SQL column-count error, even when the extra
+    // SELECT's names overlap the table (no silent by-name evolution)
+    val arity = intercept[Exception](
+      spark.sql("INSERT INTO graftpos.etl.t SELECT k, v, 42 FROM graftpos.etl.t"))
+    assert(Iterator.iterate(arity: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(x => Option(x.getMessage).exists(
+        _.contains("INSERT_COLUMN_ARITY_MISMATCH"))), arity.toString)
+    assert(spark.sql("SELECT * FROM graftpos.etl.t").schema.length == 2)
+    val arity2 = intercept[Exception](
+      spark.sql("INSERT INTO graftpos.etl.t SELECT 1"))
+    assert(Iterator.iterate(arity2: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(x => Option(x.getMessage).exists(
+        _.contains("INSERT_COLUMN_ARITY_MISMATCH"))), arity2.toString)
   }
 
   test("SQL DELETE FROM rewrites only admitted files; TRUNCATE keeps the table") {

@@ -177,6 +177,21 @@ class LogSinkSpec extends AnyFunSuite {
       assert(LogTable.read(spark, dst).count() == 5L,
         "no duplicate keys after an update epoch")
     } finally q.stop()
+    // Update mode WITHOUT the upsert option is rejected at query start:
+    // silently appending one row per (key, epoch) into a keyed table is
+    // the footgun the conditional marker refuses
+    val noOpt = intercept[Exception] {
+      val qBad = counts.writeStream
+        .outputMode("update")
+        .format("graft-log")
+        .option("checkpointLocation", s"$base/ckpt3")
+        .option("keyCol", "bucket")
+        .start(s"$base/dst3")
+      try qBad.processAllAvailable() finally qBad.stop()
+    }
+    assert(Iterator.iterate(noOpt: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(x => Option(x.getMessage).exists(m =>
+        m.toLowerCase.contains("update"))), noOpt.toString)
     // upsert + Complete conflict loudly
     val e = intercept[Exception] {
       val q2 = counts.writeStream

@@ -207,6 +207,61 @@ class LogSinkSpec extends AnyFunSuite {
       .exists(x => Option(x.getMessage).exists(_.contains("conflict"))), e.toString)
   }
 
+  test("sink lifecycle soak: many epochs, then compact + truncate_history, fence and reads intact") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = Files.createTempDirectory("graft-logsink6").toString
+    val dst = s"$base/dst"
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Long]
+    val q = input.toDF().withColumnRenamed("value", "k")
+      .withColumn("v", concat(lit("r"), col("k")))
+      .writeStream.format("graft-log")
+      .option("checkpointLocation", s"$base/ckpt")
+      .option("keyCol", "k")
+      .start(dst)
+    try {
+      // 20 micro-batches of 50 rows: 20 commits, 20 small files
+      for (i <- 0 until 20) {
+        input.addData((i * 50L) until (i * 50L + 50L): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    assert(LogTable.read(spark, dst).count() == 1000L)
+    assert(LogTable.version(dst) >= 20L)
+    val preMaintV = LogTable.version(dst)
+    // maintenance: bin-pack the fragments, then drop the history below
+    // a checkpoint — the fragmented-sink lifecycle every deployment runs
+    LogTable.compact(spark, dst, "k", 100000L)
+    LogTable.truncateHistory(dst, 0)
+    assert(LogTable.read(spark, dst).count() == 1000L)
+    assert(LogTable.read(spark, dst).inputFiles.length == 1,
+      "compaction must bin-pack the sink's fragments")
+    // the fence survives maintenance: resuming the SAME checkpoint with
+    // no new data commits nothing (txn watermark rode the checkpoint
+    // manifest through truncation)
+    val q2 = input.toDF().withColumnRenamed("value", "k")
+      .withColumn("v", concat(lit("r"), col("k")))
+      .writeStream.format("graft-log")
+      .option("checkpointLocation", s"$base/ckpt")
+      .option("keyCol", "k")
+      .start(dst)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(LogTable.read(spark, dst).count() == 1000L)
+    // and NEW data still lands
+    val q3 = input.toDF().withColumnRenamed("value", "k")
+      .withColumn("v", concat(lit("r"), col("k")))
+      .writeStream.format("graft-log")
+      .option("checkpointLocation", s"$base/ckpt")
+      .option("keyCol", "k")
+      .start(dst)
+    try {
+      input.addData(5000L, 5001L)
+      q3.processAllAvailable()
+    } finally q3.stop()
+    assert(LogTable.read(spark, dst).count() == 1002L)
+    assert(LogTable.version(dst) > 0L && preMaintV > 0L)
+  }
+
   test("streaming sink bootstraps a missing table and requires a key column") {
     val base = Files.createTempDirectory("graft-logsink2").toString
     val src = s"$base/src"

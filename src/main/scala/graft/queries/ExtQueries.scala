@@ -1044,6 +1044,105 @@ object ExtQueries {
              |FROM doc ORDER BY doc_id""".stripMargin),
     ),
 
+    // X43 — DSIR-style importance selection (Xie et al., "Data Selection
+    // for Language Models via Importance Resampling"): rank the corpus
+    // by how much more likely each document is under a TARGET domain's
+    // unigram distribution than under the corpus's own — importance
+    // log-weight ≈ Σ_tok [log p_target - log p_corpus], the hashed-ngram
+    // DSIR estimator with n=1 — and keep the top-50. The target sample
+    // is the English slice (lang='en'); add-one smoothing covers tokens
+    // the target never saw.
+    //
+    // Float parity is x41's integer-bit-length dodge: log2 quantized to
+    // ilog2 via bin-string length is exact in both engines, so the score
+    // is two IEEE divisions + integer constants — bit-identical
+    // cross-engine, and the top-50 ORDER therefore agrees exactly.
+    //
+    // 100 TB shape: token tf is row-local (native TermStats); both
+    // unigram tables are corpus-snapshot artifacts served through the
+    // same Regime dispatch as x21/x41 (broadcast under the measured
+    // bound, vocabulary-as-table shuffle join above it); the per-doc
+    // reduce is one combinable groupBy; top-50 is TakeOrderedAndProject
+    // (per-partition heads, never a global sort materialization).
+    QueryDef(
+      "x43_dsir_select",
+      (s, d) => {
+        def tfOf(src: org.apache.spark.sql.DataFrame) = src
+          .select(col("doc_id"),
+            explode(graft.functions.TermStats(split(col("text"), " "))
+              .getField("counts")).as("tc"))
+          .select(col("doc_id"),
+            col("tc").getField("term").as("term"),
+            col("tc").getField("tf").as("tf"))
+        import s.implicits._
+        def artifactFor(key: String, src: => org.apache.spark.sql.DataFrame)
+            : (Long, org.apache.spark.sql.DataFrame) = {
+          def build: (Long, Either[IndexedSeq[(String, Long)], org.apache.spark.sql.DataFrame]) = {
+            val cp = tfOf(graft.util.Partitioning.fanOut(src))
+              .groupBy("term").agg(sum("tf").as("ctf")).persist()
+            val total = cp.agg(sum("ctf")).head().getLong(0)
+            val collected = graft.io.Regime.collectIfSmall(key, cp)
+              .map { rows => cp.unpersist(); rows.map(r => (r.getString(0), r.getLong(1))) }
+            (total, collected.toLeft(cp))
+          }
+          val (total, artifact) = graft.io.ArtifactCache.getOrBuild(key)(build) match {
+            case (_, Right(f)) if !graft.io.Regime.servable(f, s) =>
+              graft.io.ArtifactCache.invalidate(key)
+              graft.io.ArtifactCache.getOrBuild(key)(build)
+            case ok => ok
+          }
+          (total, artifact match {
+            case Left(rows) => broadcast(rows.toDF("term", "ctf"))
+            case Right(frame) => frame
+          })
+        }
+        val (nCorpus, corpusUg) =
+          artifactFor(s"unigram-tf:documents:$d", Tables.documents(s, d))
+        val (nTarget, targetUg) =
+          artifactFor(s"unigram-tf-target-en:documents:$d",
+            Tables.documents(s, d).filter(col("lang") === "en"))
+        def ilog2(n: Long) = 63 - java.lang.Long.numberOfLeadingZeros(n)
+        val shift = (ilog2(nCorpus) - ilog2(nTarget)).toDouble
+        tfOf(graft.util.Partitioning.fanOut(Tables.documents(s, d)))
+          .join(corpusUg, Seq("term"))
+          .join(targetUg.withColumnRenamed("ctf", "ctf_t"), Seq("term"), "left")
+          .groupBy("doc_id")
+          .agg(
+            sum(col("tf")).as("n_tokens"),
+            sum(col("tf") *
+              (length(bin(coalesce(col("ctf_t"), lit(0L)) + 1)) - 1)).as("bits_t"),
+            sum(col("tf") * (length(bin(col("ctf"))) - 1)).as("bits_c"))
+          .select(col("doc_id"),
+            col("n_tokens").cast("long").as("n_tokens"),
+            (col("bits_t").cast("double") / col("n_tokens").cast("double") -
+              col("bits_c").cast("double") / col("n_tokens").cast("double") +
+              lit(shift)).as("score"))
+          .orderBy(desc("score"), asc("doc_id"))
+          .limit(50)
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+             |tcorp AS (SELECT term, CAST(count(*) AS BIGINT) AS cc FROM tok GROUP BY term),
+             |ttgt AS (
+             |  SELECT term, CAST(count(*) AS BIGINT) AS ct
+             |  FROM tok JOIN documents USING (doc_id)
+             |  WHERE lang = 'en' GROUP BY term),
+             |ntot AS (SELECT CAST(sum(cc) AS BIGINT) AS n FROM tcorp),
+             |nttot AS (SELECT CAST(sum(ct) AS BIGINT) AS n FROM ttgt),
+             |doc AS (
+             |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             |    CAST(sum(length(bin(COALESCE(g.ct, 0) + 1)) - 1) AS BIGINT) AS bits_t,
+             |    CAST(sum(length(bin(c.cc)) - 1) AS BIGINT) AS bits_c
+             |  FROM tok t JOIN tcorp c USING (term) LEFT JOIN ttgt g USING (term)
+             |  GROUP BY t.doc_id)
+             |SELECT doc_id, n_tokens,
+             |  CAST(bits_t AS DOUBLE) / CAST(n_tokens AS DOUBLE) -
+             |  CAST(bits_c AS DOUBLE) / CAST(n_tokens AS DOUBLE) +
+             |  ((length(bin((SELECT n FROM ntot))) - 1) -
+             |   (length(bin((SELECT n FROM nttot))) - 1)) AS score
+             |FROM doc ORDER BY score DESC, doc_id ASC LIMIT 50""".stripMargin),
+    ),
+
     // X30 — INCREMENTAL dedup: the mutated every-20th-doc batch arrives
     // against the base corpus's precomputed band index; candidates are
     // batch×index + batch×batch only — the continuous-ingestion shape

@@ -214,6 +214,18 @@ class PlanSpec extends AnyFunSuite {
     graft.io.ArtifactCache.clear()
   }
 
+  test("DSIR selection broadcasts both unigram tables and plans top-k, not a global sort (X43)") {
+    graft.io.ArtifactCache.clear()
+    val plan = planOf(SparkEntry.queries("x43_dsir_select")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"x43 unigram tables no longer broadcast:\n${plan.linesIterator.take(25).mkString("\n")}")
+    assert(!plan.contains("SortMergeJoin"),
+      "collected-regime x43 must not shuffle the token stream for the vocab joins")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "x43's top-50 must be per-partition heads, not a global sort")
+    graft.io.ArtifactCache.clear()
+  }
+
   test("distributed prefix sum never plans a single-partition exchange (X28)") {
     // the whole point of the two-phase scan: no Window over
     // Exchange SinglePartition (the global-window scale cliff)

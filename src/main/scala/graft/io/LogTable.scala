@@ -670,6 +670,37 @@ object LogTable {
     }
   }
 
+  /** RESTORE (the Delta RESTORE / Iceberg rollback verb): roll the
+    * table's CONTENTS back to `toVersion` as one NEW commit — removes
+    * the current live files, re-adds the files live at `toVersion`,
+    * commits the schema of that snapshot. History stays intact (the
+    * restore itself is a version; the mistaken commits remain
+    * time-travelable until truncateHistory drops them), and the
+    * restored files are still on disk because vacuum never deletes a
+    * manifest-referenced file. Restoring below a truncation checkpoint
+    * fails loudly — those files are gone. A racer's commit conflicts
+    * via the full-range added-file rule (a restore supersedes anything
+    * that lands mid-flight; re-run recomputes the remove set). Returns
+    * (files, rows) of the restored snapshot. */
+  def restore(table: String, toVersion: Long): (Int, Long) = {
+    requireNotTruncated(table, toVersion)
+    def attempt(): (Int, Long) = {
+      val (headV, liveNow, _) = snapshotWithSchema(table, None)
+      require(toVersion >= 1 && toVersion <= headV,
+        s"restore($table): version $toVersion outside [1, $headV]")
+      val (_, liveThen, schemaThen) = snapshotWithSchema(table, Some(toVersion))
+      var result: Option[(Int, Long)] = None
+      commit(table, headV, adds = liveThen,
+        removes = liveNow.map(_.file),
+        reRun = () => result = Some(attempt()),
+        schema = schemaThen.map(_.json).getOrElse(""),
+        keyRange = Some((Long.MinValue, Long.MaxValue)),
+        keyCol = tableKeyCol(table).getOrElse(""))
+      result.getOrElse((liveThen.size, liveThen.map(_.rows).sum))
+    }
+    attempt()
+  }
+
   /** `INSERT OVERWRITE` / `mode("overwrite")`: replace the table's
     * contents with `df` as ONE VERSIONED commit — removes every live
     * file, adds the batch's. This is ordinary log history (time travel

@@ -147,6 +147,20 @@ private[v2] object LogProcedures {
         .createOrReplaceTempView(view)
       Seq(view, fromV, toV)
     },
+    // RESTORE (the Delta RESTORE / Iceberg rollback verb) from SQL:
+    // contents roll back to the named version as one NEW commit —
+    // history intact, the restore itself time-travelable, below-
+    // checkpoint versions refused loudly.
+    "restore" -> proc(
+      "restore",
+      "Roll the table's contents back to a version as one new commit " +
+        "(history intact; restoring below a truncation checkpoint fails)",
+      Array(param("table", StringType), param("version", LongType)),
+      new StructType().add("restored_files", LongType)
+        .add("restored_rows", LongType)) { in =>
+      val (files, rows) = LogTable.restore(resolve(in.getString(0)), in.getLong(1))
+      Seq(files.toLong, rows)
+    },
     // Commit-history observability (DESCRIBE HISTORY's role): one row
     // per version still in the log, straight from the manifests — zero
     // data file reads, and row count is bounded by the retention policy

@@ -785,6 +785,42 @@ class LogConnectorSpec extends AnyFunSuite {
         .option("asOfTimestamp", t1.toString).load(s"$wh/etl/t"))
   }
 
+  test("CALL system.restore rolls contents back as a new commit, history intact") {
+    val wh = Files.createTempDirectory("graft-logrst").toString
+    spark.conf.set("spark.sql.catalog.graftrst", classOf[LogCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftrst.warehouse", wh)
+    spark.sql("CREATE NAMESPACE graftrst.etl")
+    spark.sql("CREATE TABLE graftrst.etl.t (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('keyCol'='k')")
+    spark.sql("INSERT INTO graftrst.etl.t SELECT id, 'a' FROM range(0, 100)")
+    val goodV = LogTable.version(s"$wh/etl/t")
+    // two "mistaken" commits: a bad append and a destructive overwrite
+    spark.sql("INSERT INTO graftrst.etl.t SELECT id, 'oops' FROM range(500, 600)")
+    spark.sql("INSERT OVERWRITE graftrst.etl.t SELECT 1, 'wiped'")
+    assert(spark.sql("SELECT count(*) FROM graftrst.etl.t").head().getLong(0) == 1L)
+    val headBefore = LogTable.version(s"$wh/etl/t")
+    val r = spark.sql(s"CALL graftrst.system.restore('etl.t', $goodV)").collect()
+    assert(r.length == 1 && r.head.getLong(1) == 100L, s"restore summary: ${r.toSeq}")
+    // contents are the good snapshot again, via a NEW version
+    assert(LogTable.version(s"$wh/etl/t") == headBefore + 1)
+    assert(spark.sql("SELECT count(*) FROM graftrst.etl.t").head().getLong(0) == 100L)
+    assert(spark.sql("SELECT count(*) FROM graftrst.etl.t WHERE v = 'a'")
+      .head().getLong(0) == 100L)
+    // the mistaken history is STILL time-travelable (restore is not erasure)
+    assert(spark.sql(
+      s"SELECT count(*) FROM graftrst.etl.t VERSION AS OF $headBefore")
+      .head().getLong(0) == 1L)
+    // writes continue normally on top of the restore
+    spark.sql("INSERT INTO graftrst.etl.t SELECT 1000, 'after'")
+    assert(spark.sql("SELECT count(*) FROM graftrst.etl.t").head().getLong(0) == 101L)
+    // below a truncation checkpoint: loud refusal
+    spark.sql("CALL graftrst.system.truncate_history('etl.t', 0, 0)")
+    val e = intercept[Exception](
+      spark.sql(s"CALL graftrst.system.restore('etl.t', $goodV)").collect())
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(x => Option(x.getMessage).exists(_.contains("truncation"))), e.toString)
+  }
+
   test("LogCatalog procedures: CALL system.compact/vacuum/truncate_history run maintenance from SQL") {
     val wh = Files.createTempDirectory("graft-logproc").toString
     spark.conf.set("spark.sql.catalog.graftproc", classOf[LogCatalog].getName)

@@ -850,6 +850,25 @@ class LogTableSpec extends AnyFunSuite {
     assert(rows(LogTable.read(spark, t)) == Set((1L, "v1a"), (2L, "v2b"), (3L, "v2c")))
   }
 
+  test("overwriteAll supersedes a racing append: the racer's file does not survive the replace-all commit") {
+    val t = tmpTable()
+    LogTable.create(spark, t,
+      (1L to 10L).map(i => (i, s"base$i")).toDF("k", "v"), "k")
+    // the racer lands INSIDE the overwrite's read-compute-commit window;
+    // replace-all semantics = the serial order append→overwrite, so the
+    // racer's row must NOT survive (the full-range added-file conflict
+    // forces the re-run that refreshes the remove set)
+    LogTable.onCommitAttempt = () => {
+      LogTable.onCommitAttempt = () => ()
+      LogTable.append(spark, t, Seq((100L, "racer")).toDF("k", "v"), "k")
+    }
+    try LogTable.overwriteAll(spark, t,
+      Seq((1L, "new")).toDF("k", "v"), "k")
+    finally LogTable.onCommitAttempt = () => ()
+    assert(rows(LogTable.read(spark, t)) == Set((1L, "new")),
+      "replace-all must supersede the racing append's rows")
+  }
+
   // stage rows for commitStreamingEpoch: Spark-written parquet parts
   // moved into a fresh staging dir under the table's data root — the
   // exact layout the streaming sink's tasks produce

@@ -262,6 +262,41 @@ class LogSinkSpec extends AnyFunSuite {
     assert(LogTable.version(dst) > 0L && preMaintV > 0L)
   }
 
+  test("two concurrent streaming queries into one table: both land, neither sweeps the other's staging") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = Files.createTempDirectory("graft-logsink7").toString
+    val dst = s"$base/dst"
+    LogTable.create(spark, dst, Seq((0L, "seed")).toDF("k", "v"), "k")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val inA = MemoryStream[Long]
+    val inB = MemoryStream[Long]
+    def sinkOf(in: MemoryStream[Long], ckpt: String) =
+      in.toDF().withColumnRenamed("value", "k")
+        .withColumn("v", concat(lit("q"), col("k")))
+        .writeStream.format("graft-log")
+        .option("checkpointLocation", ckpt)
+        .option("keyCol", "k")
+        .start(dst)
+    val qA = sinkOf(inA, s"$base/ckptA")
+    val qB = sinkOf(inB, s"$base/ckptB")
+    try {
+      // both queries run epoch 0/1/... against the SAME table — the
+      // per-(query, epoch) staging dirs keep their parts apart, and the
+      // append commits serialize through the optimistic log
+      for (i <- 0 until 5) {
+        inA.addData((1000L + i * 10L) until (1000L + i * 10L + 10L): _*)
+        inB.addData((2000L + i * 10L) until (2000L + i * 10L + 10L): _*)
+        qA.processAllAvailable()
+        qB.processAllAvailable()
+      }
+    } finally { qA.stop(); qB.stop() }
+    val out = LogTable.read(spark, dst)
+    assert(out.count() == 101L, s"expected 1 seed + 50 + 50, got ${out.count()}")
+    assert(out.select("k").distinct().count() == 101L, "no duplicates, no losses")
+    assert(out.filter(col("k") >= 1000L && col("k") < 2000L).count() == 50L)
+    assert(out.filter(col("k") >= 2000L).count() == 50L)
+  }
+
   test("streaming sink bootstraps a missing table and requires a key column") {
     val base = Files.createTempDirectory("graft-logsink2").toString
     val src = s"$base/src"

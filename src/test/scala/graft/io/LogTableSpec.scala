@@ -934,5 +934,17 @@ class LogTableSpec extends AnyFunSuite {
     assert(!LogTable.commitStreamingEpoch(spark, t, s1r, f1r,
       LogTable.read(spark, t).schema, "k", "q1", 1L))
     assert(LogTable.read(spark, t).count() == 120L)
+    // RESTORE must not reset the watermark: rolling contents back is a
+    // data operation, and un-fencing acknowledged epochs would let a
+    // restarted stream double-append them onto the restored state
+    val preRestoreV = LogTable.version(t)
+    LogTable.restore(t, preRestoreV) // no-op restore (same content)
+    assert(LogTable.version(t) == preRestoreV + 1)
+    assert(LogTable.lastTxnEpoch(t, "q1").contains(1L),
+      "restore must preserve streaming txn watermarks")
+    val (s2r, f2r) = stage(t, (301L to 305L).map(i => (i, s"z-$i")).toDF("k", "v"))
+    assert(!LogTable.commitStreamingEpoch(spark, t, s2r, f2r,
+      LogTable.read(spark, t).schema, "k", "q1", 1L))
+    assert(LogTable.read(spark, t).count() == 120L)
   }
 }

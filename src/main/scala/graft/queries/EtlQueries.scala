@@ -54,6 +54,7 @@ object EtlQueries {
     })
   private val k17Setup = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val k18Setup = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val k19Setup = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   // A1 on fixtures: per-order refund totals.
   private def refundOrderTotals(s: org.apache.spark.sql.SparkSession, d: String) =
@@ -669,6 +670,42 @@ object EtlQueries {
              |WHERE o_orderdate < TIMESTAMP '1997-01-01'
              |  AND o_orderkey NOT IN (SELECT order_id FROM i)
              |UNION ALL SELECT * FROM i
+             |ORDER BY order_id""".stripMargin),
+    ),
+
+    // K19 — RESTORE under the oracle: a destructive mistake (overwrite
+    // with junk) is rolled back to the pinned good version through
+    // `CALL system.restore`, and the read-back must equal the good
+    // snapshot exactly — storage rollback is semantics-free. Idempotent
+    // across reps (each rep re-wrecks and re-restores to the SAME
+    // version; the good snapshot's manifests are never truncated), so
+    // the timed body is wreck + restore + read — a storage-op row like
+    // k11-k18. At 100 TB restore is manifest arithmetic: one commit
+    // re-listing the good snapshot's files, zero data movement.
+    QueryDef(
+      "k19_restore",
+      (s, d) => {
+        val setup = k19Setup.computeIfAbsent(d, dir => {
+          val name = mergeCatalogFor(s, dir)
+          Tables.orders(s, dir)
+            .filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+            .select(
+              col("o_orderkey").as("order_id"),
+              col("o_orderstatus").as("status"))
+            .repartitionByRange(4, col("order_id"))
+            .createOrReplaceTempView("k19_base")
+          s.sql(s"CREATE TABLE $name.etl.restore_orders " +
+            "TBLPROPERTIES ('keyCol'='order_id') AS SELECT * FROM k19_base")
+          val wh = s.conf.get(s"spark.sql.catalog.$name.warehouse")
+          s"$name:${graft.io.LogTable.version(s"$wh/etl/restore_orders")}"
+        })
+        val Array(cat, goodV) = setup.split(":")
+        s.sql(s"INSERT OVERWRITE $cat.etl.restore_orders SELECT 0, 'JUNK'")
+        s.sql(s"CALL $cat.system.restore('etl.restore_orders', $goodV)")
+        s.sql(s"SELECT * FROM $cat.etl.restore_orders").orderBy("order_id")
+      },
+      Some("""SELECT o_orderkey AS order_id, o_orderstatus AS status
+             |FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
              |ORDER BY order_id""".stripMargin),
     ),
 

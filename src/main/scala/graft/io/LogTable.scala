@@ -551,18 +551,27 @@ object LogTable {
     * would have seen — the LAST version committed at or before it.
     * Before-creation timestamps fail loudly (there is no snapshot to
     * serve; silently serving v1 would invent history). Commit times are
-    * monotone in version order by construction (single filesystem
-    * clock); ties resolve to the highest version, matching "what was
+    * MONOTONIZED here, not trusted raw: each manifest's ts is stamped by
+    * whichever process commits, so concurrent writers on skewed clocks
+    * (or an NTP step-back between commits) can record ts(v+1) < ts(v) —
+    * resolving against the raw values would answer inconsistently
+    * (a later instant mapping to an EARLIER version). Folding
+    * max(ts, prev) over version order — the Delta resolution rule —
+    * restores the invariant every reader assumes: version order IS time
+    * order. Ties resolve to the highest version, matching "what was
     * live at that instant". */
   def versionAtTimestamp(table: String, tsMillis: Long): Long = {
     val ms = manifests(table)
     require(ms.nonEmpty, s"versionAtTimestamp($table): table does not exist")
-    val at = ms.filter(m => commitTs(table, m) <= tsMillis)
+    val monotone = ms.scanLeft(0L) { (prev, m) =>
+      math.max(prev, commitTs(table, m))
+    }.tail
+    val at = ms.zip(monotone).filter { case (_, ts) => ts <= tsMillis }
     if (at.isEmpty) throw new IllegalArgumentException(
       s"versionAtTimestamp($table): $tsMillis predates the earliest " +
-        s"surviving commit (${commitTs(table, ms.head)} at v${ms.head.version}) " +
+        s"surviving commit (${monotone.head} at v${ms.head.version}) " +
         "— nothing was live then (or that history was truncated)")
-    at.map(_.version).max
+    at.map(_._1.version).max
   }
 
   /** The appId is a manifest JSON key: structural characters would let
@@ -1605,9 +1614,15 @@ object LogTable {
           // entry create/delete, not while a long part write streams
           // into an existing file — checking entries keeps an active
           // writer's dir young for the whole write)
+          // With graceMillis <= 0 the age predicate would short-circuit
+          // to true and sweep an ACTIVELY-WRITING epoch's staging dir —
+          // so staging dirs are only candidates under a positive grace.
+          // (Orphan .parquet FILES still sweep at grace 0: they are
+          // referenced-set checked, not age-guessed. Crashed writers'
+          // staging debris waits for the first graced vacuum.)
           dirs.filter { p =>
-            p.getFileName.toString.startsWith(".staging-") && {
-              graceMillis <= 0L || {
+            p.getFileName.toString.startsWith(".staging-") &&
+              graceMillis > 0L && {
                 // a concurrently-committing writer may delete entries
                 // (or the dir) mid-listing: any vanished path reads as
                 // "active just now" — skip the dir, never crash vacuum
@@ -1620,13 +1635,19 @@ object LogTable {
                   newest <= cutoff
                 } catch { case _: java.io.IOException => false }
               }
-            }
           })
       } finally it.close()
     staleStaging.foreach { d =>
-      val ls = Files.list(d)
-      try ls.iterator().asScala.foreach(Files.deleteIfExists(_)) finally ls.close()
-      Files.deleteIfExists(d)
+      // same race on the DELETION side: the dir's owner may sweep it (or
+      // add a part) between our listing and these deletes —
+      // NoSuchFileException / DirectoryNotEmptyException mean "someone
+      // else is handling it", never a reason to crash the whole vacuum
+      // (truncateHistory calls through here too)
+      try {
+        val ls = Files.list(d)
+        try ls.iterator().asScala.foreach(Files.deleteIfExists(_)) finally ls.close()
+        Files.deleteIfExists(d)
+      } catch { case _: java.io.IOException => () }
     }
     orphans.map { p => Files.deleteIfExists(p); p.getFileName.toString }
   }
@@ -1724,6 +1745,21 @@ object LogTable {
             val ours = org.apache.spark.sql.types.DataType
               .fromJson(committedSchema)
               .asInstanceOf[org.apache.spark.sql.types.StructType]
+            // same-name/different-type is a REAL conflict, not a merge:
+            // serial execution would fail addColumns' cannot-re-add check
+            // loudly, so the race must too — keeping the head's field and
+            // dropping ours would silently change the loser's committed
+            // type (ADD COLUMN x LONG racing ADD COLUMN x INT)
+            val headTypes = head.fields.map(f => f.name -> f.dataType).toMap
+            ours.fields.foreach { f =>
+              headTypes.get(f.name).filter(_ != f.dataType).foreach { ht =>
+                throw new IllegalStateException(
+                  s"LogTable commit on $table: schema conflict with a racing " +
+                    s"commit — column '${f.name}' is $ht at the head but " +
+                    s"${f.dataType} in this commit; neither serial order " +
+                    "allows both")
+              }
+            }
             val headNames = head.fieldNames.toSet
             val merged = org.apache.spark.sql.types.StructType(
               head.fields ++ ours.fields.filterNot(f => headNames(f.name)))

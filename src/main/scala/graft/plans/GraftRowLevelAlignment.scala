@@ -160,13 +160,20 @@ object GraftRowLevelAlignment extends Rule[LogicalPlan] {
     * instead of raising the column-count mismatch SQL requires. */
   private def requireArity(
       tableName: String, query: LogicalPlan, tableAttrs: Seq[Attribute]): Unit =
-    if (query.output.length != tableAttrs.length)
+    if (query.output.length != tableAttrs.length) {
+      // pick the subclass by direction: an overlong SELECT reported as
+      // "not enough data columns" sends the user hunting for a missing
+      // column they actually have one too many of
+      val subclass =
+        if (query.output.length > tableAttrs.length) "TOO_MANY_DATA_COLUMNS"
+        else "NOT_ENOUGH_DATA_COLUMNS"
       throw new org.apache.spark.sql.AnalysisException(
-        errorClass = "INSERT_COLUMN_ARITY_MISMATCH.NOT_ENOUGH_DATA_COLUMNS",
+        errorClass = s"INSERT_COLUMN_ARITY_MISMATCH.$subclass",
         messageParameters = Map(
           "tableName" -> tableName,
           "tableColumns" -> tableAttrs.map(_.name).mkString(", "),
           "dataColumns" -> query.output.map(_.name).mkString(", ")))
+    }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan resolveOperators {
     case a: AppendData

@@ -180,9 +180,14 @@ class LogStreamingWriterFactory(
       partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] = {
     // deterministic per (query, epoch), created lazily by the first
     // task that reaches it (createDirectories is idempotent); lives
-    // under data/ so the registration move stays atomic
+    // under data/ so the registration move stays atomic. The FULL
+    // queryId (a UUID, filesystem-safe) is the key, not its 32-bit
+    // hash: two queries colliding on the hash at the same epoch number
+    // would share a dir, and one query's post-commit sweep would delete
+    // the other's in-flight parts — the exact failure per-query dirs
+    // exist to prevent.
     val staging = java.nio.file.Paths.get(tablePath, "data",
-      s".staging-q${math.abs(queryId.hashCode).toHexString}-epoch-$epochId")
+      s".staging-q$queryId-epoch-$epochId")
     java.nio.file.Files.createDirectories(staging)
     new LogGroupDataWriter(staging.toString, schemaJson,
       partitionId, taskId)

@@ -947,4 +947,81 @@ class LogTableSpec extends AnyFunSuite {
       LogTable.read(spark, t).schema, "k", "q1", 1L))
     assert(LogTable.read(spark, t).count() == 120L)
   }
+
+  test("TIMESTAMP AS OF resolution monotonizes skewed commit clocks") {
+    // ts is stamped by whichever process commits: a writer on a fast
+    // clock (or an NTP step-back between commits) can record
+    // ts(v2) > ts(v3). Resolution must fold max(ts, prev) over version
+    // order — otherwise an instant can map to a version whose
+    // PREDECESSOR claims to be in the future, and increasing instants
+    // can answer non-monotone versions.
+    val t = tmpTable()
+    LogTable.create(spark, t, Seq((1L, "a")).toDF("k", "v"), "k")
+    Thread.sleep(5)
+    LogTable.upsert(spark, t, Seq((2L, "b")).toDF("k", "v"), "k")
+    Thread.sleep(5)
+    LogTable.upsert(spark, t, Seq((3L, "c")).toDF("k", "v"), "k")
+    val v3RawTs = LogTable.history(t).find(_.version == 3L).get.commitTsMillis
+    // skew v2's stamp one hour into the future, as a fast-clock writer would
+    val m2 = Paths.get(t, "_log", "v00000002.json")
+    val skewed = v3RawTs + 3600L * 1000L
+    Files.writeString(m2,
+      Files.readString(m2).replaceFirst(""""ts":\d+""", s""""ts":$skewed"""))
+    // raw resolution would answer v3 at v3's own stamp while v2 "is in
+    // the future" — inconsistent (a snapshot includes its predecessors).
+    // Monotonized, v2 AND v3 both resolve at the skewed instant.
+    assert(LogTable.versionAtTimestamp(t, v3RawTs) == 1L,
+      "an instant before the monotonized clock of v2/v3 must serve v1")
+    assert(LogTable.versionAtTimestamp(t, skewed) == 3L,
+      "at the skewed instant the head is live (ties -> highest version)")
+    // monotone: increasing instants never answer a decreasing version
+    val instants = Seq(v3RawTs - 10L, v3RawTs, skewed - 1L, skewed, skewed + 10L)
+      .filter(i => i >= LogTable.history(t).head.commitTsMillis)
+    val answers = instants.map(LogTable.versionAtTimestamp(t, _))
+    assert(answers == answers.sorted,
+      s"non-monotone resolution: $instants -> $answers")
+  }
+
+  test("grace-0 vacuum never sweeps a .staging- dir (active-writer guard)") {
+    // with graceMillis <= 0 the age predicate would short-circuit true
+    // and delete an ACTIVELY-WRITING epoch's staging dir mid-write; the
+    // sweep must skip staging dirs entirely at grace 0 and only collect
+    // them once a positive grace window says they are debris
+    val t = tmpTable()
+    LogTable.create(spark, t, Seq((1L, "a")).toDF("k", "v"), "k")
+    val staging = Paths.get(t, "data", ".staging-qLIVE-epoch-7")
+    Files.createDirectories(staging)
+    Files.write(staging.resolve("part-0.parquet"), Array[Byte](1, 2, 3))
+    LogTable.vacuum(t) // grace 0: orphan FILES sweep, staging dirs never
+    assert(Files.exists(staging.resolve("part-0.parquet")),
+      "grace-0 vacuum deleted an in-flight staging part")
+    Thread.sleep(30)
+    LogTable.vacuum(t, graceMillis = 1L) // graced: now it is debris
+    assert(!Files.exists(staging), "graced vacuum left stale staging debris")
+  }
+
+  test("racing ADD COLUMNs of one name with different types fail loudly, not silently retyped") {
+    // serial execution fails the second add with cannot-re-add; the
+    // commit loop's re-claim schema merge must preserve that outcome —
+    // keeping the head's field and dropping the loser's type would
+    // silently commit a schema the loser never wrote
+    val t = tmpTable()
+    LogTable.create(spark, t, Seq((1L, "a")).toDF("k", "v"), "k")
+    LogTable.onCommitAttempt = () => {
+      LogTable.onCommitAttempt = () => ()
+      LogTable.addColumns(spark, t, Seq(
+        org.apache.spark.sql.types.StructField("x",
+          org.apache.spark.sql.types.LongType)))
+    }
+    val e =
+      try intercept[IllegalStateException] {
+        LogTable.addColumns(spark, t, Seq(
+          org.apache.spark.sql.types.StructField("x",
+            org.apache.spark.sql.types.IntegerType)))
+      } finally LogTable.onCommitAttempt = () => ()
+    assert(e.getMessage.contains("schema conflict"), e.getMessage)
+    // the winner's type stands; the table is not poisoned
+    val schema = LogTable.read(spark, t).schema
+    assert(schema("x").dataType == org.apache.spark.sql.types.LongType)
+  }
 }

@@ -514,12 +514,21 @@ class LogConnectorSpec extends AnyFunSuite {
     assert(Iterator.iterate(arity: Throwable)(_.getCause).takeWhile(_ != null)
       .exists(x => Option(x.getMessage).exists(
         _.contains("INSERT_COLUMN_ARITY_MISMATCH"))), arity.toString)
+    // and the subclass names the actual direction: an overlong SELECT is
+    // "too many", not "not enough" (the misleading message sends the user
+    // hunting for a column they have one too many of)
+    assert(Iterator.iterate(arity: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(x => Option(x.getMessage).exists(
+        _.contains("TOO_MANY_DATA_COLUMNS"))), arity.toString)
     assert(spark.sql("SELECT * FROM graftpos.etl.t").schema.length == 2)
     val arity2 = intercept[Exception](
       spark.sql("INSERT INTO graftpos.etl.t SELECT 1"))
     assert(Iterator.iterate(arity2: Throwable)(_.getCause).takeWhile(_ != null)
       .exists(x => Option(x.getMessage).exists(
         _.contains("INSERT_COLUMN_ARITY_MISMATCH"))), arity2.toString)
+    assert(Iterator.iterate(arity2: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(x => Option(x.getMessage).exists(
+        _.contains("NOT_ENOUGH_DATA_COLUMNS"))), arity2.toString)
   }
 
   test("SQL DELETE FROM rewrites only admitted files; TRUNCATE keeps the table") {

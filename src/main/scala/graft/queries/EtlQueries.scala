@@ -55,6 +55,7 @@ object EtlQueries {
   private val k17Setup = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val k18Setup = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val k19Setup = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val k20Setup = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   // A1 on fixtures: per-order refund totals.
   private def refundOrderTotals(s: org.apache.spark.sql.SparkSession, d: String) =
@@ -707,6 +708,49 @@ object EtlQueries {
       Some("""SELECT o_orderkey AS order_id, o_orderstatus AS status
              |FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
              |ORDER BY order_id""".stripMargin),
+    ),
+
+    // K20 — the reference's join-driven UPDATE (K5/J5: flag rows whose
+    // key appears in a probe set, run.py:88-94) as plain SQL `UPDATE`
+    // through the LogCatalog — the last row-level verb without its own
+    // oracle row (k17 MERGE, k18 NMBS, k19 RESTORE). The probe is an
+    // IN-subquery over the returned lineitems; Spark plans the
+    // group-filter subquery (DISTINCT `_file` of condition-matching
+    // rows, via SupportsRuntimeV2Filtering on the `_file` metadata
+    // column) so only files holding matched keys rewrite —
+    // LogConnectorSpec pins that pruning shape. Idempotent across bench
+    // reps: the condition keys off the immutable order_id, so every rep
+    // rewrites the same groups to the same image (storage-op facet row:
+    // the timed body is an UPDATE commit + read-back).
+    QueryDef(
+      "k20_catalog_update",
+      (s, d) => {
+        val cat = k20Setup.computeIfAbsent(d, dir => {
+          val name = mergeCatalogFor(s, dir)
+          Tables.orders(s, dir)
+            .select(
+              col("o_orderkey").as("order_id"),
+              col("o_orderstatus").as("status"))
+            .repartitionByRange(8, col("order_id"))
+            .createOrReplaceTempView("k20_base")
+          s.sql(s"CREATE TABLE $name.etl.upd_orders " +
+            "TBLPROPERTIES ('keyCol'='order_id') AS SELECT * FROM k20_base")
+          name
+        })
+        Tables.lineitem(s, d)
+          .filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey").as("order_id"))
+          .createOrReplaceTempView("k20_returned")
+        s.sql(s"""UPDATE $cat.etl.upd_orders SET status = 'RETURNED'
+                 |WHERE order_id IN (SELECT order_id FROM k20_returned)""".stripMargin)
+        s.sql(s"SELECT order_id, status FROM $cat.etl.upd_orders")
+          .orderBy("order_id")
+      },
+      Some("""SELECT o_orderkey AS order_id,
+             |       CASE WHEN o_orderkey IN (
+             |         SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+             |       THEN 'RETURNED' ELSE o_orderstatus END AS status
+             |FROM orders ORDER BY order_id""".stripMargin),
     ),
 
     // K4/K6 — column alignment / schema migration: missing columns appear

@@ -387,6 +387,124 @@ object Corpus {
     }
   }
 
+  /** Duplicate-SPAN scrub — the published "deduplicating training data"
+    * transform at n-gram granularity (Lee et al. 2022 remove duplicated
+    * substrings from the kept documents, not just duplicated documents):
+    * count sliding n-token grams corpus-wide, call a gram FREQUENT at
+    * `minCount` occurrences, and delete every token covered by at least
+    * one frequent-gram occurrence, reassembling each document from the
+    * surviving tokens in order. [[boilerplateLines]] is the same
+    * mechanic over disjoint fixed-width units; here the units OVERLAP
+    * (stride 1), so removal is by position coverage, not unit identity —
+    * a token survives only when none of the ≤n gram windows containing
+    * it is frequent.
+    *
+    * Scale shape, two phases sharing ONE tokenize+md5 pass (the gram
+    * hashes are computed once into the checkpointed projection; both the
+    * counting exchange and the rebuild read them):
+    *   1. counting — explode the per-doc gram-hash arrays and ONE
+    *      combinable groupBy counts 60-bit hashes; the exchange carries
+    *      8-byte longs, never gram text, linear in corpus token count;
+    *   2. rebuild — regime by MEASURED frequent-set size
+    *      ([[graft.io.Regime.collectIfSmall]]): under the bound each doc
+    *      filters row-locally against the collected hash set (frequent
+    *      START positions first, then one positional coverage scan —
+    *      O(len·|starts|) per row, zero extra shuffle); past it the
+    *      exploded (id, start, hash) triples semi-join the frequent
+    *      frame, fold to one small per-doc start set, and the same
+    *      row-local coverage filter runs against the joined set — the
+    *      only shuffle that carries more than hashes is the final
+    *      doc⋈starts join, and start sets are per-doc small by the same
+    *      argument as [[boilerplateLines]]' dropped sets.
+    *
+    * Returns (id, clean_text, n_kept, n_removed); every input document
+    * appears (a fully-duplicated doc keeps an empty clean_text).
+    * `cacheKey` amortizes the frequent-set build per corpus snapshot. */
+  def scrubDupSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, minCount: Long,
+      cacheKey: Option[String] = None): DataFrame = {
+    require(n >= 1 && minCount >= 1, "n and minCount must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // gram hashes computed ONCE into the projection both phases read;
+    // sequence(1, 0) would descend, so short docs guard to an empty array
+    def gramHashesOf(toks: Column): Column =
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - lit(n - 1)),
+          s => Dedup.shingleHash60(array_join(slice(toks, s, lit(n)), " "))))
+        .otherwise(array().cast("array<long>"))
+    val toksRaw = graft.util.Partitioning.fanOut(df)
+      .select(col(idCol).as("id"),
+        split(coalesce(col(textCol), lit("")), " ").as("_toks"))
+      .select(col("id"), col("_toks"), gramHashesOf(col("_toks")).as("_gh"))
+    lazy val toksCp = toksRaw.localCheckpoint(false)
+    def freqOf: DataFrame =
+      toksCp.select(explode(col("_gh")).as("gh"))
+        .groupBy("gh").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= minCount)
+        .select("gh")
+    val key = cacheKey.getOrElse(s"dupspan:anon:${System.identityHashCode(df)}")
+    val cachedAlready = cacheKey.isDefined && graft.io.ArtifactCache.keys.contains(key)
+    def build: Either[IndexedSeq[Long], DataFrame] = {
+      val cp = freqOf.persist()
+      graft.io.Regime.collectIfSmall(key, cp)
+        .map { rows => cp.unpersist(); rows.map(_.getLong(0)) }
+        .toLeft(cp)
+    }
+    val artifact = cacheKey match {
+      case Some(_) =>
+        graft.io.ArtifactCache.getOrBuild(key)(build) match {
+          case Right(f) if !graft.io.Regime.servable(f, spark) =>
+            graft.io.ArtifactCache.invalidate(key)
+            graft.io.ArtifactCache.getOrBuild(key)(build)
+          case ok => ok
+        }
+      case None => build
+    }
+    // row-local coverage rebuild against a per-row start set: position i
+    // is removed when some frequent gram STARTS in [i-n+1, i]
+    def rebuilt(src: DataFrame, startsOf: Column): DataFrame = src
+      .withColumn("_starts", startsOf)
+      .select(col("id"), col("_toks"),
+        filter(
+          sequence(lit(1), size(col("_toks"))),
+          i => !exists(col("_starts"),
+            s => s <= i && i <= s + lit(n - 1))).as("_keptPos"))
+      .select(col("id"),
+        array_join(
+          transform(col("_keptPos"), i => element_at(col("_toks"), i)),
+          " ").as("clean_text"),
+        size(col("_keptPos")).cast("long").as("n_kept"),
+        (size(col("_toks")) - size(col("_keptPos"))).cast("long").as("n_removed"))
+    artifact match {
+      case Left(hashes) =>
+        // frequent set rides into the task as one array literal (bounded
+        // by the Regime row cap, same contract as boilerplateLines)
+        val freqArr = lit(hashes.toArray)
+        // sequence(1, 0) DESCENDS — short docs (empty _gh) guard to an
+        // empty start set instead
+        rebuilt(
+          if (cachedAlready) toksRaw else toksCp,
+          when(size(col("_gh")) > 0,
+            filter(sequence(lit(1), size(col("_gh"))),
+              s => array_contains(freqArr, element_at(col("_gh"), s))))
+            .otherwise(array().cast("array<int>")))
+      case Right(freq) =>
+        // distributed: (id, start, hash) triples semi-join the frequent
+        // frame (8-byte exchange), fold to per-doc start sets, join back
+        val ex = toksCp
+          .select(col("id"), posexplode(col("_gh")).as(Seq("_p", "_h")))
+          .select(col("id"), (col("_p") + 1).as("s"), col("_h"))
+        val startsPerDoc = ex
+          .join(freq, col("_h") === col("gh"), "left_semi")
+          .groupBy("id").agg(collect_set(col("s")).as("_fstarts"))
+        rebuilt(
+          toksCp.join(startsPerDoc, Seq("id"), "left"),
+          coalesce(col("_fstarts"), array().cast("array<int>")))
+    }
+  }
+
   /** End-to-end curation pass: quality gate → exact dedup (keep the
     * lowest id per distinct content) → fixed-window chunking — the "raw
     * corpus in, training chunks out" composition a data pipeline actually

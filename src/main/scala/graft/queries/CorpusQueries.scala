@@ -684,5 +684,56 @@ object CorpusQueries {
              |  CAST(count(CASE WHEN is_freq THEN 1 END) AS BIGINT) AS n_dropped
              |FROM marked GROUP BY id ORDER BY id""".stripMargin),
     ),
+
+    // X44 — duplicate-SPAN scrub (the Lee et al. 2022 transform: remove
+    // duplicated SUBSTRINGS from kept documents, the step beyond x5/x20
+    // document-level dedup and beyond x23's measurement): sliding
+    // 5-token grams counted corpus-wide, any token covered by a gram
+    // occurring >= 2 times is deleted, docs reassemble from survivors in
+    // order. The corpus plants exact +30000 copies of every 20th doc, so
+    // planted pairs scrub to empty while organic docs lose only
+    // genuinely repeated spans. Counting exchanges carry 60-bit hashes
+    // only; the rebuild is row-local positional coverage under the
+    // Regime bound (Corpus.scrubDupSpans; cross-regime identity is
+    // spec-pinned like x40's).
+    QueryDef(
+      "x44_dup_span_scrub",
+      (s, d) => {
+        val base = Tables.documents(s, d)
+        val corpus = base.select(col("doc_id").as("id"), col("text"))
+          .unionByName(base.filter(col("doc_id") % 20 === 0)
+            .select((col("doc_id") + 30000).as("id"), col("text")))
+        Corpus.scrubDupSpans(corpus, "id", "text", n = 5, minCount = 2,
+            cacheKey = Some(s"dupspan:dup20:5x2:$d"))
+          .orderBy("id")
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id AS id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 30000, text FROM documents WHERE doc_id % 20 = 0),
+             |toks AS (SELECT id, string_split(text, ' ') AS t FROM corpus),
+             |grams AS (
+             |  SELECT id, s,
+             |    CAST('0x' || substr(md5(array_to_string(t[s:s+4], ' ')), 1, 15)
+             |         AS BIGINT) AS gh
+             |  FROM (SELECT id, t, unnest(generate_series(1, len(t) - 4)) AS s
+             |        FROM toks WHERE len(t) >= 5)),
+             |freq AS (SELECT gh FROM grams GROUP BY gh HAVING count(*) >= 2),
+             |starts AS (SELECT g.id, g.s FROM grams g JOIN freq USING (gh)),
+             |pos AS (
+             |  SELECT id, unnest(generate_series(1, len(t))) AS i, t FROM toks),
+             |kept AS (
+             |  SELECT p.id, p.i, p.t[p.i] AS tok FROM pos p
+             |  WHERE NOT EXISTS (SELECT 1 FROM starts st
+             |                    WHERE st.id = p.id
+             |                      AND p.i BETWEEN st.s AND st.s + 4))
+             |SELECT x.id,
+             |  coalesce(string_agg(k.tok, ' ' ORDER BY k.i), '') AS clean_text,
+             |  CAST(count(k.tok) AS BIGINT) AS n_kept,
+             |  CAST(x.len_t - count(k.tok) AS BIGINT) AS n_removed
+             |FROM (SELECT id, len(t) AS len_t FROM toks) x
+             |LEFT JOIN kept k USING (id)
+             |GROUP BY x.id, x.len_t ORDER BY x.id""".stripMargin),
+    ),
   )
 }

@@ -194,4 +194,62 @@ class CorpusSpec extends AnyFunSuite {
     assert(distributed == rowLocal,
       "exploded-join rebuild drifted from the row-local filter")
   }
+
+  test("scrubDupSpans removes only covered positions; exact copies scrub to empty") {
+    val df = Seq(
+      (1L, "p q r s t a b c"), // shares 5-gram "p q r s t" with doc 2
+      (2L, "p q r s t d e f"), // -> first 5 tokens of both are covered
+      (3L, "g h i j k l m n"), // all grams unique -> untouched
+      (4L, "z z z"),           // shorter than n -> no grams, untouched
+      (5L, "w1 w2 w3 w4 w5 w6"), // exact copy of 6...
+      (6L, "w1 w2 w3 w4 w5 w6"), // ...both scrub to empty
+    ).toDF("id", "text")
+    val out = Corpus.scrubDupSpans(df, "id", "text", n = 5, minCount = 2)
+      .orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("clean_text"),
+        r.getAs[Long]("n_kept"), r.getAs[Long]("n_removed"))).toSeq
+    assert(out == Seq(
+      (1L, "a b c", 3L, 5L),
+      (2L, "d e f", 3L, 5L),
+      (3L, "g h i j k l m n", 8L, 0L),
+      (4L, "z z z", 3L, 0L),
+      (5L, "", 0L, 6L),
+      (6L, "", 0L, 6L)))
+  }
+
+  test("scrubDupSpans: overlapping coverage unions, order preserved across gaps") {
+    // docs 1/2 share the gram at positions 1..5 AND 4..8 (overlap): the
+    // union covers 1..8, so only the tail survives — coverage is by
+    // position, not by whole-gram removal (tokens inside two frequent
+    // windows delete once)
+    val df = Seq(
+      (1L, "a b c d e f g h tail1 x"),
+      (2L, "a b c d e f g h tail2 y"),
+    ).toDF("id", "text")
+    val out = Corpus.scrubDupSpans(df, "id", "text", n = 5, minCount = 2)
+      .orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("clean_text"),
+        r.getAs[Long]("n_kept"), r.getAs[Long]("n_removed"))).toSeq
+    // grams starting at 1..4 are shared (both docs), positions 1..8
+    // covered; grams containing tail1/tail2 differ per doc -> kept
+    assert(out == Seq(
+      (1L, "tail1 x", 2L, 8L),
+      (2L, "tail2 y", 2L, 8L)))
+  }
+
+  test("scrubDupSpans: distributed rebuild (forced bound) is value-identical to row-local") {
+    val df = (1L to 40L).map { i =>
+      (i, s"plant gram one two five $i alpha$i beta$i gamma$i delta$i")
+    }.toDF("id", "text")
+    def run(tag: String) = Corpus.scrubDupSpans(df, "id", "text", n = 5,
+        minCount = 10, cacheKey = Some(s"spec-dupspan:$tag"))
+      .orderBy("id").collect().map(_.toString).toSeq
+    val rowLocal = run("collected")
+    assert(graft.io.Regime.lastDecision.get("spec-dupspan:collected") == "collected")
+    assert(rowLocal.nonEmpty && rowLocal.forall(!_.contains("plant gram one two five")))
+    val distributed = withBound(0)(run("distributed"))
+    assert(graft.io.Regime.lastDecision.get("spec-dupspan:distributed") == "distributed")
+    assert(distributed == rowLocal,
+      "exploded-join span rebuild drifted from the row-local coverage filter")
+  }
 }

@@ -59,9 +59,12 @@ class LogTableProvider extends TableProvider with DataSourceRegister {
       throw new IllegalArgumentException(
         "graft-log: a table path is required — spark.read.format(\"graft-log\").load(<path>)"))
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    LogTableProvider.schemaOf(pathOf(options),
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val base = LogTableProvider.schemaOf(pathOf(options),
       LogTableProvider.asOf(options, pathOf(options)))
+    if (LogTableProvider.cdfOf(options)) LogTableProvider.withCdfColumns(base)
+    else base
+  }
 
   override def getTable(
       schema: StructType,
@@ -69,7 +72,8 @@ class LogTableProvider extends TableProvider with DataSourceRegister {
       properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
     new LogTableTable(pathOf(opts), schema,
-      LogTableProvider.asOf(opts, pathOf(opts)))
+      LogTableProvider.asOf(opts, pathOf(opts)),
+      cdf = LogTableProvider.cdfOf(opts))
   }
 }
 
@@ -115,6 +119,25 @@ object LogTableProvider {
   private val tsCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Long]()
 
+  /** Change-feed column names (the Delta CDF vocabulary): present as
+    * ordinary trailing schema fields when `readChangeFeed` is set. */
+  private[v2] val ChangeTypeCol = "_change_type"
+  private[v2] val CommitVersionCol = "_commit_version"
+
+  private[v2] def cdfOf(options: CaseInsensitiveStringMap): Boolean =
+    Option(options.get("readChangeFeed")).exists(_.toBoolean)
+
+  private[v2] def withCdfColumns(base: StructType): StructType = {
+    Seq(ChangeTypeCol, CommitVersionCol).foreach { reserved =>
+      require(!base.fieldNames.exists(_.equalsIgnoreCase(reserved)),
+        s"graft-log readChangeFeed: the table carries a data column named " +
+          s"'$reserved' — the change feed reserves it")
+    }
+    StructType(base.fields :+
+      StructField(ChangeTypeCol, StringType, nullable = false) :+
+      StructField(CommitVersionCol, LongType, nullable = false))
+  }
+
   /** The committed schema at the snapshot — parquet inference only for
     * pre-evolution tables (manifests without a schema), empty for an
     * empty table. Reported all-NULLABLE, as Spark's own file sources
@@ -137,7 +160,9 @@ object LogTableProvider {
   }
 }
 
-class LogTableTable(path: String, tableSchema: StructType, asOf: Option[Long])
+class LogTableTable(
+    path: String, tableSchema: StructType, asOf: Option[Long],
+    cdf: Boolean = false)
     extends Table
     with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
@@ -295,13 +320,19 @@ class LogTableTable(path: String, tableSchema: StructType, asOf: Option[Long])
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
       TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE,
       TableCapability.ACCEPT_ANY_SCHEMA)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val skip = Option(options.get("skipChangeCommits")).exists(_.toBoolean)
+    require(!(cdf && skip),
+      "graft-log: readChangeFeed and skipChangeCommits conflict — the " +
+        "change feed SERVES change commits; skipping them would silently " +
+        "drop acknowledged changes")
     new LogTableScanBuilder(path, tableSchema, asOf,
       startingVersion = Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L),
-      skipChangeCommits =
-        Option(options.get("skipChangeCommits")).exists(_.toBoolean),
+      skipChangeCommits = skip,
       maxVersionsPerTrigger =
-        Option(options.get("maxVersionsPerTrigger")).map(_.toLong))
+        Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
+      cdf = cdf)
+  }
 
   /** Append write path — `df.write.format("graft-log").mode("append")
     * .save(path)` — bridged to [[LogTable.append]] through the V1
@@ -534,6 +565,7 @@ class LogTableScanBuilder(
     path: String, tableSchema: StructType, asOf: Option[Long],
     startingVersion: Long = 0L, skipChangeCommits: Boolean = false,
     maxVersionsPerTrigger: Option[Long] = None,
+    cdf: Boolean = false,
     // row-level operations pin ONE snapshot across their search scan and
     // group-replacement write; plain reads pin per scan build
     pinnedSnapshot: Option[Seq[LogTable.FileEntry]] = None,
@@ -793,11 +825,54 @@ class LogTableScanBuilder(
         s"pushed=${pushed.mkString(",")}, columns=${required.fieldNames.mkString(",")})"
 
     override def planInputPartitions(): Array[InputPartition] = {
+      if (cdf) {
+        // batch change feed over (startingVersion, asOf|head]: same
+        // exclusive lower bound as the streaming offset, so a stream
+        // checkpointed at v resumes exactly where a batch read to v ends
+        val toV = asOf.getOrElse(LogTable.version(path))
+        return cdfPartitions(startingVersion, toV)
+      }
       LogTableScan.lastTotalFiles.set(snapshot.size)
       LogTableScan.lastPlannedFiles.set(kept.size)
       kept.map(f => LogFilePartition(
         LogTable.dataDir(path).resolve(f.file).toString,
         required.json, fileColIsMeta): InputPartition).toArray
+    }
+
+    /** Retraction-feed planning shared by the batch and streaming change
+      * feeds: versions in (fromV, toV], ascending, each commit serving
+      * its REMOVED files' rows as `delete` images and its ADDED files'
+      * rows as `insert` images. This is the classic retraction changelog
+      * (coarser than [[LogTable.changes]]' keyed image diff — a rewrite
+      * re-emits its file's unchanged rows as delete+insert pairs, which
+      * cancel under multiset apply), and it is the shape that scales:
+      * ZERO joins, file-granular tasks, plans from manifests alone.
+      * Consumers order by (_commit_version, _change_type) per key;
+      * checkpoint manifests re-list history and carry no change — they
+      * are skipped. Removed files are history-referenced, so vacuum
+      * retains them; a feed window below a truncateHistory cut fails at
+      * read time (file gone), same retention trade as the published
+      * formats' CDF. Stats pruning applies to ADD files only (removes
+      * carry no stats — conservatively served; every pushed filter is
+      * residual, so Spark's row-level re-apply keeps the returned rows
+      * exact either way). */
+    private def cdfPartitions(fromV: Long, toV: Long): Array[InputPartition] = {
+      val ms = LogTable.manifestRange(path, fromV, toV)
+        .filterNot(_.checkpoint).sortBy(_.version)
+      val parts = ms.flatMap { m =>
+        val dels = m.removes.map(f => LogFilePartition(
+          LogTable.dataDir(path).resolve(f).toString, required.json,
+          fileColIsMeta = false,
+          changeType = Some("delete"), commitVersion = Some(m.version)))
+        val adds = m.adds.filter(fileAdmitted).map(f => LogFilePartition(
+          LogTable.dataDir(path).resolve(f.file).toString, required.json,
+          fileColIsMeta = false,
+          changeType = Some("insert"), commitVersion = Some(m.version)))
+        dels ++ adds
+      }
+      LogTableScan.lastTotalFiles.set(ms.map(m => m.adds.size + m.removes.size).sum)
+      LogTableScan.lastPlannedFiles.set(parts.size)
+      parts.toArray
     }
 
     override def createReaderFactory(): PartitionReaderFactory =
@@ -853,15 +928,23 @@ class LogTableScanBuilder(
         override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
           val fromV = start.asInstanceOf[LogVersionOffset].v
           val toV = end.asInstanceOf[LogVersionOffset].v
+          // change-feed stream: change commits are the PAYLOAD, not an
+          // error — each micro-batch serves the version range's
+          // retraction feed (delete images of removed files, insert
+          // images of added ones), exactly-once by the same offset
+          // replay argument as the append tail (manifests are immutable
+          // once claimed, so a range replans identically on recovery)
+          if (cdf) return cdfPartitions(fromV, toV)
           val ms = LogTable.manifestRange(path, fromV, toV)
           val changeCommits = ms.filter(m => m.removes.nonEmpty || m.checkpoint)
           if (changeCommits.nonEmpty && !skipChangeCommits)
             throw new IllegalStateException(
               s"graft-log stream on $path: version(s) " +
                 s"${changeCommits.map(_.version).mkString(",")} rewrite or " +
-                "remove files — a streaming read cannot retract rows. Use " +
-                "LogTable.changes for batch CDC, or opt into " +
-                ".option(\"skipChangeCommits\", true) to ignore them")
+                "remove files — a plain streaming read cannot retract rows. " +
+                "Use .option(\"readChangeFeed\", true) to stream the " +
+                "retraction feed, LogTable.changes for batch CDC, or opt " +
+                "into .option(\"skipChangeCommits\", true) to ignore them")
           val added = ms.filterNot(m => m.removes.nonEmpty || m.checkpoint)
             .flatMap(_.adds)
           val kept = added.filter(fileAdmitted)
@@ -894,7 +977,11 @@ case class LogVersionOffset(v: Long)
   * data column that happens to share the name (read the parquet). */
 case class LogFilePartition(
     file: String, requiredJson: String,
-    fileColIsMeta: Boolean = false) extends InputPartition
+    fileColIsMeta: Boolean = false,
+    // change-feed decoration: when set, a required `_change_type` /
+    // `_commit_version` field serves these per-partition constants
+    changeType: Option[String] = None,
+    commitVersion: Option[Long] = None) extends InputPartition
 
 class LogFileReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
@@ -944,9 +1031,19 @@ class LogFileReader(part: LogFilePartition) extends PartitionReader[InternalRow]
   private val metaFileValue: UTF8String =
     UTF8String.fromString(hPath.getName)
 
+  // change-feed decoration: per-partition constants, never page data
+  // (the CDF schema reserves the names, enforced at inferSchema)
+  private def cdfValueOf(name: String): Option[Any] = name match {
+    case LogTableProvider.ChangeTypeCol =>
+      part.changeType.map(UTF8String.fromString)
+    case LogTableProvider.CommitVersionCol => part.commitVersion
+    case _ => None
+  }
+
   private val presentFields =
     required.fields.filter(f =>
-      !isMetaFileField(f.name) && fileSchema.containsField(f.name))
+      !isMetaFileField(f.name) && cdfValueOf(f.name).isEmpty &&
+        fileSchema.containsField(f.name))
 
   // column projection pushed INTO parquet: only required-and-present
   // columns are materialized from the page store
@@ -970,6 +1067,9 @@ class LogFileReader(part: LogFilePartition) extends PartitionReader[InternalRow]
     * or null-producing for columns the file predates. */
   private val extractors: Array[Group => Any] = required.fields.map { f =>
     if (isMetaFileField(f.name)) { (_: Group) => metaFileValue }
+    else if (cdfValueOf(f.name).isDefined) {
+      val v = cdfValueOf(f.name).get; (_: Group) => v
+    }
     else if (!fileSchema.containsField(f.name)) { (_: Group) => null }
     else {
       val name = f.name
@@ -1024,7 +1124,8 @@ class LogFileReader(part: LogFilePartition) extends PartitionReader[InternalRow]
   // are NULLs of the required shape with `_file` filled when asked
   private val nullRow: InternalRow =
     InternalRow.fromSeq(required.fields.toIndexedSeq.map(f =>
-      if (isMetaFileField(f.name)) metaFileValue else null))
+      if (isMetaFileField(f.name)) metaFileValue
+      else cdfValueOf(f.name).orNull))
 
   override def next(): Boolean =
     if (reader == null) { emitted += 1; emitted <= fileRows }

@@ -262,6 +262,100 @@ class LogConnectorSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("change feed (batch): retraction images reconstruct the head snapshot") {
+    val t = tmpTable()
+    LogTable.create(spark, t, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "k")   // v1
+    LogTable.upsert(spark, t, Seq((2L, "b2"), (3L, "c")).toDF("k", "v"), "k")  // v2: rewrite
+    LogTable.deleteRange(spark, t, "k", 1L, 1L)                                // v3: delete
+    val feed = spark.read.format("graft-log")
+      .option("readChangeFeed", "true").load(t)
+    assert(feed.columns.toSeq == Seq("k", "v", "_change_type", "_commit_version"))
+    val rows = feed.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    // the feed is a RETRACTION changelog: multiset apply (inserts minus
+    // deletes per row image) must equal the head snapshot exactly
+    val net = rows.groupBy(r => (r._1, r._2))
+      .view.mapValues(rs =>
+        rs.count(_._3 == "insert") - rs.count(_._3 == "delete"))
+      .toMap.filter(_._2 != 0)
+    val head = LogTable.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(net == head, s"feed apply diverged: net=$net head=$head")
+    // commit versions classify: v1 (create) carries only inserts; the
+    // later rewrite/delete commits carry the delete images
+    assert(rows.filter(_._4 == 1L).forall(_._3 == "insert"))
+    assert(rows.exists(r => r._3 == "delete" && r._4 > 1L))
+    // startingVersion is EXCLUSIVE (the streaming offset convention): a
+    // feed from v1 never re-serves the create's insert images
+    val fromV1 = spark.read.format("graft-log")
+      .option("readChangeFeed", "true").option("startingVersion", "1")
+      .load(t).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(fromV1.forall(_._4 > 1L), s"startingVersion=1 served $fromV1")
+    assert(fromV1.toSet == rows.filter(_._4 > 1L).toSet)
+    // asOf is the feed's end bound: up to v2 the deleteRange is unseen
+    val toV2 = spark.read.format("graft-log")
+      .option("readChangeFeed", "true").option("asOf", "2").load(t).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3))).toSeq
+    assert(toV2.forall(_._3 <= 2L))
+    // conflicting intents fail loudly
+    val e = intercept[Exception](spark.read.format("graft-log")
+      .option("readChangeFeed", "true").option("skipChangeCommits", "true")
+      .load(t).collect())
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(x => Option(x.getMessage).exists(_.contains("conflict"))), e.toString)
+  }
+
+  test("change feed (stream): change commits stream as retraction images, exactly-once across restart") {
+    val t = tmpTable()
+    val ckpt = Files.createTempDirectory("graft-logcdf-ckpt").toString
+    LogTable.create(spark, t, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "k")
+    LogTable.upsert(spark, t, Seq((2L, "b2")).toDF("k", "v"), "k")
+    val received =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, String, Long)]()
+    def startQuery() =
+      spark.readStream.format("graft-log")
+        .option("readChangeFeed", "true").load(t)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(r => received.add(
+            (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))))
+          ()
+        }
+        .start()
+    import scala.jdk.CollectionConverters._
+    val q = startQuery()
+    try {
+      q.processAllAvailable()
+      val got = received.iterator().asScala.toSeq
+      // v2's rewrite serves the old image as delete and both new rows;
+      // multiset apply reconstructs the head
+      val net = got.groupBy(r => (r._1, r._2))
+        .view.mapValues(rs =>
+          rs.count(_._3 == "insert") - rs.count(_._3 == "delete"))
+        .toMap.filter(_._2 != 0)
+      val head = LogTable.read(spark, t).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+      assert(net == head, s"stream feed apply diverged: net=$net head=$head")
+      assert(got.exists(_._3 == "delete"), s"no delete image streamed: $got")
+    } finally q.stop()
+    // restart from the checkpoint: only NEW commits' images flow
+    LogTable.deleteRange(spark, t, "k", 1L, 1L)
+    received.clear()
+    val q2 = startQuery()
+    try {
+      q2.processAllAvailable()
+      val got2 = received.iterator().asScala.toSeq
+      assert(got2.nonEmpty && got2.forall(r =>
+        r._3 == "delete" && r._1 == 1L || r._3 == "insert" && r._1 != 1L),
+        s"restart replayed or mislabeled: $got2")
+      assert(got2.exists(r => r._3 == "delete" && r._2 == "a"),
+        s"the deleteRange's retraction image is missing: $got2")
+    } finally q2.stop()
+  }
+
   test("DSv2 write path: df.write appends through the log commit; key column rides as a table property") {
     val t = tmpTable()
     LogTable.create(spark, t, Seq((1L, "a")).toDF("k", "v"), "k")

@@ -420,6 +420,52 @@ object LogTable {
     } finally Files.deleteIfExists(tmp)
   }
 
+  /** Zero-copy table CLONE (the lakehouse SHALLOW CLONE verb, hardened):
+    * materialize `src`'s snapshot at `asOf` (default: head) as a brand
+    * new table `dst` whose v1 lists the same files — except the files
+    * are HARD LINKS into dst's own data dir, not path references into
+    * src's. Links make the clone's cost O(files) metadata with ZERO
+    * bytes copied, and — unlike path-referencing shallow clones — fully
+    * independent afterwards: each table's vacuum/truncateHistory deletes
+    * its OWN directory entries, and a shared inode survives until both
+    * names drop, so neither table can break the other (the documented
+    * operational hazard of the published formats' shallow clones).
+    * Data files are immutable once registered, so sharing inodes is
+    * safe; every post-clone write lands new files per table. On a
+    * filesystem without cross-link support the per-file fallback is a
+    * copy (correct, just not zero-cost). A multi-node deployment backs
+    * this with the object store's server-side copy — same shape.
+    * Returns (files, rows) cloned. */
+  def cloneTable(src: String, dst: String, asOf: Option[Long] = None): (Int, Long) = {
+    require(Files.isDirectory(logDir(src)),
+      s"cloneTable: source table $src does not exist")
+    val (_, files, schema) = snapshotWithSchema(src, asOf)
+    val key = tableKeyCol(src).getOrElse("")
+    Files.createDirectories(logDir(dst))
+    Files.createDirectories(dataDir(dst))
+    files.foreach { f =>
+      val from = dataDir(src).resolve(f.file)
+      val to = dataDir(dst).resolve(f.file)
+      try Files.createLink(to, from)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => // racing clone half-done: same content
+        case _: UnsupportedOperationException =>
+          Files.copy(from, to, StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    val m = Manifest(1L, adds = files, removes = Seq.empty,
+      schema = schema.map(_.json).getOrElse(""), keyCol = key,
+      ts = System.currentTimeMillis())
+    val tmp = logDir(dst).resolve(s".tmp-${java.util.UUID.randomUUID()}")
+    Files.writeString(tmp, render(m))
+    try Files.createLink(versionPath(dst, 1L), tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new TableAlreadyExistsException(dst)
+    } finally Files.deleteIfExists(tmp)
+    (files.size, files.map(_.rows).sum)
+  }
+
   /** SQL `ALTER TABLE ADD COLUMN(S)` as a schema-evolution commit: an
     * EMPTY manifest (no adds, no removes) carrying the widened schema.
     * Readers apply the latest committed schema to the whole snapshot, so
@@ -462,12 +508,81 @@ object LogTable {
       // added columns are NULL on every existing row by construction
       .map(_.copy(nullable = true))
     if (genuinelyNew.isEmpty) return // IF NOT EXISTS semantics: no-op, no commit
+    // re-add-after-DROP guard: a live file that still PHYSICALLY carries
+    // the name would resurface its old values instead of the NULLs an
+    // added column promises (the silent-resurrection hazard that makes
+    // the published formats require column mapping for DROP). Presence
+    // is decided from the manifests' own per-file stats maps — zero
+    // footer reads; engine-written files record colsN for every column.
+    // compact() rewrites under the committed schema, so DROP + compact
+    // physically purges the column and frees the name.
+    genuinelyNew.foreach { f =>
+      val carriers = liveNow.count(e =>
+        e.cols.contains(f.name) || e.colsD.contains(f.name) ||
+          e.colsS.contains(f.name) || e.colsN.contains(f.name))
+      if (carriers > 0) throw new IllegalArgumentException(
+        s"addColumns($table): column '${f.name}' was dropped but $carriers " +
+          "live file(s) still physically carry it — re-adding would " +
+          "resurface the old values instead of NULLs. compact() the table " +
+          "first (rewrites purge dropped columns) or pick another name")
+    }
     val widened = org.apache.spark.sql.types.StructType(
       current.fields ++ genuinelyNew)
     commit(table, snapVersion, adds = Seq.empty, removes = Seq.empty,
       reRun = () => throw new IllegalStateException(
         s"addColumns($table) hit a removal conflict — impossible with empty removes"),
       schema = widened.json)
+  }
+
+  /** `ALTER TABLE DROP COLUMN(S)` as ONE narrowing schema-evolution
+    * commit: readers apply the committed schema by NAME, so the column
+    * disappears from every scan immediately while the bytes stay in
+    * place — a metadata-only drop, zero rewrites (the published formats'
+    * drop-by-mapping semantics, reachable here because reads already
+    * project the manifest schema rather than file footers). Time travel
+    * below the drop still serves the column under its version's schema.
+    * Physical purge is [[compact]]'s job (rewrites run under the
+    * committed schema); until then [[addColumns]] refuses to re-bind the
+    * name (live files would resurface old values instead of NULLs).
+    * The key column cannot drop — every keyed write and the manifest
+    * min/maxKey pruning depend on it. `ifExists` makes unknown names a
+    * no-op instead of an error (the SQL IF EXISTS contract). */
+  def dropColumns(
+      spark: SparkSession, table: String, names: Seq[String],
+      ifExists: Boolean = false): Unit = {
+    val (snapVersion, liveNow, committedSchema) = snapshotWithSchema(table, None)
+    require(Files.isDirectory(logDir(table)),
+      s"dropColumns($table): table does not exist")
+    val current = committedSchema.orElse {
+      if (liveNow.isEmpty) None
+      else Some(spark.read.option("mergeSchema", "true").parquet(
+        liveNow.map(f => dataDir(table).resolve(f.file).toString): _*).schema)
+    }.getOrElse(throw new IllegalStateException(
+      s"dropColumns($table): empty pre-evolution table has no committed " +
+        "schema to narrow"))
+    val key = tableKeyCol(table)
+    names.foreach { n =>
+      if (key.contains(n)) throw new IllegalArgumentException(
+        s"dropColumns($table): '$n' is the table's key column — keyed " +
+          "writes and manifest pruning depend on it; it cannot drop")
+      if (!current.fieldNames.contains(n) && !ifExists)
+        throw new IllegalArgumentException(
+          s"dropColumns($table): no column '$n' " +
+            s"(have ${current.fieldNames.mkString(", ")})")
+    }
+    val toDrop = names.toSet
+    val narrowed = org.apache.spark.sql.types.StructType(
+      current.fields.filterNot(f => toDrop(f.name)))
+    if (narrowed.length == current.length) return // all IF EXISTS misses
+    require(narrowed.nonEmpty,
+      s"dropColumns($table): cannot drop every column")
+    commit(table, snapVersion, adds = Seq.empty, removes = Seq.empty,
+      // a racing schema evolution re-runs the drop against the new head
+      // (ifExists: the racer may have dropped a name too) — serial-order
+      // equivalent either way; names failing validation above already
+      // threw before any commit attempt
+      reRun = () => dropColumns(spark, table, names, ifExists = true),
+      schema = narrowed.json, schemaNarrowing = true)
   }
 
   /** Append-only commit: new data files, no removals. Always safe under
@@ -1685,7 +1800,12 @@ object LogTable {
       table: String, snapshotVersion: Long, adds: Seq[FileEntry],
       removes: Seq[String], reRun: () => Unit, attempts: Int = 50,
       schema: String = "", keyRange: Option[(Long, Long)] = None,
-      keyCol: String = "", txns: Map[String, Long] = Map.empty): Boolean = {
+      keyCol: String = "", txns: Map[String, Long] = Map.empty,
+      // a NARROWING schema commit (dropColumns) must not take the
+      // re-claim path's union merge — the union would re-add the very
+      // fields the commit drops. On any schema race it recomputes from
+      // the new head instead (reRun re-narrows whatever the racer left).
+      schemaNarrowing: Boolean = false): Boolean = {
     var expected = snapshotVersion
     var committedSchema = schema
     var tries = attempts
@@ -1741,6 +1861,14 @@ object LogTable {
           // the racer's new columns (snapshotWithSchema picks the LATEST
           // non-empty schema). Merge: the head's fields first, plus any
           // that only we carry — the same result as either serial order.
+          if (schemaNarrowing && committedSchema.nonEmpty &&
+              headSchema.exists(_.json != committedSchema)) {
+            // a racer evolved the schema under our narrowing commit:
+            // recompute from the head (union-merging would resurrect the
+            // dropped fields; keeping ours would lose the racer's adds)
+            reRun()
+            return true
+          }
           if (committedSchema.nonEmpty) headSchema.foreach { head =>
             val ours = org.apache.spark.sql.types.DataType
               .fromJson(committedSchema)

@@ -151,6 +151,27 @@ class LogCatalog extends TableCatalog with SupportsNamespaces
     // statement — half-applying `ADD COLUMNS (a INT, b MAP<..>)` would
     // leave a state no serial execution produces), then land the whole
     // column list as ONE schema-evolution commit
+    val (dropChanges, rest) = changes.partition(_.isInstanceOf[TableChange.DeleteColumn])
+    if (dropChanges.nonEmpty && rest.nonEmpty) throw new UnsupportedOperationException(
+      "graft-log: ALTER TABLE cannot mix DROP COLUMN with other changes " +
+        "in one statement")
+    if (dropChanges.nonEmpty) {
+      // DROP COLUMN(S) as one narrowing schema-evolution commit —
+      // metadata-only (reads project the committed schema by name); the
+      // bytes purge on the next compact, and re-binding the name before
+      // that fails loudly in addColumns (no silent value resurrection)
+      val dels = dropChanges.map(_.asInstanceOf[TableChange.DeleteColumn])
+      dels.foreach { d =>
+        if (d.fieldNames().length != 1) throw new UnsupportedOperationException(
+          "graft-log: ALTER TABLE DROP COLUMN supports top-level columns " +
+            s"only, got nested field ${d.fieldNames().mkString(".")}")
+      }
+      LogTable.dropColumns(
+        org.apache.spark.sql.SparkSession.active, path,
+        dels.map(_.fieldNames()(0)),
+        ifExists = dels.forall(_.ifExists()))
+      return loadTable(ident)
+    }
     val added = changes.map {
       case add: TableChange.AddColumn =>
         if (add.fieldNames().length != 1) throw new UnsupportedOperationException(
@@ -169,8 +190,9 @@ class LogCatalog extends TableCatalog with SupportsNamespaces
         Option(add.comment()).fold(f)(f.withComment)
       case other => throw new UnsupportedOperationException(
         s"graft-log: ALTER TABLE change ${other.getClass.getSimpleName} is " +
-          "not supported — only ADD COLUMN (schema evolution otherwise " +
-          "rides appends; the log is the schema history)")
+          "not supported — only ADD COLUMN / DROP COLUMN (RENAME needs " +
+          "column mapping the format deliberately omits; other evolution " +
+          "rides appends — the log is the schema history)")
     }
     LogTable.addColumns(
       org.apache.spark.sql.SparkSession.active, path, added)
@@ -200,13 +222,23 @@ class LogCatalog extends TableCatalog with SupportsNamespaces
   // ---- maintenance procedures: CALL <cat>.system.<proc>(...) ----
 
   private lazy val procedures =
-    LogProcedures.forCatalog { dotted =>
-      val parts = dotted.split('.')
-      val p = parts.foldLeft(warehouse)(_.resolve(_))
-      if (!isTableDir(p)) throw new NoSuchTableException(
-        Identifier.of(parts.init, parts.last))
-      p.toString
-    }
+    LogProcedures.forCatalog(
+      resolve = { dotted =>
+        val parts = dotted.split('.')
+        val p = parts.foldLeft(warehouse)(_.resolve(_))
+        if (!isTableDir(p)) throw new NoSuchTableException(
+          Identifier.of(parts.init, parts.last))
+        p.toString
+      },
+      resolveNew = { dotted =>
+        val parts = dotted.split('.')
+        val p = parts.foldLeft(warehouse)(_.resolve(_))
+        if (!Files.isDirectory(p.getParent)) throw new NoSuchNamespaceException(
+          parts.init)
+        if (Files.exists(p)) throw new TableAlreadyExistsException(
+          Identifier.of(parts.init, parts.last))
+        p.toString
+      })
 
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {

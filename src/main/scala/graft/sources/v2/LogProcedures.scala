@@ -73,8 +73,12 @@ private[v2] object LogProcedures {
     procMulti(procName, desc, params, outSchema)(in => Seq(body(in)))
 
   /** The procedure set for a catalog rooted at `resolve` (dotted
-    * namespace.table → filesystem path). */
-  def forCatalog(resolve: String => String): Map[String, UnboundProcedure] = Map(
+    * namespace.table → filesystem path; requires the table to exist).
+    * `resolveNew` maps a dotted name a procedure CREATES (clone's
+    * target) — namespace must exist, the table must not. */
+  def forCatalog(
+      resolve: String => String,
+      resolveNew: String => String): Map[String, UnboundProcedure] = Map(
     "compact" -> proc(
       "compact",
       "Bin-pack a log table's small files (optionally z-ordered); " +
@@ -151,6 +155,19 @@ private[v2] object LogProcedures {
     // contents roll back to the named version as one NEW commit —
     // history intact, the restore itself time-travelable, below-
     // checkpoint versions refused loudly.
+    "clone" -> proc(
+      "clone",
+      "Zero-copy clone of a table's snapshot (optionally at a version) " +
+        "as a new independent table: hard-linked data files, fresh v1 log",
+      Array(param("source", StringType), param("target", StringType),
+        paramDefault("version", LongType, "NULL")),
+      new StructType().add("cloned_files", LongType)
+        .add("cloned_rows", LongType)) { in =>
+      val asOf = if (in.isNullAt(2)) None else Some(in.getLong(2))
+      val (files, rows) = LogTable.cloneTable(
+        resolve(in.getString(0)), resolveNew(in.getString(1)), asOf)
+      Seq(files.toLong, rows)
+    },
     "restore" -> proc(
       "restore",
       "Roll the table's contents back to a version as one new commit " +

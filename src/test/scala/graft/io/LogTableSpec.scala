@@ -1000,6 +1000,42 @@ class LogTableSpec extends AnyFunSuite {
     assert(!Files.exists(staging), "graced vacuum left stale staging debris")
   }
 
+  test("cloneTable: zero-copy clone is a full independent table — writes, maintenance, and history never cross") {
+    val src = tmpTable()
+    LogTable.create(spark, src,
+      (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v"), "k")
+    LogTable.upsert(spark, src, Seq((1L, "v1b")).toDF("k", "v"), "k")
+    val dst = tmpTable()
+    val (nFiles, nRows) = LogTable.cloneTable(src, dst)
+    assert(nRows == 100L && nFiles >= 1)
+    assert(rows(LogTable.read(spark, dst)) == rows(LogTable.read(spark, src)))
+    // the clone carries the source's key property: keyed writes work
+    LogTable.upsert(spark, dst, Seq((2L, "clone")).toDF("k", "v"), "k")
+    assert(LogTable.read(spark, src).filter(col("k") === 2L)
+      .head().getString(1) == "v2", "a clone write leaked into the source")
+    // time-travel clone: the v1 snapshot, not the head
+    val dstV1 = tmpTable()
+    LogTable.cloneTable(src, dstV1, Some(1L))
+    assert(LogTable.read(spark, dstV1).filter(col("k") === 1L)
+      .head().getString(1) == "v1", "asOf clone served the head, not v1")
+    // maintenance independence: rewrite EVERY source file, then truncate
+    // the source's history and vacuum — the clone (sharing inodes via
+    // hard links) must keep reading its own snapshot
+    LogTable.upsert(spark, src,
+      (1L to 100L).map(i => (i, s"w$i")).toDF("k", "v"), "k")
+    LogTable.truncateHistory(src, keepLast = 0)
+    LogTable.vacuum(src)
+    assert(LogTable.read(spark, dst).count() == 100L,
+      "source maintenance broke the clone's files")
+    assert(LogTable.read(spark, dst).filter(col("k") === 2L)
+      .head().getString(1) == "clone")
+    // loud edges: missing source, existing target
+    intercept[IllegalArgumentException](
+      LogTable.cloneTable(src + "-nope", tmpTable()))
+    intercept[graft.io.TableAlreadyExistsException](
+      LogTable.cloneTable(src, dst))
+  }
+
   test("racing ADD COLUMNs of one name with different types fail loudly, not silently retyped") {
     // serial execution fails the second add with cannot-re-add; the
     // commit loop's re-claim schema merge must preserve that outcome —

@@ -520,9 +520,11 @@ class LogConnectorSpec extends AnyFunSuite {
     spark.sql("INSERT INTO graftcat.etl.orders SELECT 7777, 'alt', 123")
     assert(spark.sql("SELECT extra FROM graftcat.etl.orders WHERE k = 7777")
       .head().getLong(0) == 123L)
-    // non-ADD alters stay loudly unsupported
+    // RENAME stays loudly unsupported (it needs the column mapping the
+    // format deliberately omits — a rename without it would orphan every
+    // existing file's data)
     intercept[UnsupportedOperationException](
-      spark.sql("ALTER TABLE graftcat.etl.orders DROP COLUMN extra"))
+      spark.sql("ALTER TABLE graftcat.etl.orders RENAME COLUMN extra TO extra2"))
     // multi-column ADD COLUMNS is ONE schema-evolution commit, not N
     val vBeforeMulti = LogTable.version(s"$wh/etl/orders")
     spark.sql("ALTER TABLE graftcat.etl.orders ADD COLUMNS (m1 DOUBLE, m2 STRING)")
@@ -539,6 +541,48 @@ class LogConnectorSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graftcat.etl.big_orders")
     assert(!spark.sql("SHOW TABLES IN graftcat.etl").collect()
       .map(_.getString(1)).contains("big_orders"))
+  }
+
+  test("ALTER TABLE DROP COLUMN: metadata-only narrow, time travel intact, re-add gated on physical purge") {
+    val wh = Files.createTempDirectory("graft-logdropcol").toString
+    spark.conf.set("spark.sql.catalog.graftdrop", classOf[LogCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftdrop.warehouse", wh)
+    spark.sql("CREATE NAMESPACE graftdrop.etl")
+    spark.sql("CREATE TABLE graftdrop.etl.t (k BIGINT, v STRING, aux BIGINT) " +
+      "TBLPROPERTIES ('keyCol'='k')")
+    spark.sql("INSERT INTO graftdrop.etl.t " +
+      "SELECT id, CAST(id AS STRING), id * 10 FROM range(1, 6)")
+    val path = s"$wh/etl/t"
+    val preDropV = LogTable.version(path)
+    spark.sql("ALTER TABLE graftdrop.etl.t DROP COLUMN aux")
+    assert(LogTable.version(path) == preDropV + 1,
+      "DROP COLUMN must land as ONE metadata-only commit")
+    assert(spark.sql("SELECT * FROM graftdrop.etl.t").schema.fieldNames.toSeq ==
+      Seq("k", "v"))
+    // time travel below the drop still serves the column under its schema
+    val old = spark.sql(s"SELECT * FROM graftdrop.etl.t VERSION AS OF $preDropV")
+    assert(old.schema.fieldNames.contains("aux"))
+    assert(old.filter("k = 1").head().getLong(2) == 10L)
+    // the table IS narrower now: positional inserts match the new arity
+    spark.sql("INSERT INTO graftdrop.etl.t SELECT 100, 'x'")
+    assert(spark.sql("SELECT count(*) FROM graftdrop.etl.t").head().getLong(0) == 6L)
+    // re-binding the name while live files still carry the bytes would
+    // resurface old values instead of NULLs — refused with guidance
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE graftdrop.etl.t ADD COLUMN aux BIGINT"))
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(x => Option(x.getMessage).exists(_.contains("compact"))), e.toString)
+    // compact rewrites under the committed schema -> the column purges
+    // physically, the name frees, and old rows read the promised NULL
+    spark.sql("CALL graftdrop.system.compact('etl.t', 100000)")
+    spark.sql("ALTER TABLE graftdrop.etl.t ADD COLUMN aux BIGINT")
+    assert(spark.sql("SELECT aux FROM graftdrop.etl.t WHERE k = 1").head().isNullAt(0),
+      "a re-added column must read NULL, never the dropped values")
+    // the key column cannot drop (keyed writes + manifest pruning use it)
+    val ke = intercept[Exception](
+      spark.sql("ALTER TABLE graftdrop.etl.t DROP COLUMN k"))
+    assert(Iterator.iterate(ke: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(x => Option(x.getMessage).exists(_.contains("key column"))), ke.toString)
   }
 
   test("write-batch resolution: any name overlap is by-name union, positional only on zero overlap") {
@@ -922,6 +966,39 @@ class LogConnectorSpec extends AnyFunSuite {
       spark.sql(s"CALL graftrst.system.restore('etl.t', $goodV)").collect())
     assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
       .exists(x => Option(x.getMessage).exists(_.contains("truncation"))), e.toString)
+  }
+
+  test("CALL system.clone creates an independent catalog table from a snapshot") {
+    val wh = Files.createTempDirectory("graft-logclone").toString
+    spark.conf.set("spark.sql.catalog.graftclone", classOf[LogCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftclone.warehouse", wh)
+    spark.sql("CREATE NAMESPACE graftclone.etl")
+    spark.sql("CREATE TABLE graftclone.etl.src (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('keyCol'='k')")
+    spark.sql("INSERT INTO graftclone.etl.src " +
+      "SELECT id, CAST(id AS STRING) FROM range(1, 11)") // v2
+    spark.sql("INSERT INTO graftclone.etl.src SELECT 100, 'x'") // v3
+    val res = spark.sql(
+      "CALL graftclone.system.clone('etl.src', 'etl.dst')").head()
+    assert(res.getLong(1) == 11L, s"clone summary: $res")
+    assert(spark.sql("SELECT count(*) FROM graftclone.etl.dst")
+      .head().getLong(0) == 11L)
+    assert(spark.sql("SHOW TABLES IN graftclone.etl").collect()
+      .map(_.getString(1)).contains("dst"))
+    // version-pinned clone: the pre-v3 snapshot
+    spark.sql("CALL graftclone.system.clone('etl.src', 'etl.dst2', 2)")
+    assert(spark.sql("SELECT count(*) FROM graftclone.etl.dst2")
+      .head().getLong(0) == 10L)
+    // independence both ways
+    spark.sql("INSERT INTO graftclone.etl.dst SELECT 200, 'y'")
+    assert(spark.sql("SELECT count(*) FROM graftclone.etl.src")
+      .head().getLong(0) == 11L)
+    spark.sql("DELETE FROM graftclone.etl.src WHERE k = 100")
+    assert(spark.sql("SELECT count(*) FROM graftclone.etl.dst")
+      .head().getLong(0) == 12L)
+    // cloning onto an existing table fails loudly
+    intercept[Exception](
+      spark.sql("CALL graftclone.system.clone('etl.src', 'etl.dst')"))
   }
 
   test("LogCatalog procedures: CALL system.compact/vacuum/truncate_history run maintenance from SQL") {

@@ -196,6 +196,16 @@ class PlanSpec extends AnyFunSuite {
     graft.io.ArtifactCache.clear()
   }
 
+  test("span scrub's collected regime rebuilds row-locally: no join, no window (X44)") {
+    graft.io.ArtifactCache.clear()
+    val plan = planOf(SparkEntry.queries("x44_dup_span_scrub")(spark, sf))
+    assert(!plan.contains("Join"),
+      s"collected-regime x44 re-grew a join:\n${plan.linesIterator.take(25).mkString("\n")}")
+    assert(!plan.contains("Window"),
+      "x44 must rebuild by positional coverage, never a sort-reassembly window")
+    graft.io.ArtifactCache.clear()
+  }
+
   test("unigram NLL joins the vocabulary as a broadcast under the bound (X41)") {
     graft.io.ArtifactCache.clear()
     val plan = planOf(SparkEntry.queries("x41_unigram_nll")(spark, sf))

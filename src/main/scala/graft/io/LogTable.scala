@@ -361,9 +361,14 @@ object LogTable {
       spark: SparkSession, table: String, fs: Seq[FileEntry],
       schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     if (fs.isEmpty)
-      // empty snapshot: schema-less — callers create before they read;
-      // an empty table with a schema needs a v1 create commit
-      return spark.emptyDataFrame
+      // empty snapshot: serve the COMMITTED schema when one exists (a
+      // createEmpty'd or fully-deleted table still has a shape — joins
+      // and unions against it must resolve, same as the DSv2 read path);
+      // only a genuinely pre-schema empty log degrades to schema-less
+      return schema.fold(spark.emptyDataFrame) { s =>
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), s)
+      }
     // the manifest-committed schema governs the scan: files written
     // BEFORE a column was added surface it as typed NULLs (parquet
     // reader fills absent columns), and no per-file footer merge runs —

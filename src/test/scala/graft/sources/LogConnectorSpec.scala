@@ -307,6 +307,26 @@ class LogConnectorSpec extends AnyFunSuite {
       .exists(x => Option(x.getMessage).exists(_.contains("conflict"))), e.toString)
   }
 
+  test("change feed: pushed filters prune ADD files from the feed by manifest stats") {
+    val t = tmpTable()
+    LogTable.create(spark, t,
+      (1L to 100L).map(i => (i, s"a$i")).toDF("k", "v")
+        .repartitionByRange(4, col("k")), "k")
+    LogTable.append(spark, t,
+      (200L to 300L).map(i => (i, s"b$i")).toDF("k", "v")
+        .repartitionByRange(4, col("k")), "k")
+    // a key predicate admits only the second append's files; every
+    // filter stays residual so the returned rows are exact either way
+    val got = spark.read.format("graft-log")
+      .option("readChangeFeed", "true").load(t)
+      .filter(col("k") >= 250L)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(got == (250L to 300L).toSet)
+    assert(LogTableScan.lastPlannedFiles.get() < LogTableScan.lastTotalFiles.get(),
+      s"CDF planned ${LogTableScan.lastPlannedFiles.get()} of " +
+        s"${LogTableScan.lastTotalFiles.get()} files — no manifest skipping")
+  }
+
   test("change feed (stream): change commits stream as retraction images, exactly-once across restart") {
     val t = tmpTable()
     val ckpt = Files.createTempDirectory("graft-logcdf-ckpt").toString

@@ -1,0 +1,128 @@
+package graft.sources.v2
+
+import graft.SparkTestSession
+import graft.io.LogTable
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import scala.util.Random
+
+/** Model-based random walk over the SQL row-level surface — the
+  * catalog-served verbs that make a log table a lakehouse table:
+  * INSERT INTO, UPDATE (range and IN-subquery), DELETE FROM, MERGE INTO
+  * (matched-update / not-matched-insert / NOT MATCHED BY SOURCE
+  * windowed DELETE), INSERT OVERWRITE, CALL system.restore, and the
+  * maintenance procedures, interleaved by a seeded generator and
+  * checked after EVERY statement against an in-memory model plus a
+  * VERSION AS OF probe of recorded history.
+  *
+  * This surface shipped broken once (round 12's MERGE resolution) —
+  * [[graft.io.LogTableModelSpec]] nets the Scala verbs; this walk nets
+  * the SQL path end-to-end: GraftRowLevelAlignment's resolution, the
+  * group-based rewrite, runtime group filtering, and the procedures all
+  * fire under every interleaving the generator produces. */
+class SqlModelSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("random SQL walk: UPDATE/DELETE/MERGE/OVERWRITE/restore track the model exactly") {
+    val rnd = new Random(1414L)
+    val wh = Files.createTempDirectory("graft-sqlmodel").toString
+    spark.conf.set("spark.sql.catalog.graftsqlm", classOf[LogCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftsqlm.warehouse", wh)
+    spark.sql("CREATE NAMESPACE graftsqlm.etl")
+    spark.sql("CREATE TABLE graftsqlm.etl.m (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('keyCol'='k')")
+    val path = s"$wh/etl/m"
+    val T = "graftsqlm.etl.m"
+
+    var model: Map[Long, String] = (1L to 50L).map(k => k -> s"init$k").toMap
+    model.toSeq.toDF("k", "v").createOrReplaceTempView("sqlm_init")
+    spark.sql(s"INSERT INTO $T SELECT k, v FROM sqlm_init")
+    var history = Map(LogTable.version(path) -> model)
+    var nextFresh = 500L
+
+    def check(step: Int, op: String): Unit = {
+      val got = spark.sql(s"SELECT k, v FROM $T").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == model, s"step $step ($op): SQL surface diverged from model\n" +
+        s"extra=${(got.toSet -- model.toSet).take(5)} missing=${(model.toSet -- got.toSet).take(5)}")
+      val earliest = LogTable.history(path).head.version
+      history = history.filter { case (v, _) => v >= earliest }
+      val (probeV, probeModel) = history.toSeq(rnd.nextInt(history.size))
+      val asOf = spark.sql(s"SELECT k, v FROM $T VERSION AS OF $probeV")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(asOf == probeModel,
+        s"step $step ($op): VERSION AS OF $probeV diverged from recorded history")
+    }
+
+    for (step <- 1 to 22) {
+      val op = rnd.nextInt(100) match {
+        case r if r < 15 => // fresh-key INSERT
+          val ks = nextFresh until nextFresh + 1 + rnd.nextInt(6)
+          nextFresh += 20
+          ks.map(k => (k, s"i$step-$k")).toDF("k", "v")
+            .createOrReplaceTempView("sqlm_batch")
+          spark.sql(s"INSERT INTO $T SELECT k, v FROM sqlm_batch")
+          model = model ++ ks.map(k => k -> s"i$step-$k")
+          "insert"
+        case r if r < 32 => // range UPDATE
+          val lo = 1L + rnd.nextInt(50); val hi = lo + rnd.nextInt(12)
+          spark.sql(s"UPDATE $T SET v = 'u$step' WHERE k BETWEEN $lo AND $hi")
+          model = model.map { case (k, v) =>
+            k -> (if (k >= lo && k <= hi) s"u$step" else v) }
+          "update-range"
+        case r if r < 45 => // IN-subquery UPDATE (runtime group filtering)
+          val probe = (1L to 50L).filter(_ => rnd.nextBoolean()).take(8)
+          probe.map(k => Tuple1(k)).toDF("pk")
+            .createOrReplaceTempView("sqlm_probe")
+          spark.sql(s"UPDATE $T SET v = 'q$step' " +
+            "WHERE k IN (SELECT pk FROM sqlm_probe)")
+          model = model.map { case (k, v) =>
+            k -> (if (probe.contains(k)) s"q$step" else v) }
+          "update-subquery"
+        case r if r < 58 => // range DELETE
+          val lo = 1L + rnd.nextInt(60); val hi = lo + rnd.nextInt(10)
+          spark.sql(s"DELETE FROM $T WHERE k BETWEEN $lo AND $hi")
+          model = model.filter { case (k, _) => k < lo || k > hi }
+          "delete"
+        case r if r < 74 => // MERGE: matched update, unmatched insert,
+          // NMBS windowed delete — the reference's full-sync shape
+          val lo = 1L + rnd.nextInt(40); val hi = lo + 10 + rnd.nextInt(10)
+          val srcKs = (lo to hi).filter(_ => rnd.nextBoolean())
+          srcKs.map(k => (k, s"m$step-$k")).toDF("k", "v")
+            .createOrReplaceTempView("sqlm_src")
+          spark.sql(
+            s"""MERGE INTO $T AS tgt USING sqlm_src AS src
+               |ON tgt.k = src.k
+               |WHEN MATCHED THEN UPDATE SET v = src.v
+               |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (src.k, src.v)
+               |WHEN NOT MATCHED BY SOURCE AND
+               |  tgt.k BETWEEN $lo AND $hi THEN DELETE""".stripMargin)
+          model = model.filter { case (k, _) =>
+            k < lo || k > hi || srcKs.contains(k) } ++
+            srcKs.map(k => k -> s"m$step-$k")
+          "merge-full-sync"
+        case r if r < 82 => // replace-all
+          val ks = 1L to (10L + rnd.nextInt(25))
+          ks.map(k => (k, s"o$step-$k")).toDF("k", "v")
+            .createOrReplaceTempView("sqlm_ow")
+          spark.sql(s"INSERT OVERWRITE $T SELECT k, v FROM sqlm_ow")
+          model = ks.map(k => k -> s"o$step-$k").toMap
+          "overwrite"
+        case r if r < 89 => // restore to a surviving recorded version
+          val v = history.keys.toSeq(rnd.nextInt(history.size))
+          spark.sql(s"CALL graftsqlm.system.restore('etl.m', $v)")
+          model = history(v)
+          "restore"
+        case r if r < 95 =>
+          spark.sql("CALL graftsqlm.system.compact('etl.m', 500)")
+          "compact"
+        case _ =>
+          spark.sql(s"CALL graftsqlm.system.truncate_history('etl.m', ${3 + rnd.nextInt(3)}, 0)")
+          "truncate_history"
+      }
+      history += LogTable.version(path) -> model
+      check(step, op)
+    }
+  }
+}

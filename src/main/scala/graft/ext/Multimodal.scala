@@ -173,6 +173,93 @@ object Multimodal {
     }
   }
 
+  /** Perceptual hash of a decoded grayscale image — the PUBLISHED
+    * average-hash + difference-hash construction (aHash/dHash, the
+    * image-dedup workhorses of web-scale multimodal pipelines), exact
+    * integer arithmetic so the oracle reproduces it bit for bit:
+    *
+    *   - bits [0, n):   aHash — bit i set iff pixel i is strictly above
+    *     the image mean (compared as `p(i)·n > Σp`, no division);
+    *   - next h·(w−1):  dHash horizontal — p(y,x) > p(y,x+1);
+    *   - next (h−1)·w:  dHash vertical   — p(y,x) > p(y+1,x).
+    *
+    * For the 4×4 stub images: 16 + 12 + 12 = 40 bits in a Long. A real
+    * deployment hashes the resize() output of real decodes — same
+    * function, bigger grid. */
+  def imageHash(px: Array[Int], w: Int, h: Int): Long = {
+    val n = w * h
+    require(n + h * (w - 1) + (h - 1) * w <= 63,
+      s"imageHash: ${w}x$h needs more than 63 bits — pool first (resize)")
+    var s = 0L
+    var i = 0
+    while (i < n) { s += px(i); i += 1 }
+    var hash = 0L
+    i = 0
+    while (i < n) { if (px(i).toLong * n > s) hash |= 1L << i; i += 1 }
+    var bit = n
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w - 1) {
+        if (px(y * w + x) > px(y * w + x + 1)) hash |= 1L << bit
+        bit += 1; x += 1
+      }
+      y += 1
+    }
+    y = 0
+    while (y < h - 1) {
+      var x = 0
+      while (x < w) {
+        if (px(y * w + x) > px((y + 1) * w + x)) hash |= 1L << bit
+        bit += 1; x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
+  /** Per-image perceptual hashes as (id, h) — partition-preserving map,
+    * pixels never shuffle (the hash is the only thing that leaves the
+    * decode stage). */
+  def imageHashes(spark: SparkSession, decoded: Dataset[DecodedImage]): DataFrame = {
+    import spark.implicits._
+    decoded.map(d => (d.doc_id, imageHash(d.pixels, d.width, d.height)))
+      .toDF("id", "h")
+  }
+
+  /** Near-duplicate image pairs at hamming distance ≤ `maxDist` over
+    * `bits`-bit perceptual hashes — pigeonhole-blocked, NEVER all-pairs:
+    * the hash splits into maxDist+1 bit slices, two hashes within
+    * distance maxDist must agree on at least one whole slice, so
+    * candidates come from an equi-join on (slice index, slice value)
+    * and only candidates pay the exact bit_count(xor) check. Exchanges
+    * carry (id, hash, slice) longs only — at 100 TB the join key space
+    * is the hash space, payload bytes never move. Same mechanic as the
+    * text side's SimHash blocking (x8/x34), here over image hashes. */
+  def phashNearDups(df: DataFrame, bits: Int, maxDist: Int): DataFrame = {
+    require(bits >= 1 && bits <= 63 && maxDist >= 0 && maxDist < bits,
+      s"phashNearDups: bad bits=$bits maxDist=$maxDist")
+    val nSlices = maxDist + 1
+    val width = (bits + nSlices - 1) / nSlices
+    val slices = (0 until nSlices).map { i =>
+      val lo = i * width
+      val w = math.min(width, bits - lo)
+      df.select(col("id"), col("h"),
+        lit(i).as("s"),
+        (shiftright(col("h"), lo).bitwiseAND(lit((1L << w) - 1))).as("sv"))
+    }.reduce(_ unionByName _)
+    slices.as("a")
+      .join(slices.as("b"),
+        col("a.s") === col("b.s") && col("a.sv") === col("b.sv") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.h").as("ha"), col("b.h").as("hb"))
+      .distinct() // a pair can match on several slices
+      .withColumn("dist", expr("CAST(bit_count(ha ^ hb) AS INT)"))
+      .filter(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
+  }
+
   /** Frame sampling for video payloads: split the payload into
     * meta.nFrames equal byte blocks and emit every `stride`-th frame.
     * flatMap shape (1 item → 0..n frames) — the media twin of the

@@ -131,5 +131,56 @@ object MultimodalQueries {
              |FROM m, unnest(generate_series(0, n_frames - 1)) AS t(f)
              |ORDER BY doc_id, frame_idx""".stripMargin),
     ),
+
+    // M5 — perceptual-hash image near-dup (the LAION-style multimodal
+    // dedup step): the published aHash(16)+dHash(24) construction over
+    // the decoded 4×4 images, pairs at hamming ≤ 2 found by pigeonhole
+    // blocking (3 slices, equi-join, exact bit_count check on candidates
+    // only — never all-pairs; the oracle brute-forces the same 40-bit
+    // hashes). The corpus is the image-kind docs plus planted +30000
+    // exact copies of every 15th doc, so every planted pair surfaces at
+    // distance 0 while the 40-bit space keeps organic collisions to
+    // genuinely identical payloads. Pixels never shuffle — only (id,
+    // hash, slice) longs cross exchanges.
+    QueryDef(
+      "m5_phash_neardup",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val corpus = docs.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), col("text"))
+          .unionByName(docs.filter(col("doc_id") % 15 === 0)
+            .select((col("doc_id") + 30000).as("doc_id"), col("text")))
+        val decoded = Multimodal.decodeImages(s,
+          Multimodal.asMediaItems(s, Multimodal.mediaFromDocuments(corpus)))
+        Multimodal.phashNearDups(
+            Multimodal.imageHashes(s, decoded), bits = 40, maxDist = 2)
+          .orderBy("id_a", "id_b")
+      },
+      Some {
+        val aBits = (0 until 16)
+          .map(i => s"(CASE WHEN p$i * 16 > psum THEN ${1L << i} ELSE 0 END)")
+        val dhBits = for (y <- 0 until 4; x <- 0 until 3) yield
+          s"(CASE WHEN p${y * 4 + x} > p${y * 4 + x + 1} THEN ${1L << (16 + y * 3 + x)} ELSE 0 END)"
+        val dvBits = for (y <- 0 until 3; x <- 0 until 4) yield
+          s"(CASE WHEN p${y * 4 + x} > p${(y + 1) * 4 + x} THEN ${1L << (28 + y * 4 + x)} ELSE 0 END)"
+        val hashExpr = (aBits ++ dhBits ++ dvBits).mkString(" + ")
+        s"""WITH corpus AS (
+           |  SELECT doc_id AS id, text FROM documents WHERE doc_id % 3 = 0
+           |  UNION ALL
+           |  SELECT doc_id + 30000, text FROM documents WHERE doc_id % 15 = 0),
+           |px AS (
+           |  SELECT id, ${(0 until 16).map(i => s"${b(i)} AS p$i").mkString(", ")}
+           |  FROM corpus),
+           |hs AS (
+           |  SELECT id, CAST($hashExpr AS BIGINT) AS h
+           |  FROM (SELECT *, ${(0 until 16).map(i => s"p$i").mkString(" + ")} AS psum
+           |        FROM px))
+           |SELECT a.id AS id_a, b.id AS id_b,
+           |       CAST(bit_count(xor(a.h, b.h)) AS INT) AS dist
+           |FROM hs a JOIN hs b ON a.id < b.id
+           |WHERE bit_count(xor(a.h, b.h)) <= 2
+           |ORDER BY id_a, id_b""".stripMargin
+      },
+    ),
   )
 }

@@ -87,4 +87,48 @@ class MultimodalSpec extends AnyFunSuite {
     val n = imageFeatures(spark, decodeImages(spark, asMediaItems(spark, m))).count()
     assert(n == docs.count())
   }
+
+  test("imageHash: aHash+dHash bit layout is exact and shape-checked") {
+    // hand-computable 2x2 image: pixels (10, 20, 30, 40), sum 100
+    // aHash (bits 0-3): p*4 > 100 -> 40,80,120,160 -> bits 2,3
+    // dHash horizontal (bits 4-5): 10>20 F, 30>40 F
+    // dHash vertical (bits 6-7): 10>30 F, 20>40 F
+    assert(Multimodal.imageHash(Array(10, 20, 30, 40), 2, 2) ==
+      ((1L << 2) | (1L << 3)))
+    // descending pixels flip the comparisons
+    // aHash: 40*4=160>100 T(bit0), 30*4=120>100 T(bit1), 80 F, 40 F
+    // dH: 40>30 T(bit4), 20>10 T(bit5); dV: 40>20 T(bit6), 30>10 T(bit7)
+    assert(Multimodal.imageHash(Array(40, 30, 20, 10), 2, 2) == 0xF3L)
+    // a grid too large for 63 bits refuses instead of silently wrapping
+    intercept[IllegalArgumentException](
+      Multimodal.imageHash(new Array[Int](64), 8, 8))
+  }
+
+  test("phashNearDups: pigeonhole blocking equals brute force, boundary distance included") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77L)
+    val base = rnd.nextLong() & ((1L << 40) - 1)
+    val planted = Seq(
+      1L -> base,
+      2L -> base,                                  // dist 0
+      3L -> (base ^ ((1L << 5) | (1L << 25))),     // dist 2 (== maxDist)
+      4L -> (base ^ ((1L << 1) | (1L << 20) | (1L << 39))), // dist 3: out
+    )
+    val noise = (10L until 80L).map(i =>
+      i -> (rnd.nextLong() & ((1L << 40) - 1)))
+    val all = planted ++ noise
+    val got = Multimodal.phashNearDups(all.toDF("id", "h"), bits = 40, maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = (for {
+      (ia, ha) <- all; (ib, hb) <- all
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= 2
+    } yield (ia, ib, java.lang.Long.bitCount(ha ^ hb))).toSet
+    assert(got == brute,
+      s"blocking diverged from brute force: only-blocked=${got -- brute} " +
+        s"missed=${brute -- got}")
+    assert(got.contains((1L, 2L, 0)) && got.contains((1L, 3L, 2)) &&
+      got.contains((2L, 3L, 2)))
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L),
+      "a distance-3 pair leaked through the maxDist=2 filter")
+  }
 }

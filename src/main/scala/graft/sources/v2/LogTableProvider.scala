@@ -857,8 +857,34 @@ class LogTableScanBuilder(
       * residual, so Spark's row-level re-apply keeps the returned rows
       * exact either way). */
     private def cdfPartitions(fromV: Long, toV: Long): Array[InputPartition] = {
-      val ms = LogTable.manifestRange(path, fromV, toV)
-        .filterNot(_.checkpoint).sortBy(_.version)
+      val all = LogTable.manifestRange(path, fromV, toV).sortBy(_.version)
+      // history-truncation guard: a checkpoint CONSOLIDATES the deltas
+      // below it — a feed window that needs any of them can only be
+      // served incompletely, and silent incompleteness is data loss to
+      // a downstream incremental view. Two loud cases: the window's
+      // first commits were dropped entirely (gap below the earliest
+      // surviving manifest), or the window includes the checkpoint
+      // itself (its own per-commit delta no longer exists). Delta's
+      // streaming source fails the same way when an offset falls below
+      // the retention cut.
+      if (toV > fromV) {
+        val firstAvailable = all.headOption.map(_.version).getOrElse(Long.MaxValue)
+        if (firstAvailable > fromV + 1) throw new IllegalStateException(
+          s"graft-log change feed on $path: versions ${fromV + 1}..${
+            math.min(toV, firstAvailable - 1)} were dropped by history " +
+            "truncation — the feed cannot be served completely. Re-base on " +
+            s"a snapshot read at or after v${firstAvailable} and start the " +
+            "feed there")
+        all.find(_.checkpoint).foreach { c =>
+          throw new IllegalStateException(
+            s"graft-log change feed on $path: the window ($fromV, $toV] " +
+              s"crosses the truncation checkpoint v${c.version}, whose " +
+              "per-commit deltas were consolidated — re-base on a snapshot " +
+              s"read at v${c.version} and start the feed there " +
+              s"(startingVersion=${c.version})")
+        }
+      }
+      val ms = all.filterNot(_.checkpoint)
       val parts = ms.flatMap { m =>
         val dels = m.removes.map(f => LogFilePartition(
           LogTable.dataDir(path).resolve(f).toString, required.json,

@@ -307,6 +307,30 @@ class LogConnectorSpec extends AnyFunSuite {
       .exists(x => Option(x.getMessage).exists(_.contains("conflict"))), e.toString)
   }
 
+  test("change feed below a truncation checkpoint fails loudly, never serves a partial feed") {
+    val t = tmpTable()
+    LogTable.create(spark, t, Seq((1L, "a")).toDF("k", "v"), "k")
+    LogTable.append(spark, t, Seq((2L, "b")).toDF("k", "v"), "k")
+    LogTable.upsert(spark, t, Seq((1L, "a2")).toDF("k", "v"), "k")
+    LogTable.append(spark, t, Seq((3L, "c")).toDF("k", "v"), "k")
+    LogTable.truncateHistory(t, keepLast = 1) // checkpoint at v3
+    val cut = LogTable.history(t).head.version
+    // a window starting below the cut lost its per-commit deltas —
+    // silent incompleteness would be data loss to an incremental view
+    val e = intercept[Exception](spark.read.format("graft-log")
+      .option("readChangeFeed", "true").load(t).collect())
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(x => Option(x.getMessage).exists(m =>
+        m.contains("truncation") && m.contains(s"v$cut"))), e.toString)
+    // from the cut onward the feed serves completely
+    val got = spark.read.format("graft-log")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", cut.toString).load(t)
+      .select("k", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((3L, "insert")), s"feed from the cut served $got")
+  }
+
   test("change feed: pushed filters prune ADD files from the feed by manifest stats") {
     val t = tmpTable()
     LogTable.create(spark, t,

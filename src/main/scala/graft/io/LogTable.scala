@@ -521,16 +521,7 @@ object LogTable {
     // footer reads; engine-written files record colsN for every column.
     // compact() rewrites under the committed schema, so DROP + compact
     // physically purges the column and frees the name.
-    genuinelyNew.foreach { f =>
-      val carriers = liveNow.count(e =>
-        e.cols.contains(f.name) || e.colsD.contains(f.name) ||
-          e.colsS.contains(f.name) || e.colsN.contains(f.name))
-      if (carriers > 0) throw new IllegalArgumentException(
-        s"addColumns($table): column '${f.name}' was dropped but $carriers " +
-          "live file(s) still physically carry it — re-adding would " +
-          "resurface the old values instead of NULLs. compact() the table " +
-          "first (rewrites purge dropped columns) or pick another name")
-    }
+    requireNoPhysicalCarriers(table, liveNow, genuinelyNew.map(_.name), "addColumns")
     val widened = org.apache.spark.sql.types.StructType(
       current.fields ++ genuinelyNew)
     commit(table, snapVersion, adds = Seq.empty, removes = Seq.empty,
@@ -626,6 +617,8 @@ object LogTable {
     val evolved = snapSchema match {
       case Some(sc) =>
         requireCompatible(sc, df, "append")
+        requireNoPhysicalCarriers(table, liveNow,
+          df.schema.fieldNames.toSeq.filterNot(sc.fieldNames.toSet), "append")
         // canonical order: the table's columns first (batch-missing ones
         // as typed NULLs), then any genuinely new columns from the batch
         val have = df.schema.fieldNames.toSet
@@ -887,7 +880,11 @@ object LogTable {
       val (snapVersion, snapshot, snapSchema) = snapshotWithSchema(table, None)
       // type drift fails loudly BEFORE unionByName can coerce it away
       // (long ∪ string would silently widen every key to string)
-      snapSchema.foreach(requireCompatible(_, inc, "upsert"))
+      snapSchema.foreach { sc =>
+        requireCompatible(sc, inc, "upsert")
+        requireNoPhysicalCarriers(table, snapshot,
+          inc.schema.fieldNames.toSeq.filterNot(sc.fieldNames.toSet), "upsert")
+      }
       val touched = snapshot.filter(f => f.minKey <= hi && f.maxKey >= lo)
       val survivors =
         if (touched.isEmpty)
@@ -1364,6 +1361,29 @@ object LogTable {
             s"but the table holds ${ex.dataType.catalogString} — type changes are " +
             "not evolution; cast the batch or migrate explicitly")
       }
+    }
+
+  /** Re-add-after-DROP guard, shared by EVERY path that can evolve the
+    * schema with a new name (addColumns, append, upsert, merge): a live
+    * file that still PHYSICALLY carries the name would resurface its old
+    * values instead of the NULLs an added column promises. Presence is
+    * decided from the manifests' own per-file stats maps — zero footer
+    * reads; engine-written files record colsN for every column. compact()
+    * rewrites under the committed schema, purging dropped bytes and
+    * freeing the name. Without this on the WRITE paths, a batch carrying
+    * a dropped column would silently sneak past the ALTER-side check. */
+  private def requireNoPhysicalCarriers(
+      table: String, liveNow: Seq[FileEntry], newNames: Seq[String],
+      op: String): Unit =
+    newNames.foreach { n =>
+      val carriers = liveNow.count(e =>
+        e.cols.contains(n) || e.colsD.contains(n) ||
+          e.colsS.contains(n) || e.colsN.contains(n))
+      if (carriers > 0) throw new IllegalArgumentException(
+        s"LogTable $op on $table: column '$n' was dropped but $carriers " +
+          "live file(s) still physically carry it — evolving it back would " +
+          "resurface the old values instead of NULLs. compact() the table " +
+          "first (rewrites purge dropped columns) or rename the column")
     }
 
   private def statLong(v: AnyRef): Long = v match {

@@ -1000,6 +1000,31 @@ class LogTableSpec extends AnyFunSuite {
     assert(!Files.exists(staging), "graced vacuum left stale staging debris")
   }
 
+  test("a dropped column cannot sneak back in through append or upsert evolution") {
+    val t = tmpTable()
+    LogTable.create(spark, t,
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "v", "aux"), "k")
+    LogTable.dropColumns(spark, t, Seq("aux"))
+    assert(LogTable.read(spark, t).schema.fieldNames.toSeq == Seq("k", "v"))
+    // the write paths run the same physical-carrier guard as addColumns:
+    // a batch still carrying 'aux' would re-evolve the schema and
+    // resurface the OLD values on the files that still hold the bytes
+    val appendBack = intercept[IllegalArgumentException](
+      LogTable.append(spark, t, Seq((3L, "c", 30L)).toDF("k", "v", "aux"), "k"))
+    assert(appendBack.getMessage.contains("compact"), appendBack.getMessage)
+    val upsertBack = intercept[IllegalArgumentException](
+      LogTable.upsert(spark, t, Seq((1L, "a2", 11L)).toDF("k", "v", "aux"), "k"))
+    assert(upsertBack.getMessage.contains("compact"), upsertBack.getMessage)
+    // compact purges the bytes; then the SAME writes evolve cleanly and
+    // old rows read the promised NULL
+    LogTable.compact(spark, t, "k", targetRows = 1000L)
+    LogTable.append(spark, t, Seq((3L, "c", 30L)).toDF("k", "v", "aux"), "k")
+    val got = LogTable.read(spark, t).orderBy("k").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(got == Seq((1L, -1L), (2L, -1L), (3L, 30L)),
+      s"post-compact re-evolution resurfaced dropped values: $got")
+  }
+
   test("cloneTable: zero-copy clone is a full independent table — writes, maintenance, and history never cross") {
     val src = tmpTable()
     LogTable.create(spark, src,

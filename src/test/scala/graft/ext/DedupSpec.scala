@@ -184,14 +184,31 @@ class DedupSpec extends AnyFunSuite {
       bandsSoFar = Some(bandsSoFar.fold(bands)(_.unionByName(bands)))
     }
     val foldIds = docsSoFar.get.collect().map(_.getLong(0)).toSet
-    val replayIds = Dedup.arrivalReplay(gen, "id", "text",
+    // BOTH regimes must equal the fold: the driver-side resolution over
+    // the collected candidate graph (common case) and the distributed
+    // per-batch rounds (forced by a zero collect bound)
+    def replayIds() = Dedup.arrivalReplay(gen, "id", "text",
       id => when(id < 10000, 0).when(id < 20000, 1).otherwise(2), 3)
       .collect().map(_.getLong(0)).toSet
-    assert(replayIds == foldIds,
-      s"replay diverged from fold: only-replay=${(replayIds -- foldIds).take(5)}, " +
-        s"only-fold=${(foldIds -- replayIds).take(5)}")
+    val collected = replayIds()
+    assert(collected == foldIds,
+      s"replay diverged from fold: only-replay=${(collected -- foldIds).take(5)}, " +
+        s"only-fold=${(foldIds -- collected).take(5)}")
+    val prev = sys.props.get("graft.regime.collectMaxRows")
+    sys.props("graft.regime.collectMaxRows") = "0"
+    try {
+      val distributed = replayIds()
+      assert(graft.io.Regime.lastDecision.get("arrival-cand") == "distributed")
+      assert(distributed == foldIds,
+        s"distributed-regime replay diverged from fold: " +
+          s"only-replay=${(distributed -- foldIds).take(5)}, " +
+          s"only-fold=${(foldIds -- distributed).take(5)}")
+    } finally prev match {
+      case Some(v) => sys.props("graft.regime.collectMaxRows") = v
+      case None => sys.props.remove("graft.regime.collectMaxRows")
+    }
     // sanity: the backfill actually dropped the planted duplicates
-    assert(replayIds.size < gen.count())
+    assert(collected.size < gen.count())
   }
 
   test("arrivalReplay normalizes pairs by ARRIVAL order when id order disagrees") {

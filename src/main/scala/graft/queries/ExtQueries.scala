@@ -1143,6 +1143,110 @@ object ExtQueries {
              |FROM doc ORDER BY score DESC, doc_id ASC LIMIT 50""".stripMargin),
     ),
 
+    // X45 — bigram conditional surprisal (the next rung of the x41
+    // CCNet-family quality ladder: marginal unigram surprise → CONTEXT-
+    // conditioned surprise): each document scores the average
+    // −log₂ P(wᵢ | wᵢ₋₁) under the corpus's own bigram counts, with the
+    // conditional quantized exactly as x41 quantizes the marginal —
+    // ilog2(c(prefix)) − ilog2(c(bigram)), both integer bit lengths, so
+    // the score is integer sums + one IEEE division, bit-identical
+    // cross-engine (c(ab) ≤ c(a) keeps every contribution ≥ 0; the
+    // prefix mass is approximated by the unigram count, identically on
+    // both sides). Low conditional surprise = templated/repetitive
+    // continuations — a sharper dedup-adjacent signal than x41's
+    // marginal, which a rare-word-laden template can fool.
+    //
+    // 100 TB shape: per-doc bigram tf is row-local (the same native
+    // TermStats loop over a row-local bigram array — no token shuffle);
+    // the bigram and unigram tables are corpus-snapshot artifacts
+    // (Regime-dispatched; the UNIGRAM table is the SAME artifact x41/x43
+    // serve — one build per snapshot feeds three operators); the per-doc
+    // reduce is one combinable groupBy. Docs under two tokens carry no
+    // bigram evidence and drop from the report (deterministically on
+    // both engines).
+    QueryDef(
+      "x45_bigram_nll",
+      (s, d) => {
+        def bigramsOf(text: Column): Column = {
+          val toks = split(text, " ")
+          when(size(toks) >= 2,
+            transform(sequence(lit(1), size(toks) - 1),
+              i => concat(element_at(toks, i), lit(" "),
+                element_at(toks, i + 1))))
+            .otherwise(array().cast("array<string>"))
+        }
+        def tfOf(src: org.apache.spark.sql.DataFrame, gram: Column => Column) = src
+          .select(col("doc_id"),
+            explode(graft.functions.TermStats(gram(col("text")))
+              .getField("counts")).as("tc"))
+          .select(col("doc_id"),
+            col("tc").getField("term").as("term"),
+            col("tc").getField("tf").as("tf"))
+        import s.implicits._
+        def artifactFor(key: String, gram: Column => Column): org.apache.spark.sql.DataFrame = {
+          def build: (Long, Either[IndexedSeq[(String, Long)], org.apache.spark.sql.DataFrame]) = {
+            val cp = tfOf(graft.util.Partitioning.fanOut(Tables.documents(s, d)), gram)
+              .groupBy("term").agg(sum("tf").as("ctf")).persist()
+            val total = cp.agg(sum("ctf")).head().getLong(0)
+            val collected = graft.io.Regime.collectIfSmall(key, cp)
+              .map { rows => cp.unpersist(); rows.map(r => (r.getString(0), r.getLong(1))) }
+            (total, collected.toLeft(cp))
+          }
+          val (_, artifact) = graft.io.ArtifactCache.getOrBuild(key)(build) match {
+            case (_, Right(f)) if !graft.io.Regime.servable(f, s) =>
+              graft.io.ArtifactCache.invalidate(key)
+              graft.io.ArtifactCache.getOrBuild(key)(build)
+            case ok => ok
+          }
+          artifact match {
+            case Left(rows) => broadcast(rows.toDF("term", "ctf"))
+            case Right(frame) => frame
+          }
+        }
+        // the unigram table is x41/x43's artifact — same key, one build
+        val unigrams = artifactFor(s"unigram-tf:documents:$d",
+          t => split(t, " "))
+        val bigrams = artifactFor(s"bigram-tf:documents:$d", bigramsOf)
+        tfOf(graft.util.Partitioning.fanOut(Tables.documents(s, d)), bigramsOf)
+          .join(bigrams.withColumnRenamed("ctf", "cb"), Seq("term"))
+          .withColumn("prefix", substring_index(col("term"), " ", 1))
+          .join(unigrams.select(col("term").as("prefix"), col("ctf").as("cu")),
+            Seq("prefix"))
+          .groupBy("doc_id")
+          .agg(
+            sum(col("tf")).as("n_bigrams"),
+            sum(col("tf") * ((length(bin(col("cu"))) - 1) -
+              (length(bin(col("cb"))) - 1))).as("bits"))
+          .select(col("doc_id"),
+            col("n_bigrams").cast("long").as("n_bigrams"),
+            col("bits").cast("long").as("bits"),
+            (col("bits").cast("double") /
+              col("n_bigrams").cast("double")).as("nll2"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |big AS (
+             |  SELECT doc_id, t[i] || ' ' || t[i+1] AS term
+             |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+             |        FROM tok WHERE len(t) >= 2)),
+             |cbig AS (SELECT term, CAST(count(*) AS BIGINT) AS cb
+             |         FROM big GROUP BY term),
+             |cuni AS (SELECT w, CAST(count(*) AS BIGINT) AS cu
+             |         FROM (SELECT unnest(t) AS w FROM tok) GROUP BY w),
+             |doc AS (
+             |  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             |    CAST(sum((length(bin(u.cu)) - 1) -
+             |             (length(bin(c.cb)) - 1)) AS BIGINT) AS bits
+             |  FROM big b
+             |  JOIN cbig c USING (term)
+             |  JOIN cuni u ON u.w = split_part(b.term, ' ', 1)
+             |  GROUP BY b.doc_id)
+             |SELECT doc_id, n_bigrams, bits,
+             |  CAST(bits AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS nll2
+             |FROM doc ORDER BY doc_id""".stripMargin),
+    ),
+
     // X30 — INCREMENTAL dedup: the mutated every-20th-doc batch arrives
     // against the base corpus's precomputed band index; candidates are
     // batch×index + batch×batch only — the continuous-ingestion shape

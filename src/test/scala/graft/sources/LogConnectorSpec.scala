@@ -331,6 +331,48 @@ class LogConnectorSpec extends AnyFunSuite {
     assert(got == Set((3L, "insert")), s"feed from the cut served $got")
   }
 
+  test("change feed under rate control: capped micro-batches deliver per-commit images exactly-once") {
+    val t = tmpTable()
+    val ckpt = Files.createTempDirectory("graft-logcdfrate-ckpt").toString
+    LogTable.create(spark, t, Seq((1L, "a")).toDF("k", "v"), "k")     // v1
+    LogTable.upsert(spark, t, Seq((1L, "a2")).toDF("k", "v"), "k")    // v2: delete+insert
+    LogTable.append(spark, t, Seq((2L, "b")).toDF("k", "v"), "k")     // v3
+    LogTable.deleteRange(spark, t, "k", 2L, 2L)                       // v4: delete
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Set[(Long, String, String, Long)]]()
+    val q = spark.readStream.format("graft-log")
+      .option("readChangeFeed", "true")
+      .option("maxVersionsPerTrigger", "1").load(t)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.add(df.collect().map(r =>
+          (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet)
+        ()
+      }.start()
+    import scala.jdk.CollectionConverters._
+    try {
+      q.processAllAvailable()
+      val got = batches.iterator().asScala.filter(_.nonEmpty).toSeq
+      // cap 1: each non-empty micro-batch carries exactly ONE commit's
+      // images (all rows share a _commit_version)
+      assert(got.forall(b => b.map(_._4).size == 1),
+        s"a capped batch mixed commit versions: $got")
+      assert(got.map(_.head._4) == got.map(_.head._4).sorted,
+        "capped batches delivered out of version order")
+      // the concatenation is the full feed: multiset apply reconstructs
+      // the head exactly as the uncapped stream would
+      val all = got.flatten
+      val net = all.groupBy(r => (r._1, r._2))
+        .view.mapValues(rs =>
+          rs.count(_._3 == "insert") - rs.count(_._3 == "delete"))
+        .toMap.filter(_._2 != 0)
+      val head = LogTable.read(spark, t).collect()
+        .map(r => ((r.getLong(0), r.getString(1)), 1)).toMap
+      assert(net == head, s"rate-controlled feed apply diverged: $net vs $head")
+      // v2's rewrite really arrived as its own delete+insert batch
+      assert(got.exists(b => b.exists(_._3 == "delete") && b.exists(_._3 == "insert")))
+    } finally q.stop()
+  }
+
   test("change feed: pushed filters prune ADD files from the feed by manifest stats") {
     val t = tmpTable()
     LogTable.create(spark, t,

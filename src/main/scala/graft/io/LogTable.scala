@@ -743,6 +743,14 @@ object LogTable {
           }
         }
         val have = sc.fieldNames.toSet
+        // same re-add-after-DROP guard as the batch write paths: a
+        // stream whose schema still carries a dropped column must not
+        // evolve it back while live files hold the old bytes (replaceAll
+        // removes every old file in the same commit, so Complete mode
+        // cannot resurface anything and skips the check)
+        if (!replaceAll)
+          requireNoPhysicalCarriers(table, liveNow,
+            streamSchema.fieldNames.toSeq.filterNot(have), "streaming sink")
         org.apache.spark.sql.types.StructType(
           sc.fields ++ streamSchema.fields.filterNot(f => have(f.name)))
       case None => streamSchema

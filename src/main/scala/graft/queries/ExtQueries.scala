@@ -1183,10 +1183,20 @@ object ExtQueries {
             col("tc").getField("term").as("term"),
             col("tc").getField("tf").as("tf"))
         import s.implicits._
-        def artifactFor(key: String, gram: Column => Column): org.apache.spark.sql.DataFrame = {
+        // ONE tokenize+TermStats pass feeds BOTH the bigram-table build
+        // and the scoring join (boilerplateLines' shared-pass pattern):
+        // a cold execution persists the per-doc tf frame and derives the
+        // corpus table from its blocks; a warm serve (table already
+        // cached) reads the raw projection once — no storage spent on a
+        // frame only one consumer will read.
+        val bigramKey = s"bigram-tf:documents:$d"
+        val bigramCached = graft.io.ArtifactCache.keys.contains(bigramKey)
+        def tfbRaw = tfOf(graft.util.Partitioning.fanOut(Tables.documents(s, d)), bigramsOf)
+        lazy val tfbCp = tfbRaw.persist()
+        def artifactFor(key: String, src: => org.apache.spark.sql.DataFrame)
+            : org.apache.spark.sql.DataFrame = {
           def build: (Long, Either[IndexedSeq[(String, Long)], org.apache.spark.sql.DataFrame]) = {
-            val cp = tfOf(graft.util.Partitioning.fanOut(Tables.documents(s, d)), gram)
-              .groupBy("term").agg(sum("tf").as("ctf")).persist()
+            val cp = src.groupBy("term").agg(sum("tf").as("ctf")).persist()
             val total = cp.agg(sum("ctf")).head().getLong(0)
             val collected = graft.io.Regime.collectIfSmall(key, cp)
               .map { rows => cp.unpersist(); rows.map(r => (r.getString(0), r.getLong(1))) }
@@ -1205,9 +1215,10 @@ object ExtQueries {
         }
         // the unigram table is x41/x43's artifact — same key, one build
         val unigrams = artifactFor(s"unigram-tf:documents:$d",
-          t => split(t, " "))
-        val bigrams = artifactFor(s"bigram-tf:documents:$d", bigramsOf)
-        tfOf(graft.util.Partitioning.fanOut(Tables.documents(s, d)), bigramsOf)
+          tfOf(graft.util.Partitioning.fanOut(Tables.documents(s, d)),
+            t => split(t, " ")))
+        val bigrams = artifactFor(bigramKey, tfbCp)
+        (if (bigramCached) tfbRaw else tfbCp)
           .join(bigrams.withColumnRenamed("ctf", "cb"), Seq("term"))
           .withColumn("prefix", substring_index(col("term"), " ", 1))
           .join(unigrams.select(col("term").as("prefix"), col("ctf").as("cu")),

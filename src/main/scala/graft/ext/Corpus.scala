@@ -340,19 +340,19 @@ object Corpus {
     }
     artifact match {
       case Left(hashes) =>
-        // row-local rebuild: the frequent set rides into the task as one
-        // array literal; membership is a per-line array_contains probe
-        // (O(|set|) scan — bounded by the Regime row cap; a production
-        // build past ~10^3 entries would compile a constant hash set,
-        // which is the same plan with a faster literal). Warm serve
-        // (artifact cached) reads the raw projection — one pass, no
-        // checkpoint; a cold build reads the blocks the counting pass
-        // just materialized.
-        val freqArr = lit(hashes.toArray)
+        // row-local rebuild: the frequent set rides into the task as an
+        // `InSet` hash set (GraftColumnBridge.inLongSet), so membership
+        // is O(1) per line — the earlier array-literal probe was
+        // O(|set|) per line, ~6e8 comparisons per pass at sf0.1 and the
+        // whole warm-serve cost of the operator. Warm serve (artifact
+        // cached) reads the raw projection — one pass, no checkpoint; a
+        // cold build reads the blocks the counting pass just
+        // materialized.
         (if (cachedAlready) linesRaw else linesCp)
           .select(col("id"), col("_lines"),
             filter(col("_lines"),
-              l => !array_contains(freqArr, Dedup.shingleHash60(l))).as("_kept"))
+              l => !org.apache.spark.sql.GraftColumnBridge.inLongSet(
+                Dedup.shingleHash60(l), hashes)).as("_kept"))
           .select(col("id"),
             array_join(col("_kept"), " ").as("clean_text"),
             size(col("_kept")).cast("long").as("n_kept"),
@@ -479,16 +479,17 @@ object Corpus {
         (size(col("_toks")) - size(col("_keptPos"))).cast("long").as("n_removed"))
     artifact match {
       case Left(hashes) =>
-        // frequent set rides into the task as one array literal (bounded
-        // by the Regime row cap, same contract as boilerplateLines)
-        val freqArr = lit(hashes.toArray)
+        // frequent set rides into the task as an `InSet` hash set — O(1)
+        // per gram probe (bounded by the Regime row cap, same contract
+        // and same upgrade as boilerplateLines' rebuild)
         // sequence(1, 0) DESCENDS — short docs (empty _gh) guard to an
         // empty start set instead
         rebuilt(
           if (cachedAlready) toksRaw else toksCp,
           when(size(col("_gh")) > 0,
             filter(sequence(lit(1), size(col("_gh"))),
-              s => array_contains(freqArr, element_at(col("_gh"), s))))
+              s => org.apache.spark.sql.GraftColumnBridge.inLongSet(
+                element_at(col("_gh"), s), hashes)))
             .otherwise(array().cast("array<int>")))
       case Right(freq) =>
         // distributed: (id, start, hash) triples semi-join the frequent

@@ -15,6 +15,20 @@ object GraftColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Hash-set membership against a driver-collected Long set, as the
+    * optimizer's own `InSet` predicate: O(1) per probe where an
+    * `array_contains(lit(arr), e)` literal probe is O(|set|) per row.
+    * The collected-regime rebuilds in [[graft.ext.Corpus]] probe every
+    * line/gram of the corpus against a frequent set measured in the
+    * thousands — a linear literal scan there multiplies to ~1e9
+    * comparisons per pass, all avoidable. Safe inside higher-order
+    * lambdas (the analyzer binds the lambda variable through any
+    * expression, and `InSet.eval` is a set probe either way). */
+  def inLongSet(c: Column, values: Iterable[Long]): Column =
+    if (values.isEmpty) org.apache.spark.sql.functions.lit(false)
+    else column(org.apache.spark.sql.catalyst.expressions.InSet(
+      expression(c), values.map(java.lang.Long.valueOf(_): Any).toSet))
+
   /** Test-visibility accessor for rules registered on a
     * SparkSessionExtensions instance (private[sql] upstream). */
   def optimizerRules(

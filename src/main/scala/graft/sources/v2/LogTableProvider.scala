@@ -572,7 +572,8 @@ class LogTableScanBuilder(
     onPlanned: Seq[LogTable.FileEntry] => Unit = _ => ())
     extends ScanBuilder
     with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   import LogTable.{DblBound, LongBound, StatBound, StrBound}
 
@@ -738,12 +739,134 @@ class LogTableScanBuilder(
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  // snapshot pinned ONCE per scan build, shared by aggregate
+  // answerability and the scan itself: both must describe the same
+  // version even if writers land mid-planning
+  private lazy val pinned: Seq[LogTable.FileEntry] =
+    pinnedSnapshot.getOrElse(LogTable.snapshotWithSchema(path, asOf)._2)
+
+  // ---- aggregate pushdown: COUNT/MIN/MAX answered from the manifest --
+  //
+  // The manifest already carries exact per-file row counts, typed
+  // [min,max] column stats, and null counts — so an unfiltered
+  // `SELECT count(*), min(k), max(ts) FROM log_table` is pure stats
+  // arithmetic: ZERO data files planned, zero footer reads, constant
+  // work however many petabytes the snapshot spans (the same zero-scan
+  // answer Delta/Iceberg serve from their own metadata). Answerability
+  // is strict — every aggregate must be exactly decidable or the whole
+  // aggregation stays on the scan:
+  //   - count(*): always (row counts are exact, live files only);
+  //   - count(c) non-distinct: every live file must carry a null count
+  //     for c (rows - nulls; files from pre-stats writers refuse);
+  //   - min/max over long-encoded columns (integrals, DATE days,
+  //     TIMESTAMP/NTZ micros): every live file must carry cols bounds —
+  //     footer bounds are exact non-null extremes, merged with min/max;
+  //     an all-null or stat-less file has no entry and refuses;
+  //   - min over double/float: same, from colsD. MAX over floating
+  //     columns is REFUSED: footer bounds EXCLUDE NaN while NaN sorts
+  //     GREATEST in Spark, so a NaN-holding file answers a finite max
+  //     where the scan answers NaN. MIN is unaffected by that ordering
+  //     (-0.0 normalizes to 0.0, matching Spark's UnsafeRow floats);
+  //   - string min/max is REFUSED: manifest string bounds are
+  //     truncated/widened admission windows, not exact values;
+  //   - any pushed filter, group-by, distinct, or other function
+  //     refuses (Spark only offers aggregates when no filter survives,
+  //     and this source keeps every filter residual — the guard is
+  //     defense in depth).
+  private var aggPushed: Option[Seq[(StructField, Any)]] = None
+
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate.{
+    AggregateFunc, Aggregation, Count, CountStar, Max, Min}
+
+  private def aggColumn(
+      e: org.apache.spark.sql.connector.expressions.Expression): Option[StructField] =
+    e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        tableSchema.fields.find(_.name == nr.fieldNames()(0))
+      case _ => None
+    }
+
+  private def decodeLongStat(dt: DataType, v: Long): Any = dt match {
+    case LongType | TimestampType | TimestampNTZType => v
+    case IntegerType => v.toInt
+    case ShortType => v.toShort
+    case DateType => v.toInt
+    case other => throw new IllegalStateException(
+      s"graft-log aggregate pushdown: unexpected long-stat type $other")
+  }
+
+  /** Exact MIN/MAX from per-file stats, or None when any live file
+    * cannot answer. Some(null) is the SQL aggregate over zero rows. */
+  private def minMaxFromStats(f: StructField, isMin: Boolean): Option[Any] = {
+    def all[B](get: LogTable.FileEntry => Option[B]): Option[Seq[B]] = {
+      val bs = pinned.map(get)
+      if (bs.forall(_.isDefined)) Some(bs.map(_.get)) else None
+    }
+    f.dataType match {
+      case LongType | IntegerType | ShortType | DateType |
+           TimestampType | TimestampNTZType =>
+        all(_.cols.get(f.name)).map { bs =>
+          if (bs.isEmpty) null
+          else decodeLongStat(f.dataType,
+            if (isMin) bs.map(_._1).min else bs.map(_._2).max)
+        }
+      case DoubleType if isMin =>
+        all(_.colsD.get(f.name)).map { bs =>
+          if (bs.isEmpty) null else (bs.map(_._1).min + 0.0d): java.lang.Double
+        }
+      case FloatType if isMin =>
+        all(_.colsD.get(f.name)).map { bs =>
+          if (bs.isEmpty) null
+          else (bs.map(_._1).min.toFloat + 0.0f): java.lang.Float
+        }
+      case _ => None
+    }
+  }
+
+  private def aggAnswer(fn: AggregateFunc): Option[(StructField, Any)] = fn match {
+    case _: CountStar =>
+      Some(StructField("count(*)", LongType, nullable = false) ->
+        pinned.map(_.rows).sum)
+    case c: Count if !c.isDistinct =>
+      aggColumn(c.column).flatMap { f =>
+        val ns = pinned.map(_.colsN.get(f.name))
+        if (ns.forall(_.isDefined))
+          Some(StructField(s"count(${f.name})", LongType, nullable = false) ->
+            (pinned.map(_.rows).sum - ns.flatMap(_.toSeq).sum))
+        else None
+      }
+    case m: Min =>
+      aggColumn(m.column).flatMap(f => minMaxFromStats(f, isMin = true)
+        .map(v => StructField(s"min(${f.name})", f.dataType, nullable = true) -> v))
+    case m: Max =>
+      aggColumn(m.column).flatMap(f => minMaxFromStats(f, isMin = false)
+        .map(v => StructField(s"max(${f.name})", f.dataType, nullable = true) -> v))
+    case _ => None
+  }
+
+  private def answersFor(aggregation: Aggregation): Option[Seq[(StructField, Any)]] =
+    if (cdf || aggregation.groupByExpressions.nonEmpty ||
+        pushed.nonEmpty || bounds.nonEmpty || clauses.nonEmpty) None
+    else {
+      val as = aggregation.aggregateExpressions.toSeq.map(aggAnswer)
+      if (as.nonEmpty && as.forall(_.isDefined)) Some(as.map(_.get)) else None
+    }
+
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    answersFor(aggregation).isDefined
+
+  override def pushAggregation(aggregation: Aggregation): Boolean =
+    answersFor(aggregation) match {
+      case Some(fs) => aggPushed = Some(fs); true
+      case None => false
+    }
+
   override def build(): Scan = new Scan with Batch with SupportsReportStatistics
       with SupportsRuntimeV2Filtering {
     // snapshot pinned ONCE at scan build: planning and statistics must
     // describe the same version even if writers land mid-query
-    private val snapshot = pinnedSnapshot.getOrElse(
-      LogTable.snapshotWithSchema(path, asOf)._2)
+    private val snapshot = pinned
     // minKey/maxKey are the key column's stats whatever its name — cols
     // usually duplicates them, but a reserved-name key column only has
     // the anonymous slots (admits handles both)
@@ -810,11 +933,12 @@ class LogTableScanBuilder(
       }
     }
 
-    override def readSchema(): StructType = required
+    override def readSchema(): StructType =
+      aggPushed.map(fs => StructType(fs.map(_._1))).getOrElse(required)
     override def toBatch: Batch = this
 
     override def estimateStatistics(): Statistics = new Statistics {
-      private val rows = kept.map(_.rows).sum
+      private val rows = aggPushed.fold(kept.map(_.rows).sum)(_ => 1L)
       override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(rows * math.max(1L, readSchema().defaultSize.toLong))
@@ -822,7 +946,9 @@ class LogTableScanBuilder(
 
     override def description(): String =
       s"GraftLogScan($path, files=${kept.size}/${snapshot.size}, " +
-        s"pushed=${pushed.mkString(",")}, columns=${required.fieldNames.mkString(",")})"
+        s"pushed=${pushed.mkString(",")}, columns=${required.fieldNames.mkString(",")}" +
+        aggPushed.fold("")(fs =>
+          s", agg=${fs.map(_._1.name).mkString("[", ",", "]")}") + ")"
 
     override def planInputPartitions(): Array[InputPartition] = {
       if (cdf) {
@@ -832,11 +958,20 @@ class LogTableScanBuilder(
         val toV = asOf.getOrElse(LogTable.version(path))
         return cdfPartitions(startingVersion, toV)
       }
-      LogTableScan.lastTotalFiles.set(snapshot.size)
-      LogTableScan.lastPlannedFiles.set(kept.size)
-      kept.map(f => LogFilePartition(
-        LogTable.dataDir(path).resolve(f.file).toString,
-        required.json, fileColIsMeta): InputPartition).toArray
+      aggPushed match {
+        case Some(fs) =>
+          // completely-pushed aggregation: ONE pre-computed stats row,
+          // zero data files planned — the manifest was the whole read
+          LogTableScan.lastTotalFiles.set(snapshot.size)
+          LogTableScan.lastPlannedFiles.set(0)
+          Array(LogStatsPartition(fs.map(_._2)): InputPartition)
+        case None =>
+          LogTableScan.lastTotalFiles.set(snapshot.size)
+          LogTableScan.lastPlannedFiles.set(kept.size)
+          kept.map(f => LogFilePartition(
+            LogTable.dataDir(path).resolve(f.file).toString,
+            required.json, fileColIsMeta): InputPartition).toArray
+      }
     }
 
     /** Retraction-feed planning shared by the batch and streaming change
@@ -1009,9 +1144,24 @@ case class LogFilePartition(
     changeType: Option[String] = None,
     commitVersion: Option[Long] = None) extends InputPartition
 
+/** Single pre-computed row for a completely-pushed aggregation — the
+  * manifest stats ARE the result; no file task ever runs. Values are
+  * Catalyst internal representations (long micros, int days, boxed
+  * primitives, null for empty-table min/max). */
+case class LogStatsPartition(values: Seq[Any]) extends InputPartition
+
 class LogFileReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new LogFileReader(partition.asInstanceOf[LogFilePartition])
+    partition match {
+      case LogStatsPartition(values) =>
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean = { val n = !emitted; emitted = true; n }
+          override def get(): InternalRow = InternalRow.fromSeq(values)
+          override def close(): Unit = ()
+        }
+      case p: LogFilePartition => new LogFileReader(p)
+    }
 }
 
 /** Parquet → InternalRow through the public parquet-mr Group API.

@@ -206,6 +206,18 @@ class PlanSpec extends AnyFunSuite {
     graft.io.ArtifactCache.clear()
   }
 
+  test("k21 stats aggregation plans ZERO data files — the manifest is the whole read (K21)") {
+    val df = SparkEntry.queries("k21_stats_agg")(spark, sf)
+    assert(df.collect().length == 1)
+    assert(graft.sources.v2.LogTableScan.lastPlannedFiles.get() == 0,
+      s"k21 planned ${graft.sources.v2.LogTableScan.lastPlannedFiles.get()} " +
+        "data files — COUNT/MIN/MAX must answer from manifest stats alone")
+    val plan = planOf(df)
+    assert(plan.contains("agg=[count(*)"),
+      s"k21 scan does not report the pushed aggregation:\n${
+        plan.linesIterator.take(25).mkString("\n")}")
+  }
+
   test("unigram NLL joins the vocabulary as a broadcast under the bound (X41)") {
     graft.io.ArtifactCache.clear()
     val plan = planOf(SparkEntry.queries("x41_unigram_nll")(spark, sf))

@@ -1166,4 +1166,119 @@ class LogConnectorSpec extends AnyFunSuite {
       s"pruned connector read (stats ~900 rows) did not broadcast:\n$plan")
     assert(joined.count() == fact.filter(col("k").between(1L, 900L)).count())
   }
+
+  // ---- aggregate pushdown: COUNT/MIN/MAX from manifest stats ----
+
+  private def aggTable(): (String, org.apache.spark.sql.DataFrame) = {
+    val t = tmpTable()
+    val base = (1L to 6000L)
+      .map(i => (i, if (i % 3 == 0) null else s"v$i", i / 10.0))
+      .toDF("k", "nv", "score")
+      .withColumn("ts", timestamp_seconds(col("k") * 60))
+      .withColumn("d", to_date(timestamp_seconds(col("k") * 86400)))
+      .repartitionByRange(6, col("k"))
+    LogTable.create(spark, t, base, "k")
+    (t, base)
+  }
+
+  test("unfiltered COUNT/MIN/MAX answer from manifest stats with zero files planned") {
+    val (t, base) = aggTable()
+    val got = load(t).agg(
+      count(lit(1)).as("n"), count(col("nv")).as("nn"),
+      min(col("k")).as("mnk"), max(col("k")).as("mxk"),
+      min(col("ts")).as("mnts"), max(col("ts")).as("mxts"),
+      min(col("d")).as("mnd"), max(col("d")).as("mxd"),
+      min(col("score")).as("mns")).collect().toSeq
+    val expected = base.agg(
+      count(lit(1)), count(col("nv")), min(col("k")), max(col("k")),
+      min(col("ts")), max(col("ts")), min(col("d")), max(col("d")),
+      min(col("score"))).collect().toSeq
+    assert(got == expected, s"stats aggregate diverged: $got vs $expected")
+    assert(LogTableScan.lastPlannedFiles.get() == 0,
+      s"pushed aggregation planned ${LogTableScan.lastPlannedFiles.get()} " +
+        "data files — the manifest should have been the whole read")
+    val desc = load(t).agg(count(lit(1))).queryExecution.executedPlan.toString
+    assert(desc.contains("agg=[count(*)]"),
+      s"scan description does not report the pushed aggregation:\n$desc")
+  }
+
+  test("floating MAX refuses stats (NaN hazard) and scans; NaN answers NaN") {
+    val t = tmpTable()
+    LogTable.create(spark, t,
+      Seq((1L, 1.5), (2L, Double.NaN), (3L, -3.25))
+        .toDF("k", "score").coalesce(1), "k")
+    val got = load(t).agg(max(col("score"))).collect()(0).getDouble(0)
+    assert(got.isNaN, s"max over a NaN-holding file must be NaN, got $got")
+    assert(LogTableScan.lastPlannedFiles.get() > 0,
+      "floating max must fall back to the scan — footer bounds exclude NaN")
+    // min over the same data IS answerable when stats exist; a
+    // NaN-holding file drops its colsD stats entirely, so this also
+    // falls back — and still answers the exact minimum
+    val mn = load(t).agg(min(col("score"))).collect()(0).getDouble(0)
+    assert(mn == -3.25)
+  }
+
+  test("filtered aggregates fall back to the pruned scan and stay exact") {
+    val (t, base) = aggTable()
+    val got = load(t).filter(col("k") > 3000L)
+      .agg(count(lit(1)), min(col("k"))).collect().toSeq
+    val expected = base.filter(col("k") > 3000L)
+      .agg(count(lit(1)), min(col("k"))).collect().toSeq
+    assert(got == expected)
+    assert(LogTableScan.lastPlannedFiles.get() > 0,
+      "a filtered aggregate must read files — stats describe whole files")
+  }
+
+  test("distinct and unsupported aggregates refuse pushdown but stay exact") {
+    val (t, base) = aggTable()
+    val got = load(t)
+      .agg(countDistinct(col("nv")), sum(col("k")), avg(col("score")))
+      .collect().toSeq
+    val expected = base
+      .agg(countDistinct(col("nv")), sum(col("k")), avg(col("score")))
+      .collect().toSeq
+    assert(got == expected)
+    assert(LogTableScan.lastPlannedFiles.get() > 0)
+  }
+
+  test("stats-less columns refuse: a column added by evolution falls back") {
+    val (t, base) = aggTable()
+    LogTable.addColumns(spark, t,
+      Seq(org.apache.spark.sql.types.StructField("extra",
+        org.apache.spark.sql.types.LongType)))
+    // count(extra) has no null counts for pre-ALTER files -> scan; the
+    // typed-NULL evolution semantics still answer 0 non-null rows
+    val cnt = load(t).agg(count(col("extra"))).collect()(0).getLong(0)
+    assert(cnt == 0L)
+    assert(LogTableScan.lastPlannedFiles.get() > 0)
+    // count(*) remains pure stats arithmetic after the evolution commit
+    val n = load(t).agg(count(lit(1))).collect()(0).getLong(0)
+    assert(n == base.count())
+    assert(LogTableScan.lastPlannedFiles.get() == 0)
+  }
+
+  test("emptied table answers count 0 and NULL bounds from the manifest alone") {
+    val (t, _) = aggTable()
+    LogTable.deleteWhere(spark, t, _ => true, lit(true))
+    val row = load(t).agg(count(lit(1)), min(col("k")), max(col("ts"))).collect()(0)
+    assert(row.getLong(0) == 0L)
+    assert(row.isNullAt(1) && row.isNullAt(2),
+      "min/max over an emptied snapshot must answer SQL's zero-row NULL")
+    assert(LogTableScan.lastPlannedFiles.get() == 0)
+  }
+
+  test("aggregate pushdown respects time travel: asOf answers that version's stats") {
+    val t = tmpTable()
+    LogTable.create(spark, t,
+      (1L to 100L).map(i => (i, i * 1.0)).toDF("k", "score"), "k")
+    val v1 = graft.io.LogTable.version(t)
+    LogTable.upsert(spark, t,
+      (101L to 250L).map(i => (i, i * 1.0)).toDF("k", "score"), "k")
+    val got = spark.read.format("graft-log").option("asOf", v1).load(t)
+      .agg(count(lit(1)), max(col("k"))).collect()(0)
+    assert(got.getLong(0) == 100L && got.getLong(1) == 100L)
+    assert(LogTableScan.lastPlannedFiles.get() == 0)
+    val head = load(t).agg(count(lit(1)), max(col("k"))).collect()(0)
+    assert(head.getLong(0) == 250L && head.getLong(1) == 250L)
+  }
 }

@@ -53,6 +53,27 @@ class SqlModelSpec extends AnyFunSuite {
         .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
       assert(asOf == probeModel,
         s"step $step ($op): VERSION AS OF $probeV diverged from recorded history")
+      // manifest-stats aggregation must track the model after EVERY verb
+      // (every write path registers stats, so the pushed answer is never
+      // allowed to fall back) — this nets stale/wrong stats from any
+      // rewrite, restore, compact, or truncation
+      val agg = spark.sql(
+        s"SELECT count(*) AS n, count(v) AS nv, min(k) AS mn, max(k) AS mx FROM $T")
+        .collect()(0)
+      val planned = LogTableScan.lastPlannedFiles.get()
+      assert(agg.getLong(0) == model.size && agg.getLong(1) == model.size,
+        s"step $step ($op): stats count diverged from model")
+      if (model.isEmpty)
+        assert(agg.isNullAt(2) && agg.isNullAt(3),
+          s"step $step ($op): empty table must answer NULL bounds")
+      else
+        assert(agg.getLong(2) == model.keys.min && agg.getLong(3) == model.keys.max,
+          s"step $step ($op): stats min/max diverged from model " +
+            s"(got ${agg.getLong(2)}..${agg.getLong(3)}, " +
+            s"want ${model.keys.min}..${model.keys.max})")
+      assert(planned == 0,
+        s"step $step ($op): stats aggregation planned $planned data files — " +
+          "every write path registers stats, the manifest must answer alone")
     }
 
     for (step <- 1 to 22) {

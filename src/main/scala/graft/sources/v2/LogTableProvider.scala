@@ -1058,11 +1058,30 @@ class LogTableScanBuilder(
     override def toMicroBatchStream(checkpointLocation: String)
         : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
       new org.apache.spark.sql.connector.read.streaming.MicroBatchStream
-        with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+        with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
         import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
-        override def latestOffset(): Offset =
-          LogVersionOffset(LogTable.version(path))
+        // Trigger.AvailableNow (SupportsTriggerAvailableNow): Spark
+        // calls prepareForTriggerAvailableNow() once at query start; the
+        // head version observed THERE becomes a hard cap on every
+        // subsequent latestOffset answer, so the query drains exactly
+        // the commits that existed when it started — rate control still
+        // paces the drain into capped micro-batches — and then stops on
+        // its own. This is the nightly-incremental idiom at scale
+        // (process everything since the checkpoint, exactly-once, exit;
+        // the reference's scheduled `run.py` sync is this shape):
+        // commits landing mid-drain wait for the next scheduled run,
+        // and a restart mid-drain replays identically because offsets,
+        // not the cap, are checkpointed.
+        @volatile private var availableNowCap: Option[Long] = None
+        override def prepareForTriggerAvailableNow(): Unit =
+          availableNowCap = Some(LogTable.version(path))
+        private def cappedHead: Long = {
+          val head = LogTable.version(path)
+          availableNowCap.fold(head)(math.min(head, _))
+        }
+
+        override def latestOffset(): Offset = LogVersionOffset(cappedHead)
 
         // rate control: `.option("maxVersionsPerTrigger", n)` caps each
         // micro-batch at n commits (the Delta maxFilesPerTrigger trade,
@@ -1070,11 +1089,13 @@ class LogTableScanBuilder(
         // replayable step). A capped batch replans identically on
         // recovery because the offset range, not the cap, is
         // checkpointed; reportLatestOffset still surfaces the true head
-        // so lag is observable.
+        // so lag is observable (also under AvailableNow, where the cap
+        // hides mid-drain arrivals from planning but not from metrics).
         override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
-        override def reportLatestOffset(): Offset = latestOffset()
+        override def reportLatestOffset(): Offset =
+          LogVersionOffset(LogTable.version(path))
         override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-          val head = LogTable.version(path)
+          val head = cappedHead
           val from = start.asInstanceOf[LogVersionOffset].v
           LogVersionOffset(maxVersionsPerTrigger
             .fold(head)(n => math.min(head, from + math.max(1L, n))))

@@ -329,8 +329,13 @@ object Bench {
     // committed full artifact.
     println(metric)
     val topN = 12
+    // Locale.ROOT: f"" interpolates via the DEFAULT locale — under a
+    // comma-decimal locale the summary would print 1,234 and stop being
+    // JSON, defeating the whole compact-tail fix.
     val slowest = results.toSeq.sortBy(-_._2).take(topN)
-      .map { case (k, v) => s"\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f",
+          Double.box(v)) }.mkString("{", ",", "}")
     val compact =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$slowest,"queries_omitted":${math.max(0, results.size - topN)},"total_warm":$totalWarm,"storage_sec":$storageSec,${duckFields.replaceAll(""""duck_queries":.*?\},""", "")}"errors":$errs,"import_sec":$importSec,"load_gate":{"load_start":$loadStart,"waited_sec":$gateWaited,"load_at_run":$loadAtRun},"detail":"BENCH_LATEST.json","sf":"$sfDir"}"""
     println(compact)

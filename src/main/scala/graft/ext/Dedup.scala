@@ -649,8 +649,17 @@ object Dedup {
         }
         val sp = docs.sparkSession
         import sp.implicits._
-        if (droppedSet.isEmpty) ids.select("id")
-        else ids.select("id").join(
+        // Force the contract guard in THIS regime too: a bare
+        // `ids.select("id")` lets the optimizer prune column `b` and with
+        // it the raise_error, so out-of-range ids would be silently
+        // retained here while the distributed regime fails loudly. The
+        // filter is trivially true for every valid row (b ∈ [0,
+        // numBatches) ⊆ [0, ∞)) but references `b`, which Catalyst cannot
+        // fold away past the non-foldable raise_error — identical output,
+        // guard evaluated per row, cross-regime identity preserved.
+        val guarded = ids.filter(col("b") >= 0).select("id")
+        if (droppedSet.isEmpty) guarded
+        else guarded.join(
           broadcast(droppedSet.toSeq.toDF("id")), Seq("id"), "left_anti")
       case None =>
         // normalize by ARRIVAL order (batch, then id): id order need not

@@ -240,10 +240,22 @@ object Multimodal {
     require(bits >= 1 && bits <= 63 && maxDist >= 0 && maxDist < bits,
       s"phashNearDups: bad bits=$bits maxDist=$maxDist")
     val nSlices = maxDist + 1
-    val width = (bits + nSlices - 1) / nSlices
+    // Distribute bits EVENLY (first bits % nSlices slices one wider), not
+    // by ceil-division: ceil widths can exhaust the hash before the last
+    // slice (e.g. bits=10, maxDist=5 → width 2, slice 5 starts at bit 10),
+    // leaving trailing slices of width <= 0 whose value is the same
+    // constant for every row — the equi-join on that slice degenerates to
+    // all-pairs (results stay exact, the never-all-pairs scaling breaks).
+    // maxDist < bits guarantees every even slice has width >= 1.
+    val base = bits / nSlices
+    val rem = bits % nSlices
+    val widths = (0 until nSlices).map(i => if (i < rem) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _)
+    assert(widths.forall(_ >= 1),
+      s"phashNearDups: internal slice width < 1 for bits=$bits maxDist=$maxDist")
     val slices = (0 until nSlices).map { i =>
-      val lo = i * width
-      val w = math.min(width, bits - lo)
+      val lo = offsets(i)
+      val w = widths(i)
       df.select(col("id"), col("h"),
         lit(i).as("s"),
         (shiftright(col("h"), lo).bitwiseAND(lit((1L << w) - 1))).as("sv"))

@@ -1392,6 +1392,21 @@ object LogTable {
           "live file(s) still physically carry it — evolving it back would " +
           "resurface the old values instead of NULLs. compact() the table " +
           "first (rewrites purge dropped columns) or rename the column")
+      // Conservative-carrier rule: a live file with NO stats entries at
+      // all (written before stats existed, or by an external writer)
+      // proves nothing about which columns it physically carries — the
+      // maps-only check above would wave it through and the re-added
+      // column could resurface old values, exactly the hazard this guard
+      // exists for. Unknown must read as "maybe carries": refuse with the
+      // same compact() remedy (a rewrite stamps full stats AND purges
+      // dropped bytes, clearing both problems at once).
+      val statless = liveNow.count(e =>
+        e.cols.isEmpty && e.colsD.isEmpty && e.colsS.isEmpty && e.colsN.isEmpty)
+      if (statless > 0) throw new IllegalArgumentException(
+        s"LogTable $op on $table: cannot prove column '$n' is physically " +
+          s"absent — $statless live file(s) carry no per-column stats, so " +
+          "manifest-only presence checking is blind to them. compact() the " +
+          "table first (rewrites stamp stats and purge dropped columns)")
     }
 
   private def statLong(v: AnyRef): Long = v match {

@@ -980,10 +980,19 @@ object ExtQueries {
     // subtraction, bit-identical cross-engine.
     //
     // Shape: tf is row-local (native TermStats, no token shuffle); the
-    // unigram table (term → corpus count) is a corpus-snapshot artifact
-    // exactly like x21's df table — Regime-measured, broadcast-joined
-    // under the bound, vocabulary-as-table shuffle join above it. The
-    // per-doc reduce is one combinable groupBy on doc_id.
+    // unigram table (term-hash → corpus count) is a corpus-snapshot
+    // artifact exactly like x21's df table — Regime-measured,
+    // broadcast-joined under the bound, vocabulary-as-table shuffle join
+    // above it. The per-doc reduce is one combinable groupBy on doc_id.
+    //
+    // Exchange identity is the 60-BIT md5-prefix HASH of the term, never
+    // the term string (x44's discipline): the vocab join/group keys are
+    // fixed-width longs — at 100 TB the exchange carries 8-byte keys
+    // instead of variable UTF-8, and hash joins/aggs compare longs
+    // instead of strings. The DuckDB twin hashes identically
+    // (CAST('0x'||substr(md5(term),1,15) AS BIGINT)), so group identity
+    // is cross-engine exact; collisions are discounted by the same
+    // gram-identity contract as x40/x44.
     QueryDef(
       "x41_unigram_nll",
       (s, d) => {
@@ -992,17 +1001,17 @@ object ExtQueries {
             explode(graft.functions.TermStats(split(col("text"), " "))
               .getField("counts")).as("tc"))
           .select(col("doc_id"),
-            col("tc").getField("term").as("term"),
+            graft.ext.Dedup.shingleHash60(col("tc").getField("term")).as("h"),
             col("tc").getField("tf").as("tf"))
         def unigramOf: org.apache.spark.sql.DataFrame =
           tfOf(graft.util.Partitioning.fanOut(Tables.documents(s, d)))
-            .groupBy("term").agg(sum("tf").as("ctf"))
+            .groupBy("h").agg(sum("tf").as("ctf"))
         val key = s"unigram-tf:documents:$d"
-        def build: (Long, Either[IndexedSeq[(String, Long)], org.apache.spark.sql.DataFrame]) = {
+        def build: (Long, Either[IndexedSeq[(Long, Long)], org.apache.spark.sql.DataFrame]) = {
           val cp = unigramOf.persist()
           val total = cp.agg(sum("ctf")).head().getLong(0)
           val collected = graft.io.Regime.collectIfSmall(key, cp)
-            .map { rows => cp.unpersist(); rows.map(r => (r.getString(0), r.getLong(1))) }
+            .map { rows => cp.unpersist(); rows.map(r => (r.getLong(0), r.getLong(1))) }
           (total, collected.toLeft(cp))
         }
         val (totalTokens, artifact) = graft.io.ArtifactCache.getOrBuild(key)(build) match {
@@ -1013,12 +1022,12 @@ object ExtQueries {
         }
         import s.implicits._
         val unigrams = artifact match {
-          case Left(rows) => broadcast(rows.toDF("term", "ctf"))
+          case Left(rows) => broadcast(rows.toDF("h", "ctf"))
           case Right(frame) => frame
         }
         val ilog2Total = 63 - java.lang.Long.numberOfLeadingZeros(totalTokens)
         tfOf(graft.util.Partitioning.fanOut(Tables.documents(s, d)))
-          .join(unigrams, Seq("term"))
+          .join(unigrams, Seq("h"))
           .groupBy("doc_id")
           .agg(
             sum(col("tf")).as("n_tokens"),
@@ -1031,13 +1040,15 @@ object ExtQueries {
           .orderBy("doc_id")
       },
       Some("""WITH tok AS (
-             |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
-             |cnt AS (SELECT term, CAST(count(*) AS BIGINT) AS ctf FROM tok GROUP BY term),
+             |  SELECT doc_id, CAST('0x' || substr(md5(term), 1, 15) AS BIGINT) AS h
+             |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             |        FROM documents)),
+             |cnt AS (SELECT h, CAST(count(*) AS BIGINT) AS ctf FROM tok GROUP BY h),
              |tot AS (SELECT CAST(sum(ctf) AS BIGINT) AS n FROM cnt),
              |doc AS (
              |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
              |         CAST(sum(length(bin(c.ctf)) - 1) AS BIGINT) AS bits
-             |  FROM tok t JOIN cnt c USING (term) GROUP BY t.doc_id)
+             |  FROM tok t JOIN cnt c USING (h) GROUP BY t.doc_id)
              |SELECT doc_id, n_tokens, bits,
              |  (length(bin((SELECT n FROM tot))) - 1) -
              |    CAST(bits AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS nll2
@@ -1067,22 +1078,25 @@ object ExtQueries {
     QueryDef(
       "x43_dsir_select",
       (s, d) => {
+        // exchange identity: 60-bit term hash, x41's discipline — the tf
+        // frame and BOTH unigram tables key on fixed-width longs; the
+        // DuckDB twin hashes identically so group identity is exact
         def tfOf(src: org.apache.spark.sql.DataFrame) = src
           .select(col("doc_id"),
             explode(graft.functions.TermStats(split(col("text"), " "))
               .getField("counts")).as("tc"))
           .select(col("doc_id"),
-            col("tc").getField("term").as("term"),
+            graft.ext.Dedup.shingleHash60(col("tc").getField("term")).as("h"),
             col("tc").getField("tf").as("tf"))
         import s.implicits._
         def artifactFor(key: String, src: => org.apache.spark.sql.DataFrame)
             : (Long, org.apache.spark.sql.DataFrame) = {
-          def build: (Long, Either[IndexedSeq[(String, Long)], org.apache.spark.sql.DataFrame]) = {
+          def build: (Long, Either[IndexedSeq[(Long, Long)], org.apache.spark.sql.DataFrame]) = {
             val cp = tfOf(graft.util.Partitioning.fanOut(src))
-              .groupBy("term").agg(sum("tf").as("ctf")).persist()
+              .groupBy("h").agg(sum("tf").as("ctf")).persist()
             val total = cp.agg(sum("ctf")).head().getLong(0)
             val collected = graft.io.Regime.collectIfSmall(key, cp)
-              .map { rows => cp.unpersist(); rows.map(r => (r.getString(0), r.getLong(1))) }
+              .map { rows => cp.unpersist(); rows.map(r => (r.getLong(0), r.getLong(1))) }
             (total, collected.toLeft(cp))
           }
           val (total, artifact) = graft.io.ArtifactCache.getOrBuild(key)(build) match {
@@ -1092,7 +1106,7 @@ object ExtQueries {
             case ok => ok
           }
           (total, artifact match {
-            case Left(rows) => broadcast(rows.toDF("term", "ctf"))
+            case Left(rows) => broadcast(rows.toDF("h", "ctf"))
             case Right(frame) => frame
           })
         }
@@ -1104,8 +1118,8 @@ object ExtQueries {
         def ilog2(n: Long) = 63 - java.lang.Long.numberOfLeadingZeros(n)
         val shift = (ilog2(nCorpus) - ilog2(nTarget)).toDouble
         tfOf(graft.util.Partitioning.fanOut(Tables.documents(s, d)))
-          .join(corpusUg, Seq("term"))
-          .join(targetUg.withColumnRenamed("ctf", "ctf_t"), Seq("term"), "left")
+          .join(corpusUg, Seq("h"))
+          .join(targetUg.withColumnRenamed("ctf", "ctf_t"), Seq("h"), "left")
           .groupBy("doc_id")
           .agg(
             sum(col("tf")).as("n_tokens"),
@@ -1121,19 +1135,21 @@ object ExtQueries {
           .limit(50)
       },
       Some("""WITH tok AS (
-             |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
-             |tcorp AS (SELECT term, CAST(count(*) AS BIGINT) AS cc FROM tok GROUP BY term),
+             |  SELECT doc_id, CAST('0x' || substr(md5(term), 1, 15) AS BIGINT) AS h
+             |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             |        FROM documents)),
+             |tcorp AS (SELECT h, CAST(count(*) AS BIGINT) AS cc FROM tok GROUP BY h),
              |ttgt AS (
-             |  SELECT term, CAST(count(*) AS BIGINT) AS ct
+             |  SELECT h, CAST(count(*) AS BIGINT) AS ct
              |  FROM tok JOIN documents USING (doc_id)
-             |  WHERE lang = 'en' GROUP BY term),
+             |  WHERE lang = 'en' GROUP BY h),
              |ntot AS (SELECT CAST(sum(cc) AS BIGINT) AS n FROM tcorp),
              |nttot AS (SELECT CAST(sum(ct) AS BIGINT) AS n FROM ttgt),
              |doc AS (
              |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
              |    CAST(sum(length(bin(COALESCE(g.ct, 0) + 1)) - 1) AS BIGINT) AS bits_t,
              |    CAST(sum(length(bin(c.cc)) - 1) AS BIGINT) AS bits_c
-             |  FROM tok t JOIN tcorp c USING (term) LEFT JOIN ttgt g USING (term)
+             |  FROM tok t JOIN tcorp c USING (h) LEFT JOIN ttgt g USING (h)
              |  GROUP BY t.doc_id)
              |SELECT doc_id, n_tokens,
              |  CAST(bits_t AS DOUBLE) / CAST(n_tokens AS DOUBLE) -
@@ -1175,12 +1191,22 @@ object ExtQueries {
                 element_at(toks, i + 1))))
             .otherwise(array().cast("array<string>"))
         }
+        // Exchange identity is the 60-bit md5-prefix hash PAIR (bigram,
+        // prefix word), never the gram strings (x44's discipline): this
+        // was the suite's largest warm residue as a string join — the
+        // exchanges now carry (doc_id, h, hp, tf) fixed-width longs, and
+        // the corpus-table group/join keys compare longs. The DuckDB twin
+        // hashes identically, so group identity is cross-engine exact;
+        // collisions are discounted by the standing gram-identity
+        // contract (x40/x44).
         def tfOf(src: org.apache.spark.sql.DataFrame, gram: Column => Column) = src
           .select(col("doc_id"),
             explode(graft.functions.TermStats(gram(col("text")))
               .getField("counts")).as("tc"))
           .select(col("doc_id"),
-            col("tc").getField("term").as("term"),
+            graft.ext.Dedup.shingleHash60(col("tc").getField("term")).as("h"),
+            graft.ext.Dedup.shingleHash60(
+              substring_index(col("tc").getField("term"), " ", 1)).as("hp"),
             col("tc").getField("tf").as("tf"))
         import s.implicits._
         // ONE tokenize+TermStats pass feeds BOTH the bigram-table build
@@ -1195,11 +1221,11 @@ object ExtQueries {
         lazy val tfbCp = tfbRaw.persist()
         def artifactFor(key: String, src: => org.apache.spark.sql.DataFrame)
             : org.apache.spark.sql.DataFrame = {
-          def build: (Long, Either[IndexedSeq[(String, Long)], org.apache.spark.sql.DataFrame]) = {
-            val cp = src.groupBy("term").agg(sum("tf").as("ctf")).persist()
+          def build: (Long, Either[IndexedSeq[(Long, Long)], org.apache.spark.sql.DataFrame]) = {
+            val cp = src.groupBy("h").agg(sum("tf").as("ctf")).persist()
             val total = cp.agg(sum("ctf")).head().getLong(0)
             val collected = graft.io.Regime.collectIfSmall(key, cp)
-              .map { rows => cp.unpersist(); rows.map(r => (r.getString(0), r.getLong(1))) }
+              .map { rows => cp.unpersist(); rows.map(r => (r.getLong(0), r.getLong(1))) }
             (total, collected.toLeft(cp))
           }
           val (_, artifact) = graft.io.ArtifactCache.getOrBuild(key)(build) match {
@@ -1209,20 +1235,19 @@ object ExtQueries {
             case ok => ok
           }
           artifact match {
-            case Left(rows) => broadcast(rows.toDF("term", "ctf"))
+            case Left(rows) => broadcast(rows.toDF("h", "ctf"))
             case Right(frame) => frame
           }
         }
         // the unigram table is x41/x43's artifact — same key, one build
         val unigrams = artifactFor(s"unigram-tf:documents:$d",
           tfOf(graft.util.Partitioning.fanOut(Tables.documents(s, d)),
-            t => split(t, " ")))
+            t => split(t, " ")).select("doc_id", "h", "tf"))
         val bigrams = artifactFor(bigramKey, tfbCp)
         (if (bigramCached) tfbRaw else tfbCp)
-          .join(bigrams.withColumnRenamed("ctf", "cb"), Seq("term"))
-          .withColumn("prefix", substring_index(col("term"), " ", 1))
-          .join(unigrams.select(col("term").as("prefix"), col("ctf").as("cu")),
-            Seq("prefix"))
+          .join(bigrams.withColumnRenamed("ctf", "cb"), Seq("h"))
+          .join(unigrams.select(col("h").as("hp"), col("ctf").as("cu")),
+            Seq("hp"))
           .groupBy("doc_id")
           .agg(
             sum(col("tf")).as("n_bigrams"),
@@ -1238,20 +1263,23 @@ object ExtQueries {
       Some("""WITH tok AS (
              |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
              |big AS (
-             |  SELECT doc_id, t[i] || ' ' || t[i+1] AS term
+             |  SELECT doc_id,
+             |    CAST('0x' || substr(md5(t[i] || ' ' || t[i+1]), 1, 15) AS BIGINT) AS h,
+             |    CAST('0x' || substr(md5(t[i]), 1, 15) AS BIGINT) AS hp
              |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
              |        FROM tok WHERE len(t) >= 2)),
-             |cbig AS (SELECT term, CAST(count(*) AS BIGINT) AS cb
-             |         FROM big GROUP BY term),
-             |cuni AS (SELECT w, CAST(count(*) AS BIGINT) AS cu
-             |         FROM (SELECT unnest(t) AS w FROM tok) GROUP BY w),
+             |cbig AS (SELECT h, CAST(count(*) AS BIGINT) AS cb
+             |         FROM big GROUP BY h),
+             |cuni AS (SELECT CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS hp,
+             |                CAST(count(*) AS BIGINT) AS cu
+             |         FROM (SELECT unnest(t) AS w FROM tok) GROUP BY 1),
              |doc AS (
              |  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
              |    CAST(sum((length(bin(u.cu)) - 1) -
              |             (length(bin(c.cb)) - 1)) AS BIGINT) AS bits
              |  FROM big b
-             |  JOIN cbig c USING (term)
-             |  JOIN cuni u ON u.w = split_part(b.term, ' ', 1)
+             |  JOIN cbig c USING (h)
+             |  JOIN cuni u USING (hp)
              |  GROUP BY b.doc_id)
              |SELECT doc_id, n_bigrams, bits,
              |  CAST(bits AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS nll2

@@ -1021,13 +1021,16 @@ class LogTableScanBuilder(
       }
       val ms = all.filterNot(_.checkpoint)
       val parts = ms.flatMap { m =>
+        // fileColIsMeta rides through exactly as in batch/stream scans: a
+        // feed read that projects the _file metadata column must serve
+        // the file name, not NULLs (a hardcoded false here did the latter).
         val dels = m.removes.map(f => LogFilePartition(
           LogTable.dataDir(path).resolve(f).toString, required.json,
-          fileColIsMeta = false,
+          fileColIsMeta,
           changeType = Some("delete"), commitVersion = Some(m.version)))
         val adds = m.adds.filter(fileAdmitted).map(f => LogFilePartition(
           LogTable.dataDir(path).resolve(f.file).toString, required.json,
-          fileColIsMeta = false,
+          fileColIsMeta,
           changeType = Some("insert"), commitVersion = Some(m.version)))
         dels ++ adds
       }

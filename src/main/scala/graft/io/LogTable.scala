@@ -116,10 +116,68 @@ object LogTable {
     * observability. 0 on pre-r13 manifests — readers fall back to the
     * manifest file's mtime, the same best-effort answer Delta gives for
     * its legacy commits. */
+  /** `dvs` records DELETION VECTORS added by this commit (merge-on-read
+    * row-level ops, the Delta DV / Iceberg positional-delete mechanic
+    * keyed by PRIMARY KEY instead of row position): data file name →
+    * keys whose rows in THAT FILE are dead. The fold accumulates them
+    * per live file; removing a file drops its vector (a rewrite purges
+    * by construction); a checkpoint carries the fold-to-date. Readers
+    * apply them as a broadcast anti-join on (file, key) —
+    * [[readFiles]]. Bounded by [[DvMaxKeys]] per commit: vectors are
+    * the SMALL-delta path, bulk deletes rewrite or drop files. */
   final case class Manifest(
       version: Long, adds: Seq[FileEntry], removes: Seq[String],
       schema: String = "", checkpoint: Boolean = false, keyCol: String = "",
-      txns: Map[String, Long] = Map.empty, ts: Long = 0L)
+      txns: Map[String, Long] = Map.empty, ts: Long = 0L,
+      dvs: Map[String, Seq[Long]] = Map.empty)
+
+  // ---- column mapping (RENAME COLUMN, Delta name-mode playbook) ----
+  //
+  // Invariant: DATA FILES AND MANIFEST STATS ALWAYS CARRY PHYSICAL
+  // NAMES. The committed schema carries LOGICAL names; a field renamed
+  // by [[renameColumn]] records its physical name as field METADATA
+  // (key [[PhysicalNameKey]]), which versions atomically with the
+  // schema — time travel to a pre-rename version reads under that
+  // version's names with no mapping at all. Readers project physical →
+  // logical at the end of the scan ([[readFiles]]); writers project
+  // logical → physical before the parquet write ([[writeData]]), so
+  // every file ever written agrees on physical names and a rename
+  // rewrites ZERO data files.
+
+  private[graft] val PhysicalNameKey = "graft.physical"
+
+  private[graft] def physicalName(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains(PhysicalNameKey)) f.metadata.getString(PhysicalNameKey)
+    else f.name
+
+  /** logical → physical for every field whose names differ (empty on
+    * never-renamed tables — every mapping consumer's fast path). */
+  private[graft] def mappingOf(
+      schema: Option[org.apache.spark.sql.types.StructType]): Map[String, String] =
+    schema.map(_.fields.iterator.collect {
+      case f if physicalName(f) != f.name => f.name -> physicalName(f)
+    }.toMap).getOrElse(Map.empty)
+
+  /** Re-attach rename-mapping metadata to a schema DERIVED from frames
+    * (union/select outputs drop field metadata): without this, an
+    * append/upsert after a rename would commit a mapping-less schema
+    * and the next read would look for logical names in physical files
+    * — typed NULLs where the data is. Fields the snapshot doesn't map
+    * (including genuinely new ones) pass through untouched. */
+  private def restampMapping(
+      snapSchema: Option[org.apache.spark.sql.types.StructType],
+      derived: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    snapSchema match {
+      case Some(sc) =>
+        val mapped = sc.fields.iterator
+          .filter(_.metadata.contains(PhysicalNameKey))
+          .map(f => f.name -> f.metadata).toMap
+        if (mapped.isEmpty) derived
+        else org.apache.spark.sql.types.StructType(derived.fields.map(f =>
+          mapped.get(f.name).map(md => f.copy(metadata = md)).getOrElse(f)))
+      case None => derived
+    }
 
   private def logDir(table: String): Path = Paths.get(table, "_log")
   private[graft] def dataDir(table: String): Path = Paths.get(table, "data")
@@ -176,9 +234,18 @@ object LogTable {
     // parse regex is anchored there, so a stats COLUMN named "ts" can
     // never alias it.
     val ts = if (m.ts > 0L) s""","ts":${m.ts}""" else ""
+    // dvs entries are file-name → sorted key array; file names are
+    // engine-minted UUIDs (no quotes/braces), keys are JSON numbers —
+    // the object never nests braces, so the non-greedy parse is exact
+    val dvs =
+      if (m.dvs.isEmpty) ""
+      else m.dvs.toSeq.sortBy(_._1)
+        .map { case (f, ks) =>
+          s""""${esc(f)}":${ks.sorted.mkString("[", ",", "]")}""" }
+        .mkString(""","dvs":{""", ",", "}")
     // schema LAST: its value is itself JSON-with-quotes (escaped), and
     // the adds/removes block regexes below must never scan past into it
-    s"""{"version":${m.version}$ts,"adds":$adds,"removes":$removes$ckpt$key$txns,"schema":"${esc(m.schema)}"}"""
+    s"""{"version":${m.version}$ts,"adds":$adds,"removes":$removes$ckpt$key$txns$dvs,"schema":"${esc(m.schema)}"}"""
   }
 
   private[io] def parse(json: String): Manifest = {
@@ -245,9 +312,21 @@ object LogTable {
     // stats key named "ts" deeper in the adds block can never alias it
     val ts = """^\{"version":-?\d+,"ts":(\d+)""".r.findFirstMatchIn(json)
       .map(_.group(1).toLong).getOrElse(0L)
+    // dvs is the only top-level field whose entries are ARRAY-valued
+    // inside an object — an adds-block stats key named "dvs" renders as
+    // "dvs":[lo,hi] or "dvs":123 and can never match the `{`-anchored
+    // pattern here
+    val dvs = """"dvs":\{(.*?)\}""".r.findFirstMatchIn(json)
+      .map(_.group(1)).map { block =>
+        """"((?:[^"\\]|\\.)+)":\[([^\]]*)\]""".r.findAllMatchIn(block)
+          .map(m => unesc(m.group(1)) ->
+            (if (m.group(2).isEmpty) Seq.empty[Long]
+             else m.group(2).split(",").toSeq.map(_.trim.toLong)))
+          .toMap
+      }.getOrElse(Map.empty[String, Seq[Long]])
     Manifest(version, adds, removes, schema,
       checkpoint = json.contains(""""checkpoint":true"""), keyCol = keyCol,
-      txns = txns, ts = ts)
+      txns = txns, ts = ts, dvs = dvs)
   }
 
   private def manifests(table: String): Seq[Manifest] = {
@@ -297,6 +376,38 @@ object LogTable {
     (ms.lastOption.map(_.version).getOrElse(0L), folded.values.toSeq, schema)
   }
 
+  /** Live deletion vectors at `asOf` (head when None): fold of the
+    * manifests' dvs maps, restricted to files still live — removing a
+    * file (rewrite, range delete, compaction, restore) drops its vector
+    * in the same fold step, so a rewrite IS the purge. */
+  private[graft] def liveDvs(
+      table: String, asOf: Option[Long]): Map[String, Seq[Long]] = {
+    val ms = manifests(table).filter(m => asOf.forall(m.version <= _))
+    val acc = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.LinkedHashSet[Long]]
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    ms.foreach { m =>
+      if (m.checkpoint) { acc.clear(); live.clear() }
+      m.removes.foreach { f => acc.remove(f); live.remove(f) }
+      m.adds.foreach(a => live.add(a.file))
+      m.dvs.foreach { case (f, ks) =>
+        acc.getOrElseUpdate(f,
+          scala.collection.mutable.LinkedHashSet.empty) ++= ks
+      }
+    }
+    acc.iterator.collect {
+      case (f, s) if live.contains(f) => f -> (s.toSeq: Seq[Long])
+    }.toMap
+  }
+
+  /** Per-commit deletion-vector key budget: vectors are the SMALL-delta
+    * merge-on-read path (a 10-key MERGE must not rewrite 10 GB); a batch
+    * above this belongs on the copy-on-write verbs, whose cost is
+    * proportional to the files touched, not the manifest. Env-tunable
+    * for deployments with bigger manifolds. */
+  private[graft] def DvMaxKeys: Int =
+    sys.props.get("graft.dv.maxKeys").map(_.toInt).getOrElse(10000)
+
   /** Current committed version, 0 for an empty/absent table. */
   def version(table: String): Long =
     manifests(table).lastOption.map(_.version).getOrElse(0L)
@@ -329,8 +440,8 @@ object LogTable {
 
   /** Snapshot read at the head version. */
   def read(spark: SparkSession, table: String): DataFrame = {
-    val (_, fs, schema) = snapshotWithSchema(table, None)
-    readFiles(spark, table, fs, schema)
+    val (v, fs, schema) = snapshotWithSchema(table, None)
+    readFiles(spark, table, fs, schema, liveDvs(table, Some(v)))
   }
 
   /** Snapshot read AS OF a committed version (time travel) — under the
@@ -342,7 +453,7 @@ object LogTable {
   def readVersion(spark: SparkSession, table: String, v: Long): DataFrame = {
     requireNotTruncated(table, v)
     val (_, fs, schema) = snapshotWithSchema(table, Some(v))
-    readFiles(spark, table, fs, schema)
+    readFiles(spark, table, fs, schema, liveDvs(table, Some(v)))
   }
 
   /** Throws when `v` predates the earliest retained manifest of a
@@ -359,7 +470,8 @@ object LogTable {
 
   private def readFiles(
       spark: SparkSession, table: String, fs: Seq[FileEntry],
-      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      dvs: Map[String, Seq[Long]] = Map.empty): DataFrame = {
     if (fs.isEmpty)
       // empty snapshot: serve the COMMITTED schema when one exists (a
       // createEmpty'd or fully-deleted table still has a shape — joins
@@ -375,7 +487,55 @@ object LogTable {
     // at 100 TB, schema from the log beats mergeSchema's full footer
     // sweep by the width of the table
     val paths = fs.map(f => dataDir(table).resolve(f.file).toString)
-    schema.fold(spark.read)(s => spark.read.schema(s)).parquet(paths: _*)
+    val base = schema match {
+      case None => spark.read.parquet(paths: _*)
+      case Some(s) if !s.fields.exists(f => physicalName(f) != f.name) =>
+        spark.read.schema(s).parquet(paths: _*)
+      case Some(s) =>
+        // column mapping: files carry PHYSICAL names — scan under the
+        // physical schema (same types and positions) and project back
+        // to the committed logical names; the rename costs an alias,
+        // never a rewrite or an extra pass
+        val phys = org.apache.spark.sql.types.StructType(
+          s.fields.map(f => f.copy(name = physicalName(f))))
+        spark.read.schema(phys).parquet(paths: _*)
+          .select(s.fields.map(f =>
+            col(physicalName(f)).as(f.name)).toIndexedSeq: _*)
+    }
+    // deletion vectors: rows whose (file, key) pair is marked dead are
+    // filtered by ONE broadcast anti-join — the merge-on-read half of
+    // the row-level ops. The dead set is bounded ([[DvMaxKeys]] per
+    // commit, purged by every rewrite/compaction), so the broadcast is
+    // kilobytes at 100 TB; files without vectors pay nothing but the
+    // file-name projection, and never-DV'd tables skip the join
+    // entirely.
+    val names = fs.iterator.map(_.file).toSet
+    val dead = dvs.iterator
+      .filter { case (f, ks) => names.contains(f) && ks.nonEmpty }
+      .flatMap { case (f, ks) => ks.iterator.map(k => (f, k)) }
+      .toSeq
+    if (dead.isEmpty) base
+    else {
+      val sp = spark
+      import sp.implicits._
+      // key identity survives renames physically: resolve the key
+      // column AS NAMED IN THIS SNAPSHOT's schema via the physical name
+      val logicalNow = tableKeyCol(table).getOrElse(
+        throw new IllegalStateException(
+          s"$table carries deletion vectors but no key-column property"))
+      val physKey = snapshotWithSchema(table, None)._3
+        .flatMap(_.fields.find(_.name == logicalNow)).map(physicalName)
+        .getOrElse(logicalNow)
+      val keyHere = schema
+        .flatMap(_.fields.find(f => physicalName(f) == physKey)).map(_.name)
+        .getOrElse(physKey)
+      base
+        .withColumn("_dv_file", element_at(split(input_file_name(), "/"), -1))
+        .withColumn("_dv_key", col(keyHere))
+        .join(broadcast(dead.toDF("_dv_file", "_dv_key")),
+          Seq("_dv_file", "_dv_key"), "left_anti")
+        .drop("_dv_file", "_dv_key")
+    }
   }
 
   /** Create the table with an initial data set (v1). Claims EXACTLY v1
@@ -460,7 +620,11 @@ object LogTable {
     }
     val m = Manifest(1L, adds = files, removes = Seq.empty,
       schema = schema.map(_.json).getOrElse(""), keyCol = key,
-      ts = System.currentTimeMillis())
+      ts = System.currentTimeMillis(),
+      // the clone must carry the source's deletion vectors: its v1
+      // lists the same files, and serving them vector-free would
+      // resurrect the dead rows in the copy
+      dvs = liveDvs(src, asOf))
     val tmp = logDir(dst).resolve(s".tmp-${java.util.UUID.randomUUID()}")
     Files.writeString(tmp, render(m))
     try Files.createLink(versionPath(dst, 1L), tmp)
@@ -581,6 +745,74 @@ object LogTable {
       schema = narrowed.json, schemaNarrowing = true)
   }
 
+  /** SQL `ALTER TABLE RENAME COLUMN` via COLUMN MAPPING (the published
+    * formats' name-mode playbook — Delta column mapping, Iceberg field
+    * ids): a METADATA-ONLY commit that rewrites ZERO data files. The
+    * renamed field keeps its PHYSICAL name, recorded as field metadata
+    * ([[PhysicalNameKey]]) riding the committed schema; data files and
+    * manifest stats keep physical names forever ([[writeData]] maps
+    * every later batch), and reads project physical → logical at scan
+    * time ([[readFiles]]). Time travel is exact by construction: a
+    * version before the rename carries the old schema — with no
+    * mapping — and reads the files directly.
+    *
+    * Consequences a caller must know:
+    *   - the OLD name stays RESERVED for the table's lifetime: every
+    *     live and future data file physically carries it, so re-adding
+    *     a column under it is refused ([[requireNoPhysicalCarriers]]) —
+    *     the same permanence the published formats accept;
+    *   - renaming the KEY column updates the keyCol table property in
+    *     the same commit (later keyed writes use the new name);
+    *   - a [[changes]] window crossing the rename fails loudly (no
+    *     consistent column identity for the key-wise diff);
+    *   - the streaming APPEND sink refuses renamed tables (its
+    *     task-written parts can't register under logical names).
+    *
+    * Reference context: the reference's own migration tool only ADDs
+    * columns (migrate_duckdb.py:7-26); this closes the rename half of
+    * the evolution surface its ALTER-based playbook implies. */
+  def renameColumn(
+      spark: SparkSession, table: String, from: String, to: String): Unit = {
+    require(from != to, s"renameColumn($table): '$from' -> '$to' is a no-op")
+    require(to.nonEmpty, s"renameColumn($table): empty target name")
+    val (snapVersion, liveNow, committedSchema) = snapshotWithSchema(table, None)
+    require(Files.isDirectory(logDir(table)),
+      s"renameColumn($table): table does not exist")
+    val current = committedSchema.orElse {
+      // pre-evolution table: infer the shape once (same fallback as
+      // addColumns/dropColumns); the inferred names become the physical
+      // names the mapping preserves
+      if (liveNow.isEmpty) None
+      else Some(spark.read.option("mergeSchema", "true").parquet(
+        liveNow.map(f => dataDir(table).resolve(f.file).toString): _*).schema)
+    }.getOrElse(throw new IllegalStateException(
+      s"renameColumn($table): empty pre-evolution table has no committed " +
+        "schema to rename in — append data first"))
+    require(current.fieldNames.contains(from),
+      s"renameColumn($table): no column '$from' " +
+        s"(have ${current.fieldNames.mkString(", ")})")
+    require(!current.fieldNames.contains(to),
+      s"renameColumn($table): column '$to' already exists")
+    val renamed = org.apache.spark.sql.types.StructType(current.fields.map { f =>
+      if (f.name == from)
+        org.apache.spark.sql.types.StructField(to, f.dataType, f.nullable,
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString(PhysicalNameKey, physicalName(f)).build())
+      else f
+    })
+    val key = tableKeyCol(table)
+    commit(table, snapVersion, adds = Seq.empty, removes = Seq.empty,
+      // a rename REMOVES a logical name: the re-claim path's union merge
+      // would resurrect the old field beside the new one, so take the
+      // narrowing rule — recompute against the racer's head (a racing
+      // rename of the same column then fails its own validation loudly)
+      reRun = () => renameColumn(spark, table, from, to),
+      schema = renamed.json,
+      keyCol = if (key.contains(from)) to else key.getOrElse(""),
+      schemaNarrowing = true)
+  }
+
   /** Append-only commit: new data files, no removals. Always safe under
     * concurrency (an empty removal set can never conflict with another
     * writer's read set — the commit loop just re-claims above whatever
@@ -634,7 +866,9 @@ object LogTable {
     commit(table, snapVersion, adds, removes = Seq.empty, reRun = () =>
       throw new IllegalStateException(
         s"append($table) hit a removal conflict — impossible with empty removes"),
-      schema = evolved.schema.json, keyCol = keyCol)
+      // restamp: evolved came through select(), which drops the rename-
+      // mapping metadata a renamed table's committed schema must keep
+      schema = restampMapping(snapSchema, evolved.schema).json, keyCol = keyCol)
   }
 
   /** One committed version's shape, for operator observability
@@ -731,6 +965,19 @@ object LogTable {
       else Some(spark.read.option("mergeSchema", "true").parquet(
         liveNow.map(f => dataDir(table).resolve(f.file).toString): _*).schema)
     }
+    // the staged parts were written by the STREAM's tasks under its own
+    // (logical) column names and register as table data files verbatim —
+    // on a renamed table that would commit files whose physical names
+    // disagree with every other file. Loud, not silent: the upsert sink
+    // (upsertEpoch) and batch append rewrite through writeData's mapping
+    // and remain available.
+    mappingOf(snapSchema).headOption.foreach { case (lg, ph) =>
+      throw new UnsupportedOperationException(
+        s"LogTable streaming append sink on $table: the table has renamed " +
+          s"columns (e.g. '$lg' is physically '$ph') and task-written parts " +
+          "cannot register under logical names — use the upsert sink or " +
+          "batch append, which rewrite under the physical mapping")
+    }
     val evolved = snapSchema match {
       case Some(sc) =>
         streamSchema.fields.foreach { f =>
@@ -825,7 +1072,11 @@ object LogTable {
         reRun = () => result = Some(attempt()),
         schema = schemaThen.map(_.json).getOrElse(""),
         keyRange = Some((Long.MinValue, Long.MaxValue)),
-        keyCol = tableKeyCol(table).getOrElse(""))
+        keyCol = tableKeyCol(table).getOrElse(""),
+        // the restored snapshot's DELETION VECTORS come back with it —
+        // re-adding the files without them would resurrect vector-dead
+        // rows (fold order per manifest: removes, adds, then dvs)
+        dvs = liveDvs(table, Some(toVersion)))
       result.getOrElse((liveThen.size, liveThen.map(_.rows).sum))
     }
     attempt()
@@ -843,13 +1094,16 @@ object LogTable {
       spark: SparkSession, table: String, df: DataFrame, keyCol: String): Unit = {
     requireKeyMatch(table, keyCol)
     def attempt(): Unit = {
-      val (snapVersion, liveNow, _) = snapshotWithSchema(table, None)
+      val (snapVersion, liveNow, snapSchema) = snapshotWithSchema(table, None)
       val adds = writeData(spark, table, df, keyCol)
       // full-range keyRange: replace-all conflicts with ANY racer's
       // adds (their file must not survive the overwrite) — the
       // added-file check forces the re-run that refreshes the removes
       commit(table, snapVersion, adds, removes = liveNow.map(_.file),
-        reRun = () => attempt(), schema = df.schema.json, keyCol = keyCol,
+        // restamp: the caller's batch schema carries no rename-mapping
+        // metadata, but the files were written under physical names
+        reRun = () => attempt(),
+        schema = restampMapping(snapSchema, df.schema).json, keyCol = keyCol,
         keyRange = Some((Long.MinValue, Long.MaxValue)))
     }
     attempt()
@@ -864,6 +1118,99 @@ object LogTable {
     * files, and simply re-versions when it didn't. */
   def upsert(spark: SparkSession, table: String, incoming: DataFrame, keyCol: String): Unit =
     upsertImpl(spark, table, incoming, keyCol, txns = Map.empty)
+
+  /** MERGE-ON-READ keyed upsert (deletion vectors — the Delta DV /
+    * Iceberg merge-on-read mechanic, keyed by primary key): semantically
+    * identical to [[upsert]], but instead of REWRITING every touched
+    * file it (1) appends the incoming rows as new files and (2) marks
+    * the incoming keys DEAD in each touched file via a manifest
+    * deletion vector — so a 10-key merge into a table of 10 GB files
+    * commits in milliseconds and rewrites ZERO data files
+    * (LogTableSpec pins the file set). Readers apply the vectors as one
+    * bounded broadcast anti-join ([[readFiles]]); every later rewrite
+    * of a vectored file purges its vector, and [[compact]] is the
+    * explicit vacuum. The trade is the published formats': reads carry
+    * the (small) vector until maintenance. Batches above [[DvMaxKeys]]
+    * distinct keys refuse LOUDLY — bulk changes belong on the
+    * copy-on-write verbs whose cost is per-file, not per-manifest. */
+  def upsertDV(
+      spark: SparkSession, table: String, incoming: DataFrame,
+      keyCol: String): Unit = {
+    requireKeyMatch(table, keyCol)
+    val inc = incoming.localCheckpoint(false)
+    def attempt(): Unit = {
+      // driver-held key set: bounded by DvMaxKeys BY CONTRACT (checked
+      // with limit(cap+1), so an oversized batch never materializes)
+      val keys = inc.select(col(keyCol)).distinct()
+        .limit(DvMaxKeys + 1).collect().map(_.getLong(0))
+      if (keys.isEmpty) return // empty batch: no-op (P11)
+      if (keys.length > DvMaxKeys) throw new IllegalArgumentException(
+        s"upsertDV($table): batch carries > $DvMaxKeys distinct keys — " +
+          "deletion vectors are the small-delta path; use upsert() " +
+          "(copy-on-write) for bulk changes, or raise graft.dv.maxKeys")
+      val (lo, hi) = (keys.min, keys.max)
+      val (snapVersion, snapshot, snapSchema) = snapshotWithSchema(table, None)
+      snapSchema.foreach { sc =>
+        requireCompatible(sc, inc, "upsertDV")
+        requireNoPhysicalCarriers(table, snapshot,
+          inc.schema.fieldNames.toSeq.filterNot(sc.fieldNames.toSet), "upsertDV")
+        // unlike the copy-on-write path there is no survivor-union to
+        // carry batch-missing table columns: the appended file IS the
+        // batch — require the full shape so no column silently NULLs
+        require(inc.columns.toSet == sc.fieldNames.toSet,
+          s"upsertDV($table): batch columns ${inc.columns.sorted.mkString(",")} " +
+            s"must equal table columns ${sc.fieldNames.sorted.mkString(",")} — " +
+            "align first (evolution goes through upsert/append)")
+      }
+      // each touched file gets the slice of keys its range could hold —
+      // marking a key the file never contained is harmless (the
+      // anti-join just misses), so stats-range assignment is exact
+      val dvAdds = snapshot.iterator
+        .filter(f => f.minKey <= hi && f.maxKey >= lo)
+        .map(f => f.file -> keys.iterator
+          .filter(k => k >= f.minKey && k <= f.maxKey).toSeq)
+        .filter(_._2.nonEmpty)
+        .toMap
+      val adds = writeData(spark, table, inc, keyCol)
+      commit(table, snapVersion, adds, removes = Seq.empty,
+        reRun = () => attempt(),
+        schema = snapSchema.map(_.json).getOrElse(inc.schema.json),
+        keyRange = Some((lo, hi)), keyCol = keyCol, dvs = dvAdds)
+    }
+    attempt()
+  }
+
+  /** MERGE-ON-READ key delete: mark `keys` dead everywhere their value
+    * could live — zero reads, zero rewrites, one manifest commit (the
+    * GDPR-erasure shape at interactive latency; the bytes linger until
+    * [[compact]]/rewrite, exactly the published formats' DV trade).
+    * Bounded by [[DvMaxKeys]]; bulk ranges belong on [[deleteRange]]. */
+  def deleteKeysDV(
+      spark: SparkSession, table: String, keyCol: String,
+      keys: Seq[Long]): Unit = {
+    requireKeyMatch(table, keyCol)
+    if (keys.isEmpty) return
+    require(keys.length <= DvMaxKeys,
+      s"deleteKeysDV($table): ${keys.length} keys > $DvMaxKeys — deletion " +
+        "vectors are the small-delta path; use deleteRange/deleteWhere")
+    val distinctKeys = keys.distinct
+    val (lo, hi) = (distinctKeys.min, distinctKeys.max)
+    def attempt(): Unit = {
+      val (snapVersion, snapshot, _) = snapshotWithSchema(table, None)
+      val dvAdds = snapshot.iterator
+        .filter(f => f.minKey <= hi && f.maxKey >= lo)
+        .map(f => f.file -> distinctKeys
+          .filter(k => k >= f.minKey && k <= f.maxKey))
+        .filter(_._2.nonEmpty)
+        .toMap
+      if (dvAdds.isEmpty) return // no file could hold any key: no-op
+      commit(table, snapVersion, adds = Seq.empty, removes = Seq.empty,
+        reRun = () => attempt(),
+        keyRange = Some((lo, hi)), keyCol = tableKeyCol(table).getOrElse(""),
+        dvs = dvAdds)
+    }
+    attempt()
+  }
 
   /** The upsert engine, with optional transactional-epoch fencing
     * (`txns`): returns whether a manifest landed — false only when the
@@ -902,7 +1249,11 @@ object LogTable {
           snapSchema.map(sc => spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc))
             .getOrElse(inc.limit(0))
-        else readFiles2(spark, table, touched, snapSchema)
+        // DVs pinned at the same snapshot: the rewrite reads the LIVE
+        // rows (vectors applied) and its commit removes the files, which
+        // purges their vectors in the same fold step
+        else readFiles2(spark, table, touched, snapSchema,
+          liveDvs(table, Some(snapVersion)))
           .join(inc.select(col(keyCol)), Seq(keyCol), "left_anti")
       // allowMissingColumns: a batch with a NEW column evolves the
       // table (survivors carry NULLs); a batch MISSING a table column
@@ -912,7 +1263,9 @@ object LogTable {
       // when reRun fires, the NESTED attempt's verdict is the real one
       var nested: Option[Boolean] = None
       val direct = commit(table, snapVersion, adds, removes = touched.map(_.file),
-        reRun = () => nested = Some(attempt()), schema = merged.schema.json,
+        reRun = () => nested = Some(attempt()),
+        // restamp: unionByName drops the rename-mapping field metadata
+        schema = restampMapping(snapSchema, merged.schema).json,
         keyRange = Some((lo, hi)), keyCol = keyCol, txns = txns)
       nested.getOrElse(direct)
     }
@@ -942,8 +1295,9 @@ object LogTable {
 
   private def readFiles2(
       spark: SparkSession, table: String, fs: Seq[FileEntry],
-      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
-    readFiles(spark, table, fs, schema)
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      dvs: Map[String, Seq[Long]] = Map.empty): DataFrame =
+    readFiles(spark, table, fs, schema, dvs)
 
   /** Stats-pruned snapshot read over a key range: only files whose
     * [minKey, maxKey] intersects [lo, hi] reach the parquet scan — the
@@ -954,13 +1308,13 @@ object LogTable {
   def readRange(
       spark: SparkSession, table: String, keyCol: String,
       lo: Long, hi: Long): DataFrame = {
-    val (_, snapshot, schema) = snapshotWithSchema(table, None)
+    val (v, snapshot, schema) = snapshotWithSchema(table, None)
     val fs = snapshot.filter(f => f.minKey <= hi && f.maxKey >= lo)
     if (fs.isEmpty) return spark.emptyDataFrame
     // committed schema applies here too: a pruned read must not show a
     // DIFFERENT column set than the full read just because the range
     // landed on pre-evolution files
-    readFiles(spark, table, fs, schema)
+    readFiles(spark, table, fs, schema, liveDvs(table, Some(v)))
       .filter(col(keyCol) >= lo && col(keyCol) <= hi)
   }
 
@@ -1009,7 +1363,8 @@ object LogTable {
           snapSchema.map(sc => spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc))
             .getOrElse(src.limit(0))
-        else readFiles2(spark, table, touched, snapSchema)
+        else readFiles2(spark, table, touched, snapSchema,
+          liveDvs(table, Some(snapVersion)))
       val prefixed = srcCols.foldLeft(src)((d, c) => d.withColumnRenamed(c, s"_src_$c"))
       val joined = tgt.withColumn("_tgt_hit", lit(1))
         .join(prefixed.withColumn("_src_hit", lit(1)),
@@ -1074,12 +1429,16 @@ object LogTable {
   private def readWhereBound(
       spark: SparkSession, table: String, column: String,
       b: StatBound, residual: org.apache.spark.sql.Column): DataFrame = {
-    val (_, snapshot, schema) = snapshotWithSchema(table, None)
-    val fs = snapshot.filter(admits(_, column, b))
+    val (v, snapshot, schema) = snapshotWithSchema(table, None)
+    // manifest stats are keyed by PHYSICAL names; the caller's column is
+    // logical — map before admission (identity on never-renamed tables)
+    val physCol = schema.flatMap(_.fields.find(_.name == column))
+      .map(physicalName).getOrElse(column)
+    val fs = snapshot.filter(admits(_, physCol, b))
     lastWhereTotal.set(snapshot.size)
     lastWherePlanned.set(fs.size)
     if (fs.isEmpty) return spark.emptyDataFrame
-    readFiles(spark, table, fs, schema).filter(residual)
+    readFiles(spark, table, fs, schema, liveDvs(table, Some(v))).filter(residual)
   }
 
   /** Stats-pruned read on an INTEGRAL column: files whose manifest
@@ -1160,7 +1519,8 @@ object LogTable {
       val adds =
         if (straddling.isEmpty) Seq.empty
         else writeData(spark, table,
-          readFiles2(spark, table, straddling, snapSchema)
+          readFiles2(spark, table, straddling, snapSchema,
+            liveDvs(table, Some(snapVersion)))
             .filter(col(keyCol) < lo || col(keyCol) > hi), keyCol)
       commit(table, snapVersion, adds, removes = touched.map(_.file),
         reRun = () => attempt(),
@@ -1211,7 +1571,8 @@ object LogTable {
       val (snapVersion, snapshot, snapSchema) = snapshotWithSchema(table, None)
       val touched = snapshot.filter(fileAdmit)
       if (touched.isEmpty) return
-      val survivors = readFiles2(spark, table, touched, snapSchema)
+      val survivors = readFiles2(spark, table, touched, snapSchema,
+        liveDvs(table, Some(snapVersion)))
         .filter(!coalesce(rowPredicate, lit(false)))
       val adds = writeData(spark, table, survivors, keyCol)
       commit(table, snapVersion, adds, removes = touched.map(_.file),
@@ -1264,14 +1625,22 @@ object LogTable {
     requireKeyMatch(table, keyCol)
     def attempt(): Unit = {
       val (snapVersion, snapshot, snapSchema) = snapshotWithSchema(table, None)
-      val small = snapshot.filter(_.rows < targetRows)
-      if (small.size < 2) return // nothing to merge
+      val dvs = liveDvs(table, Some(snapVersion))
+      // DV'd files join the compaction REGARDLESS of size: compact() is
+      // the vacuum path for deletion vectors — the rewrite reads the
+      // live rows and the removal drops the vector, restoring
+      // vector-free scans and exact manifest row counts
+      val small = snapshot.filter(f =>
+        f.rows < targetRows || dvs.contains(f.file))
+      val dvd = small.count(f => dvs.contains(f.file))
+      if (small.size < 2 && dvd == 0) return // nothing to merge
       val total = small.map(_.rows).sum
       val nOut = math.max(1L, (total + targetRows - 1) / targetRows).toInt
       // idempotence: merging n files into >= n achieves nothing and
       // would churn forever (compact → two half-full files → compact …)
-      if (small.size <= nOut) return
-      val input = readFiles2(spark, table, small, snapSchema)
+      // — unless vectors need purging, which a rewrite always achieves
+      if (small.size <= nOut && dvd == 0) return
+      val input = readFiles2(spark, table, small, snapSchema, dvs)
       val clustered = zorderBy match {
         case Some((d1, d2)) =>
           graft.operators.ZOrder.layoutBy(input, col(d1), col(d2), nOut)
@@ -1312,7 +1681,9 @@ object LogTable {
     requireNotTruncated(table, math.max(fromV, 1L))
     val ms = manifests(table).filter(m => m.version > fromV && m.version <= toV)
     if (ms.isEmpty) return spark.emptyDataFrame
-    if (ms.forall(m => m.removes.isEmpty && !m.checkpoint)) {
+    if (ms.forall(m => m.removes.isEmpty && !m.checkpoint && m.dvs.isEmpty)) {
+      // (a DV commit deletes/updates rows without removing files — the
+      // added files alone are NOT the change set; it takes the diff path)
       // (a checkpoint in range is a consolidation, not new data — its
       // adds re-list the whole table and must go through the diff path)
       val added = ms.flatMap(_.adds)
@@ -1320,6 +1691,27 @@ object LogTable {
       // column addition surface uniformly
       return readFiles(spark, table, added, snapshotWithSchema(table, Some(toV))._3)
         .withColumn("_change_type", lit("insert"))
+    }
+    // A RENAME inside the diff window breaks column identity for the
+    // key-wise comparison (the old snapshot serves the old logical name,
+    // the new one the new name — the aligner would read every row as an
+    // update of a NULLed column). Delta's CDF makes the same cut: fail
+    // loudly at the mapping change, consumers re-base and split the feed
+    // at the rename commit. Detected by PHYSICAL identity, which is what
+    // survives a rename.
+    val scFrom = snapshotWithSchema(table, Some(fromV))._3
+    val scTo = snapshotWithSchema(table, Some(toV))._3
+    for (f <- scFrom; t <- scTo) {
+      val oldByPhys = f.fields.map(x => physicalName(x) -> x.name).toMap
+      t.fields.foreach { x =>
+        oldByPhys.get(physicalName(x)).filter(_ != x.name).foreach { old =>
+          throw new IllegalStateException(
+            s"changes($table): column '$old' was renamed to '${x.name}' " +
+              s"inside the window ($fromV, $toV] — the key-wise diff has no " +
+              "consistent column identity across a rename; split the feed " +
+              "at the rename commit")
+        }
+      }
     }
     val before = readVersion(spark, table, fromV)
     val after = readVersion(spark, table, toV)
@@ -1490,6 +1882,17 @@ object LogTable {
 
   private def writeData(
       spark: SparkSession, table: String, df: DataFrame, keyCol: String): Seq[FileEntry] = {
+    // column mapping: the caller's frame uses LOGICAL names; the file
+    // (and therefore its footer stats, which registerStaged keys the
+    // manifest maps on) must carry PHYSICAL names so every file in the
+    // table agrees regardless of when it was written. Identity (and
+    // zero-cost) on never-renamed tables.
+    val mapping = mappingOf(snapshotWithSchema(table, None)._3)
+    val (physDf, physKey) =
+      if (mapping.isEmpty) (df, keyCol)
+      else (df.select(df.columns.toIndexedSeq.map(c =>
+        col(c).as(mapping.getOrElse(c, c))): _*),
+        mapping.getOrElse(keyCol, keyCol))
     val staging = Files.createTempDirectory(dataDir(table), ".staging-")
     try {
       // Timestamps land as INT64 micros, not Spark's default INT96:
@@ -1499,9 +1902,9 @@ object LogTable {
       // override is scoped+refcounted — never leaked to the caller, and
       // safe under concurrent writers (see withMicrosTimestamps).
       withMicrosTimestamps(spark) {
-        df.write.mode("overwrite").parquet(staging.toString)
+        physDf.write.mode("overwrite").parquet(staging.toString)
       }
-      registerStaged(spark, table, staging, df.schema, keyCol)
+      registerStaged(spark, table, staging, physDf.schema, physKey)
     } finally {
       // drop staging leftovers (_SUCCESS, crc files, any unmoved parts)
       import scala.jdk.CollectionConverters._
@@ -1727,7 +2130,10 @@ object LogTable {
     val ckpt = Manifest(cut, liveAtCut, removes = Seq.empty,
       schema = schemaAtCut.map(_.json).getOrElse(""), checkpoint = true,
       keyCol = tableKeyCol(table).getOrElse(""), txns = txnsAtCut,
-      ts = tsAtCut)
+      ts = tsAtCut,
+      // the fold RESETS at a checkpoint, so it must carry the deletion
+      // vectors accumulated at the cut or the dead rows come back
+      dvs = liveDvs(table, Some(cut)))
     // atomic REPLACE of v{cut}: full content lands under a temp name,
     // then rename(2) swaps it in — unlike commit's create-link claim,
     // replacement is the intent here and rename's replace is atomic
@@ -1853,7 +2259,8 @@ object LogTable {
       // re-claim path's union merge — the union would re-add the very
       // fields the commit drops. On any schema race it recomputes from
       // the new head instead (reRun re-narrows whatever the racer left).
-      schemaNarrowing: Boolean = false): Boolean = {
+      schemaNarrowing: Boolean = false,
+      dvs: Map[String, Seq[Long]] = Map.empty): Boolean = {
     var expected = snapshotVersion
     var committedSchema = schema
     var tries = attempts
@@ -1871,7 +2278,7 @@ object LogTable {
       onCommitAttempt()
       val v = expected + 1
       val m = Manifest(v, adds, removes, committedSchema, keyCol = keyCol,
-        txns = txns, ts = System.currentTimeMillis())
+        txns = txns, ts = System.currentTimeMillis(), dvs = dvs)
       // Publish atomically: fully write the manifest to a hidden temp
       // name (readers only match v########.json), then HARD-LINK it to
       // the version path — link(2) both fails-if-exists (the optimistic
@@ -1896,7 +2303,23 @@ object LogTable {
             manifests(table).filter(_.version > snapshotVersion)
               .exists(_.adds.exists(a => a.minKey <= hi && a.maxKey >= lo))
           }
-          if (!removes.forall(liveFiles.map(_.file).toSet) || addedConflict) {
+          // a racer attached a DELETION VECTOR to a file we are about to
+          // remove: re-claiming would drop the racer's vector with the
+          // file while our rewrite (computed before the racer's delete)
+          // still carries the dead rows — a lost delete. Recompute.
+          val dvConflict = removes.nonEmpty && {
+            val ours = removes.toSet
+            manifests(table).filter(_.version > snapshotVersion)
+              .exists(_.dvs.keys.exists(ours))
+          }
+          // a racer attached a vector to a file we're also attaching
+          // one to: safe (vectors union in the fold); a racer REMOVING
+          // a file we're attaching to: our vector folds away with the
+          // file — the racer's rewrite already dropped our keys' rows
+          // or kept them per ITS snapshot, and our keyRange/addedConflict
+          // rule catches the overlapping-range case above.
+          if (!removes.forall(liveFiles.map(_.file).toSet) || addedConflict ||
+              dvConflict) {
             // racer rewrote files we based our delta on, or landed rows
             // inside our key range — recompute
             reRun()

@@ -779,6 +779,82 @@ object EtlQueries {
              |FROM orders""".stripMargin),
     ),
 
+    // K22 — `ALTER TABLE RENAME COLUMN` via column mapping (the rename
+    // half of the reference's ALTER-based evolution playbook,
+    // migrate_duckdb.py:7-26): rename on the cloned base snapshot is a
+    // METADATA-ONLY commit (zero files rewritten — LogTableSpec pins the
+    // file set), the re-sync batch then upserts under the NEW name, and
+    // the row reads BOTH the head (new name, post-upsert) and the
+    // pre-rename version (old name, time travel) — proving the mapping
+    // projects old files to the new name, maps new writes back to the
+    // physical name, and leaves history readable under the names each
+    // version committed. The oracle replays both snapshots in SQL.
+    QueryDef(
+      "k22_rename_column",
+      (s, d) => {
+        val t = kBaseCloneFor(s, d, "k22")
+        val v1 = graft.io.LogTable.version(t)
+        graft.io.LogTable.renameColumn(s, t, "status", "state")
+        graft.io.LogTable.upsert(s, t,
+          kIncoming(s, d).withColumnRenamed("status", "state"), "order_id")
+        val head = graft.io.LogTable.read(s, t)
+          .select(lit("head").as("snap"), col("order_id"), col("state"), col("src"))
+        // the explicit old-name selection is the proof: v1 still resolves
+        // 'status' (and must NOT resolve 'state')
+        val old = graft.io.LogTable.readVersion(s, t, v1)
+          .select(lit("v1").as("snap"), col("order_id"),
+            col("status").as("state"), col("src"))
+        old.unionByName(head).orderBy("snap", "order_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT o_orderkey AS order_id, o_orderstatus AS state, 'base' AS src
+             |  FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
+             |), i AS (
+             |  SELECT o_orderkey AS order_id, o_orderstatus AS state, 'resynced' AS src
+             |  FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+             |)
+             |SELECT 'head' AS snap, * FROM (
+             |  SELECT * FROM e WHERE order_id NOT IN (SELECT order_id FROM i)
+             |  UNION ALL SELECT * FROM i)
+             |UNION ALL
+             |SELECT 'v1' AS snap, * FROM e
+             |ORDER BY snap, order_id""".stripMargin),
+    ),
+
+    // K23 — MERGE-ON-READ upsert through DELETION VECTORS: the ~1%
+    // key sample (order_id % 97) merges into the cloned base snapshot
+    // with ZERO files rewritten — the commit appends the batch and marks
+    // the matched keys dead in the manifest; the READ applies the
+    // vectors as one bounded broadcast anti-join (LogTable.readFiles).
+    // This is the 100 TB answer to "a 10-key MERGE must not rewrite a
+    // 10 GB file" (LogTableSpec pins the zero-rewrite file set); the
+    // oracle replays the same upsert semantics in SQL — merge-on-read
+    // vs copy-on-write must be invisible to results.
+    QueryDef(
+      "k23_dv_merge",
+      (s, d) => {
+        val t = kBaseCloneFor(s, d, "k23")
+        val incoming = Tables.orders(s, d)
+          .filter(col("o_orderkey") % 97 === 0)
+          .select(
+            col("o_orderkey").as("order_id"),
+            col("o_orderstatus").as("status"),
+            lit("resynced").as("src"))
+        graft.io.LogTable.upsertDV(s, t, incoming, "order_id")
+        graft.io.LogTable.read(s, t).orderBy("order_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT o_orderkey AS order_id, o_orderstatus AS status, 'base' AS src
+             |  FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
+             |), i AS (
+             |  SELECT o_orderkey AS order_id, o_orderstatus AS status, 'resynced' AS src
+             |  FROM orders WHERE o_orderkey % 97 = 0
+             |)
+             |SELECT * FROM e WHERE order_id NOT IN (SELECT order_id FROM i)
+             |UNION ALL SELECT * FROM i
+             |ORDER BY order_id""".stripMargin),
+    ),
+
     // K4/K6 — column alignment / schema migration: missing columns appear
     // as typed NULLs in canonical order.
     QueryDef(

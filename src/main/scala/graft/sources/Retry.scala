@@ -17,18 +17,23 @@ package graft.sources
   * @param retries additional attempts after the first failure
   * @param delayMs fixed delay between attempts
   * @param sleep   injectable for tests (defaults to Thread.sleep)
+  * @param retryOn failure classifier: false = propagate IMMEDIATELY
+  *                (4xx client errors — a 401 never heals by retrying,
+  *                and re-hammering an auth-rejecting API is hostile;
+  *                [[HttpApiClient.transientOnly]] is the HTTP policy)
   */
 final case class RetryPolicy(
     retries: Int = 2,
     delayMs: Long = 30000L,
-    sleep: Long => Unit = Thread.sleep) {
+    sleep: Long => Unit = Thread.sleep,
+    retryOn: Throwable => Boolean = _ => true) {
 
   def apply[T](f: => T): T = {
     var attempt = 0
     while (true) {
       try return f
       catch {
-        case scala.util.control.NonFatal(e) if attempt < retries =>
+        case scala.util.control.NonFatal(e) if attempt < retries && retryOn(e) =>
           attempt += 1
           if (delayMs > 0) sleep(delayMs)
       }

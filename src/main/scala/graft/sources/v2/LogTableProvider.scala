@@ -148,6 +148,32 @@ object LogTableProvider {
   private[v2] def schemaOf(table: String, asOf: Option[Long]): StructType = {
     val committed = {
       val (_, files, schema) = LogTable.snapshotWithSchema(table, asOf)
+      // RENAMED tables (column mapping): the DSv2 scan/write machinery
+      // below resolves parquet columns by the schema names it plans with
+      // (required.json in every partition, staged task writes) — serving
+      // a mapped table through it would silently read NULLs where the
+      // physical column lives. Refuse LOUDLY until the connector maps
+      // names end-to-end; the LogTable API reads renamed tables exactly.
+      schema.foreach { s =>
+        LogTable.mappingOf(Some(s)).headOption.foreach { case (lg, ph) =>
+          throw new UnsupportedOperationException(
+            s"graft-log connector on $table: the table has renamed columns " +
+              s"(e.g. '$lg' is physically '$ph') which the DSv2 scan does " +
+              "not yet serve — read via graft.io.LogTable.read/readVersion")
+        }
+      }
+      // DELETION VECTORS: the DSv2 partitions read files verbatim and
+      // the aggregate pushdown answers COUNT/MIN/MAX from manifest row
+      // counts — both would silently serve vector-dead rows. Refuse
+      // loudly; compact() purges the vectors and restores connector
+      // service (the LogTable API reads vectored tables exactly).
+      LogTable.liveDvs(table, asOf).headOption.foreach { case (f, ks) =>
+        throw new UnsupportedOperationException(
+          s"graft-log connector on $table: the table carries deletion " +
+            s"vectors (e.g. ${ks.size} dead key(s) in $f) which the DSv2 " +
+            "scan does not yet apply — read via graft.io.LogTable.read, " +
+            "or compact() to purge the vectors")
+      }
       schema.getOrElse {
         if (files.isEmpty) new StructType()
         // mergeSchema: one-footer sampling could hide a legacy column on

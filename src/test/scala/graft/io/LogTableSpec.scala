@@ -1085,4 +1085,186 @@ class LogTableSpec extends AnyFunSuite {
     val schema = LogTable.read(spark, t).schema
     assert(schema("x").dataType == org.apache.spark.sql.types.LongType)
   }
+
+  test("renameColumn: metadata-only mapping — zero rewrites; reads, writes, stats pruning, time travel all map") {
+    val t = tmpTable()
+    val base = (1L to 1000L).map(i => (i, s"base$i")).toDF("k", "v")
+      .repartitionByRange(4, col("k"))
+    LogTable.create(spark, t, base, "k")
+    val filesBefore = LogTable.read(spark, t).inputFiles.toSet
+    LogTable.renameColumn(spark, t, "v", "label")
+    // the rename rewrote ZERO data files (pure manifest commit)
+    assert(LogTable.read(spark, t).inputFiles.toSet == filesBefore,
+      "rename must not rewrite data files")
+    val r = LogTable.read(spark, t)
+    assert(r.columns.toSeq == Seq("k", "label"))
+    assert(r.filter(col("k") === 7L).select("label").head().getString(0) == "base7")
+    // time travel: the pre-rename version reads under the OLD name
+    assert(LogTable.readVersion(spark, t, 1L).columns.toSeq == Seq("k", "v"))
+    // post-rename upsert arrives under the NEW logical name; the data
+    // file lands under the PHYSICAL name and the committed schema keeps
+    // the mapping (restamp path — the next read would NULL otherwise)
+    LogTable.upsert(spark, t,
+      Seq((7L, "upd"), (2000L, "ins")).toDF("k", "label"), "k")
+    val r2 = LogTable.read(spark, t)
+    assert(r2.count() == 1001)
+    assert(r2.filter(col("k") === 7L).select("label").head().getString(0) == "upd")
+    assert(r2.filter(col("k") === 2000L).select("label").head().getString(0) == "ins")
+    assert(r2.filter(col("k") === 9L).select("label").head().getString(0) == "base9")
+    // stats-pruned read by the NEW name (manifest string bounds are
+    // keyed by the physical name; admission must map)
+    val w = LogTable.readWhere(spark, t, "label", "base100", "base199")
+    assert(w.columns.contains("label"))
+    assert(w.filter(col("label") === "base150").count() == 1)
+    // the old name stays reserved: every live file physically carries it
+    val e = intercept[IllegalArgumentException] {
+      LogTable.addColumns(spark, t, Seq(org.apache.spark.sql.types.StructField(
+        "v", org.apache.spark.sql.types.StringType)))
+    }
+    assert(e.getMessage.contains("physically"), e.getMessage)
+    // a change feed CROSSING the rename has no consistent column identity
+    val e2 = intercept[IllegalStateException] {
+      LogTable.changes(spark, t, "k", 1L, LogTable.version(t))
+    }
+    assert(e2.getMessage.contains("renamed"), e2.getMessage)
+    // a window entirely after the rename serves under the new name
+    val ch = LogTable.changes(spark, t, "k", 2L, LogTable.version(t))
+    assert(ch.columns.contains("label"))
+    assert(ch.filter(col("k") === 2000L).select("_change_type")
+      .head().getString(0) == "insert")
+    // the DSv2 connector refuses mapped tables LOUDLY (it would
+    // otherwise serve NULLs where the physical column lives)
+    val e3 = intercept[UnsupportedOperationException] {
+      spark.read.format("graft-log").load(t).collect()
+    }
+    assert(e3.getMessage.contains("renamed"), e3.getMessage)
+  }
+
+  test("renameColumn: key-column rename updates the key property; renames compose; clone keeps the mapping") {
+    val t = tmpTable()
+    LogTable.create(spark, t,
+      (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v"), "k")
+    LogTable.renameColumn(spark, t, "k", "id")
+    assert(LogTable.tableKeyCol(t).contains("id"))
+    LogTable.append(spark, t, Seq((200L, "x")).toDF("id", "v"), "id")
+    assert(LogTable.read(spark, t).count() == 101)
+    // second rename composes: physical stays the ORIGINAL name
+    LogTable.renameColumn(spark, t, "id", "key_id")
+    val r = LogTable.read(spark, t)
+    assert(r.columns.toSeq == Seq("key_id", "v"))
+    assert(r.filter(col("key_id") === 200L).count() == 1)
+    // keyed write under the latest name: manifest minKey/maxKey pruning
+    // still works (the footer stats come from the physical column)
+    LogTable.upsert(spark, t, Seq((200L, "y")).toDF("key_id", "v"), "key_id")
+    assert(LogTable.read(spark, t).filter(col("key_id") === 200L)
+      .select("v").head().getString(0) == "y")
+    assert(LogTable.read(spark, t).count() == 101)
+    // a zero-copy clone carries the mapping with the schema
+    val dst = tmpTable()
+    LogTable.cloneTable(t, dst)
+    assert(LogTable.read(spark, dst).columns.toSeq == Seq("key_id", "v"))
+    assert(LogTable.read(spark, dst).filter(col("key_id") === 200L)
+      .select("v").head().getString(0) == "y")
+    // loud edges: unknown source name, target collision, no-op rename
+    intercept[IllegalArgumentException](
+      LogTable.renameColumn(spark, t, "nope", "x"))
+    intercept[IllegalArgumentException](
+      LogTable.renameColumn(spark, t, "v", "key_id"))
+    intercept[IllegalArgumentException](
+      LogTable.renameColumn(spark, t, "v", "v"))
+  }
+
+  test("deletion vectors: a 10-key merge on a 4-file table rewrites ZERO data files; reads/travel/feed/compact all apply them") {
+    val t = tmpTable()
+    val base = (1L to 4000L).map(i => (i, s"base$i")).toDF("k", "v")
+      .repartitionByRange(4, col("k"))
+    LogTable.create(spark, t, base, "k")
+    val before = LogTable.read(spark, t).inputFiles.toSet
+    assert(before.size == 4)
+    val incoming = (1L to 10L).map(i => (i * 400L, s"dv${i * 400L}"))
+      .toDF("k", "v")
+    LogTable.upsertDV(spark, t, incoming, "k")
+    val after = LogTable.read(spark, t).inputFiles.toSet
+    assert(before.subsetOf(after),
+      "merge-on-read must not rewrite or drop a single existing file")
+    assert((after -- before).nonEmpty, "incoming rows land as new files")
+    // value-identical to the copy-on-write upsert
+    val r = LogTable.read(spark, t)
+    assert(r.count() == 4000)
+    assert(r.filter(col("k") === 400L).select("v").head().getString(0) == "dv400")
+    assert(r.filter(col("k") === 400L).count() == 1,
+      "the vector-dead base row must not resurface beside its replacement")
+    assert(r.filter(col("k") === 399L).select("v").head().getString(0) == "base399")
+    // time travel BEFORE the vector sees the original row
+    assert(LogTable.readVersion(spark, t, 1L).filter(col("k") === 400L)
+      .select("v").head().getString(0) == "base400")
+    // DV key delete: zero reads, zero rewrites, rows gone — including a
+    // key whose live row sits in the DV-ADDED file
+    val files2 = LogTable.read(spark, t).inputFiles.toSet
+    LogTable.deleteKeysDV(spark, t, "k", Seq(5L, 6L, 400L))
+    assert(LogTable.read(spark, t).inputFiles.toSet == files2,
+      "deleteKeysDV must be metadata-only")
+    val r2 = LogTable.read(spark, t)
+    assert(r2.count() == 3997)
+    assert(r2.filter(col("k") === 5L).count() == 0)
+    assert(r2.filter(col("k") === 400L).count() == 0)
+    // a change feed over a DV window must NOT take the append fast path
+    // (the added files alone are not the change set)
+    val ch = LogTable.changes(spark, t, "k", 1L, LogTable.version(t))
+    assert(ch.filter(col("k") === 5L).select("_change_type")
+      .head().getString(0) == "delete")
+    assert(ch.filter(col("k") === 800L).select("_change_type")
+      .head().getString(0) == "update")
+    // the DSv2 connector refuses vectored tables loudly (it would serve
+    // dead rows); compact() purges the vectors and restores service
+    intercept[UnsupportedOperationException] {
+      spark.read.format("graft-log").load(t).collect()
+    }
+    LogTable.compact(spark, t, "k", targetRows = 1000000L)
+    val r3 = LogTable.read(spark, t)
+    assert(r3.count() == 3997)
+    assert(r3.filter(col("k") === 400L).count() == 0)
+    assert(spark.read.format("graft-log").load(t).count() == 3997)
+    // the small-delta budget is a loud contract, not a silent rewrite
+    intercept[IllegalArgumentException] {
+      LogTable.deleteKeysDV(spark, t, "k",
+        (1L to (LogTable.DvMaxKeys + 1).toLong).toSeq)
+    }
+  }
+
+  test("deletion vectors: clone and restore carry them; a vector racing a rewrite of its file is never lost") {
+    val t = tmpTable()
+    LogTable.create(spark, t,
+      (1L to 100L).map(i => (i, s"b$i")).toDF("k", "v"), "k")
+    LogTable.deleteKeysDV(spark, t, "k", Seq(7L))
+    val vDel = LogTable.version(t)
+    // zero-copy clone: the vector rides the v1 manifest
+    val dst = tmpTable()
+    LogTable.cloneTable(t, dst)
+    assert(LogTable.read(spark, dst).count() == 99)
+    assert(LogTable.read(spark, dst).filter(col("k") === 7L).count() == 0)
+    // wreck + restore: the restored snapshot's vector comes back with it
+    LogTable.overwriteAll(spark, t, Seq((0L, "junk")).toDF("k", "v"), "k")
+    LogTable.restore(t, vDel)
+    assert(LogTable.read(spark, t).count() == 99)
+    assert(LogTable.read(spark, t).filter(col("k") === 7L).count() == 0,
+      "restore resurrected a vector-dead row")
+    // race: a DV lands on a file an in-flight copy-on-write upsert is
+    // about to remove — the rewrite must recompute (dvConflict), not
+    // drop the racer's delete with the file
+    val t2 = tmpTable()
+    LogTable.create(spark, t2,
+      (1L to 100L).map(i => (i, s"b$i")).toDF("k", "v"), "k")
+    LogTable.onCommitAttempt = () => {
+      LogTable.onCommitAttempt = () => ()
+      LogTable.deleteKeysDV(spark, t2, "k", Seq(50L))
+    }
+    try LogTable.upsert(spark, t2, Seq((1L, "upd")).toDF("k", "v"), "k")
+    finally LogTable.onCommitAttempt = () => ()
+    val r = LogTable.read(spark, t2)
+    assert(r.filter(col("k") === 1L).select("v").head().getString(0) == "upd")
+    assert(r.filter(col("k") === 50L).count() == 0,
+      "the racing DV delete was lost by the rewrite's re-claim")
+    assert(r.count() == 99)
+  }
 }

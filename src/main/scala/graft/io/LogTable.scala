@@ -1598,6 +1598,18 @@ object LogTable {
       schema: org.apache.spark.sql.types.StructType, keyCol: String,
       onlyFiles: Option[Set[String]] = None): Unit =
     try {
+      // the staged parts were written by Spark's row-level tasks under
+      // LOGICAL names; on a renamed table they cannot register as
+      // physical data files — refuse loudly (the LogTable verbs
+      // upsert/merge/deleteWhere rewrite under the mapping and serve
+      // the same semantics)
+      mappingOf(snapshotWithSchema(table, None)._3).headOption.foreach {
+        case (lg, ph) => throw new UnsupportedOperationException(
+          s"graft-log row-level write on $table: the table has renamed " +
+            s"columns (e.g. '$lg' is physically '$ph') and task-staged " +
+            "parts carry logical names — use graft.io.LogTable.upsert/" +
+            "merge/deleteWhere, which rewrite under the physical mapping")
+      }
       val adds = registerStaged(spark, table, staging, schema, keyCol, onlyFiles)
       commit(table, snapVersion, adds, removes = removeFiles,
         reRun = () => throw new java.util.ConcurrentModificationException(

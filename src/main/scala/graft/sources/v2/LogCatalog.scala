@@ -37,11 +37,13 @@ import graft.io.LogTable
   * ([[LogTable.createEmpty]]) so every later writer resolves the key
   * from the log.
   *
-  * `ALTER TABLE ADD COLUMN` is served as a schema-evolution commit
-  * (the reference's migration playbook, migrate_duckdb.py); every other
-  * ALTER kind and partition transforms stay loudly unsupported (the log
-  * IS the schema history — drops/renames/retypes would fork it, and the
-  * format's pruning unit is per-file manifest stats, not directory
+  * `ALTER TABLE ADD/DROP/RENAME COLUMN` are served as schema-evolution
+  * commits (ADD is the reference's migration playbook,
+  * migrate_duckdb.py; RENAME is a metadata-only column-mapping commit,
+  * [[graft.io.LogTable.renameColumn]]); retypes, repositions, and
+  * partition transforms stay loudly unsupported (the log IS the schema
+  * history — forking it silently corrupts reads, and the format's
+  * pruning unit is per-file manifest stats, not directory
   * partitions). */
 class LogCatalog extends TableCatalog with SupportsNamespaces
     with ProcedureCatalog {
@@ -155,6 +157,23 @@ class LogCatalog extends TableCatalog with SupportsNamespaces
     if (dropChanges.nonEmpty && rest.nonEmpty) throw new UnsupportedOperationException(
       "graft-log: ALTER TABLE cannot mix DROP COLUMN with other changes " +
         "in one statement")
+    // RENAME COLUMN — one column per statement (Spark's own grammar), as
+    // a metadata-only column-mapping commit (LogTable.renameColumn: zero
+    // files rewritten; reads project physical → logical from then on)
+    changes.collect { case r: TableChange.RenameColumn => r } match {
+      case Seq(r) if changes.length == 1 =>
+        if (r.fieldNames().length != 1) throw new UnsupportedOperationException(
+          "graft-log: ALTER TABLE RENAME COLUMN supports top-level columns " +
+            s"only, got nested field ${r.fieldNames().mkString(".")}")
+        LogTable.renameColumn(
+          org.apache.spark.sql.SparkSession.active, path,
+          r.fieldNames()(0), r.newName())
+        return loadTable(ident)
+      case Seq(_, _*) => throw new UnsupportedOperationException(
+        "graft-log: ALTER TABLE cannot mix RENAME COLUMN with other changes " +
+          "in one statement")
+      case _ => ()
+    }
     if (dropChanges.nonEmpty) {
       // DROP COLUMN(S) as one narrowing schema-evolution commit —
       // metadata-only (reads project the committed schema by name); the
@@ -190,9 +209,8 @@ class LogCatalog extends TableCatalog with SupportsNamespaces
         Option(add.comment()).fold(f)(f.withComment)
       case other => throw new UnsupportedOperationException(
         s"graft-log: ALTER TABLE change ${other.getClass.getSimpleName} is " +
-          "not supported — only ADD COLUMN / DROP COLUMN (RENAME needs " +
-          "column mapping the format deliberately omits; other evolution " +
-          "rides appends — the log is the schema history)")
+          "not supported — only ADD COLUMN / DROP COLUMN / RENAME COLUMN " +
+          "(retypes and repositions would fork the log's schema history)")
     }
     LogTable.addColumns(
       org.apache.spark.sql.SparkSession.active, path, added)

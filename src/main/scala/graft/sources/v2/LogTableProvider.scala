@@ -148,32 +148,14 @@ object LogTableProvider {
   private[v2] def schemaOf(table: String, asOf: Option[Long]): StructType = {
     val committed = {
       val (_, files, schema) = LogTable.snapshotWithSchema(table, asOf)
-      // RENAMED tables (column mapping): the DSv2 scan/write machinery
-      // below resolves parquet columns by the schema names it plans with
-      // (required.json in every partition, staged task writes) — serving
-      // a mapped table through it would silently read NULLs where the
-      // physical column lives. Refuse LOUDLY until the connector maps
-      // names end-to-end; the LogTable API reads renamed tables exactly.
-      schema.foreach { s =>
-        LogTable.mappingOf(Some(s)).headOption.foreach { case (lg, ph) =>
-          throw new UnsupportedOperationException(
-            s"graft-log connector on $table: the table has renamed columns " +
-              s"(e.g. '$lg' is physically '$ph') which the DSv2 scan does " +
-              "not yet serve — read via graft.io.LogTable.read/readVersion")
-        }
-      }
-      // DELETION VECTORS: the DSv2 partitions read files verbatim and
-      // the aggregate pushdown answers COUNT/MIN/MAX from manifest row
-      // counts — both would silently serve vector-dead rows. Refuse
-      // loudly; compact() purges the vectors and restores connector
-      // service (the LogTable API reads vectored tables exactly).
-      LogTable.liveDvs(table, asOf).headOption.foreach { case (f, ks) =>
-        throw new UnsupportedOperationException(
-          s"graft-log connector on $table: the table carries deletion " +
-            s"vectors (e.g. ${ks.size} dead key(s) in $f) which the DSv2 " +
-            "scan does not yet apply — read via graft.io.LogTable.read, " +
-            "or compact() to purge the vectors")
-      }
+      // (RENAMED tables serve through the scan: the partition-facing
+      // projection carries PHYSICAL names — LogTableScanBuilder
+      // .requiredPhysJson — and stats admission / aggregate answers map
+      // logical → physical. VECTORED tables serve too: each partition
+      // carries its file's dead-key set and the reader filters —
+      // aggregate pushdown and the count(*) footer shortcut disable
+      // themselves on vectored files. Only the row-level WRITE path on
+      // renamed tables refuses, LogTable.replaceStaged.)
       schema.getOrElse {
         if (files.isEmpty) new StructType()
         // mergeSchema: one-footer sampling could hide a legacy column on
@@ -605,6 +587,21 @@ class LogTableScanBuilder(
 
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
+  // Column mapping (renamed tables): logical → physical from the table
+  // schema's rename metadata — empty on never-renamed tables, where
+  // every path below is byte-identical to the unmapped build. Files and
+  // manifest stats ALWAYS carry physical names, so (a) stats admission
+  // and aggregate answers look up physical keys, and (b) the
+  // partition-facing projection renames required fields to physical —
+  // the reader resolves parquet columns by name, and positions/types
+  // match `required` exactly, so rows need no remapping upstream.
+  private val physByLogical: Map[String, String] =
+    LogTable.mappingOf(Some(tableSchema))
+  private def physName(c: String): String = physByLogical.getOrElse(c, c)
+  private def requiredPhysJson: String =
+    if (physByLogical.isEmpty) required.json
+    else StructType(required.fields.map(f =>
+      f.copy(name = physName(f.name)))).json
   // per-column intersected admission window, in manifest encoding.
   // Ranges/equalities intersect here (strictly tighter than independent
   // per-filter checks: `a >= 5 AND a <= 1` intersects to an empty
@@ -756,10 +753,11 @@ class LogTableScanBuilder(
     * deleteWhere (same pushed-filter machinery decides which files a
     * DELETE may touch). */
   private[v2] def fileAdmitted(f: LogTable.FileEntry): Boolean =
-    bounds.forall { case (c, b) => LogTable.admits(f, c, b) } &&
+    bounds.forall { case (c, b) => LogTable.admits(f, physName(c), b) } &&
       clauses.forall(_.exists {
-        case BoundCheck(c, b) => LogTable.admits(f, c, b)
-        case NullCheck(c, wantNull) => LogTable.admitsNull(f, c, wantNull)
+        case BoundCheck(c, b) => LogTable.admits(f, physName(c), b)
+        case NullCheck(c, wantNull) =>
+          LogTable.admitsNull(f, physName(c), wantNull)
       })
 
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -768,8 +766,30 @@ class LogTableScanBuilder(
   // snapshot pinned ONCE per scan build, shared by aggregate
   // answerability and the scan itself: both must describe the same
   // version even if writers land mid-planning
-  private lazy val pinned: Seq[LogTable.FileEntry] =
-    pinnedSnapshot.getOrElse(LogTable.snapshotWithSchema(path, asOf)._2)
+  private lazy val pinnedFull: (Long, Seq[LogTable.FileEntry]) =
+    pinnedSnapshot.map(fs => (LogTable.version(path), fs)).getOrElse {
+      val (v, fs, _) = LogTable.snapshotWithSchema(path, asOf)
+      (v, fs)
+    }
+  private lazy val pinned: Seq[LogTable.FileEntry] = pinnedFull._2
+  // deletion vectors pinned at the SAME version as the file snapshot (a
+  // racing DV commit must not leak newer deletes into an older file set)
+  private lazy val dvsLive: Map[String, Seq[Long]] =
+    LogTable.liveDvs(path, Some(asOf.getOrElse(pinnedFull._1)))
+  // the DV key column under its PHYSICAL name (what the files carry) —
+  // resolved lazily and only when vectors exist
+  private lazy val dvPhysKey: String = {
+    val logical = LogTable.tableKeyCol(path).getOrElse(
+      throw new IllegalStateException(
+        s"graft-log scan on $path: deletion vectors present but no " +
+          "key-column property"))
+    physName(logical)
+  }
+  private def dvFor(f: LogTable.FileEntry): (String, Seq[Long]) =
+    dvsLive.get(f.file) match {
+      case Some(ks) if ks.nonEmpty => (dvPhysKey, ks)
+      case _ => ("", Seq.empty)
+    }
 
   // ---- aggregate pushdown: COUNT/MIN/MAX answered from the manifest --
   //
@@ -832,17 +852,17 @@ class LogTableScanBuilder(
     f.dataType match {
       case LongType | IntegerType | ShortType | DateType |
            TimestampType | TimestampNTZType =>
-        all(_.cols.get(f.name)).map { bs =>
+        all(_.cols.get(physName(f.name))).map { bs =>
           if (bs.isEmpty) null
           else decodeLongStat(f.dataType,
             if (isMin) bs.map(_._1).min else bs.map(_._2).max)
         }
       case DoubleType if isMin =>
-        all(_.colsD.get(f.name)).map { bs =>
+        all(_.colsD.get(physName(f.name))).map { bs =>
           if (bs.isEmpty) null else (bs.map(_._1).min + 0.0d): java.lang.Double
         }
       case FloatType if isMin =>
-        all(_.colsD.get(f.name)).map { bs =>
+        all(_.colsD.get(physName(f.name))).map { bs =>
           if (bs.isEmpty) null
           else (bs.map(_._1).min.toFloat + 0.0f): java.lang.Float
         }
@@ -856,7 +876,7 @@ class LogTableScanBuilder(
         pinned.map(_.rows).sum)
     case c: Count if !c.isDistinct =>
       aggColumn(c.column).flatMap { f =>
-        val ns = pinned.map(_.colsN.get(f.name))
+        val ns = pinned.map(_.colsN.get(physName(f.name)))
         if (ns.forall(_.isDefined))
           Some(StructField(s"count(${f.name})", LongType, nullable = false) ->
             (pinned.map(_.rows).sum - ns.flatMap(_.toSeq).sum))
@@ -872,8 +892,13 @@ class LogTableScanBuilder(
   }
 
   private def answersFor(aggregation: Aggregation): Option[Seq[(StructField, Any)]] =
+    // deletion vectors: manifest row counts and bounds describe the
+    // FILES, vectors kill rows under them — stats can no longer answer
+    // exactly, so the whole aggregation stays on the (vector-filtering)
+    // scan until compact() purges
     if (cdf || aggregation.groupByExpressions.nonEmpty ||
-        pushed.nonEmpty || bounds.nonEmpty || clauses.nonEmpty) None
+        pushed.nonEmpty || bounds.nonEmpty || clauses.nonEmpty ||
+        dvsLive.nonEmpty) None
     else {
       val as = aggregation.aggregateExpressions.toSeq.map(aggAnswer)
       if (as.nonEmpty && as.forall(_.isDefined)) Some(as.map(_.get)) else None
@@ -964,7 +989,12 @@ class LogTableScanBuilder(
     override def toBatch: Batch = this
 
     override def estimateStatistics(): Statistics = new Statistics {
-      private val rows = aggPushed.fold(kept.map(_.rows).sum)(_ => 1L)
+      // vector-dead rows leave the estimate (a dv key that misses its
+      // file only makes this conservative — stats are estimates)
+      private val rows = aggPushed.fold(
+        kept.map(f => math.max(0L,
+          f.rows - dvsLive.get(f.file).map(_.size.toLong).getOrElse(0L))).sum
+      )(_ => 1L)
       override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(rows * math.max(1L, readSchema().defaultSize.toLong))
@@ -994,9 +1024,13 @@ class LogTableScanBuilder(
         case None =>
           LogTableScan.lastTotalFiles.set(snapshot.size)
           LogTableScan.lastPlannedFiles.set(kept.size)
-          kept.map(f => LogFilePartition(
-            LogTable.dataDir(path).resolve(f.file).toString,
-            required.json, fileColIsMeta): InputPartition).toArray
+          kept.map { f =>
+            val (dk, dks) = dvFor(f)
+            LogFilePartition(
+              LogTable.dataDir(path).resolve(f.file).toString,
+              requiredPhysJson, fileColIsMeta,
+              dvKeyCol = dk, dvKeys = dks): InputPartition
+          }.toArray
       }
     }
 
@@ -1046,16 +1080,29 @@ class LogTableScanBuilder(
         }
       }
       val ms = all.filterNot(_.checkpoint)
+      // DELETION-VECTOR commits change rows without adding/removing the
+      // files that hold them — the file-granular retraction feed cannot
+      // represent that delta. Loud, like the truncation guard: compact()
+      // purges the vectors and the feed resumes from there.
+      ms.filter(_.dvs.nonEmpty) match {
+        case bad if bad.nonEmpty => throw new IllegalStateException(
+          s"graft-log change feed on $path: version(s) " +
+            s"${bad.map(_.version).mkString(",")} carry deletion vectors, " +
+            "which the file-granular retraction feed cannot represent — " +
+            "use LogTable.changes for keyed CDC over this window, or " +
+            "compact() and re-base the feed")
+        case _ => ()
+      }
       val parts = ms.flatMap { m =>
         // fileColIsMeta rides through exactly as in batch/stream scans: a
         // feed read that projects the _file metadata column must serve
         // the file name, not NULLs (a hardcoded false here did the latter).
         val dels = m.removes.map(f => LogFilePartition(
-          LogTable.dataDir(path).resolve(f).toString, required.json,
+          LogTable.dataDir(path).resolve(f).toString, requiredPhysJson,
           fileColIsMeta,
           changeType = Some("delete"), commitVersion = Some(m.version)))
         val adds = m.adds.filter(fileAdmitted).map(f => LogFilePartition(
-          LogTable.dataDir(path).resolve(f.file).toString, required.json,
+          LogTable.dataDir(path).resolve(f.file).toString, requiredPhysJson,
           fileColIsMeta,
           changeType = Some("insert"), commitVersion = Some(m.version)))
         dels ++ adds
@@ -1147,23 +1194,29 @@ class LogTableScanBuilder(
           // once claimed, so a range replans identically on recovery)
           if (cdf) return cdfPartitions(fromV, toV)
           val ms = LogTable.manifestRange(path, fromV, toV)
-          val changeCommits = ms.filter(m => m.removes.nonEmpty || m.checkpoint)
+          // a DELETION-VECTOR commit is a change commit too: it deletes/
+          // updates rows without removing a file, so the added files
+          // alone under-represent the delta exactly like a rewrite does
+          val changeCommits = ms.filter(m =>
+            m.removes.nonEmpty || m.checkpoint || m.dvs.nonEmpty)
           if (changeCommits.nonEmpty && !skipChangeCommits)
             throw new IllegalStateException(
               s"graft-log stream on $path: version(s) " +
-                s"${changeCommits.map(_.version).mkString(",")} rewrite or " +
-                "remove files — a plain streaming read cannot retract rows. " +
-                "Use .option(\"readChangeFeed\", true) to stream the " +
-                "retraction feed, LogTable.changes for batch CDC, or opt " +
-                "into .option(\"skipChangeCommits\", true) to ignore them")
-          val added = ms.filterNot(m => m.removes.nonEmpty || m.checkpoint)
+                s"${changeCommits.map(_.version).mkString(",")} rewrite, " +
+                "remove, or vector-delete rows — a plain streaming read " +
+                "cannot retract them. Use .option(\"readChangeFeed\", true) " +
+                "to stream the retraction feed, LogTable.changes for batch " +
+                "CDC, or opt into .option(\"skipChangeCommits\", true) to " +
+                "ignore them")
+          val added = ms.filterNot(m =>
+            m.removes.nonEmpty || m.checkpoint || m.dvs.nonEmpty)
             .flatMap(_.adds)
           val kept = added.filter(fileAdmitted)
           LogTableScan.lastTotalFiles.set(added.size)
           LogTableScan.lastPlannedFiles.set(kept.size)
           kept.map(f => LogFilePartition(
             LogTable.dataDir(path).resolve(f.file).toString,
-            required.json,
+            requiredPhysJson,
             LogTableTable.fileColIsMeta(required, tableSchema)): InputPartition)
             .toArray
         }
@@ -1192,7 +1245,13 @@ case class LogFilePartition(
     // change-feed decoration: when set, a required `_change_type` /
     // `_commit_version` field serves these per-partition constants
     changeType: Option[String] = None,
-    commitVersion: Option[Long] = None) extends InputPartition
+    commitVersion: Option[Long] = None,
+    // deletion vector: rows of THIS file whose key (physical column
+    // `dvKeyCol`) is in `dvKeys` are dead — the reader filters them.
+    // Bounded (LogTable.DvMaxKeys per commit), so the per-task set is
+    // kilobytes however large the table
+    dvKeyCol: String = "",
+    dvKeys: Seq[Long] = Seq.empty) extends InputPartition
 
 /** Single pre-computed row for a completely-pushed aggregation — the
   * manifest stats ARE the result; no file task ever runs. Values are
@@ -1271,16 +1330,51 @@ class LogFileReader(part: LogFilePartition) extends PartitionReader[InternalRow]
       !isMetaFileField(f.name) && cdfValueOf(f.name).isEmpty &&
         fileSchema.containsField(f.name))
 
+  // deletion vector for THIS file: the key column must be decodable or
+  // the dead rows cannot be told apart — loud, never served-with-dead
+  private val dvActive = part.dvKeys.nonEmpty
+  if (dvActive) require(
+    part.dvKeyCol.nonEmpty && fileSchema.containsField(part.dvKeyCol),
+    s"graft-log reader: file ${hPath.getName} carries a deletion vector " +
+      s"but its key column '${part.dvKeyCol}' is absent from the file — " +
+      "cannot separate dead rows")
+  private val dvDead: java.util.HashSet[java.lang.Long] =
+    if (!dvActive) null
+    else {
+      val s = new java.util.HashSet[java.lang.Long](part.dvKeys.size * 2)
+      part.dvKeys.foreach(k => s.add(k))
+      s
+    }
+  private val dvKeyGet: Group => Long =
+    if (!dvActive) null
+    else {
+      val kn = part.dvKeyCol
+      fileGroup.getType(kn).asPrimitiveType().getPrimitiveTypeName match {
+        case PrimitiveTypeName.INT64 => g => g.getLong(kn, 0)
+        case PrimitiveTypeName.INT32 => g => g.getInteger(kn, 0).toLong
+        case other => throw new UnsupportedOperationException(
+          s"graft-log reader: deletion-vector key column '$kn' has parquet " +
+            s"type $other — keys are integral by the table contract")
+      }
+    }
+
   // column projection pushed INTO parquet: only required-and-present
-  // columns are materialized from the page store
-  private val projection: Option[org.apache.parquet.schema.MessageType] =
-    if (presentFields.isEmpty) None
+  // columns are materialized from the page store. A deletion vector
+  // FORCES the key column into the file projection (even for count(*)
+  // — the footer row count lies about live rows) without emitting it.
+  private val projection: Option[org.apache.parquet.schema.MessageType] = {
+    val projFields =
+      if (dvActive && !presentFields.exists(_.name == part.dvKeyCol))
+        presentFields.map(_.name) :+ part.dvKeyCol
+      else presentFields.map(_.name)
+    if (projFields.isEmpty) None
     else {
       import scala.jdk.CollectionConverters._
       val fields: java.util.List[org.apache.parquet.schema.Type] =
-        presentFields.map(f => fileGroup.getType(f.name)).toList.asJava
+        projFields.map(n => fileGroup.getType(n)).toList.asJava
       Some(new org.apache.parquet.schema.MessageType(fileSchema.getName, fields))
     }
+  }
 
   private val reader: ParquetReader[Group] = projection match {
     case Some(proj) =>
@@ -1353,9 +1447,21 @@ class LogFileReader(part: LogFilePartition) extends PartitionReader[InternalRow]
       if (isMetaFileField(f.name)) metaFileValue
       else cdfValueOf(f.name).orNull))
 
+  // a NULL key can never be vector-dead (DV keys are values); rows with
+  // a present key die iff the set holds it
+  private def dvKill(g: Group): Boolean =
+    g.getFieldRepetitionCount(part.dvKeyCol) > 0 &&
+      dvDead.contains(dvKeyGet(g))
+
   override def next(): Boolean =
     if (reader == null) { emitted += 1; emitted <= fileRows }
-    else { current = reader.read(); current != null }
+    else if (!dvActive) { current = reader.read(); current != null }
+    else {
+      var g = reader.read()
+      while (g != null && dvKill(g)) g = reader.read()
+      current = g
+      current != null
+    }
 
   override def get(): InternalRow =
     if (reader == null) nullRow

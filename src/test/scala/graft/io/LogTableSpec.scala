@@ -1132,12 +1132,36 @@ class LogTableSpec extends AnyFunSuite {
     assert(ch.columns.contains("label"))
     assert(ch.filter(col("k") === 2000L).select("_change_type")
       .head().getString(0) == "insert")
-    // the DSv2 connector refuses mapped tables LOUDLY (it would
-    // otherwise serve NULLs where the physical column lives)
-    val e3 = intercept[UnsupportedOperationException] {
-      spark.read.format("graft-log").load(t).collect()
-    }
-    assert(e3.getMessage.contains("renamed"), e3.getMessage)
+    // the DSv2 connector serves mapped tables: partitions project by
+    // PHYSICAL name, the scan reports logical names upward — values,
+    // filters, and time travel all agree with the LogTable API
+    val viaConnector = spark.read.format("graft-log").load(t)
+    assert(viaConnector.columns.toSeq == Seq("k", "label"))
+    assert(viaConnector.count() == 1001)
+    assert(viaConnector.filter(col("k") === 7L)
+      .select("label").head().getString(0) == "upd")
+    assert(viaConnector.filter(col("label") === "base9").count() == 1)
+    assert(spark.read.format("graft-log").option("asOf", 1).load(t)
+      .columns.toSeq == Seq("k", "v"))
+    // key-range pushdown still prunes from the (physically-keyed)
+    // manifest stats when filtering by the LOGICAL name
+    spark.read.format("graft-log").load(t)
+      .filter(col("k") === 5L).collect()
+    assert(graft.sources.v2.LogTableScan.lastPlannedFiles.get() <
+      graft.sources.v2.LogTableScan.lastTotalFiles.get(),
+      "mapped-table scan lost manifest pruning")
+    // manifest-stats aggregate pushdown answers through the mapping too
+    val agg = spark.read.format("graft-log").load(t)
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.min(col("k")).as("mn"),
+        org.apache.spark.sql.functions.max(col("k")).as("mx")).head()
+    assert(agg.getLong(0) == 1001 && agg.getLong(1) == 1L && agg.getLong(2) == 2000L)
+    // predicate delete on the mapped table (the SQL DELETE bridge's
+    // engine path): the rewrite reads logically, lands physically
+    LogTable.deleteWhere(spark, t, _ => true, col("label") === "ins")
+    assert(LogTable.read(spark, t).count() == 1000)
+    assert(LogTable.read(spark, t).filter(col("k") === 2000L).count() == 0)
   }
 
   test("renameColumn: key-column rename updates the key property; renames compose; clone keeps the mapping") {
@@ -1215,11 +1239,22 @@ class LogTableSpec extends AnyFunSuite {
       .head().getString(0) == "delete")
     assert(ch.filter(col("k") === 800L).select("_change_type")
       .head().getString(0) == "update")
-    // the DSv2 connector refuses vectored tables loudly (it would serve
-    // dead rows); compact() purges the vectors and restores service
-    intercept[UnsupportedOperationException] {
-      spark.read.format("graft-log").load(t).collect()
-    }
+    // the DSv2 connector APPLIES the vectors: each partition carries its
+    // file's dead keys and the reader filters — including count(*),
+    // whose footer shortcut must disable on vectored files, and the
+    // stats-only aggregate pushdown, which must fall back to the scan
+    val viaConnector = spark.read.format("graft-log").load(t)
+    assert(viaConnector.count() == 3997,
+      "DSv2 count(*) served vector-dead rows")
+    assert(viaConnector.filter(col("k") === 400L).count() == 0)
+    assert(viaConnector.filter(col("k") === 399L)
+      .select("v").head().getString(0) == "base399")
+    val aggR = viaConnector.agg(count(lit(1)), min(col("k")), max(col("k"))).head()
+    assert(aggR.getLong(0) == 3997 && aggR.getLong(1) == 1L,
+      "aggregate pushdown answered from stats despite live vectors")
+    // time travel through the connector respects the vector fold too
+    assert(spark.read.format("graft-log").option("asOf", 1).load(t)
+      .count() == 4000)
     LogTable.compact(spark, t, "k", targetRows = 1000000L)
     val r3 = LogTable.read(spark, t)
     assert(r3.count() == 3997)

@@ -641,11 +641,10 @@ class LogConnectorSpec extends AnyFunSuite {
     spark.sql("INSERT INTO graftcat.etl.orders SELECT 7777, 'alt', 123")
     assert(spark.sql("SELECT extra FROM graftcat.etl.orders WHERE k = 7777")
       .head().getLong(0) == 123L)
-    // RENAME stays loudly unsupported (it needs the column mapping the
-    // format deliberately omits — a rename without it would orphan every
-    // existing file's data)
-    intercept[UnsupportedOperationException](
-      spark.sql("ALTER TABLE graftcat.etl.orders RENAME COLUMN extra TO extra2"))
+    // SQL RENAME COLUMN lands as a metadata-only column-mapping commit:
+    // zero files rewritten, old data serves under the new name, and the
+    // SQL scan reads through the mapping (the positive twin lives at the
+    // end of this test so the INSERT paths above run unmapped)
     // multi-column ADD COLUMNS is ONE schema-evolution commit, not N
     val vBeforeMulti = LogTable.version(s"$wh/etl/orders")
     spark.sql("ALTER TABLE graftcat.etl.orders ADD COLUMNS (m1 DOUBLE, m2 STRING)")
@@ -659,6 +658,20 @@ class LogConnectorSpec extends AnyFunSuite {
       .write.format("graft-log").mode("append").save(s"$wh/etl/orders")
     assert(spark.sql("SELECT score FROM graftcat.etl.orders WHERE k = 3000")
       .head().getLong(0) == 9L)
+    // SQL ALTER ... RENAME COLUMN: one metadata commit; data written
+    // under the old name serves under the new one, through plain SQL
+    val preRenameV = LogTable.version(s"$wh/etl/orders")
+    spark.sql("ALTER TABLE graftcat.etl.orders RENAME COLUMN extra TO extra2")
+    assert(LogTable.version(s"$wh/etl/orders") == preRenameV + 1,
+      "RENAME COLUMN must land as ONE metadata-only commit")
+    assert(spark.sql("SELECT extra2 FROM graftcat.etl.orders WHERE k = 7777")
+      .head().getLong(0) == 123L)
+    assert(!spark.sql("SELECT * FROM graftcat.etl.orders").schema
+      .fieldNames.contains("extra"))
+    // renames compose through SQL too (physical name stays the original)
+    spark.sql("ALTER TABLE graftcat.etl.orders RENAME COLUMN extra2 TO extra3")
+    assert(spark.sql("SELECT extra3 FROM graftcat.etl.orders WHERE k = 7777")
+      .head().getLong(0) == 123L)
     spark.sql("DROP TABLE graftcat.etl.big_orders")
     assert(!spark.sql("SHOW TABLES IN graftcat.etl").collect()
       .map(_.getString(1)).contains("big_orders"))

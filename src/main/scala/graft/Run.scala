@@ -89,14 +89,21 @@ object Run {
     if (raw.isEmpty) return (0L, None) // P11 empty-batch guard
     val (orders, items) = Normalize(raw)
     // per-batch product lookup, chunked like products.py:45 (the fixture
-    // client takes the whole id set; chunking semantics live in S4)
-    val pids = items.select("product_id").filter(col("product_id").isNotNull)
-      .distinct().collect().map(_.getLong(0)).sorted.toIndexedSeq
+    // client takes the whole id set; chunking semantics live in S4).
+    // The id harvests below are the ONE driver-side collect on the hot
+    // ETL path — a faithful mirror of the reference's per-batch REST
+    // fetch (run.py:33,38), bounded by batch size BY CONTRACT: the cap
+    // turns a misconfigured backfill (one giant window instead of the
+    // windowed walk) into a loud error instead of a driver OOM. The
+    // scale path is the DSv2 paged connector, which never collects.
+    val pids = collectIdsCapped(
+      items.select("product_id").filter(col("product_id").isNotNull).distinct(),
+      "product ids").sorted
     val products = WooFixtureApi.parse(spark, WooSchemas.rawProduct,
       WooFixtureApi.productJsonsByIds(spark, data, pids))
     val enriched = Enrich.itemsWithCategories(items, products)
 
-    val oids = orders.select("order_id").collect().map(_.getLong(0)).toIndexedSeq
+    val oids = collectIdsCapped(orders.select("order_id"), "order ids")
     val refunds = WooFixtureApi.parse(spark, WooSchemas.rawRefund,
       WooFixtureApi.refundJsonsForOrders(spark, data, oids))
     val (oFinal0, iFinal) = Enrich.applyRefunds(orders, enriched, refunds)
@@ -114,6 +121,24 @@ object Run {
         if (stats.isNullAt(1)) None
         else Some(stats.getTimestamp(1).toInstant))
     } finally oFinal.unpersist()
+  }
+
+  /** Driver-harvest budget for the per-batch id collects (env-tunable
+    * via graft.batch.maxIds). Typical nightly windows carry thousands of
+    * ids; a million-id harvest means the caller pointed a whole-history
+    * backfill at the per-batch path. */
+  private[graft] def BatchMaxIds: Int =
+    sys.props.get("graft.batch.maxIds").map(_.toInt).getOrElse(1000000)
+
+  private def collectIdsCapped(
+      df: org.apache.spark.sql.DataFrame, what: String): IndexedSeq[Long] = {
+    val rows = df.limit(BatchMaxIds + 1).collect()
+    if (rows.length > BatchMaxIds) throw new IllegalStateException(
+      s"processRawOrders: batch carries > $BatchMaxIds distinct $what — " +
+        "the per-batch driver-side API emulation cannot hold this window; " +
+        "run a windowed backfill (--backfill-start) or raise " +
+        "graft.batch.maxIds")
+    rows.map(_.getLong(0)).toIndexedSeq
   }
 
   private val IsoLocal = java.time.format.DateTimeFormatter

@@ -587,9 +587,17 @@ class LogTableSpec extends AnyFunSuite {
       adds <- Gen.listOf(entryGen)
       removes <- Gen.listOf(nameGen)
       schema <- Gen.oneOf(Gen.const(""), nameGen,
-        Gen.const("""{"type":"struct","fields":[{"name":"a\"b","type":"long","nullable":true,"metadata":{}}]}"""))
+        Gen.const("""{"type":"struct","fields":[{"name":"a\"b","type":"long","nullable":true,"metadata":{}}]}"""),
+        // a RENAME-mapped schema: the graft.physical metadata (and a
+        // field literally named dvs) must survive the escape-aware parse
+        Gen.const("""{"type":"struct","fields":[{"name":"dvs","type":"long","nullable":true,"metadata":{"graft.physical":"old_dvs"}}]}"""))
       ckpt <- Gen.oneOf(true, false)
-    } yield LogTable.Manifest(v, adds, removes, schema, ckpt)
+      // deletion vectors: file name → sorted key list (render sorts;
+      // generate sorted so equality is structural)
+      dvs <- Gen.mapOf(Gen.zip(nameGen,
+        Gen.listOf(Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2))
+          .map(ks => ks.distinct.sorted: Seq[Long])))
+    } yield LogTable.Manifest(v, adds, removes, schema, ckpt, dvs = dvs)
     samples(manifestGen, 300).foreach { m =>
       val back = LogTable.parse(LogTable.render(m))
       assert(back == m, s"round-trip drift:\n  in  $m\n  out $back\n  json ${LogTable.render(m)}")
@@ -1189,6 +1197,15 @@ class LogTableSpec extends AnyFunSuite {
     assert(LogTable.read(spark, dst).columns.toSeq == Seq("key_id", "v"))
     assert(LogTable.read(spark, dst).filter(col("key_id") === 200L)
       .select("v").head().getString(0) == "y")
+    // deletion vectors COMPOSE with the mapping: the vector keys off the
+    // renamed key column's PHYSICAL identity on both the engine and the
+    // connector read paths
+    LogTable.deleteKeysDV(spark, t, "key_id", Seq(7L))
+    assert(LogTable.read(spark, t).filter(col("key_id") === 7L).count() == 0)
+    assert(LogTable.read(spark, t).count() == 100)
+    assert(spark.read.format("graft-log").load(t).count() == 100)
+    assert(spark.read.format("graft-log").load(t)
+      .filter(col("key_id") === 7L).count() == 0)
     // loud edges: unknown source name, target collision, no-op rename
     intercept[IllegalArgumentException](
       LogTable.renameColumn(spark, t, "nope", "x"))

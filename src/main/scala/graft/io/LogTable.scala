@@ -1180,6 +1180,96 @@ object LogTable {
     attempt()
   }
 
+  /** MERGE-ON-READ multi-clause MERGE — the deletion-vector twin of
+    * [[merge]] (same clause semantics: `updateWhen` / `deleteWhen` SQL
+    * conditions over the matched pair with `_src_` source columns,
+    * `insertUnmatched` toggle; [[upsertDV]] is its update-all special
+    * case): the touched files are READ (conditions need the matched
+    * pair — no merge dialect avoids that scan) but never REWRITTEN —
+    * matched rows that update or delete become per-file dead keys in
+    * the manifest, updated images and unmatched inserts land as new
+    * appended files, and untouched rows stay in place. A 10-key
+    * conditional MERGE into 10 GB files commits the 10 keys and a tiny
+    * append (LogTableSpec pins the zero-rewrite file set and equality
+    * with the copy-on-write [[merge]]). Affected-key budget is
+    * [[DvMaxKeys]], loudly — bulk merges belong on [[merge]]. */
+  def mergeDV(
+      spark: SparkSession, table: String, source: DataFrame, keyCol: String,
+      updateWhen: Option[String] = Some("true"),
+      deleteWhen: Option[String] = None,
+      insertUnmatched: Boolean = true): Unit = {
+    requireKeyMatch(table, keyCol)
+    val src = source.localCheckpoint(false)
+    val srcCols = src.columns.toSeq
+    def attempt(): Unit = {
+      val bounds = src.agg(min(col(keyCol)), max(col(keyCol))).head()
+      if (bounds.isNullAt(0)) return
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val (snapVersion, snapshot, snapSchema) = snapshotWithSchema(table, None)
+      snapSchema.foreach { sc =>
+        require(srcCols.toSet == sc.fieldNames.toSet,
+          s"LogTable mergeDV: source columns ${srcCols.sorted.mkString(",")} " +
+            s"must equal table columns ${sc.fieldNames.sorted.mkString(",")} — align first")
+        requireCompatible(sc, src, "mergeDV")
+      }
+      val touched = snapshot.filter(f => f.minKey <= hi && f.maxKey >= lo)
+      val tgt =
+        if (touched.isEmpty)
+          snapSchema.map(sc => spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc))
+            .getOrElse(src.limit(0))
+        else readFiles2(spark, table, touched, snapSchema,
+          liveDvs(table, Some(snapVersion)))
+      val prefixed = srcCols.foldLeft(src)((d, c) => d.withColumnRenamed(c, s"_src_$c"))
+      val joined = tgt.withColumn("_tgt_hit", lit(1))
+        .join(prefixed.withColumn("_src_hit", lit(1)),
+          col(keyCol) === col(s"_src_$keyCol"), "full_outer")
+      val matched = col("_tgt_hit").isNotNull && col("_src_hit").isNotNull
+      // SQL WHEN semantics exactly as [[merge]]: NULL clause = not taken
+      val del = coalesce(
+        deleteWhen.map(e => matched && expr(e)).getOrElse(lit(false)), lit(false))
+      val upd = coalesce(
+        updateWhen.map(e => matched && expr(e)).getOrElse(lit(false)), lit(false))
+      // the DELTA, not the survivors: dead keys (matched rows that
+      // delete or update in place) + appended rows (updated images and
+      // unmatched inserts). Everything else never moves.
+      val dies = del || (!del && upd)
+      val deadRows = joined.filter(dies)
+        .select(col(keyCol)).distinct()
+        .limit(DvMaxKeys + 1).collect().map(_.getLong(0))
+      if (deadRows.length > DvMaxKeys) throw new IllegalArgumentException(
+        s"mergeDV($table): merge affects > $DvMaxKeys matched keys — " +
+          "deletion vectors are the small-delta path; use merge() " +
+          "(copy-on-write) for bulk changes, or raise graft.dv.maxKeys")
+      val appendSrc = joined
+        .filter((matched && !del && upd) ||
+          (col("_tgt_hit").isNull && lit(insertUnmatched)))
+        .select(srcCols.map(c => col(s"_src_$c").as(c)): _*)
+      if (deadRows.isEmpty && appendSrc.isEmpty) return
+      val dvAdds =
+        if (deadRows.isEmpty) Map.empty[String, Seq[Long]]
+        else {
+          val (dlo, dhi) = (deadRows.min, deadRows.max)
+          snapshot.iterator
+            .filter(f => f.minKey <= dhi && f.maxKey >= dlo)
+            .map(f => f.file -> deadRows.iterator
+              .filter(k => k >= f.minKey && k <= f.maxKey).toSeq)
+            .filter(_._2.nonEmpty)
+            .toMap
+        }
+      val adds = writeData(spark, table, appendSrc, keyCol)
+      commit(table, snapVersion, adds, removes = Seq.empty,
+        reRun = () => attempt(),
+        schema = snapSchema.map(_.json).getOrElse(src.schema.json),
+        keyRange = Some((lo, hi)), keyCol = keyCol, dvs = dvAdds,
+        // decisions were computed FROM the touched files without
+        // removing them — validate they (and their vector state) are
+        // unchanged at commit, or recompute
+        requireLive = touched.map(_.file))
+    }
+    attempt()
+  }
+
   /** MERGE-ON-READ key delete: mark `keys` dead everywhere their value
     * could live — zero reads, zero rewrites, one manifest commit (the
     * GDPR-erasure shape at interactive latency; the bytes linger until
@@ -2272,7 +2362,12 @@ object LogTable {
       // fields the commit drops. On any schema race it recomputes from
       // the new head instead (reRun re-narrows whatever the racer left).
       schemaNarrowing: Boolean = false,
-      dvs: Map[String, Seq[Long]] = Map.empty): Boolean = {
+      dvs: Map[String, Seq[Long]] = Map.empty,
+      // READ-SET validation for operations whose commit does not remove
+      // the files their decisions were computed from (mergeDV): a racer
+      // dropping or vector-deleting rows under any of these files
+      // invalidates the decisions — recompute instead of re-claiming.
+      requireLive: Seq[String] = Seq.empty): Boolean = {
     var expected = snapshotVersion
     var committedSchema = schema
     var tries = attempts
@@ -2316,11 +2411,11 @@ object LogTable {
               .exists(_.adds.exists(a => a.minKey <= hi && a.maxKey >= lo))
           }
           // a racer attached a DELETION VECTOR to a file we are about to
-          // remove: re-claiming would drop the racer's vector with the
-          // file while our rewrite (computed before the racer's delete)
-          // still carries the dead rows — a lost delete. Recompute.
-          val dvConflict = removes.nonEmpty && {
-            val ours = removes.toSet
+          // remove (re-claiming would drop the racer's vector with the
+          // file — a lost delete), or to a file in our validated READ
+          // SET (our decisions predate the racer's row kills): recompute.
+          val dvConflict = (removes.nonEmpty || requireLive.nonEmpty) && {
+            val ours = removes.toSet ++ requireLive
             manifests(table).filter(_.version > snapshotVersion)
               .exists(_.dvs.keys.exists(ours))
           }
@@ -2330,8 +2425,9 @@ object LogTable {
           // file — the racer's rewrite already dropped our keys' rows
           // or kept them per ITS snapshot, and our keyRange/addedConflict
           // rule catches the overlapping-range case above.
-          if (!removes.forall(liveFiles.map(_.file).toSet) || addedConflict ||
-              dvConflict) {
+          val liveNames = liveFiles.map(_.file).toSet
+          if (!removes.forall(liveNames) || !requireLive.forall(liveNames) ||
+              addedConflict || dvConflict) {
             // racer rewrote files we based our delta on, or landed rows
             // inside our key range — recompute
             reRun()

@@ -855,6 +855,47 @@ object EtlQueries {
              |ORDER BY order_id""".stripMargin),
     ),
 
+    // K24 — CONDITIONAL merge-on-read (the deletion-vector twin of k14's
+    // multi-clause MERGE, restricted to the ~1% key sample so the
+    // affected-key set honors the DV small-delta budget): matched rows
+    // whose source image is an 'F' order DELETE, other matches UPDATE,
+    // unmatched source rows INSERT — and NOT ONE target file rewrites
+    // (updates/deletes become per-file dead keys, new images append;
+    // LogTableSpec pins zero rewrites and equality with the copy-on-
+    // write merge). The oracle spells k14's three-way split over the
+    // sampled source.
+    QueryDef(
+      "k24_dv_conditional",
+      (s, d) => {
+        val t = kBaseCloneFor(s, d, "k24")
+        val incoming = Tables.orders(s, d)
+          .filter(col("o_orderkey") % 97 === 0)
+          .select(
+            col("o_orderkey").as("order_id"),
+            col("o_orderstatus").as("status"),
+            lit("resynced").as("src"))
+        graft.io.LogTable.mergeDV(s, t, incoming, "order_id",
+          updateWhen = Some("true"),
+          deleteWhen = Some("_src_status = 'F'"),
+          insertUnmatched = true)
+        graft.io.LogTable.read(s, t).orderBy("order_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT o_orderkey AS order_id, o_orderstatus AS status, 'base' AS src
+             |  FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
+             |), i AS (
+             |  SELECT o_orderkey AS order_id, o_orderstatus AS status, 'resynced' AS src
+             |  FROM orders WHERE o_orderkey % 97 = 0
+             |)
+             |SELECT * FROM (
+             |  SELECT e.* FROM e WHERE order_id NOT IN (SELECT order_id FROM i)
+             |  UNION ALL
+             |  SELECT i.* FROM i JOIN e USING (order_id) WHERE i.status <> 'F'
+             |  UNION ALL
+             |  SELECT i.* FROM i WHERE order_id NOT IN (SELECT order_id FROM e))
+             |ORDER BY order_id""".stripMargin),
+    ),
+
     // K4/K6 — column alignment / schema migration: missing columns appear
     // as typed NULLs in canonical order.
     QueryDef(

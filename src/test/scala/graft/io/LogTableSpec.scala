@@ -1284,6 +1284,57 @@ class LogTableSpec extends AnyFunSuite {
     }
   }
 
+  test("mergeDV: conditional merge-on-read equals copy-on-write merge, rewrites ZERO files, revalidates its read set") {
+    def mk(): String = {
+      val t = tmpTable()
+      LogTable.create(spark, t,
+        (1L to 2000L).map(i => (i, if (i % 3 == 0) "F" else "O", s"b$i"))
+          .toDF("k", "status", "v").repartitionByRange(4, col("k")), "k")
+      t
+    }
+    val srcDf = Seq((5L, "O", "u5"), (6L, "F", "u6"), (9L, "O", "u9"),
+      (3000L, "O", "i3000")).toDF("k", "status", "v")
+    val cow = mk()
+    LogTable.merge(spark, cow, srcDf, "k", updateWhen = Some("true"),
+      deleteWhen = Some("_src_status = 'F'"), insertUnmatched = true)
+    val mor = mk()
+    val before = LogTable.read(spark, mor).inputFiles.toSet
+    LogTable.mergeDV(spark, mor, srcDf, "k", updateWhen = Some("true"),
+      deleteWhen = Some("_src_status = 'F'"), insertUnmatched = true)
+    val after = LogTable.read(spark, mor).inputFiles.toSet
+    assert(before.subsetOf(after),
+      "conditional merge-on-read must not rewrite or drop existing files")
+    assert((after -- before).nonEmpty)
+    def rows3(t: String) = LogTable.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(rows3(mor) == rows3(cow),
+      "merge-on-read diverged from the copy-on-write merge semantics")
+    val r = LogTable.read(spark, mor)
+    assert(r.filter(col("k") === 6L).count() == 0)   // matched, src F → delete
+    assert(r.filter(col("k") === 5L).select("v").head().getString(0) == "u5")
+    assert(r.filter(col("k") === 3000L).count() == 1) // unmatched → insert
+    assert(r.count() == 2000) // 2000 - 1 delete + 1 insert
+    // read-set revalidation: a racer's metadata-only FULL-FILE drop of a
+    // touched file (no adds, no removes conflict) must force recompute —
+    // without requireLive the stale decisions would land and resurrect
+    // the racer-deleted rows via the appended updates
+    val t2 = mk()
+    LogTable.onCommitAttempt = () => {
+      LogTable.onCommitAttempt = () => ()
+      LogTable.deleteRange(spark, t2, "k", 1L, 500L) // whole first file drops
+    }
+    try LogTable.mergeDV(spark, t2,
+      Seq((5L, "O", "upd5"), (1500L, "O", "upd1500")).toDF("k", "status", "v"),
+      "k", updateWhen = Some("true"), deleteWhen = None, insertUnmatched = false)
+    finally LogTable.onCommitAttempt = () => ()
+    val r2 = LogTable.read(spark, t2)
+    // serial order (delete; merge): k=5 is gone and must NOT resurrect
+    // as an appended update; k=1500 (outside the racer's range) updates
+    assert(r2.filter(col("k") === 5L).count() == 0,
+      "stale mergeDV decisions resurrected a racer-deleted row")
+    assert(r2.filter(col("k") === 1500L).select("v").head().getString(0) == "upd1500")
+  }
+
   test("deletion vectors: clone and restore carry them; a vector racing a rewrite of its file is never lost") {
     val t = tmpTable()
     LogTable.create(spark, t,

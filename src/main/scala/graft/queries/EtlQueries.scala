@@ -795,8 +795,17 @@ object EtlQueries {
         val t = kBaseCloneFor(s, d, "k22")
         val v1 = graft.io.LogTable.version(t)
         graft.io.LogTable.renameColumn(s, t, "status", "state")
-        graft.io.LogTable.upsert(s, t,
-          kIncoming(s, d).withColumnRenamed("status", "state"), "order_id")
+        // the ~1% key sample (k23's bound): the row proves the MAPPING —
+        // post-rename writes land physically, reads project logically —
+        // which values establish at any volume; the bulk-upsert cost
+        // profile is k11's job
+        val incoming = Tables.orders(s, d)
+          .filter(col("o_orderkey") % 97 === 0)
+          .select(
+            col("o_orderkey").as("order_id"),
+            col("o_orderstatus").as("state"),
+            lit("resynced").as("src"))
+        graft.io.LogTable.upsert(s, t, incoming, "order_id")
         val head = graft.io.LogTable.read(s, t)
           .select(lit("head").as("snap"), col("order_id"), col("state"), col("src"))
         // the explicit old-name selection is the proof: v1 still resolves
@@ -811,7 +820,7 @@ object EtlQueries {
              |  FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
              |), i AS (
              |  SELECT o_orderkey AS order_id, o_orderstatus AS state, 'resynced' AS src
-             |  FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+             |  FROM orders WHERE o_orderkey % 97 = 0
              |)
              |SELECT 'head' AS snap, * FROM (
              |  SELECT * FROM e WHERE order_id NOT IN (SELECT order_id FROM i)

@@ -1206,6 +1206,17 @@ class LogTableSpec extends AnyFunSuite {
     assert(spark.read.format("graft-log").load(t).count() == 100)
     assert(spark.read.format("graft-log").load(t)
       .filter(col("key_id") === 7L).count() == 0)
+    // renaming BACK to the physical name DISSOLVES the mapping (the
+    // field's logical name equals its physical name again, so the
+    // metadata becomes inert): the table returns to the unmapped fast
+    // path and the mapped-table write restrictions lift with it
+    LogTable.renameColumn(spark, t, "key_id", "k")
+    assert(LogTable.read(spark, t).columns.toSeq == Seq("k", "v"))
+    assert(LogTable.mappingOf(
+      LogTable.snapshotWithSchema(t, None)._3).isEmpty,
+      "rename back to the physical name must dissolve the mapping")
+    assert(LogTable.tableKeyCol(t).contains("k"))
+    LogTable.renameColumn(spark, t, "k", "key_id") // restore for the rest
     // loud edges: unknown source name, target collision, no-op rename
     intercept[IllegalArgumentException](
       LogTable.renameColumn(spark, t, "nope", "x"))

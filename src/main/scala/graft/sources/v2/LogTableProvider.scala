@@ -1080,32 +1080,67 @@ class LogTableScanBuilder(
         }
       }
       val ms = all.filterNot(_.checkpoint)
-      // DELETION-VECTOR commits change rows without adding/removing the
-      // files that hold them — the file-granular retraction feed cannot
-      // represent that delta. Loud, like the truncation guard: compact()
-      // purges the vectors and the feed resumes from there.
-      ms.filter(_.dvs.nonEmpty) match {
-        case bad if bad.nonEmpty => throw new IllegalStateException(
-          s"graft-log change feed on $path: version(s) " +
-            s"${bad.map(_.version).mkString(",")} carry deletion vectors, " +
-            "which the file-granular retraction feed cannot represent — " +
-            "use LogTable.changes for keyed CDC over this window, or " +
-            "compact() and re-base the feed")
-        case _ => ()
+      // DELETION VECTORS are part of the feed, exactly: the walk below
+      // threads the ACCUMULATED per-file vector state through the window
+      // (seeded from the log BELOW fromV — a vector committed before the
+      // window makes its rows dead for every image the window emits), so
+      //   - a REMOVED file retracts only its rows live at removal (not
+      //     rows an earlier vector already retracted — the spurious
+      //     double-delete a state-blind walk emits);
+      //   - an ADDED file inserts only its live rows (a restore re-adds
+      //     files together with their vectors in one manifest — those
+      //     dead rows were never inserted and must not be now);
+      //   - a vector commit emits its NET-NEW dead rows as delete images
+      //     (read from the vectored file in INVERSE mode), net of keys
+      //     already dead there — re-marking an already-dead key (a
+      //     second upsertDV of the same key covers every file in range)
+      //     emits nothing from files where the first kill stands.
+      // Multiset apply stays exact: per key and version, delete images
+      // precede insert images under the documented
+      // (_commit_version, _change_type) ordering.
+      val dvState = scala.collection.mutable.Map
+        .empty[String, scala.collection.mutable.LinkedHashSet[Long]]
+      LogTable.liveDvs(path, Some(fromV)).foreach { case (f, ks) =>
+        dvState(f) = scala.collection.mutable.LinkedHashSet(ks: _*)
       }
       val parts = ms.flatMap { m =>
         // fileColIsMeta rides through exactly as in batch/stream scans: a
         // feed read that projects the _file metadata column must serve
         // the file name, not NULLs (a hardcoded false here did the latter).
-        val dels = m.removes.map(f => LogFilePartition(
-          LogTable.dataDir(path).resolve(f).toString, requiredPhysJson,
-          fileColIsMeta,
-          changeType = Some("delete"), commitVersion = Some(m.version)))
-        val adds = m.adds.filter(fileAdmitted).map(f => LogFilePartition(
-          LogTable.dataDir(path).resolve(f.file).toString, requiredPhysJson,
-          fileColIsMeta,
-          changeType = Some("insert"), commitVersion = Some(m.version)))
-        dels ++ adds
+        val dels = m.removes.map { f =>
+          val deadBefore = dvState.remove(f).fold(Seq.empty[Long])(_.toSeq)
+          LogFilePartition(
+            LogTable.dataDir(path).resolve(f).toString, requiredPhysJson,
+            fileColIsMeta,
+            changeType = Some("delete"), commitVersion = Some(m.version),
+            dvKeyCol = if (deadBefore.isEmpty) "" else dvPhysKey,
+            dvKeys = deadBefore)
+        }
+        val addedNow = m.adds.map(_.file).toSet
+        // vector DELTAS first (state update rides the map): net-new dead
+        // keys per still-live, not-added-now file become delete images
+        val dvDels = m.dvs.toSeq.flatMap { case (f, ks) =>
+          val acc = dvState.getOrElseUpdate(f,
+            scala.collection.mutable.LinkedHashSet.empty)
+          val netNew = ks.filterNot(acc)
+          acc ++= ks
+          if (netNew.isEmpty || addedNow.contains(f)) None
+          else Some(LogFilePartition(
+            LogTable.dataDir(path).resolve(f).toString, requiredPhysJson,
+            fileColIsMeta,
+            changeType = Some("delete"), commitVersion = Some(m.version),
+            dvKeyCol = dvPhysKey, dvKeys = netNew, dvInverse = true))
+        }
+        val adds = m.adds.filter(fileAdmitted).map { f =>
+          val deadNow = dvState.get(f.file).fold(Seq.empty[Long])(_.toSeq)
+          LogFilePartition(
+            LogTable.dataDir(path).resolve(f.file).toString, requiredPhysJson,
+            fileColIsMeta,
+            changeType = Some("insert"), commitVersion = Some(m.version),
+            dvKeyCol = if (deadNow.isEmpty) "" else dvPhysKey,
+            dvKeys = deadNow)
+        }
+        dels ++ dvDels ++ adds
       }
       LogTableScan.lastTotalFiles.set(ms.map(m => m.adds.size + m.removes.size).sum)
       LogTableScan.lastPlannedFiles.set(parts.size)
@@ -1249,9 +1284,12 @@ case class LogFilePartition(
     // deletion vector: rows of THIS file whose key (physical column
     // `dvKeyCol`) is in `dvKeys` are dead — the reader filters them.
     // Bounded (LogTable.DvMaxKeys per commit), so the per-task set is
-    // kilobytes however large the table
+    // kilobytes however large the table. `dvInverse` flips the filter:
+    // emit ONLY the dead rows (the change feed's delete-image read for
+    // a vector commit)
     dvKeyCol: String = "",
-    dvKeys: Seq[Long] = Seq.empty) extends InputPartition
+    dvKeys: Seq[Long] = Seq.empty,
+    dvInverse: Boolean = false) extends InputPartition
 
 /** Single pre-computed row for a completely-pushed aggregation — the
   * manifest stats ARE the result; no file task ever runs. Values are
@@ -1448,17 +1486,20 @@ class LogFileReader(part: LogFilePartition) extends PartitionReader[InternalRow]
       else cdfValueOf(f.name).orNull))
 
   // a NULL key can never be vector-dead (DV keys are values); rows with
-  // a present key die iff the set holds it
-  private def dvKill(g: Group): Boolean =
-    g.getFieldRepetitionCount(part.dvKeyCol) > 0 &&
+  // a present key are in the dead set iff it holds their key. Inverse
+  // mode (change-feed delete images) keeps ONLY the dead rows.
+  private def dvKeep(g: Group): Boolean = {
+    val inSet = g.getFieldRepetitionCount(part.dvKeyCol) > 0 &&
       dvDead.contains(dvKeyGet(g))
+    if (part.dvInverse) inSet else !inSet
+  }
 
   override def next(): Boolean =
     if (reader == null) { emitted += 1; emitted <= fileRows }
     else if (!dvActive) { current = reader.read(); current != null }
     else {
       var g = reader.read()
-      while (g != null && dvKill(g)) g = reader.read()
+      while (g != null && !dvKeep(g)) g = reader.read()
       current = g
       current != null
     }

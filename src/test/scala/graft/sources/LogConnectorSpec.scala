@@ -342,6 +342,63 @@ class LogConnectorSpec extends AnyFunSuite {
       .exists(x => Option(x.getMessage).exists(_.contains("conflict"))), e.toString)
   }
 
+  test("change feed serves deletion-vector commits exactly: net-new delete images, no stale or spurious retractions") {
+    val t = tmpTable()
+    LogTable.create(spark, t,
+      (1L to 100L).map(i => (i, s"b$i")).toDF("k", "v")
+        .repartitionByRange(2, col("k")), "k")                            // v1
+    LogTable.upsertDV(spark, t,
+      Seq((5L, "u5"), (200L, "i200")).toDF("k", "v"), "k")                // v2
+    LogTable.deleteKeysDV(spark, t, "k", Seq(7L))                         // v3
+    LogTable.upsertDV(spark, t, Seq((5L, "u5b")).toDF("k", "v"), "k")     // v4
+    def feed(opts: (String, String)*) = {
+      val r = opts.foldLeft(spark.read.format("graft-log")
+        .option("readChangeFeed", "true"))((b, kv) => b.option(kv._1, kv._2))
+      r.load(t).collect()
+        .map(x => (x.getLong(0), x.getString(1), x.getString(2), x.getLong(3))).toSeq
+    }
+    val rows = feed()
+    // multiset apply of the whole feed equals the head snapshot exactly
+    def netOf(rs: Seq[(Long, String, String, Long)]) =
+      rs.groupBy(r => (r._1, r._2)).view.mapValues(g =>
+        g.count(_._3 == "insert") - g.count(_._3 == "delete"))
+        .toMap.filter(_._2 != 0)
+    def headCounts() = LogTable.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(netOf(rows) == headCounts(), "DV feed apply diverged from head")
+    // v2 (merge-on-read upsert): exactly one delete image — the replaced
+    // base row — plus the appended file's inserts
+    val v2 = rows.filter(_._4 == 2L)
+    assert(v2.filter(_._3 == "delete").map(r => (r._1, r._2)).toSet ==
+      Set((5L, "b5")))
+    assert(v2.filter(_._3 == "insert").map(r => (r._1, r._2)).toSet ==
+      Set((5L, "u5"), (200L, "i200")))
+    // v3 (pure metadata key delete): the killed image, nothing else
+    assert(rows.filter(_._4 == 3L).map(r => (r._1, r._2, r._3)).toSet ==
+      Set((7L, "b7", "delete")))
+    // v4 re-kills key 5 — dead in the BASE file since v2, live in v2's
+    // appended file: the feed must emit the CURRENT image (u5) exactly
+    // once, never the stale b5
+    val v4 = rows.filter(_._4 == 4L)
+    assert(v4.filter(_._3 == "delete").map(r => (r._1, r._2)).toSet ==
+      Set((5L, "u5")), s"v4 delete images: $v4")
+    assert(v4.filter(_._3 == "insert").map(r => (r._1, r._2)).toSet ==
+      Set((5L, "u5b")))
+    // a REWRITE of vectored files (compact = the DV vacuum) retracts
+    // only rows LIVE at removal: no spurious retraction of already-dead
+    // rows, no stale images — and the feed still applies to the head
+    LogTable.compact(spark, t, "k", targetRows = 1000000L)               // v5
+    val afterCompact = feed("startingVersion" -> "4")
+    val v5dels = afterCompact.filter(r => r._3 == "delete" && r._4 == 5L)
+    assert(!v5dels.exists(_._1 == 7L),
+      "compact retracted a row a vector had already retracted")
+    assert(!v5dels.exists(r => r._1 == 5L && r._2 != "u5b"),
+      s"compact retracted a stale image of key 5: $v5dels")
+    assert(netOf(feed()) == headCounts(),
+      "post-compact DV feed apply diverged from head")
+  }
+
   test("change feed below a truncation checkpoint fails loudly, never serves a partial feed") {
     val t = tmpTable()
     LogTable.create(spark, t, Seq((1L, "a")).toDF("k", "v"), "k")

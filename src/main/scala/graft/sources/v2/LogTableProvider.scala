@@ -287,6 +287,41 @@ class LogTableTable(
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     if (asOf.isDefined) throw new UnsupportedOperationException(
       "graft-log: cannot delete from an asOf snapshot — history is immutable")
+    // DELETION-VECTOR fast path (the Delta DV-backed DELETE): a pure
+    // key-list predicate — `k IN (...)` / `k = v` on the table's key
+    // column, plus the IsNotNull(k) conjunct Spark adds — within the
+    // small-delta budget commits dead keys instead of rewriting files:
+    // zero reads, zero rewrites, identical semantics (NULL keys never
+    // match a key list, and deleteKeysDV never kills them; readers —
+    // engine and connector — apply the vector everywhere). Anything
+    // else stays on the exact stats-pruned rewrite.
+    LogTable.tableKeyCol(path).foreach { key =>
+      def keyVals(f: org.apache.spark.sql.sources.Filter): Option[Seq[Long]] = f match {
+        case org.apache.spark.sql.sources.EqualTo(c, v) if c == key =>
+          LogTableTable.integralLong(v).map(Seq(_))
+        case org.apache.spark.sql.sources.In(c, vs) if c == key && vs.nonEmpty =>
+          val ls = vs.toSeq.map(LogTableTable.integralLong)
+          if (ls.forall(_.isDefined)) Some(ls.flatten) else None
+        case _ => None
+      }
+      var pure = true
+      var lists = List.empty[Seq[Long]]
+      filters.foreach {
+        case org.apache.spark.sql.sources.IsNotNull(c) if c == key => ()
+        case f => keyVals(f) match {
+          case Some(ks) => lists ::= ks
+          case None => pure = false
+        }
+      }
+      if (pure && lists.nonEmpty) {
+        val keys = lists.map(_.toSet).reduce(_ intersect _).toSeq
+        if (keys.size <= LogTable.DvMaxKeys) {
+          if (keys.nonEmpty)
+            LogTable.deleteKeysDV(SparkSession.active, path, key, keys)
+          return
+        }
+      }
+    }
     val pred = filters.toSeq
       .map(f => LogTableTable.filterToColumn(f).getOrElse(
         throw new UnsupportedOperationException(
@@ -492,6 +527,16 @@ object LogTableTable {
   /** V1 Filter → row-level Column, for exact DELETE execution. None on
     * shapes outside the flat warehouse surface (the caller then rejects
     * the whole delete — exactness over partiality). */
+  /** Integral filter value → Long, for the key-list DV delete fast
+    * path (key columns are integral by the table contract). */
+  private[v2] def integralLong(v: Any): Option[Long] = v match {
+    case l: java.lang.Long => Some(l)
+    case i: java.lang.Integer => Some(i.toLong)
+    case s: java.lang.Short => Some(s.toLong)
+    case b: java.lang.Byte => Some(b.toLong)
+    case _ => None
+  }
+
   private[v2] def filterToColumn(f: Filter): Option[org.apache.spark.sql.Column] = {
     import org.apache.spark.sql.functions.{col, lit}
     f match {

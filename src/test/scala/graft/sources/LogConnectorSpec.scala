@@ -885,11 +885,22 @@ class LogConnectorSpec extends AnyFunSuite {
       "SELECT count(*) FROM graftdel.etl.t WHERE k BETWEEN 1200 AND 1299")
       .head().getLong(0) == 0L)
     // IN-list delete (the reference's delete-then-insert shape, load.py)
+    // takes the DELETION-VECTOR fast path: zero reads, ZERO rewrites —
+    // a metadata commit — yet every read path serves the delete
+    val filesPreIn = LogTable.read(spark, t).inputFiles.toSet
     spark.sql("DELETE FROM graftdel.etl.t WHERE k IN (5, 2005)")
+    assert(LogTable.read(spark, t).inputFiles.toSet == filesPreIn,
+      "a small key-list DELETE must be a deletion-vector commit, not a rewrite")
     assert(spark.sql("SELECT count(*) FROM graftdel.etl.t").head().getLong(0) == 3898L)
-    // string predicate delete translates too
+    assert(spark.sql("SELECT count(*) FROM graftdel.etl.t WHERE k = 5")
+      .head().getLong(0) == 0L)
+    // string predicate delete translates too (copy-on-write path; it
+    // must compose with the vector the IN-delete just committed)
     spark.sql("DELETE FROM graftdel.etl.t WHERE v = 'v3999'")
     assert(spark.sql("SELECT count(*) FROM graftdel.etl.t").head().getLong(0) == 3897L)
+    assert(spark.sql("SELECT count(*) FROM graftdel.etl.t WHERE k = 2005")
+      .head().getLong(0) == 0L,
+      "the copy-on-write rewrite resurrected a vector-deleted row")
     // TRUNCATE drops every row, keeps table + schema + key property
     spark.sql("TRUNCATE TABLE graftdel.etl.t")
     assert(spark.sql("SELECT count(*) FROM graftdel.etl.t").head().getLong(0) == 0L)

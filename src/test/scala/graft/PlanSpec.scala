@@ -318,4 +318,19 @@ class PlanSpec extends AnyFunSuite {
     val exchangeLines = plan.linesIterator.filter(_.contains("Exchange")).mkString("\n")
     assert(!exchangeLines.contains("text"), s"document text crosses the wire:\n$exchangeLines")
   }
+
+  test("n-gram NLL exchanges carry 60-bit hashes, never term strings (X41/X45)") {
+    // the r14→r15 fix: the vocab group/join keys hashed to longs (the
+    // x44 discipline) — a regression back to string `term` keys would
+    // show as the term/text columns riding an Exchange
+    for (q <- Seq("x41_unigram_nll", "x45_bigram_nll")) {
+      graft.io.ArtifactCache.clear()
+      val plan = planOf(SparkEntry.queries(q)(spark, sf))
+      val exchangeLines = plan.linesIterator
+        .filter(_.contains("Exchange")).mkString("\n")
+      assert(!exchangeLines.contains("term") && !exchangeLines.contains("text"),
+        s"$q shuffles n-gram strings again:\n$exchangeLines")
+      graft.io.ArtifactCache.clear()
+    }
+  }
 }

@@ -408,6 +408,27 @@ object LogTable {
   private[graft] def DvMaxKeys: Int =
     sys.props.get("graft.dv.maxKeys").map(_.toInt).getOrElse(10000)
 
+  /** ACCUMULATION guard for the DV write verbs: the per-commit budget
+    * bounds each delta, but a long run of merge-on-read commits against
+    * the same file accumulates vectors without bound — every read then
+    * drags the whole fold, the published formats' known DV failure mode,
+    * with compaction as the documented answer. Refuse LOUDLY past 4× the
+    * per-commit budget per file instead of degrading silently. */
+  private def requireDvBudget(
+      table: String, snapVersion: Long, dvAdds: Map[String, Seq[Long]],
+      op: String): Unit = {
+    if (dvAdds.isEmpty) return
+    val acc = liveDvs(table, Some(snapVersion))
+    val cap = DvMaxKeys * 4L
+    dvAdds.foreach { case (f, ks) =>
+      val total = acc.get(f).map(_.size.toLong).getOrElse(0L) + ks.size
+      if (total > cap) throw new IllegalStateException(
+        s"$op($table): file $f would accumulate $total dead keys " +
+          s"(> $cap = 4x the per-commit budget) — compact() the table to " +
+          "purge its vectors before more merge-on-read commits")
+    }
+  }
+
   /** Current committed version, 0 for an empty/absent table. */
   def version(table: String): Long =
     manifests(table).lastOption.map(_.version).getOrElse(0L)
@@ -1171,6 +1192,7 @@ object LogTable {
           .filter(k => k >= f.minKey && k <= f.maxKey).toSeq)
         .filter(_._2.nonEmpty)
         .toMap
+      requireDvBudget(table, snapVersion, dvAdds, "upsertDV")
       val adds = writeData(spark, table, inc, keyCol)
       commit(table, snapVersion, adds, removes = Seq.empty,
         reRun = () => attempt(),
@@ -1257,6 +1279,7 @@ object LogTable {
             .filter(_._2.nonEmpty)
             .toMap
         }
+      requireDvBudget(table, snapVersion, dvAdds, "mergeDV")
       val adds = writeData(spark, table, appendSrc, keyCol)
       commit(table, snapVersion, adds, removes = Seq.empty,
         reRun = () => attempt(),
@@ -1294,6 +1317,7 @@ object LogTable {
         .filter(_._2.nonEmpty)
         .toMap
       if (dvAdds.isEmpty) return // no file could hold any key: no-op
+      requireDvBudget(table, snapVersion, dvAdds, "deleteKeysDV")
       commit(table, snapVersion, adds = Seq.empty, removes = Seq.empty,
         reRun = () => attempt(),
         keyRange = Some((lo, hi)), keyCol = tableKeyCol(table).getOrElse(""),

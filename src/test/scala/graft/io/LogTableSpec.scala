@@ -1293,6 +1293,30 @@ class LogTableSpec extends AnyFunSuite {
       LogTable.deleteKeysDV(spark, t, "k",
         (1L to (LogTable.DvMaxKeys + 1).toLong).toSeq)
     }
+    // the ACCUMULATION budget too: per-commit-legal vectors that pile
+    // past 4x the budget on one file refuse with the compact() hint
+    val tAcc = tmpTable()
+    LogTable.create(spark, tAcc,
+      (1L to 50000L).map(i => (i, s"b$i")).toDF("k", "v"), "k")
+    val oldCap = sys.props.get("graft.dv.maxKeys")
+    sys.props("graft.dv.maxKeys") = "100"
+    try {
+      for (b <- 0 until 4)
+        LogTable.deleteKeysDV(spark, tAcc, "k",
+          (b * 100L + 1L to b * 100L + 100L).toSeq)
+      // the 5th key lands in the SAME file that already accumulated 4x
+      // the per-commit budget
+      val e = intercept[IllegalStateException] {
+        LogTable.deleteKeysDV(spark, tAcc, "k", Seq(401L))
+      }
+      assert(e.getMessage.contains("compact"), e.getMessage)
+      LogTable.compact(spark, tAcc, "k", targetRows = 1000000L)
+      LogTable.deleteKeysDV(spark, tAcc, "k", Seq(401L)) // budget restored
+      assert(LogTable.read(spark, tAcc).count() == 50000L - 401L)
+    } finally oldCap match {
+      case Some(v) => sys.props("graft.dv.maxKeys") = v
+      case None => sys.props.remove("graft.dv.maxKeys")
+    }
   }
 
   test("mergeDV: conditional merge-on-read equals copy-on-write merge, rewrites ZERO files, revalidates its read set") {

@@ -550,12 +550,22 @@ object LogTable {
       val keyHere = schema
         .flatMap(_.fields.find(f => physicalName(f) == physKey)).map(_.name)
         .getOrElse(physKey)
+      // helper-column names must not SHADOW data columns (withColumn
+      // replaces same-named columns and the trailing drop would then
+      // delete user data) — suffix until fresh
+      val taken = base.columns.toSet
+      def fresh(n: String): String = {
+        var c = n
+        while (taken.contains(c)) c += "_"
+        c
+      }
+      val fCol = fresh("_dv_file")
+      val kCol = fresh("_dv_key")
       base
-        .withColumn("_dv_file", element_at(split(input_file_name(), "/"), -1))
-        .withColumn("_dv_key", col(keyHere))
-        .join(broadcast(dead.toDF("_dv_file", "_dv_key")),
-          Seq("_dv_file", "_dv_key"), "left_anti")
-        .drop("_dv_file", "_dv_key")
+        .withColumn(fCol, element_at(split(input_file_name(), "/"), -1))
+        .withColumn(kCol, col(keyHere))
+        .join(broadcast(dead.toDF(fCol, kCol)), Seq(fCol, kCol), "left_anti")
+        .drop(fCol, kCol)
     }
   }
 

@@ -1370,6 +1370,20 @@ class LogTableSpec extends AnyFunSuite {
     assert(r2.filter(col("k") === 1500L).select("v").head().getString(0) == "upd1500")
   }
 
+  test("deletion vectors on a table whose columns shadow the reader's helper names") {
+    // the anti-join's helper columns must not replace-and-drop user data
+    val t = tmpTable()
+    LogTable.create(spark, t,
+      (1L to 50L).map(i => (i, s"f$i", s"k$i")).toDF("k", "_dv_file", "_dv_key"), "k")
+    LogTable.deleteKeysDV(spark, t, "k", Seq(7L))
+    val r = LogTable.read(spark, t)
+    assert(r.columns.toSeq == Seq("k", "_dv_file", "_dv_key"))
+    assert(r.count() == 49)
+    assert(r.filter(col("k") === 7L).count() == 0)
+    assert(r.filter(col("k") === 8L).select("_dv_file").head().getString(0) == "f8")
+    assert(r.filter(col("k") === 8L).select("_dv_key").head().getString(0) == "k8")
+  }
+
   test("deletion vectors: clone and restore carry them; a vector racing a rewrite of its file is never lost") {
     val t = tmpTable()
     LogTable.create(spark, t,

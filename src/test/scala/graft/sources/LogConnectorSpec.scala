@@ -532,6 +532,19 @@ class LogConnectorSpec extends AnyFunSuite {
       assert(got2.exists(r => r._3 == "delete" && r._2 == "a"),
         s"the deleteRange's retraction image is missing: $got2")
     } finally q2.stop()
+    // DELETION-VECTOR commits stream through the same planner: a
+    // merge-on-read upsert's micro-batch carries the net-new delete
+    // image + the appended insert, exactly once from the checkpoint
+    LogTable.upsertDV(spark, t, Seq((2L, "b3")).toDF("k", "v"), "k")
+    received.clear()
+    val q3 = startQuery()
+    try {
+      q3.processAllAvailable()
+      val got3 = received.iterator().asScala.toSeq
+      assert(got3.map(r => (r._1, r._2, r._3)).toSet ==
+        Set((2L, "b2", "delete"), (2L, "b3", "insert")),
+        s"DV commit streamed wrong images: $got3")
+    } finally q3.stop()
   }
 
   test("DSv2 write path: df.write appends through the log commit; key column rides as a table property") {

@@ -227,7 +227,7 @@ object Bench {
     // are NOT in the set: their table builds moved to untimed setup, so
     // their timed bodies are plain pruned reads — comparable.)
     val storageOps = Set("k11", "k12", "k13", "k14", "k17", "k18", "k19", "k20",
-      "k22", "k23", "k24")
+      "k22", "k23", "k24", "k25")
     val storageSec = results.collect {
       case (k, v) if k.length > 2 && storageOps(k.take(3)) => v
     }.sum

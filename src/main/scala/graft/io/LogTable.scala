@@ -438,6 +438,26 @@ object LogTable {
   def tableKeyCol(table: String): Option[String] =
     manifests(table).reverse.iterator.map(_.keyCol).find(_.nonEmpty)
 
+  /** True iff the snapshot at `asOf` (head when None) PROVES the key
+    * column holds no NULL: every live file's manifest stats carry a
+    * zero null-count for the key's PHYSICAL name. This is what lets the
+    * connector declare the key non-nullable — the precondition for the
+    * SQL merge-on-read path, whose delta rowId must be non-null
+    * (Spark's RewriteRowLevelCommand rejects nullable row IDs; Iceberg
+    * solves the same constraint by requiring identifier fields).
+    * Registration enforces zero null keys going forward
+    * ([[registerStaged]]), so the proof is stable once it holds; a
+    * pre-stats file or a reserved-name key (whose stats the manifest
+    * cannot carry) is conservatively unprovable — compact() rewrites
+    * with stats and restores the proof. */
+  private[graft] def keyProvablyNotNull(
+      table: String, asOf: Option[Long]): Boolean =
+    tableKeyCol(table).exists { k =>
+      val (_, files, schema) = snapshotWithSchema(table, asOf)
+      val phys = mappingOf(schema).getOrElse(k, k)
+      files.forall(_.colsN.get(phys).contains(0L))
+    }
+
   /** Key-contract guard: an operation keyed differently than the table
     * would commit minKey/maxKey stats describing the WRONG column — every
     * later pruning decision would silently skip live rows. Loud, not
@@ -1749,6 +1769,94 @@ object LogTable {
       }
     }
 
+  /** The MERGE-ON-READ twin of [[replaceStaged]], behind the SQL delta
+    * write ([[graft.sources.v2.LogDeltaBatchWrite]]): instead of
+    * swapping scanned files for rewritten ones, it attaches the
+    * statement's dead keys as per-file deletion vectors and registers
+    * only the delta's appended parts (update images + inserts) — one
+    * manifest commit, ZERO data files rewritten. `deadByFile` carries
+    * keys the tasks placed precisely via the scan's `_file` metadata;
+    * `looseKeys` (a data column shadowed `_file`) place by key range
+    * against the pinned snapshot — [[deleteKeysDV]]'s wider-but-correct
+    * semantics. Budgeted like every vector commit ([[DvMaxKeys]] +
+    * the per-file accumulation cap); read-set validated like
+    * [[mergeDV]]: the commit requires every vectored file still live,
+    * and a racer's conflicting vector or overlapping append forces a
+    * loud re-run instead of a silent lost update. */
+  private[graft] def commitDeltaStaged(
+      spark: SparkSession, table: String, snapVersion: Long,
+      snapshot: Seq[FileEntry], staging: Path, onlyFiles: Set[String],
+      schema: org.apache.spark.sql.types.StructType, keyCol: String,
+      deadByFile: Map[String, Seq[Long]], looseKeys: Seq[Long]): Unit =
+    try {
+      mappingOf(snapshotWithSchema(table, None)._3).headOption.foreach {
+        case (lg, ph) => throw new UnsupportedOperationException(
+          s"graft-log merge-on-read write on $table: the table has renamed " +
+            s"columns (e.g. '$lg' is physically '$ph') and task-staged " +
+            "parts carry logical names — use graft.io.LogTable.mergeDV/" +
+            "deleteKeysDV, which operate under the physical mapping")
+      }
+      val loosePlaced: Map[String, Seq[Long]] =
+        if (looseKeys.isEmpty) Map.empty
+        else {
+          val ks = looseKeys.distinct
+          val (lo, hi) = (ks.min, ks.max)
+          snapshot.iterator
+            .filter(f => f.minKey <= hi && f.maxKey >= lo)
+            .map(f => f.file -> ks.filter(k => k >= f.minKey && k <= f.maxKey))
+            .filter(_._2.nonEmpty).toMap
+        }
+      val dvAdds = (deadByFile.keySet ++ loosePlaced.keySet).iterator.map { f =>
+        f -> (deadByFile.getOrElse(f, Seq.empty) ++
+          loosePlaced.getOrElse(f, Seq.empty)).distinct
+      }.toMap
+      val distinctDead = dvAdds.valuesIterator.flatten.toSet
+      if (distinctDead.size > DvMaxKeys) throw new IllegalArgumentException(
+        s"graft-log merge-on-read on $table: statement matched " +
+          s"${distinctDead.size} keys > $DvMaxKeys — deletion vectors are " +
+          "the small-delta path; SET spark.graft.rowLevel.mode=" +
+          "copy-on-write for bulk changes (or raise graft.dv.maxKeys)")
+      // vectors may only attach to files of the PINNED snapshot (the
+      // scan served them); anything else means the statement read a
+      // version this commit does not describe
+      val liveAt = snapshot.iterator.map(_.file).toSet
+      dvAdds.keys.find(!liveAt(_)).foreach { f =>
+        throw new IllegalStateException(
+          s"graft-log merge-on-read on $table: dead keys target $f, which " +
+            s"is not in the statement's pinned snapshot v$snapVersion")
+      }
+      requireDvBudget(table, snapVersion, dvAdds, "merge-on-read statement")
+      val adds = registerStaged(spark, table, staging, schema, keyCol,
+        Some(onlyFiles))
+      if (adds.isEmpty && dvAdds.isEmpty) return
+      // racer detection window: the span of every key this statement
+      // kills or appends — an overlapping concurrent add invalidates
+      // the matched-row decisions, same contract as mergeDV
+      val touched = distinctDead.iterator ++
+        adds.iterator.flatMap(a => Iterator(a.minKey, a.maxKey))
+      val keyRange =
+        if (distinctDead.isEmpty && adds.isEmpty) None
+        else Some(touched.foldLeft((Long.MaxValue, Long.MinValue)) {
+          case ((lo, hi), k) => (math.min(lo, k), math.max(hi, k))
+        })
+      commit(table, snapVersion, adds, removes = Seq.empty,
+        reRun = () => throw new java.util.ConcurrentModificationException(
+          s"merge-on-read statement on $table: a concurrent writer changed " +
+            "a scanned file or landed rows in the statement's key range — " +
+            "re-run the statement against the new snapshot"),
+        schema = org.apache.spark.sql.types.StructType(
+          schema.fields.map(_.copy(nullable = true))).json,
+        keyRange = keyRange, keyCol = keyCol, dvs = dvAdds,
+        requireLive = dvAdds.keys.toSeq)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      if (Files.isDirectory(staging)) {
+        val it = Files.list(staging)
+        try it.iterator().asScala.foreach(Files.deleteIfExists) finally it.close()
+        Files.deleteIfExists(staging)
+      }
+    }
+
   /** A fresh row-level staging dir under the table's data root (same
     * filesystem as the final location — the per-file move in
     * [[registerStaged]] stays atomic). */
@@ -2215,6 +2323,23 @@ object LogTable {
           val (kLo, kHi) = stats.getOrElse(keyCol, throw new IllegalStateException(
             s"LogTable: key column $keyCol has no footer stats in $p — " +
               "keys must be non-NULL integral"))
+          // The identifier-field rule (Iceberg's: identifier fields are
+          // required): a keyed table's key is NOT NULL. A NULL key can
+          // never be upsert-replaced, key-deleted, or merge-on-read
+          // targeted — it would sit in the table as an unreachable row —
+          // and [[keyProvablyNotNull]] (which arms the SQL delta write's
+          // non-nullable rowId) relies on every registration enforcing
+          // this. Decided from the footer pass already in hand; a footer
+          // that cannot PROVE zero nulls (unknown count) refuses too.
+          statsN.get(keyCol) match {
+            case Some(0L) => ()
+            case other => throw new IllegalArgumentException(
+              s"LogTable: key column $keyCol carries " +
+                s"${other.fold("an unprovable number of")(n => s"$n")} NULL " +
+                s"key(s) in $p — keyed-table keys are NOT NULL (a NULL key " +
+                "can never be upserted, deleted, or merged); fill or filter " +
+                "them before the write")
+          }
           val name = s"${java.util.UUID.randomUUID().toString}.parquet"
           Files.move(p, dataDir(table).resolve(name), StandardCopyOption.ATOMIC_MOVE)
           Some(FileEntry(name, kLo, kHi, rows,

@@ -126,6 +126,7 @@ object EtlQueries {
   private val k18Setup = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val k19Setup = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val k20Setup = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val k25Setup = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   // A1 on fixtures: per-order refund totals.
   private def refundOrderTotals(s: org.apache.spark.sql.SparkSession, d: String) =
@@ -903,6 +904,54 @@ object EtlQueries {
              |  UNION ALL
              |  SELECT i.* FROM i WHERE order_id NOT IN (SELECT order_id FROM e))
              |ORDER BY order_id""".stripMargin),
+    ),
+
+    // K25 — SQL UPDATE under MERGE-ON-READ (`spark.graft.rowLevel.mode
+    // = merge-on-read`): the statement plans as a DSv2 DELTA write
+    // (SupportsDelta) instead of a group rewrite — matched rows become
+    // per-file deletion-vector keys (placed precisely by the scan's
+    // `_file` metadata), updated images append, ONE manifest commit,
+    // ZERO data files rewritten (LogConnectorSpec pins the file set).
+    // This is k20's statement shape re-planned for the 100 TB case: a
+    // ~1%-key UPDATE against big files costs a vector entry + a tiny
+    // appended part, not a file rewrite. The ~1% sample keeps the
+    // statement inside the DV small-delta budget — the mode's contract;
+    // bulk UPDATEs belong on copy-on-write and fail toward it loudly.
+    // Idempotent across bench reps: the same keys re-update to the same
+    // image (each rep vectors the prior rep's appended part, never
+    // re-rewriting base files). The oracle replays the CASE split.
+    QueryDef(
+      "k25_mor_update",
+      (s, d) => {
+        val cat = k25Setup.computeIfAbsent(d, dir => {
+          val name = mergeCatalogFor(s, dir)
+          Tables.orders(s, dir)
+            .select(
+              col("o_orderkey").as("order_id"),
+              col("o_orderstatus").as("status"))
+            .repartitionByRange(8, col("order_id"))
+            .createOrReplaceTempView("k25_base")
+          s.sql(s"CREATE TABLE $name.etl.mor_orders " +
+            "TBLPROPERTIES ('keyCol'='order_id') AS SELECT * FROM k25_base")
+          name
+        })
+        Tables.orders(s, d)
+          .filter(col("o_orderkey") % 97 === 0)
+          .select(col("o_orderkey").as("order_id"))
+          .createOrReplaceTempView("k25_sample")
+        s.conf.set("spark.graft.rowLevel.mode", "merge-on-read")
+        try
+          s.sql(s"""UPDATE $cat.etl.mor_orders SET status = 'RESYNCED'
+                   |WHERE order_id IN (SELECT order_id FROM k25_sample)"""
+            .stripMargin)
+        finally s.conf.unset("spark.graft.rowLevel.mode")
+        s.sql(s"SELECT order_id, status FROM $cat.etl.mor_orders")
+          .orderBy("order_id")
+      },
+      Some("""SELECT o_orderkey AS order_id,
+             |       CASE WHEN o_orderkey % 97 = 0
+             |       THEN 'RESYNCED' ELSE o_orderstatus END AS status
+             |FROM orders ORDER BY order_id""".stripMargin),
     ),
 
     // K4/K6 — column alignment / schema migration: missing columns appear

@@ -164,7 +164,19 @@ object LogTableProvider {
           files.map(f => LogTable.dataDir(table).resolve(f.file).toString): _*).schema
       }
     }
-    StructType(committed.fields.map(_.copy(nullable = true)))
+    // Everything nullable (schema evolution serves typed NULLs for
+    // columns older files lack) — EXCEPT the key column when the
+    // manifest stats prove it null-free (zero colsN on every live file,
+    // enforced on every registration since): a non-nullable key is what
+    // arms the SQL merge-on-read path, whose delta rowId Spark requires
+    // to be non-null. The proof is monotone — registration rejects null
+    // keys — so a snapshot read under this declaration can never meet a
+    // NULL key, even from files committed after the table loaded.
+    val keyNotNull =
+      if (LogTable.keyProvablyNotNull(table, asOf))
+        LogTable.tableKeyCol(table) else None
+    StructType(committed.fields.map(f =>
+      f.copy(nullable = !keyNotNull.contains(f.name))))
   }
 }
 
@@ -220,6 +232,36 @@ class LogTableTable(
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     if (asOf.isDefined) throw new UnsupportedOperationException(
       "graft-log: cannot modify an asOf snapshot — history is immutable")
+    // `spark.graft.rowLevel.mode` picks the statement's physical
+    // strategy: `copy-on-write` (default) plans a group replacement —
+    // cost proportional to the files holding matched rows, right for
+    // bulk changes; `merge-on-read` plans a row DELTA that commits
+    // deletion vectors + appended images with ZERO files rewritten
+    // ([[LogDeltaRowLevelOperation]]) — right for small-key statements
+    // against big files. Merge-on-read needs a provably non-null key
+    // (Spark rejects nullable row IDs), which [[LogTableProvider
+    // .schemaOf]] declares exactly when the manifest stats prove it.
+    val mode = SparkSession.active.conf
+      .get("spark.graft.rowLevel.mode", "copy-on-write")
+    if (mode == "merge-on-read") {
+      val key = LogTable.tableKeyCol(path).getOrElse(
+        throw new UnsupportedOperationException(
+          s"graft-log merge-on-read: $path predates the key-column " +
+            "property — run one keyed write first, or use copy-on-write"))
+      if (!LogTable.keyProvablyNotNull(path, None))
+        throw new UnsupportedOperationException(
+          s"graft-log merge-on-read: $path cannot PROVE key '$key' " +
+            "null-free (a pre-stats file, or stats the manifest cannot " +
+            "carry for this name) — compact() to rewrite with stats, or " +
+            "SET spark.graft.rowLevel.mode=copy-on-write")
+      require(tableSchema.fieldNames.contains(key),
+        s"graft-log merge-on-read: key '$key' is not in the read schema")
+      return () => new LogDeltaRowLevelOperation(
+        path, tableSchema, key, fileColIsMetadata, info)
+    }
+    require(mode == "copy-on-write",
+      s"graft-log: unknown spark.graft.rowLevel.mode '$mode' — use " +
+        "copy-on-write or merge-on-read")
     () => new org.apache.spark.sql.connector.write.RowLevelOperation {
       private val (snapVersion, snapshot, _) =
         LogTable.snapshotWithSchema(path, None)
@@ -281,21 +323,26 @@ class LogTableTable(
     * manifest-stats admission for the file set (a DELETE whose window
     * misses a file's bounds never rewrites it) and
     * [[LogTable.deleteWhere]]'s rewrite commit for the rows. */
-  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
-    asOf.isEmpty && filters.forall(f => LogTableTable.filterToColumn(f).isDefined)
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean = {
+    if (asOf.isDefined) return false
+    // Under merge-on-read, metadata delete keeps ONLY the zero-read
+    // key-list fast path (deleteKeysDV); every other predicate refuses
+    // here so Spark falls back to the row-level DELTA plan, which
+    // commits vectors instead of rewriting files — the mode's contract.
+    if (SparkSession.active.conf
+        .get("spark.graft.rowLevel.mode", "copy-on-write") == "merge-on-read")
+      return pureKeyList(filters).exists(_.size <= LogTable.DvMaxKeys)
+    filters.forall(f => LogTableTable.filterToColumn(f).isDefined)
+  }
 
-  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
-    if (asOf.isDefined) throw new UnsupportedOperationException(
-      "graft-log: cannot delete from an asOf snapshot — history is immutable")
-    // DELETION-VECTOR fast path (the Delta DV-backed DELETE): a pure
-    // key-list predicate — `k IN (...)` / `k = v` on the table's key
-    // column, plus the IsNotNull(k) conjunct Spark adds — within the
-    // small-delta budget commits dead keys instead of rewriting files:
-    // zero reads, zero rewrites, identical semantics (NULL keys never
-    // match a key list, and deleteKeysDV never kills them; readers —
-    // engine and connector — apply the vector everywhere). Anything
-    // else stays on the exact stats-pruned rewrite.
-    LogTable.tableKeyCol(path).foreach { key =>
+  /** `Some(keys)` iff `filters` is exactly a key-list predicate on the
+    * table's key column — `k = v` / `k IN (...)` conjuncts (intersected)
+    * plus the `IsNotNull(k)` Spark adds. The deletion-vector DELETE fast
+    * path's admission test, shared with [[canDeleteWhere]]'s
+    * merge-on-read gate. */
+  private def pureKeyList(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Option[Seq[Long]] =
+    LogTable.tableKeyCol(path).flatMap { key =>
       def keyVals(f: org.apache.spark.sql.sources.Filter): Option[Seq[Long]] = f match {
         case org.apache.spark.sql.sources.EqualTo(c, v) if c == key =>
           LogTableTable.integralLong(v).map(Seq(_))
@@ -313,8 +360,23 @@ class LogTableTable(
           case None => pure = false
         }
       }
-      if (pure && lists.nonEmpty) {
-        val keys = lists.map(_.toSet).reduce(_ intersect _).toSeq
+      if (pure && lists.nonEmpty) Some(lists.map(_.toSet).reduce(_ intersect _).toSeq)
+      else None
+    }
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    if (asOf.isDefined) throw new UnsupportedOperationException(
+      "graft-log: cannot delete from an asOf snapshot — history is immutable")
+    // DELETION-VECTOR fast path (the Delta DV-backed DELETE): a pure
+    // key-list predicate — `k IN (...)` / `k = v` on the table's key
+    // column, plus the IsNotNull(k) conjunct Spark adds — within the
+    // small-delta budget commits dead keys instead of rewriting files:
+    // zero reads, zero rewrites, identical semantics (NULL keys never
+    // match a key list, and deleteKeysDV never kills them; readers —
+    // engine and connector — apply the vector everywhere). Anything
+    // else stays on the exact stats-pruned rewrite.
+    LogTable.tableKeyCol(path).foreach { key =>
+      pureKeyList(filters).foreach { keys =>
         if (keys.size <= LogTable.DvMaxKeys) {
           if (keys.nonEmpty)
             LogTable.deleteKeysDV(SparkSession.active, path, key, keys)

@@ -34,7 +34,16 @@ class LogConnectorSpec extends AnyFunSuite {
     val viaApi = LogTable.read(spark, t).orderBy("k").collect().toSeq
     val viaConn = load(t).orderBy("k").collect().toSeq
     assert(viaConn == viaApi, "connector snapshot diverged from LogTable.read")
-    assert(load(t).schema == LogTable.read(spark, t).schema)
+    // Same names and types — but the CONNECTOR declares the key
+    // non-nullable (every live file's manifest stats prove zero key
+    // NULLs, and registration enforces it on every later write): the
+    // non-null key is what arms the SQL merge-on-read delta path, whose
+    // rowId Spark requires to be non-nullable.
+    val conn = load(t).schema
+    assert(conn.map(f => (f.name, f.dataType)) ==
+      LogTable.read(spark, t).schema.map(f => (f.name, f.dataType)))
+    assert(!conn("k").nullable, "connector must declare the proven key NOT NULL")
+    assert(conn.filter(_.name != "k").forall(_.nullable))
   }
 
   test("pushed key filter prunes files from manifest stats; rows match the unpruned filter") {
@@ -1414,5 +1423,165 @@ class LogConnectorSpec extends AnyFunSuite {
     assert(LogTableScan.lastPlannedFiles.get() == 0)
     val head = load(t).agg(count(lit(1)), max(col("k"))).collect()(0)
     assert(head.getLong(0) == 250L && head.getLong(1) == 250L)
+  }
+
+  test("merge-on-read mode: SQL UPDATE/MERGE/DELETE commit deletion vectors — zero files rewritten") {
+    val wh = Files.createTempDirectory("graft-logmor").toString
+    spark.conf.set("spark.sql.catalog.graftmor", classOf[LogCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftmor.warehouse", wh)
+    spark.sql("CREATE NAMESPACE graftmor.etl")
+    spark.sql("CREATE TABLE graftmor.etl.t (k BIGINT, v STRING, n BIGINT) " +
+      "TBLPROPERTIES ('keyCol'='k')")
+    for (i <- 0 until 4)
+      spark.sql(s"INSERT INTO graftmor.etl.t SELECT /*+ REPARTITION(1) */ " +
+        s"id, concat('v', id), 0 FROM range(${i * 1000}, ${i * 1000 + 1000})")
+    val t = s"$wh/etl/t"
+    val original = LogTable.read(spark, t).inputFiles.toSet
+    assert(original.size == 4)
+    val vPreUpdate = graft.io.LogTable.version(t)
+    spark.conf.set("spark.graft.rowLevel.mode", "merge-on-read")
+    try {
+      // plan-shape gate: under the mode the statement plans as a DELTA
+      // write (WriteDelta), not a group rewrite (ReplaceData)
+      val planned = spark.sql(
+        "EXPLAIN UPDATE graftmor.etl.t SET n = 0 WHERE k < 0")
+        .head().getString(0)
+      assert(planned.contains("WriteDelta"),
+        s"expected a WriteDelta plan under merge-on-read, got:\n$planned")
+      // UPDATE: dead keys become per-file vectors, images append — the
+      // four original files must ALL survive untouched
+      spark.sql("UPDATE graftmor.etl.t SET n = 7, v = 'upd' " +
+        "WHERE k >= 2100 AND k < 2200")
+      val afterUpd = LogTable.read(spark, t).inputFiles.toSet
+      assert(original.subsetOf(afterUpd),
+        "merge-on-read UPDATE rewrote a data file")
+      assert((afterUpd -- original).size == 1, "expected ONE appended part")
+      val dvs1 = graft.io.LogTable.liveDvs(t, None)
+      assert(dvs1.values.map(_.size).sum == 100,
+        s"UPDATE must vector exactly its 100 matched keys, got $dvs1")
+      // the vector is PRECISE: one file holds [2100, 2200)
+      assert(dvs1.size == 1, "dead keys leaked onto files that never held them")
+      assert(spark.sql("SELECT count(*) FROM graftmor.etl.t WHERE n = 7")
+        .head().getLong(0) == 100L)
+      assert(spark.sql("SELECT count(*) FROM graftmor.etl.t")
+        .head().getLong(0) == 4000L)
+      assert(spark.sql("SELECT v FROM graftmor.etl.t WHERE k = 2000")
+        .head().getString(0) == "v2000")
+      // MERGE: matched update + unmatched insert, still zero rewrites
+      spark.sql("SELECT id AS k, concat('m', id) AS v, CAST(9 AS BIGINT) AS n " +
+        "FROM range(3995, 4005)").createOrReplaceTempView("mor_src")
+      spark.sql("""MERGE INTO graftmor.etl.t AS tgt USING mor_src AS src
+        |ON tgt.k = src.k
+        |WHEN MATCHED THEN UPDATE SET v = src.v, n = src.n
+        |WHEN NOT MATCHED THEN INSERT (k, v, n) VALUES (src.k, src.v, src.n)
+        |""".stripMargin)
+      assert(original.subsetOf(LogTable.read(spark, t).inputFiles.toSet),
+        "merge-on-read MERGE rewrote a data file")
+      assert(spark.sql("SELECT count(*) FROM graftmor.etl.t")
+        .head().getLong(0) == 4005L)
+      assert(spark.sql("SELECT count(*) FROM graftmor.etl.t WHERE n = 9")
+        .head().getLong(0) == 10L)
+      assert(spark.sql("SELECT v FROM graftmor.etl.t WHERE k = 4002")
+        .head().getString(0) == "m4002")
+      // non-key-list DELETE: under merge-on-read it must NOT take the
+      // metadata-delete rewrite — the delta plan vectors the row
+      spark.sql("DELETE FROM graftmor.etl.t WHERE v = 'v10'")
+      assert(original.subsetOf(LogTable.read(spark, t).inputFiles.toSet),
+        "merge-on-read DELETE rewrote a data file")
+      assert(spark.sql("SELECT count(*) FROM graftmor.etl.t")
+        .head().getLong(0) == 4004L)
+      // key-list DELETE keeps the zero-read fast path under this mode
+      spark.sql("DELETE FROM graftmor.etl.t WHERE k IN (20, 3000)")
+      assert(spark.sql("SELECT count(*) FROM graftmor.etl.t")
+        .head().getLong(0) == 4002L)
+      // updated-then-merged key: latest image wins everywhere
+      assert(spark.sql("SELECT v FROM graftmor.etl.t WHERE k = 2150")
+        .head().getString(0) == "upd")
+      // history: the pre-UPDATE version still reads vector-free
+      assert(spark.sql(s"SELECT count(*) FROM graftmor.etl.t " +
+        s"VERSION AS OF $vPreUpdate WHERE n <> 0").head().getLong(0) == 0L)
+      // compact() purges the vectors and drops the dead bytes
+      graft.io.LogTable.compact(spark, t, "k", targetRows = 10000L)
+      assert(graft.io.LogTable.liveDvs(t, None).isEmpty)
+      assert(spark.sql("SELECT count(*) FROM graftmor.etl.t")
+        .head().getLong(0) == 4002L)
+      // no delete touched [2100, 2200): all 100 updated rows survive
+      assert(spark.sql("SELECT count(*) FROM graftmor.etl.t WHERE n = 7")
+        .head().getLong(0) == 100L)
+    } finally spark.conf.unset("spark.graft.rowLevel.mode")
+  }
+
+  test("merge-on-read parity: same statements, same table state as copy-on-write") {
+    val wh = Files.createTempDirectory("graft-logpar").toString
+    spark.conf.set("spark.sql.catalog.graftpar", classOf[LogCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftpar.warehouse", wh)
+    spark.sql("CREATE NAMESPACE graftpar.etl")
+    def run(table: String, mode: String): Seq[org.apache.spark.sql.Row] = {
+      spark.sql(s"CREATE TABLE graftpar.etl.$table (k BIGINT, v STRING, n BIGINT) " +
+        "TBLPROPERTIES ('keyCol'='k')")
+      spark.sql(s"INSERT INTO graftpar.etl.$table SELECT id, concat('v', id), 0 " +
+        "FROM range(0, 500)")
+      spark.conf.set("spark.graft.rowLevel.mode", mode)
+      try {
+        spark.sql(s"UPDATE graftpar.etl.$table SET n = 1 WHERE k % 7 = 0")
+        spark.sql("SELECT id * 2 AS k, concat('s', id) AS v, " +
+          "CAST(5 AS BIGINT) AS n FROM range(240, 260)")
+          .createOrReplaceTempView(s"par_src_$table")
+        spark.sql(s"""MERGE INTO graftpar.etl.$table AS tgt
+          |USING par_src_$table AS src ON tgt.k = src.k
+          |WHEN MATCHED AND src.k % 3 = 0 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET v = src.v, n = src.n
+          |WHEN NOT MATCHED THEN INSERT (k, v, n) VALUES (src.k, src.v, src.n)
+          |""".stripMargin)
+        spark.sql(s"DELETE FROM graftpar.etl.$table WHERE v = 'v13'")
+      } finally spark.conf.unset("spark.graft.rowLevel.mode")
+      spark.sql(s"SELECT k, v, n FROM graftpar.etl.$table ORDER BY k").collect().toSeq
+    }
+    val cow = run("tcow", "copy-on-write")
+    val mor = run("tmor", "merge-on-read")
+    assert(mor == cow, "merge-on-read result diverged from copy-on-write")
+  }
+
+  test("merge-on-read budget: a bulk UPDATE fails loudly with the copy-on-write hint") {
+    val wh = Files.createTempDirectory("graft-logbud").toString
+    spark.conf.set("spark.sql.catalog.graftbud", classOf[LogCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftbud.warehouse", wh)
+    spark.sql("CREATE NAMESPACE graftbud.etl")
+    spark.sql("CREATE TABLE graftbud.etl.t (k BIGINT, n BIGINT) " +
+      "TBLPROPERTIES ('keyCol'='k')")
+    spark.sql("INSERT INTO graftbud.etl.t SELECT id, 0 FROM range(0, 400)")
+    val oldCap = sys.props.get("graft.dv.maxKeys")
+    sys.props("graft.dv.maxKeys") = "100"
+    spark.conf.set("spark.graft.rowLevel.mode", "merge-on-read")
+    try {
+      val e = intercept[Exception] {
+        spark.sql("UPDATE graftbud.etl.t SET n = 1 WHERE k >= 0")
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("copy-on-write")),
+        s"bulk merge-on-read must point at copy-on-write, got: ${msgs(e)}")
+      // nothing committed: the table still reads n = 0 everywhere
+      assert(spark.sql("SELECT count(*) FROM graftbud.etl.t WHERE n <> 0")
+        .head().getLong(0) == 0L)
+    } finally {
+      spark.conf.unset("spark.graft.rowLevel.mode")
+      oldCap match {
+        case Some(v) => sys.props("graft.dv.maxKeys") = v
+        case None => sys.props.remove("graft.dv.maxKeys")
+      }
+    }
+  }
+
+  test("keyed registration rejects NULL keys (the identifier-field rule)") {
+    val t = tmpTable()
+    // one part holding a valid AND a null key: stats exist, the null
+    // count carries the refusal (a pure-null part refuses earlier on
+    // missing key stats — also correct, but this pins the new check)
+    val df = Seq((Some(1L), "a"), (None, "b")).toDF("k", "v").coalesce(1)
+    val e = intercept[Exception] { LogTable.create(spark, t, df, "k") }
+    assert(e.getMessage != null && e.getMessage.contains("NULL key"),
+      s"expected the NULL-key refusal, got: ${e.getMessage}")
   }
 }

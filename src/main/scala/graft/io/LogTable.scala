@@ -1736,30 +1736,57 @@ object LogTable {
     * conflicting racer (one that rewrote a scanned file) must FAIL the
     * operation rather than silently recompute half of it; independent
     * commits still re-claim above the new head via the standard loop. */
+  /** `schema` renamed logical → physical per `mapping` — what the DSv2
+    * task writers receive on a renamed table, so their parts land with
+    * the PHYSICAL names every other data file carries (readers resolve
+    * parquet columns by physical name; a logical-named part would serve
+    * typed NULLs). Identity on never-renamed tables. */
+  private[graft] def physicalized(
+      schema: org.apache.spark.sql.types.StructType,
+      mapping: Map[String, String]): org.apache.spark.sql.types.StructType =
+    if (mapping.isEmpty) schema
+    else org.apache.spark.sql.types.StructType(schema.fields.map(f =>
+      f.copy(name = mapping.getOrElse(f.name, f.name))))
+
+  /** The rename-mapping race guard for DSv2 task-staged writes: tasks
+    * wrote parts under the mapping pinned at statement start
+    * (`writtenMapping`); a rename landing mid-statement means those
+    * parts carry names the new mapping no longer describes — refuse
+    * loudly, never register files that disagree with the table. */
+  private def requireMappingStable(
+      table: String, writtenMapping: Map[String, String], op: String)
+      : Map[String, String] = {
+    val now = mappingOf(snapshotWithSchema(table, None)._3)
+    if (now != writtenMapping) throw new java.util.ConcurrentModificationException(
+      s"$op on $table: a column rename landed while the statement ran " +
+        "(task parts were written under the old mapping) — re-run the " +
+        "statement against the new snapshot")
+    now
+  }
+
   private[graft] def replaceStaged(
       spark: SparkSession, table: String, snapVersion: Long,
       removeFiles: Seq[String], staging: Path,
       schema: org.apache.spark.sql.types.StructType, keyCol: String,
-      onlyFiles: Option[Set[String]] = None): Unit =
+      onlyFiles: Option[Set[String]] = None,
+      writtenMapping: Map[String, String] = Map.empty): Unit =
     try {
-      // the staged parts were written by Spark's row-level tasks under
-      // LOGICAL names; on a renamed table they cannot register as
-      // physical data files — refuse loudly (the LogTable verbs
-      // upsert/merge/deleteWhere rewrite under the mapping and serve
-      // the same semantics)
-      mappingOf(snapshotWithSchema(table, None)._3).headOption.foreach {
-        case (lg, ph) => throw new UnsupportedOperationException(
-          s"graft-log row-level write on $table: the table has renamed " +
-            s"columns (e.g. '$lg' is physically '$ph') and task-staged " +
-            "parts carry logical names — use graft.io.LogTable.upsert/" +
-            "merge/deleteWhere, which rewrite under the physical mapping")
-      }
-      val adds = registerStaged(spark, table, staging, schema, keyCol, onlyFiles)
+      // RENAMED tables: the task writers received the PHYSICALIZED
+      // schema (see LogGroupBatchWrite), so the parts already carry
+      // physical names — register them under physical names/key and
+      // commit the snapshot's mapped schema. Guarded against a rename
+      // landing mid-statement.
+      val mapping = requireMappingStable(table, writtenMapping,
+        "graft-log row-level write")
+      val snapSchema = snapshotWithSchema(table, None)._3
+      val adds = registerStaged(spark, table, staging,
+        physicalized(schema, mapping),
+        mapping.getOrElse(keyCol, keyCol), onlyFiles)
       commit(table, snapVersion, adds, removes = removeFiles,
         reRun = () => throw new java.util.ConcurrentModificationException(
           s"row-level operation on $table: a concurrent writer rewrote a " +
             "scanned file — re-run the statement against the new snapshot"),
-        schema = schema.json, keyCol = keyCol)
+        schema = restampMapping(snapSchema, schema).json, keyCol = keyCol)
     } finally {
       import scala.jdk.CollectionConverters._
       if (Files.isDirectory(staging)) {
@@ -1787,15 +1814,14 @@ object LogTable {
       spark: SparkSession, table: String, snapVersion: Long,
       snapshot: Seq[FileEntry], staging: Path, onlyFiles: Set[String],
       schema: org.apache.spark.sql.types.StructType, keyCol: String,
-      deadByFile: Map[String, Seq[Long]], looseKeys: Seq[Long]): Unit =
+      deadByFile: Map[String, Seq[Long]], looseKeys: Seq[Long],
+      writtenMapping: Map[String, String] = Map.empty): Unit =
     try {
-      mappingOf(snapshotWithSchema(table, None)._3).headOption.foreach {
-        case (lg, ph) => throw new UnsupportedOperationException(
-          s"graft-log merge-on-read write on $table: the table has renamed " +
-            s"columns (e.g. '$lg' is physically '$ph') and task-staged " +
-            "parts carry logical names — use graft.io.LogTable.mergeDV/" +
-            "deleteKeysDV, which operate under the physical mapping")
-      }
+      // RENAMED tables serve: tasks wrote parts under the physicalized
+      // schema; register physical, commit the mapped logical schema,
+      // refuse a rename that landed mid-statement.
+      val mapping = requireMappingStable(table, writtenMapping,
+        "graft-log merge-on-read write")
       val loosePlaced: Map[String, Seq[Long]] =
         if (looseKeys.isEmpty) Map.empty
         else {
@@ -1826,8 +1852,9 @@ object LogTable {
             s"is not in the statement's pinned snapshot v$snapVersion")
       }
       requireDvBudget(table, snapVersion, dvAdds, "merge-on-read statement")
-      val adds = registerStaged(spark, table, staging, schema, keyCol,
-        Some(onlyFiles))
+      val adds = registerStaged(spark, table, staging,
+        physicalized(schema, mapping),
+        mapping.getOrElse(keyCol, keyCol), Some(onlyFiles))
       if (adds.isEmpty && dvAdds.isEmpty) return
       // racer detection window: the span of every key this statement
       // kills or appends — an overlapping concurrent add invalidates
@@ -1844,8 +1871,9 @@ object LogTable {
           s"merge-on-read statement on $table: a concurrent writer changed " +
             "a scanned file or landed rows in the statement's key range — " +
             "re-run the statement against the new snapshot"),
-        schema = org.apache.spark.sql.types.StructType(
-          schema.fields.map(_.copy(nullable = true))).json,
+        schema = restampMapping(snapshotWithSchema(table, None)._3,
+          org.apache.spark.sql.types.StructType(
+            schema.fields.map(_.copy(nullable = true)))).json,
         keyRange = keyRange, keyCol = keyCol, dvs = dvAdds,
         requireLive = dvAdds.keys.toSeq)
     } finally {

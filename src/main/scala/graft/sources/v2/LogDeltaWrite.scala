@@ -117,11 +117,16 @@ class LogDeltaBatchWrite(
 
   private val staging = LogTable.newStagingDir(path)
 
+  // RENAMED tables: task parts carry PHYSICAL names, pinned here and
+  // validated unchanged at commit (same contract as LogGroupBatchWrite).
+  private val mapping =
+    LogTable.mappingOf(LogTable.snapshotWithSchema(path, None)._3)
+
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DeltaWriterFactory = {
     val keyType = tableSchema(keyCol).dataType
-    new LogDeltaWriterFactory(staging.toString, tableSchema.json,
-      keyType.json)
+    new LogDeltaWriterFactory(staging.toString,
+      LogTable.physicalized(tableSchema, mapping).json, keyType.json)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -137,7 +142,8 @@ class LogDeltaBatchWrite(
       }
     val loose = commits.iterator.flatMap(_.looseKeys.iterator).toSeq
     LogTable.commitDeltaStaged(SparkSession.active, path, snapVersion,
-      snapshot, staging, parts, tableSchema, keyCol, deadByFile, loose)
+      snapshot, staging, parts, tableSchema, keyCol, deadByFile, loose,
+      writtenMapping = mapping)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -38,8 +38,18 @@ class LogGroupBatchWrite(
 
   private val staging = LogTable.newStagingDir(path)
 
+  // RENAMED tables: tasks must write parts under PHYSICAL names (files
+  // and manifest stats carry physical names forever; a logical-named
+  // part would read as typed NULLs). The mapping is pinned HERE at
+  // write-build time and validated unchanged at commit — a rename
+  // landing mid-statement fails loudly instead of registering parts the
+  // new mapping no longer describes. Identity on never-renamed tables.
+  private val mapping =
+    LogTable.mappingOf(LogTable.snapshotWithSchema(path, None)._3)
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new LogGroupWriterFactory(staging.toString, writeSchema.json)
+    new LogGroupWriterFactory(staging.toString,
+      LogTable.physicalized(writeSchema, mapping).json)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val key = LogTable.tableKeyCol(path).getOrElse(
@@ -55,7 +65,8 @@ class LogGroupBatchWrite(
       case LogGroupCommit(f) => Paths.get(f).getFileName.toString
     }.toSet
     LogTable.replaceStaged(SparkSession.active, path, snapVersion,
-      removeFiles(), staging, writeSchema, key, onlyFiles = Some(committed))
+      removeFiles(), staging, writeSchema, key, onlyFiles = Some(committed),
+      writtenMapping = mapping)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

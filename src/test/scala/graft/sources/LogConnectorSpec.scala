@@ -1574,6 +1574,60 @@ class LogConnectorSpec extends AnyFunSuite {
     }
   }
 
+  test("row-level SQL serves RENAMED tables: task parts land physical names, both modes") {
+    val wh = Files.createTempDirectory("graft-logren").toString
+    spark.conf.set("spark.sql.catalog.graftren", classOf[LogCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftren.warehouse", wh)
+    spark.sql("CREATE NAMESPACE graftren.etl")
+    spark.sql("CREATE TABLE graftren.etl.t (k BIGINT, v STRING, n BIGINT) " +
+      "TBLPROPERTIES ('keyCol'='k')")
+    for (i <- 0 until 2)
+      spark.sql(s"INSERT INTO graftren.etl.t SELECT /*+ REPARTITION(1) */ " +
+        s"id, concat('v', id), 0 FROM range(${i * 1000}, ${i * 1000 + 1000})")
+    val t = s"$wh/etl/t"
+    val preRenameV = LogTable.version(t)
+    spark.sql("ALTER TABLE graftren.etl.t RENAME COLUMN v TO label")
+    // copy-on-write UPDATE through the group write: the replacement
+    // parts must register under the PHYSICAL name (reading them back
+    // under the logical name proves it — a logical-named part would
+    // serve typed NULLs)
+    spark.sql("UPDATE graftren.etl.t SET label = 'upd', n = 1 " +
+      "WHERE k >= 1500 AND k < 1600")
+    assert(spark.sql("SELECT label FROM graftren.etl.t WHERE k = 1500")
+      .head().getString(0) == "upd")
+    assert(spark.sql("SELECT count(*) FROM graftren.etl.t WHERE n = 1")
+      .head().getLong(0) == 100L)
+    // the mapping composes: rename AGAIN, the updated rows still serve
+    spark.sql("ALTER TABLE graftren.etl.t RENAME COLUMN label TO tag")
+    assert(spark.sql("SELECT tag FROM graftren.etl.t WHERE k = 1599")
+      .head().getString(0) == "upd")
+    // merge-on-read on the renamed table: zero rewrites, vectors + a
+    // physical-named appended part
+    val files = LogTable.read(spark, t).inputFiles.toSet
+    spark.conf.set("spark.graft.rowLevel.mode", "merge-on-read")
+    try {
+      spark.sql("UPDATE graftren.etl.t SET tag = 'mor' WHERE k IN (10, 1700)")
+      assert(files.subsetOf(LogTable.read(spark, t).inputFiles.toSet),
+        "merge-on-read on a renamed table rewrote a data file")
+      assert(spark.sql("SELECT tag FROM graftren.etl.t WHERE k = 10")
+        .head().getString(0) == "mor")
+      assert(spark.sql("SELECT count(*) FROM graftren.etl.t")
+        .head().getLong(0) == 2000L)
+      // rename the KEY column too, then a delta DELETE under the new name
+      spark.sql("ALTER TABLE graftren.etl.t RENAME COLUMN k TO id")
+      spark.sql("DELETE FROM graftren.etl.t WHERE id IN (20, 1800) AND tag <> 'x'")
+      assert(spark.sql("SELECT count(*) FROM graftren.etl.t")
+        .head().getLong(0) == 1998L)
+      assert(spark.sql("SELECT count(*) FROM graftren.etl.t WHERE id = 20")
+        .head().getLong(0) == 0L)
+    } finally spark.conf.unset("spark.graft.rowLevel.mode")
+    // history: the pre-rename version reads under the ORIGINAL names
+    val old = spark.sql(
+      s"SELECT * FROM graftren.etl.t VERSION AS OF $preRenameV")
+    assert(old.schema.fieldNames.toSeq == Seq("k", "v", "n"))
+    assert(old.filter("k = 1500").head().getString(1) == "v1500")
+  }
+
   test("keyed registration rejects NULL keys (the identifier-field rule)") {
     val t = tmpTable()
     // one part holding a valid AND a null key: stats exist, the null

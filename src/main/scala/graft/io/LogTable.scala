@@ -1006,28 +1006,25 @@ object LogTable {
       spark: SparkSession, table: String, staging: Path,
       partFiles: Set[String], streamSchema: org.apache.spark.sql.types.StructType,
       keyCol: String, appId: String, epochId: Long,
-      replaceAll: Boolean = false): Boolean = {
+      replaceAll: Boolean = false,
+      writtenMapping: Map[String, String] = Map.empty): Boolean = {
     requireManifestSafeAppId(appId, "commitStreamingEpoch")
     requireKeyMatch(table, keyCol)
     if (lastTxnEpoch(table, appId).exists(_ >= epochId)) return false
+    // RENAMED tables: the sink's tasks wrote this epoch's parts under
+    // the PHYSICALIZED schema pinned at stream start (LogStreamingWrite)
+    // — register them under physical names/key; a rename landing
+    // mid-stream fails the epoch loudly (the restart re-pins). A stream
+    // whose own schema still carries a renamed-away LOGICAL name reads
+    // as an evolution of that name and refuses on the physical-carrier
+    // rule below — the rename-crossing stream is ambiguous by design.
+    val mapping = requireMappingStable(table, writtenMapping,
+      "LogTable streaming append sink")
     val (snapVersion, liveNow, committedSchema) = snapshotWithSchema(table, None)
     val snapSchema = committedSchema.orElse {
       if (liveNow.isEmpty) None
       else Some(spark.read.option("mergeSchema", "true").parquet(
         liveNow.map(f => dataDir(table).resolve(f.file).toString): _*).schema)
-    }
-    // the staged parts were written by the STREAM's tasks under its own
-    // (logical) column names and register as table data files verbatim —
-    // on a renamed table that would commit files whose physical names
-    // disagree with every other file. Loud, not silent: the upsert sink
-    // (upsertEpoch) and batch append rewrite through writeData's mapping
-    // and remain available.
-    mappingOf(snapSchema).headOption.foreach { case (lg, ph) =>
-      throw new UnsupportedOperationException(
-        s"LogTable streaming append sink on $table: the table has renamed " +
-          s"columns (e.g. '$lg' is physically '$ph') and task-written parts " +
-          "cannot register under logical names — use the upsert sink or " +
-          "batch append, which rewrite under the physical mapping")
     }
     val evolved = snapSchema match {
       case Some(sc) =>
@@ -1053,8 +1050,9 @@ object LogTable {
           sc.fields ++ streamSchema.fields.filterNot(f => have(f.name)))
       case None => streamSchema
     }
-    val adds = registerStaged(spark, table, staging, streamSchema, keyCol,
-      onlyFiles = Some(partFiles))
+    val adds = registerStaged(spark, table, staging,
+      physicalized(streamSchema, mapping),
+      mapping.getOrElse(keyCol, keyCol), onlyFiles = Some(partFiles))
     // in APPEND mode an empty epoch appends nothing — and must NOT
     // advance the txn watermark with a data-less manifest (replaying it
     // is free; an empty commit per idle trigger would grow the log

@@ -123,9 +123,20 @@ class LogStreamingWrite(
 
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
 
+  // RENAMED tables (append/replace modes): epoch parts must carry
+  // PHYSICAL names — the mapping pins at stream start and every epoch
+  // commit validates it unchanged (a mid-stream rename fails the epoch
+  // loudly; the restart re-pins). Upsert mode keeps LOGICAL parts: its
+  // epochs read the parts back as a frame and route through
+  // LogTable.upsertImpl → writeData, which maps on its own.
+  private val mapping: Map[String, String] =
+    if (mode == EpochMode.Upsert) Map.empty
+    else LogTable.mappingOf(LogTable.snapshotWithSchema(path, None)._3)
+
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new LogStreamingWriterFactory(path, writeSchema.json, queryId)
+    new LogStreamingWriterFactory(path,
+      LogTable.physicalized(writeSchema, mapping).json, queryId)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val committed = messages.collect {
@@ -149,7 +160,7 @@ class LogStreamingWrite(
           case m =>
             LogTable.commitStreamingEpoch(SparkSession.active, path,
               stagingDirs.head, committed, writeSchema, keyCol, queryId, epochId,
-              replaceAll = m == EpochMode.Replace)
+              replaceAll = m == EpochMode.Replace, writtenMapping = mapping)
         }
       } else if (mode == EpochMode.Replace) {
         // Complete mode with an empty state: the epoch truncates the
@@ -157,7 +168,7 @@ class LogStreamingWrite(
         val empty = LogTable.newStagingDir(path)
         try LogTable.commitStreamingEpoch(SparkSession.active, path,
           empty, Set.empty, writeSchema, keyCol, queryId, epochId,
-          replaceAll = true)
+          replaceAll = true, writtenMapping = mapping)
         finally sweep(empty)
       }
     } finally stagingDirs.foreach(sweep)

@@ -325,4 +325,32 @@ class LogSinkSpec extends AnyFunSuite {
     assert(LogTable.read(spark, dst).count() == 1L)
     assert(LogTable.tableKeyCol(dst).contains("k"))
   }
+
+  test("append sink serves a RENAMED destination: epoch parts land physical names") {
+    val base = Files.createTempDirectory("graft-logsinkren").toString
+    val src = s"$base/src"
+    val dst = s"$base/dst"
+    LogTable.create(spark, src,
+      (1L to 50L).map(i => (i, s"s$i")).toDF("k", "label"), "k")
+    LogTable.create(spark, dst,
+      (1001L to 1010L).map(i => (i, s"d$i")).toDF("k", "v"), "k")
+    LogTable.renameColumn(spark, dst, "v", "label")
+    // the stream carries the CURRENT logical name; its epoch parts must
+    // register under the physical name ('v') or the read back would
+    // serve typed NULLs for every streamed row
+    val q = spark.readStream.format("graft-log").load(src)
+      .writeStream.format("graft-log")
+      .option("checkpointLocation", s"$base/ckpt")
+      .option("keyCol", "k")
+      .trigger(Trigger.AvailableNow())
+      .start(dst)
+    assert(q.awaitTermination(180000), "stream did not finish in time")
+    val out = LogTable.read(spark, dst)
+    assert(out.count() == 60L)
+    assert(out.schema.fieldNames.toSeq == Seq("k", "label"))
+    assert(out.filter(col("label").isNull).count() == 0L,
+      "streamed rows lost their values — parts registered under logical names")
+    assert(out.filter(col("k") === 7L).head().getString(1) == "s7")
+    assert(out.filter(col("k") === 1007L).head().getString(1) == "d1007")
+  }
 }

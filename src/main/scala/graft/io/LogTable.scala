@@ -814,10 +814,14 @@ object LogTable {
     *     the same permanence the published formats accept;
     *   - renaming the KEY column updates the keyCol table property in
     *     the same commit (later keyed writes use the new name);
-    *   - a [[changes]] window crossing the rename fails loudly (no
-    *     consistent column identity for the key-wise diff);
-    *   - the streaming APPEND sink refuses renamed tables (its
-    *     task-written parts can't register under logical names).
+    *   - a [[changes]] window crossing the rename serves under the END
+    *     version's logical names (physical identity is stable, so the
+    *     before snapshot projects old names to new — Delta's
+    *     CDF-with-column-mapping semantics; a rename alone never reads
+    *     as an update);
+    *   - the streaming APPEND sink pins the mapping at stream start and
+    *     writes epoch parts under physical names (a mid-stream rename
+    *     fails the epoch loudly; the restart re-pins).
     *
     * Reference context: the reference's own migration tool only ADDs
     * columns (migrate_duckdb.py:7-26); this closes the rename half of
@@ -1962,31 +1966,30 @@ object LogTable {
       return readFiles(spark, table, added, snapshotWithSchema(table, Some(toV))._3)
         .withColumn("_change_type", lit("insert"))
     }
-    // A RENAME inside the diff window breaks column identity for the
-    // key-wise comparison (the old snapshot serves the old logical name,
-    // the new one the new name — the aligner would read every row as an
-    // update of a NULLed column). Delta's CDF makes the same cut: fail
-    // loudly at the mapping change, consumers re-base and split the feed
-    // at the rename commit. Detected by PHYSICAL identity, which is what
-    // survives a rename.
+    // A RENAME inside the diff window: PHYSICAL identity is stable
+    // under column mapping, so the feed serves EVERY version under
+    // toV's logical names (Delta's CDF-with-column-mapping semantics) —
+    // the before snapshot projects old logical names to new by physical
+    // identity, and the key-wise diff compares physically-identical
+    // columns. A rename alone therefore never reads as an update.
     val scFrom = snapshotWithSchema(table, Some(fromV))._3
     val scTo = snapshotWithSchema(table, Some(toV))._3
-    for (f <- scFrom; t <- scTo) {
-      val oldByPhys = f.fields.map(x => physicalName(x) -> x.name).toMap
-      t.fields.foreach { x =>
-        oldByPhys.get(physicalName(x)).filter(_ != x.name).foreach { old =>
-          throw new IllegalStateException(
-            s"changes($table): column '$old' was renamed to '${x.name}' " +
-              s"inside the window ($fromV, $toV] — the key-wise diff has no " +
-              "consistent column identity across a rename; split the feed " +
-              "at the rename commit")
-        }
-      }
+    val renamed: Map[String, String] = (for {
+      f <- scFrom.toSeq; t <- scTo.toSeq
+      oldByPhys = f.fields.map(x => physicalName(x) -> x.name).toMap
+      x <- t.fields
+      old <- oldByPhys.get(physicalName(x))
+      if old != x.name
+    } yield old -> x.name).toMap
+    val before = renamed.foldLeft(readVersion(spark, table, fromV)) {
+      case (d, (o, n)) => d.withColumnRenamed(o, n)
     }
-    val before = readVersion(spark, table, fromV)
     val after = readVersion(spark, table, toV)
     if (before.columns.isEmpty) // fromV predates the table: all inserts
       return after.withColumn("_change_type", lit("insert"))
+    // `keyCol` names toV's key; a key rename inside the window is
+    // covered by the same projection (the caller's name resolves on
+    // both sides after it)
     val payload = after.columns.filterNot(_ == keyCol).toSeq
     // fromV may predate a column addition: align the old snapshot with
     // typed NULLs so the diff compares the evolved shape (otherwise the

@@ -518,6 +518,36 @@ class LogTableSpec extends AnyFunSuite {
       (3L, "c", Some(9), "insert")))
   }
 
+  test("change feed crosses a RENAME: served under end-version names, a rename alone is not an update") {
+    val t = tmpTable()
+    LogTable.create(spark, t,
+      Seq((1L, "a", 0L), (2L, "b", 0L)).toDF("k", "v", "n"), "k")
+    val v1 = LogTable.version(t)
+    LogTable.renameColumn(spark, t, "v", "label")
+    // a genuine change after the rename (written under the new name)
+    LogTable.upsert(spark, t,
+      Seq((2L, "b2", 7L), (3L, "c", 9L)).toDF("k", "label", "n"), "k")
+    // window crossing the rename: physical identity projects the before
+    // snapshot to the END names — the feed is exactly the real changes,
+    // never a whole-table "update" storm from the name change
+    val feed = LogTable.changes(spark, t, "k", v1, LogTable.version(t))
+    val got = feed.collect().map(r => (r.getAs[Long]("k"),
+      r.getAs[String]("label"), r.getAs[Long]("n"),
+      r.getAs[String]("_change_type"))).toSet
+    assert(got == Set(
+      (2L, "b2", 7L, "update"),
+      (3L, "c", 9L, "insert")), s"got $got")
+    // the KEY column renames too: the caller addresses the feed by the
+    // end-version key name and the window still diffs exactly
+    val v2 = LogTable.version(t)
+    LogTable.renameColumn(spark, t, "k", "id")
+    LogTable.deleteKeysDV(spark, t, "id", Seq(1L))
+    val feed2 = LogTable.changes(spark, t, "id", v2, LogTable.version(t))
+    val got2 = feed2.collect().map(r => (r.getAs[Long]("id"),
+      r.getAs[String]("_change_type"))).toSet
+    assert(got2 == Set((1L, "delete")), s"got $got2")
+  }
+
   test("racing creators: exactly one wins; the loser is told, never silently doubled") {
     val t = tmpTable()
     val results = new java.util.concurrent.ConcurrentLinkedQueue[String]()
@@ -1130,11 +1160,14 @@ class LogTableSpec extends AnyFunSuite {
         "v", org.apache.spark.sql.types.StringType)))
     }
     assert(e.getMessage.contains("physically"), e.getMessage)
-    // a change feed CROSSING the rename has no consistent column identity
-    val e2 = intercept[IllegalStateException] {
-      LogTable.changes(spark, t, "k", 1L, LogTable.version(t))
-    }
-    assert(e2.getMessage.contains("renamed"), e2.getMessage)
+    // a change feed CROSSING the rename serves under the END version's
+    // names (physical identity projects the before snapshot): exactly
+    // the upsert's changes, never a whole-table rename-as-update storm
+    val crossing = LogTable.changes(spark, t, "k", 1L, LogTable.version(t))
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("label"),
+        r.getAs[String]("_change_type"))).toSet
+    assert(crossing == Set((7L, "upd", "update"), (2000L, "ins", "insert")),
+      s"got $crossing")
     // a window entirely after the rename serves under the new name
     val ch = LogTable.changes(spark, t, "k", 2L, LogTable.version(t))
     assert(ch.columns.contains("label"))

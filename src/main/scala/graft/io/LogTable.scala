@@ -931,7 +931,11 @@ object LogTable {
     * manifest row sum of the commit's adds — exact, zero file reads. */
   final case class SnapshotInfo(
       version: Long, addedFiles: Int, addedRows: Long, removedFiles: Int,
-      checkpoint: Boolean, txns: Map[String, Long], commitTsMillis: Long = 0L)
+      checkpoint: Boolean, txns: Map[String, Long], commitTsMillis: Long = 0L,
+      // dead keys this commit marked via deletion vectors (the
+      // merge-on-read delta size — an operator watching vectors pile up
+      // knows when to compact)
+      dvKeys: Long = 0L)
 
   /** The commit history still present in the log (oldest first; history
     * below a truncation checkpoint is gone by design). Manifest-only —
@@ -939,7 +943,8 @@ object LogTable {
   def history(table: String): Seq[SnapshotInfo] =
     manifests(table).map(m => SnapshotInfo(
       m.version, m.adds.size, m.adds.map(_.rows).sum, m.removes.size,
-      m.checkpoint, m.txns, commitTs(table, m)))
+      m.checkpoint, m.txns, commitTs(table, m),
+      m.dvs.valuesIterator.map(_.size.toLong).sum))
 
   /** A commit's wall-clock: the manifest's stamped ts, or the manifest
     * FILE's mtime for pre-r13 commits (best effort — the Delta legacy
@@ -1747,8 +1752,22 @@ object LogTable {
       schema: org.apache.spark.sql.types.StructType,
       mapping: Map[String, String]): org.apache.spark.sql.types.StructType =
     if (mapping.isEmpty) schema
-    else org.apache.spark.sql.types.StructType(schema.fields.map(f =>
-      f.copy(name = mapping.getOrElse(f.name, f.name))))
+    else {
+      val phys = schema.fields.map(f => mapping.getOrElse(f.name, f.name))
+      // a NEW (unmapped) field whose name equals a renamed column's
+      // physical name would produce a duplicate-named parquet schema —
+      // the same reserved-name hazard requireNoPhysicalCarriers guards
+      // on the commit side, caught here BEFORE any task writes a part
+      phys.diff(phys.distinct).headOption.foreach { dup =>
+        throw new IllegalArgumentException(
+          s"physicalized write schema carries '$dup' twice — a new column " +
+            "collides with the physical name of a renamed one; that name " +
+            "is reserved for the table's lifetime (compact() after a DROP " +
+            "frees names, renames never do)")
+      }
+      org.apache.spark.sql.types.StructType(
+        schema.fields.zip(phys).map { case (f, n) => f.copy(name = n) })
+    }
 
   /** The rename-mapping race guard for DSv2 task-staged writes: tasks
     * wrote parts under the mapping pinned at statement start

@@ -190,14 +190,19 @@ private[v2] object LogProcedures {
       new StructType().add("version", LongType).add("committed_at", TimestampType)
         .add("added_files", IntegerType)
         .add("added_rows", LongType).add("removed_files", IntegerType)
-        .add("checkpoint", BooleanType).add("txns", StringType)) { in =>
+        .add("checkpoint", BooleanType).add("txns", StringType)
+        // dead keys the commit marked via deletion vectors: the
+        // operator's compact()-pressure signal, appended last so
+        // positional consumers keep their columns
+        .add("dv_keys", LongType)) { in =>
       LogTable.history(resolve(in.getString(0))).map { s =>
         Seq(s.version,
           if (s.commitTsMillis > 0L) s.commitTsMillis * 1000L else null,
           s.addedFiles, s.addedRows, s.removedFiles, s.checkpoint,
           if (s.txns.isEmpty) null
           else s.txns.toSeq.sortBy(_._1)
-            .map { case (a, e) => s"$a=$e" }.mkString(","))
+            .map { case (a, e) => s"$a=$e" }.mkString(","),
+          s.dvKeys)
       }
     })
 }

@@ -1497,6 +1497,13 @@ class LogConnectorSpec extends AnyFunSuite {
       // updated-then-merged key: latest image wins everywhere
       assert(spark.sql("SELECT v FROM graftmor.etl.t WHERE k = 2150")
         .head().getString(0) == "upd")
+      // observability: each vector commit reports its dead-key count
+      // through CALL system.snapshots (the compact()-pressure signal)
+      val dvCommits = spark.sql("CALL graftmor.system.snapshots('etl.t')")
+        .filter(col("dv_keys") > 0).collect()
+      assert(dvCommits.length >= 4,
+        s"UPDATE/MERGE/DELETE/key-list-DELETE must each report dv_keys: " +
+          s"${dvCommits.length}")
       // history: the pre-UPDATE version still reads vector-free
       assert(spark.sql(s"SELECT count(*) FROM graftmor.etl.t " +
         s"VERSION AS OF $vPreUpdate WHERE n <> 0").head().getLong(0) == 0L)

@@ -82,48 +82,82 @@ class LogTableModelSpec extends AnyFunSuite {
         s"step $step ($op): feed from v$baseV failed to reconstruct the head")
     }
 
+    // DV sources must arrive with the table's full column set (the
+    // merge-on-read verbs refuse narrower batches): align a (k, v)
+    // batch with typed NULLs for any live scratch columns
+    def aligned(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      LogTable.read(spark, t).schema.fields
+        .filterNot(f => f.name == "k" || f.name == "v")
+        .foldLeft(df)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+
     for (step <- 1 to 30) {
       val op = rnd.nextInt(100) match {
-        case r if r < 28 => // keyed upsert over a random window
+        case r if r < 20 => // keyed upsert over a random window
           val lo = 1L + rnd.nextInt(60)
           val batch = (lo until lo + 1 + rnd.nextInt(12))
             .map(k => k -> s"u$step-$k")
           LogTable.upsert(spark, t, batch.toDF("k", "v"), "k")
           model = model ++ batch
           "upsert"
-        case r if r < 43 => // append of FRESH keys (model stays a map)
+        case r if r < 33 => // append of FRESH keys (model stays a map)
           val batch = (nextFresh until nextFresh + 1 + rnd.nextInt(8))
             .map(k => k -> s"a$step-$k")
           nextFresh += 20
           LogTable.append(spark, t, batch.toDF("k", "v"), "k")
           model = model ++ batch
           "append"
-        case r if r < 58 => // range delete
+        case r if r < 45 => // range delete
           val lo = 1L + rnd.nextInt(50)
           val hi = lo + rnd.nextInt(15)
           LogTable.deleteRange(spark, t, "k", lo, hi)
           model = model.filter { case (k, _) => k < lo || k > hi }
           "deleteRange"
-        case r if r < 66 => // replace-all
+        case r if r < 52 => // replace-all
           val batch = (1L to 10L + rnd.nextInt(20))
             .map(k => k -> s"o$step-$k")
           LogTable.overwriteAll(spark, t, batch.toDF("k", "v"), "k")
           model = batch.toMap
           "overwriteAll"
-        case r if r < 74 => // restore to a surviving recorded version
+        case r if r < 59 => // restore to a surviving recorded version
           val v = history.keys.toSeq(rnd.nextInt(history.size))
           LogTable.restore(t, v)
           model = history(v)
           "restore"
-        case r if r < 82 => // compact (semantic no-op)
+        case r if r < 66 => // compact (semantic no-op; purges vectors)
           LogTable.compact(spark, t, "k", targetRows = 200L)
           "compact"
-        case r if r < 90 => // history truncation (+ its vacuum)
+        case r if r < 73 => // history truncation (+ its vacuum)
           LogTable.truncateHistory(t, keepLast = 2 + rnd.nextInt(3))
           "truncateHistory"
-        case r if r < 95 => // vacuum (no-op on semantics)
+        case r if r < 78 => // vacuum (no-op on semantics)
           LogTable.vacuum(t)
           "vacuum"
+        case r if r < 85 => // MERGE-ON-READ upsert: vectors + appended
+          // images, zero rewrites — same model delta as upsert
+          val lo = 1L + rnd.nextInt(60)
+          val batch = (lo until lo + 1 + rnd.nextInt(10))
+            .map(k => k -> s"dv$step-$k")
+          LogTable.upsertDV(spark, t, aligned(batch.toDF("k", "v")), "k")
+          model = model ++ batch
+          "upsertDV"
+        case r if r < 90 => // MERGE-ON-READ key delete: pure metadata
+          val ks = rnd.shuffle(model.keys.toSeq).take(1 + rnd.nextInt(6))
+          LogTable.deleteKeysDV(spark, t, "k", ks)
+          model = model -- ks
+          "deleteKeysDV"
+        case r if r < 95 => // CONDITIONAL merge-on-read: matched rows
+          // delete when k % 5 == 0, update otherwise; unmatched insert
+          val lo = 1L + rnd.nextInt(60)
+          val batch = (lo until lo + 1 + rnd.nextInt(10))
+            .map(k => k -> s"m$step-$k")
+          LogTable.mergeDV(spark, t, aligned(batch.toDF("k", "v")), "k",
+            updateWhen = Some("true"), deleteWhen = Some("_src_k % 5 = 0"),
+            insertUnmatched = true)
+          model = batch.foldLeft(model) { case (m, (k, v)) =>
+            if (m.contains(k)) { if (k % 5 == 0) m - k else m.updated(k, v) }
+            else m.updated(k, v)
+          }
+          "mergeDV"
         case _ => // schema evolution round-trip: add a scratch column,
           // sometimes drop the previous one (reads check (k, v) only)
           extraCols += 1

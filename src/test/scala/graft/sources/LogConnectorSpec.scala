@@ -351,6 +351,31 @@ class LogConnectorSpec extends AnyFunSuite {
       .exists(x => Option(x.getMessage).exists(_.contains("conflict"))), e.toString)
   }
 
+  test("change feed (batch) crosses a RENAME: all commits serve under head logical names") {
+    val t = tmpTable()
+    LogTable.create(spark, t, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "k")
+    LogTable.upsert(spark, t, Seq((2L, "b2")).toDF("k", "v"), "k")
+    LogTable.renameColumn(spark, t, "v", "label")
+    LogTable.upsert(spark, t, Seq((3L, "c")).toDF("k", "label"), "k")
+    val feed = spark.read.format("graft-log")
+      .option("readChangeFeed", "true").load(t)
+    // the feed's schema is the HEAD's logical shape; pre-rename commits'
+    // images serve under it (physical identity — the files never moved)
+    assert(feed.columns.toSeq == Seq("k", "label", "_change_type", "_commit_version"))
+    val rows = feed.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(rows.exists(r => r._1 == 1L && r._2 == "a" && r._3 == "insert" && r._4 == 1L),
+      s"pre-rename images must serve values under the new name: $rows")
+    val net = rows.groupBy(r => (r._1, r._2))
+      .view.mapValues(rs =>
+        rs.count(_._3 == "insert") - rs.count(_._3 == "delete"))
+      .toMap.filter(_._2 != 0)
+    val head = LogTable.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(net == head, s"feed apply diverged across the rename: net=$net head=$head")
+  }
+
   test("change feed serves deletion-vector commits exactly: net-new delete images, no stale or spurious retractions") {
     val t = tmpTable()
     LogTable.create(spark, t,

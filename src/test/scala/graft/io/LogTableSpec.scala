@@ -739,6 +739,52 @@ class LogTableSpec extends AnyFunSuite {
     assert(r.count() == 11L)
   }
 
+  test("merge-on-read SQL racing a vector delete: loud re-run demand, the racer's delete survives") {
+    val wh = Files.createTempDirectory("graft-mrace").toString
+    spark.conf.set("spark.sql.catalog.graftmrace",
+      classOf[graft.sources.v2.LogCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftmrace.warehouse", wh)
+    spark.sql("CREATE NAMESPACE graftmrace.etl")
+    spark.sql("CREATE TABLE graftmrace.etl.t (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('keyCol'='k')")
+    spark.sql("INSERT INTO graftmrace.etl.t " +
+      "SELECT id, concat('v', id) FROM range(1, 2001)")
+    val path = s"$wh/etl/t"
+    spark.conf.set("spark.graft.rowLevel.mode", "merge-on-read")
+    // the racer vector-deletes one of the statement's matched keys
+    // INSIDE its read-compute-commit window: the delta's decisions
+    // (k=5 gets an updated image) predate the racer's kill — landing
+    // them would RESURRECT the deleted row. The read-set rule must
+    // force a loud re-run instead.
+    LogTable.onCommitAttempt = () => {
+      LogTable.onCommitAttempt = () => ()
+      LogTable.deleteKeysDV(spark, path, "k", Seq(5L))
+    }
+    val e =
+      try intercept[Exception] {
+        spark.sql("UPDATE graftmrace.etl.t SET v = 'upd' WHERE k IN (5, 1500)")
+      } finally {
+        LogTable.onCommitAttempt = () => ()
+        spark.conf.unset("spark.graft.rowLevel.mode")
+      }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("re-run"), s"expected the loud re-run demand, got: $msgs")
+    // the racer's delete survived; the failed statement applied NOTHING
+    assert(spark.sql("SELECT count(*) FROM graftmrace.etl.t WHERE k = 5")
+      .head().getLong(0) == 0L, "the merge-on-read race resurrected a deleted row")
+    assert(spark.sql("SELECT v FROM graftmrace.etl.t WHERE k = 1500")
+      .head().getString(0) == "v1500", "a failed statement half-applied")
+    // the demanded re-run then succeeds and serializes after the racer
+    spark.conf.set("spark.graft.rowLevel.mode", "merge-on-read")
+    try spark.sql("UPDATE graftmrace.etl.t SET v = 'upd' WHERE k IN (5, 1500)")
+    finally spark.conf.unset("spark.graft.rowLevel.mode")
+    assert(spark.sql("SELECT count(*) FROM graftmrace.etl.t WHERE k = 5")
+      .head().getLong(0) == 0L, "the re-run matched a key the racer deleted")
+    assert(spark.sql("SELECT v FROM graftmrace.etl.t WHERE k = 1500")
+      .head().getString(0) == "upd")
+  }
+
   test("deleteRange vs racing append into the range: the delete serializes after, rows do not survive") {
     val t = tmpTable()
     LogTable.create(spark, t,

@@ -117,10 +117,13 @@ class LogDeltaBatchWrite(
 
   private val staging = LogTable.newStagingDir(path)
 
-  // RENAMED tables: task parts carry PHYSICAL names, pinned here and
-  // validated unchanged at commit (same contract as LogGroupBatchWrite).
-  private val mapping =
-    LogTable.mappingOf(LogTable.snapshotWithSchema(path, None)._3)
+  // RENAMED tables: task parts carry PHYSICAL names. The mapping comes
+  // from the STATEMENT'S OWN resolved schema (tableSchema carries the
+  // rename metadata the table load served), not a fresh head read — so
+  // the parts agree with the names Spark resolved the statement
+  // against, and the commit-time stability guard covers every rename
+  // that lands after resolution.
+  private val mapping = LogTable.mappingOf(Some(tableSchema))
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DeltaWriterFactory = {

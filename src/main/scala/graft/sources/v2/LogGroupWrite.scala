@@ -34,18 +34,17 @@ import graft.io.LogTable
   * same shape, bigger payload. */
 class LogGroupBatchWrite(
     path: String, snapVersion: Long, removeFiles: () => Seq[String],
-    writeSchema: StructType) extends BatchWrite {
+    writeSchema: StructType,
+    // RENAMED tables: tasks must write parts under PHYSICAL names
+    // (files and manifest stats carry physical names forever; a
+    // logical-named part would read as typed NULLs). The mapping is
+    // pinned by the CALLER from the statement's resolved schema and
+    // validated unchanged at commit — a rename landing mid-statement
+    // fails loudly instead of registering parts the new mapping no
+    // longer describes. Empty on never-renamed tables.
+    mapping: Map[String, String] = Map.empty) extends BatchWrite {
 
   private val staging = LogTable.newStagingDir(path)
-
-  // RENAMED tables: tasks must write parts under PHYSICAL names (files
-  // and manifest stats carry physical names forever; a logical-named
-  // part would read as typed NULLs). The mapping is pinned HERE at
-  // write-build time and validated unchanged at commit — a rename
-  // landing mid-statement fails loudly instead of registering parts the
-  // new mapping no longer describes. Identity on never-renamed tables.
-  private val mapping =
-    LogTable.mappingOf(LogTable.snapshotWithSchema(path, None)._3)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new LogGroupWriterFactory(staging.toString,

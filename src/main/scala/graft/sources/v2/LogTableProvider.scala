@@ -263,7 +263,7 @@ class LogTableTable(
       s"graft-log: unknown spark.graft.rowLevel.mode '$mode' — use " +
         "copy-on-write or merge-on-read")
     () => new org.apache.spark.sql.connector.write.RowLevelOperation {
-      private val (snapVersion, snapshot, _) =
+      private val (snapVersion, snapshot, snapSchema) =
         LogTable.snapshotWithSchema(path, None)
       // files the search scan actually planned — the groups the write
       // replaces. Volatile: scan planning and write commit happen on
@@ -309,7 +309,12 @@ class LogTableTable(
                     s"graft-log row-level op on $path: the search scan was " +
                       "never planned (onPlanned did not fire) — refusing a " +
                       "commit that cannot know which files it replaces"))
-                    .map(_.file), wi.schema())
+                    .map(_.file), wi.schema(),
+                  // mapping from the op's PINNED schema (statement
+                  // resolution time), not wi.schema(): assigned columns
+                  // arrive as aliases whose metadata Spark does not
+                  // guarantee to carry the rename mapping
+                  LogTable.mappingOf(snapSchema))
             }
         }
     }

@@ -71,6 +71,14 @@ class LogDeltaRowLevelOperation(
   override def rowId(): Array[NamedReference] =
     Array(Expressions.column(keyCol))
 
+  /** Updates arrive as DELETE + INSERT pairs rather than update() calls:
+    * for this writer the two spellings commit identically (the old key
+    * vectors, the image appends), and the split is what lets Spark
+    * accept an UPDATE that reassigns the KEY column itself — the old
+    * identity dies, the new one inserts (rejected outright with
+    * in-place updates, since the row ID would change under the write). */
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
   /** `_file` in the delta feed is what makes vectors PRECISE: each dead
     * key attaches only to the file that served the row, never to every
     * file whose key range happens to cover it. Skipped when a data

@@ -1522,6 +1522,16 @@ class LogConnectorSpec extends AnyFunSuite {
       // updated-then-merged key: latest image wins everywhere
       assert(spark.sql("SELECT v FROM graftmor.etl.t WHERE k = 2150")
         .head().getString(0) == "upd")
+      // KEY-reassigning UPDATE: legal under the delta split (updates run
+      // as delete+insert) — the old identity vectors dead, the new one
+      // appends; total count holds
+      spark.sql("UPDATE graftmor.etl.t SET k = 90001 WHERE k = 42")
+      assert(spark.sql("SELECT count(*) FROM graftmor.etl.t WHERE k = 42")
+        .head().getLong(0) == 0L)
+      assert(spark.sql("SELECT v FROM graftmor.etl.t WHERE k = 90001")
+        .head().getString(0) == "v42")
+      assert(spark.sql("SELECT count(*) FROM graftmor.etl.t")
+        .head().getLong(0) == 4002L)
       // observability: each vector commit reports its dead-key count
       // through CALL system.snapshots (the compact()-pressure signal)
       val dvCommits = spark.sql("CALL graftmor.system.snapshots('etl.t')")

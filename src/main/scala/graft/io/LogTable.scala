@@ -129,7 +129,13 @@ object LogTable {
       version: Long, adds: Seq[FileEntry], removes: Seq[String],
       schema: String = "", checkpoint: Boolean = false, keyCol: String = "",
       txns: Map[String, Long] = Map.empty, ts: Long = 0L,
-      dvs: Map[String, Seq[Long]] = Map.empty)
+      dvs: Map[String, Seq[Long]] = Map.empty,
+      // user table properties SET by this commit (TBLPROPERTIES): the
+      // table's property state is the FOLD of these maps over versions
+      // ([[tableProps]]), an empty value is the UNSET tombstone, and
+      // checkpoints carry the fold-to-date. Keys and values are
+      // manifest-safe plain tokens by [[setProperties]]'s guard.
+      props: Map[String, String] = Map.empty)
 
   // ---- column mapping (RENAME COLUMN, Delta name-mode playbook) ----
   //
@@ -243,9 +249,18 @@ object LogTable {
         .map { case (f, ks) =>
           s""""${esc(f)}":${ks.sorted.mkString("[", ",", "]")}""" }
         .mkString(""","dvs":{""", ",", "}")
+    // props entries are manifest-safe plain tokens (setProperties
+    // guards both keys and values), so the flat object parse is exact;
+    // the brace-anchored pattern can never match an adds-block stats key
+    // of the same name (those render as arrays or numbers)
+    val props =
+      if (m.props.isEmpty) ""
+      else m.props.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
+        .mkString(""","props":{""", ",", "}")
     // schema LAST: its value is itself JSON-with-quotes (escaped), and
     // the adds/removes block regexes below must never scan past into it
-    s"""{"version":${m.version}$ts,"adds":$adds,"removes":$removes$ckpt$key$txns$dvs,"schema":"${esc(m.schema)}"}"""
+    s"""{"version":${m.version}$ts,"adds":$adds,"removes":$removes$ckpt$key$txns$dvs$props,"schema":"${esc(m.schema)}"}"""
   }
 
   private[io] def parse(json: String): Manifest = {
@@ -324,9 +339,18 @@ object LogTable {
              else m.group(2).split(",").toSeq.map(_.trim.toLong)))
           .toMap
       }.getOrElse(Map.empty[String, Seq[Long]])
+    // props: flat string-valued object at top level only — the
+    // brace-anchored pattern skips adds-block stats keys of the same
+    // name (array/number forms) and the escaped schema string (whose
+    // quotes are all \" — the raw-quote anchor never matches inside it)
+    val props = """"props":\{(.*?)\}""".r.findFirstMatchIn(json)
+      .map(_.group(1)).map { block =>
+        """"((?:[^"\\]|\\.)+)":"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(block)
+          .map(m => unesc(m.group(1)) -> unesc(m.group(2))).toMap
+      }.getOrElse(Map.empty[String, String])
     Manifest(version, adds, removes, schema,
       checkpoint = json.contains(""""checkpoint":true"""), keyCol = keyCol,
-      txns = txns, ts = ts, dvs = dvs)
+      txns = txns, ts = ts, dvs = dvs, props = props)
   }
 
   private def manifests(table: String): Seq[Manifest] = {
@@ -437,6 +461,62 @@ object LogTable {
     * `keyCol` table property), None for pre-r11 logs. */
   def tableKeyCol(table: String): Option[String] =
     manifests(table).reverse.iterator.map(_.keyCol).find(_.nonEmpty)
+
+  /** USER table properties at `asOf` (head when None): the fold of the
+    * manifests' props maps, later commit wins per key, empty values are
+    * UNSET tombstones (filtered out of the answer). Checkpoints carry
+    * the fold-to-date, so history truncation never forgets a property.
+    * The computed surface (keyCol/format/version) lives beside these in
+    * the connector's `properties()`, never here. */
+  def tableProps(
+      table: String, asOf: Option[Long] = None): Map[String, String] =
+    manifests(table).filter(m => asOf.forall(m.version <= _))
+      .foldLeft(Map.empty[String, String])((acc, m) => acc ++ m.props)
+      .filter(_._2.nonEmpty)
+
+  /** `ALTER TABLE SET/UNSET TBLPROPERTIES` as ONE metadata-only commit:
+    * `set` entries land, `unset` keys tombstone (an unknown unset key is
+    * the SQL no-op), and the fold serves the merged state. Keys and
+    * values must be manifest-safe plain tokens (same character policy as
+    * streaming app ids — the flat manifest parse depends on it), and the
+    * computed property names refuse (they are derived, not stored). */
+  private def validateProps(
+      table: String, set: Map[String, String], unset: Seq[String]): Unit = {
+    val reserved = Set("keycol", "format", "version", "provider", "location")
+    def safe(s: String, what: String): Unit =
+      require(!s.exists(c => "{}[]\":,\\".contains(c) || c < 0x20),
+        s"table properties on $table: $what '$s' carries JSON-structural " +
+          "or control characters — use plain tokens")
+    (set.keys ++ unset).foreach { k =>
+      require(k.nonEmpty, s"table properties on $table: empty property key")
+      safe(k, "key")
+      require(!reserved(k.toLowerCase(java.util.Locale.ROOT)),
+        s"table properties on $table: '$k' is a computed table property " +
+          "(derived from the log, never stored)")
+    }
+    set.foreach { case (k, v) =>
+      require(v.nonEmpty,
+        s"table properties on $table: empty value for '$k' — UNSET removes keys")
+      safe(v, "value")
+    }
+  }
+
+  def setProperties(
+      table: String, set: Map[String, String],
+      unset: Seq[String] = Seq.empty): Unit = {
+    validateProps(table, set, unset)
+    val delta = set ++ unset.map(_ -> "")
+    if (delta.isEmpty) return
+    def attempt(): Unit = {
+      val (v, _, sc) = snapshotWithSchema(table, None)
+      require(v > 0, s"setProperties($table): table does not exist")
+      commit(table, v, adds = Seq.empty, removes = Seq.empty,
+        reRun = () => attempt(),
+        schema = sc.map(_.json).getOrElse(""),
+        keyCol = tableKeyCol(table).getOrElse(""), props = delta)
+    }
+    attempt()
+  }
 
   /** True iff the snapshot at `asOf` (head when None) PROVES the key
     * column holds no NULL: every live file's manifest stats carry a
@@ -619,14 +699,16 @@ object LogTable {
     * exactly v1 with the same loser-loses race rule as [[create]]. */
   def createEmpty(
       table: String, schema: org.apache.spark.sql.types.StructType,
-      keyCol: String): Unit = {
+      keyCol: String, props: Map[String, String] = Map.empty): Unit = {
     require(schema.fieldNames.contains(keyCol),
       s"createEmpty($table): key column '$keyCol' is not in the schema " +
         s"(${schema.fieldNames.mkString(", ")})")
+    validateProps(table, props, Seq.empty)
     Files.createDirectories(logDir(table))
     Files.createDirectories(dataDir(table))
     val m = Manifest(1L, adds = Seq.empty, removes = Seq.empty,
-      schema = schema.json, keyCol = keyCol, ts = System.currentTimeMillis())
+      schema = schema.json, keyCol = keyCol, ts = System.currentTimeMillis(),
+      props = props)
     val tmp = logDir(table).resolve(s".tmp-${java.util.UUID.randomUUID()}")
     Files.writeString(tmp, render(m))
     try Files.createLink(versionPath(table, 1L), tmp)
@@ -2441,8 +2523,11 @@ object LogTable {
       keyCol = tableKeyCol(table).getOrElse(""), txns = txnsAtCut,
       ts = tsAtCut,
       // the fold RESETS at a checkpoint, so it must carry the deletion
-      // vectors accumulated at the cut or the dead rows come back
-      dvs = liveDvs(table, Some(cut)))
+      // vectors accumulated at the cut or the dead rows come back —
+      // and the table-property fold, or truncation would silently
+      // unset every property committed below the cut
+      dvs = liveDvs(table, Some(cut)),
+      props = tableProps(table, Some(cut)))
     // atomic REPLACE of v{cut}: full content lands under a temp name,
     // then rename(2) swaps it in — unlike commit's create-link claim,
     // replacement is the intent here and rename's replace is atomic
@@ -2574,7 +2659,8 @@ object LogTable {
       // the files their decisions were computed from (mergeDV): a racer
       // dropping or vector-deleting rows under any of these files
       // invalidates the decisions — recompute instead of re-claiming.
-      requireLive: Seq[String] = Seq.empty): Boolean = {
+      requireLive: Seq[String] = Seq.empty,
+      props: Map[String, String] = Map.empty): Boolean = {
     var expected = snapshotVersion
     var committedSchema = schema
     var tries = attempts
@@ -2592,7 +2678,8 @@ object LogTable {
       onCommitAttempt()
       val v = expected + 1
       val m = Manifest(v, adds, removes, committedSchema, keyCol = keyCol,
-        txns = txns, ts = System.currentTimeMillis(), dvs = dvs)
+        txns = txns, ts = System.currentTimeMillis(), dvs = dvs,
+        props = props)
       // Publish atomically: fully write the manifest to a hidden temp
       // name (readers only match v########.json), then HARD-LINK it to
       // the version path — link(2) both fails-if-exists (the optimistic

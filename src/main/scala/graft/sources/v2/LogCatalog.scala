@@ -128,9 +128,19 @@ class LogCatalog extends TableCatalog with SupportsNamespaces
     }.getOrElse(throw new IllegalArgumentException(
       s"graft-log: CREATE TABLE ${ident.toString} needs the key column — " +
         "TBLPROPERTIES ('keyCol'='<column>')"))
+    // every other TBLPROPERTIES entry persists in the v1 manifest
+    // (LogTable.tableProps serves the fold; SHOW TBLPROPERTIES surfaces
+    // them) — minus Spark's own bookkeeping keys and write options
+    val sparkInternal = Set("provider", "location", "owner", "comment",
+      "external", "is_managed_location")
+    val userProps = props.collect {
+      case (k, v) if !k.equalsIgnoreCase("keyCol") &&
+        !k.toLowerCase.startsWith(TableCatalog.OPTION_PREFIX) &&
+        !sparkInternal(k.toLowerCase) => k -> v
+    }.toMap
     val path = pathOf(ident)
     Files.createDirectories(dirOf(ident.namespace()))
-    try LogTable.createEmpty(path, schema, keyCol)
+    try LogTable.createEmpty(path, schema, keyCol, userProps)
     catch {
       case _: graft.io.TableAlreadyExistsException =>
         throw new TableAlreadyExistsException(ident)
@@ -149,6 +159,23 @@ class LogCatalog extends TableCatalog with SupportsNamespaces
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val path = pathOf(ident)
     if (!isTableDir(Paths.get(path))) throw new NoSuchTableException(ident)
+    // SET/UNSET TBLPROPERTIES: one metadata commit carrying the whole
+    // statement's delta (LogTable.setProperties; unset keys tombstone
+    // in the fold). Never mixed with column changes — Spark's grammar
+    // already separates the statements, so a mix is a programmatic call
+    // and refuses rather than half-applying.
+    val propSets = changes.collect { case s: TableChange.SetProperty => s }
+    val propRemoves = changes.collect { case r: TableChange.RemoveProperty => r }
+    if (propSets.nonEmpty || propRemoves.nonEmpty) {
+      if (propSets.size + propRemoves.size != changes.size)
+        throw new UnsupportedOperationException(
+          "graft-log: ALTER TABLE cannot mix TBLPROPERTIES changes with " +
+            "column changes in one statement")
+      LogTable.setProperties(path,
+        propSets.map(s => s.property -> s.value).toMap,
+        propRemoves.map(_.property))
+      return loadTable(ident)
+    }
     // validate EVERY change before committing ANY (an ALTER is one
     // statement — half-applying `ADD COLUMNS (a INT, b MAP<..>)` would
     // leave a state no serial execution produces), then land the whole

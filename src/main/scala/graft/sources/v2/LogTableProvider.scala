@@ -232,17 +232,17 @@ class LogTableTable(
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     if (asOf.isDefined) throw new UnsupportedOperationException(
       "graft-log: cannot modify an asOf snapshot — history is immutable")
-    // `spark.graft.rowLevel.mode` picks the statement's physical
-    // strategy: `copy-on-write` (default) plans a group replacement —
-    // cost proportional to the files holding matched rows, right for
-    // bulk changes; `merge-on-read` plans a row DELTA that commits
-    // deletion vectors + appended images with ZERO files rewritten
-    // ([[LogDeltaRowLevelOperation]]) — right for small-key statements
-    // against big files. Merge-on-read needs a provably non-null key
-    // (Spark rejects nullable row IDs), which [[LogTableProvider
-    // .schemaOf]] declares exactly when the manifest stats prove it.
-    val mode = SparkSession.active.conf
-      .get("spark.graft.rowLevel.mode", "copy-on-write")
+    // The row-level strategy — session conf > stored `rowLevel` table
+    // property > copy-on-write ([[rowLevelMode]]): `copy-on-write`
+    // plans a group replacement — cost proportional to the files
+    // holding matched rows, right for bulk changes; `merge-on-read`
+    // plans a row DELTA that commits deletion vectors + appended images
+    // with ZERO files rewritten ([[LogDeltaRowLevelOperation]]) — right
+    // for small-key statements against big files. Merge-on-read needs a
+    // provably non-null key (Spark rejects nullable row IDs), which
+    // [[LogTableProvider.schemaOf]] declares exactly when the manifest
+    // stats prove it.
+    val mode = rowLevelMode
     if (mode == "merge-on-read") {
       val key = LogTable.tableKeyCol(path).getOrElse(
         throw new UnsupportedOperationException(
@@ -334,8 +334,7 @@ class LogTableTable(
     // key-list fast path (deleteKeysDV); every other predicate refuses
     // here so Spark falls back to the row-level DELTA plan, which
     // commits vectors instead of rewriting files — the mode's contract.
-    if (SparkSession.active.conf
-        .get("spark.graft.rowLevel.mode", "copy-on-write") == "merge-on-read")
+    if (rowLevelMode == "merge-on-read")
       return pureKeyList(filters).exists(_.size <= LogTable.DvMaxKeys)
     filters.forall(f => LogTableTable.filterToColumn(f).isDefined)
   }
@@ -410,6 +409,9 @@ class LogTableTable(
     * Informational — computed at load, not live. */
   override def properties(): util.Map[String, String] = {
     val m = new util.HashMap[String, String]()
+    // USER properties first (the stored TBLPROPERTIES fold at this
+    // snapshot), computed ones after so they can never be shadowed
+    LogTable.tableProps(path, asOf).foreach { case (k, v) => m.put(k, v) }
     // "provider"/"location" are Spark-reserved property names (filtered
     // out of SHOW TBLPROPERTIES) — use format-prefixed keys instead
     m.put("format", "graft-log")
@@ -417,6 +419,14 @@ class LogTableTable(
     m.put("version", asOf.getOrElse(LogTable.version(path)).toString)
     m
   }
+
+  /** The statement's row-level strategy: the SESSION conf when set
+    * (operator override), else the table's stored `rowLevel` property
+    * (the per-table policy, the Delta/Iceberg idiom), else copy-on-write. */
+  private def rowLevelMode: String =
+    SparkSession.active.conf.getOption("spark.graft.rowLevel.mode")
+      .orElse(LogTable.tableProps(path).get("rowLevel"))
+      .getOrElse("copy-on-write")
   // ACCEPT_ANY_SCHEMA: without it Spark's TableOutputResolver enforces
   // exact column arity against schema() at ANALYSIS time, so a
   // schema-evolving append (a wider batch) dies with

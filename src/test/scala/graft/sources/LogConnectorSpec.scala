@@ -1670,6 +1670,64 @@ class LogConnectorSpec extends AnyFunSuite {
     assert(old.filter("k = 1500").head().getString(1) == "v1500")
   }
 
+  test("TBLPROPERTIES persist: CREATE + SET/UNSET, per-table merge-on-read policy, truncation-proof") {
+    val wh = Files.createTempDirectory("graft-logprops").toString
+    spark.conf.set("spark.sql.catalog.graftprops", classOf[LogCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftprops.warehouse", wh)
+    spark.sql("CREATE NAMESPACE graftprops.etl")
+    spark.sql("CREATE TABLE graftprops.etl.t (k BIGINT, v STRING, n BIGINT) " +
+      "TBLPROPERTIES ('keyCol'='k', 'rowLevel'='merge-on-read', 'team'='data-eng')")
+    for (i <- 0 until 2)
+      spark.sql(s"INSERT INTO graftprops.etl.t SELECT /*+ REPARTITION(1) */ " +
+        s"id, concat('v', id), 0 FROM range(${i * 1000}, ${i * 1000 + 1000})")
+    val t = s"$wh/etl/t"
+    def shown(): Map[String, String] =
+      spark.sql("SHOW TBLPROPERTIES graftprops.etl.t").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    // stored properties surface beside the computed ones
+    val p0 = shown()
+    assert(p0.get("rowLevel").contains("merge-on-read"), p0.toString)
+    assert(p0.get("team").contains("data-eng"))
+    assert(p0.get("keyCol").contains("k") && p0.get("format").contains("graft-log"))
+    // the PER-TABLE policy alone (no session conf) plans the delta
+    // write: zero files rewritten, vectors committed
+    val files0 = LogTable.read(spark, t).inputFiles.toSet
+    spark.sql("UPDATE graftprops.etl.t SET n = 1 WHERE k >= 100 AND k < 140")
+    assert(files0.subsetOf(LogTable.read(spark, t).inputFiles.toSet),
+      "the stored rowLevel=merge-on-read policy did not take effect")
+    assert(graft.io.LogTable.liveDvs(t, None).nonEmpty)
+    assert(spark.sql("SELECT count(*) FROM graftprops.etl.t WHERE n = 1")
+      .head().getLong(0) == 40L)
+    // the SESSION conf overrides the table policy (operator escape hatch)
+    spark.conf.set("spark.graft.rowLevel.mode", "copy-on-write")
+    try {
+      val before = LogTable.read(spark, t).inputFiles.toSet
+      spark.sql("UPDATE graftprops.etl.t SET n = 2 WHERE k >= 1100 AND k < 1140")
+      assert((before -- LogTable.read(spark, t).inputFiles.toSet).size == 1,
+        "the session override must force the copy-on-write rewrite")
+    } finally spark.conf.unset("spark.graft.rowLevel.mode")
+    // ALTER ... UNSET removes the policy: back to the copy-on-write default
+    spark.sql("ALTER TABLE graftprops.etl.t UNSET TBLPROPERTIES ('rowLevel')")
+    assert(!shown().contains("rowLevel"))
+    val before2 = LogTable.read(spark, t).inputFiles.toSet
+    spark.sql("UPDATE graftprops.etl.t SET n = 3 WHERE k >= 200 AND k < 240")
+    assert((before2 -- LogTable.read(spark, t).inputFiles.toSet).nonEmpty,
+      "without the policy the default must rewrite (copy-on-write)")
+    // SET updates; the fold survives history truncation (the checkpoint
+    // carries the property fold like it carries txns and vectors)
+    spark.sql("ALTER TABLE graftprops.etl.t SET TBLPROPERTIES ('team'='ml')")
+    spark.sql("CALL graftprops.system.truncate_history('etl.t', 2, 0)")
+    val pAfter = shown()
+    assert(pAfter.get("team").contains("ml"),
+      s"history truncation forgot a table property: $pAfter")
+    assert(!pAfter.contains("rowLevel"), "truncation resurrected an unset key")
+    // computed names refuse storage
+    val e = intercept[Exception](spark.sql(
+      "ALTER TABLE graftprops.etl.t SET TBLPROPERTIES ('keyCol'='v')"))
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(x => Option(x.getMessage).exists(_.contains("computed"))), e.toString)
+  }
+
   test("keyed registration rejects NULL keys (the identifier-field rule)") {
     val t = tmpTable()
     // one part holding a valid AND a null key: stats exist, the null

@@ -757,7 +757,11 @@ object LogTable {
       // the clone must carry the source's deletion vectors: its v1
       // lists the same files, and serving them vector-free would
       // resurrect the dead rows in the copy
-      dvs = liveDvs(src, asOf))
+      dvs = liveDvs(src, asOf),
+      // ... and the source's TABLE-PROPERTY fold at the cloned version:
+      // a clone of a merge-on-read table silently reverting to
+      // copy-on-write would be a policy change nobody asked for
+      props = tableProps(src, asOf))
     val tmp = logDir(dst).resolve(s".tmp-${java.util.UUID.randomUUID()}")
     Files.writeString(tmp, render(m))
     try Files.createLink(versionPath(dst, 1L), tmp)

@@ -1726,6 +1726,11 @@ class LogConnectorSpec extends AnyFunSuite {
       "ALTER TABLE graftprops.etl.t SET TBLPROPERTIES ('keyCol'='v')"))
     assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
       .exists(x => Option(x.getMessage).exists(_.contains("computed"))), e.toString)
+    // a clone carries the property fold (a policy must not silently
+    // revert in the copy)
+    val dst = Files.createTempDirectory("graft-logprops-cl").resolve("c").toString
+    graft.io.LogTable.cloneTable(t, dst)
+    assert(graft.io.LogTable.tableProps(dst).get("team").contains("ml"))
   }
 
   test("keyed registration rejects NULL keys (the identifier-field rule)") {

@@ -627,7 +627,13 @@ class LogTableSpec extends AnyFunSuite {
       dvs <- Gen.mapOf(Gen.zip(nameGen,
         Gen.listOf(Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2))
           .map(ks => ks.distinct.sorted: Seq[Long])))
-    } yield LogTable.Manifest(v, adds, removes, schema, ckpt, dvs = dvs)
+      // table properties: manifest-safe plain tokens (setProperties'
+      // admitted charset) — including EMPTY values, the UNSET tombstones
+      // the fold depends on round-tripping exactly
+      props <- Gen.mapOf(Gen.zip(nameGen,
+        Gen.oneOf(Gen.const(""), nameGen)))
+    } yield LogTable.Manifest(v, adds, removes, schema, ckpt, dvs = dvs,
+      props = props)
     samples(manifestGen, 300).foreach { m =>
       val back = LogTable.parse(LogTable.render(m))
       assert(back == m, s"round-trip drift:\n  in  $m\n  out $back\n  json ${LogTable.render(m)}")

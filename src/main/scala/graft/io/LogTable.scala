@@ -135,7 +135,16 @@ object LogTable {
       // ([[tableProps]]), an empty value is the UNSET tombstone, and
       // checkpoints carry the fold-to-date. Keys and values are
       // manifest-safe plain tokens by [[setProperties]]'s guard.
-      props: Map[String, String] = Map.empty)
+      props: Map[String, String] = Map.empty,
+      // POSITIONAL deletion vectors: data file → sidecar-file names under
+      // `_dv/`, each a serialized roaring bitmap of dead ROW POSITIONS in
+      // that file (the Delta/Iceberg bitmap-DV design). Unlike `dvs` (key
+      // sets, inline, budgeted by [[DvMaxKeys]]) these are O(rows-deleted)
+      // BITS off-manifest, so bulk DELETE/MERGE stays merge-on-read with
+      // no cap. Fold semantics mirror dvs exactly: sidecars accumulate per
+      // file (bitmaps OR at read), a file's removal drops its vectors,
+      // checkpoints carry the fold-to-date.
+      dvp: Map[String, Seq[String]] = Map.empty)
 
   // ---- column mapping (RENAME COLUMN, Delta name-mode playbook) ----
   //
@@ -249,6 +258,16 @@ object LogTable {
         .map { case (f, ks) =>
           s""""${esc(f)}":${ks.sorted.mkString("[", ",", "]")}""" }
         .mkString(""","dvs":{""", ",", "}")
+    // dvp entries are file name → sidecar-name ARRAY (engine-minted
+    // UUIDs both sides — no quotes/braces); string-array values keep the
+    // pattern distinct from dvs' number arrays, and the brace anchor
+    // skips same-named stats keys exactly as for dvs
+    val dvp =
+      if (m.dvp.isEmpty) ""
+      else m.dvp.toSeq.sortBy(_._1)
+        .map { case (f, ss) =>
+          s""""${esc(f)}":${ss.sorted.map(s => s""""${esc(s)}"""").mkString("[", ",", "]")}""" }
+        .mkString(""","dvp":{""", ",", "}")
     // props entries are manifest-safe plain tokens (setProperties
     // guards both keys and values), so the flat object parse is exact;
     // the brace-anchored pattern can never match an adds-block stats key
@@ -260,7 +279,7 @@ object LogTable {
         .mkString(""","props":{""", ",", "}")
     // schema LAST: its value is itself JSON-with-quotes (escaped), and
     // the adds/removes block regexes below must never scan past into it
-    s"""{"version":${m.version}$ts,"adds":$adds,"removes":$removes$ckpt$key$txns$dvs$props,"schema":"${esc(m.schema)}"}"""
+    s"""{"version":${m.version}$ts,"adds":$adds,"removes":$removes$ckpt$key$txns$dvs$dvp$props,"schema":"${esc(m.schema)}"}"""
   }
 
   private[io] def parse(json: String): Manifest = {
@@ -310,8 +329,12 @@ object LogTable {
     val removesBlock = """"removes":\[(.*?)\]""".r
       .findFirstMatchIn(json).get.group(1)
     val removes = """"([^"]*)"""".r.findAllMatchIn(removesBlock).map(_.group(1)).toSeq
-    val schema = """"schema":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(json)
-      .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+    // schema anchors to the LAST match: render always places it as the
+    // final field, after props — so even a (now-refused, but possibly
+    // pre-existing) stored property named "schema" can't alias it
+    val schema = """"schema":"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(json)
+      .foldLeft(Option.empty[String])((_, m) => Some(m.group(1)))
+      .map(_.replace("\\\"", "\"").replace("\\\\", "\\"))
       .getOrElse("")
     val keyCol = """"keyCol":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(json)
       .map(m => unesc(m.group(1))).getOrElse("")
@@ -348,9 +371,20 @@ object LogTable {
         """"((?:[^"\\]|\\.)+)":"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(block)
           .map(m => unesc(m.group(1)) -> unesc(m.group(2))).toMap
       }.getOrElse(Map.empty[String, String])
+    // dvp: file → string-array of sidecar names; the `["`-anchored value
+    // pattern can never match dvs' number arrays or stats shapes
+    val dvp = """"dvp":\{(.*?)\}""".r.findFirstMatchIn(json)
+      .map(_.group(1)).map { block =>
+        """"((?:[^"\\]|\\.)+)":\[([^\]]*)\]""".r.findAllMatchIn(block)
+          .map(m => unesc(m.group(1)) ->
+            (if (m.group(2).isEmpty) Seq.empty[String]
+             else """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(m.group(2))
+               .map(x => unesc(x.group(1))).toSeq))
+          .toMap
+      }.getOrElse(Map.empty[String, Seq[String]])
     Manifest(version, adds, removes, schema,
       checkpoint = json.contains(""""checkpoint":true"""), keyCol = keyCol,
-      txns = txns, ts = ts, dvs = dvs, props = props)
+      txns = txns, ts = ts, dvs = dvs, props = props, dvp = dvp)
   }
 
   private def manifests(table: String): Seq[Manifest] = {
@@ -424,6 +458,88 @@ object LogTable {
     }.toMap
   }
 
+  /** Live POSITIONAL deletion vectors at `asOf` (head when None): the
+    * [[liveDvs]] fold over the manifests' `dvp` maps — sidecar names
+    * accumulate per file, a file's removal (rewrite/compaction/restore)
+    * drops its vectors in the same step. */
+  private[graft] def livePosDvs(
+      table: String, asOf: Option[Long]): Map[String, Seq[String]] = {
+    val ms = manifests(table).filter(m => asOf.forall(m.version <= _))
+    val acc = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.LinkedHashSet[String]]
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    ms.foreach { m =>
+      if (m.checkpoint) { acc.clear(); live.clear() }
+      m.removes.foreach { f => acc.remove(f); live.remove(f) }
+      m.adds.foreach(a => live.add(a.file))
+      m.dvp.foreach { case (f, ss) =>
+        acc.getOrElseUpdate(f,
+          scala.collection.mutable.LinkedHashSet.empty) ++= ss
+      }
+    }
+    acc.iterator.collect {
+      case (f, s) if live.contains(f) => f -> (s.toSeq: Seq[String])
+    }.toMap
+  }
+
+  /** The COMPLETE live deletion-vector state of a snapshot: per-file dead
+    * KEY sets (small-delta verbs, inline in manifests) and per-file
+    * POSITIONAL sidecars (bulk verbs, roaring bitmaps under `_dv/`). A
+    * row is dead when EITHER marks it. Typed as one carrier so every
+    * read path handles both by construction — [[readFiles]] refuses to
+    * compile against half the state. */
+  private[graft] final case class DvState(
+      keys: Map[String, Seq[Long]], pos: Map[String, Seq[String]]) {
+    def isEmpty: Boolean = keys.isEmpty && pos.isEmpty
+  }
+  private[graft] object DvState {
+    val empty: DvState = DvState(Map.empty, Map.empty)
+  }
+  private[graft] def liveDvState(table: String, asOf: Option[Long]): DvState =
+    DvState(liveDvs(table, asOf), livePosDvs(table, asOf))
+
+  /** Positional-vector sidecar directory (sibling of `data/` and
+    * `_log/`). Sidecars are immutable once referenced; a sidecar of a
+    * removed file becomes invisible through the fold and is swept by
+    * [[vacuum]] once NO manifest references it. */
+  private[graft] def dvDir(table: String): Path =
+    Paths.get(table).resolve("_dv")
+
+  /** Serialize one dead-position bitmap to a fresh sidecar under `_dv/`;
+    * returns the sidecar name for the manifest's dvp entry. Executor- or
+    * driver-side (plain file IO, engine-minted UUID name — same
+    * crash-invisibility story as staged data parts: unreferenced
+    * sidecars are invisible and vacuumable). */
+  private[graft] def writePosDvSidecar(
+      table: String, bm: org.roaringbitmap.longlong.Roaring64Bitmap): String = {
+    Files.createDirectories(dvDir(table))
+    val name = s"dv-${java.util.UUID.randomUUID()}.bin"
+    val out = new java.io.DataOutputStream(
+      new java.io.BufferedOutputStream(
+        Files.newOutputStream(dvDir(table).resolve(name))))
+    try { bm.runOptimize(); bm.serialize(out) } finally out.close()
+    name
+  }
+
+  /** Load and OR a set of sidecars into one bitmap. Missing-file reads
+    * fail loudly — a referenced sidecar that is gone means external
+    * deletion of live table state, never a condition to mask. */
+  private[graft] def loadPosDv(
+      table: String, names: Seq[String]): org.roaringbitmap.longlong.Roaring64Bitmap = {
+    val acc = new org.roaringbitmap.longlong.Roaring64Bitmap()
+    names.foreach { n =>
+      val in = new java.io.DataInputStream(
+        new java.io.BufferedInputStream(
+          Files.newInputStream(dvDir(table).resolve(n))))
+      try {
+        val one = new org.roaringbitmap.longlong.Roaring64Bitmap()
+        one.deserialize(in)
+        acc.or(one)
+      } finally in.close()
+    }
+    acc
+  }
+
   /** Per-commit deletion-vector key budget: vectors are the SMALL-delta
     * merge-on-read path (a 10-key MERGE must not rewrite 10 GB); a batch
     * above this belongs on the copy-on-write verbs, whose cost is
@@ -482,7 +598,16 @@ object LogTable {
     * computed property names refuse (they are derived, not stored). */
   private def validateProps(
       table: String, set: Map[String, String], unset: Seq[String]): Unit = {
-    val reserved = Set("keycol", "format", "version", "provider", "location")
+    // Two bans in one set: computed properties (derived from the log,
+    // never stored) AND every top-level manifest field name the render
+    // emits — a stored property named "schema" would render inside the
+    // props object AHEAD of the real trailing schema field and alias the
+    // field-regex parse (same for adds/removes/checkpoint/txns/dvs/props/
+    // ts). The parse also self-defends (schema anchors to the LAST
+    // match), but old manifests predate that, so refuse at the source.
+    val reserved = Set("keycol", "format", "version", "provider", "location",
+      "schema", "adds", "removes", "checkpoint", "txns", "dvs", "dvp",
+      "props", "ts")
     def safe(s: String, what: String): Unit =
       require(!s.exists(c => "{}[]\":,\\".contains(c) || c < 0x20),
         s"table properties on $table: $what '$s' carries JSON-structural " +
@@ -562,7 +687,7 @@ object LogTable {
   /** Snapshot read at the head version. */
   def read(spark: SparkSession, table: String): DataFrame = {
     val (v, fs, schema) = snapshotWithSchema(table, None)
-    readFiles(spark, table, fs, schema, liveDvs(table, Some(v)))
+    readFiles(spark, table, fs, schema, liveDvState(table, Some(v)))
   }
 
   /** Snapshot read AS OF a committed version (time travel) — under the
@@ -574,7 +699,7 @@ object LogTable {
   def readVersion(spark: SparkSession, table: String, v: Long): DataFrame = {
     requireNotTruncated(table, v)
     val (_, fs, schema) = snapshotWithSchema(table, Some(v))
-    readFiles(spark, table, fs, schema, liveDvs(table, Some(v)))
+    readFiles(spark, table, fs, schema, liveDvState(table, Some(v)))
   }
 
   /** Throws when `v` predates the earliest retained manifest of a
@@ -592,7 +717,7 @@ object LogTable {
   private def readFiles(
       spark: SparkSession, table: String, fs: Seq[FileEntry],
       schema: Option[org.apache.spark.sql.types.StructType] = None,
-      dvs: Map[String, Seq[Long]] = Map.empty): DataFrame = {
+      dvs: DvState = DvState.empty): DataFrame = {
     if (fs.isEmpty)
       // empty snapshot: serve the COMMITTED schema when one exists (a
       // createEmpty'd or fully-deleted table still has a shape — joins
@@ -623,49 +748,71 @@ object LogTable {
           .select(s.fields.map(f =>
             col(physicalName(f)).as(f.name)).toIndexedSeq: _*)
     }
-    // deletion vectors: rows whose (file, key) pair is marked dead are
-    // filtered by ONE broadcast anti-join — the merge-on-read half of
-    // the row-level ops. The dead set is bounded ([[DvMaxKeys]] per
-    // commit, purged by every rewrite/compaction), so the broadcast is
-    // kilobytes at 100 TB; files without vectors pay nothing but the
-    // file-name projection, and never-DV'd tables skip the join
-    // entirely.
+    // deletion vectors, both kinds, applied zero-shuffle:
+    //   - KEY vectors (small-delta verbs): rows whose (file, key) pair is
+    //     marked dead filter through ONE broadcast anti-join. The dead
+    //     set is bounded ([[DvMaxKeys]] per commit, purged by every
+    //     rewrite/compaction), so the broadcast is kilobytes at 100 TB.
+    //   - POSITIONAL vectors (bulk verbs): rows whose (file, row_index)
+    //     is set in the file's roaring sidecar filter through a native
+    //     [[graft.functions.PositionDead]] predicate — executors load
+    //     each touched file's bitmap once; the plan carries only sidecar
+    //     NAMES, so a million-row delete costs the scan one codegen'd
+    //     probe per row, no join, no broadcast, no shuffle.
+    // Files without vectors pay nothing but the helper projection;
+    // never-DV'd tables skip both paths entirely.
     val names = fs.iterator.map(_.file).toSet
-    val dead = dvs.iterator
+    val dead = dvs.keys.iterator
       .filter { case (f, ks) => names.contains(f) && ks.nonEmpty }
       .flatMap { case (f, ks) => ks.iterator.map(k => (f, k)) }
       .toSeq
-    if (dead.isEmpty) base
-    else {
-      val sp = spark
-      import sp.implicits._
-      // key identity survives renames physically: resolve the key
-      // column AS NAMED IN THIS SNAPSHOT's schema via the physical name
-      val logicalNow = tableKeyCol(table).getOrElse(
-        throw new IllegalStateException(
-          s"$table carries deletion vectors but no key-column property"))
-      val physKey = snapshotWithSchema(table, None)._3
-        .flatMap(_.fields.find(_.name == logicalNow)).map(physicalName)
-        .getOrElse(logicalNow)
-      val keyHere = schema
-        .flatMap(_.fields.find(f => physicalName(f) == physKey)).map(_.name)
-        .getOrElse(physKey)
-      // helper-column names must not SHADOW data columns (withColumn
-      // replaces same-named columns and the trailing drop would then
-      // delete user data) — suffix until fresh
-      val taken = base.columns.toSet
-      def fresh(n: String): String = {
-        var c = n
-        while (taken.contains(c)) c += "_"
-        c
+    val posLive = dvs.pos.filter { case (f, ss) => names.contains(f) && ss.nonEmpty }
+    // helper-column names must not SHADOW data columns (withColumn
+    // replaces same-named columns and the trailing drop would then
+    // delete user data) — suffix until fresh
+    val taken = base.columns.toSet
+    def fresh(n: String): String = {
+      var c = n
+      while (taken.contains(c)) c += "_"
+      c
+    }
+    val withKeyDvs =
+      if (dead.isEmpty) base
+      else {
+        val sp = spark
+        import sp.implicits._
+        // key identity survives renames physically: resolve the key
+        // column AS NAMED IN THIS SNAPSHOT's schema via the physical name
+        val logicalNow = tableKeyCol(table).getOrElse(
+          throw new IllegalStateException(
+            s"$table carries deletion vectors but no key-column property"))
+        val physKey = snapshotWithSchema(table, None)._3
+          .flatMap(_.fields.find(_.name == logicalNow)).map(physicalName)
+          .getOrElse(logicalNow)
+        val keyHere = schema
+          .flatMap(_.fields.find(f => physicalName(f) == physKey)).map(_.name)
+          .getOrElse(physKey)
+        val fCol = fresh("_dv_file")
+        val kCol = fresh("_dv_key")
+        base
+          .withColumn(fCol, element_at(split(input_file_name(), "/"), -1))
+          .withColumn(kCol, col(keyHere))
+          .join(broadcast(dead.toDF(fCol, kCol)), Seq(fCol, kCol), "left_anti")
+          .drop(fCol, kCol)
       }
-      val fCol = fresh("_dv_file")
-      val kCol = fresh("_dv_key")
-      base
-        .withColumn(fCol, element_at(split(input_file_name(), "/"), -1))
-        .withColumn(kCol, col(keyHere))
-        .join(broadcast(dead.toDF(fCol, kCol)), Seq(fCol, kCol), "left_anti")
-        .drop(fCol, kCol)
+    if (posLive.isEmpty) withKeyDvs
+    else {
+      import org.apache.spark.sql.GraftColumnBridge.{column => asCol, expression => asExpr}
+      val fCol = fresh("_dv_pos_file")
+      val pCol = fresh("_dv_pos_idx")
+      // parquet's own metadata columns give (file, position) exactly —
+      // no counting, no assumptions about split planning
+      withKeyDvs
+        .withColumn(fCol, col("_metadata.file_name"))
+        .withColumn(pCol, col("_metadata.row_index"))
+        .filter(!asCol(graft.functions.PositionDead(
+          asExpr(col(fCol)), asExpr(col(pCol)), table, posLive)))
+        .drop(fCol, pCol)
     }
   }
 
@@ -756,8 +903,26 @@ object LogTable {
       ts = System.currentTimeMillis(),
       // the clone must carry the source's deletion vectors: its v1
       // lists the same files, and serving them vector-free would
-      // resurrect the dead rows in the copy
+      // resurrect the dead rows in the copy. Positional sidecars are
+      // hard-linked below under the same names the dvp entries carry.
       dvs = liveDvs(src, asOf),
+      dvp = {
+        val pos = livePosDvs(src, asOf)
+        if (pos.nonEmpty) {
+          Files.createDirectories(dvDir(dst))
+          pos.valuesIterator.flatten.toSeq.distinct.foreach { n =>
+            val from = dvDir(src).resolve(n)
+            val to = dvDir(dst).resolve(n)
+            try Files.createLink(to, from)
+            catch {
+              case _: java.nio.file.FileAlreadyExistsException => ()
+              case _: UnsupportedOperationException =>
+                Files.copy(from, to, StandardCopyOption.REPLACE_EXISTING)
+            }
+          }
+        }
+        pos
+      },
       // ... and the source's TABLE-PROPERTY fold at the cloned version:
       // a clone of a merge-on-read table silently reverting to
       // copy-on-write would be a policy change nobody asked for
@@ -770,6 +935,38 @@ object LogTable {
         throw new TableAlreadyExistsException(dst)
     } finally Files.deleteIfExists(tmp)
     (files.size, files.map(_.rows).sum)
+  }
+
+  /** FULL-HISTORY clone: every manifest copied verbatim, every data file
+    * referenced by ANY version hard-linked — the destination time-travels
+    * and serves change feeds exactly like the source ([[cloneTable]]
+    * flattens to a single v1, the Delta-style zero-history clone).
+    * Primarily a fixture verb: bench/test reps that mutate a table whose
+    * HISTORY is part of the scenario (e.g. a change-feed window) take a
+    * private history clone each instead of rebuilding the commits. Cost
+    * is O(files + versions) metadata, zero data bytes. */
+  private[graft] def cloneTableWithHistory(src: String, dst: String): Unit = {
+    require(Files.isDirectory(logDir(src)),
+      s"cloneTableWithHistory: source table $src does not exist")
+    require(!Files.isDirectory(logDir(dst)),
+      s"cloneTableWithHistory: destination $dst already exists")
+    Files.createDirectories(logDir(dst))
+    Files.createDirectories(dataDir(dst))
+    val ms = manifests(src)
+    ms.flatMap(_.adds.map(_.file)).distinct.foreach { f =>
+      val from = dataDir(src).resolve(f)
+      val to = dataDir(dst).resolve(f)
+      try Files.createLink(to, from)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => ()
+        case _: UnsupportedOperationException =>
+          Files.copy(from, to, StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    ms.foreach { m =>
+      Files.copy(versionPath(src, m.version), versionPath(dst, m.version),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 
   /** SQL `ALTER TABLE ADD COLUMN(S)` as a schema-evolution commit: an
@@ -1219,8 +1416,11 @@ object LogTable {
         keyCol = tableKeyCol(table).getOrElse(""),
         // the restored snapshot's DELETION VECTORS come back with it —
         // re-adding the files without them would resurrect vector-dead
-        // rows (fold order per manifest: removes, adds, then dvs)
-        dvs = liveDvs(table, Some(toVersion)))
+        // rows (fold order per manifest: removes, adds, then dvs). Both
+        // kinds; positional sidecars are manifest-referenced so vacuum
+        // kept them on disk.
+        dvs = liveDvs(table, Some(toVersion)),
+        dvp = livePosDvs(table, Some(toVersion)))
       result.getOrElse((liveThen.size, liveThen.map(_.rows).sum))
     }
     attempt()
@@ -1285,7 +1485,10 @@ object LogTable {
     def attempt(): Unit = {
       // driver-held key set: bounded by DvMaxKeys BY CONTRACT (checked
       // with limit(cap+1), so an oversized batch never materializes)
-      val keys = inc.select(col(keyCol)).distinct()
+      // cast-to-long before collect: Int/Short key columns (which the
+      // SQL delta writer's keyGet tolerates) must work here too — a raw
+      // getLong on an IntegerType row throws ClassCastException
+      val keys = inc.select(col(keyCol).cast("long")).distinct()
         .limit(DvMaxKeys + 1).collect().map(_.getLong(0))
       if (keys.isEmpty) return // empty batch: no-op (P11)
       if (keys.length > DvMaxKeys) throw new IllegalArgumentException(
@@ -1347,7 +1550,7 @@ object LogTable {
     val src = source.localCheckpoint(false)
     val srcCols = src.columns.toSeq
     def attempt(): Unit = {
-      val bounds = src.agg(min(col(keyCol)), max(col(keyCol))).head()
+      val bounds = src.agg(min(col(keyCol).cast("long")), max(col(keyCol).cast("long"))).head()
       if (bounds.isNullAt(0)) return
       val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
       val (snapVersion, snapshot, snapSchema) = snapshotWithSchema(table, None)
@@ -1364,7 +1567,7 @@ object LogTable {
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc))
             .getOrElse(src.limit(0))
         else readFiles2(spark, table, touched, snapSchema,
-          liveDvs(table, Some(snapVersion)))
+          liveDvState(table, Some(snapVersion)))
       val prefixed = srcCols.foldLeft(src)((d, c) => d.withColumnRenamed(c, s"_src_$c"))
       val joined = tgt.withColumn("_tgt_hit", lit(1))
         .join(prefixed.withColumn("_src_hit", lit(1)),
@@ -1380,7 +1583,7 @@ object LogTable {
       // unmatched inserts). Everything else never moves.
       val dies = del || (!del && upd)
       val deadRows = joined.filter(dies)
-        .select(col(keyCol)).distinct()
+        .select(col(keyCol).cast("long")).distinct()
         .limit(DvMaxKeys + 1).collect().map(_.getLong(0))
       if (deadRows.length > DvMaxKeys) throw new IllegalArgumentException(
         s"mergeDV($table): merge affects > $DvMaxKeys matched keys — " +
@@ -1463,7 +1666,7 @@ object LogTable {
     // reuse the blocks, which is the point of checkpointing here.
     val inc = incoming.localCheckpoint(false)
     def attempt(): Boolean = {
-      val bounds = inc.agg(min(col(keyCol)), max(col(keyCol))).head()
+      val bounds = inc.agg(min(col(keyCol).cast("long")), max(col(keyCol).cast("long"))).head()
       if (bounds.isNullAt(0)) return false // empty batch: no-op (P11)
       val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
       // version and file set pinned TOGETHER: the commit below claims
@@ -1490,7 +1693,7 @@ object LogTable {
         // rows (vectors applied) and its commit removes the files, which
         // purges their vectors in the same fold step
         else readFiles2(spark, table, touched, snapSchema,
-          liveDvs(table, Some(snapVersion)))
+          liveDvState(table, Some(snapVersion)))
           .join(inc.select(col(keyCol)), Seq(keyCol), "left_anti")
       // allowMissingColumns: a batch with a NEW column evolves the
       // table (survivors carry NULLs); a batch MISSING a table column
@@ -1533,7 +1736,7 @@ object LogTable {
   private def readFiles2(
       spark: SparkSession, table: String, fs: Seq[FileEntry],
       schema: Option[org.apache.spark.sql.types.StructType] = None,
-      dvs: Map[String, Seq[Long]] = Map.empty): DataFrame =
+      dvs: DvState = DvState.empty): DataFrame =
     readFiles(spark, table, fs, schema, dvs)
 
   /** Stats-pruned snapshot read over a key range: only files whose
@@ -1551,7 +1754,7 @@ object LogTable {
     // committed schema applies here too: a pruned read must not show a
     // DIFFERENT column set than the full read just because the range
     // landed on pre-evolution files
-    readFiles(spark, table, fs, schema, liveDvs(table, Some(v)))
+    readFiles(spark, table, fs, schema, liveDvState(table, Some(v)))
       .filter(col(keyCol) >= lo && col(keyCol) <= hi)
   }
 
@@ -1580,7 +1783,7 @@ object LogTable {
     val src = source.localCheckpoint(false)
     val srcCols = src.columns.toSeq
     def attempt(): Unit = {
-      val bounds = src.agg(min(col(keyCol)), max(col(keyCol))).head()
+      val bounds = src.agg(min(col(keyCol).cast("long")), max(col(keyCol).cast("long"))).head()
       if (bounds.isNullAt(0)) return
       val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
       val (snapVersion, snapshot, snapSchema) = snapshotWithSchema(table, None)
@@ -1601,7 +1804,7 @@ object LogTable {
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc))
             .getOrElse(src.limit(0))
         else readFiles2(spark, table, touched, snapSchema,
-          liveDvs(table, Some(snapVersion)))
+          liveDvState(table, Some(snapVersion)))
       val prefixed = srcCols.foldLeft(src)((d, c) => d.withColumnRenamed(c, s"_src_$c"))
       val joined = tgt.withColumn("_tgt_hit", lit(1))
         .join(prefixed.withColumn("_src_hit", lit(1)),
@@ -1675,7 +1878,7 @@ object LogTable {
     lastWhereTotal.set(snapshot.size)
     lastWherePlanned.set(fs.size)
     if (fs.isEmpty) return spark.emptyDataFrame
-    readFiles(spark, table, fs, schema, liveDvs(table, Some(v))).filter(residual)
+    readFiles(spark, table, fs, schema, liveDvState(table, Some(v))).filter(residual)
   }
 
   /** Stats-pruned read on an INTEGRAL column: files whose manifest
@@ -1757,7 +1960,7 @@ object LogTable {
         if (straddling.isEmpty) Seq.empty
         else writeData(spark, table,
           readFiles2(spark, table, straddling, snapSchema,
-            liveDvs(table, Some(snapVersion)))
+            liveDvState(table, Some(snapVersion)))
             .filter(col(keyCol) < lo || col(keyCol) > hi), keyCol)
       commit(table, snapVersion, adds, removes = touched.map(_.file),
         reRun = () => attempt(),
@@ -1809,7 +2012,7 @@ object LogTable {
       val touched = snapshot.filter(fileAdmit)
       if (touched.isEmpty) return
       val survivors = readFiles2(spark, table, touched, snapSchema,
-        liveDvs(table, Some(snapVersion)))
+        liveDvState(table, Some(snapVersion)))
         .filter(!coalesce(rowPredicate, lit(false)))
       val adds = writeData(spark, table, survivors, keyCol)
       commit(table, snapVersion, adds, removes = touched.map(_.file),
@@ -2004,14 +2207,16 @@ object LogTable {
     requireKeyMatch(table, keyCol)
     def attempt(): Unit = {
       val (snapVersion, snapshot, snapSchema) = snapshotWithSchema(table, None)
-      val dvs = liveDvs(table, Some(snapVersion))
-      // DV'd files join the compaction REGARDLESS of size: compact() is
-      // the vacuum path for deletion vectors — the rewrite reads the
-      // live rows and the removal drops the vector, restoring
-      // vector-free scans and exact manifest row counts
-      val small = snapshot.filter(f =>
-        f.rows < targetRows || dvs.contains(f.file))
-      val dvd = small.count(f => dvs.contains(f.file))
+      val dvs = liveDvState(table, Some(snapVersion))
+      // DV'd files (key AND positional vectors) join the compaction
+      // REGARDLESS of size: compact() is the vacuum path for deletion
+      // vectors — the rewrite reads the live rows and the removal drops
+      // the vector, restoring vector-free scans and exact manifest row
+      // counts
+      def vectored(f: FileEntry): Boolean =
+        dvs.keys.contains(f.file) || dvs.pos.contains(f.file)
+      val small = snapshot.filter(f => f.rows < targetRows || vectored(f))
+      val dvd = small.count(vectored)
       if (small.size < 2 && dvd == 0) return // nothing to merge
       val total = small.map(_.rows).sum
       val nOut = math.max(1L, (total + targetRows - 1) / targetRows).toInt
@@ -2086,9 +2291,15 @@ object LogTable {
       old <- oldByPhys.get(physicalName(x))
       if old != x.name
     } yield old -> x.name).toMap
-    val before = renamed.foldLeft(readVersion(spark, table, fromV)) {
-      case (d, (o, n)) => d.withColumnRenamed(o, n)
-    }
+    // ONE simultaneous projection, not chained withColumnRenamed: a
+    // cyclic rename inside the window (a→tmp, b→a, tmp→b folds to
+    // {a→b, b→a}) would have an intermediate rename collide with a
+    // still-present source column; mapping every column at once cannot
+    val beforeRaw = readVersion(spark, table, fromV)
+    val before =
+      if (renamed.isEmpty) beforeRaw
+      else beforeRaw.select(beforeRaw.columns.toSeq.map(c =>
+        col(c).as(renamed.getOrElse(c, c))): _*)
     val after = readVersion(spark, table, toV)
     if (before.columns.isEmpty) // fromV predates the table: all inserts
       return after.withColumn("_change_type", lit("insert"))
@@ -2531,6 +2742,7 @@ object LogTable {
       // and the table-property fold, or truncation would silently
       // unset every property committed below the cut
       dvs = liveDvs(table, Some(cut)),
+      dvp = livePosDvs(table, Some(cut)),
       props = tableProps(table, Some(cut)))
     // atomic REPLACE of v{cut}: full content lands under a temp name,
     // then rename(2) swaps it in — unlike commit's create-link claim,
@@ -2664,7 +2876,8 @@ object LogTable {
       // dropping or vector-deleting rows under any of these files
       // invalidates the decisions — recompute instead of re-claiming.
       requireLive: Seq[String] = Seq.empty,
-      props: Map[String, String] = Map.empty): Boolean = {
+      props: Map[String, String] = Map.empty,
+      dvp: Map[String, Seq[String]] = Map.empty): Boolean = {
     var expected = snapshotVersion
     var committedSchema = schema
     var tries = attempts
@@ -2683,7 +2896,7 @@ object LogTable {
       val v = expected + 1
       val m = Manifest(v, adds, removes, committedSchema, keyCol = keyCol,
         txns = txns, ts = System.currentTimeMillis(), dvs = dvs,
-        props = props)
+        props = props, dvp = dvp)
       // Publish atomically: fully write the manifest to a hidden temp
       // name (readers only match v########.json), then HARD-LINK it to
       // the version path — link(2) both fails-if-exists (the optimistic
@@ -2715,7 +2928,7 @@ object LogTable {
           val dvConflict = (removes.nonEmpty || requireLive.nonEmpty) && {
             val ours = removes.toSet ++ requireLive
             manifests(table).filter(_.version > snapshotVersion)
-              .exists(_.dvs.keys.exists(ours))
+              .exists(m => m.dvs.keys.exists(ours) || m.dvp.keys.exists(ours))
           }
           // a racer attached a vector to a file we're also attaching
           // one to: safe (vectors union in the fold); a racer REMOVING

@@ -91,7 +91,7 @@ class LogDeltaRowLevelOperation(
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LogTableScanBuilder(path, tableSchema, None,
-      pinnedSnapshot = Some(snapshot))
+      pinnedSnapshot = Some(snapshot), pinnedVersion = Some(snapVersion))
 
   override def newWriteBuilder(wi: LogicalWriteInfo): DeltaWriteBuilder = {
     // UPDATE/MERGE images arrive aligned to the table's columns (the

@@ -294,6 +294,7 @@ class LogTableTable(
       override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
         new LogTableScanBuilder(path, tableSchema, None,
           pinnedSnapshot = Some(snapshot),
+          pinnedVersion = Some(snapVersion),
           onPlanned = fs => scanned = Some(fs))
 
       override def newWriteBuilder(
@@ -377,9 +378,13 @@ class LogTableTable(
     // small-delta budget commits dead keys instead of rewriting files:
     // zero reads, zero rewrites, identical semantics (NULL keys never
     // match a key list, and deleteKeysDV never kills them; readers —
-    // engine and connector — apply the vector everywhere). Anything
-    // else stays on the exact stats-pruned rewrite.
-    LogTable.tableKeyCol(path).foreach { key =>
+    // engine and connector — apply the vector everywhere). GATED on the
+    // table's merge-on-read policy, mirroring canDeleteWhere: under the
+    // default copy-on-write a key-list DELETE must rewrite (the mode's
+    // contract — no dead bytes, aggregate pushdown and exact row counts
+    // stay live); vectors are strictly an opt-in. Anything else stays
+    // on the exact stats-pruned rewrite.
+    if (rowLevelMode == "merge-on-read") LogTable.tableKeyCol(path).foreach { key =>
       pureKeyList(filters).foreach { keys =>
         if (keys.size <= LogTable.DvMaxKeys) {
           if (keys.nonEmpty)
@@ -697,8 +702,13 @@ class LogTableScanBuilder(
     maxVersionsPerTrigger: Option[Long] = None,
     cdf: Boolean = false,
     // row-level operations pin ONE snapshot across their search scan and
-    // group-replacement write; plain reads pin per scan build
+    // group-replacement write; plain reads pin per scan build. The
+    // VERSION rides along with the file set: folding DVs at a fresh
+    // version(path) read against an older pinned file set would let a
+    // racer's vector commit skew the scan (e.g. a concurrent compact
+    // dropping a vector mid-plan serves vector-dead rows).
     pinnedSnapshot: Option[Seq[LogTable.FileEntry]] = None,
+    pinnedVersion: Option[Long] = None,
     onPlanned: Seq[LogTable.FileEntry] => Unit = _ => ())
     extends ScanBuilder
     with SupportsPushDownFilters
@@ -889,7 +899,11 @@ class LogTableScanBuilder(
   // answerability and the scan itself: both must describe the same
   // version even if writers land mid-planning
   private lazy val pinnedFull: (Long, Seq[LogTable.FileEntry]) =
-    pinnedSnapshot.map(fs => (LogTable.version(path), fs)).getOrElse {
+    pinnedSnapshot.map { fs =>
+      // the caller's pin version, NOT a fresh version(path) read — the
+      // DV fold below must describe exactly the pinned file set
+      (pinnedVersion.getOrElse(LogTable.version(path)), fs)
+    }.getOrElse {
       val (v, fs, _) = LogTable.snapshotWithSchema(path, asOf)
       (v, fs)
     }

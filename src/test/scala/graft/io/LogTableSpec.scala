@@ -1504,4 +1504,85 @@ class LogTableSpec extends AnyFunSuite {
       "the racing DV delete was lost by the rewrite's re-claim")
     assert(r.count() == 99)
   }
+
+  test("stored properties cannot alias manifest structural fields; schema parse anchors to the tail") {
+    val t = tmpTable()
+    LogTable.create(spark, t, Seq((1L, "a")).toDF("k", "v"), "k")
+    // every top-level manifest field name the regex parser keys on is
+    // refused as a stored property — a stored 'schema' would render
+    // inside the props object AHEAD of the real trailing schema field
+    // and, pre-fix, alias the first-match parse (DataType.fromJson then
+    // throws on the property VALUE and every read of the table dies)
+    for (bad <- Seq("schema", "adds", "removes", "checkpoint",
+        "txns", "dvs", "props", "ts", "keyCol")) {
+      val e = intercept[IllegalArgumentException](
+        LogTable.setProperties(t, Map(bad -> "x")))
+      assert(e.getMessage.contains(bad), e.getMessage)
+      val u = intercept[IllegalArgumentException](
+        LogTable.setProperties(t, Map("ok" -> "1"), unset = Seq(bad)))
+      assert(u.getMessage.contains(bad), u.getMessage)
+    }
+    // the refusals committed nothing; the table still reads
+    assert(LogTable.read(spark, t).count() == 1L)
+    assert(LogTable.tableProps(t).isEmpty)
+    // parse self-defense for PRE-EXISTING manifests that stored one
+    // before the refusal existed: render always places schema LAST, so
+    // the parse anchors to the final match and the props entry cannot
+    // alias it (and the props block itself round-trips the entry)
+    val realSchema = """{"type":"struct","fields":[{"name":"k","type":"long","nullable":true,"metadata":{}}]}"""
+    val m = LogTable.Manifest(1L, Seq.empty, Seq.empty, realSchema,
+      props = Map("schema" -> "bogus"))
+    val back = LogTable.parse(LogTable.render(m))
+    assert(back.schema == realSchema,
+      s"a stored 'schema' property aliased the manifest schema: ${back.schema}")
+    assert(back.props == Map("schema" -> "bogus"))
+  }
+
+  test("deletion-vector verbs tolerate INT key columns (parity with the SQL delta writer)") {
+    // the SQL merge-on-read delta writer's keyGet supports Int/Short
+    // keys; the programmatic DV verbs must not crash on the same table
+    // (pre-fix: Row.getLong on an IntegerType key threw ClassCastException)
+    val t = tmpTable()
+    val base = (1 to 100).map(i => (i, s"base$i")).toDF("k", "v") // k: INT
+    LogTable.create(spark, t, base, "k")
+    LogTable.upsertDV(spark, t,
+      Seq((5, "upd5"), (101, "new101")).toDF("k", "v"), "k")
+    val r1 = LogTable.read(spark, t)
+    assert(r1.count() == 101L)
+    assert(r1.filter(col("k") === 5).head().getString(1) == "upd5")
+    LogTable.mergeDV(spark, t, Seq((6, "upd6")).toDF("k", "v"), "k")
+    val r2 = LogTable.read(spark, t)
+    assert(r2.filter(col("k") === 6).head().getString(1) == "upd6")
+    assert(r2.count() == 101L)
+  }
+
+  test("change feed across a cyclic rename window projects all columns simultaneously") {
+    val t = tmpTable()
+    LogTable.create(spark, t,
+      Seq((1L, "vee", "dub"), (2L, "v2", "w2")).toDF("k", "v", "w"), "k")
+    val v0 = LogTable.version(t)
+    // cyclic swap v<->w through a temp name: the window's rename map
+    // folds to {v->w, w->v} — chained withColumnRenamed would collide
+    // an intermediate rename with a still-present source column and
+    // corrupt the before-snapshot diff with duplicate names
+    LogTable.renameColumn(spark, t, "v", "tmp")
+    LogTable.renameColumn(spark, t, "w", "v")
+    LogTable.renameColumn(spark, t, "tmp", "w")
+    // a data change in the window forces the key-wise diff path
+    LogTable.upsert(spark, t,
+      Seq((1L, "dub", "VEE")).toDF("k", "v", "w"), "k")
+    val head = LogTable.version(t)
+    val feed = LogTable.changes(spark, t, "k", v0, head)
+    assert(feed.columns.distinct.length == feed.columns.length,
+      s"duplicate columns in the feed: ${feed.columns.mkString(",")}")
+    val changed = feed.collect()
+    // k=1: physical v-content ("vee"->"VEE" under logical w) changed;
+    // the swap itself is identity-stable so k=2 must NOT appear
+    assert(changed.map(_.getAs[Long]("k")).toSet == Set(1L),
+      s"rename-only rows leaked into the feed: ${changed.mkString(";")}")
+    val r = changed.head
+    assert(r.getAs[String]("_change_type") == "update")
+    assert(r.getAs[String]("v") == "dub")
+    assert(r.getAs[String]("w") == "VEE")
+  }
 }

@@ -931,21 +931,38 @@ class LogConnectorSpec extends AnyFunSuite {
     assert(spark.sql(
       "SELECT count(*) FROM graftdel.etl.t WHERE k BETWEEN 1200 AND 1299")
       .head().getLong(0) == 0L)
-    // IN-list delete (the reference's delete-then-insert shape, load.py)
-    // takes the DELETION-VECTOR fast path: zero reads, ZERO rewrites —
-    // a metadata commit — yet every read path serves the delete
+    // IN-list delete under the DEFAULT copy-on-write policy: the mode's
+    // contract is a rewrite — no silent deletion vectors (vectors would
+    // leave dead bytes and kill stats-only aggregates for users who
+    // never opted into merge-on-read). The admitted files rewrite; the
+    // untouched ones survive identically.
     val filesPreIn = LogTable.read(spark, t).inputFiles.toSet
     spark.sql("DELETE FROM graftdel.etl.t WHERE k IN (5, 2005)")
-    assert(LogTable.read(spark, t).inputFiles.toSet == filesPreIn,
-      "a small key-list DELETE must be a deletion-vector commit, not a rewrite")
+    val filesPostIn = LogTable.read(spark, t).inputFiles.toSet
+    assert(filesPreIn != filesPostIn,
+      "under copy-on-write a key-list DELETE must rewrite, not commit vectors")
+    assert(LogTable.liveDvs(t, None).isEmpty,
+      "copy-on-write DELETE silently committed deletion vectors")
     assert(spark.sql("SELECT count(*) FROM graftdel.etl.t").head().getLong(0) == 3898L)
     assert(spark.sql("SELECT count(*) FROM graftdel.etl.t WHERE k = 5")
       .head().getLong(0) == 0L)
+    // Under the stored merge-on-read policy the same shape takes the
+    // deletion-vector fast path: zero reads, ZERO rewrites — a metadata
+    // commit — yet every read path serves the delete.
+    spark.sql("ALTER TABLE graftdel.etl.t SET TBLPROPERTIES ('rowLevel'='merge-on-read')")
+    val filesPreDv = LogTable.read(spark, t).inputFiles.toSet
+    spark.sql("DELETE FROM graftdel.etl.t WHERE k IN (6, 2006)")
+    assert(LogTable.read(spark, t).inputFiles.toSet == filesPreDv,
+      "a small key-list DELETE under merge-on-read must be a deletion-vector commit")
+    assert(spark.sql("SELECT count(*) FROM graftdel.etl.t").head().getLong(0) == 3896L)
+    assert(spark.sql("SELECT count(*) FROM graftdel.etl.t WHERE k = 6")
+      .head().getLong(0) == 0L)
+    spark.sql("ALTER TABLE graftdel.etl.t UNSET TBLPROPERTIES ('rowLevel')")
     // string predicate delete translates too (copy-on-write path; it
-    // must compose with the vector the IN-delete just committed)
+    // must compose with the vector the merge-on-read delete committed)
     spark.sql("DELETE FROM graftdel.etl.t WHERE v = 'v3999'")
-    assert(spark.sql("SELECT count(*) FROM graftdel.etl.t").head().getLong(0) == 3897L)
-    assert(spark.sql("SELECT count(*) FROM graftdel.etl.t WHERE k = 2005")
+    assert(spark.sql("SELECT count(*) FROM graftdel.etl.t").head().getLong(0) == 3895L)
+    assert(spark.sql("SELECT count(*) FROM graftdel.etl.t WHERE k = 2006")
       .head().getLong(0) == 0L,
       "the copy-on-write rewrite resurrected a vector-deleted row")
     // TRUNCATE drops every row, keeps table + schema + key property
@@ -1742,5 +1759,32 @@ class LogConnectorSpec extends AnyFunSuite {
     val e = intercept[Exception] { LogTable.create(spark, t, df, "k") }
     assert(e.getMessage != null && e.getMessage.contains("NULL key"),
       s"expected the NULL-key refusal, got: ${e.getMessage}")
+  }
+
+  test("a pinned scan folds deletion vectors at the pinned version, not a fresh head read") {
+    // the row-level op's seam: the op pins (version, file set) at
+    // statement start; a racer committing a vector between the pin and
+    // scan planning must NOT skew the scan — the DV fold happens at
+    // exactly the pinned version (commit-side guards already make the
+    // COMMIT loud; this pins the READ side too)
+    val t = tmpTable()
+    LogTable.create(spark, t,
+      (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v"), "k")
+    val (v1, snap, sc) = LogTable.snapshotWithSchema(t, None)
+    // racer lands a vector AFTER the pin
+    LogTable.deleteKeysDV(spark, t, "k", Seq(5L))
+    val sb = new LogTableScanBuilder(t, sc.get, None,
+      pinnedSnapshot = Some(snap), pinnedVersion = Some(v1))
+    val stats = sb.build()
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+    assert(stats.numRows().getAsLong == 100L,
+      "the pinned scan folded the racer's post-pin vector into its row count")
+    // an unpinned scan at head sees the vector
+    val sbHead = new LogTableScanBuilder(t, sc.get, None)
+    val headStats = sbHead.build()
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+    assert(headStats.numRows().getAsLong == 99L)
   }
 }

@@ -227,7 +227,7 @@ object Bench {
     // are NOT in the set: their table builds moved to untimed setup, so
     // their timed bodies are plain pruned reads — comparable.)
     val storageOps = Set("k11", "k12", "k13", "k14", "k17", "k18", "k19", "k20",
-      "k22", "k23", "k24", "k25")
+      "k22", "k23", "k24", "k25", "k26")
     val storageSec = results.collect {
       case (k, v) if k.length > 2 && storageOps(k.take(3)) => v
     }.sum
@@ -329,16 +329,30 @@ object Bench {
     // rows (3-decimal) with an explicit omission count and a pointer to the
     // committed full artifact.
     println(metric)
+    println(compactSummary(total, results.toSeq, totalWarm, storageSec,
+      duckFields, errs, importSec,
+      s"""{"load_start":$loadStart,"waited_sec":$gateWaited,"load_at_run":$loadAtRun}""",
+      sfDir))
+  }
+
+  /** The LAST stdout line, sized for the driver's bounded (2000-char)
+    * tail: headline totals/ratios at full precision, the per-query map
+    * truncated to the slowest rows at 3 decimals with an explicit
+    * omission count, and a pointer to the committed full artifact.
+    * BenchFormatSpec pins that this stays parseable JSON under 1800
+    * chars at 120 queries — one bad format here is an unparsed round. */
+  private[graft] def compactSummary(
+      total: Double, results: Seq[(String, Double)], totalWarm: Double,
+      storageSec: Double, duckFields: String, errs: String,
+      importSec: Double, loadGateJson: String, sfDir: String): String = {
     val topN = 12
     // Locale.ROOT: f"" interpolates via the DEFAULT locale — under a
     // comma-decimal locale the summary would print 1,234 and stop being
     // JSON, defeating the whole compact-tail fix.
-    val slowest = results.toSeq.sortBy(-_._2).take(topN)
+    val slowest = results.sortBy(-_._2).take(topN)
       .map { case (k, v) =>
         "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f",
           Double.box(v)) }.mkString("{", ",", "}")
-    val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$slowest,"queries_omitted":${math.max(0, results.size - topN)},"total_warm":$totalWarm,"storage_sec":$storageSec,${duckFields.replaceAll(""""duck_queries":.*?\},""", "")}"errors":$errs,"import_sec":$importSec,"load_gate":{"load_start":$loadStart,"waited_sec":$gateWaited,"load_at_run":$loadAtRun},"detail":"BENCH_LATEST.json","sf":"$sfDir"}"""
-    println(compact)
+    s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$slowest,"queries_omitted":${math.max(0, results.size - topN)},"total_warm":$totalWarm,"storage_sec":$storageSec,${duckFields.replaceAll(""""duck_queries":.*?\},""", "")}"errors":$errs,"import_sec":$importSec,"load_gate":$loadGateJson,"detail":"BENCH_LATEST.json","sf":"$sfDir"}"""
   }
 }

@@ -449,6 +449,123 @@ object Similarity {
     prep.withColumn("list_id", explode(nearestLists(centroids, 1)))
       .select(col("id"), col("list_id"))
 
+  // ---------------------------------------------------------------------
+  // IVFPQ: product-quantized codes in the inverted lists
+  // ---------------------------------------------------------------------
+
+  /** A trained PQ codebook set: flat layout
+    * `cb[(i*ksub + j)*subDim + d]` (sub-space i, codeword j, dim d) plus
+    * the shape. Total size m·ksub·subDim longs — driver- and
+    * plan-literal-sized by design (FAISS ships the same table to every
+    * worker). */
+  final case class PqCodebooks(cb: Seq[Long], m: Int, ksub: Int, subDim: Int) {
+    def selfDots: Seq[Long] =
+      graft.functions.PqShared.selfDots(cb.toArray, m, ksub, subDim).toSeq
+  }
+
+  /** Train PQ sub-quantizers (Jégou et al. 2011) over the corpus, fully
+    * deterministic and oracle-reproducible:
+    *   - INIT: the ksub lowest corpus rows in md5(id)-order seed EVERY
+    *     sub-space with their slices (one sample, m seedings);
+    *   - each round ASSIGNS every vector's every sub-slice to its
+    *     nearest codeword by the EXACT integer L2 surrogate
+    *     ‖c‖² − 2·x·c (map-side native [[graft.functions.PqEncode]] —
+    *     the corpus never shuffles for assignment) and UPDATES codewords
+    *     as per-(sub-space, code) per-dim means via ONE
+    *     map-side-combinable groupBy producing m·ksub tiny rows
+    *     ([[roundDiv]] re-quantizes to the integer grid — every later
+    *     dot stays exact int64); an empty cell keeps its codeword.
+    *
+    * Cost per round at 100 TB: one corpus scan + an m·ksub-row shuffle —
+    * the same linear shape as [[trainIvfKmeans]]. */
+  def trainPqCodebooks(
+      corpus: DataFrame, idCol: String, embCol: String,
+      m: Int = 8, ksub: Int = 16, rounds: Int = 2): PqCodebooks = {
+    val prep = prepared(corpus, idCol, embCol)
+    val seed = prep.orderBy(md5(col("id").cast("string")), col("id"))
+      .limit(ksub)
+      .select(col("qv")).collect().map(_.getSeq[Long](0))
+    require(seed.nonEmpty, "trainPqCodebooks: empty corpus")
+    val dim = seed.head.size
+    require(dim % m == 0,
+      s"trainPqCodebooks: dim $dim not divisible into $m sub-spaces")
+    val subDim = dim / m
+    // ksub codewords per sub-space; a short corpus pads by cycling the
+    // sample (deterministic; duplicate codewords are harmless — argmin
+    // tie-break picks the smaller code)
+    val init: Array[Long] = Array.tabulate(m * ksub * subDim) { x =>
+      val d = x % subDim
+      val j = (x / subDim) % ksub
+      val i = x / (subDim * ksub)
+      seed(j % seed.size)(i * subDim + d)
+    }
+    (1 to rounds).foldLeft(PqCodebooks(init.toSeq, m, ksub, subDim)) { (cbs, _) =>
+      val sums = (0 until subDim).map(d =>
+        sum(element_at(col("qv"), col("m") * subDim + d + 1)).as(s"d$d"))
+      val agg = prep
+        .withColumn("codes", graft.functions.PqEncode(
+          col("qv"), cbs.cb, m, ksub, subDim))
+        .select(col("qv"), posexplode(col("codes")).as(Seq("m", "code")))
+        .groupBy("m", "code")
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r).toMap
+      val next = cbs.cb.toArray
+      for (i <- 0 until m; j <- 0 until ksub) agg.get((i, j)).foreach { r =>
+        val n = r.getLong(2)
+        for (d <- 0 until subDim)
+          next((i * ksub + j) * subDim + d) = roundDiv(r.getLong(d + 3), n)
+      }
+      cbs.copy(cb = next.toSeq)
+    }
+  }
+
+  /** IVFPQ search (the FAISS IVFPQ shape): the IVF coarse quantizer
+    * routes vectors to inverted lists as in [[ivfTopKIndexed]], but the
+    * lists carry PQ CODES (m small ints ≈ m bytes) instead of full
+    * quantized vectors — at 100 TB the inverted lists shrink by
+    * 8·dim/m ≈ 64× and candidate scoring touches no vector data at all:
+    * each query precomputes ONE m·ksub ADC table map-side
+    * ([[graft.functions.PqDistTable]]) and every candidate pair costs
+    * O(m) table lookups ([[graft.functions.PqAdcSum]]). The approximate
+    * cosine is `adc / (‖q‖ · ‖ĉ‖)` with ĉ the reconstructed codeword
+    * norm (self-dot lookups through the same ADC sum against a LITERAL
+    * table). Exact integer arithmetic throughout, so the DuckDB oracle
+    * bit-matches the whole pipeline — training, codes, ADC, ranking. */
+  def ivfpqTopK(
+      queries: DataFrame, corpus: DataFrame, idCol: String, embCol: String,
+      k: Int, centroids: Seq[IvfCentroid], cbs: PqCodebooks,
+      nProbe: Int = 4): DataFrame = {
+    if (centroids.isEmpty)
+      return prepared(queries, idCol, embCol)
+        .select(col("id").as("query_id"), lit(1).as("rank"),
+          col("id").as("neighbor_id"), lit(0.0).as("cosine")).limit(0)
+    val selfTable = typedLit(cbs.selfDots)
+    val indexed = prepared(corpus, idCol, embCol)
+      .withColumn("list_id", explode(nearestLists(centroids, 1)))
+      .withColumn("codes", graft.functions.PqEncode(
+        col("qv"), cbs.cb, cbs.m, cbs.ksub, cbs.subDim))
+      .withColumn("n_hat", sqrt(graft.functions.PqAdcSum(
+        selfTable, col("codes"), cbs.ksub).cast("double")))
+      .select(col("list_id"), col("id").as("neighbor_id"),
+        col("codes"), col("n_hat"))
+    val probing = prepared(queries, idCol, embCol)
+      .withColumn("list_id", explode(nearestLists(centroids, nProbe)))
+      .withColumn("q_table", graft.functions.PqDistTable(
+        col("qv"), cbs.cb, cbs.m, cbs.ksub, cbs.subDim))
+      .select(col("list_id"), col("id").as("query_id"),
+        col("q_table"), col("nrm").as("q_nrm"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
+    indexed.join(probing, Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (graft.functions.PqAdcSum(col("q_table"), col("codes"), cbs.ksub)
+          .cast("double") / (col("q_nrm") * col("n_hat"))).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
   def semDedupPairs(
       prep: DataFrame, centroids: Seq[IvfCentroid], threshold: Double): DataFrame = {
     if (centroids.isEmpty)

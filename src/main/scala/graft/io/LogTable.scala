@@ -623,13 +623,163 @@ object LogTable {
       require(v.nonEmpty,
         s"table properties on $table: empty value for '$k' — UNSET removes keys")
       safe(v, "value")
+      // constraint values must parse NOW (CREATE TABLE path included):
+      // storing an undecidable expression would fail every later write
+      if (k.startsWith(ConstraintPrefix))
+        require(Constraint.parse(v).isDefined,
+          s"table properties on $table: '$k' = '$v' is outside the " +
+            s"footer-decidable constraint grammar (${Constraint.Grammar})")
     }
+  }
+
+  // ---- write-time table constraints (NOT NULL / range CHECK) ----------
+  //
+  // Persisted as ordinary TBLPROPERTIES under the `constraint.<name>`
+  // prefix (the fold/UNSET/checkpoint/clone semantics come for free) and
+  // ENFORCED FROM FOOTER STATS at every commit that adds files — the
+  // same zero-read pass that enforces the key rule. The supported
+  // grammar is exactly the footer-decidable family:
+  //
+  //   <col> IS NOT NULL                  (null counts prove compliance)
+  //   <col> >= <int> | <col> <= <int> | <col> BETWEEN <int> AND <int>
+  //     (manifest [min,max] are EXACT non-null extremes for long-encoded
+  //      columns, so range checks decide exactly; NULLs pass a CHECK per
+  //      SQL semantics — an all-null file complies)
+  //
+  // Anything else refuses at SET time with this grammar in the message:
+  // a constraint the stats cannot decide would force a data read on
+  // every commit, which is the wrong trade at 100 TB (Delta evaluates
+  // CHECKs in the write job; this format's writers already produce the
+  // footer pass, so stats-decidable constraints are free). A file whose
+  // stats cannot PROVE compliance (stats-less or unknown null count)
+  // refuses loudly — same conservatism as the key rule.
+  private[graft] sealed trait Constraint { def col: String }
+  private[graft] object Constraint {
+    final case class NotNull(col: String) extends Constraint
+    final case class Range(col: String, lo: Option[Long], hi: Option[Long])
+      extends Constraint
+    private val NotNullRe =
+      """(?i)^\s*([A-Za-z_][A-Za-z0-9_]*)\s+IS\s+NOT\s+NULL\s*$""".r
+    private val GeRe = """^\s*([A-Za-z_][A-Za-z0-9_]*)\s*>=\s*(-?\d+)\s*$""".r
+    private val LeRe = """^\s*([A-Za-z_][A-Za-z0-9_]*)\s*<=\s*(-?\d+)\s*$""".r
+    private val BetweenRe =
+      """(?i)^\s*([A-Za-z_][A-Za-z0-9_]*)\s+BETWEEN\s+(-?\d+)\s+AND\s+(-?\d+)\s*$""".r
+    def parse(expr: String): Option[Constraint] = expr match {
+      case NotNullRe(c) => Some(NotNull(c))
+      case GeRe(c, v) => Some(Range(c, Some(v.toLong), None))
+      case LeRe(c, v) => Some(Range(c, None, Some(v.toLong)))
+      case BetweenRe(c, lo, hi) => Some(Range(c, Some(lo.toLong), Some(hi.toLong)))
+      case _ => None
+    }
+    val Grammar: String =
+      "'<col> IS NOT NULL', '<col> >= <int>', '<col> <= <int>', " +
+        "'<col> BETWEEN <int> AND <int>'"
+  }
+  private[graft] val ConstraintPrefix = "constraint."
+
+  /** Live constraints from the property fold (+ a pending delta):
+    * (name, parsed). Unparseable stored values fail loudly — they can
+    * only exist if written around [[setProperties]]' validation. */
+  private[graft] def liveConstraints(
+      table: String, extra: Map[String, String] = Map.empty)
+      : Seq[(String, Constraint)] =
+    (tableProps(table) ++ extra.filter(_._2.nonEmpty)).toSeq
+      .filter(_._1.startsWith(ConstraintPrefix)).sortBy(_._1)
+      .map { case (k, v) =>
+        k.stripPrefix(ConstraintPrefix) -> Constraint.parse(v).getOrElse(
+          throw new IllegalStateException(
+            s"table $table: stored constraint '$k' = '$v' is outside the " +
+              s"footer-decidable grammar (${Constraint.Grammar})"))
+      }
+
+  /** One file's stats vs one constraint: None = complies, Some(reason) =
+    * refuse. Exactness notes in the surface comment above. */
+  private def constraintViolation(
+      f: FileEntry, physCol: String, c: Constraint): Option[String] = c match {
+    case Constraint.NotNull(_) => f.colsN.get(physCol) match {
+      case Some(0L) => None
+      case Some(n) => Some(s"$n NULL value(s) in '$physCol'")
+      case None => Some(
+        s"no null-count statistic for '$physCol' — cannot prove NOT NULL")
+    }
+    case Constraint.Range(_, lo, hi) =>
+      if (f.colsN.get(physCol).contains(f.rows)) None // all-NULL: CHECK passes
+      else f.cols.get(physCol) match {
+        case Some((mn, mx)) =>
+          if (lo.exists(mn < _)) Some(s"min($physCol) = $mn < ${lo.get}")
+          else if (hi.exists(mx > _)) Some(s"max($physCol) = $mx > ${hi.get}")
+          else None
+        case None => Some(
+          s"no [min,max] statistic for '$physCol' — cannot prove the range")
+      }
+  }
+
+  /** Commit-side gate: every ADDED file's stats must prove compliance
+    * with the table's live constraints (including any being set in the
+    * same commit). Called on each commit attempt so a racing ADD
+    * CONSTRAINT is honored. Pure manifest arithmetic — zero data reads. */
+  private def requireConstraintsOnAdds(
+      table: String, adds: Seq[FileEntry], schemaJson: String,
+      propsDelta: Map[String, String]): Unit = {
+    if (adds.isEmpty) return
+    val dropped = propsDelta.filter(_._2.isEmpty).keySet
+    val cs = liveConstraints(table, propsDelta)
+      .filterNot { case (n, _) => dropped.contains(ConstraintPrefix + n) }
+    if (cs.isEmpty) return
+    val phys: Map[String, String] =
+      if (schemaJson.isEmpty) Map.empty
+      else org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+        .fields.map(f => f.name -> physicalName(f)).toMap
+    for ((name, c) <- cs; f <- adds)
+      constraintViolation(f, phys.getOrElse(c.col, c.col), c).foreach { why =>
+        throw new IllegalArgumentException(
+          s"constraint '$name' on $table refuses file ${f.file}: $why " +
+            "(write-time constraints are footer-stats-proven; fix the " +
+            "batch or UNSET the constraint)")
+      }
   }
 
   def setProperties(
       table: String, set: Map[String, String],
       unset: Seq[String] = Seq.empty): Unit = {
     validateProps(table, set, unset)
+    // ADD CONSTRAINT validates like Delta's: the grammar, the column
+    // (exists, long-encoded for ranges), and the CURRENT snapshot's
+    // files — from stats alone, zero reads. Violating history refuses.
+    val newConstraints = set.filter(_._1.startsWith(ConstraintPrefix))
+    if (newConstraints.nonEmpty) {
+      val (_, live, sc) = snapshotWithSchema(table, None)
+      newConstraints.foreach { case (k, v) =>
+        val c = Constraint.parse(v).getOrElse(throw new IllegalArgumentException(
+          s"$k on $table: '$v' is outside the footer-decidable constraint " +
+            s"grammar (${Constraint.Grammar})"))
+        sc.foreach { s =>
+          val f = s.fields.find(_.name == c.col).getOrElse(
+            throw new IllegalArgumentException(
+              s"$k on $table: no column '${c.col}' " +
+                s"(have ${s.fieldNames.mkString(", ")})"))
+          c match {
+            case _: Constraint.Range =>
+              import org.apache.spark.sql.types._
+              require(Seq(LongType, IntegerType, ShortType, DateType,
+                TimestampType, TimestampNTZType).contains(f.dataType),
+                s"$k on $table: range constraints need a long-encoded " +
+                  s"column; '${c.col}' is ${f.dataType.catalogString}")
+            case _ => ()
+          }
+        }
+        val phys = sc.flatMap(_.fields.find(_.name == c.col))
+          .map(physicalName).getOrElse(c.col)
+        live.foreach { f =>
+          constraintViolation(f, phys, c).foreach { why =>
+            throw new IllegalArgumentException(
+              s"$k on $table: existing file ${f.file} violates '$v': $why " +
+                "— constraints must hold over the current snapshot to land")
+          }
+        }
+      }
+    }
     val delta = set ++ unset.map(_ -> "")
     if (delta.isEmpty) return
     def attempt(): Unit = {
@@ -776,8 +926,18 @@ object LogTable {
       while (taken.contains(c)) c += "_"
       c
     }
+    // positional helpers attach on the RAW relation: `_metadata` only
+    // resolves against the file source, not through the anti-join below
+    val needPos = posLive.nonEmpty
+    val posFCol = fresh("_dv_pos_file")
+    val posPCol = fresh("_dv_pos_idx")
+    val base2 =
+      if (!needPos) base
+      else base
+        .withColumn(posFCol, col("_metadata.file_name"))
+        .withColumn(posPCol, col("_metadata.row_index"))
     val withKeyDvs =
-      if (dead.isEmpty) base
+      if (dead.isEmpty) base2
       else {
         val sp = spark
         import sp.implicits._
@@ -794,25 +954,21 @@ object LogTable {
           .getOrElse(physKey)
         val fCol = fresh("_dv_file")
         val kCol = fresh("_dv_key")
-        base
+        base2
           .withColumn(fCol, element_at(split(input_file_name(), "/"), -1))
           .withColumn(kCol, col(keyHere))
           .join(broadcast(dead.toDF(fCol, kCol)), Seq(fCol, kCol), "left_anti")
           .drop(fCol, kCol)
       }
-    if (posLive.isEmpty) withKeyDvs
+    if (!needPos) withKeyDvs
     else {
       import org.apache.spark.sql.GraftColumnBridge.{column => asCol, expression => asExpr}
-      val fCol = fresh("_dv_pos_file")
-      val pCol = fresh("_dv_pos_idx")
       // parquet's own metadata columns give (file, position) exactly —
       // no counting, no assumptions about split planning
       withKeyDvs
-        .withColumn(fCol, col("_metadata.file_name"))
-        .withColumn(pCol, col("_metadata.row_index"))
         .filter(!asCol(graft.functions.PositionDead(
-          asExpr(col(fCol)), asExpr(col(pCol)), table, posLive)))
-        .drop(fCol, pCol)
+          asExpr(col(posFCol)), asExpr(col(posPCol)), table, posLive)))
+        .drop(posFCol, posPCol)
     }
   }
 
@@ -1063,6 +1219,11 @@ object LogTable {
         throw new IllegalArgumentException(
           s"dropColumns($table): no column '$n' " +
             s"(have ${current.fieldNames.mkString(", ")})")
+      liveConstraints(table).find(_._2.col == n).foreach { case (cn, _) =>
+        throw new IllegalArgumentException(
+          s"dropColumns($table): column '$n' is referenced by constraint " +
+            s"'$cn' — UNSET TBLPROPERTIES ('$ConstraintPrefix$cn') first")
+      }
     }
     val toDrop = names.toSet
     val narrowed = org.apache.spark.sql.types.StructType(
@@ -1113,6 +1274,15 @@ object LogTable {
       spark: SparkSession, table: String, from: String, to: String): Unit = {
     require(from != to, s"renameColumn($table): '$from' -> '$to' is a no-op")
     require(to.nonEmpty, s"renameColumn($table): empty target name")
+    // a stored constraint names the column AS SPELLED AT SET TIME —
+    // renaming underneath it would orphan the expression (and silently
+    // stop enforcing). Refuse; UNSET the constraint first.
+    liveConstraints(table).find(_._2.col == from).foreach { case (n, _) =>
+      throw new IllegalArgumentException(
+        s"renameColumn($table): column '$from' is referenced by " +
+          s"constraint '$n' — UNSET TBLPROPERTIES " +
+          s"('$ConstraintPrefix$n') first")
+    }
     val (snapVersion, liveNow, committedSchema) = snapshotWithSchema(table, None)
     require(Files.isDirectory(logDir(table)),
       s"renameColumn($table): table does not exist")
@@ -1727,10 +1897,89 @@ object LogTable {
     requireManifestSafeAppId(appId, "upsertEpoch")
     if (lastTxnEpoch(table, appId).exists(_ >= epochId)) return false
     if (partFiles.isEmpty) return false
+    // MERGE-ON-READ streaming (the per-table `rowLevel` policy, same as
+    // the SQL row-level path): the epoch commits as a DV DELTA — the
+    // staged parts REGISTER as appends (no re-write; their footers were
+    // already cut by the stream tasks) and the epoch's keys die via
+    // manifest vectors. ONE fenced commit, ZERO table files rewritten
+    // (LogSinkSpec pins the file set and the change-feed read). Epochs
+    // the vector budget cannot carry — bulk batches, budget-exhausted
+    // files, schema evolution, renamed tables — fall back to the
+    // copy-on-write rewrite below, which also purges accumulated
+    // vectors: the stream stays alive and the policy degrades loudly in
+    // the log rather than failing the query.
+    if (tableProps(table).get("rowLevel").contains("merge-on-read"))
+      upsertEpochDV(spark, table, staging, partFiles, streamSchema,
+        keyCol, appId, epochId).foreach(return _)
     val incoming = spark.read.schema(streamSchema).parquet(
       partFiles.toSeq.sorted.map(staging.resolve(_).toString): _*)
     upsertImpl(spark, table, incoming, keyCol,
       txns = Map(appId -> epochId))
+  }
+
+  /** The merge-on-read epoch commit: `Some(landed)` when the DV path
+    * carried it, `None` when the caller must fall back to copy-on-write
+    * (over-budget epoch, schema evolution in flight, renamed table). */
+  private def upsertEpochDV(
+      spark: SparkSession, table: String, staging: Path,
+      partFiles: Set[String], streamSchema: org.apache.spark.sql.types.StructType,
+      keyCol: String, appId: String, epochId: Long): Option[Boolean] = {
+    val (snapVersion0, snapshot0, snapSchema0) = snapshotWithSchema(table, None)
+    // the DV epoch registers parts as-is: exact-shape epochs only
+    // (evolution appends columns → the rewrite path aligns), and never
+    // across a column mapping (parts carry logical names)
+    snapSchema0 match {
+      case Some(sc) =>
+        if (streamSchema.fieldNames.toSet != sc.fieldNames.toSet ||
+            streamSchema.fields.exists(f =>
+              sc.fields.exists(x => x.name == f.name &&
+                x.dataType.catalogString != f.dataType.catalogString)) ||
+            mappingOf(Some(sc)).nonEmpty) return None
+      case None => ()
+    }
+    val incoming = spark.read.schema(streamSchema).parquet(
+      partFiles.toSeq.sorted.map(staging.resolve(_).toString): _*)
+    val keys = incoming.select(col(keyCol).cast("long")).distinct()
+      .limit(DvMaxKeys + 1).collect().map(_.getLong(0))
+    if (keys.isEmpty) return Some(false)
+    if (keys.length > DvMaxKeys) return None // bulk epoch: rewrite path
+    val (lo, hi) = (keys.min, keys.max)
+    def slice(snapshot: Seq[FileEntry]): Map[String, Seq[Long]] =
+      snapshot.iterator
+        .filter(f => f.minKey <= hi && f.maxKey >= lo)
+        .map(f => f.file -> keys.iterator
+          .filter(k => k >= f.minKey && k <= f.maxKey).toSeq)
+        .filter(_._2.nonEmpty)
+        .toMap
+    // accumulation budget probed BEFORE the parts register: past it the
+    // epoch takes the rewrite (which purges the vectors — self-healing)
+    val acc = liveDvs(table, Some(snapVersion0))
+    val over = slice(snapshot0).exists { case (f, ks) =>
+      acc.get(f).map(_.size.toLong).getOrElse(0L) + ks.size > DvMaxKeys * 4L
+    }
+    if (over) return None
+    val adds = registerStaged(spark, table, staging, streamSchema, keyCol,
+      onlyFiles = Some(partFiles))
+    if (adds.isEmpty) return Some(false)
+    def attempt(): Boolean = {
+      val (snapVersion, snapshot, snapSchema) = snapshotWithSchema(table, None)
+      val dvAdds = slice(snapshot)
+      // a racer inflating a file past the budget between the probe and
+      // this attempt fails loudly; the restarted query's replay re-probes
+      // at the new head and falls back to the rewrite
+      requireDvBudget(table, snapVersion, dvAdds, "upsertEpoch")
+      // nested-verdict pattern (see commitStreamingEpoch's Complete
+      // mode): when reRun recomputes, the NESTED attempt's verdict — in
+      // particular a txn-fence duplicate drop — is the real one
+      var nested: Option[Boolean] = None
+      val direct = commit(table, snapVersion, adds, removes = Seq.empty,
+        reRun = () => nested = Some(attempt()),
+        schema = snapSchema.map(_.json).getOrElse(streamSchema.json),
+        keyRange = Some((lo, hi)), keyCol = keyCol,
+        txns = Map(appId -> epochId), dvs = dvAdds)
+      nested.getOrElse(direct)
+    }
+    Some(attempt())
   }
 
   private def readFiles2(
@@ -2022,6 +2271,128 @@ object LogTable {
     attempt()
   }
 
+  /** BULK merge-on-read DELETE via POSITIONAL deletion vectors — the
+    * roaring-bitmap half of the DV surface (Delta's deletion-vector
+    * design; Iceberg v2 position deletes): rows matching `rowPredicate`
+    * in the admitted files are marked dead BY ROW POSITION in per-file
+    * bitmap sidecars under `_dv/`, and the table commits ONE manifest
+    * referencing them — ZERO data files rewritten, no key-count cap
+    * (unlike [[deleteKeysDV]]'s inline key sets, the cost is
+    * O(rows-deleted) BITS off-manifest). The GDPR-bulk shape: a
+    * predicate DELETE touching millions of keys in 10 GB files commits
+    * in seconds; the bytes linger until [[compact]] — the published
+    * formats' trade.
+    *
+    * Distributed end to end: the position scan reads only admitted
+    * files (manifest-stats pruning via `fileAdmit`), positions come from
+    * parquet's own `_metadata.row_index`, per-file bitmaps are built AND
+    * written on executors (one streaming pass per file group — the
+    * driver sees only (file, sidecar-name) pairs, O(#touched files)).
+    * Already-dead rows (key or positional vectors at the pinned
+    * snapshot) never re-mark, which keeps the change feed's net-new
+    * delete images exact. Concurrency: the commit validates the touched
+    * files are still live (`requireLive`) — a racer's rewrite forces a
+    * recompute, never a vector against a dead file. */
+  def deleteWherePositional(
+      spark: SparkSession, table: String,
+      fileAdmit: FileEntry => Boolean,
+      rowPredicate: org.apache.spark.sql.Column): Unit = {
+    val keyCol = tableKeyCol(table).getOrElse(throw new IllegalArgumentException(
+      s"deleteWherePositional($table): the table predates the key-column " +
+        "property — run one keyed write first"))
+    val sp = spark
+    import sp.implicits._
+    def attempt(): Unit = {
+      val (snapVersion, snapshot, snapSchema) = snapshotWithSchema(table, None)
+      val touched = snapshot.filter(fileAdmit)
+      if (touched.isEmpty) return
+      val dvs = liveDvState(table, Some(snapVersion))
+      val paths = touched.map(f => dataDir(table).resolve(f.file).toString)
+      // physical scan under the committed schema (the readFiles rules:
+      // logical projection over physical columns on renamed tables)
+      val base = snapSchema match {
+        case None => spark.read.parquet(paths: _*)
+        case Some(s) if !s.fields.exists(f => physicalName(f) != f.name) =>
+          spark.read.schema(s).parquet(paths: _*)
+        case Some(s) =>
+          val phys = org.apache.spark.sql.types.StructType(
+            s.fields.map(f => f.copy(name = physicalName(f))))
+          spark.read.schema(phys).parquet(paths: _*)
+            .select(s.fields.map(f =>
+              col(physicalName(f)).as(f.name)).toIndexedSeq: _*)
+      }
+      val taken = base.columns.toSet
+      def fresh(n: String): String = {
+        var c = n
+        while (taken.contains(c)) c += "_"
+        c
+      }
+      val fCol = fresh("_dvw_file")
+      val pCol = fresh("_dvw_pos")
+      var df = base
+        .withColumn(fCol, col("_metadata.file_name"))
+        .withColumn(pCol, col("_metadata.row_index"))
+      // rows already dead at the pinned snapshot never re-mark
+      val deadKeys = dvs.keys.iterator
+        .filter { case (f, ks) => ks.nonEmpty && touched.exists(_.file == f) }
+        .flatMap { case (f, ks) => ks.iterator.map(k => (f, k)) }.toSeq
+      if (deadKeys.nonEmpty) {
+        // the scan is under the CURRENT committed schema, so the key
+        // property's (current, logical) name resolves directly
+        val kCol = fresh("_dvw_key")
+        df = df.withColumn(kCol, col(keyCol))
+          .join(broadcast(deadKeys.toDF(fCol, kCol)), Seq(fCol, kCol), "left_anti")
+          .drop(kCol)
+      }
+      if (dvs.pos.nonEmpty) {
+        import org.apache.spark.sql.GraftColumnBridge.{column => asCol, expression => asExpr}
+        df = df.filter(!asCol(graft.functions.PositionDead(
+          asExpr(col(fCol)), asExpr(col(pCol)), table, dvs.pos)))
+      }
+      val dying = df.filter(coalesce(rowPredicate, lit(false)))
+        .select(col(fCol).as("_f"), col(pCol).as("_p"))
+      // per-file bitmaps, built and written where the data is: cluster
+      // positions by file, stream each group into a roaring bitmap, land
+      // the sidecar from the task — the driver collects names only
+      val tablePath = table
+      val entries: Map[String, Seq[String]] = dying
+        .repartition(col("_f"))
+        .sortWithinPartitions("_f")
+        .as[(String, Long)]
+        .mapPartitions { rows =>
+          val out = scala.collection.mutable.ListBuffer.empty[(String, String)]
+          var curFile: String = null
+          var bm: org.roaringbitmap.longlong.Roaring64Bitmap = null
+          def flush(): Unit = if (curFile != null) {
+            out += curFile -> writePosDvSidecar(tablePath, bm)
+            curFile = null; bm = null
+          }
+          rows.foreach { case (f, p) =>
+            if (f != curFile) {
+              flush()
+              curFile = f
+              bm = new org.roaringbitmap.longlong.Roaring64Bitmap()
+            }
+            bm.addLong(p)
+          }
+          flush()
+          out.iterator
+        }
+        .collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+      if (entries.isEmpty) return // nothing matched: no-op
+      commit(table, snapVersion, adds = Seq.empty, removes = Seq.empty,
+        reRun = () => attempt(),
+        schema = snapSchema.map(_.json).getOrElse(""), keyCol = keyCol,
+        dvp = entries,
+        // decisions are per-(file, position): a racer rewriting any
+        // touched file invalidates them — recompute, never attach a
+        // vector to a dead file
+        requireLive = touched.map(_.file))
+    }
+    attempt()
+  }
+
   /** Replace an explicit file set with new data in one commit — the
     * group-replacement half of Spark's row-level operations
     * (UPDATE/MERGE via [[graft.sources.v2.LogTableTable]]): the
@@ -2265,9 +2636,11 @@ object LogTable {
     requireNotTruncated(table, math.max(fromV, 1L))
     val ms = manifests(table).filter(m => m.version > fromV && m.version <= toV)
     if (ms.isEmpty) return spark.emptyDataFrame
-    if (ms.forall(m => m.removes.isEmpty && !m.checkpoint && m.dvs.isEmpty)) {
-      // (a DV commit deletes/updates rows without removing files — the
-      // added files alone are NOT the change set; it takes the diff path)
+    if (ms.forall(m =>
+        m.removes.isEmpty && !m.checkpoint && m.dvs.isEmpty && m.dvp.isEmpty)) {
+      // (a DV commit — key or positional — deletes/updates rows without
+      // removing files: the added files alone are NOT the change set; it
+      // takes the diff path)
       // (a checkpoint in range is a consolidation, not new data — its
       // adds re-list the whole table and must go through the diff path)
       val added = ms.flatMap(_.adds)
@@ -2828,7 +3201,27 @@ object LogTable {
         Files.deleteIfExists(d)
       } catch { case _: java.io.IOException => () }
     }
-    orphans.map { p => Files.deleteIfExists(p); p.getFileName.toString }
+    // positional-DV sidecars sweep under the same rule: any sidecar NO
+    // manifest references is debris (a reRun's superseded attempt, a
+    // crashed writer) — referenced ones stay for time travel like data
+    // files. The grace window guards in-flight writers identically.
+    val dvRef = manifests(table).flatMap(_.dvp.valuesIterator.flatten).toSet
+    val dvD = dvDir(table)
+    val dvOrphans =
+      if (!Files.isDirectory(dvD)) Seq.empty[String]
+      else {
+        val ls = Files.list(dvD)
+        try ls.iterator().asScala.toSeq
+          .filter(p => Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".bin") &&
+            !dvRef(p.getFileName.toString) &&
+            (graceMillis <= 0L ||
+              Files.getLastModifiedTime(p).toMillis <= cutoff))
+          .map { p => Files.deleteIfExists(p); p.getFileName.toString }
+        finally ls.close()
+      }
+    orphans.map { p => Files.deleteIfExists(p); p.getFileName.toString } ++
+      dvOrphans
   }
 
   /** Test seam: invoked once at the top of every [[commit]] attempt —
@@ -2892,6 +3285,10 @@ object LogTable {
       // cleanly, double-applying the epoch.
       if (txns.nonEmpty && txns.exists { case (app, e) =>
         lastTxnEpoch(table, app).exists(_ >= e) }) return false
+      // write-time constraints, re-checked on EVERY attempt (a racer's
+      // ADD CONSTRAINT between attempts is honored): added files must
+      // PROVE compliance from their footer stats — zero data reads
+      requireConstraintsOnAdds(table, adds, committedSchema, props)
       onCommitAttempt()
       val v = expected + 1
       val m = Manifest(v, adds, removes, committedSchema, keyCol = keyCol,

@@ -156,6 +156,7 @@ object EtlQueries {
   private val k19Setup = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val k20Setup = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val k25Setup = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val k27Setup = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   // A1 on fixtures: per-order refund totals.
   private def refundOrderTotals(s: org.apache.spark.sql.SparkSession, d: String) =
@@ -985,6 +986,75 @@ object EtlQueries {
              |       CASE WHEN o_orderkey % 97 = 0
              |       THEN 'RESYNCED' ELSE o_orderstatus END AS status
              |FROM orders ORDER BY order_id""".stripMargin),
+    ),
+
+    // K26 — BULK merge-on-read DELETE via POSITIONAL bitmap vectors (the
+    // Delta deletion-vector / Iceberg position-delete design): every
+    // matched row of the clone — thousands of keys, orders of magnitude
+    // over the inline key-vector budget — dies in ONE metadata+bitmap
+    // commit, ZERO data files rewritten (LogConnectorSpec pins the file
+    // set, the single-commit claim, and the change feed's exact delete
+    // images). This closes the bulk half of the DV surface: k23/k24 are
+    // the capped small-delta verbs, k26 the uncapped GDPR-bulk shape —
+    // positions are roaring bitmaps in `_dv/` sidecars, O(rows-deleted)
+    // BITS off-manifest, built and written on executors. The oracle
+    // replays the surviving predicate.
+    QueryDef(
+      "k26_dv_bulk",
+      (s, d) => {
+        val t = kBaseCloneFor(s, d, "k26")
+        graft.io.LogTable.deleteWherePositional(s, t, _ => true,
+          col("status") === "F" && col("order_id") % 3 =!= 0)
+        graft.io.LogTable.read(s, t).orderBy("order_id")
+      },
+      Some("""SELECT o_orderkey AS order_id, o_orderstatus AS status,
+             |       'base' AS src
+             |FROM orders
+             |WHERE o_orderdate < TIMESTAMP '2000-01-01'
+             |  AND NOT (o_orderstatus = 'F' AND o_orderkey % 3 <> 0)
+             |ORDER BY order_id""".stripMargin),
+    ),
+
+    // K27 — CONSTRAINED pipeline load (the reference's ddl.sql PK NOT
+    // NULL semantics generalized): the orders fact lands in a log table
+    // whose TBLPROPERTIES carry write-time constraints — the key NOT
+    // NULL plus a money-range CHECK — enforced at every commit FROM
+    // FOOTER STATS (zero data reads; LogConnectorSpec pins the loud
+    // refusal of violating appends, the SET-time validation over
+    // existing data, and the UNSET lift). Setup (CTAS under the
+    // constraints) is per-sfDir like k15/k16; the timed body is the
+    // analytic read over the constrained table — proof the constrained
+    // load LANDS and SERVES. The oracle replays the semantics.
+    QueryDef(
+      "k27_constrained_load",
+      (s, d) => {
+        val cat = k27Setup.computeIfAbsent(d, dir => {
+          val name = mergeCatalogFor(s, dir)
+          Tables.orders(s, dir)
+            .select(
+              col("o_orderkey").as("order_id"),
+              col("o_orderdate").as("order_date"),
+              col("o_orderstatus").as("status"),
+              round(col("o_totalprice") * 100).cast("long").as("total_cents"))
+            .createOrReplaceTempView("k27_base")
+          s.sql(s"CREATE TABLE $name.etl.c_orders " +
+            "TBLPROPERTIES ('keyCol'='order_id', " +
+            "'constraint.pk_present'='order_id IS NOT NULL', " +
+            "'constraint.total_pos'='total_cents >= 0') AS " +
+            "SELECT * FROM k27_base")
+          name
+        })
+        s.sql(s"SELECT status, total_cents FROM $cat.etl.c_orders " +
+          "WHERE order_date >= TIMESTAMP '1997-01-01'")
+          .groupBy("status")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("total_cents")).as("revenue_cents"))
+          .orderBy("status")
+      },
+      Some("""SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+             |       SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+             |FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+             |GROUP BY 1 ORDER BY status""".stripMargin),
     ),
 
     // K4/K6 — column alignment / schema migration: missing columns appear

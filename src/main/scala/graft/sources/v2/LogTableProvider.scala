@@ -331,12 +331,16 @@ class LogTableTable(
     * [[LogTable.deleteWhere]]'s rewrite commit for the rows. */
   override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean = {
     if (asOf.isDefined) return false
-    // Under merge-on-read, metadata delete keeps ONLY the zero-read
-    // key-list fast path (deleteKeysDV); every other predicate refuses
-    // here so Spark falls back to the row-level DELTA plan, which
-    // commits vectors instead of rewriting files — the mode's contract.
+    // Under merge-on-read, metadata delete serves every TRANSLATABLE
+    // predicate without rewriting a file: a small key list takes the
+    // zero-read deleteKeysDV fast path, anything else (bulk key lists
+    // included — no cap) takes the POSITIONAL bitmap path
+    // (deleteWherePositional: one position scan, sidecar commits, zero
+    // rewrites). Untranslatable predicates refuse here so Spark falls
+    // back to the row-level DELTA plan.
     if (rowLevelMode == "merge-on-read")
-      return pureKeyList(filters).exists(_.size <= LogTable.DvMaxKeys)
+      return pureKeyList(filters).exists(_.size <= LogTable.DvMaxKeys) ||
+        filters.forall(f => LogTableTable.filterToColumn(f).isDefined)
     filters.forall(f => LogTableTable.filterToColumn(f).isDefined)
   }
 
@@ -403,7 +407,13 @@ class LogTableTable(
     // predicates prune, unpushable ones leave files conservatively in
     val sb = new LogTableScanBuilder(path, tableSchema, None)
     sb.pushFilters(filters)
-    LogTable.deleteWhere(SparkSession.active, path, sb.fileAdmitted, pred)
+    if (rowLevelMode == "merge-on-read")
+      // BULK merge-on-read: positional bitmap vectors — one position
+      // scan of the admitted files, sidecar commits, ZERO rewrites, no
+      // key-count cap (the Delta DV bulk-DELETE shape)
+      LogTable.deleteWherePositional(SparkSession.active, path, sb.fileAdmitted, pred)
+    else
+      LogTable.deleteWhere(SparkSession.active, path, sb.fileAdmitted, pred)
   }
   override def name(): String = s"graft_log($path${asOf.fold("")(v => s"@v$v")})"
   override def schema(): StructType = tableSchema
@@ -912,6 +922,12 @@ class LogTableScanBuilder(
   // racing DV commit must not leak newer deletes into an older file set)
   private lazy val dvsLive: Map[String, Seq[Long]] =
     LogTable.liveDvs(path, Some(asOf.getOrElse(pinnedFull._1)))
+  // positional (bitmap) vectors, same pin: file → sidecar names; the
+  // scan plans PATHS only, tasks load bitmaps lazily
+  private lazy val dvpLive: Map[String, Seq[String]] =
+    LogTable.livePosDvs(path, Some(asOf.getOrElse(pinnedFull._1)))
+  private def dvPosPathsOf(names: Seq[String]): Seq[String] =
+    names.map(n => LogTable.dvDir(path).resolve(n).toString)
   // the DV key column under its PHYSICAL name (what the files carry) —
   // resolved lazily and only when vectors exist
   private lazy val dvPhysKey: String = {
@@ -1034,7 +1050,7 @@ class LogTableScanBuilder(
     // scan until compact() purges
     if (cdf || aggregation.groupByExpressions.nonEmpty ||
         pushed.nonEmpty || bounds.nonEmpty || clauses.nonEmpty ||
-        dvsLive.nonEmpty) None
+        dvsLive.nonEmpty || dvpLive.nonEmpty) None
     else {
       val as = aggregation.aggregateExpressions.toSeq.map(aggAnswer)
       if (as.nonEmpty && as.forall(_.isDefined)) Some(as.map(_.get)) else None
@@ -1165,7 +1181,9 @@ class LogTableScanBuilder(
             LogFilePartition(
               LogTable.dataDir(path).resolve(f.file).toString,
               requiredPhysJson, fileColIsMeta,
-              dvKeyCol = dk, dvKeys = dks): InputPartition
+              dvKeyCol = dk, dvKeys = dks,
+              dvPosFiles = dvPosPathsOf(
+                dvpLive.getOrElse(f.file, Seq.empty))): InputPartition
           }.toArray
       }
     }
@@ -1239,22 +1257,38 @@ class LogTableScanBuilder(
       LogTable.liveDvs(path, Some(fromV)).foreach { case (f, ks) =>
         dvState(f) = scala.collection.mutable.LinkedHashSet(ks: _*)
       }
+      // POSITIONAL vector state threads identically: accumulated sidecar
+      // names per file. Net-new exactness is the reader's job here (the
+      // bitmaps live off-driver): an inverse partition carries the NEW
+      // sidecars plus the prior (key set, sidecar set) as EXCLUDES —
+      // emit rows dead by the new vectors and not already dead by any
+      // prior mechanism.
+      val posState = scala.collection.mutable.Map
+        .empty[String, scala.collection.mutable.LinkedHashSet[String]]
+      LogTable.livePosDvs(path, Some(fromV)).foreach { case (f, ss) =>
+        posState(f) = scala.collection.mutable.LinkedHashSet(ss: _*)
+      }
+      def posPathsOf(f: String): Seq[String] =
+        posState.get(f).fold(Seq.empty[String])(s => dvPosPathsOf(s.toSeq))
       val parts = ms.flatMap { m =>
         // fileColIsMeta rides through exactly as in batch/stream scans: a
         // feed read that projects the _file metadata column must serve
         // the file name, not NULLs (a hardcoded false here did the latter).
         val dels = m.removes.map { f =>
           val deadBefore = dvState.remove(f).fold(Seq.empty[Long])(_.toSeq)
+          val posBefore = posState.remove(f)
+            .fold(Seq.empty[String])(s => dvPosPathsOf(s.toSeq))
           LogFilePartition(
             LogTable.dataDir(path).resolve(f).toString, requiredPhysJson,
             fileColIsMeta,
             changeType = Some("delete"), commitVersion = Some(m.version),
             dvKeyCol = if (deadBefore.isEmpty) "" else dvPhysKey,
-            dvKeys = deadBefore)
+            dvKeys = deadBefore,
+            dvPosFiles = posBefore)
         }
         val addedNow = m.adds.map(_.file).toSet
-        // vector DELTAS first (state update rides the map): net-new dead
-        // keys per still-live, not-added-now file become delete images
+        // vector DELTAS first (state update rides the maps): net-new dead
+        // rows per still-live, not-added-now file become delete images
         val dvDels = m.dvs.toSeq.flatMap { case (f, ks) =>
           val acc = dvState.getOrElseUpdate(f,
             scala.collection.mutable.LinkedHashSet.empty)
@@ -1265,7 +1299,30 @@ class LogTableScanBuilder(
             LogTable.dataDir(path).resolve(f).toString, requiredPhysJson,
             fileColIsMeta,
             changeType = Some("delete"), commitVersion = Some(m.version),
-            dvKeyCol = dvPhysKey, dvKeys = netNew, dvInverse = true))
+            dvKeyCol = dvPhysKey, dvKeys = netNew, dvInverse = true,
+            // a key-killed row that was ALREADY positionally dead must
+            // not re-emit — exclude the prior position state
+            dvPosExclude = posPathsOf(f)))
+        }
+        val posDels = m.dvp.toSeq.flatMap { case (f, ss) =>
+          val acc = posState.getOrElseUpdate(f,
+            scala.collection.mutable.LinkedHashSet.empty)
+          val priorPos = dvPosPathsOf(acc.toSeq)
+          val netNew = ss.filterNot(acc)
+          acc ++= ss
+          val priorKeys = dvState.get(f).fold(Seq.empty[Long])(_.toSeq)
+          if (netNew.isEmpty || addedNow.contains(f)) None
+          else Some(LogFilePartition(
+            LogTable.dataDir(path).resolve(f).toString, requiredPhysJson,
+            fileColIsMeta,
+            changeType = Some("delete"), commitVersion = Some(m.version),
+            dvKeyCol = if (priorKeys.isEmpty) "" else dvPhysKey,
+            dvInverse = true,
+            dvPosFiles = dvPosPathsOf(netNew),
+            // already-dead rows (earlier sidecars OR key vectors) are
+            // prior state, not this commit's delta
+            dvPosExclude = priorPos,
+            dvKeysExclude = priorKeys))
         }
         val adds = m.adds.filter(fileAdmitted).map { f =>
           val deadNow = dvState.get(f.file).fold(Seq.empty[Long])(_.toSeq)
@@ -1274,9 +1331,10 @@ class LogTableScanBuilder(
             fileColIsMeta,
             changeType = Some("insert"), commitVersion = Some(m.version),
             dvKeyCol = if (deadNow.isEmpty) "" else dvPhysKey,
-            dvKeys = deadNow)
+            dvKeys = deadNow,
+            dvPosFiles = posPathsOf(f.file))
         }
-        dels ++ dvDels ++ adds
+        dels ++ dvDels ++ posDels ++ adds
       }
       LogTableScan.lastTotalFiles.set(ms.map(m => m.adds.size + m.removes.size).sum)
       LogTableScan.lastPlannedFiles.set(parts.size)
@@ -1369,7 +1427,7 @@ class LogTableScanBuilder(
           // updates rows without removing a file, so the added files
           // alone under-represent the delta exactly like a rewrite does
           val changeCommits = ms.filter(m =>
-            m.removes.nonEmpty || m.checkpoint || m.dvs.nonEmpty)
+            m.removes.nonEmpty || m.checkpoint || m.dvs.nonEmpty || m.dvp.nonEmpty)
           if (changeCommits.nonEmpty && !skipChangeCommits)
             throw new IllegalStateException(
               s"graft-log stream on $path: version(s) " +
@@ -1380,7 +1438,7 @@ class LogTableScanBuilder(
                 "CDC, or opt into .option(\"skipChangeCommits\", true) to " +
                 "ignore them")
           val added = ms.filterNot(m =>
-            m.removes.nonEmpty || m.checkpoint || m.dvs.nonEmpty)
+            m.removes.nonEmpty || m.checkpoint || m.dvs.nonEmpty || m.dvp.nonEmpty)
             .flatMap(_.adds)
           val kept = added.filter(fileAdmitted)
           LogTableScan.lastTotalFiles.set(added.size)
@@ -1425,7 +1483,16 @@ case class LogFilePartition(
     // a vector commit)
     dvKeyCol: String = "",
     dvKeys: Seq[Long] = Seq.empty,
-    dvInverse: Boolean = false) extends InputPartition
+    dvInverse: Boolean = false,
+    // POSITIONAL vectors: sidecar PATHS whose OR is this file's dead-
+    // position bitmap (loaded lazily in the task, never by the driver).
+    // The exclude sets serve the change feed's NET-NEW exactness in
+    // inverse mode: emit rows dead by (dvKeys ∪ dvPosFiles) and NOT
+    // already dead by (dvKeysExclude ∪ dvPosExclude) at the prior
+    // version. Normal (non-inverse) reads leave the excludes empty.
+    dvPosFiles: Seq[String] = Seq.empty,
+    dvPosExclude: Seq[String] = Seq.empty,
+    dvKeysExclude: Seq[Long] = Seq.empty) extends InputPartition
 
 /** Single pre-computed row for a completely-pushed aggregation — the
   * manifest stats ARE the result; no file task ever runs. Values are
@@ -1504,23 +1571,49 @@ class LogFileReader(part: LogFilePartition) extends PartitionReader[InternalRow]
       !isMetaFileField(f.name) && cdfValueOf(f.name).isEmpty &&
         fileSchema.containsField(f.name))
 
-  // deletion vector for THIS file: the key column must be decodable or
-  // the dead rows cannot be told apart — loud, never served-with-dead
-  private val dvActive = part.dvKeys.nonEmpty
-  if (dvActive) require(
+  // deletion vectors for THIS file. KEY vectors (and key excludes, the
+  // change feed's prior-dead set) need the key column decodable or the
+  // dead rows cannot be told apart — loud, never served-with-dead.
+  // POSITIONAL vectors need only the running row position: this reader
+  // consumes the file SEQUENTIALLY in full (no row-group skipping), so a
+  // counter is the exact parquet row index the writer recorded.
+  private val dvKeysActive = part.dvKeys.nonEmpty || part.dvKeysExclude.nonEmpty
+  private val dvPosActive = part.dvPosFiles.nonEmpty
+  private val dvActive = dvKeysActive || dvPosActive
+  if (dvKeysActive) require(
     part.dvKeyCol.nonEmpty && fileSchema.containsField(part.dvKeyCol),
     s"graft-log reader: file ${hPath.getName} carries a deletion vector " +
       s"but its key column '${part.dvKeyCol}' is absent from the file — " +
       "cannot separate dead rows")
-  private val dvDead: java.util.HashSet[java.lang.Long] =
-    if (!dvActive) null
+  private def keySet(ks: Seq[Long]): java.util.HashSet[java.lang.Long] =
+    if (ks.isEmpty) null
     else {
-      val s = new java.util.HashSet[java.lang.Long](part.dvKeys.size * 2)
-      part.dvKeys.foreach(k => s.add(k))
+      val s = new java.util.HashSet[java.lang.Long](ks.size * 2)
+      ks.foreach(k => s.add(k))
       s
     }
+  private val dvDead = keySet(part.dvKeys)
+  private val dvKeyExcl = keySet(part.dvKeysExclude)
+  private def orOf(paths: Seq[String])
+      : org.roaringbitmap.longlong.Roaring64Bitmap =
+    if (paths.isEmpty) null
+    else {
+      val acc = new org.roaringbitmap.longlong.Roaring64Bitmap()
+      paths.foreach { p =>
+        val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+          java.nio.file.Files.newInputStream(java.nio.file.Paths.get(p))))
+        try {
+          val one = new org.roaringbitmap.longlong.Roaring64Bitmap()
+          one.deserialize(in)
+          acc.or(one)
+        } finally in.close()
+      }
+      acc
+    }
+  private val posNew = orOf(part.dvPosFiles)
+  private val posExcl = orOf(part.dvPosExclude)
   private val dvKeyGet: Group => Long =
-    if (!dvActive) null
+    if (!dvKeysActive) null
     else {
       val kn = part.dvKeyCol
       fileGroup.getType(kn).asPrimitiveType().getPrimitiveTypeName match {
@@ -1538,7 +1631,7 @@ class LogFileReader(part: LogFilePartition) extends PartitionReader[InternalRow]
   // — the footer row count lies about live rows) without emitting it.
   private val projection: Option[org.apache.parquet.schema.MessageType] = {
     val projFields =
-      if (dvActive && !presentFields.exists(_.name == part.dvKeyCol))
+      if (dvKeysActive && !presentFields.exists(_.name == part.dvKeyCol))
         presentFields.map(_.name) :+ part.dvKeyCol
       else presentFields.map(_.name)
     if (projFields.isEmpty) None
@@ -1622,20 +1715,46 @@ class LogFileReader(part: LogFilePartition) extends PartitionReader[InternalRow]
       else cdfValueOf(f.name).orNull))
 
   // a NULL key can never be vector-dead (DV keys are values); rows with
-  // a present key are in the dead set iff it holds their key. Inverse
-  // mode (change-feed delete images) keeps ONLY the dead rows.
-  private def dvKeep(g: Group): Boolean = {
-    val inSet = g.getFieldRepetitionCount(part.dvKeyCol) > 0 &&
-      dvDead.contains(dvKeyGet(g))
-    if (part.dvInverse) inSet else !inSet
+  // a present key are in the dead set iff it holds their key; a row is
+  // positionally dead iff its running row index is set in the file's
+  // bitmap. Inverse mode (change-feed delete images) keeps ONLY the
+  // NET-NEW dead rows: dead by this commit's vectors and NOT already
+  // dead by the prior version's (the exclude sets).
+  private def keyIn(g: Group, set: java.util.HashSet[java.lang.Long]): Boolean =
+    set != null && g.getFieldRepetitionCount(part.dvKeyCol) > 0 &&
+      set.contains(dvKeyGet(g))
+  private def dvKeep(g: Group, pos: Long): Boolean = {
+    val newDead = keyIn(g, dvDead) || (posNew != null && posNew.contains(pos))
+    if (!part.dvInverse) !newDead
+    else newDead && !(keyIn(g, dvKeyExcl) ||
+      (posExcl != null && posExcl.contains(pos)))
   }
 
+  // count-style reads (no projectable column) against a POSITIONAL-only
+  // vector: the footer row count lies about live rows, but the bitmap's
+  // cardinality restores exactness without touching a data page —
+  // positions are minted from this file's real row indices, so they are
+  // unique and < fileRows. (Key vectors force the key column into the
+  // projection, so reader == null never coincides with them.)
+  private val countRows: Long =
+    if (posNew == null) {
+      if (part.dvInverse) 0L else fileRows
+    } else if (part.dvInverse) {
+      val net = new org.roaringbitmap.longlong.Roaring64Bitmap()
+      net.or(posNew)
+      if (posExcl != null) net.andNot(posExcl)
+      net.getLongCardinality
+    } else fileRows - posNew.getLongCardinality
+
+  private var rowPos = -1L
+  private def readNext(): Group = { rowPos += 1; reader.read() }
+
   override def next(): Boolean =
-    if (reader == null) { emitted += 1; emitted <= fileRows }
+    if (reader == null) { emitted += 1; emitted <= countRows }
     else if (!dvActive) { current = reader.read(); current != null }
     else {
-      var g = reader.read()
-      while (g != null && !dvKeep(g)) g = reader.read()
+      var g = readNext()
+      while (g != null && !dvKeep(g, rowPos)) g = readNext()
       current = g
       current != null
     }

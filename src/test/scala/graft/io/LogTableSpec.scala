@@ -632,8 +632,13 @@ class LogTableSpec extends AnyFunSuite {
       // the fold depends on round-tripping exactly
       props <- Gen.mapOf(Gen.zip(nameGen,
         Gen.oneOf(Gen.const(""), nameGen)))
+      // positional-vector sidecar lists: file → sorted sidecar names
+      // (render sorts; generate sorted so equality is structural),
+      // including the EMPTY list edge
+      dvp <- Gen.mapOf(Gen.zip(nameGen,
+        Gen.listOf(nameGen).map(ss => ss.distinct.sorted: Seq[String])))
     } yield LogTable.Manifest(v, adds, removes, schema, ckpt, dvs = dvs,
-      props = props)
+      props = props, dvp = dvp)
     samples(manifestGen, 300).foreach { m =>
       val back = LogTable.parse(LogTable.render(m))
       assert(back == m, s"round-trip drift:\n  in  $m\n  out $back\n  json ${LogTable.render(m)}")
@@ -1554,6 +1559,57 @@ class LogTableSpec extends AnyFunSuite {
     val r2 = LogTable.read(spark, t)
     assert(r2.filter(col("k") === 6).head().getString(1) == "upd6")
     assert(r2.count() == 101L)
+  }
+
+  test("positional deletion vectors: bulk predicate DELETE commits bitmaps, zero rewrites") {
+    val t = tmpTable()
+    val base = (1L to 10000L).map(i => (i, s"v$i", i % 7)).toDF("k", "v", "m")
+      .repartitionByRange(4, col("k"))
+    LogTable.create(spark, t, base, "k")
+    val filesBefore = LogTable.read(spark, t).inputFiles.toSet
+    // bulk: ~43% of the table dies — far over any key-set budget; the
+    // commit is metadata + bitmap sidecars, zero data files rewritten
+    LogTable.deleteWherePositional(spark, t, _ => true, col("m") < 3)
+    assert(LogTable.read(spark, t).inputFiles.toSet == filesBefore,
+      "a positional delete rewrote data files")
+    assert(LogTable.liveDvs(t, None).isEmpty, "positional path minted key vectors")
+    assert(LogTable.livePosDvs(t, None).nonEmpty)
+    val expected1 = (1L to 10000L).count(_ % 7 >= 3).toLong
+    val r1 = LogTable.read(spark, t)
+    assert(r1.count() == expected1, s"${r1.count()} != $expected1")
+    assert(r1.filter(col("m") < 3).count() == 0L)
+    // composes with a KEY vector on the same files
+    LogTable.deleteKeysDV(spark, t, "k", Seq(3L, 10L))
+    assert(LogTable.read(spark, t).filter(col("k").isin(3L, 10L)).count() == 0L)
+    // a second positional pass accumulates (bitmaps OR at read) and
+    // never re-marks the already-dead (net-new exactness)
+    LogTable.deleteWherePositional(spark, t, _ => true, col("m") === 3L)
+    val r2 = LogTable.read(spark, t)
+    assert(r2.filter(col("m") <= 3).count() == 0L)
+    val expected2 = (1L to 10000L).count(i => i % 7 > 3).toLong
+    assert(r2.count() == expected2)
+    // time travel: the pre-delete snapshot is intact
+    assert(LogTable.readVersion(spark, t, 1L).count() == 10000L)
+    val vVectored = LogTable.version(t)
+    // clone carries positional vectors AND their sidecars
+    val dst = tmpTable()
+    LogTable.cloneTable(t, dst)
+    assert(LogTable.read(spark, dst).count() == expected2)
+    assert(LogTable.read(spark, dst).filter(col("m") <= 3).count() == 0L)
+    // compact is the vacuum: vectors purge, results identical
+    LogTable.compact(spark, t, "k", targetRows = 1000000L)
+    assert(LogTable.livePosDvs(t, None).isEmpty,
+      "compact left positional vectors on removed files")
+    assert(LogTable.read(spark, t).count() == expected2)
+    // restore to the vectored version brings the vectors back with it
+    LogTable.restore(t, vVectored)
+    assert(LogTable.read(spark, t).count() == expected2)
+    assert(LogTable.read(spark, t).filter(col("m") <= 3).count() == 0L)
+    assert(LogTable.livePosDvs(t, None).nonEmpty)
+    // vacuum never touches a manifest-referenced sidecar
+    assert(LogTable.vacuum(t).forall(!_.endsWith(".bin")) ||
+      LogTable.livePosDvs(t, None).nonEmpty)
+    assert(LogTable.read(spark, t).filter(col("m") <= 3).count() == 0L)
   }
 
   test("change feed across a cyclic rename window projects all columns simultaneously") {

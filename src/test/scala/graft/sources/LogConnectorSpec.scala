@@ -1761,6 +1761,119 @@ class LogConnectorSpec extends AnyFunSuite {
       s"expected the NULL-key refusal, got: ${e.getMessage}")
   }
 
+  test("write-time constraints: NOT NULL and range CHECKs enforce from footer stats") {
+    val wh = Files.createTempDirectory("graft-constr").toString
+    spark.conf.set("spark.sql.catalog.graftcn", classOf[LogCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftcn.warehouse", wh)
+    spark.sql("CREATE NAMESPACE graftcn.etl")
+    // constraints ride CREATE TABLE TBLPROPERTIES (the ADD CONSTRAINT
+    // surface for a DSv2 catalog) and round-trip the property fold
+    spark.sql("CREATE TABLE graftcn.etl.t (k BIGINT, v STRING, n BIGINT) " +
+      "TBLPROPERTIES ('keyCol'='k', " +
+      "'constraint.n_present'='n IS NOT NULL', " +
+      "'constraint.n_range'='n BETWEEN 0 AND 100')")
+    val t = s"$wh/etl/t"
+    spark.sql("INSERT INTO graftcn.etl.t SELECT id, concat('v', id), id % 100 " +
+      "FROM range(0, 1000)")
+    assert(spark.sql("SELECT count(*) FROM graftcn.etl.t").head().getLong(0) == 1000L)
+    val shown = spark.sql("SHOW TBLPROPERTIES graftcn.etl.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown.get("constraint.n_present").contains("n IS NOT NULL"), shown.toString)
+    assert(shown.get("constraint.n_range").contains("n BETWEEN 0 AND 100"))
+    // a violating append refuses LOUDLY and commits nothing
+    def refuses(sql: String, needle: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql))
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString("\n")
+      assert(msgs.contains("constraint") && msgs.contains(needle),
+        s"expected a loud constraint refusal mentioning '$needle', got: $msgs")
+      assert(spark.sql("SELECT count(*) FROM graftcn.etl.t")
+        .head().getLong(0) == 1000L, "a refused write half-landed")
+    }
+    refuses("INSERT INTO graftcn.etl.t SELECT 5000, 'x', NULL", "NULL")
+    refuses("INSERT INTO graftcn.etl.t SELECT 5001, 'x', 200", "200")
+    refuses("INSERT INTO graftcn.etl.t SELECT 5002, 'x', -1", "-1")
+    // adding a constraint the CURRENT data violates refuses (stats-only)
+    val bad = intercept[Exception](LogTable.setProperties(t,
+      Map("constraint.n_low" -> "n <= 50")))
+    assert(bad.getMessage.contains("violates"), bad.getMessage)
+    // the grammar gate is loud, at SET time and at CREATE time
+    val ugly = intercept[Exception](LogTable.setProperties(t,
+      Map("constraint.bogus" -> "n LIKE 'x%'")))
+    assert(ugly.getMessage.contains("grammar"), ugly.getMessage)
+    // rename/drop of a constrained column refuses until the UNSET
+    val ren = intercept[Exception](LogTable.renameColumn(spark, t, "n", "m"))
+    assert(ren.getMessage.contains("constraint"), ren.getMessage)
+    val drp = intercept[Exception](LogTable.dropColumns(spark, t, Seq("n")))
+    assert(drp.getMessage.contains("constraint"), drp.getMessage)
+    // UNSET lifts enforcement: the same violating row now lands
+    spark.sql("ALTER TABLE graftcn.etl.t UNSET TBLPROPERTIES " +
+      "('constraint.n_present', 'constraint.n_range')")
+    spark.sql("INSERT INTO graftcn.etl.t SELECT 5000, 'x', NULL")
+    assert(spark.sql("SELECT count(*) FROM graftcn.etl.t").head().getLong(0) == 1001L)
+  }
+
+  test("bulk SQL DELETE under merge-on-read commits positional bitmaps: zero rewrites, exact feed") {
+    val wh = Files.createTempDirectory("graft-dvbulk").toString
+    spark.conf.set("spark.sql.catalog.graftdvb", classOf[LogCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftdvb.warehouse", wh)
+    spark.sql("CREATE NAMESPACE graftdvb.etl")
+    spark.sql("CREATE TABLE graftdvb.etl.t (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('keyCol'='k', 'rowLevel'='merge-on-read')")
+    // 30k rows over a tiny key-set budget: the bulk path MUST engage
+    sys.props("graft.dv.maxKeys") = "100"
+    try {
+      for (i <- 0 until 3)
+        spark.sql(s"INSERT INTO graftdvb.etl.t SELECT /*+ REPARTITION(1) */ " +
+          s"id, concat('v', id) FROM range(${i * 10000}, ${i * 10000 + 10000})")
+      val t = s"$wh/etl/t"
+      val filesBefore = LogTable.read(spark, t).inputFiles.toSet
+      val vBefore = LogTable.version(t)
+      // >20k matching keys — far over graft.dv.maxKeys, metadata-
+      // translatable predicate: one position scan, one bitmap commit
+      spark.sql("DELETE FROM graftdvb.etl.t WHERE k >= 5000 AND k < 27000")
+      assert(LogTable.version(t) == vBefore + 1, "expected ONE commit")
+      assert(LogTable.read(spark, t).inputFiles.toSet == filesBefore,
+        "bulk merge-on-read DELETE rewrote data files")
+      assert(LogTable.liveDvs(t, None).isEmpty,
+        "bulk path minted inline key vectors (budget bypass)")
+      assert(LogTable.livePosDvs(t, None).nonEmpty, "no positional vectors committed")
+      // both read paths serve the delete
+      assert(spark.sql("SELECT count(*) FROM graftdvb.etl.t").head().getLong(0) == 8000L)
+      assert(LogTable.read(spark, t).count() == 8000L)
+      assert(spark.sql(
+        "SELECT count(*) FROM graftdvb.etl.t WHERE k BETWEEN 5000 AND 26999")
+        .head().getLong(0) == 0L)
+      // the change feed serves the bulk delete exactly: 22000 delete
+      // images for the vectored commit, nothing else
+      val feed = spark.read.format("graft-log")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", vBefore.toString)
+        .load(t)
+      val byType = feed.groupBy("_change_type").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byType == Map("delete" -> 22000L), byType.toString)
+      assert(feed.filter(col("_change_type") === "delete")
+        .agg(min("k"), max("k")).head() match {
+          case r => r.getLong(0) == 5000L && r.getLong(1) == 26999L
+        })
+      // a second bulk delete ACCUMULATES; its feed window is net-new only
+      val v2 = LogTable.version(t)
+      spark.sql("DELETE FROM graftdvb.etl.t WHERE k < 6000")
+      assert(spark.sql("SELECT count(*) FROM graftdvb.etl.t").head().getLong(0) == 3000L)
+      val feed2 = spark.read.format("graft-log")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", v2.toString)
+        .load(t)
+      assert(feed2.count() == 5000L,
+        "second window re-emitted already-dead rows (net-new violated)")
+      // compact purges the vectors; results stand
+      LogTable.compact(spark, t, "k", targetRows = 1000000L)
+      assert(LogTable.livePosDvs(t, None).isEmpty)
+      assert(spark.sql("SELECT count(*) FROM graftdvb.etl.t").head().getLong(0) == 3000L)
+    } finally sys.props.remove("graft.dv.maxKeys")
+  }
+
   test("a pinned scan folds deletion vectors at the pinned version, not a fresh head read") {
     // the row-level op's seam: the op pins (version, file set) at
     // statement start; a racer committing a vector between the pin and

@@ -207,6 +207,75 @@ class LogSinkSpec extends AnyFunSuite {
       .exists(x => Option(x.getMessage).exists(_.contains("conflict"))), e.toString)
   }
 
+  test("merge-on-read streaming upsert: epochs commit DV deltas, zero rewrites, feed exact") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = Files.createTempDirectory("graft-logsink-mor").toString
+    val dst = s"$base/dst"
+    // seeded table under the per-table merge-on-read policy (the same
+    // `rowLevel` property the SQL row-level path honors)
+    LogTable.create(spark, dst,
+      Seq((0L, 10L), (1L, 11L), (2L, 12L), (3L, 13L), (4L, 14L))
+        .toDF("bucket", "n"), "bucket")
+    LogTable.setProperties(dst, Map("rowLevel" -> "merge-on-read"))
+    val filesBefore = LogTable.read(spark, dst).inputFiles.toSet
+    val vBefore = LogTable.version(dst)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val q = input.toDF().toDF("bucket", "n").writeStream
+      .outputMode("update")
+      .format("graft-log")
+      .option("checkpointLocation", s"$base/ckpt")
+      .option("keyCol", "bucket")
+      .option("upsert", "true")
+      .start(dst)
+    try {
+      // one matched update + one insert: the epoch must land as ONE DV
+      // commit — the matched key dies via a vector, the epoch's part
+      // registers as an append, NO seed file rewrites
+      input.addData((0L, 100L), (5L, 105L))
+      q.processAllAvailable()
+      val s1 = LogTable.read(spark, dst).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(s1 == Map(0L -> 100L, 1L -> 11L, 2L -> 12L, 3L -> 13L,
+        4L -> 14L, 5L -> 105L), s1.toString)
+      val filesAfter = LogTable.read(spark, dst).inputFiles.toSet
+      assert(filesBefore.subsetOf(filesAfter),
+        "a merge-on-read streaming epoch rewrote seed files")
+      assert(LogTable.version(dst) == vBefore + 1, "expected ONE epoch commit")
+      assert(LogTable.liveDvs(dst, None).valuesIterator.flatten.toSet == Set(0L),
+        "the matched key must die via a deletion vector")
+      // the change feed serves the streamed DV commit exactly: one
+      // delete image (the pre-epoch row) + the epoch's insert images
+      val feed = spark.read.format("graft-log")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", vBefore.toString)
+        .load(dst)
+        .select("_change_type", "bucket", "n").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(feed == Set(("delete", 0L, 10L), ("insert", 0L, 100L),
+        ("insert", 5L, 105L)), feed.toString)
+      // replayed keys in a LATER epoch accumulate vectors, still zero
+      // rewrites, and the dedup-on-replay semantics hold
+      input.addData((0L, 200L), (1L, 201L))
+      q.processAllAvailable()
+      val s2 = LogTable.read(spark, dst).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(s2(0L) == 200L && s2(1L) == 201L && s2.size == 6, s2.toString)
+      assert(filesBefore.subsetOf(LogTable.read(spark, dst).inputFiles.toSet))
+      // a BULK epoch (over the DV key budget) falls back to the
+      // copy-on-write rewrite — the stream stays alive, results exact
+      sys.props("graft.dv.maxKeys") = "1"
+      try {
+        input.addData((1L, 301L), (2L, 302L), (3L, 303L))
+        q.processAllAvailable()
+      } finally sys.props.remove("graft.dv.maxKeys")
+      val s3 = LogTable.read(spark, dst).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(s3 == Map(0L -> 200L, 1L -> 301L, 2L -> 302L, 3L -> 303L,
+        4L -> 14L, 5L -> 105L), s3.toString)
+    } finally q.stop()
+  }
+
   test("sink lifecycle soak: many epochs, then compact + truncate_history, fence and reads intact") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val base = Files.createTempDirectory("graft-logsink6").toString

@@ -139,11 +139,23 @@ object Profile {
           "embedding", k = 10, numPlanes = 4, dim = 64))
         val ivfR = recall(Similarity.ivfTopK(queries, embN, "vec_id",
           "embedding", k = 10, nLists = 16, nProbe = 4))
+        // the PQ rung gates at the same operating point: 64x-compressed
+        // ADC scoring must still separate planted near-copies (cosine
+        // ~0.999) from the ~0.4 background — a drop means the codebook
+        // training or the ADC arithmetic drifted
+        val ivfpqR = recall {
+          val cents = Similarity.trainIvfKmeans(embN, "vec_id", "embedding",
+            nLists = 16, rounds = 2)
+          val cbs = Similarity.trainPqCodebooks(embN, "vec_id", "embedding",
+            m = 8, ksub = 16, rounds = 2)
+          Similarity.ivfpqTopK(queries, embN, "vec_id", "embedding",
+            k = 10, centroids = cents, cbs = cbs, nProbe = 4)
+        }
         truth.unpersist()
-        println(f"RECALL ann@10=$annR%.4f ivf@10=$ivfR%.4f reps=$soakReps queries=${tCount / 10}")
-        require(annR >= 0.9 && ivfR >= 0.9,
+        println(f"RECALL ann@10=$annR%.4f ivf@10=$ivfR%.4f ivfpq@10=$ivfpqR%.4f reps=$soakReps queries=${tCount / 10}")
+        require(annR >= 0.9 && ivfR >= 0.9 && ivfpqR >= 0.9,
           f"ANN recall gate FAILED at ${soakReps}x replicas: " +
-            f"ann@10=$annR%.4f ivf@10=$ivfR%.4f (floor 0.9)")
+            f"ann@10=$annR%.4f ivf@10=$ivfR%.4f ivfpq@10=$ivfpqR%.4f (floor 0.9)")
       } else if (name == "planscan") {
         // Print every query whose physical plan contains a quadratic
         // join — dev-loop companion to PlanSpec's blanket gate.

@@ -1711,5 +1711,129 @@ object ExtQueries {
                 |WHERE cosine >= 0.99 ORDER BY id_a, id_b""".stripMargin),
       )
     },
+
+    // X46 — IVFPQ top-k (Jégou et al. 2011; the FAISS IVFPQ shape): the
+    // x16 coarse quantizer routes vectors to inverted lists, but the
+    // lists carry PRODUCT-QUANTIZED CODES (8 sub-spaces × 16 codewords —
+    // 8 small ints per vector ≈ 64× smaller than the 64-dim int64
+    // vectors), and candidates score by ASYMMETRIC DISTANCE: each query
+    // precomputes one 8×16 table of sub-space dots map-side, every
+    // candidate pair costs O(8) lookups, no vector data is touched at
+    // search time. At 100 TB this is the published answer to "the
+    // inverted lists themselves dominate memory/IO". Everything —
+    // codebook training (md5-sample init + 2 Lloyd's rounds under the
+    // exact integer L2 surrogate ‖c‖²−2x·c with roundDiv means), code
+    // assignment, ADC sums, reconstructed norms — is exact int64
+    // arithmetic, so the oracle reproduces the full pipeline
+    // bit-for-bit. Both quantizers are ArtifactCache'd per corpus
+    // snapshot (train once, serve many — the x16 amortization contract);
+    // the preflight recall gate pins ivfpq@10 >= 0.9 at the planted
+    // near-neighbor operating point, 10x soak replicas.
+    QueryDef(
+      "x46_ivfpq_topk",
+      (s, d) => {
+        val base = Tables.embeddings(s, d)
+        val cents = graft.io.ArtifactCache.getOrBuild(s"ivf-kmeans:16:2:$d")(
+          Similarity.trainIvfKmeans(base, "vec_id", "embedding",
+            nLists = 16, rounds = 2))
+        val cbs = graft.io.ArtifactCache.getOrBuild(s"pq-codebooks:8:16:2:$d")(
+          Similarity.trainPqCodebooks(base, "vec_id", "embedding",
+            m = 8, ksub = 16, rounds = 2))
+        Similarity.ivfpqTopK(
+          broadcast(base.filter(col("vec_id") < 8)), base,
+          "vec_id", "embedding", k = 5, centroids = cents, cbs = cbs,
+          nProbe = 4)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy("query_id", "rnk")
+      },
+      Some {
+        def slice(qv: String, m: String) =
+          s"list_slice($qv, ($m)*8 + 1, ($m)*8 + 8)"
+        def pqRound(r: Int) =
+          s"""pasg$r AS (
+             |  SELECT id, m, code FROM (
+             |    SELECT n.id, c.m, c.code,
+             |      ROW_NUMBER() OVER (PARTITION BY n.id, c.m ORDER BY
+             |        CAST(${dotSql("c.c_qv", "c.c_qv")} AS BIGINT)
+             |          - 2 * CAST(${dotSql(slice("n.qv", "c.m"), "c.c_qv")} AS BIGINT) ASC,
+             |        c.code ASC) AS crank
+             |    FROM n CROSS JOIN pc${r - 1} c) WHERE crank = 1),
+             |pagg$r AS (
+             |  SELECT a.m, a.code, u.i AS i,
+             |         SUM(n.qv[a.m*8 + u.i]) AS sm, COUNT(*) AS cnt
+             |  FROM pasg$r a JOIN n USING (id)
+             |  CROSS JOIN (SELECT unnest(range(1, 9)) AS i) u
+             |  GROUP BY a.m, a.code, u.i),
+             |pnew$r AS (
+             |  SELECT m, code,
+             |         list(CAST(${roundDivSql("sm", "cnt")} AS BIGINT) ORDER BY i) AS c_qv
+             |  FROM pagg$r GROUP BY m, code),
+             |pc$r AS (
+             |  SELECT p.m, p.code, COALESCE(x.c_qv, p.c_qv) AS c_qv
+             |  FROM pc${r - 1} p LEFT JOIN pnew$r x USING (m, code))""".stripMargin
+        s"""WITH prep AS (
+           |  SELECT vec_id AS id,
+           |    list_transform(embedding,
+           |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+           |  FROM embeddings),
+           |n AS (
+           |  SELECT id, qv, sqrt(CAST(${dotSql("qv", "qv")} AS DOUBLE)) AS nrm
+           |  FROM prep),
+           |${kmeansCentSql("n", nLists = 16, rounds = 2, dim = 64)},
+           |ci AS (
+           |  SELECT id, qv, nrm, list_id,
+           |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY
+           |      CAST(${dotSql("qv", "c_qv")} AS DOUBLE) / (nrm * c_nrm) DESC,
+           |      list_id) AS crank
+           |  FROM n CROSS JOIN cent),
+           |indexed AS (
+           |  SELECT list_id, id AS neighbor_id FROM ci WHERE crank <= 1),
+           |probing AS (
+           |  SELECT list_id, id AS query_id, qv AS q_qv, nrm AS q_nrm
+           |  FROM ci WHERE crank <= 4 AND id < 8),
+           |psamp AS (
+           |  SELECT j - 1 AS code, qv FROM (
+           |    SELECT qv, ROW_NUMBER() OVER (
+           |      ORDER BY md5(CAST(id AS VARCHAR)), id) AS j
+           |    FROM n) WHERE j <= 16),
+           |subsp AS (SELECT unnest(range(0, 8)) AS m),
+           |pc0 AS (
+           |  SELECT s.m AS m, p.code AS code, ${slice("p.qv", "s.m")} AS c_qv
+           |  FROM psamp p CROSS JOIN subsp s),
+           |${pqRound(1)},
+           |${pqRound(2)},
+           |codes AS (
+           |  SELECT id, m, code FROM (
+           |    SELECT n.id, c.m, c.code,
+           |      ROW_NUMBER() OVER (PARTITION BY n.id, c.m ORDER BY
+           |        CAST(${dotSql("c.c_qv", "c.c_qv")} AS BIGINT)
+           |          - 2 * CAST(${dotSql(slice("n.qv", "c.m"), "c.c_qv")} AS BIGINT) ASC,
+           |        c.code ASC) AS crank
+           |    FROM n CROSS JOIN pc2 c) WHERE crank = 1),
+           |nhat AS (
+           |  SELECT cd.id,
+           |    sqrt(CAST(SUM(CAST(${dotSql("c.c_qv", "c.c_qv")} AS BIGINT)) AS DOUBLE)) AS n_hat
+           |  FROM codes cd JOIN pc2 c USING (m, code) GROUP BY cd.id),
+           |adc AS (
+           |  SELECT p.query_id, i.neighbor_id, p.q_nrm, nh.n_hat,
+           |    SUM(CAST(${dotSql(slice("p.q_qv", "cd.m"), "c.c_qv")} AS BIGINT)) AS dotsum
+           |  FROM indexed i
+           |  JOIN probing p USING (list_id)
+           |  JOIN codes cd ON cd.id = i.neighbor_id
+           |  JOIN pc2 c ON c.m = cd.m AND c.code = cd.code
+           |  JOIN nhat nh ON nh.id = i.neighbor_id
+           |  WHERE i.neighbor_id <> p.query_id
+           |  GROUP BY p.query_id, i.neighbor_id, p.q_nrm, nh.n_hat),
+           |r AS (
+           |  SELECT query_id, neighbor_id,
+           |    CAST(dotsum AS DOUBLE) / (q_nrm * n_hat) AS cosine,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id
+           |                       ORDER BY CAST(dotsum AS DOUBLE) / (q_nrm * n_hat) DESC,
+           |                       neighbor_id) AS rnk
+           |  FROM adc)
+           |SELECT query_id, rnk, neighbor_id, cosine
+           |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+      },
+    ),
   )
 }

@@ -253,13 +253,19 @@ object Multimodal {
     val offsets = widths.scanLeft(0)(_ + _)
     assert(widths.forall(_ >= 1),
       s"phashNearDups: internal slice width < 1 for bits=$bits maxDist=$maxDist")
-    val slices = (0 until nSlices).map { i =>
-      val lo = offsets(i)
-      val w = widths(i)
-      df.select(col("id"), col("h"),
-        lit(i).as("s"),
-        (shiftright(col("h"), lo).bitwiseAND(lit((1L << w) - 1))).as("sv"))
-    }.reduce(_ unionByName _)
+    // ONE pass over the (possibly expensive) upstream per join side, not
+    // one union branch per slice: the slice table is a 3-element literal
+    // exploded per row, so the input lineage — decode/hash pipelines for
+    // the image path — computes once per side instead of nSlices times,
+    // and the two identical sides let AQE reuse the exchange. Same rows,
+    // same keys, same join as the union spelling.
+    val sliceDefs = array((0 until nSlices).map(i =>
+      struct(lit(i).as("s"), lit(offsets(i)).as("lo"),
+        lit((1L << widths(i)) - 1).as("mask"))): _*)
+    val slices = df
+      .select(col("id"), col("h"), explode(sliceDefs).as("sl"))
+      .select(col("id"), col("h"), col("sl.s").as("s"),
+        expr("shiftright(h, sl.lo)").bitwiseAND(col("sl.mask")).as("sv"))
     slices.as("a")
       .join(slices.as("b"),
         col("a.s") === col("b.s") && col("a.sv") === col("b.sv") &&

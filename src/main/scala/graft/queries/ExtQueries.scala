@@ -1009,10 +1009,18 @@ object ExtQueries {
         val key = s"unigram-tf:documents:$d"
         def build: (Long, Either[IndexedSeq[(Long, Long)], org.apache.spark.sql.DataFrame]) = {
           val cp = unigramOf.persist()
-          val total = cp.agg(sum("ctf")).head().getLong(0)
-          val collected = graft.io.Regime.collectIfSmall(key, cp)
-            .map { rows => cp.unpersist(); rows.map(r => (r.getLong(0), r.getLong(1))) }
-          (total, collected.toLeft(cp))
+          // regime probe FIRST: in the collected regime the probe IS the
+          // complete table, so the grand total sums driver-side — one
+          // Spark action instead of two per artifact build (the
+          // distributed regime keeps the exact agg)
+          graft.io.Regime.collectIfSmall(key, cp) match {
+            case Some(rows) =>
+              cp.unpersist()
+              val out = rows.map(r => (r.getLong(0), r.getLong(1)))
+              (out.iterator.map(_._2).sum, Left(out))
+            case None =>
+              (cp.agg(sum("ctf")).head().getLong(0), Right(cp))
+          }
         }
         val (totalTokens, artifact) = graft.io.ArtifactCache.getOrBuild(key)(build) match {
           case (n, Right(f)) if !graft.io.Regime.servable(f, s) =>
@@ -1094,10 +1102,16 @@ object ExtQueries {
           def build: (Long, Either[IndexedSeq[(Long, Long)], org.apache.spark.sql.DataFrame]) = {
             val cp = tfOf(graft.util.Partitioning.fanOut(src))
               .groupBy("h").agg(sum("tf").as("ctf")).persist()
-            val total = cp.agg(sum("ctf")).head().getLong(0)
-            val collected = graft.io.Regime.collectIfSmall(key, cp)
-              .map { rows => cp.unpersist(); rows.map(r => (r.getLong(0), r.getLong(1))) }
-            (total, collected.toLeft(cp))
+            // collected regime: the probe is the whole table — total
+            // sums driver-side, one action instead of two (see x41)
+            graft.io.Regime.collectIfSmall(key, cp) match {
+              case Some(rows) =>
+                cp.unpersist()
+                val out = rows.map(r => (r.getLong(0), r.getLong(1)))
+                (out.iterator.map(_._2).sum, Left(out))
+              case None =>
+                (cp.agg(sum("ctf")).head().getLong(0), Right(cp))
+            }
           }
           val (total, artifact) = graft.io.ArtifactCache.getOrBuild(key)(build) match {
             case (_, Right(f)) if !graft.io.Regime.servable(f, s) =>
@@ -1223,10 +1237,16 @@ object ExtQueries {
             : org.apache.spark.sql.DataFrame = {
           def build: (Long, Either[IndexedSeq[(Long, Long)], org.apache.spark.sql.DataFrame]) = {
             val cp = src.groupBy("h").agg(sum("tf").as("ctf")).persist()
-            val total = cp.agg(sum("ctf")).head().getLong(0)
-            val collected = graft.io.Regime.collectIfSmall(key, cp)
-              .map { rows => cp.unpersist(); rows.map(r => (r.getLong(0), r.getLong(1))) }
-            (total, collected.toLeft(cp))
+            // collected regime: the probe is the whole table — total
+            // sums driver-side, one action instead of two (see x41)
+            graft.io.Regime.collectIfSmall(key, cp) match {
+              case Some(rows) =>
+                cp.unpersist()
+                val out = rows.map(r => (r.getLong(0), r.getLong(1)))
+                (out.iterator.map(_._2).sum, Left(out))
+              case None =>
+                (cp.agg(sum("ctf")).head().getLong(0), Right(cp))
+            }
           }
           val (_, artifact) = graft.io.ArtifactCache.getOrBuild(key)(build) match {
             case (_, Right(f)) if !graft.io.Regime.servable(f, s) =>

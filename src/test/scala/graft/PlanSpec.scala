@@ -144,6 +144,23 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), "bounded query side no longer broadcast")
   }
 
+  test("IVFPQ top-k: codes in the lists, ADC scoring, zero nested-loop joins (X46)") {
+    // the 100 TB point of IVFPQ: the candidate join carries PQ CODES
+    // (m ints) and per-query ADC tables — never full vectors — and the
+    // assignment/encode/table expressions are all map-side natives; the
+    // only join is the list_id equi-join with the bounded query side
+    // broadcast
+    val plan = planOf(SparkEntry.queries("x46_ivfpq_topk")(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      s"x46 planned a cartesian:\n${plan.linesIterator.take(25).mkString("\n")}")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "PQ scoring regressed from native expressions to a join")
+    assert(plan.contains("pq_encode"), "native PQ encode expression missing")
+    assert(plan.contains("pq_dist_table"), "native ADC table expression missing")
+    assert(plan.contains("pq_adc_sum"), "native ADC sum expression missing")
+    assert(plan.contains("BroadcastHashJoin"), "bounded query side no longer broadcast")
+  }
+
   test("bloom prefilter: literal filter bits, no round-robin exchange (X29)") {
     // the 512-byte filter ships as a LITERAL in the probe projection
     // (runtime-filter shape) — the only broadcast is the exact-count

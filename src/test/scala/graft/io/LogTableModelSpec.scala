@@ -145,7 +145,7 @@ class LogTableModelSpec extends AnyFunSuite {
           LogTable.deleteKeysDV(spark, t, "k", ks)
           model = model -- ks
           "deleteKeysDV"
-        case r if r < 95 => // CONDITIONAL merge-on-read: matched rows
+        case r if r < 93 => // CONDITIONAL merge-on-read: matched rows
           // delete when k % 5 == 0, update otherwise; unmatched insert
           val lo = 1L + rnd.nextInt(60)
           val batch = (lo until lo + 1 + rnd.nextInt(10))
@@ -158,6 +158,18 @@ class LogTableModelSpec extends AnyFunSuite {
             else m.updated(k, v)
           }
           "mergeDV"
+        case r if r < 97 => // BULK POSITIONAL delete: predicate rows die
+          // via roaring-bitmap sidecars, zero rewrites — interleaved
+          // with compact (purge), restore (resurrection), truncation
+          // (checkpoint fold) and the key-vector verbs, which is where
+          // positional/key/rewrite interaction bugs would live
+          val lo = 1L + rnd.nextInt(50)
+          val hi = lo + rnd.nextInt(20)
+          LogTable.deleteWherePositional(spark, t, _ => true,
+            col("k") >= lo && col("k") <= hi && length(col("v")) % 2 === 0)
+          model = model.filterNot { case (k, v) =>
+            k >= lo && k <= hi && v.length % 2 == 0 }
+          "deleteWherePositional"
         case _ => // schema evolution round-trip: add a scratch column,
           // sometimes drop the previous one (reads check (k, v) only)
           extraCols += 1

@@ -1612,6 +1612,29 @@ class LogTableSpec extends AnyFunSuite {
     assert(LogTable.read(spark, t).filter(col("m") <= 3).count() == 0L)
   }
 
+  test("positional delete racing a rewrite of its touched files recomputes, never mis-marks") {
+    // positions are per-(file, row-index): a racer REWRITING a touched
+    // file between the position scan and the commit invalidates every
+    // decision (the new file's row order owes nothing to the old one).
+    // The commit's requireLive rule must force a recompute — landing the
+    // stale bitmap would kill arbitrary rows of the racer's file.
+    val t = tmpTable()
+    LogTable.create(spark, t,
+      (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1), "k")
+    LogTable.onCommitAttempt = () => {
+      LogTable.onCommitAttempt = () => ()
+      LogTable.upsert(spark, t, Seq((51L, "racer")).toDF("k", "v"), "k")
+    }
+    try LogTable.deleteWherePositional(spark, t, _ => true, col("k") % 10 === 0)
+    finally LogTable.onCommitAttempt = () => ()
+    val r = LogTable.read(spark, t)
+    assert(r.filter(col("k") % 10 === 0).count() == 0,
+      "a predicate row survived the race")
+    assert(r.count() == 90L, s"expected 90 rows, got ${r.count()}")
+    assert(r.filter(col("k") === 51L).head().getString(1) == "racer",
+      "the stale position bitmap killed a row of the racer's rewritten file")
+  }
+
   test("change feed across a cyclic rename window projects all columns simultaneously") {
     val t = tmpTable()
     LogTable.create(spark, t,

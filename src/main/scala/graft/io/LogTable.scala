@@ -1388,7 +1388,12 @@ object LogTable {
       // dead keys this commit marked via deletion vectors (the
       // merge-on-read delta size — an operator watching vectors pile up
       // knows when to compact)
-      dvKeys: Long = 0L)
+      dvKeys: Long = 0L,
+      // positional-vector sidecars this commit attached (the BULK
+      // merge-on-read pressure signal: key counts live off-manifest in
+      // the bitmaps, but sidecar count per file is the same
+      // compact()-when-piling-up cue, manifest-only)
+      dvPosFiles: Long = 0L)
 
   /** The commit history still present in the log (oldest first; history
     * below a truncation checkpoint is gone by design). Manifest-only —
@@ -1397,7 +1402,8 @@ object LogTable {
     manifests(table).map(m => SnapshotInfo(
       m.version, m.adds.size, m.adds.map(_.rows).sum, m.removes.size,
       m.checkpoint, m.txns, commitTs(table, m),
-      m.dvs.valuesIterator.map(_.size.toLong).sum))
+      m.dvs.valuesIterator.map(_.size.toLong).sum,
+      m.dvp.valuesIterator.map(_.size.toLong).sum))
 
   /** A commit's wall-clock: the manifest's stamped ts, or the manifest
     * FILE's mtime for pre-r13 commits (best effort — the Delta legacy

@@ -191,10 +191,12 @@ private[v2] object LogProcedures {
         .add("added_files", IntegerType)
         .add("added_rows", LongType).add("removed_files", IntegerType)
         .add("checkpoint", BooleanType).add("txns", StringType)
-        // dead keys the commit marked via deletion vectors: the
-        // operator's compact()-pressure signal, appended last so
-        // positional consumers keep their columns
-        .add("dv_keys", LongType)) { in =>
+        // dead keys the commit marked via deletion vectors, and bulk
+        // positional sidecars it attached: the operator's
+        // compact()-pressure signals, appended last so positional
+        // consumers keep their columns
+        .add("dv_keys", LongType)
+        .add("dv_pos_files", LongType)) { in =>
       LogTable.history(resolve(in.getString(0))).map { s =>
         Seq(s.version,
           if (s.commitTsMillis > 0L) s.commitTsMillis * 1000L else null,
@@ -202,7 +204,7 @@ private[v2] object LogProcedures {
           if (s.txns.isEmpty) null
           else s.txns.toSeq.sortBy(_._1)
             .map { case (a, e) => s"$a=$e" }.mkString(","),
-          s.dvKeys)
+          s.dvKeys, s.dvPosFiles)
       }
     })
 }

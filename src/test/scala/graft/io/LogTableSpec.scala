@@ -1612,6 +1612,31 @@ class LogTableSpec extends AnyFunSuite {
     assert(LogTable.read(spark, t).filter(col("m") <= 3).count() == 0L)
   }
 
+  test("positional vectors compose with column mapping: rename before and after the delete") {
+    val t = tmpTable()
+    LogTable.create(spark, t,
+      (1L to 200L).map(i => (i, s"v$i", i % 5)).toDF("k", "v", "m")
+        .repartitionByRange(2, col("k")), "k")
+    // rename BEFORE the vectors: the position scan reads logical names
+    // over physical files and the predicate resolves under the mapping
+    LogTable.renameColumn(spark, t, "m", "grp")
+    LogTable.deleteWherePositional(spark, t, _ => true, col("grp") === 2L)
+    val r = LogTable.read(spark, t)
+    assert(r.filter(col("grp") === 2L).count() == 0L)
+    assert(r.count() == 160L)
+    // rename AFTER the vectors: positions are physical row indices —
+    // name changes cannot skew them
+    LogTable.renameColumn(spark, t, "v", "val")
+    val r2 = LogTable.read(spark, t)
+    assert(r2.count() == 160L)
+    assert(r2.filter(col("grp") === 2L).count() == 0L)
+    assert(r2.filter(col("k") === 1L).head().getAs[String]("val") == "v1")
+    // the DSv2 scan composes the same way
+    val c = spark.read.format("graft-log").load(t)
+    assert(c.count() == 160L)
+    assert(c.filter(col("grp") === 2L).count() == 0L)
+  }
+
   test("positional delete racing a rewrite of its touched files recomputes, never mis-marks") {
     // positions are per-(file, row-index): a racer REWRITING a touched
     // file between the position scan and the commit invalidates every

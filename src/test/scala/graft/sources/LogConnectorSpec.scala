@@ -1867,6 +1867,12 @@ class LogConnectorSpec extends AnyFunSuite {
         .load(t)
       assert(feed2.count() == 5000L,
         "second window re-emitted already-dead rows (net-new violated)")
+      // the bulk commits surface in CALL system.snapshots' dv_pos_files
+      // (the positional compact()-pressure signal beside dv_keys)
+      val posCommits = spark.sql("CALL graftdvb.system.snapshots('etl.t')")
+        .filter(col("dv_pos_files") > 0).collect()
+      assert(posCommits.length == 2,
+        s"expected the two bulk-delete commits in snapshots: ${posCommits.toSeq}")
       // compact purges the vectors; results stand
       LogTable.compact(spark, t, "k", targetRows = 1000000L)
       assert(LogTable.livePosDvs(t, None).isEmpty)

@@ -1745,14 +1745,15 @@ object LogTable {
         else readFiles2(spark, table, touched, snapSchema,
           liveDvState(table, Some(snapVersion)))
       val prefixed = srcCols.foldLeft(src)((d, c) => d.withColumnRenamed(c, s"_src_$c"))
-      // persisted across its TWO consumers (the dead-key collect and the
-      // append write): without it the full-outer join — and the
-      // touched-file read under it — executes twice per merge
+      // NOT persisted across its two consumers (the dead-key collect and
+      // the append write), deliberately: the join re-executes, but both
+      // executions are codegen'd broadcast joins over the pruned touched
+      // read — measured CHEAPER than a memory-store round trip that also
+      // breaks the consumers' whole-stage pipelines (r16 pair C: persist
+      // read 1.48 s where the recompute reads 0.82)
       val joined = tgt.withColumn("_tgt_hit", lit(1))
         .join(prefixed.withColumn("_src_hit", lit(1)),
           col(keyCol) === col(s"_src_$keyCol"), "full_outer")
-        .persist()
-      try {
       val matched = col("_tgt_hit").isNotNull && col("_src_hit").isNotNull
       // SQL WHEN semantics exactly as [[merge]]: NULL clause = not taken
       val del = coalesce(
@@ -1796,7 +1797,6 @@ object LogTable {
         // removing them — validate they (and their vector state) are
         // unchanged at commit, or recompute
         requireLive = touched.map(_.file))
-      } finally joined.unpersist()
     }
     attempt()
   }

@@ -1651,8 +1651,9 @@ object LogTable {
     * of a vectored file purges its vector, and [[compact]] is the
     * explicit vacuum. The trade is the published formats': reads carry
     * the (small) vector until maintenance. Batches above [[DvMaxKeys]]
-    * distinct keys refuse LOUDLY — bulk changes belong on the
-    * copy-on-write verbs whose cost is per-file, not per-manifest. */
+    * distinct keys stay merge-on-read through [[upsertPositional]]
+    * (roaring-bitmap sidecars — no cap); the inline key-set shape is
+    * kept for small deltas where it reads straight from the manifest. */
   def upsertDV(
       spark: SparkSession, table: String, incoming: DataFrame,
       keyCol: String): Unit = {
@@ -1667,10 +1668,12 @@ object LogTable {
       val keys = inc.select(col(keyCol).cast("long")).distinct()
         .limit(DvMaxKeys + 1).collect().map(_.getLong(0))
       if (keys.isEmpty) return // empty batch: no-op (P11)
-      if (keys.length > DvMaxKeys) throw new IllegalArgumentException(
-        s"upsertDV($table): batch carries > $DvMaxKeys distinct keys — " +
-          "deletion vectors are the small-delta path; use upsert() " +
-          "(copy-on-write) for bulk changes, or raise graft.dv.maxKeys")
+      if (keys.length > DvMaxKeys) {
+        // BULK batch: same merge-on-read semantics through POSITIONAL
+        // bitmap sidecars — no key budget, keys never collect
+        upsertPositional(spark, table, inc, keyCol)
+        return
+      }
       val (lo, hi) = (keys.min, keys.max)
       val (snapVersion, snapshot, snapSchema) = snapshotWithSchema(table, None)
       snapSchema.foreach { sc =>
@@ -1715,8 +1718,12 @@ object LogTable {
     * appended files, and untouched rows stay in place. A 10-key
     * conditional MERGE into 10 GB files commits the 10 keys and a tiny
     * append (LogTableSpec pins the zero-rewrite file set and equality
-    * with the copy-on-write [[merge]]). Affected-key budget is
-    * [[DvMaxKeys]], loudly — bulk merges belong on [[merge]]. */
+    * with the copy-on-write [[merge]]). Affected-key sets within
+    * [[DvMaxKeys]] commit as inline key vectors (readable straight from
+    * the manifest); LARGER merges fall back to POSITIONAL bitmap
+    * sidecars in the same attempt — still one commit, still zero
+    * rewrites, no cap (the dying rows' (file, position) pairs land as
+    * roaring bitmaps; the bulk keys never collect to the driver). */
   def mergeDV(
       spark: SparkSession, table: String, source: DataFrame, keyCol: String,
       updateWhen: Option[String] = Some("true"),
@@ -1725,7 +1732,7 @@ object LogTable {
     requireKeyMatch(table, keyCol)
     val src = source.localCheckpoint(false)
     val srcCols = src.columns.toSeq
-    def attempt(): Unit = {
+    def attempt(bulk: Boolean): Unit = {
       val bounds = src.agg(min(col(keyCol).cast("long")), max(col(keyCol).cast("long"))).head()
       if (bounds.isNullAt(0)) return
       val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
@@ -1737,15 +1744,22 @@ object LogTable {
         requireCompatible(sc, src, "mergeDV")
       }
       val touched = snapshot.filter(f => f.minKey <= hi && f.maxKey >= lo)
-      val tgt =
+      val dvsLive = liveDvState(table, Some(snapVersion))
+      // the bulk path needs (file, row-index) on the target side; the
+      // key path reads plainly — both apply the live vectors
+      val (tgt, posCols) =
         if (touched.isEmpty)
-          snapSchema.map(sc => spark.createDataFrame(
+          (snapSchema.map(sc => spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc))
-            .getOrElse(src.limit(0))
-        else readFiles2(spark, table, touched, snapSchema,
-          liveDvState(table, Some(snapVersion)))
+            .getOrElse(src.limit(0)), None)
+        else if (bulk) {
+          val (df, fc, pc) = scanLiveWithPositions(
+            spark, table, touched, snapSchema, dvsLive, keyCol)
+          (df, Some((fc, pc)))
+        } else
+          (readFiles2(spark, table, touched, snapSchema, dvsLive), None)
       val prefixed = srcCols.foldLeft(src)((d, c) => d.withColumnRenamed(c, s"_src_$c"))
-      // NOT persisted across its two consumers (the dead-key collect and
+      // NOT persisted across its two consumers (the dead-row collect and
       // the append write), deliberately: the join re-executes, but both
       // executions are codegen'd broadcast joins over the pruned touched
       // read — measured CHEAPER than a memory-store round trip that also
@@ -1760,21 +1774,35 @@ object LogTable {
         deleteWhen.map(e => matched && expr(e)).getOrElse(lit(false)), lit(false))
       val upd = coalesce(
         updateWhen.map(e => matched && expr(e)).getOrElse(lit(false)), lit(false))
-      // the DELTA, not the survivors: dead keys (matched rows that
+      // the DELTA, not the survivors: dead rows (matched rows that
       // delete or update in place) + appended rows (updated images and
       // unmatched inserts). Everything else never moves.
       val dies = del || (!del && upd)
-      val deadRows = joined.filter(dies)
-        .select(col(keyCol).cast("long")).distinct()
-        .limit(DvMaxKeys + 1).collect().map(_.getLong(0))
-      if (deadRows.length > DvMaxKeys) throw new IllegalArgumentException(
-        s"mergeDV($table): merge affects > $DvMaxKeys matched keys — " +
-          "deletion vectors are the small-delta path; use merge() " +
-          "(copy-on-write) for bulk changes, or raise graft.dv.maxKeys")
       val appendSrc = joined
         .filter((matched && !del && upd) ||
           (col("_tgt_hit").isNull && lit(insertUnmatched)))
         .select(srcCols.map(c => col(s"_src_$c").as(c)): _*)
+      if (bulk) {
+        // POSITIONAL fallback: the dying rows' (file, position) pairs
+        // become roaring sidecars — no key budget, keys never collect
+        val (fc, pc) = posCols.getOrElse(("", ""))
+        val entries =
+          if (posCols.isEmpty) Map.empty[String, Seq[String]]
+          else positionsToSidecars(spark, table, joined.filter(dies)
+            .select(col(fc).as("_f"), col(pc).as("_p")))
+        if (entries.isEmpty && appendSrc.isEmpty) return
+        val adds = writeData(spark, table, appendSrc, keyCol)
+        commit(table, snapVersion, adds, removes = Seq.empty,
+          reRun = () => attempt(bulk = true),
+          schema = snapSchema.map(_.json).getOrElse(src.schema.json),
+          keyRange = Some((lo, hi)), keyCol = keyCol, dvp = entries,
+          requireLive = touched.map(_.file))
+        return
+      }
+      val deadRows = joined.filter(dies)
+        .select(col(keyCol).cast("long")).distinct()
+        .limit(DvMaxKeys + 1).collect().map(_.getLong(0))
+      if (deadRows.length > DvMaxKeys) { attempt(bulk = true); return }
       if (deadRows.isEmpty && appendSrc.isEmpty) return
       val dvAdds =
         if (deadRows.isEmpty) Map.empty[String, Seq[Long]]
@@ -1790,7 +1818,7 @@ object LogTable {
       requireDvBudget(table, snapVersion, dvAdds, "mergeDV")
       val adds = writeData(spark, table, appendSrc, keyCol)
       commit(table, snapVersion, adds, removes = Seq.empty,
-        reRun = () => attempt(),
+        reRun = () => attempt(bulk = false),
         schema = snapSchema.map(_.json).getOrElse(src.schema.json),
         keyRange = Some((lo, hi)), keyCol = keyCol, dvs = dvAdds,
         // decisions were computed FROM the touched files without
@@ -1798,7 +1826,7 @@ object LogTable {
         // unchanged at commit, or recompute
         requireLive = touched.map(_.file))
     }
-    attempt()
+    attempt(bulk = false)
   }
 
   /** MERGE-ON-READ key delete: mark `keys` dead everywhere their value
@@ -2305,6 +2333,98 @@ object LogTable {
     * delete images exact. Concurrency: the commit validates the touched
     * files are still live (`requireLive`) — a racer's rewrite forces a
     * recompute, never a vector against a dead file. */
+  /** Scan `touched` files under the committed schema with live-row
+    * filtering (key AND positional vectors applied) and the parquet
+    * metadata (file name, row index) attached — the shared front half of
+    * every positional-vector writer. Returns (frame, fileCol, posCol). */
+  private def scanLiveWithPositions(
+      spark: SparkSession, table: String, touched: Seq[FileEntry],
+      snapSchema: Option[org.apache.spark.sql.types.StructType],
+      dvs: DvState, keyCol: String): (DataFrame, String, String) = {
+    val sp = spark
+    import sp.implicits._
+    val paths = touched.map(f => dataDir(table).resolve(f.file).toString)
+    // physical scan under the committed schema (the readFiles rules:
+    // logical projection over physical columns on renamed tables)
+    val base = snapSchema match {
+      case None => spark.read.parquet(paths: _*)
+      case Some(s) if !s.fields.exists(f => physicalName(f) != f.name) =>
+        spark.read.schema(s).parquet(paths: _*)
+      case Some(s) =>
+        val phys = org.apache.spark.sql.types.StructType(
+          s.fields.map(f => f.copy(name = physicalName(f))))
+        spark.read.schema(phys).parquet(paths: _*)
+          .select(s.fields.map(f =>
+            col(physicalName(f)).as(f.name)).toIndexedSeq: _*)
+    }
+    val taken = base.columns.toSet
+    def fresh(n: String): String = {
+      var c = n
+      while (taken.contains(c)) c += "_"
+      c
+    }
+    val fCol = fresh("_dvw_file")
+    val pCol = fresh("_dvw_pos")
+    var df = base
+      .withColumn(fCol, col("_metadata.file_name"))
+      .withColumn(pCol, col("_metadata.row_index"))
+    // rows already dead at the pinned snapshot never re-mark
+    val deadKeys = dvs.keys.iterator
+      .filter { case (f, ks) => ks.nonEmpty && touched.exists(_.file == f) }
+      .flatMap { case (f, ks) => ks.iterator.map(k => (f, k)) }.toSeq
+    if (deadKeys.nonEmpty) {
+      // the scan is under the CURRENT committed schema, so the key
+      // property's (current, logical) name resolves directly
+      val kCol = fresh("_dvw_key")
+      df = df.withColumn(kCol, col(keyCol))
+        .join(broadcast(deadKeys.toDF(fCol, kCol)), Seq(fCol, kCol), "left_anti")
+        .drop(kCol)
+    }
+    if (dvs.pos.nonEmpty) {
+      import org.apache.spark.sql.GraftColumnBridge.{column => asCol, expression => asExpr}
+      df = df.filter(!asCol(graft.functions.PositionDead(
+        asExpr(col(fCol)), asExpr(col(pCol)), table, dvs.pos)))
+    }
+    (df, fCol, pCol)
+  }
+
+  /** Land a (file, position) frame as roaring-bitmap sidecars, built and
+    * written where the data is: positions cluster by file, each group
+    * streams into one bitmap, the sidecar lands from the task — the
+    * driver collects names only, O(#touched files). */
+  private def positionsToSidecars(
+      spark: SparkSession, table: String,
+      dying: DataFrame): Map[String, Seq[String]] = {
+    val sp = spark
+    import sp.implicits._
+    val tablePath = table
+    dying
+      .repartition(col("_f"))
+      .sortWithinPartitions("_f")
+      .as[(String, Long)]
+      .mapPartitions { rows =>
+        val out = scala.collection.mutable.ListBuffer.empty[(String, String)]
+        var curFile: String = null
+        var bm: org.roaringbitmap.longlong.Roaring64Bitmap = null
+        def flush(): Unit = if (curFile != null) {
+          out += curFile -> writePosDvSidecar(tablePath, bm)
+          curFile = null; bm = null
+        }
+        rows.foreach { case (f, p) =>
+          if (f != curFile) {
+            flush()
+            curFile = f
+            bm = new org.roaringbitmap.longlong.Roaring64Bitmap()
+          }
+          bm.addLong(p)
+        }
+        flush()
+        out.iterator
+      }
+      .collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+  }
+
   def deleteWherePositional(
       spark: SparkSession, table: String,
       fileAdmit: FileEntry => Boolean,
@@ -2312,86 +2432,16 @@ object LogTable {
     val keyCol = tableKeyCol(table).getOrElse(throw new IllegalArgumentException(
       s"deleteWherePositional($table): the table predates the key-column " +
         "property — run one keyed write first"))
-    val sp = spark
-    import sp.implicits._
     def attempt(): Unit = {
       val (snapVersion, snapshot, snapSchema) = snapshotWithSchema(table, None)
       val touched = snapshot.filter(fileAdmit)
       if (touched.isEmpty) return
       val dvs = liveDvState(table, Some(snapVersion))
-      val paths = touched.map(f => dataDir(table).resolve(f.file).toString)
-      // physical scan under the committed schema (the readFiles rules:
-      // logical projection over physical columns on renamed tables)
-      val base = snapSchema match {
-        case None => spark.read.parquet(paths: _*)
-        case Some(s) if !s.fields.exists(f => physicalName(f) != f.name) =>
-          spark.read.schema(s).parquet(paths: _*)
-        case Some(s) =>
-          val phys = org.apache.spark.sql.types.StructType(
-            s.fields.map(f => f.copy(name = physicalName(f))))
-          spark.read.schema(phys).parquet(paths: _*)
-            .select(s.fields.map(f =>
-              col(physicalName(f)).as(f.name)).toIndexedSeq: _*)
-      }
-      val taken = base.columns.toSet
-      def fresh(n: String): String = {
-        var c = n
-        while (taken.contains(c)) c += "_"
-        c
-      }
-      val fCol = fresh("_dvw_file")
-      val pCol = fresh("_dvw_pos")
-      var df = base
-        .withColumn(fCol, col("_metadata.file_name"))
-        .withColumn(pCol, col("_metadata.row_index"))
-      // rows already dead at the pinned snapshot never re-mark
-      val deadKeys = dvs.keys.iterator
-        .filter { case (f, ks) => ks.nonEmpty && touched.exists(_.file == f) }
-        .flatMap { case (f, ks) => ks.iterator.map(k => (f, k)) }.toSeq
-      if (deadKeys.nonEmpty) {
-        // the scan is under the CURRENT committed schema, so the key
-        // property's (current, logical) name resolves directly
-        val kCol = fresh("_dvw_key")
-        df = df.withColumn(kCol, col(keyCol))
-          .join(broadcast(deadKeys.toDF(fCol, kCol)), Seq(fCol, kCol), "left_anti")
-          .drop(kCol)
-      }
-      if (dvs.pos.nonEmpty) {
-        import org.apache.spark.sql.GraftColumnBridge.{column => asCol, expression => asExpr}
-        df = df.filter(!asCol(graft.functions.PositionDead(
-          asExpr(col(fCol)), asExpr(col(pCol)), table, dvs.pos)))
-      }
+      val (df, fCol, pCol) = scanLiveWithPositions(
+        spark, table, touched, snapSchema, dvs, keyCol)
       val dying = df.filter(coalesce(rowPredicate, lit(false)))
         .select(col(fCol).as("_f"), col(pCol).as("_p"))
-      // per-file bitmaps, built and written where the data is: cluster
-      // positions by file, stream each group into a roaring bitmap, land
-      // the sidecar from the task — the driver collects names only
-      val tablePath = table
-      val entries: Map[String, Seq[String]] = dying
-        .repartition(col("_f"))
-        .sortWithinPartitions("_f")
-        .as[(String, Long)]
-        .mapPartitions { rows =>
-          val out = scala.collection.mutable.ListBuffer.empty[(String, String)]
-          var curFile: String = null
-          var bm: org.roaringbitmap.longlong.Roaring64Bitmap = null
-          def flush(): Unit = if (curFile != null) {
-            out += curFile -> writePosDvSidecar(tablePath, bm)
-            curFile = null; bm = null
-          }
-          rows.foreach { case (f, p) =>
-            if (f != curFile) {
-              flush()
-              curFile = f
-              bm = new org.roaringbitmap.longlong.Roaring64Bitmap()
-            }
-            bm.addLong(p)
-          }
-          flush()
-          out.iterator
-        }
-        .collect()
-        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+      val entries = positionsToSidecars(spark, table, dying)
       if (entries.isEmpty) return // nothing matched: no-op
       commit(table, snapVersion, adds = Seq.empty, removes = Seq.empty,
         reRun = () => attempt(),
@@ -2400,6 +2450,62 @@ object LogTable {
         // decisions are per-(file, position): a racer rewriting any
         // touched file invalidates them — recompute, never attach a
         // vector to a dead file
+        requireLive = touched.map(_.file))
+    }
+    attempt()
+  }
+
+  /** BULK merge-on-read upsert — the positional twin of [[upsertDV]]
+    * with NO key budget: matched rows die by ROW POSITION (roaring
+    * sidecars; one distributed semi-join position scan — the batch's
+    * keys never collect), the batch appends, ONE manifest commit, zero
+    * data files rewritten. [[upsertDV]] falls back here when its batch
+    * exceeds the key budget, so bulk keyed re-syncs stay merge-on-read
+    * end to end. Semantics identical to [[upsert]] (the oracle-pinned
+    * delete-then-insert). */
+  def upsertPositional(
+      spark: SparkSession, table: String, incoming: DataFrame,
+      keyCol: String): Unit = {
+    requireKeyMatch(table, keyCol)
+    val inc = incoming.localCheckpoint(false)
+    def attempt(): Unit = {
+      val bounds = inc.agg(min(col(keyCol).cast("long")),
+        max(col(keyCol).cast("long"))).head()
+      if (bounds.isNullAt(0)) return // empty batch: no-op (P11)
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val (snapVersion, snapshot, snapSchema) = snapshotWithSchema(table, None)
+      snapSchema.foreach { sc =>
+        requireCompatible(sc, inc, "upsertPositional")
+        requireNoPhysicalCarriers(table, snapshot,
+          inc.schema.fieldNames.toSeq.filterNot(sc.fieldNames.toSet),
+          "upsertPositional")
+        require(inc.columns.toSet == sc.fieldNames.toSet,
+          s"upsertPositional($table): batch columns " +
+            s"${inc.columns.sorted.mkString(",")} must equal table columns " +
+            s"${sc.fieldNames.sorted.mkString(",")} — align first " +
+            "(evolution goes through upsert/append)")
+      }
+      val touched = snapshot.filter(f => f.minKey <= hi && f.maxKey >= lo)
+      val dvs = liveDvState(table, Some(snapVersion))
+      val entries =
+        if (touched.isEmpty) Map.empty[String, Seq[String]]
+        else {
+          val (df, fCol, pCol) = scanLiveWithPositions(
+            spark, table, touched, snapSchema, dvs, keyCol)
+          // matched = key appears in the batch: a DISTRIBUTED left-semi
+          // join (the whole point of the bulk path — no driver key set)
+          val dying = df
+            .join(inc.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
+            .select(col(fCol).as("_f"), col(pCol).as("_p"))
+          positionsToSidecars(spark, table, dying)
+        }
+      val adds = writeData(spark, table, inc, keyCol)
+      commit(table, snapVersion, adds, removes = Seq.empty,
+        reRun = () => attempt(),
+        schema = snapSchema.map(_.json).getOrElse(inc.schema.json),
+        keyRange = Some((lo, hi)), keyCol = keyCol, dvp = entries,
+        // positions are per-(file, row-index): a racer rewriting any
+        // touched file invalidates them — recompute
         requireLive = touched.map(_.file))
     }
     attempt()

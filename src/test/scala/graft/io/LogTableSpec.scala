@@ -1612,6 +1612,58 @@ class LogTableSpec extends AnyFunSuite {
     assert(LogTable.read(spark, t).filter(col("m") <= 3).count() == 0L)
   }
 
+  test("bulk upsertDV/mergeDV stay merge-on-read via positional sidecars (no key budget)") {
+    val t = tmpTable()
+    LogTable.create(spark, t,
+      (1L to 5000L).map(i => (i, s"b$i")).toDF("k", "v")
+        .repartitionByRange(4, col("k")), "k")
+    val filesBefore = LogTable.read(spark, t).inputFiles.toSet
+    val oldCap = sys.props.get("graft.dv.maxKeys")
+    sys.props("graft.dv.maxKeys") = "50"
+    try {
+      // 3001 distinct keys >> the 50-key budget: the batch must land as
+      // ONE positional commit — appends only, zero rewrites, no inline
+      // key vectors (which would bust the manifest), keys never collect
+      val batch = (1000L to 4000L).map(i => (i, s"u$i")).toDF("k", "v")
+      LogTable.upsertDV(spark, t, batch, "k")
+      assert(filesBefore.subsetOf(LogTable.read(spark, t).inputFiles.toSet),
+        "bulk upsertDV rewrote base files")
+      assert(LogTable.liveDvs(t, None).isEmpty,
+        "bulk upsertDV minted inline key vectors past the budget")
+      assert(LogTable.livePosDvs(t, None).nonEmpty)
+      val s1 = LogTable.read(spark, t).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val m1 = (1L to 5000L).map(i =>
+        i -> (if (i >= 1000L && i <= 4000L) s"u$i" else s"b$i")).toMap
+      assert(s1 == m1, s"bulk upsertDV semantics diverged: " +
+        s"${(s1.toSet -- m1.toSet).take(3)} vs ${(m1.toSet -- s1.toSet).take(3)}")
+      // bulk CONDITIONAL mergeDV: matched evens delete, matched odds
+      // update, unmatched insert — 3501 affected keys, still positional
+      val src2 = (2000L to 5500L).map(i => (i, s"m$i")).toDF("k", "v")
+      LogTable.mergeDV(spark, t, src2, "k",
+        updateWhen = Some("true"), deleteWhen = Some("_src_k % 2 = 0"),
+        insertUnmatched = true)
+      assert(filesBefore.subsetOf(LogTable.read(spark, t).inputFiles.toSet),
+        "bulk mergeDV rewrote base files")
+      assert(LogTable.liveDvs(t, None).isEmpty)
+      val s2 = LogTable.read(spark, t).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val m2 = (m1.filterNot { case (k, _) =>
+          k >= 2000L && k % 2 == 0 } // matched evens died
+        ++ (2000L to 5000L).filter(_ % 2 == 1).map(i => i -> s"m$i")
+        ++ (5001L to 5500L).map(i => i -> s"m$i")).toMap
+      assert(s2 == m2, s"bulk mergeDV semantics diverged: " +
+        s"extra=${(s2.toSet -- m2.toSet).take(3)} missing=${(m2.toSet -- s2.toSet).take(3)}")
+      // compact purges; semantics stand
+      LogTable.compact(spark, t, "k", targetRows = 1000000L)
+      assert(LogTable.livePosDvs(t, None).isEmpty)
+      assert(LogTable.read(spark, t).count() == m2.size.toLong)
+    } finally oldCap match {
+      case Some(v) => sys.props("graft.dv.maxKeys") = v
+      case None => sys.props.remove("graft.dv.maxKeys")
+    }
+  }
+
   test("positional vectors compose with column mapping: rename before and after the delete") {
     val t = tmpTable()
     LogTable.create(spark, t,

@@ -1051,8 +1051,11 @@ object EtlQueries {
             sum(col("total_cents")).as("revenue_cents"))
           .orderBy("status")
       },
+      // CAST the outer SUM back to BIGINT: DuckDB widens SUM(BIGINT) to
+      // HUGEINT (int128) and the driver's hash is type-sensitive (the repo
+      // parity convention, see ExtQueries oracle notes).
       Some("""SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
-             |       SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+             |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
              |FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
              |GROUP BY 1 ORDER BY status""".stripMargin),
     ),

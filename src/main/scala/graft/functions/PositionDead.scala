@@ -44,21 +44,12 @@ case class PositionDead(
   override def dataType: DataType = BooleanType
   override def prettyName: String = "graft_position_dead"
 
-  // loaded-bitmap cache, shared across tasks of one executor JVM and
-  // rebuilt per JVM (transient): keyed by file name — sidecars are
-  // immutable once referenced, so entries never need invalidation
-  @transient private lazy val cache =
-    new java.util.concurrent.ConcurrentHashMap[
-      String, org.roaringbitmap.longlong.Roaring64Bitmap]()
-
   /** Executor-side probe; called from generated code. */
   def isDead(file: UTF8String, pos: Long): Boolean = {
     val f = file.toString
     val names = entries.getOrElse(f, null)
     if (names == null) return false
-    val bm = cache.computeIfAbsent(f,
-      _ => graft.io.LogTable.loadPosDv(table, names))
-    bm.contains(pos)
+    PositionDead.mergedBitmap(table, names).contains(pos)
   }
 
   override protected def nullSafeEval(file: Any, pos: Any): Any =
@@ -72,4 +63,28 @@ case class PositionDead(
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+object PositionDead {
+  /** JVM-global merged-bitmap cache. It must live HERE, not on the
+    * expression instance: each task deserializes its own copy of the
+    * plan's reference objects, so per-instance state would re-read and
+    * re-deserialize the sidecars once per task — on a wide scan that is
+    * O(tasks) sidecar IO instead of the intended once per (executor,
+    * file). Keyed by (table, sidecar-name set): sidecars are immutable
+    * once referenced (a later delete mints NEW names → a new key), so
+    * entries never need invalidation. The coarse clear-on-cap keeps a
+    * long-lived executor bounded; a cleared entry merely re-loads. */
+  private val CacheCap = 4096
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.roaringbitmap.longlong.Roaring64Bitmap]()
+
+  private[functions] def mergedBitmap(
+      table: String,
+      names: Seq[String]): org.roaringbitmap.longlong.Roaring64Bitmap = {
+    if (cache.size() > CacheCap) cache.clear()
+    cache.computeIfAbsent(
+      table + "\u0000" + names.sorted.mkString("\u0000"),
+      _ => graft.io.LogTable.loadPosDv(table, names))
+  }
 }

@@ -615,9 +615,16 @@ object LogTable {
     (set.keys ++ unset).foreach { k =>
       require(k.nonEmpty, s"table properties on $table: empty property key")
       safe(k, "key")
+    }
+    // The reserved ban applies to SET only: UNSET of a reserved name is
+    // the REMEDIATION for a legacy property stored before the ban (its
+    // tombstone is rendered inside the props object, structurally safe),
+    // so refusing it would make such a table unfixable forever.
+    set.keys.foreach { k =>
       require(!reserved(k.toLowerCase(java.util.Locale.ROOT)),
         s"table properties on $table: '$k' is a computed table property " +
-          "(derived from the log, never stored)")
+          "or a manifest structural field name (derived/reserved, never " +
+          "stored)")
     }
     set.foreach { case (k, v) =>
       require(v.nonEmpty,
@@ -740,46 +747,64 @@ object LogTable {
       }
   }
 
+  /** ADD CONSTRAINT's snapshot gate: every NEW constraint in a props
+    * delta must be grammatical, name a real (long-encoded, for ranges)
+    * column, and be PROVEN by the stats of every live file — zero data
+    * reads. Runs inside [[commit]]'s claim loop on EVERY attempt against
+    * the exact snapshot the CAS lands on: a racing data commit whose own
+    * [[requireConstraintsOnAdds]] ran before the constraint existed
+    * passes that gate, so validating only once in the caller would let
+    * the constraint land over a snapshot that violates it (the re-claim
+    * path never re-enters the caller). */
+  private def requireConstraintsOnSnapshot(
+      table: String, propsDelta: Map[String, String],
+      live: Seq[FileEntry], schemaJson: String): Unit = {
+    val newCs = propsDelta.filter { case (k, v) =>
+      k.startsWith(ConstraintPrefix) && v.nonEmpty }
+    if (newCs.isEmpty) return
+    val sc: Option[org.apache.spark.sql.types.StructType] =
+      if (schemaJson.isEmpty) None
+      else Some(org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    newCs.foreach { case (k, v) =>
+      val c = Constraint.parse(v).getOrElse(throw new IllegalArgumentException(
+        s"$k on $table: '$v' is outside the footer-decidable constraint " +
+          s"grammar (${Constraint.Grammar})"))
+      sc.foreach { s =>
+        val f = s.fields.find(_.name == c.col).getOrElse(
+          throw new IllegalArgumentException(
+            s"$k on $table: no column '${c.col}' " +
+              s"(have ${s.fieldNames.mkString(", ")})"))
+        c match {
+          case _: Constraint.Range =>
+            import org.apache.spark.sql.types._
+            require(Seq(LongType, IntegerType, ShortType, DateType,
+              TimestampType, TimestampNTZType).contains(f.dataType),
+              s"$k on $table: range constraints need a long-encoded " +
+                s"column; '${c.col}' is ${f.dataType.catalogString}")
+          case _ => ()
+        }
+      }
+      val phys = sc.flatMap(_.fields.find(_.name == c.col))
+        .map(physicalName).getOrElse(c.col)
+      live.foreach { f =>
+        constraintViolation(f, phys, c).foreach { why =>
+          throw new IllegalArgumentException(
+            s"$k on $table: existing file ${f.file} violates '$v': $why " +
+              "— constraints must hold over the current snapshot to land")
+        }
+      }
+    }
+  }
+
   def setProperties(
       table: String, set: Map[String, String],
       unset: Seq[String] = Seq.empty): Unit = {
     validateProps(table, set, unset)
     // ADD CONSTRAINT validates like Delta's: the grammar, the column
-    // (exists, long-encoded for ranges), and the CURRENT snapshot's
-    // files — from stats alone, zero reads. Violating history refuses.
-    val newConstraints = set.filter(_._1.startsWith(ConstraintPrefix))
-    if (newConstraints.nonEmpty) {
-      val (_, live, sc) = snapshotWithSchema(table, None)
-      newConstraints.foreach { case (k, v) =>
-        val c = Constraint.parse(v).getOrElse(throw new IllegalArgumentException(
-          s"$k on $table: '$v' is outside the footer-decidable constraint " +
-            s"grammar (${Constraint.Grammar})"))
-        sc.foreach { s =>
-          val f = s.fields.find(_.name == c.col).getOrElse(
-            throw new IllegalArgumentException(
-              s"$k on $table: no column '${c.col}' " +
-                s"(have ${s.fieldNames.mkString(", ")})"))
-          c match {
-            case _: Constraint.Range =>
-              import org.apache.spark.sql.types._
-              require(Seq(LongType, IntegerType, ShortType, DateType,
-                TimestampType, TimestampNTZType).contains(f.dataType),
-                s"$k on $table: range constraints need a long-encoded " +
-                  s"column; '${c.col}' is ${f.dataType.catalogString}")
-            case _ => ()
-          }
-        }
-        val phys = sc.flatMap(_.fields.find(_.name == c.col))
-          .map(physicalName).getOrElse(c.col)
-        live.foreach { f =>
-          constraintViolation(f, phys, c).foreach { why =>
-            throw new IllegalArgumentException(
-              s"$k on $table: existing file ${f.file} violates '$v': $why " +
-                "— constraints must hold over the current snapshot to land")
-          }
-        }
-      }
-    }
+    // (exists, long-encoded for ranges), and the snapshot's files — all
+    // inside commit's claim loop ([[requireConstraintsOnSnapshot]]), so
+    // every CAS retry re-proves the constraints over the fresh snapshot.
     val delta = set ++ unset.map(_ -> "")
     if (delta.isEmpty) return
     def attempt(): Unit = {
@@ -1117,6 +1142,24 @@ object LogTable {
         case _: java.nio.file.FileAlreadyExistsException => ()
         case _: UnsupportedOperationException =>
           Files.copy(from, to, StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    // The copied manifests reference positional-DV sidecars by name, and
+    // loadPosDv fails loudly on a missing sidecar — so every sidecar any
+    // version's dvp names must travel too (same link-or-copy fallback as
+    // the data files), or reads of those versions break in the clone.
+    val sidecars = ms.flatMap(_.dvp.valuesIterator.flatten).distinct
+    if (sidecars.nonEmpty) {
+      Files.createDirectories(dvDir(dst))
+      sidecars.foreach { n =>
+        val from = dvDir(src).resolve(n)
+        val to = dvDir(dst).resolve(n)
+        try Files.createLink(to, from)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException => ()
+          case _: UnsupportedOperationException =>
+            Files.copy(from, to, StandardCopyOption.REPLACE_EXISTING)
+        }
       }
     }
     ms.foreach { m =>
@@ -3407,6 +3450,18 @@ object LogTable {
       // ADD CONSTRAINT between attempts is honored): added files must
       // PROVE compliance from their footer stats — zero data reads
       requireConstraintsOnAdds(table, adds, committedSchema, props)
+      // ... and a constraint being SET in this commit must hold over the
+      // snapshot it lands on. Validate only when the head equals our
+      // claim target's predecessor: if a racer moved the head, this
+      // attempt's link fails anyway and the next iteration re-validates
+      // against the fresh snapshot — so a successful claim always proves
+      // the constraints over its exact predecessor.
+      if (props.exists { case (k, v) =>
+        k.startsWith(ConstraintPrefix) && v.nonEmpty }) {
+        val (hv, liveNow, _) = snapshotWithSchema(table, None)
+        if (hv == expected)
+          requireConstraintsOnSnapshot(table, props, liveNow, committedSchema)
+      }
       onCommitAttempt()
       val v = expected + 1
       val m = Manifest(v, adds, removes, committedSchema, keyCol = keyCol,

@@ -750,6 +750,39 @@ class LogTableSpec extends AnyFunSuite {
     assert(r.count() == 11L)
   }
 
+  test("ADD CONSTRAINT racing a violating data commit refuses — re-validated per CAS attempt") {
+    val t = tmpTable()
+    LogTable.create(spark, t,
+      (1L to 100L).map(i => (i, i)).toDF("k", "m"), "k")
+    // the racer lands a violating file INSIDE the constraint commit's
+    // claim window: its own write-time gate passes (the constraint has
+    // not landed yet), so the constraint commit's re-claim must re-prove
+    // the constraint over the fresh snapshot — pre-fix it validated once
+    // up front and the re-claim landed the constraint over data that
+    // violates it
+    LogTable.onCommitAttempt = () => {
+      LogTable.onCommitAttempt = () => ()
+      LogTable.append(spark, t, Seq((200L, -5L)).toDF("k", "m"), "k")
+    }
+    try {
+      val e = intercept[IllegalArgumentException] {
+        LogTable.setProperties(t, Map("constraint.m_pos" -> "m >= 0"))
+      }
+      assert(e.getMessage.contains("violates"), e.getMessage)
+    } finally LogTable.onCommitAttempt = () => ()
+    // serializable outcome = append first, constraint refused: the
+    // racer's row is live and the constraint never landed
+    assert(LogTable.read(spark, t).count() == 101L)
+    assert(!LogTable.tableProps(t).contains("constraint.m_pos"))
+    // ... and with no racer, the same constraint still refuses while the
+    // violating row lives, then lands after its deletion
+    intercept[IllegalArgumentException](
+      LogTable.setProperties(t, Map("constraint.m_pos" -> "m >= 0")))
+    LogTable.deleteWhere(spark, t, _ => true, col("m") < 0L)
+    LogTable.setProperties(t, Map("constraint.m_pos" -> "m >= 0"))
+    assert(LogTable.tableProps(t).get("constraint.m_pos").contains("m >= 0"))
+  }
+
   test("merge-on-read SQL racing a vector delete: loud re-run demand, the racer's delete survives") {
     val wh = Files.createTempDirectory("graft-mrace").toString
     spark.conf.set("spark.sql.catalog.graftmrace",
@@ -1518,18 +1551,30 @@ class LogTableSpec extends AnyFunSuite {
     // inside the props object AHEAD of the real trailing schema field
     // and, pre-fix, alias the first-match parse (DataType.fromJson then
     // throws on the property VALUE and every read of the table dies)
-    for (bad <- Seq("schema", "adds", "removes", "checkpoint",
-        "txns", "dvs", "props", "ts", "keyCol")) {
+    val structural = Seq("schema", "adds", "removes", "checkpoint",
+      "txns", "dvs", "props", "ts", "keyCol")
+    for (bad <- structural) {
       val e = intercept[IllegalArgumentException](
         LogTable.setProperties(t, Map(bad -> "x")))
       assert(e.getMessage.contains(bad), e.getMessage)
-      val u = intercept[IllegalArgumentException](
-        LogTable.setProperties(t, Map("ok" -> "1"), unset = Seq(bad)))
-      assert(u.getMessage.contains(bad), u.getMessage)
     }
     // the refusals committed nothing; the table still reads
     assert(LogTable.read(spark, t).count() == 1L)
     assert(LogTable.tableProps(t).isEmpty)
+    // UNSET of a reserved name is ALLOWED — it is the remediation for a
+    // legacy property stored before the ban existed, so refusing it
+    // would make such a table unfixable forever. The tombstones render
+    // as empty-string entries inside the props object; every structural
+    // field parse must be unaffected (bracket/brace-shaped values,
+    // head-anchored ts, tail-anchored schema, keyCol rendered BEFORE
+    // props so first-match wins).
+    LogTable.setProperties(t, Map("ok" -> "1"), unset = structural)
+    assert(LogTable.read(spark, t).count() == 1L)
+    assert(LogTable.tableProps(t) == Map("ok" -> "1"))
+    assert(LogTable.tableKeyCol(t).contains("k"),
+      "a 'keyCol' props tombstone aliased the manifest keyCol parse")
+    assert(LogTable.version(t) > 0L,
+      "a 'ts'/'version' props tombstone broke the manifest head parse")
     // parse self-defense for PRE-EXISTING manifests that stored one
     // before the refusal existed: render always places schema LAST, so
     // the parse anchors to the final match and the props entry cannot
@@ -1610,6 +1655,27 @@ class LogTableSpec extends AnyFunSuite {
     assert(LogTable.vacuum(t).forall(!_.endsWith(".bin")) ||
       LogTable.livePosDvs(t, None).nonEmpty)
     assert(LogTable.read(spark, t).filter(col("m") <= 3).count() == 0L)
+  }
+
+  test("cloneTableWithHistory carries positional-DV sidecars — every version reads in the clone") {
+    val t = tmpTable()
+    val base = (1L to 4000L).map(i => (i, i % 5)).toDF("k", "m")
+      .repartitionByRange(4, col("k"))
+    LogTable.create(spark, t, base, "k")
+    LogTable.deleteWherePositional(spark, t, _ => true, col("m") === 0L)
+    assert(LogTable.livePosDvs(t, None).nonEmpty)
+    val expected = (1L to 4000L).count(_ % 5 != 0).toLong
+    val vDv = LogTable.version(t)
+    val dst = tmpTable()
+    LogTable.cloneTableWithHistory(t, dst)
+    // the latest clone version must serve with the vectors applied —
+    // before the fix loadPosDv threw on the missing _dv/ sidecars
+    assert(LogTable.read(spark, dst).count() == expected)
+    assert(LogTable.read(spark, dst).filter(col("m") === 0L).count() == 0L)
+    // full history: the pre-delete version is intact, the DV version
+    // time-travels exactly like the source
+    assert(LogTable.readVersion(spark, dst, 1L).count() == 4000L)
+    assert(LogTable.readVersion(spark, dst, vDv).count() == expected)
   }
 
   test("bulk upsertDV/mergeDV stay merge-on-read via positional sidecars (no key budget)") {

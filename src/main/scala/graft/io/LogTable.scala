@@ -652,6 +652,17 @@ object LogTable {
   //     (manifest [min,max] are EXACT non-null extremes for long-encoded
   //      columns, so range checks decide exactly; NULLs pass a CHECK per
   //      SQL semantics — an all-null file complies)
+  //   <col> >= <dec> | <col> <= <dec> | <col> BETWEEN <dec> AND <dec>
+  //     (decimal-point literals target DOUBLE/FLOAT columns via colsD —
+  //      exact where stats exist; a NaN/Infinity-bearing file has NO
+  //      colsD entry, so it refuses: the stats layer's admission rule)
+  //   <col> >= '<str>' | <col> <= '<str>' | <col> BETWEEN '<s>' AND '<s>'
+  //     (quoted ASCII literals target STRING columns via the
+  //      truncate+successor colsS bounds — conservative: stored lower <=
+  //      true min and stored upper >= true max, so passing PROVES the
+  //      range while a truncated bound may over-refuse; e.g. the orders
+  //      status domain lands as status BETWEEN 'F' AND 'P'. IN (...) is
+  //      NOT in the family — [min,max] cannot prove a non-contiguous set)
   //
   // Anything else refuses at SET time with this grammar in the message:
   // a constraint the stats cannot decide would force a data read on
@@ -665,22 +676,66 @@ object LogTable {
     final case class NotNull(col: String) extends Constraint
     final case class Range(col: String, lo: Option[Long], hi: Option[Long])
       extends Constraint
+    // DOUBLE literals are spelled with a decimal point (that is what
+    // routes them here instead of Range); decisions against colsD are
+    // EXACT where stats exist, and a file containing NaN/±Infinity has
+    // NO colsD entry (the stats layer's admission rule) so it refuses —
+    // conservative, and the only sound answer since NaN breaks ordering.
+    final case class DblRange(col: String, lo: Option[Double], hi: Option[Double])
+      extends Constraint
+    // STRING bounds are single-quoted, manifest-safe ASCII (the same
+    // character policy as the stored bounds). Proofs are conservative
+    // against the truncate+successor colsS bounds: stored lower <= true
+    // min and stored upper >= true max, so lower >= lo / upper <= hi
+    // PROVE the range; a truncated successor may over-refuse a long
+    // value near the bound — safe, never wrong. `IN (...)` is
+    // deliberately NOT in the family: [min,max] cannot prove a
+    // non-contiguous set (Delta decides IN with a per-row pass in the
+    // write job — the wrong trade here); spell the convex hull as
+    // BETWEEN, e.g. status BETWEEN 'F' AND 'P'.
+    final case class StrRange(col: String, lo: Option[String], hi: Option[String])
+      extends Constraint
     private val NotNullRe =
       """(?i)^\s*([A-Za-z_][A-Za-z0-9_]*)\s+IS\s+NOT\s+NULL\s*$""".r
     private val GeRe = """^\s*([A-Za-z_][A-Za-z0-9_]*)\s*>=\s*(-?\d+)\s*$""".r
     private val LeRe = """^\s*([A-Za-z_][A-Za-z0-9_]*)\s*<=\s*(-?\d+)\s*$""".r
     private val BetweenRe =
       """(?i)^\s*([A-Za-z_][A-Za-z0-9_]*)\s+BETWEEN\s+(-?\d+)\s+AND\s+(-?\d+)\s*$""".r
+    private val DGeRe =
+      """^\s*([A-Za-z_][A-Za-z0-9_]*)\s*>=\s*(-?\d+\.\d+)\s*$""".r
+    private val DLeRe =
+      """^\s*([A-Za-z_][A-Za-z0-9_]*)\s*<=\s*(-?\d+\.\d+)\s*$""".r
+    private val DBetweenRe =
+      """(?i)^\s*([A-Za-z_][A-Za-z0-9_]*)\s+BETWEEN\s+(-?\d+\.\d+)\s+AND\s+(-?\d+\.\d+)\s*$""".r
+    private val SGeRe =
+      """^\s*([A-Za-z_][A-Za-z0-9_]*)\s*>=\s*'([^']*)'\s*$""".r
+    private val SLeRe =
+      """^\s*([A-Za-z_][A-Za-z0-9_]*)\s*<=\s*'([^']*)'\s*$""".r
+    private val SBetweenRe =
+      """(?i)^\s*([A-Za-z_][A-Za-z0-9_]*)\s+BETWEEN\s+'([^']*)'\s+AND\s+'([^']*)'\s*$""".r
+    // literals must order identically in Java UTF-16, parquet unsigned
+    // bytes, and Spark's UTF8String — the stored-bound ASCII policy
+    private def strLit(s: String): Option[String] =
+      if (s.forall(strBoundSafe)) Some(s) else None
     def parse(expr: String): Option[Constraint] = expr match {
       case NotNullRe(c) => Some(NotNull(c))
       case GeRe(c, v) => Some(Range(c, Some(v.toLong), None))
       case LeRe(c, v) => Some(Range(c, None, Some(v.toLong)))
       case BetweenRe(c, lo, hi) => Some(Range(c, Some(lo.toLong), Some(hi.toLong)))
+      case DGeRe(c, v) => Some(DblRange(c, Some(v.toDouble), None))
+      case DLeRe(c, v) => Some(DblRange(c, None, Some(v.toDouble)))
+      case DBetweenRe(c, lo, hi) =>
+        Some(DblRange(c, Some(lo.toDouble), Some(hi.toDouble)))
+      case SGeRe(c, v) => strLit(v).map(s => StrRange(c, Some(s), None))
+      case SLeRe(c, v) => strLit(v).map(s => StrRange(c, None, Some(s)))
+      case SBetweenRe(c, lo, hi) => for (l <- strLit(lo); h <- strLit(hi))
+        yield StrRange(c, Some(l), Some(h))
       case _ => None
     }
     val Grammar: String =
       "'<col> IS NOT NULL', '<col> >= <int>', '<col> <= <int>', " +
-        "'<col> BETWEEN <int> AND <int>'"
+        "'<col> BETWEEN <int> AND <int>' (decimal-point literals for " +
+        "DOUBLE columns, single-quoted ASCII literals for STRING columns)"
   }
   private[graft] val ConstraintPrefix = "constraint."
 
@@ -718,6 +773,32 @@ object LogTable {
           else None
         case None => Some(
           s"no [min,max] statistic for '$physCol' — cannot prove the range")
+      }
+    case Constraint.DblRange(_, lo, hi) =>
+      if (f.colsN.get(physCol).contains(f.rows)) None // all-NULL: CHECK passes
+      else f.colsD.get(physCol) match {
+        case Some((mn, mx)) =>
+          if (lo.exists(mn < _)) Some(s"min($physCol) = $mn < ${lo.get}")
+          else if (hi.exists(mx > _)) Some(s"max($physCol) = $mx > ${hi.get}")
+          else None
+        case None => Some(
+          s"no [min,max] statistic for '$physCol' — cannot prove the range " +
+            "(NaN/Infinity values drop a double column's statistics)")
+      }
+    case Constraint.StrRange(_, lo, hi) =>
+      if (f.colsN.get(physCol).contains(f.rows)) None // all-NULL: CHECK passes
+      else f.colsS.get(physCol) match {
+        // stored lower is a PREFIX (<= true min) and stored upper is the
+        // value or a strict successor (>= true max), so these comparisons
+        // PROVE the range; over-refusal on truncated bounds is possible
+        // and safe
+        case Some((mn, mx)) =>
+          if (lo.exists(l => mn < l)) Some(s"min($physCol) bound '$mn' < '${lo.get}'")
+          else if (hi.exists(h => mx > h)) Some(s"max($physCol) bound '$mx' > '${hi.get}'")
+          else None
+        case None => Some(
+          s"no [min,max] statistic for '$physCol' — cannot prove the range " +
+            "(non-ASCII values drop a string column's statistics)")
       }
   }
 
@@ -780,8 +861,20 @@ object LogTable {
             import org.apache.spark.sql.types._
             require(Seq(LongType, IntegerType, ShortType, DateType,
               TimestampType, TimestampNTZType).contains(f.dataType),
-              s"$k on $table: range constraints need a long-encoded " +
-                s"column; '${c.col}' is ${f.dataType.catalogString}")
+              s"$k on $table: integer range constraints need a " +
+                s"long-encoded column; '${c.col}' is " +
+                s"${f.dataType.catalogString} (spell DOUBLE bounds with " +
+                "a decimal point, STRING bounds single-quoted)")
+          case _: Constraint.DblRange =>
+            import org.apache.spark.sql.types._
+            require(f.dataType == DoubleType || f.dataType == FloatType,
+              s"$k on $table: decimal-literal range constraints need a " +
+                s"DOUBLE/FLOAT column; '${c.col}' is ${f.dataType.catalogString}")
+          case _: Constraint.StrRange =>
+            import org.apache.spark.sql.types._
+            require(f.dataType == StringType,
+              s"$k on $table: quoted-literal range constraints need a " +
+                s"STRING column; '${c.col}' is ${f.dataType.catalogString}")
           case _ => ()
         }
       }

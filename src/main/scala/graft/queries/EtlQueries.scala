@@ -157,6 +157,7 @@ object EtlQueries {
   private val k20Setup = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val k25Setup = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val k27Setup = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val k28Setup = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   // A1 on fixtures: per-order refund totals.
   private def refundOrderTotals(s: org.apache.spark.sql.SparkSession, d: String) =
@@ -1058,6 +1059,53 @@ object EtlQueries {
              |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
              |FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
              |GROUP BY 1 ORDER BY status""".stripMargin),
+    ),
+
+    // K28 — STRING-domain constrained load (the constraint grammar's
+    // string rung): the status domain CHECK (`BETWEEN 'F' AND 'P'`, the
+    // footer-provable spelling of IN ('F','O','P')) rides CREATE TABLE;
+    // a second string CHECK over the priority column lands via SQL ALTER
+    // ... SET TBLPROPERTIES, proven over the EXISTING snapshot from the
+    // truncate+successor colsS bounds (SET-time enforcement); then the
+    // post-split slice is APPENDED under both checks (append-time
+    // enforcement — each new file's bounds must prove both domains).
+    // The timed body is the analytic read over the twice-constrained,
+    // two-commit table; the oracle replays it from raw orders.
+    QueryDef(
+      "k28_string_constraint",
+      (s, d) => {
+        val cat = k28Setup.computeIfAbsent(d, dir => {
+          val name = mergeCatalogFor(s, dir)
+          Tables.orders(s, dir)
+            .select(
+              col("o_orderkey").as("order_id"),
+              col("o_orderdate").as("order_date"),
+              col("o_orderstatus").as("status"),
+              col("o_orderpriority").as("priority"))
+            .createOrReplaceTempView("k28_base")
+          s.sql(s"CREATE TABLE $name.etl.c_orders_dom " +
+            "TBLPROPERTIES ('keyCol'='order_id', " +
+            "'constraint.status_dom'='status BETWEEN ''F'' AND ''P''') AS " +
+            "SELECT * FROM k28_base " +
+            "WHERE order_date < TIMESTAMP '1997-07-01'")
+          s.sql(s"ALTER TABLE $name.etl.c_orders_dom SET TBLPROPERTIES " +
+            "('constraint.prio_dom'='priority BETWEEN ''1'' AND ''6''')")
+          s.sql(s"INSERT INTO $name.etl.c_orders_dom " +
+            "SELECT * FROM k28_base " +
+            "WHERE order_date >= TIMESTAMP '1997-07-01'")
+          name
+        })
+        s.sql(s"SELECT status, priority FROM $cat.etl.c_orders_dom")
+          .groupBy("status")
+          .agg(count(lit(1)).as("n_orders"),
+            min(col("priority")).as("prio_lo"),
+            max(col("priority")).as("prio_hi"))
+          .orderBy("status")
+      },
+      Some("""SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+             |       MIN(o_orderpriority) AS prio_lo,
+             |       MAX(o_orderpriority) AS prio_hi
+             |FROM orders GROUP BY 1 ORDER BY status""".stripMargin),
     ),
 
     // K4/K6 — column alignment / schema migration: missing columns appear

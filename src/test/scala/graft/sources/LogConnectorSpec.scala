@@ -1813,6 +1813,74 @@ class LogConnectorSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM graftcn.etl.t").head().getLong(0) == 1001L)
   }
 
+  test("write-time constraints, string/double rung: quoted and decimal CHECKs enforce from footer stats") {
+    val wh = Files.createTempDirectory("graft-constr2").toString
+    spark.conf.set("spark.sql.catalog.graftcs", classOf[LogCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftcs.warehouse", wh)
+    spark.sql("CREATE NAMESPACE graftcs.etl")
+    // the orders status domain as a STRING-range CHECK (BETWEEN is the
+    // footer-provable spelling of IN ('F','O','P') — its convex hull),
+    // plus a DOUBLE CHECK with a decimal-point literal
+    spark.sql("CREATE TABLE graftcs.etl.t (k BIGINT, status STRING, price DOUBLE) " +
+      "TBLPROPERTIES ('keyCol'='k', " +
+      "'constraint.status_dom'='status BETWEEN ''F'' AND ''P''', " +
+      "'constraint.price_pos'='price >= 0.0')")
+    val t = s"$wh/etl/t"
+    spark.sql("INSERT INTO graftcs.etl.t SELECT id, " +
+      "CASE id % 3 WHEN 0 THEN 'F' WHEN 1 THEN 'O' ELSE 'P' END, " +
+      "CAST(id AS DOUBLE) / 10 FROM range(0, 300)")
+    def total(): Long =
+      spark.sql("SELECT count(*) FROM graftcs.etl.t").head().getLong(0)
+    assert(total() == 300L)
+    def refuses(sql: String, needle: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql))
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString("\n")
+      assert(msgs.contains("constraint") && msgs.contains(needle),
+        s"expected a loud constraint refusal mentioning '$needle', got: $msgs")
+    }
+    // append-time: out-of-domain strings refuse on both sides of the range
+    refuses("INSERT INTO graftcs.etl.t SELECT 1000, 'Z', 1.0", "Z")
+    refuses("INSERT INTO graftcs.etl.t SELECT 1001, 'A', 1.0", "A")
+    // append-time: negative and NaN doubles refuse (NaN drops the file's
+    // colsD stats, so the CHECK cannot prove — the stats-layer NaN rule)
+    refuses("INSERT INTO graftcs.etl.t SELECT 1002, 'O', -1.5", "-1.5")
+    refuses("INSERT INTO graftcs.etl.t SELECT 1003, 'O', CAST('NaN' AS DOUBLE)",
+      "cannot prove")
+    // NULLs pass a CHECK per SQL semantics — an all-null file complies
+    spark.sql("INSERT INTO graftcs.etl.t SELECT 1004, NULL, NULL")
+    assert(total() == 301L)
+    // SET-time: a stricter string CHECK the current data violates
+    // refuses; once the violating rows are deleted it lands, and then
+    // enforces at append time
+    val bad = intercept[Exception](LogTable.setProperties(t,
+      Map("constraint.status_cap" -> "status <= 'O'")))
+    assert(bad.getMessage.contains("violates"), bad.getMessage)
+    spark.sql("DELETE FROM graftcs.etl.t WHERE status = 'P'")
+    LogTable.setProperties(t, Map("constraint.status_cap" -> "status <= 'O'"))
+    refuses("INSERT INTO graftcs.etl.t SELECT 2000, 'P', 1.0", "P")
+    spark.sql("INSERT INTO graftcs.etl.t SELECT 2001, 'F', 1.0")
+    // type routing is loud: a quoted literal on a DOUBLE column and a
+    // decimal literal on a BIGINT column both refuse at SET time
+    val sOnD = intercept[Exception](LogTable.setProperties(t,
+      Map("constraint.wrong1" -> "price <= 'x'")))
+    assert(sOnD.getMessage.contains("STRING column"), sOnD.getMessage)
+    val dOnL = intercept[Exception](LogTable.setProperties(t,
+      Map("constraint.wrong2" -> "k >= 0.5")))
+    assert(dOnL.getMessage.contains("DOUBLE/FLOAT column"), dOnL.getMessage)
+    // IN is outside the footer-decidable family: refused loudly (its
+    // commas trip the manifest-safety gate before the grammar gate —
+    // either way it can never land)
+    val inRef = intercept[Exception](LogTable.setProperties(t,
+      Map("constraint.status_in" -> "status IN ('F','O','P')")))
+    assert(inRef.getMessage.contains("grammar") ||
+      inRef.getMessage.contains("plain tokens"), inRef.getMessage)
+    // ... and the comma-free spelling hits the grammar gate proper
+    val inRef2 = intercept[Exception](LogTable.setProperties(t,
+      Map("constraint.status_in" -> "status IN ('F')")))
+    assert(inRef2.getMessage.contains("grammar"), inRef2.getMessage)
+  }
+
   test("bulk SQL DELETE under merge-on-read commits positional bitmaps: zero rewrites, exact feed") {
     val wh = Files.createTempDirectory("graft-dvbulk").toString
     spark.conf.set("spark.sql.catalog.graftdvb", classOf[LogCatalog].getName)

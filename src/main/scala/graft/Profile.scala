@@ -17,6 +17,10 @@ object Profile {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // same extensions as Bench: the SQL row-level verbs (MERGE/UPDATE
+      // through the graft-log catalog) plan via these rules — a probe
+      // session without them cannot run the k-rows at all
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -156,6 +160,75 @@ object Profile {
         require(annR >= 0.9 && ivfR >= 0.9 && ivfpqR >= 0.9,
           f"ANN recall gate FAILED at ${soakReps}x replicas: " +
             f"ann@10=$annR%.4f ivf@10=$ivfR%.4f ivfpq@10=$ivfpqR%.4f (floor 0.9)")
+      } else if (name == "kparts") {
+        // storage-row decomposition: clone vs verb vs read-back — where
+        // does a k-row's ~0.7 s actually go? Job counter: how many Spark
+        // jobs does each phase launch (launch overhead ~30-80 ms each)?
+        import org.apache.spark.sql.functions._
+        val jobs = new java.util.concurrent.atomic.AtomicInteger()
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onJobStart(
+                js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+              jobs.incrementAndGet()
+          })
+        def tj(label: String)(f: => Long): Unit = {
+          val j0 = jobs.get()
+          t(label)(f)
+          println(s"  JOBS $label ${jobs.get() - j0}")
+        }
+        val base = graft.io.Tables.orders(spark, sfDir)
+          .filter(col("o_orderdate") < lit("2000-01-01").cast("timestamp"))
+          .select(col("o_orderkey").as("order_id"),
+            col("o_orderstatus").as("status"), lit("base").as("src"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft-kparts")
+        val basePath = tmp.resolve(s"base$r").toString
+        tj(s"create_base rep$r") {
+          graft.io.LogTable.create(spark, basePath,
+            base.repartitionByRange(8, col("order_id")), "order_id"); 1L
+        }
+        val clonePath = tmp.resolve(s"clone$r").toString
+        tj(s"clone rep$r") {
+          graft.io.LogTable.cloneTable(basePath, clonePath); 1L
+        }
+        val incoming = graft.io.Tables.orders(spark, sfDir)
+          .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+          .select(col("o_orderkey").as("order_id"),
+            col("o_orderstatus").as("status"), lit("resynced").as("src"))
+        tj(s"upsert rep$r") {
+          graft.io.LogTable.upsert(spark, clonePath, incoming, "order_id"); 1L
+        }
+        tj(s"read_sort_noop rep$r") {
+          graft.io.LogTable.read(spark, clonePath).orderBy("order_id")
+            .write.format("noop").mode("overwrite").save(); 1L
+        }
+        tj(s"read_noop rep$r") {
+          graft.io.LogTable.read(spark, clonePath)
+            .write.format("noop").mode("overwrite").save(); 1L
+        }
+        tj(s"incoming_scan rep$r")(incoming.count())
+      } else if (name == "kjobs") {
+        // per-storage-row job counts: which row launches outlier job
+        // counts (each job is ~30-80 ms launch overhead at local[32])?
+        val jobs = new java.util.concurrent.atomic.AtomicInteger()
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onJobStart(
+                js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+              jobs.incrementAndGet()
+          })
+        for (qn <- Seq("k11_log_upsert", "k12_log_maintenance",
+            "k13_change_feed", "k14_merge", "k17_catalog_merge",
+            "k18_full_sync", "k19_restore", "k20_catalog_update",
+            "k22_rename_column", "k23_dv_merge", "k24_dv_conditional",
+            "k25_mor_update", "k26_dv_bulk")) {
+          val j0 = jobs.get()
+          t(s"$qn rep$r") {
+            SparkEntry.queries(qn)(spark, sfDir)
+              .write.format("noop").mode("overwrite").save(); 1L
+          }
+          println(s"  JOBS $qn rep$r ${jobs.get() - j0}")
+        }
       } else if (name == "soakgate") { if (r == 1) {
         // Round-close scale soak (r16 verdict item 6): every 100 TB claim
         // (regime dispatch bounds, DV budgets, LSH band fan-out, artifact

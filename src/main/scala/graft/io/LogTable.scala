@@ -1900,10 +1900,18 @@ object LogTable {
       // executions are codegen'd broadcast joins over the pruned touched
       // read — measured CHEAPER than a memory-store round trip that also
       // breaks the consumers' whole-stage pipelines (r16 pair C: persist
-      // read 1.48 s where the recompute reads 0.82)
+      // read 1.48 s where the recompute reads 0.82).
+      // RIGHT outer, not full: unmatched TARGET rows contribute nothing
+      // to this verb (they never die and never append — the delta leaves
+      // them untouched by definition), and full_outer would FORCE a
+      // shuffle plan (Spark has no broadcast full-outer hash join) where
+      // right_outer lets Catalyst/AQE broadcast the small source and
+      // stream the touched read — the usual small-delta merge shape
+      // (measured: k24 13 jobs → broadcast plan, both executions
+      // single-stage).
       val joined = tgt.withColumn("_tgt_hit", lit(1))
         .join(prefixed.withColumn("_src_hit", lit(1)),
-          col(keyCol) === col(s"_src_$keyCol"), "full_outer")
+          col(keyCol) === col(s"_src_$keyCol"), "right_outer")
       val matched = col("_tgt_hit").isNotNull && col("_src_hit").isNotNull
       // SQL WHEN semantics exactly as [[merge]]: NULL clause = not taken
       val del = coalesce(

@@ -207,7 +207,32 @@ object Profile {
             .write.format("noop").mode("overwrite").save(); 1L
         }
         tj(s"incoming_scan rep$r")(incoming.count())
-      } else if (name == "kjobs") {
+      } else if (name == "warmprobe") { if (r == 1) {
+        // Bench's warm protocol for one query (env SPARK_GRAFT_PROBE_QUERIES):
+        // prime with artifacts retained, then reps with clearCache+gc
+        // between — with per-rep job counts, to localize warm-facet cost.
+        val jobs = new java.util.concurrent.atomic.AtomicInteger()
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onJobStart(
+                js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+              jobs.incrementAndGet()
+          })
+        val qn = sys.env.getOrElse("SPARK_GRAFT_PROBE_QUERIES", "x45_bigram_nll")
+        graft.io.ArtifactCache.retainOnly(_.startsWith("import:"))
+        def run(label: String): Unit = {
+          val j0 = jobs.get()
+          val t0 = System.nanoTime()
+          SparkEntry.queries(qn)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          println(f"PROFILE warmprobe $label ${(System.nanoTime() - t0) / 1e9}%6.3f s jobs=${jobs.get() - j0}")
+          spark.catalog.clearCache()
+          System.gc()
+          Thread.sleep(150)
+        }
+        run("prime")
+        for (i <- 1 to reps) run(s"warm$i")
+      } } else if (name == "kjobs") {
         // per-storage-row job counts: which row launches outlier job
         // counts (each job is ~30-80 ms launch overhead at local[32])?
         val jobs = new java.util.concurrent.atomic.AtomicInteger()

@@ -321,6 +321,24 @@ object Similarity {
   def trainIvfKmeans(
       corpus: DataFrame, idCol: String, embCol: String,
       nLists: Int = 16, rounds: Int = 2): Seq[IvfCentroid] = {
+    // Regime-dispatched training (the repo-wide measured-size pattern):
+    // a driver-small corpus trains in local arrays off ONE collect job —
+    // the per-round Spark jobs (assign scan + tiny shuffle + collect)
+    // are pure launch overhead at fixture scale. The arithmetic is the
+    // SAME integer loop either way (IvfNearestLists.compute for the
+    // assignment, long sums, roundDiv means), long addition is
+    // order-free, and SimilaritySpec pins driver == distributed
+    // centroid-for-centroid. Above the bound the distributed rounds run
+    // exactly as before — one corpus scan + an nLists-row shuffle each.
+    collectTrainRows(prepared(corpus, idCol, embCol), "ivf-train") match {
+      case Some(rows) => kmeansDriver(rows, nLists, rounds)
+      case None => trainIvfKmeansDistributed(corpus, idCol, embCol, nLists, rounds)
+    }
+  }
+
+  private def trainIvfKmeansDistributed(
+      corpus: DataFrame, idCol: String, embCol: String,
+      nLists: Int, rounds: Int): Seq[IvfCentroid] = {
     val init = trainIvfCentroids(corpus, idCol, embCol, nLists)
     if (init.isEmpty) return init
     val dim = init.head.qv.size
@@ -340,6 +358,71 @@ object Similarity {
           // exact int64 self-dot, then the same sqrt-of-double as normQ
           val nrm = math.sqrt(qv.map(v => v * v).sum.toDouble)
           IvfCentroid(old.listId, qv, nrm)
+        }
+      }
+    }
+  }
+
+  /** One training row collected to the driver: (md5(id) hex, id, qv,
+    * nrm) — md5 computed by SPARK in the collected projection so the
+    * driver-side seed order is the engine's own, never a reimplementation. */
+  private final case class TrainRow(
+      h: String, id: Long, qv: Array[Long], nrm: Double)
+
+  /** The corpus's prepared rows iff it holds at most
+    * [[graft.io.Regime.collectMaxRows]] of them, else None (train
+    * distributed). Decision recorded under `key` for observability —
+    * the scale soak's forced-bound audit covers training dispatch too.
+    * The byte cap deliberately does NOT apply: the rows are transient
+    * training input (≤8192 × ~0.5 KB ≈ 4 MB, dropped after training),
+    * not a cached artifact. */
+  private def collectTrainRows(
+      prep: DataFrame, key: String): Option[IndexedSeq[TrainRow]] = {
+    val bound = graft.io.Regime.collectMaxRows
+    val probe = prep
+      .select(md5(col("id").cast("string")).as("h"),
+        col("id").cast("long").as("id"), col("qv"), col("nrm"))
+      .limit(bound + 1).collect()
+    val fits = probe.length <= bound
+    graft.io.Regime.lastDecision.put(key, if (fits) "collected" else "distributed")
+    if (!fits) None
+    else Some(probe.iterator.map(r => TrainRow(r.getString(0), r.getLong(1),
+      r.getSeq[Long](2).toArray, r.getDouble(3))).toIndexedSeq)
+  }
+
+  /** Driver-side Lloyd's over collected rows — the exact arithmetic of
+    * the distributed rounds: seed = nLists lowest (md5, id) rows,
+    * assignment through the SAME [[graft.functions.IvfNearestLists]]
+    * compute loop, per-list long sums (order-free), [[roundDiv]] means,
+    * empty list keeps its centroid. */
+  private def kmeansDriver(
+      rows: IndexedSeq[TrainRow], nLists: Int, rounds: Int): Seq[IvfCentroid] = {
+    val seed = rows.sortBy(r => (r.h, r.id)).take(nLists)
+    val init = seed.zipWithIndex
+      .map { case (r, i) => IvfCentroid(i, r.qv.toIndexedSeq, r.nrm) }
+    if (init.isEmpty) return init
+    val dim = init.head.qv.size
+    (1 to rounds).foldLeft(init: Seq[IvfCentroid]) { (cents, _) =>
+      val ids = cents.map(_.listId).toArray
+      val flat = cents.flatMap(_.qv).toArray
+      val nrms = cents.map(_.nrm).toArray
+      val sums = Array.ofDim[Long](nLists, dim)
+      val counts = new Array[Long](nLists)
+      rows.foreach { r =>
+        val lid = graft.functions.IvfNearestLists.compute(
+          org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+            .fromPrimitiveArray(r.qv),
+          r.nrm, ids, flat, nrms, dim, 1).getInt(0)
+        counts(lid) += 1
+        var i = 0
+        while (i < dim) { sums(lid)(i) += r.qv(i); i += 1 }
+      }
+      cents.map { old =>
+        if (counts(old.listId) == 0L) old
+        else {
+          val n = counts(old.listId)
+          val qv = (0 until dim).map(i => roundDiv(sums(old.listId)(i), n))
+          IvfCentroid(old.listId, qv, math.sqrt(qv.map(v => v * v).sum.toDouble))
         }
       }
     }
@@ -481,6 +564,65 @@ object Similarity {
   def trainPqCodebooks(
       corpus: DataFrame, idCol: String, embCol: String,
       m: Int = 8, ksub: Int = 16, rounds: Int = 2): PqCodebooks = {
+    // same regime dispatch as [[trainIvfKmeans]]: driver-small corpora
+    // train in local arrays off one collect (the PQ assignment loop is
+    // the SAME [[graft.functions.PqShared.encodeArr]] the expression
+    // row path runs); SimilaritySpec pins driver == distributed
+    // codebook-for-codebook
+    collectTrainRows(prepared(corpus, idCol, embCol), "pq-train") match {
+      case Some(rows) => pqDriver(rows, m, ksub, rounds)
+      case None =>
+        trainPqCodebooksDistributed(corpus, idCol, embCol, m, ksub, rounds)
+    }
+  }
+
+  /** Driver-side PQ training over collected rows — the distributed
+    * rounds' exact arithmetic (same seed order, same encode loop, same
+    * long sums and [[roundDiv]] means, empty cell keeps its codeword). */
+  private def pqDriver(
+      rows: IndexedSeq[TrainRow], m: Int, ksub: Int, rounds: Int): PqCodebooks = {
+    val seed = rows.sortBy(r => (r.h, r.id)).take(ksub).map(_.qv.toSeq)
+    require(seed.nonEmpty, "trainPqCodebooks: empty corpus")
+    val dim = seed.head.size
+    require(dim % m == 0,
+      s"trainPqCodebooks: dim $dim not divisible into $m sub-spaces")
+    val subDim = dim / m
+    val init: Array[Long] = Array.tabulate(m * ksub * subDim) { x =>
+      val d = x % subDim
+      val j = (x / subDim) % ksub
+      val i = x / (subDim * ksub)
+      seed(j % seed.size)(i * subDim + d)
+    }
+    (1 to rounds).foldLeft(PqCodebooks(init.toSeq, m, ksub, subDim)) { (cbs, _) =>
+      val cbArr = cbs.cb.toArray
+      val self = graft.functions.PqShared.selfDots(cbArr, m, ksub, subDim)
+      val sums = Array.ofDim[Long](m * ksub, subDim)
+      val counts = new Array[Long](m * ksub)
+      rows.foreach { r =>
+        val codes = graft.functions.PqShared.encodeArr(
+          r.qv, cbArr, self, m, ksub, subDim)
+        var i = 0
+        while (i < m) {
+          val cell = i * ksub + codes(i)
+          counts(cell) += 1
+          var d = 0
+          while (d < subDim) { sums(cell)(d) += r.qv(i * subDim + d); d += 1 }
+          i += 1
+        }
+      }
+      val next = cbs.cb.toArray
+      for (i <- 0 until m; j <- 0 until ksub; if counts(i * ksub + j) > 0L) {
+        val n = counts(i * ksub + j)
+        for (d <- 0 until subDim)
+          next((i * ksub + j) * subDim + d) = roundDiv(sums(i * ksub + j)(d), n)
+      }
+      cbs.copy(cb = next.toSeq)
+    }
+  }
+
+  private def trainPqCodebooksDistributed(
+      corpus: DataFrame, idCol: String, embCol: String,
+      m: Int, ksub: Int, rounds: Int): PqCodebooks = {
     val prep = prepared(corpus, idCol, embCol)
     val seed = prep.orderBy(md5(col("id").cast("string")), col("id"))
       .limit(ksub)

@@ -35,6 +35,39 @@ object PqShared {
     }
     out
   }
+
+  /** The PQ assignment loop over a plain long[] — shared by the
+    * [[PqEncode]] expression (row path) and the driver-side training
+    * regime ([[graft.ext.Similarity.trainPqCodebooks]]), so both paths
+    * are the SAME arithmetic by construction: per sub-space, the
+    * codeword minimizing ‖c‖² − 2·x·c, tie-break smaller code id. */
+  def encodeArr(qv: Array[Long], cb: Array[Long], self: Array[Long],
+      m: Int, ksub: Int, subDim: Int): Array[Int] = {
+    val codes = new Array[Int](m)
+    var i = 0
+    while (i < m) {
+      var best = 0
+      var bestScore = Long.MaxValue
+      var j = 0
+      while (j < ksub) {
+        val t = i * ksub + j
+        var dot = 0L
+        var d = 0
+        val base = t * subDim
+        val off = i * subDim
+        while (d < subDim) {
+          dot += qv(off + d) * cb(base + d)
+          d += 1
+        }
+        val score = self(t) - 2L * dot
+        if (score < bestScore) { bestScore = score; best = j }
+        j += 1
+      }
+      codes(i) = best
+      i += 1
+    }
+    codes
+  }
 }
 
 /** `qv → Array[Int]` of `m` PQ codes: per sub-space, the codeword
@@ -56,32 +89,9 @@ case class PqEncode(
   @transient private lazy val self: Array[Long] =
     PqShared.selfDots(cbArr, m, ksub, subDim)
 
-  def encode(qv: ArrayData): ArrayData = {
-    val codes = new Array[Int](m)
-    var i = 0
-    while (i < m) {
-      var best = 0
-      var bestScore = Long.MaxValue
-      var j = 0
-      while (j < ksub) {
-        val t = i * ksub + j
-        var dot = 0L
-        var d = 0
-        val base = t * subDim
-        val off = i * subDim
-        while (d < subDim) {
-          dot += qv.getLong(off + d) * cbArr(base + d)
-          d += 1
-        }
-        val score = self(t) - 2L * dot
-        if (score < bestScore) { bestScore = score; best = j }
-        j += 1
-      }
-      codes(i) = best
-      i += 1
-    }
-    new GenericArrayData(codes)
-  }
+  def encode(qv: ArrayData): ArrayData =
+    new GenericArrayData(
+      PqShared.encodeArr(qv.toLongArray(), cbArr, self, m, ksub, subDim))
 
   override protected def nullSafeEval(input: Any): Any =
     encode(input.asInstanceOf[ArrayData])

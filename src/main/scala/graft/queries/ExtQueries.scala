@@ -1259,12 +1259,77 @@ object ExtQueries {
             case Right(frame) => frame
           }
         }
+        // COLD single-pass build: when NEITHER table is cached, one
+        // tagged scan computes both gram streams (per doc: unigram
+        // counts tag 0, bigram counts tag 1), one groupBy probes both
+        // tables together, and BOTH artifacts land in the cache before
+        // the artifactFor calls below (which then hit). This halves the
+        // cold build — previously the unigram and bigram tables each
+        // paid their own tokenize scan + shuffle + collect. Values are
+        // identical by construction (same TermStats streams, same
+        // hashes, sums split by tag); over the bound the probe records
+        // 'distributed' and the classic per-table builds run unchanged
+        // (the 10x soak's regime). The persisted tagged frame then
+        // feeds the scoring join (tag 1 slice) from its blocks.
+        val uniKey = s"unigram-tf:documents:$d"
+        val uniCached = graft.io.ArtifactCache.keys.contains(uniKey)
+        def taggedRaw = graft.util.Partitioning
+          .fanOut(Tables.documents(s, d))
+          .select(col("doc_id"), explode(concat(
+            transform(
+              graft.functions.TermStats(split(col("text"), " "))
+                .getField("counts"),
+              c => struct(lit(0).as("tag"), c.getField("term").as("term"),
+                c.getField("tf").as("tf"))),
+            transform(
+              graft.functions.TermStats(bigramsOf(col("text")))
+                .getField("counts"),
+              c => struct(lit(1).as("tag"), c.getField("term").as("term"),
+                c.getField("tf").as("tf"))))).as("x"))
+          .select(col("doc_id"), col("x").getField("tag").as("tag"),
+            graft.ext.Dedup.shingleHash60(col("x").getField("term")).as("h"),
+            graft.ext.Dedup.shingleHash60(substring_index(
+              col("x").getField("term"), " ", 1)).as("hp"),
+            col("x").getField("tf").as("tf"))
+        lazy val taggedCp = taggedRaw.persist()
+        val combined =
+          if (bigramCached || uniCached) false
+          else {
+            val counts = taggedCp.groupBy("tag", "h").agg(sum("tf").as("ctf"))
+            graft.io.Regime.collectIfSmall(
+              s"gram-tf-combined:documents:$d", counts) match {
+              case Some(rows) =>
+                def tableOf(tag: Int): (Long,
+                    Either[IndexedSeq[(Long, Long)], org.apache.spark.sql.DataFrame]) = {
+                  val t = rows.filter(_.getInt(0) == tag)
+                    .map(r => (r.getLong(1), r.getLong(2)))
+                  (t.iterator.map(_._2).sum, Left(t))
+                }
+                graft.io.ArtifactCache.getOrBuild(uniKey)(tableOf(0))
+                graft.io.ArtifactCache.getOrBuild(bigramKey)(tableOf(1))
+                true
+              case None =>
+                taggedCp.unpersist()
+                false
+            }
+          }
         // the unigram table is x41/x43's artifact — same key, one build
-        val unigrams = artifactFor(s"unigram-tf:documents:$d",
+        val unigrams = artifactFor(uniKey,
           tfOf(graft.util.Partitioning.fanOut(Tables.documents(s, d)),
             t => split(t, " ")).select("doc_id", "h", "tf"))
         val bigrams = artifactFor(bigramKey, tfbCp)
-        (if (bigramCached) tfbRaw else tfbCp)
+        // warm serve reuses the COLD plan shape (tagged scan, tag-1
+        // slice, unpersisted): one set of generated classes serves both
+        // facets — a separate warm-only plan compiled fresh in the warm
+        // loop measured slower than this recompute despite scanning one
+        // gram stream fewer. The over-bound regime keeps the persisted
+        // per-doc bigram frame (one scan feeding build AND scoring — the
+        // scale-right shape).
+        (if (combined) taggedCp.filter(col("tag") === 1)
+            .select("doc_id", "h", "hp", "tf")
+         else if (bigramCached) taggedRaw.filter(col("tag") === 1)
+            .select("doc_id", "h", "hp", "tf")
+         else tfbCp)
           .join(bigrams.withColumnRenamed("ctf", "cb"), Seq("h"))
           .join(unigrams.select(col("h").as("hp"), col("ctf").as("cu")),
             Seq("hp"))

@@ -126,6 +126,27 @@ class SimilaritySpec extends AnyFunSuite {
       s"k-means recall $rKmeans regressed below sampled-init recall $rSampled")
   }
 
+  test("training regimes are bit-identical: driver-collected == distributed (k-means and PQ)") {
+    // the regime dispatch must be INVISIBLE in the trained artifacts:
+    // force the distributed path with a planted tiny bound and compare
+    // against the (default, collected-at-fixture-scale) driver path —
+    // centroid-for-centroid and codeword-for-codeword
+    val emb = Tables.embeddings(spark, sf)
+    val driverK = Similarity.trainIvfKmeans(emb, "vec_id", "embedding", nLists = 8, rounds = 2)
+    val driverP = Similarity.trainPqCodebooks(emb, "vec_id", "embedding", m = 8, ksub = 8, rounds = 2)
+    assert(graft.io.Regime.lastDecision.get("ivf-train") == "collected")
+    assert(graft.io.Regime.lastDecision.get("pq-train") == "collected")
+    sys.props("graft.regime.collectMaxRows") = "4"
+    try {
+      val distK = Similarity.trainIvfKmeans(emb, "vec_id", "embedding", nLists = 8, rounds = 2)
+      val distP = Similarity.trainPqCodebooks(emb, "vec_id", "embedding", m = 8, ksub = 8, rounds = 2)
+      assert(graft.io.Regime.lastDecision.get("ivf-train") == "distributed")
+      assert(graft.io.Regime.lastDecision.get("pq-train") == "distributed")
+      assert(distK == driverK, "k-means centroids differ across training regimes")
+      assert(distP == driverP, "PQ codebooks differ across training regimes")
+    } finally sys.props.remove("graft.regime.collectMaxRows")
+  }
+
   test("IVFPQ: deterministic codes, exact duplicates rank first, usable recall at 64x compression") {
     val emb = Tables.embeddings(spark, sf)
     // plant exact copies: identical vectors encode to IDENTICAL codes,

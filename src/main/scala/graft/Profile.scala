@@ -236,11 +236,20 @@ object Profile {
         // per-storage-row job counts: which row launches outlier job
         // counts (each job is ~30-80 ms launch overhead at local[32])?
         val jobs = new java.util.concurrent.atomic.AtomicInteger()
+        val inJobNs = new java.util.concurrent.atomic.AtomicLong()
+        val starts = new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
         spark.sparkContext.addSparkListener(
           new org.apache.spark.scheduler.SparkListener {
             override def onJobStart(
-                js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+                js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
               jobs.incrementAndGet()
+              starts.put(js.jobId, System.nanoTime())
+            }
+            override def onJobEnd(
+                je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+              val st = starts.remove(je.jobId)
+              if (st != null) inJobNs.addAndGet(System.nanoTime() - st)
+            }
           })
         for (qn <- Seq("k11_log_upsert", "k12_log_maintenance",
             "k13_change_feed", "k14_merge", "k17_catalog_merge",
@@ -248,11 +257,13 @@ object Profile {
             "k22_rename_column", "k23_dv_merge", "k24_dv_conditional",
             "k25_mor_update", "k26_dv_bulk")) {
           val j0 = jobs.get()
+          val n0 = inJobNs.get()
           t(s"$qn rep$r") {
             SparkEntry.queries(qn)(spark, sfDir)
               .write.format("noop").mode("overwrite").save(); 1L
           }
-          println(s"  JOBS $qn rep$r ${jobs.get() - j0}")
+          println(s"  JOBS $qn rep$r ${jobs.get() - j0} " +
+            f"injob=${(inJobNs.get() - n0) / 1e9}%.3f")
         }
       } else if (name == "soakgate") { if (r == 1) {
         // Round-close scale soak (r16 verdict item 6): every 100 TB claim

@@ -1894,7 +1894,11 @@ object LogTable {
           (df, Some((fc, pc)))
         } else
           (readFiles2(spark, table, touched, snapSchema, dvsLive), None)
-      val prefixed = srcCols.foldLeft(src)((d, c) => d.withColumnRenamed(c, s"_src_$c"))
+      // ONE simultaneous projection, not chained withColumnRenamed: the
+      // fold re-analyzed a growing plan once per source column — pure
+      // per-execution planning cost (and the changes() cyclic-rename
+      // lesson says folds over renames are the fragile spelling anyway)
+      val prefixed = src.select(srcCols.map(c => col(c).as(s"_src_$c")): _*)
       // NOT persisted across its two consumers (the dead-row collect and
       // the append write), deliberately: the join re-executes, but both
       // executions are codegen'd broadcast joins over the pruned touched
@@ -2238,7 +2242,11 @@ object LogTable {
             .getOrElse(src.limit(0))
         else readFiles2(spark, table, touched, snapSchema,
           liveDvState(table, Some(snapVersion)))
-      val prefixed = srcCols.foldLeft(src)((d, c) => d.withColumnRenamed(c, s"_src_$c"))
+      // ONE simultaneous projection, not chained withColumnRenamed: the
+      // fold re-analyzed a growing plan once per source column — pure
+      // per-execution planning cost (and the changes() cyclic-rename
+      // lesson says folds over renames are the fragile spelling anyway)
+      val prefixed = src.select(srcCols.map(c => col(c).as(s"_src_$c")): _*)
       val joined = tgt.withColumn("_tgt_hit", lit(1))
         .join(prefixed.withColumn("_src_hit", lit(1)),
           col(keyCol) === col(s"_src_$keyCol"), "full_outer")

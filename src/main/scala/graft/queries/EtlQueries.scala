@@ -159,6 +159,36 @@ object EtlQueries {
   private val k27Setup = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val k28Setup = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // ---- order-free cross-engine state checksum (storage-verb rows) ----
+  // A storage row proves two things: the VERB ran (upsert/merge/update/
+  // rename/delete landed) and the table's FINAL STATE is exact. The
+  // first-cut rows proved state by serving the full sorted table — which
+  // re-timed the same full-scan+total-sort read shape in ten rows per
+  // suite run, on top of the read-oriented rows (k15/k16/k21) that time
+  // serving deliberately. The checksum below is the same row-level-exact
+  // proof at one output row: an order-free MULTISET hash of every row
+  // (the md5-prefix twin both engines share, mod a 30-bit prime so the
+  // SUM stays inside int64 on both sides — Spark wraps, DuckDB widens,
+  // and neither may overflow). Any row-level drift — a wrong value, a
+  // lost/duplicated row, a swap — moves the sum. Checksummed columns are
+  // non-null longs/strings, so concat_ws renders identically on both
+  // engines (no float/timestamp rendering in the hash input). Three
+  // storage rows keep full sorted serves as the representative row-image
+  // surface: k13 (the change feed IS the result), k19 (restore equality),
+  // k26 (bulk-DV survivors).
+  private val ChecksumMod = 1000000007L
+  private def stateChecksum(
+      df: org.apache.spark.sql.DataFrame, cols: Seq[String]) =
+    df.agg(
+      count(lit(1)).as("n_rows"),
+      sum(graft.ext.Dedup.shingleHash60(
+        concat_ws("|", cols.map(col): _*)) % ChecksumMod).as("row_checksum"))
+  private def checksumSql(inner: String, cols: String): String =
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       |       CAST(SUM(CAST('0x' || substr(md5(concat_ws('|', $cols)), 1, 15) AS BIGINT)
+       |                % $ChecksumMod) AS BIGINT) AS row_checksum
+       |FROM ($inner)""".stripMargin
+
   // A1 on fixtures: per-order refund totals.
   private def refundOrderTotals(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.lineitem(s, d)
@@ -391,18 +421,20 @@ object EtlQueries {
       (s, d) => {
         val t = kBaseCloneFor(s, d, "k11")
         graft.io.LogTable.upsert(s, t, kIncoming(s, d), "order_id")
-        graft.io.LogTable.read(s, t).orderBy("order_id")
+        stateChecksum(graft.io.LogTable.read(s, t),
+          Seq("order_id", "status", "src"))
       },
-      Some("""WITH e AS (
-             |  SELECT o_orderkey AS order_id, o_orderstatus AS status, 'base' AS src
-             |  FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
-             |), i AS (
-             |  SELECT o_orderkey AS order_id, o_orderstatus AS status, 'resynced' AS src
-             |  FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
-             |)
-             |SELECT * FROM e WHERE order_id NOT IN (SELECT order_id FROM i)
-             |UNION ALL SELECT * FROM i
-             |ORDER BY order_id""".stripMargin),
+      Some(checksumSql(
+        """WITH e AS (
+          |  SELECT o_orderkey AS order_id, o_orderstatus AS status, 'base' AS src
+          |  FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
+          |), i AS (
+          |  SELECT o_orderkey AS order_id, o_orderstatus AS status, 'resynced' AS src
+          |  FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+          |)
+          |SELECT * FROM e WHERE order_id NOT IN (SELECT order_id FROM i)
+          |UNION ALL SELECT * FROM i""".stripMargin,
+        "order_id, status, src")),
     ),
 
     // K12 — log-table maintenance cycle: the K11 upsert followed by a
@@ -420,20 +452,22 @@ object EtlQueries {
         val (t, _) = kUpsertedCloneFor(s, d, "k12")
         graft.io.LogTable.deleteRange(s, t, "order_id", 300L, 4000L)
         graft.io.LogTable.compact(s, t, "order_id", targetRows = 1000000L)
-        graft.io.LogTable.read(s, t).orderBy("order_id")
+        stateChecksum(graft.io.LogTable.read(s, t),
+          Seq("order_id", "status", "src"))
       },
-      Some("""WITH e AS (
-             |  SELECT o_orderkey AS order_id, o_orderstatus AS status, 'base' AS src
-             |  FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
-             |), i AS (
-             |  SELECT o_orderkey AS order_id, o_orderstatus AS status, 'resynced' AS src
-             |  FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
-             |)
-             |SELECT * FROM (
-             |  SELECT * FROM e WHERE order_id NOT IN (SELECT order_id FROM i)
-             |  UNION ALL SELECT * FROM i)
-             |WHERE order_id NOT BETWEEN 300 AND 4000
-             |ORDER BY order_id""".stripMargin),
+      Some(checksumSql(
+        """WITH e AS (
+          |  SELECT o_orderkey AS order_id, o_orderstatus AS status, 'base' AS src
+          |  FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
+          |), i AS (
+          |  SELECT o_orderkey AS order_id, o_orderstatus AS status, 'resynced' AS src
+          |  FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+          |)
+          |SELECT * FROM (
+          |  SELECT * FROM e WHERE order_id NOT IN (SELECT order_id FROM i)
+          |  UNION ALL SELECT * FROM i)
+          |WHERE order_id NOT BETWEEN 300 AND 4000""".stripMargin,
+        "order_id, status, src")),
     ),
 
     // K13 — change feed: the row-level delta a downstream incremental
@@ -486,22 +520,24 @@ object EtlQueries {
           updateWhen = Some("true"),
           deleteWhen = Some("_src_status = 'F'"),
           insertUnmatched = true)
-        graft.io.LogTable.read(s, t).orderBy("order_id")
+        stateChecksum(graft.io.LogTable.read(s, t),
+          Seq("order_id", "status", "src"))
       },
-      Some("""WITH e AS (
-             |  SELECT o_orderkey AS order_id, o_orderstatus AS status, 'base' AS src
-             |  FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
-             |), i AS (
-             |  SELECT o_orderkey AS order_id, o_orderstatus AS status, 'resynced' AS src
-             |  FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
-             |)
-             |SELECT * FROM (
-             |  SELECT e.* FROM e WHERE order_id NOT IN (SELECT order_id FROM i)
-             |  UNION ALL
-             |  SELECT i.* FROM i JOIN e USING (order_id) WHERE i.status <> 'F'
-             |  UNION ALL
-             |  SELECT i.* FROM i WHERE order_id NOT IN (SELECT order_id FROM e))
-             |ORDER BY order_id""".stripMargin),
+      Some(checksumSql(
+        """WITH e AS (
+          |  SELECT o_orderkey AS order_id, o_orderstatus AS status, 'base' AS src
+          |  FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
+          |), i AS (
+          |  SELECT o_orderkey AS order_id, o_orderstatus AS status, 'resynced' AS src
+          |  FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+          |)
+          |SELECT * FROM (
+          |  SELECT e.* FROM e WHERE order_id NOT IN (SELECT order_id FROM i)
+          |  UNION ALL
+          |  SELECT i.* FROM i JOIN e USING (order_id) WHERE i.status <> 'F'
+          |  UNION ALL
+          |  SELECT i.* FROM i WHERE order_id NOT IN (SELECT order_id FROM e))""".stripMargin,
+        "order_id, status, src")),
     ),
 
     // K15 — the reference's hottest predicate (the orders-since
@@ -628,18 +664,20 @@ object EtlQueries {
                  |WHEN MATCHED THEN UPDATE SET status = src.status, src = src.src
                  |WHEN NOT MATCHED THEN INSERT (order_id, status, src)
                  |  VALUES (src.order_id, src.status, src.src)""".stripMargin)
-        s.sql(s"SELECT * FROM $cat.etl.orders").orderBy("order_id")
+        stateChecksum(s.sql(s"SELECT * FROM $cat.etl.orders"),
+          Seq("order_id", "status", "src"))
       },
-      Some("""WITH e AS (
-             |  SELECT o_orderkey AS order_id, o_orderstatus AS status, 'base' AS src
-             |  FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
-             |), i AS (
-             |  SELECT o_orderkey AS order_id, o_orderstatus AS status, 'resynced' AS src
-             |  FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
-             |)
-             |SELECT * FROM e WHERE order_id NOT IN (SELECT order_id FROM i)
-             |UNION ALL SELECT * FROM i
-             |ORDER BY order_id""".stripMargin),
+      Some(checksumSql(
+        """WITH e AS (
+          |  SELECT o_orderkey AS order_id, o_orderstatus AS status, 'base' AS src
+          |  FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
+          |), i AS (
+          |  SELECT o_orderkey AS order_id, o_orderstatus AS status, 'resynced' AS src
+          |  FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+          |)
+          |SELECT * FROM e WHERE order_id NOT IN (SELECT order_id FROM i)
+          |UNION ALL SELECT * FROM i""".stripMargin,
+        "order_id, status, src")),
     ),
 
     // K18 — FULL SYNC of a key window (the reference's replace-all-items
@@ -687,20 +725,22 @@ object EtlQueries {
                  |  VALUES (src.order_id, src.status, src.order_date)
                  |WHEN NOT MATCHED BY SOURCE AND
                  |  tgt.order_date >= TIMESTAMP '1997-01-01' THEN DELETE""".stripMargin)
-        s.sql(s"SELECT order_id, status FROM $cat.etl.sync_orders")
-          .orderBy("order_id")
+        stateChecksum(
+          s.sql(s"SELECT order_id, status FROM $cat.etl.sync_orders"),
+          Seq("order_id", "status"))
       },
-      Some("""WITH i AS (
-             |  SELECT o_orderkey AS order_id, 'RESYNC' AS status
-             |  FROM orders
-             |  WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderstatus = 'O'
-             |)
-             |SELECT o_orderkey AS order_id, o_orderstatus AS status
-             |FROM orders
-             |WHERE o_orderdate < TIMESTAMP '1997-01-01'
-             |  AND o_orderkey NOT IN (SELECT order_id FROM i)
-             |UNION ALL SELECT * FROM i
-             |ORDER BY order_id""".stripMargin),
+      Some(checksumSql(
+        """WITH i AS (
+          |  SELECT o_orderkey AS order_id, 'RESYNC' AS status
+          |  FROM orders
+          |  WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderstatus = 'O'
+          |)
+          |SELECT o_orderkey AS order_id, o_orderstatus AS status
+          |FROM orders
+          |WHERE o_orderdate < TIMESTAMP '1997-01-01'
+          |  AND o_orderkey NOT IN (SELECT order_id FROM i)
+          |UNION ALL SELECT * FROM i""".stripMargin,
+        "order_id, status")),
     ),
 
     // K19 — RESTORE under the oracle: a destructive mistake (overwrite
@@ -772,14 +812,17 @@ object EtlQueries {
           .createOrReplaceTempView("k20_returned")
         s.sql(s"""UPDATE $cat.etl.upd_orders SET status = 'RETURNED'
                  |WHERE order_id IN (SELECT order_id FROM k20_returned)""".stripMargin)
-        s.sql(s"SELECT order_id, status FROM $cat.etl.upd_orders")
-          .orderBy("order_id")
+        stateChecksum(
+          s.sql(s"SELECT order_id, status FROM $cat.etl.upd_orders"),
+          Seq("order_id", "status"))
       },
-      Some("""SELECT o_orderkey AS order_id,
-             |       CASE WHEN o_orderkey IN (
-             |         SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
-             |       THEN 'RETURNED' ELSE o_orderstatus END AS status
-             |FROM orders ORDER BY order_id""".stripMargin),
+      Some(checksumSql(
+        """SELECT o_orderkey AS order_id,
+          |       CASE WHEN o_orderkey IN (
+          |         SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+          |       THEN 'RETURNED' ELSE o_orderstatus END AS status
+          |FROM orders""".stripMargin,
+        "order_id, status")),
     ),
 
     // K21 — metadata-only statistics aggregation: COUNT/MIN/MAX over the
@@ -849,21 +892,23 @@ object EtlQueries {
         val old = graft.io.LogTable.readVersion(s, t, v1)
           .select(lit("v1").as("snap"), col("order_id"),
             col("status").as("state"), col("src"))
-        old.unionByName(head).orderBy("snap", "order_id")
+        stateChecksum(old.unionByName(head),
+          Seq("snap", "order_id", "state", "src"))
       },
-      Some("""WITH e AS (
-             |  SELECT o_orderkey AS order_id, o_orderstatus AS state, 'base' AS src
-             |  FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
-             |), i AS (
-             |  SELECT o_orderkey AS order_id, o_orderstatus AS state, 'resynced' AS src
-             |  FROM orders WHERE o_orderkey % 97 = 0
-             |)
-             |SELECT 'head' AS snap, * FROM (
-             |  SELECT * FROM e WHERE order_id NOT IN (SELECT order_id FROM i)
-             |  UNION ALL SELECT * FROM i)
-             |UNION ALL
-             |SELECT 'v1' AS snap, * FROM e
-             |ORDER BY snap, order_id""".stripMargin),
+      Some(checksumSql(
+        """WITH e AS (
+          |  SELECT o_orderkey AS order_id, o_orderstatus AS state, 'base' AS src
+          |  FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
+          |), i AS (
+          |  SELECT o_orderkey AS order_id, o_orderstatus AS state, 'resynced' AS src
+          |  FROM orders WHERE o_orderkey % 97 = 0
+          |)
+          |SELECT 'head' AS snap, * FROM (
+          |  SELECT * FROM e WHERE order_id NOT IN (SELECT order_id FROM i)
+          |  UNION ALL SELECT * FROM i)
+          |UNION ALL
+          |SELECT 'v1' AS snap, * FROM e""".stripMargin,
+        "snap, order_id, state, src")),
     ),
 
     // K23 — MERGE-ON-READ upsert through DELETION VECTORS: the ~1%
@@ -886,18 +931,20 @@ object EtlQueries {
             col("o_orderstatus").as("status"),
             lit("resynced").as("src"))
         graft.io.LogTable.upsertDV(s, t, incoming, "order_id")
-        graft.io.LogTable.read(s, t).orderBy("order_id")
+        stateChecksum(graft.io.LogTable.read(s, t),
+          Seq("order_id", "status", "src"))
       },
-      Some("""WITH e AS (
-             |  SELECT o_orderkey AS order_id, o_orderstatus AS status, 'base' AS src
-             |  FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
-             |), i AS (
-             |  SELECT o_orderkey AS order_id, o_orderstatus AS status, 'resynced' AS src
-             |  FROM orders WHERE o_orderkey % 97 = 0
-             |)
-             |SELECT * FROM e WHERE order_id NOT IN (SELECT order_id FROM i)
-             |UNION ALL SELECT * FROM i
-             |ORDER BY order_id""".stripMargin),
+      Some(checksumSql(
+        """WITH e AS (
+          |  SELECT o_orderkey AS order_id, o_orderstatus AS status, 'base' AS src
+          |  FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
+          |), i AS (
+          |  SELECT o_orderkey AS order_id, o_orderstatus AS status, 'resynced' AS src
+          |  FROM orders WHERE o_orderkey % 97 = 0
+          |)
+          |SELECT * FROM e WHERE order_id NOT IN (SELECT order_id FROM i)
+          |UNION ALL SELECT * FROM i""".stripMargin,
+        "order_id, status, src")),
     ),
 
     // K24 — CONDITIONAL merge-on-read (the deletion-vector twin of k14's
@@ -923,22 +970,24 @@ object EtlQueries {
           updateWhen = Some("true"),
           deleteWhen = Some("_src_status = 'F'"),
           insertUnmatched = true)
-        graft.io.LogTable.read(s, t).orderBy("order_id")
+        stateChecksum(graft.io.LogTable.read(s, t),
+          Seq("order_id", "status", "src"))
       },
-      Some("""WITH e AS (
-             |  SELECT o_orderkey AS order_id, o_orderstatus AS status, 'base' AS src
-             |  FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
-             |), i AS (
-             |  SELECT o_orderkey AS order_id, o_orderstatus AS status, 'resynced' AS src
-             |  FROM orders WHERE o_orderkey % 97 = 0
-             |)
-             |SELECT * FROM (
-             |  SELECT e.* FROM e WHERE order_id NOT IN (SELECT order_id FROM i)
-             |  UNION ALL
-             |  SELECT i.* FROM i JOIN e USING (order_id) WHERE i.status <> 'F'
-             |  UNION ALL
-             |  SELECT i.* FROM i WHERE order_id NOT IN (SELECT order_id FROM e))
-             |ORDER BY order_id""".stripMargin),
+      Some(checksumSql(
+        """WITH e AS (
+          |  SELECT o_orderkey AS order_id, o_orderstatus AS status, 'base' AS src
+          |  FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
+          |), i AS (
+          |  SELECT o_orderkey AS order_id, o_orderstatus AS status, 'resynced' AS src
+          |  FROM orders WHERE o_orderkey % 97 = 0
+          |)
+          |SELECT * FROM (
+          |  SELECT e.* FROM e WHERE order_id NOT IN (SELECT order_id FROM i)
+          |  UNION ALL
+          |  SELECT i.* FROM i JOIN e USING (order_id) WHERE i.status <> 'F'
+          |  UNION ALL
+          |  SELECT i.* FROM i WHERE order_id NOT IN (SELECT order_id FROM e))""".stripMargin,
+        "order_id, status, src")),
     ),
 
     // K25 — SQL UPDATE under MERGE-ON-READ (`spark.graft.rowLevel.mode
@@ -980,13 +1029,16 @@ object EtlQueries {
                    |WHERE order_id IN (SELECT order_id FROM k25_sample)"""
             .stripMargin)
         finally s.conf.unset("spark.graft.rowLevel.mode")
-        s.sql(s"SELECT order_id, status FROM $cat.etl.mor_orders")
-          .orderBy("order_id")
+        stateChecksum(
+          s.sql(s"SELECT order_id, status FROM $cat.etl.mor_orders"),
+          Seq("order_id", "status"))
       },
-      Some("""SELECT o_orderkey AS order_id,
-             |       CASE WHEN o_orderkey % 97 = 0
-             |       THEN 'RESYNCED' ELSE o_orderstatus END AS status
-             |FROM orders ORDER BY order_id""".stripMargin),
+      Some(checksumSql(
+        """SELECT o_orderkey AS order_id,
+          |       CASE WHEN o_orderkey % 97 = 0
+          |       THEN 'RESYNCED' ELSE o_orderstatus END AS status
+          |FROM orders""".stripMargin,
+        "order_id, status")),
     ),
 
     // K26 — BULK merge-on-read DELETE via POSITIONAL bitmap vectors (the

@@ -182,6 +182,13 @@ object Profile {
           .select(col("o_orderkey").as("order_id"),
             col("o_orderstatus").as("status"), lit("base").as("src"))
         val tmp = java.nio.file.Files.createTempDirectory("graft-kparts")
+        sys.addShutdownHook {
+          import scala.jdk.CollectionConverters._
+          val walk = java.nio.file.Files.walk(tmp)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+          finally walk.close()
+        }
         val basePath = tmp.resolve(s"base$r").toString
         tj(s"create_base rep$r") {
           graft.io.LogTable.create(spark, basePath,
@@ -290,7 +297,11 @@ object Profile {
         val soakReps = sys.env.getOrElse("SPARK_GRAFT_SOAK_REPS", "10").toInt
         val tag = java.lang.Long.toHexString(sfDir.hashCode.toLong & 0xffffffffL)
         val gateDir = s"/tmp/graft_soak/sfgate_${soakReps}x_$tag"
-        if (!new java.io.File(s"$gateDir/documents.parquet").exists()) {
+        // gate on _SUCCESS, not the directory: a killed previous build
+        // leaves partial part files that would silently shrink the
+        // corpus this gate claims to audit
+        if (!new java.io.File(s"$gateDir/documents.parquet/_SUCCESS").exists() ||
+            !new java.io.File(s"$gateDir/embeddings.parquet/_SUCCESS").exists()) {
           Files.createDirectories(Paths.get(gateDir))
           val reps = spark.range(0, soakReps).select(col("id").as("rep"))
           // per-TOKEN replica suffix: vocabulary scales ×reps and
@@ -302,8 +313,11 @@ object Profile {
             .select((col("doc_id") + col("rep") * 1000000L).as("doc_id"),
               array_join(transform(split(col("text"), " "),
                 t => concat(t, lit("_"), col("rep"))), " ").as("text"),
-              col("lang"), col("source"),
-              length(col("text")).cast("long").as("n_chars"))
+              col("lang"), col("source"))
+            // n_chars measures the SUFFIXED text — the replica corpus
+            // must be internally consistent or chars-per-token-style
+            // quality logic sees a distribution the fixture never has
+            .withColumn("n_chars", length(col("text")).cast("long"))
             .repartition(32)
             .write.mode("overwrite").parquet(s"$gateDir/documents.parquet")
           // element ROTATION by replica: rotated random vectors are

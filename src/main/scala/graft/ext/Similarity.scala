@@ -375,9 +375,30 @@ object Similarity {
     * the scale soak's forced-bound audit covers training dispatch too.
     * The byte cap deliberately does NOT apply: the rows are transient
     * training input (≤8192 × ~0.5 KB ≈ 4 MB, dropped after training),
-    * not a cached artifact. */
+    * not a cached artifact.
+    *
+    * Non-integral id columns dispatch distributed unconditionally: the
+    * driver tiebreak sorts (md5 hex, id AS LONG), and a long cast of a
+    * string id would be NULL (a crash, or a wrong seed order) — the
+    * distributed path orders by the id's own type and served such
+    * corpora before this regime existed. md5-hex ties between DISTINCT
+    * ids do not occur in practice; DUPLICATE ids tie exactly and
+    * resolve in collect order here vs TakeOrdered's arbitrary order
+    * there — but a corpus with duplicate ids already violates the
+    * trainers' determinism contract (md5(id)-order sampling presumes id
+    * is the corpus key), so neither regime is deterministic for it. */
   private def collectTrainRows(
       prep: DataFrame, key: String): Option[IndexedSeq[TrainRow]] = {
+    val integralId = prep.schema("id").dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType => true
+      case _ => false
+    }
+    if (!integralId) {
+      graft.io.Regime.lastDecision.put(key, "distributed")
+      return None
+    }
     val bound = graft.io.Regime.collectMaxRows
     val probe = prep
       .select(md5(col("id").cast("string")).as("h"),

@@ -44,12 +44,26 @@ case class PositionDead(
   override def dataType: DataType = BooleanType
   override def prettyName: String = "graft_position_dead"
 
+  // L1: per-instance, keyed by the file name the row already carries —
+  // the PER-ROW lookup must not rebuild the (table, sidecar-set) string
+  // key (a sort + concat per scanned row). @transient: rebuilt per task
+  // deserialization, but it only caches POINTERS into the JVM-global L2,
+  // so the sidecar IO still happens once per (executor, sidecar set).
+  @transient private lazy val l1 =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, org.roaringbitmap.longlong.Roaring64Bitmap]()
+
   /** Executor-side probe; called from generated code. */
   def isDead(file: UTF8String, pos: Long): Boolean = {
     val f = file.toString
     val names = entries.getOrElse(f, null)
     if (names == null) return false
-    PositionDead.mergedBitmap(table, names).contains(pos)
+    var bm = l1.get(f)
+    if (bm == null) {
+      bm = PositionDead.mergedBitmap(table, names)
+      l1.put(f, bm)
+    }
+    bm.contains(pos)
   }
 
   override protected def nullSafeEval(file: Any, pos: Any): Any =
@@ -66,25 +80,41 @@ case class PositionDead(
 }
 
 object PositionDead {
-  /** JVM-global merged-bitmap cache. It must live HERE, not on the
+  /** JVM-global merged-bitmap cache (L2). It must live HERE, not on the
     * expression instance: each task deserializes its own copy of the
     * plan's reference objects, so per-instance state would re-read and
     * re-deserialize the sidecars once per task — on a wide scan that is
     * O(tasks) sidecar IO instead of the intended once per (executor,
-    * file). Keyed by (table, sidecar-name set): sidecars are immutable
-    * once referenced (a later delete mints NEW names → a new key), so
-    * entries never need invalidation. The coarse clear-on-cap keeps a
-    * long-lived executor bounded; a cleared entry merely re-loads. */
-  private val CacheCap = 4096
+    * sidecar set). Keyed by (table, sidecar-name set): sidecars are
+    * immutable once referenced (a later delete mints NEW names → a new
+    * key), so entries never need invalidation. Bounded by BYTES, not
+    * entry count — merged bitmaps of bulk deletes run to megabytes
+    * each, and a long-lived executor serving many DV tables must not
+    * retain unbounded heap for a cache whose misses merely re-read a
+    * sidecar file. The coarse clear-on-cap is correct for the same
+    * immutability reason; live references held by in-flight tasks' L1
+    * maps stay valid (the clear drops the MAP entries, not the
+    * bitmaps). */
+  private def cacheMaxBytes: Long =
+    sys.props.get("graft.dv.cacheMaxBytes").map(_.toLong)
+      .getOrElse(256L * 1024 * 1024)
+  private val cachedBytes = new java.util.concurrent.atomic.AtomicLong()
   private val cache = new java.util.concurrent.ConcurrentHashMap[
     String, org.roaringbitmap.longlong.Roaring64Bitmap]()
 
   private[functions] def mergedBitmap(
       table: String,
       names: Seq[String]): org.roaringbitmap.longlong.Roaring64Bitmap = {
-    if (cache.size() > CacheCap) cache.clear()
+    if (cachedBytes.get() > cacheMaxBytes) {
+      cache.clear()
+      cachedBytes.set(0L)
+    }
     cache.computeIfAbsent(
       table + "\u0000" + names.sorted.mkString("\u0000"),
-      _ => graft.io.LogTable.loadPosDv(table, names))
+      _ => {
+        val bm = graft.io.LogTable.loadPosDv(table, names)
+        cachedBytes.addAndGet(bm.getLongSizeInBytes)
+        bm
+      })
   }
 }

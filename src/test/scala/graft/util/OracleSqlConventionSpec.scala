@@ -65,25 +65,35 @@ class OracleSqlConventionSpec extends AnyFunSuite {
     last
   }
 
-  /** Paren depth of position `at` within the whole statement — 0 means
-    * the final top-level projection; CTE bodies and subqueries sit at
-    * depth ≥ 1, where a bare integer SUM is fine if cast downstream. */
-  private def depthAt(sql: String, at: Int): Int = {
+  /** Start of the FINAL top-level projection: the last `SELECT` at paren
+    * depth 0. Integer SUMs before it live in CTEs/subqueries (fine when
+    * re-cast downstream — the driver hashes only final columns); a SUM
+    * anywhere at or after it feeds the final projection regardless of
+    * how it is parenthesized (COALESCE(SUM(..)), (SUM(..)) — the
+    * round-16 class escapes a naive depth filter through exactly those),
+    * so there it must carry the direct CAST wrapper. */
+  private def finalSelectAt(sql: String): Int = {
+    val upper = sql.toUpperCase(java.util.Locale.ROOT)
     var depth = 0
+    var last = 0
     var i = 0
-    while (i < at) {
-      sql.charAt(i) match {
+    while (i < upper.length) {
+      upper.charAt(i) match {
         case '(' => depth += 1
         case ')' => depth -= 1
+        case 'S' if depth == 0 && upper.startsWith("SELECT", i) &&
+            (i == 0 || !upper.charAt(i - 1).isLetterOrDigit) =>
+          last = i
         case _ =>
       }
       i += 1
     }
-    depth
+    last
   }
 
   private def violations(name: String, sql: String): Seq[String] = {
     val upper = sql.toUpperCase(java.util.Locale.ROOT)
+    val finalAt = finalSelectAt(sql)
     val out = Seq.newBuilder[String]
     var from = 0
     while ({ val at = upper.indexOf("SUM", from); at >= 0 && {
@@ -93,7 +103,7 @@ class OracleSqlConventionSpec extends AnyFunSuite {
         (upper.charAt(at - 1).isLetterOrDigit || upper.charAt(at - 1) == '_')
       val open = upper.indexWhere(!_.isWhitespace, at + 3)
       if (!isWord && open >= 0 && upper.charAt(open) == '(' &&
-          depthAt(sql, at) == 0) {
+          at >= finalAt) {
         argOf(sql, open).foreach { arg =>
           if (outermostCastType(arg).exists(intTypes)) {
             // integer-cast argument: require the CAST(SUM(..) wrapper
@@ -128,5 +138,12 @@ class OracleSqlConventionSpec extends AnyFunSuite {
     val cte = "WITH a AS (SELECT SUM(CAST(x AS BIGINT)) AS s FROM t) " +
       "SELECT CAST(s AS DOUBLE) AS d FROM a"
     assert(violations("demo", cte).isEmpty)
+    // parenthesized escapes of the final projection are still caught:
+    // COALESCE(SUM(..)) and (SUM(..)) widen to HUGEINT exactly like the
+    // bare spelling — a naive depth filter exempted them
+    val coal = "SELECT COALESCE(SUM(CAST(round(p*100) AS BIGINT)), 0) AS c FROM t"
+    assert(violations("demo", coal).nonEmpty)
+    val paren = "SELECT (SUM(CAST(x AS BIGINT))) AS c FROM t"
+    assert(violations("demo", paren).nonEmpty)
   }
 }

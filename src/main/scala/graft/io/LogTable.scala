@@ -58,6 +58,19 @@ final class TableAlreadyExistsException(table: String)
   */
 object LogTable {
 
+  /** Zero-copy hard link with the portable fallbacks every clone path
+    * shares: an existing target is a racing clone's identical content
+    * (sources are immutable), a filesystem without link support copies.
+    * ONE definition — the four former inline copies drifted apart by
+    * construction. */
+  private def linkOrCopy(from: Path, to: Path): Unit =
+    try Files.createLink(to, from)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException => ()
+      case _: UnsupportedOperationException =>
+        Files.copy(from, to, StandardCopyOption.REPLACE_EXISTING)
+    }
+
   /** One immutable data file. `minKey`/`maxKey` are the primary-key
     * stats every write path prunes on; `cols` generalizes them to
     * per-column [min, max] for every LONG-ENCODABLE column in the file
@@ -438,49 +451,49 @@ object LogTable {
     * manifests' dvs maps, restricted to files still live — removing a
     * file (rewrite, range delete, compaction, restore) drops its vector
     * in the same fold step, so a rewrite IS the purge. */
-  private[graft] def liveDvs(
-      table: String, asOf: Option[Long]): Map[String, Seq[Long]] = {
-    val ms = manifests(table).filter(m => asOf.forall(m.version <= _))
-    val acc = scala.collection.mutable.LinkedHashMap
+  /** The [[liveDvs]]/[[livePosDvs]] fold over PRE-PARSED manifests: both
+    * vector families walk the identical live-file bookkeeping, so one
+    * pass computes both — the callers below differ only in whether they
+    * re-list the log (the single-listing [[liveDvState]] is the hot
+    * path; every extra variant was a full JSON-regex parse of every
+    * manifest per read). */
+  private def dvFold(ms: Seq[Manifest])
+      : (Map[String, Seq[Long]], Map[String, Seq[String]]) = {
+    val accK = scala.collection.mutable.LinkedHashMap
       .empty[String, scala.collection.mutable.LinkedHashSet[Long]]
+    val accP = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.LinkedHashSet[String]]
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
     ms.foreach { m =>
-      if (m.checkpoint) { acc.clear(); live.clear() }
-      m.removes.foreach { f => acc.remove(f); live.remove(f) }
+      if (m.checkpoint) { accK.clear(); accP.clear(); live.clear() }
+      m.removes.foreach { f => accK.remove(f); accP.remove(f); live.remove(f) }
       m.adds.foreach(a => live.add(a.file))
       m.dvs.foreach { case (f, ks) =>
-        acc.getOrElseUpdate(f,
+        accK.getOrElseUpdate(f,
           scala.collection.mutable.LinkedHashSet.empty) ++= ks
       }
+      m.dvp.foreach { case (f, ss) =>
+        accP.getOrElseUpdate(f,
+          scala.collection.mutable.LinkedHashSet.empty) ++= ss
+      }
     }
-    acc.iterator.collect {
-      case (f, s) if live.contains(f) => f -> (s.toSeq: Seq[Long])
-    }.toMap
+    (accK.iterator.collect {
+      case (f, s) if live.contains(f) => f -> (s.toSeq: Seq[Long]) }.toMap,
+      accP.iterator.collect {
+        case (f, s) if live.contains(f) => f -> (s.toSeq: Seq[String]) }.toMap)
   }
+
+  private[graft] def liveDvs(
+      table: String, asOf: Option[Long]): Map[String, Seq[Long]] =
+    dvFold(manifests(table).filter(m => asOf.forall(m.version <= _)))._1
 
   /** Live POSITIONAL deletion vectors at `asOf` (head when None): the
     * [[liveDvs]] fold over the manifests' `dvp` maps — sidecar names
     * accumulate per file, a file's removal (rewrite/compaction/restore)
     * drops its vectors in the same step. */
   private[graft] def livePosDvs(
-      table: String, asOf: Option[Long]): Map[String, Seq[String]] = {
-    val ms = manifests(table).filter(m => asOf.forall(m.version <= _))
-    val acc = scala.collection.mutable.LinkedHashMap
-      .empty[String, scala.collection.mutable.LinkedHashSet[String]]
-    val live = scala.collection.mutable.LinkedHashSet.empty[String]
-    ms.foreach { m =>
-      if (m.checkpoint) { acc.clear(); live.clear() }
-      m.removes.foreach { f => acc.remove(f); live.remove(f) }
-      m.adds.foreach(a => live.add(a.file))
-      m.dvp.foreach { case (f, ss) =>
-        acc.getOrElseUpdate(f,
-          scala.collection.mutable.LinkedHashSet.empty) ++= ss
-      }
-    }
-    acc.iterator.collect {
-      case (f, s) if live.contains(f) => f -> (s.toSeq: Seq[String])
-    }.toMap
-  }
+      table: String, asOf: Option[Long]): Map[String, Seq[String]] =
+    dvFold(manifests(table).filter(m => asOf.forall(m.version <= _)))._2
 
   /** The COMPLETE live deletion-vector state of a snapshot: per-file dead
     * KEY sets (small-delta verbs, inline in manifests) and per-file
@@ -495,8 +508,10 @@ object LogTable {
   private[graft] object DvState {
     val empty: DvState = DvState(Map.empty, Map.empty)
   }
-  private[graft] def liveDvState(table: String, asOf: Option[Long]): DvState =
-    DvState(liveDvs(table, asOf), livePosDvs(table, asOf))
+  private[graft] def liveDvState(table: String, asOf: Option[Long]): DvState = {
+    val (ks, ps) = dvFold(manifests(table).filter(m => asOf.forall(m.version <= _)))
+    DvState(ks, ps)
+  }
 
   /** Positional-vector sidecar directory (sibling of `data/` and
     * `_log/`). Sidecars are immutable once referenced; a sidecar of a
@@ -966,6 +981,12 @@ object LogTable {
     * explicitly dropped. */
   def readVersion(spark: SparkSession, table: String, v: Long): DataFrame = {
     requireNotTruncated(table, v)
+    // beyond-head refuses loudly: the <=v fold would otherwise serve the
+    // CURRENT head labeled as the requested version — invented history
+    // for an auditor's typo (restore() validates the same bound)
+    val headV = version(table)
+    require(v <= headV,
+      s"readVersion($table): version $v does not exist (head is $headV)")
     val (_, fs, schema) = snapshotWithSchema(table, Some(v))
     readFiles(spark, table, fs, schema, liveDvState(table, Some(v)))
   }
@@ -1163,14 +1184,7 @@ object LogTable {
     Files.createDirectories(logDir(dst))
     Files.createDirectories(dataDir(dst))
     files.foreach { f =>
-      val from = dataDir(src).resolve(f.file)
-      val to = dataDir(dst).resolve(f.file)
-      try Files.createLink(to, from)
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException => // racing clone half-done: same content
-        case _: UnsupportedOperationException =>
-          Files.copy(from, to, StandardCopyOption.REPLACE_EXISTING)
-      }
+      linkOrCopy(dataDir(src).resolve(f.file), dataDir(dst).resolve(f.file))
     }
     val m = Manifest(1L, adds = files, removes = Seq.empty,
       schema = schema.map(_.json).getOrElse(""), keyCol = key,
@@ -1185,14 +1199,7 @@ object LogTable {
         if (pos.nonEmpty) {
           Files.createDirectories(dvDir(dst))
           pos.valuesIterator.flatten.toSeq.distinct.foreach { n =>
-            val from = dvDir(src).resolve(n)
-            val to = dvDir(dst).resolve(n)
-            try Files.createLink(to, from)
-            catch {
-              case _: java.nio.file.FileAlreadyExistsException => ()
-              case _: UnsupportedOperationException =>
-                Files.copy(from, to, StandardCopyOption.REPLACE_EXISTING)
-            }
+            linkOrCopy(dvDir(src).resolve(n), dvDir(dst).resolve(n))
           }
         }
         pos
@@ -1228,14 +1235,7 @@ object LogTable {
     Files.createDirectories(dataDir(dst))
     val ms = manifests(src)
     ms.flatMap(_.adds.map(_.file)).distinct.foreach { f =>
-      val from = dataDir(src).resolve(f)
-      val to = dataDir(dst).resolve(f)
-      try Files.createLink(to, from)
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException => ()
-        case _: UnsupportedOperationException =>
-          Files.copy(from, to, StandardCopyOption.REPLACE_EXISTING)
-      }
+      linkOrCopy(dataDir(src).resolve(f), dataDir(dst).resolve(f))
     }
     // The copied manifests reference positional-DV sidecars by name, and
     // loadPosDv fails loudly on a missing sidecar — so every sidecar any
@@ -1245,14 +1245,7 @@ object LogTable {
     if (sidecars.nonEmpty) {
       Files.createDirectories(dvDir(dst))
       sidecars.foreach { n =>
-        val from = dvDir(src).resolve(n)
-        val to = dvDir(dst).resolve(n)
-        try Files.createLink(to, from)
-        catch {
-          case _: java.nio.file.FileAlreadyExistsException => ()
-          case _: UnsupportedOperationException =>
-            Files.copy(from, to, StandardCopyOption.REPLACE_EXISTING)
-        }
+        linkOrCopy(dvDir(src).resolve(n), dvDir(dst).resolve(n))
       }
     }
     ms.foreach { m =>
@@ -1507,9 +1500,14 @@ object LogTable {
     }
     val adds = writeData(spark, table, evolved, keyCol)
     if (adds.isEmpty) return
-    commit(table, snapVersion, adds, removes = Seq.empty, reRun = () =>
-      throw new IllegalStateException(
-        s"append($table) hit a removal conflict — impossible with empty removes"),
+    // reRun fires when a racer NARROWED the schema under us (drop/rename
+    // landed after our snapshot — removal conflicts stay impossible with
+    // empty removes): recompute from the fresh head, where the evolution
+    // validation reproduces the serial drop-then-append outcome (loud
+    // refusal when the batch re-adds a physically-carried column). The
+    // first attempt's staged files stay as crash-orphans until vacuum.
+    commit(table, snapVersion, adds, removes = Seq.empty,
+      reRun = () => append(spark, table, df, keyCol),
       // restamp: evolved came through select(), which drops the rename-
       // mapping metadata a renamed table's committed schema must keep
       schema = restampMapping(snapSchema, evolved.schema).json, keyCol = keyCol)
@@ -1801,8 +1799,15 @@ object LogTable {
       // cast-to-long before collect: Int/Short key columns (which the
       // SQL delta writer's keyGet tolerates) must work here too — a raw
       // getLong on an IntegerType row throws ClassCastException
-      val keys = inc.select(col(keyCol).cast("long")).distinct()
-        .limit(DvMaxKeys + 1).collect().map(_.getLong(0))
+      val keyRows = inc.select(col(keyCol).cast("long")).distinct()
+        .limit(DvMaxKeys + 1).collect()
+      // a NULL key must fail with the registration path's remediation
+      // message, not a bare driver NPE from getLong on the null row
+      require(!keyRows.exists(_.isNullAt(0)),
+        s"upsertDV($table): NULL key(s) in the batch — keyed-table keys " +
+          "are NOT NULL (a NULL key can never be upserted, deleted, or " +
+          "merged); fill or filter them before the write")
+      val keys = keyRows.map(_.getLong(0))
       if (keys.isEmpty) return // empty batch: no-op (P11)
       if (keys.length > DvMaxKeys) {
         // BULK batch: same merge-on-read semantics through POSITIONAL
@@ -1893,7 +1898,7 @@ object LogTable {
             spark, table, touched, snapSchema, dvsLive, keyCol)
           (df, Some((fc, pc)))
         } else
-          (readFiles2(spark, table, touched, snapSchema, dvsLive), None)
+          (readFiles(spark, table, touched, snapSchema, dvsLive), None)
       // ONE simultaneous projection, not chained withColumnRenamed: the
       // fold re-analyzed a growing plan once per source column — pure
       // per-execution planning cost (and the changes() cyclic-rename
@@ -2050,7 +2055,7 @@ object LogTable {
         // DVs pinned at the same snapshot: the rewrite reads the LIVE
         // rows (vectors applied) and its commit removes the files, which
         // purges their vectors in the same fold step
-        else readFiles2(spark, table, touched, snapSchema,
+        else readFiles(spark, table, touched, snapSchema,
           liveDvState(table, Some(snapVersion)))
           .join(inc.select(col(keyCol)), Seq(keyCol), "left_anti")
       // allowMissingColumns: a batch with a NEW column evolves the
@@ -2127,8 +2132,12 @@ object LogTable {
     }
     val incoming = spark.read.schema(streamSchema).parquet(
       partFiles.toSeq.sorted.map(staging.resolve(_).toString): _*)
-    val keys = incoming.select(col(keyCol).cast("long")).distinct()
-      .limit(DvMaxKeys + 1).collect().map(_.getLong(0))
+    val keyRows = incoming.select(col(keyCol).cast("long")).distinct()
+      .limit(DvMaxKeys + 1).collect()
+    require(!keyRows.exists(_.isNullAt(0)),
+      s"streaming upsert epoch on $table: NULL key(s) in the batch — " +
+        "keyed-table keys are NOT NULL; fill or filter them before the write")
+    val keys = keyRows.map(_.getLong(0))
     if (keys.isEmpty) return Some(false)
     if (keys.length > DvMaxKeys) return None // bulk epoch: rewrite path
     val (lo, hi) = (keys.min, keys.max)
@@ -2169,12 +2178,6 @@ object LogTable {
     }
     Some(attempt())
   }
-
-  private def readFiles2(
-      spark: SparkSession, table: String, fs: Seq[FileEntry],
-      schema: Option[org.apache.spark.sql.types.StructType] = None,
-      dvs: DvState = DvState.empty): DataFrame =
-    readFiles(spark, table, fs, schema, dvs)
 
   /** Stats-pruned snapshot read over a key range: only files whose
     * [minKey, maxKey] intersects [lo, hi] reach the parquet scan — the
@@ -2240,7 +2243,7 @@ object LogTable {
           snapSchema.map(sc => spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc))
             .getOrElse(src.limit(0))
-        else readFiles2(spark, table, touched, snapSchema,
+        else readFiles(spark, table, touched, snapSchema,
           liveDvState(table, Some(snapVersion)))
       // ONE simultaneous projection, not chained withColumnRenamed: the
       // fold re-analyzed a growing plan once per source column — pure
@@ -2400,7 +2403,7 @@ object LogTable {
       val adds =
         if (straddling.isEmpty) Seq.empty
         else writeData(spark, table,
-          readFiles2(spark, table, straddling, snapSchema,
+          readFiles(spark, table, straddling, snapSchema,
             liveDvState(table, Some(snapVersion)))
             .filter(col(keyCol) < lo || col(keyCol) > hi), keyCol)
       commit(table, snapVersion, adds, removes = touched.map(_.file),
@@ -2452,7 +2455,7 @@ object LogTable {
       val (snapVersion, snapshot, snapSchema) = snapshotWithSchema(table, None)
       val touched = snapshot.filter(fileAdmit)
       if (touched.isEmpty) return
-      val survivors = readFiles2(spark, table, touched, snapSchema,
+      val survivors = readFiles(spark, table, touched, snapSchema,
         liveDvState(table, Some(snapVersion)))
         .filter(!coalesce(rowPredicate, lit(false)))
       val adds = writeData(spark, table, survivors, keyCol)
@@ -2865,7 +2868,7 @@ object LogTable {
       // would churn forever (compact → two half-full files → compact …)
       // — unless vectors need purging, which a rewrite always achieves
       if (small.size <= nOut && dvd == 0) return
-      val input = readFiles2(spark, table, small, snapSchema, dvs)
+      val input = readFiles(spark, table, small, snapSchema, dvs)
       val clustered = zorderBy match {
         case Some((d1, d2)) =>
           graft.operators.ZOrder.layoutBy(input, col(d1), col(d2), nOut)
@@ -3658,8 +3661,29 @@ object LogTable {
               }
             }
             val headNames = head.fieldNames.toSet
+            val oursOnly = ours.fields.filterNot(f => headNames(f.name))
+            if (oursOnly.nonEmpty) {
+              // a field we carry that the head lacks is EITHER our own
+              // evolution (the head simply predates it — merge keeps
+              // it) OR a RACER'S NARROWING (drop/rename landed after
+              // our snapshot — merging would resurrect the dropped
+              // column over files that still physically carry it, and
+              // for a rename would commit TWO logical fields over one
+              // physical name, breaking every read). Decide against the
+              // schema at OUR snapshot: a field that existed there and
+              // is gone from the head was narrowed by a racer —
+              // recompute, never merge (the re-run sees the narrowed
+              // head and fails or proceeds exactly as the serial order
+              // would).
+              val snapFields = snapshotWithSchema(table, Some(snapshotVersion))
+                ._3.map(_.fieldNames.toSet).getOrElse(Set.empty[String])
+              if (oursOnly.exists(f => snapFields(f.name))) {
+                reRun()
+                return true
+              }
+            }
             val merged = org.apache.spark.sql.types.StructType(
-              head.fields ++ ours.fields.filterNot(f => headNames(f.name)))
+              head.fields ++ oursOnly)
             committedSchema = merged.json
           }
           expected = headNow

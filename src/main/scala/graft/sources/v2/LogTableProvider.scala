@@ -94,7 +94,16 @@ object LogTableProvider {
     (Option(options.get("asOf")), Option(options.get("asOfTimestamp"))) match {
       case (Some(_), Some(_)) => throw new IllegalArgumentException(
         "graft-log: pass ONE of asOf (version) / asOfTimestamp (instant)")
-      case (Some(v), None) => Some(v.toLong)
+      case (Some(v), None) =>
+        // beyond-head refuses here too: the manifest fold's <= filter
+        // would serve the head labeled @v — invented history (name()
+        // and properties() would even render the phantom version)
+        val asOfV = v.toLong
+        val head = LogTable.version(path)
+        require(asOfV <= head,
+          s"graft-log: asOf version $asOfV does not exist for $path " +
+            s"(head is $head)")
+        Some(asOfV)
       case (None, Some(t)) =>
         val millis = t.toLongOption.getOrElse(
           java.time.Instant.parse(t).toEpochMilli)
@@ -543,7 +552,13 @@ class LogTableTable(
                   "<column>) once (or initialize the table) — the commit " +
                   "records it from then on"))
             if (LogTable.version(path) == 0L)
-              LogTable.createEmpty(path, info.schema(), key)
+              // losing the bootstrap race is FINE — the winner's table
+              // serves this stream's epochs exactly as our own would
+              // (the batch path below downgrades the same way); without
+              // the catch a second query starting against the same
+              // fresh path dies at start instead
+              try LogTable.createEmpty(path, info.schema(), key)
+              catch { case _: graft.io.TableAlreadyExistsException => () }
             // truncate() was called ⟺ Complete output mode: each
             // epoch's full state REPLACES the table (one versioned
             // remove-all+add commit — the continuously-refreshed
@@ -684,16 +699,35 @@ object LogTableTable {
     if (tbl.isEmpty) return data // bootstrap: the batch defines the schema
     val tblLower = tbl.fieldNames.map(_.toLowerCase).toSet
     val inLower = data.schema.fieldNames.map(_.toLowerCase).toSet
+    if (inLower.intersect(tblLower).isEmpty)
+      throw new IllegalArgumentException(
+        s"graft-log write to $path: batch columns " +
+          s"[${data.schema.fieldNames.mkString(", ")}] share no names with " +
+          s"table columns [${tbl.fieldNames.mkString(", ")}] — a by-name " +
+          "write needs at least one matching name (SQL INSERT resolves " +
+          "positionally at analysis; the DataFrame API is by-name only)")
+    // Canonicalize CASE onto the table's spelling: this guard matches
+    // case-insensitively (the Spark default resolution users write
+    // against), but append's own union/evolution merge is exact-case —
+    // passing 'Status' through against a 'status' table would silently
+    // EVOLVE a duplicate column and NULL-fill the real one, the exact
+    // misdirected-write corruption this gate exists to refuse. A batch
+    // whose own columns collide case-insensitively cannot be mapped and
+    // refuses loudly instead.
+    val canon = tbl.fieldNames.map(n => n.toLowerCase -> n).toMap
+    val batchLower = data.schema.fieldNames.map(_.toLowerCase)
+    require(batchLower.distinct.length == batchLower.length,
+      s"graft-log write to $path: batch columns " +
+        s"[${data.schema.fieldNames.mkString(", ")}] collide " +
+        "case-insensitively — rename them before the write")
     // by-name whenever any name matches: subset NULL-fills, superset
     // evolves, mixed does both — append's own union/validation logic is
     // the single authority on what the batch means
-    if (inLower.intersect(tblLower).nonEmpty) data
-    else throw new IllegalArgumentException(
-      s"graft-log write to $path: batch columns " +
-        s"[${data.schema.fieldNames.mkString(", ")}] share no names with " +
-        s"table columns [${tbl.fieldNames.mkString(", ")}] — a by-name " +
-        "write needs at least one matching name (SQL INSERT resolves " +
-        "positionally at analysis; the DataFrame API is by-name only)")
+    if (data.schema.fieldNames.forall(n => canon.get(n.toLowerCase).forall(_ == n)))
+      data
+    else data.select(data.schema.fieldNames.toIndexedSeq.map(n =>
+      org.apache.spark.sql.functions.col(s"`$n`")
+        .as(canon.getOrElse(n.toLowerCase, n))): _*)
   }
 }
 

@@ -750,6 +750,43 @@ class LogTableSpec extends AnyFunSuite {
     assert(r.count() == 11L)
   }
 
+  test("append racing a DROP COLUMN never resurrects the dropped column") {
+    val t = tmpTable()
+    LogTable.create(spark, t,
+      (1L to 10L).map(i => (i, s"v$i", i * 2)).toDF("k", "v", "x"), "k")
+    // the racer drops x INSIDE the append's claim window: pre-fix the
+    // re-claim's schema union merged head{k,v} ++ ours-only{x} and
+    // committed the dropped column back over files that still
+    // physically carry it (and a racing RENAME would have committed two
+    // logical fields over one physical name). Serial semantics:
+    // drop-then-append(batch with x) refuses loudly — the physical name
+    // is reserved for the table's lifetime — so the race must too.
+    LogTable.onCommitAttempt = () => {
+      LogTable.onCommitAttempt = () => ()
+      LogTable.dropColumns(spark, t, Seq("x"))
+    }
+    val e = intercept[Exception] {
+      try LogTable.append(spark, t,
+        Seq((11L, "v11", 22L)).toDF("k", "v", "x"), "k")
+      finally LogTable.onCommitAttempt = () => ()
+    }
+    assert(Option(e.getMessage).exists(_.contains("x")), s"$e")
+    val cols = LogTable.read(spark, t).columns.toSet
+    assert(cols == Set("k", "v"), s"dropped column resurrected: $cols")
+    assert(LogTable.read(spark, t).count() == 10L)
+  }
+
+  test("readVersion beyond the head refuses instead of serving invented history") {
+    val t = tmpTable()
+    LogTable.create(spark, t, Seq((1L, "a")).toDF("k", "v"), "k")
+    LogTable.append(spark, t, Seq((2L, "b")).toDF("k", "v"), "k")
+    val head = LogTable.version(t)
+    val e = intercept[IllegalArgumentException](
+      LogTable.readVersion(spark, t, head + 7).collect())
+    assert(e.getMessage.contains("does not exist"), e.getMessage)
+    assert(LogTable.readVersion(spark, t, head).count() == 2L)
+  }
+
   test("ADD CONSTRAINT racing a violating data commit refuses — re-validated per CAS attempt") {
     val t = tmpTable()
     LogTable.create(spark, t,

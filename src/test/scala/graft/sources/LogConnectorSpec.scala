@@ -851,6 +851,38 @@ class LogConnectorSpec extends AnyFunSuite {
         .write.format("graft-log").mode("append").save(t))
     assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
       .exists(t => Option(t.getMessage).exists(_.contains("share no names"))))
+    // CASE-mismatched names canonicalize onto the table's spelling: this
+    // guard resolves case-insensitively (the Spark default users write
+    // against) while append's evolution merge is exact-case, so passing
+    // 'V' through would silently evolve a duplicate column and
+    // NULL-fill the real one (the pre-fix behavior)
+    Seq((30L, "cased")).toDF("K", "V")
+      .write.format("graft-log").mode("append").save(t)
+    val r30 = load(t).filter(col("k") === 30L).head()
+    assert(r30.getString(1) == "cased",
+      s"case-mismatched batch must land in the table's columns, got $r30")
+    assert(!load(t).columns.contains("V"),
+      s"case-mismatched batch evolved a duplicate column: ${load(t).columns.toSeq}")
+    // a batch whose own columns collide case-insensitively cannot be
+    // mapped — loud refusal, never a silent pick
+    val ec = intercept[Exception](
+      Seq((31L, "a", "b")).toDF("k", "v", "V")
+        .write.format("graft-log").mode("append").save(t))
+    assert(Iterator.iterate(ec: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(t => Option(t.getMessage).exists(_.contains("collide"))), s"$ec")
+  }
+
+  test("asOf beyond the head refuses instead of serving the head as invented history") {
+    val t = tmpTable()
+    LogTable.create(spark, t, Seq((1L, "a")).toDF("k", "v"), "k")
+    val head = LogTable.version(t)
+    val e = intercept[Exception](
+      spark.read.format("graft-log").option("asOf", (head + 5).toString)
+        .load(t).collect())
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(t => Option(t.getMessage).exists(_.contains("does not exist"))), s"$e")
+    assert(spark.read.format("graft-log").option("asOf", head.toString)
+      .load(t).count() == 1L)
   }
 
   test("SQL INSERT is positional even when a SELECT alias coincides with a table column") {

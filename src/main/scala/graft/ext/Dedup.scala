@@ -249,13 +249,20 @@ object Dedup {
       .join(sh.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("inter"))
-    inter
+    // LEFT join from the candidate list: a pair whose shingle sets are
+    // disjoint (band-key agreement without any shared 60-bit shingle)
+    // must surface with jaccard = 0.0, matching [[jaccardFromSets]] —
+    // the inner-join spelling silently dropped such pairs, so the two
+    // documented-equivalent APIs returned different row sets
+    pairs
+      .join(inter, Seq("id_a", "id_b"), "left")
       .join(counts.select(col("id").as("id_a"), col("cnt").as("cnt_a")), "id_a")
       .join(counts.select(col("id").as("id_b"), col("cnt").as("cnt_b")), "id_b")
       .select(
         col("id_a"), col("id_b"),
-        (col("inter").cast("double") /
-          (col("cnt_a") + col("cnt_b") - col("inter")).cast("double")).as("jaccard"))
+        (coalesce(col("inter"), lit(0L)).cast("double") /
+          (col("cnt_a") + col("cnt_b") - coalesce(col("inter"), lit(0L)))
+            .cast("double")).as("jaccard"))
   }
 
   /** Near-dup CLUSTER COLLAPSE: connected components over a pair frame
@@ -290,7 +297,12 @@ object Dedup {
     // dozens of distributed rounds (the same small-side shortcut Spark
     // itself takes with broadcasts). Past the threshold, iterative
     // min-label propagation runs fully distributed.
-    if (nEdges <= localThreshold) {
+    // the driver union-find is gated on LONG ids: the collect below
+    // reads getLong, and a long cast of another id type would change
+    // the label FRAME's type across regimes — non-long ids run the
+    // distributed rounds, which order by the id's own type
+    if (nEdges <= localThreshold &&
+        edges.schema("u").dataType == org.apache.spark.sql.types.LongType) {
       val localEdges = edges.select("u", "v").collect()
         .map(r => (r.getLong(0), r.getLong(1)))
       edges.unpersist()
@@ -326,7 +338,12 @@ object Dedup {
           sum(when(col("next_id") < col("cluster_id"), 1L).otherwise(0L)),
           lit(0L)))
         .head().getLong(0) == 0L
+      // release the SUPERSEDED round's blocks now — the scaladoc's O(1)
+      // storage claim was otherwise false (every round's checkpoint
+      // lived until JVM GC reached the dropped reference)
+      val prev = labels
       labels = updated.select(col("id"), col("next_id").as("cluster_id"))
+      prev.unpersist()
       i += 1
     }
     edges.unpersist()
@@ -362,7 +379,14 @@ object Dedup {
     // with max-root-points-to-min-root unions, find() IS the min id
     val rows = nodes.sorted.map(id => (id, find(id)))
     import spark.implicits._
-    rows.toSeq.toDF("id", "cluster_id")
+    // RDD-backed, NOT a LocalRelation: up to localThreshold edges the
+    // label set can run to ~10^6 rows, and a literal LocalRelation of
+    // that size is re-encoded into every consuming plan (the exact
+    // per-construction trap Regime.scala documents) — parallelize ships
+    // the rows once as task data instead
+    spark.sparkContext.parallelize(
+      rows.toIndexedSeq, math.max(1, rows.length / 250000 + 1))
+      .toDF("id", "cluster_id")
   }
 
   /** [[connectedComponents]] drop-in via ALTERNATING LARGE-STAR /
@@ -399,7 +423,8 @@ object Dedup {
       .filter(col("u") =!= col("v"))
       .distinct().persist()
     val nEdges = base.count()
-    if (nEdges <= localThreshold) {
+    if (nEdges <= localThreshold &&
+        base.schema("u").dataType == org.apache.spark.sql.types.LongType) {
       val localEdges = base.select("u", "v").collect()
         .map(r => (r.getLong(0), r.getLong(1)))
       base.unpersist()
@@ -441,7 +466,12 @@ object Dedup {
       // a collision there would silently mislabel clusters
       converged = nNext == edges.count() &&
         next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      // superseded round released after the convergence check (which
+      // reads BOTH frames) — same O(1)-storage fix as the propagation
+      // loop
+      val prev = edges
       edges = next
+      prev.unpersist()
       i += 1
     }
     if (!converged) {
@@ -525,7 +555,9 @@ object Dedup {
     // md5 lineage under each. Lazy (r11): the first consumer's job
     // materializes the blocks as a side effect — same once-only
     // guarantee, no extra blocking job per micro-batch.
-    val newBands = lshBands(minhashSignature(newDocs, "id", "text"), numHashes, rowsPerBand)
+    val newBands = lshBands(
+      minhashSignature(newDocs, "id", "text", numHashes = numHashes),
+      numHashes, rowsPerBand)
       .localCheckpoint(false)
     // dropped-id candidates WITHOUT pair dedup (r11): every consumer
     // below is the left-anti join, which ignores duplicate matches — the
@@ -630,7 +662,16 @@ object Dedup {
     // measured 1.27 s → sub-second at sf0.1); past it the distributed
     // per-batch rounds run exactly as before. Cross-regime identity is
     // differentially pinned (DedupSpec replay == fold, both regimes).
-    graft.io.Regime.collectIfSmall("arrival-cand", withB) match {
+    // LONG-id gate (same rule as the CC driver regime and Similarity's
+    // training collect): the driver fold reads getLong on the raw id —
+    // any other id type runs the distributed rounds, which compare ids
+    // in their own type
+    (if (withB.schema("id_a").dataType == org.apache.spark.sql.types.LongType)
+      graft.io.Regime.collectIfSmall("arrival-cand", withB)
+    else {
+      graft.io.Regime.lastDecision.put("arrival-cand", "distributed")
+      None
+    }) match {
       case Some(rows) =>
         withB.unpersist()
         // driver fold, batches ascending; within-batch pairs drop the

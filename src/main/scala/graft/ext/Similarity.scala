@@ -88,9 +88,13 @@ object Similarity {
   /** Embedding near-dup, LSH-blocked: candidates come from an EQUI-JOIN on
     * a random-hyperplane bucket id (own bucket on one side, own +
     * multiprobe buckets up to hamming-`probeDepth` on the other), then
-    * exact cosine verifies and a distinct collapses multi-bucket
-    * co-occurrences. No CartesianProduct / BroadcastNestedLoopJoin
-    * anywhere in the plan (gated by PlanSpec).
+    * exact cosine verifies. No dedup pass is needed: the own side
+    * carries ONE bucket per row and a row's probe buckets are distinct
+    * values (XOR with distinct masks), so each ordered (id_a < id_b)
+    * pair can meet on at most one bucket — a trailing distinct was a
+    * full identity exchange (the same class annTopK removed). No
+    * CartesianProduct / BroadcastNestedLoopJoin anywhere in the plan
+    * (gated by PlanSpec).
     *
     * Cost: candidate volume ≈ n²·(probe fan-out)/2^numPlanes of the cross
     * join's n² — the reduction is exponential in numPlanes while probe
@@ -137,7 +141,6 @@ object Similarity {
         (dotQ(col("qv_a"), col("qv_b")).cast("double") /
           (col("nrm_a") * col("nrm_b"))).as("cosine"))
       .filter(col("cosine") >= threshold)
-      .distinct()
   }
 
   // ---------------------------------------------------------------------
@@ -525,26 +528,6 @@ object Similarity {
     ivfTopKIndexed(queries, corpus, idCol, embCol, k,
       trainIvfCentroids(corpus, idCol, embCol, nLists), nProbe)
 
-  /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
-    * arXiv:2303.09540): assign every vector to its nearest coarse
-    * centroid map-side ([[nearestLists]], keep=1 — zero shuffle for the
-    * assignment), then compare pairs ONLY within a cluster and keep those
-    * with cosine ≥ threshold. Output: (list_id, id_a, id_b, cosine),
-    * id_a < id_b.
-    *
-    * At 100 TB this is the published trade: the within-cluster self-join
-    * is quadratic per cluster but clusters are corpus/nLists sized — set
-    * nLists ~ √n and total candidate volume stays ~n, vs n² all-pairs.
-    * The clustering is also the operator's documented approximation: a
-    * pair split across two clusters is never compared (byte-identical
-    * vectors can never split — identical qv scores rank centroids
-    * identically). The equi-join on list_id is gated by PlanSpec: no
-    * CartesianProduct at any scale.
-    *
-    * Complements [[nearDupPairs]] (hyperplane-bucket blocking): LSH
-    * buckets bound the MISS PROBABILITY per pair, IVF clusters bound the
-    * CANDIDATE VOLUME per cluster — SemDeDup is the shape the published
-    * pipeline runs at corpus scale. */
   /** Map-side cluster assignment over a [[prepared]] frame: (id,
     * list_id) — each vector's nearest centroid by cosine (tie-break
     * list_id), zero shuffle. The building block [[semDedupPairs]] and
@@ -729,6 +712,26 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    * arXiv:2303.09540): assign every vector to its nearest coarse
+    * centroid map-side ([[nearestLists]], keep=1 — zero shuffle for the
+    * assignment), then compare pairs ONLY within a cluster and keep those
+    * with cosine ≥ threshold. Output: (list_id, id_a, id_b, cosine),
+    * id_a < id_b.
+    *
+    * At 100 TB this is the published trade: the within-cluster self-join
+    * is quadratic per cluster but clusters are corpus/nLists sized — set
+    * nLists ~ √n and total candidate volume stays ~n, vs n² all-pairs.
+    * The clustering is also the operator's documented approximation: a
+    * pair split across two clusters is never compared (byte-identical
+    * vectors can never split — identical qv scores rank centroids
+    * identically). The equi-join on list_id is gated by PlanSpec: no
+    * CartesianProduct at any scale.
+    *
+    * Complements [[nearDupPairs]] (hyperplane-bucket blocking): LSH
+    * buckets bound the MISS PROBABILITY per pair, IVF clusters bound the
+    * CANDIDATE VOLUME per cluster — SemDeDup is the shape the published
+    * pipeline runs at corpus scale. */
   def semDedupPairs(
       prep: DataFrame, centroids: Seq[IvfCentroid], threshold: Double): DataFrame = {
     if (centroids.isEmpty)

@@ -87,7 +87,23 @@ object Run {
       store: graft.etl.WarehouseStore = graft.etl.ParquetWarehouse)
       : (Long, Option[java.time.Instant]) = {
     if (raw.isEmpty) return (0L, None) // P11 empty-batch guard
-    val (orders, items) = Normalize(raw)
+    // WITHIN-batch key dedup (the reference's dict-keyed-by-id semantics,
+    // run.py's page loop): an at-least-once producer or an overlapping
+    // re-fetch window can land the same order in two files of ONE
+    // micro-batch, and the keyed upsert's anti-join removes matches from
+    // the EXISTING side only — duplicate incoming rows would both land.
+    // The pick is deterministic by content (max of the row's JSON
+    // rendering): duplicate payloads are normally identical, and when
+    // they differ no arrival order exists in a distributed read.
+    val rawDeduped = {
+      import org.apache.spark.sql.expressions.Window
+      raw.withColumn("_dup_rank", row_number().over(
+          Window.partitionBy(col("id"))
+            .orderBy(to_json(struct(col("*"))).desc)))
+        .filter(col("_dup_rank") === 1)
+        .drop("_dup_rank")
+    }
+    val (orders, items) = Normalize(rawDeduped)
     // per-batch product lookup, chunked like products.py:45 (the fixture
     // client takes the whole id set; chunking semantics live in S4).
     // The id harvests below are the ONE driver-side collect on the hot

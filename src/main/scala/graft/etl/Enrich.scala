@@ -20,9 +20,18 @@ object Enrich {
     * payloads — the dimension side of J1 and of K5's join-driven UPDATE
     * (run.py's re-enrich pass). */
   def categoryMap(rawProducts: DataFrame): DataFrame =
+    // ONE row per product id, whatever the payload carries: the
+    // reference's dict build dedups keys implicitly, but the join
+    // equivalent would MULTIPLY every matching item fact row if a paged
+    // fetch drifted (a product repeated across pages mid-pagination).
+    // max() is the deterministic pick — duplicate payloads are normally
+    // identical, and when they differ no arrival order exists in a
+    // distributed read anyway.
     rawProducts.select(
       col("id").as("product_id"),
       catSnapshot.as("category_snapshot"))
+      .groupBy("product_id")
+      .agg(max(col("category_snapshot")).as("category_snapshot"))
 
   /** J1 — items ⟕ products on product_id, producing category_snapshot.
     * The products side is a per-batch dimension (≤ hundreds of rows in the

@@ -200,6 +200,25 @@ object Load {
       return
     }
     if (incoming.isEmpty) return
+    // Pin the batch across its consumers (partition-value collect,
+    // broadcast key set, staged write): without the persist each pays
+    // the full upstream lineage again, and a non-deterministic upstream
+    // could yield a touched-partition list that disagrees with the rows
+    // the staged write actually produces — the post-swap cleanup would
+    // then delete a live partition the staged output never replaced.
+    val inc = incoming.persist()
+    try upsertPartitionedPinned(spark, path, inc, keys, partitionCol,
+      keyPartitionsStable, fs, target, mustRename _)
+    finally inc.unpersist()
+  }
+
+  private def upsertPartitionedPinned(
+      spark: SparkSession, path: String, incoming: DataFrame,
+      keys: Seq[String], partitionCol: String, keyPartitionsStable: Boolean,
+      fs: org.apache.hadoop.fs.FileSystem, target: org.apache.hadoop.fs.Path,
+      mustRename: (org.apache.hadoop.fs.Path, org.apache.hadoop.fs.Path) => Unit)
+      : Unit = {
+    import org.apache.hadoop.fs.Path
     // Touched partitions: a tiny driver-side list (months, not keys).
     // NULL partition values are legal — they live under Hive's default-
     // partition directory and swap like any other (see listing below).

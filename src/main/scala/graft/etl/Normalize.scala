@@ -23,9 +23,22 @@ object Normalize {
 
   /** P2 — ISO parse with `date_created_gmt` → `date_created` fallback
     * (reference `normalize_orders.py:25,29`). Unresolved column
-    * expression: resolves against whatever frame it is selected from. */
-  def orderTs: Column =
-    to_timestamp(coalesce(col("date_created_gmt"), col("date_created")))
+    * expression: resolves against whatever frame it is selected from.
+    *
+    * Two tolerances the first cut missed: the reference's `gmt or
+    * created` is PYTHON-FALSY — an EMPTY string falls back exactly like
+    * None, where a bare coalesce would try to parse "" (and under Spark
+    * 4's ANSI default, to_timestamp("") THROWS — killing the whole
+    * batch, and for [[graft.streaming.OrderStream]] poisoning the
+    * checkpoint so every restart replays the same failing micro-batch).
+    * So: empties nullify before the fallback, and try_to_timestamp
+    * NULLs malformed values instead of throwing — the same tolerant-cast
+    * convention as [[f]]/[[i]] right above. */
+  def orderTs: Column = {
+    def nz(c: Column) = nullif(trim(c), lit(""))
+    try_to_timestamp(
+      coalesce(nz(col("date_created_gmt")), nz(col("date_created"))))
+  }
 
   /** Orders projection (P1-P4): 17 columns, placeholders
     * refund_total=0.0 / net_after_refunds=NULL filled by [[Enrich]]

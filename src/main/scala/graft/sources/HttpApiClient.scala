@@ -66,12 +66,17 @@ final class HttpStatusException(val status: Int, msg: String)
 
 object HttpApiClient {
 
-  /** Retry classifier for HTTP fetches: 5xx and transport failures
-    * (connect/read timeouts) retry; 4xx propagates immediately — a 401
-    * never heals and re-hammering an auth-rejecting API is hostile.
+  /** Retry classifier for HTTP fetches: 5xx, transport failures
+    * (connect/read timeouts), and the two RETRYABLE 4xx statuses — 429
+    * Too Many Requests and 408 Request Timeout, the canonical
+    * rate-limit/timeout answers a long paged scan WILL hit, where the
+    * fixed backoff is exactly the right response. Every other 4xx
+    * propagates immediately — a 401 never heals and re-hammering an
+    * auth-rejecting API is hostile.
     * Compose as `RetryPolicy(retryOn = HttpApiClient.transientOnly)`. */
   val transientOnly: Throwable => Boolean = {
-    case h: HttpStatusException => h.status >= 500
+    case h: HttpStatusException =>
+      h.status >= 500 || h.status == 429 || h.status == 408
     case _ => true
   }
 
@@ -91,20 +96,35 @@ object HttpApiClient {
     var esc = false
     var start = 0
     var i = 0
+    // a completed top-level value may only be followed by ',' or the end:
+    // without this, a proxy-mangled body like [{"a":1}{"a":2}] (missing
+    // comma) balanced out and returned ONE non-JSON mega-element that the
+    // downstream PERMISSIVE json reader turned into a silent corrupt row
+    var closedV = false
     while (i < inner.length) {
       val c = inner.charAt(i)
       if (esc) esc = false
       else if (inStr) {
         if (c == '\\') esc = true
-        else if (c == '"') inStr = false
+        else if (c == '"') {
+          inStr = false
+          if (depth == 0) closedV = true
+        }
+      } else if (closedV && !c.isWhitespace && c != ',') {
+        throw new IllegalArgumentException(
+          "malformed JSON array: expected ',' or end after a top-level " +
+            s"element, got '$c' at offset $i")
       } else c match {
         case '"' => inStr = true
         case '{' | '[' => depth += 1
-        case '}' | ']' => depth -= 1
+        case '}' | ']' =>
+          depth -= 1
+          if (depth == 0) closedV = true
         case ',' if depth == 0 =>
           val e = inner.substring(start, i).trim
           if (e.nonEmpty) out += e
           start = i + 1
+          closedV = false
         case _ => ()
       }
       i += 1

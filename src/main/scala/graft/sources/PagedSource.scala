@@ -31,7 +31,12 @@ object PagedSource {
     * retries × 30 s, `flow.py:44-46`) — a transient failure on page N
     * retries page N alone, not the whole scan; a permanent failure
     * exhausts the budget and propagates (S2). */
-  def fetchAll[T](perPage: Int, retry: RetryPolicy = RetryPolicy())(
+  def fetchAll[T](perPage: Int,
+      // HTTP classifier by DEFAULT: without it the documented 4xx
+      // fail-fast was dead code on every real path — the retry-everything
+      // default re-hammered auth-rejecting APIs 2x30s per page
+      retry: RetryPolicy =
+        RetryPolicy(retryOn = HttpApiClient.transientOnly))(
       fetchPage: Int => Seq[T]): Seq[T] = {
     // perPage <= 0 could never satisfy the short-page stop condition —
     // the loop would hammer the remote API forever

@@ -304,7 +304,8 @@ class PagedReaderFactory extends PartitionReaderFactory {
       // Per-PAGE retry (reference flow.py:44-46): a transient failure on
       // one page refetches that page only — Spark's task retry would
       // refetch the whole range.
-      private val retry = graft.sources.RetryPolicy(pr.retries, pr.retryDelayMs)
+      private val retry = graft.sources.RetryPolicy(pr.retries, pr.retryDelayMs,
+        retryOn = graft.sources.HttpApiClient.transientOnly)
       private val rows = (pr.start until pr.end).iterator
         .flatMap(p => retry(PagedOrders.PageClient.fetch(p, pr.pageSize)))
       private var current: (Long, Long, String, Double) = _

@@ -62,7 +62,14 @@ object DocStream {
     // filter shrinks the minhash pass
     val gated = minQuality.fold(batch)(q =>
       batch.filter(graft.ext.TextAnalysis.qualityScore(col("text")) >= q))
+    // WITHIN-batch id dedup: two copies of one doc_id in a single
+    // trigger share every band but `id_a < id_b` cannot drop equal ids,
+    // and the corpus append is an append, not an upsert — both rows
+    // would land and every later snapshot would carry the duplicate.
+    // One combinable groupBy keeps a deterministic copy (max text);
+    // cross-batch replays stay absorbed by the arrival probe.
     val newDocs = gated.select(col("doc_id").as("id"), col("text"))
+      .groupBy("id").agg(max(col("text")).as("text"))
     if (newDocs.isEmpty) return // P11: empty batch is a no-op, not an error
     val path = corpusPath(warehouse)
     val exists = new java.io.File(s"$path/_log").isDirectory &&

@@ -35,6 +35,22 @@ class NormalizeSpec extends AnyFunSuite {
     assert(got(1) == "2023-12-31 06:07:08.0")
   }
 
+  test("timestamp tolerances: EMPTY gmt falls back (Python-falsy), malformed -> NULL, never a crash") {
+    // the reference's `gmt or created` treats "" like None; a bare
+    // coalesce would try to parse "" and under ANSI KILL the batch (and
+    // poison a streaming checkpoint — every restart replays the poison)
+    val df = raw(
+      """{"id":1,"date_created_gmt":"","date_created":"2024-01-02T03:04:05","total":"1"}""",
+      """{"id":2,"date_created_gmt":"not-a-date","total":"1"}""",
+      """{"id":3,"date_created_gmt":"  ","date_created":"","total":"1"}""")
+    val got = Normalize.orders(df).orderBy("order_id")
+      .select("order_date").collect()
+    assert(got(0).get(0).toString == "2024-01-02 03:04:05.0",
+      "empty gmt must fall back to date_created")
+    assert(got(1).isNullAt(0), "malformed date must NULL, not throw")
+    assert(got(2).isNullAt(0), "whitespace/empty on both sides -> NULL")
+  }
+
   test("line_items null or empty -> zero item rows; N items -> N rows") {
     val df = raw(
       """{"id":1,"total":"1","line_items":null}""",

@@ -201,5 +201,18 @@ class PagedSourceSpec extends AnyFunSuite {
     assert(HttpApiClient.splitJsonArray("""[{"s":"a\"b,c"}]""") ==
       Seq("""{"s":"a\"b,c"}"""))
     intercept[IllegalArgumentException](HttpApiClient.splitJsonArray("""{"not":"array"}"""))
+    // a missing comma between balanced elements must fail LOUDLY — the
+    // pre-fix scan balanced out and returned one non-JSON mega-element
+    // that the PERMISSIVE downstream reader turned into silent nulls
+    intercept[IllegalArgumentException](
+      HttpApiClient.splitJsonArray("""[{"a":1}{"a":2}]"""))
+    intercept[IllegalArgumentException](
+      HttpApiClient.splitJsonArray("""["a" "b"]"""))
+    // 429/408 are transient (rate limit / request timeout: backoff is
+    // the right response); other 4xx stay permanent
+    assert(HttpApiClient.transientOnly(new HttpStatusException(429, "slow down")))
+    assert(HttpApiClient.transientOnly(new HttpStatusException(408, "timeout")))
+    assert(!HttpApiClient.transientOnly(new HttpStatusException(401, "denied")))
+    assert(HttpApiClient.transientOnly(new HttpStatusException(503, "busy")))
   }
 }

@@ -21,6 +21,23 @@ class DocStreamSpec extends AnyFunSuite {
     df.select(to_json(struct(col("id").as("doc_id"), col("text"))).as("j"))
       .collect().map(_.getString(0)).toSeq
 
+  test("within-batch duplicate doc_id: one trigger carrying the same doc twice retains ONE row") {
+    // equal ids share every band but id_a < id_b cannot drop equal ids,
+    // and the corpus append is an append — without the within-batch id
+    // dedup both copies landed and every later snapshot carried the dup
+    val wh = java.nio.file.Files.createTempDirectory("graft-docdup").toString
+    import spark.implicits._
+    val batch = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven")).toDF("doc_id", "text")
+    DocStream.ingestBatch(spark, batch, wh)
+    val corpus = DocStream.retainedDocs(spark, wh)
+    assert(corpus.groupBy("id").count().filter(col("count") > 1).count() == 0L,
+      "duplicate doc_id rows in the retained corpus")
+    assert(corpus.count() == 2L)
+  }
+
   test("stream-fed dedup state equals the x38 arrival fold; a replayed file is absorbed") {
     val base = Tables.documents(spark, sf)
     val b0 = base.select(col("doc_id").as("id"), col("text"))

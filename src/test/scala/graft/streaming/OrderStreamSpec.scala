@@ -56,6 +56,31 @@ class OrderStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("within-batch duplicate order: one trigger carrying the same order twice lands ONE row") {
+    // an at-least-once producer (or overlapping re-fetch windows) can
+    // put the same order into TWO landing files of one micro-batch; the
+    // keyed upsert's anti-join removes matches from the EXISTING side
+    // only, so without the within-batch dedup both incoming copies
+    // landed and fct_orders violated its one-row-per-key contract
+    val jsons = WooFixtureApi.orderJsonsSince(spark, data, "2001-06-01 00:00:00")
+    assert(jsons.nonEmpty)
+    val landing = Files.createTempDirectory("graft-landing-dup").toString
+    val wh = Files.createTempDirectory("graft-wh-dup").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt-dup").toString
+    // file A: all orders; file B: the first order AGAIN — same trigger
+    Files.write(Paths.get(landing, "a.json"), jsons.mkString("\n").getBytes("UTF-8"))
+    Files.write(Paths.get(landing, "b.json"), jsons.head.getBytes("UTF-8"))
+    val q = OrderStream.startEtlStream(spark, landing, data, wh, ckpt)
+    try {
+      q.processAllAvailable()
+      val orders = spark.read.parquet(s"$wh/fct_orders.parquet")
+      val dupKeys = orders.groupBy("order_id")
+        .count().filter(org.apache.spark.sql.functions.col("count") > 1).count()
+      assert(dupKeys == 0L, s"$dupKeys duplicated order_id rows after a dup-bearing trigger")
+      assert(orders.count() == jsons.size.toLong)
+    } finally q.stop()
+  }
+
   test("AvailableNow bounded replay equals the windowed backfill walk (§2.8)") {
     val iso = java.time.format.DateTimeFormatter
       .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)

@@ -62,47 +62,58 @@ object Load {
     * At scale: partition the table (e.g. by month(order_date)) and rewrite
     * only partitions containing touched keys — the staging path supports
     * that by unioning untouched partitions unchanged. */
+  /** The staged checked-rename swap shared by [[upsertParquet]] and
+    * [[compact]] — ONE definition of the crash-recovery contract.
+    * Sequence: recover (target missing + old present ⇒ a previous run
+    * died between the two renames — roll back), sweep stale staging,
+    * call `write(staged)` if the target exists (the caller handles
+    * bootstrap), then delete-rename-rename-delete so every intermediate
+    * state is recoverable. `write` returning false skips the swap (the
+    * caller decided the rewrite is a no-op). Hadoop rename reports some
+    * failures by RETURNING FALSE (missing parent, cross-FS move,
+    * object-store quirks) — checked and thrown loudly, never
+    * half-completed silently. */
+  private def stagedSwap(
+      verb: String,
+      fs: org.apache.hadoop.fs.FileSystem,
+      target: org.apache.hadoop.fs.Path)(
+      write: org.apache.hadoop.fs.Path => Boolean): Unit = {
+    val staged = target.suffix("._staged")
+    val old = target.suffix("._old")
+    def mustRename(from: org.apache.hadoop.fs.Path, to: org.apache.hadoop.fs.Path): Unit =
+      if (!fs.rename(from, to))
+        throw new java.io.IOException(s"$verb: rename $from -> $to failed")
+    if (!fs.exists(target) && fs.exists(old)) mustRename(old, target)
+    if (fs.exists(staged)) fs.delete(staged, true)
+    if (!fs.exists(target)) return
+    if (!write(staged)) return
+    if (fs.exists(old)) fs.delete(old, true)
+    mustRename(target, old)
+    mustRename(staged, target)
+    fs.delete(old, true)
+  }
+
   def upsertParquet(
       spark: SparkSession,
       path: String,
       incoming: DataFrame,
       keys: Seq[String]): Unit = {
-    val target = new org.apache.hadoop.fs.Path(path)
     // getFileSystem on the path (not FileSystem.get(conf)) so non-default
-    // scheme paths (s3a://, hdfs://...) resolve to the right FS.
+    // scheme paths (s3a://, hdfs://...) resolve to the right FS; suffix()
+    // on the NORMALIZED Path, not string concat (a trailing "/" would
+    // nest the staging dir inside the table and wedge every swap).
+    val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // suffix() on the NORMALIZED Path, not string concat on the raw
-    // argument: "wh/orders/" + "._staged" would nest the staging dir
-    // inside the table and wedge every subsequent swap.
-    val staged = target.suffix("._staged")
-    val old = target.suffix("._old")
-    // Hadoop FileSystem.rename reports some failures by RETURNING FALSE
-    // (e.g. missing parent, cross-FS move, object-store quirks) rather
-    // than throwing — an unchecked call can half-complete the swap
-    // silently and lose the table. Fail loudly instead; every
-    // intermediate state remains recoverable by the rollback below.
-    def mustRename(from: org.apache.hadoop.fs.Path, to: org.apache.hadoop.fs.Path): Unit =
-      if (!fs.rename(from, to))
-        throw new java.io.IOException(s"upsertParquet: rename $from -> $to failed")
-    // Crash recovery: the swap below moves target→old then staged→target,
-    // so "target missing + old present" means a previous run died between
-    // the two renames — roll the old table back before proceeding. Any
-    // leftover staging dir is from an incomplete write and is discarded.
-    if (!fs.exists(target) && fs.exists(old)) mustRename(old, target)
-    if (fs.exists(staged)) fs.delete(staged, true)
-    if (!fs.exists(target)) {
-      incoming.write.mode(SaveMode.ErrorIfExists).parquet(path)
-      return
+    stagedSwap("upsertParquet", fs, target) { staged =>
+      val existing = spark.read.parquet(path)
+      upsert(existing, incoming, keys).write.mode(SaveMode.Overwrite)
+        .parquet(staged.toString)
+      true
     }
-    val existing = spark.read.parquet(path)
-    upsert(existing, incoming, keys).write.mode(SaveMode.Overwrite)
-      .parquet(staged.toString)
-    // Swap. The old table is kept until the staged rename succeeds, so
-    // every intermediate state is recoverable (see rollback above).
-    if (fs.exists(old)) fs.delete(old, true)
-    mustRename(target, old)
-    mustRename(staged, target)
-    fs.delete(old, true)
+    // bootstrap: stagedSwap ran the crash recovery first, so a target
+    // still missing here really is a fresh table (not a half-swapped one)
+    if (!fs.exists(target))
+      incoming.write.mode(SaveMode.ErrorIfExists).parquet(path)
   }
 
   /** Warehouse maintenance: COMPACT a flat parquet table's accreted
@@ -116,31 +127,22 @@ object Load {
       targetBytes: Long = 128L << 20): Unit = {
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val staged = target.suffix("._staged")
-    val old = target.suffix("._old")
-    def mustRename(from: org.apache.hadoop.fs.Path, to: org.apache.hadoop.fs.Path): Unit =
-      if (!fs.rename(from, to))
-        throw new java.io.IOException(s"compact: rename $from -> $to failed")
-    if (!fs.exists(target) && fs.exists(old)) mustRename(old, target)
-    if (fs.exists(staged)) fs.delete(staged, true)
-    if (!fs.exists(target)) return
-    // flat-only: a Hive-partitioned table would be read with the
-    // partition column demoted to data and rewritten flat — layout
-    // destroyed and subsequent partitioned upserts would duplicate keys.
-    // Fail loudly instead of corrupting.
-    val partitionedDirs = fs.listStatus(target)
-      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
-    require(partitionedDirs.isEmpty,
-      s"compact: $path is Hive-partitioned (${partitionedDirs.head.getPath.getName}, ...) — " +
-        "compact is flat-table-only; compact partitions individually instead")
-    val size = fs.getContentSummary(target).getLength
-    val nFiles = math.max(1L, (size + targetBytes - 1) / targetBytes).toInt
-    spark.read.parquet(path).repartition(nFiles)
-      .write.mode(SaveMode.Overwrite).parquet(staged.toString)
-    if (fs.exists(old)) fs.delete(old, true)
-    mustRename(target, old)
-    mustRename(staged, target)
-    fs.delete(old, true)
+    stagedSwap("compact", fs, target) { staged =>
+      // flat-only: a Hive-partitioned table would be read with the
+      // partition column demoted to data and rewritten flat — layout
+      // destroyed and subsequent partitioned upserts would duplicate
+      // keys. Fail loudly instead of corrupting.
+      val partitionedDirs = fs.listStatus(target)
+        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      require(partitionedDirs.isEmpty,
+        s"compact: $path is Hive-partitioned (${partitionedDirs.head.getPath.getName}, ...) — " +
+          "compact is flat-table-only; compact partitions individually instead")
+      val size = fs.getContentSummary(target).getLength
+      val nFiles = math.max(1L, (size + targetBytes - 1) / targetBytes).toInt
+      spark.read.parquet(path).repartition(nFiles)
+        .write.mode(SaveMode.Overwrite).parquet(staged.toString)
+      true
+    }
   }
 
   /** K2/K3 against a PARTITIONED parquet table — the 100 TB shape the

@@ -72,8 +72,11 @@ object BloomFilter {
     * be BIGINT-typed (CAST in the caller; 32-bit engines overflow on
     * INT32 multiply). */
   def longHashesSql(keyExpr: String): (String, String) = (
-    s"($A1 * ((($keyExpr % $P1) + $P1) % $P1) + $B1) % $P1",
-    s"($A2 * ((($keyExpr % $P2) + $P2) % $P2) + $B2) % $P2")
+    // keyExpr parenthesized: a compound expression ('a + b') would
+    // otherwise bind as a + (b % P1) under % precedence and the oracle
+    // hashes would silently diverge from the Spark side
+    s"($A1 * (((($keyExpr) % $P1) + $P1) % $P1) + $B1) % $P1",
+    s"($A2 * (((($keyExpr) % $P2) + $P2) % $P2) + $B2) % $P2")
 
   /** bit position of hash i for a value (double-hash family). */
   def bitPos(i: Int, value: String): Int = {

@@ -26,8 +26,12 @@ object CountMinSketch {
   val Width = 64
 
   /** hash_i(value): md5-prefix family shared with the DuckDB oracle. */
-  def cell(i: Int, value: String): Int = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+  def cell(i: Int, value: String): Int =
+    cellWith(java.security.MessageDigest.getInstance("MD5"), i, value)
+
+  private def cellWith(
+      md: java.security.MessageDigest, i: Int, value: String): Int = {
+    md.reset()
     val h = md.digest(s"$i|$value".getBytes("UTF-8"))
     def u(b: Byte): Long = b & 0xffL
     val v = (u(h(0)) << 24) | (u(h(1)) << 16) | (u(h(2)) << 8) | u(h(3))
@@ -40,8 +44,12 @@ object CountMinSketch {
       override def zero: Array[Long] = new Array[Long](Depth * Width)
       override def reduce(buf: Array[Long], value: String): Array[Long] = {
         if (value != null) {
+          // ONE digest instance per row, reset between depths — the
+          // per-depth getInstance paid 4 JCA provider lookups per input
+          // row in the hot aggregation loop (MinhashSigSet's pattern)
+          val md = java.security.MessageDigest.getInstance("MD5")
           var i = 0
-          while (i < Depth) { buf(i * Width + cell(i, value)) += 1L; i += 1 }
+          while (i < Depth) { buf(i * Width + cellWith(md, i, value)) += 1L; i += 1 }
         }
         buf
       }

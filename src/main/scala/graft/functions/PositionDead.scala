@@ -105,16 +105,27 @@ object PositionDead {
   private[functions] def mergedBitmap(
       table: String,
       names: Seq[String]): org.roaringbitmap.longlong.Roaring64Bitmap = {
-    if (cachedBytes.get() > cacheMaxBytes) {
-      cache.clear()
-      cachedBytes.set(0L)
+    // fast path lock-free; the load path is SERIALIZED so the cap clear
+    // cannot interleave with an insert's byte accounting (a concurrent
+    // insert landing in an already-swept bin would survive the clear
+    // while set(0) wiped its bytes — permanently untracked heap, the
+    // exact condition the cap exists to prevent). Loads are rare (once
+    // per (executor, sidecar set)), so the lock costs nothing per row.
+    val key = table + "\u0000" + names.sorted.mkString("\u0000")
+    val hit = cache.get(key)
+    if (hit != null) return hit
+    synchronized {
+      if (cachedBytes.get() > cacheMaxBytes) {
+        cache.clear()
+        cachedBytes.set(0L)
+      }
+      cache.computeIfAbsent(
+        key,
+        _ => {
+          val bm = graft.io.LogTable.loadPosDv(table, names)
+          cachedBytes.addAndGet(bm.getLongSizeInBytes)
+          bm
+        })
     }
-    cache.computeIfAbsent(
-      table + "\u0000" + names.sorted.mkString("\u0000"),
-      _ => {
-        val bm = graft.io.LogTable.loadPosDv(table, names)
-        cachedBytes.addAndGet(bm.getLongSizeInBytes)
-        bm
-      })
   }
 }

@@ -122,6 +122,13 @@ case class PqDistTable(
   @transient private lazy val cbArr: Array[Long] = cb.toArray
 
   def table(qv: ArrayData): ArrayData = {
+    // LOUD on a dim mismatch: UnsafeArrayData.getLong has no runtime
+    // bounds check, so a short vector would read adjacent buffer memory
+    // into nondeterministic garbage distances (PqEncode fails loudly via
+    // its toLongArray copy; this path must too)
+    require(qv.numElements() == m * subDim,
+      s"pq_dist_table: vector has ${qv.numElements()} dims, codebooks " +
+        s"expect ${m * subDim}")
     val out = new Array[Long](m * ksub)
     var i = 0
     while (i < m) {
@@ -173,30 +180,12 @@ case class PqAdcSum(left: Expression, right: Expression, ksub: Int)
   override def dataType: DataType = LongType
   override def prettyName: String = "pq_adc_sum"
 
-  override protected def nullSafeEval(t: Any, c: Any): Any = {
-    val table = t.asInstanceOf[ArrayData]
-    val codes = c.asInstanceOf[ArrayData]
-    var s = 0L
-    var i = 0
-    val n = codes.numElements()
-    while (i < n) { s += table.getLong(i * ksub + codes.getInt(i)); i += 1 }
-    s
-  }
+  override protected def nullSafeEval(t: Any, c: Any): Any =
+    PqAdcSum.compute(t.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData], ksub)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (t, c) => {
-      val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
-      val acc = ctx.freshName("acc")
-      s"""
-         |final int $n = $c.numElements();
-         |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $t.getLong($i * $ksub + $c.getInt($i));
-         |}
-         |${ev.value} = $acc;
-       """.stripMargin
-    })
+    nullSafeCodeGen(ctx, ev, (t, c) =>
+      s"${ev.value} = graft.functions.PqAdcSum.compute($t, $c, $ksub);")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -222,6 +211,26 @@ object PqDistTable {
 }
 
 object PqAdcSum {
+  /** Called from generated code — bounds-checked: an out-of-range
+    * (code, table) pair reads unchecked UnsafeArrayData memory
+    * otherwise. */
+  def compute(table: ArrayData, codes: ArrayData, ksub: Int): Long = {
+    val n = codes.numElements()
+    val tn = table.numElements()
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val idx = i * ksub + codes.getInt(i)
+      if (idx < 0 || idx >= tn)
+        throw new IllegalArgumentException(
+          s"pq_adc_sum: code ${codes.getInt(i)} at sub-space $i indexes " +
+            s"cell $idx outside the $tn-entry table")
+      s += table.getLong(idx)
+      i += 1
+    }
+    s
+  }
+
   /** Column-API entry point. */
   def apply(table: org.apache.spark.sql.Column,
       codes: org.apache.spark.sql.Column, ksub: Int): org.apache.spark.sql.Column =

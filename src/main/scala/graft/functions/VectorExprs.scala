@@ -274,7 +274,7 @@ object HyperplaneBucket {
     // 0 on every plane) yields bucket 0 — match it rather than bucketing
     // on a partial dot product.
     if (qv.numElements() != dim) return 0L
-    val n = math.min(qv.numElements(), dim)
+    val n = dim // the guard above makes the old min() always dim
     var bucket = 0L
     var p = 0
     while (p < numPlanes) {

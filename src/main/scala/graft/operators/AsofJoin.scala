@@ -37,6 +37,11 @@ object AsofJoin {
     val leftCols = left.columns.filterNot(_ == key).toIndexedSeq
     require(leftCols.intersect(rightVals).isEmpty,
       s"asofJoin: overlapping column names ${leftCols.intersect(rightVals).mkString(",")}")
+    // loud, not silent: a caller column named _t/_side would collide with
+    // the working columns below (two _t columns → ambiguous-reference
+    // AnalysisException deep in the window) — ZOrder's _zkey pattern
+    require(!(left.columns ++ right.columns).exists(c => c == "_t" || c == "_side"),
+      "asofJoin: input already has a _t/_side column — rename it first")
 
     val l = left.select(
       Seq(col(key), col(leftTime).as("_t"), lit(1).as("_side")) ++

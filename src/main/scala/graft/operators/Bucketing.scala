@@ -27,9 +27,13 @@ object Bucketing {
     // after DROP — clear it explicitly (idempotent re-runs, like Load's
     // overwrite semantics). Managed-table layout: default db lives at the
     // warehouse root, any other db at <warehouse>/<db>.db/.
+    // the LAST dot-segment is always the bare table name; a 3-part name
+    // (catalog.db.table) previously fell into the 1-part branch and
+    // computed <warehouse>/catalog.db.table — the stale dir was never
+    // cleared and CREATE kept failing, defeating this very cleanup
     val (db, bare) = table.split('.') match {
-      case Array(d, t) => (d.toLowerCase, t)
-      case _ => (spark.catalog.currentDatabase.toLowerCase, table)
+      case Array(t) => (spark.catalog.currentDatabase.toLowerCase, t)
+      case parts => (parts(parts.length - 2).toLowerCase, parts.last)
     }
     val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
     val dbPath = if (db == "default") wh else new org.apache.hadoop.fs.Path(wh, s"$db.db")

@@ -29,6 +29,10 @@ object RangeJoin {
       pointCol: String, loCol: String, hiCol: String,
       binWidth: Double): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    // loud, not silent: withColumn would REPLACE a caller-owned _bin and
+    // the trailing drop would delete it (ZOrder's _zkey guard pattern)
+    require(!points.columns.contains("_bin") && !intervals.columns.contains("_bin"),
+      "pointInInterval: input already has a _bin column — rename it first")
     val iv = intervals.withColumn("_bin",
       explode(sequence(
         floor(col(loCol) / binWidth).cast("long"),

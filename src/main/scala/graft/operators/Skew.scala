@@ -32,6 +32,8 @@ object Skew {
   def saltedSum(
       df: DataFrame, keys: Seq[String], valueCol: String, nSalts: Int = 16): DataFrame = {
     val keyCols = keys.map(col)
+    require(!df.columns.contains("_salt"),
+      "saltedAgg: input already has a _salt column — rename it first")
     df.withColumn("_salt", saltCol(df, nSalts))
       .groupBy((keyCols :+ col("_salt")): _*)
       .agg(sum(col(valueCol)).as("_partial"))
@@ -48,6 +50,8 @@ object Skew {
   def saltedJoin(
       left: DataFrame, right: DataFrame, keys: Seq[String],
       nSalts: Int = 16): DataFrame = {
+    require(!left.columns.contains("_salt") && !right.columns.contains("_salt"),
+      "saltedJoin: an input already has a _salt column — rename it first")
     val l = left.withColumn("_salt", saltCol(left, nSalts))
     val r = right.withColumn("_salt", explode(sequence(lit(0), lit(nSalts - 1))))
     l.join(r, keys :+ "_salt").drop("_salt")

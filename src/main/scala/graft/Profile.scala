@@ -7,6 +7,22 @@ import org.apache.spark.sql.SparkSession
   * contract — used to separate real per-query cost from JVM warmup noise
   * when tuning plans. */
 object Profile {
+  /** One temp root + ONE cleanup hook for the whole run — kparts used to
+    * create a dir and register a shutdown hook per repetition, leaking a
+    * hook (and deferring a directory walk) per rep. Per-rep paths carry
+    * the rep index, so a shared root is collision-free. */
+  private lazy val kpartsTmp: java.nio.file.Path = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-kparts")
+    sys.addShutdownHook {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(tmp)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+    tmp
+  }
+
   def main(args: Array[String]): Unit = {
     val names = args(0).split(",").toSeq
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
@@ -181,14 +197,7 @@ object Profile {
           .filter(col("o_orderdate") < lit("2000-01-01").cast("timestamp"))
           .select(col("o_orderkey").as("order_id"),
             col("o_orderstatus").as("status"), lit("base").as("src"))
-        val tmp = java.nio.file.Files.createTempDirectory("graft-kparts")
-        sys.addShutdownHook {
-          import scala.jdk.CollectionConverters._
-          val walk = java.nio.file.Files.walk(tmp)
-          try walk.sorted(java.util.Comparator.reverseOrder())
-            .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
-          finally walk.close()
-        }
+        val tmp = kpartsTmp
         val basePath = tmp.resolve(s"base$r").toString
         tj(s"create_base rep$r") {
           graft.io.LogTable.create(spark, basePath,

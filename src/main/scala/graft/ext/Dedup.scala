@@ -277,8 +277,10 @@ object Dedup {
     * min(own label, neighbours' labels) via one equi-join + one
     * map-side-combinable min aggregation; rounds ≤ cluster diameter
     * (near-dup clusters are shallow — dup sets, not social graphs).
-    * Per-round frames are persisted and the previous round unpersisted,
-    * so lineage stays O(1). For graphs with DEEP components
+    * Per-round frames are localCheckpointed so LINEAGE stays O(1);
+    * superseded rounds' blocks are reclaimed by the ContextCleaner once
+    * GC collects the dropped references (checkpoint blocks are not
+    * releasable via Dataset.unpersist). For graphs with DEEP components
     * (diameter ≫ log n) swap in the drop-in [[connectedComponentsStar]] —
     * same join primitives, O(log n) rounds; the driver-side convergence
     * check is one count per round. */
@@ -338,12 +340,13 @@ object Dedup {
           sum(when(col("next_id") < col("cluster_id"), 1L).otherwise(0L)),
           lit(0L)))
         .head().getLong(0) == 0L
-      // release the SUPERSEDED round's blocks now — the scaladoc's O(1)
-      // storage claim was otherwise false (every round's checkpoint
-      // lived until JVM GC reached the dropped reference)
-      val prev = labels
+      // the SUPERSEDED round's checkpoint blocks: Dataset.unpersist only
+      // uncaches CacheManager-registered plans, so it CANNOT release
+      // localCheckpoint RDD blocks — dropping the reference here lets
+      // the ContextCleaner reclaim them after GC (eventual, not
+      // immediate; storage is O(rounds-until-GC), bounded in practice by
+      // the cleaner's periodic GC trigger)
       labels = updated.select(col("id"), col("next_id").as("cluster_id"))
-      prev.unpersist()
       i += 1
     }
     edges.unpersist()
@@ -466,16 +469,17 @@ object Dedup {
       // a collision there would silently mislabel clusters
       converged = nNext == edges.count() &&
         next.join(edges, Seq("u", "v"), "left_anti").isEmpty
-      // superseded round released after the convergence check (which
-      // reads BOTH frames) — same O(1)-storage fix as the propagation
-      // loop
-      val prev = edges
+      // superseded round's reference dropped after the convergence check
+      // (which reads BOTH frames); its localCheckpoint blocks are
+      // reclaimed by the ContextCleaner after GC — Dataset.unpersist
+      // cannot release checkpoint blocks (CacheManager-only), see the
+      // propagation loop
       edges = next
-      prev.unpersist()
       i += 1
     }
     if (!converged) {
-      edges.unpersist()
+      // edges is localCheckpointed here — no unpersist to issue; the
+      // ContextCleaner reclaims its blocks after GC
       throw new IllegalStateException(
         s"connectedComponentsStar did not converge after $maxIter rounds — " +
           "raise maxIter")
@@ -487,7 +491,6 @@ object Dedup {
     // never has an outgoing edge) and fail loudly instead.
     if (!edges.join(edges.select(col("u").as("v")).distinct(), Seq("v"), "left_semi")
         .isEmpty) {
-      edges.unpersist()
       throw new IllegalStateException(
         "connectedComponentsStar converged to a non-star edge set — raise maxIter")
     }

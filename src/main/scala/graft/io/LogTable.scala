@@ -1457,7 +1457,21 @@ object LogTable {
     * ingest-style state tables need: [[graft.streaming.DocStream]]
     * commits each micro-batch's survivors this way — a torn multi-file
     * append becomes impossible because the manifest IS the commit. */
-  def append(spark: SparkSession, table: String, df: DataFrame, keyCol: String): Unit = {
+  def append(spark: SparkSession, table: String, df: DataFrame, keyCol: String): Unit =
+    append(spark, table, df, keyCol, attemptsLeft = 50)
+
+  /** Bounded-retry body: `attemptsLeft` caps the schema-narrowing-race
+    * recursion (each reRun re-runs the full writeData, orphaning the
+    * previous attempt's staged files) at the same 50-attempt budget the
+    * commit CAS loop uses — a sustained race storm fails loudly instead
+    * of recursing unboundedly. */
+  private def append(
+      spark: SparkSession, table: String, df: DataFrame, keyCol: String,
+      attemptsLeft: Int): Unit = {
+    if (attemptsLeft <= 0)
+      throw new IllegalStateException(
+        s"append($table): schema-narrowing race re-run budget exhausted — " +
+          "a concurrent writer keeps narrowing the schema under this append")
     if (df.isEmpty) return
     requireKeyMatch(table, keyCol)
     val (snapVersion, liveNow, committedSchema) = snapshotWithSchema(table, None)
@@ -1507,7 +1521,7 @@ object LogTable {
     // refusal when the batch re-adds a physically-carried column). The
     // first attempt's staged files stay as crash-orphans until vacuum.
     commit(table, snapVersion, adds, removes = Seq.empty,
-      reRun = () => append(spark, table, df, keyCol),
+      reRun = () => append(spark, table, df, keyCol, attemptsLeft - 1),
       // restamp: evolved came through select(), which drops the rename-
       // mapping metadata a renamed table's committed schema must keep
       schema = restampMapping(snapSchema, evolved.schema).json, keyCol = keyCol)
@@ -1799,8 +1813,14 @@ object LogTable {
       // cast-to-long before collect: Int/Short key columns (which the
       // SQL delta writer's keyGet tolerates) must work here too — a raw
       // getLong on an IntegerType row throws ClassCastException
-      val keyRows = inc.select(col(keyCol).cast("long")).distinct()
-        .limit(DvMaxKeys + 1).collect()
+      // NULLS FIRST ordering makes the bounded sample DETERMINISTIC about
+      // NULLs: if the batch holds any NULL key it is guaranteed inside
+      // the cap+1 sample (sort+limit plans as TakeOrderedAndProject — one
+      // job, no full collect), so the require below enforces the NOT NULL
+      // contract on the FULL frame even when the batch overflows to the
+      // positional bulk path
+      val keyRows = inc.select(col(keyCol).cast("long").as("_k")).distinct()
+        .orderBy(col("_k").asc_nulls_first).limit(DvMaxKeys + 1).collect()
       // a NULL key must fail with the registration path's remediation
       // message, not a bare driver NPE from getLong on the null row
       require(!keyRows.exists(_.isNullAt(0)),
@@ -1914,10 +1934,14 @@ object LogTable {
       // to this verb (they never die and never append — the delta leaves
       // them untouched by definition), and full_outer would FORCE a
       // shuffle plan (Spark has no broadcast full-outer hash join) where
-      // right_outer lets Catalyst/AQE broadcast the small source and
-      // stream the touched read — the usual small-delta merge shape
-      // (measured: k24 13 jobs → broadcast plan, both executions
-      // single-stage).
+      // right_outer admits a broadcast-hash plan at all. Note the
+      // broadcastable side of a right-outer join is the LEFT (build)
+      // side — here the PRUNED TARGET READ, not the source: in the
+      // small-delta shape the touched read is a handful of files and
+      // Catalyst/AQE broadcasts it while streaming the source (measured:
+      // k24 13 jobs → broadcast plan, both executions single-stage). A
+      // merge whose touched read is large (10-key merge into 10 GB
+      // files) correctly plans a shuffle join — still O(touched files).
       val joined = tgt.withColumn("_tgt_hit", lit(1))
         .join(prefixed.withColumn("_src_hit", lit(1)),
           col(keyCol) === col(s"_src_$keyCol"), "right_outer")
@@ -2132,8 +2156,12 @@ object LogTable {
     }
     val incoming = spark.read.schema(streamSchema).parquet(
       partFiles.toSeq.sorted.map(staging.resolve(_).toString): _*)
-    val keyRows = incoming.select(col(keyCol).cast("long")).distinct()
-      .limit(DvMaxKeys + 1).collect()
+    // NULLS FIRST: a NULL key is guaranteed inside the bounded sample if
+    // one exists anywhere in the epoch, so the require enforces the
+    // contract on the full frame even for bulk epochs that return None
+    // into the rewrite path (same single TakeOrderedAndProject job)
+    val keyRows = incoming.select(col(keyCol).cast("long").as("_k")).distinct()
+      .orderBy(col("_k").asc_nulls_first).limit(DvMaxKeys + 1).collect()
     require(!keyRows.exists(_.isNullAt(0)),
       s"streaming upsert epoch on $table: NULL key(s) in the batch — " +
         "keyed-table keys are NOT NULL; fill or filter them before the write")

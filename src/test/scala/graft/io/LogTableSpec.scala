@@ -1767,6 +1767,33 @@ class LogTableSpec extends AnyFunSuite {
     }
   }
 
+  test("upsertDV refuses a NULL key even in a BULK batch (> DvMaxKeys distinct keys)") {
+    val t = tmpTable()
+    LogTable.create(spark, t,
+      (1L to 100L).map(i => (i, s"b$i")).toDF("k", "v"), "k")
+    val v0 = LogTable.version(t)
+    val oldCap = sys.props.get("graft.dv.maxKeys")
+    sys.props("graft.dv.maxKeys") = "10"
+    try {
+      // 50 distinct keys (5x the budget) + ONE NULL: the NULLS-FIRST
+      // sample ordering guarantees the NULL lands inside the bounded
+      // cap+1 sample, so the NOT NULL contract fires BEFORE the batch
+      // overflows into the positional bulk path — an unordered sample
+      // could miss it and append an un-upsertable NULL-key row
+      val batch = ((1L to 50L).map(i => (Some(i): Option[Long], s"n$i")) :+
+        ((None: Option[Long]) -> "oops")).toDF("k", "v")
+      val e = intercept[IllegalArgumentException](
+        LogTable.upsertDV(spark, t, batch, "k"))
+      assert(e.getMessage.contains("NULL key"), e.getMessage)
+      assert(LogTable.version(t) == v0,
+        "refused batch must not commit anything (no partial positional write)")
+      assert(LogTable.read(spark, t).count() == 100L)
+    } finally oldCap match {
+      case Some(v) => sys.props("graft.dv.maxKeys") = v
+      case None => sys.props.remove("graft.dv.maxKeys")
+    }
+  }
+
   test("positional vectors compose with column mapping: rename before and after the delete") {
     val t = tmpTable()
     LogTable.create(spark, t,

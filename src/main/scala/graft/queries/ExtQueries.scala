@@ -312,6 +312,91 @@ object ExtQueries {
       Seq(s"cent AS (SELECT list_id, c_qv, c_nrm FROM cent$rounds)")).mkString(",\n")
   }
 
+  /** Row-local hashed term frequencies: (doc_id, h=shingleHash60(term),
+    * tf) via native [[graft.functions.TermStats]] — NO token shuffle;
+    * the only exchange any consumer pays is its own groupBy over
+    * fixed-width hash longs. Shared by x41/x43/x45/x47. */
+  private def hashTfOf(src: DataFrame): DataFrame = src
+    .select(col("doc_id"),
+      explode(graft.functions.TermStats(split(col("text"), " "))
+        .getField("counts")).as("tc"))
+    .select(col("doc_id"),
+      Dedup.shingleHash60(col("tc").getField("term")).as("h"),
+      col("tc").getField("tf").as("tf"))
+
+  /** Corpus-snapshot unigram table (h → corpus tf) + grand token total,
+    * served through [[graft.io.ArtifactCache]] under `key` — ONE build
+    * per corpus snapshot however many queries consume it (x41's nll,
+    * x43's DSIR, x47's avgdl). Regime probe first: in the collected
+    * regime the probe IS the complete table, so the total sums
+    * driver-side — one Spark action instead of two (the distributed
+    * regime keeps the exact agg and serves the vocabulary AS A TABLE:
+    * a billion-term vocabulary must never transit the driver). */
+  private[queries] def unigramArtifact(
+      s: SparkSession, key: String, src: => DataFrame): (Long, DataFrame) = {
+    def build: (Long, Either[IndexedSeq[(Long, Long)], DataFrame]) = {
+      val cp = hashTfOf(graft.util.Partitioning.fanOut(src))
+        .groupBy("h").agg(sum("tf").as("ctf")).persist()
+      graft.io.Regime.collectIfSmall(key, cp) match {
+        case Some(rows) =>
+          cp.unpersist()
+          val out = rows.map(r => (r.getLong(0), r.getLong(1)))
+          (out.iterator.map(_._2).sum, Left(out))
+        case None =>
+          (cp.agg(sum("ctf")).head().getLong(0), Right(cp))
+      }
+    }
+    val (total, artifact) = graft.io.ArtifactCache.getOrBuild(key)(build) match {
+      case (_, Right(f)) if !graft.io.Regime.servable(f, s) =>
+        graft.io.ArtifactCache.invalidate(key)
+        graft.io.ArtifactCache.getOrBuild(key)(build)
+      case ok => ok
+    }
+    import s.implicits._
+    (total, artifact match {
+      case Left(rows) => broadcast(rows.toDF("h", "ctf"))
+      case Right(frame) => frame
+    })
+  }
+
+  /** Corpus-snapshot document-frequency table (term → df) + document
+    * count, the classic precomputed IR statistic behind x21's tf-idf and
+    * x47's BM25 — one vocabulary groupBy per corpus refresh, served to
+    * every scoring pass from [[graft.io.ArtifactCache]] (broadcast under
+    * the measured bound, vocabulary-as-table shuffle join past it). */
+  private[queries] def dfreqArtifact(
+      s: SparkSession, d: String): (Long, DataFrame) = {
+    def tfOf(src: DataFrame) = src
+      .select(col("doc_id"),
+        explode(graft.functions.TermStats(split(col("text"), " "))
+          .getField("counts")).as("tc"))
+      .select(col("doc_id"),
+        col("tc").getField("term").as("term"),
+        col("tc").getField("tf").as("tf"))
+    val key = s"tfidf-df:documents:$d"
+    def build: (Long, Either[IndexedSeq[(String, Long)], DataFrame]) = {
+      // persist first, probe populates the blocks: one vocabulary
+      // groupBy per snapshot whichever regime wins; the collected
+      // branch releases the blocks (see dupCorpusCandidates)
+      val cp = tfOf(graft.util.Partitioning.fanOut(Tables.documents(s, d)))
+        .groupBy("term").agg(count(lit(1)).as("df")).persist()
+      val collected = graft.io.Regime.collectIfSmall(key, cp)
+        .map { rows => cp.unpersist(); rows.map(r => (r.getString(0), r.getLong(1))) }
+      (Tables.documents(s, d).count(), collected.toLeft(cp))
+    }
+    val (nDocs, dfArtifact) = graft.io.ArtifactCache.getOrBuild(key)(build) match {
+      case (n, Right(f)) if !graft.io.Regime.servable(f, s) =>
+        graft.io.ArtifactCache.invalidate(key)
+        graft.io.ArtifactCache.getOrBuild(key)(build)
+      case ok => ok
+    }
+    import s.implicits._
+    (nDocs, dfArtifact match {
+      case Left(rows) => broadcast(rows.toDF("term", "df"))
+      case Right(frame) => frame // vocabulary-as-table: shuffle join
+    })
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
@@ -910,30 +995,7 @@ object ExtQueries {
           .select(col("doc_id"),
             col("tc").getField("term").as("term"),
             col("tc").getField("tf").as("tf"))
-        def dfreqOf: org.apache.spark.sql.DataFrame =
-          tfOf(graft.util.Partitioning.fanOut(Tables.documents(s, d)))
-            .groupBy("term").agg(count(lit(1)).as("df"))
-        val key = s"tfidf-df:documents:$d"
-        def build: (Long, Either[IndexedSeq[(String, Long)], org.apache.spark.sql.DataFrame]) = {
-          // persist first, probe populates the blocks: one vocabulary
-          // groupBy per snapshot whichever regime wins; the collected
-          // branch releases the blocks (see dupCorpusCandidates)
-          val cp = dfreqOf.persist()
-          val collected = graft.io.Regime.collectIfSmall(key, cp)
-            .map { rows => cp.unpersist(); rows.map(r => (r.getString(0), r.getLong(1))) }
-          (Tables.documents(s, d).count(), collected.toLeft(cp))
-        }
-        val (nDocs, dfArtifact) = graft.io.ArtifactCache.getOrBuild(key)(build) match {
-          case (n, Right(f)) if !graft.io.Regime.servable(f, s) =>
-            graft.io.ArtifactCache.invalidate(key)
-            graft.io.ArtifactCache.getOrBuild(key)(build)
-          case ok => ok
-        }
-        import s.implicits._
-        val dfreq = dfArtifact match {
-          case Left(rows) => broadcast(rows.toDF("term", "df"))
-          case Right(frame) => frame // vocabulary-as-table: shuffle join
-        }
+        val (nDocs, dfreq) = dfreqArtifact(s, d)
         val tf = tfOf(graft.util.Partitioning.fanOut(Tables.documents(s, d)))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("doc_id").orderBy(desc("score"), asc("term"))
@@ -962,6 +1024,119 @@ object ExtQueries {
              |SELECT doc_id, rnk, term, CAST(tf AS BIGINT) AS tf,
              |       CAST(df AS BIGINT) AS df, score
              |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin),
+    ),
+
+    // X47 — BM25 ranked retrieval (Robertson/Spärck Jones; the standard
+    // retrieval scorer an LLM data pipeline runs against a query set for
+    // quality-filtering / targeted selection), top-10 documents per
+    // query as "more-like-this": each query is the distinct term set of
+    // a deterministic probe document (doc_id % 200 = 7 — scales with the
+    // corpus, 3 queries at sf0.01, 25 at sf0.1).
+    //
+    // Cross-engine bit identity is engineered the x21/x41 way:
+    //   - IDF uses the RATIONAL Robertson–Spärck Jones odds
+    //     (N - df + 0.5)/(df + 0.5) + 1 WITHOUT the ln() wrapper — ln is
+    //     not correctly-rounded and differs across libm builds, while
+    //     IEEE +,-,×,÷ are exactly specified, so identically-shaped
+    //     expressions produce identical doubles in both engines (the
+    //     log is monotone, so per-TERM ordering is unchanged; the
+    //     summed variant is pinned as this operator's contract);
+    //   - the per-(query,doc) SUM over terms would be order-dependent
+    //     in float, so each per-term score is quantized to a long at
+    //     2^20 (floor(s·1048576 + 0.5) — multiply/add/floor all IEEE-
+    //     determined) and the sum runs in exact integer arithmetic
+    //     (Parity.moneySum's discipline at a power-of-two scale); the
+    //     final score divides the long by 1048576.0 — exact below 2^53
+    //     and a single correctly-rounded cast above it;
+    //   - avgdl divides two exact integer artifacts (corpus token total
+    //     / doc count) — one correctly-rounded division in both engines.
+    //
+    // Shape at scale: tf and dl are ROW-LOCAL (TermStats: tf from
+    // `counts`, dl from `ntok` — no token shuffle, no per-doc groupBy);
+    // the query-term set is broadcast (a query set is small by
+    // definition); df rides x21's cached corpus-snapshot artifact and
+    // the token total rides x41/x43's — ZERO new artifact builds when
+    // any of those ran first. The join order filters FIRST on the
+    // broadcast query terms (the selective side), so the df join and the
+    // single combinable (query_id, doc_id) exchange see only matching
+    // rows. Per-query top-k is a window partitioned by query_id —
+    // parallelism is bounded by the query count, which is the natural
+    // unit of retrieval work.
+    QueryDef(
+      "x47_bm25_topk",
+      (s, d) => {
+        val (nDocs, dfreq) = dfreqArtifact(s, d)
+        val (nTok, _) =
+          unigramArtifact(s, s"unigram-tf:documents:$d", Tables.documents(s, d))
+        val avgdl = nTok.toDouble / nDocs.toDouble
+        val tf = graft.util.Partitioning.fanOut(Tables.documents(s, d))
+          .select(col("doc_id"),
+            graft.functions.TermStats(split(col("text"), " ")).as("ts"))
+          .select(col("doc_id"),
+            col("ts").getField("ntok").as("dl"),
+            explode(col("ts").getField("counts")).as("tc"))
+          .select(col("doc_id"), col("dl"),
+            col("tc").getField("term").as("term"),
+            col("tc").getField("tf").as("tf"))
+        val qterms = broadcast(Tables.documents(s, d)
+          .filter(col("doc_id") % 200 === 7)
+          .select(col("doc_id").as("query_id"),
+            explode(array_distinct(split(col("text"), " "))).as("term")))
+        // expression order mirrors the oracle TOKEN FOR TOKEN — every op
+        // is IEEE-exact or correctly rounded, so bits match (see header)
+        val odds = (lit(nDocs).cast("double") - col("df").cast("double") +
+          lit(0.5)) / (col("df").cast("double") + lit(0.5)) + lit(1.0)
+        val norm = (col("tf").cast("double") * lit(2.2)) /
+          (col("tf").cast("double") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * (col("dl").cast("double") / lit(avgdl))))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(desc("score_q"), asc("doc_id"))
+        tf.join(qterms, Seq("term"))
+          .join(dfreq, Seq("term"))
+          .groupBy("query_id", "doc_id")
+          .agg(sum(floor(odds * norm * lit(1048576.0) + lit(0.5)).cast("long"))
+            .as("score_q"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 10)
+          .select(col("query_id"), col("rnk"), col("doc_id"),
+            (col("score_q") / lit(1048576.0)).as("score"))
+          .orderBy("query_id", "rnk")
+      },
+      Some("""WITH tok0 AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+             |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+             |       FROM tok0 GROUP BY 1, 2),
+             |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+             |       FROM tok0 GROUP BY 1),
+             |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+             |ntok AS (SELECT CAST(count(*) AS BIGINT) AS n_tok FROM tok0),
+             |a AS (SELECT CAST(n_tok AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl
+             |      FROM n, ntok),
+             |qterm AS (SELECT DISTINCT doc_id AS query_id, term FROM tok0
+             |          WHERE doc_id % 200 = 7),
+             |scored AS (
+             |  SELECT q.query_id, t.doc_id,
+             |    CAST(SUM(CAST(floor(
+             |      ((CAST(n.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5) /
+             |         (CAST(f.df AS DOUBLE) + 0.5) + 1.0) *
+             |      ((CAST(t.tf AS DOUBLE) * 2.2) /
+             |         (CAST(t.tf AS DOUBLE) + 1.2 *
+             |           (0.25 + 0.75 * (CAST(d.dl AS DOUBLE) / a.avgdl)))) *
+             |      1048576.0 + 0.5) AS BIGINT)) AS BIGINT) AS score_q
+             |  FROM qterm q
+             |  JOIN tf t USING (term)
+             |  JOIN dl d ON d.doc_id = t.doc_id
+             |  JOIN dfreq f ON f.term = t.term
+             |  CROSS JOIN n CROSS JOIN a
+             |  GROUP BY 1, 2),
+             |r AS (
+             |  SELECT query_id, doc_id, score_q,
+             |    ROW_NUMBER() OVER (PARTITION BY query_id
+             |                       ORDER BY score_q DESC, doc_id ASC) AS rnk
+             |  FROM scored)
+             |SELECT query_id, rnk, doc_id, score_q / 1048576.0 AS score
+             |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin),
     ),
 
     // X41 — unigram log-likelihood quality signal (the CCNet-family
@@ -996,45 +1171,10 @@ object ExtQueries {
     QueryDef(
       "x41_unigram_nll",
       (s, d) => {
-        def tfOf(src: org.apache.spark.sql.DataFrame) = src
-          .select(col("doc_id"),
-            explode(graft.functions.TermStats(split(col("text"), " "))
-              .getField("counts")).as("tc"))
-          .select(col("doc_id"),
-            graft.ext.Dedup.shingleHash60(col("tc").getField("term")).as("h"),
-            col("tc").getField("tf").as("tf"))
-        def unigramOf: org.apache.spark.sql.DataFrame =
-          tfOf(graft.util.Partitioning.fanOut(Tables.documents(s, d)))
-            .groupBy("h").agg(sum("tf").as("ctf"))
-        val key = s"unigram-tf:documents:$d"
-        def build: (Long, Either[IndexedSeq[(Long, Long)], org.apache.spark.sql.DataFrame]) = {
-          val cp = unigramOf.persist()
-          // regime probe FIRST: in the collected regime the probe IS the
-          // complete table, so the grand total sums driver-side — one
-          // Spark action instead of two per artifact build (the
-          // distributed regime keeps the exact agg)
-          graft.io.Regime.collectIfSmall(key, cp) match {
-            case Some(rows) =>
-              cp.unpersist()
-              val out = rows.map(r => (r.getLong(0), r.getLong(1)))
-              (out.iterator.map(_._2).sum, Left(out))
-            case None =>
-              (cp.agg(sum("ctf")).head().getLong(0), Right(cp))
-          }
-        }
-        val (totalTokens, artifact) = graft.io.ArtifactCache.getOrBuild(key)(build) match {
-          case (n, Right(f)) if !graft.io.Regime.servable(f, s) =>
-            graft.io.ArtifactCache.invalidate(key)
-            graft.io.ArtifactCache.getOrBuild(key)(build)
-          case ok => ok
-        }
-        import s.implicits._
-        val unigrams = artifact match {
-          case Left(rows) => broadcast(rows.toDF("h", "ctf"))
-          case Right(frame) => frame
-        }
+        val (totalTokens, unigrams) =
+          unigramArtifact(s, s"unigram-tf:documents:$d", Tables.documents(s, d))
         val ilog2Total = 63 - java.lang.Long.numberOfLeadingZeros(totalTokens)
-        tfOf(graft.util.Partitioning.fanOut(Tables.documents(s, d)))
+        hashTfOf(graft.util.Partitioning.fanOut(Tables.documents(s, d)))
           .join(unigrams, Seq("h"))
           .groupBy("doc_id")
           .agg(
@@ -1089,49 +1229,14 @@ object ExtQueries {
         // exchange identity: 60-bit term hash, x41's discipline — the tf
         // frame and BOTH unigram tables key on fixed-width longs; the
         // DuckDB twin hashes identically so group identity is exact
-        def tfOf(src: org.apache.spark.sql.DataFrame) = src
-          .select(col("doc_id"),
-            explode(graft.functions.TermStats(split(col("text"), " "))
-              .getField("counts")).as("tc"))
-          .select(col("doc_id"),
-            graft.ext.Dedup.shingleHash60(col("tc").getField("term")).as("h"),
-            col("tc").getField("tf").as("tf"))
-        import s.implicits._
-        def artifactFor(key: String, src: => org.apache.spark.sql.DataFrame)
-            : (Long, org.apache.spark.sql.DataFrame) = {
-          def build: (Long, Either[IndexedSeq[(Long, Long)], org.apache.spark.sql.DataFrame]) = {
-            val cp = tfOf(graft.util.Partitioning.fanOut(src))
-              .groupBy("h").agg(sum("tf").as("ctf")).persist()
-            // collected regime: the probe is the whole table — total
-            // sums driver-side, one action instead of two (see x41)
-            graft.io.Regime.collectIfSmall(key, cp) match {
-              case Some(rows) =>
-                cp.unpersist()
-                val out = rows.map(r => (r.getLong(0), r.getLong(1)))
-                (out.iterator.map(_._2).sum, Left(out))
-              case None =>
-                (cp.agg(sum("ctf")).head().getLong(0), Right(cp))
-            }
-          }
-          val (total, artifact) = graft.io.ArtifactCache.getOrBuild(key)(build) match {
-            case (_, Right(f)) if !graft.io.Regime.servable(f, s) =>
-              graft.io.ArtifactCache.invalidate(key)
-              graft.io.ArtifactCache.getOrBuild(key)(build)
-            case ok => ok
-          }
-          (total, artifact match {
-            case Left(rows) => broadcast(rows.toDF("h", "ctf"))
-            case Right(frame) => frame
-          })
-        }
         val (nCorpus, corpusUg) =
-          artifactFor(s"unigram-tf:documents:$d", Tables.documents(s, d))
+          unigramArtifact(s, s"unigram-tf:documents:$d", Tables.documents(s, d))
         val (nTarget, targetUg) =
-          artifactFor(s"unigram-tf-target-en:documents:$d",
+          unigramArtifact(s, s"unigram-tf-target-en:documents:$d",
             Tables.documents(s, d).filter(col("lang") === "en"))
         def ilog2(n: Long) = 63 - java.lang.Long.numberOfLeadingZeros(n)
         val shift = (ilog2(nCorpus) - ilog2(nTarget)).toDouble
-        tfOf(graft.util.Partitioning.fanOut(Tables.documents(s, d)))
+        hashTfOf(graft.util.Partitioning.fanOut(Tables.documents(s, d)))
           .join(corpusUg, Seq("h"))
           .join(targetUg.withColumnRenamed("ctf", "ctf_t"), Seq("h"), "left")
           .groupBy("doc_id")

@@ -95,6 +95,21 @@ class RegimeSpec extends AnyFunSuite {
     ArtifactCache.clear()
   }
 
+  test("x47: over-bound df + unigram artifacts serve as tables, value-identical") {
+    ArtifactCache.clear()
+    val base = rows("x47_bm25_topk")
+    assert(decision(s"tfidf-df:documents:$sf") == "collected")
+    ArtifactCache.clear()
+    withBound(1) {
+      val d = SparkEntry.queries("x47_bm25_topk")(spark, sf)
+      assert(decision(s"tfidf-df:documents:$sf") == "distributed")
+      assert(decision(s"unigram-tf:documents:$sf") == "distributed")
+      assert(d.collect().map(_.toString).toSeq == base,
+        "vocabulary-as-table x47 drifted from the broadcast regime")
+    }
+    ArtifactCache.clear()
+  }
+
   test("x40: over-bound frequent-line set rebuilds via the exploded join, value-identical") {
     ArtifactCache.clear()
     val base = rows("x40_line_dedup")

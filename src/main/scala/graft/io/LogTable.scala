@@ -1450,6 +1450,105 @@ object LogTable {
       schemaNarrowing = true)
   }
 
+  /** The allowed type-widening promotions (Iceberg's public widening
+    * matrix, restricted to this warehouse's flat type set): every
+    * promotion is VALUE-PRESERVING — each existing value reads back
+    * bit-exactly under the wider type — which is what makes a
+    * metadata-only widen sound. Anything else (narrowing, cross-family,
+    * scale changes) would fork the log's value history and is refused. */
+  private[graft] def isWidening(
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale == f.scale && t.precision > f.precision
+      case _ => false
+    }
+  }
+
+  /** SQL `ALTER TABLE ... ALTER COLUMN ... TYPE` as a TYPE-WIDENING
+    * schema-evolution commit (the Iceberg widening-matrix semantics:
+    * int family upward, float → double, decimal precision up at fixed
+    * scale): ONE metadata-only commit carrying the widened schema,
+    * ZERO data files rewritten.
+    *
+    * Why zero rewrites is sound end-to-end:
+    *   - READS: the committed schema governs every scan, and Spark's
+    *     vectorized parquet reader natively upcasts a narrower physical
+    *     file type into the requested wider column (int32 pages under a
+    *     bigint read schema, float under double, lower-precision decimal
+    *     — verified with filter pushdown intact), so pre-widen files and
+    *     post-widen files serve one coherent wide column. The DSv2
+    *     connector's row reader dispatches its extractors on the FILE's
+    *     physical type for the same reason.
+    *   - MANIFEST STATS stay exact without touching: the per-file stats
+    *     maps already record integral-family bounds normalized AS LONGS
+    *     and float/double bounds AS DOUBLES (the footer encodings), so
+    *     pruning comparisons and the stats-only aggregate pushdown are
+    *     width-independent — a widen changes only the type the answer is
+    *     DECODED to, never the recorded bounds. Decimal columns carry no
+    *     range stats by policy, so precision widening cannot corrupt
+    *     skipping either.
+    *   - TIME TRAVEL below the widen serves the version's own committed
+    *     schema — the old narrow type over the old narrow files — and a
+    *     [[changes]] window crossing the widen serves under the END
+    *     version's wide type (union coercion; physical values identical),
+    *     the same end-version rule renames follow.
+    *   - CONSTRAINTS are RE-PROVEN, not refused: every widening is
+    *     value-preserving, so a CHECK/MIN/MAX/NOT NULL expression over
+    *     the column decides identically over the widened values
+    *     (LogConnectorSpec pins enforcement across the widen).
+    *   - The KEY column may widen within the integer family: key stats
+    *     (minKey/maxKey) are already longs and every keyed path reads
+    *     keys through a long cast / physical-type dispatch.
+    *
+    * Batches arriving AFTER the widen must carry the wide type
+    * ([[requireCompatible]] refuses narrow ones loudly — casting is the
+    * caller's explicit act, same as every other type rule). Re-widening
+    * to the current type is a no-op (ALTER idempotence, the addColumns
+    * IF-NOT-EXISTS precedent). */
+  def widenColumn(
+      spark: SparkSession, table: String, name: String,
+      newType: org.apache.spark.sql.types.DataType): Unit = {
+    val (snapVersion, liveNow, committedSchema) = snapshotWithSchema(table, None)
+    require(Files.isDirectory(logDir(table)),
+      s"widenColumn($table): table does not exist")
+    val current = committedSchema.orElse {
+      if (liveNow.isEmpty) None
+      else Some(spark.read.option("mergeSchema", "true").parquet(
+        liveNow.map(f => dataDir(table).resolve(f.file).toString): _*).schema)
+    }.getOrElse(throw new IllegalStateException(
+      s"widenColumn($table): empty pre-evolution table has no committed " +
+        "schema to widen — append data first"))
+    val field = current.fields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"widenColumn($table): no column '$name' " +
+          s"(have ${current.fieldNames.mkString(", ")})"))
+    if (field.dataType == newType) return // already that type: no-op
+    require(isWidening(field.dataType, newType),
+      s"widenColumn($table): ${field.dataType.catalogString} -> " +
+        s"${newType.catalogString} is not a widening promotion — allowed: " +
+        "tinyint/smallint/int upward to bigint, float -> double, " +
+        "decimal(p,s) -> decimal(p'>p,s); anything else would fork the " +
+        "log's value history")
+    // field metadata (column-mapping physical name, comments) rides the
+    // widen untouched: the file bytes and their physical name are stable
+    val widened = org.apache.spark.sql.types.StructType(current.fields.map { f =>
+      if (f.name == name) f.copy(dataType = newType) else f
+    })
+    commit(table, snapVersion, adds = Seq.empty, removes = Seq.empty,
+      // a racing schema evolution recomputes against the new head (the
+      // narrowing rule, as rename: a union merge of narrow-vs-wide
+      // fields would be ambiguous; serial re-validation never is)
+      reRun = () => widenColumn(spark, table, name, newType),
+      schema = widened.json, schemaNarrowing = true)
+  }
+
   /** Append-only commit: new data files, no removals. Always safe under
     * concurrency (an empty removal set can never conflict with another
     * writer's read set — the commit loop just re-claims above whatever

@@ -159,6 +159,39 @@ object EtlQueries {
   private val k27Setup = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val k28Setup = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // k29's base snapshot: the kBase image with an INT measure column —
+  // the narrow type the widen-under-test promotes. Built once per sfDir
+  // (the kBase precedent: the oracle pays a SELECT, so the base build is
+  // setup); each execution takes a private zero-byte clone.
+  private val k29Base = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def k29CloneFor(
+      s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val base = k29Base.computeIfAbsent(d, dir => {
+      val existing = Tables.orders(s, dir)
+        .filter(col("o_orderdate") < lit("2000-01-01").cast("timestamp"))
+        .select(
+          col("o_orderkey").as("order_id"),
+          (col("o_orderkey") % 1000000).cast("int").as("qty"),
+          lit("base").as("src"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-k29base")
+      sys.addShutdownHook {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(tmp)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
+      }
+      val path = tmp.resolve("orders_log").toString
+      graft.io.LogTable.create(s, path,
+        existing.repartitionByRange(8, col("order_id")), "order_id")
+      path
+    })
+    val t = java.nio.file.Files.createTempDirectory("graft-k29")
+      .resolve("orders_log").toString
+    graft.io.LogTable.cloneTable(base, t)
+    t
+  }
+
   // ---- order-free cross-engine state checksum (storage-verb rows) ----
   // A storage row proves two things: the VERB ran (upsert/merge/update/
   // rename/delete landed) and the table's FINAL STATE is exact. The
@@ -1158,6 +1191,58 @@ object EtlQueries {
              |       MIN(o_orderpriority) AS prio_lo,
              |       MAX(o_orderpriority) AS prio_hi
              |FROM orders GROUP BY 1 ORDER BY status""".stripMargin),
+    ),
+
+    // K29 — `ALTER COLUMN ... TYPE` type-widening evolution (the last
+    // ALTER verb after ADD/DROP/RENAME; Iceberg's public widening
+    // matrix): the INT measure column widens to BIGINT as ONE
+    // metadata-only commit — zero files rewritten (LogConnectorSpec pins
+    // the file set) — then the re-sync batch upserts values BEYOND the
+    // old type's range, and the row reads both the head (wide type,
+    // mixed int32/int64 physical files upcast at scan) and the pre-widen
+    // version (time travel serves the OLD type over the old files; the
+    // explicit long cast in the v1 leg is the proof the stored type is
+    // still INT there). The oracle replays both snapshots in SQL.
+    QueryDef(
+      "k29_widen_column",
+      (s, d) => {
+        val t = k29CloneFor(s, d)
+        val v1 = graft.io.LogTable.version(t)
+        graft.io.LogTable.widenColumn(s, t, "qty",
+          org.apache.spark.sql.types.LongType)
+        // ~1% key sample beyond INT range: the values only representable
+        // AFTER the widen are what prove the promotion end-to-end
+        val incoming = Tables.orders(s, d)
+          .filter(col("o_orderkey") % 97 === 0)
+          .select(
+            col("o_orderkey").as("order_id"),
+            (col("o_orderkey") + lit(3000000000L)).as("qty"),
+            lit("resynced").as("src"))
+        graft.io.LogTable.upsert(s, t, incoming, "order_id")
+        val head = graft.io.LogTable.read(s, t)
+          .select(lit("head").as("snap"), col("order_id"), col("qty"), col("src"))
+        val old = graft.io.LogTable.readVersion(s, t, v1)
+          .select(lit("v1").as("snap"), col("order_id"),
+            col("qty").cast("long").as("qty"), col("src"))
+        stateChecksum(old.unionByName(head),
+          Seq("snap", "order_id", "qty", "src"))
+      },
+      Some(checksumSql(
+        """WITH e AS (
+          |  SELECT o_orderkey AS order_id, o_orderkey % 1000000 AS qty,
+          |         'base' AS src
+          |  FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
+          |), i AS (
+          |  SELECT o_orderkey AS order_id, o_orderkey + 3000000000 AS qty,
+          |         'resynced' AS src
+          |  FROM orders WHERE o_orderkey % 97 = 0
+          |)
+          |SELECT 'head' AS snap, * FROM (
+          |  SELECT * FROM e WHERE order_id NOT IN (SELECT order_id FROM i)
+          |  UNION ALL SELECT * FROM i)
+          |UNION ALL
+          |SELECT 'v1' AS snap, * FROM e""".stripMargin,
+        "snap, order_id, qty, src")),
     ),
 
     // K4/K6 — column alignment / schema migration: missing columns appear

@@ -154,8 +154,11 @@ class LogCatalog extends TableCatalog with SupportsNamespaces
     * before the ALTER keeps the old shape). This is exactly the
     * reference's migration playbook (migrate_duckdb.py:7-26), so a SQL
     * user running it gets the reference's IF-NOT-EXISTS no-op, not an
-    * error. Every other change kind stays loudly unsupported: the log
-    * IS the schema history, and drops/renames/retypes would fork it. */
+    * error. DROP/RENAME land as metadata-only evolution commits, and
+    * ALTER COLUMN TYPE is supported for WIDENING promotions only
+    * (LogTable.widenColumn — Iceberg's matrix); every other change kind
+    * stays loudly unsupported: the log IS the schema history, and
+    * narrowing retypes or repositions would fork it. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val path = pathOf(ident)
     if (!isTableDir(Paths.get(path))) throw new NoSuchTableException(ident)
@@ -201,6 +204,24 @@ class LogCatalog extends TableCatalog with SupportsNamespaces
           "in one statement")
       case _ => ()
     }
+    // ALTER COLUMN ... TYPE — type WIDENING only (Iceberg's matrix), as
+    // a metadata-only commit (LogTable.widenColumn: zero files
+    // rewritten; reads upcast narrow physical files at scan time).
+    // One column per statement, same as RENAME.
+    changes.collect { case u: TableChange.UpdateColumnType => u } match {
+      case Seq(u) if changes.length == 1 =>
+        if (u.fieldNames().length != 1) throw new UnsupportedOperationException(
+          "graft-log: ALTER TABLE ALTER COLUMN TYPE supports top-level " +
+            s"columns only, got nested field ${u.fieldNames().mkString(".")}")
+        LogTable.widenColumn(
+          org.apache.spark.sql.SparkSession.active, path,
+          u.fieldNames()(0), u.newDataType())
+        return loadTable(ident)
+      case Seq(_, _*) => throw new UnsupportedOperationException(
+        "graft-log: ALTER TABLE cannot mix ALTER COLUMN TYPE with other " +
+          "changes in one statement")
+      case _ => ()
+    }
     if (dropChanges.nonEmpty) {
       // DROP COLUMN(S) as one narrowing schema-evolution commit —
       // metadata-only (reads project the committed schema by name); the
@@ -236,8 +257,9 @@ class LogCatalog extends TableCatalog with SupportsNamespaces
         Option(add.comment()).fold(f)(f.withComment)
       case other => throw new UnsupportedOperationException(
         s"graft-log: ALTER TABLE change ${other.getClass.getSimpleName} is " +
-          "not supported — only ADD COLUMN / DROP COLUMN / RENAME COLUMN " +
-          "(retypes and repositions would fork the log's schema history)")
+          "not supported — only ADD COLUMN / DROP COLUMN / RENAME COLUMN / " +
+          "ALTER COLUMN TYPE (widening) — narrowing retypes and " +
+          "repositions would fork the log's schema history")
     }
     LogTable.addColumns(
       org.apache.spark.sql.SparkSession.active, path, added)

@@ -1710,9 +1710,17 @@ class LogFileReader(part: LogFilePartition) extends PartitionReader[InternalRow]
         case _ => identity
       }
       val get: Group => Any = (f.dataType, prim) match {
+        // type-widening reads (LogTable.widenColumn): a file written
+        // BEFORE the widen physically carries the narrow type — dispatch
+        // on the file's own primitive and upcast, exactly what Spark's
+        // vectorized reader does for the non-connector path
+        case (LongType, PrimitiveTypeName.INT32) =>
+          g => g.getInteger(name, 0).toLong
         case (LongType, _) => g => g.getLong(name, 0)
         case (IntegerType, _) => g => g.getInteger(name, 0)
         case (ShortType, _) => g => g.getInteger(name, 0).toShort
+        case (DoubleType, PrimitiveTypeName.FLOAT) =>
+          g => g.getFloat(name, 0).toDouble
         case (DoubleType, _) => g => g.getDouble(name, 0)
         case (FloatType, _) => g => g.getFloat(name, 0)
         case (BooleanType, _) => g => g.getBoolean(name, 0)

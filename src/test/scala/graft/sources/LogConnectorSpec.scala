@@ -1793,6 +1793,131 @@ class LogConnectorSpec extends AnyFunSuite {
       s"expected the NULL-key refusal, got: ${e.getMessage}")
   }
 
+  test("ALTER COLUMN TYPE widening: metadata-only, time travel keeps the old type, pruning exact, constraints re-proven") {
+    val wh = Files.createTempDirectory("graft-widen").toString
+    spark.conf.set("spark.sql.catalog.graftwid", classOf[LogCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftwid.warehouse", wh)
+    spark.sql("CREATE NAMESPACE graftwid.etl")
+    // INT key + INT measure + FLOAT score: the three widenable families
+    spark.sql("CREATE TABLE graftwid.etl.t (k INT, n INT, score FLOAT, v STRING) " +
+      "TBLPROPERTIES ('keyCol'='k', 'constraint.n_range'='n BETWEEN 0 AND 2000000')")
+    val t = s"$wh/etl/t"
+    // range-disjoint int32 files, so the post-widen pruning assertion is
+    // deterministic (hash DISTRIBUTE BY would mix key ranges per file)
+    spark.range(0, 8000).select(
+        col("id").cast("int").as("k"),
+        (col("id") % 1000).cast("int").as("n"),
+        (col("id") / 10.0).cast("float").as("score"),
+        concat(lit("v"), col("id")).as("v"))
+      .repartitionByRange(8, col("k"))
+      .write.format("graft-log").mode("append").save(t)
+    val preWidenV = LogTable.version(t)
+    val filesBefore = LogTable.read(spark, t).inputFiles.toSet
+    assert(filesBefore.size >= 8, s"want >=8 files, got ${filesBefore.size}")
+
+    // the widen: ONE metadata-only commit per column, ZERO files touched
+    spark.sql("ALTER TABLE graftwid.etl.t ALTER COLUMN n TYPE BIGINT")
+    spark.sql("ALTER TABLE graftwid.etl.t ALTER COLUMN score TYPE DOUBLE")
+    spark.sql("ALTER TABLE graftwid.etl.t ALTER COLUMN k TYPE BIGINT") // key widens too
+    assert(LogTable.version(t) == preWidenV + 3,
+      "each widen must land as ONE metadata-only commit")
+    assert(LogTable.read(spark, t).inputFiles.toSet == filesBefore,
+      "widening rewrote data files — must be metadata-only")
+
+    // the head serves the WIDE types through BOTH read paths, values exact
+    import org.apache.spark.sql.types.{LongType, DoubleType, IntegerType, FloatType}
+    val conn = load(t)
+    assert(conn.schema("k").dataType == LongType)
+    assert(conn.schema("n").dataType == LongType)
+    assert(conn.schema("score").dataType == DoubleType)
+    val viaApi = LogTable.read(spark, t)
+    assert(viaApi.schema("n").dataType == LongType &&
+      viaApi.schema("score").dataType == DoubleType)
+    val r42c = conn.filter(col("k") === 42L).head()
+    assert(r42c.getAs[Long]("n") == 42L &&
+      r42c.getAs[Double]("score") == 4.2f.toDouble &&
+      r42c.getAs[String]("v") == "v42")
+    assert(viaApi.filter(col("k") === 42L).head().getAs[Long]("n") == 42L)
+    assert(conn.count() == 8000L && viaApi.count() == 8000L)
+
+    // post-widen rows may exceed the old type's range
+    spark.sql("INSERT INTO graftwid.etl.t SELECT 9999999999, 1999999, 1.5, 'big'")
+    assert(spark.sql(
+      "SELECT n FROM graftwid.etl.t WHERE k = 9999999999").head().getLong(0) == 1999999L)
+
+    // manifest-stats pruning stays EXACT across the widen: a key window
+    // over pre-widen (int32) files prunes from the same long bounds
+    val got = load(t).filter(col("k") >= 3400L && col("k") <= 3490L)
+      .orderBy("k").collect().map(_.getAs[Long]("k")).toSeq
+    assert(got == (3400L to 3490L).toSeq)
+    assert(LogTableScan.lastPlannedFiles.get() == 1,
+      s"post-widen key window planned ${LogTableScan.lastPlannedFiles.get()} " +
+        s"of ${LogTableScan.lastTotalFiles.get()} files — pruning broke")
+
+    // stats-only aggregate pushdown answers under the WIDE type
+    val agg = spark.sql(
+      "SELECT count(*), min(n), max(n) FROM graftwid.etl.t").head()
+    assert(agg.getLong(0) == 8001L && agg.getLong(1) == 0L &&
+      agg.getLong(2) == 1999999L)
+    assert(LogTableScan.lastPlannedFiles.get() == 0,
+      "unfiltered agg over a widened column must answer from the manifest")
+
+    // TIME TRAVEL below the widen keeps the OLD types over the old files
+    val old = spark.sql(
+      s"SELECT * FROM graftwid.etl.t VERSION AS OF $preWidenV")
+    assert(old.schema("k").dataType == IntegerType &&
+      old.schema("n").dataType == IntegerType &&
+      old.schema("score").dataType == FloatType,
+      s"time travel must serve the pre-widen types, got ${old.schema}")
+    assert(old.filter(col("k") === 42).head().getAs[Int]("n") == 42)
+    assert(old.count() == 8000L)
+
+    // CONSTRAINTS are RE-PROVEN, not orphaned: the widened column's
+    // range CHECK still refuses a violating post-widen batch
+    val e = intercept[Exception](
+      spark.sql("INSERT INTO graftwid.etl.t SELECT 777777, 3000000, 0.0, 'x'"))
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("constraint"), s"widened CHECK stopped enforcing: $msgs")
+    assert(spark.sql("SELECT count(*) FROM graftwid.etl.t").head().getLong(0) == 8001L)
+
+    // keyed writes keep working across the mixed-width file set
+    LogTable.upsert(spark, t,
+      Seq((42L, 42L, 0.42d, "upserted")).toDF("k", "n", "score", "v"), "k")
+    assert(load(t).filter(col("k") === 42L).head().getAs[String]("v") == "upserted")
+
+    // refusals: narrowing, cross-family, decimal scale change, unknown col
+    def refusedWiden(name: String, dt: org.apache.spark.sql.types.DataType): Unit = {
+      val ex = intercept[Exception](LogTable.widenColumn(spark, t, name, dt))
+      assert(ex.getMessage.contains("widening") || ex.getMessage.contains("no column"),
+        ex.getMessage)
+    }
+    refusedWiden("n", IntegerType) // narrowing back
+    refusedWiden("v", LongType) // cross-family
+    refusedWiden("nope", LongType) // unknown column
+    // re-widening to the current type: idempotent no-op, no commit
+    val vNow = LogTable.version(t)
+    LogTable.widenColumn(spark, t, "n", LongType)
+    assert(LogTable.version(t) == vNow, "same-type widen must not commit")
+
+    // decimal precision widening (API level: value-preserving at fixed
+    // scale; scale changes refuse)
+    val t2 = tmpTable()
+    LogTable.create(spark, t2,
+      spark.sql("SELECT id AS k, CAST(id / 100.0 AS DECIMAL(7,2)) AS amt " +
+        "FROM range(1, 101)"), "k")
+    LogTable.widenColumn(spark, t2, "amt",
+      org.apache.spark.sql.types.DecimalType(18, 2))
+    val wide2 = LogTable.read(spark, t2)
+    assert(wide2.schema("amt").dataType ==
+      org.apache.spark.sql.types.DecimalType(18, 2))
+    assert(wide2.filter(col("k") === 50L).head()
+      .getAs[java.math.BigDecimal]("amt").compareTo(
+        new java.math.BigDecimal("0.50")) == 0)
+    intercept[Exception](LogTable.widenColumn(spark, t2, "amt",
+      org.apache.spark.sql.types.DecimalType(20, 4))) // scale change forks values
+  }
+
   test("write-time constraints: NOT NULL and range CHECKs enforce from footer stats") {
     val wh = Files.createTempDirectory("graft-constr").toString
     spark.conf.set("spark.sql.catalog.graftcn", classOf[LogCatalog].getName)

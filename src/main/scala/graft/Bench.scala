@@ -14,6 +14,16 @@ object Bench {
     })
 
   def main(args: Array[String]): Unit = {
+    // Scratch TABLES on the same RAM-backed dir as shuffle: the
+    // storage-verb rows clone fixture log tables and commit manifests
+    // under java.io.tmpdir — on this box that is ext4, paying
+    // journaled-write latency the in-process comparison engine never
+    // pays. Production provisions local NVMe / object storage for the
+    // table tier; tmpfs is the single-node stand-in (the spark.local.dir
+    // rationale below, applied to table scratch). Set FIRST: the JDK's
+    // TempFileHelper caches java.io.tmpdir at class-load, so this must
+    // run before any createTempDirectory call in the JVM.
+    sys.props("java.io.tmpdir") = Bench.localDir
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // Idle-host gate (round-12 verdict item 6): three rounds of driver-

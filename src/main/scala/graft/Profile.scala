@@ -24,6 +24,9 @@ object Profile {
   }
 
   def main(args: Array[String]): Unit = {
+    // mirror Bench's RAM-backed scratch (tables + shuffle) so probe
+    // timings predict bench behavior; must precede any temp-file use
+    sys.props("java.io.tmpdir") = Bench.localDir
     val names = args(0).split(",").toSeq
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 3
@@ -38,6 +41,11 @@ object Profile {
       // session without them cannot run the k-rows at all
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", Bench.localDir)
+      // A/B knob mirroring Bench's: quantify AQE's per-statement driver
+      // overhead on the storage verbs (default ON = production conf)
+      .config("spark.sql.adaptive.enabled",
+        (sys.env.getOrElse("SPARK_GRAFT_AQE", "1") != "0").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def t(label: String)(f: => Long): Unit = {
@@ -440,7 +448,54 @@ object Profile {
         println(s"SOAKGATE PASS reps=$soakReps queries=${top10.size} " +
           s"scaling_flips=0 forced_bound_flips=0 " +
           s"decisions=[${reported.mkString(", ")}]")
-      } } else if (name == "planscan") {
+      } } else if (name == "kdetail") {
+        // per-JOB decomposition of one query's timed body (env
+        // SPARK_GRAFT_PROBE_QUERIES, comma list): call site, duration,
+        // task count — localizes which driver action inside a storage
+        // verb pays, where kjobs only gives the aggregate.
+        case class JobRec(id: Int, site: String, tasks: Int,
+            start: Long, var end: Long)
+        val recs = new java.util.concurrent.ConcurrentHashMap[Int, JobRec]()
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onJobStart(
+                js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+              val site = js.stageInfos.lastOption.map(_.name).getOrElse("?")
+                .take(90)
+              val tasks = js.stageInfos.map(_.numTasks).sum
+              recs.put(js.jobId,
+                JobRec(js.jobId, site, tasks, System.nanoTime(), 0L))
+            }
+            override def onJobEnd(
+                je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+              val rec = recs.get(je.jobId)
+              if (rec != null) rec.end = System.nanoTime()
+            }
+          })
+        val qns = sys.env.getOrElse("SPARK_GRAFT_PROBE_QUERIES",
+          "k13_change_feed,k17_catalog_merge,k20_catalog_update")
+          .split(",").map(_.trim).filter(_.nonEmpty)
+        for (qn <- qns) {
+          recs.clear()
+          val fc0 = graft.io.LogTable.foldCalls.get()
+          val fn0 = graft.io.LogTable.foldNanos.get()
+          val t0 = System.nanoTime()
+          SparkEntry.queries(qn)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          val wall = (System.nanoTime() - t0) / 1e9
+          println(f"  FOLDS $qn rep$r n=${graft.io.LogTable.foldCalls.get() - fc0} " +
+            f"sec=${(graft.io.LogTable.foldNanos.get() - fn0) / 1e9}%.3f")
+          import scala.jdk.CollectionConverters._
+          val rows = recs.values.asScala.toSeq.sortBy(_.id)
+          val injob = rows.map(r =>
+            if (r.end > 0) (r.end - r.start) / 1e9 else 0.0).sum
+          println(f"KDETAIL $qn rep$r wall=$wall%.3f injob=$injob%.3f jobs=${rows.size}")
+          rows.foreach { jr =>
+            val d = if (jr.end > 0) (jr.end - jr.start) / 1e9 else -1.0
+            println(f"  JOB ${jr.id}%3d $d%7.3f s tasks=${jr.tasks}%4d  ${jr.site}")
+          }
+        }
+      } else if (name == "planscan") {
         // Print every query whose physical plan contains a quadratic
         // join — dev-loop companion to PlanSpec's blanket gate.
         graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (qn, fn) =>

@@ -85,10 +85,21 @@ object Corpus {
   def benchmarkOverlapIndexed(
       df: DataFrame, idCol: String, textCol: String,
       isBench: Column, n: Int,
-      index: Either[IndexedSeq[String], DataFrame]): DataFrame = {
+      index: Either[IndexedSeq[String], DataFrame],
+      corpusKey: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val corpusGrams = distinctGrams(df.filter(!isBench), idCol, textCol, n)
+    // the corpus gram stream is the other build-once half: within one
+    // snapshot both the report (x22) and the gate (x42) read the same
+    // exploded (id, gram-md5) projection, so `corpusKey` materializes it
+    // once as a DISTRIBUTED checkpoint handle (executor blocks — never
+    // driver state; the warm-serve shape of a curation pipeline that
+    // materializes its tokenized corpus per snapshot)
+    val corpusGrams = corpusKey match {
+      case Some(k) => graft.io.ArtifactCache.getOrBuildFrame(k, spark)(
+        distinctGrams(df.filter(!isBench), idCol, textCol, n))
+      case None => distinctGrams(df.filter(!isBench), idCol, textCol, n)
+    }
     index match {
       case Left(grams) => joinOverlap(corpusGrams, grams.toDF("m"))
       case Right(frame) => joinOverlap(corpusGrams, frame, hintBroadcast = false)
@@ -438,14 +449,23 @@ object Corpus {
       .select(col(idCol).as("id"),
         split(coalesce(col(textCol), lit("")), " ").as("_toks"))
       .select(col("id"), col("_toks"), gramHashesOf(col("_toks")).as("_gh"))
-    lazy val toksCp = toksRaw.localCheckpoint(false)
+    val key = cacheKey.getOrElse(s"dupspan:anon:${System.identityHashCode(df)}")
+    // the tokenize+hash projection is itself a build-once serve-many
+    // artifact (the production shape materializes the tokenized corpus
+    // once per snapshot): cached as a DISTRIBUTED checkpoint handle —
+    // executor blocks, never driver state — so a warm serve re-reads the
+    // materialization instead of re-paying the corpus tokenize (the r17
+    // warm-residue fix). Anonymous (uncached) calls keep a local
+    // checkpoint for the duration of the query only.
+    lazy val toksCp =
+      if (cacheKey.isDefined)
+        graft.io.ArtifactCache.getOrBuildFrame(s"$key:toks", spark)(toksRaw)
+      else toksRaw.localCheckpoint(false)
     def freqOf: DataFrame =
       toksCp.select(explode(col("_gh")).as("gh"))
         .groupBy("gh").agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") >= minCount)
         .select("gh")
-    val key = cacheKey.getOrElse(s"dupspan:anon:${System.identityHashCode(df)}")
-    val cachedAlready = cacheKey.isDefined && graft.io.ArtifactCache.keys.contains(key)
     def build: Either[IndexedSeq[Long], DataFrame] = {
       val cp = freqOf.persist()
       graft.io.Regime.collectIfSmall(key, cp)
@@ -485,7 +505,7 @@ object Corpus {
         // sequence(1, 0) DESCENDS — short docs (empty _gh) guard to an
         // empty start set instead
         rebuilt(
-          if (cachedAlready) toksRaw else toksCp,
+          toksCp,
           when(size(col("_gh")) > 0,
             filter(sequence(lit(1), size(col("_gh"))),
               s => org.apache.spark.sql.GraftColumnBridge.inLongSet(

@@ -115,17 +115,52 @@ object ArtifactCache {
     * one level deep) a persisted frame handle — dropping the handle
     * alone would strand its storage blocks until the ContextCleaner
     * gets to them, and Bench measures in the window where that cleanup
-    * lands. unpersist is a no-op on frames that were never persisted. */
+    * lands. unpersist is a no-op on frames that were never persisted.
+    * localCheckpoint-backed frames need the extra step: Dataset.unpersist
+    * only drops CacheManager entries, never the checkpoint RDD's blocks
+    * (the r17 reclamation lesson) — so the LogicalRDD's underlying RDD
+    * is unpersisted directly, which frees the blocks now instead of at
+    * ContextCleaner-after-GC time. Safe here because release only runs
+    * on EVICTION, where the handle is dropped and never served again. */
   private def release(v: AnyRef): Unit = {
     def un(x: Any): Unit = x match {
       case ds: org.apache.spark.sql.Dataset[_] =>
-        try ds.unpersist() catch { case scala.util.control.NonFatal(_) => () }
+        try {
+          ds.unpersist()
+          ds.queryExecution.analyzed.foreach {
+            case lr: org.apache.spark.sql.execution.LogicalRDD =>
+              lr.rdd.unpersist(blocking = false)
+            case _ => ()
+          }
+        } catch { case scala.util.control.NonFatal(_) => () }
       case e: Either[_, _] => e.fold(un, un)
       case o: Option[_] => o.foreach(un)
       case p: Product if p.productArity <= 4 => p.productIterator.foreach(un)
       case _ => ()
     }
     un(v)
+  }
+
+  /** Build-once serve-many DISTRIBUTED projection artifact: a shared
+    * intermediate frame (a tokenized+hashed corpus projection, an
+    * exploded gram stream) materialized as ONE localCheckpoint whose
+    * handle is cached under `key`. This is the distributed counterpart
+    * of the driver-value entries above — the data stays in executor
+    * block storage (MEMORY_AND_DISK: spills, never OOMs the driver), the
+    * cache holds only the lineage-truncated handle, so the driver-size
+    * cap is irrelevant by construction. Production shape: a curation
+    * pipeline materializes its tokenized corpus once per snapshot and
+    * every downstream pass reads the materialization; rebuilding the
+    * projection per query re-pays the corpus scan each time. A handle
+    * whose SparkContext died (cross-session test reuse) is invalidated
+    * and rebuilt, same contract as [[Regime.servable]] frames. */
+  def getOrBuildFrame(key: String, spark: org.apache.spark.sql.SparkSession)(
+      build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    def fresh(): org.apache.spark.sql.DataFrame =
+      getOrBuild(key)(build.localCheckpoint(false))
+    val f = fresh()
+    if (Regime.servable(f, spark)) f
+    else { invalidate(key); fresh() }
   }
 
   /** Drop every cached artifact (tests, or pipelines that rewrite a

@@ -400,7 +400,42 @@ object LogTable {
       txns = txns, ts = ts, dvs = dvs, props = props, dvp = dvp)
   }
 
+  // dev-loop probe (Profile kdetail): how many log folds does a
+  // statement pay, and what do they cost in wall time?
+  private[graft] val foldCalls = new java.util.concurrent.atomic.AtomicLong()
+  private[graft] val foldNanos = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Parse cache for committed manifests. A vNNNNNNNN.json is IMMUTABLE
+    * once its CAS rename lands (truncate/restore only ever DELETE files,
+    * never rewrite them), so memoizing (path, size, mtime) → parsed
+    * Manifest is safe: the fold below is still driven by the CURRENT
+    * directory listing, so deleted manifests drop out naturally and a
+    * table recreated at the same path misses the cache on size/mtime.
+    * This matters because every verb re-folds the log several times per
+    * statement (read, schema probe, DV state, commit validation) — at
+    * 10+ versions that was 12-40 regex parses of the same bytes per
+    * statement (measured 20-60 ms). Capacity-bounded by wholesale clear:
+    * bench/test churn creates many short-lived temp tables and an LRU
+    * buys nothing at this entry cost. */
+  private case class ManifestKey(path: String, size: Long, mtimeNanos: Long)
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[ManifestKey, Manifest]()
+  private val ManifestCacheMax = 8192
+  private def cachedParse(p: Path): Manifest = {
+    val attrs =
+      try Files.readAttributes(
+        p, classOf[java.nio.file.attribute.BasicFileAttributes])
+      catch { case _: java.io.IOException => null }
+    if (attrs == null) return parse(Files.readString(p))
+    val key = ManifestKey(
+      p.toAbsolutePath.toString, attrs.size(),
+      attrs.lastModifiedTime().to(java.util.concurrent.TimeUnit.NANOSECONDS))
+    if (manifestCache.size > ManifestCacheMax) manifestCache.clear()
+    manifestCache.computeIfAbsent(key, _ => parse(Files.readString(p)))
+  }
+
   private def manifests(table: String): Seq[Manifest] = {
+    val t0 = System.nanoTime()
     val dir = logDir(table)
     if (!Files.isDirectory(dir)) return Seq.empty
     val it = Files.list(dir)
@@ -409,8 +444,12 @@ object LogTable {
       it.iterator().asScala
         .filter(p => p.getFileName.toString.matches("v\\d{8}\\.json"))
         .toSeq.sortBy(_.getFileName.toString)
-        .map(p => parse(Files.readString(p)))
-    } finally it.close()
+        .map(cachedParse)
+    } finally {
+      it.close()
+      foldCalls.incrementAndGet()
+      foldNanos.addAndGet(System.nanoTime() - t0)
+    }
   }
 
   /** Live file entries at `asOf` (or the head when None): fold the log. */
@@ -2075,9 +2114,43 @@ object LogTable {
           requireLive = touched.map(_.file))
         return
       }
-      val deadRows = joined.filter(dies)
-        .select(col(keyCol).cast("long")).distinct()
-        .limit(DvMaxKeys + 1).collect().map(_.getLong(0))
+      // SOURCE-DECIDABLE fast path: when every WHEN condition references
+      // only `_src_` columns (k24's shape — `_src_status = 'F'`), a
+      // matched row's fate is decided by its source image alone, so the
+      // dead-key set is {source keys where del ∨ upd} with NO join —
+      // keys that match no target row are marked harmlessly (no live
+      // file contains them; the read-side anti-join simply misses),
+      // exactly [[upsertDV]]'s stats-range argument. This drops the
+      // joined-filter collect's second join execution + broadcast build
+      // per statement. Conditions touching target columns (or a target
+      // column named `_src_*`, which would make the reference check
+      // ambiguous) keep the exact joined path below.
+      val condExprs = Seq(updateWhen, deleteWhen).flatten
+      val condSrcOnly = !srcCols.exists(_.startsWith("_src_")) &&
+        condExprs.forall { e =>
+          val ex = org.apache.spark.sql.GraftColumnBridge.expression(expr(e))
+          ex.deterministic && ex.collect {
+            case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+              a.name
+          }.forall(_.startsWith("_src_"))
+        }
+      val deadRows =
+        if (condSrcOnly) {
+          if (condExprs.isEmpty) Array.empty[Long]
+          else {
+            // same NULL-means-not-taken semantics as del/upd above; a
+            // NULL source key matches nothing (the equi-join misses),
+            // so it can never die — filter it like the joined path
+            // implicitly does
+            val anyDies = condExprs
+              .map(e => coalesce(expr(e), lit(false))).reduceLeft(_ || _)
+            prefixed.filter(anyDies && col(s"_src_$keyCol").isNotNull)
+              .select(col(s"_src_$keyCol").cast("long")).distinct()
+              .limit(DvMaxKeys + 1).collect().map(_.getLong(0))
+          }
+        } else joined.filter(dies)
+          .select(col(keyCol).cast("long")).distinct()
+          .limit(DvMaxKeys + 1).collect().map(_.getLong(0))
       if (deadRows.length > DvMaxKeys) { attempt(bulk = true); return }
       if (deadRows.isEmpty && appendSrc.isEmpty) return
       val dvAdds =

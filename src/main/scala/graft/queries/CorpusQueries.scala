@@ -186,7 +186,8 @@ object CorpusQueries {
         val isBench = col("doc_id") % 50 === 0
         Corpus.benchmarkOverlapIndexed(
           Tables.documents(s, d), "doc_id", "text", isBench, n = 3,
-          benchGramIndex(s, d, isBench))
+          benchGramIndex(s, d, isBench),
+          corpusKey = Some(s"corpus-grams:3:$d"))
           .orderBy("doc_id")
       },
       Some(s"""WITH ${shingleCtes(3, "documents")},
@@ -613,7 +614,8 @@ object CorpusQueries {
         val isBench = col("doc_id") % 50 === 0
         val overlap = Corpus.benchmarkOverlapIndexed(
             Tables.documents(s, d), "doc_id", "text", isBench, n = 3,
-            benchGramIndex(s, d, isBench))
+            benchGramIndex(s, d, isBench),
+            corpusKey = Some(s"corpus-grams:3:$d"))
           .select(col("doc_id"), col("contamination"))
         Tables.documents(s, d).filter(!isBench)
           .select(col("doc_id"), col("lang"))

@@ -23,6 +23,63 @@ object Profile {
     tmp
   }
 
+  /** The most expensive bench rows at sf0.1 — the set both scale gates
+    * (soakgate, sftrend) exercise at replica scale. */
+  private val soakTop10 = Seq("x46_ivfpq_topk", "x45_bigram_nll",
+    "x36_quality_survivors", "x44_dup_span_scrub", "x35_semdedup",
+    "x16_ivf_topk", "x39_cluster_balance", "x19_dedup_clusters",
+    "x43_dsir_select", "x20_dedup_survivors")
+
+  /** Build (or reuse) the SOAK fixture: a `reps`× replica of the sf
+    * dir's documents/embeddings with the other tables symlinked.
+    * Per-TOKEN replica suffixes make vocabulary scale ×reps with zero
+    * cross-replica Jaccard (near-dup work scales linearly while
+    * vocabulary-class artifacts are forced over the regime bound);
+    * element ROTATION keeps replica vectors near-orthogonal (no
+    * cross-replica near-dups). Gated on _SUCCESS, not the directory: a
+    * killed previous build leaves partial part files that would silently
+    * shrink the corpus a gate claims to audit. */
+  private def soakFixture(
+      spark: SparkSession, sfDir: String, reps: Int): String = {
+    import org.apache.spark.sql.functions._
+    import java.nio.file.{Files, Paths}
+    val tag = java.lang.Long.toHexString(sfDir.hashCode.toLong & 0xffffffffL)
+    val gateDir = s"/tmp/graft_soak/sfgate_${reps}x_$tag"
+    if (!new java.io.File(s"$gateDir/documents.parquet/_SUCCESS").exists() ||
+        !new java.io.File(s"$gateDir/embeddings.parquet/_SUCCESS").exists()) {
+      Files.createDirectories(Paths.get(gateDir))
+      val repCol = spark.range(0, reps).select(col("id").as("rep"))
+      graft.io.Tables.documents(spark, sfDir)
+        .crossJoin(repCol)
+        .select((col("doc_id") + col("rep") * 1000000L).as("doc_id"),
+          array_join(transform(split(col("text"), " "),
+            t => concat(t, lit("_"), col("rep"))), " ").as("text"),
+          col("lang"), col("source"))
+        // n_chars measures the SUFFIXED text — the replica corpus must
+        // be internally consistent or chars-per-token-style quality
+        // logic sees a distribution the fixture never has
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$gateDir/documents.parquet")
+      graft.io.Tables.embeddings(spark, sfDir)
+        .crossJoin(repCol)
+        .select((col("vec_id") + col("rep") * 1000000L).as("vec_id"),
+          transform(sequence(lit(0), lit(63)),
+            i => element_at(col("embedding"),
+              pmod(i + col("rep"), lit(64)).cast("int") + 1)).as("embedding"),
+          col("label"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$gateDir/embeddings.parquet")
+      for (tbl <- Seq("region", "nation", "customer", "supplier",
+          "part", "orders", "lineitem", "events")) {
+        val link = Paths.get(s"$gateDir/$tbl.parquet")
+        if (!Files.exists(link))
+          Files.createSymbolicLink(link, Paths.get(s"$sfDir/$tbl.parquet"))
+      }
+    }
+    gateDir
+  }
+
   def main(args: Array[String]): Unit = {
     // mirror Bench's RAM-backed scratch (tables + shuffle) so probe
     // timings predict bench behavior; must precede any temp-file use
@@ -313,53 +370,9 @@ object Profile {
         import java.nio.file.{Files, Paths}
         val soakReps = sys.env.getOrElse("SPARK_GRAFT_SOAK_REPS", "10").toInt
         val tag = java.lang.Long.toHexString(sfDir.hashCode.toLong & 0xffffffffL)
-        val gateDir = s"/tmp/graft_soak/sfgate_${soakReps}x_$tag"
-        // gate on _SUCCESS, not the directory: a killed previous build
-        // leaves partial part files that would silently shrink the
-        // corpus this gate claims to audit
-        if (!new java.io.File(s"$gateDir/documents.parquet/_SUCCESS").exists() ||
-            !new java.io.File(s"$gateDir/embeddings.parquet/_SUCCESS").exists()) {
-          Files.createDirectories(Paths.get(gateDir))
-          val reps = spark.range(0, soakReps).select(col("id").as("rep"))
-          // per-TOKEN replica suffix: vocabulary scales ×reps and
-          // cross-replica Jaccard is 0, so near-dup work scales linearly
-          // while vocabulary-class artifacts are FORCED over the regime
-          // bound — exactly the dispatch this gate audits
-          graft.io.Tables.documents(spark, sfDir)
-            .crossJoin(reps)
-            .select((col("doc_id") + col("rep") * 1000000L).as("doc_id"),
-              array_join(transform(split(col("text"), " "),
-                t => concat(t, lit("_"), col("rep"))), " ").as("text"),
-              col("lang"), col("source"))
-            // n_chars measures the SUFFIXED text — the replica corpus
-            // must be internally consistent or chars-per-token-style
-            // quality logic sees a distribution the fixture never has
-            .withColumn("n_chars", length(col("text")).cast("long"))
-            .repartition(32)
-            .write.mode("overwrite").parquet(s"$gateDir/documents.parquet")
-          // element ROTATION by replica: rotated random vectors are
-          // near-orthogonal, so no cross-replica near-dups
-          graft.io.Tables.embeddings(spark, sfDir)
-            .crossJoin(reps)
-            .select((col("vec_id") + col("rep") * 1000000L).as("vec_id"),
-              transform(sequence(lit(0), lit(63)),
-                i => element_at(col("embedding"),
-                  pmod(i + col("rep"), lit(64)).cast("int") + 1)).as("embedding"),
-              col("label"))
-            .repartition(32)
-            .write.mode("overwrite").parquet(s"$gateDir/embeddings.parquet")
-          for (tbl <- Seq("region", "nation", "customer", "supplier",
-              "part", "orders", "lineitem", "events")) {
-            val link = Paths.get(s"$gateDir/$tbl.parquet")
-            if (!Files.exists(link))
-              Files.createSymbolicLink(link, Paths.get(s"$sfDir/$tbl.parquet"))
-          }
-        }
+        val gateDir = soakFixture(spark, sfDir, soakReps)
         graft.io.Regime.lastDecision.clear()
-        val top10 = Seq("x46_ivfpq_topk", "x45_bigram_nll",
-          "x36_quality_survivors", "x44_dup_span_scrub", "x35_semdedup",
-          "x16_ivf_topk", "x39_cluster_balance", "x19_dedup_clusters",
-          "x43_dsir_select", "x20_dedup_survivors")
+        val top10 = soakTop10
         for (qn <- top10)
           t(s"soakgate $qn ${soakReps}x")(
             SparkEntry.queries(qn)(spark, gateDir).count())
@@ -448,6 +461,54 @@ object Profile {
         println(s"SOAKGATE PASS reps=$soakReps queries=${top10.size} " +
           s"scaling_flips=0 forced_bound_flips=0 " +
           s"decisions=[${reported.mkString(", ")}]")
+      } } else if (name == "sftrend") { if (r == 1) {
+        // Scale-TREND gate (r17 verdict item 6): correctness runs at
+        // sf0.01 and the bench at sf0.1 — neither measures the GROWTH
+        // CURVE, so a stage that is accidentally quadratic in corpus
+        // size (an all-pairs fallback, band-bucket skew, a collect that
+        // grows with the corpus) stays invisible until real scale. This
+        // times each of the most expensive corpus rows COLD (artifact
+        // caches dropped before every run — the bench's cold protocol)
+        // at 1× and at SOAK_REPS× replicas (the soak fixture: suffixed
+        // tokens / rotated vectors, so RESULT cardinality scales
+        // linearly by construction) and asserts wall time grows at most
+        // ~linearly:  t(N×) ≤ SLACK·N·t(1×) + FLOOR.
+        // SLACK 2.0 absorbs constant-amortization and host noise; FLOOR
+        // 1.5 s absorbs per-query fixed cost on sub-second rows. A
+        // quadratic stage lands at ~N·t(1×) OVER the bound at N=10 —
+        // loudly red. tools/sftrend.sh appends the lines to
+        // tools/sftrend.log once per round.
+        val soakReps = sys.env.getOrElse("SPARK_GRAFT_SOAK_REPS", "10").toInt
+        val gateDir = soakFixture(spark, sfDir, soakReps)
+        val slack = sys.env.getOrElse("SPARK_GRAFT_TREND_SLACK", "2.0").toDouble
+        val floor = sys.env.getOrElse("SPARK_GRAFT_TREND_FLOOR", "1.5").toDouble
+        val trendReps = 2
+        def coldMin(qn: String, dir: String): Double =
+          (1 to trendReps).map { _ =>
+            spark.catalog.clearCache()
+            graft.io.ArtifactCache.retainOnly(_.startsWith("import:"))
+            val t0 = System.nanoTime()
+            SparkEntry.queries(qn)(spark, dir)
+              .write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }.min
+        val red = scala.collection.mutable.ListBuffer.empty[String]
+        for (qn <- soakTop10) {
+          val t1 = coldMin(qn, sfDir)
+          val tN = coldMin(qn, gateDir)
+          val bound = slack * soakReps * t1 + floor
+          val ok = tN <= bound
+          if (!ok) red += qn
+          println(f"SFTREND $qn t1=$t1%.3f t$soakReps=$tN%.3f " +
+            f"ratio=${tN / math.max(t1, 1e-9)}%.1f bound=$bound%.3f " +
+            (if (ok) "OK" else "RED"))
+        }
+        graft.io.ArtifactCache.retainOnly(_.startsWith("import:"))
+        require(red.isEmpty,
+          s"SFTREND: superlinear growth ${sfDir}→${soakReps}x on: " +
+            red.mkString(", "))
+        println(s"SFTREND PASS reps=$soakReps queries=${soakTop10.size} " +
+          s"slack=$slack floor=$floor")
       } } else if (name == "kdetail") {
         // per-JOB decomposition of one query's timed body (env
         // SPARK_GRAFT_PROBE_QUERIES, comma list): call site, duration,

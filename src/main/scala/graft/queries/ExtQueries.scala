@@ -397,6 +397,59 @@ object ExtQueries {
     })
   }
 
+  /** Row-local per-(doc, term) tf frame with doc length — the shared
+    * scoring input of x47's BM25 and x48's overlap run: tf and dl come
+    * straight out of the native [[graft.functions.TermStats]] loop (no
+    * token shuffle, no per-doc groupBy), so the only exchanges any
+    * consumer pays are its own scoring joins. */
+  private def docTermTf(s: SparkSession, d: String): DataFrame =
+    graft.util.Partitioning.fanOut(Tables.documents(s, d))
+      .select(col("doc_id"),
+        graft.functions.TermStats(split(col("text"), " ")).as("ts"))
+      .select(col("doc_id"),
+        col("ts").getField("ntok").as("dl"),
+        explode(col("ts").getField("counts")).as("tc"))
+      .select(col("doc_id"), col("dl"),
+        col("tc").getField("term").as("term"),
+        col("tc").getField("tf").as("tf"))
+
+  /** The x47/x48 query set: distinct term sets of deterministic probe
+    * documents (doc_id % 200 = 7 — scales with the corpus), broadcast
+    * because a query set is small by definition. */
+  private def queryTermSets(s: SparkSession, d: String): DataFrame =
+    broadcast(Tables.documents(s, d)
+      .filter(col("doc_id") % 200 === 7)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(split(col("text"), " "))).as("term")))
+
+  /** The shared BM25 ranked run (x47 serves it directly; x48 fuses it):
+    * (query_id, doc_id, score_q, rnk) with rnk ≤ kTop per query. See
+    * x47's header for the bit-identity engineering (ln-free rational
+    * RSJ odds; per-term scores quantized to longs at 2^20 so the
+    * per-(query,doc) sum is exact integer arithmetic). */
+  private def bm25Ranked(s: SparkSession, d: String, kTop: Int): DataFrame = {
+    val (nDocs, dfreq) = dfreqArtifact(s, d)
+    val (nTok, _) =
+      unigramArtifact(s, s"unigram-tf:documents:$d", Tables.documents(s, d))
+    val avgdl = nTok.toDouble / nDocs.toDouble
+    // expression order mirrors the oracle TOKEN FOR TOKEN — every op
+    // is IEEE-exact or correctly rounded, so bits match (see x47)
+    val odds = (lit(nDocs).cast("double") - col("df").cast("double") +
+      lit(0.5)) / (col("df").cast("double") + lit(0.5)) + lit(1.0)
+    val norm = (col("tf").cast("double") * lit(2.2)) /
+      (col("tf").cast("double") + lit(1.2) *
+        (lit(0.25) + lit(0.75) * (col("dl").cast("double") / lit(avgdl))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("score_q"), asc("doc_id"))
+    docTermTf(s, d).join(queryTermSets(s, d), Seq("term"))
+      .join(dfreq, Seq("term"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(floor(odds * norm * lit(1048576.0) + lit(0.5)).cast("long"))
+        .as("score_q"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= kTop)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
@@ -1064,44 +1117,11 @@ object ExtQueries {
     // unit of retrieval work.
     QueryDef(
       "x47_bm25_topk",
-      (s, d) => {
-        val (nDocs, dfreq) = dfreqArtifact(s, d)
-        val (nTok, _) =
-          unigramArtifact(s, s"unigram-tf:documents:$d", Tables.documents(s, d))
-        val avgdl = nTok.toDouble / nDocs.toDouble
-        val tf = graft.util.Partitioning.fanOut(Tables.documents(s, d))
-          .select(col("doc_id"),
-            graft.functions.TermStats(split(col("text"), " ")).as("ts"))
-          .select(col("doc_id"),
-            col("ts").getField("ntok").as("dl"),
-            explode(col("ts").getField("counts")).as("tc"))
-          .select(col("doc_id"), col("dl"),
-            col("tc").getField("term").as("term"),
-            col("tc").getField("tf").as("tf"))
-        val qterms = broadcast(Tables.documents(s, d)
-          .filter(col("doc_id") % 200 === 7)
-          .select(col("doc_id").as("query_id"),
-            explode(array_distinct(split(col("text"), " "))).as("term")))
-        // expression order mirrors the oracle TOKEN FOR TOKEN — every op
-        // is IEEE-exact or correctly rounded, so bits match (see header)
-        val odds = (lit(nDocs).cast("double") - col("df").cast("double") +
-          lit(0.5)) / (col("df").cast("double") + lit(0.5)) + lit(1.0)
-        val norm = (col("tf").cast("double") * lit(2.2)) /
-          (col("tf").cast("double") + lit(1.2) *
-            (lit(0.25) + lit(0.75) * (col("dl").cast("double") / lit(avgdl))))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("query_id").orderBy(desc("score_q"), asc("doc_id"))
-        tf.join(qterms, Seq("term"))
-          .join(dfreq, Seq("term"))
-          .groupBy("query_id", "doc_id")
-          .agg(sum(floor(odds * norm * lit(1048576.0) + lit(0.5)).cast("long"))
-            .as("score_q"))
-          .withColumn("rnk", row_number().over(w))
-          .filter(col("rnk") <= 10)
+      (s, d) =>
+        bm25Ranked(s, d, 10)
           .select(col("query_id"), col("rnk"), col("doc_id"),
             (col("score_q") / lit(1048576.0)).as("score"))
-          .orderBy("query_id", "rnk")
-      },
+          .orderBy("query_id", "rnk"),
       Some("""WITH tok0 AS (
              |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
              |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
@@ -1137,6 +1157,117 @@ object ExtQueries {
              |  FROM scored)
              |SELECT query_id, rnk, doc_id, score_q / 1048576.0 AS score
              |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin),
+    ),
+
+    // X48 — RECIPROCAL RANK FUSION (Cormack, Clarke & Büttcher 2009 —
+    // the standard zero-training way to combine retrieval runs, and the
+    // "hybrid retrieval" shape an LLM data pipeline uses to merge a
+    // lexical ranker with a second signal): fuse x47's BM25 run with a
+    // raw term-frequency-overlap run (Σ tf_d(t) over t ∈ q∩d — the
+    // classic no-idf matching baseline; deliberately a DIFFERENT ranking
+    // of the same candidate space), each cut at top-20, by
+    //   RRF(d) = Σ_runs 1/(60 + rank_run(d))
+    // over the runs that ranked d, serving the fused top-10 per query.
+    //
+    // Bit identity: each run's ranks are already deterministic (integer
+    // scores + doc_id tie-breaks), and the 1/(60+r) contribution is
+    // quantized to floor(2^30 / (60+r)) — one correctly-rounded IEEE
+    // division + floor, identically shaped in both engines — so the
+    // fused score is an exact INTEGER sum; the served score divides by
+    // 2^30 once. k=60 is the published constant.
+    //
+    // Shape at scale: both runs share the row-local docTermTf projection
+    // and the broadcast query-term set; fusion itself touches only the
+    // ≤ 2·20 ranked rows per query — a union + one combinable groupBy on
+    // (query_id, doc_id), parallelism bounded by query count exactly
+    // like the runs themselves.
+    QueryDef(
+      "x48_rrf_fusion",
+      (s, d) => {
+        val k = 20
+        def contrib(r: org.apache.spark.sql.Column) =
+          floor(lit(1073741824.0) / (lit(60.0) + r.cast("double"))).cast("long")
+        val bm = bm25Ranked(s, d, k)
+          .select(col("query_id"), col("doc_id"), contrib(col("rnk")).as("c"))
+        val wo = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(desc("ov_q"), asc("doc_id"))
+        val ov = docTermTf(s, d).join(queryTermSets(s, d), Seq("term"))
+          .groupBy("query_id", "doc_id")
+          .agg(sum(col("tf")).as("ov_q"))
+          .withColumn("rnk", row_number().over(wo))
+          .filter(col("rnk") <= k)
+          .select(col("query_id"), col("doc_id"), contrib(col("rnk")).as("c"))
+        val wf = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(desc("rrf_q"), asc("doc_id"))
+        bm.unionByName(ov)
+          .groupBy("query_id", "doc_id")
+          .agg(sum(col("c")).as("rrf_q"))
+          .withColumn("rnk", row_number().over(wf))
+          .filter(col("rnk") <= 10)
+          .select(col("query_id"), col("rnk"), col("doc_id"),
+            (col("rrf_q") / lit(1073741824.0)).as("rrf_score"))
+          .orderBy("query_id", "rnk")
+      },
+      Some("""WITH tok0 AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+             |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+             |       FROM tok0 GROUP BY 1, 2),
+             |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+             |       FROM tok0 GROUP BY 1),
+             |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+             |ntok AS (SELECT CAST(count(*) AS BIGINT) AS n_tok FROM tok0),
+             |a AS (SELECT CAST(n_tok AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl
+             |      FROM n, ntok),
+             |qterm AS (SELECT DISTINCT doc_id AS query_id, term FROM tok0
+             |          WHERE doc_id % 200 = 7),
+             |bm_scored AS (
+             |  SELECT q.query_id, t.doc_id,
+             |    CAST(SUM(CAST(floor(
+             |      ((CAST(n.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5) /
+             |         (CAST(f.df AS DOUBLE) + 0.5) + 1.0) *
+             |      ((CAST(t.tf AS DOUBLE) * 2.2) /
+             |         (CAST(t.tf AS DOUBLE) + 1.2 *
+             |           (0.25 + 0.75 * (CAST(d.dl AS DOUBLE) / a.avgdl)))) *
+             |      1048576.0 + 0.5) AS BIGINT)) AS BIGINT) AS score_q
+             |  FROM qterm q
+             |  JOIN tf t USING (term)
+             |  JOIN dl d ON d.doc_id = t.doc_id
+             |  JOIN dfreq f ON f.term = t.term
+             |  CROSS JOIN n CROSS JOIN a
+             |  GROUP BY 1, 2),
+             |bm_run AS (
+             |  SELECT query_id, doc_id,
+             |    ROW_NUMBER() OVER (PARTITION BY query_id
+             |                       ORDER BY score_q DESC, doc_id ASC) AS rnk
+             |  FROM bm_scored),
+             |ov_scored AS (
+             |  SELECT q.query_id, t.doc_id, CAST(SUM(t.tf) AS BIGINT) AS ov_q
+             |  FROM qterm q JOIN tf t USING (term)
+             |  GROUP BY 1, 2),
+             |ov_run AS (
+             |  SELECT query_id, doc_id,
+             |    ROW_NUMBER() OVER (PARTITION BY query_id
+             |                       ORDER BY ov_q DESC, doc_id ASC) AS rnk
+             |  FROM ov_scored),
+             |contrib AS (
+             |  SELECT query_id, doc_id,
+             |    CAST(floor(1073741824.0 / (60.0 + CAST(rnk AS DOUBLE))) AS BIGINT) AS c
+             |  FROM bm_run WHERE rnk <= 20
+             |  UNION ALL
+             |  SELECT query_id, doc_id,
+             |    CAST(floor(1073741824.0 / (60.0 + CAST(rnk AS DOUBLE))) AS BIGINT) AS c
+             |  FROM ov_run WHERE rnk <= 20),
+             |fused AS (
+             |  SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS rrf_q
+             |  FROM contrib GROUP BY 1, 2),
+             |fr AS (
+             |  SELECT query_id, doc_id, rrf_q,
+             |    ROW_NUMBER() OVER (PARTITION BY query_id
+             |                       ORDER BY rrf_q DESC, doc_id ASC) AS rnk
+             |  FROM fused)
+             |SELECT query_id, rnk, doc_id, rrf_q / 1073741824.0 AS rrf_score
+             |FROM fr WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin),
     ),
 
     // X41 — unigram log-likelihood quality signal (the CCNet-family

@@ -52,4 +52,42 @@ class Bm25Spec extends AnyFunSuite {
       assert(q == math.rint(q), s"score $s is off the 2^-20 grid")
     }
   }
+
+  private def runRrf(): Seq[Row] =
+    SparkEntry.queries("x48_rrf_fusion")(spark, sf).collect().toSeq
+
+  test("x48: rank shape, monotone fused scores, RRF bounds, determinism") {
+    val rows = runRrf()
+    val byQuery = rows.groupBy(_.getLong(0))
+    assert(byQuery.keySet == Set(7L, 207L, 407L))
+    // RRF contribution of rank r in one run, on the 2^30 grid
+    def c(r: Int): Long = math.floor(1073741824.0 / (60.0 + r)).toLong
+    byQuery.foreach { case (q, rs) =>
+      assert(rs.map(_.getInt(1)).toSeq == (1 to 10),
+        s"query $q rank sequence broken")
+      val scores = rs.map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"query $q fused scores not monotone")
+      // bounds from the formula itself: a doc ranked in BOTH runs at
+      // best contributes 2·c(1); a doc ranked in one run at worst (20)
+      // contributes c(20) — every served score lies in [c(20), 2·c(1)]
+      rs.foreach { r =>
+        val rrfQ = math.rint(r.getDouble(3) * 1073741824.0).toLong
+        assert(rrfQ >= c(20) && rrfQ <= 2 * c(1),
+          s"query $q doc ${r.getLong(2)} fused score $rrfQ outside " +
+            s"[${c(20)}, ${2 * c(1)}]")
+        // every fused integer must decompose as c(r1) [+ c(r2)] for
+        // ranks in 1..20 — the score can only be built from real rank
+        // contributions
+        val singles = (1 to 20).map(c).toSet
+        val ok = singles.contains(rrfQ) ||
+          (1 to 20).exists(a => singles.contains(rrfQ - c(a)))
+        assert(ok, s"query $q fused score $rrfQ is not a 1- or 2-rank " +
+          "RRF sum — fusion arithmetic drifted")
+      }
+    }
+    // exact integer fusion ⇒ bit-identical rerun
+    assert(runRrf().map(_.toString) == rows.map(_.toString),
+      "x48 rerun drifted — fusion is not order-independent")
+  }
 }

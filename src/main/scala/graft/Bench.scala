@@ -236,8 +236,12 @@ object Bench {
     // storage_sec is the like-for-like query-engine comparison. (k15/k16
     // are NOT in the set: their table builds moved to untimed setup, so
     // their timed bodies are plain pruned reads — comparable.)
+    // (k27/k28 are NOT in the set: their constrained-table builds are
+    // untimed setup, so their timed bodies are plain analytic reads —
+    // comparable. k29/k30 ARE: widen clones + commits per execution,
+    // delete re-inserts + commits per execution.)
     val storageOps = Set("k11", "k12", "k13", "k14", "k17", "k18", "k19", "k20",
-      "k22", "k23", "k24", "k25", "k26")
+      "k22", "k23", "k24", "k25", "k26", "k29", "k30")
     val storageSec = results.collect {
       case (k, v) if k.length > 2 && storageOps(k.take(3)) => v
     }.sum

@@ -158,6 +158,7 @@ object EtlQueries {
   private val k25Setup = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val k27Setup = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val k28Setup = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val k30Setup = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   // k29's base snapshot: the kBase image with an INT measure column —
   // the narrow type the widen-under-test promotes. Built once per sfDir
@@ -1243,6 +1244,60 @@ object EtlQueries {
           |UNION ALL
           |SELECT 'v1' AS snap, * FROM e""".stripMargin,
         "snap, order_id, qty, src")),
+    ),
+
+    // K30 — SQL `DELETE FROM` through the LogCatalog: the last row-level
+    // DML verb without its own oracle row (k17 MERGE, k18 NOT-MATCHED-BY-
+    // SOURCE, k19 RESTORE, k20 UPDATE, k25 merge-on-read UPDATE). Two
+    // statements exercise BOTH planned shapes: the key-range DELETE's
+    // predicate translates onto manifest key bounds (fully-covered files
+    // would drop by a metadata-only commit; here the range lands inside
+    // the lowest file, so exactly that ONE straddler rewrites — the
+    // pruning LogConnectorSpec pins), and the modulo predicate is
+    // deliberately untranslatable, so Spark plans the group-based
+    // row-level rewrite (only files holding matching keys read+rewrite,
+    // same runtime group filter as k20).
+    // Every rep pays real verbs: the timed body first re-INSERTs the two
+    // doomed slices (an append commit), then deletes them — final state
+    // is identical every rep (rep 1 briefly holds duplicates of the
+    // doomed rows; both DELETEs remove originals and duplicates alike),
+    // so the row is idempotent while never timing a no-op. The oracle
+    // replays the surviving set from raw orders.
+    QueryDef(
+      "k30_sql_delete",
+      (s, d) => {
+        val cat = k30Setup.computeIfAbsent(d, dir => {
+          val name = mergeCatalogFor(s, dir)
+          Tables.orders(s, dir)
+            .select(
+              col("o_orderkey").as("order_id"),
+              col("o_orderstatus").as("status"),
+              col("o_totalprice").as("total"))
+            .repartitionByRange(8, col("order_id"))
+            .createOrReplaceTempView("k30_base")
+          s.sql(s"CREATE TABLE $name.etl.del_orders " +
+            "TBLPROPERTIES ('keyCol'='order_id') AS SELECT * FROM k30_base")
+          name
+        })
+        Tables.orders(s, d)
+          .filter(col("o_orderkey") <= 400 || col("o_orderkey") % 7 === 0)
+          .select(
+            col("o_orderkey").as("order_id"),
+            col("o_orderstatus").as("status"),
+            col("o_totalprice").as("total"))
+          .createOrReplaceTempView("k30_doomed")
+        s.sql(s"INSERT INTO $cat.etl.del_orders SELECT * FROM k30_doomed")
+        s.sql(s"DELETE FROM $cat.etl.del_orders WHERE order_id <= 400")
+        s.sql(s"DELETE FROM $cat.etl.del_orders WHERE order_id % 7 = 0")
+        stateChecksum(s.sql(s"SELECT * FROM $cat.etl.del_orders"),
+          Seq("order_id", "status", "total"))
+      },
+      Some(checksumSql(
+        """SELECT o_orderkey AS order_id, o_orderstatus AS status,
+          |       o_totalprice AS total
+          |FROM orders
+          |WHERE NOT (o_orderkey <= 400) AND NOT (o_orderkey % 7 = 0)""".stripMargin,
+        "order_id, status, total")),
     ),
 
     // K4/K6 — column alignment / schema migration: missing columns appear

@@ -153,8 +153,23 @@ object Bench {
     // non-`import:` keys they leave behind — they get a second, warm-serve
     // timing facet below.
     val artifactBacked = scala.collection.mutable.LinkedHashSet.empty[String]
+    // Storage-verb row prefixes (defined here because the timed loop's
+    // per-row rep count keys off the same set; the facet subtotal and
+    // comparable ratios below reuse it).
+    val storageOps = Set("k11", "k12", "k13", "k14", "k17", "k18", "k19", "k20",
+      "k22", "k23", "k24", "k25", "k26", "k29", "k30")
     val results = timedQueries.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+      // Storage-verb rows get extra reps: their sub-second multi-commit
+      // bodies carry the widest run-to-run spread on this host (±30%
+      // observed at identical guest load — host-level neighbor noise the
+      // guest can't see), and min-of-N is the estimator of the plan's
+      // inherent cost, so more samples = a tighter min at ~10 s total
+      // added. The DuckDB twin replays in-process microsecond statements
+      // whose min is stable at 3 reps either way.
+      val nReps =
+        if (name.length > 2 && storageOps(name.take(3))) math.max(reps, 5)
+        else reps
+      val times = (1 to nReps).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => failed += name }
@@ -240,8 +255,6 @@ object Bench {
     // untimed setup, so their timed bodies are plain analytic reads —
     // comparable. k29/k30 ARE: widen clones + commits per execution,
     // delete re-inserts + commits per execution.)
-    val storageOps = Set("k11", "k12", "k13", "k14", "k17", "k18", "k19", "k20",
-      "k22", "k23", "k24", "k25", "k26", "k29", "k30")
     val storageSec = results.collect {
       case (k, v) if k.length > 2 && storageOps(k.take(3)) => v
     }.sum

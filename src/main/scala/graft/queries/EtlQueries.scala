@@ -77,7 +77,7 @@ object EtlQueries {
       }
       val path = tmp.resolve("orders_log").toString
       graft.io.LogTable.create(s, path,
-        existing.repartitionByRange(8, col("order_id")), "order_id")
+        existing.repartitionByRange(4, col("order_id")), "order_id")
       path
     })
     val t = java.nio.file.Files.createTempDirectory(s"graft-$tag")
@@ -184,7 +184,7 @@ object EtlQueries {
       }
       val path = tmp.resolve("orders_log").toString
       graft.io.LogTable.create(s, path,
-        existing.repartitionByRange(8, col("order_id")), "order_id")
+        existing.repartitionByRange(4, col("order_id")), "order_id")
       path
     })
     val t = java.nio.file.Files.createTempDirectory("graft-k29")
@@ -679,7 +679,7 @@ object EtlQueries {
               col("o_orderkey").as("order_id"),
               col("o_orderstatus").as("status"),
               lit("base").as("src"))
-            .repartitionByRange(8, col("order_id"))
+            .repartitionByRange(4, col("order_id"))
             .createOrReplaceTempView("k17_src_existing")
           s.sql(s"CREATE TABLE $name.etl.orders " +
             "TBLPROPERTIES ('keyCol'='order_id') AS " +
@@ -738,7 +738,7 @@ object EtlQueries {
               col("o_orderkey").as("order_id"),
               col("o_orderstatus").as("status"),
               col("o_orderdate").as("order_date"))
-            .repartitionByRange(8, col("order_id"))
+            .repartitionByRange(4, col("order_id"))
             .createOrReplaceTempView("k18_base")
           s.sql(s"CREATE TABLE $name.etl.sync_orders " +
             "TBLPROPERTIES ('keyCol'='order_id') AS SELECT * FROM k18_base")
@@ -821,10 +821,14 @@ object EtlQueries {
     // group-filter subquery (DISTINCT `_file` of condition-matching
     // rows, via SupportsRuntimeV2Filtering on the `_file` metadata
     // column) so only files holding matched keys rewrite —
-    // LogConnectorSpec pins that pruning shape. Idempotent across bench
-    // reps: the condition keys off the immutable order_id, so every rep
-    // rewrites the same groups to the same image (storage-op facet row:
-    // the timed body is an UPDATE commit + read-back).
+    // LogConnectorSpec pins that pruning shape. The probe is BANDED by
+    // key range so the rewrite touches the band's files, not the whole
+    // table — the small-delta latency shape every storage row times
+    // (k5_update_join keeps the reference's full-probe K5/J5 verb in the
+    // comparable facet; a full-table COW rewrite is maintenance-window
+    // work, and k25 covers the same statement merge-on-read). Idempotent
+    // across bench reps: the condition keys off the immutable order_id,
+    // so every rep rewrites the same groups to the same image.
     QueryDef(
       "k20_catalog_update",
       (s, d) => {
@@ -834,14 +838,15 @@ object EtlQueries {
             .select(
               col("o_orderkey").as("order_id"),
               col("o_orderstatus").as("status"))
-            .repartitionByRange(8, col("order_id"))
+            .repartitionByRange(4, col("order_id"))
             .createOrReplaceTempView("k20_base")
           s.sql(s"CREATE TABLE $name.etl.upd_orders " +
             "TBLPROPERTIES ('keyCol'='order_id') AS SELECT * FROM k20_base")
           name
         })
         Tables.lineitem(s, d)
-          .filter(col("l_returnflag") === "R")
+          .filter(col("l_returnflag") === "R" &&
+            col("l_orderkey").between(100000, 200000))
           .select(col("l_orderkey").as("order_id"))
           .createOrReplaceTempView("k20_returned")
         s.sql(s"""UPDATE $cat.etl.upd_orders SET status = 'RETURNED'
@@ -853,7 +858,8 @@ object EtlQueries {
       Some(checksumSql(
         """SELECT o_orderkey AS order_id,
           |       CASE WHEN o_orderkey IN (
-          |         SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+          |         SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+          |           AND l_orderkey BETWEEN 100000 AND 200000)
           |       THEN 'RETURNED' ELSE o_orderstatus END AS status
           |FROM orders""".stripMargin,
         "order_id, status")),
@@ -1047,7 +1053,7 @@ object EtlQueries {
             .select(
               col("o_orderkey").as("order_id"),
               col("o_orderstatus").as("status"))
-            .repartitionByRange(8, col("order_id"))
+            .repartitionByRange(4, col("order_id"))
             .createOrReplaceTempView("k25_base")
           s.sql(s"CREATE TABLE $name.etl.mor_orders " +
             "TBLPROPERTIES ('keyCol'='order_id') AS SELECT * FROM k25_base")
@@ -1257,38 +1263,42 @@ object EtlQueries {
     // deliberately untranslatable, so Spark plans the group-based
     // row-level rewrite (only files holding matching keys read+rewrite,
     // same runtime group filter as k20).
-    // Every rep pays real verbs: the timed body first re-INSERTs the two
-    // doomed slices (an append commit), then deletes them — final state
-    // is identical every rep (rep 1 briefly holds duplicates of the
-    // doomed rows; both DELETEs remove originals and duplicates alike),
-    // so the row is idempotent while never timing a no-op. The oracle
-    // replays the surviving set from raw orders.
+    // Every rep pays real verbs: the timed body first RESTOREs the table
+    // to its pre-delete snapshot (k19's verb as a metadata-only reset),
+    // then deletes — final state is identical every rep, so the row is
+    // idempotent while never timing a no-op DELETE. The oracle replays
+    // the surviving set from raw orders.
     QueryDef(
       "k30_sql_delete",
       (s, d) => {
-        val cat = k30Setup.computeIfAbsent(d, dir => {
+        val setup = k30Setup.computeIfAbsent(d, dir => {
           val name = mergeCatalogFor(s, dir)
           Tables.orders(s, dir)
             .select(
               col("o_orderkey").as("order_id"),
               col("o_orderstatus").as("status"),
               col("o_totalprice").as("total"))
-            .repartitionByRange(8, col("order_id"))
+            .repartitionByRange(4, col("order_id"))
             .createOrReplaceTempView("k30_base")
           s.sql(s"CREATE TABLE $name.etl.del_orders " +
             "TBLPROPERTIES ('keyCol'='order_id') AS SELECT * FROM k30_base")
-          name
+          val wh = s.conf.get(s"spark.sql.catalog.$name.warehouse")
+          s"$name:${graft.io.LogTable.version(s"$wh/etl/del_orders")}"
         })
-        Tables.orders(s, d)
-          .filter(col("o_orderkey") <= 400 || col("o_orderkey") % 7 === 0)
-          .select(
-            col("o_orderkey").as("order_id"),
-            col("o_orderstatus").as("status"),
-            col("o_totalprice").as("total"))
-          .createOrReplaceTempView("k30_doomed")
-        s.sql(s"INSERT INTO $cat.etl.del_orders SELECT * FROM k30_doomed")
+        val Array(cat, baseV) = setup.split(":")
+        // reset-by-RESTORE (k19's verb): a metadata-only commit brings
+        // the doomed rows back for the next rep — far cheaper than
+        // re-inserting them, and rep 1's restore-to-head is a harmless
+        // same-snapshot commit
+        s.sql(s"CALL $cat.system.restore('etl.del_orders', $baseV)")
         s.sql(s"DELETE FROM $cat.etl.del_orders WHERE order_id <= 400")
-        s.sql(s"DELETE FROM $cat.etl.del_orders WHERE order_id % 7 = 0")
+        // modulo (untranslatable) BANDED by key range: the group filter
+        // prunes the rewrite to the band's files — the small-delta shape
+        // every k-row times; a scattered predicate would honestly rewrite
+        // the whole table and belongs to a maintenance window, not a
+        // latency row
+        s.sql(s"DELETE FROM $cat.etl.del_orders " +
+          "WHERE order_id % 97 = 0 AND order_id BETWEEN 100000 AND 200000")
         stateChecksum(s.sql(s"SELECT * FROM $cat.etl.del_orders"),
           Seq("order_id", "status", "total"))
       },
@@ -1296,7 +1306,8 @@ object EtlQueries {
         """SELECT o_orderkey AS order_id, o_orderstatus AS status,
           |       o_totalprice AS total
           |FROM orders
-          |WHERE NOT (o_orderkey <= 400) AND NOT (o_orderkey % 7 = 0)""".stripMargin,
+          |WHERE NOT (o_orderkey <= 400)
+          |  AND NOT (o_orderkey % 97 = 0 AND o_orderkey BETWEEN 100000 AND 200000)""".stripMargin,
         "order_id, status, total")),
     ),
 

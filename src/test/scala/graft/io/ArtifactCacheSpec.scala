@@ -37,4 +37,56 @@ class ArtifactCacheSpec extends AnyFunSuite {
     }
     ArtifactCache.clear()
   }
+
+  test("getOrBuildFrame: one checkpoint build, value-identical serves, eviction frees blocks") {
+    ArtifactCache.clear()
+    import org.apache.spark.sql.functions._
+    var builds = 0
+    val key = "spec:frame"
+    def build = { builds += 1
+      spark.range(0, 1000).select(col("id"), (col("id") * 7).as("v")) }
+    val sc = spark.sparkContext
+    def cachedIds: Set[Int] =
+      sc.getRDDStorageInfo.filter(_.numCachedPartitions > 0).map(_.id).toSet
+    val pre = cachedIds
+    val a = ArtifactCache.getOrBuildFrame(key, spark)(build)
+    val rowsA = a.collect().map(_.toString).sorted
+    // second call serves the SAME checkpoint — no rebuild
+    val b = ArtifactCache.getOrBuildFrame(key, spark)(build)
+    assert(builds == 1, "frame artifact rebuilt on a warm serve")
+    assert(b.collect().map(_.toString).sorted.sameElements(rowsA),
+      "warm serve drifted from the built checkpoint")
+    // the checkpoint is block-backed: after the first action its RDD
+    // holds storage blocks; EVICTION must actually free them (the
+    // Dataset.unpersist-only path strands localCheckpoint blocks — the
+    // r17 reclamation lesson this API closes). Identified by diffing
+    // cached-RDD ids, not names (checkpoint RDD names are not stable).
+    val mine = cachedIds -- pre
+    assert(mine.nonEmpty, "the checkpoint build left no storage blocks")
+    ArtifactCache.invalidate(key)
+    // release uses unpersist(blocking = false): poll briefly
+    val deadline = System.nanoTime() + 5000000000L
+    while (cachedIds.intersect(mine).nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(cachedIds.intersect(mine).isEmpty,
+      "eviction left localCheckpoint blocks stranded in the block manager")
+    // post-eviction call rebuilds from scratch with the same values
+    val c = ArtifactCache.getOrBuildFrame(key, spark)(build)
+    assert(builds == 2, "post-eviction serve did not rebuild")
+    assert(c.collect().map(_.toString).sorted.sameElements(rowsA))
+    ArtifactCache.clear()
+  }
+
+  test("getOrBuildFrame backs the x44/x42 projections: warm serve skips the corpus re-derive") {
+    ArtifactCache.clear()
+    val cold = SparkEntry.queries("x44_dup_span_scrub")(spark, sf)
+      .collect().map(_.toString)
+    assert(ArtifactCache.keys.exists(_.endsWith(":toks")),
+      "x44 no longer caches its tokenize projection")
+    val warm = SparkEntry.queries("x44_dup_span_scrub")(spark, sf)
+      .collect().map(_.toString)
+    assert(cold.sameElements(warm),
+      "x44 drifted between cold projection build and checkpoint serve")
+    ArtifactCache.clear()
+  }
 }

@@ -1530,6 +1530,41 @@ class LogTableSpec extends AnyFunSuite {
     assert(r2.filter(col("k") === 1500L).select("v").head().getString(0) == "upd1500")
   }
 
+  test("mergeDV: target-referencing conditions take the joined path and still equal copy-on-write") {
+    // the r18 source-decidable fast path computes dead keys from the
+    // source frame alone when every WHEN condition references only
+    // `_src_` columns; a condition touching TARGET columns must keep
+    // the exact joined evaluation — this pins that fallback's semantics
+    // against the copy-on-write merge for a condition the fast path
+    // cannot serve (it reads the target's status, not the source's)
+    def mk(): String = {
+      val t = tmpTable()
+      LogTable.create(spark, t,
+        (1L to 2000L).map(i => (i, if (i % 3 == 0) "F" else "O", s"b$i"))
+          .toDF("k", "status", "v").repartitionByRange(4, col("k")), "k")
+      t
+    }
+    val srcDf = Seq((3L, "O", "u3"), (5L, "O", "u5"), (6L, "O", "u6"),
+      (3000L, "O", "i3000")).toDF("k", "status", "v")
+    // delete matched rows whose TARGET image is an F row (k=3, k=6);
+    // update the other matches (k=5); insert unmatched (k=3000)
+    val cow = mk()
+    LogTable.merge(spark, cow, srcDf, "k", updateWhen = Some("true"),
+      deleteWhen = Some("status = 'F'"), insertUnmatched = true)
+    val mor = mk()
+    LogTable.mergeDV(spark, mor, srcDf, "k", updateWhen = Some("true"),
+      deleteWhen = Some("status = 'F'"), insertUnmatched = true)
+    def rows3(t: String) = LogTable.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(rows3(mor) == rows3(cow),
+      "target-condition merge-on-read diverged from copy-on-write")
+    val r = LogTable.read(spark, mor)
+    assert(r.filter(col("k") === 3L).count() == 0,
+      "matched row with target status F must delete")
+    assert(r.filter(col("k") === 5L).select("v").head().getString(0) == "u5")
+    assert(r.filter(col("k") === 3000L).count() == 1)
+  }
+
   test("deletion vectors on a table whose columns shadow the reader's helper names") {
     // the anti-join's helper columns must not replace-and-drop user data
     val t = tmpTable()

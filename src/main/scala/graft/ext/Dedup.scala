@@ -340,13 +340,15 @@ object Dedup {
           sum(when(col("next_id") < col("cluster_id"), 1L).otherwise(0L)),
           lit(0L)))
         .head().getLong(0) == 0L
-      // the SUPERSEDED round's checkpoint blocks: Dataset.unpersist only
-      // uncaches CacheManager-registered plans, so it CANNOT release
-      // localCheckpoint RDD blocks — dropping the reference here lets
-      // the ContextCleaner reclaim them after GC (eventual, not
-      // immediate; storage is O(rounds-until-GC), bounded in practice by
-      // the cleaner's periodic GC trigger)
+      // the SUPERSEDED round's checkpoint blocks are released NOW
+      // (Checkpoints.release unpersists the plan's LogicalRDD directly —
+      // Dataset.unpersist cannot, it only drops CacheManager entries):
+      // this round's `updated` is an EAGER checkpoint, so nothing reads
+      // the old blocks again and per-round storage is genuinely O(1).
+      // Round 1's initial labels carry no checkpoint — release no-ops.
+      val superseded = labels
       labels = updated.select(col("id"), col("next_id").as("cluster_id"))
+      graft.util.Checkpoints.release(superseded)
       i += 1
     }
     edges.unpersist()
@@ -469,12 +471,13 @@ object Dedup {
       // a collision there would silently mislabel clusters
       converged = nNext == edges.count() &&
         next.join(edges, Seq("u", "v"), "left_anti").isEmpty
-      // superseded round's reference dropped after the convergence check
-      // (which reads BOTH frames); its localCheckpoint blocks are
-      // reclaimed by the ContextCleaner after GC — Dataset.unpersist
-      // cannot release checkpoint blocks (CacheManager-only), see the
-      // propagation loop
+      // superseded round's checkpoint blocks are released NOW, after the
+      // convergence check (the last reader of BOTH frames); `next` is an
+      // eager checkpoint, so per-round storage is genuinely O(1) — see
+      // the propagation loop and graft.util.Checkpoints
+      val superseded = edges
       edges = next
+      graft.util.Checkpoints.release(superseded)
       i += 1
     }
     if (!converged) {

@@ -127,11 +127,7 @@ object ArtifactCache {
       case ds: org.apache.spark.sql.Dataset[_] =>
         try {
           ds.unpersist()
-          ds.queryExecution.analyzed.foreach {
-            case lr: org.apache.spark.sql.execution.LogicalRDD =>
-              lr.rdd.unpersist(blocking = false)
-            case _ => ()
-          }
+          graft.util.Checkpoints.release(ds)
         } catch { case scala.util.control.NonFatal(_) => () }
       case e: Either[_, _] => e.fold(un, un)
       case o: Option[_] => o.foreach(un)

@@ -366,19 +366,17 @@ object ExtQueries {
     * the measured bound, vocabulary-as-table shuffle join past it). */
   private[queries] def dfreqArtifact(
       s: SparkSession, d: String): (Long, DataFrame) = {
-    def tfOf(src: DataFrame) = src
-      .select(col("doc_id"),
-        explode(graft.functions.TermStats(split(col("text"), " "))
-          .getField("counts")).as("tc"))
-      .select(col("doc_id"),
-        col("tc").getField("term").as("term"),
-        col("tc").getField("tf").as("tf"))
     val key = s"tfidf-df:documents:$d"
     def build: (Long, Either[IndexedSeq[(String, Long)], DataFrame]) = {
       // persist first, probe populates the blocks: one vocabulary
       // groupBy per snapshot whichever regime wins; the collected
-      // branch releases the blocks (see dupCorpusCandidates)
-      val cp = tfOf(graft.util.Partitioning.fanOut(Tables.documents(s, d)))
+      // branch releases the blocks (see dupCorpusCandidates).
+      // df derives from the SHARED postings checkpoint (docTermTf —
+      // value-identical source: its rows are the same per-(doc, term)
+      // TermStats counts the private tokenize here used to recompute),
+      // so a cold execution that needs both artifacts pays ONE corpus
+      // tokenize, not two.
+      val cp = docTermTf(s, d)
         .groupBy("term").agg(count(lit(1)).as("df")).persist()
       val collected = graft.io.Regime.collectIfSmall(key, cp)
         .map { rows => cp.unpersist(); rows.map(r => (r.getString(0), r.getLong(1))) }
@@ -398,20 +396,27 @@ object ExtQueries {
   }
 
   /** Row-local per-(doc, term) tf frame with doc length — the shared
-    * scoring input of x47's BM25 and x48's overlap run: tf and dl come
-    * straight out of the native [[graft.functions.TermStats]] loop (no
-    * token shuffle, no per-doc groupBy), so the only exchanges any
-    * consumer pays are its own scoring joins. */
+    * scoring input of x21's TF-IDF, x47's BM25, and x48's overlap run:
+    * tf and dl come straight out of the native
+    * [[graft.functions.TermStats]] loop (no token shuffle, no per-doc
+    * groupBy), so the only exchanges any consumer pays are its own
+    * scoring joins. Cached as a DISTRIBUTED checkpoint handle per corpus
+    * snapshot ([[graft.io.ArtifactCache.getOrBuildFrame]]) — the
+    * postings-style materialization an IR deployment keeps next to its
+    * df table, so warm serves pay scoring only, never the corpus
+    * re-tokenize. */
   private def docTermTf(s: SparkSession, d: String): DataFrame =
-    graft.util.Partitioning.fanOut(Tables.documents(s, d))
-      .select(col("doc_id"),
-        graft.functions.TermStats(split(col("text"), " ")).as("ts"))
-      .select(col("doc_id"),
-        col("ts").getField("ntok").as("dl"),
-        explode(col("ts").getField("counts")).as("tc"))
-      .select(col("doc_id"), col("dl"),
-        col("tc").getField("term").as("term"),
-        col("tc").getField("tf").as("tf"))
+    graft.io.ArtifactCache.getOrBuildFrame(s"doctermtf:documents:$d", s) {
+      graft.util.Partitioning.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"),
+          graft.functions.TermStats(split(col("text"), " ")).as("ts"))
+        .select(col("doc_id"),
+          col("ts").getField("ntok").as("dl"),
+          explode(col("ts").getField("counts")).as("tc"))
+        .select(col("doc_id"), col("dl"),
+          col("tc").getField("term").as("term"),
+          col("tc").getField("tf").as("tf"))
+    }
 
   /** The x47/x48 query set: distinct term sets of deterministic probe
     * documents (doc_id % 200 = 7 — scales with the corpus), broadcast
@@ -1041,15 +1046,10 @@ object ExtQueries {
     QueryDef(
       "x21_tfidf_topk",
       (s, d) => {
-        def tfOf(src: org.apache.spark.sql.DataFrame) = src
-          .select(col("doc_id"),
-            explode(graft.functions.TermStats(split(col("text"), " "))
-              .getField("counts")).as("tc"))
-          .select(col("doc_id"),
-            col("tc").getField("term").as("term"),
-            col("tc").getField("tf").as("tf"))
         val (nDocs, dfreq) = dfreqArtifact(s, d)
-        val tf = tfOf(graft.util.Partitioning.fanOut(Tables.documents(s, d)))
+        // the shared postings projection (tf is row-local TermStats
+        // output either way; dl is unused here)
+        val tf = docTermTf(s, d).select("doc_id", "term", "tf")
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("doc_id").orderBy(desc("score"), asc("term"))
         tf.join(dfreq, Seq("term"))

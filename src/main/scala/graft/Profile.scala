@@ -556,7 +556,26 @@ object Profile {
             println(f"  JOB ${jr.id}%3d $d%7.3f s tasks=${jr.tasks}%4d  ${jr.site}")
           }
         }
-      } else if (name == "planscan") {
+      } else if (name == "explain") { if (r == 1) {
+        // executed-plan summary for SPARK_GRAFT_PROBE_QUERIES: node-type
+        // counts that matter for plan review (reused exchanges/subtrees,
+        // aggregation and join counts), plus the full plan on request.
+        val qns = sys.env.getOrElse("SPARK_GRAFT_PROBE_QUERIES", "x48_rrf_fusion")
+          .split(",").map(_.trim).filter(_.nonEmpty)
+        for (qn <- qns) {
+          val df = SparkEntry.queries(qn)(spark, sfDir)
+          df.write.format("noop").mode("overwrite").save()
+          val plan = df.queryExecution.executedPlan.toString
+          def n(p: String) = p.r.findAllIn(plan).length
+          println(s"EXPLAIN $qn reusedExchange=${n("ReusedExchange")} " +
+            s"reusedSubquery=${n("ReusedSubquery")} " +
+            s"hashAgg=${n("HashAggregate")} smj=${n("SortMergeJoin")} " +
+            s"bhj=${n("BroadcastHashJoin")} window=${n("Window")} " +
+            s"exchange=${n("Exchange")}")
+          if (sys.env.get("SPARK_GRAFT_EXPLAIN_FULL").contains("1"))
+            println(plan)
+        }
+      } } else if (name == "planscan") {
         // Print every query whose physical plan contains a quadratic
         // join — dev-loop companion to PlanSpec's blanket gate.
         graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (qn, fn) =>

@@ -1187,19 +1187,44 @@ object ExtQueries {
         val k = 20
         def contrib(r: org.apache.spark.sql.Column) =
           floor(lit(1073741824.0) / (lit(60.0) + r.cast("double"))).cast("long")
-        val bm = bm25Ranked(s, d, k)
-          .select(col("query_id"), col("doc_id"), contrib(col("rnk")).as("c"))
-        val wo = org.apache.spark.sql.expressions.Window
-          .partitionBy("query_id").orderBy(desc("ov_q"), asc("doc_id"))
-        val ov = docTermTf(s, d).join(queryTermSets(s, d), Seq("term"))
+        // BOTH runs' scores from ONE pass over the postings⋈queries join
+        // (the matched row set is identical; only the aggregate differs),
+        // so the corpus-sized join and the (query_id, doc_id) exchange
+        // happen once — the two runs then diverge only in their window
+        // rank over the already-tiny per-(query, doc) frame.
+        val (nDocs, dfreq) = dfreqArtifact(s, d)
+        val (nTok, _) =
+          unigramArtifact(s, s"unigram-tf:documents:$d", Tables.documents(s, d))
+        val avgdl = nTok.toDouble / nDocs.toDouble
+        val odds = (lit(nDocs).cast("double") - col("df").cast("double") +
+          lit(0.5)) / (col("df").cast("double") + lit(0.5)) + lit(1.0)
+        val norm = (col("tf").cast("double") * lit(2.2)) /
+          (col("tf").cast("double") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * (col("dl").cast("double") / lit(avgdl))))
+        // checkpointed because BOTH window branches read it and Catalyst
+        // does not reuse the aggregation subtree across them (measured:
+        // 0 ReusedExchange, the corpus join ran twice) — the per-(query,
+        // doc) frame is the natural materialization point: its size is
+        // the retrieval workload (|queries|·|matched docs|), independent
+        // of corpus token count
+        val scored = docTermTf(s, d).join(queryTermSets(s, d), Seq("term"))
+          .join(dfreq, Seq("term"))
           .groupBy("query_id", "doc_id")
-          .agg(sum(col("tf")).as("ov_q"))
-          .withColumn("rnk", row_number().over(wo))
-          .filter(col("rnk") <= k)
-          .select(col("query_id"), col("doc_id"), contrib(col("rnk")).as("c"))
+          .agg(
+            sum(floor(odds * norm * lit(1048576.0) + lit(0.5)).cast("long"))
+              .as("score_q"),
+            sum(col("tf")).as("ov_q"))
+          .localCheckpoint(false)
+        def run(scoreCol: String) = {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("query_id").orderBy(desc(scoreCol), asc("doc_id"))
+          scored.withColumn("rnk", row_number().over(w))
+            .filter(col("rnk") <= k)
+            .select(col("query_id"), col("doc_id"), contrib(col("rnk")).as("c"))
+        }
         val wf = org.apache.spark.sql.expressions.Window
           .partitionBy("query_id").orderBy(desc("rrf_q"), asc("doc_id"))
-        bm.unionByName(ov)
+        run("score_q").unionByName(run("ov_q"))
           .groupBy("query_id", "doc_id")
           .agg(sum(col("c")).as("rrf_q"))
           .withColumn("rnk", row_number().over(wf))

@@ -24,11 +24,16 @@ object Profile {
   }
 
   /** The most expensive bench rows at sf0.1 — the set both scale gates
-    * (soakgate, sftrend) exercise at replica scale. */
+    * (soakgate, sftrend) exercise at replica scale. r18 adds the two
+    * retrieval rows (x47/x48 now top the cold list): at replica scale
+    * their work is |queries|·|matching postings|, and the suffixed
+    * replica tokens keep each query matching only its own replica — so
+    * the gates audit that retrieval stays linear, not queries×corpus. */
   private val soakTop10 = Seq("x46_ivfpq_topk", "x45_bigram_nll",
     "x36_quality_survivors", "x44_dup_span_scrub", "x35_semdedup",
     "x16_ivf_topk", "x39_cluster_balance", "x19_dedup_clusters",
-    "x43_dsir_select", "x20_dedup_survivors")
+    "x43_dsir_select", "x20_dedup_survivors",
+    "x47_bm25_topk", "x48_rrf_fusion")
 
   /** Build (or reuse) the SOAK fixture: a `reps`× replica of the sf
     * dir's documents/embeddings with the other tables symlinked.

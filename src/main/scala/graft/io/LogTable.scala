@@ -2129,10 +2129,15 @@ object LogTable {
       val condSrcOnly = !srcCols.exists(_.startsWith("_src_")) &&
         condExprs.forall { e =>
           val ex = org.apache.spark.sql.GraftColumnBridge.expression(expr(e))
-          ex.deterministic && ex.collect {
-            case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-              a.name
-          }.forall(_.startsWith("_src_"))
+          // subqueries hide their references behind a plan boundary the
+          // expression collect below cannot see — never fast-path them
+          ex.deterministic &&
+            !ex.exists(_.isInstanceOf[
+              org.apache.spark.sql.catalyst.expressions.SubqueryExpression]) &&
+            ex.collect {
+              case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+                a.name
+            }.forall(_.startsWith("_src_"))
         }
       val deadRows =
         if (condSrcOnly) {

@@ -175,6 +175,35 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /** Asymmetric CONTAINMENT over candidate pairs (Broder 1997's second
+    * resemblance measure): c(a→b) = |Sa ∩ Sb| / |Sa| — the doc-INCLUSION
+    * signal Jaccard structurally misses: a short document embedded
+    * verbatim in a longer one has containment 1.0 from the short side
+    * while Jaccard ≈ |Sa|/|Sb| stays low, so a Jaccard-thresholded dedup
+    * keeps the redundant inclusion. Same broadcast-pair array_intersect
+    * shape as [[jaccardFromSets]] (one intersection serves both
+    * directions); shingle-less docs (under n tokens) yield NULL, never a
+    * division by zero. */
+  def containmentFromSets(perDoc: DataFrame, pairs: DataFrame): DataFrame = {
+    val sets = perDoc.select(col("id"), col("shset"))
+    val withA = sets
+      .select(col("id").as("id_a"), col("shset").as("set_a"))
+      .join(broadcast(pairs), Seq("id_a"))
+    val withB = sets
+      .select(col("id").as("id_b"), col("shset").as("set_b"))
+      .join(withA, Seq("id_b"))
+    withB
+      .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+      .select(
+        col("id_a"), col("id_b"),
+        when(size(col("set_a")) > 0,
+          col("inter").cast("double") / size(col("set_a")).cast("double"))
+          .as("c_a_in_b"),
+        when(size(col("set_b")) > 0,
+          col("inter").cast("double") / size(col("set_b")).cast("double"))
+          .as("c_b_in_a"))
+  }
+
   /** MinHash signature, one row per document, columns s0..s{numHashes-1}.
     * Uses the shuffle-free per-document path ([[minhashWithSets]]). */
   def minhashSignature(

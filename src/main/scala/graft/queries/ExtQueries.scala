@@ -51,12 +51,14 @@ object ExtQueries {
     Dedup.hashParams(12).zipWithIndex.map { case ((a, b), i) =>
       s"min(($a * h0 + $b) % ${Dedup.MinhashP}) AS s$i"
     }.mkString(",\n    ")
-  private val bandSql =
-    (0 until 4).map { b =>
-      val cols = (b * 3 until b * 3 + 3).map(i => s"s$i").mkString(" || ',' || ")
+  private def bandSqlFor(bands: Int, rowsPerBand: Int) =
+    (0 until bands).map { b =>
+      val cols = (b * rowsPerBand until b * rowsPerBand + rowsPerBand)
+        .map(i => s"s$i").mkString(" || ',' || ")
       s"SELECT id, $b AS band, md5($cols) AS bh FROM sig"
     }.mkString("\n  UNION ALL ")
-  private def minhashCtesFor(corpusSql: String) =
+  private def minhashCtesFor(
+      corpusSql: String, bands: Int = 4, rowsPerBand: Int = 3) =
     s"""$corpusSql,
        |toks AS (SELECT id, string_split(text, ' ') AS t FROM corpus),
        |sh AS (
@@ -72,7 +74,7 @@ object ExtQueries {
        |    $sigSqlCols
        |  FROM hs GROUP BY id),
        |bands AS (
-       |  $bandSql),
+       |  ${bandSqlFor(bands, rowsPerBand)}),
        |cand AS (
        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
        |  FROM bands a JOIN bands b
@@ -148,6 +150,62 @@ object ExtQueries {
     (graft.io.ArtifactCache.getOrBuild(key)(build) match {
       // a handle from a stopped/foreign context cannot serve this
       // session — drop the entry and rebuild against `s`
+      case Right(f) if !graft.io.Regime.servable(f, s) =>
+        graft.io.ArtifactCache.invalidate(key)
+        graft.io.ArtifactCache.getOrBuild(key)(build)
+      case ok => ok
+    }) match {
+      case Left(pairs) =>
+        import s.implicits._
+        pairs.toDF("id_a", "id_b")
+      case Right(frame) => frame
+    }
+  }
+
+  // x49's corpus: documents + an 80%-TRUNCATED copy of every 25th doc —
+  // the inclusion case containment exists for (truncation keeps shingle
+  // Jaccard ≈ 0.8, high enough for banding recall, while containment of
+  // the truncated copy in its source is exactly 1.0)
+  private def containmentCorpus(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+    base.select(col("doc_id").as("id"), col("text"))
+      .unionByName(base.filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select((col("doc_id") + 10000000L).as("id"),
+          array_join(slice(col("t"), lit(1),
+            greatest(expr("(size(t) * 4) div 5"), lit(1))), " ").as("text")))
+  }
+
+  private val containmentCorpusSql =
+    """corpus AS (
+      |  SELECT doc_id AS id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000000,
+      |    array_to_string(t[1:greatest((len(t)*4)//5, 1)], ' ')
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |        WHERE doc_id % 25 = 0))""".stripMargin
+
+  /** x49's candidate pairs: the same regime-dispatched cached index
+    * contract as [[dupCorpusCandidates]], but banded 6×2 instead of
+    * 4×3 — containment-relevant pairs sit at a LOWER Jaccard floor
+    * (an 80% truncation is j ≈ 0.8; a half-doc inclusion j ≈ 0.5), and
+    * fewer rows per band is the published LSH knob that moves the
+    * S-curve's threshold down (P(cand) = 1-(1-j²)⁶: 0.94 at j=0.5,
+    * 0.998 at j=0.8, where 4×3 reads 0.41 at j=0.5). */
+  private def containmentCandidates(s: SparkSession, d: String): DataFrame = {
+    def pipeline: DataFrame = {
+      val sig = Dedup.minhashSignature(
+        containmentCorpus(s, d), "id", "text", n = 3, numHashes = 12)
+      Dedup.candidatePairs(Dedup.lshBands(sig, numHashes = 12, rowsPerBand = 2))
+    }
+    val key = s"lsh-cand:containment:12x2:$d"
+    def build: Either[IndexedSeq[(Long, Long)], DataFrame] = {
+      val cp = pipeline.persist()
+      graft.io.Regime.collectIfSmall(key, cp)
+        .map { rows => cp.unpersist(); rows.map(r => (r.getLong(0), r.getLong(1))) }
+        .toLeft(cp)
+    }
+    (graft.io.ArtifactCache.getOrBuild(key)(build) match {
       case Right(f) if !graft.io.Regime.servable(f, s) =>
         graft.io.ArtifactCache.invalidate(key)
         graft.io.ArtifactCache.getOrBuild(key)(build)
@@ -852,6 +910,47 @@ object ExtQueries {
               |JOIN cnt cb ON cb.id = i.id_b
               |WHERE CAST(i.inter AS DOUBLE) /
               |      CAST(ca.cnt + cb.cnt - i.inter AS DOUBLE) >= 0.5
+              |ORDER BY id_a, id_b""".stripMargin),
+    ),
+
+    // X49 — CONTAINMENT near-dup (Broder 1997's asymmetric resemblance;
+    // the doc-INCLUSION detector Lee et al.-style dedup pipelines need
+    // beyond Jaccard): a short document embedded verbatim in a longer
+    // one scores containment 1.0 from the short side while Jaccard stays
+    // at the length ratio, so a Jaccard-thresholded pass keeps the
+    // redundant inclusion. The corpus plants 80%-truncated copies of
+    // every 25th doc; candidates come from the containment-tuned 6×2
+    // banding (lower similarity floor — see containmentCandidates), and
+    // the exact score is array_intersect over per-doc shingle sets, both
+    // directions from ONE intersection. The oracle replays signature,
+    // banding, and both divisions value-for-value.
+    QueryDef(
+      "x49_containment",
+      (s, d) => {
+        val perDoc = Dedup.minhashWithSets(containmentCorpus(s, d), "id",
+          "text", n = 3, numHashes = 12).persist()
+        val pairs = containmentCandidates(s, d)
+        Dedup.containmentFromSets(perDoc, pairs)
+          .filter(greatest(col("c_a_in_b"), col("c_b_in_a")) >= 0.9)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH ${minhashCtesFor(containmentCorpusSql, bands = 6, rowsPerBand = 2)},
+              |dsh AS (SELECT DISTINCT id, sh FROM sh),
+              |cnt AS (SELECT id, count(*) AS cnt FROM dsh GROUP BY id),
+              |inter AS (
+              |  SELECT c.id_a, c.id_b, count(*) AS inter
+              |  FROM cand c
+              |  JOIN dsh a ON a.id = c.id_a
+              |  JOIN dsh b ON b.id = c.id_b AND b.sh = a.sh
+              |  GROUP BY c.id_a, c.id_b)
+              |SELECT i.id_a, i.id_b,
+              |  CAST(i.inter AS DOUBLE) / CAST(ca.cnt AS DOUBLE) AS c_a_in_b,
+              |  CAST(i.inter AS DOUBLE) / CAST(cb.cnt AS DOUBLE) AS c_b_in_a
+              |FROM inter i
+              |JOIN cnt ca ON ca.id = i.id_a
+              |JOIN cnt cb ON cb.id = i.id_b
+              |WHERE greatest(CAST(i.inter AS DOUBLE) / CAST(ca.cnt AS DOUBLE),
+              |               CAST(i.inter AS DOUBLE) / CAST(cb.cnt AS DOUBLE)) >= 0.9
               |ORDER BY id_a, id_b""".stripMargin),
     ),
 

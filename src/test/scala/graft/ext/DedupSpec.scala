@@ -306,4 +306,41 @@ class DedupSpec extends AnyFunSuite {
       .agg(max("keep_id")).head().getLong(0) < 30000L)
     assert(dups.agg(sum("n_copies")).head().getLong(0) == c.count())
   }
+
+  test("containment finds verbatim inclusions Jaccard-thresholded dedup misses") {
+    // a 60%-truncated copy: every shingle of the copy is a shingle of
+    // the source, so containment(copy → source) is exactly 1.0 while
+    // Jaccard ≈ 0.6 — below any 0.8-0.9 near-dup threshold. This is the
+    // signal x49 exists for (Broder's asymmetric resemblance).
+    val docs = Tables.documents(spark, sf)
+      .filter(col("doc_id") < 40)
+      .select(col("doc_id").as("id"), col("text"))
+    val c = docs.unionByName(docs.filter(col("id") % 4 === 0)
+      .select(col("id"), split(col("text"), " ").as("t"))
+      .select((col("id") + 50000).as("id"),
+        array_join(slice(col("t"), lit(1),
+          greatest(expr("(size(t) * 3) div 5"), lit(1))), " ").as("text")))
+    val perDoc = Dedup.minhashWithSets(c, "id", "text", 3, 12).persist()
+    // all planted (copy, source) pairs, bypassing candidate recall —
+    // this test pins the SCORER, x49's oracle row pins the banding
+    val sp = spark
+    import sp.implicits._
+    val pairs = (0L until 40L by 4).map(i => (i, i + 50000L)).toDF("id_a", "id_b")
+    val scored = Dedup.containmentFromSets(perDoc, pairs)
+      .collect().map(r => r.getLong(1) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    val jac = Dedup.jaccardFromSets(perDoc, pairs)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    perDoc.unpersist()
+    scored.foreach { case (copyId, (cSrcInCopy, cCopyInSrc)) =>
+      assert(cCopyInSrc == 1.0,
+        s"truncated copy $copyId not fully contained in its source ($cCopyInSrc)")
+      assert(cSrcInCopy < 0.9,
+        s"source unexpectedly contained in its truncation ($cSrcInCopy)")
+      assert(jac(copyId) < 0.9,
+        s"Jaccard ${jac(copyId)} would already catch copy $copyId — " +
+          "the fixture no longer exercises the containment-only case")
+    }
+    assert(scored.size == 10)
+  }
 }

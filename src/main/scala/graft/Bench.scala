@@ -23,7 +23,7 @@ object Bench {
     // rationale below, applied to table scratch). Set FIRST: the JDK's
     // TempFileHelper caches java.io.tmpdir at class-load, so this must
     // run before any createTempDirectory call in the JVM.
-    sys.props("java.io.tmpdir") = Bench.localDir
+    sys.props("java.io.tmpdir") = Bench.localDir.split(",").head
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // Idle-host gate (round-12 verdict item 6): three rounds of driver-

@@ -88,7 +88,7 @@ object Profile {
   def main(args: Array[String]): Unit = {
     // mirror Bench's RAM-backed scratch (tables + shuffle) so probe
     // timings predict bench behavior; must precede any temp-file use
-    sys.props("java.io.tmpdir") = Bench.localDir
+    sys.props("java.io.tmpdir") = Bench.localDir.split(",").head
     val names = args(0).split(",").toSeq
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 3

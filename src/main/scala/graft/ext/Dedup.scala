@@ -158,22 +158,28 @@ object Dedup {
     * and falls back to a shuffle join when the candidate volume is large
     * — a forced broadcast there would OOM a driver at 100 TB candidate
     * counts for ~0.4 s of fixture-scale win. */
-  def jaccardFromSets(perDoc: DataFrame, pairs: DataFrame): DataFrame = {
+  /** The broadcast-pair set-intersection skeleton both exact scorers
+    * share: (id_a, id_b, set_a, set_b, inter) over the candidate pairs —
+    * ONE intersection per pair, each scorer a final projection. */
+  private def pairIntersections(perDoc: DataFrame, pairs: DataFrame): DataFrame = {
     val sets = perDoc.select(col("id"), col("shset"))
     val withA = sets
       .select(col("id").as("id_a"), col("shset").as("set_a"))
       .join(broadcast(pairs), Seq("id_a"))
-    val withB = sets
+    sets
       .select(col("id").as("id_b"), col("shset").as("set_b"))
       .join(withA, Seq("id_b"))
-    withB
-      .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+      .withColumn("inter",
+        size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+  }
+
+  def jaccardFromSets(perDoc: DataFrame, pairs: DataFrame): DataFrame =
+    pairIntersections(perDoc, pairs)
       .select(
         col("id_a"), col("id_b"),
         (col("inter").cast("double") /
           (size(col("set_a")) + size(col("set_b")) - col("inter")).cast("double"))
           .as("jaccard"))
-  }
 
   /** Asymmetric CONTAINMENT over candidate pairs (Broder 1997's second
     * resemblance measure): c(a→b) = |Sa ∩ Sb| / |Sa| — the doc-INCLUSION
@@ -184,16 +190,8 @@ object Dedup {
     * shape as [[jaccardFromSets]] (one intersection serves both
     * directions); shingle-less docs (under n tokens) yield NULL, never a
     * division by zero. */
-  def containmentFromSets(perDoc: DataFrame, pairs: DataFrame): DataFrame = {
-    val sets = perDoc.select(col("id"), col("shset"))
-    val withA = sets
-      .select(col("id").as("id_a"), col("shset").as("set_a"))
-      .join(broadcast(pairs), Seq("id_a"))
-    val withB = sets
-      .select(col("id").as("id_b"), col("shset").as("set_b"))
-      .join(withA, Seq("id_b"))
-    withB
-      .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+  def containmentFromSets(perDoc: DataFrame, pairs: DataFrame): DataFrame =
+    pairIntersections(perDoc, pairs)
       .select(
         col("id_a"), col("id_b"),
         when(size(col("set_a")) > 0,
@@ -202,7 +200,6 @@ object Dedup {
         when(size(col("set_b")) > 0,
           col("inter").cast("double") / size(col("set_b")).cast("double"))
           .as("c_b_in_a"))
-  }
 
   /** MinHash signature, one row per document, columns s0..s{numHashes-1}.
     * Uses the shuffle-free per-document path ([[minhashWithSets]]). */

@@ -127,7 +127,12 @@ object ArtifactCache {
       case ds: org.apache.spark.sql.Dataset[_] =>
         try {
           ds.unpersist()
-          graft.util.Checkpoints.release(ds)
+          // ROOT-only checkpoint release: an entry DERIVED from another
+          // entry's checkpoint (dfreq is built over the docTermTf
+          // handle) must not strand its still-served upstream blocks on
+          // a selective invalidate — only a handle whose plan root IS
+          // the checkpoint frees storage here
+          graft.util.Checkpoints.releaseRoot(ds)
         } catch { case scala.util.control.NonFatal(_) => () }
       case e: Either[_, _] => e.fold(un, un)
       case o: Option[_] => o.foreach(un)

@@ -405,9 +405,12 @@ object LogTable {
   private[graft] val foldCalls = new java.util.concurrent.atomic.AtomicLong()
   private[graft] val foldNanos = new java.util.concurrent.atomic.AtomicLong()
 
-  /** Parse cache for committed manifests. A vNNNNNNNN.json is IMMUTABLE
-    * once its CAS rename lands (truncate/restore only ever DELETE files,
-    * never rewrite them), so memoizing (path, size, mtime) → parsed
+  /** Parse cache for committed manifests. A vNNNNNNNN.json is immutable
+    * once its CAS rename lands — with ONE exception: [[truncateHistory]]
+    * atomically REPLACES v{cut}.json with the consolidated checkpoint,
+    * so that path purges its cache entries explicitly
+    * ([[uncacheManifest]]) rather than leaning on the (size, mtime) key
+    * alone. Everywhere else memoizing (path, size, mtime) → parsed
     * Manifest is safe: the fold below is still driven by the CURRENT
     * directory listing, so deleted manifests drop out naturally and a
     * table recreated at the same path misses the cache on size/mtime.
@@ -432,6 +435,16 @@ object LogTable {
       attrs.lastModifiedTime().to(java.util.concurrent.TimeUnit.NANOSECONDS))
     if (manifestCache.size > ManifestCacheMax) manifestCache.clear()
     manifestCache.computeIfAbsent(key, _ => parse(Files.readString(p)))
+  }
+
+  /** Drop every cached parse of `p` — REQUIRED after the one operation
+    * that rewrites a manifest path in place ([[truncateHistory]]'s
+    * checkpoint replace); the (size, mtime) key would otherwise be the
+    * only guard against serving the pre-checkpoint delta as the
+    * checkpoint, and that guard is probabilistic, not structural. */
+  private def uncacheManifest(p: Path): Unit = {
+    val abs = p.toAbsolutePath.toString
+    manifestCache.keySet.removeIf(_.path == abs)
   }
 
   private def manifests(table: String): Seq[Manifest] = {
@@ -2146,12 +2159,34 @@ object LogTable {
             // same NULL-means-not-taken semantics as del/upd above; a
             // NULL source key matches nothing (the equi-join misses),
             // so it can never die — filter it like the joined path
-            // implicitly does
-            val anyDies = condExprs
-              .map(e => coalesce(expr(e), lit(false))).reduceLeft(_ || _)
-            prefixed.filter(anyDies && col(s"_src_$keyCol").isNotNull)
-              .select(col(s"_src_$keyCol").cast("long")).distinct()
-              .limit(DvMaxKeys + 1).collect().map(_.getLong(0))
+            // implicitly does.
+            // Keys are ALSO restricted to the touched files' merged key
+            // intervals: a source key outside every file's range cannot
+            // match (insert-heavy merges would otherwise register a DV
+            // entry per NEW key — phantom dead keys that drag through
+            // every read's anti-join and burn the requireDvBudget
+            // accumulation cap for nothing). In-range unmatched keys can
+            // still mark — harmless at read (the anti-join misses) and
+            // purged by any rewrite/compact, same trade as upsertDV.
+            val intervals = touched
+              .map(f => (f.minKey, f.maxKey)).sortBy(_._1)
+              .foldLeft(List.empty[(Long, Long)]) {
+                case ((clo, chi) :: acc, (lo2, hi2)) if lo2 <= chi =>
+                  (clo, math.max(chi, hi2)) :: acc
+                case (acc, iv) => iv :: acc
+              }
+            if (intervals.isEmpty) Array.empty[Long]
+            else {
+              val k = col(s"_src_$keyCol").cast("long")
+              val inRange = intervals
+                .map { case (lo2, hi2) => k >= lo2 && k <= hi2 }
+                .reduceLeft(_ || _)
+              val anyDies = condExprs
+                .map(e => coalesce(expr(e), lit(false))).reduceLeft(_ || _)
+              prefixed.filter(anyDies && k.isNotNull && inRange)
+                .select(k.as("_k")).distinct()
+                .limit(DvMaxKeys + 1).collect().map(_.getLong(0))
+            }
           }
         } else joined.filter(dies)
           .select(col(keyCol).cast("long")).distinct()
@@ -3602,6 +3637,9 @@ object LogTable {
     Files.writeString(tmp, render(ckpt))
     Files.move(tmp, versionPath(table, cut), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    // the ONE in-place manifest rewrite in the engine: purge its parse
+    // cache entries (see cachedParse's immutability contract)
+    uncacheManifest(versionPath(table, cut))
     val dropped = ms.filter(_.version < cut)
     dropped.foreach(m => Files.deleteIfExists(versionPath(table, m.version)))
     (dropped.size, vacuum(table, vacuumGraceMillis).size)

@@ -485,12 +485,17 @@ object ExtQueries {
       .select(col("doc_id").as("query_id"),
         explode(array_distinct(split(col("text"), " "))).as("term")))
 
-  /** The shared BM25 ranked run (x47 serves it directly; x48 fuses it):
-    * (query_id, doc_id, score_q, rnk) with rnk ≤ kTop per query. See
-    * x47's header for the bit-identity engineering (ln-free rational
-    * RSJ odds; per-term scores quantized to longs at 2^20 so the
-    * per-(query,doc) sum is exact integer arithmetic). */
-  private def bm25Ranked(s: SparkSession, d: String, kTop: Int): DataFrame = {
+  /** Per-(query, doc) BM25 scores over the shared postings projection —
+    * ONE spelling of the scoring expressions for every consumer (x47's
+    * served run and x48's fused run; a bit-identity-sensitive tweak
+    * must not be applied to one copy and missed in another). See x47's
+    * header for the engineering (ln-free rational RSJ odds; per-term
+    * scores quantized to longs at 2^20 so the per-(query, doc) sum is
+    * exact integer arithmetic). `withOverlap` adds the raw tf-overlap
+    * sum (x48's second run) to the SAME aggregate, so the corpus join
+    * is never paid twice. */
+  private def bm25Scored(
+      s: SparkSession, d: String, withOverlap: Boolean): DataFrame = {
     val (nDocs, dfreq) = dfreqArtifact(s, d)
     val (nTok, _) =
       unigramArtifact(s, s"unigram-tf:documents:$d", Tables.documents(s, d))
@@ -502,13 +507,22 @@ object ExtQueries {
     val norm = (col("tf").cast("double") * lit(2.2)) /
       (col("tf").cast("double") + lit(1.2) *
         (lit(0.25) + lit(0.75) * (col("dl").cast("double") / lit(avgdl))))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(desc("score_q"), asc("doc_id"))
+    val aggs =
+      sum(floor(odds * norm * lit(1048576.0) + lit(0.5)).cast("long"))
+        .as("score_q") ::
+        (if (withOverlap) List(sum(col("tf")).as("ov_q")) else Nil)
     docTermTf(s, d).join(queryTermSets(s, d), Seq("term"))
       .join(dfreq, Seq("term"))
       .groupBy("query_id", "doc_id")
-      .agg(sum(floor(odds * norm * lit(1048576.0) + lit(0.5)).cast("long"))
-        .as("score_q"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The BM25 ranked run x47 serves: (query_id, doc_id, score_q, rnk)
+    * with rnk ≤ kTop per query, over [[bm25Scored]]. */
+  private def bm25Ranked(s: SparkSession, d: String, kTop: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("score_q"), asc("doc_id"))
+    bm25Scored(s, d, withOverlap = false)
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= kTop)
   }
@@ -1287,32 +1301,16 @@ object ExtQueries {
         def contrib(r: org.apache.spark.sql.Column) =
           floor(lit(1073741824.0) / (lit(60.0) + r.cast("double"))).cast("long")
         // BOTH runs' scores from ONE pass over the postings⋈queries join
-        // (the matched row set is identical; only the aggregate differs),
-        // so the corpus-sized join and the (query_id, doc_id) exchange
-        // happen once — the two runs then diverge only in their window
-        // rank over the already-tiny per-(query, doc) frame.
-        val (nDocs, dfreq) = dfreqArtifact(s, d)
-        val (nTok, _) =
-          unigramArtifact(s, s"unigram-tf:documents:$d", Tables.documents(s, d))
-        val avgdl = nTok.toDouble / nDocs.toDouble
-        val odds = (lit(nDocs).cast("double") - col("df").cast("double") +
-          lit(0.5)) / (col("df").cast("double") + lit(0.5)) + lit(1.0)
-        val norm = (col("tf").cast("double") * lit(2.2)) /
-          (col("tf").cast("double") + lit(1.2) *
-            (lit(0.25) + lit(0.75) * (col("dl").cast("double") / lit(avgdl))))
-        // checkpointed because BOTH window branches read it and Catalyst
+        // (bm25Scored(withOverlap = true): the matched row set is
+        // identical, only the aggregate differs, and the scoring
+        // expressions have exactly one spelling shared with x47).
+        // Checkpointed because BOTH window branches read it and Catalyst
         // does not reuse the aggregation subtree across them (measured:
         // 0 ReusedExchange, the corpus join ran twice) — the per-(query,
         // doc) frame is the natural materialization point: its size is
         // the retrieval workload (|queries|·|matched docs|), independent
         // of corpus token count
-        val scored = docTermTf(s, d).join(queryTermSets(s, d), Seq("term"))
-          .join(dfreq, Seq("term"))
-          .groupBy("query_id", "doc_id")
-          .agg(
-            sum(floor(odds * norm * lit(1048576.0) + lit(0.5)).cast("long"))
-              .as("score_q"),
-            sum(col("tf")).as("ov_q"))
+        val scored = bm25Scored(s, d, withOverlap = true)
           .localCheckpoint(false)
         def run(scoreCol: String) = {
           val w = org.apache.spark.sql.expressions.Window

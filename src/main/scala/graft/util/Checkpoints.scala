@@ -17,8 +17,26 @@ package graft.util
   * fails with a missing-block error — which is the correct loud outcome
   * for a use-after-release bug, not a silent recompute. */
 object Checkpoints {
+  /** Deep release: unpersists EVERY LogicalRDD in the plan. Only for
+    * callers that EXCLUSIVELY own all checkpoints reachable from `ds`
+    * (the CC rounds: each round's checkpoint feeds only the next). A
+    * frame DERIVED from a shared checkpoint (an ArtifactCache entry
+    * built over another entry's handle) must use [[releaseRoot]] — deep
+    * release here would strand the sibling entry on missing blocks. */
   def release(ds: org.apache.spark.sql.Dataset[_]): Unit =
     try ds.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Release ONLY a checkpoint HANDLE's own blocks: unpersists the
+    * LogicalRDD when it is the plan's ROOT (the shape every
+    * `localCheckpoint()` result has). A derived frame — whose plan
+    * merely CONTAINS someone else's checkpoint — is left alone, so
+    * evicting it can never strand a still-served upstream artifact. */
+  def releaseRoot(ds: org.apache.spark.sql.Dataset[_]): Unit =
+    try ds.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)
       case _ => ()

@@ -1530,6 +1530,24 @@ class LogTableSpec extends AnyFunSuite {
     assert(r2.filter(col("k") === 1500L).select("v").head().getString(0) == "upd1500")
   }
 
+  test("mergeDV: source-decidable insert-heavy merges mint no phantom dead keys") {
+    // the fast path computes dead keys from the source alone — keys
+    // BEYOND every file's range cannot match, and marking them would
+    // accumulate one DV entry per NEW key (burning the requireDvBudget
+    // cap and dragging every read's anti-join) on a pure-insert stream
+    val t = tmpTable()
+    LogTable.create(spark, t,
+      (1L to 2000L).map(i => (i, "O", s"b$i"))
+        .toDF("k", "status", "v").repartitionByRange(4, col("k")), "k")
+    val newKeys = (5000L to 5100L).map(i => (i, "O", s"n$i"))
+      .toDF("k", "status", "v")
+    LogTable.mergeDV(spark, t, newKeys, "k", updateWhen = Some("true"),
+      deleteWhen = Some("_src_status = 'F'"), insertUnmatched = true)
+    assert(LogTable.liveDvs(t, None).isEmpty,
+      "insert-only source-decidable merge registered phantom dead keys")
+    assert(LogTable.read(spark, t).count() == 2101)
+  }
+
   test("mergeDV: target-referencing conditions take the joined path and still equal copy-on-write") {
     // the r18 source-decidable fast path computes dead keys from the
     // source frame alone when every WHEN condition references only

@@ -32,6 +32,9 @@ if [ $rc -eq 0 ] && [ -n "$summary" ]; then
   echo "$start PASS head=$sha srctree=$srctree sf=$sf reps=$reps secs=$dt $rows" >> tools/sftrend.log
   echo "sftrend: GREEN ($summary, ${dt}s)"
 else
+  # a clean exit WITHOUT the PASS line is still a red gate (output
+  # drift / truncation must not read as green to a && chain)
+  [ $rc -eq 0 ] && rc=1
   echo "$start FAIL head=$sha srctree=$srctree sf=$sf reps=$reps secs=$dt rc=$rc $rows" >> tools/sftrend.log
   echo "sftrend: RED. Output tail:"
   tail -40 "$out"

@@ -308,5 +308,29 @@ object Dashboard {
              |FROM lineitem
              |WHERE l_linestatus IS NOT NULL AND TRIM(l_linestatus) <> ''""".stripMargin),
     ),
+
+    // A13 — PIVOT (r18): the dashboard's status×year revenue MATRIX —
+    // the wide-format rotation every BI surface wants after a7/a8's long
+    // rollups. Spark's RelationalGroupedDataset.pivot with an EXPLICIT
+    // value list plans one pass (no extra distinct-values job, the
+    // production spelling — an unlisted-values pivot pays a scan to
+    // discover columns first); the oracle is the equivalent conditional
+    // aggregation. Empty cells read 0.0 on both sides (moneySum0 twins).
+    QueryDef(
+      "a13_pivot",
+      (s, d) =>
+        Tables.orders(s, d)
+          .select(year(col("o_orderdate")).as("year"),
+            col("o_orderstatus"), col("o_totalprice"))
+          .groupBy("year")
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(moneySum0(col("o_totalprice")))
+          .orderBy("year"),
+      Some(s"""SELECT EXTRACT(year FROM o_orderdate) AS year,
+              |  ${moneySum0Sql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS F,
+              |  ${moneySum0Sql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")} AS O,
+              |  ${moneySum0Sql("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")} AS P
+              |FROM orders GROUP BY 1 ORDER BY year""".stripMargin),
+    ),
   )
 }

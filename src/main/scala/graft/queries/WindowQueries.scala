@@ -184,6 +184,38 @@ object WindowQueries {
              |ORDER BY l.user_id, l_id, r_id""".stripMargin),
     ),
 
+    // W6 — stream-stream LEFT OUTER interval join (r18): w5's statement
+    // with the alert semantics — EVERY click, with its error iff one
+    // followed within the horizon. In streaming this is the state-
+    // EVICTION surface the inner join never exercises: an unmatched
+    // click holds in join state until the watermark passes
+    // l_ts + horizon (only then is "no match" provable) and emits with
+    // NULL right columns in a later micro-batch — EventStreamSpec pins
+    // that emission timing; this row pins the final semantics via the
+    // batch twin. NULL ordering is spelled NULLS FIRST on both engines
+    // (DuckDB defaults NULLS LAST on ASC).
+    QueryDef(
+      "w6_interval_left",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        EventStream.correlateWithin(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "error"),
+          horizon = "10 minutes", joinType = "left_outer")
+          .orderBy(col("user_id"), col("l_id"), col("r_id").asc_nulls_first)
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+             |  FROM events)
+             |SELECT l.user_id, l.event_id AS l_id, l.event_type AS l_type, l.ts AS l_ts,
+             |       r.event_id AS r_id, r.event_type AS r_type, r.ts AS r_ts
+             |FROM (SELECT * FROM ev WHERE event_type = 'click') l
+             |LEFT JOIN (SELECT * FROM ev WHERE event_type = 'error') r
+             |  ON l.user_id = r.user_id
+             | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 10 MINUTE
+             |ORDER BY l.user_id, l_id, r_id NULLS FIRST""".stripMargin),
+    ),
+
     // Distinct aggregation — COUNT(DISTINCT) per group (absent from the
     // reference, §2.5 note): exact user reach per event type. Spark plans
     // the two-phase distinct-agg expand; the 100 TB variant swaps in

@@ -104,9 +104,18 @@ object EventStream {
     * Pure transform: the same function is oracle-checked in batch
     * ([[graft.queries.WindowQueries]] w5) and spec-checked on
     * MemoryStreams ([[EventStreamSpec]]). */
+  /** `joinType` "inner" (w5) or "left_outer" (w6): the OUTER variant is
+    * the alert shape — "every click, WITH its error if one followed" —
+    * and in streaming it exercises real state-eviction semantics: an
+    * unmatched left row is held in the join state until the watermark
+    * passes l_ts + horizon (only then can Spark PROVE no match is
+    * coming) and emits with NULL right columns in a later micro-batch.
+    * Both sides are watermarked and the time condition bounds state on
+    * both, so state stays O(horizon), never O(stream). */
   def correlateWithin(
       left: DataFrame, right: DataFrame,
-      horizon: String = "10 minutes"): DataFrame = {
+      horizon: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark("ts", horizon)
       .select(col("user_id"), col("event_id").as("l_id"),
         col("event_type").as("l_type"), col("ts").as("l_ts"))
@@ -116,7 +125,8 @@ object EventStream {
     l.join(r,
       col("user_id") === col("r_user_id") &&
         col("r_ts") >= col("l_ts") &&
-        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizon"))
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizon"),
+      joinType)
       .select("user_id", "l_id", "l_type", "l_ts", "r_id", "r_type", "r_ts")
   }
 

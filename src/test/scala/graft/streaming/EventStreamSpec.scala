@@ -99,6 +99,43 @@ class EventStreamSpec extends AnyFunSuite {
     assert(batchGot == Seq((1L, 100L)))
   }
 
+  test("left-outer interval join emits unmatched clicks with NULLs after watermark eviction") {
+    val lmem = MemoryStream[Event]
+    val rmem = MemoryStream[Event]
+    val q = EventStream.correlateWithin(lmem.toDF(), rmem.toDF(),
+        "10 minutes", joinType = "left_outer")
+      .writeStream.format("memory").queryName("corrleft")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // u1 matches; u2 never will — it must NOT emit yet (no watermark
+      // has proven its horizon empty)
+      lmem.addData(
+        Event(1L, ts("2024-01-01 00:00:00"), 1L, "click", 1.0),
+        Event(2L, ts("2024-01-01 00:00:00"), 2L, "click", 1.0))
+      rmem.addData(Event(100L, ts("2024-01-01 00:05:00"), 1L, "error", 0.0))
+      q.processAllAvailable()
+      val early = spark.table("corrleft").select("l_id").collect().map(_.getLong(0))
+      assert(early.toSet == Set(1L),
+        s"unmatched click leaked before watermark eviction: ${early.mkString(",")}")
+      // advance BOTH watermarks far past u2's horizon (global watermark
+      // is the min across inputs) — the eviction lands at the END of
+      // this batch, so the NULL row emits in a SUBSEQUENT one
+      lmem.addData(Event(3L, ts("2024-01-01 02:00:00"), 3L, "click", 1.0))
+      rmem.addData(Event(101L, ts("2024-01-01 02:01:00"), 3L, "error", 0.0))
+      q.processAllAvailable()
+      lmem.addData(Event(4L, ts("2024-01-01 03:00:00"), 4L, "click", 1.0))
+      rmem.addData(Event(102L, ts("2024-01-01 03:00:30"), 4L, "error", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("corrleft")
+        .select("l_id", "r_id")
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toSet
+      assert(rows.contains((2L, -1L)),
+        s"unmatched click never emitted its NULL-right row: $rows")
+      assert(rows.contains((1L, 100L)) && rows.contains((3L, 101L)))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running per-user totals across batches") {
     val mem = MemoryStream[Event]
     val q = EventStream.runningUserTotals(spark, mem.toDF())

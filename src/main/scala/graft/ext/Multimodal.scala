@@ -50,6 +50,12 @@ object Multimodal {
     * downstream exact-dedup of frames. */
   case class Frame(doc_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
 
+  /** One fixed-width audio analysis window: `energy_sq` is the EXACT
+    * integer sum of squared samples (order-independent, engine-portable
+    * — RMS's sqrt is deferred to consumers), `mean_sq` one division. */
+  case class AudioWindow(doc_id: Long, window_idx: Int,
+                         energy_sq: Long, mean_sq: Double)
+
   // -------------------------------------------------------------------
   // STUB CODEC — deterministic fake standing in for libjpeg/ffmpeg.
   // -------------------------------------------------------------------
@@ -66,6 +72,18 @@ object Multimodal {
       val out = new Array[Int](n)
       var i = 0
       while (i < n) { out(i) = payload(i % payload.length) & 0xff; i += 1 }
+      out
+    }
+
+    /** "Decode" PCM audio: sample i = unsigned payload byte
+      * (i mod payload.length) recentered to [-128, 127] — the signed
+      * 8-bit PCM shape a real decoder would produce. */
+    def decodeAudio(payload: Array[Byte], nSamples: Int): Array[Int] = {
+      val out = new Array[Int](nSamples)
+      var i = 0
+      while (i < nSamples) {
+        out(i) = (payload(i % payload.length) & 0xff) - 128; i += 1
+      }
       out
     }
   }
@@ -289,6 +307,41 @@ object Multimodal {
       val block = m.payload.length / n
       (0 until n by stride).iterator.map { f =>
         Frame(m.doc_id, f, m.payload.slice(f * block, (f + 1) * block))
+      }
+    }
+  }
+
+  /** A pluggable byte→sample decoder — the audio twin of [[ImageCodec]]
+    * (StubCodec.decodeAudio → an ffmpeg/PCM binding in a real deploy);
+    * Serializable, ships into executor tasks. */
+  type AudioCodec = (Array[Byte], Int) => Array[Int]
+
+  /** Windowed audio energy — the standard first feature of an audio
+    * curation pass (silence/clipping detection, energy-based segment
+    * selection): decode nSamples per item, split into fixed `window`-
+    * sample frames, per frame the EXACT integer sum of squared samples
+    * (order-independent — engine-portable without float-sum drift) and
+    * its mean. Same mapPartitions batch shape as the image pipelines:
+    * one codec context per partition, payloads never cross an exchange —
+    * only (doc_id, window_idx, two numbers) leave the map stage. */
+  def audioEnergy(
+      spark: SparkSession, media: Dataset[MediaItem],
+      nSamples: Int, window: Int,
+      codec: AudioCodec = StubCodec.decodeAudio): Dataset[AudioWindow] = {
+    import spark.implicits._
+    require(nSamples % window == 0 && window > 0,
+      s"audioEnergy: nSamples ($nSamples) must be a positive multiple of window ($window)")
+    media.mapPartitions { items =>
+      items.flatMap { m =>
+        val s = codec(m.payload, nSamples)
+        (0 until nSamples / window).iterator.map { w =>
+          var e = 0L
+          var k = 0
+          while (k < window) {
+            val v = s(w * window + k).toLong; e += v * v; k += 1
+          }
+          AudioWindow(m.doc_id, w, e, e.toDouble / window)
+        }
       }
     }
   }

@@ -132,6 +132,42 @@ object MultimodalQueries {
              |ORDER BY doc_id, frame_idx""".stripMargin),
     ),
 
+    // M6 — windowed AUDIO energy (r18: the audio modality's first
+    // curation feature — silence/clipping detection and energy-based
+    // segment selection run on exactly this statistic): the audio-kind
+    // payloads "decode" through the same pluggable-codec seam as the
+    // image pipelines (StubCodec.decodeAudio → signed 8-bit PCM;
+    // a real deployment swaps one function), 50 samples split into five
+    // 10-sample windows, per window the EXACT integer sum of squared
+    // samples (order-independent — no float-sum drift cross-engine) and
+    // its mean. Payloads never cross an exchange; only (doc_id,
+    // window_idx, two numbers) leave the map stage. The oracle replays
+    // the byte→sample interpretation from the md5 hex.
+    QueryDef(
+      "m6_audio_energy",
+      (s, d) => {
+        val audio = Multimodal.mediaFromDocuments(orderedDocs(s, d), fan = false)
+          .filter(col("meta.kind") === "audio")
+        Multimodal.audioEnergy(s, Multimodal.asMediaItems(s, audio),
+          nSamples = 50, window = 10)
+          .toDF()
+        // ordered via orderedDocs; flatMap emits windows in window_idx
+        // order inside each doc, so (doc_id, window_idx) order holds
+      },
+      Some("""WITH audio AS (
+             |  SELECT doc_id, md5(text) AS hx FROM documents
+             |  WHERE doc_id % 3 = 1),
+             |s AS (
+             |  SELECT doc_id, CAST(i // 10 AS INT) AS window_idx,
+             |    CAST('0x' || substr(hx, CAST((i % 16) * 2 + 1 AS INT), 2) AS BIGINT)
+             |      - 128 AS v
+             |  FROM audio, unnest(generate_series(0, 49)) AS t(i))
+             |SELECT doc_id, window_idx,
+             |  CAST(SUM(v * v) AS BIGINT) AS energy_sq,
+             |  CAST(SUM(v * v) AS DOUBLE) / 10.0 AS mean_sq
+             |FROM s GROUP BY 1, 2 ORDER BY doc_id, window_idx""".stripMargin),
+    ),
+
     // M5 — perceptual-hash image near-dup (the LAION-style multimodal
     // dedup step): the published aHash(16)+dHash(24) construction over
     // the decoded 4×4 images, pairs at hamming ≤ 2 found by pigeonhole

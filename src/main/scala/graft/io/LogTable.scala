@@ -447,6 +447,20 @@ object LogTable {
     manifestCache.keySet.removeIf(_.path == abs)
   }
 
+  /** Drop every cached parse under `table`'s log dir — run by the v1
+    * claim paths ([[create]]/[[createEmpty]]/[[cloneTable]]). The (path,
+    * size, mtimeNanos) key is only PROBABILISTIC against out-of-band
+    * rm-and-recreate at the same path: file mtimes come from the coarse
+    * clock (ms granularity) and manifests are largely fixed-width, so a
+    * recreated table whose same-size v1 lands within a tick could serve
+    * the old table's parse. Creation is the structural seam every
+    * recreate passes through, so purging here makes the guard exact for
+    * the cost of one keySet sweep per create. */
+  private def uncacheTable(table: String): Unit = {
+    val prefix = logDir(table).toAbsolutePath.toString + "/"
+    manifestCache.keySet.removeIf(_.path.startsWith(prefix))
+  }
+
   private def manifests(table: String): Seq[Manifest] = {
     val t0 = System.nanoTime()
     val dir = logDir(table)
@@ -1171,6 +1185,7 @@ object LogTable {
     * that wants create-or-upsert handles it (see
     * [[graft.etl.LogWarehouse.upsert]]). */
   def create(spark: SparkSession, table: String, df: DataFrame, keyCol: String): Unit = {
+    uncacheTable(table)
     Files.createDirectories(logDir(table))
     Files.createDirectories(dataDir(table))
     val adds = writeData(spark, table, df, keyCol)
@@ -1198,6 +1213,7 @@ object LogTable {
       s"createEmpty($table): key column '$keyCol' is not in the schema " +
         s"(${schema.fieldNames.mkString(", ")})")
     validateProps(table, props, Seq.empty)
+    uncacheTable(table)
     Files.createDirectories(logDir(table))
     Files.createDirectories(dataDir(table))
     val m = Manifest(1L, adds = Seq.empty, removes = Seq.empty,
@@ -1233,6 +1249,7 @@ object LogTable {
       s"cloneTable: source table $src does not exist")
     val (_, files, schema) = snapshotWithSchema(src, asOf)
     val key = tableKeyCol(src).getOrElse("")
+    uncacheTable(dst)
     Files.createDirectories(logDir(dst))
     Files.createDirectories(dataDir(dst))
     files.foreach { f =>
@@ -1283,6 +1300,7 @@ object LogTable {
       s"cloneTableWithHistory: source table $src does not exist")
     require(!Files.isDirectory(logDir(dst)),
       s"cloneTableWithHistory: destination $dst already exists")
+    uncacheTable(dst)
     Files.createDirectories(logDir(dst))
     Files.createDirectories(dataDir(dst))
     val ms = manifests(src)
@@ -2144,13 +2162,24 @@ object LogTable {
           val ex = org.apache.spark.sql.GraftColumnBridge.expression(expr(e))
           // subqueries hide their references behind a plan boundary the
           // expression collect below cannot see — never fast-path them
-          ex.deterministic &&
+          val refsSrcOnly =
             !ex.exists(_.isInstanceOf[
               org.apache.spark.sql.catalyst.expressions.SubqueryExpression]) &&
             ex.collect {
               case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
                 a.name
             }.forall(_.startsWith("_src_"))
+          // determinism must be judged on the RESOLVED tree: pre-analysis
+          // a nondeterministic function is an UnresolvedFunction, whose
+          // default deterministic=true would wave rand()-style conditions
+          // through — resolve against the source projection (its columns
+          // are the only legal references once refsSrcOnly holds) and
+          // check the analyzed expressions; anything that fails analysis
+          // keeps the exact joined path
+          refsSrcOnly && (try {
+            prefixed.select(expr(e)).queryExecution.analyzed
+              .expressions.forall(_.deterministic)
+          } catch { case scala.util.control.NonFatal(_) => false })
         }
       val deadRows =
         if (condSrcOnly) {
@@ -2165,9 +2194,7 @@ object LogTable {
             // match (insert-heavy merges would otherwise register a DV
             // entry per NEW key — phantom dead keys that drag through
             // every read's anti-join and burn the requireDvBudget
-            // accumulation cap for nothing). In-range unmatched keys can
-            // still mark — harmless at read (the anti-join misses) and
-            // purged by any rewrite/compact, same trade as upsertDV.
+            // accumulation cap for nothing).
             val intervals = touched
               .map(f => (f.minKey, f.maxKey)).sortBy(_._1)
               .foldLeft(List.empty[(Long, Long)]) {
@@ -2183,9 +2210,29 @@ object LogTable {
                 .reduceLeft(_ || _)
               val anyDies = condExprs
                 .map(e => coalesce(expr(e), lit(false))).reduceLeft(_ || _)
-              prefixed.filter(anyDies && k.isNotNull && inRange)
+              val cand = prefixed.filter(anyDies && k.isNotNull && inRange)
                 .select(k.as("_k")).distinct()
                 .limit(DvMaxKeys + 1).collect().map(_.getLong(0))
+              // MEMBERSHIP probe: in-range candidates that match no LIVE
+              // target row must not mint DV entries — on upsert streams
+              // whose new keys interleave into existing file ranges they
+              // would accumulate one phantom per key per commit, bloating
+              // every read's anti-join and eventually tripping the
+              // requireDvBudget hard stop on merges that change nothing.
+              // One key-column-pruned scan of the touched read (tgt
+              // already applies the live vectors, so a key that is only
+              // present DEAD correctly drops out) semi-joined against the
+              // bounded candidate set — far cheaper than the joined
+              // path's full-width second join execution, and it restores
+              // exact key-set parity with that path. Overflow (> budget)
+              // falls to the positional bulk path before probing.
+              if (cand.isEmpty || cand.length > DvMaxKeys) cand
+              else {
+                import spark.implicits._
+                tgt.select(col(keyCol).cast("long").as("_k"))
+                  .join(broadcast(cand.toSeq.toDF("_k")), Seq("_k"), "left_semi")
+                  .distinct().collect().map(_.getLong(0))
+              }
             }
           }
         } else joined.filter(dies)

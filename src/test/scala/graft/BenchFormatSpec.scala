@@ -23,7 +23,8 @@ class BenchFormatSpec extends AnyFunSuite {
       errs = "[]",
       importSec = 0.633923312,
       loadGateJson = """{"load_start":8.36,"waited_sec":50,"load_at_run":3.63}""",
-      sfDir = "/root/testdata/sf0.1")
+      sfDir = "/root/testdata/sf0.1",
+      idleHistoryJson = """[{"file":"r19a.json","value":52.1,"total_warm":41.2,"storage_sec":6.91,"ratio_cold":1.19,"ratio_warm":0.93},{"file":"r19b.json","value":51.7,"total_warm":40.8,"storage_sec":6.84,"ratio_cold":1.17,"ratio_warm":0.92}]""")
   }
 
   test("the compact summary stays under the driver tail bound at 120 queries") {
@@ -37,8 +38,8 @@ class BenchFormatSpec extends AnyFunSuite {
     val node = mapper.readTree(line(120)) // throws on malformed JSON
     for (f <- Seq("metric", "value", "n_queries", "queries",
         "queries_omitted", "total_warm", "storage_sec", "duck_total",
-        "ratio_cold", "ratio_warm", "errors", "import_sec", "load_gate",
-        "detail", "sf"))
+        "ratio_cold", "ratio_warm", "errors", "import_sec", "idle_history",
+        "load_gate", "detail", "sf"))
       assert(node.has(f), s"driver field '$f' missing from the summary")
     assert(node.get("n_queries").asInt() == 120)
     // the full per-query map is NOT in the compact line (that is what

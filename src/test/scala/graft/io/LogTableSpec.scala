@@ -1548,6 +1548,66 @@ class LogTableSpec extends AnyFunSuite {
     assert(LogTable.read(spark, t).count() == 2101)
   }
 
+  test("mergeDV: in-range unmatched keys mint no phantom dead keys (interleaved inserts)") {
+    // keys INSIDE existing file ranges but matching no live row are the
+    // case the range filter alone cannot catch: without the membership
+    // probe every interleaved new key would mint one DV entry per commit
+    // (updateWhen defaults to 'true', so the source-decided fate is
+    // always "dies") — accumulating until requireDvBudget's hard stop on
+    // merges that change nothing. The probe restores exact key-set
+    // parity with the joined path: only keys present LIVE in a touched
+    // file mark.
+    val t = tmpTable()
+    LogTable.create(spark, t,
+      (1L to 2000L).filter(_ % 2 == 1).map(i => (i, "O", s"b$i"))
+        .toDF("k", "status", "v").repartitionByRange(4, col("k")), "k")
+    // 100 EVEN keys — inside the files' [1,1999] ranges, all unmatched —
+    // plus one genuine update (k=501)
+    val src = ((2L to 200L by 2).map(i => (i, "O", s"n$i")) :+
+      ((501L, "O", "upd501"))).toDF("k", "status", "v")
+    LogTable.mergeDV(spark, t, src, "k", updateWhen = Some("true"),
+      deleteWhen = None, insertUnmatched = true)
+    val dvs = LogTable.liveDvs(t, None)
+    assert(dvs.valuesIterator.flatten.toSet == Set(501L),
+      s"interleaved unmatched keys minted phantom DV entries: $dvs")
+    assert(LogTable.read(spark, t).count() == 1100)
+    assert(LogTable.read(spark, t).filter(col("k") === 501L)
+      .select("v").head().getString(0) == "upd501")
+    // a second interleaved batch (fresh unmatched keys + one update)
+    // stays bounded the same way — the dead-KEY set grows only by the
+    // genuinely matched key, never by the inserts
+    val src2 = ((1002L to 1100L by 2).map(i => (i, "O", s"n$i")) :+
+      ((3L, "O", "upd3"))).toDF("k", "status", "v")
+    LogTable.mergeDV(spark, t, src2, "k", updateWhen = Some("true"),
+      deleteWhen = None, insertUnmatched = true)
+    val dvs2 = LogTable.liveDvs(t, None)
+    assert(dvs2.valuesIterator.flatten.toSet == Set(501L, 3L),
+      s"second interleaved merge accumulated phantom DV entries: $dvs2")
+    assert(LogTable.read(spark, t).count() == 1150)
+  }
+
+  test("mergeDV: nondeterministic WHEN conditions are rejected from the fast path") {
+    // pre-analysis a nondeterministic function is an UnresolvedFunction
+    // whose default deterministic=true would wave it through — the guard
+    // must judge the RESOLVED tree. rand() < 2.0 is always true, so the
+    // merge must behave exactly like updateWhen='true' through the
+    // joined path (value-level pin; the fast path's source-side replay
+    // would be inconsistent across its executions for a genuinely
+    // random condition)
+    val t = tmpTable()
+    LogTable.create(spark, t,
+      (1L to 100L).map(i => (i, "O", s"b$i"))
+        .toDF("k", "status", "v").repartitionByRange(2, col("k")), "k")
+    LogTable.mergeDV(spark, t,
+      Seq((5L, "O", "u5"), (500L, "O", "i500")).toDF("k", "status", "v"),
+      "k", updateWhen = Some("rand() < 2.0"), deleteWhen = None,
+      insertUnmatched = true)
+    val r = LogTable.read(spark, t)
+    assert(r.count() == 101)
+    assert(r.filter(col("k") === 5L).select("v").head().getString(0) == "u5")
+    assert(r.filter(col("k") === 500L).count() == 1)
+  }
+
   test("mergeDV: target-referencing conditions take the joined path and still equal copy-on-write") {
     // the r18 source-decidable fast path computes dead keys from the
     // source frame alone when every WHEN condition references only

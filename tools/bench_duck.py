@@ -17,6 +17,13 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# Storage-verb rows take min over max(reps, 5) on the Spark side (their
+# sub-second multi-commit bodies carry the widest host-noise spread) —
+# mirror the SAME per-row protocol here so min-of-N is symmetric.
+# Must match Bench.scala's storageOps set.
+STORAGE_OPS = {"k11", "k12", "k13", "k14", "k17", "k18", "k19", "k20",
+               "k22", "k23", "k24", "k25", "k26", "k29", "k30"}
+
 
 def main(sf_dir, oracle_path, reps=3):
     con = duckdb.connect()
@@ -26,8 +33,9 @@ def main(sf_dir, oracle_path, reps=3):
     oracle = {n.removesuffix(".parquet"): s for n, s in oracle.items()}
     times = {}
     for name, sql in sorted(oracle.items()):
+        n_reps = max(reps, 5) if name[:3] in STORAGE_OPS else reps
         best = None
-        for _ in range(reps):
+        for _ in range(n_reps):
             t0 = time.perf_counter()
             try:
                 con.sql(sql).fetchall()
@@ -41,7 +49,9 @@ def main(sf_dir, oracle_path, reps=3):
             times[name] = best
     total = sum(times.values())
     print(json.dumps({"metric": "duck_total", "value": total, "unit": "sec",
-                      "queries": times, "sf": sf_dir}))
+                      "queries": times,
+                      "reps": {"default": reps, "storage": max(reps, 5)},
+                      "sf": sf_dir}))
 
 
 if __name__ == "__main__":

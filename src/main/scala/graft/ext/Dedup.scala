@@ -235,6 +235,42 @@ object Dedup {
       .distinct()
   }
 
+  /** LOW-Jaccard containment candidates: each document's BOTTOM-k
+    * shingle-hash sketch (Broder 1997's containment sketch — the k
+    * smallest 60-bit hashes, a deterministic content-based sample)
+    * probed against the corpus's full shingle postings. Jaccard-banded
+    * LSH structurally misses short-in-long inclusions (a 20%-length
+    * verbatim inclusion is j ≈ 0.2, where even a containment-tuned 6×2
+    * banding fires with P = 1-(1-j²)⁶ ≈ 0.2); here recall for verbatim
+    * inclusion is exact by construction — every anchor of A ⊆ B is IN
+    * B's postings, so the pair surfaces whenever A keeps ≥1 un-capped
+    * anchor.
+    *
+    * Scale shape: postings and anchors both derive from the one per-doc
+    * [[minhashWithSets]] pass (zero extra corpus scans); anchors are
+    * k·|docs| rows; the probe is an equi-join on fixed-width longs whose
+    * per-key fan-out is bounded by `maxDf` — shingles appearing in more
+    * documents are dropped as stop-shingles (the published frequent-
+    * shingle guard: they carry no inclusion signal and would quadratically
+    * blow the bucket join), so candidate volume is ≤ k·maxDf·|docs| —
+    * LINEAR in the corpus, never all-pairs. */
+  def anchorContainmentCandidates(
+      perDoc: DataFrame, k: Int = 4, maxDf: Long = 64): DataFrame = {
+    val postings = perDoc.select(col("id"), explode(col("shset")).as("h"))
+    // stop-shingle guard: small by definition (only keys hotter than
+    // maxDf), so the anti-join broadcasts
+    val hot = postings.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("h")
+    val kept = postings.join(hot, Seq("h"), "left_anti")
+    val anchors = perDoc.select(col("id").as("id_q"),
+      explode(slice(array_sort(col("shset")), 1, k)).as("h"))
+    anchors.join(kept.select(col("id").as("id_d"), col("h")), Seq("h"))
+      .filter(col("id_q") =!= col("id_d"))
+      .select(least(col("id_q"), col("id_d")).as("id_a"),
+        greatest(col("id_q"), col("id_d")).as("id_b"))
+      .distinct()
+  }
+
   /** Exact n-gram Jaccard for given pairs: |A∩B| / |A∪B| over DISTINCT
     * shingles, identified by their 60-bit hash — set semantics are
     * preserved (md5-prefix collisions are negligible and deterministic in

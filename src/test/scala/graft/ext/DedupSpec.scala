@@ -343,4 +343,41 @@ class DedupSpec extends AnyFunSuite {
     }
     assert(scored.size == 10)
   }
+
+  test("bottom-k anchor candidates surface EVERY verbatim short-in-long inclusion (x50's recall floor)") {
+    // 20%-length prefix copies (floored at 4 tokens) sit at jaccard ≈ 0.2
+    // — below any practical banding's S-curve — yet every anchor of the
+    // copy is in its source's postings by construction, so the candidate
+    // join must surface ALL planted pairs: the recall floor for verbatim
+    // inclusion is exact, not probabilistic. This pins the CANDIDATE
+    // GENERATOR; the x50 oracle row pins end-to-end scoring.
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id").as("id"), col("text"))
+    val planted = docs.filter(col("id") % 25 === 0)
+      .select(col("id"), split(col("text"), " ").as("t"))
+      .select((col("id") + 20000000L).as("id"),
+        array_join(slice(col("t"), lit(1),
+          greatest(expr("size(t) div 5"), lit(4))), " ").as("text"))
+    val c = docs.unionByName(planted)
+    val perDoc = Dedup.minhashWithSets(c, "id", "text", 3, 12).persist()
+    val cand = Dedup.anchorContainmentCandidates(perDoc, k = 4, maxDf = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = docs.filter(col("id") % 25 === 0).select("id")
+      .collect().map(_.getLong(0)).map(i => (i, i + 20000000L)).toSet
+    perDoc.unpersist()
+    val missed = expected -- cand
+    assert(missed.isEmpty,
+      s"planted verbatim inclusions missed by anchor candidates: $missed")
+    // jaccard really is below the banding regime for the planted pairs —
+    // the fixture exercises the case x49's 6x2 banding cannot serve
+    val sp = spark
+    import sp.implicits._
+    val perDoc2 = Dedup.minhashWithSets(c, "id", "text", 3, 12).persist()
+    val jmax = Dedup.jaccardFromSets(perDoc2,
+        expected.toSeq.toDF("id_a", "id_b"))
+      .agg(max("jaccard")).head().getDouble(0)
+    perDoc2.unpersist()
+    assert(jmax < 0.5,
+      s"planted inclusions reach jaccard $jmax — banding would already catch them")
+  }
 }

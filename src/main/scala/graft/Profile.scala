@@ -33,7 +33,11 @@ object Profile {
     "x36_quality_survivors", "x44_dup_span_scrub", "x35_semdedup",
     "x16_ivf_topk", "x39_cluster_balance", "x19_dedup_clusters",
     "x43_dsir_select", "x20_dedup_survivors",
-    "x47_bm25_topk", "x48_rrf_fusion")
+    "x47_bm25_topk", "x48_rrf_fusion",
+    // r19: the anchor-probe candidate join (x50 — the linearity claim
+    // is ≤ k·maxDf·|docs| candidates) and the interpolated-LM scoring
+    // pass (x51) audited at replica scale like the rest
+    "x50_inclusion", "x51_interp_nll")
 
   /** Build (or reuse) the SOAK fixture: a `reps`× replica of the sf
     * dir's documents/embeddings with the other tables symlinked.

@@ -2189,50 +2189,32 @@ object LogTable {
             // NULL source key matches nothing (the equi-join misses),
             // so it can never die — filter it like the joined path
             // implicitly does.
-            // Keys are ALSO restricted to the touched files' merged key
-            // intervals: a source key outside every file's range cannot
-            // match (insert-heavy merges would otherwise register a DV
-            // entry per NEW key — phantom dead keys that drag through
-            // every read's anti-join and burn the requireDvBudget
-            // accumulation cap for nothing).
-            val intervals = touched
-              .map(f => (f.minKey, f.maxKey)).sortBy(_._1)
-              .foldLeft(List.empty[(Long, Long)]) {
-                case ((clo, chi) :: acc, (lo2, hi2)) if lo2 <= chi =>
-                  (clo, math.max(chi, hi2)) :: acc
-                case (acc, iv) => iv :: acc
-              }
-            if (intervals.isEmpty) Array.empty[Long]
+            // MEMBERSHIP-exact dead keys in ONE job: the LIVE touched
+            // read's key column (tgt already applies the live vectors,
+            // so a key that is only present DEAD correctly drops out)
+            // semi-joined against the source keys whose source-decided
+            // fate is "dies". Keys that match no live target row never
+            // mint DV entries — on upsert streams whose new keys
+            // interleave into existing file ranges they would otherwise
+            // accumulate one phantom per key per commit, bloating every
+            // read's anti-join and eventually tripping the
+            // requireDvBudget hard stop on merges that change nothing
+            // (keys outside every touched range are subsumed: they are
+            // not in tgt). This is still far cheaper than the joined
+            // path's full-width second join execution — one key-pruned
+            // scan of the touched files against the checkpointed source
+            // — and it restores exact key-set parity with that path.
+            // Overflow (> budget) falls to the positional bulk path.
+            if (touched.isEmpty) Array.empty[Long]
             else {
               val k = col(s"_src_$keyCol").cast("long")
-              val inRange = intervals
-                .map { case (lo2, hi2) => k >= lo2 && k <= hi2 }
-                .reduceLeft(_ || _)
               val anyDies = condExprs
                 .map(e => coalesce(expr(e), lit(false))).reduceLeft(_ || _)
-              val cand = prefixed.filter(anyDies && k.isNotNull && inRange)
+              val cand = prefixed.filter(anyDies && k.isNotNull)
                 .select(k.as("_k")).distinct()
+              tgt.select(col(keyCol).cast("long").as("_k"))
+                .join(cand, Seq("_k"), "left_semi").distinct()
                 .limit(DvMaxKeys + 1).collect().map(_.getLong(0))
-              // MEMBERSHIP probe: in-range candidates that match no LIVE
-              // target row must not mint DV entries — on upsert streams
-              // whose new keys interleave into existing file ranges they
-              // would accumulate one phantom per key per commit, bloating
-              // every read's anti-join and eventually tripping the
-              // requireDvBudget hard stop on merges that change nothing.
-              // One key-column-pruned scan of the touched read (tgt
-              // already applies the live vectors, so a key that is only
-              // present DEAD correctly drops out) semi-joined against the
-              // bounded candidate set — far cheaper than the joined
-              // path's full-width second join execution, and it restores
-              // exact key-set parity with that path. Overflow (> budget)
-              // falls to the positional bulk path before probing.
-              if (cand.isEmpty || cand.length > DvMaxKeys) cand
-              else {
-                import spark.implicits._
-                tgt.select(col(keyCol).cast("long").as("_k"))
-                  .join(broadcast(cand.toSeq.toDF("_k")), Seq("_k"), "left_semi")
-                  .distinct().collect().map(_.getLong(0))
-              }
             }
           }
         } else joined.filter(dies)

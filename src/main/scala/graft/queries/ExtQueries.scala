@@ -557,21 +557,6 @@ object ExtQueries {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** The corpus-wide BIGRAM table (h → corpus count), under x45's cache
-    * key — whichever of x45 (its combined tagged build or per-table
-    * build) or x51 runs first, the other serves the same artifact.
-    * Value-identical across build paths by construction: same TermStats
-    * gram stream, same 60-bit hash, same groupBy-sum. */
-  private[queries] def bigramArtifact(s: SparkSession, d: String): (Long, DataFrame) =
-    unigramArtifactFrom(s, s"bigram-tf:documents:$d",
-      graft.util.Partitioning.fanOut(Tables.documents(s, d))
-        .select(col("doc_id"),
-          explode(graft.functions.TermStats(bigramsOf(col("text")))
-            .getField("counts")).as("tc"))
-        .select(col("doc_id"),
-          Dedup.shingleHash60(col("tc").getField("term")).as("h"),
-          col("tc").getField("tf").as("tf")))
-
   /** The corpus-wide unigram table (x41/x43/x45/x47/x48's shared
     * artifact), derived from the postings checkpoint via
     * [[corpusHashTf]]. Same cache key as ever — x45's combined tagged
@@ -1928,8 +1913,7 @@ object ExtQueries {
       "x51_interp_nll",
       (s, d) => {
         val (nTok, unigrams) = corpusUnigramArtifact(s, d)
-        val (_, bigrams) = bigramArtifact(s, d)
-        val stream = graft.util.Partitioning.fanOut(Tables.documents(s, d))
+        val streamRaw = graft.util.Partitioning.fanOut(Tables.documents(s, d))
           .select(col("doc_id"),
             explode(graft.functions.TermStats(bigramsOf(col("text")))
               .getField("counts")).as("tc"))
@@ -1940,6 +1924,16 @@ object ExtQueries {
             Dedup.shingleHash60(
               substring_index(col("tc").getField("term"), " ", -1)).as("hs"),
             col("tc").getField("tf").as("tf"))
+        // x45's shared-pass discipline: a COLD execution persists the
+        // scoring stream and derives the bigram table from its blocks
+        // (one bigram tokenize, not two); a warm serve (table already
+        // cached — getOrBuild never evaluates the by-name frame) reads
+        // the raw projection once, unpersisted.
+        val bigramCached =
+          graft.io.ArtifactCache.keys.contains(s"bigram-tf:documents:$d")
+        val stream = if (bigramCached) streamRaw else streamRaw.persist()
+        val (_, bigrams) = unigramArtifactFrom(s, s"bigram-tf:documents:$d",
+          stream.select("doc_id", "h", "tf"))
         stream
           .join(bigrams.select(col("h"), col("ctf").as("cb")), Seq("h"))
           .join(unigrams.select(col("h").as("hp"), col("ctf").as("ca")), Seq("hp"))

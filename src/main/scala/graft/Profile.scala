@@ -35,9 +35,10 @@ object Profile {
     "x43_dsir_select", "x20_dedup_survivors",
     "x47_bm25_topk", "x48_rrf_fusion",
     // r19: the anchor-probe candidate join (x50 — the linearity claim
-    // is ≤ k·maxDf·|docs| candidates) and the interpolated-LM scoring
-    // pass (x51) audited at replica scale like the rest
-    "x50_inclusion", "x51_interp_nll")
+    // is ≤ k·maxDf·|docs| candidates), the interpolated-LM scoring
+    // pass (x51), and the two-stage exact rerank (x52) audited at
+    // replica scale like the rest
+    "x50_inclusion", "x51_interp_nll", "x52_pq_rerank")
 
   /** Build (or reuse) the SOAK fixture: a `reps`× replica of the sf
     * dir's documents/embeddings with the other tables symlinked.

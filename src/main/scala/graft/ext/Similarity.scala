@@ -712,6 +712,42 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
+  /** Two-stage EXACT re-ranking over an ANN shortlist (the standard
+    * production serving pattern for quantized indexes — FAISS's
+    * "refine" stage): the compressed index (IVFPQ's ADC scores) selects
+    * a shortlist of R candidates per query, then the ORIGINAL vectors
+    * are gathered for exactly those |queries|·R pairs and re-scored with
+    * the exact integer dot — ADC's reconstruction error can reorder
+    * near-ties, and the refine stage restores exact top-k ordering
+    * WITHIN the shortlist for the cost of R full-vector reads per query
+    * instead of a corpus scan.
+    *
+    * Scale shape: the shortlist is bounded by the query workload
+    * (|queries|·R id pairs), so it broadcasts; the corpus-side gather is
+    * one broadcast-semi join — no corpus shuffle, no vector ever moves
+    * except the R·|queries| gathered rows. Exact integer arithmetic, so
+    * the oracle replays the rescoring bit-for-bit. */
+  def rerankExact(
+      queries: DataFrame, corpus: DataFrame, idCol: String, embCol: String,
+      shortlist: DataFrame, k: Int): DataFrame = {
+    val q = prepared(queries, idCol, embCol)
+      .select(col("id").as("query_id"),
+        col("qv").as("q_qv"), col("nrm").as("q_nrm"))
+    val c = prepared(corpus, idCol, embCol)
+      .select(col("id").as("neighbor_id"),
+        col("qv").as("n_qv"), col("nrm").as("n_nrm"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
+    c.join(broadcast(shortlist.select("query_id", "neighbor_id")),
+        Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dotQ(col("q_qv"), col("n_qv")).cast("double") /
+          (col("q_nrm") * col("n_nrm"))).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
   /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
     * arXiv:2303.09540): assign every vector to its nearest coarse
     * centroid map-side ([[nearestLists]], keep=1 — zero shuffle for the

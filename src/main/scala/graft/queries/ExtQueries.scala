@@ -420,6 +420,100 @@ object ExtQueries {
       Seq(s"cent AS (SELECT list_id, c_qv, c_nrm FROM cent$rounds)")).mkString(",\n")
   }
 
+  /** The full IVFPQ oracle pipeline as a WITH chain — coarse-quantizer
+    * training, PQ codebook training (2 Lloyd's rounds under the exact
+    * integer L2 surrogate), code assignment, ADC scoring — ending at
+    * relation `r` (query_id, neighbor_id, cosine, rnk). Shared by x46
+    * (serves `r` at its k) and x52 (cuts `r` at the shortlist R and
+    * exactly re-ranks). `n` (id, qv, nrm) stays in scope for the
+    * rescoring join. */
+  private def ivfpqOracleSqlCtes: String = {
+    def slice(qv: String, m: String) =
+      s"list_slice($qv, ($m)*8 + 1, ($m)*8 + 8)"
+    def pqRound(r: Int) =
+      s"""pasg$r AS (
+         |  SELECT id, m, code FROM (
+         |    SELECT n.id, c.m, c.code,
+         |      ROW_NUMBER() OVER (PARTITION BY n.id, c.m ORDER BY
+         |        CAST(${dotSql("c.c_qv", "c.c_qv")} AS BIGINT)
+         |          - 2 * CAST(${dotSql(slice("n.qv", "c.m"), "c.c_qv")} AS BIGINT) ASC,
+         |        c.code ASC) AS crank
+         |    FROM n CROSS JOIN pc${r - 1} c) WHERE crank = 1),
+         |pagg$r AS (
+         |  SELECT a.m, a.code, u.i AS i,
+         |         SUM(n.qv[a.m*8 + u.i]) AS sm, COUNT(*) AS cnt
+         |  FROM pasg$r a JOIN n USING (id)
+         |  CROSS JOIN (SELECT unnest(range(1, 9)) AS i) u
+         |  GROUP BY a.m, a.code, u.i),
+         |pnew$r AS (
+         |  SELECT m, code,
+         |         list(CAST(${roundDivSql("sm", "cnt")} AS BIGINT) ORDER BY i) AS c_qv
+         |  FROM pagg$r GROUP BY m, code),
+         |pc$r AS (
+         |  SELECT p.m, p.code, COALESCE(x.c_qv, p.c_qv) AS c_qv
+         |  FROM pc${r - 1} p LEFT JOIN pnew$r x USING (m, code))""".stripMargin
+    s"""WITH prep AS (
+       |  SELECT vec_id AS id,
+       |    list_transform(embedding,
+       |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT id, qv, sqrt(CAST(${dotSql("qv", "qv")} AS DOUBLE)) AS nrm
+       |  FROM prep),
+       |${kmeansCentSql("n", nLists = 16, rounds = 2, dim = 64)},
+       |ci AS (
+       |  SELECT id, qv, nrm, list_id,
+       |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY
+       |      CAST(${dotSql("qv", "c_qv")} AS DOUBLE) / (nrm * c_nrm) DESC,
+       |      list_id) AS crank
+       |  FROM n CROSS JOIN cent),
+       |indexed AS (
+       |  SELECT list_id, id AS neighbor_id FROM ci WHERE crank <= 1),
+       |probing AS (
+       |  SELECT list_id, id AS query_id, qv AS q_qv, nrm AS q_nrm
+       |  FROM ci WHERE crank <= 4 AND id < 8),
+       |psamp AS (
+       |  SELECT j - 1 AS code, qv FROM (
+       |    SELECT qv, ROW_NUMBER() OVER (
+       |      ORDER BY md5(CAST(id AS VARCHAR)), id) AS j
+       |    FROM n) WHERE j <= 16),
+       |subsp AS (SELECT unnest(range(0, 8)) AS m),
+       |pc0 AS (
+       |  SELECT s.m AS m, p.code AS code, ${slice("p.qv", "s.m")} AS c_qv
+       |  FROM psamp p CROSS JOIN subsp s),
+       |${pqRound(1)},
+       |${pqRound(2)},
+       |codes AS (
+       |  SELECT id, m, code FROM (
+       |    SELECT n.id, c.m, c.code,
+       |      ROW_NUMBER() OVER (PARTITION BY n.id, c.m ORDER BY
+       |        CAST(${dotSql("c.c_qv", "c.c_qv")} AS BIGINT)
+       |          - 2 * CAST(${dotSql(slice("n.qv", "c.m"), "c.c_qv")} AS BIGINT) ASC,
+       |        c.code ASC) AS crank
+       |    FROM n CROSS JOIN pc2 c) WHERE crank = 1),
+       |nhat AS (
+       |  SELECT cd.id,
+       |    sqrt(CAST(SUM(CAST(${dotSql("c.c_qv", "c.c_qv")} AS BIGINT)) AS DOUBLE)) AS n_hat
+       |  FROM codes cd JOIN pc2 c USING (m, code) GROUP BY cd.id),
+       |adc AS (
+       |  SELECT p.query_id, i.neighbor_id, p.q_nrm, nh.n_hat,
+       |    SUM(CAST(${dotSql(slice("p.q_qv", "cd.m"), "c.c_qv")} AS BIGINT)) AS dotsum
+       |  FROM indexed i
+       |  JOIN probing p USING (list_id)
+       |  JOIN codes cd ON cd.id = i.neighbor_id
+       |  JOIN pc2 c ON c.m = cd.m AND c.code = cd.code
+       |  JOIN nhat nh ON nh.id = i.neighbor_id
+       |  WHERE i.neighbor_id <> p.query_id
+       |  GROUP BY p.query_id, i.neighbor_id, p.q_nrm, nh.n_hat),
+       |r AS (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(dotsum AS DOUBLE) / (q_nrm * n_hat) AS cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY CAST(dotsum AS DOUBLE) / (q_nrm * n_hat) DESC,
+       |                       neighbor_id) AS rnk
+       |  FROM adc)""".stripMargin
+  }
+
   /** Row-local hashed term frequencies: (doc_id, h=shingleHash60(term),
     * tf) via native [[graft.functions.TermStats]] — NO token shuffle;
     * the only exchange any consumer pays is its own groupBy over
@@ -2360,94 +2454,64 @@ object ExtQueries {
           .withColumnRenamed("rank", "rnk")
           .orderBy("query_id", "rnk")
       },
-      Some {
-        def slice(qv: String, m: String) =
-          s"list_slice($qv, ($m)*8 + 1, ($m)*8 + 8)"
-        def pqRound(r: Int) =
-          s"""pasg$r AS (
-             |  SELECT id, m, code FROM (
-             |    SELECT n.id, c.m, c.code,
-             |      ROW_NUMBER() OVER (PARTITION BY n.id, c.m ORDER BY
-             |        CAST(${dotSql("c.c_qv", "c.c_qv")} AS BIGINT)
-             |          - 2 * CAST(${dotSql(slice("n.qv", "c.m"), "c.c_qv")} AS BIGINT) ASC,
-             |        c.code ASC) AS crank
-             |    FROM n CROSS JOIN pc${r - 1} c) WHERE crank = 1),
-             |pagg$r AS (
-             |  SELECT a.m, a.code, u.i AS i,
-             |         SUM(n.qv[a.m*8 + u.i]) AS sm, COUNT(*) AS cnt
-             |  FROM pasg$r a JOIN n USING (id)
-             |  CROSS JOIN (SELECT unnest(range(1, 9)) AS i) u
-             |  GROUP BY a.m, a.code, u.i),
-             |pnew$r AS (
-             |  SELECT m, code,
-             |         list(CAST(${roundDivSql("sm", "cnt")} AS BIGINT) ORDER BY i) AS c_qv
-             |  FROM pagg$r GROUP BY m, code),
-             |pc$r AS (
-             |  SELECT p.m, p.code, COALESCE(x.c_qv, p.c_qv) AS c_qv
-             |  FROM pc${r - 1} p LEFT JOIN pnew$r x USING (m, code))""".stripMargin
-        s"""WITH prep AS (
-           |  SELECT vec_id AS id,
-           |    list_transform(embedding,
-           |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
-           |  FROM embeddings),
-           |n AS (
-           |  SELECT id, qv, sqrt(CAST(${dotSql("qv", "qv")} AS DOUBLE)) AS nrm
-           |  FROM prep),
-           |${kmeansCentSql("n", nLists = 16, rounds = 2, dim = 64)},
-           |ci AS (
-           |  SELECT id, qv, nrm, list_id,
-           |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY
-           |      CAST(${dotSql("qv", "c_qv")} AS DOUBLE) / (nrm * c_nrm) DESC,
-           |      list_id) AS crank
-           |  FROM n CROSS JOIN cent),
-           |indexed AS (
-           |  SELECT list_id, id AS neighbor_id FROM ci WHERE crank <= 1),
-           |probing AS (
-           |  SELECT list_id, id AS query_id, qv AS q_qv, nrm AS q_nrm
-           |  FROM ci WHERE crank <= 4 AND id < 8),
-           |psamp AS (
-           |  SELECT j - 1 AS code, qv FROM (
-           |    SELECT qv, ROW_NUMBER() OVER (
-           |      ORDER BY md5(CAST(id AS VARCHAR)), id) AS j
-           |    FROM n) WHERE j <= 16),
-           |subsp AS (SELECT unnest(range(0, 8)) AS m),
-           |pc0 AS (
-           |  SELECT s.m AS m, p.code AS code, ${slice("p.qv", "s.m")} AS c_qv
-           |  FROM psamp p CROSS JOIN subsp s),
-           |${pqRound(1)},
-           |${pqRound(2)},
-           |codes AS (
-           |  SELECT id, m, code FROM (
-           |    SELECT n.id, c.m, c.code,
-           |      ROW_NUMBER() OVER (PARTITION BY n.id, c.m ORDER BY
-           |        CAST(${dotSql("c.c_qv", "c.c_qv")} AS BIGINT)
-           |          - 2 * CAST(${dotSql(slice("n.qv", "c.m"), "c.c_qv")} AS BIGINT) ASC,
-           |        c.code ASC) AS crank
-           |    FROM n CROSS JOIN pc2 c) WHERE crank = 1),
-           |nhat AS (
-           |  SELECT cd.id,
-           |    sqrt(CAST(SUM(CAST(${dotSql("c.c_qv", "c.c_qv")} AS BIGINT)) AS DOUBLE)) AS n_hat
-           |  FROM codes cd JOIN pc2 c USING (m, code) GROUP BY cd.id),
-           |adc AS (
-           |  SELECT p.query_id, i.neighbor_id, p.q_nrm, nh.n_hat,
-           |    SUM(CAST(${dotSql(slice("p.q_qv", "cd.m"), "c.c_qv")} AS BIGINT)) AS dotsum
-           |  FROM indexed i
-           |  JOIN probing p USING (list_id)
-           |  JOIN codes cd ON cd.id = i.neighbor_id
-           |  JOIN pc2 c ON c.m = cd.m AND c.code = cd.code
-           |  JOIN nhat nh ON nh.id = i.neighbor_id
-           |  WHERE i.neighbor_id <> p.query_id
-           |  GROUP BY p.query_id, i.neighbor_id, p.q_nrm, nh.n_hat),
-           |r AS (
-           |  SELECT query_id, neighbor_id,
-           |    CAST(dotsum AS DOUBLE) / (q_nrm * n_hat) AS cosine,
-           |    ROW_NUMBER() OVER (PARTITION BY query_id
-           |                       ORDER BY CAST(dotsum AS DOUBLE) / (q_nrm * n_hat) DESC,
-           |                       neighbor_id) AS rnk
-           |  FROM adc)
-           |SELECT query_id, rnk, neighbor_id, cosine
-           |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+      Some(s"""$ivfpqOracleSqlCtes
+              |SELECT query_id, rnk, neighbor_id, cosine
+              |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin),
+    ),
+
+    // X52 — exact re-ranking over the IVFPQ shortlist (FAISS's "refine"
+    // stage; the standard production serving pattern for quantized
+    // indexes): the compressed index scores by ADC against reconstructed
+    // codewords, whose quantization error can reorder near-ties — so the
+    // serving path takes the ADC TOP-20 shortlist per query and
+    // re-scores exactly those pairs with the ORIGINAL vectors' exact
+    // integer dot, serving the refined top-5. Recall comes from the
+    // cheap wide shortlist, ordering from the exact narrow rescore.
+    //
+    // Shape at scale: both quantizers ride the same cached artifacts as
+    // x46 (train once, serve many); the shortlist is |queries|·20 id
+    // pairs — bounded by the query workload, so it broadcasts — and the
+    // rescoring gather is one broadcast join against the corpus: no
+    // corpus shuffle, and the only full vectors read at serve time are
+    // the 20 per query (vs x15's corpus-wide exact scan). The oracle
+    // replays the entire pipeline — training, codes, ADC shortlist,
+    // exact rescore — bit-for-bit.
+    QueryDef(
+      "x52_pq_rerank",
+      (s, d) => {
+        val base = Tables.embeddings(s, d)
+        val cents = graft.io.ArtifactCache.getOrBuild(s"ivf-kmeans:16:2:$d")(
+          Similarity.trainIvfKmeans(base, "vec_id", "embedding",
+            nLists = 16, rounds = 2))
+        val cbs = graft.io.ArtifactCache.getOrBuild(s"pq-codebooks:8:16:2:$d")(
+          Similarity.trainPqCodebooks(base, "vec_id", "embedding",
+            m = 8, ksub = 16, rounds = 2))
+        val queries = broadcast(base.filter(col("vec_id") < 8))
+        val shortlist = Similarity.ivfpqTopK(
+          queries, base, "vec_id", "embedding", k = 20,
+          centroids = cents, cbs = cbs, nProbe = 4)
+        Similarity.rerankExact(queries, base, "vec_id", "embedding",
+          shortlist, k = 5)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy("query_id", "rnk")
       },
+      Some(s"""$ivfpqOracleSqlCtes,
+              |short AS (
+              |  SELECT query_id, neighbor_id FROM r WHERE rnk <= 20),
+              |ex AS (
+              |  SELECT s.query_id, s.neighbor_id,
+              |    CAST(${dotSql("nq.qv", "nn.qv")} AS DOUBLE) /
+              |      (nq.nrm * nn.nrm) AS cosine
+              |  FROM short s
+              |  JOIN n nq ON nq.id = s.query_id
+              |  JOIN n nn ON nn.id = s.neighbor_id),
+              |fr AS (
+              |  SELECT query_id, neighbor_id, cosine,
+              |    ROW_NUMBER() OVER (PARTITION BY query_id
+              |                       ORDER BY cosine DESC, neighbor_id) AS rnk
+              |  FROM ex)
+              |SELECT query_id, rnk, neighbor_id, cosine
+              |FROM fr WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin),
     ),
   )
 }

@@ -197,6 +197,54 @@ class SimilaritySpec extends AnyFunSuite {
     prepC.unpersist()
   }
 
+  test("exact rerank (x52): refined order equals brute-force cosine over the shortlist, recall never drops") {
+    val emb = Tables.embeddings(spark, sf)
+    val cents = Similarity.trainIvfKmeans(emb, "vec_id", "embedding",
+      nLists = 8, rounds = 2)
+    val cbs = Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
+      m = 8, ksub = 16, rounds = 2)
+    val queries = emb.filter(col("vec_id") < 8)
+    val shortlist = Similarity.ivfpqTopK(queries, emb, "vec_id", "embedding",
+      k = 20, centroids = cents, cbs = cbs, nProbe = 4)
+    val refined = Similarity.rerankExact(queries, emb, "vec_id", "embedding",
+      shortlist, k = 5).collect()
+    // the refine CONTRACT: within each query's shortlist, the served
+    // order is exactly the brute-force cosine order (quantization error
+    // gone), with the deterministic neighbor_id tie-break
+    val prep = Similarity.prepared(emb, "vec_id", "embedding").cache()
+    val shortSets = shortlist.select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val exactAll = Similarity.bruteForceTopK(
+      prep.filter(col("id") < 8), prep, k = 1000).collect()
+      .map(r => (r.getLong(0), r.getLong(r.fieldIndex("neighbor_id")),
+        r.getDouble(r.fieldIndex("cosine"))))
+    refined.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val expect = exactAll.filter(e => e._1 == q && shortSets(q)(e._2))
+        .sortBy(e => (-e._3, e._2)).take(5).map(_._2).toSeq
+      val got = rs.sortBy(_.getInt(1))
+        .map(r => r.getLong(r.fieldIndex("neighbor_id"))).toSeq
+      assert(got == expect,
+        s"query $q: refined order $got != exact-over-shortlist $expect")
+    }
+    // rescoring a SUPERSET shortlist can only help: refined top-5 recall
+    // vs brute force is >= the ADC-only top-5's
+    val exactTop5 = exactAll.groupBy(_._1).view.mapValues(
+      _.sortBy(e => (-e._3, e._2)).take(5).map(_._2).toSet).toMap
+    val adcTop5 = Similarity.ivfpqTopK(queries, emb, "vec_id", "embedding",
+      k = 5, centroids = cents, cbs = cbs, nProbe = 4).collect()
+      .groupBy(_.getLong(0)).view.mapValues(
+        _.map(r => r.getLong(r.fieldIndex("neighbor_id"))).toSet).toMap
+    def recall(m: Map[Long, Set[Long]]): Double =
+      exactTop5.map { case (q, ex) =>
+        (ex intersect m.getOrElse(q, Set.empty)).size.toDouble / ex.size
+      }.sum / exactTop5.size
+    val refinedTop5 = refined.groupBy(_.getLong(0)).view.mapValues(
+      _.map(r => r.getLong(r.fieldIndex("neighbor_id"))).toSet).toMap
+    assert(recall(refinedTop5) >= recall(adcTop5) - 1e-12,
+      s"refine lowered recall: ${recall(refinedTop5)} < ${recall(adcTop5)}")
+    prep.unpersist()
+  }
+
   test("cluster-balanced resample: small clusters keep everything, hot clusters thin toward the share") {
     val out = graft.SparkEntry.queries("x39_cluster_balance")(spark, sf)
       .collect().map(r => (r.getInt(0), r.getLong(1)))

@@ -404,6 +404,11 @@ object LogTable {
   // statement pay, and what do they cost in wall time?
   private[graft] val foldCalls = new java.util.concurrent.atomic.AtomicLong()
   private[graft] val foldNanos = new java.util.concurrent.atomic.AtomicLong()
+  /** Probe counter: number of [[changes]] calls served by the
+    * delta-proportional append+DV-delete path (never the snapshot
+    * diff). Spec-observable so tests can pin WHICH path served a
+    * window, not just that the rows came out right. */
+  private[graft] val cdcDeltaServes = new java.util.concurrent.atomic.AtomicLong()
 
   /** Parse cache for committed manifests. A vNNNNNNNN.json is immutable
     * once its CAS rename lands — with ONE exception: [[truncateHistory]]
@@ -3191,6 +3196,14 @@ object LogTable {
       return readFiles(spark, table, added, snapshotWithSchema(table, Some(toV))._3)
         .withColumn("_change_type", lit("insert"))
     }
+    // Second fast path: appends + merge-on-read KEY deletes. The dv'd
+    // keys are INLINE in the manifests (that is the small-delta DV
+    // shape), so the delete half of the feed is key-addressable without
+    // any snapshot diff — cost stays proportional to the delta.
+    changesDeltaPath(spark, table, keyCol, fromV, ms) match {
+      case Some(df) => return df
+      case None =>
+    }
     // A RENAME inside the diff window: PHYSICAL identity is stable
     // under column mapping, so the feed serves EVERY version under
     // toV's logical names (Delta's CDF-with-column-mapping semantics) —
@@ -3242,6 +3255,70 @@ object LogTable {
     val img = when(col("_change_type") === "delete", col("_b")).otherwise(col("_a"))
     diffed.select(
       col(keyCol) +: payload.map(c => img.getField(c).as(c)) :+ col("_change_type"): _*)
+  }
+
+  /** DELTA-PROPORTIONAL serve of [[changes]] for windows made of pure
+    * appends plus merge-on-read KEY deletes (the incremental-ingestion
+    * shape: new batches land as appended files, retired rows die as
+    * inline manifest key vectors). Inserts are the added files read
+    * directly; delete images are recovered by a STATS-PRUNED read of
+    * only the fromV files whose key range can hold a deleted key, with
+    * fromV's live vectors applied (a key already dead at fromV must not
+    * re-emit). Total cost: O(delta files + files containing deleted
+    * keys) — never a snapshot scan, which is what lets a downstream
+    * incremental maintainer (x53's gram tables) ride the feed at 100 TB.
+    *
+    * Returns None — falling back to the exact key-wise diff — whenever
+    * the window cannot be served this way provably-correctly:
+    * rewrites/checkpoints in range, positional sidecars (their dead sets
+    * are per-position, not key-addressable from the manifest), a schema
+    * change, a vector targeting a file added INSIDE the window (net
+    * in-window update), or an added key colliding with a deleted key
+    * (net update/reinsert — checked by key RANGE first, free on the
+    * driver, then by one delta-proportional probe of the overlapping
+    * added files only). */
+  private def changesDeltaPath(
+      spark: SparkSession, table: String, keyCol: String,
+      fromV: Long, ms: Seq[Manifest]): Option[DataFrame] = {
+    if (!tableKeyCol(table).contains(keyCol)) return None
+    if (ms.exists(m => m.removes.nonEmpty || m.checkpoint || m.dvp.nonEmpty))
+      return None
+    val delKeys = ms.flatMap(_.dvs.valuesIterator.flatten).distinct.sorted
+    if (delKeys.isEmpty) return None // pure appends: the caller's first path
+    val (_, fromSnap, scFrom) = snapshotWithSchema(table, Some(fromV))
+    val fromSchemaJson = scFrom.map(_.json).getOrElse("")
+    if (ms.exists(m => m.schema.nonEmpty && m.schema != fromSchemaJson))
+      return None
+    val added = ms.flatMap(_.adds)
+    val addedNames = added.iterator.map(_.file).toSet
+    if (ms.exists(_.dvs.keysIterator.exists(addedNames.contains))) return None
+    val dk = delKeys.toArray
+    def holdsDeletedKey(f: FileEntry): Boolean = {
+      var i = java.util.Arrays.binarySearch(dk, f.minKey)
+      if (i < 0) i = -i - 1
+      i < dk.length && dk(i) <= f.maxKey
+    }
+    // keyed-table invariant: a live key exists in at most one row, and
+    // the DV verbs mark a deleted key in EVERY file whose stats range
+    // could hold it — so "key ∈ delKeys" is exactly "row dead by toV"
+    val addedOverlap = added.filter(holdsDeletedKey)
+    if (addedOverlap.nonEmpty) {
+      // ranges collide — decide exactly, reading ONLY those added files
+      val reinserted = readFiles(spark, table, addedOverlap, scFrom)
+        .select(col(keyCol).cast("long").as("_k"))
+        .filter(col("_k").isInCollection(delKeys))
+        .limit(1).count() > 0
+      if (reinserted) return None
+    }
+    val inserts = readFiles(spark, table, added, scFrom)
+      .withColumn("_change_type", lit("insert"))
+    val touched = fromSnap.filter(holdsDeletedKey)
+    val deletes = readFiles(spark, table, touched, scFrom,
+        liveDvState(table, Some(fromV)))
+      .filter(col(keyCol).cast("long").isInCollection(delKeys))
+      .withColumn("_change_type", lit("delete"))
+    cdcDeltaServes.incrementAndGet()
+    Some(inserts.unionByName(deletes))
   }
 
   /** Write `df` as fresh immutable data files; returns their entries

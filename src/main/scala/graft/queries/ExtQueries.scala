@@ -666,7 +666,15 @@ object ExtQueries {
     * and a warm serve pays none. */
   private def gramTf(s: SparkSession, d: String): DataFrame =
     graft.io.ArtifactCache.getOrBuildFrame(s"gramtf:documents:$d", s) {
-      graft.util.Partitioning.fanOut(Tables.documents(s, d))
+      gramTfOf(graft.util.Partitioning.fanOut(Tables.documents(s, d)))
+    }
+
+  /** The tagged hashed gram stream of an arbitrary (doc_id, text) frame —
+    * [[gramTf]]'s body, exposed so incremental consumers (x53's
+    * change-feed maintenance) gram-ify a DELTA with exactly the corpus
+    * checkpoint's tokenization, hashes, and schema. */
+  private[queries] def gramTfOf(src: DataFrame): DataFrame =
+      src
         .select(col("doc_id"), explode(concat(
           transform(
             graft.functions.TermStats(split(col("text"), " "))
@@ -685,7 +693,40 @@ object ExtQueries {
           Dedup.shingleHash60(substring_index(
             col("x").getField("term"), " ", -1)).as("hs"),
           col("x").getField("tf").as("tf"))
-    }
+
+  /** x53's base state: the documents corpus AS a graft-log table (keyed
+    * on doc_id, range-clustered so key-delete pruning has tight stats)
+    * PLUS its already-maintained gram tables — exactly what a production
+    * pipeline holds between ingests. Built once per sfDir (setup, k15's
+    * precedent: the DuckDB oracle pays only a SELECT over the final
+    * state, so paying table+artifact CONSTRUCTION per rep would measure
+    * setup, not the increment); each execution clones WITH HISTORY so
+    * reps never see each other's commits. Returns (table path, pre-batch
+    * version, pre-batch (tag, h, ctf) gram table — materialized). */
+  private val x53Base =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long, DataFrame)]()
+  private def x53FixtureFor(
+      s: SparkSession, d: String): (String, Long, DataFrame) =
+    x53Base.computeIfAbsent(d, dir => {
+      val base = Tables.documents(s, dir)
+        .filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"), col("text"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-x53")
+      sys.addShutdownHook {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(tmp)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
+      }
+      val path = tmp.resolve("docs_log").toString
+      graft.io.LogTable.create(s, path,
+        base.repartitionByRange(8, col("doc_id")), "doc_id")
+      val grams = gramTfOf(graft.io.LogTable.read(s, path))
+        .groupBy("tag", "h").agg(sum("tf").cast("long").as("ctf"))
+        .localCheckpoint()
+      (path, graft.io.LogTable.version(path), grams)
+    })
 
   /** The corpus-wide unigram table (x41/x43/x45/x47/x48's shared
     * artifact), derived from the postings checkpoint via
@@ -2512,6 +2553,76 @@ object ExtQueries {
               |  FROM ex)
               |SELECT query_id, rnk, neighbor_id, cosine
               |FROM fr WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin),
+    ),
+
+    // X53 — INCREMENTAL LM-artifact maintenance off the change feed (the
+    // production composition of the storage layer and the LM ladder: a
+    // real pipeline ingests continuously, and rebuilding the gram tables
+    // per corpus snapshot re-tokenizes 100 TB to absorb a 10 GB delta).
+    // The documents corpus lives AS a graft-log table whose unigram AND
+    // bigram tables are already maintained (setup); the timed body is
+    // exactly one production increment: retire a clustered slice of doc
+    // ids (deleteKeysDV — zero reads, one manifest commit), ingest a new
+    // batch (append), then fold LogTable.changes(v1, v2) into the gram
+    // tables — insert images ADD their gram counts, delete images
+    // SUBTRACT them, counts at zero drop. Additivity makes the
+    // incrementally-maintained table bit-identical to a full rebuild at
+    // the post-batch snapshot, which is what the DuckDB oracle replays
+    // (and IncrementalLmSpec pins, plus the scans-only-the-delta claim).
+    //
+    // 100 TB shape: the feed is served by the CDC delta path — inserts
+    // are the appended files read directly, delete images a stats-pruned
+    // read of only the fromV files whose key range holds a retired id
+    // (LogTable.changesDeltaPath; the clustered retire is the realistic
+    // shape — expiring a crawl partition, not random ids) — so the whole
+    // update is O(delta), never a corpus scan; the fold itself is one
+    // combinable groupBy over (pre-table ∪ signed delta grams) with
+    // fixed-width long keys (x41's exchange discipline).
+    QueryDef(
+      "x53_incremental_lm",
+      (s, d) => {
+        val (basePath, v1, v1Grams) = x53FixtureFor(s, d)
+        val t = java.nio.file.Files.createTempDirectory("graft-x53c")
+          .resolve("docs_log").toString
+        graft.io.LogTable.cloneTableWithHistory(basePath, t)
+        graft.io.LogTable.deleteKeysDV(s, t, "doc_id",
+          (1L to 99L).filterNot(_ % 5 == 0))
+        graft.io.LogTable.append(s, t,
+          Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 1000).as("doc_id"), col("text")),
+          "doc_id")
+        val feed = graft.io.LogTable.changes(s, t, "doc_id", v1,
+          graft.io.LogTable.version(t))
+        val ins = gramTfOf(feed.filter(col("_change_type") =!= "delete")
+          .select(col("doc_id"), col("text")))
+          .select(col("tag"), col("h"), col("tf").cast("long").as("ctf"))
+        val del = gramTfOf(feed.filter(col("_change_type") === "delete")
+          .select(col("doc_id"), col("text")))
+          .select(col("tag"), col("h"), (-col("tf")).cast("long").as("ctf"))
+        v1Grams.unionByName(ins).unionByName(del)
+          .groupBy("tag", "h").agg(sum("ctf").as("ctf"))
+          .filter(col("ctf") > 0)
+          .select(col("tag"), col("h"), col("ctf").cast("long").as("ctf"))
+          .orderBy("tag", "h")
+      },
+      Some("""WITH docs AS (
+             |  SELECT string_split(text, ' ') AS t FROM documents
+             |  WHERE doc_id % 5 = 0 OR doc_id > 99),
+             |uni AS (
+             |  SELECT CAST(0 AS INT) AS tag,
+             |         CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h,
+             |         CAST(count(*) AS BIGINT) AS ctf
+             |  FROM (SELECT unnest(t) AS w FROM docs) GROUP BY 2),
+             |big AS (
+             |  SELECT CAST(1 AS INT) AS tag,
+             |         CAST('0x' || substr(md5(t[i] || ' ' || t[i+1]), 1, 15)
+             |              AS BIGINT) AS h,
+             |         CAST(count(*) AS BIGINT) AS ctf
+             |  FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+             |        FROM docs WHERE len(t) >= 2) GROUP BY 2)
+             |SELECT tag, h, ctf
+             |FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)
+             |ORDER BY tag, h""".stripMargin),
     ),
   )
 }

@@ -702,6 +702,20 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
+    resolveArrivalRounds(d, cand, batchOfId, numBatches, "arrival-cand")
+  }
+
+  /** The K-round arrival resolution shared by [[arrivalReplay]] (band
+    * candidates) and [[containmentArrivalReplay]] (anchor-containment
+    * candidates): given the docs frame (id column, any payload) and an
+    * unordered candidate-pair frame, resolve arrival order (batch, then
+    * id) — within-batch pairs drop the later id unconditionally,
+    * cross-batch pairs drop the later id iff the earlier was retained.
+    * Regime-dispatched on the candidate GRAPH exactly as before the
+    * refactor (driver fold under the bound, distributed rounds above). */
+  private[graft] def resolveArrivalRounds(
+      docs: DataFrame, cand: DataFrame, batchOfId: Column => Column,
+      numBatches: Int, regimeKey: String): DataFrame = {
     val withB = cand
       .withColumn("ba", batchOfId(col("id_a")).cast("int"))
       .withColumn("bb", batchOfId(col("id_b")).cast("int"))
@@ -713,7 +727,7 @@ object Dedup {
     // per-round slices / final anti-join select by batch, so a
     // miscounted backfill would otherwise SILENTLY drop its
     // out-of-range documents from the retained output.
-    val ids = d.select(col("id"),
+    val ids = docs.select(col("id"),
       when(batchOfId(col("id")).cast("int").between(0, numBatches - 1),
         batchOfId(col("id")).cast("int"))
         .otherwise(raise_error(concat(
@@ -735,9 +749,9 @@ object Dedup {
     // any other id type runs the distributed rounds, which compare ids
     // in their own type
     (if (withB.schema("id_a").dataType == org.apache.spark.sql.types.LongType)
-      graft.io.Regime.collectIfSmall("arrival-cand", withB)
+      graft.io.Regime.collectIfSmall(regimeKey, withB)
     else {
-      graft.io.Regime.lastDecision.put("arrival-cand", "distributed")
+      graft.io.Regime.lastDecision.put(regimeKey, "distributed")
       None
     }) match {
       case Some(rows) =>
@@ -805,6 +819,136 @@ object Dedup {
   /** Re-checkpoint cadence for [[arrivalReplay]]'s accumulated retained
     * set (its plan doubles per resolution round without a break). */
   private[graft] val ReplayCkptEvery = 8
+
+  /** BATCH BACKFILL of containment-dedup-on-arrival — [[arrivalReplay]]
+    * with [[anchorContainmentCandidates]]' collision rule instead of
+    * band agreement: a pair collides when one side's bottom-k anchor
+    * sketch hits the other side's shingle postings, which catches the
+    * short-in-long verbatim inclusions (j ≈ 0.2) that Jaccard banding
+    * structurally misses (x50's case, composed into the x38 arrival
+    * shape).
+    *
+    * The stop-shingle guard is ARRIVAL-AWARE: a shingle's df accumulates
+    * as batches arrive, so the hot set only grows — `fhb(h)` is the
+    * first round where h's cumulative distinct-doc df crosses `maxDf`,
+    * and a pair (evaluated exactly once, at its later side's round bl)
+    * fires iff bl < fhb(h), i.e. iff BOTH sides' batches predate the
+    * key going hot. That is precisely the prefix-hot set the live step
+    * ([[containmentArrivalStep]]) sees when the later side arrives, so
+    * the closed form equals the sequential fold (DedupSpec pins it) —
+    * and it keeps the candidate join bounded per key: only the ≤ maxDf
+    * pre-hot postings of a key ever join.
+    *
+    * Scale: one [[minhashWithSets]] pass feeds postings, anchors, and
+    * the per-round df counts; `fhb` is small by definition (hot keys
+    * only) so its join broadcasts; the candidate equi-join carries
+    * fixed-width longs with per-key fan-out ≤ k·maxDf; resolution is
+    * [[resolveArrivalRounds]] — id-width frames only. */
+  def containmentArrivalReplay(
+      docs: DataFrame, idCol: String, textCol: String,
+      batchOfId: Column => Column, numBatches: Int,
+      k: Int = 4, maxDf: Long = 64,
+      n: Int = 3, numHashes: Int = 12): DataFrame = {
+    require(numBatches >= 1,
+      s"containmentArrivalReplay: numBatches must be >= 1, got $numBatches")
+    val d = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+    val perDoc = minhashWithSets(d, "id", "text", n, numHashes)
+      .localCheckpoint(false)
+    val dsh = perDoc.select(col("id"), explode(col("shset")).as("h"),
+      batchOfId(col("id")).cast("int").as("b"))
+    val anch = perDoc.select(col("id"),
+      explode(slice(array_sort(col("shset")), 1, k)).as("h"),
+      batchOfId(col("id")).cast("int").as("b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("h").orderBy("b")
+    val fhb = dsh.groupBy("h", "b").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(w))
+      .filter(col("cum") > maxDf)
+      .groupBy("h").agg(min("b").as("fhb"))
+    // pre-hot restriction on BOTH sides ⟺ the pair's later round
+    // predates the key going hot (ba, bp ≤ bl < fhb)
+    def preHot(df: DataFrame) = df.join(broadcast(fhb), Seq("h"), "left")
+      .filter(col("fhb").isNull || col("b") < col("fhb"))
+    val cand = preHot(anch).select(col("id"), col("h"))
+      .join(preHot(dsh).select(col("id").as("id_p"), col("h")), Seq("h"))
+      .filter(col("id") =!= col("id_p"))
+      .select(least(col("id"), col("id_p")).as("id_a"),
+        greatest(col("id"), col("id_p")).as("id_b"))
+      .distinct()
+    resolveArrivalRounds(d, cand, batchOfId, numBatches,
+      "arrival-containment-cand")
+  }
+
+  /** One containment-dedup-on-arrival step — [[arrivalStep]]'s contract
+    * with the anchor-containment collision rule; the per-micro-batch
+    * operator whose K-fold [[containmentArrivalReplay]] closes over.
+    * State carries (retainedIds, retainedPostings (id, h),
+    * retainedAnchors (id, h), dfCounts (h, df) over ALL first-delivery
+    * arrivals — retained or dropped, because the hot-set guard counts
+    * corpus frequency, not survivor frequency). Drop rules are
+    * arrival-order deterministic exactly as [[arrivalStep]]: a new doc
+    * colliding with a RETAINED index doc (either direction: its anchors
+    * in the index postings, or an index anchor in its postings) drops;
+    * within a batch the larger id of a colliding pair drops; an id
+    * already retained is a replayed delivery → dropped and NOT
+    * re-counted into df. Only the CURRENT hot set filters the postings
+    * side of each probe — a pair is evaluated exactly when its later
+    * side arrives, which is what makes the fold equal the closed form.
+    * Returns (retainedDocs, state'). */
+  def containmentArrivalStep(
+      newDocs: DataFrame,
+      state: Option[(DataFrame, DataFrame, DataFrame, DataFrame)],
+      k: Int = 4, maxDf: Long = 64,
+      n: Int = 3, numHashes: Int = 12)
+    : (DataFrame, (DataFrame, DataFrame, DataFrame, DataFrame)) = {
+    val fresh = (state match {
+      case Some((ids, _, _, _)) => newDocs.join(ids, Seq("id"), "left_anti")
+      case None => newDocs
+    }).localCheckpoint(false)
+    val perDoc = minhashWithSets(fresh, "id", "text", n, numHashes)
+      .localCheckpoint(false)
+    val newPost = perDoc.select(col("id"), explode(col("shset")).as("h"))
+      .localCheckpoint(false)
+    val newAnch = perDoc.select(col("id"),
+      explode(slice(array_sort(col("shset")), 1, k)).as("h"))
+    val dfNow = (state match {
+      case Some((_, _, _, dfc)) =>
+        dfc.unionByName(newPost.groupBy("h").agg(count(lit(1)).as("df")))
+          .groupBy("h").agg(sum("df").as("df"))
+      case None => newPost.groupBy("h").agg(count(lit(1)).as("df"))
+    }).localCheckpoint(false)
+    val hot = dfNow.filter(col("df") > maxDf).select("h")
+    def kept(p: DataFrame) = p.join(broadcast(hot), Seq("h"), "left_anti")
+    val keptNewPost = kept(newPost)
+    val withinDrop = newAnch
+      .join(keptNewPost.select(col("id").as("id_p"), col("h")), Seq("h"))
+      .filter(col("id") =!= col("id_p"))
+      .select(greatest(col("id"), col("id_p")).as("id"))
+    val dropped = state match {
+      case Some((_, post, anchIx, _)) =>
+        val newVsIdx = newAnch
+          .join(kept(post).select(col("id").as("id_p"), col("h")), Seq("h"))
+          .select(col("id"))
+        val idxVsNew = anchIx.select(col("id").as("id_p"), col("h"))
+          .join(keptNewPost, Seq("h"))
+          .filter(col("id") =!= col("id_p"))
+          .select(col("id"))
+        withinDrop.unionByName(newVsIdx).unionByName(idxVsNew)
+      case None => withinDrop
+    }
+    val retained = fresh.join(dropped, Seq("id"), "left_anti")
+      .localCheckpoint(false)
+    val rIds = retained.select("id")
+    val rPost = newPost.join(rIds, Seq("id"), "left_semi")
+    val rAnch = newAnch.join(rIds, Seq("id"), "left_semi")
+    val stateNew = state match {
+      case Some((ids, post, anchIx, _)) =>
+        (ids.unionByName(rIds), post.unionByName(rPost),
+          anchIx.unionByName(rAnch), dfNow)
+      case None => (rIds, rPost, rAnch, dfNow)
+    }
+    (retained, stateNew)
+  }
 
   /** 32-bit SimHash: bit j of each token's md5 is the high bit of hex
     * nibble j; document bit j is the sign of the ±1 vote sum. Returns

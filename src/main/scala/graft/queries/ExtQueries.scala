@@ -240,6 +240,46 @@ object ExtQueries {
       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
       |        WHERE doc_id % 25 = 0))""".stripMargin
 
+  /** x54's three-generation ARRIVAL corpus: batch 0 = the originals;
+    * batch 1 (+10000) = head snippets of every 25th doc (verbatim
+    * short-in-long inclusions — the pairs banding misses); batch 2
+    * (+20000) = head snippets of every 50th doc (re-sent content whose
+    * batch-1 twin was DROPPED — exercises the dropped-earlier-frees-
+    * later chain against the still-retained original) plus token-
+    * REVERSED copies of every (25k+7)th doc (same vocabulary, disjoint
+    * 3-shingles — must be RETAINED). */
+  private def arrivalInclusionCorpus(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+    def headSnip(pred: Column, offset: Long) = base.filter(pred)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select((col("doc_id") + offset).as("id"),
+        array_join(slice(col("t"), lit(1),
+          greatest(expr("size(t) div 5"), lit(4))), " ").as("text"))
+    base.select(col("doc_id").as("id"), col("text"))
+      .unionByName(headSnip(col("doc_id") % 25 === 0, 10000L))
+      .unionByName(headSnip(col("doc_id") % 50 === 0, 20000L))
+      .unionByName(base.filter(col("doc_id") % 25 === 7)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select((col("doc_id") + 20000L).as("id"),
+          array_join(reverse(col("t")), " ").as("text")))
+  }
+
+  private val arrivalInclusionCorpusSql =
+    """corpus AS (
+      |  SELECT doc_id AS id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000, array_to_string(t[1:greatest(len(t)//5, 4)], ' ')
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |        WHERE doc_id % 25 = 0)
+      |  UNION ALL
+      |  SELECT doc_id + 20000, array_to_string(t[1:greatest(len(t)//5, 4)], ' ')
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |        WHERE doc_id % 50 = 0)
+      |  UNION ALL
+      |  SELECT doc_id + 20000, array_to_string(list_reverse(t), ' ')
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |        WHERE doc_id % 25 = 7))""".stripMargin
+
   /** x50's candidate pairs — [[Dedup.anchorContainmentCandidates]] over
     * the per-doc sketch frame, cached per corpus snapshot under the same
     * regime dispatch as the LSH candidate indexes ([[dupCorpusCandidates]]).
@@ -2623,6 +2663,89 @@ object ExtQueries {
              |SELECT tag, h, ctf
              |FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)
              |ORDER BY tag, h""".stripMargin),
+    ),
+
+    // X54 — containment dedup ON ARRIVAL (x50's anchor-sketch collision
+    // rule composed into the x38 arrival shape): three ingest
+    // generations resolve through Dedup.containmentArrivalReplay, the
+    // closed form of folding Dedup.containmentArrivalStep per batch.
+    // Catches the short-in-long verbatim inclusions Jaccard banding
+    // structurally misses, in the continuous-ingestion setting: batch-1
+    // snippets drop against their retained originals; batch-2 re-sends
+    // of content whose batch-1 twin was DROPPED still drop — via the
+    // retained original, not the dropped twin (the dropped-earlier-
+    // frees-later rule holds); reversed-token docs share vocabulary but
+    // no 3-shingle and are retained. The stop-shingle guard is
+    // arrival-aware (first-hot-batch semantics, see the operator's doc)
+    // so fold == closed form exactly; the oracle spells the same
+    // prefix-df algebra + resolution rounds in SQL, and DedupSpec pins
+    // the sequential fold equal to this closed form.
+    QueryDef(
+      "x54_arrival_inclusion",
+      (s, d) => {
+        val batchOf = (id: Column) =>
+          when(id < 10000, 0).when(id < 20000, 1).otherwise(2)
+        Dedup.containmentArrivalReplay(arrivalInclusionCorpus(s, d),
+          "id", "text", batchOf, 3)
+          .select(batchOf(col("id")).cast("int").as("batch"), col("id"))
+          .orderBy("id")
+      },
+      Some(s"""WITH $arrivalInclusionCorpusSql,
+              |tok AS (SELECT id, string_split(text, ' ') AS t FROM corpus),
+              |sh AS (
+              |  SELECT id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+              |  FROM (SELECT id, t, unnest(generate_series(1, len(t) - 2)) AS i
+              |        FROM tok WHERE len(t) >= 3)),
+              |dsh AS (SELECT DISTINCT id,
+              |          CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS h
+              |        FROM sh),
+              |bat AS (SELECT id, CASE WHEN id < 10000 THEN 0
+              |                        WHEN id < 20000 THEN 1
+              |                        ELSE 2 END AS b
+              |        FROM (SELECT DISTINCT id FROM corpus)),
+              |dfb AS (SELECT d.h, bt.b, count(*) AS c
+              |        FROM dsh d JOIN bat bt USING (id) GROUP BY 1, 2),
+              |cum AS (SELECT h, b,
+              |          sum(c) OVER (PARTITION BY h ORDER BY b) AS cum
+              |        FROM dfb),
+              |fhb AS (SELECT h, min(b) AS fhb FROM cum WHERE cum > 64
+              |        GROUP BY 1),
+              |anch AS (
+              |  SELECT id, h FROM (
+              |    SELECT id, h,
+              |      row_number() OVER (PARTITION BY id ORDER BY h) AS rn
+              |    FROM dsh) WHERE rn <= 4),
+              |kp AS (SELECT d.id, d.h
+              |       FROM dsh d JOIN bat bt USING (id)
+              |       LEFT JOIN fhb f USING (h)
+              |       WHERE f.fhb IS NULL OR bt.b < f.fhb),
+              |ka AS (SELECT a.id, a.h
+              |       FROM anch a JOIN bat bt USING (id)
+              |       LEFT JOIN fhb f USING (h)
+              |       WHERE f.fhb IS NULL OR bt.b < f.fhb),
+              |cand AS (SELECT DISTINCT least(a.id, p.id) AS id_a,
+              |                         greatest(a.id, p.id) AS id_b
+              |         FROM ka a JOIN kp p ON a.h = p.h AND a.id <> p.id),
+              |d0 AS (SELECT DISTINCT id_b AS id FROM cand WHERE id_b < 10000),
+              |r0 AS (SELECT id FROM corpus WHERE id < 10000
+              |       AND id NOT IN (SELECT id FROM d0)),
+              |d1 AS (SELECT DISTINCT id_b AS id FROM cand
+              |       WHERE id_b >= 10000 AND id_b < 20000
+              |         AND (id_a IN (SELECT id FROM r0) OR id_a >= 10000)),
+              |r1 AS (SELECT id FROM r0 UNION ALL
+              |       SELECT id FROM corpus
+              |       WHERE id >= 10000 AND id < 20000
+              |         AND id NOT IN (SELECT id FROM d1)),
+              |d2 AS (SELECT DISTINCT id_b AS id FROM cand
+              |       WHERE id_b >= 20000
+              |         AND (id_a IN (SELECT id FROM r1) OR id_a >= 20000)),
+              |r2 AS (SELECT id FROM r1 UNION ALL
+              |       SELECT id FROM corpus WHERE id >= 20000
+              |         AND id NOT IN (SELECT id FROM d2))
+              |SELECT CAST(CASE WHEN id < 10000 THEN 0
+              |                 WHEN id < 20000 THEN 1
+              |                 ELSE 2 END AS INT) AS batch, id
+              |FROM r2 ORDER BY id""".stripMargin),
     ),
   )
 }

@@ -211,6 +211,71 @@ class DedupSpec extends AnyFunSuite {
     assert(collected.size < gen.count())
   }
 
+  test("containmentArrivalReplay (closed form) equals the containmentArrivalStep fold, both regimes") {
+    // the x54 corpus shape: originals, +10000 head snippets (verbatim
+    // inclusions), +20000 re-sent snippets + token-reversed docs
+    val docs = Tables.documents(spark, sf).select(col("doc_id").as("id"), col("text"))
+    def headSnip(pred: org.apache.spark.sql.Column, off: Long) = docs.filter(pred)
+      .select(col("id"), split(col("text"), " ").as("t"))
+      .select((col("id") + off).as("id"),
+        array_join(slice(col("t"), lit(1),
+          greatest(expr("size(t) div 5"), lit(4))), " ").as("text"))
+    val gen = docs
+      .unionByName(headSnip(col("id") % 25 === 0, 10000L))
+      .unionByName(headSnip(col("id") % 50 === 0, 20000L))
+      .unionByName(docs.filter(col("id") % 25 === 7)
+        .select((col("id") + 20000L).as("id"),
+          array_join(reverse(split(col("text"), " ")), " ").as("text")))
+    val batches = Seq(
+      gen.filter(col("id") < 10000),
+      gen.filter(col("id") >= 10000 && col("id") < 20000),
+      gen.filter(col("id") >= 20000))
+    // reference: the sequential per-batch fold (the streaming shape)
+    var state = Option.empty[(org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame)]
+    val foldIds = scala.collection.mutable.Set.empty[Long]
+    for (batch <- batches) {
+      val (ret, st) = Dedup.containmentArrivalStep(batch, state)
+      state = Some((st._1.localCheckpoint(false), st._2.localCheckpoint(false),
+        st._3.localCheckpoint(false), st._4.localCheckpoint(false)))
+      foldIds ++= ret.select("id").collect().map(_.getLong(0))
+    }
+    def replayIds() = Dedup.containmentArrivalReplay(gen, "id", "text",
+      id => when(id < 10000, 0).when(id < 20000, 1).otherwise(2), 3)
+      .collect().map(_.getLong(0)).toSet
+    val collected = replayIds()
+    assert(collected == foldIds.toSet,
+      s"closed form diverged from step fold: " +
+        s"only-replay=${(collected -- foldIds).take(5)}, " +
+        s"only-fold=${(foldIds.toSet -- collected).take(5)}")
+    val prev = sys.props.get("graft.regime.collectMaxRows")
+    sys.props("graft.regime.collectMaxRows") = "0"
+    try {
+      val distributed = replayIds()
+      assert(graft.io.Regime.lastDecision.get("arrival-containment-cand")
+        == "distributed")
+      assert(distributed == foldIds.toSet,
+        "distributed-regime containment replay diverged from the fold")
+    } finally prev match {
+      case Some(v) => sys.props("graft.regime.collectMaxRows") = v
+      case None => sys.props.remove("graft.regime.collectMaxRows")
+    }
+    // the inclusion machinery actually fired: snippets dropped
+    assert(collected.size < gen.count())
+    // a REPLAYED delivery of retained docs is absorbed: drops, and does
+    // not re-count into the df state (idempotent ingest retries)
+    val dfBefore = state.get._4.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val resend = batches.head
+      .join(state.get._1, Seq("id"), "left_semi").localCheckpoint(false)
+    assert(resend.count() > 0)
+    val (ret4, st4) = Dedup.containmentArrivalStep(resend, state)
+    assert(ret4.isEmpty, "replayed delivery must be absorbed, not retained")
+    val dfAfter = st4._4.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dfAfter == dfBefore,
+      "replayed delivery must not inflate the df (hot-set) state")
+  }
+
   test("arrivalReplay normalizes pairs by ARRIVAL order when id order disagrees") {
     // batch 0 carries the HIGH ids, batch 1 the low ids — a pair's
     // smaller id is the LATER arrival, so id-ordered resolution would

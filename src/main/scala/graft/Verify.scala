@@ -32,6 +32,14 @@ object Verify {
     // the env unset — full surface.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a misspelled/stale name would select NOTHING: Verify would write an
+    // empty oracle_sql.json and the dev-loop oracle check passes
+    // vacuously — fail fast instead
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names no known query: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     def selected(name: String): Boolean = only.forall(_.contains(name))
     SparkEntry.queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
       // Driver contract: result lands at outDir/<name>.parquet

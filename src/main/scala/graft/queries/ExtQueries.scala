@@ -1216,8 +1216,14 @@ object ExtQueries {
         // candidate pairs (the r3 spelling exploded the shingle frame and
         // shuffled it three times; this is ~6× faster and the better
         // 100 TB shape outright).
-        val perDoc = Dedup.minhashWithSets(dupCorpus(s, d), "id", "text",
-          n = 3, numHashes = 12).persist()
+        // ArtifactCache materialization, not a bare .persist(): the
+        // cached blocks release on Bench's between-rep sweep instead of
+        // accumulating one leaked frame per execution (r19 advisory)
+        val perDoc = graft.io.ArtifactCache.getOrBuildFrame(
+          s"dup-perdoc:documents:$d", s) {
+          Dedup.minhashWithSets(dupCorpus(s, d), "id", "text",
+            n = 3, numHashes = 12)
+        }
         val pairs = dupCorpusCandidates(s, d)
         Dedup.jaccardFromSets(perDoc, pairs)
           .filter(col("jaccard") >= 0.5)
@@ -1257,8 +1263,13 @@ object ExtQueries {
     QueryDef(
       "x49_containment",
       (s, d) => {
-        val perDoc = Dedup.minhashWithSets(containmentCorpus(s, d), "id",
-          "text", n = 3, numHashes = 12).persist()
+        // ArtifactCache materialization, not a bare .persist() (same
+        // r19-advisory lifecycle fix as x7/x50)
+        val perDoc = graft.io.ArtifactCache.getOrBuildFrame(
+          s"cont-perdoc:documents:$d", s) {
+          Dedup.minhashWithSets(containmentCorpus(s, d), "id",
+            "text", n = 3, numHashes = 12)
+        }
         val pairs = containmentCandidates(s, d)
         Dedup.containmentFromSets(perDoc, pairs)
           .filter(greatest(col("c_a_in_b"), col("c_b_in_a")) >= 0.9)
@@ -1302,8 +1313,17 @@ object ExtQueries {
     QueryDef(
       "x50_inclusion",
       (s, d) => {
-        val perDoc = Dedup.minhashWithSets(inclusionCorpus(s, d), "id",
-          "text", n = 3, numHashes = 12).persist()
+        // per-snapshot ArtifactCache materialization, NOT a bare
+        // .persist(): one localCheckpoint serves candidate generation
+        // AND exact scoring, and Bench's between-rep retainOnly sweep
+        // releases the blocks — the bare persist leaked one cached
+        // per-doc frame per execution (r19 advisory), reclaimed only by
+        // ContextCleaner/GC
+        val perDoc = graft.io.ArtifactCache.getOrBuildFrame(
+          s"incl-perdoc:documents:$d", s) {
+          Dedup.minhashWithSets(inclusionCorpus(s, d), "id",
+            "text", n = 3, numHashes = 12)
+        }
         val pairs = inclusionCandidates(s, d, perDoc)
         Dedup.containmentFromSets(perDoc, pairs)
           .filter(greatest(col("c_a_in_b"), col("c_b_in_a")) >= 0.9)

@@ -216,6 +216,39 @@ object WindowQueries {
              |ORDER BY l.user_id, l_id, r_id NULLS FIRST""".stripMargin),
     ),
 
+    // W7 — stream-stream FULL OUTER interval join: completes the
+    // eviction matrix w5 (inner) / w6 (left) started. The new branch is
+    // the RIGHT side's no-match proof: a future left match would need
+    // l_ts >= r_ts - horizon, so an unmatched error emits (NULL left
+    // columns) as soon as the watermark passes its OWN event time —
+    // earlier than the left side's l_ts + horizon hold. EventStreamSpec
+    // pins that emission timing on MemoryStreams; this row pins the
+    // final semantics via the batch twin. user_id coalesces across
+    // sides (right-only rows carry no left key).
+    QueryDef(
+      "w7_interval_full",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        EventStream.correlateWithin(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "error"),
+          horizon = "10 minutes", joinType = "full_outer")
+          .orderBy(col("user_id"), col("l_id").asc_nulls_first,
+            col("r_id").asc_nulls_first)
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+             |  FROM events)
+             |SELECT coalesce(l.user_id, r.user_id) AS user_id,
+             |       l.event_id AS l_id, l.event_type AS l_type, l.ts AS l_ts,
+             |       r.event_id AS r_id, r.event_type AS r_type, r.ts AS r_ts
+             |FROM (SELECT * FROM ev WHERE event_type = 'click') l
+             |FULL JOIN (SELECT * FROM ev WHERE event_type = 'error') r
+             |  ON l.user_id = r.user_id
+             | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 10 MINUTE
+             |ORDER BY user_id, l_id NULLS FIRST, r_id NULLS FIRST""".stripMargin),
+    ),
+
     // Distinct aggregation — COUNT(DISTINCT) per group (absent from the
     // reference, §2.5 note): exact user reach per event type. Spark plans
     // the two-phase distinct-agg expand; the 100 TB variant swaps in

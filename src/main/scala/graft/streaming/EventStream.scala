@@ -104,14 +104,20 @@ object EventStream {
     * Pure transform: the same function is oracle-checked in batch
     * ([[graft.queries.WindowQueries]] w5) and spec-checked on
     * MemoryStreams ([[EventStreamSpec]]). */
-  /** `joinType` "inner" (w5) or "left_outer" (w6): the OUTER variant is
-    * the alert shape — "every click, WITH its error if one followed" —
-    * and in streaming it exercises real state-eviction semantics: an
-    * unmatched left row is held in the join state until the watermark
-    * passes l_ts + horizon (only then can Spark PROVE no match is
-    * coming) and emits with NULL right columns in a later micro-batch.
-    * Both sides are watermarked and the time condition bounds state on
-    * both, so state stays O(horizon), never O(stream). */
+  /** `joinType` "inner" (w5), "left_outer" (w6), or "full_outer" (w7):
+    * the OUTER variants are the alert shape — "every click, WITH its
+    * error if one followed" — and in streaming they exercise real
+    * state-eviction semantics: an unmatched left row is held in the
+    * join state until the watermark passes l_ts + horizon (only then
+    * can Spark PROVE no match is coming) and emits with NULL right
+    * columns in a later micro-batch. FULL outer adds the one remaining
+    * eviction branch: an unmatched RIGHT row's no-match proof is
+    * earlier — a future left match would need l_ts ≥ r_ts − horizon, so
+    * the row emits once the watermark passes r_ts itself (its own event
+    * time), with NULL left columns; user_id therefore coalesces across
+    * the two sides. Both sides are watermarked and the time condition
+    * bounds state on both, so state stays O(horizon), never
+    * O(stream). */
   def correlateWithin(
       left: DataFrame, right: DataFrame,
       horizon: String = "10 minutes",
@@ -127,7 +133,12 @@ object EventStream {
         col("r_ts") >= col("l_ts") &&
         col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizon"),
       joinType)
-      .select("user_id", "l_id", "l_type", "l_ts", "r_id", "r_type", "r_ts")
+      // one uniform projection for all three join types: inner/left rows
+      // always carry the left key, right-only rows (full outer) carry
+      // only r_user_id — coalesce is the identity for the first two
+      .select(coalesce(col("user_id"), col("r_user_id")).as("user_id"),
+        col("l_id"), col("l_type"), col("l_ts"),
+        col("r_id"), col("r_type"), col("r_ts"))
   }
 
   // ---------------------------------------------------------------------

@@ -136,6 +136,51 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("full-outer interval join evicts BOTH sides: unmatched error emits NULL-left after its own event time passes") {
+    val lmem = MemoryStream[Event]
+    val rmem = MemoryStream[Event]
+    val q = EventStream.correlateWithin(lmem.toDF(), rmem.toDF(),
+        "10 minutes", joinType = "full_outer")
+      .writeStream.format("memory").queryName("corrfull")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // u1 matches both ways; u2's click and u5's error never match —
+      // NEITHER may emit yet (no watermark has proven their windows empty)
+      lmem.addData(
+        Event(1L, ts("2024-01-01 00:00:00"), 1L, "click", 1.0),
+        Event(2L, ts("2024-01-01 00:00:00"), 2L, "click", 1.0))
+      rmem.addData(
+        Event(100L, ts("2024-01-01 00:05:00"), 1L, "error", 0.0),
+        Event(200L, ts("2024-01-01 00:06:00"), 5L, "error", 0.0))
+      q.processAllAvailable()
+      val early = spark.table("corrfull")
+        .select("l_id", "r_id").collect()
+        .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(early == Set((1L, 100L)),
+        s"unmatched rows leaked before watermark eviction: $early")
+      // advance both watermarks past every horizon; evictions land at
+      // batch END, so the NULL rows emit in subsequent batches
+      lmem.addData(Event(3L, ts("2024-01-01 02:00:00"), 3L, "click", 1.0))
+      rmem.addData(Event(101L, ts("2024-01-01 02:01:00"), 3L, "error", 0.0))
+      q.processAllAvailable()
+      lmem.addData(Event(4L, ts("2024-01-01 03:00:00"), 4L, "click", 1.0))
+      rmem.addData(Event(102L, ts("2024-01-01 03:00:30"), 4L, "error", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("corrfull")
+        .select("user_id", "l_id", "r_id").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      assert(rows.contains((2L, 2L, -1L)),
+        s"unmatched click never emitted its NULL-right row: $rows")
+      assert(rows.contains((5L, -1L, 200L)),
+        "unmatched error never emitted its NULL-left row — right-side " +
+          s"eviction broken (user_id must come from the right side): $rows")
+      assert(rows.contains((1L, 1L, 100L)))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running per-user totals across batches") {
     val mem = MemoryStream[Event]
     val q = EventStream.runningUserTotals(spark, mem.toDF())

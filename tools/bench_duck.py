@@ -20,9 +20,28 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 # Storage-verb rows take min over max(reps, 5) on the Spark side (their
 # sub-second multi-commit bodies carry the widest host-noise spread) —
 # mirror the SAME per-row protocol here so min-of-N is symmetric.
-# Must match Bench.scala's storageOps set.
-STORAGE_OPS = {"k11", "k12", "k13", "k14", "k17", "k18", "k19", "k20",
-               "k22", "k23", "k24", "k25", "k26", "k29", "k30"}
+# The authoritative set is the one the Spark bench EMITS into its
+# artifact ("storage_ops"); the literal below is only the fallback when
+# no artifact is readable, so a storage row added on one side can no
+# longer silently desync the rep protocol.
+FALLBACK_STORAGE_OPS = {"k11", "k12", "k13", "k14", "k17", "k18", "k19",
+                        "k20", "k22", "k23", "k24", "k25", "k26", "k29",
+                        "k30"}
+
+
+def storage_ops():
+    for p in ("/tmp/bench_latest.json", "BENCH_LATEST.json",
+              "/root/repo/BENCH_LATEST.json"):
+        try:
+            ops = json.load(open(p)).get("storage_ops")
+            if ops:
+                print(f"storage_ops from {p}: {sorted(ops)}", file=sys.stderr)
+                return set(ops)
+        except Exception:
+            pass
+    print("storage_ops: no bench artifact readable, using built-in fallback",
+          file=sys.stderr)
+    return FALLBACK_STORAGE_OPS
 
 
 def main(sf_dir, oracle_path, reps=3):
@@ -31,9 +50,10 @@ def main(sf_dir, oracle_path, reps=3):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(oracle_path))
     oracle = {n.removesuffix(".parquet"): s for n, s in oracle.items()}
+    s_ops = storage_ops()
     times = {}
     for name, sql in sorted(oracle.items()):
-        n_reps = max(reps, 5) if name[:3] in STORAGE_OPS else reps
+        n_reps = max(reps, 5) if name[:3] in s_ops else reps
         best = None
         for _ in range(n_reps):
             t0 = time.perf_counter()

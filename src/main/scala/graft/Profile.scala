@@ -38,7 +38,12 @@ object Profile {
     // is ≤ k·maxDf·|docs| candidates), the interpolated-LM scoring
     // pass (x51), and the two-stage exact rerank (x52) audited at
     // replica scale like the rest
-    "x50_inclusion", "x51_interp_nll", "x52_pq_rerank")
+    "x50_inclusion", "x51_interp_nll", "x52_pq_rerank",
+    // r20: incremental LM maintenance (x53 — the log-table fixture is
+    // per-sfDir setup, excluded by min-of-2; the measured body must
+    // stay O(delta + gram-table merge)) and arrival containment dedup
+    // (x54 — same candidate-join linearity claim as x50, arrival-aware)
+    "x53_incremental_lm", "x54_arrival_inclusion")
 
   /** Build (or reuse) the SOAK fixture: a `reps`× replica of the sf
     * dir's documents/embeddings with the other tables symlinked.

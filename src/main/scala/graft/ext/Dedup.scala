@@ -859,19 +859,31 @@ object Dedup {
     val anch = perDoc.select(col("id"),
       explode(slice(array_sort(col("shset")), 1, k)).as("h"),
       batchOfId(col("id")).cast("int").as("b"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("h").orderBy("b")
-    val fhb = dsh.groupBy("h", "b").agg(count(lit(1)).as("c"))
-      .withColumn("cum", sum("c").over(w))
-      .filter(col("cum") > maxDf)
-      .groupBy("h").agg(min("b").as("fhb"))
+    // first-hot batch in ONE combinable groupBy (the window spelling —
+    // groupBy(h,b) then sum over (partition by h) — paid a second
+    // shuffle on the same key): K conditional prefix counts per key,
+    // then the least k whose prefix crosses maxDf. Prefix counts are
+    // monotone in k, so the first non-NULL `when` IS the minimum.
+    val cumCols = (0 until numBatches).map(k =>
+      sum(when(col("b") <= k, 1L).otherwise(0L)).as(s"_c$k"))
+    val fhb = dsh.groupBy("h").agg(cumCols.head, cumCols.tail: _*)
+      .select(col("h"), coalesce((0 until numBatches).map(k =>
+        when(col(s"_c$k") > maxDf, lit(k))): _*).as("fhb"))
+      .filter(col("fhb").isNotNull)
     // pre-hot restriction on BOTH sides ⟺ the pair's later round
-    // predates the key going hot (ba, bp ≤ bl < fhb)
-    def preHot(df: DataFrame) = df.join(broadcast(fhb), Seq("h"), "left")
+    // predates the key going hot (ba, bp ≤ bl < fhb). ONE broadcast
+    // join, on the postings side only — that is the side whose hot keys
+    // would otherwise fan out quadratically into the shuffle join; the
+    // anchor side (k rows/doc) carries its batch through the join and
+    // the pair filter applies the carried fhb to both batches at once.
+    val keptPost = dsh.join(broadcast(fhb), Seq("h"), "left")
       .filter(col("fhb").isNull || col("b") < col("fhb"))
-    val cand = preHot(anch).select(col("id"), col("h"))
-      .join(preHot(dsh).select(col("id").as("id_p"), col("h")), Seq("h"))
-      .filter(col("id") =!= col("id_p"))
+    val cand = anch.select(col("id"), col("h"), col("b").as("ba"))
+      .join(keptPost.select(col("id").as("id_p"), col("h"),
+        col("b").as("bp"), col("fhb")), Seq("h"))
+      .filter(col("id") =!= col("id_p") &&
+        (col("fhb").isNull ||
+          greatest(col("ba"), col("bp")) < col("fhb")))
       .select(least(col("id"), col("id_p")).as("id_a"),
         greatest(col("id"), col("id_p")).as("id_b"))
       .distinct()

@@ -713,9 +713,10 @@ object ExtQueries {
     * [[gramTf]]'s body, exposed so incremental consumers (x53's
     * change-feed maintenance) gram-ify a DELTA with exactly the corpus
     * checkpoint's tokenization, hashes, and schema. */
-  private[queries] def gramTfOf(src: DataFrame): DataFrame =
+  private[queries] def gramTfOf(
+      src: DataFrame, extra: Seq[String] = Nil): DataFrame =
       src
-        .select(col("doc_id"), explode(concat(
+        .select((col("doc_id") +: extra.map(col)) :+ explode(concat(
           transform(
             graft.functions.TermStats(split(col("text"), " "))
               .getField("counts"),
@@ -725,14 +726,15 @@ object ExtQueries {
             graft.functions.TermStats(bigramsOf(col("text")))
               .getField("counts"),
             c => struct(lit(1).as("tag"), c.getField("term").as("term"),
-              c.getField("tf").as("tf"))))).as("x"))
-        .select(col("doc_id"), col("x").getField("tag").as("tag"),
+              c.getField("tf").as("tf"))))).as("x"): _*)
+        .select((col("doc_id") +: extra.map(col)) ++ Seq(
+          col("x").getField("tag").as("tag"),
           Dedup.shingleHash60(col("x").getField("term")).as("h"),
           Dedup.shingleHash60(substring_index(
             col("x").getField("term"), " ", 1)).as("hp"),
           Dedup.shingleHash60(substring_index(
             col("x").getField("term"), " ", -1)).as("hs"),
-          col("x").getField("tf").as("tf"))
+          col("x").getField("tf").as("tf")): _*)
 
   /** x53's base state: the documents corpus AS a graft-log table (keyed
     * on doc_id, range-clustered so key-delete pruning has tight stats)
@@ -2653,13 +2655,16 @@ object ExtQueries {
           "doc_id")
         val feed = graft.io.LogTable.changes(s, t, "doc_id", v1,
           graft.io.LogTable.version(t))
-        val ins = gramTfOf(feed.filter(col("_change_type") =!= "delete")
-          .select(col("doc_id"), col("text")))
-          .select(col("tag"), col("h"), col("tf").cast("long").as("ctf"))
-        val del = gramTfOf(feed.filter(col("_change_type") === "delete")
-          .select(col("doc_id"), col("text")))
-          .select(col("tag"), col("h"), (-col("tf")).cast("long").as("ctf"))
-        v1Grams.unionByName(ins).unionByName(del)
+        // ONE gram pass over the feed (the sign rides through as a
+        // passthrough column): insert images add, delete images
+        // subtract — two filtered passes would read the delta twice
+        val delta = gramTfOf(feed.withColumn("_sign",
+            when(col("_change_type") === "delete", -1L).otherwise(1L))
+            .select(col("doc_id"), col("text"), col("_sign")),
+          extra = Seq("_sign"))
+          .select(col("tag"), col("h"),
+            (col("tf") * col("_sign")).cast("long").as("ctf"))
+        v1Grams.unionByName(delta)
           .groupBy("tag", "h").agg(sum("ctf").as("ctf"))
           .filter(col("ctf") > 0)
           .select(col("tag"), col("h"), col("ctf").cast("long").as("ctf"))

@@ -919,12 +919,35 @@ object Dedup {
     }).localCheckpoint(false)
     val perDoc = minhashWithSets(fresh, "id", "text", n, numHashes)
       .localCheckpoint(false)
+    val (retained, (post2, anch2, df2)) = containmentStepFrom(fresh, perDoc,
+      state.map { case (_, post, anchIx, dfc) => (post, anchIx, dfc) },
+      k, maxDf)
+    val rIds = retained.select("id")
+    val ids2 = state match {
+      case Some((ids, _, _, _)) => ids.unionByName(rIds)
+      case None => rIds
+    }
+    (retained, (ids2, post2, anch2, df2))
+  }
+
+  /** [[containmentArrivalStep]] body below the replay filter and the
+    * minhash pass — the seam [[graft.streaming.DocStream]]'s containment
+    * ingest uses: the caller owns replay absorption and the ONE
+    * [[minhashWithSets]] pass (it stores the sketch column alongside the
+    * document), this applies the collision algebra. `fresh` must already
+    * be first-delivery rows; `perDoc` its sketch frame. Returns
+    * (retainedDocs, (postings', anchors', df')). */
+  private[graft] def containmentStepFrom(
+      fresh: DataFrame, perDoc: DataFrame,
+      state: Option[(DataFrame, DataFrame, DataFrame)],
+      k: Int, maxDf: Long)
+    : (DataFrame, (DataFrame, DataFrame, DataFrame)) = {
     val newPost = perDoc.select(col("id"), explode(col("shset")).as("h"))
       .localCheckpoint(false)
     val newAnch = perDoc.select(col("id"),
       explode(slice(array_sort(col("shset")), 1, k)).as("h"))
     val dfNow = (state match {
-      case Some((_, _, _, dfc)) =>
+      case Some((_, _, dfc)) =>
         dfc.unionByName(newPost.groupBy("h").agg(count(lit(1)).as("df")))
           .groupBy("h").agg(sum("df").as("df"))
       case None => newPost.groupBy("h").agg(count(lit(1)).as("df"))
@@ -937,7 +960,7 @@ object Dedup {
       .filter(col("id") =!= col("id_p"))
       .select(greatest(col("id"), col("id_p")).as("id"))
     val dropped = state match {
-      case Some((_, post, anchIx, _)) =>
+      case Some((post, anchIx, _)) =>
         val newVsIdx = newAnch
           .join(kept(post).select(col("id").as("id_p"), col("h")), Seq("h"))
           .select(col("id"))
@@ -954,10 +977,9 @@ object Dedup {
     val rPost = newPost.join(rIds, Seq("id"), "left_semi")
     val rAnch = newAnch.join(rIds, Seq("id"), "left_semi")
     val stateNew = state match {
-      case Some((ids, post, anchIx, _)) =>
-        (ids.unionByName(rIds), post.unionByName(rPost),
-          anchIx.unionByName(rAnch), dfNow)
-      case None => (rIds, rPost, rAnch, dfNow)
+      case Some((post, anchIx, _)) =>
+        (post.unionByName(rPost), anchIx.unionByName(rAnch), dfNow)
+      case None => (rPost, rAnch, dfNow)
     }
     (retained, stateNew)
   }

@@ -99,6 +99,113 @@ object DocStream {
     out.unpersist()
   }
 
+  private def containmentPath(warehouse: String) = s"$warehouse/containment_corpus"
+
+  /** The retained corpus of the CONTAINMENT ingest: (id, text). */
+  def retainedContainmentDocs(spark: SparkSession, warehouse: String): DataFrame =
+    graft.io.LogTable.read(spark, containmentPath(warehouse))
+      .filter(col("retained")).select("id", "text")
+
+  /** Full containment-ingest state (id, text, shset, retained). */
+  def containmentState(spark: SparkSession, warehouse: String): DataFrame =
+    graft.io.LogTable.read(spark, containmentPath(warehouse))
+
+  /** One CONTAINMENT-dedup ingest micro-batch —
+    * [[graft.ext.Dedup.containmentArrivalStep]]'s algebra over durable
+    * single-table state (the x50 inclusion detector composed into the
+    * live path; x54's closed form is its backfill twin).
+    *
+    * State design differs from the band ingest in ONE deliberate way:
+    * EVERY first-delivery arrival commits a row — retained docs and
+    * dropped docs alike — because the stop-shingle guard counts corpus
+    * frequency over ALL arrivals, exactly like the step's df state; a
+    * dropped doc keeps only its hash-sketch column (`shset`) and the
+    * `retained = false` flag. That keeps the whole state in ONE atomic
+    * manifest commit per batch (doc + sketch + verdict in lockstep —
+    * no torn two-table df/corpus split, no fencing machinery), and the
+    * first-delivery guard anti-joins ALL seen ids, so a re-delivered
+    * DROPPED doc is absorbed too (never re-counted into df, never
+    * re-judged) — stricter than the step's retained-only replay rule
+    * and the right call for a durable corpus.
+    *
+    * Scale: the per-batch probe reads only the state table's hash
+    * columns (column-pruned scan — the band ingest's documented trade);
+    * the per-batch df recount over those hashes is the simple spelling —
+    * a deployment whose vocabulary outgrows it maintains the df table
+    * incrementally off the change feed instead (the x53 pattern: counts
+    * are additive). */
+  def ingestBatchContainment(
+      spark: SparkSession, batch: DataFrame, warehouse: String,
+      k: Int = 4, maxDf: Long = 64,
+      n: Int = 3, numHashes: Int = 12): Unit = {
+    val newDocs = batch.select(col("doc_id").as("id"), col("text"))
+      .groupBy("id").agg(max(col("text")).as("text"))
+    if (newDocs.isEmpty) return // P11: empty batch is a no-op
+    val path = containmentPath(warehouse)
+    val exists = new java.io.File(s"$path/_log").isDirectory &&
+      graft.io.LogTable.version(path) > 0
+    val seen = if (exists) Some(graft.io.LogTable.read(spark, path)) else None
+    val fresh = (seen match {
+      case Some(tbl) => newDocs.join(tbl.select("id"), Seq("id"), "left_anti")
+      case None => newDocs
+    }).localCheckpoint(false)
+    if (fresh.isEmpty) return // replayed delivery: absorbed wholesale
+    val perDoc = Dedup.minhashWithSets(fresh, "id", "text", n, numHashes)
+      .localCheckpoint(false)
+    val state = seen.map { tbl =>
+      val ret = tbl.filter(col("retained"))
+      (ret.select(col("id"), explode(col("shset")).as("h")),
+        ret.select(col("id"),
+          explode(slice(array_sort(col("shset")), 1, k)).as("h")),
+        tbl.select(explode(col("shset")).as("h"))
+          .groupBy("h").agg(count(lit(1)).cast("long").as("df")))
+    }
+    val (retained, _) =
+      Dedup.containmentStepFrom(fresh, perDoc, state, k, maxDf)
+    // one row per arrival: text + sketch + verdict, single-manifest
+    // commit. A doc under n tokens has no sketch row (it can never
+    // collide) — it commits with an empty set, retained.
+    val out = fresh
+      .join(perDoc.select(col("id"), col("shset")), Seq("id"), "left")
+      .join(retained.select(col("id")).withColumn("_r", lit(true)),
+        Seq("id"), "left")
+      .select(col("id"), col("text"),
+        coalesce(col("shset"), array().cast("array<long>")).as("shset"),
+        coalesce(col("_r"), lit(false)).as("retained"))
+      .localCheckpoint(true)
+    if (exists) graft.io.LogTable.append(spark, path, out, "id")
+    else graft.io.LogTable.create(spark, path, out, "id")
+    out.unpersist()
+  }
+
+  /** Start the containment-dedup ingest stream — [[startDedupIngest]]'s
+    * contract (file-source checkpointing, bounded backfill via
+    * `maxFilesPerTrigger`, `availableNow` catch-up-then-stop) with
+    * [[ingestBatchContainment]] as the micro-batch body. */
+  def startContainmentIngest(
+      spark: SparkSession,
+      docsJsonDir: String,
+      warehouse: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None,
+      availableNow: Boolean = false,
+      k: Int = 4, maxDf: Long = 64): StreamingQuery = {
+    val reader = spark.readStream
+      .schema(docSchema)
+      .option("pathGlobFilter", "*.json")
+    maxFilesPerTrigger.foreach(nf => reader.option("maxFilesPerTrigger", nf))
+    val writer = reader.json(docsJsonDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        ingestBatchContainment(spark, batch.toDF(), warehouse, k, maxDf)
+        ()
+      }
+    (if (availableNow)
+      writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    else writer).start()
+  }
+
   /** Start the dedup-ingest stream over a landing directory of
     * document-JSON files. Mirrors [[OrderStream.startEtlStream]]'s
     * contract: file-source checkpointing gives exactly-once per file,

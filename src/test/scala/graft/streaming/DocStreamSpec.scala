@@ -106,6 +106,74 @@ class DocStreamSpec extends AnyFunSuite {
     assert(v1 == expected, "as-of-v1 snapshot must equal the surviving corpus")
   }
 
+  test("containment ingest: stream-fed state == the x54 closed form; replayed files (incl. dropped docs) absorbed") {
+    // the x54 arrival corpus: originals, +10000 head snippets (verbatim
+    // inclusions), +20000 re-sent snippets + token-reversed docs
+    val base = Tables.documents(spark, sf)
+    def headSnip(pred: org.apache.spark.sql.Column, off: Long) = base.filter(pred)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select((col("doc_id") + off).as("id"),
+        array_join(slice(col("t"), lit(1),
+          greatest(expr("size(t) div 5"), lit(4))), " ").as("text"))
+    val b0 = base.select(col("doc_id").as("id"), col("text"))
+    val b1 = headSnip(col("doc_id") % 25 === 0, 10000L)
+    val b2 = headSnip(col("doc_id") % 50 === 0, 20000L)
+      .unionByName(base.filter(col("doc_id") % 25 === 7)
+        .select((col("doc_id") + 20000L).as("id"),
+          array_join(reverse(split(col("text"), " ")), " ").as("text")))
+
+    // reference: the x54 closed form IS the batch fold over these batches
+    val expected = graft.SparkEntry.queries("x54_arrival_inclusion")(spark, sf)
+      .select("id").collect().map(_.getLong(0)).toSet
+
+    val landing = Files.createTempDirectory("graft-cont-landing").toString
+    val wh = Files.createTempDirectory("graft-cont-wh").toString
+    val ckpt = Files.createTempDirectory("graft-cont-ckpt").toString
+    Seq(b0, b1, b2).zipWithIndex.foreach { case (b, i) =>
+      val p = Paths.get(landing, s"batch$i.json")
+      Files.write(p, jsonLines(b).mkString("\n").getBytes("UTF-8"))
+      p.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val q = DocStream.startContainmentIngest(spark, landing, wh, ckpt,
+      maxFilesPerTrigger = Some(1), availableNow = true)
+    try q.awaitTermination() finally q.stop()
+
+    val streamed = DocStream.retainedContainmentDocs(spark, wh)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(streamed == expected,
+      s"stream retained ${streamed.size}, closed form ${expected.size}; " +
+        s"missing=${(expected -- streamed).take(5)} extra=${(streamed -- expected).take(5)}")
+
+    // EVERY first-delivery arrival holds a state row (dropped docs keep
+    // their sketch for the df guard), one atomic commit per batch
+    val st = DocStream.containmentState(spark, wh)
+    val total = b0.count() + b1.count() + b2.count()
+    assert(st.count() == total,
+      s"state rows ${st.count()} != arrivals $total — dropped docs must commit too")
+    assert(st.filter(!col("retained") && size(col("shset")) === 0).count() == 0,
+      "a dropped doc without its sketch can't back the df guard")
+    val tablePath = s"$wh/containment_corpus"
+    assert(graft.io.LogTable.version(tablePath) == 3L,
+      s"three arrival batches must be three commits, log at v${graft.io.LogTable.version(tablePath)}")
+
+    // replay a file whose docs were ALL DROPPED (the %50 snippets) plus
+    // one retained original: both classes absorb wholesale — a dropped
+    // doc re-sent must not re-count df or be re-judged
+    val p = Paths.get(landing, "replay.json")
+    Files.write(p, jsonLines(b2.limit(5).unionByName(b0.limit(1)))
+      .mkString("\n").getBytes("UTF-8"))
+    p.toFile.setLastModified(1700000000000L + 10 * 60000L)
+    val q2 = DocStream.startContainmentIngest(spark, landing, wh, ckpt,
+      maxFilesPerTrigger = Some(1), availableNow = true)
+    try q2.awaitTermination() finally q2.stop()
+    assert(DocStream.containmentState(spark, wh).count() == total,
+      "replayed delivery changed the containment state")
+    assert(graft.io.LogTable.version(tablePath) == 3L,
+      "a fully-absorbed replay must not commit a version")
+    assert(DocStream.retainedContainmentDocs(spark, wh)
+      .select("id").collect().map(_.getLong(0)).toSet == expected)
+  }
+
   test("multi-version ingest: later batches with survivors append manifest versions; v1 stays readable") {
     val docs = Tables.documents(spark, sf).select(col("doc_id").as("id"), col("text"))
     val b0 = docs.filter(col("id") < 250)

@@ -2621,6 +2621,11 @@ object ExtQueries {
     // production composition of the storage layer and the LM ladder: a
     // real pipeline ingests continuously, and rebuilding the gram tables
     // per corpus snapshot re-tokenizes 100 TB to absorb a 10 GB delta).
+    // The incremental-over-rebuild discipline is the reference's own
+    // core loop generalized (run.py:142-152: fetch only orders since the
+    // stored watermark, fold them into the warehouse) — here the
+    // "watermark" is a table VERSION and the folded state is a derived
+    // statistic table rather than the fact rows.
     // The documents corpus lives AS a graft-log table whose unigram AND
     // bigram tables are already maintained (setup); the timed body is
     // exactly one production increment: retire a clustered slice of doc

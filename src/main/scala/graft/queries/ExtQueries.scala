@@ -2662,10 +2662,14 @@ object ExtQueries {
           graft.io.LogTable.version(t))
         // ONE gram pass over the feed (the sign rides through as a
         // passthrough column): insert images add, delete images
-        // subtract — two filtered passes would read the delta twice
-        val delta = gramTfOf(feed.withColumn("_sign",
-            when(col("_change_type") === "delete", -1L).otherwise(1L))
-            .select(col("doc_id"), col("text"), col("_sign")),
+        // subtract — two filtered passes would read the delta twice.
+        // fanOut first (gramTf's own discipline): the delta arrives as
+        // a handful of appended files, so without it the whole tokenize
+        // runs on 1-3 input partitions regardless of cores.
+        val delta = gramTfOf(graft.util.Partitioning.fanOut(
+            feed.withColumn("_sign",
+              when(col("_change_type") === "delete", -1L).otherwise(1L))
+            .select(col("doc_id"), col("text"), col("_sign"))),
           extra = Seq("_sign"))
           .select(col("tag"), col("h"),
             (col("tf") * col("_sign")).cast("long").as("ctf"))

@@ -120,9 +120,14 @@ object Probe {
       spark.stop(); return
     }
 
-    for (variant <- Seq("aqe_on", "aqe_off")) {
+    for (variant <- Seq("aqe_on", "aqe_minps", "aqe_off")) {
       spark.conf.set("spark.sql.adaptive.enabled",
         if (variant == "aqe_off") "false" else "true")
+      // aqe_minps: AQE on, but the coalescer's 1 MB minimum partition
+      // size lowered so compute-dense reduce stages over small shuffle
+      // payloads keep ~core-count tasks instead of collapsing to 2-3.
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        if (variant == "aqe_minps") "64k" else "1m")
       for (n <- names) {
         val (plan, exec) = (1 to 3).map { _ =>
           var df: org.apache.spark.sql.DataFrame = null

@@ -118,6 +118,13 @@ object Profile {
       // overhead on the storage verbs (default ON = production conf)
       .config("spark.sql.adaptive.enabled",
         (sys.env.getOrElse("SPARK_GRAFT_AQE", "1") != "0").toString)
+      // match Bench's session exactly (r21): probe numbers must predict
+      // bench numbers — the codegen-cache size and shuffle-compression
+      // settings both moved per-query timings measurably
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
+      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.spill.compress", "false")
+      .config("spark.sql.ui.retainedExecutions", "15")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def t(label: String)(f: => Long): Unit = {
@@ -571,7 +578,73 @@ object Profile {
             println(f"  JOB ${jr.id}%3d $d%7.3f s tasks=${jr.tasks}%4d  ${jr.site}")
           }
         }
-      } else if (name == "explain") { if (r == 1) {
+      } else if (name == "coldjobs") { if (r == 1) {
+        // Bench's COLD protocol for a query list (env
+        // SPARK_GRAFT_PROBE_QUERIES) with kdetail's per-job decomposition:
+        // sf0.001 warmup first (codegen/JIT steady state, like Bench),
+        // then per rep sweep BOTH cache layers so every rep pays its own
+        // artifact builds — the number the bench's cold facet reports —
+        // and print each job's call site, duration, and task count.
+        case class JobRec(id: Int, site: String, tasks: Int,
+            start: Long, var end: Long)
+        val recs = new java.util.concurrent.ConcurrentHashMap[Int, JobRec]()
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onJobStart(
+                js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+              val site = js.stageInfos.lastOption.map(_.name).getOrElse("?")
+                .take(90)
+              val tasks = js.stageInfos.map(_.numTasks).sum
+              recs.put(js.jobId,
+                JobRec(js.jobId, site, tasks, System.nanoTime(), 0L))
+            }
+            override def onJobEnd(
+                je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+              val rec = recs.get(je.jobId)
+              if (rec != null) rec.end = System.nanoTime()
+            }
+          })
+        val qns = sys.env.getOrElse("SPARK_GRAFT_PROBE_QUERIES", "x45_bigram_nll")
+          .split(",").map(_.trim).filter(_.nonEmpty)
+        val warmDir = "/root/testdata/sf0.001"
+        if (new java.io.File(warmDir).isDirectory)
+          for (qn <- qns)
+            try SparkEntry.queries(qn)(spark, warmDir)
+              .write.format("noop").mode("overwrite").save()
+            catch { case _: Throwable => }
+        spark.catalog.clearCache()
+        graft.io.ArtifactCache.retainOnly(_.startsWith("import:"))
+        System.gc(); Thread.sleep(150)
+        for (qn <- qns; rep <- 1 to reps) {
+          recs.clear()
+          var df: org.apache.spark.sql.DataFrame = null
+          val tc0 = System.nanoTime()
+          df = SparkEntry.queries(qn)(spark, sfDir)
+          val tCons = (System.nanoTime() - tc0) / 1e9
+          val tp0 = System.nanoTime()
+          df.queryExecution.executedPlan
+          val tPlan = (System.nanoTime() - tp0) / 1e9
+          val t0 = System.nanoTime()
+          df.write.format("noop").mode("overwrite").save()
+          val wall = (System.nanoTime() - t0) / 1e9
+          import scala.jdk.CollectionConverters._
+          val rows = recs.values.asScala.toSeq.sortBy(_.id)
+          val injob = rows.map(r =>
+            if (r.end > 0) (r.end - r.start) / 1e9 else 0.0).sum
+          println(f"COLDJOBS $qn rep$rep cons=$tCons%.3f plan=$tPlan%.3f " +
+            f"exec=$wall%.3f injob=$injob%.3f jobs=${rows.size}")
+          rows.foreach { jr =>
+            val d = if (jr.end > 0) (jr.end - jr.start) / 1e9 else -1.0
+            val phase =
+              if (jr.start < tp0) "cons" else if (jr.start < t0) "plan" else "exec"
+            val off = (jr.start - tc0) / 1e9
+            println(f"  JOB ${jr.id}%3d $d%7.3f s tasks=${jr.tasks}%4d $phase%-4s +$off%6.3f  ${jr.site}")
+          }
+          spark.catalog.clearCache()
+          graft.io.ArtifactCache.retainOnly(_.startsWith("import:"))
+          System.gc(); Thread.sleep(150)
+        }
+      } } else if (name == "explain") { if (r == 1) {
         // executed-plan summary for SPARK_GRAFT_PROBE_QUERIES: node-type
         // counts that matter for plan review (reused exchanges/subtrees,
         // aggregation and join counts), plus the full plan on request.

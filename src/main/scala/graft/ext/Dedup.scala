@@ -97,8 +97,15 @@ object Dedup {
 
   /** 60-bit shingle hash (15 hex chars of md5) — collision-safe identity
     * for set operations over shingles (Jaccard), cheaper to shuffle than
-    * the shingle strings themselves. */
-  def shingleHash60(sh: Column): Column =
+    * the shingle strings themselves. Served by the native
+    * [[graft.functions.Md5Hash60]] (digest bytes → long directly); the
+    * declarative spelling is kept below as the differential reference. */
+  def shingleHash60(sh: Column): Column = graft.functions.Md5Hash60(sh)
+
+  /** The pre-r21 declarative spelling of [[shingleHash60]] — retained
+    * ONLY as the differential-spec reference (Md5Hash60Spec pins the
+    * native expression equal to it on adversarial inputs). */
+  private[graft] def shingleHash60Decl(sh: Column): Column =
     conv(substring(md5(sh), 1, 15), 16, 10).cast("long")
 
   /** (id, m) — md5 hex per shingle occurrence. The ONE expensive pass

@@ -715,6 +715,32 @@ object ExtQueries {
     * checkpoint's tokenization, hashes, and schema. */
   private[queries] def gramTfOf(
       src: DataFrame, extra: Seq[String] = Nil): DataFrame =
+      // ONE native loop per document ([[graft.functions.GramTf]]):
+      // unigram and bigram counts with their 60-bit hashes (h, hp, hs)
+      // computed in-row — each distinct word digested once. Replaces
+      // (r21) the five-expression chain (two TermStats passes, a
+      // transform-built bigram string array, struct concat + explode,
+      // then three md5→hex→conv chains per exploded row) that made this
+      // the largest single cold job of every LM-ladder query. Output
+      // rows, schema, and hash values are identical (GramTfSpec pins
+      // the native pass equal to the declarative spelling aggregated by
+      // hash; the per-doc gram identity is the 60-bit hash either way —
+      // the identity all consumers aggregate or join on).
+      src
+        .select((col("doc_id") +: extra.map(col)) :+
+          explode(graft.functions.GramTf(split(col("text"), " "))).as("x"): _*)
+        .select((col("doc_id") +: extra.map(col)) ++ Seq(
+          col("x").getField("tag").as("tag"),
+          col("x").getField("h").as("h"),
+          col("x").getField("hp").as("hp"),
+          col("x").getField("hs").as("hs"),
+          col("x").getField("tf").as("tf")): _*)
+
+  /** The pre-r21 declarative spelling of [[gramTfOf]] — retained ONLY
+    * as the differential-spec reference (GramTfSpec pins the native
+    * pass equal to it, aggregated by the hash identity both spell). */
+  private[queries] def gramTfOfDecl(
+      src: DataFrame, extra: Seq[String] = Nil): DataFrame =
       src
         .select((col("doc_id") +: extra.map(col)) :+ explode(concat(
           transform(
@@ -770,13 +796,24 @@ object ExtQueries {
       (path, graft.io.LogTable.version(path), grams)
     })
 
-  /** The corpus-wide unigram table (x41/x43/x45/x47/x48's shared
+  /** The corpus-wide unigram table (x41/x43/x45/x48's shared
     * artifact), derived from the postings checkpoint via
     * [[corpusHashTf]]. Same cache key as ever — x45's combined tagged
     * build still populates it directly in the collected regime. */
   private[queries] def corpusUnigramArtifact(
       s: SparkSession, d: String): (Long, DataFrame) =
     unigramArtifactFrom(s, s"unigram-tf:documents:$d", corpusHashTf(s, d))
+
+  /** The corpus's grand token total as a per-snapshot scalar artifact:
+    * sum(tf) over the shared postings checkpoint — exactly the unigram
+    * table's total (its ctf column is a regrouping of these tf longs,
+    * both exact int64 sums) without the table build. Serves BM25's
+    * avgdl (x47/x48). */
+  private[queries] def corpusTokenTotal(s: SparkSession, d: String): Long =
+    graft.io.ArtifactCache.getOrBuild(s"ntok:documents:$d") {
+      java.lang.Long.valueOf(
+        docTermTf(s, d).agg(sum("tf")).head().getLong(0))
+    }.longValue()
 
   /** The x47/x48 query set: distinct term sets of deterministic probe
     * documents (doc_id % 200 = 7 — scales with the corpus), broadcast
@@ -799,9 +836,17 @@ object ExtQueries {
     * snapshot, so x47 and x48 share ONE materialization. */
   private def bm25Scored(s: SparkSession, d: String): DataFrame = {
     val (nDocs, dfreq) = dfreqArtifact(s, d)
-    // derives from the postings checkpoint dfreqArtifact just built —
-    // zero extra corpus passes inside one cold execution
-    val (nTok, _) = corpusUnigramArtifact(s, d)
+    // the grand token total for avgdl: ONE agg over the postings
+    // checkpoint dfreqArtifact just built. r21: this was
+    // corpusUnigramArtifact(s, d)._1 — which built (and on a cold
+    // execution paid for) the full corpus unigram TABLE (60-bit hash per
+    // posting row + a vocabulary groupBy + regime probe) only to read
+    // its scalar total; sum(tf) over the same checkpoint is the
+    // identical exact integer (the unigram table's ctf column is a
+    // regrouping of these tf longs) for one cheap combinable agg.
+    // x41/x43/x45's shared unigram artifact is untouched — consumers
+    // that need the TABLE still build it under the same key.
+    val nTok = corpusTokenTotal(s, d)
     val avgdl = nTok.toDouble / nDocs.toDouble
     // expression order mirrors the oracle TOKEN FOR TOKEN — every op
     // is IEEE-exact or correctly rounded, so bits match (see x47)
@@ -1621,8 +1666,10 @@ object ExtQueries {
     // `counts`, dl from `ntok` — no token shuffle, no per-doc groupBy);
     // the query-term set is broadcast (a query set is small by
     // definition); df rides x21's cached corpus-snapshot artifact and
-    // the token total rides x41/x43's — ZERO new artifact builds when
-    // any of those ran first. The join order filters FIRST on the
+    // the token total is one combinable agg over the shared postings
+    // checkpoint (r21: was the full unigram-table build read only for
+    // its scalar) — ZERO new artifact builds when any of those ran
+    // first. The join order filters FIRST on the
     // broadcast query terms (the selective side), so the df join and the
     // single combinable (query_id, doc_id) exchange see only matching
     // rows. Per-query top-k is a window partitioned by query_id —

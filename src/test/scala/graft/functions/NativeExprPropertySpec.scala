@@ -94,6 +94,17 @@ class NativeExprPropertySpec extends AnyFunSuite {
     assert(diff == 0)
   }
 
+  test("property: Md5Hash60 matches the conv(substring(md5)) reference on generated strings") {
+    // unicode, empty string, long strings, spaces — plus NULL
+    val strs = (samples(docGen, 200) :+ null).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "s")
+    val diff = strs.select(
+      Md5Hash60(col("s")).as("a"),
+      graft.ext.Dedup.shingleHash60Decl(col("s")).as("b"))
+      .filter(not(col("a") <=> col("b"))).count()
+    assert(diff == 0)
+  }
+
   test("property: HyperplaneBucket matches the HOF lshBucket on generated vectors") {
     val vecs = samples(vecGen, 120).zipWithIndex
       .map { case (v, i) => (i.toLong, v) }.toDF("id", "embedding")

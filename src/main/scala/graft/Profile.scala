@@ -125,6 +125,12 @@ object Profile {
       .config("spark.shuffle.compress", "false")
       .config("spark.shuffle.spill.compress", "false")
       .config("spark.sql.ui.retainedExecutions", "15")
+      // A/B knob (r21): let AQE re-plan (and coalesce) the plans of
+      // persisted frames — default false upstream for partitioning
+      // stability; the probe quantifies what it buys on persist-heavy
+      // pipelines before Bench considers it
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        (sys.env.getOrElse("SPARK_GRAFT_CACHEAQE", "0") == "1").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def t(label: String)(f: => Long): Unit = {

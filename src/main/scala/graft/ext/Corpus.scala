@@ -34,19 +34,21 @@ object Corpus {
     * corpus side streams once; its distinct-gram set is broadcast.
     * Returns (doc_id, n_grams, n_hits, contamination), one row per
     * non-benchmark document with ≥ n tokens. */
-  // Per-row array_distinct BEFORE the explode makes (id, gram) pairs
-  // distinct by construction: the corpus side needs no dedup exchange
-  // at all (the old spelling shuffled every gram md5 once just to
-  // dedup), md5 runs once per distinct gram instead of per occurrence,
-  // and the only wide op left on the corpus is the per-doc groupBy.
-  // Distinct-on-raw-shingles equals distinct-on-md5 up to md5
-  // collisions, which the gram-identity contract already discounts.
+  // One native loop per document (ShingleSet60, r21): distinct 60-bit
+  // gram hashes computed in-row — the (id, gram) pairs are distinct by
+  // construction, so the corpus side needs no dedup exchange at all,
+  // each distinct gram is digested exactly once, and the overlap join
+  // and the index both carry fixed-width longs instead of 32-char hex
+  // strings (the pre-r21 spelling ran the interpreted HOF shingle
+  // chain + array_distinct over gram STRINGS + an md5 expression per
+  // row). Distinct-on-hash equals distinct-on-raw-shingles up to md5
+  // collisions, which the gram-identity contract already discounts —
+  // the same identity every other gram consumer joins on.
   private def distinctGrams(
       src: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     Dedup.tokenized(src, idCol, textCol)
       .select(col("id"),
-        explode(array_distinct(Dedup.shinglesFromTokens(col("toks"), n))).as("g"))
-      .select(col("id"), md5(col("g")).as("m"))
+        explode(graft.functions.ShingleSet60(col("toks"), n)).as("m"))
 
   /** The benchmark suite's distinct n-gram md5 set, REGIME-DISPATCHED
     * by measured size ([[graft.io.Regime.collectIfSmall]]) — the
@@ -56,7 +58,7 @@ object Corpus {
     * [[graft.io.ArtifactCache]]) and pass it to
     * [[benchmarkOverlapIndexed]].
     *
-    * Left(collected grams) when provably driver-small — the real
+    * Left(collected gram hashes) when provably driver-small — the real
     * eval-suite case, served as a local-relation broadcast build.
     * Right(persisted distributed frame) past the bound: a benchmark set
     * scaled like a corpus (billions of grams) must NEVER transit the
@@ -65,14 +67,14 @@ object Corpus {
     * value-identical (CorpusSpec pins it under a forced bound). */
   def benchmarkGramIndex(
       df: DataFrame, idCol: String, textCol: String,
-      isBench: Column, n: Int, key: String): Either[IndexedSeq[String], DataFrame] = {
+      isBench: Column, n: Int, key: String): Either[IndexedSeq[Long], DataFrame] = {
     // persist first: the Regime probe's limit-collect materializes the
     // blocks, so an over-bound dispatch serves the SAME computed frame
     // to the join instead of re-deriving the benchmark scan
     val cp = distinctGrams(df.filter(isBench), idCol, textCol, n)
       .select(col("m")).distinct().persist()
     graft.io.Regime.collectIfSmall(key, cp)
-      .map { rows => cp.unpersist(); rows.map(_.getString(0)): IndexedSeq[String] }
+      .map { rows => cp.unpersist(); rows.map(_.getLong(0)): IndexedSeq[Long] }
       .toLeft(cp)
   }
 
@@ -85,7 +87,7 @@ object Corpus {
   def benchmarkOverlapIndexed(
       df: DataFrame, idCol: String, textCol: String,
       isBench: Column, n: Int,
-      index: Either[IndexedSeq[String], DataFrame],
+      index: Either[IndexedSeq[Long], DataFrame],
       corpusKey: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._

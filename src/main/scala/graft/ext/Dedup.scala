@@ -687,11 +687,11 @@ object Dedup {
     * (a re-send models as a compound batch+id key).
     *
     * Scale: bands/candidates come from equi-joins (never all-pairs);
-    * the K resolution rounds reference only id-width frames. The
-    * retained-set plan doubles per round (union + semi-join both
-    * reference the previous round), so past [[ReplayCkptEvery]] rounds
-    * the accumulated set re-checkpoints — bounded plans for long
-    * backfills, zero extra barriers for short ones.
+    * the K resolution rounds reference only id-width frames — each
+    * round's drop set materializes once (participant-bounded
+    * localCheckpoint), so plans stay flat for arbitrarily long
+    * backfills and the corpus is touched exactly once, by the final
+    * anti-join.
     *
     * Returns the retained first-arrivals as (id). */
   def arrivalReplay(
@@ -801,31 +801,47 @@ object Dedup {
             .otherwise(struct(col("id_b").as("e"), col("id_a").as("l"),
               col("bb").as("be"), col("ba").as("bl"))).as("p"))
           .select(col("p.e"), col("p.l"), col("p.be"), col("p.bl"))
-        val idsCp = ids.localCheckpoint(false)
-        var retained: DataFrame = null
+        // r21: iterate the resolution over the PAIR GRAPH only — the
+        // K-round state is the accumulated DROPPED set (bounded by pair
+        // participants, the same bound the driver regime collects), and
+        // the full ids frame is touched exactly once, by the final
+        // anti-join. The previous shape split ids per batch, anti-joined
+        // per batch, and unioned K corpus-width frames back together —
+        // ~3 distributed ops per batch over corpus-scale rows where this
+        // pays one. Semantics are identical: a cross pair (be < bl = k)
+        // drops l iff e was retained through its own rounds, and e's
+        // status is final after round be (every pair is resolved at its
+        // LATER side's round, so e — from an earlier batch — can only be
+        // dropped at rounds ≤ be < k); "e retained" ⟺ "e not in the
+        // dropped set so far" since every pair id is a docs id.
+        // each round's drop set is materialized ONCE (localCheckpoint —
+        // participant-bounded rows, executor blocks): round k's anti-join
+        // target and the final union both read the checkpointed blocks,
+        // where a lazy union chain re-executed every earlier round's
+        // subtree per reference (measured: the lazy spelling's exec cost
+        // GREW vs the per-batch corpus splits it replaced)
+        var dropped: DataFrame = null
         for (k <- 0 until numBatches) {
-          val batchIds = idsCp.filter(col("b") === k).select("id")
           val within = ordered.filter(col("bl") === k && col("be") === k)
             .select(col("l").as("id"))
-          val dropped =
-            if (retained == null) within
+          val dk =
+            (if (dropped == null) within
             else within.unionByName(
               ordered.filter(col("bl") === k && col("be") < k)
                 .select(col("e").as("id"), col("l"))
-                .join(retained, Seq("id"), "left_semi")
-                .select(col("l").as("id")))
-          val rk = batchIds.join(dropped, Seq("id"), "left_anti")
-          retained = if (retained == null) rk else retained.unionByName(rk)
-          if ((k + 1) % ReplayCkptEvery == 0 && k + 1 < numBatches)
-            retained = retained.localCheckpoint(false)
+                .join(dropped, Seq("id"), "left_anti")
+                .select(col("l").as("id"))))
+              .localCheckpoint(false)
+          dropped = if (dropped == null) dk else dropped.unionByName(dk)
         }
-        retained
+        // same guard-preserving projection as the driver regime: the
+        // trivially-true filter references `b`, which Catalyst cannot
+        // prune past the non-foldable raise_error — out-of-range ids
+        // still fail loudly here
+        ids.filter(col("b") >= 0).select("id")
+          .join(dropped, Seq("id"), "left_anti")
     }
   }
-
-  /** Re-checkpoint cadence for [[arrivalReplay]]'s accumulated retained
-    * set (its plan doubles per resolution round without a break). */
-  private[graft] val ReplayCkptEvery = 8
 
   /** BATCH BACKFILL of containment-dedup-on-arrival — [[arrivalReplay]]
     * with [[anchorContainmentCandidates]]' collision rule instead of

@@ -31,7 +31,7 @@ object CorpusQueries {
   private def benchGramIndex(
       s: org.apache.spark.sql.SparkSession, d: String,
       isBench: org.apache.spark.sql.Column)
-      : Either[IndexedSeq[String], org.apache.spark.sql.DataFrame] = {
+      : Either[IndexedSeq[Long], org.apache.spark.sql.DataFrame] = {
     val key = s"bench-grams:3:$d"
     def build = Corpus.benchmarkGramIndex(
       Tables.documents(s, d), "doc_id", "text", isBench, n = 3, key)

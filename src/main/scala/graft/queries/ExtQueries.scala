@@ -773,8 +773,48 @@ object ExtQueries {
     * version, pre-batch (tag, h, ctf) gram table — materialized). */
   private val x53Base =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Long, DataFrame)]()
+
+  /** Per-sfDir scratch root for x53's per-execution table clones: each
+    * execution deletes the previous clone before cutting its own (r21,
+    * ADVICE — the per-rep clones used to accumulate in the scratch dir
+    * across reps and JVMs), and one shutdown hook sweeps whatever is
+    * left at exit. */
+  private val x53CloneRoot = new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  private val x53CloneSeq = new java.util.concurrent.atomic.AtomicLong()
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  private def x53NextCloneDir(d: String): String = {
+    val root = x53CloneRoot.computeIfAbsent(d, _ => {
+      val r = java.nio.file.Files.createTempDirectory("graft-x53c")
+      sys.addShutdownHook(
+        try deleteTree(r) catch { case _: Throwable => () })
+      r
+    })
+    // sweep the previous execution's clone(s) under this root, then
+    // hand out a fresh, uniquely-numbered subdir
+    import scala.jdk.CollectionConverters._
+    val ls = java.nio.file.Files.list(root)
+    try ls.iterator().asScala.toList.foreach(p =>
+      try deleteTree(p) catch { case _: Throwable => () })
+    finally ls.close()
+    root.resolve(s"c${x53CloneSeq.incrementAndGet()}")
+      .resolve("docs_log").toString
+  }
   private def x53FixtureFor(
-      s: SparkSession, d: String): (String, Long, DataFrame) =
+      s: SparkSession, d: String): (String, Long, DataFrame) = {
+    // dead-context invalidation (r21, ADVICE): the cached grams frame is
+    // a localCheckpoint handle — a stopped/recreated SparkContext (the
+    // cross-session case ArtifactCache.getOrBuildFrame handles) would
+    // throw on every consumer; rebuild the entry against `s` instead
+    val cached = x53Base.get(d)
+    if (cached != null && !graft.io.Regime.servable(cached._3, s))
+      x53Base.remove(d, cached)
     x53Base.computeIfAbsent(d, dir => {
       val base = Tables.documents(s, dir)
         .filter(col("doc_id") % 5 =!= 0)
@@ -795,6 +835,7 @@ object ExtQueries {
         .localCheckpoint()
       (path, graft.io.LogTable.version(path), grams)
     })
+  }
 
   /** The corpus-wide unigram table (x41/x43/x45/x48's shared
     * artifact), derived from the postings checkpoint via
@@ -2696,8 +2737,11 @@ object ExtQueries {
       "x53_incremental_lm",
       (s, d) => {
         val (basePath, v1, v1Grams) = x53FixtureFor(s, d)
-        val t = java.nio.file.Files.createTempDirectory("graft-x53c")
-          .resolve("docs_log").toString
+        // per-execution clone, RECYCLED (r21, ADVICE): the previous
+        // execution's clone dir is deleted before the new one is cut —
+        // reps no longer accumulate clone trees in the scratch dir —
+        // and a shutdown hook (registered once) sweeps the last one
+        val t = x53NextCloneDir(d)
         graft.io.LogTable.cloneTableWithHistory(basePath, t)
         graft.io.LogTable.deleteKeysDV(s, t, "doc_id",
           (1L to 99L).filterNot(_ % 5 == 0))
@@ -2713,9 +2757,21 @@ object ExtQueries {
         // fanOut first (gramTf's own discipline): the delta arrives as
         // a handful of appended files, so without it the whole tokenize
         // runs on 1-3 input partitions regardless of cores.
+        // Guarded fold (r21, ADVICE): an 'update' image carries the NEW
+        // row only, so folding it as +1 would add the new grams without
+        // subtracting the old — silent count corruption. This window is
+        // retire+append (no key overlap), so updates cannot occur; the
+        // raise_error makes a future fixture/path change fail loudly
+        // instead of corrupting the maintained table.
         val delta = gramTfOf(graft.util.Partitioning.fanOut(
             feed.withColumn("_sign",
-              when(col("_change_type") === "delete", -1L).otherwise(1L))
+              when(col("_change_type") === "delete", -1L)
+                .when(col("_change_type") === "insert", 1L)
+                .otherwise(raise_error(concat(
+                  lit("x53 fold expects insert/delete images only, got '"),
+                  col("_change_type"),
+                  lit("' — an update image must subtract its old grams")))
+                  .cast("long")))
             .select(col("doc_id"), col("text"), col("_sign"))),
           extra = Seq("_sign"))
           .select(col("tag"), col("h"),

@@ -103,7 +103,11 @@ class RegimeSpec extends AnyFunSuite {
     withBound(1) {
       val d = SparkEntry.queries("x47_bm25_topk")(spark, sf)
       assert(decision(s"tfidf-df:documents:$sf") == "distributed")
-      assert(decision(s"unigram-tf:documents:$sf") == "distributed")
+      // r21: x47 no longer builds the unigram TABLE — its only unigram
+      // input is the scalar token total (one agg over the postings
+      // checkpoint, no regime dispatch), so no unigram-tf decision is
+      // recorded here; x41's test below still pins that artifact's
+      // over-bound regime
       assert(d.collect().map(_.toString).toSeq == base,
         "vocabulary-as-table x47 drifted from the broadcast regime")
     }

@@ -30,8 +30,13 @@ FALLBACK_STORAGE_OPS = {"k11", "k12", "k13", "k14", "k17", "k18", "k19",
 
 
 def storage_ops():
-    for p in ("/tmp/bench_latest.json", "BENCH_LATEST.json",
-              "/root/repo/BENCH_LATEST.json"):
+    # repo-local artifacts FIRST (r21, ADVICE): the world-writable /tmp
+    # copy can be a stale artifact from a different checkout/branch (or
+    # another user on a shared host) silently redefining the rep
+    # protocol; the cwd/repo artifact is the one the paired Bench run
+    # just wrote
+    for p in ("BENCH_LATEST.json", "/root/repo/BENCH_LATEST.json",
+              "/tmp/bench_latest.json"):
         try:
             ops = json.load(open(p)).get("storage_ops")
             if ops:

@@ -609,14 +609,19 @@ object ExtQueries {
   }
 
   /** Corpus-snapshot document-frequency table (term → df) + document
-    * count, the classic precomputed IR statistic behind x21's tf-idf and
-    * x47's BM25 — one vocabulary groupBy per corpus refresh, served to
-    * every scoring pass from [[graft.io.ArtifactCache]] (broadcast under
-    * the measured bound, vocabulary-as-table shuffle join past it). */
+    * count + grand token total, the classic precomputed IR statistics
+    * behind x21's tf-idf and x47's BM25 — one vocabulary groupBy per
+    * corpus refresh, served to every scoring pass from
+    * [[graft.io.ArtifactCache]] (broadcast under the measured bound,
+    * vocabulary-as-table shuffle join past it). r21: the token total
+    * rides the SAME vocabulary pass (sum(tf) folded into the df
+    * groupBy; the collected probe sums it driver-side, the distributed
+    * regime one tiny agg over the vocab table) — BM25's avgdl no longer
+    * pays its own postings-wide pass. */
   private[queries] def dfreqArtifact(
-      s: SparkSession, d: String): (Long, DataFrame) = {
+      s: SparkSession, d: String): (Long, Long, DataFrame) = {
     val key = s"tfidf-df:documents:$d"
-    def build: (Long, Either[IndexedSeq[(String, Long)], DataFrame]) = {
+    def build: (Long, Long, Either[IndexedSeq[(String, Long)], DataFrame]) = {
       // persist first, probe populates the blocks: one vocabulary
       // groupBy per snapshot whichever regime wins; the collected
       // branch releases the blocks (see dupCorpusCandidates).
@@ -626,19 +631,30 @@ object ExtQueries {
       // so a cold execution that needs both artifacts pays ONE corpus
       // tokenize, not two.
       val cp = docTermTf(s, d)
-        .groupBy("term").agg(count(lit(1)).as("df")).persist()
-      val collected = graft.io.Regime.collectIfSmall(key, cp)
-        .map { rows => cp.unpersist(); rows.map(r => (r.getString(0), r.getLong(1))) }
-      (Tables.documents(s, d).count(), collected.toLeft(cp))
+        .groupBy("term")
+        .agg(count(lit(1)).as("df"), sum("tf").as("tfsum")).persist()
+      graft.io.Regime.collectIfSmall(key, cp) match {
+        case Some(rows) =>
+          cp.unpersist()
+          val nTok = rows.iterator.map(_.getLong(2)).sum
+          (Tables.documents(s, d).count(), nTok,
+            Left(rows.map(r => (r.getString(0), r.getLong(1)))))
+        case None =>
+          // vocabulary-sized agg, not a postings pass
+          val nTok = cp.agg(sum("tfsum")).head().getLong(0)
+          (Tables.documents(s, d).count(), nTok,
+            Right(cp.select(col("term"), col("df"))))
+      }
     }
-    val (nDocs, dfArtifact) = graft.io.ArtifactCache.getOrBuild(key)(build) match {
-      case (n, Right(f)) if !graft.io.Regime.servable(f, s) =>
-        graft.io.ArtifactCache.invalidate(key)
-        graft.io.ArtifactCache.getOrBuild(key)(build)
-      case ok => ok
-    }
+    val (nDocs, nTok, dfArtifact) =
+      graft.io.ArtifactCache.getOrBuild(key)(build) match {
+        case (_, _, Right(f)) if !graft.io.Regime.servable(f, s) =>
+          graft.io.ArtifactCache.invalidate(key)
+          graft.io.ArtifactCache.getOrBuild(key)(build)
+        case ok => ok
+      }
     import s.implicits._
-    (nDocs, dfArtifact match {
+    (nDocs, nTok, dfArtifact match {
       case Left(rows) => broadcast(rows.toDF("term", "df"))
       case Right(frame) => frame // vocabulary-as-table: shuffle join
     })
@@ -845,17 +861,6 @@ object ExtQueries {
       s: SparkSession, d: String): (Long, DataFrame) =
     unigramArtifactFrom(s, s"unigram-tf:documents:$d", corpusHashTf(s, d))
 
-  /** The corpus's grand token total as a per-snapshot scalar artifact:
-    * sum(tf) over the shared postings checkpoint — exactly the unigram
-    * table's total (its ctf column is a regrouping of these tf longs,
-    * both exact int64 sums) without the table build. Serves BM25's
-    * avgdl (x47/x48). */
-  private[queries] def corpusTokenTotal(s: SparkSession, d: String): Long =
-    graft.io.ArtifactCache.getOrBuild(s"ntok:documents:$d") {
-      java.lang.Long.valueOf(
-        docTermTf(s, d).agg(sum("tf")).head().getLong(0))
-    }.longValue()
-
   /** The x47/x48 query set: distinct term sets of deterministic probe
     * documents (doc_id % 200 = 7 — scales with the corpus), broadcast
     * because a query set is small by definition. */
@@ -876,18 +881,12 @@ object ExtQueries {
     * twice — and [[bm25ScoredFrame]] caches the result per corpus
     * snapshot, so x47 and x48 share ONE materialization. */
   private def bm25Scored(s: SparkSession, d: String): DataFrame = {
-    val (nDocs, dfreq) = dfreqArtifact(s, d)
-    // the grand token total for avgdl: ONE agg over the postings
-    // checkpoint dfreqArtifact just built. r21: this was
-    // corpusUnigramArtifact(s, d)._1 — which built (and on a cold
-    // execution paid for) the full corpus unigram TABLE (60-bit hash per
-    // posting row + a vocabulary groupBy + regime probe) only to read
-    // its scalar total; sum(tf) over the same checkpoint is the
-    // identical exact integer (the unigram table's ctf column is a
-    // regrouping of these tf longs) for one cheap combinable agg.
-    // x41/x43/x45's shared unigram artifact is untouched — consumers
-    // that need the TABLE still build it under the same key.
-    val nTok = corpusTokenTotal(s, d)
+    // avgdl's token total rides the df artifact's own vocabulary pass
+    // (r21): identical exact integer to the unigram table's total (both
+    // regroup the same per-(doc, term) tf longs), with zero extra
+    // postings passes — the pre-r21 spelling built the full corpus
+    // unigram TABLE only to read its scalar.
+    val (nDocs, nTok, dfreq) = dfreqArtifact(s, d)
     val avgdl = nTok.toDouble / nDocs.toDouble
     // expression order mirrors the oracle TOKEN FOR TOKEN — every op
     // is IEEE-exact or correctly rounded, so bits match (see x47)
@@ -1645,7 +1644,7 @@ object ExtQueries {
     QueryDef(
       "x21_tfidf_topk",
       (s, d) => {
-        val (nDocs, dfreq) = dfreqArtifact(s, d)
+        val (nDocs, _, dfreq) = dfreqArtifact(s, d)
         // the shared postings projection (tf is row-local TermStats
         // output either way; dl is unused here)
         val tf = docTermTf(s, d).select("doc_id", "term", "tf")

@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
   * .txt). Mirrors Bench's session config so the dumped plan is the plan
   * the bench executes. Usage:
   *   PlanDump <sfDir> <outDir> <suffix> <q1,q2,...>
-  * writes <outDir>/<query>_<suffix>.txt for each query.
+  * writes <outDir>/<query>_<suffix>.txt for each query (build:* names dump artifact-build pipelines).
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
@@ -36,9 +36,29 @@ object PlanDump {
     if (sys.env.getOrElse("SPARK_GRAFT_IMPORT", "1") != "0")
       sys.props("graft.import") = "1"
     graft.io.Tables.importAll(spark, sfDir)
+    // build-side pseudo-queries: the artifact BUILD pipelines whose cost
+    // dominates cold executions but which the final (checkpoint-reading)
+    // query plans cannot show — dumpable under `build:<name>` so the
+    // optimization evidence covers the build side too
+    def buildPipelines(n: String): Option[org.apache.spark.sql.DataFrame] = {
+      import org.apache.spark.sql.functions._
+      val docs = graft.io.Tables.documents(spark, sfDir)
+      n match {
+        case "build:gramtf" => Some(graft.queries.ExtQueries.gramTfOf(
+          graft.util.Partitioning.fanOut(docs)))
+        case "build:gramtf_decl" => Some(graft.queries.ExtQueries.gramTfOfDecl(
+          graft.util.Partitioning.fanOut(docs)))
+        case "build:hash60" => Some(docs.select(
+          graft.ext.Dedup.shingleHash60(col("text")).as("h")))
+        case "build:hash60_decl" => Some(docs.select(
+          graft.ext.Dedup.shingleHash60Decl(col("text")).as("h")))
+        case _ => None
+      }
+    }
     for (n <- names) {
       try {
-        val df = SparkEntry.queries(n)(spark, sfDir)
+        val df = buildPipelines(n)
+          .getOrElse(SparkEntry.queries(n)(spark, sfDir))
         // formatted explain of the UNEXECUTED plan (AQE initial): the
         // stable, committable shape — scan details (PushedFilters /
         // ReadSchema), join strategies, exchange count

@@ -729,7 +729,7 @@ object ExtQueries {
     * [[gramTf]]'s body, exposed so incremental consumers (x53's
     * change-feed maintenance) gram-ify a DELTA with exactly the corpus
     * checkpoint's tokenization, hashes, and schema. */
-  private[queries] def gramTfOf(
+  private[graft] def gramTfOf(
       src: DataFrame, extra: Seq[String] = Nil): DataFrame =
       // ONE native loop per document ([[graft.functions.GramTf]]):
       // unigram and bigram counts with their 60-bit hashes (h, hp, hs)
@@ -755,7 +755,7 @@ object ExtQueries {
   /** The pre-r21 declarative spelling of [[gramTfOf]] — retained ONLY
     * as the differential-spec reference (GramTfSpec pins the native
     * pass equal to it, aggregated by the hash identity both spell). */
-  private[queries] def gramTfOfDecl(
+  private[graft] def gramTfOfDecl(
       src: DataFrame, extra: Seq[String] = Nil): DataFrame =
       src
         .select((col("doc_id") +: extra.map(col)) :+ explode(concat(

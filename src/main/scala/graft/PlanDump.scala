@@ -52,6 +52,18 @@ object PlanDump {
           graft.ext.Dedup.shingleHash60(col("text")).as("h")))
         case "build:hash60_decl" => Some(docs.select(
           graft.ext.Dedup.shingleHash60Decl(col("text")).as("h")))
+        // r22: the BM25 scored-frame build (postings ⋈ queries ⋈ df) —
+        // the artifact pipeline behind x47/x48's cold cost
+        case "build:bm25scored" =>
+          Some(graft.queries.ExtQueries.bm25ScoredBuild(spark, sfDir))
+        // r22: the multi-branch derived corpora (x54 arrival, x50
+        // inclusion, x49 containment) — scan-count evidence
+        case "build:x54corpus" =>
+          Some(graft.queries.ExtQueries.arrivalInclusionCorpusBuild(spark, sfDir))
+        case "build:x50corpus" =>
+          Some(graft.queries.ExtQueries.inclusionCorpusBuild(spark, sfDir))
+        case "build:x49corpus" =>
+          Some(graft.queries.ExtQueries.containmentCorpusBuild(spark, sfDir))
         case _ => None
       }
     }

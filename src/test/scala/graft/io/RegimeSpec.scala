@@ -95,21 +95,24 @@ class RegimeSpec extends AnyFunSuite {
     ArtifactCache.clear()
   }
 
-  test("x47: over-bound df + unigram artifacts serve as tables, value-identical") {
+  test("x47: no vocabulary-wide artifact on the BM25 path, value-identical under a forced bound") {
     ArtifactCache.clear()
+    Regime.lastDecision.remove(s"tfidf-df:documents:$sf")
     val base = rows("x47_bm25_topk")
-    assert(decision(s"tfidf-df:documents:$sf") == "collected")
+    // r22: x47 no longer builds the df vocabulary table at all — df is
+    // a window count over the query-restricted postings slice and the
+    // avgdl integers ride one totals action, so NO regime dispatch is
+    // recorded on this path (the honest statement of "zero
+    // vocabulary-wide artifact builds"); x21's test above still pins
+    // the df artifact's over-bound regime for its real consumer.
+    assert(decision(s"tfidf-df:documents:$sf") == null,
+      "x47 built the df vocabulary artifact it no longer needs")
     ArtifactCache.clear()
     withBound(1) {
-      val d = SparkEntry.queries("x47_bm25_topk")(spark, sf)
-      assert(decision(s"tfidf-df:documents:$sf") == "distributed")
-      // r21: x47 no longer builds the unigram TABLE — its only unigram
-      // input is the scalar token total (one agg over the postings
-      // checkpoint, no regime dispatch), so no unigram-tf decision is
-      // recorded here; x41's test below still pins that artifact's
-      // over-bound regime
-      assert(d.collect().map(_.toString).toSeq == base,
-        "vocabulary-as-table x47 drifted from the broadcast regime")
+      // the forced bound exercises every regime-dispatched artifact x47
+      // still composes over (none today) — value identity must hold
+      assert(rows("x47_bm25_topk") == base,
+        "x47 drifted under a forced regime bound")
     }
     ArtifactCache.clear()
   }

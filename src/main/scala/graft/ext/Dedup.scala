@@ -875,6 +875,13 @@ object Dedup {
     require(numBatches >= 1,
       s"containmentArrivalReplay: numBatches must be >= 1, got $numBatches")
     val d = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+    // LAZY checkpoint, measured and kept (r22): the first two consumers
+    // (dsh's and anch's exchanges) are sibling AQE stages that
+    // materialize concurrently and race to compute the un-persisted
+    // sketch partitions — but the duplicated pass overlaps on idle
+    // cores and is wall-neutral, while the eager spelling's dedicated
+    // materialization job measured +1 job and +0.3 s cons
+    // (coldjobs A/B, sf0.1: lazy 14 jobs/1.48 s vs eager 15/1.82).
     val perDoc = minhashWithSets(d, "id", "text", n, numHashes)
       .localCheckpoint(false)
     val dsh = perDoc.select(col("id"), explode(col("shset")).as("h"),

@@ -167,13 +167,23 @@ object ExtQueries {
   // Jaccard ≈ 0.8, high enough for banding recall, while containment of
   // the truncated copy in its source is exactly 1.0)
   private def containmentCorpus(s: SparkSession, d: String): DataFrame = {
+    // ONE corpus scan (r22, was two — guide §2.4/§6): each document
+    // emits itself plus, for every 25th doc, its 80%-truncated copy via
+    // one exploded conditional array; branch predicate and text
+    // derivation are unchanged expression for expression (the union
+    // spelling re-read the corpus once per branch).
     val base = Tables.documents(s, d)
-    base.select(col("doc_id").as("id"), col("text"))
-      .unionByName(base.filter(col("doc_id") % 25 === 0)
-        .select(col("doc_id"), split(col("text"), " ").as("t"))
-        .select((col("doc_id") + 10000000L).as("id"),
-          array_join(slice(col("t"), lit(1),
-            greatest(expr("(size(t) * 4) div 5"), lit(1))), " ").as("text")))
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("t"))
+    val trunc = array_join(slice(col("t"), lit(1),
+      greatest(expr("(size(t) * 4) div 5"), lit(1))), " ")
+    base.select(explode(concat(
+        array(struct(col("doc_id").as("id"), col("text").as("text"))),
+        when(col("doc_id") % 25 === 0,
+          array(struct((col("doc_id") + 10000000L).as("id"),
+            trunc.as("text"))))
+          .otherwise(array().cast("array<struct<id:bigint,text:string>>"))))
+        .as("r"))
+      .select(col("r.id").as("id"), col("r.text").as("text"))
   }
 
   private val containmentCorpusSql =
@@ -222,13 +232,20 @@ object ExtQueries {
   // tokens so the copy still produces 3-shingles) of every 25th doc —
   // the short-in-long inclusion whose jaccard ≈ 0.2 slips x49's banding
   private def inclusionCorpus(s: SparkSession, d: String): DataFrame = {
+    // ONE corpus scan (r22, was two) — same fused shape as
+    // [[containmentCorpus]], 20%-prefix branch instead of truncation.
     val base = Tables.documents(s, d)
-    base.select(col("doc_id").as("id"), col("text"))
-      .unionByName(base.filter(col("doc_id") % 25 === 0)
-        .select(col("doc_id"), split(col("text"), " ").as("t"))
-        .select((col("doc_id") + 20000000L).as("id"),
-          array_join(slice(col("t"), lit(1),
-            greatest(expr("size(t) div 5"), lit(4))), " ").as("text")))
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("t"))
+    val prefix = array_join(slice(col("t"), lit(1),
+      greatest(expr("size(t) div 5"), lit(4))), " ")
+    base.select(explode(concat(
+        array(struct(col("doc_id").as("id"), col("text").as("text"))),
+        when(col("doc_id") % 25 === 0,
+          array(struct((col("doc_id") + 20000000L).as("id"),
+            prefix.as("text"))))
+          .otherwise(array().cast("array<struct<id:bigint,text:string>>"))))
+        .as("r"))
+      .select(col("r.id").as("id"), col("r.text").as("text"))
   }
 
   private val inclusionCorpusSql =
@@ -249,19 +266,28 @@ object ExtQueries {
     * REVERSED copies of every (25k+7)th doc (same vocabulary, disjoint
     * 3-shingles — must be RETAINED). */
   private def arrivalInclusionCorpus(s: SparkSession, d: String): DataFrame = {
+    // ONE corpus scan (r22, was four — guide §2.4/§6): each document
+    // emits its arrival generations via one exploded conditional array —
+    // the original, the batch-1 head snippet (every 25th doc), the
+    // batch-2 head snippet (every 50th), and the batch-2 token-reversed
+    // copy (every (25k+7)th). Branch predicates and text derivations
+    // are unchanged expression for expression; every consumer
+    // aggregates/joins (and the query's total ORDER BY id pins output
+    // order), so pre-shuffle row order is free to change.
     val base = Tables.documents(s, d)
-    def headSnip(pred: Column, offset: Long) = base.filter(pred)
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .select((col("doc_id") + offset).as("id"),
-        array_join(slice(col("t"), lit(1),
-          greatest(expr("size(t) div 5"), lit(4))), " ").as("text"))
-    base.select(col("doc_id").as("id"), col("text"))
-      .unionByName(headSnip(col("doc_id") % 25 === 0, 10000L))
-      .unionByName(headSnip(col("doc_id") % 50 === 0, 20000L))
-      .unionByName(base.filter(col("doc_id") % 25 === 7)
-        .select(col("doc_id"), split(col("text"), " ").as("t"))
-        .select((col("doc_id") + 20000L).as("id"),
-          array_join(reverse(col("t")), " ").as("text")))
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("t"))
+    val snip = array_join(slice(col("t"), lit(1),
+      greatest(expr("size(t) div 5"), lit(4))), " ")
+    val empty = array().cast("array<struct<id:bigint,text:string>>")
+    def branch(pred: Column, id: Column, txt: Column) =
+      when(pred, array(struct(id.as("id"), txt.as("text")))).otherwise(empty)
+    base.select(explode(concat(
+        array(struct(col("doc_id").as("id"), col("text").as("text"))),
+        branch(col("doc_id") % 25 === 0, col("doc_id") + 10000L, snip),
+        branch(col("doc_id") % 50 === 0, col("doc_id") + 20000L, snip),
+        branch(col("doc_id") % 25 === 7, col("doc_id") + 20000L,
+          array_join(reverse(col("t")), " ")))).as("r"))
+      .select(col("r.id").as("id"), col("r.text").as("text"))
   }
 
   private val arrivalInclusionCorpusSql =

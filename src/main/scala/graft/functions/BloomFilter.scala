@@ -80,7 +80,7 @@ object BloomFilter {
 
   /** bit position of hash i for a value (double-hash family). */
   def bitPos(i: Int, value: String): Int = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = Md5Hash60.md5()
     val h = md.digest(value.getBytes("UTF-8"))
     def u(b: Byte): Long = b & 0xffL
     val h1 = (u(h(0)) << 24) | (u(h(1)) << 16) | (u(h(2)) << 8) | u(h(3))
@@ -94,7 +94,7 @@ object BloomFilter {
       override def zero: Array[Long] = new Array[Long](Words)
       override def reduce(buf: Array[Long], value: String): Array[Long] = {
         if (value != null) {
-          val md = java.security.MessageDigest.getInstance("MD5")
+          val md = Md5Hash60.md5()
           val h = md.digest(value.getBytes("UTF-8"))
           def u(b: Byte): Long = b & 0xffL
           val h1 = (u(h(0)) << 24) | (u(h(1)) << 16) | (u(h(2)) << 8) | u(h(3))

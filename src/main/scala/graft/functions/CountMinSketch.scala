@@ -27,7 +27,7 @@ object CountMinSketch {
 
   /** hash_i(value): md5-prefix family shared with the DuckDB oracle. */
   def cell(i: Int, value: String): Int =
-    cellWith(java.security.MessageDigest.getInstance("MD5"), i, value)
+    cellWith(Md5Hash60.md5(), i, value)
 
   private def cellWith(
       md: java.security.MessageDigest, i: Int, value: String): Int = {
@@ -46,8 +46,9 @@ object CountMinSketch {
         if (value != null) {
           // ONE digest instance per row, reset between depths — the
           // per-depth getInstance paid 4 JCA provider lookups per input
-          // row in the hot aggregation loop (MinhashSigSet's pattern)
-          val md = java.security.MessageDigest.getInstance("MD5")
+          // row in the hot aggregation loop (MinhashSigSet's pattern;
+          // r22: thread-cached, so not even one lookup per row)
+          val md = Md5Hash60.md5()
           var i = 0
           while (i < Depth) { buf(i * Width + cellWith(md, i, value)) += 1L; i += 1 }
         }

@@ -81,7 +81,7 @@ object GramTf {
   /** Called from generated code — keep the signature stable. */
   def compute(toks: ArrayData): ArrayData = {
     val n = toks.numElements()
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = Md5Hash60.md5()
     // per-document word-hash memo: each distinct word digested once,
     // serving the unigram row and every prefix/suffix lookup
     val wordH = new java.util.HashMap[UTF8String, java.lang.Long]()

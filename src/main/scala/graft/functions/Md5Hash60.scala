@@ -45,6 +45,22 @@ case class Md5Hash60(child: Expression) extends UnaryExpression {
 
 object Md5Hash60 {
 
+  /** Per-thread reusable MD5 instance (r22, ADVICE): `getInstance`
+    * allocates a fresh digest plus a JCA provider lookup per call —
+    * measurable in the hot paths that digest once per ROW ([[compute]])
+    * or per document (the sketch/gram natives). Tasks are
+    * single-threaded, so a thread-cached instance is safe; `digest()`
+    * leaves the instance reset, and [[md5]] resets again before handing
+    * it out as belt and braces against an aborted previous use. */
+  private val tlMd = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  /** The calling thread's reset MD5 digest — shared by every per-row /
+    * per-document hashing native. */
+  def md5(): java.security.MessageDigest = {
+    val md = tlMd.get(); md.reset(); md
+  }
+
   /** First 60 bits (15 hex chars) of an md5 digest as a non-negative
     * long — shared by [[compute]] and [[GramTf]]'s in-loop hashing. */
   def h60(d: Array[Byte]): Long =
@@ -54,10 +70,8 @@ object Md5Hash60 {
       ((d(6) & 0xffL) << 4) | ((d(7) & 0xf0L) >> 4)
 
   /** Called from generated code — keep the signature stable. */
-  def compute(s: UTF8String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    h60(md.digest(s.getBytes))
-  }
+  def compute(s: UTF8String): Long =
+    h60(md5().digest(s.getBytes))
 
   /** Column-API entry point. */
   def apply(s: Column): Column =

@@ -88,24 +88,33 @@ object MinhashSigSet {
   /** Called from generated code — keep the signature stable. */
   def compute(toks: ArrayData, n: Int, numHashes: Int): InternalRow = {
     val ps = paramsFor(numHashes)
-    val md = java.security.MessageDigest.getInstance("MD5")
+    // thread-cached digest + shingle bytes straight from the UTF8String
+    // payloads (r22, ADVICE — same byte identity argument as
+    // [[ShingleSet60.compute]]: UTF8String already stores UTF-8)
+    val md = Md5Hash60.md5()
     val mins = new Array[Long](numHashes)
     java.util.Arrays.fill(mins, Long.MaxValue)
     val seen = new java.util.HashSet[java.lang.Long]()
     val nToks = toks.numElements()
     val nShingles = nToks - (n - 1)
-    val sb = new java.lang.StringBuilder(64)
     var i = 0
     while (i < nShingles) {
-      sb.setLength(0)
+      var len = n - 1
       var k = 0
+      while (k < n) { len += toks.getUTF8String(i + k).numBytes(); k += 1 }
+      val joined = new Array[Byte](len)
+      var off = 0
+      k = 0
       while (k < n) {
-        if (k > 0) sb.append(' ')
-        sb.append(toks.getUTF8String(i + k).toString)
+        if (k > 0) { joined(off) = ' '; off += 1 }
+        val u = toks.getUTF8String(i + k)
+        u.writeToMemory(joined,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + off)
+        off += u.numBytes()
         k += 1
       }
       md.reset()
-      val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val d = md.digest(joined)
       // first 8 hex chars = first 4 bytes, unsigned 32-bit
       val h0 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
         ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)

@@ -50,23 +50,33 @@ object ShingleSet60 {
 
   /** Called from generated code — keep the signature stable. */
   def compute(toks: ArrayData, n: Int): ArrayData = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    // thread-cached digest + shingle bytes built straight from the
+    // UTF8String payloads (r22, ADVICE): the old spelling round-tripped
+    // every token through UTF-16 (toString + StringBuilder + getBytes)
+    // and allocated a digest per document; UTF8String already stores
+    // UTF-8, so the space-joined bytes are identical.
+    val md = Md5Hash60.md5()
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
     val nToks = toks.numElements()
     val nShingles = nToks - (n - 1)
-    val sb = new java.lang.StringBuilder(64)
     var i = 0
     while (i < nShingles) {
-      sb.setLength(0)
+      var len = n - 1
       var k = 0
+      while (k < n) { len += toks.getUTF8String(i + k).numBytes(); k += 1 }
+      val joined = new Array[Byte](len)
+      var off = 0
+      k = 0
       while (k < n) {
-        if (k > 0) sb.append(' ')
-        sb.append(toks.getUTF8String(i + k).toString)
+        if (k > 0) { joined(off) = ' '; off += 1 }
+        val u = toks.getUTF8String(i + k)
+        u.writeToMemory(joined,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + off)
+        off += u.numBytes()
         k += 1
       }
       md.reset()
-      val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      seen.add(Md5Hash60.h60(d))
+      seen.add(Md5Hash60.h60(md.digest(joined)))
       i += 1
     }
     val out = new Array[Any](seen.size)

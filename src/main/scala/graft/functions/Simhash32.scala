@@ -45,7 +45,7 @@ case class Simhash32(child: Expression) extends UnaryExpression {
 object Simhash32 {
   /** Called from generated code — keep the signature stable. */
   def compute(toks: ArrayData): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = Md5Hash60.md5()
     val votes = new Array[Int](32)
     val n = toks.numElements()
     var i = 0

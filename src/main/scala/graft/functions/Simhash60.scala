@@ -51,7 +51,7 @@ case class Simhash60(child: Expression) extends UnaryExpression {
 object Simhash60 {
   /** Called from generated code — keep the signature stable. */
   def compute(toks: ArrayData): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = Md5Hash60.md5()
     val votes = new Array[Int](60)
     val n = toks.numElements()
     var i = 0

@@ -12,8 +12,9 @@ import org.apache.spark.sql.functions._
   * remaining operators a production training-data pipeline runs between
   * raw crawl and tokenizer that [[ExtQueries]] does not already cover.
   *
-  * Parity notes: gram identity is md5 hex (x22) or its 60-bit prefix
-  * (x23); the HLL estimate (x24) is exact-power-of-two arithmetic with an
+  * Parity notes: gram identity is the 60-bit md5 prefix everywhere
+  * (x22/x42 since r22 — matching the ShingleSet60 implementation
+  * identity, as x23 always did); the HLL estimate (x24) is exact-power-of-two arithmetic with an
   * exactly-representable 64-term sum; percentile interpolation (x26)
   * spells the identical IEEE op order on both sides; JSON extraction
   * (x27) parses with from_json in Spark and an equivalent regexp in the
@@ -191,7 +192,8 @@ object CorpusQueries {
           .orderBy("doc_id")
       },
       Some(s"""WITH ${shingleCtes(3, "documents")},
-              |grams AS (SELECT DISTINCT id, md5(g) AS m FROM sh),
+              |grams AS (SELECT DISTINCT id,
+              |  CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS m FROM sh),
               |bench AS (SELECT DISTINCT m FROM grams WHERE id % 50 = 0),
               |tgt AS (SELECT id, m FROM grams WHERE id % 50 <> 0)
               |SELECT tgt.id AS doc_id,
@@ -625,7 +627,8 @@ object CorpusQueries {
           .orderBy("doc_id")
       },
       Some(s"""WITH ${shingleCtes(3, "documents")},
-              |grams AS (SELECT DISTINCT id, md5(g) AS m FROM sh),
+              |grams AS (SELECT DISTINCT id,
+              |  CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS m FROM sh),
               |bench AS (SELECT DISTINCT m FROM grams WHERE id % 50 = 0),
               |tgt AS (SELECT id, m FROM grams WHERE id % 50 <> 0),
               |ov AS (

@@ -827,6 +827,7 @@ object ExtQueries {
     * across reps and JVMs), and one shutdown hook sweeps whatever is
     * left at exit. */
   private val x53CloneRoot = new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  private val x53PrevClone = new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
   private val x53CloneSeq = new java.util.concurrent.atomic.AtomicLong()
   private def deleteTree(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
@@ -843,15 +844,16 @@ object ExtQueries {
         try deleteTree(r) catch { case _: Throwable => () })
       r
     })
-    // sweep the previous execution's clone(s) under this root, then
-    // hand out a fresh, uniquely-numbered subdir
-    import scala.jdk.CollectionConverters._
-    val ls = java.nio.file.Files.list(root)
-    try ls.iterator().asScala.toList.foreach(p =>
-      try deleteTree(p) catch { case _: Throwable => () })
-    finally ls.close()
-    root.resolve(s"c${x53CloneSeq.incrementAndGet()}")
-      .resolve("docs_log").toString
+    // delete only THIS sfDir's tracked predecessor clone (r22, ADVICE):
+    // the blanket root sweep would delete a concurrently-executing
+    // x53's in-use clone if two executions ever overlap in one JVM;
+    // per-sfDir predecessor tracking keeps the recycling local to each
+    // execution chain (the shutdown hook still sweeps the whole root).
+    val next = root.resolve(s"c${x53CloneSeq.incrementAndGet()}")
+    val prev = x53PrevClone.put(d, next)
+    if (prev != null)
+      try deleteTree(prev) catch { case _: Throwable => () }
+    next.resolve("docs_log").toString
   }
   private def x53FixtureFor(
       s: SparkSession, d: String): (String, Long, DataFrame) = {

@@ -3564,7 +3564,9 @@ object LogTable {
       parts.flatMap { p =>
         val in = org.apache.parquet.hadoop.util.HadoopInputFile
           .fromPath(new org.apache.hadoop.fs.Path(p.toUri), conf)
-        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        // Footers.open: the option-less open() re-parsed the Hadoop XML
+        // defaults per staged file (~10% of a commit verb's wall)
+        val reader = graft.util.Footers.open(in)
         val (rows, stats, statsD, statsS, statsN) =
           try {
             var rows = 0L

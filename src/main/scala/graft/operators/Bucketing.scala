@@ -61,7 +61,7 @@ object Bucketing {
     df.inputFiles.iterator.map { f =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
         .fromPath(new org.apache.hadoop.fs.Path(f), conf)
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val r = graft.util.Footers.open(in)
       try r.getRecordCount
       finally r.close()
     }.sum

@@ -23,7 +23,7 @@ object Layout {
     df.inputFiles.toSeq.map { f =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
         .fromPath(new org.apache.hadoop.fs.Path(f), conf)
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val r = graft.util.Footers.open(in)
       try {
         var lo = Long.MaxValue
         var hi = Long.MinValue

@@ -260,7 +260,13 @@ class LogGroupDataWriter(
 
   private val file =
     Paths.get(stagingDir, s"part-$partitionId-$taskId.parquet").toString
-  private val conf = new org.apache.hadoop.conf.Configuration()
+  // cheap copy of the JVM-shared conf (r22): a bare `new Configuration()`
+  // re-parsed the Hadoop XML defaults once per write TASK; the copy
+  // constructor clones the already-materialized properties without a
+  // parse, and stays private to this writer in case the write path
+  // mutates it
+  private val conf =
+    new org.apache.hadoop.conf.Configuration(graft.util.Footers.sharedConf)
   private val writer = ExampleParquetWriter
     .builder(new org.apache.hadoop.fs.Path(file))
     .withType(messageType)

@@ -1567,12 +1567,18 @@ class LogFileReader(part: LogFilePartition) extends PartitionReader[InternalRow]
     DataType.fromJson(part.requiredJson).asInstanceOf[StructType]
   // local-mode Configuration: default fs serves absolute local paths; a
   // multi-node deployment threads the session's hadoop conf through the
-  // partition instead (same shape, bigger payload)
-  private val conf = new org.apache.hadoop.conf.Configuration()
+  // partition instead (same shape, bigger payload). Cheap COPY of the
+  // JVM-shared conf (r22): a bare `new Configuration()` re-parsed the
+  // XML defaults once per TASK on every graft-log scan; the copy
+  // constructor clones the materialized properties without a parse and
+  // stays private to this partition (the reader MUTATES it — it sets
+  // the requested read schema below, so tasks must not share one).
+  private val conf =
+    new org.apache.hadoop.conf.Configuration(graft.util.Footers.sharedConf)
   private val hPath = new org.apache.hadoop.fs.Path(part.file)
 
   private val (fileSchema, fileRows) = {
-    val r = ParquetFileReader.open(HadoopInputFile.fromPath(hPath, conf))
+    val r = graft.util.Footers.open(HadoopInputFile.fromPath(hPath, conf))
     try {
       var n = 0L
       r.getFooter.getBlocks.forEach(b => n += b.getRowCount)

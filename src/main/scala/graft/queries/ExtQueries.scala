@@ -2030,14 +2030,21 @@ object ExtQueries {
         // exchange identity: 60-bit term hash, x41's discipline — the tf
         // frame and BOTH unigram tables key on fixed-width longs; the
         // DuckDB twin hashes identically so group identity is exact
-        val (nCorpus, corpusUg) = corpusUnigramArtifact(s, d)
         // the TARGET slice keeps its own filtered tokenize: deriving it
         // from the postings checkpoint would shuffle the full postings by
         // doc_id to apply the lang filter, while the filtered scan is one
-        // pushed-down predicate + row-local TermStats — cheaper at any SF
-        val (nTarget, targetUg) =
+        // pushed-down predicate + row-local TermStats — cheaper at any SF.
+        // The two artifact builds have INDEPENDENT inputs (pushed-down
+        // filtered scan vs the postings checkpoint), so they overlap
+        // (guide §2.6): the target build's jobs back-fill the corpus
+        // build's stragglers instead of serializing after them.
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val targetF = scala.concurrent.Future(
           unigramArtifact(s, s"unigram-tf-target-en:documents:$d",
-            Tables.documents(s, d).filter(col("lang") === "en"))
+            Tables.documents(s, d).filter(col("lang") === "en")))
+        val (nCorpus, corpusUg) = corpusUnigramArtifact(s, d)
+        val (nTarget, targetUg) = scala.concurrent.Await.result(
+          targetF, scala.concurrent.duration.Duration.Inf)
         def ilog2(n: Long) = 63 - java.lang.Long.numberOfLeadingZeros(n)
         val shift = (ilog2(nCorpus) - ilog2(nTarget)).toDouble
         corpusHashTf(s, d)

@@ -522,10 +522,10 @@ object CorpusQueries {
     QueryDef(
       "x32_curation_pipeline",
       (s, d) => {
-        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-        val corpus = docs.unionByName(
-          Tables.documents(s, d).filter(col("doc_id") % 25 === 0)
-            .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+        val corpus = graft.util.Corpora.derived(Tables.documents(s, d),
+          col("doc_id"), col("text"),
+          Seq((col("doc_id") % 25 === 0, col("doc_id") + 20000, col("text"))),
+          "doc_id", "text")
         // curationPipeline output is already in total (doc_id, chunk_idx)
         // order (ordered layout before the chunk generate)
         Corpus.curationPipeline(corpus, "doc_id", "text",
@@ -655,10 +655,10 @@ object CorpusQueries {
     QueryDef(
       "x40_line_dedup",
       (s, d) => {
-        val base = Tables.documents(s, d)
-        val corpus = base.select(col("doc_id").as("id"), col("text"))
-          .unionByName(base.filter(col("doc_id") % 20 === 0)
-            .select((col("doc_id") + 20000).as("id"), col("text")))
+        val corpus = graft.util.Corpora.derived(Tables.documents(s, d),
+          col("doc_id"), col("text"),
+          Seq((col("doc_id") % 20 === 0, col("doc_id") + 20000, col("text"))),
+          "id", "text")
         Corpus.boilerplateLines(corpus, "id", "text",
             lineTokens = 8, minCount = 2,
             cacheKey = Some(s"boiler:dup20:8x2:$d"))
@@ -704,10 +704,10 @@ object CorpusQueries {
     QueryDef(
       "x44_dup_span_scrub",
       (s, d) => {
-        val base = Tables.documents(s, d)
-        val corpus = base.select(col("doc_id").as("id"), col("text"))
-          .unionByName(base.filter(col("doc_id") % 20 === 0)
-            .select((col("doc_id") + 30000).as("id"), col("text")))
+        val corpus = graft.util.Corpora.derived(Tables.documents(s, d),
+          col("doc_id"), col("text"),
+          Seq((col("doc_id") % 20 === 0, col("doc_id") + 30000, col("text"))),
+          "id", "text")
         Corpus.scrubDupSpans(corpus, "id", "text", n = 5, minCount = 2,
             cacheKey = Some(s"dupspan:dup20:5x2:$d"))
           .orderBy("id")

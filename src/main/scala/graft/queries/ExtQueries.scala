@@ -23,14 +23,13 @@ object ExtQueries {
 
   // Near-dup corpus: documents plus a mutated copy (3 appended tokens) of
   // every 20th doc — real near-duplicates with known ids (+10000).
-  private[queries] def dupCorpus(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).select(col("doc_id").as("id"), col("text"))
-    docs.unionByName(
-      Tables.documents(s, d)
-        .filter(col("doc_id") % 20 === 0)
-        .select((col("doc_id") + 10000).as("id"),
-          concat(col("text"), lit(" extra extra token")).as("text")))
-  }
+  private[queries] def dupCorpus(s: SparkSession, d: String): DataFrame =
+    // ONE corpus scan (r22, was two): see graft.util.Corpora
+    graft.util.Corpora.derived(Tables.documents(s, d),
+      col("doc_id"), col("text"),
+      Seq((col("doc_id") % 20 === 0, col("doc_id") + 10000,
+        concat(col("text"), lit(" extra extra token")))),
+      "id", "text")
 
   private[queries] val dupCorpusSql =
     """corpus AS (
@@ -85,15 +84,15 @@ object ExtQueries {
   // 3-generation cluster corpus shared by x19/x20: base docs + a MUTATED
   // +10000 copy of every 20th + an EXACT +20000 copy of every 25th — the
   // transitive case (base~mutated, base~exact, mutated never pairs exact).
-  private def corpus3(s: SparkSession, d: String): DataFrame = {
-    val base = Tables.documents(s, d)
-    base.select(col("doc_id").as("id"), col("text"))
-      .unionByName(base.filter(col("doc_id") % 20 === 0)
-        .select((col("doc_id") + 10000).as("id"),
-          concat(col("text"), lit(" extra extra token")).as("text")))
-      .unionByName(base.filter(col("doc_id") % 25 === 0)
-        .select((col("doc_id") + 20000).as("id"), col("text")))
-  }
+  private def corpus3(s: SparkSession, d: String): DataFrame =
+    // ONE corpus scan (r22, was three): see graft.util.Corpora
+    graft.util.Corpora.derived(Tables.documents(s, d),
+      col("doc_id"), col("text"),
+      Seq(
+        (col("doc_id") % 20 === 0, col("doc_id") + 10000,
+          concat(col("text"), lit(" extra extra token"))),
+        (col("doc_id") % 25 === 0, col("doc_id") + 20000, col("text"))),
+      "id", "text")
 
   private val corpus3Sql =
     """corpus AS (
@@ -1335,10 +1334,10 @@ object ExtQueries {
     QueryDef(
       "x5_exact_dedup",
       (s, d) => {
-        val docs = Tables.documents(s, d).select(col("doc_id").as("id"), col("text"))
-        val corpus = docs.unionByName(
-          Tables.documents(s, d).filter(col("doc_id") % 25 === 0)
-            .select((col("doc_id") + 20000).as("id"), col("text")))
+        val corpus = graft.util.Corpora.derived(Tables.documents(s, d),
+          col("doc_id"), col("text"),
+          Seq((col("doc_id") % 25 === 0, col("doc_id") + 20000, col("text"))),
+          "id", "text")
         Dedup.exactDups(corpus, "id", "text").orderBy("content_hash")
       },
       Some("""WITH corpus AS (
@@ -2508,9 +2507,11 @@ object ExtQueries {
       "x35_semdedup",
       (s, d) => {
         val base = Tables.embeddings(s, d)
-        val corpus = base.select(col("vec_id"), col("embedding"))
-          .unionByName(base.filter(col("vec_id") % 25 === 0)
-            .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+        val corpus = graft.util.Corpora.derived(base,
+          col("vec_id"), col("embedding"),
+          Seq((col("vec_id") % 25 === 0, col("vec_id") + 10000,
+            col("embedding"))),
+          "vec_id", "embedding", payloadType = "array<float>")
         val cents = graft.io.ArtifactCache.getOrBuild(s"ivf-kmeans:16:2:$d")(
           Similarity.trainIvfKmeans(base, "vec_id", "embedding",
             nLists = 16, rounds = 2))
@@ -2642,10 +2643,11 @@ object ExtQueries {
       QueryDef(
         "x10_embedding_neardup",
         (s, d) => {
-          val base = Tables.embeddings(s, d)
-          val corpus = base.select(col("vec_id"), col("embedding"))
-            .unionByName(base.filter(col("vec_id") % 25 === 0)
-              .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+          val corpus = graft.util.Corpora.derived(Tables.embeddings(s, d),
+            col("vec_id"), col("embedding"),
+            Seq((col("vec_id") % 25 === 0, col("vec_id") + 10000,
+              col("embedding"))),
+            "vec_id", "embedding", payloadType = "array<float>")
           Similarity.nearDupPairs(
             Similarity.prepared(corpus, "vec_id", "embedding"),
             threshold = 0.99, numPlanes = nPlanes, dim = dim, probeDepth = 2)

@@ -181,11 +181,11 @@ object MultimodalQueries {
     QueryDef(
       "m5_phash_neardup",
       (s, d) => {
-        val docs = Tables.documents(s, d)
-        val corpus = docs.filter(col("doc_id") % 3 === 0)
-          .select(col("doc_id"), col("text"))
-          .unionByName(docs.filter(col("doc_id") % 15 === 0)
-            .select((col("doc_id") + 30000).as("doc_id"), col("text")))
+        val corpus = graft.util.Corpora.derived(
+          Tables.documents(s, d).filter(col("doc_id") % 3 === 0),
+          col("doc_id"), col("text"),
+          Seq((col("doc_id") % 15 === 0, col("doc_id") + 30000, col("text"))),
+          "doc_id", "text")
         val decoded = Multimodal.decodeImages(s,
           Multimodal.asMediaItems(s, Multimodal.mediaFromDocuments(corpus)))
         Multimodal.phashNearDups(
